@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Semi-structured metrics ingest + per-id rollup — Spark-first
+  * re-expression of the reference's bonus pipeline
+  * (public/lion_parcell_bonus_test_stg.py):
+  *
+  *   - `process_one_file()` (lines 199-238): flatten
+  *     `MetricDataResults[] → {Id, Timestamps[], Values[]}` plus top-level
+  *     `Messages[]` into one row per (file, metric id), dropping null/NaN
+  *     values;
+  *   - `aggregate_one_row_per_id()` (lines 240-276): one row per id with
+  *     `runtime_date = max(timestamp)`, weighted mean
+  *     `load_time = sum(values)/count(values)/60000` (ms → minutes), and
+  *     `Message = '; '.join(sorted(set(messages)))`.
+  *
+  * Where the reference downloads files one by one on a single node and
+  * aggregates in pandas, graft reads the whole drop as a distributed JSON
+  * scan and aggregates with map-side partial aggregation — one shuffle on
+  * the metric id, linear scale-out over files.
+  */
+object MetricsIngest {
+
+  /** Schema of one payload file (CloudWatch GetMetricData response shape,
+    * as handled by the reference's process_one_file). */
+  val payloadSchema: StructType = StructType(Seq(
+    StructField("MetricDataResults", ArrayType(StructType(Seq(
+      StructField("Id", StringType),
+      StructField("Timestamps", ArrayType(StringType)),
+      StructField("Values", ArrayType(DoubleType)))))),
+    StructField("Messages", ArrayType(StringType))))
+
+  /** Flatten a JSON payload drop (one object per file) to one row per
+    * (source_file, metric id): id, runtime_date, sum_ms, cnt, message.
+    * Mirrors process_one_file() incl. NaN/null-value dropping. */
+  def flatten(spark: SparkSession, path: String): DataFrame = {
+    spark.read.schema(payloadSchema).option("multiLine", "true").json(path)
+      .withColumn("source_file", input_file_name())
+      .withColumn("message", array_join(col("Messages"), "; "))
+      .select(explode(col("MetricDataResults")).as("m"),
+        col("message"), col("source_file"))
+      .select(
+        col("m.Id").as("id"),
+        array_max(col("m.Timestamps")).as("runtime_date"),
+        aggregate(
+          filter(col("m.Values"), v => v.isNotNull && !isnan(v)),
+          lit(0.0), (acc, v) => acc + v).as("sum_ms"),
+        size(filter(col("m.Values"), v => v.isNotNull && !isnan(v))).as("cnt"),
+        col("message"), col("source_file"))
+      .filter(col("id").isNotNull)
+  }
+
+  /** One row per id (aggregate_one_row_per_id): max runtime_date, weighted
+    * mean minutes, sorted-distinct messages. */
+  def rollup(detail: DataFrame): DataFrame =
+    detail.groupBy(col("id")).agg(
+      max(col("runtime_date")).as("runtime_date"),
+      (sum(col("sum_ms")) / sum(col("cnt")) / lit(60000.0)).as("load_time"),
+      array_join(array_sort(collect_set(
+        when(length(trim(col("message"))) > 0, col("message")))), "; ")
+        .as("message"))
+}

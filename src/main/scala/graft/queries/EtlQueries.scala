@@ -1,0 +1,217 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{IncrementalMerge, Scd2, Snapshots}
+import graft.sources.Tables
+
+/** SURVEY.md §2a — the reference's ETL surface (q2–q9), wired to the
+  * synthetic tables per the §3 data-model mapping:
+  * events(user_id, ts, event_type, ...) plays the transaction change log;
+  * `event_type='purchase'` is the terminal status (reference: 'DONE').
+  *
+  * All timestamps fixed (no now()) so results are oracle-comparable.
+  */
+object EtlQueries {
+
+  private val T1     = "2024-01-15 00:00:00" // target-state cutoff (mid-range of events)
+  private val RunTs  = "2024-02-01 00:00:00" // merge run timestamp
+  private val AsOfTs = "2024-01-20 00:00:00" // time-travel point
+  private val LoadTs = "2026-01-01 00:00:00" // staging load timestamp
+  // end-of-time sentinel: the reference's 9999-12-31 overflows nanosecond
+  // timestamp readers (pandas/pyarrow); a ns-safe sentinel keeps the same
+  // semantics for this data (which ends in 2024)
+  private val EotTs  = "2200-01-01 00:00:00" 
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q2_staging_ingest"    -> ((s, d) => q2(s, d)),
+    "q3_incremental_merge" -> ((s, d) => q3(s, d)),
+    "q4_scd2_history"      -> ((s, d) => q4(s, d)),
+    "q5_scd2_current"      -> ((s, d) => q5(s, d)),
+    "q6_scd2_timetravel"   -> ((s, d) => q6(s, d)),
+    "q7_scd2_audit"        -> ((s, d) => q7(s, d)),
+    "q8_metrics_rollup"    -> ((s, d) => q8(s, d)),
+    "q9_json_ingest"       -> ((s, d) => q9(s, d))
+  )
+
+  /** q2: staging truncate-load — typed projection + audit load timestamp
+    * (source_transaction_lion_parcel.py extract/load: fixed column list +
+    * loaded_at). Pure narrow projection: no shuffle, column-pruned scan. */
+  def q2(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      col("o_orderkey").as("id"),
+      col("o_custkey").as("customer_id"),
+      col("o_orderstatus").as("last_status"),
+      col("o_orderpriority").as("priority"),
+      col("o_orderdate").as("created_at"),
+      lit(LoadTs).cast("timestamp").as("loaded_at"))
+      .orderBy(col("id"))
+
+  private def targetState(s: SparkSession, dir: String): DataFrame =
+    Snapshots.stateAsOf(Tables.events(s, dir), "user_id", "ts", "event_type",
+        "event_id", Some(lit(T1).cast("timestamp")))
+      .withColumn("deleted_at",
+        when(col("last_status") === "purchase", col("updated_at")))
+
+  /** q3: incremental merge + soft delete (retail_transactions.sql). */
+  def q3(s: SparkSession, dir: String): DataFrame = {
+    val staging = Snapshots.stateAsOf(Tables.events(s, dir), "user_id", "ts",
+      "event_type", "event_id", None)
+    IncrementalMerge.merge(targetState(s, dir), staging, "id",
+        lit(RunTs).cast("timestamp"), "last_status", "purchase")
+      .orderBy(col("id"))
+  }
+
+  private def scd(s: SparkSession, dir: String): DataFrame =
+    Scd2.buildFromHistory(Tables.events(s, dir), "user_id", "ts",
+      "event_type", "event_id", "purchase", endOfTime = EotTs)
+
+  /** q4: full SCD2 history (retail_transactions_scd.sql). */
+  def q4(s: SparkSession, dir: String): DataFrame =
+    scd(s, dir).orderBy(col("id"), col("valid_from"))
+
+  /** q5: current active state (scd "USEFUL QUERIES" #1/#8). */
+  def q5(s: SparkSession, dir: String): DataFrame =
+    Scd2.currentState(scd(s, dir), activeOnly = true)
+      .select(col("id"), col("last_status"), col("valid_from"))
+      .orderBy(col("id"))
+
+  /** q6: time-travel (scd "USEFUL QUERIES" #3). */
+  def q6(s: SparkSession, dir: String): DataFrame =
+    Scd2.asOf(scd(s, dir), lit(AsOfTs).cast("timestamp"))
+      .select(col("id"), col("last_status"), col("valid_from"), col("valid_to"))
+      .orderBy(col("id"))
+
+  /** q7: audit rollup (scd "USEFUL QUERIES" #5). */
+  def q7(s: SparkSession, dir: String): DataFrame =
+    Scd2.audit(scd(s, dir)).orderBy(col("id"))
+
+  /** q8: per-id metric rollup (aggregate_one_row_per_id in the bonus
+    * pipeline): max-timestamp, weighted mean (decimal-exact sum), sorted
+    * distinct message list. One shuffle, map-side partial agg. */
+  def q8(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).groupBy(col("user_id").as("id")).agg(
+      max(col("ts")).as("runtime_date"),
+      count(lit(1)).as("cnt"),
+      (sum(col("value").cast("decimal(12,2)")).cast("double")
+        / count(lit(1)) / lit(60000.0)).as("load_time"),
+      array_join(array_sort(collect_set(col("event_type"))), "; ").as("message"))
+      .orderBy(col("id"))
+
+  /** q9: semi-structured JSON field extraction + aggregate
+    * (process_one_file's payload parsing, on events.props). */
+  def q9(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k").isNotNull)
+      .groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  private val stateCte =
+    s"""te AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+       |         min(ts) OVER (PARTITION BY user_id) AS created_at
+       |  FROM events WHERE ts <= TIMESTAMP '$T1'
+       |), target AS (
+       |  SELECT user_id AS id, event_type AS last_status, created_at, ts AS updated_at,
+       |         CASE WHEN event_type = 'purchase' THEN ts END AS deleted_at
+       |  FROM te WHERE rn = 1
+       |), se AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+       |         min(ts) OVER (PARTITION BY user_id) AS created_at
+       |  FROM events
+       |), staging AS (
+       |  SELECT user_id AS id, event_type AS last_status, created_at, ts AS updated_at
+       |  FROM se WHERE rn = 1
+       |)""".stripMargin
+
+  private val scdCte =
+    """ordered AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events
+      |), changes AS (
+      |  SELECT user_id, ts, event_id, event_type FROM ordered
+      |  WHERE prev IS NULL OR prev <> event_type
+      |), versioned AS (
+      |  SELECT user_id AS id, event_type AS last_status, ts AS valid_from,
+      |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_raw
+      |  FROM changes
+      |)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q2_staging_ingest" ->
+      s"""SELECT o_orderkey AS id, o_custkey AS customer_id,
+         |  o_orderstatus AS last_status, o_orderpriority AS priority,
+         |  o_orderdate AS created_at,
+         |  TIMESTAMP '$LoadTs' AS loaded_at
+         |FROM orders ORDER BY id""".stripMargin,
+
+    "q3_incremental_merge" ->
+      s"""WITH $stateCte
+         |SELECT coalesce(s.id, t.id) AS id,
+         |  coalesce(s.last_status, t.last_status) AS last_status,
+         |  CASE WHEN s.id IS NOT NULL
+         |       THEN coalesce(t.created_at, s.created_at, TIMESTAMP '$RunTs')
+         |       ELSE t.created_at END AS created_at,
+         |  CASE WHEN s.id IS NOT NULL THEN TIMESTAMP '$RunTs'
+         |       ELSE t.updated_at END AS updated_at,
+         |  CASE WHEN s.id IS NOT NULL
+         |       THEN (CASE WHEN s.last_status = 'purchase'
+         |                  THEN coalesce(t.deleted_at, TIMESTAMP '$RunTs') END)
+         |       ELSE t.deleted_at END AS deleted_at
+         |FROM staging s FULL OUTER JOIN target t ON s.id = t.id
+         |ORDER BY id""".stripMargin,
+
+    "q4_scd2_history" ->
+      s"""WITH $scdCte
+         |SELECT id, last_status, valid_from,
+         |  coalesce(valid_to_raw, TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
+         |  valid_to_raw IS NULL AS is_current,
+         |  CASE WHEN last_status = 'purchase' THEN valid_from END AS deleted_at
+         |FROM versioned ORDER BY id, valid_from""".stripMargin,
+
+    "q5_scd2_current" ->
+      s"""WITH $scdCte
+         |SELECT id, last_status, valid_from
+         |FROM versioned
+         |WHERE valid_to_raw IS NULL AND last_status <> 'purchase'
+         |ORDER BY id""".stripMargin,
+
+    "q6_scd2_timetravel" ->
+      s"""WITH $scdCte
+         |SELECT id, last_status, valid_from,
+         |  coalesce(valid_to_raw, TIMESTAMP '2200-01-01 00:00:00') AS valid_to
+         |FROM versioned
+         |WHERE valid_from <= TIMESTAMP '$AsOfTs'
+         |  AND TIMESTAMP '$AsOfTs' < coalesce(valid_to_raw, TIMESTAMP '2200-01-01 00:00:00')
+         |ORDER BY id""".stripMargin,
+
+    "q7_scd2_audit" ->
+      s"""WITH $scdCte
+         |SELECT id, count(*) AS version_count,
+         |  min(valid_from) AS first_seen, max(valid_from) AS last_change
+         |FROM versioned GROUP BY id ORDER BY id""".stripMargin,
+
+    "q8_metrics_rollup" ->
+      """SELECT user_id AS id, max(ts) AS runtime_date, count(*) AS cnt,
+        |  (sum(value::DECIMAL(12,2)))::DOUBLE / count(*) / 60000.0 AS load_time,
+        |  string_agg(DISTINCT event_type, '; ' ORDER BY event_type) AS message
+        |FROM events GROUP BY user_id ORDER BY id""".stripMargin,
+
+    "q9_json_ingest" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+        |  max(json_extract_string(props, '$.k')::BIGINT) AS max_k
+        |FROM events
+        |WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}

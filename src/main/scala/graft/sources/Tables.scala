@@ -24,7 +24,14 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "events")
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+    * reader rejects; read nanos as long and convert to micros (lossless for
+    * this data — values are generated at microsecond precision). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 

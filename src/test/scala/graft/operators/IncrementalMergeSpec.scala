@@ -1,0 +1,76 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class IncrementalMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private val run = lit("2024-02-01 00:00:00").cast("timestamp")
+
+  // target: (id, last_status, created_at, updated_at, deleted_at)
+  private def target = Seq(
+    (1L, "Created",  ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00"), None),
+    (2L, "DONE",     ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00"), Some(ts("2024-01-03 00:00:00"))),
+    (3L, "On Way",   ts("2024-01-01 00:00:00"), ts("2024-01-04 00:00:00"), None)
+  ).toDF("id", "last_status", "created_at", "updated_at", "deleted_at")
+
+  // staging: (id, last_status, created_at)
+  private def staging = Seq(
+    (1L, "DONE",      Some(ts("2024-01-01 00:00:00"))), // newly terminal → deleted_at = run
+    (2L, "DONE",      Some(ts("2024-01-01 00:00:00"))), // re-delete → preserve old deleted_at
+    (4L, "Created",   None)                             // brand-new row, null created_at → run ts
+  ).toDF("id", "last_status", "created_at")
+
+  private lazy val out = IncrementalMerge
+    .merge(target, staging, "id", run, "last_status", "DONE")
+    .orderBy("id").collect()
+
+  test("staging rows replace matched target rows; updated_at = run ts") {
+    val r1 = out.find(_.getLong(0) == 1L).get
+    assert(r1.getString(1) == "DONE")
+    assert(r1.getTimestamp(3) == ts("2024-02-01 00:00:00"))
+  }
+
+  test("newly terminal status sets deleted_at to run ts") {
+    val r1 = out.find(_.getLong(0) == 1L).get
+    assert(r1.getTimestamp(4) == ts("2024-02-01 00:00:00"))
+  }
+
+  test("earlier deleted_at is preserved on re-delete") {
+    val r2 = out.find(_.getLong(0) == 2L).get
+    assert(r2.getTimestamp(4) == ts("2024-01-03 00:00:00"))
+  }
+
+  test("target rows absent from staging pass through untouched") {
+    val r3 = out.find(_.getLong(0) == 3L).get
+    assert(r3.getString(1) == "On Way")
+    assert(r3.getTimestamp(3) == ts("2024-01-04 00:00:00"))
+    assert(r3.getTimestamp(4) == null)
+  }
+
+  test("new row with null created_at gets the run ts (coalesce)") {
+    val r4 = out.find(_.getLong(0) == 4L).get
+    assert(r4.getTimestamp(2) == ts("2024-02-01 00:00:00"))
+    assert(r4.getTimestamp(4) == null)
+  }
+
+  test("empty staging leaves target unchanged") {
+    val empty = staging.limit(0)
+    val res = IncrementalMerge.merge(target, empty, "id", run, "last_status", "DONE")
+    assert(res.count() == 3)
+    val r2 = res.filter($"id" === 2L).collect()(0)
+    assert(r2.getAs[Timestamp]("deleted_at") == ts("2024-01-03 00:00:00"))
+  }
+
+  test("status moving off terminal clears deleted_at") {
+    val reopen = Seq((2L, "On Way", Some(ts("2024-01-01 00:00:00"))))
+      .toDF("id", "last_status", "created_at")
+    val res = IncrementalMerge.merge(target, reopen, "id", run, "last_status", "DONE")
+    val r2 = res.filter($"id" === 2L).collect()(0)
+    assert(r2.getAs[Timestamp]("deleted_at") == null)
+  }
+}
