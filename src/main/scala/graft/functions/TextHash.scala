@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text hashing building blocks for the dedup / fingerprint
+  * operators (SURVEY.md §2c/§2e).
+  *
+  * Every hash here is EXPLICIT modular polynomial arithmetic — no
+  * engine-native hash() — so the same numbers are computable in any SQL
+  * engine (the driver's DuckDB oracle re-derives them); see SURVEY.md §4
+  * "oracle-determinism rules". All arithmetic stays < 2^62 between mods
+  * (Spark 4 runs ANSI mode: overflow throws rather than wraps).
+  *
+  * Everything is pure `org.apache.spark.sql.functions` composition —
+  * usable inside higher-order-function lambdas (the shingle hasher is a
+  * fold nested inside a transform).
+  */
+object TextHash {
+
+  /** Large prime modulus for all polynomial hashing. */
+  val Mod: Long = 1000000007L
+
+  /** Base for the character-level polynomial hash. */
+  val CharBase: Long = 31L
+
+  /** Lowercase, strip non-alphanumerics to single spaces, trim — the
+    * canonical normalization applied before tokenizing / exact dedup. */
+  def normText(c: Column): Column =
+    trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+
+  /** Whitespace tokens of the normalized text (normalization collapses all
+    * separators to single spaces, so a plain split is exact). */
+  def wordsOf(c: Column): Column = split(normText(c), " ")
+
+  /** Polynomial rolling hash over the characters of a string:
+    * fold acc = (acc*31 + ascii(char)) % Mod. Deterministic, engine-neutral,
+    * and exactly DuckDB's
+    * `list_reduce(list_transform(range(1,length+1), i -> ascii(s[i])::BIGINT),
+    *              (acc,x) -> (acc*31+x) % 1000000007)`. */
+  def charPolyHash(c: Column): Column =
+    when(length(c) === 0, lit(0L)).otherwise(
+      aggregate(
+        transform(sequence(lit(1), length(c)),
+          i => ascii(c.substr(i, lit(1))).cast("long")),
+        lit(0L),
+        (acc, x) => (acc * CharBase + x) % Mod))
+
+  /** Distinct word n-gram shingles from a (pre-materialized) words array.
+    * 1-based positions; empty array when the doc has fewer than n words. */
+  def shinglesFromWords(ws: Column, n: Int): Column =
+    when(size(ws) >= n,
+      array_distinct(
+        transform(sequence(lit(1), size(ws) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + lit(j))): _*))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Hash each shingle string (aligned with the input array). Distinctness
+    * of the STRING shingles is preserved; a (negligible, but possible) hash
+    * collision therefore only ever affects candidate generation — exact
+    * verification always re-checks on the strings themselves. */
+  def shingleHashes(shArr: Column): Column =
+    transform(shArr, sh => charPolyHash(sh))
+
+  /** MinHash signature: k permutations h_i(x) = ((2i+3)·x + (5i+7)) % Mod,
+    * signature[i] = min over the doc's shingle hashes. The affine constants
+    * are tied to i so SQL oracles can re-derive them without literal
+    * tables. */
+  def minhashSig(hashArr: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(hashArr,
+        x => ((i.cast("long") * 2L + 3L) * x + (i.cast("long") * 5L + 7L)) % Mod)))
+}

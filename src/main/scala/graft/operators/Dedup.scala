@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash._
+
+/** Deduplication suite for large-scale text corpora (SURVEY.md §2c) —
+  * exact, n-gram Jaccard, MinHash+LSH, and SimHash near-dup detection.
+  *
+  * Scale design (100 TB corpus):
+  *   - exact dedup is a hash-groupBy — one shuffle on the normalized text
+  *     (production: shuffle on a 128-bit content hash instead of the full
+  *     string to keep shuffle rows narrow);
+  *   - n-gram pairs use the shingle POSTING-LIST self-join — explode is
+  *     map-side, the only shuffle keys on the shingle; `maxShingleDf` drops
+  *     ubiquitous shingles (df cap) to bound posting-list blowup — the
+  *     standard trick for power-law corpora;
+  *   - MinHash+LSH reduces candidates from O(n²) to near-linear: signature
+  *     → per-band bucket → intra-bucket pairs → EXACT Jaccard verify, so
+  *     false positives are filtered and (with bandRows=1, k=32 bands) the
+  *     miss probability for sim ≥ 0.5 pairs is (1-s)^32 < 1e-9 — the
+  *     verified output equals the exact-threshold pair set;
+  *   - SimHash buckets by fingerprint band (4 bands × 8 bits): any pair at
+  *     Hamming distance ≤ 3 shares at least one full band (pigeonhole), so
+  *     banding loses NOTHING while cutting the join to near-linear.
+  */
+object Dedup {
+
+  /** d1: exact duplicate groups on normalized text. One row per doc with
+    * its canonical (minimum) doc id and group size. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__norm"))
+    docs
+      .withColumn("__norm", normText(col(textCol)))
+      .select(
+        col(idCol),
+        min(col(idCol)).over(w).as("canonical_id"),
+        count(lit(1)).over(w).as("group_size"))
+  }
+
+  /** Per-doc distinct shingle-string arrays (the shared input of the
+    * near-dup operators). Output: idCol, sg (array<string>), n_sh. */
+  def shingleDocs(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs
+      .withColumn("__ws", wordsOf(col(textCol)))
+      .withColumn("sg", shinglesFromWords(col("__ws"), n))
+      .select(col(idCol), col("sg"), size(col("sg")).as("n_sh"))
+
+  /** d2: n-gram Jaccard near-dup pairs via posting lists.
+    *
+    * @param maxShingleDf optional document-frequency cap: shingles appearing
+    *   in more than this many docs are dropped from posting lists AND from
+    *   the per-doc set sizes (both sides of the Jaccard stay consistent).
+    *   None = exact Jaccard on full sets (what the SQL oracle computes).
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxShingleDf: Option[Long] = None): DataFrame = {
+    val sh = shingleDocs(docs, idCol, textCol, n)
+    val posting0 = sh.select(col(idCol).as("__id"), explode(col("sg")).as("__sh"))
+    val posting = maxShingleDf match {
+      case Some(cap) =>
+        val keep = posting0.groupBy("__sh").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap).select("__sh")
+        posting0.join(keep, "__sh")
+      case None => posting0
+    }
+    val sizes = maxShingleDf match {
+      case Some(_) => posting.groupBy(col("__id")).agg(count(lit(1)).as("n_sh"))
+      case None    => sh.select(col(idCol).as("__id"), col("n_sh"))
+    }
+    val common = posting.as("a")
+      .join(posting.as("b"),
+        col("a.__sh") === col("b.__sh") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("ida"), col("b.__id").as("idb"))
+      .agg(count(lit(1)).as("__common"))
+    common
+      .join(sizes.select(col("__id").as("ida"), col("n_sh").as("__na")), "ida")
+      .join(sizes.select(col("__id").as("idb"), col("n_sh").as("__nb")), "idb")
+      .withColumn("jaccard",
+        col("__common").cast("double") / (col("__na") + col("__nb") - col("__common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("ida"), col("idb"), col("jaccard"))
+  }
+
+  /** d3: MinHash + LSH candidates, exact-Jaccard verified.
+    *
+    * bandRows = 1 (bucket on each of the k signature values independently):
+    * a pair is a candidate iff ANY of the k minhashes collide, so the miss
+    * probability for similarity s is (1-s)^k — negligible at the
+    * thresholds this operator targets. Verification recomputes Jaccard on
+    * the shingle STRINGS, so the output is exactly the ≥ threshold pair
+    * set. */
+  def minhashLshPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      k: Int,
+      threshold: Double): DataFrame = {
+    val sh = shingleDocs(docs, idCol, textCol, n)
+    val sigs = sh
+      .filter(col("n_sh") > 0)
+      .withColumn("__sig", minhashSig(shingleHashes(col("sg")), k))
+      .select(col(idCol).as("__id"), posexplode(col("__sig")).as(Seq("__band", "__v")))
+    val cands = sigs.as("a")
+      .join(sigs.as("b"),
+        col("a.__band") === col("b.__band") && col("a.__v") === col("b.__v") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("ida"), col("b.__id").as("idb"))
+      .distinct()
+    val withSets = cands
+      .join(sh.select(col(idCol).as("ida"), col("sg").as("__sga"), col("n_sh").as("__na")), "ida")
+      .join(sh.select(col(idCol).as("idb"), col("sg").as("__sgb"), col("n_sh").as("__nb")), "idb")
+      .withColumn("__common", size(array_intersect(col("__sga"), col("__sgb"))))
+      .withColumn("jaccard",
+        col("__common").cast("double") / (col("__na") + col("__nb") - col("__common")))
+      .filter(col("jaccard") >= threshold)
+    withSets.select(col("ida"), col("idb"), col("jaccard"))
+  }
+
+  /** SimHash fingerprints: one `bits`-wide fingerprint per doc from its
+    * distinct shingle hashes. Relational formulation — explode + one
+    * groupBy with `bits` conditional sums — stays inside whole-stage
+    * codegen with map-side partial aggregation (no per-row array loops).
+    * Docs with zero shingles get no fingerprint (callers guarantee
+    * non-empty text). */
+  def simhashFingerprints(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      bits: Int = 32): DataFrame = {
+    val exploded = shingleDocs(docs, idCol, textCol, n)
+      .select(col(idCol), explode(shingleHashes(col("sg"))).as("__x"))
+    val sums = (0 until bits).map(j =>
+      sum((shiftright(col("__x"), j) % 2L) * 2L - 1L).as(s"__s$j"))
+    val agg = exploded.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+    val fp = (0 until bits)
+      .map(j => when(col(s"__s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col(idCol), fp.as("fingerprint"))
+  }
+
+  /** d4: SimHash near-dup pairs at Hamming distance ≤ maxHamming.
+    * Candidate generation by fingerprint banding (bands of width
+    * bits/(maxHamming+1)); exact `bit_count(xor)` verification. With
+    * maxHamming+1 bands the banding is LOSSLESS (pigeonhole). */
+  def simhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      maxHamming: Int = 3,
+      bits: Int = 32): DataFrame = {
+    val nBands = maxHamming + 1
+    val bandWidth = bits / nBands
+    val mask = (1L << bandWidth) - 1L
+    val fps = simhashFingerprints(docs, idCol, textCol, n)
+    val banded = fps.select(
+      col(idCol).as("__id"), col("fingerprint"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"),
+          (shiftright(col("fingerprint"), b * bandWidth).bitwiseAND(mask)).as("v"))): _*))
+        .as("__b"))
+      .select(col("__id"), col("fingerprint"), col("__b.band").as("__band"), col("__b.v").as("__v"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.__band") === col("b.__band") && col("a.__v") === col("b.__v") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("ida"), col("b.__id").as("idb"),
+        col("a.fingerprint").as("__fa"), col("b.fingerprint").as("__fb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("__fa").bitwiseXOR(col("__fb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("ida"), col("idb"), col("hamming"))
+  }
+}

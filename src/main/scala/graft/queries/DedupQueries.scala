@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
+
+/** SURVEY.md §2c/§2d — training-data dedup (d1–d5) and similarity search
+  * (s1–s2) over the `documents` / `embeddings` tables.
+  *
+  * Thresholds are data-informed: the synthetic corpus has planted near-dup
+  * pairs at 3-gram Jaccard ≥ 0.9 with background noise < 0.07, so 0.5
+  * separates cleanly; embedding cosine has a clear gap around 0.4
+  * (0.39987 vs 0.40052 at sf0.01). The oracle SQL re-derives every hash
+  * with the same modular arithmetic (see [[graft.functions.TextHash]]).
+  */
+object DedupQueries {
+
+  private val ShingleN     = 3
+  private val JaccardThr   = 0.5
+  private val MinhashK     = 32
+  private val MaxHamming   = 3
+  private val CosThr       = 0.4
+  private val KnnK         = 5
+  private val LshK         = 5
+  private val QueryStride  = 100 // s1/s2 query set: vec_id % stride == 0
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_dedup_exact"     -> ((s, d) => d1(s, d)),
+    "d2_dedup_ngram"     -> ((s, d) => d2(s, d)),
+    "d3_dedup_minhash"   -> ((s, d) => d3(s, d)),
+    "d4_dedup_simhash"   -> ((s, d) => d4(s, d)),
+    "d5_dedup_embedding" -> ((s, d) => d5(s, d)),
+    "s1_knn_bruteforce"  -> ((s, d) => s1(s, d)),
+    "s2_knn_lsh"         -> ((s, d) => s2(s, d))
+  )
+
+  /** d1: exact dedup groups on normalized text (hash-groupBy). */
+  def d1(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** d2: n-gram Jaccard near-dup pairs via shingle posting lists. */
+  def d2(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        ShingleN, JaccardThr)
+      .orderBy(col("ida"), col("idb"))
+
+  /** d3: MinHash+LSH candidates, exact-verified — equals the exact
+    * threshold pair set (same oracle as d2), reached via the near-linear
+    * candidate path instead of the full posting-list join. */
+  def d3(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+        ShingleN, MinhashK, JaccardThr)
+      .orderBy(col("ida"), col("idb"))
+
+  /** d4: SimHash fingerprint pairs at Hamming ≤ 3 (lossless banding). */
+  def d4(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
+        ShingleN, MaxHamming)
+      .orderBy(col("ida"), col("idb"))
+
+  /** d5: embedding-cosine near-dup pairs (exact, norm precomputed). */
+  def d5(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding", CosThr)
+      .orderBy(col("ida"), col("idb"))
+
+  private def queryVecs(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).filter(col("vec_id") % QueryStride === 0)
+
+  /** s1: brute-force cosine top-k (exact ANN baseline). */
+  def s1(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnBruteForce(queryVecs(s, dir), Tables.embeddings(s, dir),
+        "vec_id", "embedding", KnnK)
+      .orderBy(col("query_id"), col("rank"))
+
+  /** s2: random-hyperplane LSH ANN (rows-only check — probabilistic
+    * recall is the operator's contract, not exactness). */
+  def s2(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(queryVecs(s, dir), Tables.embeddings(s, dir),
+        "vec_id", "embedding", LshK)
+      .orderBy(col("query_id"), col("rank"))
+
+  // ---- oracle SQL ---------------------------------------------------------
+
+  private val NormExpr =
+    "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+
+  /** words → distinct 3-gram shingle strings (DuckDB range() end is
+    * exclusive: range(1, len-1) ⇒ i ∈ [1, len-2], matching Spark's
+    * sequence(1, size-2) inclusive). */
+  private val ShingleCtes =
+    s"""w AS (SELECT doc_id, string_split($NormExpr, ' ') AS ws FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+       |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sg FROM w)""".stripMargin
+
+  private val JaccardPairSql =
+    s"""WITH $ShingleCtes,
+       |p AS (SELECT a.doc_id ida, b.doc_id idb,
+       |    len(list_intersect(a.sg, b.sg)) AS common, len(a.sg) na, len(b.sg) nb
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |SELECT ida, idb, common::DOUBLE / (na + nb - common) AS jaccard
+       |FROM p WHERE common::DOUBLE / (na + nb - common) >= $JaccardThr
+       |ORDER BY ida, idb""".stripMargin
+
+  /** char-fold polynomial hash of each shingle — mirrors TextHash. */
+  private val HashCte =
+    """hs AS (SELECT doc_id, list_transform(sg,
+      |    sh -> list_reduce(list_transform(range(1, length(sh) + 1), i -> ascii(sh[i])::BIGINT),
+      |                      (acc, x) -> (acc * 31 + x) % 1000000007)) AS hl FROM sh)""".stripMargin
+
+  private val simhashSums = (0 until 32)
+    .map(j => s"sum(((x >> $j) & 1) * 2 - 1) AS s$j").mkString(", ")
+  private val simhashFp = (0 until 32)
+    .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+
+  private val CosDim = 64
+  private def dotSql(a: String, b: String) =
+    s"list_reduce(list_transform(range(1, ${CosDim + 1}), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE), (x, y) -> x + y)"
+  private val NormCte =
+    s"""n AS (SELECT vec_id, embedding,
+       |    list_reduce(list_transform(range(1, ${CosDim + 1}), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE),
+       |                (x, y) -> x + y) AS n2 FROM embeddings)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "d1_dedup_exact" ->
+      s"""WITH nrm AS (SELECT doc_id, $NormExpr AS norm FROM documents)
+         |SELECT doc_id, min(doc_id) OVER (PARTITION BY norm) AS canonical_id,
+         |  count(*) OVER (PARTITION BY norm) AS group_size
+         |FROM nrm ORDER BY doc_id""".stripMargin,
+
+    "d2_dedup_ngram"   -> JaccardPairSql,
+    "d3_dedup_minhash" -> JaccardPairSql,
+
+    "d4_dedup_simhash" ->
+      s"""WITH $ShingleCtes,
+         |$HashCte,
+         |xs AS (SELECT doc_id, unnest(hl) AS x FROM hs),
+         |sums AS (SELECT doc_id, $simhashSums FROM xs GROUP BY doc_id),
+         |fp AS (SELECT doc_id, ($simhashFp)::BIGINT AS f FROM sums)
+         |SELECT a.doc_id AS ida, b.doc_id AS idb,
+         |  bit_count(xor(a.f, b.f))::BIGINT AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.f, b.f)) <= $MaxHamming
+         |ORDER BY ida, idb""".stripMargin,
+
+    "d5_dedup_embedding" ->
+      s"""WITH $NormCte,
+         |p AS (SELECT a.vec_id ida, b.vec_id idb,
+         |    ${dotSql("a", "b")} / sqrt(a.n2 * b.n2) AS cos
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         |SELECT ida, idb, cos FROM p WHERE cos >= $CosThr
+         |ORDER BY ida, idb""".stripMargin,
+
+    "s1_knn_bruteforce" ->
+      s"""WITH $NormCte,
+         |q AS (SELECT * FROM n WHERE vec_id % $QueryStride = 0),
+         |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${dotSql("q", "c")} / sqrt(q.n2 * c.n2) AS cos
+         |  FROM q JOIN n c ON c.vec_id != q.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS rank FROM p)
+         |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= $KnnK
+         |ORDER BY query_id, rank""".stripMargin
+  )
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "The quick brown fox jumps over the lazy dog"),
+    (2L, "the quick  brown FOX jumps over the lazy dog!"), // exact dup of 1 after normalization
+    (3L, "The quick brown fox jumps over the sleepy dog"), // near-dup of 1 (1 word changed)
+    (4L, "completely different content about spark engines and parquet files"),
+    (5L, "xy") // fewer than 3 words → zero shingles
+  ).toDF("doc_id", "text")
+
+  test("exactGroups maps normalized duplicates to the min canonical id") {
+    val out = Dedup.exactGroups(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == Seq(
+      (1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 1L), (4L, 4L, 1L), (5L, 5L, 1L)))
+  }
+
+  test("shingleDocs emits distinct n-grams, empty below n words") {
+    val sh = Dedup.shingleDocs(docs, "doc_id", "text", 3)
+      .orderBy("doc_id").collect()
+    val byId = sh.map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(byId(1L).head == "the quick brown")
+    assert(byId(1L).size == 7)
+    assert(byId(5L).isEmpty)
+    // repeated trigram appears once
+    val rep = Seq((9L, "a b a b a b a b")).toDF("doc_id", "text")
+    val repSh = Dedup.shingleDocs(rep, "doc_id", "text", 3).collect()(0).getSeq[String](1)
+    assert(repSh.toSet == Set("a b a", "b a b"))
+  }
+
+  test("ngramJaccardPairs finds near-dups above threshold with exact jaccard") {
+    val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      .orderBy("ida", "idb").collect()
+    // docs 1,2 identical (jaccard 1.0); 1-3 and 2-3 share 5 of the 9
+    // distinct shingles in their union (jaccard 5/9); all else below
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    val j = out.map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(math.abs(j((1L, 3L)) - 5.0 / 9.0) < 1e-12)
+  }
+
+  test("maxShingleDf cap drops ubiquitous shingles consistently on both sides") {
+    val corpus = Seq(
+      (1L, "common prefix words alpha beta gamma"),
+      (2L, "common prefix words delta epsilon zeta"),
+      (3L, "common prefix words eta theta iota")
+    ).toDF("doc_id", "text")
+    // "common prefix words" (and the two bridging trigrams per doc) — only
+    // "common prefix words" has df=3; cap at 2 removes it everywhere.
+    val uncapped = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.1, Some(2L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(capped.isEmpty) // the only shared shingle was the capped one
+  }
+
+  test("minhashLshPairs equals the exact ngram pair set after verification") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      .orderBy("ida", "idb").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 32, 0.3)
+      .orderBy("ida", "idb").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical docs collide, near-dups within small hamming") {
+    val fps = Dedup.simhashFingerprints(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(!fps.contains(5L)) // zero shingles → no fingerprint
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", 3, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h == 0L })
+    // banding is lossless: brute-force hamming ≤ 16 pair set must match
+    val brute = for {
+      Seq((a, fa), (b, fb)) <- fps.toSeq.sortBy(_._1).combinations(2).toSeq
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 16
+    } yield (a, b, h.toLong)
+    assert(pairs.sorted == brute.sorted.toList)
+  }
+}

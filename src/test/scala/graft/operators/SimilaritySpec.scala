@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f, 0.0f)),  // close to 1
+    (3L, Array(0.0f, 1.0f, 0.0f)),  // orthogonal to 1
+    (4L, Array(0.0f, 0.9f, 0.1f)),  // close to 3
+    (5L, Array(-1.0f, 0.0f, 0.0f))  // opposite of 1
+  ).toDF("vec_id", "embedding")
+
+  test("cosinePairs returns exactly the ≥ threshold pairs") {
+    val out = Similarity.cosinePairs(vecs, "vec_id", "embedding", 0.9)
+      .orderBy("ida", "idb").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (3L, 4L)))
+    val c12 = out(0).getDouble(2)
+    assert(math.abs(c12 - 0.9 / math.sqrt(0.81 + 0.01)) < 1e-6)
+  }
+
+  test("knnBruteForce ranks by cosine desc, excludes self, ties break by id") {
+    val q = vecs.filter("vec_id = 1")
+    val out = Similarity.knnBruteForce(q, vecs, "vec_id", "embedding", 3)
+      .orderBy("rank").collect()
+    assert(out.map(r => (r.getInt(1), r.getLong(2))).toSeq ==
+      Seq((1, 2L), (2, 3L), (3, 4L)))
+    assert(out.forall(r => r.getLong(0) == 1L))
+    assert(out(0).getDouble(3) > out(1).getDouble(3))
+  }
+
+  test("knnBruteForce caps at k and covers every query") {
+    val q = vecs.filter("vec_id in (1, 3)")
+    val out = Similarity.knnBruteForce(q, vecs, "vec_id", "embedding", 2)
+      .collect()
+    val byQuery = out.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(byQuery == Map(1L -> 2, 3L -> 2))
+  }
+
+  test("lshTopK only pairs within a bucket and never exceeds k") {
+    val dim64 = (id: Long, seed: Int) =>
+      (id, Array.tabulate(64)(d => (((seed * 31 + d * 7) % 13) - 6) / 6.0f))
+    val corpus = (1L to 40L).map(i => dim64(i, i.toInt)).toDF("vec_id", "embedding")
+    val queries = corpus.filter("vec_id % 10 = 0")
+    val out = Similarity.lshTopK(queries, corpus, "vec_id", "embedding", 3)
+      .collect()
+    assert(out.groupBy(_.getLong(0)).values.forall(_.length <= 3))
+    // identical vector always lands in the query's own bucket: a duplicate
+    // of a query vector must be retrievable
+    val dup = corpus.union(Seq(dim64(1000L, 10)).toDF("vec_id", "embedding"))
+    val hit = Similarity.lshTopK(dup.filter("vec_id = 10"), dup, "vec_id", "embedding", 3)
+      .collect().map(_.getLong(2))
+    assert(hit.contains(1000L))
+  }
+}
