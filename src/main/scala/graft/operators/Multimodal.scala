@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextHash
+
+/** Multimodal-column plumbing (SURVEY.md §2f): media payloads travel as
+  * opaque `binary` columns with typed metadata columns beside them; the
+  * decode step is STUBBED deterministically (no image/audio codecs in this
+  * environment) while everything Spark-level — schema, partition sizing,
+  * batch iteration, columnar metadata — is real.
+  *
+  * Scale design: payloads stay opaque end-to-end (never parsed by
+  * Catalyst, never shuffled unless a shuffle is explicitly asked for);
+  * metadata extraction is columnar and map-side only;
+  * `spark.sql.files.maxPartitionBytes` bounds per-task payload memory; the
+  * per-batch decode path is `mapPartitions` over an iterator — constant
+  * memory, no driver collect.
+  */
+object Multimodal {
+
+  /** Derive an opaque binary payload column from a string column (the
+    * environment's stand-in for real media bytes; UTF-8, so SQL engines
+    * agree on every byte). */
+  def withPayload(df: DataFrame, srcCol: String, payloadCol: String = "payload"): DataFrame =
+    df.withColumn(payloadCol, col(srcCol).cast("binary"))
+
+  /** m1: typed metadata from an opaque payload — size, content digest, and
+    * the stub "decode": a deterministic header-derived pseudo format /
+    * width / height (in production this is the codec's header parse; the
+    * arithmetic below is a fixed stand-in so oracles can verify the
+    * plumbing end-to-end).
+    *
+    * `md5` is available in every engine; the digest is folded to a long
+    * with the engine-neutral polynomial hash (TextHash.charPolyHash).
+    */
+  def extractMeta(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val fp = TextHash.charPolyHash(md5(col(payloadCol)))
+    df
+      .withColumn("n_bytes", length(col(payloadCol)).cast("long"))
+      .withColumn("__fp", fp)
+      .withColumn("format",
+        element_at(array(lit("png"), lit("jpeg"), lit("wav")), (col("__fp") % 3 + 1).cast("int")))
+      .withColumn("width",  (lit(16) + col("__fp") % 480).cast("long"))
+      // `div` = integer division (Column./ would be double division)
+      .withColumn("height", expr("cast(16 + (__fp div 480) % 270 as bigint)"))
+      .withColumn("n_pixels", (col("width") * col("height")).cast("long"))
+      .select(col(idCol), col("n_bytes"), col("__fp").as("content_hash"),
+        col("format"), col("width"), col("height"), col("n_pixels"))
+  }
+
+  /** Batch feature extraction over payload bytes: real `mapPartitions`
+    * plumbing (iterator-in/iterator-out, constant memory, no collect) with
+    * a STUB featurizer — byte-histogram moments standing in for a codec +
+    * model forward pass. Output schema: (id, n_bytes, mean_byte, var_byte).
+    *
+    * In production the function body is the only thing that changes
+    * (decode → tensor → features); the batching, schema contract, and
+    * partition behavior are exactly this.
+    */
+  def decodeFeatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("mean_byte", DoubleType, nullable = false),
+      StructField("var_byte", DoubleType, nullable = false)))
+    val input = df.select(col(idCol).cast("long"), col(payloadCol))
+    val rows: Dataset[Row] = input.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val n = bytes.length.toLong
+        var s = 0.0; var s2 = 0.0
+        var i = 0
+        while (i < bytes.length) { val v = (bytes(i) & 0xff).toDouble; s += v; s2 += v * v; i += 1 }
+        val mean = if (n > 0) s / n else 0.0
+        val vb = if (n > 0) s2 / n - mean * mean else 0.0
+        Row(id, n, mean, vb)
+      }
+    }(org.apache.spark.sql.Encoders.row(out))
+    rows.toDF()
+  }
+}

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash._
+
+/** Text-analysis suite for training-data curation (SURVEY.md §2e):
+  * language-ID, quality scoring, token counting, document fingerprinting.
+  *
+  * Everything is columnar `functions._` composition (codegen'd, no UDFs);
+  * per-doc work is embarrassingly parallel — map-side only, no shuffle
+  * except the explicit per-source rollup in [[tokenCounts]].
+  *
+  * Oracle determinism: scores use only +,*,/ on doubles in a fixed order
+  * and explicit modular hashing, so a SQL engine re-derives identical
+  * values (SURVEY.md §4).
+  */
+object TextAnalysis {
+
+  /** Function-word profiles (public linguistic knowledge) used by the
+    * stopword-hit language scorer. Alphabetical language order is the
+    * deterministic argmax tie-break. */
+  val StopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es" -> Seq("el", "los", "las", "y", "un", "una", "es", "por", "como", "pero"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "du", "est", "que", "dans", "pour"))
+
+  private def hitRatio(ws: Column, profile: Seq[String]): Column = {
+    val hits = size(filter(ws, w => w.isInCollection(profile)))
+    when(size(ws) > 0, hits.cast("double") / size(ws).cast("double")).otherwise(lit(0.0))
+  }
+
+  /** t1: language-ID. Scores each doc against every stopword profile
+    * (hits / words) and predicts the argmax, earlier-alphabetical language
+    * winning ties. Output: id, score_<lang>..., pred_lang. */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scored = docs
+      .withColumn("__ws", wordsOf(col(textCol)))
+      .select(col(idCol) +: StopwordProfiles.map { case (lang, prof) =>
+        hitRatio(col("__ws"), prof).as(s"score_$lang") }: _*)
+    // argmax by CASE chain: lang i wins if its score is >= all later ones
+    // (earlier langs already lost when their WHEN fell through)
+    val langs = StopwordProfiles.map(_._1)
+    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last): Column) {
+      case ((lang, i), rest) =>
+        val geAllLater = langs.drop(i + 1)
+          .map(l2 => col(s"score_$lang") >= col(s"score_$l2"))
+          .reduce(_ && _)
+        when(geAllLater, lit(lang)).otherwise(rest)
+    }
+    scored.withColumn("pred_lang", pred)
+  }
+
+  /** t2: document quality scoring. Emits the standard curation ratios —
+    * word count, mean word length, type-token ratio, stopword ratio — and
+    * a composite quality score in [0,1]:
+    * 0.4·min(1, words/50) + 0.3·ttr + 0.3·clamp(stopword presence).
+    * Short docs, low-diversity (boilerplate) docs, and stopword-free
+    * (non-linguistic) docs all lose points. */
+  def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val enProfile = StopwordProfiles.toMap.apply("en")
+    docs
+      .withColumn("__norm", normText(col(textCol)))
+      .withColumn("__ws", split(col("__norm"), " "))
+      .withColumn("n_words", size(col("__ws")).cast("long"))
+      .withColumn("avg_word_len",
+        // single-space normalization ⇒ letters = chars − (words − 1)
+        (length(col("__norm")) - col("n_words") + lit(1)).cast("double") /
+          col("n_words").cast("double"))
+      .withColumn("ttr",
+        size(array_distinct(col("__ws"))).cast("double") / col("n_words").cast("double"))
+      .withColumn("stopword_ratio",
+        size(filter(col("__ws"), w => w.isInCollection(enProfile))).cast("double") /
+          col("n_words").cast("double"))
+      .withColumn("quality_score",
+        least(col("n_words").cast("double") / 50.0, lit(1.0)) * 0.4 +
+          col("ttr") * 0.3 +
+          least(col("stopword_ratio") * 10.0, lit(1.0)) * 0.3)
+      .select(col(idCol), col("n_words"), col("avg_word_len"), col("ttr"),
+        col("stopword_ratio"), col("quality_score"))
+  }
+
+  /** t3: token counting, rolled up per source. `ws_tokens` is the
+    * whitespace tokenization; `bpe_tokens` is the BPE-ish estimate — each
+    * word contributes ceil(len/4) pieces (subword chunking; the classic
+    * ~4-chars-per-token heuristic, computed exactly per word). One shuffle
+    * on the group key with map-side partials. */
+  def tokenCounts(docs: DataFrame, groupCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("__ws", wordsOf(col(textCol)))
+      .withColumn("__wst", size(col("__ws")).cast("long"))
+      .withColumn("__bpe",
+        aggregate(col("__ws"), lit(0L),
+          (acc, w) => acc + ceil(length(w).cast("double") / 4.0).cast("long")))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__wst")).as("ws_tokens"),
+        sum(col("__bpe")).as("bpe_tokens"),
+        (sum(col("__bpe")).cast("double") / sum(col("__wst")).cast("double"))
+          .as("bpe_per_word"))
+
+  /** t4: document fingerprint — the rolling polynomial hash of the
+    * normalized text (explicit modular arithmetic, engine-neutral) — and
+    * the duplicate groups it induces. At corpus scale the fingerprint is
+    * the shuffle key (a long, not the document), which is the point:
+    * dedup shuffles 8-byte keys instead of documents. */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col("fingerprint"))
+    docs
+      .withColumn("fingerprint", charPolyHash(normText(col(textCol))))
+      .select(
+        col(idCol),
+        col("fingerprint"),
+        min(col(idCol)).over(w).as("canonical_id"),
+        count(lit(1)).over(w).as("group_size"))
+  }
+}

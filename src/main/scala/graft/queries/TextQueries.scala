@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Multimodal, TextAnalysis}
+import graft.sources.Tables
+import graft.streaming.EventStream
+
+/** SURVEY.md §2e/§2f — text analysis (t1–t4), multimodal metadata (m1),
+  * and the batch face of the streaming pipeline (st1).
+  *
+  * Every oracle re-derives the exact arithmetic (same double-op order,
+  * same modular hashes) in DuckDB SQL; see SURVEY.md §4 determinism rules.
+  */
+object TextQueries {
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_langid"          -> ((s, d) => t1(s, d)),
+    "t2_quality"         -> ((s, d) => t2(s, d)),
+    "t3_token_count"     -> ((s, d) => t3(s, d)),
+    "t4_fingerprint"     -> ((s, d) => t4(s, d)),
+    "m1_multimodal_meta" -> ((s, d) => m1(s, d)),
+    "st1_stream_window"  -> ((s, d) => st1(s, d))
+  )
+
+  def t1(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  def t2(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.quality(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  def t3(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCounts(Tables.documents(s, dir), "source", "text")
+      .orderBy(col("source"))
+
+  def t4(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprints(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  def m1(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractMeta(
+      Multimodal.withPayload(Tables.documents(s, dir), "text"), "doc_id", "payload")
+      .orderBy(col("doc_id"))
+
+  /** st1: the batch run of the SAME transform the streaming job executes
+    * (graft.streaming.EventStream.windowedAgg) — batch/stream unification
+    * is the operator's contract. */
+  def st1(s: SparkSession, dir: String): DataFrame =
+    EventStream.windowedAgg(Tables.events(s, dir))
+      .orderBy(col("window_start"), col("event_type"))
+
+  // ---- oracle SQL ---------------------------------------------------------
+
+  private val NormExpr =
+    "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+  private val WsCte =
+    s"w AS (SELECT *, string_split($NormExpr, ' ') AS ws FROM documents)"
+
+  private def profSql(words: Seq[String]) = words.map("'" + _ + "'").mkString("[", ", ", "]")
+  private def scoreSql(lang: String, words: Seq[String]) =
+    s"len(list_filter(ws, x -> list_contains(${profSql(words)}, x)))::DOUBLE / len(ws)::DOUBLE AS score_$lang"
+
+  /** CASE chain identical to TextAnalysis.langId's argmax fold. */
+  private val PredSql = {
+    val langs = TextAnalysis.StopwordProfiles.map(_._1)
+    val whens = langs.init.zipWithIndex.map { case (lang, i) =>
+      val cond = langs.drop(i + 1).map(l2 => s"score_$lang >= score_$l2").mkString(" AND ")
+      s"WHEN $cond THEN '$lang'"
+    }
+    s"CASE ${whens.mkString(" ")} ELSE '${langs.last}' END"
+  }
+
+  /** Rolling polynomial hash (acc*31 + ascii) % 1000000007 over `e`.
+    * DuckDB's list_reduce has no seed — it folds from the first element,
+    * which equals the 0-seeded fold since 0*31 + c = c. */
+  private def polyHashSql(e: String) =
+    s"""list_reduce(list_transform(range(1, length($e) + 1), i -> ascii($e[i])::BIGINT),
+       |      (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "t1_langid" -> {
+      val scores = TextAnalysis.StopwordProfiles.map { case (l, p) => scoreSql(l, p) }
+      s"""WITH $WsCte,
+         |s AS (SELECT doc_id, ${scores.mkString(",\n    ")} FROM w)
+         |SELECT doc_id, score_de, score_en, score_es, score_fr,
+         |  $PredSql AS pred_lang
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "t2_quality" -> {
+      val en = profSql(TextAnalysis.StopwordProfiles.toMap.apply("en"))
+      s"""WITH $WsCte,
+         |q AS (SELECT doc_id,
+         |    len(ws)::BIGINT AS n_words,
+         |    (length($NormExpr) - len(ws) + 1)::DOUBLE / len(ws)::DOUBLE AS avg_word_len,
+         |    len(list_distinct(ws))::DOUBLE / len(ws)::DOUBLE AS ttr,
+         |    len(list_filter(ws, x -> list_contains($en, x)))::DOUBLE / len(ws)::DOUBLE AS stopword_ratio
+         |  FROM w)
+         |SELECT doc_id, n_words, avg_word_len, ttr, stopword_ratio,
+         |  least(n_words::DOUBLE / 50.0, 1.0) * 0.4 + ttr * 0.3
+         |    + least(stopword_ratio * 10.0, 1.0) * 0.3 AS quality_score
+         |FROM q ORDER BY doc_id""".stripMargin
+    },
+
+    "t3_token_count" ->
+      s"""WITH $WsCte,
+         |d AS (SELECT source, len(ws)::BIGINT AS wst,
+         |    list_sum(list_transform(ws, x -> ceil(length(x)::DOUBLE / 4.0)::BIGINT))::BIGINT AS bpe
+         |  FROM w)
+         |SELECT source, count(*) AS n_docs, sum(wst)::BIGINT AS ws_tokens,
+         |  sum(bpe)::BIGINT AS bpe_tokens,
+         |  sum(bpe)::DOUBLE / sum(wst)::DOUBLE AS bpe_per_word
+         |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
+    "t4_fingerprint" ->
+      s"""WITH n AS (SELECT doc_id, $NormExpr AS nt FROM documents),
+         |f AS (SELECT doc_id, ${polyHashSql("nt")} AS fingerprint FROM n)
+         |SELECT doc_id, fingerprint,
+         |  min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id,
+         |  count(*) OVER (PARTITION BY fingerprint) AS group_size
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "m1_multimodal_meta" ->
+      s"""WITH h AS (SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+         |    ${polyHashSql("md5(text)")} AS fp FROM documents)
+         |SELECT doc_id, n_bytes, fp AS content_hash,
+         |  (['png', 'jpeg', 'wav'])[(fp % 3 + 1)::INT] AS format,
+         |  (16 + fp % 480)::BIGINT AS width,
+         |  (16 + (fp // 480) % 270)::BIGINT AS height,
+         |  ((16 + fp % 480) * (16 + (fp // 480) % 270))::BIGINT AS n_pixels
+         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "st1_stream_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n_events,
+        |  (sum(value::DECIMAL(14,2)))::DOUBLE AS sum_value,
+        |  max(value) AS max_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin
+  )
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId scores stopword hits and argmaxes with alphabetical tie-break") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and it is happy"),
+      (2L, "der Hund und die Katze sind ein Team"),
+      (3L, "le chat et les souris dans la maison"),
+      (4L, "zzz qqq www") // no stopwords anywhere → all-zero tie → 'de'
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val pred = out.map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(pred == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "de"))
+    // doc 1: hits {the,the,on? no,and,it,is} = the,the,and,it,is → 5 of 10
+    assert(math.abs(out(0).getDouble(2) - 0.5) < 1e-12)
+  }
+
+  test("quality ratios and composite score") {
+    val docs = Seq((1L, "the the the the"), (2L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.quality(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getLong(1) == 4L)             // n_words
+    assert(r1.getDouble(2) == 3.0)          // avg word len
+    assert(r1.getDouble(3) == 0.25)         // ttr: 1 distinct / 4
+    assert(r1.getDouble(4) == 1.0)          // all stopwords
+    // 0.4·min(1,4/50) + 0.3·0.25 + 0.3·min(1,10·1.0) = 0.032+0.075+0.3
+    assert(math.abs(r1.getDouble(5) - 0.407) < 1e-12)
+    val r2 = out(1)
+    assert(r2.getDouble(3) == 1.0 && r2.getDouble(4) == 0.0)
+  }
+
+  test("tokenCounts: whitespace and ceil(len/4) BPE-ish per-source rollup") {
+    val docs = Seq(
+      (1L, "abcd efghi x", "s1"),     // ws=3; bpe = 1+2+1 = 4
+      (2L, "abcdefgh", "s1"),         // ws=1; bpe = 2
+      (3L, "a bb ccc dddd", "s2")     // ws=4; bpe = 1+1+1+1 = 4
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.tokenCounts(docs, "source", "text")
+      .orderBy("source").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq(("s1", 2L, 4L, 6L), ("s2", 1L, 4L, 4L)))
+    assert(out(0).getDouble(4) == 1.5)
+  }
+
+  test("fingerprints group exact normalized duplicates") {
+    val docs = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello  world"),   // same normalized text
+      (3L, "goodbye world")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.fingerprints(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == out(1).getLong(1))
+    assert(out(0).getLong(1) != out(2).getLong(1))
+    assert(out.map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 1L)))
+    // known value: "ab" → (0·31+97)·31 + 98 = 3105
+    val ab = TextAnalysis.fingerprints(Seq((9L, "ab")).toDF("doc_id", "text"),
+      "doc_id", "text").collect()(0).getLong(1)
+    assert(ab == 3105L)
+  }
+}

@@ -1,0 +1,33 @@
+package graft.streaming
+
+import graft.SparkSpec
+
+/** Batch/stream unification check: the streaming run of windowedAgg over
+  * the events parquet (file source, memory sink) must produce exactly the
+  * batch run's result. */
+class EventStreamSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streaming windowedAgg equals the batch run on the same input") {
+    val batch = EventStream.windowedAgg(graft.sources.Tables.events(spark, dir))
+      .orderBy("window_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+
+    // the file stream source requires a directory; stage the single
+    // parquet file into one (testdata itself is read-only)
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"))
+
+    val q = EventStream.start(spark, stage.toString, "st1_sink")
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("st1_sink")
+      .orderBy("window_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+}
