@@ -39,6 +39,12 @@ object TextHash {
     * `list_reduce(list_transform(range(1,length+1), i -> ascii(s[i])::BIGINT),
     *              (acc,x) -> (acc*31+x) % 1000000007)`. */
   def charPolyHash(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.PolyHash(org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+
+  /** Higher-order-function reference formulation of [[charPolyHash]]
+    * (engine-neutral; the native path must match it bit-for-bit). */
+  def charPolyHashHof(c: Column): Column =
     when(length(c) === 0, lit(0L)).otherwise(
       aggregate(
         transform(sequence(lit(1), length(c)),
@@ -46,7 +52,17 @@ object TextHash {
         lit(0L),
         (acc, x) => (acc * CharBase + x) % Mod))
 
-  /** Distinct word n-gram shingles from a (pre-materialized) words array.
+  /** Distinct word n-gram shingles straight from the raw text — native
+    * one-pass [[graft.plans.WordShingles]] (normalize → split → n-grams →
+    * distinct). Value-identical to `shinglesFromWords(wordsOf(c), n)`, and
+    * being one opaque expression it cannot be exploded into per-element
+    * re-normalization by projection collapse. */
+  def shingleSet(c: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.WordShingles(org.apache.spark.sql.graft.ColumnBridge.expression(c), n))
+
+  /** Distinct word n-gram shingles from a (pre-materialized) words array
+    * (HOF reference formulation of [[shingleSet]]).
     * 1-based positions; empty array when the doc has fewer than n words. */
   def shinglesFromWords(ws: Column, n: Int): Column =
     when(size(ws) >= n,
@@ -60,14 +76,32 @@ object TextHash {
     * collision therefore only ever affects candidate generation — exact
     * verification always re-checks on the strings themselves. */
   def shingleHashes(shArr: Column): Column =
-    transform(shArr, sh => charPolyHash(sh))
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.PolyHashArray(org.apache.spark.sql.graft.ColumnBridge.expression(shArr)))
 
   /** MinHash signature: k permutations h_i(x) = ((2i+3)·x + (5i+7)) % Mod,
     * signature[i] = min over the doc's shingle hashes. The affine constants
     * are tied to i so SQL oracles can re-derive them without literal
-    * tables. */
+    * tables. Computed by the native one-pass [[graft.plans.MinHashSignature]]. */
   def minhashSig(hashArr: Column, k: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.MinHashSignature(
+        org.apache.spark.sql.graft.ColumnBridge.expression(hashArr), k))
+
+  /** Higher-order-function reference formulation of [[minhashSig]]
+    * (engine-neutral; the native path must match it value-for-value). */
+  def minhashSigHof(hashArr: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
       i => array_min(transform(hashArr,
         x => ((i.cast("long") * 2L + 3L) * x + (i.cast("long") * 5L + 7L)) % Mod)))
+
+  /** Wide-space (55-bit prime) polynomial hash for collision-sensitive
+    * JOIN KEYS — shuffling 8-byte longs instead of shingle strings. Not
+    * oracle-visible: results derived from it (candidate sets, match
+    * counts) are identical to string-keyed joins up to a ~1e-8 birthday
+    * bound (see graft.plans.GraftExpressions.WideMod). */
+  def wideHash(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.PolyHash(org.apache.spark.sql.graft.ColumnBridge.expression(c),
+        graft.plans.GraftExpressions.WideBase, graft.plans.GraftExpressions.WideMod))
 }

@@ -14,8 +14,19 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Dot product in double precision, sequential left fold. */
+  /** Dot product in double precision, sequential left-to-right sum —
+    * computed by the native codegen'd expression
+    * [[graft.plans.FloatDotProduct]] (no per-pair array allocation).
+    * Bit-identical to [[dotHof]], the declarative reference formulation. */
   def dotD(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.FloatDotProduct(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+
+  /** Higher-order-function dot product (the engine-neutral reference the
+    * oracles mirror; [[dotD]] must stay bit-identical to it). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

@@ -44,8 +44,7 @@ object Dedup {
     * near-dup operators). Output: idCol, sg (array<string>), n_sh. */
   def shingleDocs(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs
-      .withColumn("__ws", wordsOf(col(textCol)))
-      .withColumn("sg", shinglesFromWords(col("__ws"), n))
+      .withColumn("sg", shingleSet(col(textCol), n))
       .select(col(idCol), col("sg"), size(col("sg")).as("n_sh"))
 
   /** d2: n-gram Jaccard near-dup pairs via posting lists.
@@ -63,7 +62,11 @@ object Dedup {
       threshold: Double,
       maxShingleDf: Option[Long] = None): DataFrame = {
     val sh = shingleDocs(docs, idCol, textCol, n)
-    val posting0 = sh.select(col(idCol).as("__id"), explode(col("sg")).as("__sh"))
+    // posting lists keyed by the 55-bit shingle hash: the self-join
+    // shuffles and sorts 8-byte longs instead of shingle strings
+    // (collision odds ~1e-8 — see TextHash.wideHash)
+    val posting0 = sh.select(col(idCol).as("__id"), explode(col("sg")).as("__shs"))
+      .select(col("__id"), wideHash(col("__shs")).as("__sh"))
     val posting = maxShingleDf match {
       case Some(cap) =>
         val keep = posting0.groupBy("__sh").agg(count(lit(1)).as("__df"))
@@ -91,28 +94,40 @@ object Dedup {
 
   /** d3: MinHash + LSH candidates, exact-Jaccard verified.
     *
-    * bandRows = 1 (bucket on each of the k signature values independently):
-    * a pair is a candidate iff ANY of the k minhashes collide, so the miss
-    * probability for similarity s is (1-s)^k — negligible at the
-    * thresholds this operator targets. Verification recomputes Jaccard on
-    * the shingle STRINGS, so the output is exactly the ≥ threshold pair
-    * set. */
+    * Banded signature: k = bands·bandRows minhashes; a pair is a candidate
+    * iff some band's bandRows values ALL collide. Candidate probability at
+    * similarity s is 1-(1-s^r)^b — the classic S-curve. Defaults (b=24,
+    * r=3): a true pair at s=0.8 is missed with p=(1-0.512)^24 ≈ 3e-8,
+    * while background pairs at s≈0.05 survive with p ≈ 3e-3 — the
+    * candidate set is near-linear in corpus size instead of O(n²).
+    * Verification recomputes Jaccard on the shingle STRINGS, so the output
+    * is exactly the ≥ threshold pair set (minus the negligible LSH miss).
+    *
+    * bandRows=1 degrades to any-single-collision banding — maximal recall
+    * but at word-salad similarity levels the candidate set approaches all
+    * pairs; r≥2 is what makes LSH near-linear (SURVEY.md §5). */
   def minhashLshPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       n: Int,
-      k: Int,
+      bands: Int,
+      bandRows: Int,
       threshold: Double): DataFrame = {
+    val k = bands * bandRows
     val sh = shingleDocs(docs, idCol, textCol, n)
+    // band key = the band's r consecutive signature values (1-based slice)
+    val bandStructs = array((0 until bands).map { b =>
+      struct(lit(b).as("band") +:
+        (0 until bandRows).map(r => element_at(col("__sig"), b * bandRows + r + 1).as(s"v$r")): _*)
+    }: _*)
     val sigs = sh
       .filter(col("n_sh") > 0)
       .withColumn("__sig", minhashSig(shingleHashes(col("sg")), k))
-      .select(col(idCol).as("__id"), posexplode(col("__sig")).as(Seq("__band", "__v")))
+      .select(col(idCol).as("__id"), explode(bandStructs).as("__bk"))
     val cands = sigs.as("a")
       .join(sigs.as("b"),
-        col("a.__band") === col("b.__band") && col("a.__v") === col("b.__v") &&
-          col("a.__id") < col("b.__id"))
+        col("a.__bk") === col("b.__bk") && col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("ida"), col("b.__id").as("idb"))
       .distinct()
     val withSets = cands

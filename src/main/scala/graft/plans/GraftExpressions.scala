@@ -1,0 +1,287 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for graft's hot paths (SURVEY.md §5).
+  *
+  * The higher-order-function formulations in graft.functions are the
+  * semantic reference (and stay engine-neutral for the oracles); these
+  * expressions compute the IDENTICAL values — same operation order, same
+  * modular arithmetic — as tight codegen'd loops: no per-row array
+  * allocation, no boxing, inside WholeStageCodegen. At sf0.1 they cut the
+  * vector/hash-bound queries ~10-50×.
+  */
+object GraftExpressions {
+  /** Modulus/base shared with graft.functions.TextHash. */
+  val Mod: Long = 1000000007L
+  val CharBase: Long = 31L
+
+  /** Wide-space variant for collision-sensitive join keys: largest prime
+    * below 2^55 (birthday-collision odds for a 30k-key set ≈ 1e-8, vs 40%
+    * at 1e9+7). acc·131 + 255 stays < 2^63 — ANSI-overflow safe. */
+  val WideMod: Long = 36028797018963913L
+  val WideBase: Long = 131L
+}
+
+/** Dot product of two float/double arrays in double precision, summed
+  * left-to-right (bit-identical to the sequential fold in
+  * graft.functions.VectorFunctions.dotD and to a SQL list_reduce).
+  * Mismatched lengths use the common prefix; null elements are not
+  * supported (embedding columns carry none — enforced upstream). */
+case class FloatDotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  private def elemOk(t: DataType) = t == FloatType || t == DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(lt, _), ArrayType(rt, _)) if elemOk(lt) && elemOk(rt) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs two array<float|double> args, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  private def elemType(e: Expression) = e.dataType.asInstanceOf[ArrayType].elementType
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val la = elemType(left) == FloatType; val lb = elemType(right) == FloatType
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (la) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (lb) b.getFloat(i).toDouble else b.getDouble(i)
+      s += x * y
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    def get(e: Expression, arr: String, i: String) =
+      if (elemType(e) == FloatType) s"(double)$arr.getFloat($i)" else s"$arr.getDouble($i)"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ${get(left, a, i)} * ${get(right, b, i)};
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Polynomial rolling hash over a string's bytes:
+  * fold acc = (acc*31 + byte) % 1000000007, seed 0.
+  * Byte-identical to graft.functions.TextHash.charPolyHash for ASCII input
+  * (all graft normalization output is ASCII); the tight byte loop replaces
+  * one sequence+transform+substr allocation chain PER ROW. */
+case class PolyHash(
+    child: Expression,
+    base: Long = GraftExpressions.CharBase,
+    mod: Long = GraftExpressions.Mod) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_poly_hash"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName needs string, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    PolyHash.hashBytes(input.asInstanceOf[UTF8String].getBytes, base, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.PolyHash.hashBytes($c.getBytes(), ${base}L, ${mod}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PolyHash {
+  /** Shared by interpreted eval and generated code. */
+  def hashBytes(bytes: Array[Byte], base: Long, mod: Long): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < bytes.length) {
+      acc = (acc * base + (bytes(i) & 0xff)) % mod
+      i += 1
+    }
+    acc
+  }
+}
+
+/** [[PolyHash]] mapped over an array<string> in one expression — hashes a
+  * document's whole shingle array without lambda-function plumbing. Null
+  * elements map to null. */
+case class PolyHashArray(
+    child: Expression,
+    base: Long = GraftExpressions.CharBase,
+    mod: Long = GraftExpressions.Mod) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(LongType, child.dataType.asInstanceOf[ArrayType].containsNull)
+  override def prettyName: String = "graft_poly_hash_array"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName needs array<string>, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val out = new Array[Any](arr.numElements())
+    var i = 0
+    while (i < out.length) {
+      if (!arr.isNullAt(i)) out(i) = PolyHash.hashBytes(arr.getUTF8String(i).getBytes, base, mod)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val vals = ctx.freshName("vals")
+      s"""
+         |int $n = $c.numElements();
+         |Object[] $vals = new Object[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$c.isNullAt($i)) {
+         |    $vals[$i] = graft.plans.PolyHash.hashBytes($c.getUTF8String($i).getBytes(), ${base}L, ${mod}L);
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($vals);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Normalize + tokenize + distinct word-n-gram shingles in ONE expression:
+  * lower → collapse non-alphanumeric runs to single spaces → trim → split
+  * → n-grams joined by spaces → distinct (first-occurrence order).
+  * Value-identical to the graft.functions.TextHash HOF chain
+  * (normText/wordsOf/shinglesFromWords) and to the SQL-oracle derivation.
+  *
+  * Being ONE opaque expression also stops projection collapse from
+  * inlining the normalize/split chain into every element access after an
+  * explode — the pathology that made posting-list generation O(shingles ×
+  * splits) instead of O(docs). */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName needs string, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordShingles.shingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.WordShingles.shingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  private val NonAlnum = java.util.regex.Pattern.compile("[^a-z0-9]+")
+
+  def shingles(text: UTF8String, n: Int): GenericArrayData = {
+    // same semantics as lower → regexp_replace('[^a-z0-9]+', ' ') → trim
+    val norm = NonAlnum.matcher(text.toString.toLowerCase(java.util.Locale.ROOT))
+      .replaceAll(" ").trim
+    val words = norm.split(" ", -1)
+    if (words.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= words.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** MinHash signature in one pass: for each of k affine permutations
+  * h_i(x) = ((2i+3)·x + (5i+7)) % 1000000007, the minimum over the input
+  * hash array. Value-identical to graft.functions.TextHash.minhashSigHof
+  * (which allocates k transformed arrays per row; this computes the k
+  * running minima in a single scan — the d3 signature stage drops from
+  * dominant cost to noise). Empty input → array of nulls (as array_min
+  * over an empty transform yields null per band). */
+case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_minhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName needs array<bigint>, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    MinHashSignature.signature(arr.toLongArray(), k)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.MinHashSignature.signature($c.toLongArray(), $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSignature {
+  def signature(xs: Array[Long], k: Int): GenericArrayData = {
+    val out = new Array[Any](k)
+    if (xs.length > 0) {
+      var i = 0
+      while (i < k) {
+        val a = i.toLong * 2L + 3L; val b = i.toLong * 5L + 7L
+        var mn = Long.MaxValue
+        var j = 0
+        while (j < xs.length) {
+          val v = (a * xs(j) + b) % GraftExpressions.Mod
+          if (v < mn) mn = v
+          j += 1
+        }
+        out(i) = mn
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+}

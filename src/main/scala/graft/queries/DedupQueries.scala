@@ -19,7 +19,8 @@ object DedupQueries {
 
   private val ShingleN     = 3
   private val JaccardThr   = 0.5
-  private val MinhashK     = 32
+  private val MinhashBands = 24
+  private val MinhashRows  = 3 // planted pairs sit at s ≥ 0.8: miss ≈ (1-0.8³)^24 ≈ 3e-8
   private val MaxHamming   = 3
   private val CosThr       = 0.4
   private val KnnK         = 5
@@ -52,7 +53,7 @@ object DedupQueries {
     * candidate path instead of the full posting-list join. */
   def d3(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
-        ShingleN, MinhashK, JaccardThr)
+        ShingleN, MinhashBands, MinhashRows, JaccardThr)
       .orderBy(col("ida"), col("idb"))
 
   /** d4: SimHash fingerprint pairs at Hamming ≤ 3 (lossless banding). */

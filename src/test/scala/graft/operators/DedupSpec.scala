@@ -65,7 +65,7 @@ class DedupSpec extends SparkSpec {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3)
       .orderBy("ida", "idb").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
-    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 32, 0.3)
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 24, 3, 0.3)
       .orderBy("ida", "idb").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(lsh == exact)
