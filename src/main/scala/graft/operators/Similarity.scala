@@ -56,7 +56,10 @@ object Similarity {
       norm2(col(vecCol)).as("__cn2"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    q.join(c, col("query_id") =!= col("neighbor_id"))
+    // broadcast the QUERY side explicitly: statistics would otherwise pick
+    // the corpus (estimated from the unfiltered file) as build side, which
+    // cannot broadcast at corpus scale
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineFromNorms(dotD(col("__qv"), col("__cv")), col("__qn2"), col("__cn2")).as("cos"))
       .withColumn("rank", row_number().over(w))
@@ -70,32 +73,58 @@ object Similarity {
   private def planeCoef(p: Int, d: Int): Double =
     (((p * 2 + 3) * (d + 1) * 7919 + p * 104729 + 13) % 1009 - 504).toDouble
 
-  /** s2: random-hyperplane LSH ANN. Every vector hashes to a bucket =
-    * sign-bit pattern over `nPlanes` hyperplanes; exact cosine rerank
-    * within the probed bucket only. */
+  /** s2: multi-table, multi-probe random-hyperplane LSH ANN. Each of
+    * `nTables` tables hashes every vector to a bucket = sign-bit pattern
+    * over `nPlanes` hyperplanes. A query probes its own bucket PLUS every
+    * bucket at Hamming distance 1 (multi-probe: the query side is small,
+    * so extra probes are nearly free while recall rises steeply);
+    * candidates are the deduplicated union over tables and probes,
+    * reranked by exact cosine.
+    *
+    * Recall dial: P(candidate) per table = P(Hamming(sig_q, sig_c) ≤ 1)
+    * = p^n + n·p^(n-1)(1-p) with p = 1-θ/π; across tables
+    * 1-(1-per_table)^nTables.
+    *
+    * Scale: the only shuffle keys on (table, bucket); corpus rows fan out
+    * nTables-fold (queries (nPlanes+1)·nTables-fold — fine, the query set
+    * is small); rerank is per-bucket local. Bucket skew (dense regions) is
+    * handled by AQE skew-join at cluster scale. */
   def lshTopK(
       queries: DataFrame,
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
-      nPlanes: Int = 12): DataFrame = {
-    def bucket(vec: org.apache.spark.sql.Column) =
+      nPlanes: Int = 8,
+      nTables: Int = 6): DataFrame = {
+    def sig(vec: org.apache.spark.sql.Column, t: Int) =
       (0 until nPlanes).map { p =>
-        val plane = array((0 until 64).map(d => lit(planeCoef(p, d))): _*)
+        val plane = array((0 until 64).map(d => lit(planeCoef(t * nPlanes + p, d))): _*)
         when(dotD(vec, plane) > 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
+    // corpus: one (table, bucket) entry per table
+    def buckets(vec: org.apache.spark.sql.Column) = array((0 until nTables).map { t =>
+      struct(lit(t).as("t"), sig(vec, t).as("b"))
+    }: _*)
+    // query: own bucket + every 1-bit-flip bucket per table
+    def probes(vec: org.apache.spark.sql.Column) = array((0 until nTables).flatMap { t =>
+      val s = sig(vec, t)
+      struct(lit(t).as("t"), s.as("b")) +:
+        (0 until nPlanes).map(p => struct(lit(t).as("t"), s.bitwiseXOR(lit(1L << p)).as("b")))
+    }: _*)
 
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-      norm2(col(vecCol)).as("__qn2"), bucket(col(vecCol)).as("__bucket"))
+      norm2(col(vecCol)).as("__qn2"), explode(probes(col(vecCol))).as("__tb"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      norm2(col(vecCol)).as("__cn2"), bucket(col(vecCol)).as("__bucket"))
+      norm2(col(vecCol)).as("__cn2"), explode(buckets(col(vecCol))).as("__tb"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    q.join(c, Seq("__bucket"))
+    q.join(c, Seq("__tb"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      // a pair found in several tables is still ONE candidate
       .select(col("query_id"), col("neighbor_id"),
         cosineFromNorms(dotD(col("__qv"), col("__cv")), col("__qn2"), col("__cn2")).as("cos"))
+      .distinct()
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))

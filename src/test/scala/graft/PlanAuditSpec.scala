@@ -1,0 +1,54 @@
+package graft
+
+/** Executable plan audits (SURVEY.md §5): the physical-plan properties the
+  * 100 TB design depends on, asserted so regressions fail the build —
+  * pushdown reaching the parquet scan, column pruning, broadcast sides,
+  * shuffle counts.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q1: shipdate filter and 7-column projection push to the parquet scan") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("LessThanOrEqual(l_shipdate"))
+    assert(p.contains("ReadSchema: struct<l_quantity"))
+    assert(!p.contains("l_orderkey")) // untouched columns never read
+    assert(!p.contains("l_comment"))
+  }
+
+  test("q10 star join: every dimension broadcasts, fact is never shuffled pre-agg") {
+    val p = plan("q10_star_join")
+    assert(p.split("BroadcastHashJoin").length - 1 == 3)
+    assert(!p.contains("SortMergeJoin"))
+    // the only exchanges: the aggregate's own shuffle + final ordering
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1)
+  }
+
+  test("s1 knn: the query set is the broadcast build side, not the corpus") {
+    val p = plan("s1_knn_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin BuildLeft"))
+    // partial top-k runs before the shuffle (WindowGroupLimit pushdown)
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("q13 sessionize: one shuffle on the session key, windows run within it") {
+    val p = plan("q13_sessionize")
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1)
+  }
+
+  test("q14 as-of join: union+window formulation shuffles each side once") {
+    val p = plan("q14_asof_join")
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("d2 posting join: keys are 8-byte hashes, not shingle strings") {
+    val p = plan("d2_dedup_ngram")
+    assert(p.contains("graft_poly_hash"))
+    assert(p.contains("graft_shingles"))
+  }
+}

@@ -40,6 +40,21 @@ class SimilaritySpec extends SparkSpec {
     assert(byQuery == Map(1L -> 2, 3L -> 2))
   }
 
+  test("lshTopK recall vs brute force on real embeddings (worst-case data)") {
+    // uniform-random vectors are LSH's hardest case (all neighbors at
+    // 60-70°); deterministic planes make this exact, not flaky
+    val dir = "/root/testdata/sf0.01"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.filter("vec_id % 100 = 0")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Similarity.knnBruteForce(q, emb, "vec_id", "embedding", 5))
+    val got = pairs(Similarity.lshTopK(q, emb, "vec_id", "embedding", 5))
+    val recall = (truth & got).size.toDouble / truth.size
+    assert(recall >= 0.4, s"LSH recall $recall below floor")
+  }
+
   test("lshTopK only pairs within a bucket and never exceeds k") {
     val dim64 = (id: Long, seed: Int) =>
       (id, Array.tabulate(64)(d => (((seed * 31 + d * 7) % 13) - 6) / 6.0f))
