@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+/** Stateful streaming sessionization (SURVEY.md §2f supporting component):
+  * the incremental, unbounded-stream counterpart of the batch
+  * [[graft.operators.Sessionize]] operator, built on
+  * `KeyValueGroupedDataset.flatMapGroupsWithState`.
+  *
+  * Semantics match the batch operator: events of one key are split into
+  * sessions wherever the inter-event gap EXCEEDS `gapSeconds` (strict >,
+  * microsecond arithmetic). A session closes when a later event arrives
+  * past the gap, or when the event-time watermark passes its expiry
+  * (EventTimeTimeout) — so state is bounded: one open session per active
+  * key, closed sessions are emitted and dropped.
+  *
+  * Scale: state lives in the state store partitioned by key (the one
+  * shuffle); per-key state is O(1) regardless of history length — this is
+  * the 100 TB-stream answer to the batch operator's
+  * partitionBy(key)+window formulation.
+  */
+object SessionStream {
+
+  case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  /** Exact microsecond epoch of a Timestamp (getTime is ms-truncated;
+    * the sub-ms part lives in getNanos). */
+  def tsUs(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  case class OpenSession(startUs: Long, lastUs: Long, nEvents: Long, sumValue: Double)
+  case class Session(
+      user_id: Long,
+      session_start_us: Long,
+      session_end_us: Long,
+      n_events: Long,
+      sum_value: Double)
+
+  /** Fold a key's new (unordered) micro-batch events into the open-session
+    * state; emit every session closed by a gap. On event-time timeout the
+    * open session is flushed. */
+  def updateKey(
+      userId: Long,
+      rows: Iterator[Event],
+      state: GroupState[OpenSession],
+      gapSeconds: Long): Iterator[Session] = {
+    val gapUs = gapSeconds * 1000000L
+    if (!rows.hasNext) {
+      // timeout path: watermark passed the open session's expiry → flush
+      val out = state.getOption.map(s =>
+        Session(userId, s.startUs, s.lastUs, s.nEvents, s.sumValue)).toList
+      state.remove()
+      return out.iterator
+    }
+    val sorted = rows.toArray.sortBy(e => tsUs(e.ts))
+    val closed = List.newBuilder[Session]
+    var open = state.getOption
+    sorted.foreach { e =>
+      val us = tsUs(e.ts)
+      open match {
+        case Some(s) if us - s.lastUs <= gapUs =>
+          open = Some(OpenSession(s.startUs, math.max(s.lastUs, us),
+            s.nEvents + 1, s.sumValue + e.value))
+        case Some(s) =>
+          closed += Session(userId, s.startUs, s.lastUs, s.nEvents, s.sumValue)
+          open = Some(OpenSession(us, us, 1L, e.value))
+        case None =>
+          open = Some(OpenSession(us, us, 1L, e.value))
+      }
+    }
+    open.foreach { s =>
+      state.update(s)
+      // close when the watermark passes last-event + gap
+      if (state.getCurrentWatermarkMs() >= 0)
+        state.setTimeoutTimestamp(s.lastUs / 1000L + gapSeconds * 1000L + 1L)
+    }
+    closed.result().iterator
+  }
+
+  /** Sessionize a (streaming or batch) typed event Dataset. */
+  def sessionize(events: Dataset[Event], gapSeconds: Long): Dataset[Session] = {
+    implicit val se: org.apache.spark.sql.Encoder[OpenSession] = Encoders.product[OpenSession]
+    implicit val so: org.apache.spark.sql.Encoder[Session] = Encoders.product[Session]
+    implicit val sl: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (k: Long, rows: Iterator[Event], st: GroupState[OpenSession]) =>
+          updateKey(k, rows, st, gapSeconds))
+  }
+
+  /** Streaming pipeline over an events parquet directory into a memory
+    * sink: file source → watermark → stateful sessionize → append. */
+  def start(spark: SparkSession, dir: String, sinkTable: String, gapSeconds: Long): StreamingQuery = {
+    import spark.implicits._
+    val typed = EventStream.readEvents(spark, dir)
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[Event]
+    sessionize(typed, gapSeconds)
+      .writeStream
+      .format("memory")
+      .queryName(sinkTable)
+      .outputMode("append")
+      .start()
+  }
+}

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The stateful streaming sessionizer must agree with the batch window
+  * formulation (graft.operators.Sessionize) on every session the watermark
+  * has closed. */
+class SessionStreamSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val gap = 3600L
+
+  test("streamed closed sessions equal the batch operator's closed set") {
+    val events = graft.sources.Tables.events(spark, dir)
+    val maxTsUs = events.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+
+    // batch truth: sessions whose expiry the final watermark passed
+    val batch = graft.operators.Sessionize
+      .sessions(events, "user_id", "ts", "event_id", gap, "value")
+      .select(col("id"), unix_micros(col("session_start")).as("s"),
+        unix_micros(col("session_end")).as("e"), col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter { case (_, _, e, _) => e + gap * 1000000L + 1000L <= maxTsUs }
+      .toSet
+
+    val stage = java.nio.file.Files.createTempDirectory("graft_sess_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"))
+    val q = SessionStream.start(spark, stage.toString, "sess_sink", gap)
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("sess_sink")
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    assert(streamed.nonEmpty)
+    assert(batch.subsetOf(streamed))
+    // streamed may additionally contain timeout-flushed sessions right at
+    // the watermark boundary; it must never contain a session batch lacks
+    val batchAll = graft.operators.Sessionize
+      .sessions(events, "user_id", "ts", "event_id", gap, "value")
+      .select(col("id"), unix_micros(col("session_start")).as("s"),
+        unix_micros(col("session_end")).as("e"), col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamed.subsetOf(batchAll))
+  }
+}
