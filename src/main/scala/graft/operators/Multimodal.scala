@@ -51,6 +51,43 @@ object Multimodal {
         col("format"), col("width"), col("height"), col("n_pixels"))
   }
 
+  /** Frame sampling over an opaque media payload: every `stride`-th
+    * fixed-size chunk becomes one output row (id, frame_idx, frame_bytes).
+    * The chunking is the STUB for codec-aware frame extraction; the
+    * fan-out plumbing is real — one input row yields many output rows via
+    * an iterator flatMap, so memory stays bounded by one payload
+    * regardless of frame count (no collect, no array materialization of
+    * all frames at once).
+    *
+    * Scale: map-side only; downstream per-frame work (decode, embed)
+    * repartitions on (id, frame_idx) if it needs balancing.
+    */
+  def frameSample(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      frameBytes: Int,
+      stride: Int): DataFrame = {
+    val out = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("frame_bytes", BinaryType, nullable = false)))
+    val input = df.select(col(idCol).cast("long"), col(payloadCol))
+    val rows: Dataset[Row] = input.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val nFrames = (bytes.length + frameBytes - 1) / frameBytes
+        (0 until nFrames by stride).iterator.map { f =>
+          val from = f * frameBytes
+          val until = math.min(from + frameBytes, bytes.length)
+          Row(id, f.toLong, java.util.Arrays.copyOfRange(bytes, from, until))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(out))
+    rows.toDF()
+  }
+
   /** Batch feature extraction over payload bytes: real `mapPartitions`
     * plumbing (iterator-in/iterator-out, constant memory, no collect) with
     * a STUB featurizer — byte-histogram moments standing in for a codec +

@@ -27,6 +27,23 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("frameSample chunks payloads with stride, bounded last frame") {
+    val media = Seq((1L, "abcdefghij"), (2L, "xyz"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = Multimodal.frameSample(
+      Multimodal.withPayload(media, "text"), "doc_id", "payload",
+      frameBytes = 4, stride = 2)
+      .orderBy("id", "frame_idx").collect()
+    // doc 1: frames 0..2 (4+4+2 bytes), stride 2 → idx 0 and 2
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.map(_.getLong(1)).toSeq == Seq(0L, 2L))
+    assert(new String(d1(0).getAs[Array[Byte]](2)) == "abcd")
+    assert(new String(d1(1).getAs[Array[Byte]](2)) == "ij")
+    // doc 2: one partial frame; doc 3: empty payload → no frames
+    assert(out.count(_.getLong(0) == 2L) == 1)
+    assert(!out.exists(_.getLong(0) == 3L))
+  }
+
   test("decodeFeatures computes byte statistics per row via mapPartitions") {
     val out = Multimodal.decodeFeatures(
       Multimodal.withPayload(docs, "text"), "doc_id", "payload")

@@ -1,0 +1,52 @@
+package graft.sources
+
+import java.nio.file.Files
+import graft.SparkSpec
+import graft.operators.MetricsIngest
+
+/** Raw-drop ingest formats (the reference's CSV/JSON surfaces). */
+class SourcesSpec extends SparkSpec {
+
+  test("csv ingest reads a headered file") {
+    val dir = Files.createTempDirectory("graft_csv")
+    Files.writeString(dir.resolve("t.csv"),
+      "id,status\n1,DONE\n2,OPEN\n")
+    val df = Tables.csv(spark, dir.toString)
+    assert(df.columns.toSeq == Seq("id", "status"))
+    assert(df.count() == 2)
+  }
+
+  test("jsonDrop + MetricsIngest reproduce the bonus-pipeline semantics") {
+    // two CloudWatch GetMetricData-shaped payload files, like the drops
+    // the reference's stg script downloads (one JSON object per file)
+    val dir = Files.createTempDirectory("graft_json")
+    Files.writeString(dir.resolve("a.json"),
+      """{"MetricDataResults": [
+        |  {"Id": "m1", "Timestamps": ["2024-01-02T00:00:00", "2024-01-01T00:00:00"],
+        |   "Values": [60000.0, 120000.0]},
+        |  {"Id": "m2", "Timestamps": ["2024-01-01T06:00:00"], "Values": [30000.0]}
+        |], "Messages": ["b-msg", "a-msg"]}""".stripMargin)
+    Files.writeString(dir.resolve("b.json"),
+      """{"MetricDataResults": [
+        |  {"Id": "m1", "Timestamps": ["2024-01-03T00:00:00"], "Values": [180000.0]}
+        |], "Messages": ["a-msg"]}""".stripMargin)
+
+    val raw = Tables.jsonDrop(spark, dir.toString + "/*.json")
+    assert(raw.count() == 2)
+
+    val rolled = MetricsIngest.rollup(MetricsIngest.flatten(spark, dir.toString + "/*.json"))
+      .orderBy("id").collect()
+    assert(rolled.length == 2)
+    val m1 = rolled(0)
+    assert(m1.getString(0) == "m1")
+    assert(m1.getString(1) == "2024-01-03T00:00:00")   // max timestamp
+    // weighted mean over ALL values of the id: (60000+120000+180000)/3/60000
+    assert(math.abs(m1.getDouble(2) - 2.0) < 1e-12)
+    // per reference semantics (lion_parcell_bonus_test_stg.py:161-173,
+    // 222-225): messages join per FILE first, dedup happens on those
+    // joined strings — so "b-msg; a-msg" and "a-msg" are distinct values
+    assert(m1.getString(3) == "a-msg; b-msg; a-msg")
+    val m2 = rolled(1)
+    assert(m2.getString(0) == "m2" && math.abs(m2.getDouble(2) - 0.5) < 1e-12)
+  }
+}
