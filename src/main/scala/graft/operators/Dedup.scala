@@ -9,6 +9,13 @@ import graft.functions.TextHash._
 /** Deduplication suite for large-scale text corpora (SURVEY.md §2c) —
   * exact, n-gram Jaccard, MinHash+LSH, and SimHash near-dup detection.
   *
+  * Algorithms follow the published literature: MinHash resemblance
+  * estimation (Broder, "On the resemblance and containment of documents",
+  * 1997), LSH banding (Indyk & Motwani 1998; the b-band/r-row S-curve as
+  * in Mining of Massive Datasets ch. 3), SimHash fingerprints (Charikar
+  * 2002) with the pigeonhole band-partition search of Manku, Jain & Das
+  * Sarma ("Detecting near-duplicates for web crawling", WWW 2007).
+  *
   * Scale design (100 TB corpus):
   *   - exact dedup is a hash-groupBy — one shuffle on the normalized text
   *     (production: shuffle on a 128-bit content hash instead of the full

@@ -10,6 +10,10 @@ import graft.functions.VectorFunctions._
   * cosine top-k as the exact baseline, and random-hyperplane LSH bucketing
   * as the scale path.
   *
+  * Hyperplane LSH follows Charikar (STOC 2002, sign-random-projection);
+  * the query-side probing of adjacent buckets follows multi-probe LSH
+  * (Lv, Josephson, Wang, Charikar & Li, VLDB 2007).
+  *
   * Scale design: brute force is O(queries·corpus) — correct, and the right
   * answer when the query set is small (it broadcasts; the corpus streams
   * through map-side with NO shuffle of the big side). The LSH variant

@@ -46,6 +46,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q3 incremental merge: one key-equi join, no nested loops") {
+    val p = plan("q3_incremental_merge")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // full-outer merge on the key: each side shuffles at most once
+    assert(p.split("Exchange hashpartitioning").length - 1 <= 2)
+  }
+
+  test("q4 scd2 history: change detection stays on the business-key shuffle") {
+    val p = plan("q4_scd2_history")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("d2 posting join: keys are 8-byte hashes, not shingle strings") {
     val p = plan("d2_dedup_ngram")
     assert(p.contains("graft_poly_hash"))

@@ -71,6 +71,26 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("all-duplicate corpus: every pair found, jaccard 1.0") {
+    val corpus = (1L to 6L).map(i => (i, "same words repeated here exactly"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.5).collect()
+    assert(pairs.length == 15) // C(6,2)
+    assert(pairs.forall(_.getDouble(2) == 1.0))
+    val lsh = Dedup.minhashLshPairs(corpus, "doc_id", "text", 3, 24, 3, 0.5).collect()
+    assert(lsh.length == 15)
+  }
+
+  test("docs below n words are excluded from near-dup ops, kept by exact dedup") {
+    val corpus = Seq((1L, "a b"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.1).count() == 0)
+    assert(Dedup.minhashLshPairs(corpus, "doc_id", "text", 3, 24, 3, 0.1).count() == 0)
+    val exact = Dedup.exactGroups(corpus, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(exact.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 1L), (2L, 1L), (3L, 3L)))
+  }
+
   test("simhash: identical docs collide, near-dups within small hamming") {
     val fps = Dedup.simhashFingerprints(docs, "doc_id", "text", 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
