@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -25,40 +25,60 @@ import org.apache.spark.sql.types._
 object MetricsIngest {
 
   /** Schema of one payload file (CloudWatch GetMetricData response shape,
-    * as handled by the reference's process_one_file). */
+    * as handled by the reference's process_one_file). Messages are VARIANT:
+    * the reference accepts strings or objects
+    * (lion_parcell_bonus_test_stg.py:161-173). */
   val payloadSchema: StructType = StructType(Seq(
     StructField("MetricDataResults", ArrayType(StructType(Seq(
       StructField("Id", StringType),
       StructField("Timestamps", ArrayType(StringType)),
       StructField("Values", ArrayType(DoubleType)))))),
-    StructField("Messages", ArrayType(StringType))))
+    StructField("Messages", ArrayType(VariantType))))
+
+  /** One message element → text, with the reference's fallback chain
+    * (extract_messages, stg script lines 161-173): plain string as-is,
+    * else .Message / .message / .text field, else the JSON rendering of
+    * the object. */
+  private def messageText(m: Column): Column = coalesce(
+    try_variant_get(m, "$", "string"),
+    try_variant_get(m, "$.Message", "string"),
+    try_variant_get(m, "$.message", "string"),
+    try_variant_get(m, "$.text", "string"),
+    to_json(m))
 
   /** Flatten a JSON payload drop (one object per file) to one row per
     * (source_file, metric id): id, runtime_date, sum_ms, cnt, message.
-    * Mirrors process_one_file() incl. NaN/null-value dropping. */
+    * Mirrors process_one_file() incl. NaN/null-value dropping, empty
+    * Timestamps → null runtime_date, and string-or-object messages. */
   def flatten(spark: SparkSession, path: String): DataFrame = {
     spark.read.schema(payloadSchema).option("multiLine", "true").json(path)
       .withColumn("source_file", input_file_name())
-      .withColumn("message", array_join(col("Messages"), "; "))
+      .withColumn("message",
+        array_join(transform(coalesce(col("Messages"), array()),
+          m => messageText(m)), "; "))
       .select(explode(col("MetricDataResults")).as("m"),
         col("message"), col("source_file"))
       .select(
         col("m.Id").as("id"),
         array_max(col("m.Timestamps")).as("runtime_date"),
         aggregate(
-          filter(col("m.Values"), v => v.isNotNull && !isnan(v)),
+          filter(coalesce(col("m.Values"), array().cast("array<double>")),
+            v => v.isNotNull && !isnan(v)),
           lit(0.0), (acc, v) => acc + v).as("sum_ms"),
-        size(filter(col("m.Values"), v => v.isNotNull && !isnan(v))).as("cnt"),
+        size(filter(coalesce(col("m.Values"), array().cast("array<double>")),
+          v => v.isNotNull && !isnan(v))).as("cnt"),
         col("message"), col("source_file"))
       .filter(col("id").isNotNull)
   }
 
   /** One row per id (aggregate_one_row_per_id): max runtime_date, weighted
-    * mean minutes, sorted-distinct messages. */
+    * mean minutes (null when an id has no valid values, matching the
+    * reference's `if r["cnt"] else None`), sorted-distinct messages. */
   def rollup(detail: DataFrame): DataFrame =
     detail.groupBy(col("id")).agg(
       max(col("runtime_date")).as("runtime_date"),
-      (sum(col("sum_ms")) / sum(col("cnt")) / lit(60000.0)).as("load_time"),
+      when(sum(col("cnt")) > 0,
+        sum(col("sum_ms")) / sum(col("cnt")) / lit(60000.0)).as("load_time"),
       array_join(array_sort(collect_set(
         when(length(trim(col("message"))) > 0, col("message")))), "; ")
         .as("message"))
