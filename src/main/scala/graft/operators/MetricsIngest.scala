@@ -38,13 +38,18 @@ object MetricsIngest {
   /** One message element → text, with the reference's fallback chain
     * (extract_messages, stg script lines 161-173): plain string as-is,
     * else .Message / .message / .text field, else the JSON rendering of
-    * the object. */
-  private def messageText(m: Column): Column = coalesce(
-    try_variant_get(m, "$", "string"),
-    try_variant_get(m, "$.Message", "string"),
-    try_variant_get(m, "$.message", "string"),
-    try_variant_get(m, "$.text", "string"),
-    to_json(m))
+    * the object. Python's `or` chain skips FALSY (empty) fields, hence the
+    * nullifs; a plain empty string yields null and is dropped by the
+    * piece filter, mirroring `[s for s in out if s]`. */
+  private def messageText(m: Column): Column = {
+    val asString = try_variant_get(m, "$", "string")
+    when(asString.isNotNull, nullif(asString, lit("")))
+      .otherwise(coalesce(
+        nullif(try_variant_get(m, "$.Message", "string"), lit("")),
+        nullif(try_variant_get(m, "$.message", "string"), lit("")),
+        nullif(try_variant_get(m, "$.text", "string"), lit("")),
+        to_json(m)))
+  }
 
   /** Flatten a JSON payload drop (one object per file) to one row per
     * (source_file, metric id): id, runtime_date, sum_ms, cnt, message.
@@ -54,32 +59,42 @@ object MetricsIngest {
     spark.read.schema(payloadSchema).option("multiLine", "true").json(path)
       .withColumn("source_file", input_file_name())
       .withColumn("message",
-        array_join(transform(coalesce(col("Messages"), array()),
-          m => messageText(m)), "; "))
+        array_join(
+          filter(transform(coalesce(col("Messages"), array()), m => messageText(m)),
+            p => p.isNotNull && p =!= ""),
+          "; "))
       .select(explode(col("MetricDataResults")).as("m"),
         col("message"), col("source_file"))
+      .withColumn("__valid",
+        filter(coalesce(col("m.Values"), array().cast("array<double>")),
+          v => v.isNotNull && !isnan(v)))
       .select(
         col("m.Id").as("id"),
         array_max(col("m.Timestamps")).as("runtime_date"),
-        aggregate(
-          filter(coalesce(col("m.Values"), array().cast("array<double>")),
-            v => v.isNotNull && !isnan(v)),
-          lit(0.0), (acc, v) => acc + v).as("sum_ms"),
-        size(filter(coalesce(col("m.Values"), array().cast("array<double>")),
-          v => v.isNotNull && !isnan(v))).as("cnt"),
+        aggregate(col("__valid"), lit(0.0), (acc, v) => acc + v).as("sum_ms"),
+        size(col("__valid")).as("cnt"),
         col("message"), col("source_file"))
       .filter(col("id").isNotNull)
   }
 
-  /** One row per id (aggregate_one_row_per_id): max runtime_date, weighted
-    * mean minutes (null when an id has no valid values, matching the
-    * reference's `if r["cnt"] else None`), sorted-distinct messages. */
+  /** One row per id (aggregate_one_row_per_id): max runtime_date AS AN
+    * INSTANT (the reference parses to UTC datetimes before max — a string
+    * max would mis-order mixed offsets), re-rendered ISO-8601 +00:00;
+    * weighted mean minutes (null when an id has no valid values, matching
+    * the reference's `if r["cnt"] else None`); sorted-distinct messages. */
   def rollup(detail: DataFrame): DataFrame =
     detail.groupBy(col("id")).agg(
-      max(col("runtime_date")).as("runtime_date"),
+      max(to_timestamp(col("runtime_date"))).as("__max_ts"),
       when(sum(col("cnt")) > 0,
         sum(col("sum_ms")) / sum(col("cnt")) / lit(60000.0)).as("load_time"),
       array_join(array_sort(collect_set(
         when(length(trim(col("message"))) > 0, col("message")))), "; ")
         .as("message"))
+      .select(
+        col("id"),
+        // session TZ is UTC → literal offset matches the reference's fmt_iso
+        when(col("__max_ts").isNotNull,
+          concat(date_format(col("__max_ts"), "yyyy-MM-dd'T'HH:mm:ss"), lit("+00:00")))
+          .as("runtime_date"),
+        col("load_time"), col("message"))
 }

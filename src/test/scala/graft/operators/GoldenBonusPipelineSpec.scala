@@ -52,21 +52,23 @@ class GoldenBonusPipelineSpec extends SparkSpec {
     val golden = spark.read.parquet(s"$refDir/combined_detail_per_file.parquet")
       .collect()
       .map(r => (r.getString(0), r.getString(6)) ->
-        (r.getString(1), r.getDouble(2), r.getLong(3)))
+        (r.getString(1), r.getDouble(2), r.getLong(3), normJson(r.getString(5))))
       .toMap
 
     val got = MetricsIngest.flatten(spark, s"$refDir/downloads_json/*.json")
       .collect()
       .map { r =>
         val file = r.getString(5).split("/").last
-        (r.getString(0), file) -> (r.getString(1), r.getDouble(2), r.getInt(3).toLong)
+        (r.getString(0), file) ->
+          (r.getString(1), r.getDouble(2), r.getInt(3).toLong, normJson(r.getString(4)))
       }
       .toMap
 
     assert(got.keySet == golden.keySet)
-    golden.foreach { case (k, (gDate, gSum, gCnt)) =>
-      val (aDate, aSum, aCnt) = got(k)
+    golden.foreach { case (k, (gDate, gSum, gCnt, gMsg)) =>
+      val (aDate, aSum, aCnt, aMsg) = got(k)
       assert(aDate == gDate && aCnt == gCnt, s"$k: ($aDate,$aCnt) != ($gDate,$gCnt)")
+      assert(aMsg == gMsg, s"$k message: $aMsg != $gMsg")
       assert(math.abs(aSum - gSum) <= math.max(1e-9, math.abs(gSum) * 1e-12), s"$k sum: $aSum != $gSum")
     }
   }

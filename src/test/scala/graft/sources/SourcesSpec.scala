@@ -39,7 +39,7 @@ class SourcesSpec extends SparkSpec {
     assert(rolled.length == 2)
     val m1 = rolled(0)
     assert(m1.getString(0) == "m1")
-    assert(m1.getString(1) == "2024-01-03T00:00:00")   // max timestamp
+    assert(m1.getString(1) == "2024-01-03T00:00:00+00:00") // max instant, ISO +00:00
     // weighted mean over ALL values of the id: (60000+120000+180000)/3/60000
     assert(math.abs(m1.getDouble(2) - 2.0) < 1e-12)
     // per reference semantics (lion_parcell_bonus_test_stg.py:161-173,
