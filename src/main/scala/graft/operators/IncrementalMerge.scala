@@ -54,8 +54,11 @@ object IncrementalMerge {
         col(key),
         // staging wins when present; untouched target rows pass through
         coalesce(col("__s_status"), col("__t_status")).as(statusCol),
+        // the reference takes the SOURCE's created_at on every write
+        // (retail_transactions.sql:30 `coalesce(s.created_at, s._run_ts)`),
+        // not the target's previously stored value
         when(col("__s_status").isNotNull,
-          coalesce(col("__t_created_at"), col("__s_created_at"), runTs))
+          coalesce(col("__s_created_at"), runTs))
           .otherwise(col("__t_created_at")).as("created_at"),
         when(col("__s_status").isNotNull, runTs)
           .otherwise(col("__t_updated_at")).as("updated_at"),

@@ -70,9 +70,15 @@ object Scd2 {
 
   /** Time-travel: state as of `t` (reference "USEFUL QUERIES" #3).
     * Half-open interval [valid_from, valid_to) — at a version boundary the
-    * new version holds. */
+    * new version holds (exactly one row per entity alive at `t`). */
   def asOf(scd: DataFrame, t: Column): DataFrame =
     scd.filter(col("valid_from") <= t && t < col("valid_to"))
+
+  /** The reference's literal formulation — `t BETWEEN valid_from AND
+    * valid_to` (closed; at an exact boundary instant both the expired and
+    * the new version match, as in the reference's documented query). */
+  def asOfBetween(scd: DataFrame, t: Column): DataFrame =
+    scd.filter(t.between(col("valid_from"), col("valid_to")))
 
   /** Audit rollup: versions per entity (reference "USEFUL QUERIES" #5). */
   def audit(scd: DataFrame): DataFrame =

@@ -159,7 +159,7 @@ object EtlQueries {
          |SELECT coalesce(s.id, t.id) AS id,
          |  coalesce(s.last_status, t.last_status) AS last_status,
          |  CASE WHEN s.id IS NOT NULL
-         |       THEN coalesce(t.created_at, s.created_at, TIMESTAMP '$RunTs')
+         |       THEN coalesce(s.created_at, TIMESTAMP '$RunTs')
          |       ELSE t.created_at END AS created_at,
          |  CASE WHEN s.id IS NOT NULL THEN TIMESTAMP '$RunTs'
          |       ELSE t.updated_at END AS updated_at,

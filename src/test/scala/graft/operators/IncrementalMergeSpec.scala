@@ -58,6 +58,16 @@ class IncrementalMergeSpec extends SparkSpec {
     assert(r4.getTimestamp(4) == null)
   }
 
+  test("created_at on update comes from staging, not the stored target value") {
+    // reference semantics: coalesce(s.created_at, run_ts) — the source
+    // system owns created_at; a corrected source value overwrites
+    val corrected = Seq((1L, "OPEN", Some(ts("2023-12-31 00:00:00"))))
+      .toDF("id", "last_status", "created_at")
+    val res = IncrementalMerge.merge(target, corrected, "id", run, "last_status", "DONE")
+      .filter($"id" === 1L).collect()(0)
+    assert(res.getAs[Timestamp]("created_at") == ts("2023-12-31 00:00:00"))
+  }
+
   test("empty staging leaves target unchanged") {
     val empty = staging.limit(0)
     val res = IncrementalMerge.merge(target, empty, "id", run, "last_status", "DONE")
