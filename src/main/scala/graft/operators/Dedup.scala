@@ -148,12 +148,31 @@ object Dedup {
   }
 
   /** SimHash fingerprints: one `bits`-wide fingerprint per doc from its
-    * distinct shingle hashes. Relational formulation — explode + one
-    * groupBy with `bits` conditional sums — stays inside whole-stage
-    * codegen with map-side partial aggregation (no per-row array loops).
-    * Docs with zero shingles get no fingerprint (callers guarantee
+    * distinct shingle hashes, computed by the native typed aggregate
+    * [[graft.plans.SimHashAgg]] — the shingle arrays are folded in place,
+    * never exploded into rows, with map-side partials and an O(bits)
+    * merge. Docs with zero shingles get no fingerprint (callers guarantee
     * non-empty text). */
   def simhashFingerprints(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      bits: Int = 32): DataFrame = {
+    val agg = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.SimHashAgg(
+        org.apache.spark.sql.graft.ColumnBridge.expression(shingleHashes(col("sg"))),
+        bits).toAggregateExpression())
+    shingleDocs(docs, idCol, textCol, n)
+      .filter(col("n_sh") > 0)
+      .groupBy(col(idCol))
+      .agg(agg.as("fingerprint"))
+  }
+
+  /** Relational reference formulation of [[simhashFingerprints]] (explode
+    * + `bits` conditional sums) — the semantic spec the aggregate must
+    * match value-for-value. */
+  def simhashFingerprintsRelational(
       docs: DataFrame,
       idCol: String,
       textCol: String,

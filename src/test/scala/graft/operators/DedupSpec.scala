@@ -91,6 +91,20 @@ class DedupSpec extends SparkSpec {
       Seq((1L, 1L), (2L, 1L), (3L, 3L)))
   }
 
+  test("SimHashAgg equals the relational explode+sum formulation") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+      (2L, "completely different words in this document about data engines"),
+      (3L, "the quick brown fox jumps over the lazy dog and runs away fast"))
+      .toDF("doc_id", "text")
+    val native = Dedup.simhashFingerprints(corpus, "doc_id", "text", 3)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val rel = Dedup.simhashFingerprintsRelational(corpus, "doc_id", "text", 3)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(native == rel)
+    assert(native(0)._2 == native(2)._2)
+  }
+
   test("simhash: identical docs collide, near-dups within small hamming") {
     val fps = Dedup.simhashFingerprints(docs, "doc_id", "text", 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
