@@ -71,12 +71,6 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
-  /** Deterministic pseudo-random hyperplane coefficient for (plane p,
-    * dim d): an integer in [-504, 504] from modular arithmetic — engine
-    * neutral and seedless (reproducible across runs and engines). */
-  private def planeCoef(p: Int, d: Int): Double =
-    (((p * 2 + 3) * (d + 1) * 7919 + p * 104729 + 13) % 1009 - 504).toDouble
-
   /** s2: multi-table, multi-probe random-hyperplane LSH ANN. Each of
     * `nTables` tables hashes every vector to a bucket = sign-bit pattern
     * over `nPlanes` hyperplanes. A query probes its own bucket PLUS every
@@ -101,11 +95,13 @@ object Similarity {
       k: Int,
       nPlanes: Int = 8,
       nTables: Int = 6): DataFrame = {
+    // one native expression per table (graft.plans.LshSignature) — the
+    // composed nPlanes × dims literal-dot form generated thousands of
+    // codegen nodes whose compilation dominated wall time
     def sig(vec: org.apache.spark.sql.Column, t: Int) =
-      (0 until nPlanes).map { p =>
-        val plane = array((0 until 64).map(d => lit(planeCoef(t * nPlanes + p, d))): _*)
-        when(dotD(vec, plane) > 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.plans.LshSignature(
+          org.apache.spark.sql.graft.ColumnBridge.expression(vec), nPlanes, t))
     // corpus: one (table, bucket) entry per table
     def buckets(vec: org.apache.spark.sql.Column) = array((0 until nTables).map { t =>
       struct(lit(t).as("t"), sig(vec, t).as("b"))

@@ -234,6 +234,79 @@ object WordShingles {
   }
 }
 
+/** Random-hyperplane LSH signature for one hash table: bit p of the
+  * result is the sign of vec · plane(table·nPlanes + p), with the
+  * deterministic integer plane coefficients of
+  * [[LshSignature.coef]]. One expression node replaces
+  * nPlanes × dims literal-array dot products — the composed form's
+  * thousands of codegen nodes dominated the query's wall time. */
+case class LshSignature(child: Expression, nPlanes: Int, table: Int) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_lsh_sig"
+
+  private def elemOk(t: DataType) = t == FloatType || t == DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(t, _) if elemOk(t) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName needs array<float|double>, got ${t.catalogString}")
+  }
+
+  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val v = new Array[Double](arr.numElements())
+    var i = 0
+    while (i < v.length) { v(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i); i += 1 }
+    LshSignature.signature(v, nPlanes, table)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val conv = if (isFloat) "Float" else "Double"
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.LshSignature.signature$conv($c, $nPlanes, $table)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LshSignature {
+  /** Deterministic pseudo-random hyperplane coefficient for (plane p,
+    * dim d): an integer in [-504, 504] from modular arithmetic — engine
+    * neutral and seedless (reproducible across runs). */
+  def coef(p: Int, d: Int): Double =
+    (((p * 2 + 3) * (d + 1) * 7919 + p * 104729 + 13) % 1009 - 504).toDouble
+
+  def signature(v: Array[Double], nPlanes: Int, table: Int): Long = {
+    var sig = 0L
+    var p = 0
+    while (p < nPlanes) {
+      val g = table * nPlanes + p
+      var dot = 0.0
+      var d = 0
+      while (d < v.length) { dot += v(d) * coef(g, d); d += 1 }
+      if (dot > 0) sig |= 1L << p
+      p += 1
+    }
+    sig
+  }
+
+  def signatureFloat(arr: ArrayData, nPlanes: Int, table: Int): Long = {
+    val v = new Array[Double](arr.numElements())
+    var i = 0
+    while (i < v.length) { v(i) = arr.getFloat(i).toDouble; i += 1 }
+    signature(v, nPlanes, table)
+  }
+
+  def signatureDouble(arr: ArrayData, nPlanes: Int, table: Int): Long = {
+    val v = new Array[Double](arr.numElements())
+    var i = 0
+    while (i < v.length) { v(i) = arr.getDouble(i); i += 1 }
+    signature(v, nPlanes, table)
+  }
+}
+
 /** MinHash signature in one pass: for each of k affine permutations
   * h_i(x) = ((2i+3)·x + (5i+7)) % 1000000007, the minimum over the input
   * hash array. Value-identical to graft.functions.TextHash.minhashSigHof
