@@ -58,6 +58,13 @@ class IncrementalMergeSpec extends SparkSpec {
     assert(r4.getTimestamp(4) == null)
   }
 
+  test("merge is idempotent: re-applying the same staging is a no-op") {
+    val once = IncrementalMerge.merge(target, staging, "id", run, "last_status", "DONE")
+    val twice = IncrementalMerge.merge(once, staging, "id", run, "last_status", "DONE")
+    assert(twice.orderBy("id").collect().map(_.toSeq).toSeq ==
+      once.orderBy("id").collect().map(_.toSeq).toSeq)
+  }
+
   test("created_at on update comes from staging, not the stored target value") {
     // reference semantics: coalesce(s.created_at, run_ts) — the source
     // system owns created_at; a corrected source value overwrites

@@ -63,6 +63,51 @@ class Scd2Spec extends SparkSpec {
     assert(a.getAs[Timestamp]("last_change") == ts("2025-01-10 16:00:00"))
   }
 
+  test("one-pass window build equals the reference's iterative algorithm on real events") {
+    // the reference applies one snapshot per run (expire current on change,
+    // append new version — retail_transactions_scd.sql steps 1-2); replaying
+    // that algorithm snapshot-by-snapshot over every observed state must
+    // yield exactly the one-shuffle window formulation's table
+    val dir = "/root/testdata/sf0.001"
+    val raw = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2), r.getLong(3)))
+
+    val eot = Timestamp.valueOf("9999-12-31 23:59:59")
+    case class V(id: Long, status: String, from: Timestamp, var to: Timestamp,
+        var current: Boolean)
+    val table = scala.collection.mutable.ArrayBuffer.empty[V]
+    raw.groupBy(_._1).foreach { case (id, evs) =>
+      var cur: Option[V] = None
+      evs.sortBy(e => (e._2.getTime, e._4)).foreach { case (_, t, status, _) =>
+        cur match {
+          case Some(v) if v.status == status => () // NO_CHANGE
+          case Some(v) =>                          // UPDATE: expire + append
+            v.to = t; v.current = false
+            val nv = V(id, status, t, eot, current = true)
+            table += nv; cur = Some(nv)
+          case None =>                             // INSERT
+            val nv = V(id, status, t, eot, current = true)
+            table += nv; cur = Some(nv)
+        }
+      }
+    }
+    val expected = table.map(v =>
+      (v.id, v.status, v.from, v.to, v.current,
+        if (v.status == "purchase") Some(v.from) else None)).toSet
+
+    val got = Scd2.buildFromHistory(
+      graft.sources.Tables.events(spark, dir), "user_id", "ts", "event_type",
+      "event_id", "purchase")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2), r.getTimestamp(3),
+        r.getBoolean(4), Option(r.getTimestamp(5)))).toSet
+
+    assert(got.size > 100)
+    assert(got == expected)
+  }
+
   test("currentState activeOnly drops soft-deleted entities") {
     val full = Scd2.buildFromHistory(events, "id", "ts", "status", "seq", "DONE")
     assert(Scd2.currentState(full).count() == 1)
