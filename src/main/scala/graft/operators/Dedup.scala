@@ -180,8 +180,10 @@ object Dedup {
       bits: Int = 32): DataFrame = {
     val exploded = shingleDocs(docs, idCol, textCol, n)
       .select(col(idCol), explode(shingleHashes(col("sg"))).as("__x"))
+    // bit extraction via &1 (as the SQL oracle and SimHashAgg do): `% 2`
+    // would yield -1 for negative hashes and silently diverge
     val sums = (0 until bits).map(j =>
-      sum((shiftright(col("__x"), j) % 2L) * 2L - 1L).as(s"__s$j"))
+      sum((shiftright(col("__x"), j).bitwiseAND(1L)) * 2L - 1L).as(s"__s$j"))
     val agg = exploded.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
     val fp = (0 until bits)
       .map(j => when(col(s"__s$j") > 0, lit(1L << j)).otherwise(lit(0L)))

@@ -38,16 +38,24 @@ object MetricsIngest {
   /** One message element → text, with the reference's fallback chain
     * (extract_messages, stg script lines 161-173): plain string as-is,
     * else .Message / .message / .text field, else the JSON rendering of
-    * the object. Python's `or` chain skips FALSY (empty) fields, hence the
-    * nullifs; a plain empty string yields null and is dropped by the
+    * the object. Python's `or` chain skips FALSY fields, hence: a field
+    * only counts when it is a genuine non-empty STRING (a numeric 0/false
+    * would be cast to "0"/"false" by a plain variant_get — the reference
+    * skips those); a plain empty string yields null and is dropped by the
     * piece filter, mirroring `[s for s in out if s]`. */
   private def messageText(m: Column): Column = {
+    // non-empty string field or null: to_json of a variant string starts
+    // with a quote, so non-string (numeric/bool/object) fields are skipped
+    def stringField(path: String): Column = {
+      val v = try_variant_get(m, path, "string")
+      nullif(when(startswith(to_json(try_variant_get(m, path, "variant")), lit("\"")), v), lit(""))
+    }
     val asString = try_variant_get(m, "$", "string")
-    when(asString.isNotNull, nullif(asString, lit("")))
+    when(startswith(to_json(m), lit("\"")), nullif(asString, lit("")))
       .otherwise(coalesce(
-        nullif(try_variant_get(m, "$.Message", "string"), lit("")),
-        nullif(try_variant_get(m, "$.message", "string"), lit("")),
-        nullif(try_variant_get(m, "$.text", "string"), lit("")),
+        stringField("$.Message"),
+        stringField("$.message"),
+        stringField("$.text"),
         to_json(m)))
   }
 

@@ -78,6 +78,27 @@ class GraftExpressionsSpec extends SparkSpec {
     out.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
   }
 
+  test("LshSignature equals the composed plane-dot formulation") {
+    val dims = 5
+    val vecsN = Seq(
+      Array(0.5f, -1.0f, 2.0f, 0.0f, -0.25f),
+      Array(1.0f, 1.0f, 1.0f, 1.0f, 1.0f),
+      Array(-3.0f, 0.5f, -0.5f, 2.5f, 0.125f)
+    ).map(Tuple1(_)).toDF("v")
+    for (t <- 0 until 3) {
+      val nPlanes = 8
+      val composed = (0 until nPlanes).map { p =>
+        val plane = array((0 until dims).map(d =>
+          lit(LshSignature.coef(t * nPlanes + p, d))): _*)
+        when(VectorFunctions.dotHof(col("v"), plane) > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val native = org.apache.spark.sql.graft.ColumnBridge.column(
+        LshSignature(org.apache.spark.sql.graft.ColumnBridge.expression(col("v")), nPlanes, t))
+      val out = vecsN.select(native.as("n"), composed.as("c")).collect()
+      out.foreach(r => assert(r.getLong(0) == r.getLong(1), s"table $t"))
+    }
+  }
+
   test("native expressions run inside WholeStageCodegen") {
     // a file scan (not a pre-computed LocalTableScan) so codegen stages form
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

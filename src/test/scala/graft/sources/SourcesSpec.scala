@@ -49,4 +49,19 @@ class SourcesSpec extends SparkSpec {
     val m2 = rolled(1)
     assert(m2.getString(0) == "m2" && math.abs(m2.getDouble(2) - 0.5) < 1e-12)
   }
+
+  test("message fallback chain skips falsy and non-string fields like the reference") {
+    val dir = Files.createTempDirectory("graft_json_msgs")
+    Files.writeString(dir.resolve("m.json"),
+      """{"MetricDataResults": [{"Id": "x", "Timestamps": ["2024-01-01T00:00:00"],
+        |  "Values": [60000.0]}],
+        | "Messages": [{"Message": 0, "text": "disk full"},
+        |              {"Message": "", "message": "fallback hit"},
+        |              "plain", "", {"other": 1}]}""".stripMargin)
+    val msg = MetricsIngest.flatten(spark, dir.toString + "/*.json")
+      .collect()(0).getString(4)
+    // 0 is falsy (skipped), "" is falsy (skipped), dict with no text-ish
+    // field renders as JSON — mirroring extract_messages + `if s` filter
+    assert(msg == """disk full; fallback hit; plain; {"other":1}""")
+  }
 }
