@@ -129,4 +129,71 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
+
+  /** s3: IVF (inverted-file) ANN, the coarse-quantization scale path
+    * (the structure of FAISS's IndexIVFFlat, re-expressed relationally):
+    *
+    *  1. coarse centroids — `nCells` deterministic corpus vectors (the
+    *     lowest ids; with a trained k-means codebook the flow is identical,
+    *     only the centroid table changes);
+    *  2. assignment — every corpus vector joins the broadcast centroid
+    *     table and keeps its argmax-cosine cell via `max_by` over a
+    *     totally-ordered (cos, -cid) struct: map-side partial aggregation,
+    *     so the one shuffle carries ONE row per vector, not nCells;
+    *  3. probing — each query ranks the same broadcast centroids and
+    *     probes its `nProbes` nearest cells;
+    *  4. rerank — probes equi-join assignments on the cell id (the only
+    *     data-sized shuffle, keyed by cell), exact cosine, windowed top-k.
+    *
+    * Scale: the corpus never joins itself — candidate count is
+    * |corpus|·nProbes/nCells per query in expectation. Cell skew (dense
+    * regions) is AQE skew-join territory. Recall is deterministic given
+    * the centroids (tunable via nProbes/nCells), which is why — unlike the
+    * randomized s2 — this variant is exactly reproducible in the SQL
+    * oracle. */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int,
+      nProbes: Int): DataFrame = {
+    val n = corpus.select(col(idCol), col(vecCol), norm2(col(vecCol)).as("__n2"))
+    val cent = n.filter(col(idCol) < nCells)
+      .select(col(idCol).as("__cid"), col(vecCol).as("__cv"), col("__n2").as("__cn2"))
+    val cellCos = cosineFromNorms(dotD(col(vecCol), col("__cv")), col("__n2"), col("__cn2"))
+
+    // (2) one row per vector after map-side partial agg; ties impossible
+    // because the struct embeds the unique centroid id
+    val assigned = n.join(broadcast(cent))
+      .select(col(idCol), col(vecCol), col("__n2"), col("__cid"), cellCos.as("__ccos"))
+      .groupBy(col(idCol))
+      .agg(
+        max_by(col("__cid"), struct(col("__ccos"), -col("__cid"))).as("__cell"),
+        first(col(vecCol)).as(vecCol), first(col("__n2")).as("__n2"))
+
+    // (3) query-side probes: small side, broadcast again
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("__ccos").desc, col("__cell"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol), norm2(col(vecCol)).as("__n2"))
+      .join(broadcast(cent))
+      .select(col("query_id"), col(vecCol).as("__qv"), col("__n2").as("__qn2"),
+        col("__cid").as("__cell"), cellCos.as("__ccos"))
+      .withColumn("__pr", row_number().over(pw))
+      .filter(col("__pr") <= nProbes)
+      .select(col("query_id"), col("__qv"), col("__qn2"), col("__cell"))
+
+    // (4) exact rerank within probed cells
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probes.join(assigned.withColumnRenamed(idCol, "neighbor_id"), Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineFromNorms(dotD(col("__qv"), col(vecCol)), col("__qn2"), col("__n2")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
 }

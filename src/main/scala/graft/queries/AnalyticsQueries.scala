@@ -4,10 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Sessionize}
+import graft.operators.{AsOfJoin, RangeJoin, Sessionize}
 import graft.sources.Tables
 
-/** SURVEY.md §2b — analytics breadth (q10–q14): the general OLAP surface a
+/** SURVEY.md §2b — analytics breadth (q10–q19): the general OLAP surface a
   * mart layer like the reference's dbt models sits on.
   *
   * Scale notes per query are inline; the common principles: dims broadcast
@@ -24,7 +24,12 @@ object AnalyticsQueries {
     "q11_topk_per_group" -> ((s, d) => q11(s, d)),
     "q12_rollup"         -> ((s, d) => q12(s, d)),
     "q13_sessionize"     -> ((s, d) => q13(s, d)),
-    "q14_asof_join"      -> ((s, d) => q14(s, d))
+    "q14_asof_join"      -> ((s, d) => q14(s, d)),
+    "q15_range_join"     -> ((s, d) => q15(s, d)),
+    "q16_window_running" -> ((s, d) => q16(s, d)),
+    "q17_percentile"     -> ((s, d) => q17(s, d)),
+    "q18_semi_anti"      -> ((s, d) => q18(s, d)),
+    "q19_pivot"          -> ((s, d) => q19(s, d))
   )
 
   /** q10: multi-way star join — fact `lineitem` joined to the
@@ -103,6 +108,107 @@ object AnalyticsQueries {
       .orderBy(col("event_id"))
   }
 
+  private val BandSeconds = 60L // q15 concurrency band: ±60s
+
+  /** q15: time-range join WITHOUT an equi-key — per event, how many other
+    * events (any user) happened within ±60s. A naive `BETWEEN` join has no
+    * equi-condition (cartesian plan); [[graft.operators.RangeJoin]] buckets
+    * the time axis so it becomes an equi-join on the bucket id — the only
+    * shuffle, near-linear pair space. Zero-match events are kept via a
+    * left join of the counts back onto the event set. */
+  def q15(s: SparkSession, dir: String): DataFrame = {
+    val us = BandSeconds * 1000000L
+    val ev = Tables.events(s, dir).select(col("event_id"), col("ts"))
+    val counts = RangeJoin.timeBand(ev, "ts", ev, "ts", us, us)
+      .filter(col("event_id_r") =!= col("event_id"))
+      .groupBy(col("event_id")).agg(count(lit(1)).as("__n"))
+    ev.select(col("event_id"))
+      .join(counts, Seq("event_id"), "left")
+      .select(col("event_id"), coalesce(col("__n"), lit(0L)).as("n_concurrent"))
+      .orderBy(col("event_id"))
+  }
+
+  /** q16: running-window analytics — per customer order sequence: order
+    * index, cumulative spend, and 3-order moving average. One shuffle on
+    * o_custkey; all four window functions share the same (partition, sort)
+    * so Spark evaluates them in a single Window node over one sort.
+    * DECIMAL accumulation keeps the running sums oracle-exact. */
+  def q16(s: SparkSession, dir: String): DataFrame = {
+    val px = col("o_totalprice").cast("decimal(14,2)")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ma  = w.rowsBetween(-2, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        row_number().over(w).as("seq"),
+        sum(px).over(cum).cast("double").as("run_spend"),
+        (sum(px).over(ma).cast("double") / count(lit(1)).over(ma)).as("ma3"))
+      .orderBy(col("o_custkey"), col("seq"))
+  }
+
+  /** q17: exact distribution statistics per group — median (midpoint of
+    * the two middle values, DECIMAL-exact) and nearest-rank p90 of order
+    * value per order priority. Interpolating `percentile` built-ins differ
+    * in FP detail across engines, so both sides compute the identical
+    * rank-arithmetic formulation: k_med = (n+1)/2,(n+2)/2 and
+    * k90 = ceil(0.9n) over a row_number ordering. One shuffle on the
+    * group key; the rank filter is a single window pass. */
+  def q17(s: SparkSession, dir: String): DataFrame = {
+    val px = col("o_totalprice").cast("decimal(14,2)")
+    val grp = col("o_orderpriority")
+    val w = Window.partitionBy(grp).orderBy(col("v"), col("o_orderkey"))
+    val ranked = Tables.orders(s, dir)
+      .select(grp, px.as("v"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(grp)))
+    val k1  = (col("n") + 1).divide(2).cast("long")   // lower middle
+    val k2  = (col("n") + 2).divide(2).cast("long")   // upper middle
+    val k90 = ((col("n") * 9 + 9)).divide(10).cast("long") // ceil(0.9n)
+    ranked
+      .groupBy(grp.as("priority"))
+      .agg(
+        max(col("n")).as("n"),
+        ((sum(when(col("rn") === k1, col("v"))) +
+          sum(when(col("rn") === k2, col("v")))).cast("double") / 2).as("median"),
+        sum(when(col("rn") === k90, col("v"))).cast("double").as("p90"))
+      .orderBy(col("priority"))
+  }
+
+  /** q18: semi + anti join in one plan — customers that have at least one
+    * order (LEFT SEMI) but no finished ('F') order (LEFT ANTI). Both joins
+    * hash-partition on the customer key; at scale the two order scans
+    * share the parquet source with the status filter pushed down. */
+  def q18(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).select(col("o_custkey"), col("o_orderstatus"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .join(o.filter(col("o_orderstatus") === "F"),
+        c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q19: pivot — market segment × order status matrix of spend and order
+    * counts. Spark's `pivot` with an explicit value list plans as a
+    * two-phase aggregate: groupBy(segment, status) with map-side partials
+    * is the only data-sized shuffle; the PivotFirst phase re-shuffles just
+    * the |segments|·|statuses| group rows. Never use the value-discovering
+    * overload at scale (it adds a whole distinct pass over the data). */
+  def q19(s: SparkSession, dir: String): DataFrame = {
+    val px = col("o_totalprice").cast("decimal(14,2)")
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(px).cast("double").as("spend"), count(lit(1)).as("n"))
+      .select(col("segment"),
+        col("F_spend").as("f_spend"), col("F_n").as("f_n"),
+        col("O_spend").as("o_spend"), col("O_n").as("o_n"),
+        col("P_spend").as("p_spend"), col("P_n").as("p_n"))
+      .orderBy(col("segment"))
+  }
+
   def oracles: Map[String, String] = Map(
     "q10_star_join" ->
       """SELECT r_name, n_name,
@@ -160,6 +266,59 @@ object AnalyticsQueries {
         |p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
         |SELECT v.event_id, v.user_id, v.ts, p.ts AS asof_ts, p.value AS asof_value
         |FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts
-        |ORDER BY v.event_id""".stripMargin
+        |ORDER BY v.event_id""".stripMargin,
+
+    "q15_range_join" ->
+      s"""SELECT a.event_id, count(b.event_id) AS n_concurrent
+         |FROM events a LEFT JOIN events b
+         |  ON b.ts >= a.ts - INTERVAL $BandSeconds SECOND
+         | AND b.ts <= a.ts + INTERVAL $BandSeconds SECOND
+         | AND b.event_id <> a.event_id
+         |GROUP BY a.event_id
+         |ORDER BY a.event_id""".stripMargin,
+
+    "q16_window_running" ->
+      """SELECT o_custkey, o_orderdate, o_orderkey,
+        |  row_number() OVER w AS seq,
+        |  (sum(o_totalprice::DECIMAL(14,2)) OVER (w ROWS UNBOUNDED PRECEDING))::DOUBLE AS run_spend,
+        |  (sum(o_totalprice::DECIMAL(14,2)) OVER (w ROWS 2 PRECEDING))::DOUBLE
+        |    / count(*) OVER (w ROWS 2 PRECEDING) AS ma3
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, seq""".stripMargin,
+
+    "q17_percentile" ->
+      """WITH ranked AS (
+        |  SELECT o_orderpriority AS priority, o_totalprice::DECIMAL(14,2) AS v,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice::DECIMAL(14,2), o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders)
+        |SELECT priority, max(n) AS n,
+        |  (sum(CASE WHEN rn = (n+1)//2 THEN v END)
+        |   + sum(CASE WHEN rn = (n+2)//2 THEN v END))::DOUBLE / 2 AS median,
+        |  (sum(CASE WHEN rn = (n*9+9)//10 THEN v END))::DOUBLE AS p90
+        |FROM ranked GROUP BY priority
+        |ORDER BY priority""".stripMargin,
+
+    "q18_semi_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q19_pivot" ->
+      """SELECT c_mktsegment AS segment,
+        |  (sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice::DECIMAL(14,2) END))::DOUBLE AS f_spend,
+        |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f_n,
+        |  (sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice::DECIMAL(14,2) END))::DOUBLE AS o_spend,
+        |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o_n,
+        |  (sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice::DECIMAL(14,2) END))::DOUBLE AS p_spend,
+        |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p_n
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY segment""".stripMargin
   )
 }

@@ -34,8 +34,12 @@ object DedupQueries {
     "d4_dedup_simhash"   -> ((s, d) => d4(s, d)),
     "d5_dedup_embedding" -> ((s, d) => d5(s, d)),
     "s1_knn_bruteforce"  -> ((s, d) => s1(s, d)),
-    "s2_knn_lsh"         -> ((s, d) => s2(s, d))
+    "s2_knn_lsh"         -> ((s, d) => s2(s, d)),
+    "s3_knn_ivf"         -> ((s, d) => s3(s, d))
   )
+
+  private val IvfCentroids = 16
+  private val IvfProbes    = 3
 
   /** d1: exact dedup groups on normalized text (hash-groupBy). */
   def d1(s: SparkSession, dir: String): DataFrame =
@@ -81,6 +85,15 @@ object DedupQueries {
   def s2(s: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(queryVecs(s, dir), Tables.embeddings(s, dir),
         "vec_id", "embedding", LshK)
+      .orderBy(col("query_id"), col("rank"))
+
+  /** s3: IVF (inverted-file) ANN — coarse-quantize the corpus into cells,
+    * probe the nprobe nearest cells per query, exact rerank inside. Unlike
+    * s2 the index is DETERMINISTIC (no random hyperplanes), so the whole
+    * operator is SQL-expressible and hash-checked against the oracle. */
+  def s3(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(queryVecs(s, dir), Tables.embeddings(s, dir),
+        "vec_id", "embedding", LshK, IvfCentroids, IvfProbes)
       .orderBy(col("query_id"), col("rank"))
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -163,6 +176,27 @@ object DedupQueries {
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY cos DESC, neighbor_id) AS rank FROM p)
          |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= $KnnK
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "s3_knn_ivf" ->
+      s"""WITH $NormCte,
+         |cent AS (SELECT vec_id AS cid, embedding, n2 FROM n WHERE vec_id < $IvfCentroids),
+         |ac AS (SELECT v.vec_id, v.embedding, v.n2, c.cid,
+         |    ${dotSql("v", "c")} / sqrt(v.n2 * c.n2) AS ccos
+         |  FROM n v CROSS JOIN cent c),
+         |asn0 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ccos DESC, cid) AS rn FROM ac),
+         |asn AS (SELECT vec_id, embedding, n2, cid AS cell FROM asn0 WHERE rn = 1),
+         |pr0 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ccos DESC, cid) AS rn FROM ac WHERE vec_id % $QueryStride = 0),
+         |pr AS (SELECT vec_id AS query_id, embedding, n2, cid AS cell
+         |  FROM pr0 WHERE rn <= $IvfProbes),
+         |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    ${dotSql("p", "a")} / sqrt(p.n2 * a.n2) AS cos
+         |  FROM pr p JOIN asn a ON p.cell = a.cell AND a.vec_id <> p.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS rank FROM cand)
+         |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= $LshK
          |ORDER BY query_id, rank""".stripMargin
   )
 }

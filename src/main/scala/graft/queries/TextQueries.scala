@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{Multimodal, TextAnalysis}
 import graft.sources.Tables
-import graft.streaming.EventStream
+import graft.streaming.{EventStream, SessionStream}
 
 /** SURVEY.md §2e/§2f — text analysis (t1–t4), multimodal metadata (m1),
   * and the batch face of the streaming pipeline (st1).
@@ -21,8 +21,11 @@ object TextQueries {
     "t3_token_count"     -> ((s, d) => t3(s, d)),
     "t4_fingerprint"     -> ((s, d) => t4(s, d)),
     "m1_multimodal_meta" -> ((s, d) => m1(s, d)),
-    "st1_stream_window"  -> ((s, d) => st1(s, d))
+    "st1_stream_window"  -> ((s, d) => st1(s, d)),
+    "st2_stream_session" -> ((s, d) => st2(s, d))
   )
+
+  private val SessionGapSeconds = 7200L // same boundary as q13
 
   def t1(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(Tables.documents(s, dir), "doc_id", "text")
@@ -51,6 +54,27 @@ object TextQueries {
   def st1(s: SparkSession, dir: String): DataFrame =
     EventStream.windowedAgg(Tables.events(s, dir))
       .orderBy(col("window_start"), col("event_type"))
+
+  /** st2: batch run of the STATEFUL streaming sessionizer — the same
+    * flatMapGroupsWithState fold (graft.streaming.SessionStream) that runs
+    * incrementally on the unbounded stream, executed over the full history
+    * with the final open session flushed. Values are folded as exact
+    * integer cents (doubles hold integers exactly ≤ 2^53), so the
+    * order-sensitive imperative sum is still oracle-exact. */
+  def st2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val typed = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").cast("double").as("value"))
+      .as[SessionStream.Event]
+    SessionStream.sessionizeBatch(typed, SessionGapSeconds).toDF()
+      .select(col("user_id").as("id"),
+        timestamp_micros(col("session_start_us")).as("session_start"),
+        timestamp_micros(col("session_end_us")).as("session_end"),
+        col("n_events"),
+        col("sum_value").cast("long").as("sum_cents"))
+      .orderBy(col("id"), col("session_start"))
+  }
 
   // ---- oracle SQL ---------------------------------------------------------
 
@@ -140,6 +164,25 @@ object TextQueries {
         |  max(value) AS max_value
         |FROM events
         |GROUP BY 1, 2
-        |ORDER BY window_start, event_type""".stripMargin
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    "st2_stream_session" ->
+      s"""WITH e AS (
+         |  SELECT user_id, ts, event_id,
+         |    (value::DECIMAL(12,2) * 100)::BIGINT AS cents,
+         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+         |  FROM events),
+         |f AS (
+         |  SELECT *, CASE WHEN prev_us IS NULL
+         |      OR epoch_us(ts) - prev_us > ${SessionGapSeconds}000000 THEN 1 ELSE 0 END AS is_new
+         |  FROM e),
+         |g AS (
+         |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                              ROWS UNBOUNDED PRECEDING) AS session_id
+         |  FROM f)
+         |SELECT user_id AS id, min(ts) AS session_start, max(ts) AS session_end,
+         |  count(*) AS n_events, sum(cents)::BIGINT AS sum_cents
+         |FROM g GROUP BY user_id, session_id
+         |ORDER BY id, session_start""".stripMargin
   )
 }

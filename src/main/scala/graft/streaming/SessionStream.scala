@@ -37,6 +37,33 @@ object SessionStream {
       n_events: Long,
       sum_value: Double)
 
+  /** Core gap fold shared by the streaming ([[updateKey]]) and batch
+    * ([[sessionizeBatch]]) paths: fold time-sorted events of one key into
+    * the open-session state, returning the sessions closed by a gap and
+    * the still-open tail. */
+  def foldSorted(
+      userId: Long,
+      sorted: Iterator[Event],
+      open0: Option[OpenSession],
+      gapUs: Long): (List[Session], Option[OpenSession]) = {
+    val closed = List.newBuilder[Session]
+    var open = open0
+    sorted.foreach { e =>
+      val us = tsUs(e.ts)
+      open match {
+        case Some(s) if us - s.lastUs <= gapUs =>
+          open = Some(OpenSession(s.startUs, math.max(s.lastUs, us),
+            s.nEvents + 1, s.sumValue + e.value))
+        case Some(s) =>
+          closed += Session(userId, s.startUs, s.lastUs, s.nEvents, s.sumValue)
+          open = Some(OpenSession(us, us, 1L, e.value))
+        case None =>
+          open = Some(OpenSession(us, us, 1L, e.value))
+      }
+    }
+    (closed.result(), open)
+  }
+
   /** Fold a key's new (unordered) micro-batch events into the open-session
     * state; emit every session closed by a gap. On event-time timeout the
     * open session is flushed. */
@@ -54,28 +81,34 @@ object SessionStream {
       return out.iterator
     }
     val sorted = rows.toArray.sortBy(e => tsUs(e.ts))
-    val closed = List.newBuilder[Session]
-    var open = state.getOption
-    sorted.foreach { e =>
-      val us = tsUs(e.ts)
-      open match {
-        case Some(s) if us - s.lastUs <= gapUs =>
-          open = Some(OpenSession(s.startUs, math.max(s.lastUs, us),
-            s.nEvents + 1, s.sumValue + e.value))
-        case Some(s) =>
-          closed += Session(userId, s.startUs, s.lastUs, s.nEvents, s.sumValue)
-          open = Some(OpenSession(us, us, 1L, e.value))
-        case None =>
-          open = Some(OpenSession(us, us, 1L, e.value))
-      }
-    }
+    val (closed, open) = foldSorted(userId, sorted.iterator, state.getOption, gapUs)
     open.foreach { s =>
       state.update(s)
       // close when the watermark passes last-event + gap
       if (state.getCurrentWatermarkMs() >= 0)
         state.setTimeoutTimestamp(s.lastUs / 1000L + gapSeconds * 1000L + 1L)
     }
-    closed.result().iterator
+    closed.iterator
+  }
+
+  /** Batch run of the SAME stateful fold (st2): each key's full history is
+    * one group, the fold closes sessions at every gap and the final open
+    * session is flushed — so the output covers every event, matching the
+    * batch window formulation exactly.
+    *
+    * Scale: one shuffle on the key (same as the window formulation); the
+    * per-key buffer is O(events of that key) — the trade for running
+    * arbitrary imperative state logic. Keys here are users; a pathological
+    * single-key skew would call for pre-splitting by (key, coarse time). */
+  def sessionizeBatch(events: Dataset[Event], gapSeconds: Long): Dataset[Session] = {
+    implicit val so: org.apache.spark.sql.Encoder[Session] = Encoders.product[Session]
+    implicit val sl: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+    val gapUs = gapSeconds * 1000000L
+    events.groupByKey(_.user_id).flatMapGroups { (k: Long, rows: Iterator[Event]) =>
+      val sorted = rows.toArray.sortBy(e => tsUs(e.ts))
+      val (closed, open) = foldSorted(k, sorted.iterator, None, gapUs)
+      (closed ++ open.map(s => Session(k, s.startUs, s.lastUs, s.nEvents, s.sumValue))).iterator
+    }
   }
 
   /** Sessionize a (streaming or batch) typed event Dataset. */

@@ -63,4 +63,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("graft_poly_hash"))
     assert(p.contains("graft_shingles"))
   }
+
+  test("q15 range join: bucketed equi-join, never a nested loop / cartesian") {
+    val p = plan("q15_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q16 running windows: all frames share ONE shuffle on the customer key") {
+    val p = plan("q16_window_running")
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1)
+  }
+
+  test("q17 percentile: rank windows and final aggregate share the group-key shuffle") {
+    val p = plan("q17_percentile")
+    assert(p.split("Exchange hashpartitioning").length - 1 <= 2)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q18: both joins plan as hash/merge semi + anti, no nested loops") {
+    val p = plan("q18_semi_anti")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q19 pivot: broadcast dim, two-phase pivot shuffles only aggregated groups") {
+    val p = plan("q19_pivot")
+    assert(p.contains("BroadcastHashJoin"))
+    // phase 1 groupBy(segment,status) is the only data-sized shuffle (with
+    // map-side partials); phase 2 (PivotFirst) re-shuffles just the
+    // |segments|·|statuses| group rows
+    assert(p.split("Exchange hashpartitioning").length - 1 == 2)
+    assert(p.contains("pivotfirst") || p.contains("PivotFirst"))
+  }
+
+  test("s3 ivf: only the 16-row centroid table nested-loops; rerank is an equi-join") {
+    val p = plan("s3_knn_ivf")
+    assert(!p.contains("CartesianProduct"))
+    // exactly two broadcast-nested-loops: corpus×centroids, queries×centroids
+    assert(p.split("BroadcastNestedLoopJoin").length - 1 == 2)
+  }
 }

@@ -55,6 +55,44 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"LSH recall $recall below floor")
   }
 
+  test("ivfTopK: exact within probed cells, recall floor on real embeddings") {
+    val dir = "/root/testdata/sf0.01"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.filter("vec_id % 100 = 0")
+    def byQuery(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val truth = byQuery(Similarity.knnBruteForce(q, emb, "vec_id", "embedding", 5))
+    val got = byQuery(Similarity.ivfTopK(q, emb, "vec_id", "embedding", 5, 16, 3))
+    // every IVF cosine equals the brute-force cosine bit-for-bit (the
+    // rerank is exact — IVF only restricts the candidate set)
+    got.foreach { case (pair, cos) =>
+      truth.get(pair).foreach(t => assert(t == cos, s"$pair cos mismatch")) }
+    val recall = (truth.keySet & got.keySet).size.toDouble / truth.size
+    // nprobe/nCells = 3/16 of the corpus scanned; uniform-random vectors
+    // are the worst case, deterministic so not flaky
+    assert(recall >= 0.3, s"IVF recall $recall below floor")
+    // never exceeds k, ranks contiguous from 1
+    val ranks = Similarity.ivfTopK(q, emb, "vec_id", "embedding", 5, 16, 3)
+      .collect().groupBy(_.getLong(0)).values
+    assert(ranks.forall(_.length <= 5))
+    assert(ranks.forall(_.map(_.getInt(1)).sorted.zipWithIndex.forall {
+      case (r, i) => r == i + 1 }))
+  }
+
+  test("ivfTopK with nProbes = nCells equals brute force exactly") {
+    // probing every cell removes the approximation entirely — the IVF
+    // plumbing (assignment, probe, rerank) must then reproduce s1
+    val dim3 = vecs // 5 tiny vectors, 4 cells > corpus cells in use
+    val q = dim3.filter("vec_id in (1, 3)")
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val bf  = res(Similarity.knnBruteForce(q, dim3, "vec_id", "embedding", 3))
+    val ivf = res(Similarity.ivfTopK(q, dim3, "vec_id", "embedding", 3, 4, 4))
+    assert(ivf == bf)
+  }
+
   test("lshTopK only pairs within a bucket and never exceeds k") {
     val dim64 = (id: Long, seed: Int) =>
       (id, Array.tabulate(64)(d => (((seed * 31 + d * 7) % 13) - 6) / 6.0f))

@@ -51,4 +51,31 @@ class SessionStreamSpec extends SparkSpec {
       .toSet
     assert(streamed.subsetOf(batchAll))
   }
+
+  test("batch run of the stateful fold equals the window formulation exactly") {
+    import spark.implicits._
+    val events = graft.sources.Tables.events(spark, dir)
+    // fold values as exact integer cents so the imperative running sum is
+    // comparable without FP-order concerns (same trick as st2)
+    val cents = (col("value").cast("decimal(12,2)") * 100).cast("long")
+    val typed = events
+      .select(col("user_id"), col("ts"), cents.cast("double").as("value"))
+      .as[SessionStream.Event]
+    val folded = SessionStream.sessionizeBatch(typed, gap).collect()
+      .map(s => (s.user_id, s.session_start_us, s.session_end_us,
+        s.n_events, s.sum_value.toLong)).toSet
+
+    val windowed = graft.operators.Sessionize
+      .sessions(events.withColumn("cents", cents),
+        "user_id", "ts", "event_id", gap, "cents")
+      .select(col("id"), unix_micros(col("session_start")),
+        unix_micros(col("session_end")), col("n_events"),
+        col("sum_value").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+
+    assert(folded.nonEmpty)
+    assert(folded == windowed)
+  }
 }
