@@ -68,4 +68,14 @@ object IncrementalMerge {
           .otherwise(col("__t_deleted_at")).as("deleted_at"))
     merged
   }
+
+  /** An empty mart with the merge output schema (first-run target: the
+    * reference's dbt model creates the table on its first incremental
+    * run). Types derive from the staging frame itself. */
+  def emptyTarget(staging: DataFrame, key: String, statusCol: String): DataFrame =
+    staging.select(
+      col(key), col(statusCol), col("created_at"),
+      col("created_at").as("updated_at"),
+      col("created_at").as("deleted_at"))
+      .limit(0)
 }

@@ -67,4 +67,28 @@ object EventStream {
       .queryName(sinkTable)
       .outputMode("complete")
       .start()
+
+  /** Streaming exactly-once-per-key dedup: drop events whose `keyCols`
+    * were already seen, keeping state only within the event-time
+    * watermark (`dropDuplicatesWithinWatermark`) so it never grows
+    * unboundedly — the streaming face of the d1 exact-dedup operator and
+    * the idempotent-ingest guard an at-least-once source (queue replay,
+    * file re-drop) needs in front of the merge pipeline.
+    *
+    * Scale: state is one entry per distinct key within the watermark
+    * horizon, hash-partitioned by key (the one shuffle). */
+  def dedupStream(events: DataFrame, watermarkDelay: String, keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Start a deduplicated pass-through of the event stream into a memory
+    * sink, keyed by event_id. */
+  def startDedup(spark: SparkSession, dir: String, sinkTable: String): StreamingQuery =
+    dedupStream(readEvents(spark, dir), "2 hours", Seq("event_id"))
+      .writeStream
+      .format("memory")
+      .queryName(sinkTable)
+      .outputMode("append")
+      .start()
 }

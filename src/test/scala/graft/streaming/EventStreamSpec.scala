@@ -30,4 +30,23 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     assert(streamed == batch)
   }
+
+  test("dedupStream drops re-delivered events across micro-batches") {
+    val src = s"$dir/events.parquet"
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
+    // the same file lands twice (at-least-once delivery / re-drop)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(src), stage.resolve("a.parquet"))
+
+    val q = EventStream.startDedup(spark, stage.toString, "dedup_sink")
+    try {
+      q.processAllAvailable()
+      java.nio.file.Files.copy(java.nio.file.Paths.get(src), stage.resolve("b.parquet"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val n = graft.sources.Tables.events(spark, dir).count()
+    val out = spark.table("dedup_sink")
+    assert(out.count() == n) // every event exactly once despite double delivery
+    assert(out.select("event_id").distinct().count() == n)
+  }
 }
