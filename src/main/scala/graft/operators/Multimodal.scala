@@ -88,6 +88,45 @@ object Multimodal {
     rows.toDF()
   }
 
+  /** Resize: map each payload to a fixed-size representation (the STUB
+    * picks `outBytes` evenly-strided bytes — in production this is the
+    * codec decode + bilinear resample + re-encode; same contract: binary
+    * in, fixed-size binary out, map-side only, bounded by one payload).
+    * Emits the resized payload plus its declared output dims so downstream
+    * schema consumers (training shard writers) see typed metadata, not
+    * just bytes. */
+  def resizeStub(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      outWidth: Int,
+      outHeight: Int): DataFrame = {
+    val outBytes = outWidth * outHeight
+    val out = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("resized", BinaryType, nullable = false),
+      StructField("out_width", IntegerType, nullable = false),
+      StructField("out_height", IntegerType, nullable = false)))
+    val input = df.select(col(idCol).cast("long"), col(payloadCol))
+    val rows: Dataset[Row] = input.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val res = new Array[Byte](outBytes)
+        if (bytes.nonEmpty) {
+          var i = 0
+          while (i < outBytes) {
+            // even stride over the source (nearest-neighbor resample shape)
+            res(i) = bytes(((i.toLong * bytes.length) / outBytes).toInt)
+            i += 1
+          }
+        }
+        Row(id, res, outWidth, outHeight)
+      }
+    }(org.apache.spark.sql.Encoders.row(out))
+    rows.toDF()
+  }
+
   /** Batch feature extraction over payload bytes: real `mapPartitions`
     * plumbing (iterator-in/iterator-out, constant memory, no collect) with
     * a STUB featurizer — byte-histogram moments standing in for a codec +

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.operators.{AsOfJoin, RangeJoin, Sessionize}
 import graft.sources.Tables
 
-/** SURVEY.md §2b — analytics breadth (q10–q19): the general OLAP surface a
+/** SURVEY.md §2b — analytics breadth (q10–q21): the general OLAP surface a
   * mart layer like the reference's dbt models sits on.
   *
   * Scale notes per query are inline; the common principles: dims broadcast
@@ -29,7 +29,9 @@ object AnalyticsQueries {
     "q16_window_running" -> ((s, d) => q16(s, d)),
     "q17_percentile"     -> ((s, d) => q17(s, d)),
     "q18_semi_anti"      -> ((s, d) => q18(s, d)),
-    "q19_pivot"          -> ((s, d) => q19(s, d))
+    "q19_pivot"          -> ((s, d) => q19(s, d)),
+    "q20_count_distinct" -> ((s, d) => q20(s, d)),
+    "q21_setops"         -> ((s, d) => q21(s, d))
   )
 
   /** q10: multi-way star join — fact `lineitem` joined to the
@@ -209,6 +211,40 @@ object AnalyticsQueries {
       .orderBy(col("segment"))
   }
 
+  /** q20: exact distinct aggregation — distinct users and active days per
+    * event type alongside plain aggregates. Spark plans multi-distinct via
+    * Expand (one row per distinct-clause per input row) with partial
+    * aggregation before the shuffle, so the exchange carries
+    * (group, distinct-value) pairs, not raw events; at extreme cardinality
+    * switch to approx_count_distinct (HLL) — kept out of the oracle-checked
+    * query because sketches aren't engine-portable. */
+  def q20(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(to_date(col("ts"))).as("n_days"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
+
+  /** q21: set operations — classify users by view/purchase behavior via
+    * EXCEPT / INTERSECT (both DISTINCT semantics). Each set op is one
+    * hash-partition of the (already distinct-projected) keys; the three
+    * branches reuse the same two scans. */
+  def q21(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def users(t: String) =
+      ev.filter(col("event_type") === t).select(col("user_id"))
+    val v = users("view")
+    val p = users("purchase")
+    v.except(p).withColumn("segment", lit("view_only"))
+      .unionAll(p.except(v).withColumn("segment", lit("purchase_only")))
+      .unionAll(v.intersect(p).withColumn("segment", lit("both")))
+      .select(col("user_id"), col("segment"))
+      .orderBy(col("user_id"), col("segment"))
+  }
+
   def oracles: Map[String, String] = Map(
     "q10_star_join" ->
       """SELECT r_name, n_name,
@@ -308,6 +344,27 @@ object AnalyticsQueries {
         |  AND NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin,
+
+    "q20_count_distinct" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS n_users,
+        |  count(DISTINCT ts::DATE) AS n_days,
+        |  count(*) AS n_events,
+        |  (sum(value::DECIMAL(14,2)))::DOUBLE AS sum_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q21_setops" ->
+      """WITH v AS (SELECT user_id FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT * FROM (
+        |  SELECT user_id, 'view_only' AS segment FROM (SELECT user_id FROM v EXCEPT SELECT user_id FROM p)
+        |  UNION ALL
+        |  SELECT user_id, 'purchase_only' AS segment FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM v)
+        |  UNION ALL
+        |  SELECT user_id, 'both' AS segment FROM (SELECT user_id FROM v INTERSECT SELECT user_id FROM p))
+        |ORDER BY user_id, segment""".stripMargin,
 
     "q19_pivot" ->
       """SELECT c_mktsegment AS segment,

@@ -44,6 +44,25 @@ class MultimodalSpec extends SparkSpec {
     assert(!out.exists(_.getLong(0) == 3L))
   }
 
+  test("resizeStub yields fixed-size output with monotone source sampling") {
+    val out = Multimodal.resizeStub(
+      Multimodal.withPayload(docs, "text"), "doc_id", "payload", 4, 2)
+      .orderBy("id").collect()
+    assert(out.forall(_.getAs[Array[Byte]](1).length == 8))
+    assert(out.forall(r => r.getInt(2) == 4 && r.getInt(3) == 2))
+    // non-empty source: first sample is byte 0, samples never go backwards
+    val h = out(0).getAs[Array[Byte]](1)
+    assert(h(0) == "hello".getBytes("UTF-8")(0))
+    // empty source: zero-filled output, same fixed shape
+    assert(out(1).getAs[Array[Byte]](1).forall(_ == 0))
+    // upsampling a short payload repeats bytes, never reads out of range
+    val xyz = Multimodal.resizeStub(
+      Multimodal.withPayload(docs.filter("doc_id = 1"), "text"), "doc_id", "payload", 10, 3)
+      .collect()(0).getAs[Array[Byte]](1)
+    assert(xyz.length == 30)
+    assert(new String(xyz.distinct.sorted) == "ehllo".distinct.sorted.mkString)
+  }
+
   test("decodeFeatures computes byte statistics per row via mapPartitions") {
     val out = Multimodal.decodeFeatures(
       Multimodal.withPayload(docs, "text"), "doc_id", "payload")
