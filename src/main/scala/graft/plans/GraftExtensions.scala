@@ -6,17 +6,23 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SparkSessionExtensions hook registering graft's native expressions as
   * SQL functions, so `spark.sql("SELECT graft_dot(a, b) ...")` works and
-  * plain SQL users get the codegen'd hot paths.
+  * plain SQL users get the codegen'd hot paths — plus the
+  * [[BandJoinRewrite]] optimizer rule that turns naive band-join
+  * predicates into bucketed equi-joins.
   *
   * Enable with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` or
   * `.withExtensions(new GraftExtensions)`.
   */
 object GraftExtensions {
-  /** Register the graft functions on a live session (for sessions built
-    * without `spark.sql.extensions`). */
-  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Register the graft functions + optimizer rule on a live session (for
+    * sessions built without `spark.sql.extensions`). */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.graft.ColumnBridge.installFunctions(spark, new GraftExtensions)
+    if (!spark.experimental.extraOptimizations.contains(BandJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ BandJoinRewrite
+  }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -25,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => BandJoinRewrite)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       info("graft_dot", "graft_dot(a, b) - double-precision dot product of two float/double arrays"),
