@@ -300,8 +300,8 @@ object AnalyticsQueries {
          |      OR epoch_us(ts) - prev_us > ${SessionGapSeconds}000000 THEN 1 ELSE 0 END AS is_new
          |  FROM e),
          |g AS (
-         |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |                              ROWS UNBOUNDED PRECEDING) AS session_id
+         |  SELECT *, (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                               ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
          |  FROM f)
          |SELECT user_id AS id, session_id, min(ts) AS session_start,
          |  max(ts) AS session_end, count(*) AS n_events,

@@ -208,10 +208,10 @@ object EtlQueries {
 
     "q9_json_ingest" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
-        |  max(json_extract_string(props, '$.k')::BIGINT) AS max_k
+        |  (sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)))::BIGINT AS sum_k,
+        |  max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events
-        |WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
