@@ -19,9 +19,13 @@ object Sinks {
 
   /** The reference's staging pattern: TRUNCATE + load
     * (`public/source_transaction_lion_parcel.py` truncate-replace).
-    * Written to a temp sibling first, then swapped in with two renames, so
-    * readers never observe a half-written directory and a failed write
-    * leaves the previous snapshot intact. */
+    * Written to a temp sibling first, then swapped in with two renames. A
+    * failed WRITE leaves the previous snapshot untouched; a failed swap
+    * rolls the previous snapshot back into place. Between the two renames
+    * there is a brief window where the target path does not exist — readers
+    * racing that window see a missing dir, never a half-written one. True
+    * single-rename atomicity needs a table format (Iceberg/Delta) or a
+    * manifest-pointer layer; on plain parquet this is the honest best. */
   def truncateLoad(df: DataFrame, path: String): Unit = {
     val spark = df.sparkSession
     val target = new Path(path)
@@ -30,10 +34,16 @@ object Sinks {
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val old = new Path(path + "__old")
     if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(target)) fs.rename(target, old)
-    if (!fs.rename(tmp, target))
-      throw new java.io.IOException(s"rename $tmp -> $target failed")
-    if (fs.exists(old)) fs.delete(old, true)
+    val hadPrev = fs.exists(target) && fs.rename(target, old)
+    val swapped =
+      try fs.rename(tmp, target)
+      catch { case e: java.io.IOException => if (hadPrev) fs.rename(old, target); throw e }
+    if (!swapped) {
+      // roll the previous snapshot back so the table never ends up absent
+      if (hadPrev) fs.rename(old, target)
+      throw new java.io.IOException(s"rename $tmp -> $target failed; previous snapshot restored")
+    }
+    if (hadPrev) fs.delete(old, true)
   }
 
   /** Dynamic partition overwrite: rewrite ONLY the partitions present in

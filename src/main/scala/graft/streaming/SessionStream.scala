@@ -40,7 +40,14 @@ object SessionStream {
   /** Core gap fold shared by the streaming ([[updateKey]]) and batch
     * ([[sessionizeBatch]]) paths: fold time-sorted events of one key into
     * the open-session state, returning the sessions closed by a gap and
-    * the still-open tail. */
+    * the still-open tail.
+    *
+    * Late data: an event the watermark still admits but whose ts precedes
+    * the open session's last event merges conservatively (delta is
+    * negative, hence <= gap) and lowers the session start. Exact
+    * retroactive splitting for lateness beyond the gap would need a
+    * multi-interval merge state; bound the watermark delay <= gap to make
+    * the conservative merge exact. */
   def foldSorted(
       userId: Long,
       sorted: Iterator[Event],
@@ -52,7 +59,9 @@ object SessionStream {
       val us = tsUs(e.ts)
       open match {
         case Some(s) if us - s.lastUs <= gapUs =>
-          open = Some(OpenSession(s.startUs, math.max(s.lastUs, us),
+          // min() on start: a late event admitted by the watermark can sort
+          // before the open session's first event of an earlier micro-batch
+          open = Some(OpenSession(math.min(s.startUs, us), math.max(s.lastUs, us),
             s.nEvents + 1, s.sumValue + e.value))
         case Some(s) =>
           closed += Session(userId, s.startUs, s.lastUs, s.nEvents, s.sumValue)
@@ -84,9 +93,14 @@ object SessionStream {
     val (closed, open) = foldSorted(userId, sorted.iterator, state.getOption, gapUs)
     open.foreach { s =>
       state.update(s)
-      // close when the watermark passes last-event + gap
-      if (state.getCurrentWatermarkMs() >= 0)
-        state.setTimeoutTimestamp(s.lastUs / 1000L + gapSeconds * 1000L + 1L)
+      // close when the watermark passes last-event + gap; a very late key's
+      // computed expiry can already be <= the current watermark, which
+      // setTimeoutTimestamp rejects — clamp to watermark+1 so it fires on
+      // the next watermark advance instead of throwing
+      val wm = state.getCurrentWatermarkMs()
+      if (wm >= 0)
+        state.setTimeoutTimestamp(
+          math.max(s.lastUs / 1000L + gapSeconds * 1000L + 1L, wm + 1L))
     }
     closed.iterator
   }

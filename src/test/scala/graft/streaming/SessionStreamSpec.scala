@@ -52,6 +52,25 @@ class SessionStreamSpec extends SparkSpec {
     assert(streamed.subsetOf(batchAll))
   }
 
+  test("foldSorted lowers the open session's start for an admitted late event") {
+    import SessionStream.{Event, OpenSession}
+    def ev(us: Long) = Event(1L, new java.sql.Timestamp(us / 1000L), 1.0)
+    // open session started at 10s; a late event at 7s (within gap) arrives
+    // in the next micro-batch — the merged session must start at 7s
+    val open0 = Some(OpenSession(10000000L, 10000000L, 1L, 1.0))
+    val (closed, open) =
+      SessionStream.foldSorted(1L, Iterator(ev(7000000L)), open0, gapUs = 5000000L)
+    assert(closed.isEmpty)
+    assert(open.get.startUs == 7000000L && open.get.lastUs == 10000000L
+      && open.get.nEvents == 2L)
+    // any watermark-admitted late event merges conservatively (negative
+    // delta always <= gap) — the session absorbs it and lowers its start
+    val (closed2, open2) =
+      SessionStream.foldSorted(1L, Iterator(ev(1000000L)), open0, gapUs = 5000000L)
+    assert(closed2.isEmpty)
+    assert(open2.get.startUs == 1000000L && open2.get.lastUs == 10000000L)
+  }
+
   test("batch run of the stateful fold equals the window formulation exactly") {
     import spark.implicits._
     val events = graft.sources.Tables.events(spark, dir)
