@@ -89,4 +89,45 @@ object Sinks {
     // the result before the swap (localCheckpoint keeps it distributed)
     truncateLoad(merged.localCheckpoint(eager = true), targetPath)
   }
+
+  /** The reference's warehouse staging load — TRUNCATE + batched INSERT
+    * (`etl/extract_load.py` truncates `schema_punten` staging then bulk
+    * inserts; `public/source_transaction_lion_parcel.py` loads via
+    * `to_gbq(if_exists='replace')`). `truncate=true` keeps the existing
+    * table (DDL, grants, indexes) and issues TRUNCATE TABLE instead of
+    * DROP+CREATE. Each Spark partition opens one connection and inserts
+    * `batchsize` rows per round trip — repartition the frame to the write
+    * parallelism the database can absorb (databases, unlike lakes, have a
+    * connection budget: 16–32 writers, not 1000). */
+  def jdbcTruncateLoad(
+      df: DataFrame,
+      url: String,
+      table: String,
+      props: Map[String, String] = Map.empty,
+      batchSize: Int = 10000,
+      numWriters: Int = 16): Unit =
+    df.coalesce(numWriters).write
+      .mode(SaveMode.Overwrite)
+      .option("truncate", "true")
+      .option("batchsize", batchSize.toString)
+      .options(props)
+      .jdbc(url, table, new java.util.Properties())
+
+  /** Plain append load (the incremental counterpart: new delta rows into a
+    * warehouse table, e.g. the reference's `to_gbq(if_exists='append')`
+    * paths). Idempotency is the caller's job — pair with
+    * [[graft.streaming.EventStream.dedupStream]] semantics or a staging
+    * key-merge upstream. */
+  def jdbcAppend(
+      df: DataFrame,
+      url: String,
+      table: String,
+      props: Map[String, String] = Map.empty,
+      batchSize: Int = 10000,
+      numWriters: Int = 16): Unit =
+    df.coalesce(numWriters).write
+      .mode(SaveMode.Append)
+      .option("batchsize", batchSize.toString)
+      .options(props)
+      .jdbc(url, table, new java.util.Properties())
 }

@@ -45,4 +45,53 @@ object Tables {
     * callers pass an explicit schema for production use. */
   def csv(spark: SparkSession, path: String, header: Boolean = true): DataFrame =
     spark.read.option("header", header.toString).csv(path)
+
+  /** JDBC extract — the reference's primary source is a Postgres read
+    * (`public/source_transaction_lion_parcel.py:29-43` reads
+    * `schema_punten.source_transaction_lion_parcel` over an SQLAlchemy
+    * engine built in `etl/connection.py:1-36`). Single-connection read:
+    * fine for dims and small staging tables. Catalyst pushes filters and
+    * column pruning into the generated SELECT (check `PushedFilters` in
+    * the explain output), so `jdbc(...).filter(...).select(...)` ships
+    * the WHERE clause to the database, not to Spark. */
+  def jdbc(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      props: Map[String, String] = Map.empty): DataFrame =
+    spark.read.options(props).jdbc(url, table, new java.util.Properties())
+
+  /** Parallel JDBC extract for big tables: `numPartitions` concurrent
+    * connections, each reading one stride of `partitionColumn` between the
+    * bounds. This is the scale path — a single-connection read of a 10 TB
+    * table serializes through one socket; a 32-way partitioned read is 32
+    * concurrent range scans (give the column an index). Bounds only shape
+    * the stride, they do NOT filter — rows outside still land in the first
+    * and last partition. */
+  def jdbcPartitioned(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      partitionColumn: String,
+      lowerBound: Long,
+      upperBound: Long,
+      numPartitions: Int,
+      props: Map[String, String] = Map.empty): DataFrame =
+    spark.read.options(props).jdbc(
+      url, table, partitionColumn, lowerBound, upperBound, numPartitions,
+      new java.util.Properties())
+
+  /** JDBC extract with caller-supplied partition predicates — one
+    * partition per WHERE clause. For tables whose natural split is not a
+    * numeric range (dates, hash buckets, tenant ids). */
+  def jdbcByPredicates(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      predicates: Seq[String],
+      props: Map[String, String] = Map.empty): DataFrame = {
+    val p = new java.util.Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    spark.read.jdbc(url, table, predicates.toArray, p)
+  }
 }
