@@ -45,6 +45,94 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** d6: the SCALE path for exact cosine near-dup pairs — identical output
+    * to [[cosinePairs]] (so the same all-pairs SQL oracle hash-checks it),
+    * reached without the O(n²) theta self-join.
+    *
+    * Metric-pruning design (the exactness argument is the spherical
+    * triangle inequality, as used in metric trees / FAISS-style coarse
+    * quantization — Omohundro 1989 ball trees; Jégou et al. TPAMI 2011
+    * for the IVF cell structure):
+    *
+    *  1. assign every vector to its argmax-cosine centroid cell
+    *     (deterministic centroids = lowest-id corpus vectors, exactly as
+    *     [[ivfTopK]]; broadcast join + `max_by` partial agg — the shuffle
+    *     carries one row per vector);
+    *  2. per cell, aggregate the max angular radius r(c) = max θ(v, c)
+    *     (tiny: nCells rows);
+    *  3. enumerate cell PAIRS (nCells² rows, broadcast-sized) and keep
+    *     those with θ(ca, cb) ≤ r(ca) + θ_t + r(cb): angles on the unit
+    *     sphere obey the triangle inequality, so a qualifying vector pair
+    *     θ(a,b) ≤ θ_t cannot live in a pruned cell pair — NO false
+    *     negatives, deterministically, at any scale factor;
+    *  4. fan vectors out over their cell's surviving partner cells and
+    *     equi-join on the partner cell id (hash-partitioned, AQE-skew
+    *     splittable — NOT a nested loop); `ida < idb` dedup and the exact
+    *     cosine threshold are post-join filters.
+    *
+    * Pruning power tracks how clustered the data is (real embedding
+    * corpora cluster; uniform-random vectors are the worst case) while
+    * correctness never depends on it — the candidate set only shrinks
+    * below n² when cells are tighter than the threshold angle. For high
+    * thresholds (true near-dups, cos ≥ 0.9) the candidate space collapses
+    * to near-diagonal cell pairs.
+    *
+    * The assignment subtree feeds three consumers (radii, both join
+    * sides); AQE exchange reuse collapses the identical instances at
+    * runtime. At 100 TB, materialize the assignment once to a
+    * cell-bucketed table instead — it is also the IVF index [[ivfTopK]]
+    * probes, so the two operators share one build. */
+  def cosinePairsCellPruned(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nCells: Int): DataFrame = {
+    val thetaT = math.acos(math.min(1.0, math.max(-1.0, threshold)))
+    val eps = 1e-9 // float→double rounding slack on the radius bound
+    val n = emb.select(col(idCol), col(vecCol), norm2(col(vecCol)).as("__n2"))
+    val cent = n.filter(col(idCol) < nCells)
+      .select(col(idCol).as("__cid"), col(vecCol).as("__cv"), col("__n2").as("__cn2"))
+    val cellCos = cosineFromNorms(dotD(col(vecCol), col("__cv")), col("__n2"), col("__cn2"))
+    def angle(c: org.apache.spark.sql.Column) = acos(least(greatest(c, lit(-1.0)), lit(1.0)))
+
+    // (1) one row per vector: its cell and the angle to that centroid
+    val assigned = n.join(broadcast(cent))
+      .select(col(idCol), col(vecCol), col("__n2"), col("__cid"), cellCos.as("__ccos"))
+      .groupBy(col(idCol))
+      .agg(
+        max_by(col("__cid"), struct(col("__ccos"), -col("__cid"))).as("__cell"),
+        angle(max(col("__ccos"))).as("__theta"),
+        first(col(vecCol)).as(vecCol), first(col("__n2")).as("__n2"))
+
+    // (2) per-cell angular radius — nCells rows
+    val radii = assigned.groupBy(col("__cell")).agg(max(col("__theta")).as("__r"))
+
+    // (3) ordered cell pairs surviving the triangle-inequality bound
+    val cc = cent.as("x").crossJoin(cent.as("y"))
+      .select(col("x.__cid").as("__ca"), col("y.__cid").as("__cb"),
+        angle(cosineFromNorms(dotD(col("x.__cv"), col("y.__cv")),
+          col("x.__cn2"), col("y.__cn2"))).as("__tcc"))
+    val cellPairs = cc
+      .join(radii.select(col("__cell").as("__ca"), col("__r").as("__ra")), Seq("__ca"))
+      .join(radii.select(col("__cell").as("__cb"), col("__r").as("__rb")), Seq("__cb"))
+      .filter(col("__tcc") <= col("__ra") + col("__rb") + lit(thetaT + eps))
+      .select(col("__ca"), col("__cb"))
+
+    // (4) fan out a-side over partner cells, equi-join b-side on the cell
+    val a = assigned.select(col(idCol).as("ida"), col(vecCol).as("__va"),
+      col("__n2").as("__na2"), col("__cell").as("__ca"))
+    val b = assigned.select(col(idCol).as("idb"), col(vecCol).as("__vb"),
+      col("__n2").as("__nb2"), col("__cell").as("__cb"))
+    a.join(broadcast(cellPairs), Seq("__ca"))
+      .join(b, Seq("__cb"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"),
+        cosineFromNorms(dotD(col("__va"), col("__vb")),
+          col("__na2"), col("__nb2")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** s1: brute-force cosine top-k neighbors for each query vector.
     * `queries` is expected to be small — Catalyst broadcasts it, the
     * corpus side never shuffles; ranking is one window over query_id. */

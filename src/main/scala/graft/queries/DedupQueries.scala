@@ -33,6 +33,7 @@ object DedupQueries {
     "d3_dedup_minhash"   -> ((s, d) => d3(s, d)),
     "d4_dedup_simhash"   -> ((s, d) => d4(s, d)),
     "d5_dedup_embedding" -> ((s, d) => d5(s, d)),
+    "d6_dedup_embcell"   -> ((s, d) => d6(s, d)),
     "s1_knn_bruteforce"  -> ((s, d) => s1(s, d)),
     "s2_knn_lsh"         -> ((s, d) => s2(s, d)),
     "s3_knn_ivf"         -> ((s, d) => s3(s, d))
@@ -69,6 +70,15 @@ object DedupQueries {
   /** d5: embedding-cosine near-dup pairs (exact, norm precomputed). */
   def d5(s: SparkSession, dir: String): DataFrame =
     Similarity.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding", CosThr)
+      .orderBy(col("ida"), col("idb"))
+
+  /** d6: the SAME exact pair set as d5 (identical oracle), produced by the
+    * scale path — centroid-cell assignment + triangle-inequality cell-pair
+    * pruning + equi-join candidates + exact verify. No all-pairs theta
+    * join anywhere in the plan. */
+  def d6(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosinePairsCellPruned(Tables.embeddings(s, dir), "vec_id", "embedding",
+        CosThr, IvfCentroids)
       .orderBy(col("ida"), col("idb"))
 
   private def queryVecs(s: SparkSession, dir: String): DataFrame =
@@ -137,6 +147,14 @@ object DedupQueries {
        |    list_reduce(list_transform(range(1, ${CosDim + 1}), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE),
        |                (x, y) -> x + y) AS n2 FROM embeddings)""".stripMargin
 
+  private val CosPairSql =
+    s"""WITH $NormCte,
+       |p AS (SELECT a.vec_id ida, b.vec_id idb,
+       |    ${dotSql("a", "b")} / sqrt(a.n2 * b.n2) AS cos
+       |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+       |SELECT ida, idb, cos FROM p WHERE cos >= $CosThr
+       |ORDER BY ida, idb""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "d1_dedup_exact" ->
       s"""WITH nrm AS (SELECT doc_id, $NormExpr AS norm FROM documents)
@@ -159,13 +177,10 @@ object DedupQueries {
          |WHERE bit_count(xor(a.f, b.f)) <= $MaxHamming
          |ORDER BY ida, idb""".stripMargin,
 
-    "d5_dedup_embedding" ->
-      s"""WITH $NormCte,
-         |p AS (SELECT a.vec_id ida, b.vec_id idb,
-         |    ${dotSql("a", "b")} / sqrt(a.n2 * b.n2) AS cos
-         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
-         |SELECT ida, idb, cos FROM p WHERE cos >= $CosThr
-         |ORDER BY ida, idb""".stripMargin,
+    "d5_dedup_embedding" -> CosPairSql,
+    // d6 is exact by construction (triangle-inequality pruning has no false
+    // negatives), so the ALL-PAIRS oracle checks the pruned plan verbatim
+    "d6_dedup_embcell"   -> CosPairSql,
 
     "s1_knn_bruteforce" ->
       s"""WITH $NormCte,

@@ -22,6 +22,39 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(c12 - 0.9 / math.sqrt(0.81 + 0.01)) < 1e-6)
   }
 
+  test("cosinePairsCellPruned equals the all-pairs formulation bit-for-bit") {
+    val dir = "/root/testdata/sf0.01"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.select("ida", "idb", "cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact  = res(Similarity.cosinePairs(emb, "vec_id", "embedding", 0.4))
+    val pruned = res(Similarity.cosinePairsCellPruned(emb, "vec_id", "embedding", 0.4, 16))
+    assert(pruned.keySet == exact.keySet,
+      s"missed=${(exact.keySet -- pruned.keySet).take(5)} extra=${(pruned.keySet -- exact.keySet).take(5)}")
+    // the verify step recomputes the same expression on the same vectors —
+    // cosines must be bit-identical, or the oracle hash would diverge
+    exact.foreach { case (k, v) => assert(pruned(k) == v, s"cos mismatch at $k") }
+    assert(exact.nonEmpty)
+  }
+
+  test("cosinePairsCellPruned plans equi-joins, not an all-pairs theta join") {
+    val dir = "/root/testdata/sf0.01"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val df = Similarity.cosinePairsCellPruned(emb, "vec_id", "embedding", 0.4, 16)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    // nested-loop joins may only be centroid fan-outs (nCells-row build
+    // side: the vector→centroid assignment — same shape as s3 — and the
+    // centroid×centroid pair table); the PAIR-producing join must be an
+    // equi-join on the cell with ida < idb as a post-condition, never a
+    // nested loop over the ids
+    val nljLines = plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(nljLines.forall(l => !l.contains("ida") && !l.contains("idb")),
+      s"id-theta nested loop in plan:\n${nljLines.mkString("\n")}")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"))
+  }
+
   test("knnBruteForce ranks by cosine desc, excludes self, ties break by id") {
     val q = vecs.filter("vec_id = 1")
     val out = Similarity.knnBruteForce(q, vecs, "vec_id", "embedding", 3)
