@@ -90,6 +90,47 @@ object Sinks {
     truncateLoad(merged.localCheckpoint(eager = true), targetPath)
   }
 
+  /** Distributed CSV sink — a directory of part files, the scale form
+    * (CSV is row-major and splittable on read when uncompressed; still
+    * prefer parquet for anything queried again). Nulls and empty strings
+    * both render as empty fields, matching the common pandas `to_csv`
+    * convention the reference's outputs use. */
+  def csv(
+      df: DataFrame,
+      path: String,
+      header: Boolean = true,
+      options: Map[String, String] = Map.empty): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", header.toString)
+      .option("emptyValue", "")
+      // RFC 4180 quote doubling ("") instead of Spark's backslash default —
+      // what pandas/Excel/DuckDB write and expect
+      .option("escape", "\"")
+      .options(options)
+      .csv(path)
+
+  /** Single-FILE CSV export at exactly `path` — the reference's final
+    * deliverable shape (`lion_parcell_bonus_test_stg.py:26` OUT_CSV /
+    * line 313 detail_csv via `DataFrame.to_csv`). A single file is
+    * inherently one writer, so this is for EXPORTS — small, human- or
+    * tool-facing, post-aggregation results — not for data at scale; the
+    * coalesce(1) states that contract in the plan. Row order of a sorted
+    * input survives: coalesce concatenates partitions in index order. */
+  def csvExport(df: DataFrame, path: String, header: Boolean = true): Unit = {
+    val spark = df.sparkSession
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path + "__tmp_" + java.util.UUID.randomUUID().toString.take(8))
+    csv(df.coalesce(1), tmp.toString, header)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".csv"))
+      .getOrElse(throw new java.io.IOException(s"no part file under $tmp"))
+    if (fs.exists(target)) fs.delete(target, false)
+    if (!fs.rename(part, target))
+      throw new java.io.IOException(s"rename $part -> $target failed")
+    fs.delete(tmp, true)
+  }
+
   /** The reference's warehouse staging load — TRUNCATE + batched INSERT
     * (`etl/extract_load.py` truncates `schema_punten` staging then bulk
     * inserts; `public/source_transaction_lion_parcel.py` loads via

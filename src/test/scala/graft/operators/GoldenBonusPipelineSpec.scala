@@ -19,6 +19,49 @@ class GoldenBonusPipelineSpec extends SparkSpec {
   private def normJson(s: String): String =
     if (s == null) null else s.replace(": ", ":").replace(", ", ",")
 
+  /** Split one CSV line into fields (RFC 4180 quoting). */
+  private def csvFields(line: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQ) {
+        if (c == '"' && i + 1 < line.length && line.charAt(i + 1) == '"') { cur += '"'; i += 1 }
+        else if (c == '"') inQ = false
+        else cur += c
+      } else c match {
+        case '"' => inQ = true
+        case ',' => out += cur.result(); cur.clear()
+        case _   => cur += c
+      }
+      i += 1
+    }
+    out += cur.result()
+    out.result()
+  }
+
+  /** Line equality for the golden CSVs: byte-equal fields, except
+    * double-typed fields compare at 1e-12 relative tolerance (distributed
+    * sums add in a different order than pandas' sequential fold) and JSON
+    * fields compare with separator spacing normalized. */
+  private def assertCsvLineEq(got: String, golden: String): Unit = {
+    val (g, o) = (csvFields(got), csvFields(normJson(golden)))
+    assert(g.size == o.size, s"field count:\n  got    $got\n  golden $golden")
+    g.zip(o).foreach { case (a, b) =>
+      val ad = a.toDoubleOption
+      val bd = b.toDoubleOption
+      (ad, bd) match {
+        case (Some(x), Some(y)) if b.contains('.') || a.contains('.') =>
+          assert(math.abs(x - y) <= math.abs(y) * 1e-12 + 1e-300,
+            s"numeric field $a != $b in:\n  got    $got\n  golden $golden")
+        case _ =>
+          assert(a == b, s"field '$a' != '$b' in:\n  got    $got\n  golden $golden")
+      }
+    }
+  }
+
   test("MetricsIngest reproduces the reference's combined_table.parquet") {
     val golden = spark.read.parquet(s"$refDir/combined_table.parquet")
       .collect()
@@ -45,6 +88,46 @@ class GoldenBonusPipelineSpec extends SparkSpec {
           s"$id load_time: $a != $g")
         case other => fail(s"$id load_time null mismatch: $other")
       }
+    }
+  }
+
+  test("csvExport reproduces the reference's committed combined_table.csv") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_golden_csv")
+      .resolve("combined_table.csv").toString
+    val finalDf = MetricsIngest.rollup(
+      MetricsIngest.flatten(spark, s"$refDir/downloads_json/*.json"))
+      .select(col("id"), col("runtime_date"), col("load_time"),
+        col("message").as("Message"))
+      .orderBy(col("id"))
+    graft.sources.Sinks.csvExport(finalDf, out)
+    val got = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(out))
+    val golden = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$refDir/combined_table.csv"))
+    assert(got.size == golden.size)
+    got.toArray.zip(golden.toArray).foreach { case (a, g) =>
+      assertCsvLineEq(a.toString, g.toString)
+    }
+  }
+
+  test("csvExport reproduces the reference's combined_detail_per_file.csv") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_golden_csv2")
+      .resolve("combined_detail_per_file.csv").toString
+    val detail = MetricsIngest.flatten(spark, s"$refDir/downloads_json/*.json")
+      .withColumn("load_time",
+        when(col("cnt") > 0, col("sum_ms") / col("cnt") / lit(60000.0)))
+      .withColumn("source_file", element_at(split(col("source_file"), "/"), -1))
+      .select(col("id"), col("runtime_date"), col("sum_ms"), col("cnt"),
+        col("load_time"), col("message").as("Message"), col("source_file"))
+      .orderBy(col("id"), col("source_file"))
+    graft.sources.Sinks.csvExport(detail, out)
+    val got = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(out))
+    val golden = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$refDir/combined_detail_per_file.csv"))
+    assert(got.size == golden.size)
+    got.toArray.zip(golden.toArray).foreach { case (a, g) =>
+      assertCsvLineEq(a.toString, g.toString)
     }
   }
 
