@@ -30,6 +30,7 @@ object DedupQueries {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact"     -> ((s, d) => d1(s, d)),
     "d2_dedup_ngram"     -> ((s, d) => d2(s, d)),
+    "d2b_dedup_ngram_capped" -> ((s, d) => d2b(s, d)),
     "d3_dedup_minhash"   -> ((s, d) => d3(s, d)),
     "d4_dedup_simhash"   -> ((s, d) => d4(s, d)),
     "d5_dedup_embedding" -> ((s, d) => d5(s, d)),
@@ -41,6 +42,8 @@ object DedupQueries {
 
   private val IvfCentroids = 16
   private val IvfProbes    = 3
+  private val MinDfCap     = 5L  // df cap floor (small corpora)
+  private val DfCapDivisor = 100L // cap = max(floor, n_docs/100) = 1% of corpus
 
   /** d1: exact dedup groups on normalized text (hash-groupBy). */
   def d1(s: SparkSession, dir: String): DataFrame =
@@ -52,6 +55,21 @@ object DedupQueries {
     Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
         ShingleN, JaccardThr)
       .orderBy(col("ida"), col("idb"))
+
+  /** d2b: the production form of d2 — document-frequency cap wired. A
+    * shingle present in more than max(5, 1%) of docs carries no near-dup
+    * signal but quadratic posting-list cost (power-law corpora put a
+    * boilerplate shingle in millions of docs; its posting list alone would
+    * be a petabyte-scale self-join). The cap drops those lists AND shrinks
+    * the per-doc set sizes consistently, so the Jaccard stays a true
+    * set similarity over the capped vocabulary — semantics the oracle
+    * reproduces exactly. */
+  def d2b(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cap = math.max(MinDfCap, docs.count() / DfCapDivisor)
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text", ShingleN, JaccardThr, Some(cap))
+      .orderBy(col("ida"), col("idb"))
+  }
 
   /** d3: MinHash+LSH candidates, exact-verified — equals the exact
     * threshold pair set (same oracle as d2), reached via the near-linear
@@ -163,6 +181,25 @@ object DedupQueries {
          |FROM nrm ORDER BY doc_id""".stripMargin,
 
     "d2_dedup_ngram"   -> JaccardPairSql,
+
+    // capped variant: df over shingle STRINGS (the Spark side keys postings
+    // on the 55-bit hash — identical df modulo ~1e-8 collision odds, the
+    // same equivalence d2's oracle already relies on)
+    "d2b_dedup_ngram_capped" ->
+      s"""WITH $ShingleCtes,
+         |x AS (SELECT doc_id, unnest(sg) AS s FROM sh),
+         |df AS (SELECT s, count(*) AS c FROM x GROUP BY s),
+         |keep AS (SELECT doc_id, s FROM x JOIN df USING (s)
+         |  WHERE c <= greatest($MinDfCap, (SELECT count(*) FROM documents) // $DfCapDivisor)),
+         |sz AS (SELECT doc_id, count(*) AS n FROM keep GROUP BY doc_id),
+         |p AS (SELECT a.doc_id ida, b.doc_id idb, count(*) AS common
+         |  FROM keep a JOIN keep b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT ida, idb, common::DOUBLE / (na.n + nb.n - common) AS jaccard
+         |FROM p JOIN sz na ON p.ida = na.doc_id JOIN sz nb ON p.idb = nb.doc_id
+         |WHERE common::DOUBLE / (na.n + nb.n - common) >= $JaccardThr
+         |ORDER BY ida, idb""".stripMargin,
+
     "d3_dedup_minhash" -> JaccardPairSql,
 
     "d4_dedup_simhash" ->

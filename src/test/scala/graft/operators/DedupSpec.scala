@@ -61,6 +61,22 @@ class DedupSpec extends SparkSpec {
     assert(capped.isEmpty) // the only shared shingle was the capped one
   }
 
+  test("df cap on the real corpus: planted near-dups survive, df>cap lists dropped") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    def pairs(cap: Option[Long]) =
+      Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.5, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(None)
+    val capped = pairs(Some(5L)) // sf0.01 max df is 7: the cap bites
+    assert(uncapped.nonEmpty)
+    // planted near-dup pairs ride doc-specific shingles (df ≈ cluster
+    // size), not boilerplate — capping boilerplate must not lose them
+    assert(capped == uncapped, s"capped diverged: -${uncapped -- capped} +${capped -- uncapped}")
+    // a cap of 1 removes every shared shingle by definition → no pairs:
+    // proof the cap path really drops posting lists, not just re-filters
+    assert(pairs(Some(1L)).isEmpty)
+  }
+
   test("minhashLshPairs equals the exact ngram pair set after verification") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3)
       .orderBy("ida", "idb").collect()
