@@ -13,11 +13,20 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.local(cpus)
+    // ad-hoc runtime conf overrides for bench experiments, e.g.
+    // SPARK_GRAFT_BENCH_CONF="spark.sql.adaptive.enabled=false,spark.sql.shuffle.partitions=8"
+    sys.env.get("SPARK_GRAFT_BENCH_CONF").foreach(_.split(',').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
     // untimed warmup: JIT, codegen, shuffle infra — so per-query numbers
     // measure the operator, not first-query JVM startup
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated allowlist for focused A/B runs
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').map(_.trim).toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

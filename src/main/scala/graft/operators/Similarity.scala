@@ -77,11 +77,10 @@ object Similarity {
     * thresholds (true near-dups, cos ≥ 0.9) the candidate space collapses
     * to near-diagonal cell pairs.
     *
-    * The assignment subtree feeds three consumers (radii, both join
-    * sides); AQE exchange reuse collapses the identical instances at
-    * runtime. At 100 TB, materialize the assignment once to a
-    * cell-bucketed table instead — it is also the IVF index [[ivfTopK]]
-    * probes, so the two operators share one build. */
+    * The assignment feeds three consumers (radii, both join sides), so it
+    * is materialized once via lazy localCheckpoint. At 100 TB,
+    * materialize it to a cell-bucketed table instead — it is also the IVF
+    * index [[ivfTopK]] probes, so the two operators share one build. */
   def cosinePairsCellPruned(
       emb: DataFrame,
       idCol: String,
@@ -96,7 +95,12 @@ object Similarity {
     val cellCos = cosineFromNorms(dotD(col(vecCol), col("__cv")), col("__n2"), col("__cn2"))
     def angle(c: org.apache.spark.sql.Column) = acos(least(greatest(c, lit(-1.0)), lit(1.0)))
 
-    // (1) one row per vector: its cell and the angle to that centroid
+    // (1) one row per vector: its cell and the angle to that centroid.
+    // Materialized once (lazy localCheckpoint): three consumers (radii,
+    // both join sides) would otherwise re-run the assignment — column
+    // pruning specializes the radii branch, which defeats AQE exchange
+    // reuse there. At 100 TB this is the index build you persist to a
+    // cell-bucketed table instead (shared with ivfTopK).
     val assigned = n.join(broadcast(cent))
       .select(col(idCol), col(vecCol), col("__n2"), col("__cid"), cellCos.as("__ccos"))
       .groupBy(col(idCol))
@@ -104,6 +108,7 @@ object Similarity {
         max_by(col("__cid"), struct(col("__ccos"), -col("__cid"))).as("__cell"),
         angle(max(col("__ccos"))).as("__theta"),
         first(col(vecCol)).as(vecCol), first(col("__n2")).as("__n2"))
+      .localCheckpoint(eager = false)
 
     // (2) per-cell angular radius — nCells rows
     val radii = assigned.groupBy(col("__cell")).agg(max(col("__theta")).as("__r"))

@@ -20,6 +20,14 @@ class DedupSpec extends SparkSpec {
       (1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 1L), (4L, 4L, 1L), (5L, 5L, 1L)))
   }
 
+  test("hash-keyed exactGroups equals the string-keyed formulation on the corpus") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    def res(hashKey: Boolean) =
+      Dedup.exactGroups(corpus, "doc_id", "text", hashShuffleKey = hashKey)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(res(true) == res(false))
+  }
+
   test("shingleDocs emits distinct n-grams, empty below n words") {
     val sh = Dedup.shingleDocs(docs, "doc_id", "text", 3)
       .orderBy("doc_id").collect()
