@@ -35,6 +35,7 @@ object DedupQueries {
     "d4_dedup_simhash"   -> ((s, d) => d4(s, d)),
     "d5_dedup_embedding" -> ((s, d) => d5(s, d)),
     "d6_dedup_embcell"   -> ((s, d) => d6(s, d)),
+    "d7_dedup_components" -> ((s, d) => d7(s, d)),
     "s1_knn_bruteforce"  -> ((s, d) => s1(s, d)),
     "s2_knn_lsh"         -> ((s, d) => s2(s, d)),
     "s3_knn_ivf"         -> ((s, d) => s3(s, d))
@@ -99,6 +100,17 @@ object DedupQueries {
         CosThr, IvfCentroids)
       .orderBy(col("ida"), col("idb"))
 
+  /** d7: near-dup pairs → canonical clusters. Pairs from the d3 scale
+    * path (MinHash-LSH candidates, exact-verified — identical to the
+    * exact pair set), clustered by iterative min-label propagation; the
+    * oracle recomputes the same components with a recursive CTE. */
+  def d7(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Components.dedupClusters(
+      Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+        ShingleN, MinhashBands, MinhashRows, JaccardThr),
+      "ida", "idb")
+      .orderBy(col("id"))
+
   private def queryVecs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).filter(col("vec_id") % QueryStride === 0)
 
@@ -137,14 +149,19 @@ object DedupQueries {
        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sg FROM w)""".stripMargin
 
-  private val JaccardPairSql =
-    s"""WITH $ShingleCtes,
+  /** The exact ≥ threshold Jaccard pair set as a CTE (`jp`), composable
+    * into the pair queries (d2/d3) and the clustering query (d7). */
+  private val JaccardPairCtes =
+    s"""$ShingleCtes,
        |p AS (SELECT a.doc_id ida, b.doc_id idb,
        |    len(list_intersect(a.sg, b.sg)) AS common, len(a.sg) na, len(b.sg) nb
-       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-       |SELECT ida, idb, common::DOUBLE / (na + nb - common) AS jaccard
-       |FROM p WHERE common::DOUBLE / (na + nb - common) >= $JaccardThr
-       |ORDER BY ida, idb""".stripMargin
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+       |jp AS (SELECT ida, idb, common::DOUBLE / (na + nb - common) AS jaccard
+       |  FROM p WHERE common::DOUBLE / (na + nb - common) >= $JaccardThr)""".stripMargin
+
+  private val JaccardPairSql =
+    s"""WITH $JaccardPairCtes
+       |SELECT ida, idb, jaccard FROM jp ORDER BY ida, idb""".stripMargin
 
   /** char-fold polynomial hash of each shingle — mirrors TextHash. */
   private val HashCte =
@@ -218,6 +235,17 @@ object DedupQueries {
     // d6 is exact by construction (triangle-inequality pruning has no false
     // negatives), so the ALL-PAIRS oracle checks the pruned plan verbatim
     "d6_dedup_embcell"   -> CosPairSql,
+
+    "d7_dedup_components" ->
+      s"""WITH RECURSIVE $JaccardPairCtes,
+         |e AS (SELECT ida AS u, idb AS v FROM jp UNION SELECT idb, ida FROM jp),
+         |r AS (SELECT u AS id, u AS lbl FROM e
+         |  UNION SELECT e.u, r.lbl FROM e JOIN r ON r.id = e.v),
+         |cc AS (SELECT id, min(lbl) AS component_id FROM r GROUP BY id),
+         |sz AS (SELECT component_id, count(*) AS component_size
+         |  FROM cc GROUP BY component_id)
+         |SELECT cc.id, cc.component_id, sz.component_size
+         |FROM cc JOIN sz USING (component_id) ORDER BY id""".stripMargin,
 
     "s1_knn_bruteforce" ->
       s"""WITH $NormCte,
