@@ -23,6 +23,7 @@ object AnalyticsQueries {
     "q10_star_join"      -> ((s, d) => q10(s, d)),
     "q11_topk_per_group" -> ((s, d) => q11(s, d)),
     "q12_rollup"         -> ((s, d) => q12(s, d)),
+    "q12b_cube"          -> ((s, d) => q12b(s, d)),
     "q13_sessionize"     -> ((s, d) => q13(s, d)),
     "q14_asof_join"      -> ((s, d) => q14(s, d)),
     "q15_range_join"     -> ((s, d) => q15(s, d)),
@@ -89,6 +90,30 @@ object AnalyticsQueries {
         count(lit(1)).as("__n"))
     base
       .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("__sq")).cast("double").as("sum_qty"),
+        sum(col("__sp")).cast("double").as("sum_price"),
+        sum(col("__n")).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("sum_price"), col("n"))
+      .orderBy(col("returnflag"), col("linestatus"))
+  }
+
+  /** q12b: CUBE over the same dimensions — all 4 grouping sets (pair,
+    * each single, grand total). Same pre-aggregation trick as q12: Spark
+    * Expands input 4× for a 2-column cube, so cube the tiny
+    * micro-aggregate, not the fact table. */
+  def q12b(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(12,2)")).as("__sq"),
+        sum(col("l_extendedprice").cast("decimal(12,2)")).as("__sp"),
+        count(lit(1)).as("__n"))
+    base
+      .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("__sq")).cast("double").as("sum_qty"),
         sum(col("__sp")).cast("double").as("sum_price"),
@@ -288,6 +313,16 @@ object AnalyticsQueries {
         |  count(*) AS n
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q12b_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  (sum(l_quantity::DECIMAL(12,2)))::DOUBLE AS sum_qty,
+        |  (sum(l_extendedprice::DECIMAL(12,2)))::DOUBLE AS sum_price,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
 
     "q13_sessionize" ->

@@ -32,7 +32,8 @@ object EtlQueries {
     "q6_scd2_timetravel"   -> ((s, d) => q6(s, d)),
     "q7_scd2_audit"        -> ((s, d) => q7(s, d)),
     "q8_metrics_rollup"    -> ((s, d) => q8(s, d)),
-    "q9_json_ingest"       -> ((s, d) => q9(s, d))
+    "q9_json_ingest"       -> ((s, d) => q9(s, d)),
+    "q22_reconcile"        -> ((s, d) => q22(s, d))
   )
 
   /** q2: staging truncate-load — typed projection + audit load timestamp
@@ -111,6 +112,20 @@ object EtlQueries {
         sum(col("k")).as("sum_k"),
         max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
+
+  /** q22: migration/merge validation — full-outer reconciliation of the
+    * T1 target state against the latest staging state (the diff a user
+    * switching engines runs to prove equivalence). See
+    * [[graft.operators.Reconcile]]: one full-outer key join. */
+  def q22(s: SparkSession, dir: String): DataFrame = {
+    val staging = Snapshots.stateAsOf(Tables.events(s, dir), "user_id", "ts",
+      "event_type", "event_id", None)
+    graft.operators.Reconcile
+      .diff(targetState(s, dir), staging, "id", Seq("last_status", "updated_at"))
+      .select(col("id"), col("status"),
+        col("l_last_status"), col("r_last_status"))
+      .orderBy(col("id"))
+  }
 
   private val stateCte =
     s"""te AS (
@@ -205,6 +220,18 @@ object EtlQueries {
         |  (sum(value::DECIMAL(12,2)))::DOUBLE / count(*) / 60000.0 AS load_time,
         |  string_agg(DISTINCT event_type, '; ' ORDER BY event_type) AS message
         |FROM events GROUP BY user_id ORDER BY id""".stripMargin,
+
+    "q22_reconcile" ->
+      s"""WITH $stateCte
+         |SELECT coalesce(t.id, s.id) AS id,
+         |  CASE WHEN t.id IS NULL THEN 'only_right'
+         |       WHEN s.id IS NULL THEN 'only_left'
+         |       WHEN t.last_status IS DISTINCT FROM s.last_status
+         |         OR t.updated_at IS DISTINCT FROM s.updated_at THEN 'changed'
+         |       ELSE 'same' END AS status,
+         |  t.last_status AS l_last_status, s.last_status AS r_last_status
+         |FROM target t FULL OUTER JOIN staging s ON t.id = s.id
+         |ORDER BY id""".stripMargin,
 
     "q9_json_ingest" ->
       """SELECT event_type, count(*) AS n,
