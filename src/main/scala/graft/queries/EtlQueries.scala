@@ -33,8 +33,18 @@ object EtlQueries {
     "q7_scd2_audit"        -> ((s, d) => q7(s, d)),
     "q8_metrics_rollup"    -> ((s, d) => q8(s, d)),
     "q9_json_ingest"       -> ((s, d) => q9(s, d)),
-    "q22_reconcile"        -> ((s, d) => q22(s, d))
+    "q22_reconcile"        -> ((s, d) => q22(s, d)),
+    "q23_profile"          -> ((s, d) => q23(s, d))
   )
+
+  private val ProfileCols = Seq(
+    "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  /** q23: column profiling of the staging source (the stats that inform a
+    * [[graft.sources.Contracts]] declaration). One aggregation pass. */
+  def q23(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.describe(Tables.orders(s, dir), ProfileCols)
+      .orderBy(col("col_name"))
 
   /** q2: staging truncate-load — typed projection + audit load timestamp
     * (source_transaction_lion_parcel.py extract/load: fixed column list +
@@ -232,6 +242,14 @@ object EtlQueries {
          |  t.last_status AS l_last_status, s.last_status AS r_last_status
          |FROM target t FULL OUTER JOIN staging s ON t.id = s.id
          |ORDER BY id""".stripMargin,
+
+    "q23_profile" -> ProfileCols.map(c =>
+      s"""SELECT '$c' AS col_name, count(*)::BIGINT AS n_rows,
+         |  (count(*) - count($c))::BIGINT AS n_nulls,
+         |  count(DISTINCT $c)::BIGINT AS n_distinct,
+         |  min($c)::VARCHAR AS min_value, max($c)::VARCHAR AS max_value
+         |FROM orders""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
 
     "q9_json_ingest" ->
       """SELECT event_type, count(*) AS n,
