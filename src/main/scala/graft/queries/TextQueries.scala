@@ -22,7 +22,8 @@ object TextQueries {
     "t4_fingerprint"     -> ((s, d) => t4(s, d)),
     "m1_multimodal_meta" -> ((s, d) => m1(s, d)),
     "st1_stream_window"  -> ((s, d) => st1(s, d)),
-    "st2_stream_session" -> ((s, d) => st2(s, d))
+    "st2_stream_session" -> ((s, d) => st2(s, d)),
+    "st3_stream_enrich"  -> ((s, d) => st3(s, d))
   )
 
   private val SessionGapSeconds = 7200L // same boundary as q13
@@ -75,6 +76,14 @@ object TextQueries {
         col("sum_value").cast("long").as("sum_cents"))
       .orderBy(col("id"), col("session_start"))
   }
+
+  /** st3: batch run of the stream-static enrichment join + windowed agg
+    * (graft.streaming.EventStream.enrichedWindowedAgg) — the dim is
+    * broadcast, the stream side shuffles only for the aggregate. */
+  def st3(s: SparkSession, dir: String): DataFrame =
+    EventStream.enrichedWindowedAgg(Tables.events(s, dir),
+        Tables.customer(s, dir), "c_custkey", "c_mktsegment")
+      .orderBy(col("window_start"), col("segment"))
 
   // ---- oracle SQL ---------------------------------------------------------
 
@@ -165,6 +174,15 @@ object TextQueries {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
+
+    "st3_stream_enrich" ->
+      """SELECT date_trunc('hour', ts) AS window_start,
+        |  c_mktsegment AS segment,
+        |  count(*) AS n_events,
+        |  (sum(value::DECIMAL(14,2)))::DOUBLE AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2
+        |ORDER BY window_start, segment""".stripMargin,
 
     "st2_stream_session" ->
       s"""WITH e AS (

@@ -68,6 +68,49 @@ object EventStream {
       .outputMode("complete")
       .start()
 
+  /** Stream-static enrichment: every event joined to a slowly-changing
+    * dimension snapshot, then the tumbling-window aggregation keyed by a
+    * dim attribute — the standard "enrich the stream against the
+    * warehouse dim" pipeline (the reference does the batch analog when
+    * its hourly DAG joins staging to customer attributes).
+    *
+    * In stream mode Spark re-plans the static side per micro-batch (a
+    * dim refresh is picked up on the next batch); the dim is explicitly
+    * broadcast — the stream side never shuffles for the join, only for
+    * the windowed aggregate. Same transform runs on batch inputs
+    * (unification, as [[windowedAgg]]). */
+  def enrichedWindowedAgg(
+      events: DataFrame,
+      dim: DataFrame,
+      dimKey: String,
+      dimAttr: String): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .join(broadcast(dim.select(col(dimKey), col(dimAttr))),
+        col("user_id") === col(dimKey))
+      .groupBy(window(col("ts"), "1 hour").as("__w"), col(dimAttr).as("segment"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("sum_value"))
+      .select(col("__w.start").as("window_start"), col("segment"),
+        col("n_events"), col("sum_value"))
+
+  /** Start the enrichment pipeline: streaming events joined to the static
+    * dim table, into a memory sink. */
+  def startEnriched(
+      spark: SparkSession,
+      dir: String,
+      dim: DataFrame,
+      dimKey: String,
+      dimAttr: String,
+      sinkTable: String): StreamingQuery =
+    enrichedWindowedAgg(readEvents(spark, dir), dim, dimKey, dimAttr)
+      .writeStream
+      .format("memory")
+      .queryName(sinkTable)
+      .outputMode("complete")
+      .start()
+
   /** Streaming exactly-once-per-key dedup: drop events whose `keyCols`
     * were already seen, keeping state only within the event-time
     * watermark (`dropDuplicatesWithinWatermark`) so it never grows

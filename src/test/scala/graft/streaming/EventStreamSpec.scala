@@ -31,6 +31,29 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming enrichedWindowedAgg equals the batch run on the same input") {
+    val customer = graft.sources.Tables.customer(spark, dir)
+    val batch = EventStream.enrichedWindowedAgg(
+        graft.sources.Tables.events(spark, dir), customer, "c_custkey", "c_mktsegment")
+      .orderBy("window_start", "segment")
+      .collect().map(_.toSeq).toSeq
+
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream_enrich")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"))
+
+    val q = EventStream.startEnriched(spark, stage.toString, customer,
+      "c_custkey", "c_mktsegment", "st3_sink")
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("st3_sink")
+      .orderBy("window_start", "segment")
+      .collect().map(_.toSeq).toSeq
+
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("dedupStream drops re-delivered events across micro-batches") {
     val src = s"$dir/events.parquet"
     val stage = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
