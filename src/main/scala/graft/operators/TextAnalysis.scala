@@ -103,6 +103,59 @@ object TextAnalysis {
         (sum(col("__bpe")).cast("double") / sum(col("__wst")).cast("double"))
           .as("bpe_per_word"))
 
+  /** t5: corpus vocabulary — the top-K terms by total frequency with
+    * per-term document frequency, the table a tokenizer/vocab build
+    * starts from. Explode is map-side; the one shuffle keys on the word
+    * WITH map-side partial aggregation (word counts collapse before the
+    * exchange — the classic wordcount shape, linear at any corpus size).
+    * The global top-K is a TakeOrdered over the aggregated vocabulary
+    * (size = distinct terms, not corpus size). */
+  def vocabulary(docs: DataFrame, idCol: String, textCol: String, topK: Int): DataFrame = {
+    val counts = docs
+      .withColumn("__ws", wordsOf(col(textCol)))
+      .select(col(idCol), explode(col("__ws")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("tf"), count_distinct(col(idCol)).as("df"))
+    val w = Window.orderBy(col("tf").desc, col("word"))
+    counts
+      .orderBy(col("tf").desc, col("word")).limit(topK)
+      .withColumn("rank", row_number().over(w))
+  }
+
+  /** t6: per-document top terms by tf·idf. The idf factor is the RATIO
+    * n_docs/df rather than ln(n_docs/df): ln is monotone, so the per-doc
+    * ranking is identical, while the ratio stays in +,*,/ arithmetic that
+    * reproduces bit-for-bit across engines (ln's last-ulp varies by libm
+    * — it would break exact oracle comparison for no ranking gain).
+    *
+    * Plan: two wordcount-shaped aggregations (doc-term tf, term df) and
+    * one equi-join on the term, then a per-doc top-k window. df comes
+    * from the same exploded frame — at scale materialize it once (it IS
+    * [[vocabulary]] without the top-K). */
+  def tfidfTopTerms(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    val nDocs = docs.count()
+    val words = docs
+      .withColumn("__ws", wordsOf(col(textCol)))
+      .select(col(idCol), explode(col("__ws")).as("word"))
+      .filter(col("word") =!= "")
+    val tf = words.groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
+    val df = words.groupBy(col("word")).agg(count_distinct(col(idCol)).as("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf_ratio").desc, col("word"))
+    tf.join(df, Seq("word"))
+      .withColumn("tfidf_ratio",
+        col("tf").cast("double") * lit(nDocs.toDouble) / col("df").cast("double"))
+      .withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= k)
+      .select(col(idCol), col("term_rank"), col("word"), col("tf"), col("df"),
+        col("tfidf_ratio"))
+  }
+
   /** t4: document fingerprint — the rolling polynomial hash of the
     * normalized text (explicit modular arithmetic, engine-neutral) — and
     * the duplicate groups it induces. At corpus scale the fingerprint is

@@ -20,6 +20,8 @@ object TextQueries {
     "t2_quality"         -> ((s, d) => t2(s, d)),
     "t3_token_count"     -> ((s, d) => t3(s, d)),
     "t4_fingerprint"     -> ((s, d) => t4(s, d)),
+    "t5_vocabulary"      -> ((s, d) => t5(s, d)),
+    "t6_tfidf"           -> ((s, d) => t6(s, d)),
     "m1_multimodal_meta" -> ((s, d) => m1(s, d)),
     "st1_stream_window"  -> ((s, d) => st1(s, d)),
     "st2_stream_session" -> ((s, d) => st2(s, d)),
@@ -43,6 +45,17 @@ object TextQueries {
   def t4(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprints(Tables.documents(s, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
+
+  private val VocabTopK  = 100
+  private val TfidfTopK  = 3
+
+  def t5(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabulary(Tables.documents(s, dir), "doc_id", "text", VocabTopK)
+      .orderBy(col("rank"))
+
+  def t6(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", TfidfTopK)
+      .orderBy(col("doc_id"), col("term_rank"))
 
   def m1(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractMeta(
@@ -155,6 +168,32 @@ object TextQueries {
          |  min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id,
          |  count(*) OVER (PARTITION BY fingerprint) AS group_size
          |FROM f ORDER BY doc_id""".stripMargin,
+
+    "t5_vocabulary" ->
+      s"""WITH $WsCte,
+         |x AS (SELECT doc_id, unnest(ws) AS word FROM w),
+         |x2 AS (SELECT doc_id, word FROM x WHERE word <> ''),
+         |g AS (SELECT word, count(*)::BIGINT AS tf,
+         |    count(DISTINCT doc_id)::BIGINT AS df FROM x2 GROUP BY word),
+         |r AS (SELECT *, row_number() OVER (ORDER BY tf DESC, word) AS rank FROM g)
+         |SELECT word, tf, df, rank FROM r WHERE rank <= $VocabTopK
+         |ORDER BY rank""".stripMargin,
+
+    "t6_tfidf" ->
+      s"""WITH $WsCte,
+         |x AS (SELECT doc_id, unnest(ws) AS word FROM w),
+         |x2 AS (SELECT doc_id, word FROM x WHERE word <> ''),
+         |tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf FROM x2 GROUP BY 1, 2),
+         |df AS (SELECT word, count(DISTINCT doc_id)::BIGINT AS df FROM x2 GROUP BY word),
+         |j AS (SELECT tf.doc_id, tf.word, tf.tf, df.df,
+         |    tf.tf::DOUBLE * (SELECT count(*) FROM documents)::DOUBLE / df.df::DOUBLE
+         |      AS tfidf_ratio
+         |  FROM tf JOIN df USING (word)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY tfidf_ratio DESC, word) AS term_rank FROM j)
+         |SELECT doc_id, term_rank, word, tf, df, tfidf_ratio
+         |FROM r WHERE term_rank <= $TfidfTopK
+         |ORDER BY doc_id, term_rank""".stripMargin,
 
     "m1_multimodal_meta" ->
       s"""WITH h AS (SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,

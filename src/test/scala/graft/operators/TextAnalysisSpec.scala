@@ -66,4 +66,31 @@ class TextAnalysisSpec extends SparkSpec {
       "doc_id", "text").collect()(0).getLong(1)
     assert(ab == 3105L)
   }
+
+  test("vocabulary ranks by frequency with deterministic ties, df correct") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "apple")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabulary(docs, "doc_id", "text", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // apple tf=3 df=2; banana tf=2 df=2; cherry tf=1 df=1
+    assert(out.toSeq == Seq(("apple", 3L, 2L, 1), ("banana", 2L, 2L, 2),
+      ("cherry", 1L, 1L, 3)))
+    // top-K truncates deterministically
+    val top1 = TextAnalysis.vocabulary(docs, "doc_id", "text", 1).collect()
+    assert(top1.map(_.getString(0)).toSeq == Seq("apple"))
+  }
+
+  test("tfidf ranks doc-distinctive terms above corpus-common ones") {
+    val docs = Seq(
+      (1L, "common common unique1"),
+      (2L, "common unique2 unique2"),
+      (3L, "common filler")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 1)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // 'common' appears in every doc (idf ratio 1) — the distinctive term
+    // must win even with lower tf (doc 1: common 2·3/3=2 < unique1 1·3/1=3)
+    assert(out == Map(1L -> "unique1", 2L -> "unique2", 3L -> "filler"))
+  }
 }
