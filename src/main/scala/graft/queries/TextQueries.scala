@@ -23,6 +23,7 @@ object TextQueries {
     "t5_vocabulary"      -> ((s, d) => t5(s, d)),
     "t6_tfidf"           -> ((s, d) => t6(s, d)),
     "m1_multimodal_meta" -> ((s, d) => m1(s, d)),
+    "m2_multimodal_resize" -> ((s, d) => m2(s, d)),
     "st1_stream_window"  -> ((s, d) => st1(s, d)),
     "st2_stream_session" -> ((s, d) => st2(s, d)),
     "st3_stream_enrich"  -> ((s, d) => st3(s, d))
@@ -61,6 +62,23 @@ object TextQueries {
     Multimodal.extractMeta(
       Multimodal.withPayload(Tables.documents(s, dir), "text"), "doc_id", "payload")
       .orderBy(col("doc_id"))
+
+  private val ResizeW = 8
+  private val ResizeH = 4
+
+  /** m2: the decode pipeline end-to-end — opaque payload → fixed-size
+    * resample (resizeStub) → per-payload feature extraction
+    * (decodeFeatures), both stages real iterator-based mapPartitions
+    * plumbing. The stub arithmetic is deterministic byte math, so the
+    * oracle re-derives it from the ASCII codes and hash-checks the whole
+    * chain, not just row counts. */
+  def m2(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeFeatures(
+      Multimodal.resizeStub(
+        Multimodal.withPayload(Tables.documents(s, dir), "text"),
+        "doc_id", "payload", ResizeW, ResizeH),
+      "id", "resized")
+      .orderBy(col("id"))
 
   /** st1: the batch run of the SAME transform the streaming job executes
     * (graft.streaming.EventStream.windowedAgg) — batch/stream unification
@@ -204,6 +222,22 @@ object TextQueries {
          |  (16 + (fp // 480) % 270)::BIGINT AS height,
          |  ((16 + fp % 480) * (16 + (fp // 480) % 270))::BIGINT AS n_pixels
          |FROM h ORDER BY doc_id""".stripMargin,
+
+    "m2_multimodal_resize" -> {
+      val nOut = ResizeW * ResizeH
+      s"""WITH r AS (SELECT doc_id,
+         |    list_transform(range(0, $nOut),
+         |      i -> ascii(text[((i * length(text)) // $nOut + 1)])::DOUBLE) AS v
+         |  FROM documents),
+         |s AS (SELECT doc_id,
+         |    list_reduce(v, (a, x) -> a + x) AS sum1,
+         |    list_reduce(list_transform(v, x -> x * x), (a, x) -> a + x) AS sum2
+         |  FROM r)
+         |SELECT doc_id AS id, $nOut::BIGINT AS n_bytes,
+         |  sum1 / $nOut.0 AS mean_byte,
+         |  sum2 / $nOut.0 - (sum1 / $nOut.0) * (sum1 / $nOut.0) AS var_byte
+         |FROM s ORDER BY id""".stripMargin
+    },
 
     "st1_stream_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
