@@ -46,6 +46,37 @@ object Tables {
   def csv(spark: SparkSession, path: String, header: Boolean = true): DataFrame =
     spark.read.option("header", header.toString).csv(path)
 
+  /** JSON-lines ingest with malformed-record quarantine: every line
+    * parses against the declared schema via `from_json` (null on
+    * malformed), valid rows come back typed, rejected rows keep the RAW
+    * line for the dead-letter sink — the raw-drop counterpart of
+    * [[Contracts.quarantine]] (which handles typed drift; this handles
+    * unparseable input). All expression-level: the text scan is
+    * splittable, the parse is codegen'd, nothing is cached or collected.
+    *
+    * A line that is the literal `null` also routes to quarantine (the
+    * parse cannot distinguish it from failure) — acceptable for drops
+    * whose records are objects. */
+  def jsonLinesWithQuarantine(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{col, from_json}
+    // PERMISSIVE from_json yields an all-null struct for malformed input,
+    // so malformed-ness is detected via the explicit corrupt-record field
+    val corrupt = "__corrupt"
+    val withCorrupt = schema.add(corrupt, org.apache.spark.sql.types.StringType)
+    val parsed = spark.read.text(path)
+      .select(col("value").as("__raw"),
+        from_json(col("value"), withCorrupt,
+          Map("columnNameOfCorruptRecord" -> corrupt)).as("__p"))
+    val valid = parsed.filter(col(s"__p.$corrupt").isNull)
+      .select(schema.fieldNames.map(f => col(s"__p.$f")): _*)
+    val rejected = parsed.filter(col(s"__p.$corrupt").isNotNull)
+      .select(col("__raw").as("raw"))
+    (valid, rejected)
+  }
+
   /** JDBC extract — the reference's primary source is a Postgres read
     * (`public/source_transaction_lion_parcel.py:29-43` reads
     * `schema_punten.source_transaction_lion_parcel` over an SQLAlchemy

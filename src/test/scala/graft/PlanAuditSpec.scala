@@ -102,4 +102,35 @@ class PlanAuditSpec extends SparkSpec {
     // exactly two broadcast-nested-loops: corpus×centroids, queries×centroids
     assert(p.split("BroadcastNestedLoopJoin").length - 1 == 2)
   }
+
+  test("d2b capped: the over-cap shingle set broadcasts into a left-anti join") {
+    val p = plan("d2b_dedup_ngram_capped")
+    assert(p.contains("LeftAnti"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
+  }
+
+  test("q22 reconcile: one full-outer key join, no nested loops") {
+    val p = plan("q22_reconcile")
+    assert(p.contains("FullOuter"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q23 profile: one aggregation pass (single Expand), no joins") {
+    val p = plan("q23_profile")
+    assert(p.split("Expand").length - 1 == 1) // the multi-distinct Expand
+    assert(!p.contains("Join"))
+  }
+
+  test("t5 vocabulary: map-side partial aggregation and TakeOrdered top-K") {
+    val p = plan("t5_vocabulary")
+    assert(p.contains("partial_count") || p.contains("Partial"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("st3 enrichment: dim broadcasts, stream side shuffles only for the agg") {
+    val p = plan("st3_stream_enrich")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1)
+  }
 }

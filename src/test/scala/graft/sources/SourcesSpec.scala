@@ -64,4 +64,23 @@ class SourcesSpec extends SparkSpec {
     // field renders as JSON — mirroring extract_messages + `if s` filter
     assert(msg == """disk full; fallback hit; plain; {"other":1}""")
   }
+
+  test("jsonLinesWithQuarantine routes malformed lines with raw preserved") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonq")
+    java.nio.file.Files.write(dir.resolve("drop.jsonl"), java.util.Arrays.asList(
+      """{"id": 1, "v": "a"}""",
+      """{"id": 2 "v": "b"}""", // malformed: missing comma
+      """not json at all""",
+      """{"id": 4, "v": "d"}"""))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    val (valid, rejected) =
+      Tables.jsonLinesWithQuarantine(spark, dir.toString, schema)
+    val ok = valid.orderBy("id").collect()
+    assert(ok.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (4L, "d")))
+    val bad = rejected.collect().map(_.getString(0)).toSet
+    assert(bad == Set("""{"id": 2 "v": "b"}""", "not json at all"))
+  }
 }
