@@ -138,6 +138,76 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Materialize the IVF cell assignment — (id, vector, norm², cell) —
+    * as a CELL-BUCKETED table: the shared index build behind [[ivfTopK]]
+    * and [[cosinePairsCellPruned]], persisted so repeated probe workloads
+    * never recompute the assignment AND never shuffle the corpus again
+    * (the bucketed layout IS the hash distribution the probe join needs;
+    * see [[probeIvfIndex]] and the IvfIndexSpec plan proof). */
+  def buildIvfIndex(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      tableName: String,
+      path: String,
+      nBuckets: Int = 8): Unit = {
+    val n = emb.select(col(idCol), col(vecCol), norm2(col(vecCol)).as("__n2"))
+    val cent = n.filter(col(idCol) < nCells)
+      .select(col(idCol).as("__cid"), col(vecCol).as("__cv"), col("__n2").as("__cn2"))
+    val cellCos = cosineFromNorms(dotD(col(vecCol), col("__cv")), col("__n2"), col("__cn2"))
+    n.join(broadcast(cent))
+      .select(col(idCol), col(vecCol), col("__n2"), col("__cid"), cellCos.as("__ccos"))
+      .groupBy(col(idCol))
+      .agg(
+        max_by(col("__cid"), struct(col("__ccos"), -col("__cid"))).as("__cell"),
+        first(col(vecCol)).as(vecCol), first(col("__n2")).as("__n2"))
+      .write
+      .bucketBy(nBuckets, "__cell").sortBy("__cell")
+      .option("path", path)
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(tableName)
+  }
+
+  /** Probe a materialized IVF index: identical semantics (and bit-identical
+    * output) to [[ivfTopK]] steps 3–4, but the corpus side comes from the
+    * bucketed table — distribution from the layout, zero corpus shuffle,
+    * zero assignment recompute. Centroids are recovered from the index
+    * itself (ids < nCells). */
+  def probeIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int,
+      nProbes: Int): DataFrame = {
+    val assigned = spark.table(tableName)
+    val cent = assigned.filter(col(idCol) < nCells)
+      .select(col(idCol).as("__cid"), col(vecCol).as("__cv"), col("__n2").as("__cn2"))
+    val cellCos = cosineFromNorms(dotD(col(vecCol), col("__cv")), col("__n2"), col("__cn2"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("__ccos").desc, col("__cell"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol), norm2(col(vecCol)).as("__n2"))
+      .join(broadcast(cent))
+      .select(col("query_id"), col(vecCol).as("__qv"), col("__n2").as("__qn2"),
+        col("__cid").as("__cell"), cellCos.as("__ccos"))
+      .withColumn("__pr", row_number().over(pw))
+      .filter(col("__pr") <= nProbes)
+      .select(col("query_id"), col("__qv"), col("__qn2"), col("__cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probes.join(assigned.withColumnRenamed(idCol, "neighbor_id"), Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineFromNorms(dotD(col("__qv"), col(vecCol)), col("__qn2"), col("__n2")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   /** s1: brute-force cosine top-k neighbors for each query vector.
     * `queries` is expected to be small — Catalyst broadcasts it, the
     * corpus side never shuffles; ranking is one window over query_id. */
