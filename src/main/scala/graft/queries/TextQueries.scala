@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{Multimodal, TextAnalysis}
 import graft.sources.Tables
-import graft.streaming.{EventStream, SessionStream}
+import graft.streaming.{EventStream, SessionStream, StateStream}
 
 /** SURVEY.md §2e/§2f — text analysis (t1–t4), multimodal metadata (m1),
   * and the batch face of the streaming pipeline (st1).
@@ -26,7 +26,8 @@ object TextQueries {
     "m2_multimodal_resize" -> ((s, d) => m2(s, d)),
     "st1_stream_window"  -> ((s, d) => st1(s, d)),
     "st2_stream_session" -> ((s, d) => st2(s, d)),
-    "st3_stream_enrich"  -> ((s, d) => st3(s, d))
+    "st3_stream_enrich"  -> ((s, d) => st3(s, d)),
+    "st4_stream_state"   -> ((s, d) => st4(s, d))
   )
 
   private val SessionGapSeconds = 7200L // same boundary as q13
@@ -115,6 +116,22 @@ object TextQueries {
     EventStream.enrichedWindowedAgg(Tables.events(s, dir),
         Tables.customer(s, dir), "c_custkey", "c_mktsegment")
       .orderBy(col("window_start"), col("segment"))
+
+  /** st4: batch run of the streaming entity-state maintenance
+    * (graft.streaming.StateStream) — the mapGroupsWithState fold that
+    * incrementally maintains the reference's latest-state-per-entity
+    * table, executed over the full history. The fold is associative, so
+    * this equals the window formulation (Snapshots.stateAsOf); the spec
+    * additionally proves stream ≡ batch across adversarial multi-batch
+    * splits. */
+  def st4(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val typed = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[StateStream.Ev]
+    StateStream.currentStates(typed, "purchase").toDF()
+      .orderBy(col("id"))
+  }
 
   // ---- oracle SQL ---------------------------------------------------------
 
@@ -222,6 +239,17 @@ object TextQueries {
          |  (16 + (fp // 480) % 270)::BIGINT AS height,
          |  ((16 + fp % 480) * (16 + (fp // 480) % 270))::BIGINT AS n_pixels
          |FROM h ORDER BY doc_id""".stripMargin,
+
+    "st4_stream_state" ->
+      """WITH se AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+        |    min(ts) OVER (PARTITION BY user_id) AS created_at
+        |  FROM events)
+        |SELECT user_id AS id, event_type AS last_status, created_at,
+        |  ts AS updated_at,
+        |  CASE WHEN event_type = 'purchase' THEN ts END AS deleted_at
+        |FROM se WHERE rn = 1 ORDER BY id""".stripMargin,
 
     "m2_multimodal_resize" -> {
       val nOut = ResizeW * ResizeH
