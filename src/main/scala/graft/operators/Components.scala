@@ -84,4 +84,21 @@ object Components {
     cc.join(sizes, Seq("component_id"))
       .select(col("id"), col("component_id"), col("component_size"))
   }
+
+  /** The last step of the dedup pipeline: drop every non-canonical member
+    * of every near-dup cluster from the corpus. A LEFT ANTI join against
+    * the (small — duplicates only) non-canonical id set; singletons pass
+    * through untouched. This is the operator a training-data run actually
+    * ends with: corpus in, deduplicated corpus out. */
+  def keepCanonical(
+      docs: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      idaCol: String,
+      idbCol: String): DataFrame = {
+    val losers = connectedComponents(pairs, idaCol, idbCol)
+      .filter(col("id") =!= col("component_id"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
 }

@@ -45,6 +45,15 @@ class ComponentsSpec extends SparkSpec {
       (7L, 7L, 2L), (8L, 7L, 2L)))
   }
 
+  test("keepCanonical removes exactly the non-canonical cluster members") {
+    val docs = (1L to 10L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((2L, 5L), (5L, 7L), (9L, 10L)).toDF("ida", "idb")
+    val kept = Components.keepCanonical(docs, "doc_id", pairs, "ida", "idb")
+      .collect().map(_.getLong(0)).toSet
+    // clusters {2,5,7}→keep 2 and {9,10}→keep 9; singletons untouched
+    assert(kept == Set(1L, 2L, 3L, 4L, 6L, 8L, 9L))
+  }
+
   test("clusters on the real corpus: every pair endpoint shares its component") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 24, 3, 0.5)
