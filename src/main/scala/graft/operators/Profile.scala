@@ -9,36 +9,34 @@ import org.apache.spark.sql.functions._
   * [[graft.sources.Contracts]]: contracts enforce what you declared,
   * profiling tells you what to declare.
   *
-  * One aggregation pass over the table produces every metric; the
-  * per-column results are then exploded into a long-format frame
-  * (column, n_rows, n_nulls, n_distinct, min_value, max_value) whose
-  * shape is independent of the profiled schema.
+  * One independent aggregation branch PER COLUMN, unioned into a
+  * long-format frame (column, n_rows, n_nulls, n_distinct, min_value,
+  * max_value) whose shape is independent of the profiled schema.
   *
-  * Scale: the multi-`count(distinct)` plans through Spark's Expand (one
-  * input row per distinct-column, partially aggregated map-side — the
-  * exact path, same trade as q20); at extreme cardinality swap in
-  * `approx_count_distinct` (HLL) per column. min/max/counts are plain
-  * algebraic aggregates. No collect; the wide→long pivot is an explode
-  * of a single aggregate row.
+  * Why per-column rather than one wide multi-distinct aggregate: the
+  * combined form Expands every row once per distinct column and then
+  * sort-aggregates on ALL profiled columns as one composite key
+  * (string/timestamp min-max buffers are not hash-aggregable) —
+  * measured ~5s for a 150k-row, 5-column profile. Per-column branches
+  * each scan ONLY their own column (columnar pruning makes total bytes
+  * read identical to one wide scan), aggregate on a single-column key,
+  * and run concurrently within one job. At extreme cardinality swap
+  * `count_distinct` for `approx_count_distinct` (HLL) per branch.
+  * No collect anywhere.
   */
 object Profile {
 
-  /** Profile `cols` of `df` in one pass. min/max are rendered as strings
-    * so the output schema is type-uniform across profiled columns. */
-  def describe(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val metrics = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
-      count(col(c)).as(s"__nn_$c"),
-      count_distinct(col(c)).as(s"__nd_$c"),
-      min(col(c)).cast("string").as(s"__mn_$c"),
-      max(col(c)).cast("string").as(s"__mx_$c")))
-    val wide = df.agg(metrics.head, metrics.tail: _*)
-    val entries = array(cols.map(c => struct(
-      lit(c).as("col_name"),
-      col("__n").as("n_rows"),
-      (col("__n") - col(s"__nn_$c")).as("n_nulls"),
-      col(s"__nd_$c").as("n_distinct"),
-      col(s"__mn_$c").as("min_value"),
-      col(s"__mx_$c").as("max_value"))): _*)
-    wide.select(explode(entries).as("__p")).select(col("__p.*"))
-  }
+  /** Profile `cols` of `df`. min/max are rendered as strings so the
+    * output schema is type-uniform across profiled columns. */
+  def describe(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.map { c =>
+      df.select(col(c)).agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col(c))).as("n_nulls"),
+        count_distinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_value"),
+        max(col(c)).cast("string").as("max_value"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_value"), col("max_value"))
+    }.reduce(_ unionAll _)
 }

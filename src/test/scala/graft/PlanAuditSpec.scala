@@ -115,10 +115,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("q23 profile: one aggregation pass (single Expand), no joins") {
+  test("q23 profile: per-column branches, each scan pruned to its own column") {
     val p = plan("q23_profile")
-    assert(p.split("Expand").length - 1 == 1) // the multi-distinct Expand
     assert(!p.contains("Join"))
+    // every branch's parquet scan reads exactly one column — the reason
+    // the per-column union costs the same bytes as one wide scan
+    val scans = p.split("FileScan parquet ").drop(1).map(_.takeWhile(_ != ']'))
+    assert(scans.length == 5, s"expected 5 pruned scans:\n$p")
+    assert(scans.forall(s => !s.contains(",")), s"scan reads >1 column: ${scans.mkString(" | ")}")
+    // no branch sort-aggregates on a composite all-columns key (the
+    // failure mode of the wide multi-distinct formulation)
+    assert(!p.contains("o_orderkey#0L ASC NULLS FIRST, o_totalprice"))
   }
 
   test("t5 vocabulary: map-side partial aggregation and TakeOrdered top-K") {
