@@ -80,6 +80,28 @@ object Scd2 {
   def asOfBetween(scd: DataFrame, t: Column): DataFrame =
     scd.filter(t.between(col("valid_from"), col("valid_to")))
 
+  /** Point-in-time dimension join: every fact row picks up the dimension
+    * VERSION that was valid at the fact's own timestamp — the
+    * training-data/feature-store correctness primitive (joining current
+    * state instead leaks the future into history). Same half-open
+    * interval as [[asOf]], so a fact exactly at a version boundary takes
+    * the new version and matches exactly one row.
+    *
+    * Scale: an equi-join on the entity key with the interval as a
+    * residual condition — hash/sort-merge partitioned by key, never a
+    * range cartesian; per-key version counts are small, so the residual
+    * scans a handful of rows per fact. Skewed entities are AQE
+    * skew-join territory like any key join. */
+  def pointInTime(
+      scd: DataFrame,
+      facts: DataFrame,
+      factKeyCol: String,
+      factTsCol: String): DataFrame =
+    facts.join(scd,
+      facts(factKeyCol) === scd("id") &&
+        scd("valid_from") <= facts(factTsCol) &&
+        facts(factTsCol) < scd("valid_to"))
+
   /** Audit rollup: versions per entity (reference "USEFUL QUERIES" #5). */
   def audit(scd: DataFrame): DataFrame =
     scd.groupBy(col("id")).agg(

@@ -34,8 +34,22 @@ object EtlQueries {
     "q8_metrics_rollup"    -> ((s, d) => q8(s, d)),
     "q9_json_ingest"       -> ((s, d) => q9(s, d)),
     "q22_reconcile"        -> ((s, d) => q22(s, d)),
-    "q23_profile"          -> ((s, d) => q23(s, d))
+    "q23_profile"          -> ((s, d) => q23(s, d)),
+    "q24_pit_join"         -> ((s, d) => q24(s, d))
   )
+
+  /** q24: point-in-time fact-to-dimension join — every event annotated
+    * with the SCD2 version valid AT ITS OWN TIMESTAMP (not current
+    * state): the feature-store primitive that keeps training data free
+    * of future leakage. See [[graft.operators.Scd2.pointInTime]]. */
+  def q24(s: SparkSession, dir: String): DataFrame = {
+    val facts = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    Scd2.pointInTime(scd(s, dir), facts, "user_id", "ts")
+      .select(col("event_id"), col("id"), col("ts"),
+        col("last_status").as("status_at_event"), col("valid_from"))
+      .orderBy(col("event_id"))
+  }
 
   private val ProfileCols = Seq(
     "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
@@ -242,6 +256,17 @@ object EtlQueries {
          |  t.last_status AS l_last_status, s.last_status AS r_last_status
          |FROM target t FULL OUTER JOIN staging s ON t.id = s.id
          |ORDER BY id""".stripMargin,
+
+    "q24_pit_join" ->
+      s"""WITH $scdCte,
+         |v AS (SELECT id, last_status, valid_from,
+         |    coalesce(valid_to_raw, TIMESTAMP '$EotTs') AS valid_to
+         |  FROM versioned)
+         |SELECT e.event_id, v.id, e.ts,
+         |  v.last_status AS status_at_event, v.valid_from
+         |FROM events e JOIN v
+         |  ON e.user_id = v.id AND v.valid_from <= e.ts AND e.ts < v.valid_to
+         |ORDER BY e.event_id""".stripMargin,
 
     "q23_profile" -> ProfileCols.map(c =>
       s"""SELECT '$c' AS col_name, count(*)::BIGINT AS n_rows,

@@ -113,4 +113,21 @@ class Scd2Spec extends SparkSpec {
     assert(Scd2.currentState(full).count() == 1)
     assert(Scd2.currentState(full, activeOnly = true).count() == 0)
   }
+
+  test("pointInTime joins each fact to exactly the version valid at its ts") {
+    val full = Scd2.buildFromHistory(events, "id", "ts", "status", "seq", "DONE")
+    val facts = Seq(
+      (101L, 1L, ts("2025-01-05 23:00:00")), // inside 'Created'
+      (102L, 1L, ts("2025-01-06 12:00:00")), // exactly at a boundary → NEW version
+      (103L, 1L, ts("2025-01-09 00:00:00")), // inside 'Delivered'
+      (104L, 1L, ts("2025-01-11 00:00:00"))  // after last change → current
+    ).toDF("fact_id", "user", "fts")
+    val out = Scd2.pointInTime(full, facts, "user", "fts")
+      .select(col("fact_id"), col("last_status"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(101L -> "Created", 102L -> "On Way",
+      103L -> "Delivered", 104L -> "DONE"))
+    // exactly one version per fact — no duplicates, no misses
+    assert(Scd2.pointInTime(full, facts, "user", "fts").count() == 4)
+  }
 }
