@@ -29,6 +29,22 @@ class SessionizeSpec extends SparkSpec {
     assert(s1.getDouble(5) == 6.0)
   }
 
+  test("sessionsChunked equals sessions for any chunk size, incl. multi-chunk spans") {
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "session_id", "session_start", "session_end", "n_events", "sum_value")
+        .collect().map(_.toSeq).toSet
+    val plain = res(Sessionize.sessions(ev, "user_id", "ts", "event_id", 7200L, "value"))
+    assert(plain.nonEmpty)
+    // chunk >> gap (few boundary merges), chunk == gap, and chunk << gap
+    // (every real session spans MANY chunks — maximal stitching)
+    Seq(86400L, 7200L, 600L).foreach { chunk =>
+      val chunked = res(Sessionize.sessionsChunked(
+        ev, "user_id", "ts", "event_id", 7200L, "value", chunk))
+      assert(chunked == plain, s"chunkSeconds=$chunk diverged")
+    }
+  }
+
   test("session ids are 1-based and dense per key") {
     val ev = Seq(
       (7L, "2024-01-01 00:00:00", 1L, 0.0),

@@ -76,6 +76,17 @@ class SkewSpec extends SparkSpec {
     assert(windowed.nonEmpty && windowed == folded)
     // the whale key sessionizes correctly, not just the uniform tail
     assert(windowed.count(_._1 == 0L) > 1)
+    // the whale-key mitigation (bounded (key, chunk) partitions) is exact
+    // on the same hot data, chunk chosen so the whale splits ~50 ways
+    val chunked = Sessionize
+      .sessionsChunked(hot, "user_id", "ts", "event_id", gap, "value", 14600L)
+      .select(col("id"), unix_micros(col("session_start")).as("s"),
+        unix_micros(col("session_end")).as("e"), col("n_events"),
+        col("sum_value").cast("double"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(chunked == windowed)
   }
 
   test("SCD2 version chains stay consistent under hot keys") {
