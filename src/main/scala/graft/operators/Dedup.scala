@@ -61,6 +61,23 @@ object Dedup {
         count(lit(1)).over(w).as("group_size"))
   }
 
+  /** The whale-safe form of [[exactGroups]], same output (spec-asserted):
+    * a two-phase aggregate + join instead of a window. A mass-duplicated
+    * corpus (one text owning half the rows) puts half the data in ONE
+    * window partition that nothing can split; here the duplicate group
+    * collapses map-side in the partial aggregation (one row per partition
+    * per text reaches the shuffle), and the join back on the hash is
+    * AQE-skew-splittable like any key join. Prefer this at scale;
+    * [[exactGroups]] stays the reference formulation. */
+  def exactGroupsAgg(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keyed = docs.select(col(idCol), xxhash64(normText(col(textCol))).as("__h"))
+    val groups = keyed.groupBy(col("__h")).agg(
+      min(col(idCol)).as("canonical_id"),
+      count(lit(1)).as("group_size"))
+    keyed.join(groups, Seq("__h"))
+      .select(col(idCol), col("canonical_id"), col("group_size"))
+  }
+
   /** Per-doc distinct shingle-string arrays (the shared input of the
     * near-dup operators). Output: idCol, sg (array<string>), n_sh. */
   def shingleDocs(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =

@@ -26,6 +26,24 @@ class DedupSpec extends SparkSpec {
       Dedup.exactGroups(corpus, "doc_id", "text", hashShuffleKey = hashKey)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(res(true) == res(false))
+    // and the whale-safe aggregate+join form matches both
+    val agg = Dedup.exactGroupsAgg(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(agg == res(true))
+  }
+
+  test("exactGroupsAgg on a mass-duplicated corpus (one text = half the rows)") {
+    import org.apache.spark.sql.functions._
+    val whale = spark.range(20000).select(
+      col("id").as("doc_id"),
+      when(col("id") % 2 === 0, lit("the exact same boilerplate text"))
+        .otherwise(concat(lit("unique "), col("id"))).as("text"))
+    val out = Dedup.exactGroupsAgg(whale, "doc_id", "text")
+    assert(out.count() == 20000)
+    val dupGroup = out.filter(col("group_size") === 10000)
+    assert(dupGroup.count() == 10000)
+    assert(dupGroup.agg(min("canonical_id")).collect()(0).getLong(0) == 0L)
+    assert(out.filter(col("group_size") === 1).count() == 10000)
   }
 
   test("shingleDocs emits distinct n-grams, empty below n words") {
