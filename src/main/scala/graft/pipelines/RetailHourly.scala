@@ -65,3 +65,40 @@ object RetailHourly {
   def run(spark: SparkSession, sfDir: String, root: String): Seq[Pipeline.StageResult] =
     Pipeline.run(stages(spark, sfDir, Paths(root)))
 }
+
+/** The reference's SECOND DAG (`dags/bonus_test.py`:
+  * lion_parcell_bonus_test_stg >> lion_parcell_bonus_test) — the JSON
+  * metric-drop ingest whose committed inputs AND outputs ship in the
+  * reference repo, run as a graft [[Pipeline]]: flatten the drops, land
+  * the per-file detail, roll up per metric id, export the final CSV.
+  * BonusDailySpec proves the pipeline output equals the reference's own
+  * committed `combined_table.csv`. */
+object BonusDaily {
+
+  final case class Paths(root: String) {
+    val detail   = s"$root/detail"
+    val rollup   = s"$root/rollup"
+    val finalCsv = s"$root/combined_table.csv"
+  }
+
+  def stages(spark: SparkSession, dropGlob: String, p: Paths): Seq[Pipeline.Stage] = Seq(
+
+    Pipeline.Stage("bonus_stg")(() =>
+      // lion_parcell_bonus_test_stg.py: per-(file, metric) detail rows
+      Sinks.truncateLoad(MetricsIngest.flatten(spark, dropGlob), p.detail)),
+
+    Pipeline.Stage("bonus_final", deps = Seq("bonus_stg"))(() => {
+      // lion_parcell_bonus_test.py: one row per id + the CSV deliverable
+      val rolled = MetricsIngest.rollup(spark.read.parquet(p.detail))
+      Sinks.truncateLoad(rolled, p.rollup)
+      Sinks.csvExport(
+        spark.read.parquet(p.rollup)
+          .select(col("id"), col("runtime_date"), col("load_time"),
+            col("message").as("Message"))
+          .orderBy(col("id")),
+        p.finalCsv)
+    }))
+
+  def run(spark: SparkSession, dropGlob: String, root: String): Seq[Pipeline.StageResult] =
+    Pipeline.run(stages(spark, dropGlob, Paths(root)))
+}

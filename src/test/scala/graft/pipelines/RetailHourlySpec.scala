@@ -35,6 +35,14 @@ class RetailHourlySpec extends SparkSpec {
     assert(ran.isEmpty)
   }
 
+  test("bonus pipeline reproduces the reference's committed final CSV") {
+    val root = java.nio.file.Files.createTempDirectory("graft_bonus_pipe").toString
+    val results = BonusDaily.run(spark, "/root/reference/downloads_json/*.json", root)
+    assert(results.forall(_.status == Succeeded), results.mkString("; "))
+    graft.CsvGolden.assertFileEq(s"$root/combined_table.csv",
+      "/root/reference/combined_table.csv")
+  }
+
   test("retail hourly pipeline runs end-to-end and re-runs idempotently") {
     val dir = "/root/testdata/sf0.001"
     val root = java.nio.file.Files.createTempDirectory("graft_pipeline").toString

@@ -38,6 +38,26 @@ class SinksSpec extends SparkSpec {
       Seq(("2024-01-01", 1L, 1L), ("2024-01-02", 2L, 20L)))
   }
 
+  test("date-partitioned layout prunes partitions at read time") {
+    val dir = Files.createTempDirectory("graft_sink_prune").resolve("t").toString
+    Sinks.overwritePartitions(
+      (1 to 30).map(d => (f"2024-01-$d%02d", d.toLong)).toDF("d", "id"),
+      dir, Seq("d"))
+    val read = spark.read.parquet(dir).filter(col("d") === "2024-01-05")
+    val plan = read.queryExecution.executedPlan.toString
+    // the filter must resolve against the DIRECTORY layout, not row data
+    assert(plan.contains("PartitionFilters: [isnotnull(d") && plan.contains("DataFilters: []"),
+      s"filter not applied at partition level:\n$plan")
+    // collect() runs read's OWN QueryExecution (count() would plan a new
+    // one and leave these metrics at zero)
+    assert(read.collect().length == 1)
+    // runtime proof: the executed scan touched ONE of the 30 directories
+    val numFiles = read.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value }
+    assert(numFiles.contains(1L), s"scan read $numFiles files, expected 1")
+  }
+
   test("upsertByKey: first run creates, second merges with soft delete") {
     val dir = Files.createTempDirectory("graft_sink_u").resolve("mart").toString
     val t0 = lit("2024-06-01 00:00:00").cast("timestamp")
