@@ -25,6 +25,8 @@ object DedupQueries {
   private val CosThr       = 0.4
   private val KnnK         = 5
   private val LshK         = 5
+  private val LshPlanes    = 8
+  private val LshTables    = 6
   private val QueryStride  = 100 // s1/s2 query set: vec_id % stride == 0
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -120,11 +122,15 @@ object DedupQueries {
         "vec_id", "embedding", KnnK)
       .orderBy(col("query_id"), col("rank"))
 
-  /** s2: random-hyperplane LSH ANN (rows-only check — probabilistic
-    * recall is the operator's contract, not exactness). */
+  /** s2: hyperplane LSH ANN. The "random" planes are deterministic
+    * modular arithmetic (plans/LshSignature.coef), so the WHOLE pipeline
+    * — signatures, multi-probe buckets, candidate join, exact rerank —
+    * is re-derivable in SQL and hash-checked like everything else;
+    * recall against brute force stays the probabilistic part and is
+    * floor-asserted in SimilaritySpec. */
   def s2(s: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(queryVecs(s, dir), Tables.embeddings(s, dir),
-        "vec_id", "embedding", LshK)
+        "vec_id", "embedding", LshK, LshPlanes, LshTables)
       .orderBy(col("query_id"), col("rank"))
 
   /** s3: IVF (inverted-file) ANN — coarse-quantize the corpus into cells,
@@ -256,6 +262,41 @@ object DedupQueries {
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY cos DESC, neighbor_id) AS rank FROM p)
          |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= $KnnK
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // full re-derivation of the LSH pipeline: the hyperplane coefficients
+    // are integer modular arithmetic (LshSignature.coef), the plane dot is
+    // the same 0-seeded sequential fold, sign rule dot > 0, bit p = 1<<p;
+    // query probes = own bucket + every 1-bit flip per table; exact-cosine
+    // rerank identical to s1's
+    "s2_knn_lsh" ->
+      s"""WITH $NormCte,
+         |pl AS (SELECT t.range AS t, p.range AS p
+         |  FROM range(0, $LshTables) t, range(0, $LshPlanes) p),
+         |dots AS (SELECT n.vec_id, pl.t, pl.p,
+         |    list_reduce(list_transform(range(1, ${CosDim + 1}),
+         |      i -> n.embedding[i]::DOUBLE *
+         |        (((((pl.t * $LshPlanes + pl.p) * 2 + 3) * i * 7919
+         |           + (pl.t * $LshPlanes + pl.p) * 104729 + 13) % 1009) - 504)::DOUBLE),
+         |      (a, b) -> a + b) AS dot
+         |  FROM n CROSS JOIN pl),
+         |sig AS (SELECT vec_id, t,
+         |    sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS b
+         |  FROM dots GROUP BY vec_id, t),
+         |qsig AS (SELECT * FROM sig WHERE vec_id % $QueryStride = 0),
+         |probes AS (SELECT vec_id, t, b FROM qsig
+         |  UNION ALL
+         |  SELECT q.vec_id, q.t, xor(q.b, (1::BIGINT << p.range))
+         |  FROM qsig q, range(0, $LshPlanes) p),
+         |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM probes q JOIN sig c ON q.t = c.t AND q.b = c.b AND c.vec_id <> q.vec_id),
+         |scored AS (SELECT cand.query_id, cand.neighbor_id,
+         |    ${dotSql("a", "b")} / sqrt(a.n2 * b.n2) AS cos
+         |  FROM cand JOIN n a ON a.vec_id = cand.query_id
+         |            JOIN n b ON b.vec_id = cand.neighbor_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+         |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= $LshK
          |ORDER BY query_id, rank""".stripMargin,
 
     "s3_knn_ivf" ->
