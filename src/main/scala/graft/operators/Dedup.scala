@@ -98,7 +98,8 @@ object Dedup {
       textCol: String,
       n: Int,
       threshold: Double,
-      maxShingleDf: Option[Long] = None): DataFrame = {
+      maxShingleDf: Option[Long] = None,
+      checkpointPostings: Boolean = true): DataFrame = {
     val sh = shingleDocs(docs, idCol, textCol, n)
     // posting lists keyed by the 55-bit shingle hash: the self-join
     // shuffles and sorts 8-byte longs instead of shingle strings
@@ -113,7 +114,12 @@ object Dedup {
         // and the posting lists are not shuffled a second time
         val drop = posting0.groupBy("__sh").agg(count(lit(1)).as("__df"))
           .filter(col("__df") > cap).select("__sh")
-        posting0.join(broadcast(drop), Seq("__sh"), "left_anti")
+        // three consumers (sizes + both join sides): materialize the
+        // filtered postings once instead of re-running shingle + anti-join
+        // for the sizes branch (the join sides dedupe via exchange reuse);
+        // checkpointPostings=false keeps the plan inspectable for audits
+        val filtered = posting0.join(broadcast(drop), Seq("__sh"), "left_anti")
+        if (checkpointPostings) filtered.localCheckpoint(eager = false) else filtered
       case None => posting0
     }
     val sizes = maxShingleDf match {

@@ -104,7 +104,12 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("d2b capped: the over-cap shingle set broadcasts into a left-anti join") {
-    val p = plan("d2b_dedup_ngram_capped")
+    // the shipped query checkpoints the filtered postings (hiding the
+    // subtree), so audit the identical un-checkpointed plan
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.operators.Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, Some(5L), checkpointPostings = false)
+      .queryExecution.executedPlan.toString
     assert(p.contains("LeftAnti"))
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
   }
