@@ -22,6 +22,17 @@ class ProfileSpec extends SparkSpec {
     assert(out("d") == (4L, 1L, 3L, "1.0", "9.75"))
   }
 
+  test("profiling an empty frame yields zero counts and null min/max") {
+    import org.apache.spark.sql.functions.col
+    val empty = Seq((1L, "x")).toDF("id", "s").filter(col("id") < 0)
+    val rows = Profile.describe(empty, Seq("id", "s")).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 0L && r.getLong(2) == 0L && r.getLong(3) == 0L)
+      assert(r.isNullAt(4) && r.isNullAt(5))
+    }
+  }
+
   test("profiling an all-null column yields null min/max, full null count") {
     val df = Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]))
       .toDF("id", "s")

@@ -32,6 +32,15 @@ class ReconcileSpec extends SparkSpec {
     assert(s == Map("same" -> 2L, "changed" -> 1L, "only_left" -> 1L, "only_right" -> 1L))
   }
 
+  test("duplicate keys fan out: diff expects unique-keyed snapshots") {
+    // the operator contract is snapshot inputs (one row per key); with a
+    // duplicated key the full-outer join fans out — pin that behavior so
+    // callers reconcile snapshots, not logs
+    val dupRight = right.union(Seq((1L, "OPEN", 10.0)).toDF("id", "st", "amt"))
+    val out = Reconcile.diff(left, dupRight, "id", Seq("st", "amt"))
+    assert(out.filter("id = 1").count() == 2)
+  }
+
   test("identical frames reconcile to all-same") {
     val d = Reconcile.diff(left, left, "id", Seq("st", "amt"))
     assert(d.filter("status != 'same'").count() == 0)

@@ -79,6 +79,20 @@ class ContractsSpec extends SparkSpec {
     assert(out.count() == 1)
   }
 
+  test("timestamp contracts flag unparseable datetimes") {
+    val c = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("at", TimestampType, nullable = true)))
+    val (valid, rejected) = Contracts.quarantine(
+      Seq(("1", "2024-06-01 10:00:00"), ("2", "2024-13-99 99:00:00"), ("3", "soon"))
+        .toDF("id", "at"), c)
+    assert(valid.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val reasons = rejected.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](r.fieldIndex("__violations"))).toMap
+    assert(reasons("2").exists(_.startsWith("at: not a timestamp")))
+    assert(reasons("3").exists(_.startsWith("at: not a timestamp")))
+  }
+
   test("quarantine of a fully clean frame is empty and cheap") {
     val (valid, rejected) = Contracts.quarantine(
       raw(("1", "1.0", "A"), ("2", "2.0", "B")), contract)

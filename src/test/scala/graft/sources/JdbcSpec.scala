@@ -61,6 +61,14 @@ class JdbcSpec extends SparkSpec {
     assert(df.count() == 100)
   }
 
+  test("predicate-split partitions must not overlap: overlap means duplicate rows") {
+    // the predicates define the partitioning, nothing dedupes them —
+    // pin that contract so callers know overlap is on them
+    val dup = Tables.jdbcByPredicates(spark, url, "src",
+      Seq("ID <= 60", "ID > 40"))
+    assert(dup.count() == 120) // rows 41..60 appear twice
+  }
+
   test("filters and projection push into the database scan") {
     val df = Tables.jdbc(spark, url, "src")
       .filter($"ID" > 90).select($"ID", $"GRP")
