@@ -27,8 +27,10 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').map(_.trim).toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
     // best-of-N per query (reported in the JSON): the VM's host-level CPU
-    // steal makes single shots vary ±2x; the min is the steady-state cost
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "2").toInt.max(1)
+    // steal makes single shots vary ±2x (r2 saw a 3.4x outlier survive
+    // best-of-2 on a 1.1s-steady-state query); 3 samples is the floor that
+    // keeps one steal burst from defining a number
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "3").toInt.max(1)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()

@@ -26,6 +26,91 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** Fixed-point scale for the k-means centroid update: element sums are
+    * computed over `floor(x · 2²⁰)` longs, which add EXACTLY in any order
+    * — the update is deterministic across partitionings, retries, and
+    * engines (a plain double sum would vary in the last ulp with Spark's
+    * partial-aggregation order and could flip an argmax assignment). */
+  val KmeansQuant: Double = 1048576.0 // 2^20: power of two ⇒ x·Q exact
+
+  /** Deterministic fixed-iteration Lloyd's k-means over an embedding
+    * column — the trained coarse quantizer behind [[ivfTopK]],
+    * [[cosinePairsCellPruned]] and [[buildIvfIndex]]. Returns the centroid
+    * table (__cid, __cv array<double>, __cn2).
+    *
+    * Determinism contract (what makes this oracle-checkable):
+    *  - init: the `nCells` lowest-id corpus vectors (no RNG);
+    *  - assignment: argmax cosine with ties to the LOWEST centroid id
+    *    (`max_by` over a (cos, -cid) struct — totally ordered);
+    *  - update: per-dimension mean via the [[KmeansQuant]] fixed-point
+    *    sum (order-independent long arithmetic) and ONE double division
+    *    `s / (Q · count)` — bit-identical in any engine;
+    *  - empty cells keep their previous centroid (never die, never NaN);
+    *  - fixed `iters`, no convergence test — the round count IS the spec.
+    *
+    * Scale: each iteration is one broadcast join + `max_by` partial agg
+    * (shuffle = one row per vector) and one (cell, dim)-keyed sum with
+    * map-side partials (shuffle ≤ partitions · nCells · dim rows). At
+    * 100 TB train on a deterministic sample (`idCol % stride = 0`) — the
+    * codebook needs distribution coverage, not every row. */
+  def trainCentroids(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      iters: Int): DataFrame = {
+    val n = emb.select(col(idCol), col(vecCol), norm2(col(vecCol)).as("__n2"))
+    var cent = n.filter(col(idCol) < nCells)
+      .select(col(idCol).as("__cid"),
+        transform(col(vecCol), x => x.cast("double")).as("__cv"))
+      .localCheckpoint(eager = false)
+    for (_ <- 0 until iters) {
+      val cn = cent.select(col("__cid"), col("__cv"), norm2(col("__cv")).as("__cn2"))
+      val cellCos =
+        cosineFromNorms(dotD(col(vecCol), col("__cv")), col("__n2"), col("__cn2"))
+      val assigned = n.join(broadcast(cn))
+        .select(col(idCol), col(vecCol), col("__cid"), cellCos.as("__ccos"))
+        .groupBy(col(idCol))
+        .agg(
+          max_by(col("__cid"), struct(col("__ccos"), -col("__cid"))).as("__cell"),
+          first(col(vecCol)).as(vecCol))
+      val cnt = assigned.groupBy(col("__cell")).agg(count(lit(1)).as("__cnt"))
+      val sums = assigned
+        .select(col("__cell"), posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+        .select(col("__cell"), col("__pos"),
+          floor(col("__x").cast("double") * lit(KmeansQuant)).as("__q"))
+        .groupBy(col("__cell"), col("__pos"))
+        .agg(sum(col("__q")).as("__s"))
+      val means = sums.join(cnt, Seq("__cell"))
+        .select(col("__cell"), col("__pos"),
+          (col("__s").cast("double") / (lit(KmeansQuant) * col("__cnt").cast("double")))
+            .as("__m"))
+        .groupBy(col("__cell"))
+        .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__m")))),
+          x => x.getField("__m")).as("__mv"))
+      cent = cent.join(means, cent("__cid") === means("__cell"), "left")
+        .select(col("__cid"), coalesce(col("__mv"), col("__cv")).as("__cv"))
+        .localCheckpoint(eager = false)
+    }
+    cent.select(col("__cid"), col("__cv"), norm2(col("__cv")).as("__cn2"))
+  }
+
+  /** Centroid table for the IVF-style operators: `kmeansIters = 0` is the
+    * raw deterministic seed set (the nCells lowest-id vectors, the
+    * oracle-simplest form); `> 0` runs [[trainCentroids]], which bounds
+    * cell skew — the thing that decides probe cost at 100 TB. */
+  private def centroidsOf(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      kmeansIters: Int): DataFrame =
+    if (kmeansIters <= 0)
+      emb.select(col(idCol), col(vecCol), norm2(col(vecCol)).as("__n2"))
+        .filter(col(idCol) < nCells)
+        .select(col(idCol).as("__cid"), col(vecCol).as("__cv"), col("__n2").as("__cn2"))
+    else trainCentroids(emb, idCol, vecCol, nCells, kmeansIters)
+
   /** d5-style exact near-dup pairs: all pairs with cosine ≥ threshold.
     * O(n²/2) pair space — kept exact intentionally (it IS the oracle
     * semantics); at corpus scale use [[lshTopK]] or MinHash instead.

@@ -109,7 +109,14 @@ object TextAnalysis {
     * WITH map-side partial aggregation (word counts collapse before the
     * exchange — the classic wordcount shape, linear at any corpus size).
     * The global top-K is a TakeOrdered over the aggregated vocabulary
-    * (size = distinct terms, not corpus size). */
+    * (size = distinct terms, not corpus size).
+    *
+    * The rank needs NO window: after `limit(topK)` at most topK rows
+    * remain, so they ride one deterministic-sorted partition and
+    * `monotonically_increasing_id` (= the within-partition row index on
+    * partition 0) numbers them — avoiding the unpartitioned-WindowExec
+    * plan that (harmlessly but alarmingly) warns about moving all data
+    * to a single partition. */
   def vocabulary(docs: DataFrame, idCol: String, textCol: String, topK: Int): DataFrame = {
     val counts = docs
       .withColumn("__ws", wordsOf(col(textCol)))
@@ -117,10 +124,11 @@ object TextAnalysis {
       .filter(col("word") =!= "")
       .groupBy(col("word"))
       .agg(count(lit(1)).as("tf"), count_distinct(col(idCol)).as("df"))
-    val w = Window.orderBy(col("tf").desc, col("word"))
     counts
       .orderBy(col("tf").desc, col("word")).limit(topK)
-      .withColumn("rank", row_number().over(w))
+      .coalesce(1)
+      .sortWithinPartitions(col("tf").desc, col("word"))
+      .withColumn("rank", (monotonically_increasing_id() + 1).cast("int"))
   }
 
   /** t6: per-document top terms by tf·idf. The idf factor is the RATIO

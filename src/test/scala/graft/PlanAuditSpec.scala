@@ -139,6 +139,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("no query key outside the intentional baselines plans a quadratic join") {
+    // The frozen invariant (VERDICT r2 #3): a CartesianProduct or
+    // BroadcastNestedLoopJoin in an executed plan means O(n·m) pair work —
+    // acceptable ONLY where one side is bounded-tiny by construction or the
+    // all-pairs form IS the operator's spec. Everything else must plan
+    // hash/merge equi-joins; reintroducing a theta join fails this test.
+    val allowed = Map(
+      // the all-pairs oracle formulation — its exact scale twin is d6
+      "d5_dedup_embedding" -> "spec'd O(n²) baseline",
+      // exact kNN baseline: the BNLJ build side is the broadcast query set
+      "s1_knn_bruteforce" -> "broadcast query-side baseline",
+      // assignment/probe join the broadcast nCells-row centroid table
+      "s3_knn_ivf" -> "centroid-table broadcast joins",
+      // same centroid joins + the nCells² cell-pair pruning cross
+      "d6_dedup_embcell" -> "centroid-table broadcast joins")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(allowed.contains)
+      .flatMap { name =>
+        val p = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+        if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+          Some(name)
+        else None
+      }
+    assert(offenders.isEmpty, s"quadratic join planned by: ${offenders.mkString(", ")}")
+  }
+
   test("st3 enrichment: dim broadcasts, stream side shuffles only for the agg") {
     val p = plan("st3_stream_enrich")
     assert(p.contains("BroadcastHashJoin"))

@@ -37,6 +37,31 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("alternating star algorithm matches propagation on clique unions") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (5L, 9L), (9L, 2L))
+    val expect = cc(edges)
+    val alt = Components
+      .connectedComponentsAlternating(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(alt == expect)
+  }
+
+  test("1000-vertex chain: propagation alone cannot finish, the hybrid converges") {
+    // diameter 999 → label propagation needs ~999 rounds; the alternating
+    // large-star/small-star fallback contracts the path multiplicatively
+    val path = (1L to 999L).map(i => (i, i + 1)).toDF("a", "b")
+    // propagation-only (fallback disabled) provably cannot label the chain
+    intercept[IllegalStateException] {
+      Components.connectedComponents(path, "a", "b", maxIter = 20, switchAfter = 20)
+        .collect()
+    }
+    // the default hybrid switches after 5 rounds and finishes inside 20
+    val out = Components.connectedComponents(path, "a", "b", maxIter = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == (1L to 1000L).toSet)
+    assert(out.values.toSet == Set(1L))
+  }
+
   test("dedupClusters sizes match and singletons stay absent") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("ida", "idb")
     val out = Components.dedupClusters(pairs, "ida", "idb")
