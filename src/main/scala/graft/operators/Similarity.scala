@@ -171,12 +171,15 @@ object Similarity {
       idCol: String,
       vecCol: String,
       threshold: Double,
-      nCells: Int): DataFrame = {
+      nCells: Int,
+      kmeansIters: Int = 0): DataFrame = {
     val thetaT = math.acos(math.min(1.0, math.max(-1.0, threshold)))
     val eps = 1e-9 // float→double rounding slack on the radius bound
     val n = emb.select(col(idCol), col(vecCol), norm2(col(vecCol)).as("__n2"))
-    val cent = n.filter(col(idCol) < nCells)
-      .select(col(idCol).as("__cid"), col(vecCol).as("__cv"), col("__n2").as("__cn2"))
+    // exactness never depends on the centroids (the triangle-inequality
+    // bound uses the REALIZED per-cell radii) — training only tightens
+    // the radii, which prunes more cell pairs
+    val cent = centroidsOf(emb, idCol, vecCol, nCells, kmeansIters)
     val cellCos = cosineFromNorms(dotD(col(vecCol), col("__cv")), col("__n2"), col("__cn2"))
     def angle(c: org.apache.spark.sql.Column) = acos(least(greatest(c, lit(-1.0)), lit(1.0)))
 
@@ -236,10 +239,17 @@ object Similarity {
       nCells: Int,
       tableName: String,
       path: String,
-      nBuckets: Int = 8): Unit = {
+      nBuckets: Int = 8,
+      kmeansIters: Int = 0): Unit = {
     val n = emb.select(col(idCol), col(vecCol), norm2(col(vecCol)).as("__n2"))
-    val cent = n.filter(col(idCol) < nCells)
-      .select(col(idCol).as("__cid"), col(vecCol).as("__cv"), col("__n2").as("__cn2"))
+    val cent = centroidsOf(emb, idCol, vecCol, nCells, kmeansIters)
+    // the codebook is part of the index: persist it next to the postings
+    // so probes reconstruct the IDENTICAL assignment geometry (with
+    // kmeansIters = 0 it degenerates to the lowest-id vectors, which
+    // probeIvfIndex can also recover from the index itself)
+    cent.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("path", s"${path}_centroids")
+      .saveAsTable(s"${tableName}_centroids")
     val cellCos = cosineFromNorms(dotD(col(vecCol), col("__cv")), col("__n2"), col("__cn2"))
     n.join(broadcast(cent))
       .select(col(idCol), col(vecCol), col("__n2"), col("__cid"), cellCos.as("__ccos"))
@@ -257,8 +267,11 @@ object Similarity {
   /** Probe a materialized IVF index: identical semantics (and bit-identical
     * output) to [[ivfTopK]] steps 3–4, but the corpus side comes from the
     * bucketed table — distribution from the layout, zero corpus shuffle,
-    * zero assignment recompute. Centroids are recovered from the index
-    * itself (ids < nCells). */
+    * zero assignment recompute. Centroids come from the persisted codebook
+    * (`<tableName>_centroids`, written by [[buildIvfIndex]]); with
+    * `useCodebook = false` they are recovered from the index itself
+    * (ids < nCells — valid only for an untrained, `kmeansIters = 0`
+    * build). */
   def probeIvfIndex(
       spark: org.apache.spark.sql.SparkSession,
       tableName: String,
@@ -267,10 +280,13 @@ object Similarity {
       vecCol: String,
       k: Int,
       nCells: Int,
-      nProbes: Int): DataFrame = {
+      nProbes: Int,
+      useCodebook: Boolean = false): DataFrame = {
     val assigned = spark.table(tableName)
-    val cent = assigned.filter(col(idCol) < nCells)
-      .select(col(idCol).as("__cid"), col(vecCol).as("__cv"), col("__n2").as("__cn2"))
+    val cent =
+      if (useCodebook) spark.table(s"${tableName}_centroids")
+      else assigned.filter(col(idCol) < nCells)
+        .select(col(idCol).as("__cid"), col(vecCol).as("__cv"), col("__n2").as("__cn2"))
     val cellCos = cosineFromNorms(dotD(col(vecCol), col("__cv")), col("__n2"), col("__cn2"))
     val pw = Window.partitionBy(col("query_id"))
       .orderBy(col("__ccos").desc, col("__cell"))
@@ -406,10 +422,10 @@ object Similarity {
       vecCol: String,
       k: Int,
       nCells: Int,
-      nProbes: Int): DataFrame = {
+      nProbes: Int,
+      kmeansIters: Int = 0): DataFrame = {
     val n = corpus.select(col(idCol), col(vecCol), norm2(col(vecCol)).as("__n2"))
-    val cent = n.filter(col(idCol) < nCells)
-      .select(col(idCol).as("__cid"), col(vecCol).as("__cv"), col("__n2").as("__cn2"))
+    val cent = centroidsOf(corpus, idCol, vecCol, nCells, kmeansIters)
     val cellCos = cosineFromNorms(dotD(col(vecCol), col("__cv")), col("__n2"), col("__cn2"))
 
     // (2) one row per vector after map-side partial agg; ties impossible

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** SURVEY.md §2c/§2d — training-data dedup (d1–d5) and similarity search
@@ -40,11 +40,13 @@ object DedupQueries {
     "d7_dedup_components" -> ((s, d) => d7(s, d)),
     "s1_knn_bruteforce"  -> ((s, d) => s1(s, d)),
     "s2_knn_lsh"         -> ((s, d) => s2(s, d)),
-    "s3_knn_ivf"         -> ((s, d) => s3(s, d))
+    "s3_knn_ivf"         -> ((s, d) => s3(s, d)),
+    "p1_curate_corpus"   -> ((s, d) => p1(s, d))
   )
 
   private val IvfCentroids = 16
   private val IvfProbes    = 3
+  private val KmeansIters  = 2 // fixed Lloyd rounds — the round count IS the spec
   private val MinDfCap     = 5L  // df cap floor (small corpora)
   private val DfCapDivisor = 100L // cap = max(floor, n_docs/100) = 1% of corpus
 
@@ -99,7 +101,7 @@ object DedupQueries {
     * join anywhere in the plan. */
   def d6(s: SparkSession, dir: String): DataFrame =
     Similarity.cosinePairsCellPruned(Tables.embeddings(s, dir), "vec_id", "embedding",
-        CosThr, IvfCentroids)
+        CosThr, IvfCentroids, KmeansIters)
       .orderBy(col("ida"), col("idb"))
 
   /** d7: near-dup pairs → canonical clusters. Pairs from the d3 scale
@@ -112,6 +114,21 @@ object DedupQueries {
         ShingleN, MinhashBands, MinhashRows, JaccardThr),
       "ida", "idb")
       .orderBy(col("id"))
+
+  private val QualityThr = 0.55 // drops the ~p10 tail at sf0.01, keeps the bulk
+
+  /** p1: the end-to-end corpus-curation pipeline — quality filter (t2) →
+    * exact dedup (d1 agg form) → df-capped near-dup pairs (d2b) →
+    * components + keep-canonical (d7), chained as ONE Pipeline DAG
+    * ([[graft.pipelines.CurateCorpus]]). The oracle recomputes every stage
+    * over the same parquet and checks the SURVIVING DOC SET — the
+    * composition, not just each operator, is hash-verified. */
+  def p1(s: SparkSession, dir: String): DataFrame =
+    graft.pipelines.CurateCorpus.run(Tables.documents(s, dir), "doc_id", "text",
+        QualityThr, ShingleN, JaccardThr, MinDfCap, DfCapDivisor)
+      .curated
+      .select(col("doc_id"), col("quality_score"))
+      .orderBy(col("doc_id"))
 
   private def queryVecs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).filter(col("vec_id") % QueryStride === 0)
@@ -133,13 +150,16 @@ object DedupQueries {
         "vec_id", "embedding", LshK, LshPlanes, LshTables)
       .orderBy(col("query_id"), col("rank"))
 
-  /** s3: IVF (inverted-file) ANN — coarse-quantize the corpus into cells,
-    * probe the nprobe nearest cells per query, exact rerank inside. Unlike
-    * s2 the index is DETERMINISTIC (no random hyperplanes), so the whole
-    * operator is SQL-expressible and hash-checked against the oracle. */
+  /** s3: IVF (inverted-file) ANN — coarse-quantize the corpus into cells
+    * with a TRAINED deterministic codebook (fixed-iteration Lloyd's
+    * k-means, integer-quantized centroid updates), probe the nprobe
+    * nearest cells per query, exact rerank inside. Unlike s2 the whole
+    * index — including the training iterations — is deterministic
+    * arithmetic, so the full operator is SQL-expressible and hash-checked
+    * against an oracle that re-runs the same Lloyd rounds. */
   def s3(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(queryVecs(s, dir), Tables.embeddings(s, dir),
-        "vec_id", "embedding", LshK, IvfCentroids, IvfProbes)
+        "vec_id", "embedding", LshK, IvfCentroids, IvfProbes, KmeansIters)
       .orderBy(col("query_id"), col("rank"))
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -149,11 +169,31 @@ object DedupQueries {
 
   /** words → distinct 3-gram shingle strings (DuckDB range() end is
     * exclusive: range(1, len-1) ⇒ i ∈ [1, len-2], matching Spark's
-    * sequence(1, size-2) inclusive). */
-  private val ShingleCtes =
-    s"""w AS (SELECT doc_id, string_split($NormExpr, ' ') AS ws FROM documents),
+    * sequence(1, size-2) inclusive). Parametric in the doc source so the
+    * same CTEs run over `documents` or a curated subset. */
+  private def shingleCtesFrom(src: String) =
+    s"""w AS (SELECT doc_id, string_split($NormExpr, ' ') AS ws FROM $src),
        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sg FROM w)""".stripMargin
+
+  private val ShingleCtes = shingleCtesFrom("documents")
+
+  /** The d2b df-capped Jaccard pair set as a CTE chain ending in
+    * `jp (ida, idb, jaccard)`. Needs `sh` in scope; the cap is computed
+    * against the row count of `countSrc` (the corpus the pairs are drawn
+    * from). */
+  private def cappedJaccardCtes(countSrc: String) =
+    s"""cx AS (SELECT doc_id, unnest(sg) AS s FROM sh),
+       |cdf AS (SELECT s, count(*) AS c FROM cx GROUP BY s),
+       |ckeep AS (SELECT doc_id, s FROM cx JOIN cdf USING (s)
+       |  WHERE c <= greatest($MinDfCap, (SELECT count(*) FROM $countSrc) // $DfCapDivisor)),
+       |csz AS (SELECT doc_id, count(*) AS n FROM ckeep GROUP BY doc_id),
+       |cp AS (SELECT a.doc_id ida, b.doc_id idb, count(*) AS common
+       |  FROM ckeep a JOIN ckeep b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jp AS (SELECT ida, idb, common::DOUBLE / (na.n + nb.n - common) AS jaccard
+       |  FROM cp JOIN csz na ON cp.ida = na.doc_id JOIN csz nb ON cp.idb = nb.doc_id
+       |  WHERE common::DOUBLE / (na.n + nb.n - common) >= $JaccardThr)""".stripMargin
 
   /** The exact ≥ threshold Jaccard pair set as a CTE (`jp`), composable
     * into the pair queries (d2/d3) and the clustering query (d7). */
@@ -188,6 +228,42 @@ object DedupQueries {
        |    list_reduce(list_transform(range(1, ${CosDim + 1}), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE),
        |                (x, y) -> x + y) AS n2 FROM embeddings)""".stripMargin
 
+  /** The trained-codebook CTE chain: `cent0` = lowest-id seed vectors,
+    * then [[KmeansIters]] unrolled Lloyd rounds, each = deterministic
+    * argmax-cosine assignment + the SAME fixed-point centroid update the
+    * Spark side runs ([[Similarity.trainCentroids]]): element sums over
+    * `floor(x·2²⁰)` BIGINTs (order-independent, exact in any engine) and
+    * one double division s/(2²⁰·count). Empty cells keep their previous
+    * centroid. Requires the `n` CTE (NormCte) in scope. */
+  private val KmeansQ = "1048576.0"
+  private val KmeansCtes: String = {
+    val seed =
+      s"""cent0 AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS cv
+         |  FROM embeddings WHERE vec_id < $IvfCentroids)""".stripMargin
+    val rounds = (1 to KmeansIters).map { t =>
+      val p = t - 1
+      s"""kn$p AS (SELECT cid, cv, list_reduce(list_transform(range(1, ${CosDim + 1}),
+         |    i -> cv[i] * cv[i]), (a, b) -> a + b) AS cn2 FROM cent$p),
+         |kac$t AS (SELECT v.vec_id, v.embedding, c.cid,
+         |    list_reduce(list_transform(range(1, ${CosDim + 1}),
+         |      i -> v.embedding[i]::DOUBLE * c.cv[i]), (a, b) -> a + b)
+         |      / sqrt(v.n2 * c.cn2) AS ccos
+         |  FROM n v CROSS JOIN kn$p c),
+         |kasn$t AS (SELECT vec_id, embedding, cid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cid) AS rn FROM kac$t) WHERE rn = 1),
+         |kcnt$t AS (SELECT cell, count(*) AS c FROM kasn$t GROUP BY cell),
+         |ksum$t AS (SELECT cell, r.range AS i,
+         |    sum(floor(embedding[r.range]::DOUBLE * $KmeansQ)::BIGINT) AS s
+         |  FROM kasn$t CROSS JOIN range(1, ${CosDim + 1}) r GROUP BY cell, r.range),
+         |kmean$t AS (SELECT cell, list(s::DOUBLE / ($KmeansQ * c) ORDER BY i) AS mv
+         |  FROM ksum$t JOIN kcnt$t USING (cell) GROUP BY cell),
+         |cent$t AS (SELECT p.cid, coalesce(m.mv, p.cv) AS cv
+         |  FROM cent$p p LEFT JOIN kmean$t m ON m.cell = p.cid)""".stripMargin
+    }
+    (seed +: rounds).mkString(",\n")
+  }
+
   private val CosPairSql =
     s"""WITH $NormCte,
        |p AS (SELECT a.vec_id ida, b.vec_id idb,
@@ -210,18 +286,8 @@ object DedupQueries {
     // same equivalence d2's oracle already relies on)
     "d2b_dedup_ngram_capped" ->
       s"""WITH $ShingleCtes,
-         |x AS (SELECT doc_id, unnest(sg) AS s FROM sh),
-         |df AS (SELECT s, count(*) AS c FROM x GROUP BY s),
-         |keep AS (SELECT doc_id, s FROM x JOIN df USING (s)
-         |  WHERE c <= greatest($MinDfCap, (SELECT count(*) FROM documents) // $DfCapDivisor)),
-         |sz AS (SELECT doc_id, count(*) AS n FROM keep GROUP BY doc_id),
-         |p AS (SELECT a.doc_id ida, b.doc_id idb, count(*) AS common
-         |  FROM keep a JOIN keep b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT ida, idb, common::DOUBLE / (na.n + nb.n - common) AS jaccard
-         |FROM p JOIN sz na ON p.ida = na.doc_id JOIN sz nb ON p.idb = nb.doc_id
-         |WHERE common::DOUBLE / (na.n + nb.n - common) >= $JaccardThr
-         |ORDER BY ida, idb""".stripMargin,
+         |${cappedJaccardCtes("documents")}
+         |SELECT ida, idb, jaccard FROM jp ORDER BY ida, idb""".stripMargin,
 
     "d3_dedup_minhash" -> JaccardPairSql,
 
@@ -252,6 +318,38 @@ object DedupQueries {
          |  FROM cc GROUP BY component_id)
          |SELECT cc.id, cc.component_id, sz.component_size
          |FROM cc JOIN sz USING (component_id) ORDER BY id""".stripMargin,
+
+    // re-derives the FULL curation chain: t2's quality score (identical
+    // arithmetic to the hash-verified t2 oracle), exact-dedup canonical
+    // keep, d2b's capped Jaccard pairs over the remaining docs (cap
+    // relative to THAT corpus), recursive-CTE components, loser removal
+    "p1_curate_corpus" -> {
+      val en = TextAnalysis.StopwordProfiles.toMap.apply("en")
+        .map("'" + _ + "'").mkString("[", ", ", "]")
+      s"""WITH RECURSIVE
+         |w0 AS (SELECT doc_id, text, string_split($NormExpr, ' ') AS ws FROM documents),
+         |q0 AS (SELECT doc_id, text,
+         |    least(len(ws)::DOUBLE / 50.0, 1.0) * 0.4
+         |    + (len(list_distinct(ws))::DOUBLE / len(ws)::DOUBLE) * 0.3
+         |    + least((len(list_filter(ws, x -> list_contains($en, x)))::DOUBLE
+         |             / len(ws)::DOUBLE) * 10.0, 1.0) * 0.3 AS quality_score
+         |  FROM w0),
+         |cur1 AS (SELECT * FROM q0 WHERE quality_score >= $QualityThr),
+         |nrm AS (SELECT doc_id, text, quality_score, $NormExpr AS norm FROM cur1),
+         |cur2 AS (SELECT doc_id, text, quality_score FROM (
+         |    SELECT *, min(doc_id) OVER (PARTITION BY norm) AS canon FROM nrm)
+         |  WHERE doc_id = canon),
+         |${shingleCtesFrom("cur2")},
+         |${cappedJaccardCtes("cur2")},
+         |e AS (SELECT ida AS u, idb AS v FROM jp UNION SELECT idb, ida FROM jp),
+         |r AS (SELECT u AS id, u AS lbl FROM e
+         |  UNION SELECT e.u, r.lbl FROM e JOIN r ON r.id = e.v),
+         |cc AS (SELECT id, min(lbl) AS component_id FROM r GROUP BY id),
+         |losers AS (SELECT id FROM cc WHERE id <> component_id)
+         |SELECT doc_id, quality_score FROM cur2
+         |WHERE doc_id NOT IN (SELECT id FROM losers)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "s1_knn_bruteforce" ->
       s"""WITH $NormCte,
@@ -301,9 +399,13 @@ object DedupQueries {
 
     "s3_knn_ivf" ->
       s"""WITH $NormCte,
-         |cent AS (SELECT vec_id AS cid, embedding, n2 FROM n WHERE vec_id < $IvfCentroids),
+         |$KmeansCtes,
+         |cent AS (SELECT cid, cv, list_reduce(list_transform(range(1, ${CosDim + 1}),
+         |    i -> cv[i] * cv[i]), (a, b) -> a + b) AS n2 FROM cent$KmeansIters),
          |ac AS (SELECT v.vec_id, v.embedding, v.n2, c.cid,
-         |    ${dotSql("v", "c")} / sqrt(v.n2 * c.n2) AS ccos
+         |    list_reduce(list_transform(range(1, ${CosDim + 1}),
+         |      i -> v.embedding[i]::DOUBLE * c.cv[i]), (a, b) -> a + b)
+         |      / sqrt(v.n2 * c.n2) AS ccos
          |  FROM n v CROSS JOIN cent c),
          |asn0 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
          |    ORDER BY ccos DESC, cid) AS rn FROM ac),

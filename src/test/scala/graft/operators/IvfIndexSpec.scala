@@ -48,4 +48,28 @@ class IvfIndexSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     spark.sql("DROP TABLE graft_ivf_index")
   }
+
+  test("trained-codebook index: probe via the persisted centroids equals ivfTopK") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = emb.filter("vec_id % 100 = 0")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_km").toString
+
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_km")
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_km_centroids")
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", 16,
+      "graft_ivf_km", s"$path/ivf", kmeansIters = 2)
+
+    // the codebook table is the trained centroids — ids are NOT corpus
+    // vectors anymore, so probes MUST read it (useCodebook = true)
+    val direct = Similarity.ivfTopK(q, emb, "vec_id", "embedding", 5, 16, 3,
+        kmeansIters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val probed = Similarity.probeIvfIndex(spark, "graft_ivf_km", q,
+        "vec_id", "embedding", 5, 16, 3, useCodebook = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(probed == direct)
+    assert(probed.nonEmpty)
+    spark.sql("DROP TABLE graft_ivf_km")
+    spark.sql("DROP TABLE graft_ivf_km_centroids")
+  }
 }

@@ -22,6 +22,42 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(c12 - 0.9 / math.sqrt(0.81 + 0.01)) < 1e-6)
   }
 
+  test("trained centroids keep cell-pruned pairs exact AND reduce cell skew") {
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exactness is centroid-independent (triangle-inequality pruning)
+    val exact   = res(Similarity.cosinePairs(emb, "vec_id", "embedding", 0.4))
+    val trained = res(Similarity.cosinePairsCellPruned(emb, "vec_id", "embedding", 0.4, 16,
+      kmeansIters = 2))
+    assert(trained == exact)
+    // the point of training: bounded cell skew. max/mean cell size is the
+    // probe-cost amplification factor at scale — Lloyd rounds must not
+    // make it worse than the data-layout-luck seed cells, and on this
+    // corpus they visibly tighten it.
+    import org.apache.spark.sql.functions.{col, count, lit}
+    def maxMeanRatio(iters: Int): Double = {
+      val cent = Similarity.trainCentroids(emb, "vec_id", "embedding", 16, iters)
+      val n = emb.select(col("vec_id"), col("embedding"),
+        graft.functions.VectorFunctions.norm2(col("embedding")).as("__n2"))
+      val sizes = n.join(org.apache.spark.sql.functions.broadcast(cent))
+        .select(col("vec_id"), col("__cid"),
+          graft.functions.VectorFunctions.cosineFromNorms(
+            graft.functions.VectorFunctions.dotD(col("embedding"), col("__cv")),
+            col("__n2"), col("__cn2")).as("__ccos"))
+        .groupBy(col("vec_id"))
+        .agg(org.apache.spark.sql.functions.max_by(col("__cid"),
+          org.apache.spark.sql.functions.struct(col("__ccos"), -col("__cid"))).as("cell"))
+        .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .collect().map(_.getLong(1).toDouble)
+      sizes.max / (sizes.sum / sizes.length)
+    }
+    val before = maxMeanRatio(0)
+    val after = maxMeanRatio(2)
+    info(f"max/mean cell ratio: seed $before%.2f -> trained $after%.2f")
+    assert(after < before, s"training worsened cell balance: $before -> $after")
+  }
+
   test("cosinePairsCellPruned equals the all-pairs formulation bit-for-bit") {
     val dir = "/root/testdata/sf0.01"
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
