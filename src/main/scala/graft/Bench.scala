@@ -42,10 +42,54 @@ object Bench {
       }
       name -> times.min
     }
+    // REAL micro-batch runs (file source over the same parquet,
+    // AvailableNow trigger): the st1/st4 transforms executed as actual
+    // Structured Streaming queries, timed next to their batch-equivalent
+    // numbers above, with the stream output checked row-equal to the
+    // batch result the driver verifies. Skipped when BENCH_ONLY narrows
+    // to non-streaming keys.
+    val doStream = only.forall(_.exists(_.startsWith("st")))
+    val streamJson = if (!doStream) "" else {
+      // the file stream source needs a DIRECTORY: stage the events file
+      // into a temp dir (link, no copy) — the cloud analog is the landing
+      // prefix new files drop into
+      val stage = java.nio.file.Files.createTempDirectory("graft_bench_stream")
+      java.nio.file.Files.createSymbolicLink(
+        stage.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+      def rowsOf(df: org.apache.spark.sql.DataFrame): Set[String] =
+        df.collect().map(_.toString).toSet
+      // st1: tumbling-window agg, complete mode — final table IS the agg
+      val t1 = System.nanoTime()
+      graft.streaming.EventStream
+        .start(spark, stage.toString, "bench_mb_st1", availableNow = true)
+        .awaitTermination()
+      val st1Sec = (System.nanoTime() - t1) / 1e9
+      val st1Eq = rowsOf(spark.table("bench_mb_st1")) ==
+        rowsOf(SparkEntry.queries("st1_stream_window")(spark, sfDir))
+      // st4: update-mode entity state — final state per id = the row from
+      // the last micro-batch that touched it: max updated_at (monotone
+      // nondecreasing), then min created_at (monotone nonincreasing)
+      val t4 = System.nanoTime()
+      graft.streaming.StateStream
+        .start(spark, stage.toString, "bench_mb_st4", "purchase",
+          availableNow = true)
+        .awaitTermination()
+      val st4Sec = (System.nanoTime() - t4) / 1e9
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+        .orderBy(org.apache.spark.sql.functions.col("updated_at").desc,
+          org.apache.spark.sql.functions.col("created_at").asc)
+      val st4Final = spark.table("bench_mb_st4")
+        .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter("__rn = 1").drop("__rn")
+      val st4Eq = rowsOf(st4Final) ==
+        rowsOf(SparkEntry.queries("st4_stream_state")(spark, sfDir))
+      s""","microbatch":{"st1_stream_window":$st1Sec,"st4_stream_state":$st4Sec,"st1_equals_batch":$st1Eq,"st4_equals_batch":$st4Eq}"""
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","best_of":$repeat}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","best_of":$repeat$streamJson}""")
     spark.stop()
   }
 }

@@ -59,14 +59,24 @@ object EventStream {
   }
 
   /** Start the pipeline into an in-memory sink (tests / smoke checks; a
-    * production deployment swaps the sink for parquet/Kafka + checkpoint). */
-  def start(spark: SparkSession, dir: String, sinkTable: String): StreamingQuery =
-    windowedAgg(readEvents(spark, dir))
+    * production deployment swaps the sink for parquet/Kafka + checkpoint).
+    * `availableNow = true` processes everything currently in the
+    * directory as real micro-batches and then terminates — the mode the
+    * micro-batch bench and catch-up/backfill runs use. */
+  def start(
+      spark: SparkSession,
+      dir: String,
+      sinkTable: String,
+      availableNow: Boolean = false): StreamingQuery = {
+    val w = windowedAgg(readEvents(spark, dir))
       .writeStream
       .format("memory")
       .queryName(sinkTable)
       .outputMode("complete")
-      .start()
+    (if (availableNow)
+       w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else w).start()
+  }
 
   /** Stream-static enrichment: every event joined to a slowly-changing
     * dimension snapshot, then the tumbling-window aggregation keyed by a

@@ -92,16 +92,23 @@ object StateStream {
 
   /** Start the streaming state table over an events parquet dir into a
     * memory sink (update mode — latest row per key per batch). */
-  def start(spark: SparkSession, dir: String, sinkTable: String, terminal: String): StreamingQuery = {
+  def start(
+      spark: SparkSession,
+      dir: String,
+      sinkTable: String,
+      terminal: String,
+      availableNow: Boolean = false): StreamingQuery = {
     import spark.implicits._
     val typed = EventStream.readEvents(spark, dir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .as[Ev]
-    updateStates(typed, terminal)
+    val w = updateStates(typed, terminal)
       .writeStream
       .format("memory")
       .queryName(sinkTable)
       .outputMode("update")
-      .start()
+    (if (availableNow)
+       w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else w).start()
   }
 }
