@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
+
+/** Scaling-curve bench: `runMain graft.tools.ScaleBench <sfDir> <factor>`
+  * times the scale-critical operators on a [[ScaleData]]-replicated corpus
+  * and prints one JSON line, best-of-N (SPARK_GRAFT_BENCH_REPEAT, default
+  * 2).
+  *
+  * Most keys run EXACTLY the SparkEntry query. The IVF-structured pair
+  * ops (d6, s3) scale the cell count with the corpus (nCells = 16·factor)
+  * — the documented operating rule: constant expected cell size, so probe
+  * cost per query stays flat while the index fans wider. Holding nCells
+  * fixed while the corpus grows 10× would measure a misconfigured index,
+  * not the operator.
+  *
+  * d5 (the intentional all-pairs baseline) is included only when
+  * SPARK_GRAFT_SCALE_D5=1 — at factor 10 its theta join touches 1.25e9
+  * pairs and exists here precisely to show that divergence. */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, factorS) = args
+    val factor = factorS.toInt
+    val spark = graft.GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "2").toInt.max(1)
+    val nCells = 16 * factor
+
+    val fromEntry = Seq(
+      "d1_dedup_exact", "d2b_dedup_ngram_capped", "d3_dedup_minhash",
+      "d4_dedup_simhash", "d7_dedup_components", "s2_knn_lsh",
+      "q3_incremental_merge", "q4_scd2_history", "q13_sessionize")
+    val special: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "d6_dedup_embcell" -> (() =>
+        Similarity.cosinePairsCellPruned(Tables.embeddings(spark, sfDir),
+          "vec_id", "embedding", 0.4, nCells, kmeansIters = 2)),
+      "s3_knn_ivf" -> (() =>
+        Similarity.ivfTopK(
+          Tables.embeddings(spark, sfDir).filter(col("vec_id") % 100 === 0),
+          Tables.embeddings(spark, sfDir),
+          "vec_id", "embedding", 5, nCells, 3, kmeansIters = 2))) ++
+      (if (sys.env.get("SPARK_GRAFT_SCALE_D5").contains("1"))
+         Seq("d5_dedup_embedding" -> (() =>
+           Similarity.cosinePairs(Tables.embeddings(spark, sfDir),
+             "vec_id", "embedding", 0.4)))
+       else Nil)
+
+    // warmup (JIT/codegen/shuffle infra)
+    try Dedup.exactGroups(Tables.documents(spark, sfDir).limit(100), "doc_id", "text")
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+
+    val runs: Seq[(String, () => org.apache.spark.sql.DataFrame)] =
+      fromEntry.map(n => n -> (() => graft.SparkEntry.queries(n)(spark, sfDir))) ++ special
+    val results = runs.map { case (name, fn) =>
+      val times = (1 to repeat).map { _ =>
+        val t0 = System.nanoTime()
+        try fn().write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[scalebench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"scale_total","value":${results.map(_._2).sum},"unit":"sec","queries":$qs,"sf":"$sfDir","factor":$factor,"n_cells":$nCells,"best_of":$repeat}""")
+    spark.stop()
+  }
+}

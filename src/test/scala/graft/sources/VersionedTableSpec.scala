@@ -1,0 +1,66 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** Versioned-table protocol: metadata-only publish, crash invisibility,
+  * time travel, race-retry, vacuum. */
+class VersionedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot() =
+    java.nio.file.Files.createTempDirectory("graft_vtable").toString + "/t"
+
+  test("commits are linear; read sees the latest; time travel sees the past") {
+    val root = freshRoot()
+    val v1 = VersionedTable.commit(Seq((1L, "a")).toDF("id", "x"), root)
+    val v2 = VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "x"), root)
+    assert((v1, v2) == (1L, 2L))
+    assert(VersionedTable.currentVersion(spark, root).contains(2L))
+    assert(VersionedTable.read(spark, root).count() == 2)
+    assert(VersionedTable.readVersion(spark, root, 1).count() == 1)
+  }
+
+  test("crashed writers are invisible at every protocol step") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq((1L, "a")).toDF("id", "x"), root)
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash after step 1 (staging written, nothing claimed)
+    Seq((9L, "junk")).toDF("id", "x").write.parquet(s"$root/_staging/deadbeef")
+    // crash after step 2/3 (version 2 claimed, data moved, never published)
+    Seq((8L, "junk")).toDF("id", "x").write.parquet(s"$root/v00000002")
+    f.create(new org.apache.hadoop.fs.Path(s"$root/_claims/00000002"), false).close()
+    assert(VersionedTable.currentVersion(spark, root).contains(1L))
+    assert(VersionedTable.read(spark, root).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // the next writer skips the orphaned claim: lands on 3, table reads 3
+    val v = VersionedTable.commit(Seq((2L, "b")).toDF("id", "x"), root)
+    assert(v == 3L)
+    assert(VersionedTable.read(spark, root).collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("losing the claim race retries with the next number, no data rewrite") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq((1L, "a")).toDF("id", "x"), root)
+    // another writer holds the claim for version 2 (and is mid-commit)
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.create(new org.apache.hadoop.fs.Path(s"$root/_claims/00000002"), false).close()
+    val v = VersionedTable.commit(Seq((3L, "mine")).toDF("id", "x"), root)
+    assert(v == 3L)
+    // the other writer's claimed number was never touched by us
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$root/v00000002")))
+    assert(VersionedTable.read(spark, root).collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  test("vacuum keeps the newest K and drops the rest") {
+    val root = freshRoot()
+    (1 to 4).foreach(i => VersionedTable.commit(Seq((i.toLong, "x")).toDF("id", "x"), root))
+    val dropped = VersionedTable.vacuum(spark, root, keepLast = 2)
+    assert(dropped == Seq(1L, 2L))
+    assert(VersionedTable.versions(spark, root) == Seq(3L, 4L))
+    assert(VersionedTable.read(spark, root).collect().map(_.getLong(0)).toSeq == Seq(4L))
+    intercept[IllegalArgumentException] {
+      VersionedTable.readVersion(spark, root, 1)
+    }
+  }
+}
