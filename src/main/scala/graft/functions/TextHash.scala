@@ -104,4 +104,16 @@ object TextHash {
     org.apache.spark.sql.graft.ColumnBridge.column(
       graft.plans.PolyHash(org.apache.spark.sql.graft.ColumnBridge.expression(c),
         graft.plans.GraftExpressions.WideBase, graft.plans.GraftExpressions.WideMod))
+
+  /** Wide-space variant of [[shingleHashes]] — one 55-bit hash per shingle.
+    * The SimHash input: fingerprint bits j ≥ 30 are only meaningful when
+    * the underlying hash actually populates them (the 1e9+7 space leaves
+    * them constant-zero, which silently empties the high simhash bands).
+    * IS oracle-visible (unlike [[wideHash]]'s join keys): d4's fingerprint
+    * arithmetic re-derives in SQL — acc·131 + byte stays < 2⁶³, BIGINT-safe
+    * in any engine. */
+  def wideShingleHashes(shArr: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.PolyHashArray(org.apache.spark.sql.graft.ColumnBridge.expression(shArr),
+        graft.plans.GraftExpressions.WideBase, graft.plans.GraftExpressions.WideMod))
 }

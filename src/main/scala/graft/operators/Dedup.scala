@@ -193,21 +193,31 @@ object Dedup {
     withSets.select(col("ida"), col("idb"), col("jaccard"))
   }
 
+  /** Default simhash width: 52 bits = 4 lossless bands × 13 under the
+    * Hamming ≤ 3 contract, every bit fully uniform under the 55-bit
+    * wide-hash input space. WHY not 32: the r3 scaling run measured d4
+    * superlinear (12.4× time at 10× docs) — 8-bit bands collide for
+    * random fingerprint pairs at p = 4/2⁸, a quadratic chance-candidate
+    * term; 13-bit bands cut that constant 32× (and the old 1e9+7 shingle
+    * hashes left bits ≥ 30 constant-zero, silently halving one band's
+    * entropy). Scale the width with log₂(corpus) if Hamming stays ≤ 3. */
+  val SimHashBits: Int = 52
+
   /** SimHash fingerprints: one `bits`-wide fingerprint per doc from its
-    * distinct shingle hashes, computed by the native typed aggregate
-    * [[graft.plans.SimHashAgg]] — the shingle arrays are folded in place,
-    * never exploded into rows, with map-side partials and an O(bits)
-    * merge. Docs with zero shingles get no fingerprint (callers guarantee
-    * non-empty text). */
+    * distinct WIDE (55-bit) shingle hashes, computed by the native typed
+    * aggregate [[graft.plans.SimHashAgg]] — the shingle arrays are folded
+    * in place, never exploded into rows, with map-side partials and an
+    * O(bits) merge. Docs with zero shingles get no fingerprint (callers
+    * guarantee non-empty text). */
   def simhashFingerprints(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       n: Int,
-      bits: Int = 32): DataFrame = {
+      bits: Int = SimHashBits): DataFrame = {
     val agg = org.apache.spark.sql.graft.ColumnBridge.column(
       graft.plans.SimHashAgg(
-        org.apache.spark.sql.graft.ColumnBridge.expression(shingleHashes(col("sg"))),
+        org.apache.spark.sql.graft.ColumnBridge.expression(wideShingleHashes(col("sg"))),
         bits).toAggregateExpression())
     shingleDocs(docs, idCol, textCol, n)
       .filter(col("n_sh") > 0)
@@ -223,9 +233,9 @@ object Dedup {
       idCol: String,
       textCol: String,
       n: Int,
-      bits: Int = 32): DataFrame = {
+      bits: Int = SimHashBits): DataFrame = {
     val exploded = shingleDocs(docs, idCol, textCol, n)
-      .select(col(idCol), explode(shingleHashes(col("sg"))).as("__x"))
+      .select(col(idCol), explode(wideShingleHashes(col("sg"))).as("__x"))
     // bit extraction via &1 (as the SQL oracle and SimHashAgg do): `% 2`
     // would yield -1 for negative hashes and silently diverge
     val sums = (0 until bits).map(j =>
@@ -247,7 +257,7 @@ object Dedup {
       textCol: String,
       n: Int,
       maxHamming: Int = 3,
-      bits: Int = 32): DataFrame = {
+      bits: Int = SimHashBits): DataFrame = {
     val nBands = maxHamming + 1
     val bandWidth = bits / nBands
     val mask = (1L << bandWidth) - 1L

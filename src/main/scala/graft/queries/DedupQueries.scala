@@ -209,15 +209,20 @@ object DedupQueries {
     s"""WITH $JaccardPairCtes
        |SELECT ida, idb, jaccard FROM jp ORDER BY ida, idb""".stripMargin
 
-  /** char-fold polynomial hash of each shingle — mirrors TextHash. */
-  private val HashCte =
-    """hs AS (SELECT doc_id, list_transform(sg,
-      |    sh -> list_reduce(list_transform(range(1, length(sh) + 1), i -> ascii(sh[i])::BIGINT),
-      |                      (acc, x) -> (acc * 31 + x) % 1000000007)) AS hl FROM sh)""".stripMargin
+  /** char-fold WIDE polynomial hash of each shingle — mirrors
+    * TextHash.wideShingleHashes (base 131, 55-bit prime modulus;
+    * acc·131 + byte < 2⁶³, so plain BIGINT arithmetic re-derives it). */
+  private val HashCte = {
+    val b = graft.plans.GraftExpressions.WideBase
+    val m = graft.plans.GraftExpressions.WideMod
+    s"""hs AS (SELECT doc_id, list_transform(sg,
+       |    sh -> list_reduce(list_transform(range(1, length(sh) + 1), i -> ascii(sh[i])::BIGINT),
+       |                      (acc, x) -> (acc * $b + x) % $m)) AS hl FROM sh)""".stripMargin
+  }
 
-  private val simhashSums = (0 until 32)
+  private val simhashSums = (0 until Dedup.SimHashBits)
     .map(j => s"sum(((x >> $j) & 1) * 2 - 1) AS s$j").mkString(", ")
-  private val simhashFp = (0 until 32)
+  private val simhashFp = (0 until Dedup.SimHashBits)
     .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
 
   private val CosDim = 64

@@ -28,6 +28,14 @@ object ScaleBench {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "2").toInt.max(1)
     val nCells = 16 * factor
+    // cosine threshold for the d5/d6 pair ops. 0.4 (the query-key value)
+    // admits ~7e-4 of ALL pairs by chance in 64 dims (3.2 sigma), so the
+    // OUTPUT grows quadratically on any faithfully-scaled corpus; 0.9
+    // isolates the planted near-dups — linear output, which separates
+    // operator scaling from output-size scaling in the curve
+    val thr = sys.env.getOrElse("SPARK_GRAFT_SCALE_THR", "0.4").toDouble
+    val onlyKeys = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
 
     val fromEntry = Seq(
       "d1_dedup_exact", "d2b_dedup_ngram_capped", "d3_dedup_minhash",
@@ -36,7 +44,7 @@ object ScaleBench {
     val special: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
       "d6_dedup_embcell" -> (() =>
         Similarity.cosinePairsCellPruned(Tables.embeddings(spark, sfDir),
-          "vec_id", "embedding", 0.4, nCells, kmeansIters = 2)),
+          "vec_id", "embedding", thr, nCells, kmeansIters = 2)),
       "s3_knn_ivf" -> (() =>
         Similarity.ivfTopK(
           Tables.embeddings(spark, sfDir).filter(col("vec_id") % 100 === 0),
@@ -45,7 +53,7 @@ object ScaleBench {
       (if (sys.env.get("SPARK_GRAFT_SCALE_D5").contains("1"))
          Seq("d5_dedup_embedding" -> (() =>
            Similarity.cosinePairs(Tables.embeddings(spark, sfDir),
-             "vec_id", "embedding", 0.4)))
+             "vec_id", "embedding", thr)))
        else Nil)
 
     // warmup (JIT/codegen/shuffle infra)
@@ -54,7 +62,8 @@ object ScaleBench {
     catch { case _: Throwable => () }
 
     val runs: Seq[(String, () => org.apache.spark.sql.DataFrame)] =
-      fromEntry.map(n => n -> (() => graft.SparkEntry.queries(n)(spark, sfDir))) ++ special
+      (fromEntry.map(n => n -> (() => graft.SparkEntry.queries(n)(spark, sfDir))) ++ special)
+        .filter { case (n, _) => onlyKeys.forall(_(n)) }
     val results = runs.map { case (name, fn) =>
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
