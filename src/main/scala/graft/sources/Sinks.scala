@@ -90,6 +90,32 @@ object Sinks {
     truncateLoad(merged.localCheckpoint(eager = true), targetPath)
   }
 
+  /** [[upsertByKey]] on a [[VersionedTable]] target — the form that holds
+    * at 100 TB: the merge result lands as a NEW immutable snapshot and the
+    * table flips to it with a metadata-only publish, so there is no
+    * absent-target window, a reader mid-query keeps its resolved version,
+    * and every previous table state stays time-travelable until vacuum.
+    * This is the run-over-run shape of the reference's hourly DAG
+    * (extract → merge → load) with the load made transactional. */
+  def upsertByKeyVersioned(
+      spark: SparkSession,
+      tableRoot: String,
+      staging: DataFrame,
+      key: String,
+      runTs: org.apache.spark.sql.Column,
+      statusCol: String,
+      doneValue: String): Long = {
+    val target = VersionedTable.currentVersion(spark, tableRoot) match {
+      case Some(_) => VersionedTable.read(spark, tableRoot)
+      case None => graft.operators.IncrementalMerge.emptyTarget(staging, key, statusCol)
+    }
+    val merged = graft.operators.IncrementalMerge
+      .merge(target, staging, key, runTs, statusCol, doneValue)
+    // no checkpoint needed: the commit writes to a fresh version dir, so
+    // the plan can read the current snapshot while writing the next one
+    VersionedTable.commit(merged, tableRoot)
+  }
+
   /** Distributed CSV sink — a directory of part files, the scale form
     * (CSV is row-major and splittable on read when uncompressed; still
     * prefer parquet for anything queried again). Nulls and empty strings

@@ -52,6 +52,34 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
+  test("upsertByKeyVersioned: each run is a snapshot; history time-travels") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = freshRoot()
+    val t0 = lit("2024-06-01 00:00:00").cast("timestamp")
+    val t1 = lit("2024-06-02 00:00:00").cast("timestamp")
+    def stg(rows: Seq[(Long, String, String)]) =
+      rows.toDF("id", "last_status", "c")
+        .withColumn("created_at", col("c").cast("timestamp")).drop("c")
+
+    val v1 = Sinks.upsertByKeyVersioned(spark, root,
+      stg(Seq((1L, "OPEN", "2024-05-30 10:00:00"), (2L, "DONE", "2024-05-30 11:00:00"))),
+      "id", t0, "last_status", "DONE")
+    // a reader resolves version 1 and holds it across the next commit
+    val held = VersionedTable.readVersion(spark, root, v1)
+    val v2 = Sinks.upsertByKeyVersioned(spark, root,
+      stg(Seq((1L, "DONE", "2024-05-30 10:00:00"), (3L, "OPEN", "2024-06-01 09:00:00"))),
+      "id", t1, "last_status", "DONE")
+    assert((v1, v2) == (1L, 2L))
+
+    val latest = VersionedTable.read(spark, root).orderBy("id").collect()
+    assert(latest.length == 3)
+    assert(latest(0).getAs[Any]("deleted_at") != null) // id 1 newly DONE
+    assert(latest(2).getAs[Any]("deleted_at") == null) // id 3 new OPEN
+    // the held reader still sees the pre-merge world, post-commit
+    val old = held.orderBy("id").collect()
+    assert(old.length == 2 && old(0).getAs[Any]("deleted_at") == null)
+  }
+
   test("vacuum keeps the newest K and drops the rest") {
     val root = freshRoot()
     (1 to 4).foreach(i => VersionedTable.commit(Seq((i.toLong, "x")).toDF("id", "x"), root))
