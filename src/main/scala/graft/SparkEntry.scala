@@ -24,7 +24,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> ((s, dir) => q1PricingSummary(s, dir))
   ) ++ graft.queries.EtlQueries.defs ++ graft.queries.AnalyticsQueries.defs ++
-    graft.queries.DedupQueries.defs ++ graft.queries.TextQueries.defs
+    graft.queries.DedupQueries.defs ++ graft.queries.TextQueries.defs ++
+    graft.queries.CurationQueries.defs
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -42,7 +43,8 @@ object SparkEntry {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin
   ) ++ graft.queries.EtlQueries.oracles ++ graft.queries.AnalyticsQueries.oracles ++
-    graft.queries.DedupQueries.oracles ++ graft.queries.TextQueries.oracles
+    graft.queries.DedupQueries.oracles ++ graft.queries.TextQueries.oracles ++
+    graft.queries.CurationQueries.oracles
 
   /** q1: groupBy multi-aggregate over the fact table (TPC-H Q1 shape — the
     * dbt-style "aggregate mart" pattern of the reference, e.g.

@@ -209,6 +209,51 @@ object Dedup {
     * in place, never exploded into rows, with map-side partials and an
     * O(bits) merge. Docs with zero shingles get no fingerprint (callers
     * guarantee non-empty text). */
+  /** d8: exact substring-window duplicate COVERAGE (the corpus-level
+    * measure of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", 2021: how much of each document is text that occurs
+    * verbatim elsewhere). A doc's k-word windows (distinct, via the
+    * native [[graft.functions.TextHash.shingleSet]]) are posted against
+    * the corpus; a window is DUPLICATED when ≥ 2 docs contain it.
+    * Output per doc: distinct window count, duplicated-window count, and
+    * the duplicated fraction — docs shorter than k words keep a 0-row.
+    *
+    * Scale: explode is map-side; the df aggregation and the posting join
+    * both key on the 55-bit window hash (8-byte shuffle rows, same
+    * string↔hash equivalence as d2b's cap — exact up to a ~1e-8 birthday
+    * bound that only ever perturbs counts, never crashes). Wordcount
+    * shape throughout: map-side partials, near-linear at any corpus
+    * size. Unlike d2 nothing is quadratic even on a pathological corpus —
+    * per-window work is O(df), aggregated, not joined pairwise. */
+  def windowDupStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    val posts = docs
+      .withColumn("__sg", shingleSet(col(textCol), k))
+      .select(col(idCol), explode(col("__sg")).as("__s"))
+      .withColumn("__h", wideHash(col("__s")))
+      .select(col(idCol), col("__h"))
+    val dfCounts = posts.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+    val perDoc = posts
+      .join(dfCounts, "__h")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+      .withColumn("dup_frac",
+        when(col("n_windows") > 0,
+          col("n_dup_windows").cast("double") / col("n_windows").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
   def simhashFingerprints(
       docs: DataFrame,
       idCol: String,

@@ -164,6 +164,60 @@ object TextAnalysis {
         col("tfidf_ratio"))
   }
 
+  /** t7: repetition / boilerplate signals (the Gopher-style repetition
+    * rules — Rae et al. 2021 §A1.1, public): per doc,
+    *   - `top_word_frac`    — occurrences of the most frequent word / words,
+    *   - `top_bigram_frac`  — occurrences of the most frequent word bigram
+    *                          / total bigrams,
+    *   - `dup_trigram_frac` — fraction of trigram OCCURRENCES whose trigram
+    *                          appears more than once (Gopher counts the
+    *                          characters inside duplicated n-grams; the
+    *                          occurrence fraction is the same signal over
+    *                          uniform-length tokens).
+    * Machine-generated / template text scores high on all three; natural
+    * prose stays low. Everything is per-row higher-order-function
+    * composition — map-side only, no shuffle, no UDF. Per-doc cost is
+    * O(distinct·n); documents are chunk-bounded upstream (the corpus
+    * contract), so the quadratic term is a small constant, not a scale
+    * risk. Ratios are exact-integer divisions — bit-reproducible. */
+  def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // occurrences of the most frequent element of `arr` (0 when empty)
+    def maxCount(arr: Column): Column =
+      coalesce(
+        array_max(transform(array_distinct(arr),
+          g => size(filter(arr, x => x === g)).cast("long"))),
+        lit(0L))
+    def grams(ws: Column, n: Int): Column =
+      when(size(ws) >= n,
+        transform(sequence(lit(1), size(ws) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + lit(j))): _*)))
+        .otherwise(array().cast("array<string>"))
+    docs
+      .withColumn("__ws", wordsOf(col(textCol)))
+      .withColumn("__bg", grams(col("__ws"), 2))
+      .withColumn("__tg", grams(col("__ws"), 3))
+      .withColumn("n_words", size(col("__ws")).cast("long"))
+      .withColumn("top_word_frac",
+        when(col("n_words") > 0,
+          maxCount(col("__ws")).cast("double") / col("n_words").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("top_bigram_frac",
+        when(size(col("__bg")) > 0,
+          maxCount(col("__bg")).cast("double") / size(col("__bg")).cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("dup_trigram_frac",
+        when(size(col("__tg")) > 0,
+          aggregate(
+            transform(array_distinct(col("__tg")),
+              g => size(filter(col("__tg"), x => x === g)).cast("long")),
+            lit(0L),
+            (acc, c) => acc + when(c > 1, c).otherwise(lit(0L)))
+            .cast("double") / size(col("__tg")).cast("double"))
+          .otherwise(lit(0.0)))
+      .select(col(idCol), col("n_words"), col("top_word_frac"),
+        col("top_bigram_frac"), col("dup_trigram_frac"))
+  }
+
   /** t4: document fingerprint — the rolling polynomial hash of the
     * normalized text (explicit modular arithmetic, engine-neutral) — and
     * the duplicate groups it induces. At corpus scale the fingerprint is

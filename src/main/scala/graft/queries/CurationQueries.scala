@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Packing, Sampling}
+import graft.sources.Tables
+
+/** SURVEY.md §2c/§2e — corpus-to-training-run plumbing: deterministic
+  * stratified sampling (the data-mix step) and greedy sequence packing
+  * (the batching step). Both are pure deterministic arithmetic, so the
+  * DuckDB oracle re-derives them exactly (sampling: the same polynomial
+  * hash buckets; packing: the same greedy fold as a recursive CTE).
+  */
+object CurationQueries {
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p2_sample_stratified" -> ((s, d) => p2(s, d)),
+    "p3_pack_sequences"    -> ((s, d) => p3(s, d))
+  )
+
+  private val SampleSalt = "p2"
+  /** The mix config: an explicit per-source permille whitelist (strata
+    * omitted from a mix config are dropped). Spread over [100, 950) so
+    * every stratum is non-trivially sampled. */
+  val Rates: Seq[(String, Int)] =
+    (0 until 20).map(i => (s"src$i", 100 + (i * 43) % 850))
+
+  private val PackCapacity  = 128L // whitespace tokens per packed sequence
+  private val PackShardSize = 200L // docs per sequential packing unit
+
+  /** p2: deterministic stratified sample of the documents table under the
+    * [[Rates]] mix config — zero-shuffle (broadcast rates + map-side
+    * hash filter). */
+  def p2(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratified(s, Tables.documents(s, dir), "doc_id", "source",
+        Rates, SampleSalt)
+      .select(col("doc_id"), col("source"), col("bucket"),
+        col("permille").cast("long").as("permille"))
+      .orderBy(col("doc_id"))
+
+  /** p3: greedy sequence packing of the documents table into
+    * 128-token sequences within (source, doc_id/200) shards. */
+  def p3(s: SparkSession, dir: String): DataFrame =
+    Packing.packSequences(s, Tables.documents(s, dir), "doc_id", "source",
+        "text", PackCapacity, PackShardSize)
+      .orderBy(col("stratum"), col("shard"), col("id"))
+
+  // ---- oracle SQL ---------------------------------------------------------
+
+  private val NormExpr =
+    "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+
+  /** Rolling polynomial hash (acc*31 + ascii) % 1000000007 over `e` —
+    * identical to TextHash.charPolyHash (see TextQueries.polyHashSql). */
+  private def polyHashSql(e: String) =
+    s"""list_reduce(list_transform(range(1, length($e) + 1), i -> ascii(($e)[i])::BIGINT),
+       |      (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "p2_sample_stratified" -> {
+      val values = Rates.map { case (s, p) => s"('$s', $p)" }.mkString(", ")
+      val keyExpr = s"'$SampleSalt|' || doc_id::VARCHAR || '|mix'"
+      s"""WITH r(source, permille) AS (VALUES $values),
+         |h AS (SELECT doc_id, source,
+         |    ${polyHashSql(keyExpr)} % ${Sampling.Buckets} AS bucket
+         |  FROM documents)
+         |SELECT h.doc_id, h.source, h.bucket, r.permille::BIGINT AS permille
+         |FROM h JOIN r USING (source)
+         |WHERE h.bucket < r.permille
+         |ORDER BY h.doc_id""".stripMargin
+    },
+
+    // the identical greedy fold, unrolled as a recursive CTE over the
+    // row_number chain within each (stratum, shard) group
+    "p3_pack_sequences" ->
+      s"""WITH RECURSIVE
+         |w AS (SELECT doc_id, source, string_split($NormExpr, ' ') AS ws FROM documents),
+         |d AS (SELECT source AS stratum, doc_id // $PackShardSize AS shard,
+         |    doc_id AS id, len(ws)::BIGINT AS n_tokens,
+         |    row_number() OVER (PARTITION BY source, doc_id // $PackShardSize
+         |      ORDER BY doc_id) AS rn
+         |  FROM w),
+         |p AS (
+         |  SELECT stratum, shard, id, n_tokens, rn,
+         |    1::BIGINT AS seq_id, 0::BIGINT AS seq_offset, n_tokens AS fill
+         |  FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.stratum, d.shard, d.id, d.n_tokens, d.rn,
+         |    CASE WHEN p.fill + d.n_tokens > $PackCapacity
+         |      THEN p.seq_id + 1 ELSE p.seq_id END,
+         |    CASE WHEN p.fill + d.n_tokens > $PackCapacity
+         |      THEN 0::BIGINT ELSE p.fill END,
+         |    CASE WHEN p.fill + d.n_tokens > $PackCapacity
+         |      THEN d.n_tokens ELSE p.fill + d.n_tokens END
+         |  FROM d JOIN p ON d.stratum = p.stratum AND d.shard = p.shard
+         |    AND d.rn = p.rn + 1)
+         |SELECT stratum, shard, id, n_tokens, seq_id, seq_offset
+         |FROM p ORDER BY stratum, shard, id""".stripMargin
+  )
+}

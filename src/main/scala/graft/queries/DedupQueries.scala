@@ -38,6 +38,7 @@ object DedupQueries {
     "d5_dedup_embedding" -> ((s, d) => d5(s, d)),
     "d6_dedup_embcell"   -> ((s, d) => d6(s, d)),
     "d7_dedup_components" -> ((s, d) => d7(s, d)),
+    "d8_window_dedup"    -> ((s, d) => d8(s, d)),
     "s1_knn_bruteforce"  -> ((s, d) => s1(s, d)),
     "s2_knn_lsh"         -> ((s, d) => s2(s, d)),
     "s3_knn_ivf"         -> ((s, d) => s3(s, d)),
@@ -114,6 +115,15 @@ object DedupQueries {
         ShingleN, MinhashBands, MinhashRows, JaccardThr),
       "ida", "idb")
       .orderBy(col("id"))
+
+  private val WindowK = 8 // substring-window length (words) for d8
+
+  /** d8: exact substring-window duplicate coverage (Lee et al. 2021) —
+    * per-doc fraction of k-word windows that occur verbatim in ≥ 2 docs.
+    * Wordcount-shaped (posting df + join back), never pairwise. */
+  def d8(s: SparkSession, dir: String): DataFrame =
+    Dedup.windowDupStats(Tables.documents(s, dir), "doc_id", "text", WindowK)
+      .orderBy(col("doc_id"))
 
   private val QualityThr = 0.55 // drops the ~p10 tail at sf0.01, keeps the bulk
 
@@ -307,6 +317,27 @@ object DedupQueries {
          |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.f, b.f)) <= $MaxHamming
          |ORDER BY ida, idb""".stripMargin,
+
+    // df over window STRINGS; the Spark side keys on the 55-bit hash —
+    // identical counts modulo the ~1e-8 birthday bound d2b's oracle
+    // already relies on
+    "d8_window_dedup" -> {
+      val kgram = (0 until WindowK).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+      s"""WITH w AS (SELECT doc_id, string_split($NormExpr, ' ') AS ws FROM documents),
+         |sh AS (SELECT doc_id, CASE WHEN len(ws) >= $WindowK THEN
+         |    list_distinct(list_transform(range(1, len(ws) - ${WindowK - 2}),
+         |      i -> $kgram)) ELSE []::VARCHAR[] END AS sg FROM w),
+         |x AS (SELECT doc_id, unnest(sg) AS s FROM sh),
+         |dfc AS (SELECT s, count(*) AS df FROM x GROUP BY s),
+         |pd AS (SELECT doc_id, count(*) AS n_windows,
+         |    sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_dup
+         |  FROM x JOIN dfc USING (s) GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(pd.n_windows, 0)::BIGINT AS n_windows,
+         |  coalesce(pd.n_dup, 0)::BIGINT AS n_dup_windows,
+         |  CASE WHEN coalesce(pd.n_windows, 0) > 0
+         |    THEN pd.n_dup::DOUBLE / pd.n_windows::DOUBLE ELSE 0.0 END AS dup_frac
+         |FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id""".stripMargin
+    },
 
     "d5_dedup_embedding" -> CosPairSql,
     // d6 is exact by construction (triangle-inequality pruning has no false

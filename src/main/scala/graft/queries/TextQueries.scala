@@ -22,6 +22,7 @@ object TextQueries {
     "t4_fingerprint"     -> ((s, d) => t4(s, d)),
     "t5_vocabulary"      -> ((s, d) => t5(s, d)),
     "t6_tfidf"           -> ((s, d) => t6(s, d)),
+    "t7_repetition"      -> ((s, d) => t7(s, d)),
     "m1_multimodal_meta" -> ((s, d) => m1(s, d)),
     "m2_multimodal_resize" -> ((s, d) => m2(s, d)),
     "st1_stream_window"  -> ((s, d) => st1(s, d)),
@@ -58,6 +59,10 @@ object TextQueries {
   def t6(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", TfidfTopK)
       .orderBy(col("doc_id"), col("term_rank"))
+
+  def t7(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetition(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
 
   def m1(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractMeta(
@@ -229,6 +234,31 @@ object TextQueries {
          |SELECT doc_id, term_rank, word, tf, df, tfidf_ratio
          |FROM r WHERE term_rank <= $TfidfTopK
          |ORDER BY doc_id, term_rank""".stripMargin,
+
+    "t7_repetition" ->
+      s"""WITH $WsCte,
+         |b AS (SELECT doc_id, ws, len(ws) AS n,
+         |    CASE WHEN len(ws) >= 2 THEN list_transform(range(1, len(ws)),
+         |      i -> ws[i] || ' ' || ws[i+1]) ELSE []::VARCHAR[] END AS bg,
+         |    CASE WHEN len(ws) >= 3 THEN list_transform(range(1, len(ws) - 1),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) ELSE []::VARCHAR[] END AS tg
+         |  FROM w)
+         |SELECT doc_id, n::BIGINT AS n_words,
+         |  CASE WHEN n > 0 THEN
+         |    list_max(list_transform(list_distinct(ws),
+         |      g -> len(list_filter(ws, x -> x = g))))::DOUBLE / n::DOUBLE
+         |    ELSE 0.0 END AS top_word_frac,
+         |  CASE WHEN len(bg) > 0 THEN
+         |    list_max(list_transform(list_distinct(bg),
+         |      g -> len(list_filter(bg, x -> x = g))))::DOUBLE / len(bg)::DOUBLE
+         |    ELSE 0.0 END AS top_bigram_frac,
+         |  CASE WHEN len(tg) > 0 THEN
+         |    list_sum(list_transform(list_distinct(tg),
+         |      g -> CASE WHEN len(list_filter(tg, x -> x = g)) > 1
+         |        THEN len(list_filter(tg, x -> x = g)) ELSE 0 END))::DOUBLE
+         |      / len(tg)::DOUBLE
+         |    ELSE 0.0 END AS dup_trigram_frac
+         |FROM b ORDER BY doc_id""".stripMargin,
 
     "m1_multimodal_meta" ->
       s"""WITH h AS (SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,

@@ -147,6 +147,25 @@ class DedupSpec extends SparkSpec {
     assert(native(0)._2 == native(2)._2)
   }
 
+  test("windowDupStats: shared k-windows counted, short docs keep 0-rows") {
+    val corpus = Seq(
+      // docs 1/2 share the 8-word prefix "w1 … w8"; doc 1 has 3 windows
+      // (10 words), doc 2 has 2 (9 words)
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 x1 x2"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 y1"),
+      (3L, "entirely different words here that never collide with anything else"),
+      (4L, "too short for windows") // < 8 words
+    ).toDF("doc_id", "text")
+    val out = Dedup.windowDupStats(corpus, "doc_id", "text", 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // only the exact shared window "w1 … w8" is duplicated (df = 2)
+    assert(out(0) == ((1L, 3L, 1L, 1.0 / 3.0)))
+    assert(out(1) == ((2L, 2L, 1L, 0.5)))
+    assert(out(2) == ((3L, 3L, 0L, 0.0)))
+    assert(out(3) == ((4L, 0L, 0L, 0.0)))
+  }
+
   test("simhash: identical docs collide, near-dups within small hamming") {
     val fps = Dedup.simhashFingerprints(docs, "doc_id", "text", 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

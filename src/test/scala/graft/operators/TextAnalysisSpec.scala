@@ -20,6 +20,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(out(0).getDouble(2) - 0.5) < 1e-12)
   }
 
+  test("repetition: top-gram fractions and duplicated-trigram coverage") {
+    val docs = Seq(
+      (1L, "a b c a b c a b c"),          // pure loop: everything repeats
+      (2L, "one two three four five six") // all distinct
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getLong(1) == 9L)
+    assert(math.abs(r1.getDouble(2) - 3.0 / 9.0) < 1e-15)  // 'a' ×3 of 9
+    assert(math.abs(r1.getDouble(3) - 3.0 / 8.0) < 1e-15)  // 'a b' ×3 of 8
+    assert(r1.getDouble(4) == 1.0)  // all 7 trigrams occur ≥ twice
+    val r2 = out(1)
+    assert(math.abs(r2.getDouble(2) - 1.0 / 6.0) < 1e-15)
+    assert(math.abs(r2.getDouble(3) - 1.0 / 5.0) < 1e-15)
+    assert(r2.getDouble(4) == 0.0)
+  }
+
+  test("repetition: degenerate short docs hit the 0.0 guards, no div-by-zero") {
+    val docs = Seq((1L, "solo"), (2L, "two words")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 1L && out(0).getDouble(2) == 1.0)
+    assert(out(0).getDouble(3) == 0.0 && out(0).getDouble(4) == 0.0) // no bigrams/trigrams
+    assert(out(1).getDouble(3) == 1.0 && out(1).getDouble(4) == 0.0) // one bigram (its own top), no trigram
+  }
+
   test("quality ratios and composite score") {
     val docs = Seq((1L, "the the the the"), (2L, "alpha beta gamma delta"))
       .toDF("doc_id", "text")
