@@ -254,6 +254,134 @@ object Dedup {
           .otherwise(lit(0.0)))
   }
 
+  /** d9: benchmark DECONTAMINATION (the eval-leakage check every training
+    * corpus needs — Brown et al. 2020 §4 run exactly this before training):
+    * per corpus doc, how many of its k-word windows occur verbatim in the
+    * benchmark/eval set. Downstream policy (drop the doc, or excise the
+    * overlapping spans) keys off `n_contaminated`/`contaminated_frac`.
+    *
+    * Scale: eval suites are bounded (millions of windows) while the corpus
+    * is not — so the benchmark's DISTINCT window hashes are BROADCAST and
+    * the corpus side never shuffles for the probe; the only shuffle is the
+    * per-doc count aggregation on the doc id (map-side partials). Window
+    * identity is the 55-bit [[graft.functions.TextHash.wideHash]], the
+    * same string↔hash equivalence (≈1e-8 birthday bound) the d2b/d8
+    * oracles already accept. Set `broadcastBench = false` if the
+    * benchmark outgrows broadcast range — the probe degrades to a plain
+    * 8-byte-key equi-join, still wordcount-shaped. */
+  def contaminationStats(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      broadcastBench: Boolean = true): DataFrame = {
+    def windows(df: DataFrame) = df
+      .withColumn("__sg", shingleSet(col(textCol), k))
+      .select(col(idCol), explode(col("__sg")).as("__s"))
+      .select(col(idCol), wideHash(col("__s")).as("__h"))
+    val benchSet0 = windows(benchmark).select(col("__h")).distinct()
+      .withColumn("__hit", lit(1L))
+    val benchSet = if (broadcastBench) broadcast(benchSet0) else benchSet0
+    val perDoc = windows(docs)
+      .join(benchSet, Seq("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("contaminated_frac",
+        when(col("n_windows") > 0,
+          col("n_contaminated").cast("double") / col("n_windows").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** d10: INCREMENTAL cross-corpus dedup — flag each NEW-batch doc against
+    * the already-curated corpus without ever re-deduplicating the corpus
+    * itself (at 100 TB you dedup the daily arrivals against the standing
+    * index, never corpus×corpus). Per batch doc:
+    * `is_exact_dup` (normalized text occurs in the corpus), `n_near`
+    * (corpus docs at Jaccard ≥ threshold), `max_jaccard` (0.0 when none).
+    *
+    * Scale: the corpus contributes exactly two index-shaped tables — its
+    * distinct norm-hashes and its banded MinHash signatures, both
+    * persistable once and reused every batch (same pattern as
+    * [[Similarity.buildIvfIndex]]). The daily batch is orders of magnitude
+    * smaller than the corpus, so its hash set and band table BROADCAST:
+    * the corpus is probed map-side, never shuffled, never self-joined.
+    * Candidates are verified with exact Jaccard on the shingle sets, so
+    * the output is the true ≥ threshold neighbor count (minus the
+    * (1-s^r)^b LSH miss, ≈3e-8 at planted similarity). */
+  def incrementalDedupFlags(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      bands: Int,
+      bandRows: Int,
+      threshold: Double): DataFrame = {
+    val k = bands * bandRows
+    // exact: batch norm-hash ∈ corpus norm-hash set (8-byte probe keys;
+    // string-equality semantics modulo the repo-wide 64-bit hash bound).
+    // The batch hash set broadcasts BOTH ways: the corpus is probed
+    // map-side (never shuffled, never distinct-ed), and only the matched
+    // hashes — at most |batch| after the partial-agg distinct — come back.
+    val batchNorm = batch
+      .select(col(idCol), xxhash64(normText(col(textCol))).as("__nh"))
+    val batchHashes = batchNorm.select(col("__nh")).distinct()
+    val matched = corpus
+      .select(xxhash64(normText(col(textCol))).as("__nh"))
+      .join(broadcast(batchHashes), Seq("__nh"), "left_semi")
+      .distinct()
+    val exact = batchNorm
+      .join(broadcast(matched), Seq("__nh"), "left_semi")
+      .select(col(idCol)).withColumn("__ex", lit(1L))
+    // near: banded signatures batch↔corpus, batch side broadcast
+    def bandKeys(df: DataFrame, as: String) = {
+      val sh = shingleDocs(df, idCol, textCol, n).filter(col("n_sh") > 0)
+      val bandStructs = array((0 until bands).map { b =>
+        struct(lit(b).as("band") +:
+          (0 until bandRows).map(r =>
+            element_at(col("__sig"), b * bandRows + r + 1).as(s"v$r")): _*)
+      }: _*)
+      (sh.withColumn("__sig", minhashSig(shingleHashes(col("sg")), k))
+        .select(col(idCol).as(as), explode(bandStructs).as("__bk")), sh)
+    }
+    val (batchBands, batchSh)   = bandKeys(batch, "__bid")
+    val (corpusBands, corpusSh) = bandKeys(corpus, "__cid")
+    val cands = corpusBands
+      .join(broadcast(batchBands), Seq("__bk"))
+      .select(col("__bid"), col("__cid")).distinct()
+    // verify: candidates + batch shingle sets stay broadcast-sized, so the
+    // corpus shingle table is probed map-side here too
+    val withBatch = cands
+      .join(batchSh.select(col(idCol).as("__bid"), col("sg").as("__sga"),
+        col("n_sh").as("__na")), "__bid")
+    val near = corpusSh
+      .select(col(idCol).as("__cid"), col("sg").as("__sgb"), col("n_sh").as("__nb"))
+      .join(broadcast(withBatch), Seq("__cid"))
+      .withColumn("__common", size(array_intersect(col("__sga"), col("__sgb"))))
+      .withColumn("__j",
+        col("__common").cast("double") / (col("__na") + col("__nb") - col("__common")))
+      .filter(col("__j") >= threshold)
+      .groupBy(col("__bid"))
+      .agg(count(lit(1)).as("__nn"), max(col("__j")).as("__mj"))
+    batch.select(col(idCol))
+      .join(exact, Seq(idCol), "left")
+      .join(near.withColumnRenamed("__bid", idCol), Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("__ex"), lit(0L)).as("is_exact_dup"),
+        coalesce(col("__nn"), lit(0L)).as("n_near"),
+        coalesce(col("__mj"), lit(0.0)).as("max_jaccard"))
+  }
+
   def simhashFingerprints(
       docs: DataFrame,
       idCol: String,

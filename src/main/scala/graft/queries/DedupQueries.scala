@@ -39,6 +39,8 @@ object DedupQueries {
     "d6_dedup_embcell"   -> ((s, d) => d6(s, d)),
     "d7_dedup_components" -> ((s, d) => d7(s, d)),
     "d8_window_dedup"    -> ((s, d) => d8(s, d)),
+    "d9_decontaminate"   -> ((s, d) => d9(s, d)),
+    "d10_incremental_dedup" -> ((s, d) => d10(s, d)),
     "s1_knn_bruteforce"  -> ((s, d) => s1(s, d)),
     "s2_knn_lsh"         -> ((s, d) => s2(s, d)),
     "s3_knn_ivf"         -> ((s, d) => s3(s, d)),
@@ -124,6 +126,36 @@ object DedupQueries {
   def d8(s: SparkSession, dir: String): DataFrame =
     Dedup.windowDupStats(Tables.documents(s, dir), "doc_id", "text", WindowK)
       .orderBy(col("doc_id"))
+
+  private val BenchStride = 10 // d9 "benchmark set": doc_id % 10 == 0 (10% of docs)
+  private val BatchMod    = 5  // d10 "new batch": doc_id % 5 == 4 (20% of docs)
+
+  /** d9: benchmark decontamination — per corpus doc, the count/fraction of
+    * its k-word windows that occur verbatim in the benchmark set (a
+    * deterministic 10% slice standing in for the eval suite). Benchmark
+    * window hashes broadcast; corpus side never shuffles for the probe. */
+  def d9(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.contaminationStats(
+        docs.filter(col("doc_id") % BenchStride =!= 0),
+        docs.filter(col("doc_id") % BenchStride === 0),
+        "doc_id", "text", WindowK)
+      .orderBy(col("doc_id"))
+  }
+
+  /** d10: incremental cross-corpus dedup — the daily-arrivals pattern: a
+    * deterministic 20% slice plays the NEW batch, the rest the standing
+    * curated corpus. Each batch doc is flagged for exact duplication and
+    * near-duplication (MinHash bands batch↔corpus, exact-Jaccard verify)
+    * without any corpus self-join. */
+  def d10(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.incrementalDedupFlags(
+        docs.filter(col("doc_id") % BatchMod =!= BatchMod - 1),
+        docs.filter(col("doc_id") % BatchMod === BatchMod - 1),
+        "doc_id", "text", ShingleN, MinhashBands, MinhashRows, JaccardThr)
+      .orderBy(col("doc_id"))
+  }
 
   private val QualityThr = 0.55 // drops the ~p10 tail at sf0.01, keeps the bulk
 
@@ -338,6 +370,59 @@ object DedupQueries {
          |    THEN pd.n_dup::DOUBLE / pd.n_windows::DOUBLE ELSE 0.0 END AS dup_frac
          |FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id""".stripMargin
     },
+
+    // benchmark = doc_id % BenchStride = 0; df over window STRINGS (Spark
+    // probes 55-bit hashes — the d8 equivalence)
+    "d9_decontaminate" -> {
+      val kgram = (0 until WindowK).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+      s"""WITH w AS (SELECT doc_id, string_split($NormExpr, ' ') AS ws FROM documents),
+         |sh AS (SELECT doc_id, CASE WHEN len(ws) >= $WindowK THEN
+         |    list_distinct(list_transform(range(1, len(ws) - ${WindowK - 2}),
+         |      i -> $kgram)) ELSE []::VARCHAR[] END AS sg FROM w),
+         |x AS (SELECT doc_id, unnest(sg) AS s FROM sh),
+         |bench AS (SELECT DISTINCT s FROM x WHERE doc_id % $BenchStride = 0),
+         |corp AS (SELECT doc_id, s FROM x WHERE doc_id % $BenchStride <> 0),
+         |pd AS (SELECT c.doc_id, count(*) AS n_windows,
+         |    sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS n_cont
+         |  FROM corp c LEFT JOIN bench b USING (s) GROUP BY c.doc_id)
+         |SELECT d.doc_id, coalesce(pd.n_windows, 0)::BIGINT AS n_windows,
+         |  coalesce(pd.n_cont, 0)::BIGINT AS n_contaminated,
+         |  CASE WHEN coalesce(pd.n_windows, 0) > 0
+         |    THEN pd.n_cont::DOUBLE / pd.n_windows::DOUBLE ELSE 0.0 END
+         |    AS contaminated_frac
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % $BenchStride <> 0) d
+         |LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id""".stripMargin
+    },
+
+    // batch = doc_id % BatchMod = BatchMod-1; exact dup on normalized text,
+    // near dup = exact Jaccard batch×corpus at >= threshold (the Spark side
+    // reaches the same set via banded MinHash + verify)
+    "d10_incremental_dedup" ->
+      s"""WITH $ShingleCtes,
+         |nrm AS (SELECT doc_id, $NormExpr AS norm FROM documents),
+         |corpn AS (SELECT DISTINCT norm FROM nrm WHERE doc_id % $BatchMod <> ${BatchMod - 1}),
+         |ex AS (SELECT DISTINCT b.doc_id FROM nrm b JOIN corpn USING (norm)
+         |  WHERE b.doc_id % $BatchMod = ${BatchMod - 1}),
+         |shb AS (SELECT doc_id, sg FROM sh
+         |  WHERE doc_id % $BatchMod = ${BatchMod - 1} AND len(sg) > 0),
+         |shc AS (SELECT doc_id, sg FROM sh
+         |  WHERE doc_id % $BatchMod <> ${BatchMod - 1} AND len(sg) > 0),
+         |p AS (SELECT b.doc_id AS bid,
+         |    len(list_intersect(b.sg, c.sg)) AS common, len(b.sg) na, len(c.sg) nb
+         |  FROM shb b CROSS JOIN shc c),
+         |jp AS (SELECT bid, common::DOUBLE / (na + nb - common) AS jaccard
+         |  FROM p WHERE common::DOUBLE / (na + nb - common) >= $JaccardThr),
+         |nn AS (SELECT bid, count(*) AS n_near, max(jaccard) AS mj
+         |  FROM jp GROUP BY bid)
+         |SELECT d.doc_id,
+         |  CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END::BIGINT AS is_exact_dup,
+         |  coalesce(nn.n_near, 0)::BIGINT AS n_near,
+         |  coalesce(nn.mj, 0.0) AS max_jaccard
+         |FROM (SELECT doc_id FROM documents
+         |      WHERE doc_id % $BatchMod = ${BatchMod - 1}) d
+         |LEFT JOIN ex ON ex.doc_id = d.doc_id
+         |LEFT JOIN nn ON nn.bid = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "d5_dedup_embedding" -> CosPairSql,
     // d6 is exact by construction (triangle-inequality pruning has no false

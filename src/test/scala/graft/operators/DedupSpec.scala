@@ -166,6 +166,67 @@ class DedupSpec extends SparkSpec {
     assert(out(3) == ((4L, 0L, 0L, 0.0)))
   }
 
+  test("contaminationStats: benchmark windows flagged, clean and short docs 0") {
+    val bench = Seq(
+      (100L, "b1 b2 b3 b4 b5 b6 b7 b8 tail words here")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "b1 b2 b3 b4 b5 b6 b7 b8 x1 x2"),   // 3 windows, 1 contaminated
+      (2L, "clean words that never appear in the benchmark at all ok"),
+      (3L, "too short")                          // < 8 words → 0-row
+    ).toDF("doc_id", "text")
+    val out = Dedup.contaminationStats(corpus, bench, "doc_id", "text", 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out(0) == ((1L, 3L, 1L, 1.0 / 3.0)))
+    assert(out(1) == ((2L, 4L, 0L, 0.0)))
+    assert(out(2) == ((3L, 0L, 0L, 0.0)))
+    // non-broadcast probe path: identical output
+    val plain = Dedup.contaminationStats(corpus, bench, "doc_id", "text", 8,
+        broadcastBench = false)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(plain.toSeq == out.toSeq)
+  }
+
+  test("incrementalDedupFlags: exact, near, and clean batch docs flagged vs corpus") {
+    val corpus = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog"),
+      (2L, "completely different content about spark engines and parquet files"),
+      (3L, "some standing corpus document with plenty of ordinary words")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick  brown FOX jumps over the lazy dog!"), // exact dup of 1
+      (11L, "The quick brown fox jumps over the sleepy dog"), // near-dup of 1
+      (12L, "brand new material sharing nothing with anything already stored"),
+      (13L, "xy") // < n words → zero shingles, never a near-dup
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedupFlags(corpus, batch, "doc_id", "text",
+        3, 24, 3, 0.5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out(0)._1 == 10L && out(0)._2 == 1L && out(0)._3 == 1L && out(0)._4 == 1.0)
+    assert(out(1)._1 == 11L && out(1)._2 == 0L && out(1)._3 == 1L
+      && out(1)._4 > 0.5 && out(1)._4 < 1.0)
+    assert(out(2) == ((12L, 0L, 0L, 0.0)))
+    assert(out(3) == ((13L, 0L, 0L, 0.0)))
+  }
+
+  test("incrementalDedupFlags: batch-internal duplicates do not flag each other") {
+    val corpus = Seq((1L, "standing corpus text unrelated to the batch")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "twin text arriving twice in the same batch today"),
+      (11L, "twin text arriving twice in the same batch today")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedupFlags(corpus, batch, "doc_id", "text",
+        3, 24, 3, 0.5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // within-batch dedup is d1's job, not the cross-corpus probe's
+    assert(out(0) == ((10L, 0L, 0L, 0.0)))
+    assert(out(1) == ((11L, 0L, 0L, 0.0)))
+  }
+
   test("simhash: identical docs collide, near-dups within small hamming") {
     val fps = Dedup.simhashFingerprints(docs, "doc_id", "text", 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
