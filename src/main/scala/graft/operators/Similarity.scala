@@ -60,7 +60,10 @@ object Similarity {
       nCells: Int,
       iters: Int): DataFrame = {
     val n = emb.select(col(idCol), col(vecCol), norm2(col(vecCol)).as("__n2"))
-    var cent = n.filter(col(idCol) < nCells)
+    // seed = the nCells LOWEST-id vectors (TakeOrderedAndProject — a top-k,
+    // not a sort): correct for sparse or non-zero-based id spaces, where a
+    // plain `id < nCells` filter would silently under-seed the codebook
+    var cent = n.orderBy(col(idCol)).limit(nCells)
       .select(col(idCol).as("__cid"),
         transform(col(vecCol), x => x.cast("double")).as("__cv"))
       .localCheckpoint(eager = false)
@@ -107,7 +110,7 @@ object Similarity {
       kmeansIters: Int): DataFrame =
     if (kmeansIters <= 0)
       emb.select(col(idCol), col(vecCol), norm2(col(vecCol)).as("__n2"))
-        .filter(col(idCol) < nCells)
+        .orderBy(col(idCol)).limit(nCells)
         .select(col(idCol).as("__cid"), col(vecCol).as("__cv"), col("__n2").as("__cn2"))
     else trainCentroids(emb, idCol, vecCol, nCells, kmeansIters)
 
@@ -268,10 +271,11 @@ object Similarity {
     * output) to [[ivfTopK]] steps 3–4, but the corpus side comes from the
     * bucketed table — distribution from the layout, zero corpus shuffle,
     * zero assignment recompute. Centroids come from the persisted codebook
-    * (`<tableName>_centroids`, written by [[buildIvfIndex]]); with
-    * `useCodebook = false` they are recovered from the index itself
-    * (ids < nCells — valid only for an untrained, `kmeansIters = 0`
-    * build). */
+    * (`<tableName>_centroids`, written by every [[buildIvfIndex]]) when
+    * that table exists — AUTO-DETECTED, so a trained index can never be
+    * probed with the wrong (untrained) geometry; only for a legacy index
+    * without a codebook table are they recovered from the index itself
+    * (the nCells lowest-id vectors — the `kmeansIters = 0` seed set). */
   def probeIvfIndex(
       spark: org.apache.spark.sql.SparkSession,
       tableName: String,
@@ -280,12 +284,12 @@ object Similarity {
       vecCol: String,
       k: Int,
       nCells: Int,
-      nProbes: Int,
-      useCodebook: Boolean = false): DataFrame = {
+      nProbes: Int): DataFrame = {
     val assigned = spark.table(tableName)
     val cent =
-      if (useCodebook) spark.table(s"${tableName}_centroids")
-      else assigned.filter(col(idCol) < nCells)
+      if (spark.catalog.tableExists(s"${tableName}_centroids"))
+        spark.table(s"${tableName}_centroids")
+      else assigned.orderBy(col(idCol)).limit(nCells)
         .select(col(idCol).as("__cid"), col(vecCol).as("__cv"), col("__n2").as("__cn2"))
     val cellCos = cosineFromNorms(dotD(col(vecCol), col("__cv")), col("__n2"), col("__cn2"))
     val pw = Window.partitionBy(col("query_id"))

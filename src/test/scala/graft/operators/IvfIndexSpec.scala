@@ -14,6 +14,7 @@ class IvfIndexSpec extends SparkSpec {
     val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString
 
     spark.sql("DROP TABLE IF EXISTS graft_ivf_index")
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_index_centroids")
     Similarity.buildIvfIndex(emb, "vec_id", "embedding", 16,
       "graft_ivf_index", s"$path/ivf")
 
@@ -47,6 +48,7 @@ class IvfIndexSpec extends SparkSpec {
       assert("Exchange hashpartitioning".r.findAllIn(plan).size == cellExchanges + other)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     spark.sql("DROP TABLE graft_ivf_index")
+    spark.sql("DROP TABLE graft_ivf_index_centroids")
   }
 
   test("trained-codebook index: probe via the persisted centroids equals ivfTopK") {
@@ -60,12 +62,13 @@ class IvfIndexSpec extends SparkSpec {
       "graft_ivf_km", s"$path/ivf", kmeansIters = 2)
 
     // the codebook table is the trained centroids — ids are NOT corpus
-    // vectors anymore, so probes MUST read it (useCodebook = true)
+    // vectors anymore, so probes MUST read it; probeIvfIndex auto-detects
+    // the persisted <table>_centroids, so no flag can be passed wrong
     val direct = Similarity.ivfTopK(q, emb, "vec_id", "embedding", 5, 16, 3,
         kmeansIters = 2)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
     val probed = Similarity.probeIvfIndex(spark, "graft_ivf_km", q,
-        "vec_id", "embedding", 5, 16, 3, useCodebook = true)
+        "vec_id", "embedding", 5, 16, 3)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
     assert(probed == direct)
     assert(probed.nonEmpty)
