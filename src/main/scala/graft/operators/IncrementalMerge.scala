@@ -69,13 +69,112 @@ object IncrementalMerge {
     merged
   }
 
+  /** Bookkeeping columns the merge derives itself; everything else in the
+    * two frames is payload and is carried through (and schema-synced). */
+  private def bookkeeping(key: String, statusCol: String): Set[String] =
+    Set(key, statusCol, "created_at", "updated_at", "deleted_at")
+
+  /** [[merge]] generalized to ARBITRARY payload columns with schema
+    * evolution — the reference's `on_schema_change='sync_all_columns'`
+    * (retail_transactions.sql:6) re-expressed for a snapshot-replace lake
+    * merge. Each merge run is a full-row replace, so a schema change needs
+    * no DDL: the output schema is simply the union of both frames and the
+    * next committed snapshot IS the evolved table.
+    *
+    *   - payload column in BOTH: staging value for merged/inserted rows,
+    *     target value for untouched rows. If the types differ, the target
+    *     side is cast to the STAGING type (the new schema wins — dbt's
+    *     sync semantics for a type change);
+    *   - column ADDED by staging: staging value for merged/inserted rows,
+    *     null-backfilled for untouched target rows (exactly what
+    *     `ALTER TABLE ADD COLUMN` + merge produces in the dbt flow);
+    *   - column DROPPED from staging: retained in the target schema so no
+    *     history is destroyed, with the value nulled on rows the new
+    *     staging rewrites and preserved on untouched rows. (dbt's literal
+    *     sync would also drop the column's DDL; on an immutable-snapshot
+    *     table that is a lossy choice a merge should not make silently —
+    *     pass `dropRemoved = true` for the literal behavior.)
+    *
+    * Bookkeeping columns (key, status, created_at/updated_at/deleted_at)
+    * keep [[merge]]'s exact reference semantics. Output column order:
+    * key, status, payload (target order, then added columns in staging
+    * order), created_at, updated_at, deleted_at.
+    *
+    * Scale notes: identical plan shape to [[merge]] — one full-outer
+    * equi-join on the key; the schema union is resolved at plan time on
+    * the driver, so evolution adds zero runtime cost. */
+  def mergeEvolving(
+      target: DataFrame,
+      staging: DataFrame,
+      key: String,
+      runTs: Column,
+      statusCol: String,
+      doneValue: String,
+      dropRemoved: Boolean = false): DataFrame = {
+    val book = bookkeeping(key, statusCol)
+    val tPayload = target.columns.filterNot(book)
+    val sPayload = staging.columns.filterNot(book)
+    val sTypes = staging.schema.map(f => f.name -> f.dataType).toMap
+    val tTypes = target.schema.map(f => f.name -> f.dataType).toMap
+
+    // explicit presence marker (not a status-null probe): robust to
+    // staging rows that legitimately carry a null status
+    val s = staging.select(
+      (col(key) +: lit(1).as("__s_present") +:
+        col(statusCol).as("__s_status") +:
+        col("created_at").as("__s_created_at") +:
+        sPayload.map(c => col(c).as(s"__s_$c"))): _*)
+    val tHasDeleted = target.columns.contains("deleted_at")
+    val t = target.select(
+      (col(key) +:
+        col(statusCol).as("__t_status") +:
+        col("created_at").as("__t_created_at") +:
+        col("updated_at").as("__t_updated_at") +:
+        (if (tHasDeleted) col("deleted_at") else lit(null).cast("timestamp"))
+          .as("__t_deleted_at") +:
+        tPayload.map(c => col(c).as(s"__t_$c"))): _*)
+
+    val present = col("__s_present").isNotNull
+    val payloadCols: Seq[Column] =
+      tPayload.filterNot(c => dropRemoved && !sTypes.contains(c)).map { c =>
+        if (sTypes.contains(c)) {
+          val tc = if (tTypes(c) == sTypes(c)) col(s"__t_$c")
+                   else col(s"__t_$c").cast(sTypes(c)) // type change: new schema wins
+          when(present, col(s"__s_$c")).otherwise(tc).as(c)
+        } else // dropped from staging: retained, nulled on rewritten rows
+          when(present, lit(null).cast(tTypes(c))).otherwise(col(s"__t_$c")).as(c)
+      } ++
+      sPayload.filterNot(tTypes.contains).map { c => // added by staging
+        when(present, col(s"__s_$c")).otherwise(lit(null).cast(sTypes(c))).as(c)
+      }
+
+    s.join(t, Seq(key), "full_outer")
+      .select(
+        (col(key) +:
+          coalesce(col("__s_status"), col("__t_status")).as(statusCol) +:
+          payloadCols) ++ Seq(
+          when(present, coalesce(col("__s_created_at"), runTs))
+            .otherwise(col("__t_created_at")).as("created_at"),
+          when(present, runTs)
+            .otherwise(col("__t_updated_at")).as("updated_at"),
+          when(present,
+            when(col("__s_status") === doneValue,
+              coalesce(col("__t_deleted_at"), runTs)))
+            .otherwise(col("__t_deleted_at")).as("deleted_at")): _*)
+  }
+
   /** An empty mart with the merge output schema (first-run target: the
     * reference's dbt model creates the table on its first incremental
-    * run). Types derive from the staging frame itself. */
-  def emptyTarget(staging: DataFrame, key: String, statusCol: String): DataFrame =
+    * run). Types derive from the staging frame itself — payload columns
+    * included, so the first [[mergeEvolving]] run lands the full staging
+    * schema. */
+  def emptyTarget(staging: DataFrame, key: String, statusCol: String): DataFrame = {
+    val payload = staging.columns.filterNot(bookkeeping(key, statusCol))
     staging.select(
-      col(key), col(statusCol), col("created_at"),
-      col("created_at").as("updated_at"),
-      col("created_at").as("deleted_at"))
+      ((col(key) +: col(statusCol) +: payload.map(col)) ++ Seq(
+        col("created_at"),
+        col("created_at").as("updated_at"),
+        col("created_at").cast("timestamp").as("deleted_at"))): _*)
       .limit(0)
+  }
 }

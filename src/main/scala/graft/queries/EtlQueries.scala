@@ -27,6 +27,7 @@ object EtlQueries {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q2_staging_ingest"    -> ((s, d) => q2(s, d)),
     "q3_incremental_merge" -> ((s, d) => q3(s, d)),
+    "q3b_merge_evolve"     -> ((s, d) => q3b(s, d)),
     "q4_scd2_history"      -> ((s, d) => q4(s, d)),
     "q5_scd2_current"      -> ((s, d) => q5(s, d)),
     "q6_scd2_timetravel"   -> ((s, d) => q6(s, d)),
@@ -84,6 +85,25 @@ object EtlQueries {
     val staging = Snapshots.stateAsOf(Tables.events(s, dir), "user_id", "ts",
       "event_type", "event_id", None)
     IncrementalMerge.merge(targetState(s, dir), staging, "id",
+        lit(RunTs).cast("timestamp"), "last_status", "purchase")
+      .orderBy(col("id"))
+  }
+
+  /** q3b: the merge with SCHEMA EVOLUTION (dbt on_schema_change=
+    * 'sync_all_columns', retail_transactions.sql:6): the target carries a
+    * column the new staging dropped (`legacy_flag` — retained, nulled on
+    * rewritten rows) and staging carries a column the target lacks
+    * (`channel` — null-backfilled onto untouched rows). Staging is a
+    * PARTIAL batch (id % 3 != 0) so all three row classes occur: updated,
+    * untouched, inserted. See [[IncrementalMerge.mergeEvolving]]. */
+  def q3b(s: SparkSession, dir: String): DataFrame = {
+    val target = targetState(s, dir)
+      .withColumn("legacy_flag", concat(lit("f"), (col("id") % 7).cast("string")))
+    val staging = Snapshots.stateAsOf(Tables.events(s, dir), "user_id", "ts",
+        "event_type", "event_id", None)
+      .filter(col("id") % 3 =!= 0)
+      .withColumn("channel", concat(lit("c"), (col("id") % 4).cast("string")))
+    IncrementalMerge.mergeEvolving(target, staging, "id",
         lit(RunTs).cast("timestamp"), "last_status", "purchase")
       .orderBy(col("id"))
   }
@@ -207,6 +227,30 @@ object EtlQueries {
          |                  THEN coalesce(t.deleted_at, TIMESTAMP '$RunTs') END)
          |       ELSE t.deleted_at END AS deleted_at
          |FROM staging s FULL OUTER JOIN target t ON s.id = t.id
+         |ORDER BY id""".stripMargin,
+
+    // schema-evolution merge: target has legacy_flag (dropped by staging →
+    // retained, nulled on rewritten rows), staging has channel (added →
+    // null-backfilled onto untouched rows); staging is the id%3!=0 slice
+    "q3b_merge_evolve" ->
+      s"""WITH $stateCte,
+         |t2 AS (SELECT *, 'f' || CAST(id % 7 AS VARCHAR) AS legacy_flag FROM target),
+         |s2 AS (SELECT *, 'c' || CAST(id % 4 AS VARCHAR) AS channel
+         |       FROM staging WHERE id % 3 <> 0)
+         |SELECT coalesce(s.id, t.id) AS id,
+         |  coalesce(s.last_status, t.last_status) AS last_status,
+         |  CASE WHEN s.id IS NULL THEN t.legacy_flag END AS legacy_flag,
+         |  CASE WHEN s.id IS NOT NULL THEN s.channel END AS channel,
+         |  CASE WHEN s.id IS NOT NULL
+         |       THEN coalesce(s.created_at, TIMESTAMP '$RunTs')
+         |       ELSE t.created_at END AS created_at,
+         |  CASE WHEN s.id IS NOT NULL THEN TIMESTAMP '$RunTs'
+         |       ELSE t.updated_at END AS updated_at,
+         |  CASE WHEN s.id IS NOT NULL
+         |       THEN (CASE WHEN s.last_status = 'purchase'
+         |                  THEN coalesce(t.deleted_at, TIMESTAMP '$RunTs') END)
+         |       ELSE t.deleted_at END AS deleted_at
+         |FROM s2 s FULL OUTER JOIN t2 t ON s.id = t.id
          |ORDER BY id""".stripMargin,
 
     "q4_scd2_history" ->

@@ -84,7 +84,7 @@ object Sinks {
       if (fs.exists(new Path(targetPath))) spark.read.parquet(targetPath)
       else graft.operators.IncrementalMerge.emptyTarget(staging, key, statusCol)
     val merged = graft.operators.IncrementalMerge
-      .merge(target, staging, key, runTs, statusCol, doneValue)
+      .mergeEvolving(target, staging, key, runTs, statusCol, doneValue)
     // the merge plan reads the target path it is about to replace — snapshot
     // the result before the swap (localCheckpoint keeps it distributed)
     truncateLoad(merged.localCheckpoint(eager = true), targetPath)
@@ -109,8 +109,12 @@ object Sinks {
       case Some(_) => VersionedTable.read(spark, tableRoot)
       case None => graft.operators.IncrementalMerge.emptyTarget(staging, key, statusCol)
     }
+    // mergeEvolving = merge + on_schema_change='sync_all_columns'
+    // (retail_transactions.sql:6): an hourly run whose staging added or
+    // dropped a column still lands, and the new snapshot IS the evolved
+    // schema — no DDL step, the previous schema stays time-travelable
     val merged = graft.operators.IncrementalMerge
-      .merge(target, staging, key, runTs, statusCol, doneValue)
+      .mergeEvolving(target, staging, key, runTs, statusCol, doneValue)
     // no checkpoint needed: the commit writes to a fresh version dir, so
     // the plan can read the current snapshot while writing the next one
     VersionedTable.commit(merged, tableRoot)

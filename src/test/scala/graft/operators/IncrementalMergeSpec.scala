@@ -90,4 +90,72 @@ class IncrementalMergeSpec extends SparkSpec {
     val r2 = res.filter($"id" === 2L).collect()(0)
     assert(r2.getAs[Timestamp]("deleted_at") == null)
   }
+
+  // ---- mergeEvolving: on_schema_change='sync_all_columns' ----
+
+  test("mergeEvolving matches merge exactly on an unchanged schema") {
+    val a = IncrementalMerge.merge(target, staging, "id", run, "last_status", "DONE")
+    val b = IncrementalMerge.mergeEvolving(target, staging, "id", run, "last_status", "DONE")
+    assert(b.columns.toSeq == a.columns.toSeq)
+    assert(b.orderBy("id").collect().map(_.toSeq).toSeq ==
+      a.orderBy("id").collect().map(_.toSeq).toSeq)
+  }
+
+  test("added staging column lands with null backfill on untouched rows") {
+    val s2 = staging.withColumn("channel", concat(lit("c"), $"id"))
+    val res = IncrementalMerge
+      .mergeEvolving(target, s2, "id", run, "last_status", "DONE")
+      .orderBy("id").collect()
+    assert(res.find(_.getLong(0) == 1L).get.getAs[String]("channel") == "c1")
+    assert(res.find(_.getLong(0) == 4L).get.getAs[String]("channel") == "c4")
+    // id=3 is untouched target-only: the new column is null-backfilled
+    assert(res.find(_.getLong(0) == 3L).get.getAs[String]("channel") == null)
+  }
+
+  test("column dropped from staging is retained, nulled only on rewritten rows") {
+    val t2 = target.withColumn("legacy_flag", concat(lit("f"), $"id"))
+    val res = IncrementalMerge
+      .mergeEvolving(t2, staging, "id", run, "last_status", "DONE")
+      .orderBy("id").collect()
+    // untouched target row keeps its value
+    assert(res.find(_.getLong(0) == 3L).get.getAs[String]("legacy_flag") == "f3")
+    // rewritten rows: staging carries no legacy_flag → nulled
+    assert(res.find(_.getLong(0) == 1L).get.getAs[String]("legacy_flag") == null)
+    // inserted row never had one
+    assert(res.find(_.getLong(0) == 4L).get.getAs[String]("legacy_flag") == null)
+  }
+
+  test("dropRemoved=true drops the column entirely (literal dbt sync)") {
+    val t2 = target.withColumn("legacy_flag", lit("x"))
+    val res = IncrementalMerge.mergeEvolving(
+      t2, staging, "id", run, "last_status", "DONE", dropRemoved = true)
+    assert(!res.columns.contains("legacy_flag"))
+  }
+
+  test("payload column present in both: staging wins on rewrite, type synced to staging") {
+    val t2 = target.withColumn("score", lit(1))                 // int in the old schema
+    val s2 = staging.withColumn("score", lit(2.5))              // double in the new
+    val res = IncrementalMerge
+      .mergeEvolving(t2, s2, "id", run, "last_status", "DONE")
+    assert(res.schema("score").dataType.typeName == "double")
+    val rows = res.orderBy("id").collect()
+    assert(rows.find(_.getLong(0) == 1L).get.getAs[Double]("score") == 2.5)
+    assert(rows.find(_.getLong(0) == 3L).get.getAs[Double]("score") == 1.0) // cast target value
+  }
+
+  test("evolution round-trip: add then drop across two runs keeps history") {
+    // run 1: schema grows a column
+    val s1 = staging.withColumn("channel", lit("web"))
+    val after1 = IncrementalMerge.mergeEvolving(target, s1, "id", run, "last_status", "DONE")
+    // run 2: the column is gone again; only id=1 is re-delivered
+    val s2 = Seq((1L, "OPEN", Some(ts("2024-01-05 00:00:00"))))
+      .toDF("id", "last_status", "created_at")
+    val after2 = IncrementalMerge.mergeEvolving(after1, s2, "id",
+      lit("2024-02-02 00:00:00").cast("timestamp"), "last_status", "DONE")
+      .orderBy("id").collect()
+    // rows run 2 did not touch keep their run-1 channel value
+    assert(after2.find(_.getLong(0) == 2L).get.getAs[String]("channel") == "web")
+    // the re-delivered row loses it (staging no longer supplies it)
+    assert(after2.find(_.getLong(0) == 1L).get.getAs[String]("channel") == null)
+  }
 }
