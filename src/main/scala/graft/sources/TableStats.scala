@@ -1,0 +1,314 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+
+/** Per-file column statistics for [[VersionedTable]]'s data skipping —
+  * the min/max-pruning half of the Delta/Iceberg design (both public)
+  * on the repo's snapshot format.
+  *
+  * COLLECTION reads only parquet FOOTERS of the files a commit just wrote
+  * (kilobytes per file, no data pages touched) on the driver — the same
+  * place Delta appends its transaction-log entry; file count per commit is
+  * O(write partitions), so this stays cheap at any table size. Values are
+  * canonicalized to three comparable kinds — `long` (integers, dates as
+  * epoch days, timestamps as UTC micros: exactly Catalyst's internal
+  * representations, so literals compare without conversion), `double`,
+  * and `string` (UTF8 binary) — and stored as strings in a tiny parquet
+  * table under `<version>/_stats`.
+  *
+  * PRUNING is conservative by construction: any conjunct shape, column
+  * type, or missing statistic the pruner does not understand keeps the
+  * file. Skipping decisions use only conjuncts of the form
+  * `col op literal` (=, <, <=, >, >=, IN, IS NULL, IS NOT NULL,
+  * STARTSWITH), the forms parquet row-group stats can refute. */
+object TableStats {
+
+  private val StatsDirName = "_stats"
+
+  // ---- collection (commit side) ----
+
+  /** One column's merged stats over all row groups of one file. */
+  private case class Acc(
+      kind: String,
+      var min: Any,
+      var max: Any,
+      var nulls: Long,
+      var valid: Boolean)
+
+  /** Read footers of every data file under `dir` and write the stats table
+    * to `dir/_stats/stats.tsv` — a driver-written text file, NOT a Spark
+    * write: Spark readers ignore "_"-prefixed paths entirely (which is
+    * exactly why the dir is invisible to snapshot scans), and the table is
+    * O(files × columns) rows, far below Spark-job size. Values are
+    * URL-encoded so labels containing tabs/newlines round-trip. Collection
+    * failures are non-fatal: stats are an optimization, a commit must
+    * never be blocked by them. */
+  def write(spark: SparkSession, f: FileSystem, dir: Path): Unit =
+    try {
+      val files = f.listStatus(dir).toSeq.map(_.getPath)
+        .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      val rows = files.flatMap { p => fileRows(f, p) }
+      if (rows.nonEmpty) {
+        val enc = (o: Option[String]) => o match {
+          case Some(s) => "1:" + java.net.URLEncoder.encode(s, "UTF-8")
+          case None => "0:"
+        }
+        val out = f.create(new Path(new Path(dir, StatsDirName), "stats.tsv"), true)
+        try out.write(rows.map { case (file, col, kind, mn, mx, nulls, nr) =>
+          s"$file\t$col\t$kind\t${enc(mn)}\t${enc(mx)}\t$nulls\t$nr"
+        }.mkString("", "\n", "\n").getBytes("UTF-8"))
+        finally out.close()
+      }
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[versioned-table] stats collection skipped: ${e.getMessage}")
+    }
+
+  /** (file, column, kind, min, max, nullCount, numRows) rows for one file;
+    * min/max null when the file has no refutable stats for the column. */
+  private def fileRows(f: FileSystem, p: Path)
+      : Seq[(String, String, String, Option[String], Option[String], Long, Long)] = {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(p, f.getConf))
+    try {
+      val footer = reader.getFooter
+      val blocks = footer.getBlocks.asScala.toSeq
+      val numRows = blocks.map(_.getRowCount).sum
+      val accs = scala.collection.mutable.LinkedHashMap.empty[String, Acc]
+      blocks.foreach { block =>
+        block.getColumns.asScala.foreach { cc =>
+          val name = cc.getPath.toDotString
+          if (!name.contains('.')) { // top-level atomic columns only
+            canonKind(cc.getPrimitiveType.getPrimitiveTypeName,
+                cc.getPrimitiveType.getLogicalTypeAnnotation).foreach { kind =>
+              val acc = accs.getOrElseUpdate(name, Acc(kind, null, null, 0L, valid = true))
+              val st = cc.getStatistics
+              if (st == null) acc.valid = false
+              else if (st.hasNonNullValue) {
+                val mn = canonValue(st.genericGetMin, kind,
+                  cc.getPrimitiveType.getLogicalTypeAnnotation)
+                val mx = canonValue(st.genericGetMax, kind,
+                  cc.getPrimitiveType.getLogicalTypeAnnotation)
+                if (mn == null || mx == null) acc.valid = false
+                else {
+                  if (acc.min == null || cmp(kind, mn, acc.min) < 0) acc.min = mn
+                  if (acc.max == null || cmp(kind, mx, acc.max) > 0) acc.max = mx
+                }
+                acc.nulls += math.max(st.getNumNulls, 0L)
+              } else if (st.isNumNullsSet && st.getNumNulls == block.getRowCount)
+                acc.nulls += st.getNumNulls // all-null chunk: no min/max needed
+              else acc.valid = false
+            }
+          }
+        }
+      }
+      accs.toSeq.map { case (name, a) =>
+        if (a.valid)
+          (p.getName, name, a.kind,
+            Option(a.min).map(_.toString), Option(a.max).map(_.toString),
+            a.nulls, numRows)
+        else (p.getName, name, a.kind, None, None, -1L, numRows)
+      }
+    } finally reader.close()
+  }
+
+  /** Physical+logical parquet type → comparable kind; None = unsupported
+    * (INT96 timestamps, decimals, non-UTF8 binary: never pruned on). */
+  private def canonKind(
+      prim: PrimitiveTypeName,
+      logical: LogicalTypeAnnotation): Option[String] = (prim, logical) match {
+    case (_, _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) => None
+    case (PrimitiveTypeName.INT32, _) => Some("long") // ints; dates are epoch days
+    case (PrimitiveTypeName.INT64, _) => Some("long") // longs; timestamps normalized to micros
+    case (PrimitiveTypeName.FLOAT, _) | (PrimitiveTypeName.DOUBLE, _) => Some("double")
+    case (PrimitiveTypeName.BOOLEAN, _) => Some("long")
+    case (PrimitiveTypeName.BINARY, _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
+      Some("string")
+    case _ => None
+  }
+
+  /** Footer statistic value → canonical comparable (Long / Double / String). */
+  private def canonValue(v: Any, kind: String, logical: LogicalTypeAnnotation): Any =
+    (v, kind) match {
+      case (n: java.lang.Long, "long") => logical match {
+        case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          ts.getUnit match {
+            case LogicalTypeAnnotation.TimeUnit.MILLIS => n * 1000L
+            case LogicalTypeAnnotation.TimeUnit.MICROS => n.longValue
+            case LogicalTypeAnnotation.TimeUnit.NANOS => n / 1000L
+          }
+        case _ => n.longValue
+      }
+      case (n: java.lang.Integer, "long") => n.longValue
+      case (b: java.lang.Boolean, "long") => if (b) 1L else 0L
+      case (n: java.lang.Float, "double") => n.doubleValue
+      case (n: java.lang.Double, "double") => n.doubleValue
+      case (b: org.apache.parquet.io.api.Binary, "string") => b.toStringUsingUTF8
+      case _ => null
+    }
+
+  // ---- load (read side) ----
+
+  /** file name → column name → (kind, min, max, nullCount, numRows);
+    * min/max None (with nullCount -1) = stats unusable for that column. */
+  def load(spark: SparkSession, statsDir: Path)
+      : Map[String, Map[String, (String, Option[String], Option[String], Long, Long)]] = {
+    val f = statsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val file = new Path(statsDir, "stats.tsv")
+    if (!f.exists(file)) Map.empty
+    else {
+      val in = f.open(file)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                 finally in.close()
+      val dec = (s: String) =>
+        if (s.startsWith("1:"))
+          Some(java.net.URLDecoder.decode(s.drop(2), "UTF-8"))
+        else None
+      text.split('\n').filter(_.nonEmpty).toSeq
+        .map { line =>
+          val a = line.split('\t')
+          (a(0), a(1), a(2), dec(a(3)), dec(a(4)), a(5).toLong, a(6).toLong)
+        }
+        .groupBy(_._1)
+        .map { case (fn, rows) =>
+          fn -> rows.map(r => r._2 -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+        }
+    }
+  }
+
+  // ---- pruning (query side) ----
+
+  def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def attrName(e: Expression): Option[String] = e match {
+    case a: UnresolvedAttribute => Some(a.name)
+    case a: AttributeReference => Some(a.name)
+    case _ => None
+  }
+
+  /** Catalyst literal → (kind, canonical value). Catalyst's internal date
+    * (Int days) and timestamp (Long micros) representations already match
+    * the canonical stats domain. */
+  private def literalValue(l: Literal): Option[(String, Any)] = l.dataType match {
+    case ByteType | ShortType | IntegerType | LongType | DateType =>
+      Option(l.value).map(v => ("long", v.asInstanceOf[Number].longValue))
+    case TimestampType | TimestampNTZType =>
+      Option(l.value).map(v => ("long", v.asInstanceOf[Number].longValue))
+    case FloatType | DoubleType =>
+      Option(l.value).map(v => ("double", v.asInstanceOf[Number].doubleValue))
+    case StringType => Option(l.value).map(v => ("string", v.toString))
+    case BooleanType =>
+      Option(l.value).map(v => ("long", if (v.asInstanceOf[Boolean]) 1L else 0L))
+    case _ => None
+  }
+
+  private def parse(kind: String, s: String): Any = kind match {
+    case "long" => s.toLong
+    case "double" => s.toDouble
+    case _ => s
+  }
+
+  /** Compare canonical values, promoting long↔double mixes to double. */
+  private def cmp(kind: String, a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: String, y: String) => x.compareTo(y)
+    case _ =>
+      val d = (v: Any) => v match {
+        case x: Long => x.toDouble
+        case x: Double => x
+        case x: Number => x.doubleValue
+      }
+      java.lang.Double.compare(d(a), d(b))
+  }
+
+  /** Could a row in a file with `stats` satisfy `conj`? Conservative:
+    * true unless the stats REFUTE the conjunct. */
+  def mayMatch(
+      conj: Expression,
+      stats: Map[String, (String, Option[String], Option[String], Long, Long)]): Boolean = {
+
+    def range(name: String): Option[(String, Any, Any, Long, Long)] =
+      stats.get(name).flatMap { case (kind, mnO, mxO, nulls, rows) =>
+        for (mn <- mnO; mx <- mxO)
+          yield (kind, parse(kind, mn), parse(kind, mx), nulls, rows)
+      }
+
+    def refutable(a: Expression, l: Literal)(
+        refute: (String, Any, Any, Any) => Boolean): Boolean =
+      (for {
+        name <- attrName(a)
+        (lk, lv) <- literalValue(l)
+        (sk, mn, mx, nulls, rows) <- range(name)
+        // comparable domains only (long vs double promotes; string must match)
+        if lk == sk || (lk != "string" && sk != "string")
+        // a file whose rows are ALL null for the column can't match col-op-lit
+        res = if (nulls >= rows && rows > 0) true else refute(sk, mn, mx, lv)
+      } yield res).getOrElse(false)
+
+    conj match {
+      case EqualTo(a, l: Literal) =>
+        !refutable(a, l)((k, mn, mx, v) => cmp(k, v, mn) < 0 || cmp(k, v, mx) > 0)
+      case EqualTo(l: Literal, a) =>
+        !refutable(a, l)((k, mn, mx, v) => cmp(k, v, mn) < 0 || cmp(k, v, mx) > 0)
+      case EqualNullSafe(a, l: Literal) if l.value != null =>
+        !refutable(a, l)((k, mn, mx, v) => cmp(k, v, mn) < 0 || cmp(k, v, mx) > 0)
+      case LessThan(a, l: Literal) =>
+        !refutable(a, l)((k, mn, _, v) => cmp(k, v, mn) <= 0)
+      case LessThan(l: Literal, a) => // lit < col ≡ col > lit
+        !refutable(a, l)((k, _, mx, v) => cmp(k, v, mx) >= 0)
+      case LessThanOrEqual(a, l: Literal) =>
+        !refutable(a, l)((k, mn, _, v) => cmp(k, v, mn) < 0)
+      case LessThanOrEqual(l: Literal, a) =>
+        !refutable(a, l)((k, _, mx, v) => cmp(k, v, mx) > 0)
+      case GreaterThan(a, l: Literal) =>
+        !refutable(a, l)((k, _, mx, v) => cmp(k, v, mx) >= 0)
+      case GreaterThan(l: Literal, a) =>
+        !refutable(a, l)((k, mn, _, v) => cmp(k, v, mn) <= 0)
+      case GreaterThanOrEqual(a, l: Literal) =>
+        !refutable(a, l)((k, _, mx, v) => cmp(k, v, mx) > 0)
+      case GreaterThanOrEqual(l: Literal, a) =>
+        !refutable(a, l)((k, mn, _, v) => cmp(k, v, mn) < 0)
+      case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        vs.exists { case l: Literal =>
+          !refutable(a, l)((k, mn, mx, v) => cmp(k, v, mn) < 0 || cmp(k, v, mx) > 0)
+        }
+      case IsNull(a) =>
+        attrName(a).flatMap(stats.get) match {
+          case Some((_, _, _, nulls, _)) => nulls != 0L // -1 (unknown) keeps
+          case None => true
+        }
+      case IsNotNull(a) =>
+        attrName(a).flatMap(stats.get) match {
+          case Some((_, _, _, nulls, rows)) => !(nulls >= rows && rows > 0)
+          case None => true
+        }
+      case StartsWith(a, l: Literal) =>
+        !refutable(a, l) { (k, mn, mx, v) =>
+          if (k != "string") false
+          else {
+            val p = v.toString
+            // rows with the prefix lie in [p, nextPrefix(p)); refute when
+            // the file range misses that interval entirely
+            val last = p.lastOption
+            val next = last.filter(_ != Char.MaxValue)
+              .map(c => p.dropRight(1) + (c + 1).toChar)
+            cmp(k, mx, p) < 0 || next.exists(n => cmp(k, mn, n) >= 0)
+          }
+        }
+      case _ => true // unknown shape: never prune on it
+    }
+  }
+}

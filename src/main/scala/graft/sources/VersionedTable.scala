@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 
 /** Minimal table format: versioned snapshots with METADATA-ONLY commits —
   * the missing piece between [[Sinks.truncateLoad]]'s write-then-rename
@@ -33,10 +33,22 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * Crash anywhere before step 4 leaves only invisible garbage (an
   * unclaimed staging dir or a claimed-but-unpublished version number that
   * later writers simply skip) — never a corrupted table. Create-exclusive
-  * is atomic on HDFS/local; on S3 swap the claim/publish for conditional
-  * PUTs. TIME TRAVEL: committed versions stay readable until [[vacuum]]
-  * removes all but the newest K — the SCD2 "query yesterday's snapshot"
-  * at whole-table granularity.
+  * is atomic on HDFS; on S3 swap the claim/publish for conditional PUTs.
+  * (Hadoop's LocalFileSystem implements create-exclusive as exists-check
+  * + create, so two SAME-HOST writers can in principle both win a claim —
+  * acceptable for the local test rig, not a correctness claim for
+  * production filesystems.) TIME TRAVEL: committed versions stay readable
+  * until [[vacuum]] removes all but the newest K — the SCD2 "query
+  * yesterday's snapshot" at whole-table granularity.
+  *
+  * DATA SKIPPING: [[commit]] also records per-file column min/max/null
+  * statistics (read from the parquet FOOTERS of the files just written —
+  * metadata-only, no second data scan) into a `_stats` dir inside the
+  * snapshot ("_"-prefixed, so readers of the snapshot ignore it and it
+  * travels/vacuums atomically with its version). [[readWhere]] prunes
+  * whole files against a predicate before the scan — the Delta/Iceberg
+  * min/max skipping idea on this format: a narrow key-range query over a
+  * 100 TB table opens only the files whose range intersects it.
   */
 object VersionedTable {
 
@@ -70,24 +82,47 @@ object VersionedTable {
     * moving and publishing are three metadata operations (create, dir
     * rename, create) — a lost claim race costs one retried empty-file
     * create, never a data rewrite. */
-  def commit(df: DataFrame, root: String): Long = {
+  def commit(df: DataFrame, root: String, collectStats: Boolean = true): Long = {
     val spark = df.sparkSession
     val f = fs(spark, root)
     f.mkdirs(commitDir(root))
     f.mkdirs(claimDir(root))
-    // (1) private data write — no shared state touched
+    // (1) private data write — no shared state touched. Timestamps go out
+    // as INT64 micros: Spark's INT96 default carries no usable min/max in
+    // the footer, which would blind the stats collection below.
     val staging = new Path(root,
       "_staging/" + java.util.UUID.randomUUID().toString.take(12))
-    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    // (2) claim the next version number with create-exclusive
+    val prevTsType = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    finally prevTsType match {
+      case Some(t) => spark.conf.set("spark.sql.parquet.outputTimestampType", t)
+      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+    // (1b) footer-only stats pass → <staging>/_stats ("_" prefix: invisible
+    // to snapshot readers, renamed + vacuumed atomically with the version)
+    if (collectStats) TableStats.write(spark, f, staging)
+    // (2) claim the next version number with create-exclusive. Only "the
+    // name is taken" counts as a lost race; any other IO failure is real
+    // and must surface, not spin — and the attempt count is bounded so a
+    // filesystem that misreports arbitrary failures as already-exists
+    // cannot busy-loop the writer forever.
     var v = math.max(
       listVersions(f, claimDir(root)).lastOption.getOrElse(0L),
       listVersions(f, commitDir(root)).lastOption.getOrElse(0L)) + 1
     var claimed = false
+    var attempts = 0
     while (!claimed) {
+      attempts += 1
+      if (attempts > 1000)
+        throw new java.io.IOException(
+          s"could not claim a version under $root after 1000 attempts")
       claimed =
         try { f.create(new Path(claimDir(root), pad(v)), false).close(); true }
-        catch { case _: java.io.IOException => false }
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
       if (!claimed) v += 1
     }
     // (3) move staging into place — we own v, so the dir is free modulo
@@ -111,6 +146,62 @@ object VersionedTable {
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
     require(versions(spark, root).contains(v), s"version $v is not committed under $root")
     spark.read.parquet(versionDir(root, v).toString)
+  }
+
+  /** [[read]] with FILE-LEVEL DATA SKIPPING: files whose footer min/max
+    * statistics prove they cannot contain a row satisfying `predicate`
+    * are never opened; the predicate is then still applied row-level, so
+    * the result is always exactly `read(...).where(predicate)`. Falls
+    * back to the full scan for snapshots committed without stats or
+    * predicates the pruner cannot reason about (pruning is only ever an
+    * optimization, never a semantics change). */
+  def readWhere(spark: SparkSession, root: String, predicate: Column): DataFrame =
+    readVersionWhere(spark, root,
+      currentVersion(spark, root).getOrElse(
+        throw new java.io.IOException(s"no committed version under $root")),
+      predicate)
+
+  def readVersionWhere(
+      spark: SparkSession, root: String, v: Long, predicate: Column): DataFrame = {
+    val (kept, total) = prunedFiles(spark, root, v, predicate)
+    if (kept.size == total) readVersion(spark, root, v).where(predicate)
+    else if (kept.isEmpty)
+      // all files pruned: zero-row result with the snapshot schema (the
+      // false filter folds to an empty LocalRelation — nothing is scanned)
+      readVersion(spark, root, v)
+        .where(org.apache.spark.sql.functions.lit(false)).where(predicate)
+    else spark.read.parquet(kept: _*).where(predicate)
+  }
+
+  /** The file-pruning decision itself, exposed for specs and runtime
+    * metrics: (files kept, total data files) for `predicate` against
+    * version `v`'s footer stats. No stats → everything kept. */
+  def prunedFiles(
+      spark: SparkSession, root: String, v: Long,
+      predicate: Column): (Seq[String], Int) = {
+    require(versions(spark, root).contains(v), s"version $v is not committed under $root")
+    val f = fs(spark, root)
+    val dir = versionDir(root, v)
+    val files = f.listStatus(dir).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+    val stats = TableStats.load(spark, new Path(dir, "_stats"))
+    if (stats.isEmpty) (files.map(_.toString), files.size)
+    else {
+      // resolve the predicate against the snapshot schema through the
+      // analyzer + optimizer: Column expressions are lazy ColumnNode
+      // wrappers in Spark 4, and optimization also constant-folds literal
+      // casts — the Filter conditions below are plain resolved conjuncts
+      val optimized = readVersion(spark, root, v).where(predicate)
+        .queryExecution.optimizedPlan
+      val conjs = optimized.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.flatMap(TableStats.conjuncts)
+      val kept = files.filter { p =>
+        val fileStats = stats.getOrElse(p.getName, Map.empty)
+        conjs.forall(c => TableStats.mayMatch(c, fileStats))
+      }
+      (kept.map(_.toString), files.size)
+    }
   }
 
   /** Drop all but the newest `keepLast` committed versions (marker first,
