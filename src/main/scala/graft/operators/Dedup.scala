@@ -276,14 +276,17 @@ object Dedup {
       textCol: String,
       k: Int,
       broadcastBench: Boolean = true): DataFrame = {
-    def windows(df: DataFrame) = df
+    // benchmark windows need no id column — the bench frame only has to
+    // carry `textCol` (any schema around it is fine)
+    val benchSet0 = benchmark
+      .select(explode(shingleSet(col(textCol), k)).as("__s"))
+      .select(wideHash(col("__s")).as("__h")).distinct()
+      .withColumn("__hit", lit(1L))
+    val benchSet = if (broadcastBench) broadcast(benchSet0) else benchSet0
+    val perDoc = docs
       .withColumn("__sg", shingleSet(col(textCol), k))
       .select(col(idCol), explode(col("__sg")).as("__s"))
       .select(col(idCol), wideHash(col("__s")).as("__h"))
-    val benchSet0 = windows(benchmark).select(col("__h")).distinct()
-      .withColumn("__hit", lit(1L))
-    val benchSet = if (broadcastBench) broadcast(benchSet0) else benchSet0
-    val perDoc = windows(docs)
       .join(benchSet, Seq("__h"), "left")
       .groupBy(col(idCol))
       .agg(
@@ -299,6 +302,61 @@ object Dedup {
         when(col("n_windows") > 0,
           col("n_contaminated").cast("double") / col("n_windows").cast("double"))
           .otherwise(lit(0.0)))
+  }
+
+  /** d9b: [[contaminationStats]] with WINDOW POSITIONS — the executable
+    * form of the "excise the overlapping span" policy: per corpus doc,
+    * every k-word window START INDEX (0-based, over the normalized word
+    * sequence) whose window occurs verbatim in the benchmark set, as a
+    * sorted comma-joined list. Windows here are POSITIONAL (one row per
+    * occurrence, so `n_windows = max(len-k+1, 0)`), unlike the distinct-set
+    * counts of [[contaminationStats]] — a doc repeating a contaminated
+    * window reports every site to cut.
+    *
+    * Scale shape is unchanged from d9: the benchmark's distinct window
+    * hashes broadcast, the corpus explode is map-side, and the only
+    * shuffle is the per-doc aggregation; positions add O(1) per window
+    * row. The span list itself is bounded by the doc's window count —
+    * per-doc state, same class as any collect over one document. */
+  def contaminationSpans(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    val benchSet = broadcast(
+      benchmark.select(explode(shingleSet(col(textCol), k)).as("__s"))
+        .select(wideHash(col("__s")).as("__h")).distinct()
+        .withColumn("__hit", lit(1L)))
+    val ws = wordsOf(col(textCol))
+    val grams = when(size(ws) >= k,
+        transform(sequence(lit(0), size(ws) - k),
+          i => struct(i.as("p"),
+            wideHash(concat_ws(" ", slice(ws, i + 1, lit(k)))).as("h"))))
+      .otherwise(array().cast("array<struct<p:int,h:bigint>>"))
+    val perDoc = docs
+      .select(col(idCol), explode(grams).as("__g"))
+      .select(col(idCol), col("__g.p").as("__p"), col("__g.h").as("__h"))
+      .join(benchSet, Seq("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__hit").isNotNull, col("__p")))),
+            p => p.cast("string")),
+          ",").as("spans"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        when(coalesce(col("n_windows"), lit(0L)) > 0,
+          col("n_contaminated").cast("double") / col("n_windows").cast("double"))
+          .otherwise(lit(0.0)).as("contaminated_frac"),
+        coalesce(col("spans"), lit("")).as("spans"))
   }
 
   /** d10: INCREMENTAL cross-corpus dedup — flag each NEW-batch doc against
@@ -326,7 +384,64 @@ object Dedup {
       bands: Int,
       bandRows: Int,
       threshold: Double): DataFrame = {
-    val k = bands * bandRows
+    val (normHashes, bandSigs, shingles) =
+      corpusIndexFrames(corpus, idCol, textCol, n, bands, bandRows)
+    probeFrames(normHashes, bandSigs, shingles,
+      batch, idCol, textCol, n, bands, bandRows, threshold)
+  }
+
+  /** Per-doc hashed shingle sets: idCol, sgh (array<long>, 55-bit), n_sh.
+    * Hashes replace strings everywhere downstream (band signatures AND the
+    * exact-Jaccard verify) — the repo-wide string↔hash equivalence with a
+    * ~1e-8 birthday bound, and the reason a persisted index never has to
+    * store corpus text. */
+  private def hashedShingleDocs(
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shingleDocs(docs, idCol, textCol, n).filter(col("n_sh") > 0)
+      .select(col(idCol), shingleHashes(col("sg")).as("sgh"), col("n_sh"))
+
+  /** Exploded per-band MinHash keys: (idCol as `as`, __bk struct). */
+  private def bandKeyFrame(
+      hashed: DataFrame, idCol: String, as: String,
+      bands: Int, bandRows: Int): DataFrame = {
+    val bandStructs = array((0 until bands).map { b =>
+      struct(lit(b).as("band") +:
+        (0 until bandRows).map(r =>
+          element_at(col("__sig"), b * bandRows + r + 1).as(s"v$r")): _*)
+    }: _*)
+    hashed.withColumn("__sig", minhashSig(col("sgh"), bands * bandRows))
+      .select(col(idCol).as(as), explode(bandStructs).as("__bk"))
+  }
+
+  /** The corpus's three index-shaped frames — exactly what
+    * [[buildDedupIndex]] persists and [[incrementalDedupFlags]] derives
+    * on the fly: distinct norm-hashes (exact probe), banded signatures
+    * (candidate probe), hashed shingle sets (Jaccard verify). */
+  private def corpusIndexFrames(
+      corpus: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, bandRows: Int): (DataFrame, DataFrame, DataFrame) = {
+    val normHashes = corpus
+      .select(xxhash64(normText(col(textCol))).as("__nh"))
+    val hashed = hashedShingleDocs(corpus, idCol, textCol, n)
+    (normHashes,
+      bandKeyFrame(hashed, idCol, "__cid", bands, bandRows),
+      hashed.select(col(idCol).as("__cid"), col("sgh"), col("n_sh")))
+  }
+
+  /** The probe itself, corpus side abstracted to its three index frames
+    * (live or persisted — identical code path, so the spec's
+    * probe-equals-recompute check covers both). */
+  private def probeFrames(
+      corpusNormHashes: DataFrame,
+      corpusBands: DataFrame,
+      corpusShingles: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      bands: Int,
+      bandRows: Int,
+      threshold: Double): DataFrame = {
     // exact: batch norm-hash ∈ corpus norm-hash set (8-byte probe keys;
     // string-equality semantics modulo the repo-wide 64-bit hash bound).
     // The batch hash set broadcasts BOTH ways: the corpus is probed
@@ -335,36 +450,25 @@ object Dedup {
     val batchNorm = batch
       .select(col(idCol), xxhash64(normText(col(textCol))).as("__nh"))
     val batchHashes = batchNorm.select(col("__nh")).distinct()
-    val matched = corpus
-      .select(xxhash64(normText(col(textCol))).as("__nh"))
+    val matched = corpusNormHashes
       .join(broadcast(batchHashes), Seq("__nh"), "left_semi")
       .distinct()
     val exact = batchNorm
       .join(broadcast(matched), Seq("__nh"), "left_semi")
       .select(col(idCol)).withColumn("__ex", lit(1L))
     // near: banded signatures batch↔corpus, batch side broadcast
-    def bandKeys(df: DataFrame, as: String) = {
-      val sh = shingleDocs(df, idCol, textCol, n).filter(col("n_sh") > 0)
-      val bandStructs = array((0 until bands).map { b =>
-        struct(lit(b).as("band") +:
-          (0 until bandRows).map(r =>
-            element_at(col("__sig"), b * bandRows + r + 1).as(s"v$r")): _*)
-      }: _*)
-      (sh.withColumn("__sig", minhashSig(shingleHashes(col("sg")), k))
-        .select(col(idCol).as(as), explode(bandStructs).as("__bk")), sh)
-    }
-    val (batchBands, batchSh)   = bandKeys(batch, "__bid")
-    val (corpusBands, corpusSh) = bandKeys(corpus, "__cid")
+    val batchSh = hashedShingleDocs(batch, idCol, textCol, n)
+    val batchBands = bandKeyFrame(batchSh, idCol, "__bid", bands, bandRows)
     val cands = corpusBands
       .join(broadcast(batchBands), Seq("__bk"))
       .select(col("__bid"), col("__cid")).distinct()
     // verify: candidates + batch shingle sets stay broadcast-sized, so the
     // corpus shingle table is probed map-side here too
     val withBatch = cands
-      .join(batchSh.select(col(idCol).as("__bid"), col("sg").as("__sga"),
+      .join(batchSh.select(col(idCol).as("__bid"), col("sgh").as("__sga"),
         col("n_sh").as("__na")), "__bid")
-    val near = corpusSh
-      .select(col(idCol).as("__cid"), col("sg").as("__sgb"), col("n_sh").as("__nb"))
+    val near = corpusShingles
+      .select(col("__cid"), col("sgh").as("__sgb"), col("n_sh").as("__nb"))
       .join(broadcast(withBatch), Seq("__cid"))
       .withColumn("__common", size(array_intersect(col("__sga"), col("__sgb"))))
       .withColumn("__j",
@@ -380,6 +484,71 @@ object Dedup {
         coalesce(col("__ex"), lit(0L)).as("is_exact_dup"),
         coalesce(col("__nn"), lit(0L)).as("n_near"),
         coalesce(col("__mj"), lit(0.0)).as("max_jaccard"))
+  }
+
+  /** PERSIST the d10 corpus index: the three index-shaped frames of
+    * [[incrementalDedupFlags]]'s corpus side, committed as
+    * [[graft.sources.VersionedTable]]s so a daily index refresh is one
+    * transactional snapshot flip (readers mid-probe keep their resolved
+    * version) — the [[Similarity.buildIvfIndex]] pattern for text dedup.
+    * Layout under `indexRoot`:
+    * {{{
+    *   norm_hashes/  distinct xxhash64(norm text)        exact-dup probe
+    *   band_sigs/    (__cid, __bk)  banded MinHash keys  candidate probe
+    *   shingles/     (__cid, sgh, n_sh)  hashed shingles Jaccard verify
+    *   params.tsv    n / bands / bandRows manifest
+    * }}}
+    * The corpus TEXT never enters the index — probe-only runs load hashes
+    * exclusively (spec-proven via scan-path audit). [[probeDedupIndex]]
+    * reads the geometry from the manifest and uses it, so a probe can
+    * never run with the wrong banding (the probeIvfIndex lesson). */
+  def buildDedupIndex(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      bands: Int,
+      bandRows: Int,
+      indexRoot: String): Unit = {
+    import graft.sources.VersionedTable
+    val (normHashes, bandSigs, shingles) =
+      corpusIndexFrames(corpus, idCol, textCol, n, bands, bandRows)
+    VersionedTable.commit(normHashes.distinct(), s"$indexRoot/norm_hashes")
+    VersionedTable.commit(bandSigs, s"$indexRoot/band_sigs")
+    VersionedTable.commit(shingles, s"$indexRoot/shingles")
+    val spark = corpus.sparkSession
+    val p = new org.apache.hadoop.fs.Path(s"$indexRoot/params.tsv")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(p, true)
+    try out.write(s"$n\t$bands\t$bandRows\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** [[incrementalDedupFlags]] against a PERSISTED [[buildDedupIndex]]
+    * index: identical output (the corpus frames are the same, modulo the
+    * explicit distinct on norm-hashes, which the probe's semi-join never
+    * observes), but the per-batch run reads only the index tables — no
+    * corpus text, no corpus-side recompute. Banding geometry comes from
+    * the index manifest, never from the caller. */
+  def probeDedupIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexRoot: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double): DataFrame = {
+    import graft.sources.VersionedTable
+    val p = new org.apache.hadoop.fs.Path(s"$indexRoot/params.tsv")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = f.open(p)
+    val line = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+               finally in.close()
+    val Array(n, bands, bandRows) = line.split('\t').map(_.toInt)
+    probeFrames(
+      VersionedTable.read(spark, s"$indexRoot/norm_hashes"),
+      VersionedTable.read(spark, s"$indexRoot/band_sigs"),
+      VersionedTable.read(spark, s"$indexRoot/shingles"),
+      batch, idCol, textCol, n, bands, bandRows, threshold)
   }
 
   def simhashFingerprints(

@@ -40,6 +40,7 @@ object DedupQueries {
     "d7_dedup_components" -> ((s, d) => d7(s, d)),
     "d8_window_dedup"    -> ((s, d) => d8(s, d)),
     "d9_decontaminate"   -> ((s, d) => d9(s, d)),
+    "d9b_decontaminate_spans" -> ((s, d) => d9b(s, d)),
     "d10_incremental_dedup" -> ((s, d) => d10(s, d)),
     "s1_knn_bruteforce"  -> ((s, d) => s1(s, d)),
     "s2_knn_lsh"         -> ((s, d) => s2(s, d)),
@@ -137,6 +138,19 @@ object DedupQueries {
   def d9(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     Dedup.contaminationStats(
+        docs.filter(col("doc_id") % BenchStride =!= 0),
+        docs.filter(col("doc_id") % BenchStride === 0),
+        "doc_id", "text", WindowK)
+      .orderBy(col("doc_id"))
+  }
+
+  /** d9b: decontamination with SPANS — the positions (0-based window
+    * start, over normalized words) of every contaminated window, sorted,
+    * comma-joined: what an excision pass actually consumes. Window counts
+    * here are positional, not distinct-set. */
+  def d9b(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.contaminationSpans(
         docs.filter(col("doc_id") % BenchStride =!= 0),
         docs.filter(col("doc_id") % BenchStride === 0),
         "doc_id", "text", WindowK)
@@ -390,6 +404,39 @@ object DedupQueries {
          |  CASE WHEN coalesce(pd.n_windows, 0) > 0
          |    THEN pd.n_cont::DOUBLE / pd.n_windows::DOUBLE ELSE 0.0 END
          |    AS contaminated_frac
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % $BenchStride <> 0) d
+         |LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id""".stripMargin
+    },
+
+    // positional variant: every window OCCURRENCE (start index p) joined
+    // against the benchmark's distinct window strings; spans = the sorted
+    // contaminated positions, comma-joined (Spark probes 55-bit hashes —
+    // the d8/d9 equivalence)
+    "d9b_decontaminate_spans" -> {
+      val kgram = (0 until WindowK).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+      s"""WITH w AS (SELECT doc_id, string_split($NormExpr, ' ') AS ws FROM documents),
+         |g AS (SELECT doc_id, CASE WHEN len(ws) >= $WindowK THEN
+         |    list_transform(range(1, len(ws) - ${WindowK - 2}),
+         |      i -> struct_pack(p := i - 1, s := $kgram))
+         |    ELSE []::STRUCT(p BIGINT, s VARCHAR)[] END AS gs FROM w),
+         |x0 AS (SELECT doc_id, unnest(gs) AS gg FROM g),
+         |x AS (SELECT doc_id, gg.p AS p, gg.s AS s FROM x0),
+         |sh AS (SELECT doc_id, CASE WHEN len(ws) >= $WindowK THEN
+         |    list_distinct(list_transform(range(1, len(ws) - ${WindowK - 2}),
+         |      i -> $kgram)) ELSE []::VARCHAR[] END AS sg FROM w),
+         |bench AS (SELECT DISTINCT unnest(sg) AS s FROM sh
+         |  WHERE doc_id % $BenchStride = 0),
+         |pd AS (SELECT c.doc_id, count(*) AS nw,
+         |    sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS nc,
+         |    string_agg(CASE WHEN b.s IS NOT NULL THEN CAST(c.p AS VARCHAR) END,
+         |               ',' ORDER BY c.p) AS spans
+         |  FROM (SELECT * FROM x WHERE doc_id % $BenchStride <> 0) c
+         |  LEFT JOIN bench b USING (s) GROUP BY c.doc_id)
+         |SELECT d.doc_id, coalesce(pd.nw, 0)::BIGINT AS n_windows,
+         |  coalesce(pd.nc, 0)::BIGINT AS n_contaminated,
+         |  CASE WHEN coalesce(pd.nw, 0) > 0
+         |    THEN pd.nc::DOUBLE / pd.nw::DOUBLE ELSE 0.0 END AS contaminated_frac,
+         |  coalesce(pd.spans, '') AS spans
          |FROM (SELECT doc_id FROM documents WHERE doc_id % $BenchStride <> 0) d
          |LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id""".stripMargin
     },

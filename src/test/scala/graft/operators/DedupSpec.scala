@@ -189,6 +189,29 @@ class DedupSpec extends SparkSpec {
     assert(plain.toSeq == out.toSeq)
   }
 
+  test("contaminationSpans: positional hits, sorted span list, bench schema free of ids") {
+    // bench deliberately has NO doc_id column (only text is required)
+    val bench = Seq(
+      Tuple1("b1 b2 b3 b4 b5 b6 b7 b8 tail words here")
+    ).toDF("text")
+    val corpus = Seq(
+      // windows at 0..4; hits at 0 (b1..b8) and, via the bench's own
+      // shifted window, at 1 (b2..tail)
+      (1L, "b1 b2 b3 b4 b5 b6 b7 b8 tail x1 x2 x3"),
+      (2L, "clean words that never appear in the benchmark at all ok"),
+      (3L, "too short"),
+      // the SAME contaminated window twice → both positions reported
+      (4L, "b1 b2 b3 b4 b5 b6 b7 b8 b1 b2 b3 b4 b5 b6 b7 b8")
+    ).toDF("doc_id", "text")
+    val out = Dedup.contaminationSpans(corpus, bench, "doc_id", "text", 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4)))
+    assert(out(0) == ((1L, 5L, 2L, "0,1")))
+    assert(out(1) == ((2L, 4L, 0L, "")))
+    assert(out(2) == ((3L, 0L, 0L, "")))
+    assert(out(3) == ((4L, 9L, 2L, "0,8")))
+  }
+
   test("incrementalDedupFlags: exact, near, and clean batch docs flagged vs corpus") {
     val corpus = Seq(
       (1L, "The quick brown fox jumps over the lazy dog"),
