@@ -43,7 +43,7 @@ object Bench {
       name -> times.min
     }
     // REAL micro-batch runs (file source over the same parquet,
-    // AvailableNow trigger): the st1/st4 transforms executed as actual
+    // AvailableNow trigger): the st1–st4 transforms executed as actual
     // Structured Streaming queries, timed next to their batch-equivalent
     // numbers above, with the stream output checked row-equal to the
     // batch result the driver verifies. Skipped when BENCH_ONLY narrows
@@ -84,12 +84,75 @@ object Bench {
         .filter("__rn = 1").drop("__rn")
       val st4Eq = rowsOf(st4Final) ==
         rowsOf(SparkEntry.queries("st4_stream_state")(spark, sfDir))
-      s""","microbatch":{"st1_stream_window":$st1Sec,"st4_stream_state":$st4Sec,"st1_equals_batch":$st1Eq,"st4_equals_batch":$st4Eq}"""
+      // st2: the flatMapGroupsWithState sessionizer under a real
+      // AvailableNow trigger. Row equality is the WATERMARK SANDWICH
+      // (SessionStreamSpec's invariant): every session the final
+      // watermark closed must be streamed, and nothing may be streamed
+      // that the batch operator doesn't produce — the boundary session
+      // per key is legitimately still open when the stream ends.
+      import org.apache.spark.sql.functions.{col, max, unix_micros}
+      val t2 = System.nanoTime()
+      graft.streaming.SessionStream
+        .start(spark, stage.toString, "bench_mb_st2", 7200L, availableNow = true)
+        .awaitTermination()
+      val st2Sec = (System.nanoTime() - t2) / 1e9
+      val events = graft.sources.Tables.events(spark, sfDir)
+      val maxTsUs = events.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+      val batchSessions = graft.operators.Sessionize
+        .sessions(events, "user_id", "ts", "event_id", 7200L, "value")
+        .select(col("id"), unix_micros(col("session_start")).as("s"),
+          unix_micros(col("session_end")).as("e"), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val closedSet = batchSessions
+        .filter { case (_, _, e, _) => e + 7200L * 1000000L + 1000L <= maxTsUs }.toSet
+      val streamedSet = spark.table("bench_mb_st2")
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val st2Eq = closedSet.subsetOf(streamedSet) &&
+        streamedSet.subsetOf(batchSessions.toSet)
+      // st3: stream-static enrichment (broadcast dim join + windowed agg)
+      // in complete mode — final table equals the batch key exactly
+      val t3 = System.nanoTime()
+      graft.streaming.EventStream
+        .startEnriched(spark, stage.toString,
+          graft.sources.Tables.customer(spark, sfDir),
+          "c_custkey", "c_mktsegment", "bench_mb_st3", availableNow = true)
+        .awaitTermination()
+      val st3Sec = (System.nanoTime() - t3) / 1e9
+      val st3Eq = rowsOf(spark.table("bench_mb_st3")) ==
+        rowsOf(SparkEntry.queries("st3_stream_enrich")(spark, sfDir))
+      s""","microbatch":{"st1_stream_window":$st1Sec,"st2_stream_session":$st2Sec,"st3_stream_enrich":$st3Sec,"st4_stream_state":$st4Sec,"st1_equals_batch":$st1Eq,"st2_equals_batch":$st2Eq,"st3_equals_batch":$st3Eq,"st4_equals_batch":$st4Eq}"""
+    }
+    // AMORTIZED-INDEX runs: the s3/d6/d10 production split — one-time
+    // index/codebook build vs the per-run probe that reuses it. The main
+    // per-query numbers above keep the self-contained train-in-query form
+    // (what the correctness oracle re-derives); these are the numbers a
+    // standing deployment sees per batch. Full runs only.
+    val amortJson = if (only.isDefined) "" else {
+      import graft.queries.DedupQueries
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bench_amort")
+      val s3b = timed(DedupQueries.s3Build(spark, sfDir, "bench_amort_ivf", s"$tmp/ivf"))
+      val s3p = (1 to repeat)
+        .map(_ => timed(noop(DedupQueries.s3Probe(spark, sfDir, "bench_amort_ivf")))).min
+      var cent: org.apache.spark.sql.DataFrame = null
+      val d6t = timed { cent = DedupQueries.d6Train(spark, sfDir) }
+      val d6p = (1 to repeat)
+        .map(_ => timed(noop(DedupQueries.d6Probe(spark, sfDir, cent)))).min
+      val d10b = timed(DedupQueries.d10Build(spark, sfDir, s"$tmp/didx"))
+      val d10p = (1 to repeat)
+        .map(_ => timed(noop(DedupQueries.d10Probe(spark, sfDir, s"$tmp/didx")))).min
+      s""","amortized":{"s3_build":$s3b,"s3_probe":$s3p,"d6_train":$d6t,"d6_probe":$d6p,"d10_index_build":$d10b,"d10_probe":$d10p}"""
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","best_of":$repeat$streamJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","best_of":$repeat$streamJson$amortJson}""")
     spark.stop()
   }
 }

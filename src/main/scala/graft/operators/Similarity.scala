@@ -175,14 +175,19 @@ object Similarity {
       vecCol: String,
       threshold: Double,
       nCells: Int,
-      kmeansIters: Int = 0): DataFrame = {
+      kmeansIters: Int = 0,
+      precomputedCentroids: Option[DataFrame] = None): DataFrame = {
     val thetaT = math.acos(math.min(1.0, math.max(-1.0, threshold)))
     val eps = 1e-9 // float→double rounding slack on the radius bound
     val n = emb.select(col(idCol), col(vecCol), norm2(col(vecCol)).as("__n2"))
     // exactness never depends on the centroids (the triangle-inequality
     // bound uses the REALIZED per-cell radii) — training only tightens
-    // the radii, which prunes more cell pairs
-    val cent = centroidsOf(emb, idCol, vecCol, nCells, kmeansIters)
+    // the radii, which prunes more cell pairs. A caller that amortizes
+    // training across runs passes the MATERIALIZED codebook
+    // ((__cid, __cv, __cn2), e.g. [[trainCentroids]] + localCheckpoint)
+    // and pays only assignment + join here.
+    val cent = precomputedCentroids.getOrElse(
+      centroidsOf(emb, idCol, vecCol, nCells, kmeansIters))
     val cellCos = cosineFromNorms(dotD(col(vecCol), col("__cv")), col("__n2"), col("__cn2"))
     def angle(c: org.apache.spark.sql.Column) = acos(least(greatest(c, lit(-1.0)), lit(1.0)))
 

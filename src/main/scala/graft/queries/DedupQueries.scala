@@ -218,6 +218,39 @@ object DedupQueries {
         "vec_id", "embedding", LshK, IvfCentroids, IvfProbes, KmeansIters)
       .orderBy(col("query_id"), col("rank"))
 
+  // ---- amortized-index bench hooks ----------------------------------------
+  // The s3/d6/d10 PRODUCTION path splits the one-time index/codebook build
+  // from the per-run probe (the query keys above keep the self-contained
+  // train-in-query form the DuckDB oracle re-derives). Bench times the two
+  // halves separately in its "amortized" section.
+
+  def s3Build(s: SparkSession, dir: String, table: String, path: String): Unit =
+    Similarity.buildIvfIndex(Tables.embeddings(s, dir), "vec_id", "embedding",
+      IvfCentroids, table, path, nBuckets = 8, kmeansIters = KmeansIters)
+
+  def s3Probe(s: SparkSession, dir: String, table: String): DataFrame =
+    Similarity.probeIvfIndex(s, table, queryVecs(s, dir), "vec_id", "embedding",
+      LshK, IvfCentroids, IvfProbes)
+
+  /** Trained codebook, MATERIALIZED (the probe must not lazily retrain). */
+  def d6Train(s: SparkSession, dir: String): DataFrame =
+    Similarity.trainCentroids(Tables.embeddings(s, dir), "vec_id", "embedding",
+      IvfCentroids, KmeansIters).localCheckpoint(eager = true)
+
+  def d6Probe(s: SparkSession, dir: String, cent: DataFrame): DataFrame =
+    Similarity.cosinePairsCellPruned(Tables.embeddings(s, dir), "vec_id", "embedding",
+      CosThr, IvfCentroids, KmeansIters, precomputedCentroids = Some(cent))
+
+  def d10Build(s: SparkSession, dir: String, indexRoot: String): Unit =
+    Dedup.buildDedupIndex(
+      Tables.documents(s, dir).filter(col("doc_id") % BatchMod =!= BatchMod - 1),
+      "doc_id", "text", ShingleN, MinhashBands, MinhashRows, indexRoot)
+
+  def d10Probe(s: SparkSession, dir: String, indexRoot: String): DataFrame =
+    Dedup.probeDedupIndex(s, indexRoot,
+      Tables.documents(s, dir).filter(col("doc_id") % BatchMod === BatchMod - 1),
+      "doc_id", "text", JaccardThr)
+
   // ---- oracle SQL ---------------------------------------------------------
 
   private val NormExpr =

@@ -113,13 +113,17 @@ object EventStream {
       dim: DataFrame,
       dimKey: String,
       dimAttr: String,
-      sinkTable: String): StreamingQuery =
-    enrichedWindowedAgg(readEvents(spark, dir), dim, dimKey, dimAttr)
+      sinkTable: String,
+      availableNow: Boolean = false): StreamingQuery = {
+    val w = enrichedWindowedAgg(readEvents(spark, dir), dim, dimKey, dimAttr)
       .writeStream
       .format("memory")
       .queryName(sinkTable)
       .outputMode("complete")
-      .start()
+    (if (availableNow)
+       w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else w).start()
+  }
 
   /** Streaming exactly-once-per-key dedup: drop events whose `keyCols`
     * were already seen, keeping state only within the event-time

@@ -139,17 +139,24 @@ object SessionStream {
 
   /** Streaming pipeline over an events parquet directory into a memory
     * sink: file source → watermark → stateful sessionize → append. */
-  def start(spark: SparkSession, dir: String, sinkTable: String, gapSeconds: Long): StreamingQuery = {
+  def start(
+      spark: SparkSession,
+      dir: String,
+      sinkTable: String,
+      gapSeconds: Long,
+      availableNow: Boolean = false): StreamingQuery = {
     import spark.implicits._
     val typed = EventStream.readEvents(spark, dir)
       .withWatermark("ts", "0 seconds")
       .select(col("user_id"), col("ts"), col("value"))
       .as[Event]
-    sessionize(typed, gapSeconds)
+    val w = sessionize(typed, gapSeconds)
       .writeStream
       .format("memory")
       .queryName(sinkTable)
       .outputMode("append")
-      .start()
+    (if (availableNow)
+       w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else w).start()
   }
 }

@@ -64,20 +64,28 @@ object ScaleBench {
     val runs: Seq[(String, () => org.apache.spark.sql.DataFrame)] =
       (fromEntry.map(n => n -> (() => graft.SparkEntry.queries(n)(spark, sfDir))) ++ special)
         .filter { case (n, _) => onlyKeys.forall(_(n)) }
+    // a repeat that throws contributes NO time — a failing operator must
+    // never masquerade as a fast success in the scaling curve; a key with
+    // zero successful repeats is reported as failed, not timed
     val results = runs.map { case (name, fn) =>
-      val times = (1 to repeat).map { _ =>
+      val times = (1 to repeat).flatMap { _ =>
         val t0 = System.nanoTime()
-        try fn().write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
+        try {
+          fn().write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           System.err.println(s"[scalebench] $name failed: ${e.getMessage}")
+          None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> times.minOption
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"scale_total","value":${results.map(_._2).sum},"unit":"sec","queries":$qs,"sf":"$sfDir","factor":$factor,"n_cells":$nCells,"best_of":$repeat}""")
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(_.toString).getOrElse("\"failed\"")
+    }.mkString("{", ",", "}")
+    val total = results.flatMap(_._2).sum
+    val nFailed = results.count(_._2.isEmpty)
+    println(s"""{"metric":"scale_total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","factor":$factor,"n_cells":$nCells,"best_of":$repeat,"failed":$nFailed}""")
     spark.stop()
   }
 }
