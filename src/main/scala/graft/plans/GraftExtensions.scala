@@ -1,14 +1,18 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** SparkSessionExtensions hook registering graft's native expressions as
   * SQL functions, so `spark.sql("SELECT graft_dot(a, b) ...")` works and
-  * plain SQL users get the codegen'd hot paths — plus the
-  * [[BandJoinRewrite]] optimizer rule that turns naive band-join
-  * predicates into bucketed equi-joins.
+  * plain SQL users get the codegen'd hot paths — plus TABLE functions
+  * exposing the headline operators (`SELECT * FROM
+  * graft_dedup_pairs('docs', 'doc_id', 'text', 3, 0.5, 0)`), so the whole
+  * curation chain is drivable from pure SQL like the dbt models it
+  * replaces — plus the [[BandJoinRewrite]] optimizer rule that turns
+  * naive band-join predicates into bucketed equi-joins.
   *
   * Enable with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` or
@@ -30,6 +34,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+  // ---- table-function plumbing ----
+  // Args must be literals (table/column names, thresholds). They are
+  // evaluated at ANALYSIS time: the builder resolves the named table via
+  // the active session and returns the operator's logical plan, which the
+  // analyzer then resolves like any subquery.
+  private def arg(e: Expression, fn: String): Any = e match {
+    case l: Literal => l.value match {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case v => v
+    }
+    case _ => throw new IllegalArgumentException(
+      s"$fn expects literal arguments, got: $e")
+  }
+  private def str(a: Any): String = a.toString
+  private def int(a: Any): Int = a.asInstanceOf[Number].intValue
+  private def lng(a: Any): Long = a.asInstanceOf[Number].longValue
+  private def dbl(a: Any): Double = a match {
+    case n: Number => n.doubleValue
+    case other => other.toString.toDouble
+  }
+  private def table(name: String): DataFrame = SparkSession.active.table(name)
+  private def plan(df: DataFrame): LogicalPlan = df.queryExecution.logical
+
+  private def tvf(ext: SparkSessionExtensions, name: String, usage: String)(
+      build: Seq[Any] => DataFrame): Unit =
+    ext.injectTableFunction((
+      FunctionIdentifier(name),
+      info(name, usage),
+      (args: Seq[Expression]) => plan(build(args.map(arg(_, name))))))
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => BandJoinRewrite)
     ext.injectFunction((
@@ -44,5 +79,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_poly_hash_array"),
       info("graft_poly_hash_array", "graft_poly_hash_array(arr) - polynomial hash of each string in an array"),
       (args: Seq[Expression]) => PolyHashArray(args(0))))
+
+    // ---- operator surface as table functions (SQL-only driving) ----
+    tvf(ext, "graft_quality",
+      "graft_quality(table, idCol, textCol) - t2 per-doc quality scores") { a =>
+      graft.operators.TextAnalysis.quality(table(str(a(0))), str(a(1)), str(a(2)))
+    }
+    tvf(ext, "graft_exact_groups",
+      "graft_exact_groups(table, idCol, textCol) - d1 exact-dup groups (id, canonical_id, group_size)") { a =>
+      graft.operators.Dedup.exactGroupsAgg(table(str(a(0))), str(a(1)), str(a(2)))
+    }
+    tvf(ext, "graft_dedup_pairs",
+      "graft_dedup_pairs(table, idCol, textCol, n, threshold, dfCap) - d2/d2b n-gram Jaccard near-dup pairs; dfCap <= 0 disables the cap") { a =>
+      graft.operators.Dedup.ngramJaccardPairs(table(str(a(0))), str(a(1)), str(a(2)),
+        int(a(3)), dbl(a(4)), Some(lng(a(5))).filter(_ > 0L))
+    }
+    tvf(ext, "graft_components",
+      "graft_components(pairsTable, srcCol, dstCol) - d7 connected components (id, component_id, component_size); the iterative propagation runs when the query is analyzed") { a =>
+      graft.operators.Components.connectedComponents(table(str(a(0))), str(a(1)), str(a(2)))
+    }
+    tvf(ext, "graft_sample_stratified",
+      "graft_sample_stratified(table, idCol, stratumCol, 'S1:300,S2:500', salt) - p2 deterministic stratified sample; rates in permille, absent strata dropped") { a =>
+      val rates = str(a(3)).split(',').toSeq.map { kv =>
+        val Array(k, v) = kv.split(':'); (k.trim, v.trim.toInt)
+      }
+      graft.operators.Sampling.stratified(SparkSession.active,
+        table(str(a(0))), str(a(1)), str(a(2)), rates, str(a(4)))
+    }
   }
 }

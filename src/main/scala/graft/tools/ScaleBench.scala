@@ -40,8 +40,46 @@ object ScaleBench {
     val fromEntry = Seq(
       "d1_dedup_exact", "d2b_dedup_ngram_capped", "d3_dedup_minhash",
       "d4_dedup_simhash", "d7_dedup_components", "s2_knn_lsh",
-      "q3_incremental_merge", "q4_scd2_history", "q13_sessionize")
+      "q3_incremental_merge", "q4_scd2_history", "q13_sessionize",
+      // round-3 operators (VERDICT r3 ask #3): all pure SparkEntry keys —
+      // their batch/bench slices scale with the corpus like everything else
+      "d8_window_dedup", "d9_decontaminate", "p1_curate_corpus",
+      "p2_sample_stratified", "p3_pack_sequences")
+
+    // d10 under its HEADLINE claim — batch FIXED (replica 0's % 5 == 4
+    // slice; ScaleData id stride keeps replica 0 at the original ids),
+    // corpus scaling with the factor. Three variants separate the costs:
+    // the self-contained key (recomputes the corpus index per run, one
+    // O(corpus) map-side pass), the index refresh (buildDedupIndex, the
+    // amortized O(corpus) half), and the per-batch probe against the
+    // persisted index (the O(batch)-shuffle steady state).
+    val isFixedBatch = col("doc_id") < 1000000000L && col("doc_id") % 5 === 4
+    // same banding/threshold as the d10 query key (DedupQueries constants)
+    val (dN, dBands, dRows, dThr) = (3, 24, 3, 0.5)
+    val d10Root = java.nio.file.Files
+      .createTempDirectory("graft_scale_didx").toString + "/idx"
+    // eager one-time build so a probe-only SCALE_ONLY run has an index
+    if (onlyKeys.forall(_.exists(_.startsWith("d10"))))
+      Dedup.buildDedupIndex(
+        Tables.documents(spark, sfDir).filter(!isFixedBatch),
+        "doc_id", "text", dN, dBands, dRows, d10Root)
+
     val special: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "d10_fixed_batch" -> (() => {
+        val docs = Tables.documents(spark, sfDir)
+        Dedup.incrementalDedupFlags(docs.filter(!isFixedBatch),
+          docs.filter(isFixedBatch), "doc_id", "text", dN, dBands, dRows, dThr)
+      }),
+      "d10_index_refresh" -> (() => {
+        Dedup.buildDedupIndex(
+          Tables.documents(spark, sfDir).filter(!isFixedBatch),
+          "doc_id", "text", dN, dBands, dRows, d10Root)
+        spark.range(0).toDF() // build is a side effect; nothing to sink
+      }),
+      "d10_fixed_batch_probe" -> (() =>
+        Dedup.probeDedupIndex(spark, d10Root,
+          Tables.documents(spark, sfDir).filter(isFixedBatch),
+          "doc_id", "text", dThr)),
       "d6_dedup_embcell" -> (() =>
         Similarity.cosinePairsCellPruned(Tables.embeddings(spark, sfDir),
           "vec_id", "embedding", thr, nCells, kmeansIters = 2)),

@@ -11,12 +11,14 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
-  /** Apply a SparkSessionExtensions configurator's injected functions to an
-    * ALREADY-RUNNING session (extensions normally only take effect at
-    * session construction via `spark.sql.extensions`). */
+  /** Apply a SparkSessionExtensions configurator's injected functions —
+    * scalar AND table-valued — to an ALREADY-RUNNING session (extensions
+    * normally only take effect at session construction via
+    * `spark.sql.extensions`). */
   def installFunctions(session: SparkSession, configure: SparkSessionExtensions => Unit): Unit = {
     val ext = new SparkSessionExtensions
     configure(ext)
     ext.registerFunctions(session.sessionState.functionRegistry)
+    ext.registerTableFunctions(session.sessionState.tableFunctionRegistry)
   }
 }

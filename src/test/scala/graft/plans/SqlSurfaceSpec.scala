@@ -1,0 +1,74 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The engine driven from PURE SQL: the p1 curation chain — quality
+  * filter → exact dedup → capped near-dup pairs → components →
+  * keep-canonical — executed via `spark.sql` and the graft_* table
+  * functions only, must reproduce the p1 query key exactly. */
+class SqlSurfaceSpec extends SparkSpec {
+
+  private val Sf = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    GraftExtensions.install(spark)
+    spark.sql(
+      s"CREATE OR REPLACE TEMPORARY VIEW docs AS " +
+      s"SELECT doc_id, text, lang FROM parquet.`$Sf/documents.parquet`")
+  }
+
+  test("p1's curation chain runs from spark.sql only and matches the query key") {
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW sql_q1 AS
+        |SELECT d.doc_id, d.text, q.quality_score
+        |FROM docs d JOIN graft_quality('docs', 'doc_id', 'text') q USING (doc_id)
+        |WHERE q.quality_score >= 0.55""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW sql_q2 AS
+        |SELECT sql_q1.* FROM sql_q1
+        |JOIN graft_exact_groups('sql_q1', 'doc_id', 'text') g USING (doc_id)
+        |WHERE g.doc_id = g.canonical_id""".stripMargin)
+    val cap = spark.sql(
+      "SELECT greatest(5L, CAST(floor(count(*) / 100) AS BIGINT)) FROM sql_q2")
+      .collect()(0).getLong(0)
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW sql_pairs AS
+         |SELECT * FROM graft_dedup_pairs('sql_q2', 'doc_id', 'text', 3, 0.5, $cap)"""
+        .stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW sql_comp AS
+        |SELECT * FROM graft_components('sql_pairs', 'ida', 'idb')""".stripMargin)
+    val sqlRes = spark.sql(
+      """SELECT sql_q2.doc_id, sql_q2.quality_score FROM sql_q2
+        |LEFT ANTI JOIN (SELECT id AS doc_id FROM sql_comp
+        |                WHERE id <> component_id) losers USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    val key = graft.SparkEntry.queries("p1_curate_corpus")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(sqlRes.nonEmpty)
+    assert(sqlRes == key)
+  }
+
+  test("graft_sample_stratified from SQL equals the Scala operator") {
+    val fromSql = spark.sql(
+      """SELECT doc_id FROM graft_sample_stratified(
+        |  'docs', 'doc_id', 'lang', 'en:300,de:500', 's1')""".stripMargin)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val direct = graft.operators.Sampling.stratified(spark,
+        spark.table("docs"), "doc_id", "lang", Seq("en" -> 300, "de" -> 500), "s1")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(fromSql == direct)
+  }
+
+  test("table functions reject non-literal arguments with a clear error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_quality(lower('DOCS'), 'doc_id', 'text')")
+        .collect()
+    }
+    assert(e.getMessage.contains("literal"))
+  }
+}
