@@ -95,6 +95,27 @@ object TextHash {
       i => array_min(transform(hashArr,
         x => ((i.cast("long") * 2L + 3L) * x + (i.cast("long") * 5L + 7L)) % Mod)))
 
+  /** Positional k-word window hashes — native one-pass
+    * [[graft.plans.WordWindowHashes]]: array<struct<p:int, h:bigint>>,
+    * one element per window start position over the normalized words,
+    * hash = [[wideHash]] of the space-joined k-gram. */
+  def positionalWindowHashes(c: Column, k: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.WordWindowHashes(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c), k))
+
+  /** Higher-order-function reference formulation of
+    * [[positionalWindowHashes]] (engine-neutral; the native path must
+    * match it value-for-value). */
+  def positionalWindowHashesHof(c: Column, k: Int): Column = {
+    val ws = wordsOf(c)
+    when(size(ws) >= k,
+      transform(sequence(lit(0), size(ws) - k),
+        i => struct(i.as("p"),
+          wideHash(concat_ws(" ", slice(ws, i + 1, lit(k)))).as("h"))))
+      .otherwise(array().cast("array<struct<p:int,h:bigint>>"))
+  }
+
   /** Wide-space (55-bit prime) polynomial hash for collision-sensitive
     * JOIN KEYS — shuffling 8-byte longs instead of shingle strings. Not
     * oracle-visible: results derived from it (candidate sets, match

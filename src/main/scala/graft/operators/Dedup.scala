@@ -328,14 +328,9 @@ object Dedup {
       benchmark.select(explode(shingleSet(col(textCol), k)).as("__s"))
         .select(wideHash(col("__s")).as("__h")).distinct()
         .withColumn("__hit", lit(1L)))
-    val ws = wordsOf(col(textCol))
-    val grams = when(size(ws) >= k,
-        transform(sequence(lit(0), size(ws) - k),
-          i => struct(i.as("p"),
-            wideHash(concat_ws(" ", slice(ws, i + 1, lit(k)))).as("h"))))
-      .otherwise(array().cast("array<struct<p:int,h:bigint>>"))
     val perDoc = docs
-      .select(col(idCol), explode(grams).as("__g"))
+      .select(col(idCol),
+        explode(positionalWindowHashes(col(textCol), k)).as("__g"))
       .select(col(idCol), col("__g.p").as("__p"), col("__g.h").as("__h"))
       .join(benchSet, Seq("__h"), "left")
       .groupBy(col(idCol))

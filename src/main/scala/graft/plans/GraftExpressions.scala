@@ -234,6 +234,77 @@ object WordShingles {
   }
 }
 
+/** Positional k-word window hashes in ONE pass: normalize → split →
+  * for every window start position p (0-based), the wide polynomial hash
+  * of the space-joined k-gram — value-identical to
+  * `wideHash(concat_ws(' ', slice(words, p+1, k)))` over
+  * `wordsOf(text)`, without materializing a gram string per window (the
+  * hash folds straight over the word bytes with a 0x20 separator). The
+  * hot path of the d9b span operator: its HOF formulation built
+  * O(windows) struct/string allocations per document.
+  * Output: array<struct<p:int, h:bigint>>; empty when the doc has fewer
+  * than k words. */
+case class WordWindowHashes(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("p", IntegerType, nullable = false),
+      StructField("h", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_window_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName needs string, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordWindowHashes.windowHashes(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.WordWindowHashes.windowHashes($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordWindowHashes {
+  private val NonAlnum = java.util.regex.Pattern.compile("[^a-z0-9]+")
+
+  def windowHashes(text: UTF8String, k: Int): GenericArrayData = {
+    val norm = NonAlnum.matcher(text.toString.toLowerCase(java.util.Locale.ROOT))
+      .replaceAll(" ").trim
+    val words = norm.split(" ", -1)
+    if (words.length < k) return new GenericArrayData(Array.empty[Any])
+    val wb = new Array[Array[Byte]](words.length)
+    var w = 0
+    while (w < wb.length) {
+      wb(w) = words(w).getBytes(java.nio.charset.StandardCharsets.UTF_8); w += 1
+    }
+    val base = GraftExpressions.WideBase
+    val mod = GraftExpressions.WideMod
+    val out = new Array[Any](words.length - k + 1)
+    var p = 0
+    while (p <= words.length - k) {
+      var acc = 0L
+      var j = 0
+      while (j < k) {
+        if (j > 0) acc = (acc * base + 0x20L) % mod // the ' ' separator byte
+        val bs = wb(p + j)
+        var i = 0
+        while (i < bs.length) {
+          acc = (acc * base + (bs(i) & 0xff)) % mod
+          i += 1
+        }
+        j += 1
+      }
+      out(p) = org.apache.spark.sql.catalyst.InternalRow(p, acc)
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Random-hyperplane LSH signature for one hash table: bit p of the
   * result is the sign of vec · plane(table·nPlanes + p), with the
   * deterministic integer plane coefficients of

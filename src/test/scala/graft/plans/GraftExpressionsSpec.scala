@@ -99,6 +99,25 @@ class GraftExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("WordWindowHashes equals the HOF slice/concat_ws formulation") {
+    import graft.functions.TextHash
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(200)
+    val out = docs.select(
+        TextHash.positionalWindowHashes(col("text"), 8).as("n"),
+        TextHash.positionalWindowHashesHof(col("text"), 8).as("c"))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getSeq[org.apache.spark.sql.Row](0) == r.getSeq[org.apache.spark.sql.Row](1))
+    }
+    // degenerate inputs: short doc and empty string → empty arrays
+    val edge = Seq("too short", "").toDF("text")
+      .select(TextHash.positionalWindowHashes(col("text"), 8).as("n"))
+      .collect()
+    edge.foreach(r => assert(r.getSeq[Any](0).isEmpty))
+  }
+
   test("native expressions run inside WholeStageCodegen") {
     // a file scan (not a pre-computed LocalTableScan) so codegen stages form
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
