@@ -230,11 +230,13 @@ object Dedup {
       idCol: String,
       textCol: String,
       k: Int): DataFrame = {
+    // one native pass per doc: positional hashes → distinct hash set —
+    // no window STRING is ever materialized (distinct-by-hash equals
+    // distinct-by-string modulo the accepted ~1e-8 birthday bound)
     val posts = docs
-      .withColumn("__sg", shingleSet(col(textCol), k))
-      .select(col(idCol), explode(col("__sg")).as("__s"))
-      .withColumn("__h", wideHash(col("__s")))
-      .select(col(idCol), col("__h"))
+      .select(col(idCol), explode(array_distinct(
+        transform(positionalWindowHashes(col(textCol), k),
+          g => g.getField("h")))).as("__h"))
     val dfCounts = posts.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
     val perDoc = posts
       .join(dfCounts, "__h")
@@ -277,16 +279,16 @@ object Dedup {
       k: Int,
       broadcastBench: Boolean = true): DataFrame = {
     // benchmark windows need no id column — the bench frame only has to
-    // carry `textCol` (any schema around it is fine)
+    // carry `textCol` (any schema around it is fine). Both sides use the
+    // native one-pass window hasher: no window string is materialized.
+    def hashSet(c: org.apache.spark.sql.Column) = array_distinct(
+      transform(positionalWindowHashes(c, k), g => g.getField("h")))
     val benchSet0 = benchmark
-      .select(explode(shingleSet(col(textCol), k)).as("__s"))
-      .select(wideHash(col("__s")).as("__h")).distinct()
+      .select(explode(hashSet(col(textCol))).as("__h")).distinct()
       .withColumn("__hit", lit(1L))
     val benchSet = if (broadcastBench) broadcast(benchSet0) else benchSet0
     val perDoc = docs
-      .withColumn("__sg", shingleSet(col(textCol), k))
-      .select(col(idCol), explode(col("__sg")).as("__s"))
-      .select(col(idCol), wideHash(col("__s")).as("__h"))
+      .select(col(idCol), explode(hashSet(col(textCol))).as("__h"))
       .join(benchSet, Seq("__h"), "left")
       .groupBy(col(idCol))
       .agg(
@@ -325,8 +327,9 @@ object Dedup {
       textCol: String,
       k: Int): DataFrame = {
     val benchSet = broadcast(
-      benchmark.select(explode(shingleSet(col(textCol), k)).as("__s"))
-        .select(wideHash(col("__s")).as("__h")).distinct()
+      benchmark.select(explode(array_distinct(
+          transform(positionalWindowHashes(col(textCol), k),
+            g => g.getField("h")))).as("__h")).distinct()
         .withColumn("__hit", lit(1L)))
     val perDoc = docs
       .select(col(idCol),
