@@ -104,6 +104,26 @@ object TextHash {
       graft.plans.WordWindowHashes(
         org.apache.spark.sql.graft.ColumnBridge.expression(c), k))
 
+  /** Distinct WIDE (55-bit) window-hash set per doc in one native pass —
+    * value-equal to `wideShingleHashes(shingleSet(c, n))` as a SET
+    * (first-occurrence order preserved by both). The string-free form of
+    * the shingle set: posting lists, Jaccard verifies, and simhash inputs
+    * all consume hashes, so nothing downstream ever needs the strings. */
+  def windowHashSet(c: Column, n: Int): Column =
+    array_distinct(transform(positionalWindowHashes(c, n), g => g.getField("h")))
+
+  /** Narrow-space (1e9+7) variant — value-equal to
+    * `shingleHashes(shingleSet(c, n))` element-for-element: the minhash
+    * input space, kept for paths whose oracle re-derives the narrow
+    * arithmetic. */
+  def windowHashSetNarrow(c: Column, n: Int): Column =
+    array_distinct(transform(
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.plans.WordWindowHashes(
+          org.apache.spark.sql.graft.ColumnBridge.expression(c), n,
+          CharBase, Mod)),
+      g => g.getField("h")))
+
   /** Higher-order-function reference formulation of
     * [[positionalWindowHashes]] (engine-neutral; the native path must
     * match it value-for-value). */

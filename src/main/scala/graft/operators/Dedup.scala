@@ -100,12 +100,14 @@ object Dedup {
       threshold: Double,
       maxShingleDf: Option[Long] = None,
       checkpointPostings: Boolean = true): DataFrame = {
-    val sh = shingleDocs(docs, idCol, textCol, n)
-    // posting lists keyed by the 55-bit shingle hash: the self-join
-    // shuffles and sorts 8-byte longs instead of shingle strings
-    // (collision odds ~1e-8 — see TextHash.wideHash)
-    val posting0 = sh.select(col(idCol).as("__id"), explode(col("sg")).as("__shs"))
-      .select(col("__id"), wideHash(col("__shs")).as("__sh"))
+    // one native pass: distinct 55-bit window-hash set per doc — no
+    // shingle STRING is ever materialized; posting lists, set sizes, and
+    // the self-join all run on 8-byte longs (collision odds ~1e-8 — see
+    // TextHash.wideHash; value-equal to hashing the string shingle set)
+    val sh = docs
+      .select(col(idCol), windowHashSet(col(textCol), n).as("sgh"))
+      .select(col(idCol), col("sgh"), size(col("sgh")).as("n_sh"))
+    val posting0 = sh.select(col(idCol).as("__id"), explode(col("sgh")).as("__sh"))
     val posting = maxShingleDf match {
       case Some(cap) =>
         // anti-join against the OVER-cap set, which is mathematically tiny:
@@ -168,15 +170,25 @@ object Dedup {
       bandRows: Int,
       threshold: Double): DataFrame = {
     val k = bands * bandRows
-    val sh = shingleDocs(docs, idCol, textCol, n)
+    // two native passes, zero shingle strings: the NARROW (1e9+7) hash
+    // set feeds the minhash signature (value-identical to the historical
+    // shingleHashes-of-string-set input), the WIDE (55-bit) set feeds the
+    // exact-Jaccard verify (the repo-wide ~1e-8 string↔hash equivalence —
+    // narrow intersects would admit ~1e-5 spurious common elements per
+    // pair, enough to flip a borderline jaccard vs the oracle)
+    val shN = docs
+      .select(col(idCol), windowHashSetNarrow(col(textCol), n).as("__sgn"))
+      .filter(size(col("__sgn")) > 0)
+    val shW = docs
+      .select(col(idCol), windowHashSet(col(textCol), n).as("sgh"))
+      .select(col(idCol), col("sgh"), size(col("sgh")).as("n_sh"))
     // band key = the band's r consecutive signature values (1-based slice)
     val bandStructs = array((0 until bands).map { b =>
       struct(lit(b).as("band") +:
         (0 until bandRows).map(r => element_at(col("__sig"), b * bandRows + r + 1).as(s"v$r")): _*)
     }: _*)
-    val sigs = sh
-      .filter(col("n_sh") > 0)
-      .withColumn("__sig", minhashSig(shingleHashes(col("sg")), k))
+    val sigs = shN
+      .withColumn("__sig", minhashSig(col("__sgn"), k))
       .select(col(idCol).as("__id"), explode(bandStructs).as("__bk"))
     val cands = sigs.as("a")
       .join(sigs.as("b"),
@@ -184,8 +196,8 @@ object Dedup {
       .select(col("a.__id").as("ida"), col("b.__id").as("idb"))
       .distinct()
     val withSets = cands
-      .join(sh.select(col(idCol).as("ida"), col("sg").as("__sga"), col("n_sh").as("__na")), "ida")
-      .join(sh.select(col(idCol).as("idb"), col("sg").as("__sgb"), col("n_sh").as("__nb")), "idb")
+      .join(shW.select(col(idCol).as("ida"), col("sgh").as("__sga"), col("n_sh").as("__na")), "ida")
+      .join(shW.select(col(idCol).as("idb"), col("sgh").as("__sgb"), col("n_sh").as("__nb")), "idb")
       .withColumn("__common", size(array_intersect(col("__sga"), col("__sgb"))))
       .withColumn("jaccard",
         col("__common").cast("double") / (col("__na") + col("__nb") - col("__common")))
@@ -395,8 +407,9 @@ object Dedup {
     * store corpus text. */
   private def hashedShingleDocs(
       docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    shingleDocs(docs, idCol, textCol, n).filter(col("n_sh") > 0)
-      .select(col(idCol), shingleHashes(col("sg")).as("sgh"), col("n_sh"))
+    docs.select(col(idCol), windowHashSet(col(textCol), n).as("sgh"))
+      .select(col(idCol), col("sgh"), size(col("sgh")).as("n_sh"))
+      .filter(col("n_sh") > 0)
 
   /** Exploded per-band MinHash keys: (idCol as `as`, __bk struct). */
   private def bandKeyFrame(
@@ -557,10 +570,12 @@ object Dedup {
       bits: Int = SimHashBits): DataFrame = {
     val agg = org.apache.spark.sql.graft.ColumnBridge.column(
       graft.plans.SimHashAgg(
-        org.apache.spark.sql.graft.ColumnBridge.expression(wideShingleHashes(col("sg"))),
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("__sgh")),
         bits).toAggregateExpression())
-    shingleDocs(docs, idCol, textCol, n)
-      .filter(col("n_sh") > 0)
+    // native one-pass wide hash set — same values as
+    // wideShingleHashes(shingleSet(text)), no shingle strings built
+    docs.select(col(idCol), windowHashSet(col(textCol), n).as("__sgh"))
+      .filter(size(col("__sgh")) > 0)
       .groupBy(col(idCol))
       .agg(agg.as("fingerprint"))
   }

@@ -244,7 +244,11 @@ object WordShingles {
   * O(windows) struct/string allocations per document.
   * Output: array<struct<p:int, h:bigint>>; empty when the doc has fewer
   * than k words. */
-case class WordWindowHashes(child: Expression, k: Int) extends UnaryExpression {
+case class WordWindowHashes(
+    child: Expression,
+    k: Int,
+    base: Long = GraftExpressions.WideBase,
+    mod: Long = GraftExpressions.WideMod) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(
@@ -259,10 +263,11 @@ case class WordWindowHashes(child: Expression, k: Int) extends UnaryExpression {
   }
 
   override protected def nullSafeEval(input: Any): Any =
-    WordWindowHashes.windowHashes(input.asInstanceOf[UTF8String], k)
+    WordWindowHashes.windowHashes(input.asInstanceOf[UTF8String], k, base, mod)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.WordWindowHashes.windowHashes($c, $k)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.WordWindowHashes.windowHashes($c, $k, ${base}L, ${mod}L)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -271,7 +276,7 @@ case class WordWindowHashes(child: Expression, k: Int) extends UnaryExpression {
 object WordWindowHashes {
   private val NonAlnum = java.util.regex.Pattern.compile("[^a-z0-9]+")
 
-  def windowHashes(text: UTF8String, k: Int): GenericArrayData = {
+  def windowHashes(text: UTF8String, k: Int, base: Long, mod: Long): GenericArrayData = {
     val norm = NonAlnum.matcher(text.toString.toLowerCase(java.util.Locale.ROOT))
       .replaceAll(" ").trim
     val words = norm.split(" ", -1)
@@ -281,8 +286,6 @@ object WordWindowHashes {
     while (w < wb.length) {
       wb(w) = words(w).getBytes(java.nio.charset.StandardCharsets.UTF_8); w += 1
     }
-    val base = GraftExpressions.WideBase
-    val mod = GraftExpressions.WideMod
     val out = new Array[Any](words.length - k + 1)
     var p = 0
     while (p <= words.length - k) {
