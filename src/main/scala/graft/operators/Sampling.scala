@@ -58,4 +58,75 @@ object Sampling {
       .join(broadcast(ratesDf), stratumCol)
       .filter(col("bucket") < col("permille"))
   }
+
+  /** p4: TOKEN-BUDGET sampling — the other half of training-mix
+    * construction: a mix config is usually expressed as "B tokens from
+    * stratum s", not a rate (rates need the corpus token count known in
+    * advance; budgets are what the training run actually consumes).
+    *
+    * Semantics: within each stratum, documents are taken in a
+    * deterministic pseudo-random order — (hash bucket, id) ascending, the
+    * same `salt|id|mix` polynomial buckets as [[stratified]] — and a doc
+    * is kept iff the running token total THROUGH it is ≤ the stratum's
+    * budget (never overshoot; an early over-budget doc is skipped only if
+    * it itself crosses the line, and then everything after it is too,
+    * because the cumulative sum only grows). Deterministic, nested in the
+    * budget (B→B' ⊇), fresh per salt — the [[stratified]] properties,
+    * restated for budgets.
+    *
+    * Scale — the naive form is a cumulative-sum window over the WHOLE
+    * stratum: one partition per stratum, dead at 100 TB. This runs the
+    * classic two-level distributed prefix sum instead:
+    *   1. per-(stratum, bucket) token sums — ordinary map-side-partial agg;
+    *   2. EXCLUSIVE prefix over the ≤`Buckets` bucket sums per stratum — a
+    *      window over a config-sized aggregate, broadcast back;
+    *   3. buckets whose prefix already exceeds the budget are dropped
+    *      map-side BEFORE any big window — the per-doc cumsum runs only
+    *      inside buckets that can still contribute, each 1/`Buckets` of a
+    *      stratum (and only the ≈budget-sized prefix of those survive the
+    *      filter at all).
+    * The only corpus-wide shuffle is the (stratum, bucket) exchange the
+    * window needs; everything else is broadcast-sized. */
+  def tokenBudget(
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      textCol: String,
+      budgets: Seq[(String, Long)],
+      salt: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val budgetDf = budgets.toDF(stratumCol, "budget")
+    val toks = docs.select(
+      col(idCol),
+      col(stratumCol),
+      bucketOf(idCol, salt).as("bucket"),
+      size(graft.functions.TextHash.wordsOf(col(textCol))).cast("long")
+        .as("n_tokens"))
+    // (1) bucket totals; (2) exclusive prefix per stratum over ≤Buckets rows
+    val bucketPrefix = toks
+      .groupBy(col(stratumCol), col("bucket"))
+      .agg(sum(col("n_tokens")).as("__bsum"))
+      .withColumn("__bpre",
+        coalesce(
+          sum(col("__bsum")).over(Window.partitionBy(stratumCol)
+            .orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .join(budgetDf, stratumCol)
+      // (3) a bucket whose exclusive prefix is already ≥ budget cannot
+      // contribute — prune it before the per-doc window ever runs
+      .filter(col("__bpre") < col("budget"))
+      .select(col(stratumCol), col("bucket"), col("__bpre"), col("budget"))
+    val withinW = Window.partitionBy(col(stratumCol), col("bucket"))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .join(broadcast(bucketPrefix), Seq(stratumCol, "bucket"))
+      .withColumn("cum_tokens", col("__bpre") + sum(col("n_tokens")).over(withinW))
+      .filter(col("cum_tokens") <= col("budget"))
+      .select(col(idCol), col(stratumCol), col("bucket"), col("n_tokens"),
+        col("cum_tokens"))
+  }
 }

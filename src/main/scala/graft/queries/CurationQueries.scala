@@ -16,7 +16,8 @@ object CurationQueries {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p2_sample_stratified" -> ((s, d) => p2(s, d)),
-    "p3_pack_sequences"    -> ((s, d) => p3(s, d))
+    "p3_pack_sequences"    -> ((s, d) => p3(s, d)),
+    "p4_token_budget"      -> ((s, d) => p4(s, d))
   )
 
   private val SampleSalt = "p2"
@@ -46,6 +47,22 @@ object CurationQueries {
         "text", PackCapacity, PackShardSize)
       .orderBy(col("stratum"), col("shard"), col("id"))
 
+  private val BudgetSalt = "p4"
+  /** Per-source token budgets, spread over [300, 1200) so each stratum
+    * keeps a nontrivial strict subset at the verify scale (per-source
+    * corpus totals are ≈1300–1550 tokens at sf0.01). */
+  val Budgets: Seq[(String, Long)] =
+    (0 until 20).map(i => (s"src$i", 300L + (i * 181) % 900))
+
+  /** p4: token-budget sample — deterministic (bucket, id)-ordered prefix
+    * of each stratum under the [[Budgets]] config, via the two-level
+    * distributed prefix sum (bucket sums → tiny prefix window → per-doc
+    * cumsum only inside still-contributing buckets). */
+  def p4(s: SparkSession, dir: String): DataFrame =
+    Sampling.tokenBudget(s, Tables.documents(s, dir), "doc_id", "source",
+        "text", Budgets, BudgetSalt)
+      .orderBy(col("doc_id"))
+
   // ---- oracle SQL ---------------------------------------------------------
 
   private val NormExpr =
@@ -69,6 +86,26 @@ object CurationQueries {
          |FROM h JOIN r USING (source)
          |WHERE h.bucket < r.permille
          |ORDER BY h.doc_id""".stripMargin
+    },
+
+    // the naive whole-stratum cumulative sum over the SAME deterministic
+    // (bucket, doc_id) order — provably equal to the two-level prefix sum
+    // the Spark side runs (prefix(bucket) + within-bucket cumsum telescopes
+    // to the flat cumsum)
+    "p4_token_budget" -> {
+      val values = Budgets.map { case (s, b) => s"('$s', $b)" }.mkString(", ")
+      val keyExpr = s"'$BudgetSalt|' || doc_id::VARCHAR || '|mix'"
+      s"""WITH b(source, budget) AS (VALUES $values),
+         |w AS (SELECT doc_id, source,
+         |    ${polyHashSql(keyExpr)} % ${Sampling.Buckets} AS bucket,
+         |    len(string_split($NormExpr, ' '))::BIGINT AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT *, (sum(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY bucket, doc_id ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_tokens
+         |  FROM w)
+         |SELECT doc_id, source, bucket, n_tokens, cum_tokens
+         |FROM c JOIN b USING (source) WHERE cum_tokens <= budget
+         |ORDER BY doc_id""".stripMargin
     },
 
     // the identical greedy fold, unrolled as a recursive CTE over the

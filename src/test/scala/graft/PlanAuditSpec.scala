@@ -60,8 +60,10 @@ class PlanAuditSpec extends SparkSpec {
 
   test("d2 posting join: keys are 8-byte hashes, not shingle strings") {
     val p = plan("d2_dedup_ngram")
-    assert(p.contains("graft_poly_hash"))
-    assert(p.contains("graft_shingles"))
+    // the one-pass native hasher emits (pos, hash) structs — the posting
+    // join keys are its 55-bit longs; no shingle STRING ever materializes
+    assert(p.contains("graft_window_hashes"))
+    assert(!p.contains("concat_ws"))
   }
 
   test("q15 range join: bucketed equi-join, never a nested loop / cartesian") {

@@ -40,4 +40,62 @@ class SamplingSpec extends SparkSpec {
     val r = Seq("s0" -> 500, "s1" -> 500, "s2" -> 500)
     assert(ids(r, "saltA") != ids(r, "saltB"))
   }
+
+  // ---- tokenBudget (p4) ---------------------------------------------------
+
+  private val docs = (0L until 300L)
+    .map(i => (i, s"s${i % 3}", Seq.fill((i % 7).toInt + 1)("w").mkString(" ")))
+    .toDF("id", "g", "txt")
+
+  private def budgetIds(budgets: Seq[(String, Long)], salt: String = "t"): Set[Long] =
+    Sampling.tokenBudget(spark, docs, "id", "g", "txt", budgets, salt)
+      .select("id").collect().map(_.getLong(0)).toSet
+
+  test("tokenBudget equals the naive whole-stratum cumulative sum") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val budgets = Seq("s0" -> 120L, "s1" -> 57L, "s2" -> 200L)
+    // reference: flat cumsum over (bucket, id) per stratum — the form the
+    // two-level prefix sum must telescope to exactly
+    val bdf = budgets.toDF("g", "budget")
+    val naive = docs
+      .select(col("id"), col("g"), Sampling.bucketOf("id", "t").as("bucket"),
+        size(graft.functions.TextHash.wordsOf(col("txt"))).cast("long").as("n"))
+      .withColumn("cum", sum(col("n")).over(Window.partitionBy(col("g"))
+        .orderBy(col("bucket"), col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(bdf, "g").filter(col("cum") <= col("budget"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(budgetIds(budgets) == naive)
+  }
+
+  test("tokenBudget never overshoots: kept tokens per stratum ≤ budget") {
+    val budgets = Seq("s0" -> 101L, "s1" -> 63L, "s2" -> 140L)
+    val kept = Sampling.tokenBudget(spark, docs, "id", "g", "txt", budgets, "t")
+      .groupBy("g").sum("n_tokens")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bm = budgets.toMap
+    kept.foreach { case (g, t) => assert(t <= bm(g), s"stratum $g: $t tokens") }
+    assert(kept.nonEmpty)
+  }
+
+  test("tokenBudget is nested: raising a budget only ever ADDS docs") {
+    val low  = budgetIds(Seq("s0" -> 60L, "s1" -> 60L, "s2" -> 60L))
+    val high = budgetIds(Seq("s0" -> 160L, "s1" -> 160L, "s2" -> 160L))
+    assert(low.subsetOf(high))
+    assert(low.size < high.size)
+  }
+
+  test("tokenBudget: cum_tokens is the running total in (bucket, id) order") {
+    val out = Sampling.tokenBudget(spark, docs, "id", "g", "txt",
+        Seq("s0" -> 120L, "s1" -> 120L, "s2" -> 120L), "t")
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(0), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1)
+    out.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3)) // (bucket, id)
+      var cum = 0L
+      sorted.foreach { case (_, _, _, n, c) => cum += n; assert(c == cum) }
+    }
+  }
 }
