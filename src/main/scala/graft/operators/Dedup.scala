@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -366,6 +366,82 @@ object Dedup {
         when(coalesce(col("n_windows"), lit(0L)) > 0,
           col("n_contaminated").cast("double") / col("n_windows").cast("double"))
           .otherwise(lit(0.0)).as("contaminated_frac"),
+        coalesce(col("spans"), lit("")).as("spans"))
+  }
+
+  /** d8b: MAXIMAL DUPLICATED SPANS — the excision unit of Lee et al.
+    * 2021's exact-substring dedup: where [[windowDupStats]] reports HOW
+    * MUCH of a doc is duplicated text, this reports WHERE. Every
+    * positional k-word window occurring verbatim in ≥ 2 docs is a dup
+    * site; overlapping and token-adjacent sites merge (gaps-and-islands:
+    * window [p, p+k) joins the open span [s, e) iff p ≤ e) into maximal
+    * `start-end` token spans (0-based, end-exclusive, over the normalized
+    * word sequence) — what a cut-the-span pass actually consumes. Output
+    * per doc: positional dup-window count, span count, tokens covered,
+    * and the sorted comma-joined span list ('' when clean).
+    *
+    * Scale: identical shape to d8 — map-side native window hashing, df
+    * agg and posting join on 8-byte hashes, one per-doc aggregation. The
+    * merge itself is a single fold over each doc's SORTED dup positions
+    * (per-doc state, bounded by the doc's window count) in one projection
+    * after the agg — no extra shuffle, no window-function pass. */
+  def duplicateSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    // df over per-doc DISTINCT hashes (a doc counts once per window)
+    val distinctPosts = docs
+      .select(col(idCol), explode(array_distinct(
+        transform(positionalWindowHashes(col(textCol), k),
+          g => g.getField("h")))).as("__h"))
+    val dupSet = distinctPosts
+      .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2)
+      .select(col("__h"))
+    // every positional occurrence of a duplicated window is a cut site
+    val dupPos = docs
+      .select(col(idCol),
+        explode(positionalWindowHashes(col(textCol), k)).as("__g"))
+      .select(col(idCol), col("__g.p").cast("long").as("__p"), col("__g.h").as("__h"))
+      .join(dupSet, Seq("__h"))
+    val spanType = "array<struct<s: bigint, e: bigint>>"
+    def acc(sp: Column, cs: Column, ce: Column) =
+      struct(sp.as("sp"), cs.as("cs"), ce.as("ce"))
+    val perDoc = dupPos
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_dup_windows"),
+        array_sort(collect_list(col("__p"))).as("__ps"))
+      .withColumn("__sp", aggregate(
+        col("__ps"),
+        acc(array().cast(spanType), lit(-1L), lit(-1L)),
+        (a, p) => {
+          val (sp, cs, ce) = (a.getField("sp"), a.getField("cs"), a.getField("ce"))
+          when(cs < 0, acc(sp, p, p + k))                 // open the first span
+            .when(p <= ce, acc(sp, cs, p + k))            // overlap/adjacent: extend
+            .otherwise(acc(                               // gap: close and reopen
+              concat(sp, array(struct(cs.as("s"), ce.as("e")))), p, p + k))
+        },
+        a => when(a.getField("cs") < 0, a.getField("sp"))
+          .otherwise(concat(a.getField("sp"),
+            array(struct(a.getField("cs").as("s"), a.getField("ce").as("e")))))))
+      .select(
+        col(idCol),
+        col("n_dup_windows"),
+        size(col("__sp")).cast("long").as("n_spans"),
+        coalesce(aggregate(col("__sp"), lit(0L),
+          (t, s) => t + s.getField("e") - s.getField("s")), lit(0L)).as("dup_tokens"),
+        array_join(transform(col("__sp"),
+          s => concat(s.getField("s").cast("string"), lit("-"),
+            s.getField("e").cast("string"))), ",").as("spans"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         coalesce(col("spans"), lit("")).as("spans"))
   }
 

@@ -39,6 +39,7 @@ object DedupQueries {
     "d6_dedup_embcell"   -> ((s, d) => d6(s, d)),
     "d7_dedup_components" -> ((s, d) => d7(s, d)),
     "d8_window_dedup"    -> ((s, d) => d8(s, d)),
+    "d8b_dup_spans"      -> ((s, d) => d8b(s, d)),
     "d9_decontaminate"   -> ((s, d) => d9(s, d)),
     "d9b_decontaminate_spans" -> ((s, d) => d9b(s, d)),
     "d10_incremental_dedup" -> ((s, d) => d10(s, d)),
@@ -126,6 +127,13 @@ object DedupQueries {
     * Wordcount-shaped (posting df + join back), never pairwise. */
   def d8(s: SparkSession, dir: String): DataFrame =
     Dedup.windowDupStats(Tables.documents(s, dir), "doc_id", "text", WindowK)
+      .orderBy(col("doc_id"))
+
+  /** d8b: maximal duplicated spans — WHERE the d8 duplicated text sits:
+    * positional dup windows merged into maximal `start-end` token spans
+    * (the excision input; '' for clean docs). */
+  def d8b(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateSpans(Tables.documents(s, dir), "doc_id", "text", WindowK)
       .orderBy(col("doc_id"))
 
   private val BenchStride = 10 // d9 "benchmark set": doc_id % 10 == 0 (10% of docs)
@@ -415,6 +423,40 @@ object DedupQueries {
          |  coalesce(pd.n_dup, 0)::BIGINT AS n_dup_windows,
          |  CASE WHEN coalesce(pd.n_windows, 0) > 0
          |    THEN pd.n_dup::DOUBLE / pd.n_windows::DOUBLE ELSE 0.0 END AS dup_frac
+         |FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id""".stripMargin
+    },
+
+    // positional dup windows (df over window STRINGS, ≥ 2 docs) merged by
+    // the classic gaps-and-islands: break when p > lag(p) + k, islands →
+    // min(p)..max(p)+k spans — provably the same maximal spans as the
+    // Spark side's sorted-position fold
+    "d8b_dup_spans" -> {
+      val kgram = (0 until WindowK).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+      s"""WITH w AS (SELECT doc_id, string_split($NormExpr, ' ') AS ws FROM documents),
+         |g AS (SELECT doc_id, CASE WHEN len(ws) >= $WindowK THEN
+         |    list_transform(range(1, len(ws) - ${WindowK - 2}),
+         |      i -> struct_pack(p := i - 1, s := $kgram))
+         |    ELSE []::STRUCT(p BIGINT, s VARCHAR)[] END AS gs FROM w),
+         |x0 AS (SELECT doc_id, unnest(gs) AS gg FROM g),
+         |x AS (SELECT doc_id, gg.p AS p, gg.s AS s FROM x0),
+         |dsh AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS c
+         |  FROM x GROUP BY s) WHERE c >= 2),
+         |dp AS (SELECT doc_id, p FROM x JOIN dsh USING (s)),
+         |i0 AS (SELECT doc_id, p, CASE WHEN
+         |    p > coalesce(lag(p) OVER (PARTITION BY doc_id ORDER BY p), p) + $WindowK
+         |    THEN 1 ELSE 0 END AS brk FROM dp),
+         |i1 AS (SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id
+         |    ORDER BY p ROWS UNBOUNDED PRECEDING) AS isl FROM i0),
+         |sp AS (SELECT doc_id, isl, min(p) AS s, max(p) + $WindowK AS e,
+         |    count(*) AS nw FROM i1 GROUP BY doc_id, isl),
+         |pd AS (SELECT doc_id, sum(nw)::BIGINT AS n_dup_windows,
+         |    count(*)::BIGINT AS n_spans, sum(e - s)::BIGINT AS dup_tokens,
+         |    string_agg(s::VARCHAR || '-' || e::VARCHAR, ',' ORDER BY s) AS spans
+         |  FROM sp GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(pd.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+         |  coalesce(pd.n_spans, 0)::BIGINT AS n_spans,
+         |  coalesce(pd.dup_tokens, 0)::BIGINT AS dup_tokens,
+         |  coalesce(pd.spans, '') AS spans
          |FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id""".stripMargin
     },
 

@@ -212,6 +212,49 @@ class DedupSpec extends SparkSpec {
     assert(out(3) == ((4L, 9L, 2L, "0,8")))
   }
 
+  test("duplicateSpans: overlapping and adjacent dup windows merge, gaps split") {
+    val k = 4
+    val corpus = Seq(
+      // docs 1/2 share "a1..a6" (dup windows at 1-positions 0,1,2 in doc 1 —
+      // overlapping → ONE span [0,6)) and "z1..z4" (doc-1 window at 8 —
+      // gap after position 2 → its own span [8,12))
+      (1L, "a1 a2 a3 a4 a5 a6 q1 q2 z1 z2 z3 z4"),
+      (2L, "a1 a2 a3 a4 a5 a6 r1 r2 r3"),
+      (3L, "p1 p2 z1 z2 z3 z4 p3 p4 p5"),
+      (4L, "nothing shared with any other document at all"),
+      (5L, "a1 a2") // < k words → clean 0-row
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(corpus, "doc_id", "text", k)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(out(0) == ((1L, 4L, 2L, 10L, "0-6,8-12")))
+    assert(out(1) == ((2L, 3L, 1L, 6L, "0-6")))
+    assert(out(2) == ((3L, 1L, 1L, 4L, "2-6")))
+    assert(out(3) == ((4L, 0L, 0L, 0L, "")))
+    assert(out(4) == ((5L, 0L, 0L, 0L, "")))
+  }
+
+  test("duplicateSpans: token-adjacent spans merge; within-doc repeats count") {
+    val k = 4
+    val corpus = Seq(
+      // doc 1: dup windows at 0 ("c1..c4") and 4 ("d1..d4") — spans [0,4)
+      // and [4,8) are ADJACENT → one merged span [0,8)
+      (1L, "c1 c2 c3 c4 d1 d2 d3 d4"),
+      (2L, "c1 c2 c3 c4 x y z w"),
+      (3L, "d1 d2 d3 d4 u v w1 w2"),
+      // doc 4 repeats the shared window "c1..c4" twice with a gap — both
+      // positional occurrences are cut sites, two spans
+      (4L, "c1 c2 c3 c4 gap1 gap2 c1 c2 c3 c4")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(corpus, "doc_id", "text", k)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(out(0) == ((1L, 2L, 1L, 8L, "0-8")))
+    assert(out(1) == ((2L, 1L, 1L, 4L, "0-4")))
+    assert(out(2) == ((3L, 1L, 1L, 4L, "0-4")))
+    assert(out(3) == ((4L, 2L, 2L, 8L, "0-4,6-10")))
+  }
+
   test("incrementalDedupFlags: exact, near, and clean batch docs flagged vs corpus") {
     val corpus = Seq(
       (1L, "The quick brown fox jumps over the lazy dog"),
