@@ -234,6 +234,75 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** p5: SEMANTIC dedup — SemDeDup (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", 2023): k-means-cluster the embeddings, call any
+    * within-cell pair at cosine ≥ threshold a semantic duplicate, and in
+    * each duplicate group KEEP the member least similar to its centroid
+    * (the paper's diversity-preserving policy; ties to the lowest id) —
+    * near-duplicate web pages, boilerplate variants, and re-crawls
+    * collapse to one representative without any text comparison.
+    *
+    * Within-cell-ONLY pairing is the published algorithm, not an
+    * approximation of [[cosinePairs]]: the cells bound the quadratic term
+    * (n²/nCells per cell in expectation, AQE-splittable on the cell key)
+    * and cross-cell pairs are deliberately out of scope. For the
+    * provably-exact pair set at a threshold, use
+    * [[cosinePairsCellPruned]] (d6) instead.
+    *
+    * Deterministic end to end: trained codebook ([[trainCentroids]] —
+    * fixed-iteration, integer-quantized), argmax-cosine assignment with
+    * lowest-id ties, connected components over the dup pairs
+    * ([[Components.connectedComponents]]), min-(ccos, id) keeper. Output
+    * one row per vector: cell, duplicate-cluster id (self for
+    * singletons), cluster size, keep ∈ {0,1}. */
+  def semDedup(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nCells: Int,
+      kmeansIters: Int = 0): DataFrame = {
+    val n = emb.select(col(idCol), col(vecCol), norm2(col(vecCol)).as("__n2"))
+    val cent = centroidsOf(emb, idCol, vecCol, nCells, kmeansIters)
+    val cellCos = cosineFromNorms(dotD(col(vecCol), col("__cv")), col("__n2"), col("__cn2"))
+    // one row per vector: chosen cell + the cosine TO that cell (feeds the
+    // pair join twice and the keeper policy — materialize once)
+    val assigned = n.join(broadcast(cent))
+      .select(col(idCol), col(vecCol), col("__n2"), col("__cid"), cellCos.as("__ccos"))
+      .groupBy(col(idCol))
+      .agg(
+        max_by(col("__cid"), struct(col("__ccos"), -col("__cid"))).as("__cell"),
+        max(col("__ccos")).as("__ccos"),
+        first(col(vecCol)).as(vecCol), first(col("__n2")).as("__n2"))
+      .localCheckpoint(eager = false)
+    val a = assigned.select(col(idCol).as("ida"), col(vecCol).as("__va"),
+      col("__n2").as("__na2"), col("__cell"))
+    val b = assigned.select(col(idCol).as("idb"), col(vecCol).as("__vb"),
+      col("__n2").as("__nb2"), col("__cell"))
+    val pairs = a.join(b, Seq("__cell"))
+      .filter(col("ida") < col("idb"))
+      .filter(cosineFromNorms(dotD(col("__va"), col("__vb")),
+        col("__na2"), col("__nb2")) >= threshold)
+      .select(col("ida"), col("idb"))
+    val cc = Components.connectedComponents(pairs, "ida", "idb")
+    val member = cc.join(
+      assigned.select(col(idCol).as("id"), col("__ccos")), Seq("id"))
+    val clusters = member.groupBy(col("component_id")).agg(
+      min_by(col("id"), struct(col("__ccos"), col("id"))).as("__keep_id"),
+      count(lit(1)).as("__csize"))
+    assigned.select(col(idCol), col("__cell").as("cell"))
+      .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .join(clusters, Seq("component_id"), "left")
+      .select(
+        col(idCol),
+        col("cell"),
+        coalesce(col("component_id"), col(idCol)).as("cluster_id"),
+        coalesce(col("__csize"), lit(1L)).as("cluster_size"),
+        when(col("component_id").isNull || col("__keep_id") === col(idCol), 1L)
+          .otherwise(0L).as("keep"))
+  }
+
   /** Materialize the IVF cell assignment — (id, vector, norm², cell) —
     * as a CELL-BUCKETED table: the shared index build behind [[ivfTopK]]
     * and [[cosinePairsCellPruned]], persisted so repeated probe workloads

@@ -46,7 +46,8 @@ object DedupQueries {
     "s1_knn_bruteforce"  -> ((s, d) => s1(s, d)),
     "s2_knn_lsh"         -> ((s, d) => s2(s, d)),
     "s3_knn_ivf"         -> ((s, d) => s3(s, d)),
-    "p1_curate_corpus"   -> ((s, d) => p1(s, d))
+    "p1_curate_corpus"   -> ((s, d) => p1(s, d)),
+    "p5_semdedup"        -> ((s, d) => p5(s, d))
   )
 
   private val IvfCentroids = 16
@@ -193,6 +194,14 @@ object DedupQueries {
       .curated
       .select(col("doc_id"), col("quality_score"))
       .orderBy(col("doc_id"))
+
+  /** p5: SemDeDup over the embeddings table — trained cells (same
+    * codebook constants as s3/d6), within-cell cosine ≥ [[CosThr]] dup
+    * pairs, min-(ccos, id) keeper per duplicate cluster. */
+  def p5(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+        CosThr, IvfCentroids, KmeansIters)
+      .orderBy(col("vec_id"))
 
   private def queryVecs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).filter(col("vec_id") % QueryStride === 0)
@@ -639,6 +648,46 @@ object DedupQueries {
          |    ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
          |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= $LshK
          |ORDER BY query_id, rank""".stripMargin,
+
+    // the identical trained codebook + assignment as s3, then within-cell
+    // pairs at >= CosThr, recursive-CTE components, and the paper's
+    // keep-least-similar-to-centroid policy (ties to the lowest id)
+    "p5_semdedup" ->
+      s"""WITH RECURSIVE $NormCte,
+         |$KmeansCtes,
+         |cent AS (SELECT cid, cv, list_reduce(list_transform(range(1, ${CosDim + 1}),
+         |    i -> cv[i] * cv[i]), (a, b) -> a + b) AS n2 FROM cent$KmeansIters),
+         |ac AS (SELECT v.vec_id, v.embedding, v.n2, c.cid,
+         |    list_reduce(list_transform(range(1, ${CosDim + 1}),
+         |      i -> v.embedding[i]::DOUBLE * c.cv[i]), (a, b) -> a + b)
+         |      / sqrt(v.n2 * c.n2) AS ccos
+         |  FROM n v CROSS JOIN cent c),
+         |asn0 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ccos DESC, cid) AS rn FROM ac),
+         |asn AS (SELECT vec_id, embedding, n2, cid AS cell, ccos
+         |  FROM asn0 WHERE rn = 1),
+         |p AS (SELECT a.vec_id AS ida, b.vec_id AS idb
+         |  FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${dotSql("a", "b")} / sqrt(a.n2 * b.n2) >= $CosThr),
+         |e AS (SELECT ida AS u, idb AS v FROM p UNION SELECT idb, ida FROM p),
+         |r AS (SELECT u AS id, u AS lbl FROM e
+         |  UNION SELECT e.u, r.lbl FROM e JOIN r ON r.id = e.v),
+         |cc AS (SELECT id, min(lbl) AS cl FROM r GROUP BY id),
+         |mem AS (SELECT cc.id, cc.cl, asn.ccos FROM cc
+         |  JOIN asn ON asn.vec_id = cc.id),
+         |kp AS (SELECT cl, id AS keep_id FROM (SELECT *, row_number()
+         |    OVER (PARTITION BY cl ORDER BY ccos, id) AS krn FROM mem)
+         |  WHERE krn = 1),
+         |sz AS (SELECT cl, count(*) AS csz FROM cc GROUP BY cl)
+         |SELECT asn.vec_id, asn.cell AS cell,
+         |  coalesce(cc.cl, asn.vec_id) AS cluster_id,
+         |  coalesce(sz.csz, 1)::BIGINT AS cluster_size,
+         |  (CASE WHEN cc.id IS NULL OR kp.keep_id = asn.vec_id
+         |    THEN 1 ELSE 0 END)::BIGINT AS keep
+         |FROM asn LEFT JOIN cc ON cc.id = asn.vec_id
+         |LEFT JOIN sz ON sz.cl = cc.cl
+         |LEFT JOIN kp ON kp.cl = cc.cl
+         |ORDER BY asn.vec_id""".stripMargin,
 
     "s3_knn_ivf" ->
       s"""WITH $NormCte,

@@ -177,4 +177,46 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getLong(2))
     assert(hit.contains(1000L))
   }
+
+  test("semDedup clusters within-cell dups, keeps the least-central member") {
+    // centroids (kmeansIters = 0) seed from the 2 lowest ids: cells around
+    // the x-axis (id 1) and the y-axis (id 2)
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.99f, 0.14f, 0.0f)),  // x-cell, near-dup of 1 and 4
+      (4L, Array(0.95f, 0.31f, 0.0f)),  // x-cell, the least x-aligned dup
+      (5L, Array(0.0f, 0.98f, 0.2f)),   // y-cell, near-dup of 2
+      (6L, Array(0.0f, -1.0f, 0.1f))    // y-cell (|cos|, no dup partner)
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(emb, "vec_id", "embedding", 0.95, 2)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // x-cell: {1,3,4} one cluster (1~3, 3~4 chain; 1~4 below thr is fine —
+    // components close the chain); keeper = 4, the least centroid-similar
+    assert(out(0) == ((1L, 1L, 3L, 0L)))
+    assert(out(2) == ((3L, 1L, 3L, 0L)))
+    assert(out(3) == ((4L, 1L, 3L, 1L)))
+    // y-cell: {2,5} cluster, 5 keeps (farther from the y centroid); 6 is a
+    // singleton that keeps itself
+    assert(out(1) == ((2L, 2L, 2L, 0L)))
+    assert(out(4) == ((5L, 2L, 2L, 1L)))
+    assert(out(5) == ((6L, 6L, 1L, 1L)))
+  }
+
+  test("semDedup never pairs across cells; exactly one keeper per cluster") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val out = Similarity.semDedup(emb, "vec_id", "embedding", 0.4, 16,
+      kmeansIters = 2)
+    val rows = out.collect()
+    assert(rows.length == emb.count()) // one row per vector, always
+    // exactly one keep per cluster_id
+    val perCluster = rows.groupBy(_.getLong(2))
+    assert(perCluster.values.forall(g => g.count(_.getLong(4) == 1L) == 1))
+    // cluster members all share the keeper's cell (within-cell pairing
+    // can never chain across cells)
+    assert(perCluster.values.forall(g => g.map(_.getLong(1)).toSet.size == 1))
+    // sizes are consistent
+    assert(perCluster.values.forall(g => g.forall(_.getLong(3) == g.length)))
+  }
 }
