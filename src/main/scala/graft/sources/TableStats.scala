@@ -215,14 +215,14 @@ object TableStats {
     case _ => None
   }
 
-  private def parse(kind: String, s: String): Any = kind match {
+  private[sources] def parse(kind: String, s: String): Any = kind match {
     case "long" => s.toLong
     case "double" => s.toDouble
     case _ => s
   }
 
   /** Compare canonical values, promoting long↔double mixes to double. */
-  private def cmp(kind: String, a: Any, b: Any): Int = (a, b) match {
+  private[sources] def cmp(kind: String, a: Any, b: Any): Int = (a, b) match {
     case (x: Long, y: Long) => java.lang.Long.compare(x, y)
     case (x: String, y: String) => x.compareTo(y)
     case _ =>

@@ -204,6 +204,72 @@ object VersionedTable {
     }
   }
 
+  /** One column's metadata-derived aggregate: `rows` (table-wide),
+    * non-null count, and typed min/max (`kind` ∈ long/double/string —
+    * timestamps surface as epoch-micros longs, dates as epoch-day longs,
+    * exactly the canonical form the stats store). min/max are null for an
+    * all-null column. */
+  final case class ColStat(
+      column: String, kind: String, rows: Long, nonNulls: Long, min: Any, max: Any)
+
+  /** STATS-ONLY aggregation — `count(*)`, `count(c)`, `min(c)`, `max(c)`
+    * answered from the commit's footer statistics WITHOUT opening a single
+    * data file: the `SELECT count(*) FROM huge_table` that Delta/Iceberg
+    * answer from their logs, on this format. At 100 TB the difference is a
+    * driver-side read of one tsv versus a full-table scan.
+    *
+    * Sound by construction: parquet chunk statistics are exact-or-absent
+    * (a writer that cannot store exact min/max omits them, which the
+    * collection pass already records as unusable), so any answer returned
+    * equals the scan's answer — and `None` means "stats cannot answer,
+    * run the scan", never a wrong value. `None` whenever the snapshot
+    * predates stats collection, a data file is missing from the stats, or
+    * any requested column has unusable stats in any file. */
+  def statsAggregate(
+      spark: SparkSession,
+      root: String,
+      cols: Seq[String],
+      version: Option[Long] = None): Option[(Long, Seq[ColStat])] = {
+    val v = version.orElse(currentVersion(spark, root)).getOrElse(
+      throw new java.io.IOException(s"no committed version under $root"))
+    require(versions(spark, root).contains(v), s"version $v is not committed under $root")
+    val f = fs(spark, root)
+    val dir = versionDir(root, v)
+    val files = f.listStatus(dir).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+    val stats = TableStats.load(spark, new Path(dir, "_stats"))
+    // every data file must be covered, else row counts are unknowable
+    val perFile = files.map(p => stats.get(p.getName).filter(_.nonEmpty))
+    if (files.nonEmpty && perFile.exists(_.isEmpty)) None
+    else {
+      val fileMaps = perFile.flatten
+      val totalRows = fileMaps.map(_.head._2._5).sum
+      val colStats = cols.foldLeft(Option(Vector.empty[ColStat])) { (accO, c) =>
+        accO.flatMap { acc =>
+          val entries = fileMaps.map(_.get(c))
+          if (entries.exists(_.isEmpty)) None
+          else {
+            val es = entries.map(_.get) // (kind, minO, maxO, nulls, rows)
+            val kind = es.headOption.map(_._1).getOrElse("long")
+            // nulls = -1 marks unusable stats; a missing min/max is only
+            // legitimate for an all-null file (nulls == rows)
+            if (es.exists(e => e._4 < 0 || (e._2.isEmpty && e._4 != e._5))) None
+            else {
+              val nonNulls = es.map(e => e._5 - e._4).sum
+              val mins = es.flatMap(_._2).map(TableStats.parse(kind, _))
+              val maxs = es.flatMap(_._3).map(TableStats.parse(kind, _))
+              val mn = mins.reduceOption((a, b) => if (TableStats.cmp(kind, a, b) <= 0) a else b)
+              val mx = maxs.reduceOption((a, b) => if (TableStats.cmp(kind, a, b) >= 0) a else b)
+              Some(acc :+ ColStat(c, kind, totalRows, nonNulls,
+                mn.orNull, mx.orNull))
+            }
+          }
+        }
+      }
+      colStats.map(cs => (totalRows, cs.toSeq))
+    }
+  }
+
   /** Drop all but the newest `keepLast` committed versions (marker first,
     * then data — a reader that already resolved an old version may race
     * the delete, exactly as in any table format's vacuum; pick `keepLast`

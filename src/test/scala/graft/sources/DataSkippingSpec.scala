@@ -91,6 +91,54 @@ class DataSkippingSpec extends SparkSpec {
     assert(VersionedTable.readWhere(spark, root2, $"id" === 5L).count() == 1)
   }
 
+  test("statsAggregate answers count/min/max from metadata, equal to the scan") {
+    val root = freshRoot(); table(root)
+    val scan = VersionedTable.read(spark, root)
+      .agg(count(lit(1)), count($"maybe"), min($"id"), max($"id"),
+        min($"label"), max($"label"), min($"ts"), max($"ts"))
+      .collect()(0)
+    val Some((rows, stats)) =
+      VersionedTable.statsAggregate(spark, root, Seq("id", "label", "ts", "maybe"))
+    val byCol = stats.map(s => s.column -> s).toMap
+    assert(rows == scan.getLong(0))
+    assert(byCol("maybe").nonNulls == scan.getLong(1))
+    assert(byCol("maybe").rows == rows)
+    assert(byCol("id").min == scan.getLong(2) && byCol("id").max == scan.getLong(3))
+    assert(byCol("label").min == scan.getString(4) && byCol("label").max == scan.getString(5))
+    // timestamps surface in the canonical stats form: epoch micros
+    assert(byCol("ts").kind == "long")
+    assert(byCol("ts").min == scan.getTimestamp(6).getTime * 1000L)
+    assert(byCol("ts").max == scan.getTimestamp(7).getTime * 1000L)
+  }
+
+  test("statsAggregate opens no data file: answers survive corrupted data") {
+    val root = freshRoot(); table(root)
+    val before = VersionedTable.statsAggregate(spark, root, Seq("id", "maybe"))
+    // clobber every data file in place — any code path that opens one now
+    // throws; the stats answers must be unaffected because they never did
+    val v = VersionedTable.currentVersion(spark, root).get
+    val dir = java.nio.file.Paths.get(root, f"v$v%08d")
+    java.nio.file.Files.list(dir).forEach { p =>
+      if (p.getFileName.toString.endsWith(".parquet"))
+        java.nio.file.Files.write(p, "not parquet".getBytes)
+    }
+    assert(VersionedTable.statsAggregate(spark, root, Seq("id", "maybe")) == before)
+    assert(before.get._1 == 400L)
+  }
+
+  test("statsAggregate refuses rather than guesses: stat-less and unknown cols") {
+    val root = freshRoot()
+    VersionedTable.commit(
+      spark.range(0, 100).toDF("id").repartitionByRange(2, $"id"),
+      root, collectStats = false)
+    assert(VersionedTable.statsAggregate(spark, root, Seq("id")).isEmpty)
+    val root2 = freshRoot(); table(root2)
+    assert(VersionedTable.statsAggregate(spark, root2, Seq("no_such")).isEmpty)
+    // all-null column in SOME file is fine (min/max fold skips it); the
+    // empty requested-column list still answers count(*)
+    assert(VersionedTable.statsAggregate(spark, root2, Nil).map(_._1).contains(400L))
+  }
+
   test("stats travel with the version: vacuum removes them, time travel keeps them") {
     val root = freshRoot(); table(root)
     VersionedTable.commit(spark.range(0, 10).toDF("id")
