@@ -111,14 +111,39 @@ object IncrementalMerge {
       statusCol: String,
       doneValue: String,
       dropRemoved: Boolean = false): DataFrame = {
+    val spec = evolvedSpec(target, staging, key, runTs, statusCol, doneValue, dropRemoved)
+    val present = col("__s_present").isNotNull
+    spec.s.join(spec.t, Seq(key), "full_outer")
+      .select(col(key) +: spec.outCols.map { c =>
+        when(present, c.fromStaging).otherwise(c.fromTarget).as(c.name)
+      }: _*)
+  }
+
+  /** One output column of the evolving merge, split by provenance:
+    * `fromStaging` is the value a (re)written row takes — it may read
+    * BOTH join sides (created_at/deleted_at coalesce against the target);
+    * `fromTarget` is the value an untouched target row keeps, aligned to
+    * the evolved output type. [[mergeEvolving]] combines them per row;
+    * [[changeFeed]] reads them separately as post-/pre-image. */
+  private final case class OutCol(name: String, fromStaging: Column, fromTarget: Column)
+  private final case class MergeSpec(s: DataFrame, t: DataFrame, outCols: Seq[OutCol])
+
+  private def evolvedSpec(
+      target: DataFrame,
+      staging: DataFrame,
+      key: String,
+      runTs: Column,
+      statusCol: String,
+      doneValue: String,
+      dropRemoved: Boolean): MergeSpec = {
     val book = bookkeeping(key, statusCol)
     val tPayload = target.columns.filterNot(book)
     val sPayload = staging.columns.filterNot(book)
     val sTypes = staging.schema.map(f => f.name -> f.dataType).toMap
     val tTypes = target.schema.map(f => f.name -> f.dataType).toMap
 
-    // explicit presence marker (not a status-null probe): robust to
-    // staging rows that legitimately carry a null status
+    // explicit presence markers (not a status-null probe): robust to
+    // rows that legitimately carry a null status
     val s = staging.select(
       (col(key) +: lit(1).as("__s_present") +:
         col(statusCol).as("__s_status") +:
@@ -126,7 +151,7 @@ object IncrementalMerge {
         sPayload.map(c => col(c).as(s"__s_$c"))): _*)
     val tHasDeleted = target.columns.contains("deleted_at")
     val t = target.select(
-      (col(key) +:
+      (col(key) +: lit(1).as("__t_present") +:
         col(statusCol).as("__t_status") +:
         col("created_at").as("__t_created_at") +:
         col("updated_at").as("__t_updated_at") +:
@@ -134,33 +159,77 @@ object IncrementalMerge {
           .as("__t_deleted_at") +:
         tPayload.map(c => col(c).as(s"__t_$c"))): _*)
 
-    val present = col("__s_present").isNotNull
-    val payloadCols: Seq[Column] =
+    val payloadCols: Seq[OutCol] =
       tPayload.filterNot(c => dropRemoved && !sTypes.contains(c)).map { c =>
         if (sTypes.contains(c)) {
           val tc = if (tTypes(c) == sTypes(c)) col(s"__t_$c")
                    else col(s"__t_$c").cast(sTypes(c)) // type change: new schema wins
-          when(present, col(s"__s_$c")).otherwise(tc).as(c)
+          OutCol(c, col(s"__s_$c"), tc)
         } else // dropped from staging: retained, nulled on rewritten rows
-          when(present, lit(null).cast(tTypes(c))).otherwise(col(s"__t_$c")).as(c)
+          OutCol(c, lit(null).cast(tTypes(c)), col(s"__t_$c"))
       } ++
       sPayload.filterNot(tTypes.contains).map { c => // added by staging
-        when(present, col(s"__s_$c")).otherwise(lit(null).cast(sTypes(c))).as(c)
+        OutCol(c, col(s"__s_$c"), lit(null).cast(sTypes(c)))
       }
 
-    s.join(t, Seq(key), "full_outer")
-      .select(
-        (col(key) +:
-          coalesce(col("__s_status"), col("__t_status")).as(statusCol) +:
-          payloadCols) ++ Seq(
-          when(present, coalesce(col("__s_created_at"), runTs))
-            .otherwise(col("__t_created_at")).as("created_at"),
-          when(present, runTs)
-            .otherwise(col("__t_updated_at")).as("updated_at"),
-          when(present,
-            when(col("__s_status") === doneValue,
-              coalesce(col("__t_deleted_at"), runTs)))
-            .otherwise(col("__t_deleted_at")).as("deleted_at")): _*)
+    val outCols =
+      (OutCol(statusCol,
+        // staging wins when it has a status; a present-but-null-status
+        // staging row falls through to the target's (q3 oracle coalesce)
+        coalesce(col("__s_status"), col("__t_status")), col("__t_status")) +:
+        payloadCols) ++ Seq(
+        OutCol("created_at",
+          coalesce(col("__s_created_at"), runTs), col("__t_created_at")),
+        OutCol("updated_at", runTs, col("__t_updated_at")),
+        OutCol("deleted_at",
+          when(col("__s_status") === doneValue,
+            coalesce(col("__t_deleted_at"), runTs)).otherwise(lit(null).cast("timestamp")),
+          col("__t_deleted_at")))
+    MergeSpec(s, t, outCols)
+  }
+
+  /** CHANGE DATA FEED for one [[mergeEvolving]] run — the Delta/Iceberg
+    * CDF idea on this merge: one row per CHANGE the run makes, in the
+    * evolved output schema plus `_change_type` ∈
+    * {{{insert | update_preimage | update_postimage}}}
+    * (a staging row whose key is new inserts; a matched key emits its old
+    * row as pre-image and its rewritten row as post-image). This merge
+    * never hard-deletes — the reference's terminal status is a SOFT
+    * delete, visible in the feed as an update whose post-image
+    * `deleted_at` turns non-null.
+    *
+    * Exactly consistent with the merge by construction: both read the
+    * same per-column provenance split ([[OutCol]]), so the post-image of
+    * a key equals the merged table's row for that key, and the pre-image
+    * equals the previous snapshot's row aligned to the evolved schema
+    * (added columns null, dropped columns still populated).
+    *
+    * Scale notes: the feed is O(delta), never O(table) — a staging-side
+    * LEFT join (the full-outer's untouched-target branch is exactly what
+    * a change feed omits), and pre/post images inflate from one joined
+    * row via a 2-element array explode, not a second join or a union of
+    * two scans. Same join key, same broadcast/bucket options as the merge
+    * itself. */
+  def changeFeed(
+      target: DataFrame,
+      staging: DataFrame,
+      key: String,
+      runTs: Column,
+      statusCol: String,
+      doneValue: String,
+      dropRemoved: Boolean = false): DataFrame = {
+    val spec = evolvedSpec(target, staging, key, runTs, statusCol, doneValue, dropRemoved)
+    val matched = col("__t_present").isNotNull
+    def img(changeType: Column, of: OutCol => Column) =
+      struct(changeType.as("_change_type") +: spec.outCols.map(c => of(c).as(c.name)): _*)
+    val pre  = img(lit("update_preimage"), _.fromTarget)
+    val post = img(when(matched, lit("update_postimage")).otherwise(lit("insert")),
+      _.fromStaging)
+    spec.s.join(spec.t, Seq(key), "left")
+      .select(col(key),
+        explode(when(matched, array(pre, post)).otherwise(array(post))).as("__c"))
+      .select(col(key) +: (spec.outCols.map(c => col(s"__c.${c.name}")) :+
+        col("__c._change_type").as("_change_type")): _*)
   }
 
   /** An empty mart with the merge output schema (first-run target: the

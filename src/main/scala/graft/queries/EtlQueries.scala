@@ -35,6 +35,7 @@ object EtlQueries {
     "q8_metrics_rollup"    -> ((s, d) => q8(s, d)),
     "q9_json_ingest"       -> ((s, d) => q9(s, d)),
     "q22_reconcile"        -> ((s, d) => q22(s, d)),
+    "q25_changelog"        -> ((s, d) => q25(s, d)),
     "q23_profile"          -> ((s, d) => q23(s, d)),
     "q24_pit_join"         -> ((s, d) => q24(s, d))
   )
@@ -106,6 +107,20 @@ object EtlQueries {
     IncrementalMerge.mergeEvolving(target, staging, "id",
         lit(RunTs).cast("timestamp"), "last_status", "purchase")
       .orderBy(col("id"))
+  }
+
+  /** q25: CHANGE DATA FEED of the q3 merge run — one row per change the
+    * hourly merge makes (insert / update pre- and post-image), the
+    * incremental-consumer contract [[graft.sources.VersionedTable.readChanges]]
+    * serves from storage. O(delta) by construction: staging-side left
+    * join, untouched target rows never appear. See
+    * [[IncrementalMerge.changeFeed]]. */
+  def q25(s: SparkSession, dir: String): DataFrame = {
+    val staging = Snapshots.stateAsOf(Tables.events(s, dir), "user_id", "ts",
+      "event_type", "event_id", None)
+    IncrementalMerge.changeFeed(targetState(s, dir), staging, "id",
+        lit(RunTs).cast("timestamp"), "last_status", "purchase")
+      .orderBy(col("id"), col("_change_type"))
   }
 
   private def scd(s: SparkSession, dir: String): DataFrame =
@@ -252,6 +267,34 @@ object EtlQueries {
          |       ELSE t.deleted_at END AS deleted_at
          |FROM s2 s FULL OUTER JOIN t2 t ON s.id = t.id
          |ORDER BY id""".stripMargin,
+
+    // change feed of the q3 merge: matched keys emit pre+post images with
+    // the exact q3 merged values; staging-only keys emit inserts;
+    // untouched target keys emit nothing
+    "q25_changelog" ->
+      s"""WITH $stateCte
+         |SELECT s.id AS id, t.last_status, t.created_at, t.updated_at, t.deleted_at,
+         |  'update_preimage' AS _change_type
+         |FROM staging s JOIN target t ON s.id = t.id
+         |UNION ALL
+         |SELECT s.id AS id,
+         |  coalesce(s.last_status, t.last_status) AS last_status,
+         |  coalesce(s.created_at, TIMESTAMP '$RunTs') AS created_at,
+         |  TIMESTAMP '$RunTs' AS updated_at,
+         |  CASE WHEN s.last_status = 'purchase'
+         |       THEN coalesce(t.deleted_at, TIMESTAMP '$RunTs') END AS deleted_at,
+         |  'update_postimage' AS _change_type
+         |FROM staging s JOIN target t ON s.id = t.id
+         |UNION ALL
+         |SELECT s.id AS id, s.last_status,
+         |  coalesce(s.created_at, TIMESTAMP '$RunTs') AS created_at,
+         |  TIMESTAMP '$RunTs' AS updated_at,
+         |  CASE WHEN s.last_status = 'purchase'
+         |       THEN TIMESTAMP '$RunTs' END AS deleted_at,
+         |  'insert' AS _change_type
+         |FROM staging s LEFT JOIN target t ON s.id = t.id
+         |WHERE t.id IS NULL
+         |ORDER BY id, _change_type""".stripMargin,
 
     "q4_scd2_history" ->
       s"""WITH $scdCte

@@ -104,7 +104,8 @@ object Sinks {
       key: String,
       runTs: org.apache.spark.sql.Column,
       statusCol: String,
-      doneValue: String): Long = {
+      doneValue: String,
+      changeFeed: Boolean = true): Long = {
     val target = VersionedTable.currentVersion(spark, tableRoot) match {
       case Some(_) => VersionedTable.read(spark, tableRoot)
       case None => graft.operators.IncrementalMerge.emptyTarget(staging, key, statusCol)
@@ -115,9 +116,16 @@ object Sinks {
     // schema — no DDL step, the previous schema stays time-travelable
     val merged = graft.operators.IncrementalMerge
       .mergeEvolving(target, staging, key, runTs, statusCol, doneValue)
+    // the run's CHANGE DATA FEED rides the same commit: O(delta) rows,
+    // published atomically with the snapshot they describe, readable via
+    // VersionedTable.readChanges for incremental downstream consumers
+    val extras =
+      if (!changeFeed) Map.empty[String, DataFrame]
+      else Map("changes" -> graft.operators.IncrementalMerge
+        .changeFeed(target, staging, key, runTs, statusCol, doneValue))
     // no checkpoint needed: the commit writes to a fresh version dir, so
     // the plan can read the current snapshot while writing the next one
-    VersionedTable.commit(merged, tableRoot)
+    VersionedTable.commit(merged, tableRoot, extras = extras)
   }
 
   /** Distributed CSV sink — a directory of part files, the scale form

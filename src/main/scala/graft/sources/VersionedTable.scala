@@ -82,7 +82,9 @@ object VersionedTable {
     * moving and publishing are three metadata operations (create, dir
     * rename, create) — a lost claim race costs one retried empty-file
     * create, never a data rewrite. */
-  def commit(df: DataFrame, root: String, collectStats: Boolean = true): Long = {
+  def commit(
+      df: DataFrame, root: String, collectStats: Boolean = true,
+      extras: Map[String, DataFrame] = Map.empty): Long = {
     val spark = df.sparkSession
     val f = fs(spark, root)
     f.mkdirs(commitDir(root))
@@ -94,7 +96,19 @@ object VersionedTable {
       "_staging/" + java.util.UUID.randomUUID().toString.take(12))
     val prevTsType = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    try df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    try {
+      df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      // side tables that belong to THIS snapshot (e.g. a change feed):
+      // written under "_"-prefixed subdirs inside the staging dir, so they
+      // rename, publish and vacuum atomically with their version and stay
+      // invisible to plain snapshot readers
+      extras.foreach { case (name, extra) =>
+        require(name.nonEmpty && name.forall(ch => ch.isLetterOrDigit || ch == '_'),
+          s"extra table name must be alphanumeric/underscore: $name")
+        extra.write.mode(SaveMode.Overwrite)
+          .parquet(new Path(staging, s"_$name").toString)
+      }
+    }
     finally prevTsType match {
       case Some(t) => spark.conf.set("spark.sql.parquet.outputTimestampType", t)
       case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
@@ -268,6 +282,42 @@ object VersionedTable {
       }
       colStats.map(cs => (totalRows, cs.toSeq))
     }
+  }
+
+  /** Read a side table committed alongside version `v` via [[commit]]'s
+    * `extras` (e.g. the change feed [[Sinks.upsertByKeyVersioned]]
+    * stores as `changes`). None when that version carries no such extra —
+    * the caller distinguishes "no feed recorded" from "an empty feed". */
+  def readExtra(
+      spark: SparkSession, root: String, v: Long, name: String): Option[DataFrame] = {
+    require(versions(spark, root).contains(v), s"version $v is not committed under $root")
+    val p = new Path(versionDir(root, v), s"_$name")
+    if (fs(spark, root).exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** CHANGE DATA FEED over a committed version range: the per-version
+    * `changes` extras of `fromV..toV` (inclusive), each stamped with its
+    * `_commit_version` — the incremental-consumer read path ("give me
+    * everything that changed since version N", Delta's
+    * `readChangeFeed` / Iceberg's incremental scan on this format).
+    * Versions in range that carry no feed (e.g. committed by a
+    * full-snapshot writer rather than the versioned upsert) raise — a
+    * silent gap would hand the consumer an incomplete feed.
+    *
+    * Schema evolution across the range unions by NAME with null backfill,
+    * so a feed spanning a column-add still reads as one frame. O(changed
+    * rows in range): nothing reads the snapshots themselves. */
+  def readChanges(
+      spark: SparkSession, root: String, fromV: Long, toV: Long): DataFrame = {
+    val vs = versions(spark, root).filter(v => v >= fromV && v <= toV)
+    require(vs.nonEmpty, s"no committed versions in [$fromV, $toV] under $root")
+    val frames = vs.map { v =>
+      val df = readExtra(spark, root, v, "changes").getOrElse(
+        throw new java.io.IOException(
+          s"version $v under $root has no change feed — feed range is incomplete"))
+      df.withColumn("_commit_version", org.apache.spark.sql.functions.lit(v))
+    }
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Drop all but the newest `keepLast` committed versions (marker first,
