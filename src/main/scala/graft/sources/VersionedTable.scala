@@ -320,6 +320,58 @@ object VersionedTable {
     frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  private def dataFiles(
+      f: org.apache.hadoop.fs.FileSystem, dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+    f.listStatus(dir).toSeq
+      .filter(s => s.getPath.getName.startsWith("part-") &&
+        s.getPath.getName.endsWith(".parquet"))
+
+  /** COMPACTION: rewrite the current snapshot into ≈`targetFileBytes`
+    * files and commit the result as a new version — the small-files
+    * maintenance pass every streaming/hourly-upsert table needs (a year
+    * of hourly merges is 8760 commits; readers should not pay 8760 file
+    * opens). The rewrite is one round-robin exchange sized from the
+    * CURRENT snapshot's actual bytes; the publish is the usual
+    * metadata-only flip, so readers never see a half-compacted table and
+    * the fragmented history stays time-travelable until vacuum. Returns
+    * the new version. */
+  def compact(
+      spark: SparkSession, root: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val v = currentVersion(spark, root).getOrElse(
+      throw new java.io.IOException(s"no committed version under $root"))
+    val bytes = dataFiles(fs(spark, root), versionDir(root, v)).map(_.getLen).sum
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    commit(readVersion(spark, root, v).repartition(nFiles), root)
+  }
+
+  /** OPTIMIZE: range-cluster the current snapshot on `sortCols` and
+    * commit it as a new version, so the footer min/max stats actually
+    * BITE — on a write-order table every file spans the whole key range
+    * and [[readWhere]] prunes nothing; after clustering, file ranges are
+    * disjoint and a key-range query opens O(range/table) of the files
+    * (the Delta/Iceberg OPTIMIZE ... ZORDER idea, single-dimension
+    * form). `repartitionByRange` samples the key distribution, so skewed
+    * keys still land in balanced files; rows are additionally sorted
+    * WITHIN each file so parquet row-group stats nest inside the
+    * file-level pruning. Sizing follows [[compact]]'s byte target —
+    * optimize subsumes compaction. */
+  def optimize(
+      spark: SparkSession, root: String, sortCols: Seq[String],
+      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    require(sortCols.nonEmpty, "optimize needs at least one sort column")
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val v = currentVersion(spark, root).getOrElse(
+      throw new java.io.IOException(s"no committed version under $root"))
+    val bytes = dataFiles(fs(spark, root), versionDir(root, v)).map(_.getLen).sum
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val cols = sortCols.map(org.apache.spark.sql.functions.col)
+    commit(readVersion(spark, root, v)
+      .repartitionByRange(nFiles, cols: _*)
+      .sortWithinPartitions(cols: _*), root)
+  }
+
   /** Drop all but the newest `keepLast` committed versions (marker first,
     * then data — a reader that already resolved an old version may race
     * the delete, exactly as in any table format's vacuum; pick `keepLast`
