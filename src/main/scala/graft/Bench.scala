@@ -122,7 +122,19 @@ object Bench {
       val st3Sec = (System.nanoTime() - t3) / 1e9
       val st3Eq = rowsOf(spark.table("bench_mb_st3")) ==
         rowsOf(SparkEntry.queries("st3_stream_enrich")(spark, sfDir))
-      s""","microbatch":{"st1_stream_window":$st1Sec,"st2_stream_session":$st2Sec,"st3_stream_enrich":$st3Sec,"st4_stream_state":$st4Sec,"st1_equals_batch":$st1Eq,"st2_equals_batch":$st2Eq,"st3_equals_batch":$st3Eq,"st4_equals_batch":$st4Eq}"""
+      // st5: watermark-bounded streaming dedup of the at-least-once
+      // replayed feed, append mode — redelivered events are identical
+      // payloads, so the streamed rows equal the batch distinct exactly
+      val t5 = System.nanoTime()
+      graft.streaming.EventStream
+        .startDedupReplay(spark, stage.toString, "bench_mb_st5",
+          graft.queries.TextQueries.ReplayFrom,
+          graft.queries.TextQueries.ReplayTo, availableNow = true)
+        .awaitTermination()
+      val st5Sec = (System.nanoTime() - t5) / 1e9
+      val st5Eq = rowsOf(spark.table("bench_mb_st5")) ==
+        rowsOf(SparkEntry.queries("st5_stream_dedup")(spark, sfDir))
+      s""","microbatch":{"st1_stream_window":$st1Sec,"st2_stream_session":$st2Sec,"st3_stream_enrich":$st3Sec,"st4_stream_state":$st4Sec,"st5_stream_dedup":$st5Sec,"st1_equals_batch":$st1Eq,"st2_equals_batch":$st2Eq,"st3_equals_batch":$st3Eq,"st4_equals_batch":$st4Eq,"st5_equals_batch":$st5Eq}"""
     }
     // AMORTIZED-INDEX runs: the s3/d6/d10 production split — one-time
     // index/codebook build vs the per-run probe that reuses it. The main

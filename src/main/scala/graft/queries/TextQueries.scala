@@ -28,7 +28,8 @@ object TextQueries {
     "st1_stream_window"  -> ((s, d) => st1(s, d)),
     "st2_stream_session" -> ((s, d) => st2(s, d)),
     "st3_stream_enrich"  -> ((s, d) => st3(s, d)),
-    "st4_stream_state"   -> ((s, d) => st4(s, d))
+    "st4_stream_state"   -> ((s, d) => st4(s, d)),
+    "st5_stream_dedup"   -> ((s, d) => st5(s, d))
   )
 
   private val SessionGapSeconds = 7200L // same boundary as q13
@@ -144,6 +145,27 @@ object TextQueries {
     StateStream.currentStates(typed, "purchase").toDF()
       .orderBy(col("id"))
   }
+
+  // st5's simulated at-least-once redelivery: this slice of the feed
+  // arrives twice (a queue replay / file re-drop), byte-identical.
+  // Public: the micro-batch bench replays the same window.
+  val ReplayFrom = "2024-01-05 00:00:00"
+  val ReplayTo   = "2024-01-10 00:00:00"
+
+  /** st5: batch face of the streaming idempotent-ingest dedup
+    * ([[EventStream.dedupStream]], `dropDuplicatesWithinWatermark`) — an
+    * at-least-once feed (the base stream plus a byte-identical replayed
+    * slice) collapses back to exactly-once per event. Redelivered events
+    * are identical payloads, so the batch equivalent is row-distinct;
+    * the stream keys on event_id with watermark-bounded state and is
+    * row-equal (asserted in the micro-batch bench).
+    *
+    * Scale: one hash exchange on the distinct key — the same shuffle the
+    * streaming form pays once per state partition, with state bounded by
+    * the watermark horizon, not the stream length. */
+  def st5(s: SparkSession, dir: String): DataFrame =
+    EventStream.replayedFeed(Tables.events(s, dir), ReplayFrom, ReplayTo)
+      .distinct().orderBy(col("event_id"))
 
   // ---- oracle SQL ---------------------------------------------------------
 
@@ -303,6 +325,15 @@ object TextQueries {
          |  sum2 / $nOut.0 - (sum1 / $nOut.0) * (sum1 / $nOut.0) AS var_byte
          |FROM s ORDER BY id""".stripMargin
     },
+
+    "st5_stream_dedup" ->
+      s"""WITH feed AS (
+         |  SELECT event_id, user_id, ts, event_type, value FROM events
+         |  UNION ALL
+         |  SELECT event_id, user_id, ts, event_type, value FROM events
+         |  WHERE ts >= TIMESTAMP '$ReplayFrom' AND ts < TIMESTAMP '$ReplayTo')
+         |SELECT DISTINCT event_id, user_id, ts, event_type, value
+         |FROM feed ORDER BY event_id""".stripMargin,
 
     "st1_stream_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

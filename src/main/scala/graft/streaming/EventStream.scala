@@ -148,4 +148,38 @@ object EventStream {
       .queryName(sinkTable)
       .outputMode("append")
       .start()
+
+  /** st5's AT-LEAST-ONCE feed: the base events plus a byte-identical
+    * replayed slice (`[from, to)` arrives twice — a queue replay or file
+    * re-drop). One transform for batch and stream inputs, like
+    * [[windowedAgg]]: the st5 query key applies it to the batch table,
+    * [[startDedupReplay]] to the file stream. */
+  def replayedFeed(events: DataFrame, from: String, to: String): DataFrame = {
+    val ev = events.select(col("event_id"), col("user_id"), col("ts"),
+      col("event_type"), col("value"))
+    ev.unionAll(ev.filter(
+      col("ts") >= lit(from).cast("timestamp") &&
+      col("ts") < lit(to).cast("timestamp")))
+  }
+
+  /** Run [[dedupStream]] over the replayed at-least-once feed as a real
+    * stream into a memory sink — exactly-once output per event_id, state
+    * bounded by the watermark. */
+  def startDedupReplay(
+      spark: SparkSession,
+      dir: String,
+      sinkTable: String,
+      from: String,
+      to: String,
+      availableNow: Boolean = false): StreamingQuery = {
+    val w = dedupStream(replayedFeed(readEvents(spark, dir), from, to),
+        "2 hours", Seq("event_id"))
+      .writeStream
+      .format("memory")
+      .queryName(sinkTable)
+      .outputMode("append")
+    (if (availableNow)
+       w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else w).start()
+  }
 }

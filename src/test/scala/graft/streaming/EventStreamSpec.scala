@@ -72,4 +72,21 @@ class EventStreamSpec extends SparkSpec {
     assert(out.count() == n) // every event exactly once despite double delivery
     assert(out.select("event_id").distinct().count() == n)
   }
+
+  test("streaming replayed-feed dedup equals the batch st5 row set") {
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream_st5")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"))
+    val q = EventStream.startDedupReplay(spark, stage.toString, "st5_sink",
+      graft.queries.TextQueries.ReplayFrom, graft.queries.TextQueries.ReplayTo)
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("st5_sink")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.queries.TextQueries.st5(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
 }
