@@ -257,4 +257,41 @@ object TextAnalysis {
         min(col(idCol)).over(w).as("canonical_id"),
         count(lit(1)).over(w).as("group_size"))
   }
+
+  /** t8's rule set: (name, regex, replacement tag), applied in this fixed
+    * order. Patterns restricted to the Java-regex ∩ RE2 common subset
+    * (no backreferences/lookaround; `\b`/`\d` are ASCII in both), so the
+    * DuckDB oracle runs the IDENTICAL expressions. Public patterns only —
+    * the standard PII-scrub rule shapes (email / NANP-style phone / IPv4 /
+    * SSN-format id). */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"),
+    ("ip",    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("ssn",   "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"))
+
+  /** t8: rule-based PII detection + redaction — the scrub pass an LLM
+    * corpus runs before anything else sees the text. Per doc: a match
+    * count per rule (counted on the ORIGINAL text, so counts are
+    * independent of redaction order), the total, and the redacted text
+    * with each match replaced by its type tag, rules applied in
+    * [[PiiPatterns]] order.
+    *
+    * Scale: map-side only — per-row codegen'd regex evaluation, zero
+    * shuffle, zero driver state; the scan prunes to (id, text). Rule
+    * order is part of the contract: overlapping matches resolve by
+    * earlier-rule-wins, identically in any engine that applies the same
+    * ordered chain. */
+  def piiRedact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = PiiPatterns.map { case (name, re, _) =>
+      regexp_count(col(textCol), lit(re)).cast("long").as(s"n_$name")
+    }
+    val total = PiiPatterns.map { case (_, re, _) =>
+      regexp_count(col(textCol), lit(re)).cast("long")
+    }.reduce(_ + _).as("n_pii")
+    val redacted = PiiPatterns.foldLeft(col(textCol)) {
+      case (c, (_, re, tag)) => regexp_replace(c, lit(re), lit(tag))
+    }.as("redacted")
+    docs.select(col(idCol) +: counts :+ total :+ redacted: _*)
+  }
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Multimodal, TextAnalysis}
@@ -23,6 +23,7 @@ object TextQueries {
     "t5_vocabulary"      -> ((s, d) => t5(s, d)),
     "t6_tfidf"           -> ((s, d) => t6(s, d)),
     "t7_repetition"      -> ((s, d) => t7(s, d)),
+    "t8_pii_redact"      -> ((s, d) => t8(s, d)),
     "m1_multimodal_meta" -> ((s, d) => m1(s, d)),
     "m2_multimodal_resize" -> ((s, d) => m2(s, d)),
     "st1_stream_window"  -> ((s, d) => st1(s, d)),
@@ -151,6 +152,30 @@ object TextQueries {
   // Public: the micro-batch bench replays the same window.
   val ReplayFrom = "2024-01-05 00:00:00"
   val ReplayTo   = "2024-01-10 00:00:00"
+
+  /** t8: PII scrub over the documents, the synthetic corpus carrying no
+    * natural PII — so each doc gets a DETERMINISTIC contact footer
+    * synthesized from its id (email always; phone / IPv4 / SSN-format id
+    * on id-modulus subsets, so counts vary per doc), the same
+    * decorate-then-compute pattern as the m1/m2 codec stubs: the footer
+    * is re-derived by the oracle, and the Spark-side rule evaluation,
+    * counting, and ordered redaction chain are fully real. See
+    * [[TextAnalysis.piiRedact]]. */
+  def t8(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    def z(c: Column) = c.cast("string")
+    val decorated = Tables.documents(s, dir).select(id, concat(
+      col("text"),
+      lit(" contact user"), z(id), lit("@mail.example.com"),
+      when(id % 2 === 0, concat(lit(" call 555-"),
+        lpad(z(id % 1000), 3, "0"), lit("-"), lpad(z(id % 10000), 4, "0")))
+        .otherwise(lit("")),
+      when(id % 3 === 0, concat(lit(" from 10."),
+        z(id % 256), lit(".0."), z((id * 7) % 256))).otherwise(lit("")),
+      when(id % 5 === 0, concat(lit(" id 123-45-"),
+        lpad(z(id % 10000), 4, "0"))).otherwise(lit(""))).as("text"))
+    TextAnalysis.piiRedact(decorated, "doc_id", "text").orderBy(id)
+  }
 
   /** st5: batch face of the streaming idempotent-ingest dedup
     * ([[EventStream.dedupStream]], `dropDuplicatesWithinWatermark`) — an
@@ -324,6 +349,36 @@ object TextQueries {
          |  sum1 / $nOut.0 AS mean_byte,
          |  sum2 / $nOut.0 - (sum1 / $nOut.0) * (sum1 / $nOut.0) AS var_byte
          |FROM s ORDER BY id""".stripMargin
+    },
+
+    // t8: the oracle derives its regex chain FROM TextAnalysis.PiiPatterns,
+    // so the two sides cannot drift (patterns are in the Java∩RE2 subset;
+    // DuckDB needs the 'g' flag to replace all occurrences as Spark does)
+    "t8_pii_redact" -> {
+      val pats = TextAnalysis.PiiPatterns
+      def sqlLit(s: String) = "'" + s.replace("'", "''") + "'"
+      val counts = pats.map { case (n, re, _) =>
+        s"len(regexp_extract_all(text, ${sqlLit(re)}))::BIGINT AS n_$n"
+      }.mkString(",\n         |  ")
+      val total = pats.map { case (_, re, _) =>
+        s"len(regexp_extract_all(text, ${sqlLit(re)}))"
+      }.mkString(" + ")
+      val red = pats.foldLeft("text") { case (acc, (_, re, tag)) =>
+        s"regexp_replace($acc, ${sqlLit(re)}, '$tag', 'g')"
+      }
+      s"""WITH dec AS (SELECT doc_id,
+         |  text || ' contact user' || doc_id::VARCHAR || '@mail.example.com'
+         |  || CASE WHEN doc_id % 2 = 0 THEN ' call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+         |       || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
+         |  || CASE WHEN doc_id % 3 = 0 THEN ' from 10.' || (doc_id % 256)::VARCHAR
+         |       || '.0.' || ((doc_id * 7) % 256)::VARCHAR ELSE '' END
+         |  || CASE WHEN doc_id % 5 = 0 THEN ' id 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
+         |  AS text FROM documents)
+         |SELECT doc_id,
+         |  $counts,
+         |  ($total)::BIGINT AS n_pii,
+         |  $red AS redacted
+         |FROM dec ORDER BY doc_id""".stripMargin
     },
 
     "st5_stream_dedup" ->

@@ -120,4 +120,25 @@ class TextAnalysisSpec extends SparkSpec {
     // must win even with lower tf (doc 1: common 2·3/3=2 < unique1 1·3/1=3)
     assert(out == Map(1L -> "unique1", 2L -> "unique2", 3L -> "filler"))
   }
+
+  test("piiRedact counts each rule on the original text and tags all matches") {
+    val docs = Seq(
+      (1L, "mail a.b+c@ex.org and b@x.co, call 555-123-4567 from 10.0.0.1"),
+      (2L, "id 123-45-6789 twice 123-45-6789"),
+      (3L, "clean text, no digits that qualify: 12-34, 1234.5678, a@b"),
+      (4L, "x999.888.7777y is embedded (no word boundary), 999.888.7777 is not"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.piiRedact(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getString(6))).toMap
+    assert(out(1L) == (2L, 1L, 1L, 0L, 4L,
+      "mail <EMAIL> and <EMAIL>, call <PHONE> from <IP>"))
+    assert(out(2L) == (0L, 0L, 0L, 2L, 2L, "id <SSN> twice <SSN>"))
+    assert(out(3L) == (0L, 0L, 0L, 0L, 0L,
+      "clean text, no digits that qualify: 12-34, 1234.5678, a@b"))
+    // \b: digits glued to letters are not a phone; the free-standing one is
+    assert(out(4L) == (0L, 1L, 0L, 0L, 1L,
+      "x999.888.7777y is embedded (no word boundary), <PHONE> is not"))
+  }
 }
