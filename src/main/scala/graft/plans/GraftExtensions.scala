@@ -106,5 +106,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.operators.Sampling.stratified(SparkSession.active,
         table(str(a(0))), str(a(1)), str(a(2)), rates, str(a(4)))
     }
+    tvf(ext, "graft_pii_redact",
+      "graft_pii_redact(table, idCol, textCol) - t8 per-rule PII match counts + tag-redacted text") { a =>
+      graft.operators.TextAnalysis.piiRedact(table(str(a(0))), str(a(1)), str(a(2)))
+    }
+    tvf(ext, "graft_changes",
+      "graft_changes(tableRoot, fromVersion, toVersion) - the versioned table's stored change feed over a commit range, stamped with _commit_version") { a =>
+      graft.sources.VersionedTable.readChanges(
+        SparkSession.active, str(a(0)), lng(a(1)), lng(a(2)))
+    }
   }
 }

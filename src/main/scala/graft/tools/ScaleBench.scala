@@ -44,7 +44,14 @@ object ScaleBench {
       // round-3 operators (VERDICT r3 ask #3): all pure SparkEntry keys —
       // their batch/bench slices scale with the corpus like everything else
       "d8_window_dedup", "d9_decontaminate", "p1_curate_corpus",
-      "p2_sample_stratified", "p3_pack_sequences")
+      "p2_sample_stratified", "p3_pack_sequences",
+      // round-4/5 operators: d8b = d8 + the per-doc span fold (same
+      // wordcount shape, the merge must stay a post-agg projection); p4's
+      // headline is the p2-style one — budgets FIXED while the corpus
+      // grows, so the two-level prefix sum's map-side bucket drop should
+      // keep it near-flat; q25 is the O(delta) claim with delta scaling
+      // alongside the table
+      "d8b_dup_spans", "p4_token_budget", "q25_changelog")
 
     // d10 under its HEADLINE claim — batch FIXED (replica 0's % 5 == 4
     // slice; ScaleData id stride keeps replica 0 at the original ids),
@@ -87,7 +94,14 @@ object ScaleBench {
         Similarity.ivfTopK(
           Tables.embeddings(spark, sfDir).filter(col("vec_id") % 100 === 0),
           Tables.embeddings(spark, sfDir),
-          "vec_id", "embedding", 5, nCells, 3, kmeansIters = 2))) ++
+          "vec_id", "embedding", 5, nCells, 3, kmeansIters = 2)),
+      // p5 follows the d6/s3 operating rule: cells scale with the corpus
+      // (constant expected cell size bounds the within-cell pair term);
+      // thr comes from SPARK_GRAFT_SCALE_THR like d5/d6 — 0.9 isolates
+      // operator growth from the output's own quadratic term at 0.4
+      "p5_semdedup" -> (() =>
+        Similarity.semDedup(Tables.embeddings(spark, sfDir),
+          "vec_id", "embedding", thr, nCells, kmeansIters = 2))) ++
       (if (sys.env.get("SPARK_GRAFT_SCALE_D5").contains("1"))
          Seq("d5_dedup_embedding" -> (() =>
            Similarity.cosinePairs(Tables.embeddings(spark, sfDir),

@@ -64,6 +64,36 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(fromSql == direct)
   }
 
+  test("graft_pii_redact from SQL equals the Scala operator") {
+    val fromSql = spark.sql(
+      "SELECT doc_id, n_pii, redacted FROM graft_pii_redact('docs', 'doc_id', 'text')")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1).toSeq
+    val direct = graft.operators.TextAnalysis
+      .piiRedact(spark.table("docs"), "doc_id", "text")
+      .select("doc_id", "n_pii", "redacted")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(fromSql == direct)
+  }
+
+  test("graft_changes serves the stored change feed from SQL") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_sql_cdf").toString + "/t"
+    def stg(rows: Seq[(Long, String)]) =
+      rows.toDF("id", "last_status")
+        .withColumn("created_at", lit("2024-05-30 10:00:00").cast("timestamp"))
+    val ts = lit("2024-06-01 00:00:00").cast("timestamp")
+    val v1 = graft.sources.Sinks.upsertByKeyVersioned(spark, root,
+      stg(Seq(1L -> "OPEN", 2L -> "OPEN")), "id", ts, "last_status", "DONE")
+    val v2 = graft.sources.Sinks.upsertByKeyVersioned(spark, root,
+      stg(Seq(1L -> "DONE", 3L -> "OPEN")), "id", ts, "last_status", "DONE")
+    val out = spark.sql(
+      s"SELECT id, _change_type, _commit_version FROM graft_changes('$root', $v1, $v2)")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.count(_._3 == v1) == 2) // first run: two inserts
+    assert(out.filter(_._3 == v2).map(t => (t._1, t._2)).sorted.toSeq ==
+      Seq((1L, "update_postimage"), (1L, "update_preimage"), (3L, "insert")))
+  }
+
   test("table functions reject non-literal arguments with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT * FROM graft_quality(lower('DOCS'), 'doc_id', 'text')")
