@@ -128,6 +128,97 @@ object Sinks {
     VersionedTable.commit(merged, tableRoot, extras = extras)
   }
 
+  /** [[upsertByKeyVersioned]] with FILE-GRANULAR COPY-ON-WRITE — the form
+    * whose WRITE cost holds at 100 TB. The snapshot-replace upsert
+    * rewrites the whole table every run; here the run rewrites only the
+    * files whose key-range statistics admit a staging key, and every
+    * other file is carried into the new snapshot BY REFERENCE
+    * ([[VersionedTable.commitCow]] manifest). An hourly delta touching
+    * 0.1% of a clustered table writes ~0.1% of the bytes; the merge
+    * itself joins staging against only the touched slice.
+    *
+    * Correctness needs no clustering: a matched target key lives in a
+    * file whose range covers it, so that file is touched by construction;
+    * untouched files therefore contain only rows the merge passes through
+    * unchanged, and the change feed computed against the touched slice
+    * equals the one against the full target. Clustering (the
+    * [[VersionedTable.optimize]] pass) is what makes the touched set
+    * SMALL — on a write-order table every file may admit every key and
+    * COW degrades to the full rewrite, correctly.
+    *
+    * Falls back to the full-rewrite path (same results, same feed) when
+    * the table doesn't exist yet, any file lacks usable key stats, or the
+    * staging schema evolves the target (COW requires the merged schema to
+    * equal the current one — mixed-schema manifests would poison every
+    * later read). Returns the committed version. */
+  def upsertByKeyVersionedCow(
+      spark: SparkSession,
+      tableRoot: String,
+      staging: DataFrame,
+      key: String,
+      runTs: org.apache.spark.sql.Column,
+      statusCol: String,
+      doneValue: String,
+      changeFeed: Boolean = true): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    val full = () => upsertByKeyVersioned(
+      spark, tableRoot, staging, key, runTs, statusCol, doneValue, changeFeed)
+    VersionedTable.currentVersion(spark, tableRoot) match {
+      case None => full()
+      case Some(cur) =>
+        val target = VersionedTable.read(spark, tableRoot)
+        val mergedSchema = graft.operators.IncrementalMerge
+          .mergeEvolving(target.limit(0), staging.limit(0), key, runTs,
+            statusCol, doneValue).schema
+        val sameSchema =
+          mergedSchema.map(f => (f.name, f.dataType)) ==
+            target.schema.map(f => (f.name, f.dataType))
+        VersionedTable.fileKeyRanges(spark, tableRoot, cur, key) match {
+          case Some(ranges) if sameSchema =>
+            // which files admit at least one staging key: distinct keys
+            // against the broadcast file-boundary table (file count is
+            // metadata-scale), then collect file names only
+            val boundaries = ranges.collect { case (rel, Some((_, mn, mx))) =>
+              (rel, mn, mx)
+            }
+            val touched: Set[String] =
+              if (boundaries.isEmpty) Set.empty
+              else {
+                val b = spark.createDataFrame(boundaries.map { case (rel, mn, mx) =>
+                  (rel, mn.toString, mx.toString)
+                }).toDF("__file", "__mn", "__mx")
+                val kind = ranges.collectFirst {
+                  case (_, Some((k, _, _))) => k }.getOrElse("string")
+                val t = kind match {
+                  case "long" => "bigint"
+                  case "double" => "double"
+                  case _ => "string"
+                }
+                staging.select(col(key).as("__k")).na.drop().distinct()
+                  .join(broadcast(b),
+                    col("__k") >= col("__mn").cast(t) &&
+                    col("__k") <= col("__mx").cast(t))
+                  .select("__file").distinct()
+                  .collect().map(_.getString(0)).toSet
+              }
+            val kept = ranges.map(_._1).filterNot(touched)
+            val slice =
+              if (touched.isEmpty) target.limit(0)
+              else spark.read.parquet(touched.toSeq.sorted.map(r =>
+                new org.apache.hadoop.fs.Path(tableRoot, r).toString): _*)
+            val merged = graft.operators.IncrementalMerge
+              .mergeEvolving(slice, staging, key, runTs, statusCol, doneValue)
+              .select(target.columns.map(col): _*)
+            val extras =
+              if (!changeFeed) Map.empty[String, DataFrame]
+              else Map("changes" -> graft.operators.IncrementalMerge
+                .changeFeed(slice, staging, key, runTs, statusCol, doneValue))
+            VersionedTable.commitCow(merged, tableRoot, kept, extras)
+          case _ => full()
+        }
+    }
+  }
+
   /** Distributed CSV sink — a directory of part files, the scale form
     * (CSV is row-major and splittable on read when uncompressed; still
     * prefer parquet for anything queried again). Nulls and empty strings

@@ -58,21 +58,30 @@ object TableStats {
       val files = f.listStatus(dir).toSeq.map(_.getPath)
         .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
       val rows = files.flatMap { p => fileRows(f, p) }
-      if (rows.nonEmpty) {
-        val enc = (o: Option[String]) => o match {
-          case Some(s) => "1:" + java.net.URLEncoder.encode(s, "UTF-8")
-          case None => "0:"
-        }
-        val out = f.create(new Path(new Path(dir, StatsDirName), "stats.tsv"), true)
-        try out.write(rows.map { case (file, col, kind, mn, mx, nulls, nr) =>
-          s"$file\t$col\t$kind\t${enc(mn)}\t${enc(mx)}\t$nulls\t$nr"
-        }.mkString("", "\n", "\n").getBytes("UTF-8"))
-        finally out.close()
-      }
+      if (rows.nonEmpty) writeRows(f, dir, rows)
     } catch {
       case e: Exception =>
         System.err.println(s"[versioned-table] stats collection skipped: ${e.getMessage}")
     }
+
+  /** Write a stats table from precomputed rows (fileKey, column, kind,
+    * min, max, nullCount, numRows) — the path manifest commits use to
+    * carry kept files' stats forward without re-reading any footer. The
+    * fileKey is whatever the matching reader will look files up by (bare
+    * name for plain snapshots, root-relative path for manifests). */
+  def writeRows(
+      f: FileSystem, dir: Path,
+      rows: Seq[(String, String, String, Option[String], Option[String], Long, Long)]): Unit = {
+    val enc = (o: Option[String]) => o match {
+      case Some(s) => "1:" + java.net.URLEncoder.encode(s, "UTF-8")
+      case None => "0:"
+    }
+    val out = f.create(new Path(new Path(dir, StatsDirName), "stats.tsv"), true)
+    try out.write(rows.map { case (file, col, kind, mn, mx, nulls, nr) =>
+      s"$file\t$col\t$kind\t${enc(mn)}\t${enc(mx)}\t$nulls\t$nr"
+    }.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
 
   /** (file, column, kind, min, max, nullCount, numRows) rows for one file;
     * min/max null when the file has no refutable stats for the column. */

@@ -84,7 +84,19 @@ object VersionedTable {
     * create, never a data rewrite. */
   def commit(
       df: DataFrame, root: String, collectStats: Boolean = true,
-      extras: Map[String, DataFrame] = Map.empty): Long = {
+      extras: Map[String, DataFrame] = Map.empty): Long =
+    commitWith(df, root, collectStats, extras, (_, _, _) => ())
+
+  /** [[commit]] with a pre-publish hook: `finalize(fs, versionDir, v)`
+    * runs after the staging dir is renamed into place but BEFORE the
+    * commit marker is created — snapshot metadata written here (e.g. a
+    * manifest) is guaranteed visible to every reader that can resolve the
+    * version. A crash inside the hook leaves an unpublished dir, exactly
+    * like any other pre-publish failure. */
+  private def commitWith(
+      df: DataFrame, root: String, collectStats: Boolean,
+      extras: Map[String, DataFrame],
+      finalizeVersion: (org.apache.hadoop.fs.FileSystem, Path, Long) => Unit): Long = {
     val spark = df.sparkSession
     val f = fs(spark, root)
     f.mkdirs(commitDir(root))
@@ -145,6 +157,8 @@ object VersionedTable {
     if (f.exists(dir)) f.delete(dir, true)
     if (!f.rename(staging, dir))
       throw new java.io.IOException(s"rename $staging -> $dir failed")
+    // (3b) caller's pre-publish metadata (manifest, carried-forward stats)
+    finalizeVersion(f, dir, v)
     // (4) publish — the linearization point
     f.create(new Path(commitDir(root), pad(v)), false).close()
     v
@@ -156,10 +170,39 @@ object VersionedTable {
       currentVersion(spark, root).getOrElse(
         throw new java.io.IOException(s"no committed version under $root")))
 
+  /** A MANIFEST snapshot's data-file list (root-relative paths, possibly
+    * reaching into EARLIER version dirs — the copy-on-write form), or
+    * None for a plain directory snapshot. The manifest is a driver-sized
+    * text file: O(files), the same scale as Delta's log entry. */
+  def manifestOf(spark: SparkSession, root: String, v: Long): Option[Seq[String]] = {
+    val f = fs(spark, root)
+    val mf = new Path(new Path(versionDir(root, v), "_manifest"), "manifest.txt")
+    if (!f.exists(mf)) None
+    else {
+      val in = f.open(mf)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                 finally in.close()
+      Some(text.split('\n').toSeq.filter(_.nonEmpty))
+    }
+  }
+
+  /** Version `v`'s data files as root-relative paths — the manifest when
+    * present, else the version dir's own part files. */
+  private def dataFileRefs(
+      spark: SparkSession, root: String, v: Long): Seq[String] =
+    manifestOf(spark, root, v).getOrElse {
+      dataFiles(fs(spark, root), versionDir(root, v))
+        .map(s => f"v$v%08d/" + s.getPath.getName)
+    }
+
   /** Time travel: read an exact committed version. */
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
     require(versions(spark, root).contains(v), s"version $v is not committed under $root")
-    spark.read.parquet(versionDir(root, v).toString)
+    manifestOf(spark, root, v) match {
+      case Some(refs) =>
+        spark.read.parquet(refs.map(r => new Path(root, r).toString): _*)
+      case None => spark.read.parquet(versionDir(root, v).toString)
+    }
   }
 
   /** [[read]] with FILE-LEVEL DATA SKIPPING: files whose footer min/max
@@ -194,12 +237,17 @@ object VersionedTable {
       spark: SparkSession, root: String, v: Long,
       predicate: Column): (Seq[String], Int) = {
     require(versions(spark, root).contains(v), s"version $v is not committed under $root")
-    val f = fs(spark, root)
     val dir = versionDir(root, v)
-    val files = f.listStatus(dir).toSeq.map(_.getPath)
-      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+    // (absolute path, stats-lookup key): plain snapshots key stats by bare
+    // file name; manifest snapshots by root-relative path (bare names
+    // collide across the version dirs a manifest can span)
+    val files: Seq[(Path, String)] = manifestOf(spark, root, v) match {
+      case Some(refs) => refs.map(r => (new Path(root, r), r))
+      case None => dataFiles(fs(spark, root), dir)
+        .map(s => (s.getPath, s.getPath.getName))
+    }
     val stats = TableStats.load(spark, new Path(dir, "_stats"))
-    if (stats.isEmpty) (files.map(_.toString), files.size)
+    if (stats.isEmpty) (files.map(_._1.toString), files.size)
     else {
       // resolve the predicate against the snapshot schema through the
       // analyzer + optimizer: Column expressions are lazy ColumnNode
@@ -210,11 +258,11 @@ object VersionedTable {
       val conjs = optimized.collect {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
       }.flatMap(TableStats.conjuncts)
-      val kept = files.filter { p =>
-        val fileStats = stats.getOrElse(p.getName, Map.empty)
+      val kept = files.filter { case (_, key) =>
+        val fileStats = stats.getOrElse(key, Map.empty)
         conjs.forall(c => TableStats.mayMatch(c, fileStats))
       }
-      (kept.map(_.toString), files.size)
+      (kept.map(_._1.toString), files.size)
     }
   }
 
@@ -247,14 +295,15 @@ object VersionedTable {
     val v = version.orElse(currentVersion(spark, root)).getOrElse(
       throw new java.io.IOException(s"no committed version under $root"))
     require(versions(spark, root).contains(v), s"version $v is not committed under $root")
-    val f = fs(spark, root)
     val dir = versionDir(root, v)
-    val files = f.listStatus(dir).toSeq.map(_.getPath)
-      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+    val fileKeys: Seq[String] = manifestOf(spark, root, v) match {
+      case Some(refs) => refs
+      case None => dataFiles(fs(spark, root), dir).map(_.getPath.getName)
+    }
     val stats = TableStats.load(spark, new Path(dir, "_stats"))
     // every data file must be covered, else row counts are unknowable
-    val perFile = files.map(p => stats.get(p.getName).filter(_.nonEmpty))
-    if (files.nonEmpty && perFile.exists(_.isEmpty)) None
+    val perFile = fileKeys.map(k => stats.get(k).filter(_.nonEmpty))
+    if (fileKeys.nonEmpty && perFile.exists(_.isEmpty)) None
     else {
       val fileMaps = perFile.flatten
       val totalRows = fileMaps.map(_.head._2._5).sum
@@ -282,6 +331,105 @@ object VersionedTable {
       }
       colStats.map(cs => (totalRows, cs.toSeq))
     }
+  }
+
+  /** Per-file key ranges for `column` from version `v`'s stats table:
+    * `(root-relative path, Some((kind, min, max)))` per data file, or
+    * `(path, None)` for a file that is ALL NULL in the column (it can
+    * never contain a given key). Returns None — caller must fall back to
+    * a full scan/rewrite — when any file lacks usable stats for the
+    * column: partial range knowledge cannot prove a file untouched. */
+  def fileKeyRanges(
+      spark: SparkSession, root: String, v: Long, column: String)
+      : Option[Seq[(String, Option[(String, Any, Any)])]] = {
+    require(versions(spark, root).contains(v), s"version $v is not committed under $root")
+    val dir = versionDir(root, v)
+    val entries: Seq[(String, String)] = manifestOf(spark, root, v) match {
+      case Some(refs) => refs.map(r => (r, r))
+      case None => dataFiles(fs(spark, root), dir)
+        .map(s => (f"v$v%08d/" + s.getPath.getName, s.getPath.getName))
+    }
+    val stats = TableStats.load(spark, new Path(dir, "_stats"))
+    val out = entries.map { case (rel, sk) =>
+      stats.get(sk).flatMap(_.get(column)) match {
+        case Some((kind, Some(mn), Some(mx), nulls, _)) if nulls >= 0 =>
+          Some((rel, Some((kind,
+            TableStats.parse(kind, mn), TableStats.parse(kind, mx)))))
+        case Some((_, None, None, nulls, rows)) if nulls == rows =>
+          Some((rel, None))
+        case _ => None
+      }
+    }
+    if (out.exists(_.isEmpty)) None else Some(out.flatten)
+  }
+
+  /** COPY-ON-WRITE commit: publish a snapshot whose data is `newData`
+    * (written fresh) PLUS `keptFiles` — root-relative paths of files from
+    * the current snapshot that are carried forward BY REFERENCE, never
+    * copied or rewritten. This is the Iceberg/Delta manifest idea on this
+    * format: at 100 TB an hourly merge touches a sliver of the table, and
+    * rewriting only that sliver turns the commit cost from O(table) into
+    * O(touched). The new version dir holds the fresh files plus a
+    * `_manifest/manifest.txt` naming every data file; kept files' column
+    * stats are carried forward from their source snapshots' stats tables
+    * (keyed by relative path — bare names collide across dirs), so data
+    * skipping keeps working without reopening a single old footer.
+    * Referenced files stay immutable in their original version dirs;
+    * [[vacuum]] preserves any file a retained manifest still references.
+    *
+    * The caller owns semantic correctness: `newData`'s schema must match
+    * the kept files' (this is a same-schema fast path — a schema-evolving
+    * write must take [[commit]]'s full-rewrite road), and kept + new
+    * must partition the intended table contents. `extras` as in
+    * [[commit]]. */
+  def commitCow(
+      newData: DataFrame, root: String, keptFiles: Seq[String],
+      extras: Map[String, DataFrame] = Map.empty): Long = {
+    val spark = newData.sparkSession
+    val f = fs(spark, root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.io.IOException(
+        s"copy-on-write commit needs an existing snapshot under $root"))
+    // stats of the CURRENT snapshot, keyed as stored (name or relpath)
+    val curKeyed: Map[String, String] = manifestOf(spark, root, cur)
+      .map(_.map(r => r -> r).toMap)
+      .getOrElse(dataFiles(f, versionDir(root, cur))
+        .map(s => (f"v$cur%08d/" + s.getPath.getName) -> s.getPath.getName).toMap)
+    val badKept = keptFiles.filterNot(curKeyed.contains)
+    require(badKept.isEmpty,
+      s"kept files must come from the current snapshot v$cur; unknown: " +
+        badKept.take(3).mkString(", "))
+    val curStats = TableStats.load(spark,
+      new Path(versionDir(root, cur), "_stats"))
+    commitWith(newData, root, collectStats = true, extras = extras,
+      finalizeVersion = (fh, dir, v) => {
+        val ownNames = dataFiles(fh, dir).map(_.getPath.getName)
+        val refs = ownNames.map(n => f"v$v%08d/" + n) ++ keptFiles
+        // merged stats: fresh files' rows (just collected, keyed by name)
+        // re-keyed to relpath + kept files' rows carried forward
+        val ownStats = TableStats.load(spark, new Path(dir, "_stats"))
+        val rows =
+          ownNames.flatMap { n =>
+            ownStats.getOrElse(n, Map.empty).toSeq.map { case (c, (k, mn, mx, nu, nr)) =>
+              (f"v$v%08d/" + n, c, k, mn, mx, nu, nr)
+            }
+          } ++
+          keptFiles.flatMap { r =>
+            curStats.getOrElse(curKeyed(r), Map.empty).toSeq
+              .map { case (c, (k, mn, mx, nu, nr)) => (r, c, k, mn, mx, nu, nr) }
+          }
+        // a stats table must cover ALL files or claim none: a fresh file
+        // whose footer pass failed, or a kept file with no carried rows,
+        // would otherwise silently disable pruning only for itself
+        val covered = (ownNames.map(n => ownStats.contains(n)) ++
+          keptFiles.map(r => curStats.contains(curKeyed(r)))).forall(identity)
+        if (rows.nonEmpty && covered) TableStats.writeRows(fh, dir, rows)
+        else fh.delete(new Path(dir, "_stats"), true)
+        val out = fh.create(
+          new Path(new Path(dir, "_manifest"), "manifest.txt"), true)
+        try out.write(refs.mkString("", "\n", "\n").getBytes("UTF-8"))
+        finally out.close()
+      })
   }
 
   /** Read a side table committed alongside version `v` via [[commit]]'s
@@ -375,14 +523,38 @@ object VersionedTable {
   /** Drop all but the newest `keepLast` committed versions (marker first,
     * then data — a reader that already resolved an old version may race
     * the delete, exactly as in any table format's vacuum; pick `keepLast`
-    * to cover the longest-running reader). Returns the dropped versions. */
+    * to cover the longest-running reader). Returns the dropped versions.
+    *
+    * Copy-on-write aware: a file inside a dropped version dir SURVIVES if
+    * any retained version's manifest still references it (the retained
+    * snapshot would otherwise lose data) — only unreferenced files and
+    * the dropped version's own metadata are removed, and a dir is deleted
+    * outright only when nothing in it is referenced. The dropped VERSION
+    * is always gone (its commit marker is removed) even when some of its
+    * files live on as references. */
   def vacuum(spark: SparkSession, root: String, keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, "keepLast must be >= 1")
     val f = fs(spark, root)
-    val drop = versions(spark, root).dropRight(keepLast)
+    val all = versions(spark, root)
+    val drop = all.dropRight(keepLast)
+    val referenced: Set[String] =
+      all.takeRight(keepLast).flatMap(v => dataFileRefs(spark, root, v)).toSet
     drop.foreach { v =>
       f.delete(new Path(commitDir(root), pad(v)), false)
-      f.delete(versionDir(root, v), true)
+      val dir = versionDir(root, v)
+      val prefix = f"v$v%08d/"
+      val keptHere = dataFiles(f, dir)
+        .map(_.getPath.getName).filter(n => referenced(prefix + n))
+      if (keptHere.isEmpty) f.delete(dir, true)
+      else {
+        // referenced data files stay; everything else in the dir goes
+        if (f.exists(dir)) f.listStatus(dir).foreach { s =>
+          val n = s.getPath.getName
+          if (!(n.startsWith("part-") && n.endsWith(".parquet") &&
+              referenced(prefix + n)))
+            f.delete(s.getPath, true)
+        }
+      }
     }
     drop
   }
