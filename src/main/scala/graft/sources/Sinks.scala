@@ -124,8 +124,10 @@ object Sinks {
       else Map("changes" -> graft.operators.IncrementalMerge
         .changeFeed(target, staging, key, runTs, statusCol, doneValue))
     // no checkpoint needed: the commit writes to a fresh version dir, so
-    // the plan can read the current snapshot while writing the next one
-    VersionedTable.commit(merged, tableRoot, extras = extras)
+    // the plan can read the current snapshot while writing the next one;
+    // a bloom on the merge key keeps readWhere point lookups prunable
+    // even before the table is clustered
+    VersionedTable.commit(merged, tableRoot, extras = extras, bloomCols = Seq(key))
   }
 
   /** [[upsertByKeyVersioned]] with FILE-GRANULAR COPY-ON-WRITE — the form
@@ -213,7 +215,7 @@ object Sinks {
               if (!changeFeed) Map.empty[String, DataFrame]
               else Map("changes" -> graft.operators.IncrementalMerge
                 .changeFeed(slice, staging, key, runTs, statusCol, doneValue))
-            VersionedTable.commitCow(merged, tableRoot, kept, extras)
+            VersionedTable.commitCow(merged, tableRoot, kept, extras, bloomCols = Seq(key))
           case _ => full()
         }
     }

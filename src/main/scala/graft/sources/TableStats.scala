@@ -166,6 +166,67 @@ object TableStats {
       case _ => null
     }
 
+  // ---- bloom probes (read side) ----
+
+  /** Equality probes a predicate implies: `column -> candidate values`
+    * from `col = lit` and small `col IN (lits)` conjuncts. A file whose
+    * blooms reject EVERY candidate value of any one conjunct cannot
+    * satisfy the predicate. */
+  def equalityProbes(conj: Expression): Option[(String, Seq[Any])] = conj match {
+    case EqualTo(a, l: Literal) =>
+      for (n <- attrName(a); (_, v) <- literalValue(l)) yield (n, Seq(v))
+    case EqualTo(l: Literal, a) =>
+      for (n <- attrName(a); (_, v) <- literalValue(l)) yield (n, Seq(v))
+    case In(a, ls) if ls.nonEmpty && ls.size <= 16 && ls.forall(_.isInstanceOf[Literal]) =>
+      for {
+        n <- attrName(a)
+        vs <- Some(ls.collect { case l: Literal => literalValue(l).map(_._2) })
+        if vs.forall(_.isDefined)
+      } yield (n, vs.flatten)
+    case InSet(a, vs) if vs.nonEmpty && vs.size <= 16 =>
+      // InSet holds Catalyst-internal values (UTF8String etc.) — canonicalize
+      attrName(a).map(n => (n, vs.toSeq.map {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case other => other
+      }))
+    case _ => None
+  }
+
+  /** Could `file` contain `column = value` according to its parquet BLOOM
+    * FILTERS? Conservative: true unless every row group carries a bloom
+    * for the column and every one of them rejects the value. Bloom pages
+    * are footer-adjacent kilobytes — this is a plan-time driver read of
+    * the same class as the stats load, paid only for files min/max could
+    * not already prune. */
+  def bloomMayContain(
+      conf: org.apache.hadoop.conf.Configuration,
+      file: Path, column: String, value: Any): Boolean = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      reader.getRowGroups.asScala.exists { block =>
+        block.getColumns.asScala.find(_.getPath.toDotString == column) match {
+          case None => true // column absent from the chunk list: cannot reason
+          case Some(cc) =>
+            val bloom = reader.getBloomFilterDataReader(block).readBloomFilter(cc)
+            if (bloom == null) true // no bloom written for this row group
+            else {
+              val pt = cc.getPrimitiveType.getPrimitiveTypeName
+              val hashed: Option[Long] = (value, pt) match {
+                case (l: Long, PrimitiveTypeName.INT64) => Some(bloom.hash(l))
+                case (l: Long, PrimitiveTypeName.INT32) => Some(bloom.hash(l.toInt))
+                case (d: Double, PrimitiveTypeName.DOUBLE) => Some(bloom.hash(d))
+                case (d: Double, PrimitiveTypeName.FLOAT) => Some(bloom.hash(d.toFloat))
+                case (s: String, PrimitiveTypeName.BINARY) =>
+                  Some(bloom.hash(org.apache.parquet.io.api.Binary.fromString(s)))
+                case _ => None // type mismatch: stay conservative
+              }
+              hashed.forall(bloom.findHash)
+            }
+        }
+      }
+    } finally reader.close()
+  }
+
   // ---- load (read side) ----
 
   /** file name → column name → (kind, min, max, nullCount, numRows);

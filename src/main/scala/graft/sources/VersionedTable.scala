@@ -84,8 +84,9 @@ object VersionedTable {
     * create, never a data rewrite. */
   def commit(
       df: DataFrame, root: String, collectStats: Boolean = true,
-      extras: Map[String, DataFrame] = Map.empty): Long =
-    commitWith(df, root, collectStats, extras, (_, _, _) => ())
+      extras: Map[String, DataFrame] = Map.empty,
+      bloomCols: Seq[String] = Nil): Long =
+    commitWith(df, root, collectStats, extras, (_, _, _) => (), bloomCols)
 
   /** [[commit]] with a pre-publish hook: `finalize(fs, versionDir, v)`
     * runs after the staging dir is renamed into place but BEFORE the
@@ -96,7 +97,8 @@ object VersionedTable {
   private def commitWith(
       df: DataFrame, root: String, collectStats: Boolean,
       extras: Map[String, DataFrame],
-      finalizeVersion: (org.apache.hadoop.fs.FileSystem, Path, Long) => Unit): Long = {
+      finalizeVersion: (org.apache.hadoop.fs.FileSystem, Path, Long) => Unit,
+      bloomCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val f = fs(spark, root)
     f.mkdirs(commitDir(root))
@@ -109,7 +111,12 @@ object VersionedTable {
     val prevTsType = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     try {
-      df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      // per-column parquet BLOOM FILTERS (probed by readWhere's equality
+      // pruning): footer-adjacent, kilobytes per column per row group
+      val writer = bloomCols.foldLeft(df.write.mode(SaveMode.Overwrite)) {
+        (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
+      }
+      writer.parquet(staging.toString)
       // side tables that belong to THIS snapshot (e.g. a change feed):
       // written under "_"-prefixed subdirs inside the staging dir, so they
       // rename, publish and vacuum atomically with their version and stay
@@ -247,23 +254,38 @@ object VersionedTable {
         .map(s => (s.getPath, s.getPath.getName))
     }
     val stats = TableStats.load(spark, new Path(dir, "_stats"))
-    if (stats.isEmpty) (files.map(_._1.toString), files.size)
-    else {
-      // resolve the predicate against the snapshot schema through the
-      // analyzer + optimizer: Column expressions are lazy ColumnNode
-      // wrappers in Spark 4, and optimization also constant-folds literal
-      // casts — the Filter conditions below are plain resolved conjuncts
-      val optimized = readVersion(spark, root, v).where(predicate)
-        .queryExecution.optimizedPlan
-      val conjs = optimized.collect {
-        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-      }.flatMap(TableStats.conjuncts)
-      val kept = files.filter { case (_, key) =>
+    // resolve the predicate against the snapshot schema through the
+    // analyzer + optimizer: Column expressions are lazy ColumnNode
+    // wrappers in Spark 4, and optimization also constant-folds literal
+    // casts — the Filter conditions below are plain resolved conjuncts
+    val optimized = readVersion(spark, root, v).where(predicate)
+      .queryExecution.optimizedPlan
+    val conjs = optimized.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.flatMap(TableStats.conjuncts)
+    val statsKept =
+      if (stats.isEmpty) files
+      else files.filter { case (_, key) =>
         val fileStats = stats.getOrElse(key, Map.empty)
         conjs.forall(c => TableStats.mayMatch(c, fileStats))
       }
-      (kept.map(_._1.toString), files.size)
-    }
+    // BLOOM refinement for equality/IN conjuncts: min/max cannot prune a
+    // point lookup on an unclustered column (every file's range admits
+    // it); a per-file parquet bloom can. Probed only for files min/max
+    // kept — a plan-time footer read per file, conservative when a file
+    // carries no bloom for the column.
+    val probes = conjs.flatMap(TableStats.equalityProbes)
+    val kept =
+      if (probes.isEmpty) statsKept
+      else {
+        val hconf = spark.sparkContext.hadoopConfiguration
+        statsKept.filter { case (p, _) =>
+          probes.forall { case (c, vs) =>
+            vs.exists(vv => TableStats.bloomMayContain(hconf, p, c, vv))
+          }
+        }
+      }
+    (kept.map(_._1.toString), files.size)
   }
 
   /** One column's metadata-derived aggregate: `rows` (table-wide),
@@ -384,7 +406,8 @@ object VersionedTable {
     * [[commit]]. */
   def commitCow(
       newData: DataFrame, root: String, keptFiles: Seq[String],
-      extras: Map[String, DataFrame] = Map.empty): Long = {
+      extras: Map[String, DataFrame] = Map.empty,
+      bloomCols: Seq[String] = Nil): Long = {
     val spark = newData.sparkSession
     val f = fs(spark, root)
     val cur = currentVersion(spark, root).getOrElse(
@@ -402,6 +425,7 @@ object VersionedTable {
     val curStats = TableStats.load(spark,
       new Path(versionDir(root, cur), "_stats"))
     commitWith(newData, root, collectStats = true, extras = extras,
+      bloomCols = bloomCols,
       finalizeVersion = (fh, dir, v) => {
         val ownNames = dataFiles(fh, dir).map(_.getPath.getName)
         val refs = ownNames.map(n => f"v$v%08d/" + n) ++ keptFiles
@@ -483,15 +507,25 @@ object VersionedTable {
     * metadata-only flip, so readers never see a half-compacted table and
     * the fragmented history stays time-travelable until vacuum. Returns
     * the new version. */
+  /** Total data bytes of version `v`, manifest-aware (a COW snapshot's
+    * bytes live partly in earlier version dirs). */
+  private def snapshotBytes(spark: SparkSession, root: String, v: Long): Long = {
+    val f = fs(spark, root)
+    dataFileRefs(spark, root, v)
+      .map(r => f.getFileStatus(new Path(root, r)).getLen).sum
+  }
+
   def compact(
       spark: SparkSession, root: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      bloomCols: Seq[String] = Nil): Long = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val v = currentVersion(spark, root).getOrElse(
       throw new java.io.IOException(s"no committed version under $root"))
-    val bytes = dataFiles(fs(spark, root), versionDir(root, v)).map(_.getLen).sum
+    val bytes = snapshotBytes(spark, root, v)
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    commit(readVersion(spark, root, v).repartition(nFiles), root)
+    commit(readVersion(spark, root, v).repartition(nFiles), root,
+      bloomCols = bloomCols)
   }
 
   /** OPTIMIZE: range-cluster the current snapshot on `sortCols` and
@@ -507,17 +541,19 @@ object VersionedTable {
     * optimize subsumes compaction. */
   def optimize(
       spark: SparkSession, root: String, sortCols: Seq[String],
-      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      bloomCols: Seq[String] = Nil): Long = {
     require(sortCols.nonEmpty, "optimize needs at least one sort column")
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val v = currentVersion(spark, root).getOrElse(
       throw new java.io.IOException(s"no committed version under $root"))
-    val bytes = dataFiles(fs(spark, root), versionDir(root, v)).map(_.getLen).sum
+    val bytes = snapshotBytes(spark, root, v)
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val cols = sortCols.map(org.apache.spark.sql.functions.col)
     commit(readVersion(spark, root, v)
       .repartitionByRange(nFiles, cols: _*)
-      .sortWithinPartitions(cols: _*), root)
+      .sortWithinPartitions(cols: _*), root,
+      bloomCols = bloomCols)
   }
 
   /** Drop all but the newest `keepLast` committed versions (marker first,
