@@ -556,6 +556,81 @@ object VersionedTable {
       bloomCols = bloomCols)
   }
 
+  /** Z-ORDER optimize: cluster the current snapshot on the INTERLEAVED
+    * bits of 2–3 numeric columns, so file min/max ranges become tight on
+    * EVERY participating dimension — the multi-dimensional counterpart of
+    * [[optimize]] (a lexicographic sort gives the leading column tight
+    * ranges and the trailing ones nothing; a 100 TB table queried by
+    * both `user` and `time` needs both prunable). Same publish protocol,
+    * any layout is semantically identical — this only moves rows.
+    *
+    * Bucketing is linear min/max scaling per column (the table-wide
+    * min/max comes from [[statsAggregate]] when available, else one agg
+    * scan): each value maps to a `bits`-wide bucket, buckets interleave
+    * bit-by-bit into the z-value, and files are range-partitioned + sorted
+    * on that z-value — a single codegen'd projection plus the one
+    * exchange the rewrite needs anyway. Equi-depth bucketing (what Delta
+    * does) would resist skew better; linear scaling keeps the pass
+    * sketch-free and is the standard first form. Columns must be numeric
+    * (long/double/date/timestamp). */
+  def optimizeZOrder(
+      spark: SparkSession, root: String, cols: Seq[String],
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      bloomCols: Seq[String] = Nil): Long = {
+    require(cols.size >= 2 && cols.size <= 3,
+      "z-order interleaves 2 or 3 columns; use optimize() for one")
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val v = currentVersion(spark, root).getOrElse(
+      throw new java.io.IOException(s"no committed version under $root"))
+    val df = readVersion(spark, root, v)
+    val bits = if (cols.size == 2) 16 else 10
+    import org.apache.spark.sql.functions._
+    // table-wide min/max per column: metadata when stats cover the
+    // snapshot, else one aggregation pass
+    val ranges: Map[String, (Double, Double)] =
+      statsAggregate(spark, root, cols, Some(v)) match {
+        case Some((_, cs)) if cs.forall(c => c.min != null && c.max != null) =>
+          cs.map(c => c.column -> (toD(c.min), toD(c.max))).toMap
+        case _ =>
+          val aggs = cols.flatMap(c =>
+            Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+          val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+          cols.zipWithIndex.map { case (c, i) =>
+            c -> (row.getDouble(2 * i), row.getDouble(2 * i + 1))
+          }.toMap
+      }
+    val maxBucket = (1L << bits) - 1
+    def bucket(c: String): Column = {
+      val (mn, mx) = ranges(c)
+      val span = if (mx > mn) mx - mn else 1.0
+      val scaled = ((col(c).cast("double") - lit(mn)) / lit(span)) * lit(maxBucket.toDouble)
+      least(greatest(scaled.cast("long"), lit(0L)), lit(maxBucket))
+    }
+    // interleave: output bit (i*dims + d) = bit i of column d's bucket
+    val z = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      cols.zipWithIndex.foldLeft(acc) { case (a, (c, d)) =>
+        a.bitwiseOR(shiftleft(
+          shiftright(bucket(c), i).bitwiseAND(lit(1L)),
+          i * cols.size + d))
+      }
+    }
+    val bytes = snapshotBytes(spark, root, v)
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    commit(df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z"), root,
+      bloomCols = bloomCols)
+  }
+
+  private def toD(a: Any): Double = a match {
+    case l: Long => l.toDouble
+    case d: Double => d
+    case n: Number => n.doubleValue
+    case other => throw new IllegalArgumentException(
+      s"z-order needs numeric columns, got stat value: $other")
+  }
+
   /** Drop all but the newest `keepLast` committed versions (marker first,
     * then data — a reader that already resolved an old version may race
     * the delete, exactly as in any table format's vacuum; pick `keepLast`
