@@ -134,7 +134,17 @@ object Bench {
       val st5Sec = (System.nanoTime() - t5) / 1e9
       val st5Eq = rowsOf(spark.table("bench_mb_st5")) ==
         rowsOf(SparkEntry.queries("st5_stream_dedup")(spark, sfDir))
-      s""","microbatch":{"st1_stream_window":$st1Sec,"st2_stream_session":$st2Sec,"st3_stream_enrich":$st3Sec,"st4_stream_state":$st4Sec,"st5_stream_dedup":$st5Sec,"st1_equals_batch":$st1Eq,"st2_equals_batch":$st2Eq,"st3_equals_batch":$st3Eq,"st4_equals_batch":$st4Eq,"st5_equals_batch":$st5Eq}"""
+      // st6: watermarked stream-stream interval join, append mode — inner
+      // joins emit eagerly, so the streamed pairs equal the batch join
+      val t6 = System.nanoTime()
+      graft.streaming.EventStream
+        .startAttribution(spark, stage.toString, "bench_mb_st6",
+          availableNow = true)
+        .awaitTermination()
+      val st6Sec = (System.nanoTime() - t6) / 1e9
+      val st6Eq = rowsOf(spark.table("bench_mb_st6")) ==
+        rowsOf(SparkEntry.queries("st6_stream_join")(spark, sfDir))
+      s""","microbatch":{"st1_stream_window":$st1Sec,"st2_stream_session":$st2Sec,"st3_stream_enrich":$st3Sec,"st4_stream_state":$st4Sec,"st5_stream_dedup":$st5Sec,"st6_stream_join":$st6Sec,"st1_equals_batch":$st1Eq,"st2_equals_batch":$st2Eq,"st3_equals_batch":$st3Eq,"st4_equals_batch":$st4Eq,"st5_equals_batch":$st5Eq,"st6_equals_batch":$st6Eq}"""
     }
     // AMORTIZED-INDEX runs: the s3/d6/d10 production split — one-time
     // index/codebook build vs the per-run probe that reuses it. The main

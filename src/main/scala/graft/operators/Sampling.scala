@@ -129,4 +129,64 @@ object Sampling {
       .select(col(idCol), col(stratumCol), col("bucket"), col("n_tokens"),
         col("cum_tokens"))
   }
+
+  /** `pos` resolution for [[mixInterleave]]: rank·PosScale/weight keeps
+    * integer precision for weights up to PosScale permille-like units. */
+  val PosScale: Long = 1000000L
+
+  /** p6: deterministic MIXTURE INTERLEAVE — the step that turns a curated
+    * corpus + a mix config into the actual TRAINING ORDER. Stride
+    * scheduling: stratum `s` with weight `w_s` emits its `r`-th document
+    * (in the same deterministic (bucket, id) order [[tokenBudget]] uses)
+    * at virtual position `pos = r·PosScale div w_s`; ascending `pos`
+    * (ties: stratum, id) is a global order whose every prefix holds the
+    * strata near their configured proportions (the classic stride /
+    * virtual-time scheduler, here as pure integer arithmetic —
+    * reproducible across retries and engines). Strata absent from the
+    * config are dropped (a mix config is a whitelist, as [[stratified]]).
+    *
+    * Scale: the intra-stratum rank is computed WITHOUT a whole-stratum
+    * window — the [[tokenBudget]] two-level prefix sum: per-(stratum,
+    * bucket) counts (one map-side-combined shuffle of 8-byte keys), a
+    * config-sized exclusive prefix broadcast back, and row_number only
+    * inside (stratum, bucket) groups — ×[[Buckets]] more parallelism than
+    * a per-stratum window, with per-group state bounded by the bucket,
+    * not the stratum. The output deliberately does NOT materialize a
+    * global row_number (that would be one total-order window): `pos` IS
+    * the order key — a consumer `ORDER BY pos` (a range-partitioned sort,
+    * the same cost class as any global sort) or range-buckets it into
+    * shards directly. */
+  def mixInterleave(
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      weights: Seq[(String, Int)],
+      salt: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val weightsDf = weights.toDF(stratumCol, "weight")
+    val rows = docs.select(
+      col(idCol), col(stratumCol), bucketOf(idCol, salt).as("bucket"))
+    val bucketPrefix = rows
+      .groupBy(col(stratumCol), col("bucket"))
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__bpre",
+        coalesce(
+          sum(col("__bn")).over(Window.partitionBy(stratumCol)
+            .orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col(stratumCol), col("bucket"), col("__bpre"))
+    val withinW = Window.partitionBy(col(stratumCol), col("bucket"))
+      .orderBy(col(idCol))
+    rows
+      .join(broadcast(bucketPrefix), Seq(stratumCol, "bucket"))
+      .join(broadcast(weightsDf), stratumCol)
+      .withColumn("rank",
+        col("__bpre") + row_number().over(withinW).cast("long"))
+      .withColumn("pos", expr(s"(rank * ${PosScale}L) div weight"))
+      .select(col(idCol), col(stratumCol), col("bucket"),
+        col("rank"), col("weight").cast("long").as("weight"), col("pos"))
+  }
 }

@@ -294,4 +294,52 @@ object TextAnalysis {
     }.as("redacted")
     docs.select(col(idCol) +: counts :+ total :+ redacted: _*)
   }
+
+  /** t9's weight table size: feature weights live in [-(WeightRange-1)/2,
+    * (WeightRange-1)/2] = [-1000, 1000]. */
+  val WeightRange: Long = 2001L
+
+  /** t9: MODEL-BASED quality filtering — a hashed bag-of-words linear
+    * classifier in the fastText architecture (the CCNet / GPT-3-style
+    * learned quality filter, the step after t2's rule-based ratios):
+    * unigram + adjacent-word-bigram features, each hashed to an integer
+    * id, a weight looked up per feature, the doc scored by the mean
+    * weight and kept on sign.
+    *
+    * The weight table here is a DETERMINISTIC ARITHMETIC STUB —
+    * `w(h) = h % 2001 − 1000` — standing in for trained parameters
+    * exactly like the m1/m2 codec stubs stand in for image decoders: the
+    * real plumbing (tokenize → feature-hash → weight lookup → mean-score
+    * → threshold) is what's exercised, and the oracle re-derives the stub
+    * weights from the same hash, hash-checking the whole chain. A
+    * production deployment swaps `weightOf` for an `element_at` lookup
+    * into a broadcast trained weight array (same plan shape: map-side
+    * scalar per feature).
+    *
+    * Exactness: feature ids and weights are integers, the per-doc sum is
+    * an integer, and the mean is a single double division — bit-equal in
+    * any engine. Scale: map-side only, zero shuffle, scan pruned to
+    * (id, text); the keep decision is `weight_sum >= 0` (sign of the
+    * mean, integer compare — no float threshold). */
+  def qualityClassifier(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def weightOf(h: Column): Column = h % WeightRange - lit((WeightRange - 1) / 2)
+    docs
+      .withColumn("__ws", wordsOf(col(textCol)))
+      .withColumn("__bg",
+        zip_with(
+          slice(col("__ws"), lit(1), size(col("__ws")) - 1),
+          slice(col("__ws"), lit(2), size(col("__ws")) - 1),
+          (a, b) => concat(a, lit(" "), b)))
+      .withColumn("__feats",
+        concat(
+          transform(col("__ws"), w => charPolyHash(w)),
+          transform(col("__bg"), g => charPolyHash(g))))
+      .withColumn("n_feats", size(col("__feats")).cast("long"))
+      .withColumn("weight_sum",
+        aggregate(col("__feats"), lit(0L), (acc, h) => acc + weightOf(h)))
+      .select(col(idCol), col("n_feats"), col("weight_sum"),
+        (col("weight_sum").cast("double") / col("n_feats").cast("double"))
+          .as("score"),
+        (col("weight_sum") >= 0).as("keep"))
+  }
 }

@@ -17,7 +17,8 @@ object CurationQueries {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p2_sample_stratified" -> ((s, d) => p2(s, d)),
     "p3_pack_sequences"    -> ((s, d) => p3(s, d)),
-    "p4_token_budget"      -> ((s, d) => p4(s, d))
+    "p4_token_budget"      -> ((s, d) => p4(s, d)),
+    "p6_mix_interleave"    -> ((s, d) => p6(s, d))
   )
 
   private val SampleSalt = "p2"
@@ -63,6 +64,20 @@ object CurationQueries {
         "text", Budgets, BudgetSalt)
       .orderBy(col("doc_id"))
 
+  private val MixSalt = "p6"
+  /** Per-source interleave weights, spread over [20, 200) — unequal so the
+    * stride positions genuinely interleave rather than round-robin. */
+  val MixWeights: Seq[(String, Int)] =
+    (0 until 20).map(i => (s"src$i", 20 + (i * 53) % 180))
+
+  /** p6: deterministic mixture interleave — the global training-order
+    * construction (stride scheduling over the [[MixWeights]] mix config);
+    * `pos` is the order key, ranks via the two-level prefix sum. */
+  def p6(s: SparkSession, dir: String): DataFrame =
+    Sampling.mixInterleave(s, Tables.documents(s, dir), "doc_id", "source",
+        MixWeights, MixSalt)
+      .orderBy(col("pos"), col("source"), col("doc_id"))
+
   // ---- oracle SQL ---------------------------------------------------------
 
   private val NormExpr =
@@ -106,6 +121,26 @@ object CurationQueries {
          |SELECT doc_id, source, bucket, n_tokens, cum_tokens
          |FROM c JOIN b USING (source) WHERE cum_tokens <= budget
          |ORDER BY doc_id""".stripMargin
+    },
+
+    // the naive whole-stratum row_number over the SAME deterministic
+    // (bucket, doc_id) order — equal to the Spark side's two-level
+    // prefix-sum rank (bucket-count prefix + within-bucket row_number
+    // telescopes to the flat rank); pos = rank·1e6 div weight
+    "p6_mix_interleave" -> {
+      val values = MixWeights.map { case (s, w) => s"('$s', $w)" }.mkString(", ")
+      val keyExpr = s"'$MixSalt|' || doc_id::VARCHAR || '|mix'"
+      s"""WITH m(source, weight) AS (VALUES $values),
+         |h AS (SELECT doc_id, source,
+         |    ${polyHashSql(keyExpr)} % ${Sampling.Buckets} AS bucket
+         |  FROM documents),
+         |r AS (SELECT doc_id, source, bucket,
+         |    row_number() OVER (PARTITION BY source ORDER BY bucket, doc_id)::BIGINT AS rank
+         |  FROM h)
+         |SELECT r.doc_id, r.source, r.bucket, r.rank, m.weight::BIGINT AS weight,
+         |  (r.rank * ${Sampling.PosScale}) // m.weight AS pos
+         |FROM r JOIN m USING (source)
+         |ORDER BY pos, source, doc_id""".stripMargin
     },
 
     // the identical greedy fold, unrolled as a recursive CTE over the

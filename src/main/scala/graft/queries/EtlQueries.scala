@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{IncrementalMerge, Scd2, Snapshots}
+import graft.operators.{IncrementalAgg, IncrementalMerge, Scd2, Snapshots}
 import graft.sources.Tables
 
 /** SURVEY.md §2a — the reference's ETL surface (q2–q9), wired to the
@@ -36,6 +36,7 @@ object EtlQueries {
     "q9_json_ingest"       -> ((s, d) => q9(s, d)),
     "q22_reconcile"        -> ((s, d) => q22(s, d)),
     "q25_changelog"        -> ((s, d) => q25(s, d)),
+    "q26_incremental_rollup" -> ((s, d) => q26(s, d)),
     "q23_profile"          -> ((s, d) => q23(s, d)),
     "q24_pit_join"         -> ((s, d) => q24(s, d))
   )
@@ -121,6 +122,37 @@ object EtlQueries {
     IncrementalMerge.changeFeed(targetState(s, dir), staging, "id",
         lit(RunTs).cast("timestamp"), "last_status", "purchase")
       .orderBy(col("id"), col("_change_type"))
+  }
+
+  /** The q26 maintained-rollup shape: group keys + self-maintainable
+    * measures (see [[IncrementalAgg]]). `key_checksum` = sum of ids, the
+    * reconcile-style health metric; `n_deleted` counts soft-deleted rows. */
+  private val RollupKeys = Seq("last_status", "created_day")
+  private def rollupMeasures: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "n_deleted"    -> when(col("deleted_at").isNotNull, lit(1L)).otherwise(lit(0L)),
+    "key_checksum" -> col("id"))
+  private def withCreatedDay(df: DataFrame): DataFrame =
+    df.withColumn("created_day", date_trunc("day", col("created_at")))
+
+  /** q26: INCREMENTALLY-MAINTAINED ROLLUP — the mart aggregate the
+    * reference recomputes from the full table every hourly run, maintained
+    * instead from the O(delta) change feed of the q3/q25 merge:
+    * `merge(rollup(target_before), Δ(changes))`. The oracle recomputes the
+    * rollup from the merged state, so the hash match PROVES the
+    * maintenance algebra equals a full recompute (counts + exact integer
+    * sums; group-key churn — a row changing status — subtracts from the
+    * old group and adds to the new one via the pre/post images). Scale:
+    * one delta-sized shuffle + a |groups|-sized merge join; untouched
+    * target rows are never read. See [[IncrementalAgg]]. */
+  def q26(s: SparkSession, dir: String): DataFrame = {
+    val target = targetState(s, dir)
+    val staging = Snapshots.stateAsOf(Tables.events(s, dir), "user_id", "ts",
+      "event_type", "event_id", None)
+    val changes = IncrementalMerge.changeFeed(target, staging, "id",
+      lit(RunTs).cast("timestamp"), "last_status", "purchase")
+    val base = IncrementalAgg.rollup(withCreatedDay(target), RollupKeys, rollupMeasures)
+    IncrementalAgg.applyChanges(base, withCreatedDay(changes), RollupKeys, rollupMeasures)
+      .orderBy(col("last_status"), col("created_day"))
   }
 
   private def scd(s: SparkSession, dir: String): DataFrame =
@@ -295,6 +327,29 @@ object EtlQueries {
          |FROM staging s LEFT JOIN target t ON s.id = t.id
          |WHERE t.id IS NULL
          |ORDER BY id, _change_type""".stripMargin,
+
+    // maintained rollup ≡ full recompute: the oracle aggregates the q3
+    // merged state directly; the Spark side never does — it merges the
+    // pre-merge rollup with the change-feed deltas
+    "q26_incremental_rollup" ->
+      s"""WITH $stateCte,
+         |merged AS (
+         |  SELECT coalesce(s.id, t.id) AS id,
+         |    coalesce(s.last_status, t.last_status) AS last_status,
+         |    CASE WHEN s.id IS NOT NULL
+         |         THEN coalesce(s.created_at, TIMESTAMP '$RunTs')
+         |         ELSE t.created_at END AS created_at,
+         |    CASE WHEN s.id IS NOT NULL
+         |         THEN (CASE WHEN s.last_status = 'purchase'
+         |                    THEN coalesce(t.deleted_at, TIMESTAMP '$RunTs') END)
+         |         ELSE t.deleted_at END AS deleted_at
+         |  FROM staging s FULL OUTER JOIN target t ON s.id = t.id)
+         |SELECT last_status, date_trunc('day', created_at) AS created_day,
+         |  count(*) AS n_rows,
+         |  sum(CASE WHEN deleted_at IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_deleted,
+         |  sum(id)::BIGINT AS key_checksum
+         |FROM merged GROUP BY 1, 2
+         |ORDER BY last_status, created_day""".stripMargin,
 
     "q4_scd2_history" ->
       s"""WITH $scdCte

@@ -24,13 +24,15 @@ object TextQueries {
     "t6_tfidf"           -> ((s, d) => t6(s, d)),
     "t7_repetition"      -> ((s, d) => t7(s, d)),
     "t8_pii_redact"      -> ((s, d) => t8(s, d)),
+    "t9_quality_classifier" -> ((s, d) => t9(s, d)),
     "m1_multimodal_meta" -> ((s, d) => m1(s, d)),
     "m2_multimodal_resize" -> ((s, d) => m2(s, d)),
     "st1_stream_window"  -> ((s, d) => st1(s, d)),
     "st2_stream_session" -> ((s, d) => st2(s, d)),
     "st3_stream_enrich"  -> ((s, d) => st3(s, d)),
     "st4_stream_state"   -> ((s, d) => st4(s, d)),
-    "st5_stream_dedup"   -> ((s, d) => st5(s, d))
+    "st5_stream_dedup"   -> ((s, d) => st5(s, d)),
+    "st6_stream_join"    -> ((s, d) => st6(s, d))
   )
 
   private val SessionGapSeconds = 7200L // same boundary as q13
@@ -191,6 +193,26 @@ object TextQueries {
   def st5(s: SparkSession, dir: String): DataFrame =
     EventStream.replayedFeed(Tables.events(s, dir), ReplayFrom, ReplayTo)
       .distinct().orderBy(col("event_id"))
+
+  /** t9: model-based quality filtering — the hashed-feature linear
+    * classifier ([[TextAnalysis.qualityClassifier]]); stub weight table,
+    * real feature-hash → lookup → mean-score → sign-threshold chain. */
+  def t9(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityClassifier(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** st6: batch face of the STREAM-STREAM interval join
+    * ([[EventStream.attributionJoin]]) — each purchase matched to the same
+    * user's clicks in the preceding hour (last-touch-window attribution).
+    * The identical transform runs as a two-stream watermarked join with
+    * bounded state; the spec asserts stream ≡ batch. */
+  def st6(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    EventStream.attributionJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
 
   // ---- oracle SQL ---------------------------------------------------------
 
@@ -380,6 +402,41 @@ object TextQueries {
          |  $red AS redacted
          |FROM dec ORDER BY doc_id""".stripMargin
     },
+
+    // t9: stub weights re-derived from the same char-polynomial hash the
+    // Spark side uses; bigram strings are built BEFORE hashing so the
+    // hash's inner lambda variables cannot shadow the outer index
+    "t9_quality_classifier" ->
+      s"""WITH $WsCte,
+         |b AS (SELECT doc_id, ws,
+         |    CASE WHEN len(ws) >= 2 THEN list_transform(range(1, len(ws)),
+         |      i -> ws[i] || ' ' || ws[i+1]) ELSE []::VARCHAR[] END AS bg
+         |  FROM w),
+         |f AS (SELECT doc_id, list_concat(
+         |    list_transform(ws, x -> ${polyHashSql("x")}),
+         |    list_transform(bg, x -> ${polyHashSql("x")})) AS hs
+         |  FROM b),
+         |s AS (SELECT doc_id, len(hs)::BIGINT AS n_feats,
+         |    coalesce(list_sum(list_transform(hs,
+         |      h -> (h % ${TextAnalysis.WeightRange}) - ${(TextAnalysis.WeightRange - 1) / 2})), 0)::BIGINT
+         |      AS weight_sum
+         |  FROM f)
+         |SELECT doc_id, n_feats, weight_sum,
+         |  weight_sum::DOUBLE / n_feats::DOUBLE AS score,
+         |  weight_sum >= 0 AS keep
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // st6: the batch formulation of the watermarked stream-stream join —
+    // an interval self-join on the events table
+    "st6_stream_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |  p.user_id, p.ts AS purchase_ts, c.ts AS click_ts,
+        |  p.value AS purchase_value
+        |FROM events p JOIN events c
+        |  ON c.user_id = p.user_id
+        | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |ORDER BY purchase_id, click_id""".stripMargin,
 
     "st5_stream_dedup" ->
       s"""WITH feed AS (

@@ -162,6 +162,58 @@ object EventStream {
       col("ts") < lit(to).cast("timestamp")))
   }
 
+  /** STREAM-STREAM interval join: each purchase joined to the same user's
+    * clicks in the preceding hour — last-touch-window attribution, the
+    * canonical two-stream correlation (the batch analog is an interval
+    * self-join on the events table). One transform for batch and stream
+    * inputs, like [[windowedAgg]].
+    *
+    * Streaming semantics: both sides carry event-time watermarks and the
+    * join condition bounds click time relative to purchase time, so Spark
+    * can expire buffered rows — state per side is one watermark horizon
+    * (+ the 1 h join range), NOT the stream history. Unbounded-state
+    * stream-stream joins (no time bound) are rejected by Spark's
+    * unsupported-operations check; this shape is the supported one.
+    *
+    * Scale: both sides hash-partition on `user_id` (the equi-key); the
+    * interval is a residual filter on the joined pairs, not a range
+    * cartesian. In batch the same plan is a shuffled hash join with the
+    * interval as a post-join predicate. */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "2 hours")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", "2 hours")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    p.join(c,
+        col("c_user") === col("user_id") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        col("purchase_ts"), col("click_ts"), col("purchase_value"))
+  }
+
+  /** Run [[attributionJoin]] over two event streams (clicks / purchases
+    * filtered from the same file source) into a memory sink. */
+  def startAttribution(
+      spark: SparkSession,
+      dir: String,
+      sinkTable: String,
+      availableNow: Boolean = false): StreamingQuery = {
+    val ev = readEvents(spark, dir)
+    val w = attributionJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"))
+      .writeStream
+      .format("memory")
+      .queryName(sinkTable)
+      .outputMode("append")
+    (if (availableNow)
+       w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else w).start()
+  }
+
   /** Run [[dedupStream]] over the replayed at-least-once feed as a real
     * stream into a memory sink — exactly-once output per event_id, state
     * bounded by the watermark. */

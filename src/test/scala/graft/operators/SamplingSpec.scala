@@ -86,6 +86,46 @@ class SamplingSpec extends SparkSpec {
     assert(low.size < high.size)
   }
 
+  test("mixInterleave equals the naive whole-stratum window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val weights = Seq("s0" -> 100, "s1" -> 50, "s2" -> 25)
+    val out = Sampling.mixInterleave(spark, rows, "id", "g", weights, "t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(5)))
+      .toSet
+    val wdf = weights.toDF("g", "w")
+    val naive = rows
+      .withColumn("bucket", Sampling.bucketOf("id", "t"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("bucket"), col("id"))).cast("long"))
+      .join(wdf, "g")
+      .select(col("id"), col("g"), col("rank"),
+        expr(s"(rank * ${Sampling.PosScale}L) div w").as("pos"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out == naive)
+  }
+
+  test("mixInterleave prefixes hold the configured mix proportions") {
+    // weights 100:50:25 over 200-doc strata — in the virtual-time prefix
+    // pos ≤ 1e6 (no stratum exhausted yet: s0 runs out at pos 2e6) the
+    // stride scheduler emits exactly r ≤ T·w/1e6 docs per stratum
+    val weights = Seq("s0" -> 100, "s1" -> 50, "s2" -> 25)
+    val counts = Sampling.mixInterleave(spark, rows, "id", "g", weights, "t")
+      .filter(org.apache.spark.sql.functions.col("pos") <= Sampling.PosScale)
+      .groupBy("g").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("s0" -> 100L, "s1" -> 50L, "s2" -> 25L))
+  }
+
+  test("mixInterleave: strata absent from the mix config are dropped") {
+    val out = Sampling.mixInterleave(spark, rows, "id", "g", Seq("s1" -> 10), "t")
+    val gs = out.select("g").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(gs == Set("s1"))
+    assert(out.count() == 200)
+  }
+
   test("tokenBudget: cum_tokens is the running total in (bucket, id) order") {
     val out = Sampling.tokenBudget(spark, docs, "id", "g", "txt",
         Seq("s0" -> 120L, "s1" -> 120L, "s2" -> 120L), "t")

@@ -141,4 +141,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L) == (0L, 1L, 0L, 0L, 1L,
       "x999.888.7777y is embedded (no word boundary), <PHONE> is not"))
   }
+
+  test("qualityClassifier: hand-computed feature hashes, weights and score") {
+    // "a b a": unigrams a,b,a (h=97,98,97), bigrams "a b","b a"
+    // (h=(97·31+32)·31+98=94307, (98·31+32)·31+97=95267); stub weight
+    // w(h)=h%2001−1000 → −903,−902,−903,−740,220; sum −3228 over 5 feats
+    val docs = Seq((1L, "a b a")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityClassifier(docs, "doc_id", "text").collect()(0)
+    assert(r.getLong(1) == 5L)          // n_feats = 2·3 − 1
+    assert(r.getLong(2) == -3228L)      // weight_sum
+    assert(r.getDouble(3) == -645.6)    // score = sum / n
+    assert(!r.getBoolean(4))            // keep = sign
+  }
+
+  test("qualityClassifier feature count is 2·words−1; keep tracks the sign") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = TextAnalysis.qualityClassifier(docs, "doc_id", "text")
+    import org.apache.spark.sql.functions._
+    val words = TextAnalysis.quality(docs, "doc_id", "text")
+      .select(col("doc_id"), col("n_words"))
+    val joined = out.join(words, "doc_id")
+      .select(col("n_feats") === col("n_words") * 2 - 1,
+        col("keep") === (col("weight_sum") >= 0))
+      .collect()
+    assert(joined.nonEmpty)
+    assert(joined.forall(r => r.getBoolean(0) && r.getBoolean(1)))
+  }
 }

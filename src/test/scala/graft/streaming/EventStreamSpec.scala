@@ -89,4 +89,49 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     assert(streamed == batch)
   }
+
+  test("stream-stream attribution join equals the batch interval join") {
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream_join")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"))
+
+    val q = EventStream.startAttribution(spark, stage.toString, "st6_sink")
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("st6_sink").collect().map(_.toSeq).toSet
+
+    val batch = graft.queries.TextQueries.st6(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
+  test("stream-stream join emits across micro-batch boundaries") {
+    // clicks land in batch 1, their purchases in batch 2: the join must
+    // buffer the click side in state and match when the purchase arrives
+    import org.apache.spark.sql.functions.col
+    // stage the RAW (ts-as-long) rows so the file stream source sees the
+    // same schema as the source table
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(EventStream.eventSchema)
+      .parquet(s"$dir/events.parquet")
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream_join2")
+    raw.filter(col("event_type") === "click").coalesce(1)
+      .write.mode("overwrite").parquet(stage.resolve("b1").toString)
+    val q = EventStream.startAttribution(spark, stage.toString + "/*", "st6b_sink")
+    try {
+      q.processAllAvailable()
+      raw.filter(col("event_type") === "purchase").coalesce(1)
+        .write.mode("overwrite").parquet(stage.resolve("b2").toString)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("st6b_sink").collect().map(_.toSeq).toSet
+    val ev = graft.sources.Tables.events(spark, dir)
+    val batch = EventStream.attributionJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
 }
