@@ -40,6 +40,15 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+      // release per-key executor state before the next key is timed:
+      // cached tables unpersist via the catalog; localCheckpoint RDD
+      // blocks are freed by the ContextCleaner only after their frames
+      // are GARBAGE-COLLECTED — and a ~100 s run never triggers a full
+      // GC on its own, so block-manager memory otherwise ratchets up
+      // across 67 keys × N repeats and later keys evict/spill (measured
+      // 2–4× inflation on late keys vs the same key run in isolation)
+      spark.catalog.clearCache()
+      System.gc()
       name -> times.min
     }
     // REAL micro-batch runs (file source over the same parquet,

@@ -538,4 +538,199 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
+
+  // ---- Product quantization (s4) -------------------------------------------
+
+  /** Train per-subspace PQ codebooks (Jégou, Douze & Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): the vector
+    * splits into `nSub` disjoint `subDim`-wide subvectors, each subspace
+    * gets its own `k`-centroid codebook via the same deterministic
+    * fixed-iteration Lloyd's scheme as [[trainCentroids]] — but under the
+    * paper's metric (L2 on the subvector), argmin with ties to the LOWEST
+    * centroid id, [[KmeansQuant]] fixed-point mean updates, empty cells
+    * keeping their previous centroid. Seeds are the `k` lowest-id corpus
+    * vectors' subvectors (one shared seed id set across subspaces).
+    *
+    * Returns (__m, __cid, __cv array<double>, __cn2). All `nSub`
+    * subspaces train in the SAME jobs — the subspace id is just another
+    * key column, so the iteration cost is one broadcast join + two
+    * keyed aggregations regardless of nSub. */
+  def trainPqCodebooks(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nSub: Int,
+      subDim: Int,
+      k: Int,
+      iters: Int): DataFrame = {
+    val subs = emb
+      .select(col(idCol), explode(sequence(lit(0), lit(nSub - 1))).as("__m"),
+        col(vecCol))
+      .select(col(idCol), col("__m"),
+        slice(col(vecCol), col("__m") * subDim + 1, lit(subDim)).as("__sv"))
+      .withColumn("__sn2", norm2(col("__sv")))
+    var cent = emb.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).as("__cid"),
+        explode(sequence(lit(0), lit(nSub - 1))).as("__m"), col(vecCol))
+      .select(col("__m"), col("__cid"),
+        transform(slice(col(vecCol), col("__m") * subDim + 1, lit(subDim)),
+          x => x.cast("double")).as("__cv"))
+      .localCheckpoint(eager = false)
+    for (_ <- 0 until iters) {
+      val cn = cent.withColumn("__cn2", norm2(col("__cv")))
+      // argmin L2 = max_by of (−dist², −cid): lowest distance, lowest id
+      val d2 = col("__sn2") + col("__cn2") - lit(2.0) * dotD(col("__sv"), col("__cv"))
+      val assigned = subs.join(broadcast(cn), Seq("__m"))
+        .select(col(idCol), col("__m"), col("__sv"), col("__cid"), d2.as("__d2"))
+        .groupBy(col(idCol), col("__m"))
+        .agg(
+          max_by(col("__cid"), struct(-col("__d2"), -col("__cid"))).as("__cell"),
+          first(col("__sv")).as("__sv"))
+      val cnt = assigned.groupBy(col("__m"), col("__cell")).agg(count(lit(1)).as("__cnt"))
+      val sums = assigned
+        .select(col("__m"), col("__cell"), posexplode(col("__sv")).as(Seq("__pos", "__x")))
+        .select(col("__m"), col("__cell"), col("__pos"),
+          floor(col("__x").cast("double") * lit(KmeansQuant)).as("__q"))
+        .groupBy(col("__m"), col("__cell"), col("__pos"))
+        .agg(sum(col("__q")).as("__s"))
+      val means = sums.join(cnt, Seq("__m", "__cell"))
+        .select(col("__m"), col("__cell"), col("__pos"),
+          (col("__s").cast("double") / (lit(KmeansQuant) * col("__cnt").cast("double")))
+            .as("__mn"))
+        .groupBy(col("__m"), col("__cell"))
+        .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__mn")))),
+          x => x.getField("__mn")).as("__mv"))
+      cent = cent.join(means,
+          cent("__m") === means("__m") && cent("__cid") === means("__cell"), "left")
+        .select(cent("__m"), col("__cid"), coalesce(col("__mv"), col("__cv")).as("__cv"))
+        .localCheckpoint(eager = false)
+    }
+    cent.withColumn("__cn2", norm2(col("__cv")))
+  }
+
+  /** PQ-encode the corpus against trained codebooks: each vector becomes
+    * `nSub` one-byte-class codes (dense 0..k−1, the rank of the winning
+    * centroid id) — at 100 TB this is THE point: an `nSub`-byte code per
+    * vector instead of `dim` floats (64× smaller for 64-dim/4-sub), so
+    * the scan side of ANN scoring is code lookups over a table that fits
+    * where the raw vectors never could. Returns one row per vector:
+    * (id, __codes array in subspace order, __rn2 = Σ_m |c_{m,code}|² —
+    * the reconstruction's squared norm, exact because subspaces are
+    * disjoint coordinates; summed in ascending-m fold order so any
+    * engine reproduces it bit-for-bit). */
+  def pqEncode(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: DataFrame,
+      nSub: Int,
+      subDim: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cmap = codebooks.withColumn("__code",
+      (row_number().over(Window.partitionBy(col("__m")).orderBy(col("__cid"))) - 1)
+        .cast("int"))
+    val subs = emb
+      .select(col(idCol), explode(sequence(lit(0), lit(nSub - 1))).as("__m"),
+        col(vecCol))
+      .select(col(idCol), col("__m"),
+        slice(col(vecCol), col("__m") * subDim + 1, lit(subDim)).as("__sv"))
+      .withColumn("__sn2", norm2(col("__sv")))
+    val d2 = col("__sn2") + col("__cn2") - lit(2.0) * dotD(col("__sv"), col("__cv"))
+    subs.join(broadcast(cmap), Seq("__m"))
+      .select(col(idCol), col("__m"), col("__code"), col("__cn2"), d2.as("__d2"))
+      .groupBy(col(idCol), col("__m"))
+      .agg(
+        max_by(struct(col("__code"), col("__cn2")), struct(-col("__d2"), -col("__code")))
+          .as("__win"))
+      .groupBy(col(idCol))
+      .agg(
+        transform(array_sort(collect_list(struct(col("__m"), col("__win.__code").as("__c")))),
+          x => x.getField("__c")).as("__codes"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("__m"), col("__win.__cn2").as("__n")))),
+            x => x.getField("__n")),
+          lit(0.0), (acc, x) => acc + x).as("__rn2"))
+  }
+
+  /** s4: PQ asymmetric-distance top-k (faiss `IndexPQ` shape): queries
+    * keep full precision, the corpus is scanned as PQ codes — per query
+    * the `nSub·k` partial dot products against every codebook centroid
+    * are precomputed ONCE (the ADC lookup table), each candidate scores
+    * as `nSub` table lookups instead of a `dim`-mult dot, and the ADC
+    * shortlist (`shortlist` per query) is reranked by exact cosine over
+    * the raw vectors of the shortlist only.
+    *
+    * Determinism/oracle: codebook training, codes, the lookup tables and
+    * the ascending-m ADC fold are all integer/fixed-order arithmetic —
+    * the DuckDB oracle re-derives the ENTIRE pipeline (unrolled
+    * per-subspace k-means included), so approximation error never means
+    * unverifiability. Recall vs the exact baseline is additionally
+    * floor-asserted in the spec.
+    *
+    * Scale: the ADC scan is query-broadcast × codes map-side (the same
+    * intentionally-linear shape as s1's baseline BUT over nSub-byte codes
+    * — memory traffic drops ~dim·4/nSub-fold, the usual PQ win); the
+    * shortlist is a per-query WindowGroupLimit partial top-k; the rerank
+    * touches only shortlist×1 raw vectors via an equi-join on the
+    * neighbor id. Compose with the IVF cell structure ([[buildIvfIndex]])
+    * to cut the scan to probed cells when even code scans are too wide. */
+  def pqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nSub: Int,
+      subDim: Int,
+      kPerSub: Int,
+      kmeansIters: Int,
+      shortlist: Int): DataFrame = {
+    val cb = trainPqCodebooks(corpus, idCol, vecCol, nSub, subDim, kPerSub, kmeansIters)
+    val cmap = cb.withColumn("__code",
+      (row_number().over(Window.partitionBy(col("__m")).orderBy(col("__cid"))) - 1)
+        .cast("int"))
+    val codes = pqEncode(corpus, idCol, vecCol, cb, nSub, subDim)
+      .select(col(idCol).as("neighbor_id"), col("__codes"), col("__rn2"))
+    // per-query ADC lookup table: pdot(m, code) flattened in (m, code)
+    // order so the scan does element_at(ftab, m·k + code + 1)
+    val qsubs = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        norm2(col(vecCol)).as("__qn2"))
+      .select(col("query_id"), col("__qv"), col("__qn2"),
+        explode(sequence(lit(0), lit(nSub - 1))).as("__m"))
+      .select(col("query_id"), col("__qv"), col("__qn2"), col("__m"),
+        slice(col("__qv"), col("__m") * subDim + 1, lit(subDim)).as("__qsv"))
+    val qtab = qsubs.join(broadcast(cmap), Seq("__m"))
+      .select(col("query_id"), col("__qv"), col("__qn2"), col("__m"), col("__code"),
+        dotD(col("__qsv"), col("__cv")).as("__pdot"))
+      .groupBy(col("query_id"))
+      .agg(
+        first(col("__qv")).as("__qv"), first(col("__qn2")).as("__qn2"),
+        transform(
+          array_sort(collect_list(struct(col("__m"), col("__code"), col("__pdot")))),
+          x => x.getField("__pdot")).as("__ftab"))
+    val adc = aggregate(sequence(lit(0), lit(nSub - 1)), lit(0.0),
+      (acc, m) => acc +
+        element_at(col("__ftab"), m * kPerSub + element_at(col("__codes"), m + 1) + 1))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_cos").desc, col("neighbor_id"))
+    val short = codes.join(broadcast(qtab), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("__qv"), col("__qn2"), col("neighbor_id"),
+        (adc / sqrt(col("__qn2") * col("__rn2"))).as("adc_cos"))
+      .withColumn("__sr", row_number().over(ws))
+      .filter(col("__sr") <= shortlist)
+    // exact rerank over the shortlist's raw vectors only
+    val cvec = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cvv"),
+      norm2(col(vecCol)).as("__cn2r"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    short.join(cvec, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("adc_cos"),
+        cosineFromNorms(dotD(col("__qv"), col("__cvv")), col("__qn2"), col("__cn2r"))
+          .as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"),
+        col("adc_cos"))
+  }
 }

@@ -198,7 +198,10 @@ object TextQueries {
     * classifier ([[TextAnalysis.qualityClassifier]]); stub weight table,
     * real feature-hash → lookup → mean-score → sign-threshold chain. */
   def t9(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.qualityClassifier(Tables.documents(s, dir), "doc_id", "text")
+    // same rationale as t7: per-word HOF hashing is interpreted
+    // (compute-bound), so fan the small parquet split across cores first
+    TextAnalysis.qualityClassifier(
+        Tables.documents(s, dir).repartition(32), "doc_id", "text")
       .orderBy(col("doc_id"))
 
   /** st6: batch face of the STREAM-STREAM interval join

@@ -51,7 +51,14 @@ object ScaleBench {
       // grows, so the two-level prefix sum's map-side bucket drop should
       // keep it near-flat; q25 is the O(delta) claim with delta scaling
       // alongside the table
-      "d8b_dup_spans", "p4_token_budget", "q25_changelog")
+      "d8b_dup_spans", "p4_token_budget", "q25_changelog",
+      // round-5 operators: q26's headline is the O(delta+groups) claim —
+      // delta scales with the table but the maintained-agg merge stays
+      // groups-sized; p6's rank must stay two-level (no whole-stratum
+      // window); t9 is map-side linear; st6's equi-key interval join must
+      // scale like any hash join, never a range cartesian
+      "q26_incremental_rollup", "p6_mix_interleave",
+      "t9_quality_classifier", "st6_stream_join")
 
     // d10 under its HEADLINE claim — batch FIXED (replica 0's % 5 == 4
     // slice; ScaleData id stride keeps replica 0 at the original ids),
@@ -130,6 +137,11 @@ object ScaleBench {
           None
         }
       }
+      // as graft.Bench: drop cached tables + force the GC the
+      // ContextCleaner needs to release localCheckpoint blocks, so one
+      // key's leftover state never inflates the next key's time
+      spark.catalog.clearCache()
+      System.gc()
       name -> times.minOption
     }
     val qs = results.map { case (k, v) =>

@@ -173,4 +173,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
     assert(p.split("Exchange hashpartitioning").length - 1 == 1)
   }
+
+  test("t9 classifier: map-side only — no hash exchange anywhere in the plan") {
+    val p = plan("t9_quality_classifier")
+    assert(p.split("Exchange hashpartitioning").length - 1 == 0)
+    assert(p.contains("ReadSchema: struct<doc_id")) // scan pruned to (id, text)
+    assert(!p.contains("n_chars"))
+  }
+
+  test("p6 interleave: bucket-prefix and mix config broadcast; no stratum-wide window") {
+    val p = plan("p6_mix_interleave")
+    assert(p.split("BroadcastHashJoin").length - 1 == 2)
+    assert(!p.contains("SortMergeJoin"))
+    // raw rows shuffle once for the within-(stratum,bucket) row_number;
+    // the bucket-count agg shuffles once; the stratum-only prefix window
+    // runs on the ≤(strata·buckets)-row AGGREGATE, never the raw rows
+    assert(p.split("Exchange hashpartitioning").length - 1 <= 3)
+  }
+
+  test("q26 maintained rollup: key-equi joins only; agg exchanges are group-keyed") {
+    val p = plan("q26_incremental_rollup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("st6 stream join: equi-key hash join with interval residual, no range cartesian") {
+    val p = plan("st6_stream_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
