@@ -46,6 +46,7 @@ object DedupQueries {
     "s1_knn_bruteforce"  -> ((s, d) => s1(s, d)),
     "s2_knn_lsh"         -> ((s, d) => s2(s, d)),
     "s3_knn_ivf"         -> ((s, d) => s3(s, d)),
+    "s4_knn_pq"          -> ((s, d) => s4(s, d)),
     "p1_curate_corpus"   -> ((s, d) => p1(s, d)),
     "p5_semdedup"        -> ((s, d) => p5(s, d))
   )
@@ -235,6 +236,25 @@ object DedupQueries {
         "vec_id", "embedding", LshK, IvfCentroids, IvfProbes, KmeansIters)
       .orderBy(col("query_id"), col("rank"))
 
+  private val PqSub      = 4  // subspaces (64 dims → 4 × 16)
+  private val PqSubDim   = 16
+  private val PqK        = 16 // centroids per subspace codebook
+  private val PqShortlist = 20 // ADC shortlist per query (4·k) before rerank
+
+  /** s4: PRODUCT-QUANTIZATION ANN (Jégou et al. 2011, faiss IndexPQ
+    * shape): per-subspace trained codebooks → nSub-byte codes per corpus
+    * vector (16× smaller than the raw floats here, the memory-residency
+    * win PQ exists for) → per-query ADC lookup tables → code-scan
+    * shortlist → exact rerank of the shortlist only. Training, codes,
+    * lookup tables and the ADC fold are deterministic integer/fixed-order
+    * arithmetic — the oracle re-runs the whole pipeline, unrolled
+    * per-subspace k-means included; recall vs s1 is floor-asserted in
+    * SimilaritySpec. */
+  def s4(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopK(queryVecs(s, dir), Tables.embeddings(s, dir),
+        "vec_id", "embedding", KnnK, PqSub, PqSubDim, PqK, KmeansIters, PqShortlist)
+      .orderBy(col("query_id"), col("rank"))
+
   // ---- amortized-index bench hooks ----------------------------------------
   // The s3/d6/d10 PRODUCTION path splits the one-time index/codebook build
   // from the per-run probe (the query keys above keep the self-contained
@@ -373,6 +393,64 @@ object DedupQueries {
          |  FROM cent$p p LEFT JOIN kmean$t m ON m.cell = p.cid)""".stripMargin
     }
     (seed +: rounds).mkString(",\n")
+  }
+
+  /** s4's per-subspace PQ pipeline, fully unrolled: `vs2` (subvectors +
+    * norms), seed codebooks, [[KmeansIters]] Lloyd rounds under L2 on the
+    * subvector (ties → lowest centroid id), dense code map, corpus
+    * encoding, per-query ADC tables — all the same fixed-order arithmetic
+    * as Similarity.trainPqCodebooks/pqEncode/pqTopK. Requires NormCte. */
+  private val PqCtes: String = {
+    val (nSub, sd, k) = (4, 16, 16) // PqSub / PqSubDim / PqK
+    def subFold(e: String) =
+      s"list_reduce(list_transform($e, x -> x * x), (a, b) -> a + b)"
+    def subDot(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, ${sd + 1}), i -> $a[i] * $b[i]), (a, b) -> a + b)"
+    val base =
+      s"""vs2 AS (SELECT vec_id, m.range AS m,
+         |    list_transform(range(1, ${sd + 1}), i -> embedding[m.range * $sd + i]::DOUBLE) AS sv
+         |  FROM embeddings CROSS JOIN range(0, $nSub) m),
+         |vs3 AS (SELECT *, ${subFold("sv")} AS sn2 FROM vs2),
+         |pc0 AS (SELECT m.range AS m, vec_id AS cid,
+         |    list_transform(range(1, ${sd + 1}), i -> embedding[m.range * $sd + i]::DOUBLE) AS cv
+         |  FROM embeddings CROSS JOIN range(0, $nSub) m WHERE vec_id < $k)""".stripMargin
+    val rounds = (1 to KmeansIters).map { t =>
+      val p = t - 1
+      s"""pn$p AS (SELECT m, cid, cv, ${subFold("cv")} AS cn2 FROM pc$p),
+         |pa$t AS (SELECT v.vec_id, v.m, v.sv, c.cid,
+         |    v.sn2 + c.cn2 - 2 * ${subDot("v.sv", "c.cv")} AS d2
+         |  FROM vs3 v JOIN pn$p c ON v.m = c.m),
+         |pas$t AS (SELECT vec_id, m, sv, cid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+         |      ORDER BY d2, cid) AS rn FROM pa$t) WHERE rn = 1),
+         |pct$t AS (SELECT m, cell, count(*) AS c FROM pas$t GROUP BY m, cell),
+         |psm$t AS (SELECT m, cell, r.range AS i,
+         |    sum(floor(sv[r.range] * $KmeansQ)::BIGINT) AS s
+         |  FROM pas$t CROSS JOIN range(1, ${sd + 1}) r GROUP BY m, cell, r.range),
+         |pmn$t AS (SELECT m, cell, list(s::DOUBLE / ($KmeansQ * c) ORDER BY i) AS mv
+         |  FROM psm$t JOIN pct$t USING (m, cell) GROUP BY m, cell),
+         |pc$t AS (SELECT p.m, p.cid, coalesce(n.mv, p.cv) AS cv
+         |  FROM pc$p p LEFT JOIN pmn$t n ON n.m = p.m AND n.cell = p.cid)""".stripMargin
+    }
+    val finish =
+      s"""pcf AS (SELECT m, cid, cv, ${subFold("cv")} AS cn2,
+         |    (row_number() OVER (PARTITION BY m ORDER BY cid) - 1) AS code
+         |  FROM pc$KmeansIters),
+         |ea AS (SELECT v.vec_id, v.m, c.code, c.cn2,
+         |    v.sn2 + c.cn2 - 2 * ${subDot("v.sv", "c.cv")} AS d2
+         |  FROM vs3 v JOIN pcf c ON v.m = c.m),
+         |ew AS (SELECT vec_id, m, code, cn2 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+         |      ORDER BY d2, code) AS rn FROM ea) WHERE rn = 1),
+         |cw AS (SELECT vec_id, list(code ORDER BY m) AS codes,
+         |    list_reduce(list(cn2 ORDER BY m), (a, b) -> a + b) AS rn2
+         |  FROM ew GROUP BY vec_id),
+         |qt AS (SELECT v.vec_id AS query_id, c.m, c.code,
+         |    ${subDot("v.sv", "c.cv")} AS pdot
+         |  FROM vs3 v JOIN pcf c ON v.m = c.m WHERE v.vec_id % $QueryStride = 0),
+         |qf AS (SELECT query_id, list(pdot ORDER BY m, code) AS ftab
+         |  FROM qt GROUP BY query_id)""".stripMargin
+    (base +: rounds :+ finish).mkString(",\n")
   }
 
   private val CosPairSql =
@@ -688,6 +766,32 @@ object DedupQueries {
          |LEFT JOIN sz ON sz.cl = cc.cl
          |LEFT JOIN kp ON kp.cl = cc.cl
          |ORDER BY asn.vec_id""".stripMargin,
+
+    // s4: the PQ pipeline re-run end to end — subspace codebooks (L2
+    // Lloyd rounds), dense codes, ADC lookup tables, ascending-m fold,
+    // shortlist, exact rerank of the shortlist only
+    "s4_knn_pq" ->
+      s"""WITH $NormCte,
+         |$PqCtes,
+         |ps AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    list_reduce(list_transform(range(0, 4),
+         |      m -> q.ftab[m * 16 + c.codes[m + 1] + 1]), (a, b) -> a + b)
+         |      / sqrt(n.n2 * c.rn2) AS adc_cos
+         |  FROM qf q JOIN n ON n.vec_id = q.query_id, cw c
+         |  WHERE c.vec_id <> q.query_id),
+         |sl AS (SELECT query_id, neighbor_id, adc_cos FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc_cos DESC, neighbor_id) AS sr FROM ps)
+         |  WHERE sr <= 20),
+         |rr AS (SELECT sl.query_id, sl.neighbor_id, sl.adc_cos,
+         |    ${dotSql("a", "b")} / sqrt(a.n2 * b.n2) AS cos
+         |  FROM sl JOIN n a ON a.vec_id = sl.query_id
+         |           JOIN n b ON b.vec_id = sl.neighbor_id)
+         |SELECT query_id, rank, neighbor_id, cos, adc_cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS rank FROM rr)
+         |WHERE rank <= $KnnK
+         |ORDER BY query_id, rank""".stripMargin,
 
     "s3_knn_ivf" ->
       s"""WITH $NormCte,

@@ -58,7 +58,11 @@ object ScaleBench {
       // window); t9 is map-side linear; st6's equi-key interval join must
       // scale like any hash join, never a range cartesian
       "q26_incremental_rollup", "p6_mix_interleave",
-      "t9_quality_classifier", "st6_stream_join")
+      "t9_quality_classifier", "st6_stream_join",
+      // s4: the ADC scan is linear in corpus×queries BY DESIGN (codes,
+      // not floats) — the curve should track s1's shape at ~1/16 the
+      // scanned bytes, with training amortized like s3's
+      "s4_knn_pq")
 
     // d10 under its HEADLINE claim — batch FIXED (replica 0's % 5 == 4
     // slice; ScaleData id stride keeps replica 0 at the original ids),

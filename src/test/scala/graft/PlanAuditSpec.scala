@@ -155,7 +155,11 @@ class PlanAuditSpec extends SparkSpec {
       // assignment/probe join the broadcast nCells-row centroid table
       "s3_knn_ivf" -> "centroid-table broadcast joins",
       // same centroid joins + the nCells² cell-pair pruning cross
-      "d6_dedup_embcell" -> "centroid-table broadcast joins")
+      "d6_dedup_embcell" -> "centroid-table broadcast joins",
+      // the ADC scan is intentionally linear like s1 — but over nSub-byte
+      // codes, not dim-float vectors (the PQ memory-residency win); the
+      // codebook joins broadcast the 64-row (m, cid) table
+      "s4_knn_pq" -> "broadcast query-side ADC code scan")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed.contains)
       .flatMap { name =>

@@ -219,4 +219,35 @@ class SimilaritySpec extends SparkSpec {
     // sizes are consistent
     assert(perCluster.values.forall(g => g.forall(_.getLong(3) == g.length)))
   }
+
+  test("pqTopK: exact rerank cosines, recall floor, and 16x code compression") {
+    val dir = "/root/testdata/sf0.01"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.filter("vec_id % 100 = 0")
+    def byQuery(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val truth = byQuery(Similarity.knnBruteForce(q, emb, "vec_id", "embedding", 5))
+    val out = Similarity.pqTopK(q, emb, "vec_id", "embedding",
+      k = 5, nSub = 4, subDim = 16, kPerSub = 16, kmeansIters = 2, shortlist = 20)
+    val got = byQuery(out)
+    // the rerank is exact: any returned pair's cosine equals brute force
+    got.foreach { case (pair, cos) =>
+      truth.get(pair).foreach(t => assert(t == cos, s"$pair cos mismatch")) }
+    // 4 subspaces × 16 centroids on uniform-random 64-dim vectors is the
+    // hardest case for PQ; deterministic, so the floor is not flaky
+    val recall = (truth.keySet & got.keySet).size.toDouble / truth.size
+    assert(recall >= 0.3, s"PQ recall $recall below floor")
+    // the codes really are nSub small ints per vector — the 16× memory
+    // claim (4 byte-class codes vs 64 floats) — and rn2 is positive
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding",
+      Similarity.trainPqCodebooks(emb, "vec_id", "embedding", 4, 16, 16, 2), 4, 16)
+      .collect()
+    assert(codes.length == emb.count())
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length == 4 && cs.forall(c => c >= 0 && c < 16))
+      assert(r.getDouble(2) > 0.0)
+    }
+  }
 }
