@@ -115,5 +115,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.sources.VersionedTable.readChanges(
         SparkSession.active, str(a(0)), lng(a(1)), lng(a(2)))
     }
+    tvf(ext, "graft_quality_classifier",
+      "graft_quality_classifier(table, idCol, textCol) - t9 hashed linear quality-classifier scores (n_feats, weight_sum, score, keep)") { a =>
+      graft.operators.TextAnalysis.qualityClassifier(
+        table(str(a(0))), str(a(1)), str(a(2)))
+    }
+    tvf(ext, "graft_mix_interleave",
+      "graft_mix_interleave(table, idCol, stratumCol, 'S1:100,S2:50', salt) - p6 stride-scheduled mixture interleave; weights per stratum, pos is the training-order key") { a =>
+      val weights = str(a(3)).split(',').toSeq.map { kv =>
+        val Array(k, v) = kv.split(':'); (k.trim, v.trim.toInt)
+      }
+      graft.operators.Sampling.mixInterleave(SparkSession.active,
+        table(str(a(0))), str(a(1)), str(a(2)), weights, str(a(4)))
+    }
+    tvf(ext, "graft_knn_pq",
+      "graft_knn_pq(queriesTable, corpusTable, idCol, vecCol, k) - s4 product-quantization ANN (4x16-dim codebooks, ADC shortlist 4k, exact rerank)") { a =>
+      val k = lng(a(4)).toInt
+      graft.operators.Similarity.pqTopK(
+        table(str(a(0))), table(str(a(1))), str(a(2)), str(a(3)),
+        k, nSub = 4, subDim = 16, kPerSub = 16, kmeansIters = 2,
+        shortlist = 4 * k)
+    }
   }
 }

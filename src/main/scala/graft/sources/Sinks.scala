@@ -240,6 +240,12 @@ object Sinks {
       .options(options)
       .csv(path)
 
+  /** ORC sink (overwrite) — columnar lake output for Hive-lineage
+    * consumers; same writer parallelism and partitioning semantics as
+    * the parquet sinks. */
+  def orc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** Single-FILE CSV export at exactly `path` — the reference's final
     * deliverable shape (`lion_parcell_bonus_test_stg.py:26` OUT_CSV /
     * line 313 detail_csv via `DataFrame.to_csv`). A single file is

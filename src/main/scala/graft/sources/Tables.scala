@@ -46,6 +46,13 @@ object Tables {
   def csv(spark: SparkSession, path: String, header: Boolean = true): DataFrame =
     spark.read.option("header", header.toString).csv(path)
 
+  /** ORC ingest — the other columnar lake format (Hive-lineage
+    * warehouses). Same pushdown/pruning behavior as parquet: predicate
+    * and column pruning reach the ORC reader, so a 2-column projection
+    * reads 2 stripes' worth of columns, not the row. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** JSON-lines ingest with malformed-record quarantine: every line
     * parses against the declared schema via `from_json` (null on
     * malformed), valid rows come back typed, rejected rows keep the RAW

@@ -101,6 +101,17 @@ object ScaleBench {
       "d6_dedup_embcell" -> (() =>
         Similarity.cosinePairsCellPruned(Tables.embeddings(spark, sfDir),
           "vec_id", "embedding", thr, nCells, kmeansIters = 2)),
+      // s4 under a FIXED query set (replica 0's stride slice): isolates
+      // the per-query cost — linear in the corpus (the ADC code scan) —
+      // from the query-key's corpus-scaled query set, whose pair space
+      // grows ×k² by construction (the same intentional-linear-scan
+      // shape as s1; the cure at scale is IVF cell probing, not PQ)
+      "s4_fixed_queries" -> (() =>
+        Similarity.pqTopK(
+          Tables.embeddings(spark, sfDir)
+            .filter(col("vec_id") % 100 === 0 && col("vec_id") < 1000000000L),
+          Tables.embeddings(spark, sfDir),
+          "vec_id", "embedding", 5, 4, 16, 16, 2, 20)),
       "s3_knn_ivf" -> (() =>
         Similarity.ivfTopK(
           Tables.embeddings(spark, sfDir).filter(col("vec_id") % 100 === 0),

@@ -94,6 +94,47 @@ class SqlSurfaceSpec extends SparkSpec {
       Seq((1L, "update_postimage"), (1L, "update_preimage"), (3L, "insert")))
   }
 
+  test("graft_quality_classifier from SQL equals the Scala operator") {
+    val fromSql = spark.sql(
+      "SELECT doc_id, weight_sum, keep FROM graft_quality_classifier('docs', 'doc_id', 'text')")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    val direct = graft.operators.TextAnalysis
+      .qualityClassifier(spark.table("docs"), "doc_id", "text")
+      .select("doc_id", "weight_sum", "keep")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    assert(fromSql.nonEmpty && fromSql == direct)
+  }
+
+  test("graft_mix_interleave from SQL equals the Scala operator") {
+    val fromSql = spark.sql(
+      """SELECT doc_id, rank, pos FROM graft_mix_interleave(
+        |  'docs', 'doc_id', 'lang', 'en:100,de:40', 'm1')""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val direct = graft.operators.Sampling.mixInterleave(spark,
+        spark.table("docs"), "doc_id", "lang", Seq("en" -> 100, "de" -> 40), "m1")
+      .select("doc_id", "rank", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(fromSql.nonEmpty && fromSql == direct)
+  }
+
+  test("graft_knn_pq from SQL equals the Scala operator") {
+    spark.sql(
+      s"CREATE OR REPLACE TEMPORARY VIEW embs AS " +
+      s"SELECT vec_id, embedding FROM parquet.`$Sf/embeddings.parquet`")
+    spark.sql(
+      "CREATE OR REPLACE TEMPORARY VIEW embq AS " +
+      "SELECT * FROM embs WHERE vec_id % 20 = 0")
+    val fromSql = spark.sql(
+      "SELECT query_id, rank, neighbor_id FROM graft_knn_pq('embq', 'embs', 'vec_id', 'embedding', 3)")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val direct = graft.operators.Similarity.pqTopK(
+        spark.table("embq"), spark.table("embs"), "vec_id", "embedding",
+        3, 4, 16, 16, 2, 12)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(fromSql.nonEmpty && fromSql == direct)
+  }
+
   test("table functions reject non-literal arguments with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT * FROM graft_quality(lower('DOCS'), 'doc_id', 'text')")

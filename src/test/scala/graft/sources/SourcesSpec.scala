@@ -83,4 +83,20 @@ class SourcesSpec extends SparkSpec {
     val bad = rejected.collect().map(_.getString(0)).toSet
     assert(bad == Set("""{"id": 2 "v": "b"}""", "not json at all"))
   }
+
+  test("ORC round-trips exactly and pushes filter + projection to the reader") {
+    val src = Tables.orders(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/orders"
+    Sinks.orc(src, dir)
+    val back = Tables.orc(spark, dir)
+    assert(back.orderBy("o_orderkey").collect().map(_.toSeq).toSeq ==
+      src.orderBy("o_orderkey").collect().map(_.toSeq).toSeq)
+    // predicate + column pruning reach the ORC scan like parquet
+    val q = back.filter(org.apache.spark.sql.functions.col("o_orderkey") < 100)
+      .select("o_orderkey", "o_totalprice")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(o_orderkey"))
+    assert(plan.contains("ReadSchema: struct<o_orderkey"))
+    assert(!plan.contains("o_comment"))
+  }
 }
