@@ -26,6 +26,7 @@ object TextQueries {
     "t8_pii_redact"      -> ((s, d) => t8(s, d)),
     "t9_quality_classifier" -> ((s, d) => t9(s, d)),
     "m1_multimodal_meta" -> ((s, d) => m1(s, d)),
+    "m3_multimodal_frames" -> ((s, d) => m3(s, d)),
     "m2_multimodal_resize" -> ((s, d) => m2(s, d)),
     "st1_stream_window"  -> ((s, d) => st1(s, d)),
     "st2_stream_session" -> ((s, d) => st2(s, d)),
@@ -96,6 +97,27 @@ object TextQueries {
         "doc_id", "payload", ResizeW, ResizeH),
       "id", "resized")
       .orderBy(col("id"))
+
+  private val FrameBytes  = 64
+  private val FrameStride = 2
+
+  /** m3: FRAME SAMPLING over opaque media payloads — every `stride`-th
+    * fixed-size chunk of each payload becomes its own row (the video
+    * frame-extraction shape: one input row fans out to many, iterator
+    * flatMap, memory bounded by one payload), then a per-frame content
+    * hash + size — the columns a frame-level dedup or embedding pass
+    * keys on. Chunking is the codec stub (as m1/m2); the fan-out
+    * plumbing, schema, and per-frame hashing are real and the oracle
+    * re-derives every frame byte-for-byte. */
+  def m3(s: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSample(
+        Multimodal.withPayload(Tables.documents(s, dir), "text"),
+        "doc_id", "payload", FrameBytes, FrameStride)
+      .select(col("id"), col("frame_idx"),
+        length(col("frame_bytes")).cast("long").as("n_bytes"),
+        graft.functions.TextHash.charPolyHash(col("frame_bytes").cast("string"))
+          .as("frame_hash"))
+      .orderBy(col("id"), col("frame_idx"))
 
   /** st1: the batch run of the SAME transform the streaming job executes
     * (graft.streaming.EventStream.windowedAgg) — batch/stream unification
@@ -348,6 +370,21 @@ object TextQueries {
          |  (16 + (fp // 480) % 270)::BIGINT AS height,
          |  ((16 + fp % 480) * (16 + (fp // 480) % 270))::BIGINT AS n_pixels
          |FROM h ORDER BY doc_id""".stripMargin,
+
+    // m3: frames re-derived by substring arithmetic (ASCII corpus: chars
+    // ≡ bytes, the same equivalence m1/m2 already rely on); the lateral
+    // range enumerates ceil(len/frameBytes) frames, stride filters
+    "m3_multimodal_frames" ->
+      s"""WITH f AS (SELECT doc_id, text, r.range AS frame_idx
+         |  FROM documents CROSS JOIN range(0, 4096) r
+         |  WHERE r.range < ceil(length(text) / $FrameBytes.0)
+         |    AND r.range % $FrameStride = 0),
+         |s AS (SELECT doc_id, frame_idx,
+         |    substr(text, (frame_idx * $FrameBytes + 1)::INT, $FrameBytes) AS fr
+         |  FROM f)
+         |SELECT doc_id AS id, frame_idx, length(fr)::BIGINT AS n_bytes,
+         |  ${polyHashSql("fr")} AS frame_hash
+         |FROM s ORDER BY id, frame_idx""".stripMargin,
 
     "st4_stream_state" ->
       """WITH se AS (
