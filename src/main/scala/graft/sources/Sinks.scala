@@ -105,7 +105,8 @@ object Sinks {
       runTs: org.apache.spark.sql.Column,
       statusCol: String,
       doneValue: String,
-      changeFeed: Boolean = true): Long = {
+      changeFeed: Boolean = true,
+      extraTables: Map[String, DataFrame] = Map.empty): Long = {
     val target = VersionedTable.currentVersion(spark, tableRoot) match {
       case Some(_) => VersionedTable.read(spark, tableRoot)
       case None => graft.operators.IncrementalMerge.emptyTarget(staging, key, statusCol)
@@ -119,10 +120,10 @@ object Sinks {
     // the run's CHANGE DATA FEED rides the same commit: O(delta) rows,
     // published atomically with the snapshot they describe, readable via
     // VersionedTable.readChanges for incremental downstream consumers
-    val extras =
-      if (!changeFeed) Map.empty[String, DataFrame]
-      else Map("changes" -> graft.operators.IncrementalMerge
-        .changeFeed(target, staging, key, runTs, statusCol, doneValue))
+    val extras = extraTables ++
+      (if (!changeFeed) Map.empty[String, DataFrame]
+       else Map("changes" -> graft.operators.IncrementalMerge
+         .changeFeed(target, staging, key, runTs, statusCol, doneValue)))
     // no checkpoint needed: the commit writes to a fresh version dir, so
     // the plan can read the current snapshot while writing the next one;
     // a bloom on the merge key keeps readWhere point lookups prunable

@@ -467,6 +467,24 @@ object VersionedTable {
     if (fs(spark, root).exists(p)) Some(spark.read.parquet(p.toString)) else None
   }
 
+  /** Highest transaction id committed under `appId` — the idempotent-sink
+    * high-water mark (Delta's txnAppId/txnVersion pattern): a streaming
+    * writer stamps each commit with a ("txn" extra) `(app_id, batch_id)`
+    * row, and on restart/replay skips any batch at or below this mark.
+    * Scans versions newest-first and stops at the first commit carrying
+    * the app's stamp; commits from other writers (no txn extra) are
+    * passed over. O(versions since the app's last commit). */
+  def lastTxn(spark: SparkSession, root: String, appId: String): Option[Long] = {
+    import org.apache.spark.sql.functions.col
+    versions(spark, root).sorted.reverse.iterator
+      .flatMap { v =>
+        readExtra(spark, root, v, "txn").toSeq
+          .flatMap(_.filter(col("app_id") === appId)
+            .collect().map(_.getAs[Long]("batch_id")))
+      }
+      .nextOption()
+  }
+
   /** CHANGE DATA FEED over a committed version range: the per-version
     * `changes` extras of `fromV..toV` (inclusive), each stamped with its
     * `_commit_version` — the incremental-consumer read path ("give me

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sources.VersionedTable
+
+/** Streaming transactional upsert: one snapshot per micro-batch,
+  * exactly-once under foreachBatch replay via the atomic txn stamp. */
+class UpsertStreamSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val runTs = lit("2024-02-01 00:00:00").cast("timestamp")
+
+  test("two micro-batches land as two snapshots; final state = batch merge of the feed") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ups").toString + "/t"
+    val stage = java.nio.file.Files.createTempDirectory("graft_ups_src")
+    // batch 1: events before Jan 10; batch 2: the rest — landed as two
+    // separate files so the file source yields two micro-batches
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(EventStream.eventSchema)
+      .parquet(s"$dir/events.parquet")
+    val cut = java.sql.Timestamp.valueOf("2024-01-10 00:00:00").getTime * 1000000L
+    raw.filter(col("ts") < cut).coalesce(1)
+      .write.parquet(stage.resolve("b1").toString)
+
+    val q1 = UpsertStream.start(spark, stage.toString + "/*", root, "app1",
+      runTs, availableNow = true)
+    q1.awaitTermination()
+    val vAfter1 = VersionedTable.currentVersion(spark, root).get
+
+    raw.filter(col("ts") >= cut).coalesce(1)
+      .write.parquet(stage.resolve("b2").toString)
+    val q2 = UpsertStream.start(spark, stage.toString + "/*", root, "app1",
+      runTs, availableNow = true)
+    q2.awaitTermination()
+    val vAfter2 = VersionedTable.currentVersion(spark, root).get
+    assert(vAfter2 > vAfter1)
+
+    // final table state: every user at their latest event, soft deletes on
+    // purchase — the same result as running the q3-style merge over the
+    // accumulated feed batch-wise
+    val got = VersionedTable.read(spark, root)
+      .select("id", "last_status").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = graft.operators.Snapshots
+      .stateAsOf(graft.sources.Tables.events(spark, dir),
+        "user_id", "ts", "event_type", "event_id", None)
+      .select("id", "last_status").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == want)
+    // both snapshots carry the app's txn stamp; the mark is the last batch
+    assert(VersionedTable.lastTxn(spark, root, "app1").nonEmpty)
+    assert(VersionedTable.lastTxn(spark, root, "other-app").isEmpty)
+  }
+
+  test("a replayed batch id is skipped; a new one commits (exactly-once)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ups2").toString + "/t"
+    def ev(id: Long, t: String, typ: String) =
+      (id, java.sql.Timestamp.valueOf(t), id, typ, 1.0, "{}")
+    val b0 = Seq(ev(1, "2024-01-01 00:00:00", "view"),
+        ev(2, "2024-01-02 00:00:00", "click"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    assert(UpsertStream.upsertBatch(spark, root, b0, 0L, "app", runTs, "purchase").nonEmpty)
+    val v1 = VersionedTable.currentVersion(spark, root).get
+    // at-least-once delivery: the SAME batch id arrives again → no-op
+    assert(UpsertStream.upsertBatch(spark, root, b0, 0L, "app", runTs, "purchase").isEmpty)
+    assert(VersionedTable.currentVersion(spark, root).get == v1)
+    // the next batch id commits
+    assert(UpsertStream.upsertBatch(spark, root, b0, 1L, "app", runTs, "purchase").nonEmpty)
+    assert(VersionedTable.currentVersion(spark, root).get > v1)
+    assert(VersionedTable.lastTxn(spark, root, "app").contains(1L))
+  }
+}
