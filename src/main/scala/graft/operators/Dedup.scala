@@ -711,4 +711,40 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("ida"), col("idb"), col("hamming"))
   }
+
+  /** d11: BLOCKED FUZZY JOIN — the entity-resolution primitive: doc pairs
+    * whose normalized `prefixLen`-char prefixes are within `maxDist` edit
+    * distance, candidate pairs generated by EXACT-match blocking on the
+    * first `blockLen` chars (the classic prefix-blocking scheme; two
+    * records must agree on the block key to ever be compared).
+    *
+    * Unlike the shingle/minhash family (set similarity), this is SEQUENCE
+    * similarity — typos, small insertions, reorderings at the edit level —
+    * the matcher record-linkage pipelines run on titles/names/addresses.
+    * `levenshtein` is the classic DP edit distance with identical
+    * semantics in Spark and DuckDB, so the operator stays hash-checkable.
+    *
+    * Scale: the only shuffle is the equi-join on the block key; the
+    * quadratic term is bounded per block (choose `blockLen` so blocks are
+    * small; skewed blocks split via AQE). The O(prefixLen²) DP runs only
+    * on within-block pairs. Blocking trades recall for that bound — a
+    * typo INSIDE the block key hides the pair (the spec pins this) —
+    * production stacks run several complementary block keys unioned. */
+  def fuzzyJoinPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      prefixLen: Int,
+      blockLen: Int,
+      maxDist: Int): DataFrame = {
+    val p = docs.select(col(idCol),
+        substring(normText(col(textCol)), 1, prefixLen).as("__pfx"))
+      .withColumn("__blk", substring(col("__pfx"), 1, blockLen))
+    val a = p.select(col(idCol).as("ida"), col("__pfx").as("__pa"), col("__blk"))
+    val b = p.select(col(idCol).as("idb"), col("__pfx").as("__pb"), col("__blk"))
+    a.join(b, Seq("__blk")).filter(col("ida") < col("idb"))
+      .withColumn("edit_dist", levenshtein(col("__pa"), col("__pb")).cast("long"))
+      .filter(col("edit_dist") <= maxDist)
+      .select(col("ida"), col("idb"), col("edit_dist"))
+  }
 }

@@ -43,6 +43,7 @@ object DedupQueries {
     "d9_decontaminate"   -> ((s, d) => d9(s, d)),
     "d9b_decontaminate_spans" -> ((s, d) => d9b(s, d)),
     "d10_incremental_dedup" -> ((s, d) => d10(s, d)),
+    "d11_fuzzy_join"     -> ((s, d) => d11(s, d)),
     "s1_knn_bruteforce"  -> ((s, d) => s1(s, d)),
     "s2_knn_lsh"         -> ((s, d) => s2(s, d)),
     "s3_knn_ivf"         -> ((s, d) => s3(s, d)),
@@ -166,6 +167,19 @@ object DedupQueries {
         "doc_id", "text", WindowK)
       .orderBy(col("doc_id"))
   }
+
+  private val FuzzyPrefixLen = 40
+  private val FuzzyBlockLen  = 6
+  private val FuzzyMaxDist   = 3
+
+  /** d11: blocked fuzzy (edit-distance) join — sequence-similarity pairs
+    * over normalized 40-char prefixes, prefix-blocked; the
+    * record-linkage/entity-resolution matcher beside the set-similarity
+    * dedup family. See [[Dedup.fuzzyJoinPairs]]. */
+  def d11(s: SparkSession, dir: String): DataFrame =
+    Dedup.fuzzyJoinPairs(Tables.documents(s, dir), "doc_id", "text",
+        FuzzyPrefixLen, FuzzyBlockLen, FuzzyMaxDist)
+      .orderBy(col("ida"), col("idb"))
 
   /** d10: incremental cross-corpus dedup — the daily-arrivals pattern: a
     * deterministic 20% slice plays the NEW batch, the rest the standing
@@ -479,6 +493,18 @@ object DedupQueries {
          |SELECT ida, idb, jaccard FROM jp ORDER BY ida, idb""".stripMargin,
 
     "d3_dedup_minhash" -> JaccardPairSql,
+
+    // d11: identical normalization, blocking and DP edit distance
+    // (levenshtein has the same classic semantics in both engines)
+    "d11_fuzzy_join" ->
+      s"""WITH nrm AS (SELECT doc_id, $NormExpr AS nt FROM documents),
+         |p AS (SELECT doc_id, substr(nt, 1, $FuzzyPrefixLen) AS pfx,
+         |    substr(nt, 1, $FuzzyBlockLen) AS blk FROM nrm)
+         |SELECT a.doc_id AS ida, b.doc_id AS idb,
+         |  levenshtein(a.pfx, b.pfx)::BIGINT AS edit_dist
+         |FROM p a JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id
+         |WHERE levenshtein(a.pfx, b.pfx) <= $FuzzyMaxDist
+         |ORDER BY ida, idb""".stripMargin,
 
     "d4_dedup_simhash" ->
       s"""WITH $ShingleCtes,

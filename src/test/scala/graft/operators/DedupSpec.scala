@@ -308,4 +308,22 @@ class DedupSpec extends SparkSpec {
     } yield (a, b, h.toLong)
     assert(pairs.sorted == brute.sorted.toList)
   }
+
+  test("fuzzyJoinPairs: within-block edit-distance pairs; blocking bounds recall") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamme delta"),   // 1 edit from doc 1, same block
+      (3L, "alpha beta XXXXX YYYYY"),   // same block, far from 1/2
+      (4L, "alpho beta gamma delta"),   // 1 edit from doc 1 INSIDE the block key
+      (5L, "zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val out = Dedup.fuzzyJoinPairs(docs, "doc_id", "text",
+        prefixLen = 20, blockLen = 6, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out.contains((1L, 2L, 1L)))                 // caught: 1 edit, same block
+    assert(!out.exists(p => p._1 == 4L || p._2 == 4L)) // blocking recall limit:
+    // the typo sits inside the 6-char block key, so doc 4 is never compared
+    assert(!out.exists(p => p._2 == 3L && p._3 <= 3L)) // far pair excluded
+    assert(!out.exists(p => p._1 == 5L || p._2 == 5L))
+  }
 }
