@@ -742,9 +742,15 @@ object Dedup {
       .withColumn("__blk", substring(col("__pfx"), 1, blockLen))
     val a = p.select(col(idCol).as("ida"), col("__pfx").as("__pa"), col("__blk"))
     val b = p.select(col(idCol).as("idb"), col("__pfx").as("__pb"), col("__blk"))
+    // bounded-distance levenshtein (Spark 3.5+ threshold form): the DP
+    // runs a 2·maxDist+1 band — O(maxDist·len) per pair instead of
+    // O(len²) — and returns −1 past the bound; for kept pairs the value
+    // equals the unbounded distance, so the oracle's plain
+    // `levenshtein(a,b) <= maxDist` filter selects the identical rows
     a.join(b, Seq("__blk")).filter(col("ida") < col("idb"))
-      .withColumn("edit_dist", levenshtein(col("__pa"), col("__pb")).cast("long"))
-      .filter(col("edit_dist") <= maxDist)
+      .withColumn("edit_dist",
+        levenshtein(col("__pa"), col("__pb"), maxDist).cast("long"))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
       .select(col("ida"), col("idb"), col("edit_dist"))
   }
 }

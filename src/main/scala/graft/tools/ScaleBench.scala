@@ -62,7 +62,11 @@ object ScaleBench {
       // s4: the ADC scan is linear in corpus×queries BY DESIGN (codes,
       // not floats) — the curve should track s1's shape at ~1/16 the
       // scanned bytes, with training amortized like s3's
-      "s4_knn_pq")
+      "s4_knn_pq",
+      // d11: per-block quadratic — replicas are Caesar-rotated, so blocks
+      // never merge across replicas and the within-block term stays at
+      // the original corpus's size; m3: pure flatMap fan-out
+      "d11_fuzzy_join", "m3_multimodal_frames")
 
     // d10 under its HEADLINE claim — batch FIXED (replica 0's % 5 == 4
     // slice; ScaleData id stride keeps replica 0 at the original ids),

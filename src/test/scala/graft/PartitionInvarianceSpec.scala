@@ -21,7 +21,8 @@ class PartitionInvarianceSpec extends SparkSpec {
   private val keys = Seq(
     "q1_pricing_summary", "d3_dedup_minhash", "d4_dedup_simhash",
     "s3_knn_ivf", "s4_knn_pq", "p3_pack_sequences", "p6_mix_interleave",
-    "q26_incremental_rollup", "t9_quality_classifier")
+    "q26_incremental_rollup", "t9_quality_classifier",
+    "d11_fuzzy_join", "m3_multimodal_frames")
 
   test("results are bit-identical under different shuffle partition counts") {
     val conf = "spark.sql.shuffle.partitions"
