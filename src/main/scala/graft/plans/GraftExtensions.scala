@@ -128,6 +128,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.operators.Sampling.mixInterleave(SparkSession.active,
         table(str(a(0))), str(a(1)), str(a(2)), weights, str(a(4)))
     }
+    tvf(ext, "graft_fuzzy_join",
+      "graft_fuzzy_join(table, idCol, textCol, prefixLen, blockLen, maxDist) - d11 blocked edit-distance pairs (ida, idb, edit_dist)") { a =>
+      graft.operators.Dedup.fuzzyJoinPairs(table(str(a(0))), str(a(1)), str(a(2)),
+        lng(a(3)).toInt, lng(a(4)).toInt, lng(a(5)).toInt)
+    }
     tvf(ext, "graft_knn_pq",
       "graft_knn_pq(queriesTable, corpusTable, idCol, vecCol, k) - s4 product-quantization ANN (4x16-dim codebooks, ADC shortlist 4k, exact rerank)") { a =>
       val k = lng(a(4)).toInt

@@ -135,6 +135,16 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(fromSql.nonEmpty && fromSql == direct)
   }
 
+  test("graft_fuzzy_join from SQL equals the Scala operator") {
+    val fromSql = spark.sql(
+      "SELECT ida, idb, edit_dist FROM graft_fuzzy_join('docs', 'doc_id', 'text', 40, 6, 3)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val direct = graft.operators.Dedup
+      .fuzzyJoinPairs(spark.table("docs"), "doc_id", "text", 40, 6, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(fromSql == direct)
+  }
+
   test("table functions reject non-literal arguments with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT * FROM graft_quality(lower('DOCS'), 'doc_id', 'text')")
