@@ -68,12 +68,19 @@ object IncrementalAgg {
       .groupBy(keys.map(col): _*)
       .agg(sum(col("__sign")).as("__dn"),
         measureNames.map(n => sum(col(n) * col("__sign")).as(s"__d_$n")): _*)
-    agg.join(deltas, keys, "full_outer")
-      .select(keys.map(col) ++
-        ((coalesce(col("n_rows"), lit(0L)) + coalesce(col("__dn"), lit(0L)))
+    // NULL-SAFE join on the group keys: groupBy puts all null-key rows in
+    // ONE group, so the merge must match them too (a plain equi-join would
+    // emit two rows for a null-valued group key — e.g. a day derived from
+    // a null timestamp — breaking maintenance ≡ recompute)
+    val a = agg.alias("__a")
+    val d = deltas.alias("__d")
+    val cond = keys.map(k => col(s"__a.$k") <=> col(s"__d.$k")).reduce(_ && _)
+    a.join(d, cond, "full_outer")
+      .select(keys.map(k => coalesce(col(s"__a.$k"), col(s"__d.$k")).as(k)) ++
+        ((coalesce(col("__a.n_rows"), lit(0L)) + coalesce(col("__d.__dn"), lit(0L)))
           .as("n_rows") +:
           measureNames.map(n =>
-            (coalesce(col(n), lit(0L)) + coalesce(col(s"__d_$n"), lit(0L)))
+            (coalesce(col(s"__a.$n"), lit(0L)) + coalesce(col(s"__d.__d_$n"), lit(0L)))
               .as(n))): _*)
       .filter(col("n_rows") > 0)
   }

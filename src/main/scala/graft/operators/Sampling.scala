@@ -163,6 +163,11 @@ object Sampling {
       stratumCol: String,
       weights: Seq[(String, Int)],
       salt: String): DataFrame = {
+    // a zero (or negative) weight would make the integer `div` emit null
+    // positions silently, corrupting the training order — fail fast
+    require(weights.forall(_._2 > 0),
+      s"mixInterleave weights must be > 0, got: " +
+        weights.filter(_._2 <= 0).map { case (s, w) => s"$s:$w" }.mkString(","))
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val weightsDf = weights.toDF(stratumCol, "weight")

@@ -541,6 +541,18 @@ object Similarity {
 
   // ---- Product quantization (s4) -------------------------------------------
 
+  /** Guard: PQ subspace slicing would silently produce short/empty
+    * subvectors when the vector length doesn't match `nSub·subDim` —
+    * returning plausible-looking but WRONG neighbors instead of an error
+    * (e.g. the SQL surface's fixed 4×16 config applied to non-64-dim
+    * vectors). Fail fast per row instead; checked once per vector, before
+    * the subspace explode. */
+  private def requireDim(
+      vec: org.apache.spark.sql.Column, nSub: Int, subDim: Int): org.apache.spark.sql.Column =
+    when(size(vec) === lit(nSub * subDim), vec).otherwise(raise_error(concat(
+      lit(s"graft PQ: expected vector dim ${nSub * subDim} (nSub=$nSub x subDim=$subDim), got "),
+      size(vec).cast("string"))))
+
   /** Train per-subspace PQ codebooks (Jégou, Douze & Schmid, "Product
     * Quantization for Nearest Neighbor Search", TPAMI 2011): the vector
     * splits into `nSub` disjoint `subDim`-wide subvectors, each subspace
@@ -563,13 +575,15 @@ object Similarity {
       subDim: Int,
       k: Int,
       iters: Int): DataFrame = {
-    val subs = emb
+    val embChecked =
+      emb.select(col(idCol), requireDim(col(vecCol), nSub, subDim).as(vecCol))
+    val subs = embChecked
       .select(col(idCol), explode(sequence(lit(0), lit(nSub - 1))).as("__m"),
         col(vecCol))
       .select(col(idCol), col("__m"),
         slice(col(vecCol), col("__m") * subDim + 1, lit(subDim)).as("__sv"))
       .withColumn("__sn2", norm2(col("__sv")))
-    var cent = emb.orderBy(col(idCol)).limit(k)
+    var cent = embChecked.orderBy(col(idCol)).limit(k)
       .select(col(idCol).as("__cid"),
         explode(sequence(lit(0), lit(nSub - 1))).as("__m"), col(vecCol))
       .select(col("__m"), col("__cid"),
@@ -630,6 +644,7 @@ object Similarity {
       (row_number().over(Window.partitionBy(col("__m")).orderBy(col("__cid"))) - 1)
         .cast("int"))
     val subs = emb
+      .select(col(idCol), requireDim(col(vecCol), nSub, subDim).as(vecCol))
       .select(col(idCol), explode(sequence(lit(0), lit(nSub - 1))).as("__m"),
         col(vecCol))
       .select(col(idCol), col("__m"),
@@ -694,7 +709,7 @@ object Similarity {
     // per-query ADC lookup table: pdot(m, code) flattened in (m, code)
     // order so the scan does element_at(ftab, m·k + code + 1)
     val qsubs = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      .select(col(idCol).as("query_id"), requireDim(col(vecCol), nSub, subDim).as("__qv"),
         norm2(col(vecCol)).as("__qn2"))
       .select(col("query_id"), col("__qv"), col("__qn2"),
         explode(sequence(lit(0), lit(nSub - 1))).as("__m"))

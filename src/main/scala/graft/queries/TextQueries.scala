@@ -372,16 +372,19 @@ object TextQueries {
          |FROM h ORDER BY doc_id""".stripMargin,
 
     // m3: frames re-derived by substring arithmetic (ASCII corpus: chars
-    // ≡ bytes, the same equivalence m1/m2 already rely on); the lateral
-    // range enumerates ceil(len/frameBytes) frames, stride filters
+    // ≡ bytes, the same equivalence m1/m2 already rely on); the per-row
+    // list range enumerates ceil(len/frameBytes) frames — derived from
+    // EACH payload's length, so no payload size can overflow a fixed
+    // enumeration cap — stride filters
     "m3_multimodal_frames" ->
-      s"""WITH f AS (SELECT doc_id, text, r.range AS frame_idx
-         |  FROM documents CROSS JOIN range(0, 4096) r
-         |  WHERE r.range < ceil(length(text) / $FrameBytes.0)
-         |    AND r.range % $FrameStride = 0),
+      s"""WITH f AS (SELECT doc_id, text,
+         |    unnest(range(0, ceil(length(text) / $FrameBytes.0)::BIGINT)) AS frame_idx
+         |  FROM documents),
+         |f2 AS (SELECT doc_id, text, frame_idx FROM f
+         |  WHERE frame_idx % $FrameStride = 0),
          |s AS (SELECT doc_id, frame_idx,
          |    substr(text, (frame_idx * $FrameBytes + 1)::INT, $FrameBytes) AS fr
-         |  FROM f)
+         |  FROM f2)
          |SELECT doc_id AS id, frame_idx, length(fr)::BIGINT AS n_bytes,
          |  ${polyHashSql("fr")} AS frame_hash
          |FROM s ORDER BY id, frame_idx""".stripMargin,

@@ -106,7 +106,8 @@ object Sinks {
       statusCol: String,
       doneValue: String,
       changeFeed: Boolean = true,
-      extraTables: Map[String, DataFrame] = Map.empty): Long = {
+      extraTables: Map[String, DataFrame] = Map.empty,
+      preCommit: Long => Unit = _ => ()): Long = {
     val target = VersionedTable.currentVersion(spark, tableRoot) match {
       case Some(_) => VersionedTable.read(spark, tableRoot)
       case None => graft.operators.IncrementalMerge.emptyTarget(staging, key, statusCol)
@@ -128,7 +129,8 @@ object Sinks {
     // the plan can read the current snapshot while writing the next one;
     // a bloom on the merge key keeps readWhere point lookups prunable
     // even before the table is clustered
-    VersionedTable.commit(merged, tableRoot, extras = extras, bloomCols = Seq(key))
+    VersionedTable.commit(merged, tableRoot, extras = extras,
+      bloomCols = Seq(key), preCommit = preCommit)
   }
 
   /** [[upsertByKeyVersioned]] with FILE-GRANULAR COPY-ON-WRITE — the form

@@ -81,12 +81,21 @@ object VersionedTable {
     * version. The data is written ONCE to a private staging dir; claiming,
     * moving and publishing are three metadata operations (create, dir
     * rename, create) — a lost claim race costs one retried empty-file
-    * create, never a data rewrite. */
+    * create, never a data rewrite.
+    *
+    * `preCommit(v)` runs AFTER the version claim and before anything is
+    * published: an idempotence/conflict re-validation point (e.g. the
+    * streaming upsert re-checking its txn high-water mark against commits
+    * that landed since its read). A throw aborts the commit — the staging
+    * data is removed and only the claimed-but-unpublished version number
+    * remains, which later writers skip by protocol. */
   def commit(
       df: DataFrame, root: String, collectStats: Boolean = true,
       extras: Map[String, DataFrame] = Map.empty,
-      bloomCols: Seq[String] = Nil): Long =
-    commitWith(df, root, collectStats, extras, (_, _, _) => (), bloomCols)
+      bloomCols: Seq[String] = Nil,
+      preCommit: Long => Unit = _ => ()): Long =
+    commitWith(df, root, collectStats, extras, (_, _, _) => (), bloomCols,
+      preCommit)
 
   /** [[commit]] with a pre-publish hook: `finalize(fs, versionDir, v)`
     * runs after the staging dir is renamed into place but BEFORE the
@@ -98,7 +107,8 @@ object VersionedTable {
       df: DataFrame, root: String, collectStats: Boolean,
       extras: Map[String, DataFrame],
       finalizeVersion: (org.apache.hadoop.fs.FileSystem, Path, Long) => Unit,
-      bloomCols: Seq[String] = Nil): Long = {
+      bloomCols: Seq[String] = Nil,
+      preCommit: Long => Unit = _ => ()): Long = {
     val spark = df.sparkSession
     val f = fs(spark, root)
     f.mkdirs(commitDir(root))
@@ -158,6 +168,11 @@ object VersionedTable {
         }
       if (!claimed) v += 1
     }
+    // (2b) caller's pre-publish validation, run while holding the claim:
+    // a throw aborts the commit — remove the staging data, keep the claim
+    // (later writers skip claimed-but-unpublished numbers by protocol)
+    try preCommit(v)
+    catch { case e: Throwable => f.delete(staging, true); throw e }
     // (3) move staging into place — we own v, so the dir is free modulo
     // garbage from a writer that crashed after claiming this very number
     val dir = versionDir(root, v)

@@ -23,6 +23,17 @@ import graft.sources.{Sinks, VersionedTable}
   * the stamp publishes atomically with the data, there is no window where
   * the data landed but the stamp didn't.
   *
+  * CONTRACT: one live writer per `(tableRoot, appId)` — the Delta
+  * txnAppId contract. The high-water check is additionally RE-VALIDATED
+  * inside the commit itself (after the version claim, before publish), so
+  * a zombie writer that lost a long pause between its first check and its
+  * commit — executor failover, GC stall — aborts instead of double-
+  * applying the batch. The re-check sees only PUBLISHED commits, so two
+  * writers racing the same batch concurrently can in principle still both
+  * land (their claims don't order their publishes); the single-writer
+  * contract is what rules that out, the in-commit check is defense against
+  * the zombie/stall shape, which is the one that occurs in practice.
+  *
   * Scale: each micro-batch pays one delta-sized merge (or the COW form
   * for clustered tables) + a metadata commit; state lives in the table,
   * not the stream — the query itself is stateless, so no watermark or
@@ -47,11 +58,24 @@ object UpsertStream {
       import spark.implicits._
       val staging = Snapshots.stateAsOf(batch, "user_id", "ts", "event_type",
         "event_id", None)
-      Some(Sinks.upsertByKeyVersioned(spark, tableRoot, staging, "id", runTs,
+      try Some(Sinks.upsertByKeyVersioned(spark, tableRoot, staging, "id", runTs,
         "last_status", doneValue,
-        extraTables = Map("txn" -> Seq((appId, batchId)).toDF("app_id", "batch_id"))))
+        extraTables = Map("txn" -> Seq((appId, batchId)).toDF("app_id", "batch_id")),
+        preCommit = _ =>
+          // zombie defense: a commit stamping >= batchId landed since the
+          // gate above (we stalled mid-batch and a replacement writer ran)
+          if (VersionedTable.lastTxn(spark, tableRoot, appId).exists(_ >= batchId))
+            throw new StaleBatchException(appId, batchId)))
+      catch { case _: StaleBatchException => None }
     }
   }
+
+  /** Thrown inside the commit when the batch's txn stamp is already at or
+    * below the published high-water mark — the batch was applied by
+    * another (replacement) writer while this one stalled. */
+  final class StaleBatchException(appId: String, batchId: Long)
+    extends RuntimeException(
+      s"batch $batchId for app $appId already committed — aborting stale commit")
 
   /** Run the event file stream into the versioned table. One snapshot per
     * micro-batch; idempotent under replay via the txn stamp. */
@@ -69,7 +93,9 @@ object UpsertStream {
         upsertBatch(spark, tableRoot, batch, batchId, appId, runTs, doneValue)
         ()
       }
-      .option("checkpointLocation", tableRoot + "_checkpoint")
+      // per-appId checkpoint: two apps writing one tableRoot must not
+      // share stream progress state
+      .option("checkpointLocation", tableRoot + "_checkpoint_" + appId)
     (if (availableNow)
        w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
      else w).start()

@@ -61,4 +61,32 @@ class IncrementalAggSpec extends SparkSpec {
       "g1" -> ((3L, 6L)),  // {1,2} + moved 3
       "g3" -> ((1L, 4L)))) // fresh insert; g2 emptied → absent
   }
+
+  test("null group keys maintain as ONE group (null-safe merge join)") {
+    // groupBy puts all null-key rows in one group; the maintenance join
+    // must match that group too — a plain equi-join would emit a split
+    // null-group row and break maintenance ≡ recompute
+    val agg = IncrementalAgg.rollup(
+      Seq((1L, Some("g1")), (2L, None), (3L, None))
+        .toDF("id", "grp"),
+      Seq("grp"), Seq("key_checksum" -> col("id")))
+    val changes = Seq(
+      (4L, None: Option[String], "insert"),          // null group grows
+      (2L, None: Option[String], "update_preimage"), // null group shrinks
+      (2L, Some("g1"), "update_postimage"))          // ... row moves to g1
+      .toDF("id", "grp", "_change_type")
+    val out = IncrementalAgg.applyChanges(agg, changes,
+        Seq("grp"), Seq("key_checksum" -> col("id")))
+      .collect().map(r => Option(r.getString(0)) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(
+      Some("g1") -> ((2L, 3L)),  // {1} + moved 2
+      None       -> ((2L, 7L)))) // {3} + inserted 4 - moved 2 → one row
+    // and it matches a recompute of the post-change state
+    val recomputed = IncrementalAgg.rollup(
+      Seq((1L, Some("g1")), (2L, Some("g1")), (3L, None), (4L, None))
+        .toDF("id", "grp"),
+      Seq("grp"), Seq("key_checksum" -> col("id")))
+      .collect().map(r => Option(r.getString(0)) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == recomputed)
+  }
 }

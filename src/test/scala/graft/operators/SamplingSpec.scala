@@ -118,6 +118,18 @@ class SamplingSpec extends SparkSpec {
     assert(counts == Map("s0" -> 100L, "s1" -> 50L, "s2" -> 25L))
   }
 
+  test("mixInterleave rejects non-positive weights (div-by-zero guard)") {
+    // a zero weight would silently emit null positions via integer div
+    val e = intercept[IllegalArgumentException] {
+      Sampling.mixInterleave(spark, rows, "id", "g",
+        Seq("s0" -> 10, "s1" -> 0), "t")
+    }
+    assert(e.getMessage.contains("s1:0"))
+    intercept[IllegalArgumentException] {
+      Sampling.mixInterleave(spark, rows, "id", "g", Seq("s0" -> -3), "t")
+    }
+  }
+
   test("mixInterleave: strata absent from the mix config are dropped") {
     val out = Sampling.mixInterleave(spark, rows, "id", "g", Seq("s1" -> 10), "t")
     val gs = out.select("g").distinct()

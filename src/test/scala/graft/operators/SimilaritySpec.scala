@@ -250,4 +250,17 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getDouble(2) > 0.0)
     }
   }
+
+  test("PQ rejects vectors whose dim doesn't match nSub x subDim") {
+    // 3-dim vectors into a 2x2 config: slicing would silently produce
+    // short subvectors and plausible-but-wrong neighbors — must raise
+    val e = intercept[Exception] {
+      Similarity.pqTopK(vecs, vecs, "vec_id", "embedding",
+        k = 2, nSub = 2, subDim = 2, kPerSub = 2, kmeansIters = 1,
+        shortlist = 4).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("expected vector dim 4")))
+  }
 }

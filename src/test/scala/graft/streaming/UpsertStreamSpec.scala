@@ -72,4 +72,37 @@ class UpsertStreamSpec extends SparkSpec {
     assert(VersionedTable.currentVersion(spark, root).get > v1)
     assert(VersionedTable.lastTxn(spark, root, "app").contains(1L))
   }
+
+  test("zombie writer: a commit racing a newer high-water mark aborts inside the claim") {
+    // simulate the stall shape: the zombie passes the pre-check gate, then
+    // a replacement writer commits the same batch BEFORE the zombie's
+    // commit — the in-commit re-validation must abort it, leaving the
+    // table at the replacement's version
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ups3").toString + "/t"
+    def ev(id: Long, t: String, typ: String) =
+      (id, java.sql.Timestamp.valueOf(t), id, typ, 1.0, "{}")
+    val b = Seq(ev(1, "2024-01-01 00:00:00", "view"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(UpsertStream.upsertBatch(spark, root, b, 0L, "app", runTs, "purchase").nonEmpty)
+    val vBefore = VersionedTable.currentVersion(spark, root).get
+    // drive the zombie's commit directly with a preCommit that simulates a
+    // gate passed BEFORE the replacement's commit landed: by commit time
+    // the mark is already >= batchId, so it must throw
+    val staging = graft.operators.Snapshots.stateAsOf(b, "user_id", "ts",
+      "event_type", "event_id", None)
+    intercept[UpsertStream.StaleBatchException] {
+      graft.sources.Sinks.upsertByKeyVersioned(spark, root, staging, "id",
+        runTs, "last_status", "purchase",
+        extraTables = Map("txn" -> Seq(("app", 0L)).toDF("app_id", "batch_id")),
+        preCommit = _ =>
+          if (VersionedTable.lastTxn(spark, root, "app").exists(_ >= 0L))
+            throw new UpsertStream.StaleBatchException("app", 0L))
+    }
+    // the aborted commit published nothing
+    assert(VersionedTable.currentVersion(spark, root).get == vBefore)
+    assert(VersionedTable.lastTxn(spark, root, "app").contains(0L))
+    // and upsertBatch's own path swallows the abort as a replay-skip
+    assert(UpsertStream.upsertBatch(spark, root, b, 0L, "app", runTs, "purchase").isEmpty)
+  }
 }
