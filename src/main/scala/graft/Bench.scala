@@ -178,7 +178,13 @@ object Bench {
       val d10b = timed(DedupQueries.d10Build(spark, sfDir, s"$tmp/didx"))
       val d10p = (1 to repeat)
         .map(_ => timed(noop(DedupQueries.d10Probe(spark, sfDir, s"$tmp/didx")))).min
-      s""","amortized":{"s3_build":$s3b,"s3_probe":$s3p,"d6_train":$d6t,"d6_probe":$d6p,"d10_index_build":$d10b,"d10_probe":$d10p}"""
+      val s4b = timed(DedupQueries.s4Build(spark, sfDir, "bench_amort_pq", s"$tmp/pq"))
+      val s4p = (1 to repeat)
+        .map(_ => timed(noop(DedupQueries.s4Probe(spark, sfDir, "bench_amort_pq")))).min
+      val s5b = timed(DedupQueries.s5Build(spark, sfDir, "bench_amort_ivfpq", s"$tmp/ivfpq"))
+      val s5p = (1 to repeat)
+        .map(_ => timed(noop(DedupQueries.s5Probe(spark, sfDir, "bench_amort_ivfpq")))).min
+      s""","amortized":{"s3_build":$s3b,"s3_probe":$s3p,"d6_train":$d6t,"d6_probe":$d6p,"d10_index_build":$d10b,"d10_probe":$d10p,"s4_build":$s4b,"s4_probe":$s4p,"s5_build":$s5b,"s5_probe":$s5p}"""
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -687,8 +687,10 @@ object Similarity {
     * — memory traffic drops ~dim·4/nSub-fold, the usual PQ win); the
     * shortlist is a per-query WindowGroupLimit partial top-k; the rerank
     * touches only shortlist×1 raw vectors via an equi-join on the
-    * neighbor id. Compose with the IVF cell structure ([[buildIvfIndex]])
-    * to cut the scan to probed cells when even code scans are too wide. */
+    * neighbor id. When even full code scans are too wide, [[ivfPqTopK]]
+    * cuts the scan to probed IVF cells (faiss IndexIVFPQ); for repeated
+    * query workloads, [[buildPqIndex]]/[[probePqIndex]] amortize training
+    * and encoding away entirely. */
   def pqTopK(
       queries: DataFrame,
       corpus: DataFrame,
@@ -701,13 +703,28 @@ object Similarity {
       kmeansIters: Int,
       shortlist: Int): DataFrame = {
     val cb = trainPqCodebooks(corpus, idCol, vecCol, nSub, subDim, kPerSub, kmeansIters)
-    val cmap = cb.withColumn("__code",
-      (row_number().over(Window.partitionBy(col("__m")).orderBy(col("__cid"))) - 1)
-        .cast("int"))
     val codes = pqEncode(corpus, idCol, vecCol, cb, nSub, subDim)
       .select(col(idCol).as("neighbor_id"), col("__codes"), col("__rn2"))
-    // per-query ADC lookup table: pdot(m, code) flattened in (m, code)
-    // order so the scan does element_at(ftab, m·k + code + 1)
+    val qtab = pqQueryTab(queries, idCol, vecCol, pqCodeMap(cb), nSub, subDim)
+    val scored = codes.join(broadcast(qtab), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("__qv"), col("__qn2"), col("neighbor_id"),
+        (adcCol(nSub, kPerSub) / sqrt(col("__qn2") * col("__rn2"))).as("adc_cos"))
+    pqShortlistRerank(scored, corpus, idCol, vecCol, k, shortlist)
+  }
+
+  /** Dense-code map of a trained codebook: `__code` = 0-based rank of the
+    * centroid id within its subspace (the byte the codes store). */
+  private def pqCodeMap(codebooks: DataFrame): DataFrame =
+    codebooks.withColumn("__code",
+      (row_number().over(Window.partitionBy(col("__m")).orderBy(col("__cid"))) - 1)
+        .cast("int"))
+
+  /** Per-query ADC lookup tables — pdot(m, code) flattened in (m, code)
+    * order so the code scan does `element_at(ftab, m·k + code + 1)`.
+    * Returns (query_id, __qv, __qn2, __ftab). */
+  private def pqQueryTab(
+      queries: DataFrame, idCol: String, vecCol: String,
+      cmap: DataFrame, nSub: Int, subDim: Int): DataFrame = {
     val qsubs = queries
       .select(col(idCol).as("query_id"), requireDim(col(vecCol), nSub, subDim).as("__qv"),
         norm2(col(vecCol)).as("__qn2"))
@@ -715,7 +732,7 @@ object Similarity {
         explode(sequence(lit(0), lit(nSub - 1))).as("__m"))
       .select(col("query_id"), col("__qv"), col("__qn2"), col("__m"),
         slice(col("__qv"), col("__m") * subDim + 1, lit(subDim)).as("__qsv"))
-    val qtab = qsubs.join(broadcast(cmap), Seq("__m"))
+    qsubs.join(broadcast(cmap), Seq("__m"))
       .select(col("query_id"), col("__qv"), col("__qn2"), col("__m"), col("__code"),
         dotD(col("__qsv"), col("__cv")).as("__pdot"))
       .groupBy(col("query_id"))
@@ -724,18 +741,29 @@ object Similarity {
         transform(
           array_sort(collect_list(struct(col("__m"), col("__code"), col("__pdot")))),
           x => x.getField("__pdot")).as("__ftab"))
-    val adc = aggregate(sequence(lit(0), lit(nSub - 1)), lit(0.0),
+  }
+
+  /** The ascending-m ADC fold of one code row against the row's per-query
+    * `__ftab`: `nSub` table lookups replace a `dim`-mult dot product. */
+  private def adcCol(nSub: Int, kPerSub: Int): org.apache.spark.sql.Column =
+    aggregate(sequence(lit(0), lit(nSub - 1)), lit(0.0),
       (acc, m) => acc +
         element_at(col("__ftab"), m * kPerSub + element_at(col("__codes"), m + 1) + 1))
+
+  /** Shared tail of every PQ scan: per-query ADC shortlist, then exact
+    * cosine rerank touching only the shortlist's raw vectors (equi-join on
+    * the neighbor id against `rerank` — the ONLY place a probe reads raw
+    * corpus vectors). `scored` = (query_id, __qv, __qn2, neighbor_id,
+    * adc_cos). */
+  private def pqShortlistRerank(
+      scored: DataFrame, rerank: DataFrame, idCol: String, vecCol: String,
+      k: Int, shortlist: Int): DataFrame = {
     val ws = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_cos").desc, col("neighbor_id"))
-    val short = codes.join(broadcast(qtab), col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("__qv"), col("__qn2"), col("neighbor_id"),
-        (adc / sqrt(col("__qn2") * col("__rn2"))).as("adc_cos"))
+    val short = scored
       .withColumn("__sr", row_number().over(ws))
       .filter(col("__sr") <= shortlist)
-    // exact rerank over the shortlist's raw vectors only
-    val cvec = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cvv"),
+    val cvec = rerank.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cvv"),
       norm2(col(vecCol)).as("__cn2r"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
@@ -747,5 +775,229 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"),
         col("adc_cos"))
+  }
+
+  /** Persist the PQ index — a `<tableName>_codebooks` table (trained
+    * per-subspace centroids) plus the codes table `tableName` (one row per
+    * corpus vector: id, `__codes`, `__rn2`) — so the expensive parts of
+    * [[pqTopK]] (codebook training AND full-corpus encoding, both
+    * O(corpus)) run ONCE and every later query batch pays only the code
+    * scan: the [[buildIvfIndex]] amortization applied to PQ (faiss writes
+    * `IndexPQ` to disk for exactly this reason). The codes are encoded
+    * against the PERSISTED codebook, so the geometry probes load is
+    * provably the geometry the codes were written with. */
+  def buildPqIndex(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nSub: Int,
+      subDim: Int,
+      kPerSub: Int,
+      kmeansIters: Int,
+      tableName: String,
+      path: String): Unit = {
+    val spark = emb.sparkSession
+    trainPqCodebooks(emb, idCol, vecCol, nSub, subDim, kPerSub, kmeansIters)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("path", s"${path}_codebooks")
+      .saveAsTable(s"${tableName}_codebooks")
+    val cb = spark.table(s"${tableName}_codebooks")
+    pqEncode(emb, idCol, vecCol, cb, nSub, subDim)
+      .select(col(idCol), col("__codes"), col("__rn2"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("path", path)
+      .saveAsTable(tableName)
+  }
+
+  /** Probe a materialized PQ index: bit-identical output to [[pqTopK]]
+    * with the same parameters, but training and encoding cost ZERO — the
+    * ADC scan reads the persisted codes table and the only raw corpus
+    * vectors touched are the shortlist rerank's equi-join lookups against
+    * `rerank` (normally the corpus table; PqIndexSpec proves the plan
+    * shape). `kPerSub` must match the build (it is the ftab stride). */
+  def probePqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      queries: DataFrame,
+      rerank: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nSub: Int,
+      subDim: Int,
+      kPerSub: Int,
+      shortlist: Int): DataFrame = {
+    val cmap = pqCodeMap(spark.table(s"${tableName}_codebooks"))
+    val codes = spark.table(tableName)
+      .select(col(idCol).as("neighbor_id"), col("__codes"), col("__rn2"))
+    val qtab = pqQueryTab(queries, idCol, vecCol, cmap, nSub, subDim)
+    val scored = codes.join(broadcast(qtab), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("__qv"), col("__qn2"), col("neighbor_id"),
+        (adcCol(nSub, kPerSub) / sqrt(col("__qn2") * col("__rn2"))).as("adc_cos"))
+    pqShortlistRerank(scored, rerank, idCol, vecCol, k, shortlist)
+  }
+
+  /** s5: IVF∘PQ — the production ANN shape (faiss `IndexIVFPQ`, Jégou et
+    * al. TPAMI 2011 §V): coarse IVF cells bound WHICH codes are scanned
+    * (nProbes/nCells of the corpus per query), PQ codes bound what each
+    * scanned candidate COSTS (nSub table lookups over nSub-byte codes).
+    * Composition:
+    *
+    *  1. coarse quantizer — [[centroidsOf]] cells, argmax-cosine
+    *     assignment (exactly [[ivfTopK]] steps 1–2);
+    *  2. PQ codebooks + codes over the RAW vectors (`by_residual=false`
+    *     in faiss terms — residual encoding would tie every code to its
+    *     cell's centroid, killing the oracle's independent re-derivation
+    *     and the code-table reuse across cell layouts; the raw-vector
+    *     form is faiss's own supported variant);
+    *  3. query probes its nProbes nearest cells; its ADC lookup tables
+    *     are built once per query ([[pqQueryTab]]);
+    *  4. the ADC scan is an EQUI-JOIN of codes on the probed cell ids —
+    *     per-query cost |corpus|·nProbes/nCells code rows, the only
+    *     data-sized shuffle keys on the cell — then the usual shortlist +
+    *     exact rerank of shortlist×1 raw vectors.
+    *
+    * With `nProbes = nCells` every cell is probed and the output is
+    * bit-identical to [[pqTopK]] (spec-pinned) — fewer probes trade
+    * recall for scan cost, the IVF dial. Deterministic end to end, so the
+    * FULL composition (both k-means trainings included) is SQL-re-derived
+    * and hash-checked as `s5_knn_ivfpq`. */
+  def ivfPqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int,
+      nProbes: Int,
+      coarseIters: Int,
+      nSub: Int,
+      subDim: Int,
+      kPerSub: Int,
+      pqIters: Int,
+      shortlist: Int): DataFrame = {
+    val n = corpus.select(col(idCol), col(vecCol), norm2(col(vecCol)).as("__n2"))
+    val cent = centroidsOf(corpus, idCol, vecCol, nCells, coarseIters)
+    val cellCos = cosineFromNorms(dotD(col(vecCol), col("__cv")), col("__n2"), col("__cn2"))
+    val assigned = n.join(broadcast(cent))
+      .select(col(idCol), col("__cid"), cellCos.as("__ccos"))
+      .groupBy(col(idCol))
+      .agg(max_by(col("__cid"), struct(col("__ccos"), -col("__cid"))).as("__cell"))
+    val cb = trainPqCodebooks(corpus, idCol, vecCol, nSub, subDim, kPerSub, pqIters)
+    val codes = pqEncode(corpus, idCol, vecCol, cb, nSub, subDim)
+      .join(assigned, Seq(idCol))
+      .select(col(idCol).as("neighbor_id"), col("__cell"), col("__codes"), col("__rn2"))
+    ivfPqScan(queries, codes, cent, pqCodeMap(cb), corpus, idCol, vecCol,
+      k, nProbes, nSub, subDim, kPerSub, shortlist)
+  }
+
+  /** Shared probe side of [[ivfPqTopK]] / [[probeIvfPqIndex]]: probe
+    * selection, ADC tables, the cell-keyed code scan, shortlist + rerank. */
+  private def ivfPqScan(
+      queries: DataFrame,
+      codes: DataFrame,
+      cent: DataFrame,
+      cmap: DataFrame,
+      rerank: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbes: Int,
+      nSub: Int,
+      subDim: Int,
+      kPerSub: Int,
+      shortlist: Int): DataFrame = {
+    val cellCos = cosineFromNorms(dotD(col(vecCol), col("__cv")), col("__n2"), col("__cn2"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("__ccos").desc, col("__cell"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol), norm2(col(vecCol)).as("__n2"))
+      .join(broadcast(cent))
+      .select(col("query_id"), col("__cid").as("__cell"), cellCos.as("__ccos"))
+      .withColumn("__pr", row_number().over(pw))
+      .filter(col("__pr") <= nProbes)
+      .select(col("query_id"), col("__cell"))
+    val qtab = pqQueryTab(queries, idCol, vecCol, cmap, nSub, subDim)
+    // (query, probed cell) fan-out carries the ftab — query-side rows are
+    // few, so the broadcast stays small; each neighbor lives in exactly
+    // one cell, so no candidate dedup is needed
+    val qprobes = qtab.join(probes, Seq("query_id"))
+    val scored = codes.join(broadcast(qprobes), Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("__qv"), col("__qn2"), col("neighbor_id"),
+        (adcCol(nSub, kPerSub) / sqrt(col("__qn2") * col("__rn2"))).as("adc_cos"))
+    pqShortlistRerank(scored, rerank, idCol, vecCol, k, shortlist)
+  }
+
+  /** Persist the IVF∘PQ index: coarse centroids (`<t>_centroids`), PQ
+    * codebooks (`<t>_codebooks`), and the codes table `tableName` — one
+    * row per vector (id, `__cell`, `__codes`, `__rn2`), CELL-BUCKETED so
+    * probe scans read only probed buckets and the cell equi-join needs no
+    * exchange on the code side (the [[buildIvfIndex]] layout argument,
+    * applied to codes). */
+  def buildIvfPqIndex(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      coarseIters: Int,
+      nSub: Int,
+      subDim: Int,
+      kPerSub: Int,
+      pqIters: Int,
+      tableName: String,
+      path: String,
+      nBuckets: Int = 8): Unit = {
+    val spark = emb.sparkSession
+    centroidsOf(emb, idCol, vecCol, nCells, coarseIters)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("path", s"${path}_centroids")
+      .saveAsTable(s"${tableName}_centroids")
+    trainPqCodebooks(emb, idCol, vecCol, nSub, subDim, kPerSub, pqIters)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("path", s"${path}_codebooks")
+      .saveAsTable(s"${tableName}_codebooks")
+    // assignment + encoding against the PERSISTED geometry
+    val cent = spark.table(s"${tableName}_centroids")
+    val cb = spark.table(s"${tableName}_codebooks")
+    val n = emb.select(col(idCol), col(vecCol), norm2(col(vecCol)).as("__n2"))
+    val cellCos = cosineFromNorms(dotD(col(vecCol), col("__cv")), col("__n2"), col("__cn2"))
+    val assigned = n.join(broadcast(cent))
+      .select(col(idCol), col("__cid"), cellCos.as("__ccos"))
+      .groupBy(col(idCol))
+      .agg(max_by(col("__cid"), struct(col("__ccos"), -col("__cid"))).as("__cell"))
+    pqEncode(emb, idCol, vecCol, cb, nSub, subDim)
+      .join(assigned, Seq(idCol))
+      .select(col(idCol), col("__cell"), col("__codes"), col("__rn2"))
+      .write
+      .bucketBy(nBuckets, "__cell").sortBy("__cell")
+      .option("path", path)
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(tableName)
+  }
+
+  /** Probe a materialized IVF∘PQ index: bit-identical to [[ivfPqTopK]]
+    * with the same parameters, zero training/assignment/encoding per call
+    * — the repeated-query production path. Raw vectors are touched only
+    * by the shortlist rerank against `rerank`. */
+  def probeIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      queries: DataFrame,
+      rerank: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbes: Int,
+      nSub: Int,
+      subDim: Int,
+      kPerSub: Int,
+      shortlist: Int): DataFrame = {
+    val cent = spark.table(s"${tableName}_centroids")
+    val cmap = pqCodeMap(spark.table(s"${tableName}_codebooks"))
+    val codes = spark.table(tableName)
+      .select(col(idCol).as("neighbor_id"), col("__cell"), col("__codes"), col("__rn2"))
+    ivfPqScan(queries, codes, cent, cmap, rerank, idCol, vecCol,
+      k, nProbes, nSub, subDim, kPerSub, shortlist)
   }
 }

@@ -134,11 +134,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         lng(a(3)).toInt, lng(a(4)).toInt, lng(a(5)).toInt)
     }
     tvf(ext, "graft_knn_pq",
-      "graft_knn_pq(queriesTable, corpusTable, idCol, vecCol, k) - s4 product-quantization ANN (4x16-dim codebooks, ADC shortlist 4k, exact rerank)") { a =>
+      "graft_knn_pq(queriesTable, corpusTable, idCol, vecCol, k) - s4 product-quantization ANN (4x16-dim codebooks, ADC shortlist 4k, exact rerank; rejects non-64-dim vectors)") { a =>
       val k = lng(a(4)).toInt
       graft.operators.Similarity.pqTopK(
         table(str(a(0))), table(str(a(1))), str(a(2)), str(a(3)),
         k, nSub = 4, subDim = 16, kPerSub = 16, kmeansIters = 2,
+        shortlist = 4 * k)
+    }
+    tvf(ext, "graft_knn_ivfpq",
+      "graft_knn_ivfpq(queriesTable, corpusTable, idCol, vecCol, k, nCells, nProbes) - s5 IVF-PQ ANN: cell-probed ADC code scan + exact rerank (4x16-dim codebooks; rejects non-64-dim vectors)") { a =>
+      val k = lng(a(4)).toInt
+      graft.operators.Similarity.ivfPqTopK(
+        table(str(a(0))), table(str(a(1))), str(a(2)), str(a(3)),
+        k, lng(a(5)).toInt, lng(a(6)).toInt, coarseIters = 2,
+        nSub = 4, subDim = 16, kPerSub = 16, pqIters = 2,
         shortlist = 4 * k)
     }
   }

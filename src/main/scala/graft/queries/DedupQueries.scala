@@ -48,6 +48,7 @@ object DedupQueries {
     "s2_knn_lsh"         -> ((s, d) => s2(s, d)),
     "s3_knn_ivf"         -> ((s, d) => s3(s, d)),
     "s4_knn_pq"          -> ((s, d) => s4(s, d)),
+    "s5_knn_ivfpq"       -> ((s, d) => s5(s, d)),
     "p1_curate_corpus"   -> ((s, d) => p1(s, d)),
     "p5_semdedup"        -> ((s, d) => p5(s, d))
   )
@@ -269,6 +270,19 @@ object DedupQueries {
         "vec_id", "embedding", KnnK, PqSub, PqSubDim, PqK, KmeansIters, PqShortlist)
       .orderBy(col("query_id"), col("rank"))
 
+  /** s5: IVF∘PQ — the faiss IndexIVFPQ composition: coarse cells bound
+    * WHICH codes a query scans (nProbes/nCells of the corpus), PQ codes
+    * bound what each candidate COSTS (4 table lookups vs a 64-mult dot).
+    * Both trainings are the same deterministic Lloyd schemes as s3/s4, so
+    * the ENTIRE composition — coarse k-means, subspace k-means, cell
+    * assignment, probes, cell-joined ADC scan, shortlist, rerank — is
+    * SQL-re-derived and hash-checked. */
+  def s5(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopK(queryVecs(s, dir), Tables.embeddings(s, dir),
+        "vec_id", "embedding", KnnK, IvfCentroids, IvfProbes, KmeansIters,
+        PqSub, PqSubDim, PqK, KmeansIters, PqShortlist)
+      .orderBy(col("query_id"), col("rank"))
+
   // ---- amortized-index bench hooks ----------------------------------------
   // The s3/d6/d10 PRODUCTION path splits the one-time index/codebook build
   // from the per-run probe (the query keys above keep the self-contained
@@ -291,6 +305,22 @@ object DedupQueries {
   def d6Probe(s: SparkSession, dir: String, cent: DataFrame): DataFrame =
     Similarity.cosinePairsCellPruned(Tables.embeddings(s, dir), "vec_id", "embedding",
       CosThr, IvfCentroids, KmeansIters, precomputedCentroids = Some(cent))
+
+  def s4Build(s: SparkSession, dir: String, table: String, path: String): Unit =
+    Similarity.buildPqIndex(Tables.embeddings(s, dir), "vec_id", "embedding",
+      PqSub, PqSubDim, PqK, KmeansIters, table, path)
+
+  def s4Probe(s: SparkSession, dir: String, table: String): DataFrame =
+    Similarity.probePqIndex(s, table, queryVecs(s, dir), Tables.embeddings(s, dir),
+      "vec_id", "embedding", KnnK, PqSub, PqSubDim, PqK, PqShortlist)
+
+  def s5Build(s: SparkSession, dir: String, table: String, path: String): Unit =
+    Similarity.buildIvfPqIndex(Tables.embeddings(s, dir), "vec_id", "embedding",
+      IvfCentroids, KmeansIters, PqSub, PqSubDim, PqK, KmeansIters, table, path)
+
+  def s5Probe(s: SparkSession, dir: String, table: String): DataFrame =
+    Similarity.probeIvfPqIndex(s, table, queryVecs(s, dir), Tables.embeddings(s, dir),
+      "vec_id", "embedding", KnnK, IvfProbes, PqSub, PqSubDim, PqK, PqShortlist)
 
   def d10Build(s: SparkSession, dir: String, indexRoot: String): Unit =
     Dedup.buildDedupIndex(
@@ -805,6 +835,51 @@ object DedupQueries {
          |      / sqrt(n.n2 * c.rn2) AS adc_cos
          |  FROM qf q JOIN n ON n.vec_id = q.query_id, cw c
          |  WHERE c.vec_id <> q.query_id),
+         |sl AS (SELECT query_id, neighbor_id, adc_cos FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc_cos DESC, neighbor_id) AS sr FROM ps)
+         |  WHERE sr <= 20),
+         |rr AS (SELECT sl.query_id, sl.neighbor_id, sl.adc_cos,
+         |    ${dotSql("a", "b")} / sqrt(a.n2 * b.n2) AS cos
+         |  FROM sl JOIN n a ON a.vec_id = sl.query_id
+         |           JOIN n b ON b.vec_id = sl.neighbor_id)
+         |SELECT query_id, rank, neighbor_id, cos, adc_cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS rank FROM rr)
+         |WHERE rank <= $KnnK
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // s5: the IVF∘PQ composition re-run end to end — BOTH trainings
+    // (coarse Lloyd rounds from s3's CTEs, per-subspace Lloyd rounds from
+    // s4's), cell assignment, per-query probes, the ADC scan restricted
+    // to probed cells via the cell join, shortlist, exact rerank
+    "s5_knn_ivfpq" ->
+      s"""WITH $NormCte,
+         |$KmeansCtes,
+         |$PqCtes,
+         |cent AS (SELECT cid, cv, list_reduce(list_transform(range(1, ${CosDim + 1}),
+         |    i -> cv[i] * cv[i]), (a, b) -> a + b) AS n2 FROM cent$KmeansIters),
+         |ac AS (SELECT v.vec_id, v.n2, c.cid,
+         |    list_reduce(list_transform(range(1, ${CosDim + 1}),
+         |      i -> v.embedding[i]::DOUBLE * c.cv[i]), (a, b) -> a + b)
+         |      / sqrt(v.n2 * c.n2) AS ccos
+         |  FROM n v CROSS JOIN cent c),
+         |asn AS (SELECT vec_id, cid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cid) AS rn FROM ac) WHERE rn = 1),
+         |pr AS (SELECT vec_id AS query_id, cid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cid) AS rn FROM ac
+         |    WHERE vec_id % $QueryStride = 0) WHERE rn <= $IvfProbes),
+         |cwc AS (SELECT c.vec_id, c.codes, c.rn2, a.cell
+         |  FROM cw c JOIN asn a ON a.vec_id = c.vec_id),
+         |ps AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+         |    list_reduce(list_transform(range(0, 4),
+         |      m -> q.ftab[m * 16 + c.codes[m + 1] + 1]), (a, b) -> a + b)
+         |      / sqrt(n.n2 * c.rn2) AS adc_cos
+         |  FROM pr p JOIN qf q ON q.query_id = p.query_id
+         |    JOIN n ON n.vec_id = p.query_id
+         |    JOIN cwc c ON c.cell = p.cell AND c.vec_id <> p.query_id),
          |sl AS (SELECT query_id, neighbor_id, adc_cos FROM (
          |    SELECT *, row_number() OVER (PARTITION BY query_id
          |      ORDER BY adc_cos DESC, neighbor_id) AS sr FROM ps)

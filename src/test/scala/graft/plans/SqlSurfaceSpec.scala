@@ -135,6 +135,24 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(fromSql.nonEmpty && fromSql == direct)
   }
 
+  test("graft_knn_ivfpq from SQL equals the Scala operator") {
+    spark.sql(
+      s"CREATE OR REPLACE TEMPORARY VIEW embs AS " +
+      s"SELECT vec_id, embedding FROM parquet.`$Sf/embeddings.parquet`")
+    spark.sql(
+      "CREATE OR REPLACE TEMPORARY VIEW embq AS " +
+      "SELECT * FROM embs WHERE vec_id % 20 = 0")
+    val fromSql = spark.sql(
+      "SELECT query_id, rank, neighbor_id FROM graft_knn_ivfpq('embq', 'embs', 'vec_id', 'embedding', 3, 16, 3)")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val direct = graft.operators.Similarity.ivfPqTopK(
+        spark.table("embq"), spark.table("embs"), "vec_id", "embedding",
+        3, 16, 3, 2, 4, 16, 16, 2, 12)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(fromSql.nonEmpty && fromSql == direct)
+  }
+
   test("graft_fuzzy_join from SQL equals the Scala operator") {
     val fromSql = spark.sql(
       "SELECT ida, idb, edit_dist FROM graft_fuzzy_join('docs', 'doc_id', 'text', 40, 6, 3)")
