@@ -753,4 +753,59 @@ object Dedup {
       .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
       .select(col("ida"), col("idb"), col("edit_dist"))
   }
+
+  /** [[fuzzyJoinPairs]] with the RECALL DIAL production stacks actually
+    * run: several COMPLEMENTARY block keys, candidates unioned, pairs
+    * deduplicated, ONE edit-distance verification. Single-key prefix
+    * blocking misses any pair whose edits fall inside the block key
+    * itself; each extra key covers a failure mode of the others:
+    *
+    *  - `b0` leading block — `substr(pfx, 1, blockLen)` (the single-key
+    *    form): edits beyond position blockLen;
+    *  - `b1` second slice — `substr(pfx, blockLen+1, blockLen)`:
+    *    substitutions/transpositions INSIDE the leading block (alignment
+    *    past it is unshifted — insertions/deletions there still shift it,
+    *    which is why this key alone is not enough either);
+    *  - `b2` char-sorted first 2·blockLen chars: transpositions and
+    *    reorderings anywhere in that window (a bag-of-chars key — the
+    *    sorted form is insensitive to position, sensitive to content).
+    *
+    * All three are deterministic string arithmetic, so the DuckDB oracle
+    * re-derives them and the UNION stays hash-checked. Keys are tagged
+    * (key-space id, value) so blocks never collide across key spaces.
+    *
+    * Scale: still ONE equi-join shuffle — the key id rides inside the
+    * join key; candidate volume is ≤ 3× the single-key form (before the
+    * pair dedup), per-block quadratic bounded and AQE-splittable exactly
+    * as before. Recall rises with each key; cost is the dial's price. */
+  def fuzzyJoinPairsMulti(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      prefixLen: Int,
+      blockLen: Int,
+      maxDist: Int): DataFrame = {
+    val p = docs.select(col(idCol),
+        substring(normText(col(textCol)), 1, prefixLen).as("__pfx"))
+      .withColumn("__bk", explode(array(
+        struct(lit(0).as("i"),
+          substring(col("__pfx"), 1, blockLen).as("k")),
+        struct(lit(1).as("i"),
+          substring(col("__pfx"), blockLen + 1, blockLen).as("k")),
+        struct(lit(2).as("i"),
+          array_join(array_sort(split(
+            substring(col("__pfx"), 1, 2 * blockLen), "")), "").as("k")))))
+    val a = p.select(col(idCol).as("ida"), col("__pfx").as("__pa"), col("__bk"))
+    val b = p.select(col(idCol).as("idb"), col("__pfx").as("__pb"), col("__bk"))
+    a.join(b, Seq("__bk")).filter(col("ida") < col("idb"))
+      // pair-level dedup BEFORE the DP: a pair agreeing on 2 keys must be
+      // verified once, not twice (prefixes ride along — functionally
+      // determined by the ids, so distinct() keys on the pair)
+      .select(col("ida"), col("idb"), col("__pa"), col("__pb"))
+      .distinct()
+      .withColumn("edit_dist",
+        levenshtein(col("__pa"), col("__pb"), maxDist).cast("long"))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
+      .select(col("ida"), col("idb"), col("edit_dist"))
+  }
 }

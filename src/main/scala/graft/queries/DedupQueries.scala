@@ -174,11 +174,13 @@ object DedupQueries {
   private val FuzzyMaxDist   = 3
 
   /** d11: blocked fuzzy (edit-distance) join — sequence-similarity pairs
-    * over normalized 40-char prefixes, prefix-blocked; the
-    * record-linkage/entity-resolution matcher beside the set-similarity
-    * dedup family. See [[Dedup.fuzzyJoinPairs]]. */
+    * over normalized 40-char prefixes, MULTI-BLOCK-KEY union form (the
+    * production recall dial: leading block + second slice + char-sorted
+    * window, candidates unioned, pairs deduped, verified once). See
+    * [[Dedup.fuzzyJoinPairsMulti]]; the single-key form and its
+    * spec-pinned recall limit remain as [[Dedup.fuzzyJoinPairs]]. */
   def d11(s: SparkSession, dir: String): DataFrame =
-    Dedup.fuzzyJoinPairs(Tables.documents(s, dir), "doc_id", "text",
+    Dedup.fuzzyJoinPairsMulti(Tables.documents(s, dir), "doc_id", "text",
         FuzzyPrefixLen, FuzzyBlockLen, FuzzyMaxDist)
       .orderBy(col("ida"), col("idb"))
 
@@ -524,16 +526,28 @@ object DedupQueries {
 
     "d3_dedup_minhash" -> JaccardPairSql,
 
-    // d11: identical normalization, blocking and DP edit distance
-    // (levenshtein has the same classic semantics in both engines)
+    // d11: identical normalization, the THREE block keys (leading block,
+    // second slice, char-sorted 2x window), candidate union + pair dedup,
+    // one DP edit-distance verification (levenshtein has the same classic
+    // semantics in both engines)
     "d11_fuzzy_join" ->
       s"""WITH nrm AS (SELECT doc_id, $NormExpr AS nt FROM documents),
-         |p AS (SELECT doc_id, substr(nt, 1, $FuzzyPrefixLen) AS pfx,
-         |    substr(nt, 1, $FuzzyBlockLen) AS blk FROM nrm)
-         |SELECT a.doc_id AS ida, b.doc_id AS idb,
-         |  levenshtein(a.pfx, b.pfx)::BIGINT AS edit_dist
-         |FROM p a JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id
-         |WHERE levenshtein(a.pfx, b.pfx) <= $FuzzyMaxDist
+         |p AS (SELECT doc_id, substr(nt, 1, $FuzzyPrefixLen) AS pfx FROM nrm),
+         |bk AS (
+         |  SELECT doc_id, pfx, 0 AS i, substr(pfx, 1, $FuzzyBlockLen) AS k FROM p
+         |  UNION ALL
+         |  SELECT doc_id, pfx, 1 AS i,
+         |    substr(pfx, ${FuzzyBlockLen + 1}, $FuzzyBlockLen) AS k FROM p
+         |  UNION ALL
+         |  SELECT doc_id, pfx, 2 AS i,
+         |    list_aggregate(list_sort(string_split(
+         |      substr(pfx, 1, ${2 * FuzzyBlockLen}), '')), 'string_agg', '') AS k
+         |  FROM p),
+         |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
+         |    a.pfx AS pa, b.pfx AS pb
+         |  FROM bk a JOIN bk b ON a.i = b.i AND a.k = b.k AND a.doc_id < b.doc_id)
+         |SELECT ida, idb, levenshtein(pa, pb)::BIGINT AS edit_dist
+         |FROM cand WHERE levenshtein(pa, pb) <= $FuzzyMaxDist
          |ORDER BY ida, idb""".stripMargin,
 
     "d4_dedup_simhash" ->

@@ -326,4 +326,34 @@ class DedupSpec extends SparkSpec {
     assert(!out.exists(p => p._2 == 3L && p._3 <= 3L)) // far pair excluded
     assert(!out.exists(p => p._1 == 5L || p._2 == 5L))
   }
+
+  test("fuzzyJoinPairsMulti: the union recovers typo-in-block-key pairs, dedups, never loses") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamme delta"),   // 1 edit from doc 1, same leading block
+      (3L, "alpha beta XXXXX YYYYY"),   // same leading block, far from 1/2
+      (4L, "alpho beta gamma delta"),   // 1 edit from doc 1 INSIDE the leading block key
+      (5L, "lapha beta gamma delta"),   // transposition in the leading block
+      (6L, "zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val single = Dedup.fuzzyJoinPairs(docs, "doc_id", "text",
+        prefixLen = 20, blockLen = 6, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val multi = Dedup.fuzzyJoinPairsMulti(docs, "doc_id", "text",
+        prefixLen = 20, blockLen = 6, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    // the recall dial: single-key blocking misses (1,4) — the substitution
+    // sits inside the leading block — the second-slice key recovers it;
+    // (1,5)'s transposition is recovered by the char-sorted window key
+    assert(!single.contains((1L, 4L, 1L)) && multi.contains((1L, 4L, 1L)))
+    assert(!single.contains((1L, 5L, 2L)) && multi.contains((1L, 5L, 2L)))
+    // monotone: everything the single key finds, the union finds
+    assert(single.subsetOf(multi.toSet))
+    // a pair agreeing on several block keys is emitted ONCE (1,2 agrees
+    // on all three) — and verification semantics are unchanged
+    assert(multi.size == multi.distinct.size)
+    assert(multi.contains((1L, 2L, 1L)))
+    assert(!multi.exists(p => p._2 == 3L && p._3 <= 3L))
+    assert(!multi.exists(p => p._1 == 6L || p._2 == 6L))
+  }
 }
