@@ -159,7 +159,12 @@ class PlanAuditSpec extends SparkSpec {
       // the ADC scan is intentionally linear like s1 — but over nSub-byte
       // codes, not dim-float vectors (the PQ memory-residency win); the
       // codebook joins broadcast the 64-row (m, cid) table
-      "s4_knn_pq" -> "broadcast query-side ADC code scan")
+      "s4_knn_pq" -> "broadcast query-side ADC code scan",
+      // IVF∘PQ composition: the only BNLJs are the coarse-assignment and
+      // query-probe joins against the broadcast nCells-row centroid table
+      // (Similarity.ivfPqTopK — same bounded-tiny class as s3/d6); the ADC
+      // rerank itself is a cell-key equi-join over the pruned cells
+      "s5_knn_ivfpq" -> "centroid-table broadcast joins")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed.contains)
       .flatMap { name =>
