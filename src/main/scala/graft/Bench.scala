@@ -68,23 +68,45 @@ object Bench {
         java.nio.file.Paths.get(s"$sfDir/events.parquet"))
       def rowsOf(df: org.apache.spark.sql.DataFrame): Set[String] =
         df.collect().map(_.toString).toSet
+      // batches actually executed — with a fresh checkpoint AvailableNow
+      // numbers batches from 0, so lastProgress.batchId + 1 is the count;
+      // s_per_batch = total/n is the per-micro-batch overhead attribution
+      // the totals alone can't give (r5 ask)
+      def nBatchesOf(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+        Option(q.lastProgress).map(_.batchId + 1).getOrElse(
+          q.recentProgress.lastOption.map(_.batchId + 1L).getOrElse(0L))
+      // free the memory-sink table + executor state before the NEXT stream
+      // is timed: complete-mode sinks pin their whole result in the block
+      // manager, and (same leak class the main loop fixed in r5) nothing
+      // GCs on its own inside a multi-minute bench — without this the
+      // later stream keys absorb the earlier keys' memory pressure
+      // (st5's unexplained r6 2.7x regression ran right after st3's
+      // complete-mode sink)
+      def mbDone(table: String): Unit = {
+        spark.catalog.dropTempView(table)
+        spark.catalog.clearCache()
+        System.gc()
+      }
       // st1: tumbling-window agg, complete mode — final table IS the agg
       val t1 = System.nanoTime()
-      graft.streaming.EventStream
+      val q1 = graft.streaming.EventStream
         .start(spark, stage.toString, "bench_mb_st1", availableNow = true)
-        .awaitTermination()
+      q1.awaitTermination()
       val st1Sec = (System.nanoTime() - t1) / 1e9
+      val st1N = nBatchesOf(q1)
       val st1Eq = rowsOf(spark.table("bench_mb_st1")) ==
         rowsOf(SparkEntry.queries("st1_stream_window")(spark, sfDir))
+      mbDone("bench_mb_st1")
       // st4: update-mode entity state — final state per id = the row from
       // the last micro-batch that touched it: max updated_at (monotone
       // nondecreasing), then min created_at (monotone nonincreasing)
       val t4 = System.nanoTime()
-      graft.streaming.StateStream
+      val q4 = graft.streaming.StateStream
         .start(spark, stage.toString, "bench_mb_st4", "purchase",
           availableNow = true)
-        .awaitTermination()
+      q4.awaitTermination()
       val st4Sec = (System.nanoTime() - t4) / 1e9
+      val st4N = nBatchesOf(q4)
       val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
         .orderBy(org.apache.spark.sql.functions.col("updated_at").desc,
           org.apache.spark.sql.functions.col("created_at").asc)
@@ -93,6 +115,7 @@ object Bench {
         .filter("__rn = 1").drop("__rn")
       val st4Eq = rowsOf(st4Final) ==
         rowsOf(SparkEntry.queries("st4_stream_state")(spark, sfDir))
+      mbDone("bench_mb_st4")
       // st2: the flatMapGroupsWithState sessionizer under a real
       // AvailableNow trigger. Row equality is the WATERMARK SANDWICH
       // (SessionStreamSpec's invariant): every session the final
@@ -101,10 +124,11 @@ object Bench {
       // per key is legitimately still open when the stream ends.
       import org.apache.spark.sql.functions.{col, max, unix_micros}
       val t2 = System.nanoTime()
-      graft.streaming.SessionStream
+      val q2 = graft.streaming.SessionStream
         .start(spark, stage.toString, "bench_mb_st2", 7200L, availableNow = true)
-        .awaitTermination()
+      q2.awaitTermination()
       val st2Sec = (System.nanoTime() - t2) / 1e9
+      val st2N = nBatchesOf(q2)
       val events = graft.sources.Tables.events(spark, sfDir)
       val maxTsUs = events.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
       val batchSessions = graft.operators.Sessionize
@@ -120,40 +144,60 @@ object Bench {
         .toSet
       val st2Eq = closedSet.subsetOf(streamedSet) &&
         streamedSet.subsetOf(batchSessions.toSet)
+      mbDone("bench_mb_st2")
       // st3: stream-static enrichment (broadcast dim join + windowed agg)
       // in complete mode — final table equals the batch key exactly
       val t3 = System.nanoTime()
-      graft.streaming.EventStream
+      val q3 = graft.streaming.EventStream
         .startEnriched(spark, stage.toString,
           graft.sources.Tables.customer(spark, sfDir),
           "c_custkey", "c_mktsegment", "bench_mb_st3", availableNow = true)
-        .awaitTermination()
+      q3.awaitTermination()
       val st3Sec = (System.nanoTime() - t3) / 1e9
+      val st3N = nBatchesOf(q3)
       val st3Eq = rowsOf(spark.table("bench_mb_st3")) ==
         rowsOf(SparkEntry.queries("st3_stream_enrich")(spark, sfDir))
+      mbDone("bench_mb_st3")
       // st5: watermark-bounded streaming dedup of the at-least-once
       // replayed feed, append mode — redelivered events are identical
       // payloads, so the streamed rows equal the batch distinct exactly
       val t5 = System.nanoTime()
-      graft.streaming.EventStream
+      val q5 = graft.streaming.EventStream
         .startDedupReplay(spark, stage.toString, "bench_mb_st5",
           graft.queries.TextQueries.ReplayFrom,
           graft.queries.TextQueries.ReplayTo, availableNow = true)
-        .awaitTermination()
+      q5.awaitTermination()
       val st5Sec = (System.nanoTime() - t5) / 1e9
+      val st5N = nBatchesOf(q5)
       val st5Eq = rowsOf(spark.table("bench_mb_st5")) ==
         rowsOf(SparkEntry.queries("st5_stream_dedup")(spark, sfDir))
+      mbDone("bench_mb_st5")
       // st6: watermarked stream-stream interval join, append mode — inner
       // joins emit eagerly, so the streamed pairs equal the batch join
       val t6 = System.nanoTime()
-      graft.streaming.EventStream
+      val q6 = graft.streaming.EventStream
         .startAttribution(spark, stage.toString, "bench_mb_st6",
           availableNow = true)
-        .awaitTermination()
+      q6.awaitTermination()
       val st6Sec = (System.nanoTime() - t6) / 1e9
+      val st6N = nBatchesOf(q6)
       val st6Eq = rowsOf(spark.table("bench_mb_st6")) ==
         rowsOf(SparkEntry.queries("st6_stream_join")(spark, sfDir))
-      s""","microbatch":{"st1_stream_window":$st1Sec,"st2_stream_session":$st2Sec,"st3_stream_enrich":$st3Sec,"st4_stream_state":$st4Sec,"st5_stream_dedup":$st5Sec,"st6_stream_join":$st6Sec,"st1_equals_batch":$st1Eq,"st2_equals_batch":$st2Eq,"st3_equals_batch":$st3Eq,"st4_equals_batch":$st4Eq,"st5_equals_batch":$st5Eq,"st6_equals_batch":$st6Eq}"""
+      mbDone("bench_mb_st6")
+      // per-key (total, n_batches, s_per_batch, equals_batch): the
+      // attribution that separates "the plan got slower" from "the
+      // harness ran more/slower micro-batches"
+      def mbJson(key: String, sec: Double, n: Long, eq: Boolean): String = {
+        val per = if (n > 0) sec / n else 0.0
+        s""""$key":$sec,"${key}_n_batches":$n,"${key}_s_per_batch":$per,"${key}_equals_batch":$eq"""
+      }
+      "," + "\"microbatch\":{" + Seq(
+        mbJson("st1_stream_window", st1Sec, st1N, st1Eq),
+        mbJson("st2_stream_session", st2Sec, st2N, st2Eq),
+        mbJson("st3_stream_enrich", st3Sec, st3N, st3Eq),
+        mbJson("st4_stream_state", st4Sec, st4N, st4Eq),
+        mbJson("st5_stream_dedup", st5Sec, st5N, st5Eq),
+        mbJson("st6_stream_join", st6Sec, st6N, st6Eq)).mkString(",") + "}"
     }
     // AMORTIZED-INDEX runs: the s3/d6/d10 production split — one-time
     // index/codebook build vs the per-run probe that reuses it. The main
@@ -167,21 +211,39 @@ object Bench {
       }
       def noop(df: org.apache.spark.sql.DataFrame): Unit =
         df.write.format("noop").mode("overwrite").save()
+      // the SAME per-entry isolation the main loop got in r5: the builds'
+      // k-means trainings localCheckpoint per iteration, and those RDD
+      // blocks free only when a GC runs the ContextCleaner — by this
+      // point in a full bench nothing has GC'd for minutes, so without
+      // this the later builds absorb every earlier entry's leaked state
+      // (r6 measured d10_build 15x and s5_build 8x their isolated cost)
+      def isolate(): Unit = { spark.catalog.clearCache(); System.gc() }
       val tmp = java.nio.file.Files.createTempDirectory("graft_bench_amort")
+      isolate()
       val s3b = timed(DedupQueries.s3Build(spark, sfDir, "bench_amort_ivf", s"$tmp/ivf"))
+      isolate()
       val s3p = (1 to repeat)
         .map(_ => timed(noop(DedupQueries.s3Probe(spark, sfDir, "bench_amort_ivf")))).min
+      isolate()
       var cent: org.apache.spark.sql.DataFrame = null
       val d6t = timed { cent = DedupQueries.d6Train(spark, sfDir) }
+      isolate()
       val d6p = (1 to repeat)
         .map(_ => timed(noop(DedupQueries.d6Probe(spark, sfDir, cent)))).min
+      cent = null
+      isolate()
       val d10b = timed(DedupQueries.d10Build(spark, sfDir, s"$tmp/didx"))
+      isolate()
       val d10p = (1 to repeat)
         .map(_ => timed(noop(DedupQueries.d10Probe(spark, sfDir, s"$tmp/didx")))).min
+      isolate()
       val s4b = timed(DedupQueries.s4Build(spark, sfDir, "bench_amort_pq", s"$tmp/pq"))
+      isolate()
       val s4p = (1 to repeat)
         .map(_ => timed(noop(DedupQueries.s4Probe(spark, sfDir, "bench_amort_pq")))).min
+      isolate()
       val s5b = timed(DedupQueries.s5Build(spark, sfDir, "bench_amort_ivfpq", s"$tmp/ivfpq"))
+      isolate()
       val s5p = (1 to repeat)
         .map(_ => timed(noop(DedupQueries.s5Probe(spark, sfDir, "bench_amort_ivfpq")))).min
       s""","amortized":{"s3_build":$s3b,"s3_probe":$s3p,"d6_train":$d6t,"d6_probe":$d6p,"d10_index_build":$d10b,"d10_probe":$d10p,"s4_build":$s4b,"s4_probe":$s4p,"s5_build":$s5b,"s5_probe":$s5p}"""
