@@ -778,6 +778,19 @@ object Dedup {
     * join key; candidate volume is ≤ 3× the single-key form (before the
     * pair dedup), per-block quadratic bounded and AQE-splittable exactly
     * as before. Recall rises with each key; cost is the dial's price. */
+  /** The three complementary block-key spaces of [[fuzzyJoinPairsMulti]],
+    * as one (i, k)-struct array over the normalized `__pfx` column —
+    * shared with the candidate-volume measurement so the SCALING.md
+    * numbers can never drift from what the operator joins on. */
+  private def multiBlockKeys(blockLen: Int): org.apache.spark.sql.Column = array(
+    struct(lit(0).as("i"),
+      substring(col("__pfx"), 1, blockLen).as("k")),
+    struct(lit(1).as("i"),
+      substring(col("__pfx"), blockLen + 1, blockLen).as("k")),
+    struct(lit(2).as("i"),
+      array_join(array_sort(split(
+        substring(col("__pfx"), 1, 2 * blockLen), "")), "").as("k")))
+
   def fuzzyJoinPairsMulti(
       docs: DataFrame,
       idCol: String,
@@ -787,14 +800,13 @@ object Dedup {
       maxDist: Int): DataFrame = {
     val p = docs.select(col(idCol),
         substring(normText(col(textCol)), 1, prefixLen).as("__pfx"))
-      .withColumn("__bk", explode(array(
-        struct(lit(0).as("i"),
-          substring(col("__pfx"), 1, blockLen).as("k")),
-        struct(lit(1).as("i"),
-          substring(col("__pfx"), blockLen + 1, blockLen).as("k")),
-        struct(lit(2).as("i"),
-          array_join(array_sort(split(
-            substring(col("__pfx"), 1, 2 * blockLen), "")), "").as("k")))))
+      .withColumn("__bk", explode(multiBlockKeys(blockLen)))
+      // empty block keys (prefix shorter than the slice the key reads)
+      // would funnel EVERY short doc into one block per key space — a
+      // per-block quadratic blowup at scale. Drop them: short docs stay
+      // covered by the leading b0 key, which is nonempty whenever the
+      // normalized text is.
+      .filter(col("__bk.k") =!= lit(""))
     val a = p.select(col(idCol).as("ida"), col("__pfx").as("__pa"), col("__bk"))
     val b = p.select(col(idCol).as("idb"), col("__pfx").as("__pb"), col("__bk"))
     a.join(b, Seq("__bk")).filter(col("ida") < col("idb"))
@@ -807,5 +819,36 @@ object Dedup {
         levenshtein(col("__pa"), col("__pb"), maxDist).cast("long"))
       .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
       .select(col("ida"), col("idb"), col("edit_dist"))
+  }
+
+  /** Candidate-pair volume BEFORE the edit-distance verification, for the
+    * single-key form vs the multi-key union — the measurement behind the
+    * multi form's "≤3× candidates" scale claim (the DP verification is
+    * the dominant per-candidate cost, so candidate count is the number
+    * that must not blow up). Both counts are computed from the operators'
+    * own key expressions: single = the b0 equi-join as
+    * [[fuzzyJoinPairs]] runs it; multi = the deduplicated
+    * [[multiBlockKeys]] union as [[fuzzyJoinPairsMulti]] runs it. */
+  def fuzzyCandidateCounts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      prefixLen: Int,
+      blockLen: Int): (Long, Long) = {
+    val p = docs.select(col(idCol),
+      substring(normText(col(textCol)), 1, prefixLen).as("__pfx"))
+    val s = p.withColumn("__blk", substring(col("__pfx"), 1, blockLen))
+    val nSingle = s.select(col(idCol).as("ida"), col("__blk"))
+      .join(s.select(col(idCol).as("idb"), col("__blk")), Seq("__blk"))
+      .filter(col("ida") < col("idb"))
+      .count()
+    val m = p.withColumn("__bk", explode(multiBlockKeys(blockLen)))
+      .filter(col("__bk.k") =!= lit(""))
+    val nMulti = m.select(col(idCol).as("ida"), col("__bk"))
+      .join(m.select(col(idCol).as("idb"), col("__bk")), Seq("__bk"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb")).distinct()
+      .count()
+    (nSingle, nMulti)
   }
 }

@@ -712,6 +712,31 @@ object Similarity {
     pqShortlistRerank(scored, corpus, idCol, vecCol, k, shortlist)
   }
 
+  /** Fail fast when a probe's (nSub, subDim, kPerSub) disagree with the
+    * PERSISTED codebook's geometry — the same silent-corruption class
+    * [[requireDim]] guards on the dim axis: a mismatched kPerSub
+    * mis-strides the flattened ADC lookup table (`m·kPerSub + code`) and
+    * returns plausible-looking but WRONG neighbors. The geometry is
+    * DERIVED from the codebook itself (distinct subspaces, rows per
+    * subspace, centroid vector width) — one driver-side aggregate over a
+    * `nSub·kPerSub`-row table, metadata scale. */
+  private def validatePqGeometry(
+      codebooks: DataFrame, nSub: Int, subDim: Int, kPerSub: Int): Unit = {
+    val r = codebooks.agg(
+      countDistinct(col("__m")), count(lit(1)),
+      min(size(col("__cv"))), max(size(col("__cv")))).collect()(0)
+    val ns = r.getLong(0)
+    val n = r.getLong(1)
+    require(ns > 0, "graft PQ: persisted codebook table is empty")
+    val kps = n / ns
+    val dims = (r.getInt(2), r.getInt(3))
+    require(ns == nSub && kps == kPerSub && n == ns * kps &&
+        dims == ((subDim, subDim)),
+      s"graft PQ: probe params (nSub=$nSub, subDim=$subDim, kPerSub=$kPerSub) " +
+        s"do not match the persisted codebook (nSub=$ns, subDim=${dims._1}.." +
+        s"${dims._2}, kPerSub=$kps) — refusing to mis-stride the ADC table")
+  }
+
   /** Dense-code map of a trained codebook: `__code` = 0-based rank of the
     * centroid id within its subspace (the byte the codes store). */
   private def pqCodeMap(codebooks: DataFrame): DataFrame =
@@ -827,7 +852,9 @@ object Similarity {
       subDim: Int,
       kPerSub: Int,
       shortlist: Int): DataFrame = {
-    val cmap = pqCodeMap(spark.table(s"${tableName}_codebooks"))
+    val cb = spark.table(s"${tableName}_codebooks")
+    validatePqGeometry(cb, nSub, subDim, kPerSub)
+    val cmap = pqCodeMap(cb)
     val codes = spark.table(tableName)
       .select(col(idCol).as("neighbor_id"), col("__codes"), col("__rn2"))
     val qtab = pqQueryTab(queries, idCol, vecCol, cmap, nSub, subDim)
@@ -966,10 +993,16 @@ object Similarity {
       .select(col(idCol), col("__cid"), cellCos.as("__ccos"))
       .groupBy(col(idCol))
       .agg(max_by(col("__cid"), struct(col("__ccos"), -col("__cid"))).as("__cell"))
-    pqEncode(emb, idCol, vecCol, cb, nSub, subDim)
+    // materialize encode+assignment ONCE before the bucketed write: the
+    // saveAsTable's bucket-sort exchange otherwise re-evaluates the whole
+    // two-aggregation encode lineage on its shuffle-retry paths, and the
+    // snapshot frees the k-means localCheckpoint blocks held by the
+    // training lineage as soon as the build returns
+    val encoded = pqEncode(emb, idCol, vecCol, cb, nSub, subDim)
       .join(assigned, Seq(idCol))
       .select(col(idCol), col("__cell"), col("__codes"), col("__rn2"))
-      .write
+      .localCheckpoint(eager = true)
+    encoded.write
       .bucketBy(nBuckets, "__cell").sortBy("__cell")
       .option("path", path)
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -994,7 +1027,9 @@ object Similarity {
       kPerSub: Int,
       shortlist: Int): DataFrame = {
     val cent = spark.table(s"${tableName}_centroids")
-    val cmap = pqCodeMap(spark.table(s"${tableName}_codebooks"))
+    val cb = spark.table(s"${tableName}_codebooks")
+    validatePqGeometry(cb, nSub, subDim, kPerSub)
+    val cmap = pqCodeMap(cb)
     val codes = spark.table(tableName)
       .select(col(idCol).as("neighbor_id"), col("__cell"), col("__codes"), col("__rn2"))
     ivfPqScan(queries, codes, cent, cmap, rerank, idCol, vecCol,

@@ -97,6 +97,15 @@ object Sinks {
     * and every previous table state stays time-travelable until vacuum.
     * This is the run-over-run shape of the reference's hourly DAG
     * (extract → merge → load) with the load made transactional. */
+  /** Thrown by [[upsertByKeyVersioned]]'s pre-publish re-validation when
+    * another writer published a snapshot between this merge's target read
+    * and its commit claim — publishing the merge would silently drop the
+    * other writer's rows (lost update). The upsert catches it and retries
+    * the whole merge against the new current version. */
+  final class ConcurrentWriteException(root: String, base: Option[Long], now: Option[Long])
+    extends RuntimeException(
+      s"concurrent write to $root: merged against version $base but current is $now")
+
   def upsertByKeyVersioned(
       spark: SparkSession,
       tableRoot: String,
@@ -108,29 +117,53 @@ object Sinks {
       changeFeed: Boolean = true,
       extraTables: Map[String, DataFrame] = Map.empty,
       preCommit: Long => Unit = _ => ()): Long = {
-    val target = VersionedTable.currentVersion(spark, tableRoot) match {
-      case Some(_) => VersionedTable.read(spark, tableRoot)
-      case None => graft.operators.IncrementalMerge.emptyTarget(staging, key, statusCol)
+    // OPTIMISTIC CONCURRENCY: pin the target read to the version it
+    // resolved, re-validate inside the commit (after the claim, before
+    // publish) that no other writer published meanwhile, and retry the
+    // whole merge on conflict. Two interleaving writers can no longer
+    // silently drop each other's merged rows; the residual race (another
+    // publish between the re-check and our publish) is the same
+    // metadata-latency window Delta's OCC accepts between log read and
+    // log write — conflicting claims resolve on the NEXT writer's retry.
+    val maxAttempts = 5
+    var attempt = 0
+    var committed: Option[Long] = None
+    while (committed.isEmpty) {
+      attempt += 1
+      val base = VersionedTable.currentVersion(spark, tableRoot)
+      val target = base match {
+        case Some(bv) => VersionedTable.readVersion(spark, tableRoot, bv)
+        case None => graft.operators.IncrementalMerge.emptyTarget(staging, key, statusCol)
+      }
+      // mergeEvolving = merge + on_schema_change='sync_all_columns'
+      // (retail_transactions.sql:6): an hourly run whose staging added or
+      // dropped a column still lands, and the new snapshot IS the evolved
+      // schema — no DDL step, the previous schema stays time-travelable
+      val merged = graft.operators.IncrementalMerge
+        .mergeEvolving(target, staging, key, runTs, statusCol, doneValue)
+      // the run's CHANGE DATA FEED rides the same commit: O(delta) rows,
+      // published atomically with the snapshot they describe, readable via
+      // VersionedTable.readChanges for incremental downstream consumers
+      val extras = extraTables ++
+        (if (!changeFeed) Map.empty[String, DataFrame]
+         else Map("changes" -> graft.operators.IncrementalMerge
+           .changeFeed(target, staging, key, runTs, statusCol, doneValue)))
+      // no checkpoint needed: the commit writes to a fresh version dir, so
+      // the plan can read the current snapshot while writing the next one;
+      // a bloom on the merge key keeps readWhere point lookups prunable
+      // even before the table is clustered
+      try committed = Some(VersionedTable.commit(merged, tableRoot, extras = extras,
+        bloomCols = Seq(key), preCommit = v => {
+          preCommit(v) // caller's validation first (e.g. the txn gate)
+          val now = VersionedTable.currentVersion(spark, tableRoot)
+          if (now != base) throw new ConcurrentWriteException(tableRoot, base, now)
+        }))
+      catch {
+        case e: ConcurrentWriteException if attempt < maxAttempts =>
+          () // re-read the new current snapshot and re-merge
+      }
     }
-    // mergeEvolving = merge + on_schema_change='sync_all_columns'
-    // (retail_transactions.sql:6): an hourly run whose staging added or
-    // dropped a column still lands, and the new snapshot IS the evolved
-    // schema — no DDL step, the previous schema stays time-travelable
-    val merged = graft.operators.IncrementalMerge
-      .mergeEvolving(target, staging, key, runTs, statusCol, doneValue)
-    // the run's CHANGE DATA FEED rides the same commit: O(delta) rows,
-    // published atomically with the snapshot they describe, readable via
-    // VersionedTable.readChanges for incremental downstream consumers
-    val extras = extraTables ++
-      (if (!changeFeed) Map.empty[String, DataFrame]
-       else Map("changes" -> graft.operators.IncrementalMerge
-         .changeFeed(target, staging, key, runTs, statusCol, doneValue)))
-    // no checkpoint needed: the commit writes to a fresh version dir, so
-    // the plan can read the current snapshot while writing the next one;
-    // a bloom on the merge key keeps readWhere point lookups prunable
-    // even before the table is clustered
-    VersionedTable.commit(merged, tableRoot, extras = extras,
-      bloomCols = Seq(key), preCommit = preCommit)
+    committed.get
   }
 
   /** [[upsertByKeyVersioned]] with FILE-GRANULAR COPY-ON-WRITE — the form

@@ -28,11 +28,15 @@ import graft.sources.{Sinks, VersionedTable}
   * inside the commit itself (after the version claim, before publish), so
   * a zombie writer that lost a long pause between its first check and its
   * commit — executor failover, GC stall — aborts instead of double-
-  * applying the batch. The re-check sees only PUBLISHED commits, so two
-  * writers racing the same batch concurrently can in principle still both
-  * land (their claims don't order their publishes); the single-writer
-  * contract is what rules that out, the in-commit check is defense against
-  * the zombie/stall shape, which is the one that occurs in practice.
+  * applying the batch. DIFFERENT appIds sharing one tableRoot are handled
+  * by [[Sinks.upsertByKeyVersioned]]'s optimistic concurrency: the merge
+  * is pinned to the target version it read, the commit re-validates that
+  * version is still current after the claim, and a conflict re-reads and
+  * re-merges — so two apps interleaving read→publish no longer drop each
+  * other's merged rows. The residual race (a publish landing between the
+  * re-check and this writer's publish) is the metadata-latency window
+  * Delta's OCC accepts too; within one appId the txn stamp makes retries
+  * idempotent regardless.
   *
   * Scale: each micro-batch pays one delta-sized merge (or the COW form
   * for clustered tables) + a metadata commit; state lives in the table,
@@ -87,15 +91,27 @@ object UpsertStream {
       runTs: org.apache.spark.sql.Column,
       doneValue: String = "purchase",
       availableNow: Boolean = false): StreamingQuery = {
+    // per-appId checkpoint: two apps writing one tableRoot must not share
+    // stream progress state. MIGRATION: pre-r6 streams checkpointed at
+    // <root>_checkpoint — pointing an existing deployment at the new
+    // per-appId path would restart batch numbering at 0 and the
+    // lastTxn >= batchId replay gate would then silently SKIP genuinely
+    // new batches until the counter passed the old high-water mark. When
+    // the legacy dir exists and the per-appId one doesn't yet, keep the
+    // legacy dir (its batch counter is the one the txn stamps were
+    // written against).
+    val legacyCp = new org.apache.hadoop.fs.Path(tableRoot + "_checkpoint")
+    val perAppCp = new org.apache.hadoop.fs.Path(tableRoot + "_checkpoint_" + appId)
+    val cpFs = legacyCp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val checkpoint =
+      if (cpFs.exists(legacyCp) && !cpFs.exists(perAppCp)) legacyCp else perAppCp
     val w = EventStream.readEvents(spark, dir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         upsertBatch(spark, tableRoot, batch, batchId, appId, runTs, doneValue)
         ()
       }
-      // per-appId checkpoint: two apps writing one tableRoot must not
-      // share stream progress state
-      .option("checkpointLocation", tableRoot + "_checkpoint_" + appId)
+      .option("checkpointLocation", checkpoint.toString)
     (if (availableNow)
        w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
      else w).start()

@@ -87,4 +87,38 @@ class SinksSpec extends SparkSpec {
     assert(second(1).getAs[java.sql.Timestamp]("updated_at")
       == first(1).getAs[java.sql.Timestamp]("updated_at"))
   }
+
+  test("versioned upsert detects a concurrent writer and re-merges (no lost update)") {
+    val root = Files.createTempDirectory("graft_sink_occ").resolve("t").toString
+    val t0 = lit("2024-06-01 00:00:00").cast("timestamp")
+    def stg(rows: Seq[(Long, String, String)]) =
+      rows.toDF("id", "last_status", "c")
+        .withColumn("created_at", col("c").cast("timestamp")).drop("c")
+
+    Sinks.upsertByKeyVersioned(spark, root,
+      stg(Seq((1L, "OPEN", "2024-05-30 10:00:00"))), "id", t0, "last_status", "DONE")
+    // writer A merges {2}; in A's pre-publish window writer B lands {3}.
+    // Pre-OCC, A's merge (computed against v1 = {1}) published anyway and
+    // silently DROPPED B's row. Now the in-claim re-validation must see
+    // B's publish, abort, and re-merge against B's snapshot.
+    var interleaved = false
+    Sinks.upsertByKeyVersioned(spark, root,
+      stg(Seq((2L, "OPEN", "2024-05-30 11:00:00"))), "id", t0, "last_status", "DONE",
+      preCommit = _ =>
+        if (!interleaved) {
+          interleaved = true
+          Sinks.upsertByKeyVersioned(spark, root,
+            stg(Seq((3L, "OPEN", "2024-05-30 12:00:00"))),
+            "id", t0, "last_status", "DONE")
+          ()
+        })
+    assert(interleaved)
+    val ids = VersionedTable.read(spark, root)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 3L), s"lost update: final snapshot has $ids")
+    // A claimed 2 then aborted it; B (running inside A's claim window)
+    // claimed+published 3; A's retry published 4. Claim 2 stays skipped
+    // by protocol.
+    assert(VersionedTable.versions(spark, root) == Seq(1L, 3L, 4L))
+  }
 }

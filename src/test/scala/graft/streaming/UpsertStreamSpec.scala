@@ -105,4 +105,32 @@ class UpsertStreamSpec extends SparkSpec {
     // and upsertBatch's own path swallows the abort as a replay-skip
     assert(UpsertStream.upsertBatch(spark, root, b, 0L, "app", runTs, "purchase").isEmpty)
   }
+
+  test("an existing legacy checkpoint is kept; fresh streams get per-app dirs") {
+    // upgrading a pre-per-appId deployment must NOT move it to a fresh
+    // checkpoint dir: batch numbering would restart at 0 and the
+    // lastTxn >= batchId replay gate would silently skip genuinely new
+    // batches until the counter passed the old high-water mark
+    val stage = java.nio.file.Files.createTempDirectory("graft_ups_cp_src")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.schema(EventStream.eventSchema)
+      .parquet(s"$dir/events.parquet").limit(50).coalesce(1)
+      .write.parquet(stage.resolve("b1").toString)
+    val f = new org.apache.hadoop.fs.Path(stage.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // legacy deployment: <root>_checkpoint already exists
+    val root1 = java.nio.file.Files.createTempDirectory("graft_ups_cp1").toString + "/t"
+    f.mkdirs(new org.apache.hadoop.fs.Path(root1 + "_checkpoint"))
+    UpsertStream.start(spark, stage.toString + "/*", root1, "appX", runTs,
+      availableNow = true).awaitTermination()
+    assert(f.exists(new org.apache.hadoop.fs.Path(root1 + "_checkpoint/offsets")))
+    assert(!f.exists(new org.apache.hadoop.fs.Path(root1 + "_checkpoint_appX")))
+
+    // fresh deployment: the per-app dir is created and used
+    val root2 = java.nio.file.Files.createTempDirectory("graft_ups_cp2").toString + "/t"
+    UpsertStream.start(spark, stage.toString + "/*", root2, "appX", runTs,
+      availableNow = true).awaitTermination()
+    assert(f.exists(new org.apache.hadoop.fs.Path(root2 + "_checkpoint_appX/offsets")))
+  }
 }
