@@ -45,6 +45,15 @@ object TableStats {
       var nulls: Long,
       var valid: Boolean)
 
+  /** Commits writing at most this many files read footers on the driver —
+    * a micro-batch commit must not pay a Spark-job launch for three
+    * footers. Anything larger goes through the DISTRIBUTED footer read:
+    * the driver never loops over O(files) I/O (at 100 TB ≈ 800k files a
+    * serial footer pass is minutes of driver time per commit — the Delta
+    * answer is stats collected in the write tasks / a distributed footer
+    * read, and this is the latter). */
+  private val DriverFooterBudget = 16
+
   /** Read footers of every data file under `dir` and write the stats table
     * to `dir/_stats/stats.tsv` — a driver-written text file, NOT a Spark
     * write: Spark readers ignore "_"-prefixed paths entirely (which is
@@ -52,12 +61,35 @@ object TableStats {
     * O(files × columns) rows, far below Spark-job size. Values are
     * URL-encoded so labels containing tabs/newlines round-trip. Collection
     * failures are non-fatal: stats are an optimization, a commit must
-    * never be blocked by them. */
+    * never be blocked by them.
+    *
+    * FOOTER READS are distributed: beyond [[DriverFooterBudget]] files the
+    * footers are opened by a Spark job (one task per slice of files, the
+    * Hadoop conf re-materialized executor-side from its entries) and only
+    * the finished O(files × columns) stat rows return to the driver for
+    * the tsv write. Small commits stay driver-side — bounded by the
+    * budget, so the commit path's driver I/O is O(1), never O(files). */
   def write(spark: SparkSession, f: FileSystem, dir: Path): Unit =
     try {
       val files = f.listStatus(dir).toSeq.map(_.getPath)
         .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-      val rows = files.flatMap { p => fileRows(f, p) }
+      val rows =
+        if (files.size <= DriverFooterBudget)
+          files.flatMap { p => fileRows(f.getConf, p) }
+        else {
+          val confEntries = f.getConf.iterator().asScala
+            .map(e => (e.getKey, e.getValue)).toVector
+          val paths = files.map(_.toString)
+          val slices = math.min(paths.size,
+            math.max(1, spark.sparkContext.defaultParallelism))
+          spark.sparkContext.parallelize(paths, slices)
+            .mapPartitions { it =>
+              val conf = new org.apache.hadoop.conf.Configuration(false)
+              confEntries.foreach { case (k, v) => conf.set(k, v) }
+              it.flatMap(s => fileRows(conf, new Path(s)))
+            }
+            .collect().toSeq
+        }
       if (rows.nonEmpty) writeRows(f, dir, rows)
     } catch {
       case e: Exception =>
@@ -84,11 +116,13 @@ object TableStats {
   }
 
   /** (file, column, kind, min, max, nullCount, numRows) rows for one file;
-    * min/max null when the file has no refutable stats for the column. */
-  private def fileRows(f: FileSystem, p: Path)
+    * min/max null when the file has no refutable stats for the column.
+    * Takes a bare Configuration so the distributed collection path can
+    * call it executor-side. */
+  private def fileRows(conf: org.apache.hadoop.conf.Configuration, p: Path)
       : Seq[(String, String, String, Option[String], Option[String], Long, Long)] = {
     val reader = ParquetFileReader.open(
-      HadoopInputFile.fromPath(p, f.getConf))
+      HadoopInputFile.fromPath(p, conf))
     try {
       val footer = reader.getFooter
       val blocks = footer.getBlocks.asScala.toSeq

@@ -139,6 +139,26 @@ class DataSkippingSpec extends SparkSpec {
     assert(VersionedTable.statsAggregate(spark, root2, Nil).map(_._1).contains(400L))
   }
 
+  test("a wide commit takes the DISTRIBUTED footer path and stats stay exact") {
+    // 24 files > the 16-file driver budget → footers are read by a Spark
+    // job, not a driver loop; everything downstream (coverage, pruning,
+    // metadata aggregates) must be indistinguishable from the driver path
+    val root = freshRoot()
+    val df = spark.range(0, 2400).toDF("id")
+      .withColumn("label", concat(lit("k"), format_string("%04d", $"id")))
+      .repartitionByRange(24, $"id")
+    VersionedTable.commit(df, root)
+    val v = VersionedTable.currentVersion(spark, root).get
+    val stats = TableStats.load(spark,
+      new org.apache.hadoop.fs.Path(s"$root/v${"%08d".format(v)}/_stats"))
+    assert(stats.size == 24, s"stats cover ${stats.size} of 24 files")
+    val (kept, total) = VersionedTable.prunedFiles(spark, root, v, $"id" === 1200L)
+    assert(total == 24 && kept.size == 1)
+    val Some((rows, cs)) = VersionedTable.statsAggregate(spark, root, Seq("id"))
+    assert(rows == 2400L && cs.head.min == 0L && cs.head.max == 2399L)
+    assert(VersionedTable.readWhere(spark, root, $"id" === 1200L).count() == 1)
+  }
+
   test("stats travel with the version: vacuum removes them, time travel keeps them") {
     val root = freshRoot(); table(root)
     VersionedTable.commit(spark.range(0, 10).toDF("id")
