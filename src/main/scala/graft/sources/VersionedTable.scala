@@ -77,6 +77,91 @@ object VersionedTable {
   def currentVersion(spark: SparkSession, root: String): Option[Long] =
     versions(spark, root).lastOption
 
+  /** O(1) membership probe — one `exists()` on the commit marker instead
+    * of a directory listing: a reader validating one version of a
+    * 100k-commit streaming table must not list the whole log to do it. */
+  private def isCommitted(spark: SparkSession, root: String, v: Long): Boolean =
+    fs(spark, root).exists(new Path(commitDir(root), pad(v)))
+
+  // ---- version-log checkpoint --------------------------------------------
+
+  private def checkpointDir(root: String) = new Path(root, "_checkpoint")
+  private def checkpointFile(root: String) = new Path(checkpointDir(root), "ckpt.tsv")
+
+  /** Driver-sized summary of the version log as of `version`: the newest
+    * published version at write time plus the per-app txn high-water mark
+    * over ALL commits ≤ `version` — the Delta `_last_checkpoint` idea on
+    * this format. Readers resolve idempotence state from this one file
+    * plus the (normally empty) suffix of versions published after it,
+    * instead of scanning the whole log; and because the marks live here,
+    * they SURVIVE [[vacuum]] dropping the stamped commits themselves. */
+  final case class Checkpoint(version: Long, txns: Map[String, Long])
+
+  /** The current checkpoint, or None when none was ever written (pre-
+    * checkpoint tables) or the file is unreadable — callers fall back to
+    * the full log scan, so a lost checkpoint costs time, never
+    * correctness. */
+  def readCheckpoint(spark: SparkSession, root: String): Option[Checkpoint] = {
+    val f = fs(spark, root)
+    val file = checkpointFile(root)
+    if (!f.exists(file)) None
+    else
+      try {
+        val in = f.open(file)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                   finally in.close()
+        val lines = text.split('\n').filter(_.nonEmpty)
+        val txns = lines.tail.map { l =>
+          val a = l.split('\t')
+          java.net.URLDecoder.decode(a(0), "UTF-8") -> a(1).toLong
+        }.toMap
+        Some(Checkpoint(lines.head.toLong, txns))
+      } catch { case _: Exception => None }
+  }
+
+  /** Advance the checkpoint after publishing version `v`. Merges the
+    * previous checkpoint with the txn extras of every version it did not
+    * yet cover — normally just `v`; more only when an earlier writer
+    * crashed between publish and checkpoint, which is exactly how such a
+    * gap heals. Best-effort and MONOTONE: a lower version never replaces
+    * a higher one (concurrent writers race by version), the swap is a
+    * write-tmp-then-rename, and any failure leaves the previous file —
+    * readers then scan the short suffix the checkpoint misses. */
+  private def writeCheckpoint(spark: SparkSession, root: String, v: Long): Unit =
+    try {
+      val f = fs(spark, root)
+      val prev = readCheckpoint(spark, root)
+      if (!prev.exists(_.version >= v)) {
+        val from = prev.map(_.version).getOrElse(0L)
+        val gap = versions(spark, root).filter(x => x > from && x <= v)
+        val txns = gap.sorted
+          .foldLeft(prev.map(_.txns).getOrElse(Map.empty[String, Long])) { (m, vv) =>
+            readExtra(spark, root, vv, "txn") match {
+              case Some(df) =>
+                df.collect().foldLeft(m) { (mm, r) =>
+                  val app = r.getAs[String]("app_id")
+                  val b = r.getAs[Long]("batch_id")
+                  mm.updated(app, math.max(mm.getOrElse(app, Long.MinValue), b))
+                }
+              case None => m
+            }
+          }
+        f.mkdirs(checkpointDir(root))
+        val tmp = new Path(checkpointDir(root),
+          "ckpt." + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
+        val body = (Seq(v.toString) ++ txns.toSeq.sortBy(_._1).map { case (a, b) =>
+          java.net.URLEncoder.encode(a, "UTF-8") + "\t" + b
+        }).mkString("", "\n", "\n")
+        val out = f.create(tmp, true)
+        try out.write(body.getBytes("UTF-8")) finally out.close()
+        f.delete(checkpointFile(root), false)
+        if (!f.rename(tmp, checkpointFile(root))) f.delete(tmp, false)
+      }
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[versioned-table] checkpoint skipped: ${e.getMessage}")
+    }
+
   /** Write `df` as the next snapshot and publish it. Returns the committed
     * version. The data is written ONCE to a private staging dir; claiming,
     * moving and publishing are three metadata operations (create, dir
@@ -183,6 +268,11 @@ object VersionedTable {
     finalizeVersion(f, dir, v)
     // (4) publish — the linearization point
     f.create(new Path(commitDir(root), pad(v)), false).close()
+    // (5) advance the version-log checkpoint — best-effort, OUTSIDE the
+    // atomicity story (the publish above already decided the commit):
+    // O(1) reader resolution instead of log scans, and txn high-water
+    // marks that outlive vacuum
+    writeCheckpoint(spark, root, v)
     v
   }
 
@@ -219,7 +309,7 @@ object VersionedTable {
 
   /** Time travel: read an exact committed version. */
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
-    require(versions(spark, root).contains(v), s"version $v is not committed under $root")
+    require(isCommitted(spark, root, v), s"version $v is not committed under $root")
     manifestOf(spark, root, v) match {
       case Some(refs) =>
         spark.read.parquet(refs.map(r => new Path(root, r).toString): _*)
@@ -258,7 +348,7 @@ object VersionedTable {
   def prunedFiles(
       spark: SparkSession, root: String, v: Long,
       predicate: Column): (Seq[String], Int) = {
-    require(versions(spark, root).contains(v), s"version $v is not committed under $root")
+    require(isCommitted(spark, root, v), s"version $v is not committed under $root")
     val dir = versionDir(root, v)
     // (absolute path, stats-lookup key): plain snapshots key stats by bare
     // file name; manifest snapshots by root-relative path (bare names
@@ -331,7 +421,7 @@ object VersionedTable {
       version: Option[Long] = None): Option[(Long, Seq[ColStat])] = {
     val v = version.orElse(currentVersion(spark, root)).getOrElse(
       throw new java.io.IOException(s"no committed version under $root"))
-    require(versions(spark, root).contains(v), s"version $v is not committed under $root")
+    require(isCommitted(spark, root, v), s"version $v is not committed under $root")
     val dir = versionDir(root, v)
     val fileKeys: Seq[String] = manifestOf(spark, root, v) match {
       case Some(refs) => refs
@@ -379,7 +469,7 @@ object VersionedTable {
   def fileKeyRanges(
       spark: SparkSession, root: String, v: Long, column: String)
       : Option[Seq[(String, Option[(String, Any, Any)])]] = {
-    require(versions(spark, root).contains(v), s"version $v is not committed under $root")
+    require(isCommitted(spark, root, v), s"version $v is not committed under $root")
     val dir = versionDir(root, v)
     val entries: Seq[(String, String)] = manifestOf(spark, root, v) match {
       case Some(refs) => refs.map(r => (r, r))
@@ -477,7 +567,7 @@ object VersionedTable {
     * the caller distinguishes "no feed recorded" from "an empty feed". */
   def readExtra(
       spark: SparkSession, root: String, v: Long, name: String): Option[DataFrame] = {
-    require(versions(spark, root).contains(v), s"version $v is not committed under $root")
+    require(isCommitted(spark, root, v), s"version $v is not committed under $root")
     val p = new Path(versionDir(root, v), s"_$name")
     if (fs(spark, root).exists(p)) Some(spark.read.parquet(p.toString)) else None
   }
@@ -486,18 +576,28 @@ object VersionedTable {
     * high-water mark (Delta's txnAppId/txnVersion pattern): a streaming
     * writer stamps each commit with a ("txn" extra) `(app_id, batch_id)`
     * row, and on restart/replay skips any batch at or below this mark.
-    * Scans versions newest-first and stops at the first commit carrying
-    * the app's stamp; commits from other writers (no txn extra) are
-    * passed over. O(versions since the app's last commit). */
+    *
+    * Resolution is CHECKPOINT-FIRST: versions the checkpoint already
+    * covers are never probed — only the (normally empty) suffix published
+    * after it is scanned newest-first for a fresher stamp. A streaming
+    * table at micro-batch 100k answers this from one checkpoint read +
+    * zero-or-one extra probes, not 100k parquet reads; and because the
+    * marks live in the checkpoint, they survive [[vacuum]] dropping the
+    * stamped commits (pre-checkpoint, vacuum silently reset the high-water
+    * and a replayed batch could double-apply). Tables without a checkpoint
+    * fall back to the full newest-first scan. */
   def lastTxn(spark: SparkSession, root: String, appId: String): Option[Long] = {
     import org.apache.spark.sql.functions.col
-    versions(spark, root).sorted.reverse.iterator
+    val ckpt = readCheckpoint(spark, root)
+    val from = ckpt.map(_.version).getOrElse(0L)
+    versions(spark, root).filter(_ > from).sorted.reverse.iterator
       .flatMap { v =>
         readExtra(spark, root, v, "txn").toSeq
           .flatMap(_.filter(col("app_id") === appId)
             .collect().map(_.getAs[Long]("batch_id")))
       }
       .nextOption()
+      .orElse(ckpt.flatMap(_.txns.get(appId)))
   }
 
   /** CHANGE DATA FEED over a committed version range: the per-version
@@ -699,6 +799,15 @@ object VersionedTable {
             f.delete(s.getPath, true)
         }
       }
+    }
+    // truncate the CLAIM log alongside: claims exist only to order
+    // writers, every retained commit outranks them, and a streaming table
+    // committing one snapshot per micro-batch must not grow `_claims`
+    // without bound. Replay protection is unaffected — the checkpoint
+    // carries the dropped commits' txn high-water marks forward.
+    drop.lastOption.foreach { dm =>
+      listVersions(f, claimDir(root)).filter(_ <= dm)
+        .foreach(c => f.delete(new Path(claimDir(root), pad(c)), false))
     }
     drop
   }
