@@ -76,6 +76,18 @@ object ScaleBench {
     // amortized O(corpus) half), and the per-batch probe against the
     // persisted index (the O(batch)-shuffle steady state).
     val isFixedBatch = col("doc_id") < 1000000000L && col("doc_id") % 5 === 4
+    // s5 under its PRODUCTION split: IVF∘PQ index built once per corpus
+    // (cells scale with the factor, the d6/s3 operating rule), then a
+    // FIXED query set (replica 0's stride slice) probes nProbes=3 cells —
+    // the flat-curve claim: per-query scanned codes ≈ corpus·3/nCells =
+    // constant when cells scale with the corpus. Built eagerly only when
+    // the run asks for s5 keys.
+    val s5Root = java.nio.file.Files
+      .createTempDirectory("graft_scale_ivfpq").toString + "/idx"
+    if (onlyKeys.forall(_.exists(_.startsWith("s5"))))
+      Similarity.buildIvfPqIndex(Tables.embeddings(spark, sfDir),
+        "vec_id", "embedding", nCells, 2, 4, 16, 16, 2,
+        s"scale_ivfpq_f$factor", s5Root)
     // same banding/threshold as the d10 query key (DedupQueries constants)
     val (dN, dBands, dRows, dThr) = (3, 24, 3, 0.5)
     val d10Root = java.nio.file.Files
@@ -116,6 +128,12 @@ object ScaleBench {
             .filter(col("vec_id") % 100 === 0 && col("vec_id") < 1000000000L),
           Tables.embeddings(spark, sfDir),
           "vec_id", "embedding", 5, 4, 16, 16, 2, 20)),
+      "s5_fixed_probe" -> (() =>
+        Similarity.probeIvfPqIndex(spark, s"scale_ivfpq_f$factor",
+          Tables.embeddings(spark, sfDir)
+            .filter(col("vec_id") % 100 === 0 && col("vec_id") < 1000000000L),
+          Tables.embeddings(spark, sfDir),
+          "vec_id", "embedding", 5, 3, 4, 16, 16, 20)),
       "s3_knn_ivf" -> (() =>
         Similarity.ivfTopK(
           Tables.embeddings(spark, sfDir).filter(col("vec_id") % 100 === 0),
