@@ -201,10 +201,20 @@ object Sinks {
     import org.apache.spark.sql.functions.{broadcast, col, lit}
     val full = () => upsertByKeyVersioned(
       spark, tableRoot, staging, key, runTs, statusCol, doneValue, changeFeed)
-    VersionedTable.currentVersion(spark, tableRoot) match {
+    // same optimistic concurrency as the full-rewrite path: the touched
+    // set, merge, and carried references are all computed against `cur`,
+    // so a writer publishing meanwhile would have its fresh rows silently
+    // dropped from the new manifest — re-validate inside the claim and
+    // redo the whole touched-set computation on conflict
+    val maxAttempts = 5
+    var attempt = 0
+    var committed: Option[Long] = None
+    while (committed.isEmpty) {
+      attempt += 1
+      try committed = Some(VersionedTable.currentVersion(spark, tableRoot) match {
       case None => full()
       case Some(cur) =>
-        val target = VersionedTable.read(spark, tableRoot)
+        val target = VersionedTable.readVersion(spark, tableRoot, cur)
         val mergedSchema = graft.operators.IncrementalMerge
           .mergeEvolving(target.limit(0), staging.limit(0), key, runTs,
             statusCol, doneValue).schema
@@ -251,10 +261,22 @@ object Sinks {
               if (!changeFeed) Map.empty[String, DataFrame]
               else Map("changes" -> graft.operators.IncrementalMerge
                 .changeFeed(slice, staging, key, runTs, statusCol, doneValue))
-            VersionedTable.commitCow(merged, tableRoot, kept, extras, bloomCols = Seq(key))
+            VersionedTable.commitCow(merged, tableRoot, kept, extras,
+              bloomCols = Seq(key),
+              preCommit = _ => {
+                val now = VersionedTable.currentVersion(spark, tableRoot)
+                if (now != Some(cur))
+                  throw new ConcurrentWriteException(tableRoot, Some(cur), now)
+              })
           case _ => full()
         }
+      })
+      catch {
+        case e: ConcurrentWriteException if attempt < maxAttempts =>
+          () // another writer published since `cur` — recompute and retry
+      }
     }
+    committed.get
   }
 
   /** Distributed CSV sink — a directory of part files, the scale form

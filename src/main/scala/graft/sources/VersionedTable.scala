@@ -378,17 +378,43 @@ object VersionedTable {
     // point lookup on an unclustered column (every file's range admits
     // it); a per-file parquet bloom can. Probed only for files min/max
     // kept — a plan-time footer read per file, conservative when a file
-    // carries no bloom for the column.
+    // carries no bloom for the column. The probe loop DISTRIBUTES beyond
+    // a fixed driver budget: the unclustered point lookup is exactly the
+    // case where min/max keeps (nearly) ALL files, and a serial driver
+    // pass over 800k footers would stall every query's planning — the
+    // same O(files)-driver-I/O class the stats collection already
+    // eliminated on the write side.
     val probes = conjs.flatMap(TableStats.equalityProbes)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def survives(conf: org.apache.hadoop.conf.Configuration, p: Path): Boolean =
+      probes.forall { case (c, vs) =>
+        vs.exists(vv => TableStats.bloomMayContain(conf, p, c, vv))
+      }
+    val bloomDriverBudget = 32
     val kept =
       if (probes.isEmpty) statsKept
+      else if (statsKept.size <= bloomDriverBudget)
+        statsKept.filter { case (p, _) => survives(hconf, p) }
       else {
-        val hconf = spark.sparkContext.hadoopConfiguration
-        statsKept.filter { case (p, _) =>
-          probes.forall { case (c, vs) =>
-            vs.exists(vv => TableStats.bloomMayContain(hconf, p, c, vv))
+        import scala.jdk.CollectionConverters._
+        val confEntries = hconf.iterator().asScala
+          .map(e => (e.getKey, e.getValue)).toVector
+        val paths = statsKept.map(_._1.toString)
+        val slices = math.min(paths.size,
+          math.max(1, spark.sparkContext.defaultParallelism))
+        val probesB = probes // stable local for the closure
+        val keptPaths = spark.sparkContext.parallelize(paths, slices)
+          .mapPartitions { it =>
+            val conf = new org.apache.hadoop.conf.Configuration(false)
+            confEntries.foreach { case (k, v2) => conf.set(k, v2) }
+            it.filter { s =>
+              probesB.forall { case (c, vs) =>
+                vs.exists(vv => TableStats.bloomMayContain(conf, new Path(s), c, vv))
+              }
+            }
           }
-        }
+          .collect().toSet
+        statsKept.filter { case (p, _) => keptPaths(p.toString) }
       }
     (kept.map(_._1.toString), files.size)
   }
@@ -512,7 +538,8 @@ object VersionedTable {
   def commitCow(
       newData: DataFrame, root: String, keptFiles: Seq[String],
       extras: Map[String, DataFrame] = Map.empty,
-      bloomCols: Seq[String] = Nil): Long = {
+      bloomCols: Seq[String] = Nil,
+      preCommit: Long => Unit = _ => ()): Long = {
     val spark = newData.sparkSession
     val f = fs(spark, root)
     val cur = currentVersion(spark, root).getOrElse(
@@ -530,7 +557,7 @@ object VersionedTable {
     val curStats = TableStats.load(spark,
       new Path(versionDir(root, cur), "_stats"))
     commitWith(newData, root, collectStats = true, extras = extras,
-      bloomCols = bloomCols,
+      bloomCols = bloomCols, preCommit = preCommit,
       finalizeVersion = (fh, dir, v) => {
         val ownNames = dataFiles(fh, dir).map(_.getPath.getName)
         val refs = ownNames.map(n => f"v$v%08d/" + n) ++ keptFiles

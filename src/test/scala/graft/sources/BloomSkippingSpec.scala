@@ -62,6 +62,27 @@ class BloomSkippingSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq == Seq(2500L))
   }
 
+  test("a wide snapshot probes blooms DISTRIBUTED and prunes identically") {
+    // 40 striped files > the 32-file driver budget → the probe loop runs
+    // as a Spark job; pruning decisions and results must be exactly the
+    // driver path's. This is the worst case the budget exists for: an
+    // unclustered point lookup where min/max keeps ALL files
+    val root = freshRoot()
+    val df = spark.range(0, 8000).toDF("id")
+      .withColumn("label", concat(lit("u"), format_string("%05d", $"id")))
+      .repartition(40)
+    VersionedTable.commit(df, root, bloomCols = Seq("label"))
+    val v = VersionedTable.currentVersion(spark, root).get
+    val (kept, total) = VersionedTable.prunedFiles(spark, root, v, $"label" === "u02500")
+    assert(total == 40 && kept.size < 8,
+      s"bloom should prune most striped files, kept ${kept.size} of $total")
+    assert(VersionedTable.readWhere(spark, root, $"label" === "u02500")
+      .select("id").as[Long].collect().toSeq == Seq(2500L))
+    val (keptNone, _) = VersionedTable.prunedFiles(spark, root, v,
+      $"label" === "zzz-not-there")
+    assert(keptNone.isEmpty)
+  }
+
   test("blooms compose with min/max: range prunes first, bloom refines") {
     val root = freshRoot()
     // clustered on id, bloom on label: an id-range + label-point query
