@@ -127,6 +127,23 @@ object TableStats {
       val footer = reader.getFooter
       val blocks = footer.getBlocks.asScala.toSeq
       val numRows = blocks.map(_.getRowCount).sum
+      // ZERO-ROW file (e.g. a COW delete that emptied its touched slice):
+      // no row groups means no per-chunk stats to fold, but the file must
+      // still be COVERED — an uncovered file would void the snapshot's
+      // whole stats table under the all-or-nothing rule. Emit rows=0
+      // entries from the footer SCHEMA (typed where canonKind can, one
+      // sentinel otherwise); the pruner reads rows=0 as "matches nothing".
+      if (blocks.isEmpty) {
+        val typed = footer.getFileMetaData.getSchema.getFields.asScala.toSeq
+          .filter(_.isPrimitive).map(_.asPrimitiveType)
+          .flatMap { pt =>
+            canonKind(pt.getPrimitiveTypeName, pt.getLogicalTypeAnnotation)
+              .map(kind => (p.getName, pt.getName, kind,
+                None: Option[String], None: Option[String], 0L, 0L))
+          }
+        return if (typed.nonEmpty) typed
+               else Seq((p.getName, "__norows", "long", None, None, 0L, 0L))
+      }
       val accs = scala.collection.mutable.LinkedHashMap.empty[String, Acc]
       blocks.foreach { block =>
         block.getColumns.asScala.foreach { cc =>
@@ -343,6 +360,9 @@ object TableStats {
   def mayMatch(
       conj: Expression,
       stats: Map[String, (String, Option[String], Option[String], Long, Long)]): Boolean = {
+    // a ZERO-ROW file (every covered column records rows == 0) can satisfy
+    // no conjunct at all — prune it outright
+    if (stats.nonEmpty && stats.values.forall(_._5 == 0L)) return false
 
     def range(name: String): Option[(String, Any, Any, Long, Long)] =
       stats.get(name).flatMap { case (kind, mnO, mxO, nulls, rows) =>

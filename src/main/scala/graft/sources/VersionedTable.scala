@@ -588,6 +588,55 @@ object VersionedTable {
       })
   }
 
+  /** Row-level DELETE, copy-on-write (Delta/Iceberg `DELETE WHERE` on
+    * this format — the GDPR/retention primitive a 100 TB table cannot
+    * answer with a full rewrite): files whose stats/blooms ADMIT the
+    * predicate are rewritten without the matching rows; every other file
+    * rides the new snapshot by manifest reference, untouched. On a
+    * clustered table a key-scoped delete rewrites O(matching files), not
+    * O(table); without usable stats the pruner keeps everything and the
+    * delete degrades to a correct full rewrite.
+    *
+    * SQL semantics: rows where the predicate is TRUE are removed; FALSE
+    * and NULL rows stay. Optimistic-concurrent like the upsert paths:
+    * the rewrite pins the version it read, re-validates it inside the
+    * commit claim, and recomputes on conflict. Returns the new version —
+    * or the CURRENT one unchanged when no file can match (a no-op delete
+    * publishes nothing). */
+  def deleteWhere(spark: SparkSession, root: String, predicate: Column): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    val maxAttempts = 5
+    var attempt = 0
+    var out: Option[Long] = None
+    while (out.isEmpty) {
+      attempt += 1
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new java.io.IOException(s"no committed version under $root"))
+      val (mayMatch, _) = prunedFiles(spark, root, cur, predicate)
+      if (mayMatch.isEmpty) out = Some(cur) // provably nothing to delete
+      else {
+        // compare scheme-qualified: prunedFiles returns FileStatus paths
+        // (file:/...), dataFileRefs are root-relative
+        val f = fs(spark, root)
+        val mayMatchSet = mayMatch.map(s => f.makeQualified(new Path(s)).toString).toSet
+        val keptRefs = dataFileRefs(spark, root, cur)
+          .filterNot(r => mayMatchSet(f.makeQualified(new Path(root, r)).toString))
+        val rewritten = spark.read.parquet(mayMatch: _*)
+          .where(!coalesce(predicate, lit(false)))
+        try out = Some(commitCow(rewritten, root, keptRefs,
+          preCommit = _ => {
+            val now = currentVersion(spark, root)
+            if (now != Some(cur))
+              throw new Sinks.ConcurrentWriteException(root, Some(cur), now)
+          }))
+        catch {
+          case e: Sinks.ConcurrentWriteException if attempt < maxAttempts => ()
+        }
+      }
+    }
+    out.get
+  }
+
   /** Read a side table committed alongside version `v` via [[commit]]'s
     * `extras` (e.g. the change feed [[Sinks.upsertByKeyVersioned]]
     * stores as `changes`). None when that version carries no such extra —
