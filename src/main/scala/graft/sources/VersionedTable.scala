@@ -604,7 +604,45 @@ object VersionedTable {
     * or the CURRENT one unchanged when no file can match (a no-op delete
     * publishes nothing). */
   def deleteWhere(spark: SparkSession, root: String, predicate: Column): Long = {
-    import org.apache.spark.sql.functions.{coalesce, lit}
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    cowRewrite(spark, root, predicate)(df =>
+      df.where(not(coalesce(predicate, lit(false)))))
+  }
+
+  /** Row-level UPDATE, copy-on-write (Delta/Iceberg `UPDATE ... SET` on
+    * this format): rows where `predicate` is TRUE get each `set` column
+    * replaced by its expression (cast to the column's existing type);
+    * FALSE/NULL rows and unlisted columns pass through unchanged. File
+    * handling, pruning, no-op shortcut, and optimistic concurrency are
+    * exactly [[deleteWhere]]'s; fresh files get fresh footer stats, so
+    * updated values re-enter data skipping correctly. Unknown `set`
+    * columns throw — a typo must not silently no-op. */
+  def updateWhere(
+      spark: SparkSession, root: String, predicate: Column,
+      set: Map[String, Column]): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    require(set.nonEmpty, "updateWhere needs at least one SET column")
+    cowRewrite(spark, root, predicate) { df =>
+      val bad = set.keySet -- df.columns.toSet
+      require(bad.isEmpty, s"unknown columns in SET: ${bad.mkString(", ")}")
+      val cond = coalesce(predicate, lit(false))
+      df.select(df.columns.toSeq.map { c =>
+        set.get(c) match {
+          case Some(v) =>
+            when(cond, v.cast(df.schema(c).dataType)).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
+    }
+  }
+
+  /** Shared COW row-rewrite loop of [[deleteWhere]]/[[updateWhere]]:
+    * prune to the files the predicate may touch, apply `rewrite` to that
+    * slice only, carry the rest by manifest reference, re-validate the
+    * pinned version inside the commit claim and retry on conflict. */
+  private def cowRewrite(
+      spark: SparkSession, root: String, predicate: Column)(
+      rewrite: DataFrame => DataFrame): Long = {
     val maxAttempts = 5
     var attempt = 0
     var out: Option[Long] = None
@@ -613,7 +651,7 @@ object VersionedTable {
       val cur = currentVersion(spark, root).getOrElse(
         throw new java.io.IOException(s"no committed version under $root"))
       val (mayMatch, _) = prunedFiles(spark, root, cur, predicate)
-      if (mayMatch.isEmpty) out = Some(cur) // provably nothing to delete
+      if (mayMatch.isEmpty) out = Some(cur) // provably no row matches
       else {
         // compare scheme-qualified: prunedFiles returns FileStatus paths
         // (file:/...), dataFileRefs are root-relative
@@ -621,8 +659,7 @@ object VersionedTable {
         val mayMatchSet = mayMatch.map(s => f.makeQualified(new Path(s)).toString).toSet
         val keptRefs = dataFileRefs(spark, root, cur)
           .filterNot(r => mayMatchSet(f.makeQualified(new Path(root, r)).toString))
-        val rewritten = spark.read.parquet(mayMatch: _*)
-          .where(!coalesce(predicate, lit(false)))
+        val rewritten = rewrite(spark.read.parquet(mayMatch: _*))
         try out = Some(commitCow(rewritten, root, keptRefs,
           preCommit = _ => {
             val now = currentVersion(spark, root)

@@ -69,6 +69,38 @@ class DeleteSpec extends SparkSpec {
       .forall(_.forall(_.startsWith("v00000002/"))))
   }
 
+  test("updateWhere rewrites only admitting files; SET casts; NULL rows untouched") {
+    val root = freshRoot(); table(root)
+    val v2 = VersionedTable.updateWhere(spark, root,
+      $"id" >= 100L && $"id" < 150L,
+      Map("grp" -> lit(999), "maybe" -> ($"maybe" + 1)))
+    assert(v2 == 2L)
+    // only the [100,200) file rewritten, 3 originals by reference
+    val refs = VersionedTable.manifestOf(spark, root, v2).get
+    assert(refs.count(_.startsWith("v00000001/")) == 3)
+    val t = VersionedTable.read(spark, root)
+    assert(t.count() == 400)
+    // updated slice: grp = 999 (int literal cast to the long column),
+    // maybe incremented where non-null, still null on multiples of 10
+    assert(t.where($"id" >= 100L && $"id" < 150L && $"grp" =!= 999L).count() == 0)
+    assert(t.where($"id" === 101L).select("maybe").as[Long].head() == 102L)
+    assert(t.where($"id" === 110L).select($"maybe".isNull).as[Boolean].head())
+    // untouched rows identical
+    assert(t.where($"id" < 100L && $"grp" === 999L).count() == 0)
+    // schema unchanged
+    assert(t.schema == VersionedTable.readVersion(spark, root, 1L).schema)
+    // NULL-predicate rows are not updated: maybe<120 is NULL on id%10==0
+    VersionedTable.updateWhere(spark, root, $"maybe" < 120L, Map("grp" -> lit(-1)))
+    val t2 = VersionedTable.read(spark, root)
+    assert(t2.where($"maybe".isNull && $"grp" === -1L).count() == 0)
+    // no-op + bad column
+    assert(VersionedTable.updateWhere(spark, root, $"id" === 99999L,
+      Map("grp" -> lit(0))) == VersionedTable.currentVersion(spark, root).get)
+    intercept[IllegalArgumentException] {
+      VersionedTable.updateWhere(spark, root, $"id" === 1L, Map("nope" -> lit(0)))
+    }
+  }
+
   test("delete composes with data skipping and later commits") {
     val root = freshRoot(); table(root)
     VersionedTable.deleteWhere(spark, root, $"id" < 100L)
