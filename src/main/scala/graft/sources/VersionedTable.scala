@@ -738,6 +738,56 @@ object VersionedTable {
     frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** INCREMENTAL change-feed consumption — the Delta streaming-source
+    * pattern in its checkpointed batch-poll form: each call reads the
+    * feed of every version committed since the consumer's own checkpoint
+    * (a driver-sized file under `checkpointDir`, one per consumer), hands
+    * it to `process` as one micro-batch stamped with its version range,
+    * and advances the checkpoint only after `process` returns — so
+    * delivery is AT-LEAST-ONCE (a crash inside `process` replays the
+    * range) and consumers that idempotently upsert by `(_commit_version,
+    * key)` get exactly-once end to end, the same contract foreachBatch
+    * gives a streaming sink. Returns the processed (fromV, toV), or None
+    * when the table has nothing new — a no-op poll does one checkpoint
+    * read and one log listing, nothing else.
+    *
+    * The consumer owns its checkpoint location (NOT inside the table
+    * root): progress is the reader's state, exactly as a streaming
+    * query's checkpointLocation — two consumers with two dirs advance
+    * independently. Versions must still carry feeds ([[readChanges]]
+    * raises on gaps) and must not have been vacuumed past the
+    * checkpoint; pick vacuum retention to cover the slowest consumer,
+    * the standard table-format contract. */
+  def consumeChanges(
+      spark: SparkSession, root: String, checkpointDir: String)(
+      process: DataFrame => Unit): Option[(Long, Long)] = {
+    val f = fs(spark, root)
+    val ckFile = new Path(checkpointDir, "progress.txt")
+    val last: Option[Long] =
+      if (!f.exists(ckFile)) None
+      else {
+        val in = f.open(ckFile)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                   finally in.close()
+        text.trim.toLongOption
+      }
+    val cur = currentVersion(spark, root)
+    val fromV = last.map(_ + 1).getOrElse(versions(spark, root).headOption.getOrElse(1L))
+    cur.filter(_ >= fromV).map { toV =>
+      process(readChanges(spark, root, fromV, toV))
+      // advance AFTER processing: tmp + rename, the same swap discipline
+      // as the version-log checkpoint
+      f.mkdirs(new Path(checkpointDir))
+      val tmp = new Path(checkpointDir,
+        "progress." + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
+      val out = f.create(tmp, true)
+      try out.write(s"$toV\n".getBytes("UTF-8")) finally out.close()
+      f.delete(ckFile, false)
+      if (!f.rename(tmp, ckFile)) f.delete(tmp, false)
+      (fromV, toV)
+    }
+  }
+
   private def dataFiles(
       f: org.apache.hadoop.fs.FileSystem, dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
     f.listStatus(dir).toSeq

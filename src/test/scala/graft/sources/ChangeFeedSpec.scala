@@ -108,6 +108,55 @@ class ChangeFeedSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).exceptAll(replayed).count() == 0)
   }
 
+  test("consumeChanges: checkpointed incremental polls, replay on failure, independent consumers") {
+    val root = freshRoot()
+    val ck1 = java.nio.file.Files.createTempDirectory("graft_cdf_c1").toString
+    val ck2 = java.nio.file.Files.createTempDirectory("graft_cdf_c2").toString
+    val t1 = lit("2024-06-01 00:00:00").cast("timestamp")
+    Sinks.upsertByKeyVersioned(spark, root,
+      stg(Seq((1L, "OPEN", "2024-05-30 10:00:00"))), "id", t1, "last_status", "DONE")
+    Sinks.upsertByKeyVersioned(spark, root,
+      stg(Seq((2L, "OPEN", "2024-05-30 11:00:00"))), "id", runTs, "last_status", "DONE")
+
+    // first poll: both versions' feeds in one micro-batch
+    var seen = Seq.empty[(Long, String)]
+    def collectBatch(df: org.apache.spark.sql.DataFrame): Unit =
+      seen = df.select("id", "_change_type").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(VersionedTable.consumeChanges(spark, root, ck1)(collectBatch)
+      .contains((1L, 2L)))
+    assert(seen.map(_._1).sorted == Seq(1L, 2L))
+    // nothing new: no-op poll, process not invoked
+    seen = Seq.empty
+    assert(VersionedTable.consumeChanges(spark, root, ck1)(collectBatch).isEmpty)
+    assert(seen.isEmpty)
+
+    // a third commit: the next poll sees exactly that version's feed
+    Sinks.upsertByKeyVersioned(spark, root,
+      stg(Seq((1L, "DONE", "2024-05-30 10:00:00"))), "id", runTs, "last_status", "DONE")
+    assert(VersionedTable.consumeChanges(spark, root, ck1)(collectBatch)
+      .contains((3L, 3L)))
+    assert(seen.forall(_._1 == 1L) && seen.map(_._2).sorted ==
+      Seq("update_postimage", "update_preimage"))
+
+    // AT-LEAST-ONCE: a crash inside process leaves the checkpoint, the
+    // next poll replays the same range
+    Sinks.upsertByKeyVersioned(spark, root,
+      stg(Seq((3L, "OPEN", "2024-06-01 09:00:00"))), "id", runTs, "last_status", "DONE")
+    intercept[RuntimeException] {
+      VersionedTable.consumeChanges(spark, root, ck1)(_ =>
+        throw new RuntimeException("consumer crashed"))
+    }
+    assert(VersionedTable.consumeChanges(spark, root, ck1)(collectBatch)
+      .contains((4L, 4L)))
+    assert(seen.map(_._1) == Seq(3L))
+
+    // an independent consumer starts from the beginning of the log
+    assert(VersionedTable.consumeChanges(spark, root, ck2)(collectBatch)
+      .contains((1L, 4L)))
+    assert(seen.map(_._1).distinct.sorted == Seq(1L, 2L, 3L))
+  }
+
   test("a feedless version in range fails loudly, not as a silent gap") {
     val root = freshRoot()
     val v1 = Sinks.upsertByKeyVersioned(spark, root,
