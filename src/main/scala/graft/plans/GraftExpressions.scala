@@ -432,3 +432,47 @@ object MinHashSignature {
     new GenericArrayData(out)
   }
 }
+
+/** Equi-depth bucket id of a double against PRECOMPUTED sorted cut points
+  * (the skew-robust half of z-order bucketing): bucket = count of cut
+  * points ≤ v, by binary search against a generator-referenced boundaries
+  * array — O(log nBuckets) per row inside WholeStageCodegen, where the
+  * naive sum-of-comparisons form costs O(nBuckets) and a linear min/max
+  * scale collapses under heavy-hitter skew. Ties step past the duplicate
+  * run so every row with the same value lands in the same bucket. */
+case class QuantileBucket(child: Expression, boundaries: Array[Double])
+  extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_quantile_bucket"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs double, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    QuantileBucket.bucketOf(boundaries, input.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("qbBounds", boundaries, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.plans.QuantileBucket.bucketOf($ref, $c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object QuantileBucket {
+  /** Shared by interpreted eval and generated code: index after the last
+    * cut point ≤ v (duplicate cut points — a heavy hitter spanning many
+    * quantiles — count once per position, so the bucket id still lands
+    * right of the whole run). */
+  def bucketOf(bs: Array[Double], v: Double): Long = {
+    var p = java.util.Arrays.binarySearch(bs, v)
+    if (p < 0) p = -(p + 1)
+    else { while (p < bs.length && bs(p) == v) p += 1 }
+    p.toLong
+  }
+}

@@ -872,36 +872,59 @@ object VersionedTable {
   def optimizeZOrder(
       spark: SparkSession, root: String, cols: Seq[String],
       targetFileBytes: Long = 128L * 1024 * 1024,
-      bloomCols: Seq[String] = Nil): Long = {
+      bloomCols: Seq[String] = Nil,
+      equiDepth: Boolean = false): Long = {
     require(cols.size >= 2 && cols.size <= 3,
       "z-order interleaves 2 or 3 columns; use optimize() for one")
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val v = currentVersion(spark, root).getOrElse(
       throw new java.io.IOException(s"no committed version under $root"))
     val df = readVersion(spark, root, v)
-    val bits = if (cols.size == 2) 16 else 10
+    // equi-depth uses 8 bits: 256 balanced buckets per dimension is far
+    // finer than any realistic file count, and keeps the one-pass
+    // quantile sketch small; linear keeps the wider spaces (cheap, and
+    // precision is all it has)
+    val bits = if (equiDepth) 8 else if (cols.size == 2) 16 else 10
     import org.apache.spark.sql.functions._
-    // table-wide min/max per column: metadata when stats cover the
-    // snapshot, else one aggregation pass
-    val ranges: Map[String, (Double, Double)] =
-      statsAggregate(spark, root, cols, Some(v)) match {
-        case Some((_, cs)) if cs.forall(c => c.min != null && c.max != null) =>
-          cs.map(c => c.column -> (toD(c.min), toD(c.max))).toMap
-        case _ =>
-          val aggs = cols.flatMap(c =>
-            Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
-          val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-          cols.zipWithIndex.map { case (c, i) =>
-            c -> (row.getDouble(2 * i), row.getDouble(2 * i + 1))
-          }.toMap
-      }
     val maxBucket = (1L << bits) - 1
-    def bucket(c: String): Column = {
-      val (mn, mx) = ranges(c)
-      val span = if (mx > mn) mx - mn else 1.0
-      val scaled = ((col(c).cast("double") - lit(mn)) / lit(span)) * lit(maxBucket.toDouble)
-      least(greatest(scaled.cast("long"), lit(0L)), lit(maxBucket))
-    }
+    val bucket: String => Column =
+      if (equiDepth) {
+        // EQUI-DEPTH bucketing (what Delta's OPTIMIZE does): cut points
+        // from ONE approx-quantile pass (Greenwald-Khanna sketch over all
+        // columns together), bucket = binary-search rank via the native
+        // QuantileBucket expression. Robust to skew: a heavy hitter that
+        // collapses the linear scale into one bucket here occupies its
+        // own quantile range and every other value still spreads.
+        val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
+        val castDf = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
+        val qs = castDf.stat.approxQuantile(cols.toArray, probs, 1.0 / (4 << bits))
+        val bounds = cols.zip(qs.map(_.sorted)).toMap
+        c => org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.plans.QuantileBucket(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col(c).cast("double")),
+            bounds(c)))
+      } else {
+        // table-wide min/max per column: metadata when stats cover the
+        // snapshot, else one aggregation pass
+        val ranges: Map[String, (Double, Double)] =
+          statsAggregate(spark, root, cols, Some(v)) match {
+            case Some((_, cs)) if cs.forall(c => c.min != null && c.max != null) =>
+              cs.map(c => c.column -> (toD(c.min), toD(c.max))).toMap
+            case _ =>
+              val aggs = cols.flatMap(c =>
+                Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+              val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+              cols.zipWithIndex.map { case (c, i) =>
+                c -> (row.getDouble(2 * i), row.getDouble(2 * i + 1))
+              }.toMap
+          }
+        c => {
+          val (mn, mx) = ranges(c)
+          val span = if (mx > mn) mx - mn else 1.0
+          val scaled = ((col(c).cast("double") - lit(mn)) / lit(span)) * lit(maxBucket.toDouble)
+          least(greatest(scaled.cast("long"), lit(0L)), lit(maxBucket))
+        }
+      }
     // interleave: output bit (i*dims + d) = bit i of column d's bucket
     val z = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
       cols.zipWithIndex.foldLeft(acc) { case (a, (c, d)) =>

@@ -65,6 +65,61 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("equi-depth z-order prunes a SKEWED dimension where linear scaling cannot") {
+    // 4096 rows: `skew` is uniform 0..99 for 99% of rows with a handful
+    // of 1e9 outliers — linear min/max scaling maps 99% of values to
+    // bucket 0, so the skewed dimension contributes nothing to the
+    // z-value and a skew-band query keeps every file; equi-depth cut
+    // points ignore the outliers' magnitude and spread the mass
+    def skewed(root: String): Unit = VersionedTable.commit(
+      spark.range(0, 4096).toDF("i")
+        .withColumn("skew", when($"i" % 512 === 0, lit(1000000000L)).otherwise($"i" % 100))
+        .withColumn("user", $"i" % 64)
+        .withColumn("pad", lpad($"i".cast("string"), 64, "g"))
+        .drop("i"), root)
+    val rootLin = freshRoot(); skewed(rootLin)
+    val rootEq = freshRoot(); skewed(rootEq)
+    val target = fileBytes(rootLin) / 32
+    VersionedTable.optimizeZOrder(spark, rootLin, Seq("skew", "user"),
+      targetFileBytes = target)
+    VersionedTable.optimizeZOrder(spark, rootEq, Seq("skew", "user"),
+      targetFileBytes = target, equiDepth = true)
+    val vLin = VersionedTable.currentVersion(spark, rootLin).get
+    val vEq = VersionedTable.currentVersion(spark, rootEq).get
+
+    val band = $"skew" >= 40L && $"skew" < 50L
+    val (linKept, linTotal) = VersionedTable.prunedFiles(spark, rootLin, vLin, band)
+    val (eqKept, eqTotal) = VersionedTable.prunedFiles(spark, rootEq, vEq, band)
+    assert(linTotal >= 8 && eqTotal >= 8)
+    assert(linKept.size == linTotal,
+      s"linear scale should be blind to the skewed band, kept ${linKept.size} of $linTotal")
+    // a 10%-of-mass band: z-interleaving spends half the prefix bits on
+    // `user`, so the ideal is ~sqrt(w) of the files — a third pruned is
+    // the conservative floor (the linear layout prunes ZERO)
+    assert(eqKept.size * 3 <= eqTotal * 2,
+      s"equi-depth should prune at least a third, kept ${eqKept.size} of $eqTotal")
+    // a point value occupies ~1/100 of the mass: most files' value spans
+    // miss it entirely
+    val (eqKeptPt, _) = VersionedTable.prunedFiles(spark, rootEq, vEq, $"skew" === 42L)
+    val (linKeptPt, _) = VersionedTable.prunedFiles(spark, rootLin, vLin, $"skew" === 42L)
+    info(s"band: eq ${eqKept.size}/$eqTotal lin ${linKept.size}/$linTotal; " +
+      s"point: eq ${eqKeptPt.size} lin ${linKeptPt.size}")
+    assert(linKeptPt.size == linTotal)
+    assert(eqKeptPt.size * 2 <= eqTotal,
+      s"equi-depth should prune at least half for a point, kept ${eqKeptPt.size} of $eqTotal")
+    // the other dimension still prunes, and results match exactly
+    val (eqKeptU, _) = VersionedTable.prunedFiles(spark, rootEq, vEq,
+      $"user" >= 10L && $"user" < 14L)
+    assert(eqKeptU.size * 2 <= eqTotal)
+    for (pred <- Seq(band, $"user" === 3L, $"skew" === 1000000000L)) {
+      val a = VersionedTable.readWhere(spark, rootLin, pred)
+        .orderBy("skew", "user", "pad").collect().map(_.toSeq).toSeq
+      val b = VersionedTable.readWhere(spark, rootEq, pred)
+        .orderBy("skew", "user", "pad").collect().map(_.toSeq).toSeq
+      assert(a == b && a.nonEmpty)
+    }
+  }
+
   test("z-order rejects non-numeric and wrong arity") {
     val root = freshRoot(); grid(root)
     intercept[IllegalArgumentException] {
