@@ -1009,6 +1009,66 @@ object Similarity {
       .saveAsTable(tableName)
   }
 
+  /** APPEND a batch of new vectors to a persisted IVF index without
+    * touching its geometry (faiss `index.add()` — the growing-corpus
+    * path: re-running [[buildIvfIndex]] per batch is O(corpus), this is
+    * O(batch)): the batch is assigned against the PERSISTED centroids and
+    * inserted into the bucketed postings table, so probes see the union
+    * immediately and the plan keeps its zero-exchange bucketed scan.
+    * Cells drift from the training distribution as the corpus grows —
+    * the faiss operating rule applies: retrain/rebuild when recall decays,
+    * append between rebuilds. Caller contract: batch ids must be new
+    * (append never dedups — pair with [[buildDedupIndex]]-style probes
+    * upstream when in doubt). */
+  def appendToIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String): Unit = {
+    val cent = spark.table(s"${tableName}_centroids")
+    val n = batch.select(col(idCol), col(vecCol), norm2(col(vecCol)).as("__n2"))
+    val cellCos = cosineFromNorms(dotD(col(vecCol), col("__cv")), col("__n2"), col("__cn2"))
+    n.join(broadcast(cent))
+      .select(col(idCol), col(vecCol), col("__n2"), col("__cid"), cellCos.as("__ccos"))
+      .groupBy(col(idCol))
+      .agg(
+        max_by(col("__cid"), struct(col("__ccos"), -col("__cid"))).as("__cell"),
+        first(col(vecCol)).as(vecCol), first(col("__n2")).as("__n2"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .insertInto(tableName)
+  }
+
+  /** [[appendToIvfIndex]] for the IVF∘PQ index: the batch is coarse-
+    * assigned against the persisted centroids AND PQ-encoded against the
+    * persisted codebooks — zero training, O(batch) work, the codes land
+    * in the bucketed codes table probes already scan. Same contracts:
+    * ids must be new; rebuild when distribution drift erodes recall. */
+  def appendToIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nSub: Int,
+      subDim: Int,
+      kPerSub: Int): Unit = {
+    val cent = spark.table(s"${tableName}_centroids")
+    val cb = spark.table(s"${tableName}_codebooks")
+    validatePqGeometry(cb, nSub, subDim, kPerSub)
+    val n = batch.select(col(idCol), col(vecCol), norm2(col(vecCol)).as("__n2"))
+    val cellCos = cosineFromNorms(dotD(col(vecCol), col("__cv")), col("__n2"), col("__cn2"))
+    val assigned = n.join(broadcast(cent))
+      .select(col(idCol), col("__cid"), cellCos.as("__ccos"))
+      .groupBy(col(idCol))
+      .agg(max_by(col("__cid"), struct(col("__ccos"), -col("__cid"))).as("__cell"))
+    pqEncode(batch, idCol, vecCol, cb, nSub, subDim)
+      .join(assigned, Seq(idCol))
+      .select(col(idCol), col("__cell"), col("__codes"), col("__rn2"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .insertInto(tableName)
+  }
+
   /** Probe a materialized IVF∘PQ index: bit-identical to [[ivfPqTopK]]
     * with the same parameters, zero training/assignment/encoding per call
     * — the repeated-query production path. Raw vectors are touched only

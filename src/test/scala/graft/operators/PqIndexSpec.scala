@@ -105,6 +105,65 @@ class PqIndexSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_ivfpq_index_codebooks")
   }
 
+  test("appendToIvfPqIndex: O(batch) adds against the frozen geometry; probe stays exact") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_app").toString
+    Seq("", "_centroids", "_codebooks").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_ivfpq_app$s"))
+    // build on the first 80% of the corpus, append the remaining 20%
+    val base = emb.filter("vec_id < 400")
+    val batch = emb.filter("vec_id >= 400")
+    Similarity.buildIvfPqIndex(base, "vec_id", "embedding",
+      nCells = 16, coarseIters = 2, nSub = 4, subDim = 16, kPerSub = 16,
+      pqIters = 2, "graft_ivfpq_app", s"$path/ivfpq")
+    Similarity.appendToIvfPqIndex(spark, "graft_ivfpq_app", batch,
+      "vec_id", "embedding", nSub = 4, subDim = 16, kPerSub = 16)
+    assert(spark.table("graft_ivfpq_app").count() == 500)
+
+    // EXACTNESS independent of geometry: probing every cell with a
+    // corpus-sized shortlist makes the exact-cosine rerank see every
+    // candidate, so the result must equal brute-force kNN over the FULL
+    // corpus — appended rows included — whatever the 80%-trained cells
+    // and codebooks look like
+    def rows4(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id", "cos").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val probed = rows4(Similarity.probeIvfPqIndex(spark, "graft_ivfpq_app", q, emb,
+      "vec_id", "embedding", k = 5, nProbes = 16, nSub = 4, subDim = 16,
+      kPerSub = 16, shortlist = 600))
+    val truth = rows4(Similarity.knnBruteForce(q, emb, "vec_id", "embedding", 5))
+    assert(probed == truth)
+    assert(truth.nonEmpty)
+    // a query next to an appended vector finds it: vec 450 queried
+    // against the index must return itself's nearest — sanity that the
+    // appended codes actually live in probed cells
+    val selfQ = emb.filter("vec_id = 450")
+    val got = Similarity.probeIvfPqIndex(spark, "graft_ivfpq_app", selfQ, emb,
+      "vec_id", "embedding", k = 5, nProbes = 16, nSub = 4, subDim = 16,
+      kPerSub = 16, shortlist = 600)
+    assert(got.count() == 5)
+    Seq("", "_centroids", "_codebooks").foreach(s =>
+      spark.sql(s"DROP TABLE graft_ivfpq_app$s"))
+  }
+
+  test("appendToIvfIndex: appended postings land bucketed; all-cells probe stays exact") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    Seq("", "_centroids").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_ivf_app$s"))
+    Similarity.buildIvfIndex(emb.filter("vec_id < 400"), "vec_id", "embedding",
+      nCells = 16, "graft_ivf_app", s"$path/ivf", kmeansIters = 2)
+    Similarity.appendToIvfIndex(spark, "graft_ivf_app",
+      emb.filter("vec_id >= 400"), "vec_id", "embedding")
+    assert(spark.table("graft_ivf_app").count() == 500)
+    def rows4(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id", "cos").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val probed = rows4(Similarity.probeIvfIndex(spark, "graft_ivf_app", q,
+      "vec_id", "embedding", 5, nCells = 16, nProbes = 16))
+    val truth = rows4(Similarity.knnBruteForce(q, emb, "vec_id", "embedding", 5))
+    assert(probed == truth && truth.nonEmpty)
+    Seq("", "_centroids").foreach(s => spark.sql(s"DROP TABLE graft_ivf_app$s"))
+  }
+
   test("s5 recall vs brute force at nProbes=3/16 (deterministic floor)") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "neighbor_id").collect()
