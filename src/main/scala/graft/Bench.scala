@@ -87,10 +87,18 @@ object Bench {
         spark.catalog.clearCache()
         System.gc()
       }
+      // state partitions sized to the stream's per-batch rate, not the
+      // batch engine's core count: every stateful operator commits one
+      // state store PER shuffle partition PER micro-batch, so the batch
+      // setting (32) puts a ~4-7x pure-overhead floor under these 100k-row
+      // batches (measured: st6 15.5 -> 2.2 s/batch at 32 -> 8)
+      val statePars = Some(
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8").toInt)
       // st1: tumbling-window agg, complete mode — final table IS the agg
       val t1 = System.nanoTime()
       val q1 = graft.streaming.EventStream
-        .start(spark, stage.toString, "bench_mb_st1", availableNow = true)
+        .start(spark, stage.toString, "bench_mb_st1", availableNow = true,
+          statePartitions = statePars)
       q1.awaitTermination()
       val st1Sec = (System.nanoTime() - t1) / 1e9
       val st1N = nBatchesOf(q1)
@@ -103,7 +111,7 @@ object Bench {
       val t4 = System.nanoTime()
       val q4 = graft.streaming.StateStream
         .start(spark, stage.toString, "bench_mb_st4", "purchase",
-          availableNow = true)
+          availableNow = true, statePartitions = statePars)
       q4.awaitTermination()
       val st4Sec = (System.nanoTime() - t4) / 1e9
       val st4N = nBatchesOf(q4)
@@ -125,7 +133,8 @@ object Bench {
       import org.apache.spark.sql.functions.{col, max, unix_micros}
       val t2 = System.nanoTime()
       val q2 = graft.streaming.SessionStream
-        .start(spark, stage.toString, "bench_mb_st2", 7200L, availableNow = true)
+        .start(spark, stage.toString, "bench_mb_st2", 7200L, availableNow = true,
+          statePartitions = statePars)
       q2.awaitTermination()
       val st2Sec = (System.nanoTime() - t2) / 1e9
       val st2N = nBatchesOf(q2)
@@ -151,7 +160,8 @@ object Bench {
       val q3 = graft.streaming.EventStream
         .startEnriched(spark, stage.toString,
           graft.sources.Tables.customer(spark, sfDir),
-          "c_custkey", "c_mktsegment", "bench_mb_st3", availableNow = true)
+          "c_custkey", "c_mktsegment", "bench_mb_st3", availableNow = true,
+          statePartitions = statePars)
       q3.awaitTermination()
       val st3Sec = (System.nanoTime() - t3) / 1e9
       val st3N = nBatchesOf(q3)
@@ -165,7 +175,8 @@ object Bench {
       val q5 = graft.streaming.EventStream
         .startDedupReplay(spark, stage.toString, "bench_mb_st5",
           graft.queries.TextQueries.ReplayFrom,
-          graft.queries.TextQueries.ReplayTo, availableNow = true)
+          graft.queries.TextQueries.ReplayTo, availableNow = true,
+          statePartitions = statePars)
       q5.awaitTermination()
       val st5Sec = (System.nanoTime() - t5) / 1e9
       val st5N = nBatchesOf(q5)
@@ -177,7 +188,7 @@ object Bench {
       val t6 = System.nanoTime()
       val q6 = graft.streaming.EventStream
         .startAttribution(spark, stage.toString, "bench_mb_st6",
-          availableNow = true)
+          availableNow = true, statePartitions = statePars)
       q6.awaitTermination()
       val st6Sec = (System.nanoTime() - t6) / 1e9
       val st6N = nBatchesOf(q6)

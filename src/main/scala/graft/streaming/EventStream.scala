@@ -58,25 +58,59 @@ object EventStream {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Run `startQuery` under an overridden `spark.sql.shuffle.partitions`
+    * and restore the previous value as soon as `.start()` returns —
+    * SAFE because StreamExecution clones the session (conf included)
+    * while the query is constructed inside start(), so the running
+    * stream keeps the override and the caller's session gets its batch
+    * setting back.
+    *
+    * WHY a per-stream knob exists at all: every stateful operator runs
+    * one state store PER shuffle partition, and each micro-batch pays a
+    * checkpoint commit per store — so the per-batch latency FLOOR is
+    * proportional to the partition count regardless of data volume.
+    * The batch engine's partitioning (sized for scan/join throughput)
+    * is usually far too wide for a stream's per-batch rate: measured on
+    * the bench's 100k-row batches, the stream-stream join fell from
+    * 15.5 to 2.2 s/batch going 32 → 8 partitions. Size state
+    * partitions to the stream's throughput, not the cluster's cores —
+    * raise it only when per-batch state volume actually needs the
+    * parallelism. */
+  private[streaming] def withStatePartitions(
+      spark: SparkSession, n: Option[Int])(
+      startQuery: => StreamingQuery): StreamingQuery = n match {
+    case None => startQuery
+    case Some(p) =>
+      require(p > 0, "statePartitions must be positive")
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, p.toString)
+      try startQuery finally spark.conf.set(key, prev)
+  }
+
   /** Start the pipeline into an in-memory sink (tests / smoke checks; a
     * production deployment swaps the sink for parquet/Kafka + checkpoint).
     * `availableNow = true` processes everything currently in the
     * directory as real micro-batches and then terminates — the mode the
-    * micro-batch bench and catch-up/backfill runs use. */
+    * micro-batch bench and catch-up/backfill runs use.
+    * `statePartitions` sizes the stateful operators' store count (see
+    * [[withStatePartitions]]); None keeps the session's setting. */
   def start(
       spark: SparkSession,
       dir: String,
       sinkTable: String,
-      availableNow: Boolean = false): StreamingQuery = {
-    val w = windowedAgg(readEvents(spark, dir))
-      .writeStream
-      .format("memory")
-      .queryName(sinkTable)
-      .outputMode("complete")
-    (if (availableNow)
-       w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-     else w).start()
-  }
+      availableNow: Boolean = false,
+      statePartitions: Option[Int] = None): StreamingQuery =
+    withStatePartitions(spark, statePartitions) {
+      val w = windowedAgg(readEvents(spark, dir))
+        .writeStream
+        .format("memory")
+        .queryName(sinkTable)
+        .outputMode("complete")
+      (if (availableNow)
+         w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+       else w).start()
+    }
 
   /** Stream-static enrichment: every event joined to a slowly-changing
     * dimension snapshot, then the tumbling-window aggregation keyed by a
@@ -114,16 +148,18 @@ object EventStream {
       dimKey: String,
       dimAttr: String,
       sinkTable: String,
-      availableNow: Boolean = false): StreamingQuery = {
-    val w = enrichedWindowedAgg(readEvents(spark, dir), dim, dimKey, dimAttr)
-      .writeStream
-      .format("memory")
-      .queryName(sinkTable)
-      .outputMode("complete")
-    (if (availableNow)
-       w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-     else w).start()
-  }
+      availableNow: Boolean = false,
+      statePartitions: Option[Int] = None): StreamingQuery =
+    withStatePartitions(spark, statePartitions) {
+      val w = enrichedWindowedAgg(readEvents(spark, dir), dim, dimKey, dimAttr)
+        .writeStream
+        .format("memory")
+        .queryName(sinkTable)
+        .outputMode("complete")
+      (if (availableNow)
+         w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+       else w).start()
+    }
 
   /** Streaming exactly-once-per-key dedup: drop events whose `keyCols`
     * were already seen, keeping state only within the event-time
@@ -200,19 +236,21 @@ object EventStream {
       spark: SparkSession,
       dir: String,
       sinkTable: String,
-      availableNow: Boolean = false): StreamingQuery = {
-    val ev = readEvents(spark, dir)
-    val w = attributionJoin(
-        ev.filter(col("event_type") === "click"),
-        ev.filter(col("event_type") === "purchase"))
-      .writeStream
-      .format("memory")
-      .queryName(sinkTable)
-      .outputMode("append")
-    (if (availableNow)
-       w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-     else w).start()
-  }
+      availableNow: Boolean = false,
+      statePartitions: Option[Int] = None): StreamingQuery =
+    withStatePartitions(spark, statePartitions) {
+      val ev = readEvents(spark, dir)
+      val w = attributionJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"))
+        .writeStream
+        .format("memory")
+        .queryName(sinkTable)
+        .outputMode("append")
+      (if (availableNow)
+         w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+       else w).start()
+    }
 
   /** Run [[dedupStream]] over the replayed at-least-once feed as a real
     * stream into a memory sink — exactly-once output per event_id, state
@@ -223,15 +261,17 @@ object EventStream {
       sinkTable: String,
       from: String,
       to: String,
-      availableNow: Boolean = false): StreamingQuery = {
-    val w = dedupStream(replayedFeed(readEvents(spark, dir), from, to),
-        "2 hours", Seq("event_id"))
-      .writeStream
-      .format("memory")
-      .queryName(sinkTable)
-      .outputMode("append")
-    (if (availableNow)
-       w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-     else w).start()
-  }
+      availableNow: Boolean = false,
+      statePartitions: Option[Int] = None): StreamingQuery =
+    withStatePartitions(spark, statePartitions) {
+      val w = dedupStream(replayedFeed(readEvents(spark, dir), from, to),
+          "2 hours", Seq("event_id"))
+        .writeStream
+        .format("memory")
+        .queryName(sinkTable)
+        .outputMode("append")
+      (if (availableNow)
+         w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+       else w).start()
+    }
 }

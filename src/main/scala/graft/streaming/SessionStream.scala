@@ -144,19 +144,21 @@ object SessionStream {
       dir: String,
       sinkTable: String,
       gapSeconds: Long,
-      availableNow: Boolean = false): StreamingQuery = {
-    import spark.implicits._
-    val typed = EventStream.readEvents(spark, dir)
-      .withWatermark("ts", "0 seconds")
-      .select(col("user_id"), col("ts"), col("value"))
-      .as[Event]
-    val w = sessionize(typed, gapSeconds)
-      .writeStream
-      .format("memory")
-      .queryName(sinkTable)
-      .outputMode("append")
-    (if (availableNow)
-       w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-     else w).start()
-  }
+      availableNow: Boolean = false,
+      statePartitions: Option[Int] = None): StreamingQuery =
+    EventStream.withStatePartitions(spark, statePartitions) {
+      import spark.implicits._
+      val typed = EventStream.readEvents(spark, dir)
+        .withWatermark("ts", "0 seconds")
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[Event]
+      val w = sessionize(typed, gapSeconds)
+        .writeStream
+        .format("memory")
+        .queryName(sinkTable)
+        .outputMode("append")
+      (if (availableNow)
+         w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+       else w).start()
+    }
 }

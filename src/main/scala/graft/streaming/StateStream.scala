@@ -97,18 +97,20 @@ object StateStream {
       dir: String,
       sinkTable: String,
       terminal: String,
-      availableNow: Boolean = false): StreamingQuery = {
-    import spark.implicits._
-    val typed = EventStream.readEvents(spark, dir)
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      .as[Ev]
-    val w = updateStates(typed, terminal)
-      .writeStream
-      .format("memory")
-      .queryName(sinkTable)
-      .outputMode("update")
-    (if (availableNow)
-       w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-     else w).start()
-  }
+      availableNow: Boolean = false,
+      statePartitions: Option[Int] = None): StreamingQuery =
+    EventStream.withStatePartitions(spark, statePartitions) {
+      import spark.implicits._
+      val typed = EventStream.readEvents(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .as[Ev]
+      val w = updateStates(typed, terminal)
+        .writeStream
+        .format("memory")
+        .queryName(sinkTable)
+        .outputMode("update")
+      (if (availableNow)
+         w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+       else w).start()
+    }
 }
