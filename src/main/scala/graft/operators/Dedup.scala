@@ -611,6 +611,36 @@ object Dedup {
     finally out.close()
   }
 
+  /** APPEND a batch of accepted documents to a persisted dedup index —
+    * O(batch): the batch's three frames (norm hashes, band signatures,
+    * shingle sets) are computed with the INDEX's own persisted geometry
+    * and land as append commits (current snapshot carried by reference,
+    * nothing rewritten). This closes the incremental-dedup loop: probe
+    * the batch ([[probeDedupIndex]]), keep the survivors, append them so
+    * the NEXT batch dedups against corpus + this batch. Unlike the ANN
+    * appends there is no trained state to drift — MinHash geometry is
+    * per-document arithmetic, so an appended index is semantically
+    * identical to a full rebuild (spec-pinned). Batch ids must be new. */
+  def appendToDedupIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexRoot: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String): Unit = {
+    import graft.sources.VersionedTable
+    val p = new org.apache.hadoop.fs.Path(s"$indexRoot/params.tsv")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = f.open(p)
+    val line = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+               finally in.close()
+    val Array(n, bands, bandRows) = line.split('\t').map(_.toInt)
+    val (normHashes, bandSigs, shingles) =
+      corpusIndexFrames(batch, idCol, textCol, n, bands, bandRows)
+    VersionedTable.commitAppend(normHashes.distinct(), s"$indexRoot/norm_hashes")
+    VersionedTable.commitAppend(bandSigs, s"$indexRoot/band_sigs")
+    VersionedTable.commitAppend(shingles, s"$indexRoot/shingles")
+  }
+
   /** [[incrementalDedupFlags]] against a PERSISTED [[buildDedupIndex]]
     * index: identical output (the corpus frames are the same, modulo the
     * explicit distinct on norm-hashes, which the probe's semi-join never

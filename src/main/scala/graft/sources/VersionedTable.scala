@@ -674,6 +674,24 @@ object VersionedTable {
     out.get
   }
 
+  /** APPEND commit: publish a new snapshot = the current snapshot
+    * carried entirely BY REFERENCE + `newData` written fresh — the
+    * O(batch) ingest commit (Delta append): no existing file is read,
+    * rewritten, or copied, whatever the table size. Stats for kept files
+    * carry forward, so data skipping keeps working across appends. The
+    * caller owns schema compatibility (same-schema fast path, as
+    * [[commitCow]]). */
+  def commitAppend(
+      newData: DataFrame, root: String,
+      extras: Map[String, DataFrame] = Map.empty,
+      bloomCols: Seq[String] = Nil): Long = {
+    val spark = newData.sparkSession
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.io.IOException(
+        s"append needs an existing snapshot under $root — use commit() first"))
+    commitCow(newData, root, dataFileRefs(spark, root, cur), extras, bloomCols)
+  }
+
   /** Read a side table committed alongside version `v` via [[commit]]'s
     * `extras` (e.g. the change feed [[Sinks.upsertByKeyVersioned]]
     * stores as `changes`). None when that version carries no such extra —

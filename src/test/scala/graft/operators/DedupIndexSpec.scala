@@ -53,6 +53,34 @@ class DedupIndexSpec extends SparkSpec {
     assert(!scanned.exists(_.contains("/corpus")), "corpus text was scanned")
   }
 
+  test("appendToDedupIndex: appended index probes identically to a full rebuild") {
+    // build on half the corpus, append the other half — MinHash geometry
+    // is per-document arithmetic (no trained state), so probe(append)
+    // must equal probe(full rebuild) EXACTLY
+    val half1 = corpus.filter(col("doc_id") % 2 === 0)
+    val half2 = corpus.filter(col("doc_id") % 2 =!= 0)
+    val appRoot = java.nio.file.Files.createTempDirectory("graft_didx_app")
+      .toString + "/index"
+    val fullRoot = java.nio.file.Files.createTempDirectory("graft_didx_app")
+      .toString + "/index"
+    Dedup.buildDedupIndex(half1, "doc_id", "text", n, bands, bandRows, appRoot)
+    Dedup.appendToDedupIndex(spark, appRoot, half2, "doc_id", "text")
+    Dedup.buildDedupIndex(corpus, "doc_id", "text", n, bands, bandRows, fullRoot)
+    val viaAppend = Dedup.probeDedupIndex(spark, appRoot, batch, "doc_id", "text", thr)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val viaRebuild = Dedup.probeDedupIndex(spark, fullRoot, batch, "doc_id", "text", thr)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(viaAppend == viaRebuild)
+    assert(viaAppend.nonEmpty)
+    // the append was O(batch): every pre-existing index file is carried
+    // by reference (manifest), none rewritten
+    val shRoot = s"$appRoot/shingles"
+    val v = graft.sources.VersionedTable.currentVersion(spark, shRoot).get
+    val refs = graft.sources.VersionedTable.manifestOf(spark, shRoot, v).get
+    assert(refs.exists(_.startsWith("v00000001/")),
+      s"append rewrote the index instead of referencing it: $refs")
+  }
+
   test("index refresh is transactional: a rebuild flips versions, old probe state intact") {
     val v1 = graft.sources.VersionedTable
       .currentVersion(spark, s"$indexRoot/norm_hashes").get
