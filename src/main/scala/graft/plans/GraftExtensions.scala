@@ -115,6 +115,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.sources.VersionedTable.readChanges(
         SparkSession.active, str(a(0)), lng(a(1)), lng(a(2)))
     }
+    tvf(ext, "graft_table",
+      "graft_table(tableRoot) - the versioned table's latest committed snapshot (manifest-aware)") { a =>
+      graft.sources.VersionedTable.read(SparkSession.active, str(a(0)))
+    }
+    tvf(ext, "graft_table_at",
+      "graft_table_at(tableRoot, version) - TIME TRAVEL: an exact committed snapshot of the versioned table (the SQL face of readVersion)") { a =>
+      graft.sources.VersionedTable.readVersion(
+        SparkSession.active, str(a(0)), lng(a(1)))
+    }
     tvf(ext, "graft_quality_classifier",
       "graft_quality_classifier(table, idCol, textCol) - t9 hashed linear quality-classifier scores (n_feats, weight_sum, score, keep)") { a =>
       graft.operators.TextAnalysis.qualityClassifier(

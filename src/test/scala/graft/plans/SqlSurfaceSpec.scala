@@ -94,6 +94,28 @@ class SqlSurfaceSpec extends SparkSpec {
       Seq((1L, "update_postimage"), (1L, "update_preimage"), (3L, "insert")))
   }
 
+  test("graft_table / graft_table_at read and time-travel the versioned table from SQL") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_sql_tt").toString + "/t"
+    graft.sources.VersionedTable.commit(Seq((1L, "a")).toDF("id", "x"), root)
+    graft.sources.VersionedTable.commit(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "x"), root)
+    assert(spark.sql(s"SELECT count(*) FROM graft_table('$root')")
+      .collect()(0).getLong(0) == 2)
+    // time travel from SQL: v1 still shows the single-row world, and it
+    // composes with ordinary SQL (joins, filters) like any subquery
+    assert(spark.sql(s"SELECT id FROM graft_table_at('$root', 1)")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(spark.sql(
+      s"""SELECT cur.id FROM graft_table('$root') cur
+         |LEFT ANTI JOIN graft_table_at('$root', 1) old ON cur.id = old.id
+         |""".stripMargin).collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // an uncommitted version is an analysis-time error, not silent empties
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_table_at('$root', 99)").collect()
+    }
+  }
+
   test("graft_quality_classifier from SQL equals the Scala operator") {
     val fromSql = spark.sql(
       "SELECT doc_id, weight_sum, keep FROM graft_quality_classifier('docs', 'doc_id', 'text')")
