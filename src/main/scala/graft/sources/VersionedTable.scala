@@ -636,13 +636,24 @@ object VersionedTable {
     }
   }
 
-  /** Shared COW row-rewrite loop of [[deleteWhere]]/[[updateWhere]]:
-    * prune to the files the predicate may touch, apply `rewrite` to that
-    * slice only, carry the rest by manifest reference, re-validate the
-    * pinned version inside the commit claim and retry on conflict. */
-  private def cowRewrite(
-      spark: SparkSession, root: String, predicate: Column)(
-      rewrite: DataFrame => DataFrame): Long = {
+  /** `preCommit` validation that rejects the commit when the table
+    * advanced past the pinned version `cur` — the lost-update guard every
+    * path that computes against a snapshot must run inside its claim. */
+  private def occValidate(spark: SparkSession, root: String, cur: Long): Long => Unit =
+    _ => {
+      val now = currentVersion(spark, root)
+      if (now != Some(cur))
+        throw new Sinks.ConcurrentWriteException(root, Some(cur), now)
+    }
+
+  /** The optimistic-concurrency loop shared by every writer that derives
+    * its commit from the current snapshot (COW row rewrites, appends,
+    * maintenance): pin the version, run `body` against it (whose commit
+    * must re-validate via [[occValidate]] inside the claim), and on
+    * conflict REBASE — re-read the new current and recompute. Bounded
+    * attempts: persistent contention surfaces the conflict rather than
+    * spinning. */
+  private def occRetry(spark: SparkSession, root: String)(body: Long => Long): Long = {
     val maxAttempts = 5
     var attempt = 0
     var out: Option[Long] = None
@@ -650,8 +661,24 @@ object VersionedTable {
       attempt += 1
       val cur = currentVersion(spark, root).getOrElse(
         throw new java.io.IOException(s"no committed version under $root"))
+      try out = Some(body(cur))
+      catch {
+        case _: Sinks.ConcurrentWriteException if attempt < maxAttempts => ()
+      }
+    }
+    out.get
+  }
+
+  /** Shared COW row-rewrite loop of [[deleteWhere]]/[[updateWhere]]:
+    * prune to the files the predicate may touch, apply `rewrite` to that
+    * slice only, carry the rest by manifest reference, re-validate the
+    * pinned version inside the commit claim and retry on conflict. */
+  private def cowRewrite(
+      spark: SparkSession, root: String, predicate: Column)(
+      rewrite: DataFrame => DataFrame): Long =
+    occRetry(spark, root) { cur =>
       val (mayMatch, _) = prunedFiles(spark, root, cur, predicate)
-      if (mayMatch.isEmpty) out = Some(cur) // provably no row matches
+      if (mayMatch.isEmpty) cur // provably no row matches: no-op, no commit
       else {
         // compare scheme-qualified: prunedFiles returns FileStatus paths
         // (file:/...), dataFileRefs are root-relative
@@ -660,19 +687,10 @@ object VersionedTable {
         val keptRefs = dataFileRefs(spark, root, cur)
           .filterNot(r => mayMatchSet(f.makeQualified(new Path(root, r)).toString))
         val rewritten = rewrite(spark.read.parquet(mayMatch: _*))
-        try out = Some(commitCow(rewritten, root, keptRefs,
-          preCommit = _ => {
-            val now = currentVersion(spark, root)
-            if (now != Some(cur))
-              throw new Sinks.ConcurrentWriteException(root, Some(cur), now)
-          }))
-        catch {
-          case e: Sinks.ConcurrentWriteException if attempt < maxAttempts => ()
-        }
+        commitCow(rewritten, root, keptRefs,
+          preCommit = occValidate(spark, root, cur))
       }
     }
-    out.get
-  }
 
   /** APPEND commit: publish a new snapshot = the current snapshot
     * carried entirely BY REFERENCE + `newData` written fresh — the
@@ -680,16 +698,29 @@ object VersionedTable {
     * rewritten, or copied, whatever the table size. Stats for kept files
     * carry forward, so data skipping keeps working across appends. The
     * caller owns schema compatibility (same-schema fast path, as
-    * [[commitCow]]). */
+    * [[commitCow]]).
+    *
+    * Optimistic-concurrent like the DML paths: the kept-file list is
+    * computed against a pinned version, re-validated inside the commit
+    * claim, and recomputed on conflict — two parallel appenders (the
+    * [[graft.operators.Dedup.appendToDedupIndex]] ingest pattern) each
+    * land with BOTH batches' files in the final manifest, instead of the
+    * later publish silently dropping the earlier one's. `preCommit` is
+    * the caller's own in-claim validation (e.g. a txn idempotence gate),
+    * run before the conflict check on every attempt. */
   def commitAppend(
       newData: DataFrame, root: String,
       extras: Map[String, DataFrame] = Map.empty,
-      bloomCols: Seq[String] = Nil): Long = {
+      bloomCols: Seq[String] = Nil,
+      preCommit: Long => Unit = _ => ()): Long = {
     val spark = newData.sparkSession
-    val cur = currentVersion(spark, root).getOrElse(
+    if (currentVersion(spark, root).isEmpty)
       throw new java.io.IOException(
-        s"append needs an existing snapshot under $root — use commit() first"))
-    commitCow(newData, root, dataFileRefs(spark, root, cur), extras, bloomCols)
+        s"append needs an existing snapshot under $root — use commit() first")
+    occRetry(spark, root) { cur =>
+      commitCow(newData, root, dataFileRefs(spark, root, cur), extras, bloomCols,
+        preCommit = v => { preCommit(v); occValidate(spark, root, cur)(v) })
+    }
   }
 
   /** Read a side table committed alongside version `v` via [[commit]]'s
@@ -832,14 +863,22 @@ object VersionedTable {
   def compact(
       spark: SparkSession, root: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
-      bloomCols: Seq[String] = Nil): Long = {
+      bloomCols: Seq[String] = Nil,
+      preCommit: Long => Unit = _ => ()): Long = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
-    val v = currentVersion(spark, root).getOrElse(
-      throw new java.io.IOException(s"no committed version under $root"))
-    val bytes = snapshotBytes(spark, root, v)
-    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    commit(readVersion(spark, root, v).repartition(nFiles), root,
-      bloomCols = bloomCols)
+    // OCC: a maintenance rewrite is the LONGEST-window writer (it reads
+    // the whole table), so the in-claim re-validation matters most here —
+    // an upsert landing mid-compaction must not be erased by the layout
+    // rewrite's publish. Layout-only rewrites change no rows, so the
+    // conflict resolution is a plain REBASE: re-read the new current and
+    // redo the rewrite.
+    occRetry(spark, root) { v =>
+      val bytes = snapshotBytes(spark, root, v)
+      val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      commit(readVersion(spark, root, v).repartition(nFiles), root,
+        bloomCols = bloomCols,
+        preCommit = w => { preCommit(w); occValidate(spark, root, v)(w) })
+    }
   }
 
   /** OPTIMIZE: range-cluster the current snapshot on `sortCols` and
@@ -856,18 +895,21 @@ object VersionedTable {
   def optimize(
       spark: SparkSession, root: String, sortCols: Seq[String],
       targetFileBytes: Long = 128L * 1024 * 1024,
-      bloomCols: Seq[String] = Nil): Long = {
+      bloomCols: Seq[String] = Nil,
+      preCommit: Long => Unit = _ => ()): Long = {
     require(sortCols.nonEmpty, "optimize needs at least one sort column")
     require(targetFileBytes > 0, "targetFileBytes must be positive")
-    val v = currentVersion(spark, root).getOrElse(
-      throw new java.io.IOException(s"no committed version under $root"))
-    val bytes = snapshotBytes(spark, root, v)
-    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val cols = sortCols.map(org.apache.spark.sql.functions.col)
-    commit(readVersion(spark, root, v)
-      .repartitionByRange(nFiles, cols: _*)
-      .sortWithinPartitions(cols: _*), root,
-      bloomCols = bloomCols)
+    // same OCC-rebase discipline as [[compact]]
+    occRetry(spark, root) { v =>
+      val bytes = snapshotBytes(spark, root, v)
+      val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      val cols = sortCols.map(org.apache.spark.sql.functions.col)
+      commit(readVersion(spark, root, v)
+        .repartitionByRange(nFiles, cols: _*)
+        .sortWithinPartitions(cols: _*), root,
+        bloomCols = bloomCols,
+        preCommit = w => { preCommit(w); occValidate(spark, root, v)(w) })
+    }
   }
 
   /** Z-ORDER optimize: cluster the current snapshot on the INTERLEAVED
@@ -891,12 +933,13 @@ object VersionedTable {
       spark: SparkSession, root: String, cols: Seq[String],
       targetFileBytes: Long = 128L * 1024 * 1024,
       bloomCols: Seq[String] = Nil,
-      equiDepth: Boolean = false): Long = {
+      equiDepth: Boolean = false,
+      preCommit: Long => Unit = _ => ()): Long = {
     require(cols.size >= 2 && cols.size <= 3,
       "z-order interleaves 2 or 3 columns; use optimize() for one")
     require(targetFileBytes > 0, "targetFileBytes must be positive")
-    val v = currentVersion(spark, root).getOrElse(
-      throw new java.io.IOException(s"no committed version under $root"))
+    // same OCC-rebase discipline as [[compact]]
+    occRetry(spark, root) { v =>
     val df = readVersion(spark, root, v)
     // equi-depth uses 8 bits: 256 balanced buckets per dimension is far
     // finer than any realistic file count, and keeps the one-pass
@@ -957,7 +1000,9 @@ object VersionedTable {
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z"), root,
-      bloomCols = bloomCols)
+      bloomCols = bloomCols,
+      preCommit = w => { preCommit(w); occValidate(spark, root, v)(w) })
+    }
   }
 
   private def toD(a: Any): Double = a match {
