@@ -1013,10 +1013,15 @@ object VersionedTable {
       s"z-order needs numeric columns, got stat value: $other")
   }
 
-  /** Drop all but the newest `keepLast` committed versions (marker first,
-    * then data — a reader that already resolved an old version may race
-    * the delete, exactly as in any table format's vacuum; pick `keepLast`
-    * to cover the longest-running reader). Returns the dropped versions.
+  /** Drop old committed versions, keeping the newest `keepLast` AND —
+    * when `olderThanMs` is set — every version whose commit is younger
+    * than that age (the Delta retention-window rule: age-based, measured
+    * from the commit marker's publish time). A reader that resolved a
+    * version mid-scan loses files only if vacuum drops that version, so
+    * the operating rule is: set `olderThanMs` to cover the longest-running
+    * reader AND the slowest change-feed consumer; `keepLast` alone is NOT
+    * a safety bound on a busy table (100 commits can land in a minute).
+    * Returns the dropped versions.
     *
     * Copy-on-write aware: a file inside a dropped version dir SURVIVES if
     * any retained version's manifest still references it (the retained
@@ -1024,14 +1029,47 @@ object VersionedTable {
     * the dropped version's own metadata are removed, and a dir is deleted
     * outright only when nothing in it is referenced. The dropped VERSION
     * is always gone (its commit marker is removed) even when some of its
-    * files live on as references. */
-  def vacuum(spark: SparkSession, root: String, keepLast: Int): Seq[Long] = {
+    * files live on as references.
+    *
+    * REPLAY SAFETY: a version carrying a `txn` extra (a streaming
+    * writer's idempotence stamp) is only dropped once the version-log
+    * checkpoint PROVABLY covers it — vacuum advances the checkpoint
+    * first and re-reads it, and keeps any stamped version it cannot
+    * cover (checkpoints are best-effort; destroying an uncovered stamp
+    * would reset `lastTxn` and let a restarted stream double-apply its
+    * batch). */
+  def vacuum(
+      spark: SparkSession, root: String, keepLast: Int,
+      olderThanMs: Option[Long] = None): Seq[Long] = {
     require(keepLast >= 1, "keepLast must be >= 1")
     val f = fs(spark, root)
     val all = versions(spark, root)
-    val drop = all.dropRight(keepLast)
+    val candidates = all.dropRight(keepLast)
+    // retention window: age = commit-marker mtime (markers are created at
+    // publish and never touched again)
+    val aged = olderThanMs match {
+      case Some(ms) =>
+        val cutoff = System.currentTimeMillis() - ms
+        candidates.filter(v => f.getFileStatus(
+          new Path(commitDir(root), pad(v))).getModificationTime <= cutoff)
+      case None => candidates
+    }
+    // txn-stamp coverage: advance the checkpoint over the whole log, then
+    // keep any stamped version the (re-read) checkpoint still doesn't cover
+    def stamped(v: Long) = f.exists(new Path(versionDir(root, v), "_txn"))
+    val drop =
+      if (!aged.exists(stamped)) aged
+      else {
+        all.lastOption.foreach(writeCheckpoint(spark, root, _))
+        val covered = readCheckpoint(spark, root).map(_.version).getOrElse(0L)
+        aged.filter(v => v <= covered || !stamped(v))
+      }
+    // retained = everything not dropped (possibly non-contiguous when an
+    // age/coverage guard holds a middle version back) — references from
+    // EVERY retained manifest protect their files
+    val dropSet = drop.toSet
     val referenced: Set[String] =
-      all.takeRight(keepLast).flatMap(v => dataFileRefs(spark, root, v)).toSet
+      all.filterNot(dropSet).flatMap(v => dataFileRefs(spark, root, v)).toSet
     drop.foreach { v =>
       f.delete(new Path(commitDir(root), pad(v)), false)
       val dir = versionDir(root, v)

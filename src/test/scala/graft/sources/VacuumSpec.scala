@@ -1,0 +1,77 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** Vacuum safety rails: the age-based retention window (an in-flight
+  * reader of a RECENT version must not lose files under it, however many
+  * commits landed since) and the txn-stamp coverage guard (an idempotence
+  * stamp is only destroyed once the version-log checkpoint provably
+  * carries its high-water mark forward). */
+class VacuumSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot() =
+    java.nio.file.Files.createTempDirectory("graft_vac").toString + "/t"
+
+  test("retention window: young versions survive keepLast, aged ones drop") {
+    val root = freshRoot()
+    (1 to 4).foreach(i => VersionedTable.commit(Seq((i.toLong, "x")).toDF("id", "x"), root))
+    // all four commits are seconds old: an hour-long window drops nothing
+    assert(VersionedTable.vacuum(spark, root, keepLast = 1,
+      olderThanMs = Some(3600L * 1000)) == Seq.empty)
+    assert(VersionedTable.versions(spark, root) == Seq(1L, 2L, 3L, 4L))
+    // a zero window degenerates to plain keepLast
+    assert(VersionedTable.vacuum(spark, root, keepLast = 2,
+      olderThanMs = Some(0L)) == Seq(1L, 2L))
+    assert(VersionedTable.versions(spark, root) == Seq(3L, 4L))
+  }
+
+  test("txn-stamped commits survive vacuum when the checkpoint cannot cover them") {
+    val root = freshRoot()
+    def stamp(b: Long) = Seq(("appA", b)).toDF("app_id", "batch_id")
+    VersionedTable.commit(Seq((1L, "x")).toDF("id", "x"), root,
+      extras = Map("txn" -> stamp(10L)))
+    VersionedTable.commit(Seq((2L, "x")).toDF("id", "x"), root,
+      extras = Map("txn" -> stamp(11L)))
+    VersionedTable.commit(Seq((3L, "x")).toDF("id", "x"), root)
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a table whose checkpoint was never written and CANNOT be
+    // (pre-upgrade table + failing checkpoint writes): blow away the dir
+    // and wedge a FILE in its place so mkdirs/create inside
+    // writeCheckpoint fail and the best-effort write is skipped
+    val ckDir = new org.apache.hadoop.fs.Path(root, "_checkpoint")
+    f.delete(ckDir, true)
+    f.create(ckDir, false).close()
+    val dropped = VersionedTable.vacuum(spark, root, keepLast = 1)
+    // v1/v2 carry appA's stamps and no checkpoint covers them: KEPT.
+    // (pre-guard, vacuum destroyed them and lastTxn reset — the replay
+    // hole the checkpoint was meant to close, reopened.)
+    assert(dropped == Seq.empty)
+    assert(VersionedTable.versions(spark, root) == Seq(1L, 2L, 3L))
+    assert(VersionedTable.lastTxn(spark, root, "appA").contains(11L))
+    // unwedge the checkpoint: vacuum can now establish coverage and drop
+    f.delete(ckDir, false)
+    val dropped2 = VersionedTable.vacuum(spark, root, keepLast = 1)
+    assert(dropped2 == Seq(1L, 2L))
+    // the stamps live on in the checkpoint
+    assert(VersionedTable.lastTxn(spark, root, "appA").contains(11L))
+  }
+
+  test("unstamped aged versions drop even while an uncovered stamped one is held") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq((1L, "x")).toDF("id", "x"), root) // no stamp
+    VersionedTable.commit(Seq((2L, "x")).toDF("id", "x"), root,
+      extras = Map("txn" -> Seq(("appB", 5L)).toDF("app_id", "batch_id")))
+    VersionedTable.commit(Seq((3L, "x")).toDF("id", "x"), root)
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ckDir = new org.apache.hadoop.fs.Path(root, "_checkpoint")
+    f.delete(ckDir, true)
+    f.create(ckDir, false).close()
+    val dropped = VersionedTable.vacuum(spark, root, keepLast = 1)
+    assert(dropped == Seq(1L)) // v2 held back (stamped, uncovered), v1 goes
+    assert(VersionedTable.versions(spark, root) == Seq(2L, 3L))
+    assert(VersionedTable.lastTxn(spark, root, "appB").contains(5L))
+  }
+}
