@@ -193,7 +193,8 @@ object VersionedTable {
       extras: Map[String, DataFrame],
       finalizeVersion: (org.apache.hadoop.fs.FileSystem, Path, Long) => Unit,
       bloomCols: Seq[String] = Nil,
-      preCommit: Long => Unit = _ => ()): Long = {
+      preCommit: Long => Unit = _ => (),
+      recordSchema: Option[org.apache.spark.sql.types.StructType] = None): Long = {
     val spark = df.sparkSession
     val f = fs(spark, root)
     f.mkdirs(commitDir(root))
@@ -230,6 +231,13 @@ object VersionedTable {
     // (1b) footer-only stats pass → <staging>/_stats ("_" prefix: invisible
     // to snapshot readers, renamed + vacuumed atomically with the version)
     if (collectStats) TableStats.write(spark, f, staging)
+    // (1c) record the snapshot SCHEMA as commit metadata (the Delta
+    // schema-in-the-log idea): readers apply it explicitly (by-name, so a
+    // manifest spanning an evolution still reads as one frame) and the
+    // COW/append paths validate against it instead of trusting the caller
+    val schemaJson = recordSchema.getOrElse(df.schema).json
+    val sOut = f.create(new Path(new Path(staging, "_schema"), "schema.json"), true)
+    try sOut.write(schemaJson.getBytes("UTF-8")) finally sOut.close()
     // (2) claim the next version number with create-exclusive. Only "the
     // name is taken" counts as a lost race; any other IO failure is real
     // and must surface, not spin — and the attempt count is bounded so a
@@ -307,13 +315,52 @@ object VersionedTable {
         .map(s => f"v$v%08d/" + s.getPath.getName)
     }
 
+  /** The schema RECORDED for version `v` at commit time, or None for
+    * snapshots committed before schema tracking — callers fall back to
+    * parquet inference, so a pre-upgrade table keeps reading (and records
+    * a schema on its next commit). */
+  def tableSchema(
+      spark: SparkSession, root: String, v: Long)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val f = fs(spark, root)
+    val p = new Path(new Path(versionDir(root, v), "_schema"), "schema.json")
+    if (!f.exists(p)) None
+    else
+      try {
+        val in = f.open(p)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                   finally in.close()
+        Some(org.apache.spark.sql.types.DataType.fromJson(text)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      } catch { case _: Exception => None }
+  }
+
+  /** Version `v`'s effective schema: recorded when available, else
+    * inferred from the snapshot's parquet footers. */
+  private def schemaOf(
+      spark: SparkSession, root: String, v: Long)
+      : org.apache.spark.sql.types.StructType =
+    tableSchema(spark, root, v).getOrElse(readVersion(spark, root, v).schema)
+
+  /** A parquet reader pinned to version `v`'s recorded schema when one
+    * exists (by-name column resolution: a file missing an evolved-in
+    * column yields nulls for it — exactly the Delta read-time backfill),
+    * else plain inference. */
+  private def versionReader(
+      spark: SparkSession, root: String, v: Long): org.apache.spark.sql.DataFrameReader =
+    tableSchema(spark, root, v) match {
+      case Some(s) => spark.read.schema(s)
+      case None => spark.read
+    }
+
   /** Time travel: read an exact committed version. */
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
     require(isCommitted(spark, root, v), s"version $v is not committed under $root")
+    val reader = versionReader(spark, root, v)
     manifestOf(spark, root, v) match {
       case Some(refs) =>
-        spark.read.parquet(refs.map(r => new Path(root, r).toString): _*)
-      case None => spark.read.parquet(versionDir(root, v).toString)
+        reader.parquet(refs.map(r => new Path(root, r).toString): _*)
+      case None => reader.parquet(versionDir(root, v).toString)
     }
   }
 
@@ -339,7 +386,7 @@ object VersionedTable {
       // false filter folds to an empty LocalRelation — nothing is scanned)
       readVersion(spark, root, v)
         .where(org.apache.spark.sql.functions.lit(false)).where(predicate)
-    else spark.read.parquet(kept: _*).where(predicate)
+    else versionReader(spark, root, v).parquet(kept: _*).where(predicate)
   }
 
   /** The file-pruning decision itself, exposed for specs and runtime
@@ -530,21 +577,68 @@ object VersionedTable {
     * Referenced files stay immutable in their original version dirs;
     * [[vacuum]] preserves any file a retained manifest still references.
     *
-    * The caller owns semantic correctness: `newData`'s schema must match
-    * the kept files' (this is a same-schema fast path — a schema-evolving
-    * write must take [[commit]]'s full-rewrite road), and kept + new
-    * must partition the intended table contents. `extras` as in
-    * [[commit]]. */
+    * The caller owns ROW correctness (kept + new must partition the
+    * intended table contents); SCHEMA compatibility is ENFORCED: the
+    * commit throws [[SchemaMismatchException]] when `newData`'s columns
+    * (by name and type) differ from the table's recorded schema — a
+    * drifted writer must either [[evolveSchema]] first (column adds) or
+    * take [[commit]]'s full-rewrite road (drops/retypes). Pre-tracking
+    * tables validate against the inferred snapshot schema and record it
+    * on this commit. `extras` as in [[commit]]. */
   def commitCow(
       newData: DataFrame, root: String, keptFiles: Seq[String],
       extras: Map[String, DataFrame] = Map.empty,
       bloomCols: Seq[String] = Nil,
       preCommit: Long => Unit = _ => ()): Long = {
     val spark = newData.sparkSession
-    val f = fs(spark, root)
     val cur = currentVersion(spark, root).getOrElse(
       throw new java.io.IOException(
         s"copy-on-write commit needs an existing snapshot under $root"))
+    // schema gate: name→type equality (order-insensitive — read resolves
+    // by name; nullability not compared — reading non-null data through a
+    // nullable schema is always sound)
+    val curSchema = schemaOf(spark, root, cur)
+    val curMap = curSchema.map(sf => sf.name -> sf.dataType).toMap
+    val newMap = newData.schema.map(sf => sf.name -> sf.dataType).toMap
+    if (curMap != newMap)
+      throw new SchemaMismatchException(root, cur, curSchema, newData.schema)
+    // record the CURRENT schema (canonical order + evolve's nullability
+    // marks), not newData's incidental one
+    commitCowInternal(newData, root, cur, keptFiles, extras, bloomCols,
+      preCommit, recordSchema = Some(curSchema))
+  }
+
+  /** Thrown by [[commitCow]]/[[commitAppend]] when the incoming frame's
+    * columns differ from the table's schema — the silent-corruption
+    * contract ("caller owns compatibility") replaced by a commit-time
+    * refusal, as Delta does for mismatched writes. */
+  final class SchemaMismatchException(
+      root: String, v: Long,
+      expected: org.apache.spark.sql.types.StructType,
+      got: org.apache.spark.sql.types.StructType)
+    extends RuntimeException({
+      val e = expected.map(f => f.name -> f.dataType).toMap
+      val g = got.map(f => f.name -> f.dataType).toMap
+      val missing = e.keySet -- g.keySet
+      val extra = g.keySet -- e.keySet
+      val retyped = (e.keySet & g.keySet).filter(k => e(k) != g(k))
+      s"schema mismatch against $root v$v: " +
+        (if (missing.nonEmpty) s"missing ${missing.mkString(",")}; " else "") +
+        (if (extra.nonEmpty) s"unexpected ${extra.mkString(",")}; " else "") +
+        (if (retyped.nonEmpty)
+          s"retyped ${retyped.map(k => s"$k: ${e(k)}->${g(k)}").mkString(",")}; "
+         else "") +
+        "evolveSchema() for column adds, a full commit() for drops/retypes"
+    })
+
+  private def commitCowInternal(
+      newData: DataFrame, root: String, cur: Long, keptFiles: Seq[String],
+      extras: Map[String, DataFrame],
+      bloomCols: Seq[String],
+      preCommit: Long => Unit,
+      recordSchema: Option[org.apache.spark.sql.types.StructType]): Long = {
+    val spark = newData.sparkSession
+    val f = fs(spark, root)
     // stats of the CURRENT snapshot, keyed as stored (name or relpath)
     val curKeyed: Map[String, String] = manifestOf(spark, root, cur)
       .map(_.map(r => r -> r).toMap)
@@ -558,6 +652,7 @@ object VersionedTable {
       new Path(versionDir(root, cur), "_stats"))
     commitWith(newData, root, collectStats = true, extras = extras,
       bloomCols = bloomCols, preCommit = preCommit,
+      recordSchema = recordSchema,
       finalizeVersion = (fh, dir, v) => {
         val ownNames = dataFiles(fh, dir).map(_.getPath.getName)
         val refs = ownNames.map(n => f"v$v%08d/" + n) ++ keptFiles
@@ -722,6 +817,47 @@ object VersionedTable {
         preCommit = v => { preCommit(v); occValidate(spark, root, cur)(v) })
     }
   }
+
+  /** EXPLICIT schema evolution — a METADATA-ONLY commit (Delta's
+    * schema-in-the-log evolution): publish a new version that carries
+    * every current data file by reference, zero fresh data rows (one
+    * footer-only empty part file, O(1) bytes), and the new schema
+    * recorded. Old files read through the new schema resolve by
+    * name, so added columns backfill null at read time; the previous
+    * schema stays time-travelable with its versions.
+    *
+    * Additive only: every existing column must survive with its type, and
+    * added columns must be nullable (existing files have no values for
+    * them). Drops and retypes need [[commit]]'s full rewrite — on this
+    * format a narrowing/retyping projection has to materialize. This is
+    * the DDL face of the q3b `sync_all_columns` motion: run it before a
+    * drifted [[commitAppend]]/[[commitCow]] writer, which otherwise
+    * refuses with [[SchemaMismatchException]]. */
+  def evolveSchema(
+      spark: SparkSession, root: String,
+      newSchema: org.apache.spark.sql.types.StructType): Long =
+    occRetry(spark, root) { cur =>
+      val curSchema = schemaOf(spark, root, cur)
+      val newByName = newSchema.map(f => f.name -> f).toMap
+      val dropped = curSchema.filterNot(f => newByName.contains(f.name))
+      require(dropped.isEmpty,
+        s"evolveSchema cannot drop columns (${dropped.map(_.name).mkString(", ")}) " +
+          "— a narrowing rewrite must go through commit()")
+      val retyped = curSchema.filter(f =>
+        newByName(f.name).dataType != f.dataType)
+      require(retyped.isEmpty,
+        s"evolveSchema cannot change column types (${retyped.map(_.name).mkString(", ")}) " +
+          "— a retyping rewrite must go through commit()")
+      val added = newSchema.filterNot(f => curSchema.exists(_.name == f.name))
+      require(added.forall(_.nullable),
+        s"added columns must be nullable (${added.filterNot(_.nullable).map(_.name).mkString(", ")}) " +
+          "— existing files carry no values for them")
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], newSchema)
+      commitCowInternal(empty, root, cur, dataFileRefs(spark, root, cur),
+        Map.empty, Nil, preCommit = occValidate(spark, root, cur),
+        recordSchema = Some(newSchema))
+    }
 
   /** Read a side table committed alongside version `v` via [[commit]]'s
     * `extras` (e.g. the change feed [[Sinks.upsertByKeyVersioned]]

@@ -1,0 +1,116 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Schema as commit metadata: every commit records its snapshot schema,
+  * the COW/append paths REFUSE drifted writes at commit time (replacing
+  * the old "caller owns compatibility" silent-corruption contract), and
+  * [[VersionedTable.evolveSchema]] is the explicit, metadata-only way to
+  * widen a table — old files backfill added columns as null at read time,
+  * the Delta schema-in-the-log shape on this format. */
+class SchemaTrackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot() =
+    java.nio.file.Files.createTempDirectory("graft_schema").toString + "/t"
+
+  test("commits record their schema; commitAppend refuses drifted frames") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq((1L, "a")).toDF("id", "x"), root)
+    val recorded = VersionedTable.tableSchema(spark, root, 1L)
+    assert(recorded.exists(_.fieldNames.toSeq == Seq("id", "x")))
+
+    // drop, add, and retype each refuse with a diagnostic — not a silent
+    // parquet-union corruption at read time
+    val dropCol = intercept[VersionedTable.SchemaMismatchException] {
+      VersionedTable.commitAppend(Seq(2L).toDF("id"), root)
+    }
+    assert(dropCol.getMessage.contains("missing x"))
+    val addCol = intercept[VersionedTable.SchemaMismatchException] {
+      VersionedTable.commitAppend(Seq((2L, "b", 1.0)).toDF("id", "x", "score"), root)
+    }
+    assert(addCol.getMessage.contains("unexpected score"))
+    val retype = intercept[VersionedTable.SchemaMismatchException] {
+      VersionedTable.commitAppend(Seq((2L, 7L)).toDF("id", "x"), root)
+    }
+    assert(retype.getMessage.contains("retyped x"))
+    // the table is untouched by the refused commits
+    assert(VersionedTable.versions(spark, root) == Seq(1L))
+
+    // a conforming append (different column ORDER is fine — resolution is
+    // by name) lands
+    VersionedTable.commitAppend(Seq(("b", 2L)).toDF("x", "id"), root)
+    assert(VersionedTable.read(spark, root).count() == 2)
+  }
+
+  test("evolveSchema is metadata-only; old files backfill null; appends then conform") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "x"), root)
+    val evolved = StructType(Seq(
+      StructField("id", LongType), StructField("x", StringType),
+      StructField("score", DoubleType, nullable = true)))
+    val v2 = VersionedTable.evolveSchema(spark, root, evolved)
+    assert(v2 == 2L)
+    // metadata-only: the new version's own data is at most one footer-only
+    // empty part file (O(1) bytes, zero rows) — never a table rewrite
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ownBytes = f.listStatus(new org.apache.hadoop.fs.Path(s"$root/v00000002"))
+      .filter(s => s.getPath.getName.startsWith("part-") &&
+        s.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    assert(ownBytes < 4096, s"evolveSchema rewrote data: $ownBytes bytes")
+    // read-time null backfill for the added column, old rows intact
+    val rows = VersionedTable.read(spark, root).orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(rows.forall(_.isNullAt(2)))
+    // time travel still shows the pre-evolution schema
+    assert(VersionedTable.readVersion(spark, root, 1L).columns.toSeq == Seq("id", "x"))
+
+    // appends with the evolved schema now conform; mixed-vintage files
+    // read as one frame with nulls only where no value exists
+    VersionedTable.commitAppend(Seq((3L, "c", 0.9)).toDF("id", "x", "score"), root)
+    val all = VersionedTable.read(spark, root).orderBy("id").collect()
+    assert(all.length == 3 && all(2).getDouble(2) == 0.9 && all(0).isNullAt(2))
+    // and data skipping on the evolved column still prunes correctly
+    assert(VersionedTable.readWhere(spark, root, col("score") > 0.5)
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  test("evolveSchema rejects drops, retypes, and non-nullable adds") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq((1L, "a")).toDF("id", "x"), root)
+    intercept[IllegalArgumentException] { // drop x
+      VersionedTable.evolveSchema(spark, root,
+        StructType(Seq(StructField("id", LongType))))
+    }
+    intercept[IllegalArgumentException] { // retype x
+      VersionedTable.evolveSchema(spark, root, StructType(Seq(
+        StructField("id", LongType), StructField("x", LongType))))
+    }
+    intercept[IllegalArgumentException] { // non-nullable add
+      VersionedTable.evolveSchema(spark, root, StructType(Seq(
+        StructField("id", LongType), StructField("x", StringType),
+        StructField("n", LongType, nullable = false))))
+    }
+    assert(VersionedTable.versions(spark, root) == Seq(1L))
+  }
+
+  test("pre-tracking snapshots validate against the inferred schema and upgrade on write") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq((1L, "a")).toDF("id", "x"), root)
+    // simulate a pre-upgrade table: remove the recorded schema
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(s"$root/v00000001/_schema"), true)
+    assert(VersionedTable.tableSchema(spark, root, 1L).isEmpty)
+    assert(VersionedTable.read(spark, root).count() == 1) // inference fallback
+    intercept[VersionedTable.SchemaMismatchException] {
+      VersionedTable.commitAppend(Seq(2L).toDF("id"), root)
+    }
+    VersionedTable.commitAppend(Seq((2L, "b")).toDF("id", "x"), root)
+    assert(VersionedTable.tableSchema(spark, root, 2L).nonEmpty) // upgraded
+  }
+}
