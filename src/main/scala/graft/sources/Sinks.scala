@@ -221,8 +221,13 @@ object Sinks {
         val sameSchema =
           mergedSchema.map(f => (f.name, f.dataType)) ==
             target.schema.map(f => (f.name, f.dataType))
+        // a deletion-vector table falls back to the full rewrite: this
+        // path reads the touched slice RAW (by file), which would
+        // resurrect masked rows; the full path reads through the masks
+        // and its fresh snapshot folds them away
+        val hasDv = VersionedTable.hasDeletionVectors(spark, tableRoot, cur)
         VersionedTable.fileKeyRanges(spark, tableRoot, cur, key) match {
-          case Some(ranges) if sameSchema =>
+          case Some(ranges) if sameSchema && !hasDv =>
             // which files admit at least one staging key: distinct keys
             // against the broadcast file-boundary table (file count is
             // metadata-scale), then collect file names only

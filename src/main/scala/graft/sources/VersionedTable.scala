@@ -353,15 +353,51 @@ object VersionedTable {
       case None => spark.read
     }
 
-  /** Time travel: read an exact committed version. */
+  // ---- merge-on-read deletion vectors ------------------------------------
+
+  /** Whether version `v` carries a deletion-vector sidecar (`_dv` extra):
+    * a (file ref, row position) table of rows deleted MERGE-ON-READ —
+    * masked out at read time instead of rewritten out at delete time.
+    * O(1) existence probe, no data read. */
+  def hasDeletionVectors(spark: SparkSession, root: String, v: Long): Boolean =
+    fs(spark, root).exists(new Path(versionDir(root, v), "_dv"))
+
+  /** Root-relative ref of the file each row was read from — the join key
+    * between scanned rows and the deletion-vector/manifest file naming
+    * (refs always look like `vNNNNNNNN/part-...parquet`). */
+  private def fileRefCol: Column = {
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    regexp_extract(col("_metadata.file_path"), "(v\\d{8}/[^/]+)$", 1)
+  }
+
+  /** Mask `dv`'s (file, pos) rows out of `df` (a scan of this snapshot's
+    * files): the merge-on-read fold, an anti join on the row's physical
+    * identity (`_metadata` file + row index — stable for parquet, the
+    * same identity Delta's deletion vectors address). The vector is
+    * broadcast: it is O(deleted rows since the last compaction), and
+    * [[compact]]/[[optimize]] fold it away when it grows. */
+  private def applyDv(df: DataFrame, dv: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val cols = df.columns.toSeq
+    df.withColumn("__dv_file", fileRefCol)
+      .withColumn("__dv_pos", col("_metadata.row_index"))
+      .join(broadcast(dv.select(
+        col("file").as("__dv_file"), col("pos").as("__dv_pos"))),
+        Seq("__dv_file", "__dv_pos"), "left_anti")
+      .select(cols.map(col): _*)
+  }
+
+  /** Time travel: read an exact committed version (deletion-vector rows
+    * masked out — the read is always the table's logical content). */
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
     require(isCommitted(spark, root, v), s"version $v is not committed under $root")
     val reader = versionReader(spark, root, v)
-    manifestOf(spark, root, v) match {
+    val base = manifestOf(spark, root, v) match {
       case Some(refs) =>
         reader.parquet(refs.map(r => new Path(root, r).toString): _*)
       case None => reader.parquet(versionDir(root, v).toString)
     }
+    readExtra(spark, root, v, "dv").map(applyDv(base, _)).getOrElse(base)
   }
 
   /** [[read]] with FILE-LEVEL DATA SKIPPING: files whose footer min/max
@@ -386,7 +422,11 @@ object VersionedTable {
       // false filter folds to an empty LocalRelation — nothing is scanned)
       readVersion(spark, root, v)
         .where(org.apache.spark.sql.functions.lit(false)).where(predicate)
-    else versionReader(spark, root, v).parquet(kept: _*).where(predicate)
+    else {
+      val sub = versionReader(spark, root, v).parquet(kept: _*)
+      readExtra(spark, root, v, "dv").map(applyDv(sub, _)).getOrElse(sub)
+        .where(predicate)
+    }
   }
 
   /** The file-pruning decision itself, exposed for specs and runtime
@@ -495,6 +535,9 @@ object VersionedTable {
     val v = version.orElse(currentVersion(spark, root)).getOrElse(
       throw new java.io.IOException(s"no committed version under $root"))
     require(isCommitted(spark, root, v), s"version $v is not committed under $root")
+    // deletion vectors mask rows the footer stats still count — stats
+    // cannot answer until a compaction folds the masks in
+    if (hasDeletionVectors(spark, root, v)) return None
     val dir = versionDir(root, v)
     val fileKeys: Seq[String] = manifestOf(spark, root, v) match {
       case Some(refs) => refs
@@ -650,7 +693,27 @@ object VersionedTable {
         badKept.take(3).mkString(", "))
     val curStats = TableStats.load(spark,
       new Path(versionDir(root, cur), "_stats"))
-    commitWith(newData, root, collectStats = true, extras = extras,
+    // DELETION-VECTOR CARRY: kept files keep their masks (their rows were
+    // not rewritten), rewritten files drop theirs (the rewrite read
+    // through the masks, so fresh files contain no masked rows). A
+    // caller-supplied "dv" extra (the MOR delete's new deletions) unions
+    // with the carried entries; distinct dedupes a re-deleted row.
+    val extrasWithDv: Map[String, DataFrame] =
+      if (!hasDeletionVectors(spark, root, cur)) extras
+      else {
+        import org.apache.spark.sql.functions.col
+        // isInCollection folds to an InSet literal — metadata-scale, codegen'd
+        val carried = readExtra(spark, root, cur, "dv").get
+          .where(col("file").isInCollection(keptFiles))
+        val merged = extras.get("dv").map(_.unionByName(carried).distinct())
+          .getOrElse(carried)
+        // skip the sidecar entirely when nothing survives (all masked
+        // files were rewritten): the new version then reads mask-free and
+        // stats-only aggregation re-enables
+        if (merged.limit(1).count() == 0L) extras - "dv"
+        else extras.updated("dv", merged)
+      }
+    commitWith(newData, root, collectStats = true, extras = extrasWithDv,
       bloomCols = bloomCols, preCommit = preCommit,
       recordSchema = recordSchema,
       finalizeVersion = (fh, dir, v) => {
@@ -697,11 +760,48 @@ object VersionedTable {
     * the rewrite pins the version it read, re-validates it inside the
     * commit claim, and recomputes on conflict. Returns the new version —
     * or the CURRENT one unchanged when no file can match (a no-op delete
-    * publishes nothing). */
-  def deleteWhere(spark: SparkSession, root: String, predicate: Column): Long = {
-    import org.apache.spark.sql.functions.{coalesce, lit, not}
-    cowRewrite(spark, root, predicate)(df =>
-      df.where(not(coalesce(predicate, lit(false)))))
+    * publishes nothing).
+    *
+    * `mor = true` switches to MERGE-ON-READ (Delta deletion vectors /
+    * Iceberg positional deletes): instead of rewriting every admitting
+    * file, the commit records the deleted rows' (file, position) pairs in
+    * a `_dv` sidecar and carries EVERY data file by reference — bytes
+    * written scale with DELETED ROWS, not touched files, which is the
+    * only write cost an hourly GDPR/retention delete can afford at
+    * 100 TB. Reads mask the vector out ([[readVersion]]), so results are
+    * identical to the copy-on-write form; [[compact]]/[[optimize]] fold
+    * the masks into a clean rewrite (and stats-only aggregation, which a
+    * mask would falsify, stands down until then). */
+  def deleteWhere(
+      spark: SparkSession, root: String, predicate: Column,
+      mor: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    if (!mor)
+      cowRewrite(spark, root, predicate)(df =>
+        df.where(not(coalesce(predicate, lit(false)))))
+    else occRetry(spark, root) { cur =>
+      val (mayMatch, _) = prunedFiles(spark, root, cur, predicate)
+      if (mayMatch.isEmpty) cur // provably no row matches: no-op, no commit
+      else {
+        // physical positions of the rows to delete, evaluated only over
+        // the files whose stats admit the predicate; already-masked rows
+        // may match again — the dv carry's distinct() dedupes them
+        val raw = versionReader(spark, root, cur).parquet(mayMatch: _*)
+        val newDel = raw.where(coalesce(predicate, lit(false)))
+          .select(fileRefCol.as("file"),
+            col("_metadata.row_index").as("pos"))
+        if (newDel.limit(1).count() == 0L) cur // admitted but nothing matched
+        else {
+          val empty = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            schemaOf(spark, root, cur))
+          commitCowInternal(empty, root, cur, dataFileRefs(spark, root, cur),
+            extras = Map("dv" -> newDel), bloomCols = Nil,
+            preCommit = occValidate(spark, root, cur),
+            recordSchema = Some(schemaOf(spark, root, cur)))
+        }
+      }
+    }
   }
 
   /** Row-level UPDATE, copy-on-write (Delta/Iceberg `UPDATE ... SET` on
@@ -781,7 +881,13 @@ object VersionedTable {
         val mayMatchSet = mayMatch.map(s => f.makeQualified(new Path(s)).toString).toSet
         val keptRefs = dataFileRefs(spark, root, cur)
           .filterNot(r => mayMatchSet(f.makeQualified(new Path(root, r)).toString))
-        val rewritten = rewrite(spark.read.parquet(mayMatch: _*))
+        // the touched slice reads THROUGH the deletion vectors (a rewrite
+        // of a masked file must not resurrect its masked rows); kept
+        // files' masks carry forward via commitCow's dv carry
+        val sliceRaw = versionReader(spark, root, cur).parquet(mayMatch: _*)
+        val slice = readExtra(spark, root, cur, "dv")
+          .map(applyDv(sliceRaw, _)).getOrElse(sliceRaw)
+        val rewritten = rewrite(slice)
         commitCow(rewritten, root, keptRefs,
           preCommit = occValidate(spark, root, cur))
       }

@@ -1,0 +1,139 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Merge-on-read deletes (deletion vectors): `deleteWhere(mor = true)`
+  * records (file, row position) masks in a `_dv` sidecar instead of
+  * rewriting admitting files — bytes written scale with deleted rows,
+  * not touched files — and every read path folds the masks so results
+  * equal the copy-on-write form. Compaction folds masks into a clean
+  * rewrite. */
+class MorDeleteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot() =
+    java.nio.file.Files.createTempDirectory("graft_mor").toString + "/t"
+
+  private def fsOf(root: String) = new org.apache.hadoop.fs.Path(root)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Bytes of data files physically inside version `v`'s own dir. */
+  private def ownBytes(root: String, v: Long): Long = {
+    val f = fsOf(root)
+    val dir = new org.apache.hadoop.fs.Path(root, f"v$v%08d")
+    f.listStatus(dir).filter(s => s.getPath.getName.startsWith("part-") &&
+      s.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+  }
+
+  /** A 3-file key-clustered table: ids 1-100 / 101-200 / 201-300. */
+  private def seed(root: String): Unit = {
+    VersionedTable.commit(
+      (1L to 300L).map(i => (i, s"r$i")).toDF("id", "x")
+        .repartitionByRange(3, col("id")).sortWithinPartitions("id"),
+      root)
+  }
+
+  test("mor delete == cow delete, with O(deleted rows) bytes written") {
+    val rootM = freshRoot(); val rootC = freshRoot()
+    seed(rootM); seed(rootC)
+    val pred = col("id") % 100 === 7 // one row per file: touches all 3 files
+    val vM = VersionedTable.deleteWhere(spark, rootM, pred, mor = true)
+    val vC = VersionedTable.deleteWhere(spark, rootC, pred)
+    val gotM = VersionedTable.read(spark, rootM).orderBy("id").collect().toSeq
+    val gotC = VersionedTable.read(spark, rootC).orderBy("id").collect().toSeq
+    assert(gotM == gotC)
+    assert(gotM.size == 297)
+    // COW rewrote all three admitting files; MOR wrote only the sidecar
+    // (plus one empty footer-only part): orders of magnitude apart even
+    // at this scale
+    assert(VersionedTable.hasDeletionVectors(spark, rootM, vM))
+    assert(!VersionedTable.hasDeletionVectors(spark, rootC, vC))
+    assert(ownBytes(rootM, vM) < ownBytes(rootC, vC) / 2,
+      s"mor wrote ${ownBytes(rootM, vM)} vs cow ${ownBytes(rootC, vC)}")
+    // time travel still sees the pre-delete table
+    assert(VersionedTable.readVersion(spark, rootM, 1L).count() == 300)
+  }
+
+  test("masks compose: second mor delete accumulates, readWhere prunes AND masks") {
+    val root = freshRoot()
+    seed(root)
+    VersionedTable.deleteWhere(spark, root, col("id") === 5L, mor = true)
+    VersionedTable.deleteWhere(spark, root, col("id") === 205L, mor = true)
+    assert(VersionedTable.read(spark, root).count() == 298)
+    // pruned read path (subset of files) also applies the masks
+    val got = VersionedTable.readWhere(spark, root, col("id") < 10L)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == (1L to 9L).toSet - 5L)
+    // stats-only aggregation stands down while masks exist (counts would
+    // include masked rows)
+    assert(VersionedTable.statsAggregate(spark, root, Seq("id")).isEmpty)
+  }
+
+  test("compact folds the masks: sidecar gone, rows identical, stats re-enable") {
+    val root = freshRoot()
+    seed(root)
+    VersionedTable.deleteWhere(spark, root, col("id") <= 10L, mor = true)
+    val before = VersionedTable.read(spark, root).orderBy("id").collect().toSeq
+    val vc = VersionedTable.compact(spark, root)
+    assert(!VersionedTable.hasDeletionVectors(spark, root, vc))
+    assert(VersionedTable.read(spark, root).orderBy("id").collect().toSeq == before)
+    assert(VersionedTable.statsAggregate(spark, root, Seq("id"))
+      .exists(_._1 == 290L))
+  }
+
+  test("cow rewrite on a dv table reads through masks and carries untouched masks") {
+    val root = freshRoot()
+    seed(root)
+    // mask a row in file 1 (id 5) and file 3 (id 205)
+    VersionedTable.deleteWhere(spark, root, col("id").isin(5L, 205L), mor = true)
+    // cow-delete id 150 (file 2) — and, critically, a cow UPDATE touching
+    // file 1 must not resurrect masked id 5
+    VersionedTable.updateWhere(spark, root, col("id") === 7L,
+      Map("x" -> lit("updated")))
+    val rows = VersionedTable.read(spark, root)
+    assert(rows.count() == 298)
+    val ids = rows.select("id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(5L) && !ids.contains(205L), "rewrite resurrected masked rows")
+    assert(rows.where(col("id") === 7L).select("x").collect()
+      .head.getString(0) == "updated")
+    // file 3 was untouched by the update: its mask must have carried
+    val cur = VersionedTable.currentVersion(spark, root).get
+    assert(VersionedTable.hasDeletionVectors(spark, root, cur))
+  }
+
+  test("mor no-op deletes publish nothing; already-deleted rows dedupe") {
+    val root = freshRoot()
+    seed(root)
+    val v1 = VersionedTable.deleteWhere(spark, root, col("id") === 9L, mor = true)
+    // no row matches: no new version
+    assert(VersionedTable.deleteWhere(spark, root, col("id") === -1L, mor = true) == v1)
+    // re-deleting the same row is idempotent (distinct in the carry)
+    VersionedTable.deleteWhere(spark, root, col("id") <= 9L, mor = true)
+    assert(VersionedTable.read(spark, root).count() == 291)
+    val cur = VersionedTable.currentVersion(spark, root).get
+    val dv = VersionedTable.readExtra(spark, root, cur, "dv").get
+    assert(dv.count() == dv.distinct().count())
+    assert(dv.count() == 9L)
+  }
+
+  test("versioned cow upsert falls back to full rewrite on a dv table (no resurrection)") {
+    val root = freshRoot()
+    val t0 = lit("2024-06-01 00:00:00").cast("timestamp")
+    def stg(rows: Seq[(Long, String, String)]) =
+      rows.toDF("id", "last_status", "c")
+        .withColumn("created_at", col("c").cast("timestamp")).drop("c")
+    Sinks.upsertByKeyVersioned(spark, root,
+      stg(Seq((1L, "OPEN", "2024-05-30 10:00:00"), (2L, "OPEN", "2024-05-30 11:00:00"))),
+      "id", t0, "last_status", "DONE")
+    VersionedTable.deleteWhere(spark, root, col("id") === 2L, mor = true)
+    Sinks.upsertByKeyVersionedCow(spark, root,
+      stg(Seq((3L, "OPEN", "2024-05-30 12:00:00"))), "id", t0, "last_status", "DONE")
+    val ids = VersionedTable.read(spark, root)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L), s"masked row resurrected or upsert lost: $ids")
+    // the full rewrite folded the masks away
+    val cur = VersionedTable.currentVersion(spark, root).get
+    assert(!VersionedTable.hasDeletionVectors(spark, root, cur))
+  }
+}
