@@ -1,0 +1,152 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.StreamSourceProvider
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.sources.VersionedTable
+
+/** The change feed as a STRUCTURED STREAMING SOURCE — the Delta
+  * streaming-source shape on this format: a versioned table written by
+  * the upsert paths becomes `readStream`-able, each committed version (or
+  * a rate-limited run of them) arriving as one micro-batch of its
+  * `changes` rows stamped with `_commit_version`. Offsets are version
+  * numbers, so the engine's offset log IS the consumer checkpoint:
+  * restart resumes after the last committed version, replay-safe by the
+  * engine's own exactly-once offset contract (a batch is re-delivered
+  * only when its output was not committed — the same at-least-once →
+  * effectively-once story as [[VersionedTable.consumeChanges]], with the
+  * checkpointing handed to the engine).
+  *
+  * V1 `Source` API deliberately (the Delta connector's choice, public):
+  * `getBatch` can assemble the micro-batch with the ordinary parquet
+  * reader over the feed extras — distributed, schema-evolving — instead
+  * of hand-rolling a DSv2 partition reader.
+  *
+  * Operating contract: versions in the stream's range must carry feeds
+  * ([[VersionedTable.readChanges]] raises on gaps — a full-snapshot
+  * writer in the history stops the stream loudly, never silently skips)
+  * and vacuum retention must cover the slowest stream (standard
+  * table-format rule; see [[VersionedTable.vacuum]]'s `olderThanMs`). */
+object ChangeFeedStream {
+
+  /** `readStream` face. `maxVersionsPerBatch` bounds how many table
+    * versions one micro-batch folds (rate limiting a catch-up from deep
+    * history); default unlimited = one batch to the current version. */
+  def read(
+      spark: SparkSession, tableRoot: String,
+      maxVersionsPerBatch: Option[Int] = None): DataFrame = {
+    val r = spark.readStream
+      .format(classOf[ChangeFeedSourceProvider].getName)
+      .option("path", tableRoot)
+    maxVersionsPerBatch.foreach(m => r.option("maxVersionsPerBatch", m.toString))
+    r.load()
+  }
+
+  /** Feed schema at stream start: the newest feed-bearing version's
+    * columns + the `_commit_version` stamp. Pinned for the stream's
+    * lifetime — a mid-stream feed evolution that drops a pinned column
+    * fails the batch loudly; restart re-pins (the Delta contract). */
+  private[streaming] def feedSchema(spark: SparkSession, root: String): StructType = {
+    val vs = VersionedTable.versions(spark, root)
+    require(vs.nonEmpty, s"no committed version under $root")
+    val withFeed = vs.reverse.find(v =>
+      VersionedTable.readExtra(spark, root, v, "changes").nonEmpty)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no version under $root carries a change feed — " +
+          "write the table with the versioned upsert paths"))
+    val feed = VersionedTable.readExtra(spark, root, withFeed, "changes").get
+    StructType(feed.schema.fields.toSeq :+ StructField("_commit_version", LongType))
+  }
+}
+
+class ChangeFeedSourceProvider extends StreamSourceProvider {
+  private def root(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException("option 'path' (the table root) is required"))
+
+  override def sourceSchema(
+      sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    ("graft-changes",
+      schema.getOrElse(
+        ChangeFeedStream.feedSchema(sqlContext.sparkSession, root(parameters))))
+
+  override def createSource(
+      sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new ChangeFeedSource(sqlContext.sparkSession, root(parameters), metadataPath,
+      parameters.get("maxVersionsPerBatch").map(_.toInt))
+}
+
+class ChangeFeedSource(
+    spark: SparkSession, root: String, metadataPath: String,
+    maxVersionsPerBatch: Option[Int])
+  extends Source {
+
+  override val schema: StructType = ChangeFeedStream.feedSchema(spark, root)
+
+  /** Highest version this source already OFFERED via [[getOffset]] — the
+    * rate-limit cursor, PERSISTED under the source's own metadataPath
+    * (the FileStreamSource pattern): the cursor must never restart below
+    * the engine's committed offset, or the engine would run a
+    * start>end "batch" / regress its log. Offer-then-crash just widens
+    * one batch past the rate limit — the engine's offset commit still
+    * guarantees each version is delivered effectively once. */
+  private val cursorFile = new org.apache.hadoop.fs.Path(metadataPath, "cursor")
+  private val mfs = cursorFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private var offered: Option[Long] = {
+    if (!mfs.exists(cursorFile)) None
+    else
+      try {
+        val in = mfs.open(cursorFile)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                   finally in.close()
+        text.trim.toLongOption
+      } catch { case _: Exception => None }
+  }
+
+  private def persistCursor(v: Long): Unit = {
+    mfs.mkdirs(new org.apache.hadoop.fs.Path(metadataPath))
+    val tmp = new org.apache.hadoop.fs.Path(metadataPath,
+      "cursor." + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
+    val out = mfs.create(tmp, true)
+    try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
+    mfs.delete(cursorFile, false)
+    if (!mfs.rename(tmp, cursorFile)) mfs.delete(tmp, false)
+  }
+
+  private def toV(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong // SerializedOffset from the log
+  }
+
+  override def getOffset: Option[Offset] = {
+    val vs = VersionedTable.versions(spark, root)
+    vs.lastOption.flatMap { cur =>
+      val base = offered.getOrElse(vs.head - 1)
+      val end = maxVersionsPerBatch.map(m => math.min(cur, base + m)).getOrElse(cur)
+      if (end <= base) offered.map(LongOffset(_))
+      else { offered = Some(end); persistCursor(end); Some(LongOffset(end)) }
+    }
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val toVersion = toV(end)
+    val fromVersion = start.map(toV(_) + 1).getOrElse(
+      VersionedTable.versions(spark, root).headOption.getOrElse(1L))
+    val batch = VersionedTable.readChanges(spark, root, fromVersion, toVersion)
+    // pin to the stream's schema: column order fixed, a dropped column
+    // fails here loudly rather than corrupting downstream state
+    val pinned = batch.select(
+      schema.fieldNames.toSeq.map(org.apache.spark.sql.functions.col): _*)
+    org.apache.spark.sql.graft.StreamBridge.asStreaming(pinned)
+  }
+
+  override def commit(end: Offset): Unit = () // retention is vacuum's job
+
+  override def stop(): Unit = ()
+}

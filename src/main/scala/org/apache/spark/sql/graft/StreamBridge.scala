@@ -1,0 +1,22 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+/** Bridge for V1 streaming sources ([[org.apache.spark.sql.execution.streaming.Source]]):
+  * `getBatch` must hand the engine a STREAMING DataFrame, but the natural
+  * way to build a batch from committed files is the plain batch reader.
+  * The file-source pattern (FileStreamSource) marks the leaf relations
+  * streaming and rebuilds the Dataset; the constructor for that lives
+  * behind `private[sql]`, hence this shim package. */
+object StreamBridge {
+  def asStreaming(df: DataFrame): DataFrame = {
+    val sess = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val plan = df.queryExecution.analyzed.transform {
+      case lr: LogicalRelation if !lr.isStreaming => lr.copy(isStreaming = true)
+      case loc: LocalRelation if !loc.isStreaming => loc.copy(isStreaming = true)
+    }
+    org.apache.spark.sql.classic.Dataset.ofRows(sess, plan)
+  }
+}
