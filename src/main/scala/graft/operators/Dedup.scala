@@ -831,12 +831,15 @@ object Dedup {
     val p = docs.select(col(idCol),
         substring(normText(col(textCol)), 1, prefixLen).as("__pfx"))
       .withColumn("__bk", explode(multiBlockKeys(blockLen)))
-      // empty block keys (prefix shorter than the slice the key reads)
-      // would funnel EVERY short doc into one block per key space — a
-      // per-block quadratic blowup at scale. Drop them: short docs stay
-      // covered by the leading b0 key, which is nonempty whenever the
-      // normalized text is.
-      .filter(col("__bk.k") =!= lit(""))
+      // empty SECONDARY block keys (prefix shorter than the slice the key
+      // reads) would funnel EVERY short doc into one block per key space —
+      // a per-block quadratic blowup at scale. Drop them: short docs stay
+      // covered by the leading b0 key, which is kept EVEN WHEN EMPTY so
+      // empty-normalized-text docs (mutual duplicates at dist 0) remain
+      // candidates, matching the single-key fuzzyJoinPairs' recall; the
+      // empty-b0 block is quadratic only in the count of empty docs,
+      // whose all-pairs output is inherently that size.
+      .filter(col("__bk.i") === 0 || col("__bk.k") =!= lit(""))
     val a = p.select(col(idCol).as("ida"), col("__pfx").as("__pa"), col("__bk"))
     val b = p.select(col(idCol).as("idb"), col("__pfx").as("__pb"), col("__bk"))
     a.join(b, Seq("__bk")).filter(col("ida") < col("idb"))
@@ -873,7 +876,7 @@ object Dedup {
       .filter(col("ida") < col("idb"))
       .count()
     val m = p.withColumn("__bk", explode(multiBlockKeys(blockLen)))
-      .filter(col("__bk.k") =!= lit(""))
+      .filter(col("__bk.i") === 0 || col("__bk.k") =!= lit(""))
     val nMulti = m.select(col(idCol).as("ida"), col("__bk"))
       .join(m.select(col(idCol).as("idb"), col("__bk")), Seq("__bk"))
       .filter(col("ida") < col("idb"))

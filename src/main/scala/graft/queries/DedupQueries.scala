@@ -543,7 +543,7 @@ object DedupQueries {
          |    list_aggregate(list_sort(string_split(
          |      substr(pfx, 1, ${2 * FuzzyBlockLen}), '')), 'string_agg', '') AS k
          |  FROM p),
-         |bkf AS (SELECT * FROM bk WHERE k <> ''),
+         |bkf AS (SELECT * FROM bk WHERE i = 0 OR k <> ''),
          |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
          |    a.pfx AS pa, b.pfx AS pb
          |  FROM bkf a JOIN bkf b ON a.i = b.i AND a.k = b.k AND a.doc_id < b.doc_id)

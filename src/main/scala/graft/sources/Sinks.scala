@@ -121,10 +121,18 @@ object Sinks {
     // resolved, re-validate inside the commit (after the claim, before
     // publish) that no other writer published meanwhile, and retry the
     // whole merge on conflict. Two interleaving writers can no longer
-    // silently drop each other's merged rows; the residual race (another
-    // publish between the re-check and our publish) is the same
-    // metadata-latency window Delta's OCC accepts between log read and
-    // log write — conflicting claims resolve on the NEXT writer's retry.
+    // silently drop each other's merged rows in the common interleavings.
+    // RESIDUAL WINDOW, stated plainly: the re-check and the publish are
+    // two filesystem operations, not one atomic claim-the-next-version
+    // step — two writers that BOTH pass preCommit before EITHER publishes
+    // still lose the earlier publish (check-then-act on distinct claimed
+    // numbers). Delta does not have this window: its commit is an atomic
+    // winner-takes-version-N log write. Closing it here needs the claim
+    // itself to be the publish (conditional PUT / create-exclusive log
+    // entry carrying the data pointer), which LocalFileSystem's
+    // non-atomic create-exclusive cannot honestly provide — so this
+    // narrows the race from "the whole merge" to "between re-check and
+    // publish" and documents the rest, rather than claiming parity.
     val maxAttempts = 5
     var attempt = 0
     var committed: Option[Long] = None

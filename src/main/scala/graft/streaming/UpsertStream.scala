@@ -96,15 +96,21 @@ object UpsertStream {
     // <root>_checkpoint — pointing an existing deployment at the new
     // per-appId path would restart batch numbering at 0 and the
     // lastTxn >= batchId replay gate would then silently SKIP genuinely
-    // new batches until the counter passed the old high-water mark. When
-    // the legacy dir exists and the per-appId one doesn't yet, keep the
-    // legacy dir (its batch counter is the one the txn stamps were
-    // written against).
+    // new batches until the counter passed the old high-water mark. The
+    // legacy dir is adopted ONLY when this table's txn log shows stamps
+    // for THIS appId (proof the legacy progress belongs to this app) —
+    // a brand-new appId starting against a table with someone else's
+    // legacy dir must NOT inherit foreign source offsets (it would
+    // silently skip all existing input) or re-share one checkpoint
+    // across apps, the exact state the per-appId split eliminates.
     val legacyCp = new org.apache.hadoop.fs.Path(tableRoot + "_checkpoint")
     val perAppCp = new org.apache.hadoop.fs.Path(tableRoot + "_checkpoint_" + appId)
     val cpFs = legacyCp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val checkpoint =
-      if (cpFs.exists(legacyCp) && !cpFs.exists(perAppCp)) legacyCp else perAppCp
+      if (cpFs.exists(legacyCp) && !cpFs.exists(perAppCp) &&
+          graft.sources.VersionedTable.lastTxn(spark, tableRoot, appId).nonEmpty)
+        legacyCp
+      else perAppCp
     val w = EventStream.readEvents(spark, dir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -356,4 +356,23 @@ class DedupSpec extends SparkSpec {
     assert(!multi.exists(p => p._2 == 3L && p._3 <= 3L))
     assert(!multi.exists(p => p._1 == 6L || p._2 == 6L))
   }
+
+  test("fuzzy multi/single recall parity on empty-normalized-text docs") {
+    // docs whose text normalizes to empty (punctuation only): b0 is empty
+    // too, so a drop-all-empty-keys rule would exclude them from the
+    // multi form while the single-key form still pairs them — the empty
+    // b0 key must survive the secondary-key empty filter
+    val docs = Seq(
+      (1L, "!!! ???"), (2L, "..."), (3L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val single = Dedup.fuzzyJoinPairs(docs, "doc_id", "text",
+        prefixLen = 20, blockLen = 6, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val multi = Dedup.fuzzyJoinPairsMulti(docs, "doc_id", "text",
+        prefixLen = 20, blockLen = 6, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(single.contains((1L, 2L, 0L)))
+    assert(multi.contains((1L, 2L, 0L)), "multi form lost the empty-text pair")
+    assert(single.subsetOf(multi))
+  }
 }

@@ -106,11 +106,15 @@ class UpsertStreamSpec extends SparkSpec {
     assert(UpsertStream.upsertBatch(spark, root, b, 0L, "app", runTs, "purchase").isEmpty)
   }
 
-  test("an existing legacy checkpoint is kept; fresh streams get per-app dirs") {
+  test("legacy checkpoint adopted only when the table's txn log proves it's THIS app's") {
+    import spark.implicits._
     // upgrading a pre-per-appId deployment must NOT move it to a fresh
-    // checkpoint dir: batch numbering would restart at 0 and the
+    // checkpoint dir (batch numbering would restart at 0 and the
     // lastTxn >= batchId replay gate would silently skip genuinely new
-    // batches until the counter passed the old high-water mark
+    // batches) — but adopting someone ELSE's legacy dir is worse: a new
+    // appId would inherit foreign source offsets (already past all
+    // existing input) and never see that data. The tie-breaker is the
+    // table's own txn log: adopt only when it carries stamps for this app.
     val stage = java.nio.file.Files.createTempDirectory("graft_ups_cp_src")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.schema(EventStream.eventSchema)
@@ -119,15 +123,37 @@ class UpsertStreamSpec extends SparkSpec {
     val f = new org.apache.hadoop.fs.Path(stage.toString)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    // legacy deployment: <root>_checkpoint already exists
+    // true legacy deployment, simulated faithfully: appX once streamed
+    // into this table (so the txn log carries its stamps), with its
+    // checkpoint at the pre-split <root>_checkpoint location
     val root1 = java.nio.file.Files.createTempDirectory("graft_ups_cp1").toString + "/t"
-    f.mkdirs(new org.apache.hadoop.fs.Path(root1 + "_checkpoint"))
     UpsertStream.start(spark, stage.toString + "/*", root1, "appX", runTs,
       availableNow = true).awaitTermination()
-    assert(f.exists(new org.apache.hadoop.fs.Path(root1 + "_checkpoint/offsets")))
-    assert(!f.exists(new org.apache.hadoop.fs.Path(root1 + "_checkpoint_appX")))
+    assert(f.rename(new org.apache.hadoop.fs.Path(root1 + "_checkpoint_appX"),
+      new org.apache.hadoop.fs.Path(root1 + "_checkpoint")))
+    val markAfterB1 = VersionedTable.lastTxn(spark, root1, "appX").get
 
-    // fresh deployment: the per-app dir is created and used
+    // appX restarts post-upgrade with new input: the legacy dir is
+    // provably its own (txn stamps) — adopted, batch numbering continues
+    spark.read.schema(EventStream.eventSchema)
+      .parquet(s"$dir/events.parquet").limit(80).coalesce(1)
+      .write.parquet(stage.resolve("b2").toString)
+    UpsertStream.start(spark, stage.toString + "/*", root1, "appX", runTs,
+      availableNow = true).awaitTermination()
+    assert(!f.exists(new org.apache.hadoop.fs.Path(root1 + "_checkpoint_appX")))
+    assert(VersionedTable.lastTxn(spark, root1, "appX").contains(markAfterB1 + 1),
+      "legacy adoption lost the batch counter")
+
+    // a DIFFERENT app against the same table + legacy dir: the legacy
+    // progress is not appY's — it must get its own per-app dir and
+    // process the input from the start
+    UpsertStream.start(spark, stage.toString + "/*", root1, "appY", runTs,
+      availableNow = true).awaitTermination()
+    assert(f.exists(new org.apache.hadoop.fs.Path(root1 + "_checkpoint_appY/offsets")))
+    assert(VersionedTable.lastTxn(spark, root1, "appY").nonEmpty,
+      "appY inherited foreign stream progress and skipped its input")
+
+    // fresh deployment (no legacy dir): the per-app dir is created
     val root2 = java.nio.file.Files.createTempDirectory("graft_ups_cp2").toString + "/t"
     UpsertStream.start(spark, stage.toString + "/*", root2, "appX", runTs,
       availableNow = true).awaitTermination()
