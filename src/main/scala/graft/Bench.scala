@@ -262,7 +262,20 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","best_of":$repeat$streamJson$amortJson}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","best_of":$repeat$streamJson$amortJson}"""
+    println(line)
+    // also land the line on disk: harness stdout capture truncates long
+    // runs mid-JSON (r7 lost 27 per-key numbers to a cut tail), and the
+    // full key set must survive for round-over-round comparison
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try {
+      val w = new java.io.PrintWriter(new java.io.File(outFile), "UTF-8")
+      try w.println(line) finally w.close()
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
