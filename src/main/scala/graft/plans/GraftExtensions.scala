@@ -67,6 +67,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => BandJoinRewrite)
+    // the SQL DML face: DELETE/UPDATE/MERGE against a versioned-table
+    // path, plus the OPTIMIZE/VACUUM maintenance verbs (GraftSql) —
+    // injected at parse level, so plain spark.sql speaks them
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       info("graft_dot", "graft_dot(a, b) - double-precision dot product of two float/double arrays"),

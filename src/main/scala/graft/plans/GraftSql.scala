@@ -1,0 +1,297 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{ColumnBridge, CommandBridge, GraftCommand}
+
+import graft.sources.{Sinks, VersionedTable}
+
+/** The SQL DML face of the versioned table format — the piece that makes
+  * a SQL-first user whole: reads already had table functions
+  * (`graft_table`, time travel, ANN, fuzzy join); this adds the WRITE
+  * verbs. Statements whose target is a versioned-table ROOT PATH (a
+  * backtick-quoted path identifier, e.g. ``DELETE FROM `/lake/mart` ``)
+  * route to the table format's transactional operations; everything else
+  * is untouched Spark SQL.
+  *
+  *   - `DELETE FROM `<root>` [WHERE p]`        → [[VersionedTable.deleteWhere]]
+  *   - `UPDATE `<root>` SET c = e [WHERE p]`   → [[VersionedTable.updateWhere]]
+  *   - `MERGE INTO `<root>` [AS t] USING src [AS s] ON cond WHEN ...`
+  *       → ANSI MERGE over the current snapshot (full matched /
+  *         not-matched / not-matched-by-source action sets, `UPDATE SET *`
+  *         and `INSERT *` included), committed as a new version with the
+  *         same pin + in-claim re-validate + retry OCC as every writer
+  *   - `OPTIMIZE '<root>' [SORT BY (c,..)] [ZORDER BY (c,..)]`
+  *       → compact / [[VersionedTable.optimize]] / z-order
+  *   - `VACUUM '<root>' KEEP n [OLDER THAN h HOURS]`
+  *
+  * Statements are parsed by SPARK'S OWN PARSER (Delete/Update/Merge are
+  * ANSI syntax the parser already produces logical nodes for); graft only
+  * interprets those nodes against the table format — no bespoke SQL
+  * dialect beyond the two Delta-shaped maintenance verbs above, which
+  * Spark has no grammar for.
+  *
+  * Two faces, same implementations: [[execute]] works on ANY session;
+  * sessions built with [[GraftExtensions]] (the [[graft.GraftSession]]
+  * default) additionally get the injected parser, so plain `spark.sql`
+  * runs these statements directly. */
+object GraftSql {
+
+  /** Execute `sqlText`, routing versioned-table DML/maintenance;
+    * delegates everything else to `spark.sql`. */
+  def execute(spark: SparkSession, sqlText: String): DataFrame =
+    spark.sessionState.sqlParser match {
+      case _: GraftSqlParser => spark.sql(sqlText) // parser face handles it
+      case p =>
+        maintenancePlan(sqlText)
+          .orElse(dmlPlan(sqlText, p))
+          .map(cmd => CommandBridge.dataFrame(spark, cmd))
+          .getOrElse(spark.sql(sqlText))
+    }
+
+  // ---- statement routing ---------------------------------------------------
+
+  private val OptimizeRe =
+    """(?is)\s*OPTIMIZE\s+'([^']+)'\s*(?:SORT\s+BY\s*\(([^)]*)\)|ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
+  private val VacuumRe =
+    """(?is)\s*VACUUM\s+'([^']+)'\s+KEEP\s+(\d+)(?:\s+OLDER\s+THAN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
+
+  private[plans] def maintenancePlan(sqlText: String): Option[LogicalPlan] =
+    sqlText match {
+      case OptimizeRe(root, sortCols, zCols) =>
+        Some(GraftCommand("OPTIMIZE", root, s => {
+          val v =
+            if (zCols != null)
+              VersionedTable.optimizeZOrder(s, root,
+                zCols.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+            else if (sortCols != null)
+              VersionedTable.optimize(s, root,
+                sortCols.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+            else VersionedTable.compact(s, root)
+          Seq(Row("OPTIMIZE", root, v))
+        }))
+      case VacuumRe(root, keep, hours) =>
+        Some(GraftCommand("VACUUM", root, s => {
+          val dropped = VersionedTable.vacuum(s, root, keep.toInt,
+            Option(hours).map(_.toLong * 3600 * 1000))
+          Seq(Row("VACUUM", root, dropped.size.toLong))
+        }))
+      case _ => None
+    }
+
+  /** Parse with `parser` and, when the statement is DML against a path
+    * target, return the substituted command plan. The keyword pre-filter
+    * keeps the second parse off every ordinary query. */
+  private def dmlPlan(sqlText: String, parser: ParserInterface): Option[LogicalPlan] = {
+    val head = sqlText.trim.take(6).toUpperCase
+    if (head != "DELETE" && head != "UPDATE" && head != "MERGE ")
+      None
+    else rewriteDml(parser.parsePlan(sqlText)) match {
+      case g: GraftCommand => Some(g)
+      case _ => None
+    }
+  }
+
+  /** Substitute a parsed DML node whose target is a versioned-table path
+    * with the graft command that runs it; any other plan passes through
+    * unchanged (catalog-table DML stays Spark's problem). */
+  private[plans] def rewriteDml(plan: LogicalPlan): LogicalPlan = plan match {
+    case DeleteFromTable(t, cond) =>
+      pathRoot(t).map { root =>
+        val c = stripQualifier(cond, aliasOf(t))
+        GraftCommand("DELETE", root, s =>
+          Seq(Row("DELETE", root,
+            VersionedTable.deleteWhere(s, root, ColumnBridge.column(c)))))
+      }.getOrElse(plan)
+    case UpdateTable(t, assignments, cond) =>
+      pathRoot(t).map { root =>
+        val a = aliasOf(t)
+        val sets = assignments.map(as =>
+          keyName(as.key) ->
+            ColumnBridge.column(stripQualifier(as.value, a))).toMap
+        val c = cond.map(stripQualifier(_, a))
+          .map(ColumnBridge.column).getOrElse(lit(true))
+        GraftCommand("UPDATE", root, s =>
+          Seq(Row("UPDATE", root, VersionedTable.updateWhere(s, root, c, sets))))
+      }.getOrElse(plan)
+    case m: MergeIntoTable =>
+      pathRoot(m.targetTable).map { root =>
+        GraftCommand("MERGE", root, s =>
+          Seq(Row("MERGE", root, runMerge(s, root, m))))
+      }.getOrElse(plan)
+    case other => other
+  }
+
+  private def pathRoot(plan: LogicalPlan): Option[String] = plan match {
+    case SubqueryAlias(_, child) => pathRoot(child)
+    case u: UnresolvedRelation =>
+      val parts = u.multipartIdentifier
+      if (parts.size == 1 && parts.head.contains("/")) Some(parts.head) else None
+    case _ => None
+  }
+
+  private def aliasOf(plan: LogicalPlan): Option[String] = plan match {
+    case SubqueryAlias(id, _) => Some(id.name)
+    case _ => None
+  }
+
+  /** `WHERE t.c = 1` with the target aliased `t`: the rewrite applies the
+    * predicate to the bare table frame, so the alias qualifier must go. */
+  private def stripQualifier(e: Expression, alias: Option[String]): Expression =
+    alias match {
+      case None => e
+      case Some(a) => e.transform {
+        case attr: UnresolvedAttribute
+            if attr.nameParts.size > 1 &&
+              attr.nameParts.head.equalsIgnoreCase(a) =>
+          UnresolvedAttribute(attr.nameParts.tail)
+      }
+    }
+
+  private def keyName(e: Expression): String = e match {
+    case a: UnresolvedAttribute => a.nameParts.last
+    case other => other.sql
+  }
+
+  // ---- MERGE ---------------------------------------------------------------
+
+  /** ANSI MERGE against the versioned table: evaluated as one full-outer
+    * join of the pinned snapshot with the source, row fates decided by
+    * the first applicable action per branch (SQL order-of-actions rule),
+    * result committed as a new full snapshot under the standard pin +
+    * in-claim re-validate + retry OCC. The SQL-standard cardinality rule
+    * is enforced (a target row matching multiple source rows refuses the
+    * merge rather than updating nondeterministically — one extra
+    * aggregation pass, skipped when no matched action exists). The
+    * commit is a full rewrite: MERGE is the SQL face; the file-granular
+    * fast path remains [[graft.sources.Sinks.upsertByKeyVersionedCow]]. */
+  private def runMerge(spark: SparkSession, root: String, m: MergeIntoTable): Long = {
+    require(!m.withSchemaEvolution,
+      "MERGE WITH SCHEMA EVOLUTION is not supported — run evolveSchema() first")
+    val maxAttempts = 5
+    var attempt = 0
+    var out: Option[Long] = None
+    while (out.isEmpty) {
+      attempt += 1
+      val base = VersionedTable.currentVersion(spark, root).getOrElse(
+        throw new java.io.IOException(s"no committed version under $root"))
+      val readDf = VersionedTable.readVersion(spark, root, base)
+      val tSchema = readDf.schema
+      // substitute the path relation with the pinned snapshot's plan,
+      // PRESERVING the user's alias node above it
+      val tPlan = m.targetTable.transform {
+        case _: UnresolvedRelation => readDf.queryExecution.analyzed
+      }
+      val tDf = CommandBridge.dataFrame(spark, tPlan)
+        .withColumn("__t_present", lit(1))
+        .withColumn("__t_rid", monotonically_increasing_id())
+      val sDf = CommandBridge.dataFrame(spark, m.sourceTable)
+        .withColumn("__s_present", lit(1))
+      val joined = tDf.join(sDf, ColumnBridge.column(m.mergeCondition), "full_outer")
+      val tPresent = col("__t_present").isNotNull
+      val sPresent = col("__s_present").isNotNull
+
+      if (m.matchedActions.nonEmpty) {
+        val dup = joined.filter(tPresent && sPresent)
+          .groupBy(col("__t_rid")).count()
+          .filter(col("count") > 1).limit(1).count()
+        require(dup == 0L,
+          "MERGE: a target row matches multiple source rows — refusing the " +
+            "nondeterministic update/delete (the SQL-standard cardinality rule)")
+      }
+
+      def actCond(c: Option[Expression]): Column =
+        c.map(ColumnBridge.column).getOrElse(lit(true))
+      def assignsOf(a: MergeAction): Map[String, Column] = a match {
+        case u: UpdateAction =>
+          u.assignments.map(as => keyName(as.key) -> ColumnBridge.column(as.value)).toMap
+        case i: InsertAction =>
+          i.assignments.map(as => keyName(as.key) -> ColumnBridge.column(as.value)).toMap
+        case _: UpdateStarAction | _: InsertStarAction =>
+          tSchema.fieldNames.map(n => n -> sDf(n)).toMap
+        case _ => Map.empty
+      }
+      // first applicable action decides the fate: -1 delete, -999 none
+      // (keep / drop), i the action's index offset by branch
+      def fateChain(acts: Seq[MergeAction], code: Int => Int): Column =
+        acts.zipWithIndex.foldRight(lit(-999): Column) { case ((a, i), rest) =>
+          when(actCond(a.condition),
+            lit(a match { case _: DeleteAction => -1; case _ => code(i) }))
+            .otherwise(rest)
+        }
+      val fate =
+        when(tPresent && sPresent, fateChain(m.matchedActions, i => i))
+          .when(tPresent && !sPresent,
+            fateChain(m.notMatchedBySourceActions, i => 100 + i))
+
+      val updates: Seq[(Int, Map[String, Column])] =
+        m.matchedActions.zipWithIndex.collect {
+          case (a @ (_: UpdateAction | _: UpdateStarAction), i) => (i, assignsOf(a))
+        } ++
+        m.notMatchedBySourceActions.zipWithIndex.collect {
+          case (a: UpdateAction, i) => (100 + i, assignsOf(a))
+        }
+      val survivors = joined.filter(tPresent && fate =!= -1)
+        .select(tSchema.fields.toSeq.map { f =>
+          updates.foldRight(tDf(f.name): Column) { case ((code, as), rest) =>
+            as.get(f.name).map(v => when(fate === code, v).otherwise(rest))
+              .getOrElse(rest)
+          }.cast(f.dataType).as(f.name)
+        }: _*)
+
+      val fateIns = fateChain(m.notMatchedActions, i => i)
+      val inserts = joined.filter(!tPresent && sPresent && fateIns >= 0)
+        .select(tSchema.fields.toSeq.map { f =>
+          m.notMatchedActions.zipWithIndex.foldRight(lit(null): Column) {
+            case ((a, i), rest) =>
+              assignsOf(a).get(f.name)
+                .map(v => when(fateIns === i, v).otherwise(rest))
+                .getOrElse(rest)
+          }.cast(f.dataType).as(f.name)
+        }: _*)
+
+      try out = Some(VersionedTable.commit(
+        survivors.unionByName(inserts), root,
+        preCommit = _ => {
+          val now = VersionedTable.currentVersion(spark, root)
+          if (now != Some(base))
+            throw new Sinks.ConcurrentWriteException(root, Some(base), now)
+        }))
+      catch {
+        case _: Sinks.ConcurrentWriteException if attempt < maxAttempts => ()
+      }
+    }
+    out.get
+  }
+}
+
+/** The injected parser ([[GraftExtensions]]): maintenance verbs are
+  * recognized up front (Spark has no grammar for them); everything else
+  * goes through the delegate, and parsed DML nodes with path targets are
+  * substituted with graft commands. Every other statement — and every
+  * other parser entry point — is the delegate's, untouched. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSql.maintenancePlan(sqlText)
+      .getOrElse(GraftSql.rewriteDml(delegate.parsePlan(sqlText)))
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String) =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String) =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String) =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String) =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String) =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String) =
+    delegate.parseDataType(sqlText)
+}

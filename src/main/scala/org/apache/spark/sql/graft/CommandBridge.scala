@@ -1,0 +1,36 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{LongType, StringType}
+
+/** Bridges for the SQL DML face ([[graft.plans.GraftSql]]): the runnable-
+  * command plumbing and plan→DataFrame construction live behind
+  * `private[sql]`, hence this shim package (as [[ColumnBridge]]). */
+object CommandBridge {
+
+  /** Build a DataFrame over an arbitrary (possibly partially unresolved)
+    * logical plan — the analyzer finishes resolution exactly as for a
+    * parsed query. For command plans this is the `spark.sql` execution
+    * path: the command runs eagerly and the frame holds its result. */
+  def dataFrame(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}
+
+/** A leaf command node the graft parser substitutes for DML/maintenance
+  * statements targeting a versioned-table path: executes `body` eagerly
+  * (commands run at `spark.sql` time, like every SQL command) and
+  * returns one summary row `(operation, table, result)` — result is the
+  * committed version for DML, the dropped-version count for VACUUM. */
+case class GraftCommand(name: String, table: String, body: SparkSession => Seq[Row])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("result", LongType, nullable = false)())
+  override def run(sparkSession: SparkSession): Seq[Row] = body(sparkSession)
+  override def simpleString(maxFields: Int): String = s"GraftCommand($name $table)"
+}

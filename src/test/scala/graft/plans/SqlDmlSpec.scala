@@ -1,0 +1,130 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.sources.VersionedTable
+import org.apache.spark.sql.functions._
+
+/** The SQL DML face: ANSI DELETE/UPDATE/MERGE parsed by Spark's own
+  * parser and routed to the versioned table when the target is a path
+  * identifier, plus the OPTIMIZE/VACUUM maintenance verbs. Exercised
+  * through GraftSql.execute (any session) and through the injected
+  * parser (what a GraftSession's plain spark.sql runs). */
+class SqlDmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot() =
+    java.nio.file.Files.createTempDirectory("graft_sqldml").toString + "/t"
+
+  private def seed(root: String): Unit =
+    VersionedTable.commit(
+      (1L to 20L).map(i => (i, s"r$i", i * 10)).toDF("id", "x", "amount"), root)
+
+  test("DELETE FROM `<path>` WHERE — rows gone, version advanced, summary row") {
+    val root = freshRoot(); seed(root)
+    val res = GraftSql.execute(spark, s"DELETE FROM `$root` WHERE id <= 5").collect()
+    assert(res.head.getString(0) == "DELETE" && res.head.getLong(2) == 2L)
+    assert(VersionedTable.read(spark, root).count() == 15)
+    // alias-qualified predicate works too
+    GraftSql.execute(spark, s"DELETE FROM `$root` AS t WHERE t.id = 20")
+    assert(VersionedTable.read(spark, root).select(max(col("id"))).head.getLong(0) == 19L)
+  }
+
+  test("UPDATE `<path>` SET ... WHERE — values replaced, types cast") {
+    val root = freshRoot(); seed(root)
+    GraftSql.execute(spark,
+      s"UPDATE `$root` SET x = 'changed', amount = amount + 1 WHERE id = 7")
+    val r = VersionedTable.read(spark, root).where(col("id") === 7).head
+    assert(r.getString(1) == "changed" && r.getLong(2) == 71L)
+    // untouched rows identical
+    assert(VersionedTable.read(spark, root).where(col("id") === 8).head.getString(1) == "r8")
+  }
+
+  test("MERGE INTO: matched update/delete by condition, not-matched insert") {
+    val root = freshRoot(); seed(root)
+    Seq((5L, "DEL", 0L), (7L, "upd", 700L), (99L, "new", 990L))
+      .toDF("id", "x", "amount").createOrReplaceTempView("merge_src")
+    val v = GraftSql.execute(spark,
+      s"""MERGE INTO `$root` AS t USING merge_src AS s ON t.id = s.id
+         |WHEN MATCHED AND s.x = 'DEL' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET x = s.x, amount = s.amount
+         |WHEN NOT MATCHED THEN INSERT (id, x, amount) VALUES (s.id, s.x, s.amount)
+         |""".stripMargin).collect().head.getLong(2)
+    val got = VersionedTable.read(spark, root).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(!got.exists(_._1 == 5L), "matched DELETE did not remove the row")
+    assert(got.find(_._1 == 7L).contains((7L, "upd", 700L)))
+    assert(got.find(_._1 == 99L).contains((99L, "new", 990L)))
+    assert(got.length == 20) // 20 - 1 deleted + 1 inserted
+    assert(VersionedTable.currentVersion(spark, root).contains(v))
+    // time travel still shows the pre-merge table
+    assert(VersionedTable.readVersion(spark, root, 1L).count() == 20)
+  }
+
+  test("MERGE UPDATE SET * / INSERT * and NOT MATCHED BY SOURCE DELETE") {
+    val root = freshRoot(); seed(root)
+    Seq((1L, "one", 111L), (77L, "new", 770L))
+      .toDF("id", "x", "amount").createOrReplaceTempView("merge_star_src")
+    GraftSql.execute(spark,
+      s"""MERGE INTO `$root` t USING merge_star_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE AND t.id > 18 THEN DELETE
+         |""".stripMargin)
+    val got = VersionedTable.read(spark, root).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.find(_._1 == 1L).contains((1L, "one", 111L)))   // SET *
+    assert(got.find(_._1 == 77L).contains((77L, "new", 770L))) // INSERT *
+    assert(!got.exists(t => t._1 == 19L || t._1 == 20L))       // NMBS delete
+    assert(got.exists(_._1 == 18L))                            // NMBS guard held
+    assert(got.length == 19) // 20 - 2 deleted + 1 inserted
+  }
+
+  test("MERGE refuses a target row matching multiple source rows") {
+    val root = freshRoot(); seed(root)
+    Seq((7L, "a", 1L), (7L, "b", 2L))
+      .toDF("id", "x", "amount").createOrReplaceTempView("merge_dup_src")
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.execute(spark,
+        s"""MERGE INTO `$root` t USING merge_dup_src s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET x = s.x
+           |""".stripMargin)
+    }
+    assert(e.getMessage.contains("multiple source rows"))
+    assert(VersionedTable.versions(spark, root) == Seq(1L)) // nothing committed
+  }
+
+  test("OPTIMIZE and VACUUM maintenance verbs") {
+    val root = freshRoot(); seed(root)
+    GraftSql.execute(spark, s"UPDATE `$root` SET x = 'a' WHERE id = 1")
+    val res = GraftSql.execute(spark, s"OPTIMIZE '$root' SORT BY (id)").collect().head
+    assert(res.getString(0) == "OPTIMIZE")
+    val opt = res.getLong(2)
+    assert(VersionedTable.currentVersion(spark, root).contains(opt))
+    // z-order form parses and runs
+    GraftSql.execute(spark, s"OPTIMIZE '$root' ZORDER BY (id, amount)")
+    val dropped = GraftSql.execute(spark, s"VACUUM '$root' KEEP 1").collect().head
+    assert(dropped.getString(0) == "VACUUM" && dropped.getLong(2) >= 2L)
+    assert(VersionedTable.read(spark, root).count() == 20)
+    // age-guarded vacuum drops nothing seconds after the commits
+    GraftSql.execute(spark, s"UPDATE `$root` SET x = 'b' WHERE id = 2")
+    assert(GraftSql.execute(spark,
+      s"VACUUM '$root' KEEP 1 OLDER THAN 1 HOURS").collect().head.getLong(2) == 0L)
+  }
+
+  test("the injected parser routes DML and passes ordinary SQL through") {
+    val root = freshRoot(); seed(root)
+    val parser = new GraftSqlParser(spark.sessionState.sqlParser)
+    // DML with a path target parses to a graft command; executing the
+    // plan IS what spark.sql does in a GraftSession
+    val plan = parser.parsePlan(s"DELETE FROM `$root` WHERE id = 3")
+    assert(plan.isInstanceOf[org.apache.spark.sql.graft.GraftCommand])
+    org.apache.spark.sql.graft.CommandBridge.dataFrame(spark, plan).collect()
+    assert(VersionedTable.read(spark, root).count() == 19)
+    // ordinary statements come out of the delegate untouched
+    val q = parser.parsePlan("SELECT 1 AS one")
+    assert(!q.isInstanceOf[org.apache.spark.sql.graft.GraftCommand])
+    // catalog-table DML is NOT intercepted (stays Spark's)
+    val cat = parser.parsePlan("DELETE FROM some_catalog_table WHERE id = 1")
+    assert(!cat.isInstanceOf[org.apache.spark.sql.graft.GraftCommand])
+  }
+}
