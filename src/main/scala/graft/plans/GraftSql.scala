@@ -235,13 +235,13 @@ object GraftSql {
         m.notMatchedBySourceActions.zipWithIndex.collect {
           case (a: UpdateAction, i) => (100 + i, assignsOf(a))
         }
-      val survivors = joined.filter(tPresent && fate =!= -1)
-        .select(tSchema.fields.toSeq.map { f =>
-          updates.foldRight(tDf(f.name): Column) { case ((code, as), rest) =>
-            as.get(f.name).map(v => when(fate === code, v).otherwise(rest))
-              .getOrElse(rest)
-          }.cast(f.dataType).as(f.name)
-        }: _*)
+      val outValues = tSchema.fields.toSeq.map { f =>
+        updates.foldRight(tDf(f.name): Column) { case ((code, as), rest) =>
+          as.get(f.name).map(v => when(fate === code, v).otherwise(rest))
+            .getOrElse(rest)
+        }.cast(f.dataType).as(f.name)
+      }
+      val survivors = joined.filter(tPresent && fate =!= -1).select(outValues: _*)
 
       val fateIns = fateChain(m.notMatchedActions, i => i)
       val inserts = joined.filter(!tPresent && sPresent && fateIns >= 0)
@@ -254,8 +254,24 @@ object GraftSql {
           }.cast(f.dataType).as(f.name)
         }: _*)
 
+      // CHANGE FEED: merge commits carry their feed like every graft
+      // writer — delete pre-images, update pre/post pairs, insert rows —
+      // so incremental consumers keep working across SQL merges
+      val tCols = tSchema.fields.toSeq.map(f =>
+        tDf(f.name).cast(f.dataType).as(f.name))
+      val updFilter = updates.map { case (code, _) => fate === code }
+        .reduceOption(_ || _).getOrElse(lit(false))
+      val feed = joined.filter(tPresent && fate === -1)
+        .select(tCols: _*).withColumn("_change_type", lit("delete"))
+        .unionByName(joined.filter(tPresent && updFilter)
+          .select(tCols: _*).withColumn("_change_type", lit("update_preimage")))
+        .unionByName(joined.filter(tPresent && updFilter)
+          .select(outValues: _*).withColumn("_change_type", lit("update_postimage")))
+        .unionByName(inserts.withColumn("_change_type", lit("insert")))
+
       try out = Some(VersionedTable.commit(
         survivors.unionByName(inserts), root,
+        extras = Map("changes" -> feed),
         preCommit = _ => {
           val now = VersionedTable.currentVersion(spark, root)
           if (now != Some(base))

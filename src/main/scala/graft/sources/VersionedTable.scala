@@ -774,29 +774,51 @@ object VersionedTable {
     * mask would falsify, stands down until then). */
   def deleteWhere(
       spark: SparkSession, root: String, predicate: Column,
-      mor: Boolean = false): Long = {
+      mor: Boolean = false, changeFeed: Boolean = true): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    def deleteFeed(slice: DataFrame): Option[DataFrame] =
+      if (!changeFeed) None
+      else Some(slice.where(coalesce(predicate, lit(false)))
+        .withColumn("_change_type", lit("delete")))
     if (!mor)
-      cowRewrite(spark, root, predicate)(df =>
-        df.where(not(coalesce(predicate, lit(false)))))
+      cowRewrite(spark, root, predicate)(
+        df => df.where(not(coalesce(predicate, lit(false)))),
+        feed = deleteFeed)
     else occRetry(spark, root) { cur =>
       val (mayMatch, _) = prunedFiles(spark, root, cur, predicate)
       if (mayMatch.isEmpty) cur // provably no row matches: no-op, no commit
       else {
         // physical positions of the rows to delete, evaluated only over
-        // the files whose stats admit the predicate; already-masked rows
-        // may match again — the dv carry's distinct() dedupes them
+        // the files whose stats admit the predicate; rows a previous
+        // delete already masked are read THROUGH the existing vector, so
+        // they re-enter neither the new vector's base nor the feed
         val raw = versionReader(spark, root, cur).parquet(mayMatch: _*)
-        val newDel = raw.where(coalesce(predicate, lit(false)))
-          .select(fileRefCol.as("file"),
-            col("_metadata.row_index").as("pos"))
+          .withColumn("__dv_file", fileRefCol)
+          .withColumn("__dv_pos", col("_metadata.row_index"))
+        val visible = readExtra(spark, root, cur, "dv") match {
+          case Some(dv) =>
+            import org.apache.spark.sql.functions.broadcast
+            raw.join(broadcast(dv.select(col("file").as("__dv_file"),
+              col("pos").as("__dv_pos"))),
+              Seq("__dv_file", "__dv_pos"), "left_anti")
+          case None => raw
+        }
+        val hit = visible.where(coalesce(predicate, lit(false)))
+        val newDel = hit.select(col("__dv_file").as("file"),
+          col("__dv_pos").as("pos"))
         if (newDel.limit(1).count() == 0L) cur // admitted but nothing matched
         else {
           val empty = spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             schemaOf(spark, root, cur))
+          val tableCols = schemaOf(spark, root, cur).fieldNames.toSeq
+          val extras = Map("dv" -> newDel) ++
+            (if (!changeFeed) Map.empty[String, DataFrame]
+             else Map("changes" -> feedWritable(
+               hit.select(tableCols.map(col): _*)
+                 .withColumn("_change_type", lit("delete")))))
           commitCowInternal(empty, root, cur, dataFileRefs(spark, root, cur),
-            extras = Map("dv" -> newDel), bloomCols = Nil,
+            extras = extras, bloomCols = Nil,
             preCommit = occValidate(spark, root, cur),
             recordSchema = Some(schemaOf(spark, root, cur)))
         }
@@ -814,10 +836,10 @@ object VersionedTable {
     * columns throw — a typo must not silently no-op. */
   def updateWhere(
       spark: SparkSession, root: String, predicate: Column,
-      set: Map[String, Column]): Long = {
+      set: Map[String, Column], changeFeed: Boolean = true): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, when}
     require(set.nonEmpty, "updateWhere needs at least one SET column")
-    cowRewrite(spark, root, predicate) { df =>
+    def applySet(df: DataFrame): DataFrame = {
       val bad = set.keySet -- df.columns.toSet
       require(bad.isEmpty, s"unknown columns in SET: ${bad.mkString(", ")}")
       val cond = coalesce(predicate, lit(false))
@@ -829,6 +851,17 @@ object VersionedTable {
         }
       }: _*)
     }
+    cowRewrite(spark, root, predicate)(applySet, feed = slice =>
+      if (!changeFeed) None
+      else {
+        // pre/post image pairs for the rows the predicate selects — the
+        // post image is the SET projection of the pre row, so the feed
+        // needs no second pass over the rewrite's output
+        val pre = slice.where(coalesce(predicate, lit(false)))
+        Some(pre.withColumn("_change_type", lit("update_preimage"))
+          .unionByName(applySet(pre)
+            .withColumn("_change_type", lit("update_postimage"))))
+      })
   }
 
   /** `preCommit` validation that rejects the commit when the table
@@ -867,10 +900,15 @@ object VersionedTable {
   /** Shared COW row-rewrite loop of [[deleteWhere]]/[[updateWhere]]:
     * prune to the files the predicate may touch, apply `rewrite` to that
     * slice only, carry the rest by manifest reference, re-validate the
-    * pinned version inside the commit claim and retry on conflict. */
+    * pinned version inside the commit claim and retry on conflict.
+    * `feed(slice)` builds the commit's CHANGE FEED from the touched slice
+    * (table columns + `_change_type`) — every DML commit carries one, so
+    * incremental consumers ([[readChanges]], the streaming source) never
+    * hit a feed gap on a table that mixes upserts with DML. */
   private def cowRewrite(
       spark: SparkSession, root: String, predicate: Column)(
-      rewrite: DataFrame => DataFrame): Long =
+      rewrite: DataFrame => DataFrame,
+      feed: DataFrame => Option[DataFrame] = _ => None): Long =
     occRetry(spark, root) { cur =>
       val (mayMatch, _) = prunedFiles(spark, root, cur, predicate)
       if (mayMatch.isEmpty) cur // provably no row matches: no-op, no commit
@@ -888,10 +926,26 @@ object VersionedTable {
         val slice = readExtra(spark, root, cur, "dv")
           .map(applyDv(sliceRaw, _)).getOrElse(sliceRaw)
         val rewritten = rewrite(slice)
-        commitCow(rewritten, root, keptRefs,
+        val extras = feed(slice)
+          .map(fd => Map("changes" -> feedWritable(fd))).getOrElse(Map.empty)
+        commitCow(rewritten, root, keptRefs, extras = extras,
           preCommit = occValidate(spark, root, cur))
       }
     }
+
+  /** A feed frame safe to land as an extra even when EMPTY: at least one
+    * part file must exist so [[readExtra]]/[[readChanges]] can recover
+    * the schema (a 0-partition empty write leaves a schemaless dir). */
+  private def feedWritable(fd: DataFrame): DataFrame =
+    if (fd.rdd.getNumPartitions == 0) fd.repartition(1) else fd
+
+  /** The zero-row change feed of a LAYOUT-ONLY commit (compaction,
+    * clustering, schema evolution): "this version changed no rows",
+    * stated explicitly so incremental consumers pass through instead of
+    * failing on a feed gap. */
+  private def emptyFeed(df: DataFrame): DataFrame =
+    feedWritable(df.limit(0).withColumn("_change_type",
+      org.apache.spark.sql.functions.lit("")))
 
   /** APPEND commit: publish a new snapshot = the current snapshot
     * carried entirely BY REFERENCE + `newData` written fresh — the
@@ -913,13 +967,21 @@ object VersionedTable {
       newData: DataFrame, root: String,
       extras: Map[String, DataFrame] = Map.empty,
       bloomCols: Seq[String] = Nil,
-      preCommit: Long => Unit = _ => ()): Long = {
+      preCommit: Long => Unit = _ => (),
+      changeFeed: Boolean = false): Long = {
     val spark = newData.sparkSession
     if (currentVersion(spark, root).isEmpty)
       throw new java.io.IOException(
         s"append needs an existing snapshot under $root — use commit() first")
+    // opt-in insert feed (O(batch), but a second write of the batch —
+    // index-table appends don't want it; CDC-consumed tables do). A
+    // caller-supplied "changes" extra always wins.
+    val withFeed =
+      if (!changeFeed || extras.contains("changes")) extras
+      else extras.updated("changes", feedWritable(newData.withColumn(
+        "_change_type", org.apache.spark.sql.functions.lit("insert"))))
     occRetry(spark, root) { cur =>
-      commitCow(newData, root, dataFileRefs(spark, root, cur), extras, bloomCols,
+      commitCow(newData, root, dataFileRefs(spark, root, cur), withFeed, bloomCols,
         preCommit = v => { preCommit(v); occValidate(spark, root, cur)(v) })
     }
   }
@@ -961,7 +1023,8 @@ object VersionedTable {
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], newSchema)
       commitCowInternal(empty, root, cur, dataFileRefs(spark, root, cur),
-        Map.empty, Nil, preCommit = occValidate(spark, root, cur),
+        Map("changes" -> emptyFeed(empty)), // metadata-only: zero-row feed
+        Nil, preCommit = occValidate(spark, root, cur),
         recordSchema = Some(newSchema))
     }
 
@@ -1117,7 +1180,9 @@ object VersionedTable {
     occRetry(spark, root) { v =>
       val bytes = snapshotBytes(spark, root, v)
       val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-      commit(readVersion(spark, root, v).repartition(nFiles), root,
+      val df = readVersion(spark, root, v)
+      commit(df.repartition(nFiles), root,
+        extras = Map("changes" -> emptyFeed(df)), // layout-only: zero-row feed
         bloomCols = bloomCols,
         preCommit = w => { preCommit(w); occValidate(spark, root, v)(w) })
     }
@@ -1146,9 +1211,11 @@ object VersionedTable {
       val bytes = snapshotBytes(spark, root, v)
       val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
       val cols = sortCols.map(org.apache.spark.sql.functions.col)
-      commit(readVersion(spark, root, v)
+      val df = readVersion(spark, root, v)
+      commit(df
         .repartitionByRange(nFiles, cols: _*)
         .sortWithinPartitions(cols: _*), root,
+        extras = Map("changes" -> emptyFeed(df)), // layout-only: zero-row feed
         bloomCols = bloomCols,
         preCommit = w => { preCommit(w); occValidate(spark, root, v)(w) })
     }
@@ -1242,6 +1309,7 @@ object VersionedTable {
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z"), root,
+      extras = Map("changes" -> emptyFeed(df)), // layout-only: zero-row feed
       bloomCols = bloomCols,
       preCommit = w => { preCommit(w); occValidate(spark, root, v)(w) })
     }
