@@ -83,6 +83,65 @@ object VersionedTable {
   private def isCommitted(spark: SparkSession, root: String, v: Long): Boolean =
     fs(spark, root).exists(new Path(commitDir(root), pad(v)))
 
+  // ---- vacuum tombstones -------------------------------------------------
+
+  private def vacuumedFile(root: String) =
+    new Path(new Path(root, "_vacuumed"), "log.txt")
+
+  /** Version numbers [[vacuum]] has dropped — the DATA-LOSS LEDGER for
+    * incremental consumers: a change-feed read whose range contains one of
+    * these must raise, not silently skip (Delta's
+    * failOnDataLoss-on-missing-version contract). Driver-sized (one line
+    * per dropped version; a year of hourly commits vacuumed is ~9 KB).
+    * Empty for never-vacuumed and pre-upgrade tables — the guard then
+    * stands down, so old tables keep reading exactly as before. */
+  def vacuumedVersions(spark: SparkSession, root: String): Set[Long] = {
+    val f = fs(spark, root)
+    val file = vacuumedFile(root)
+    if (!f.exists(file)) Set.empty
+    else
+      try {
+        val in = f.open(file)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                   finally in.close()
+        text.split('\n').iterator.map(_.trim).filter(_.nonEmpty)
+          .flatMap(_.toLongOption).toSet
+      } catch { case _: Exception => Set.empty }
+  }
+
+  /** Record `dropped` in the tombstone ledger BEFORE the markers are
+    * deleted — crash-safe in that order because the feed guard only fires
+    * for versions that are tombstoned AND no longer committed: a crash
+    * between record and delete leaves versions both tombstoned and still
+    * readable, which the guard ignores. */
+  private def recordVacuumed(
+      spark: SparkSession, root: String, dropped: Seq[Long]): Unit =
+    if (dropped.nonEmpty) {
+      val f = fs(spark, root)
+      val merged = (vacuumedVersions(spark, root) ++ dropped).toSeq.sorted
+      f.mkdirs(new Path(root, "_vacuumed"))
+      val tmp = new Path(new Path(root, "_vacuumed"),
+        "log." + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
+      val out = f.create(tmp, true)
+      try out.write(merged.mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
+      f.delete(vacuumedFile(root), false)
+      if (!f.rename(tmp, vacuumedFile(root))) f.delete(tmp, false)
+    }
+
+  /** Earliest version from which a change-feed consumer can read a
+    * CONTIGUOUS feed: past every vacuumed version (vacuum's coverage
+    * guards can hold a middle version back, so the earliest COMMITTED
+    * version may sit below a vacuumed one — starting there would raise on
+    * the hole immediately). Where fresh consumers ([[consumeChanges]],
+    * the streaming source) begin. */
+  def earliestFeedStart(spark: SparkSession, root: String): Long = {
+    val head = versions(spark, root).headOption.getOrElse(1L)
+    val pastDropped = vacuumedVersions(spark, root)
+      .foldLeft(0L)(math.max) + 1L
+    math.max(head, pastDropped)
+  }
+
   // ---- version-log checkpoint --------------------------------------------
 
   private def checkpointDir(root: String) = new Path(root, "_checkpoint")
@@ -274,6 +333,17 @@ object VersionedTable {
       throw new java.io.IOException(s"rename $staging -> $dir failed")
     // (3b) caller's pre-publish metadata (manifest, carried-forward stats)
     finalizeVersion(f, dir, v)
+    // (3c) re-run the caller's validation as LATE as possible: the rename
+    // and finalize above take real time (manifest + stats carry), and the
+    // check-then-act window between validation and publish is exactly
+    // where two OCC writers can both pass and both land (see the residual-
+    // window note in Sinks.upsertByKeyVersioned). This second check
+    // shrinks that window from "rename + finalize" to "one create call";
+    // a throw here aborts by deleting the version dir — the claim stays,
+    // later writers skip it by protocol. Validations must be idempotent
+    // (they are re-checks by construction).
+    try preCommit(v)
+    catch { case e: Throwable => f.delete(dir, true); throw e }
     // (4) publish — the linearization point
     f.create(new Path(commitDir(root), pad(v)), false).close()
     // (5) advance the version-log checkpoint — best-effort, OUTSIDE the
@@ -1083,6 +1153,19 @@ object VersionedTable {
       spark: SparkSession, root: String, fromV: Long, toV: Long): DataFrame = {
     val vs = versions(spark, root).filter(v => v >= fromV && v <= toV)
     require(vs.nonEmpty, s"no committed versions in [$fromV, $toV] under $root")
+    // DATA-LOSS GUARD: a version in range that vacuum dropped (tombstoned
+    // AND no longer committed) means this consumer's feed is incomplete —
+    // raise instead of silently skipping it. Claim-number gaps (versions
+    // never published) are NOT in the ledger and pass through as always.
+    val lost = vacuumedVersions(spark, root)
+      .filter(v => v >= fromV && v <= toV) -- vs
+    if (lost.nonEmpty)
+      throw new java.io.IOException(
+        s"change feed [$fromV, $toV] under $root lost version(s) " +
+          s"${lost.toSeq.sorted.mkString(", ")} to vacuum — size the vacuum " +
+          "retention (olderThanMs/keepLast) to cover the slowest consumer, " +
+          s"or restart the consumer from earliestFeedStart = " +
+          s"${earliestFeedStart(spark, root)}")
     val frames = vs.map { v =>
       val df = readExtra(spark, root, v, "changes").getOrElse(
         throw new java.io.IOException(
@@ -1110,8 +1193,9 @@ object VersionedTable {
     * query's checkpointLocation — two consumers with two dirs advance
     * independently. Versions must still carry feeds ([[readChanges]]
     * raises on gaps) and must not have been vacuumed past the
-    * checkpoint; pick vacuum retention to cover the slowest consumer,
-    * the standard table-format contract. */
+    * checkpoint (the [[readChanges]] data-loss guard raises if they
+    * were); pick vacuum retention to cover the slowest consumer, the
+    * standard table-format contract. */
   def consumeChanges(
       spark: SparkSession, root: String, checkpointDir: String)(
       process: DataFrame => Unit): Option[(Long, Long)] = {
@@ -1126,7 +1210,7 @@ object VersionedTable {
         text.trim.toLongOption
       }
     val cur = currentVersion(spark, root)
-    val fromV = last.map(_ + 1).getOrElse(versions(spark, root).headOption.getOrElse(1L))
+    val fromV = last.map(_ + 1).getOrElse(earliestFeedStart(spark, root))
     cur.filter(_ >= fromV).map { toV =>
       process(readChanges(spark, root, fromV, toV))
       // advance AFTER processing: tmp + rename, the same swap discipline
@@ -1380,6 +1464,10 @@ object VersionedTable {
     val dropSet = drop.toSet
     val referenced: Set[String] =
       all.filterNot(dropSet).flatMap(v => dataFileRefs(spark, root, v)).toSet
+    // tombstone FIRST (see recordVacuumed for why this order is the
+    // crash-safe one): consumers whose range reaches below the drop line
+    // must fail loudly, not read an incomplete feed
+    recordVacuumed(spark, root, drop)
     drop.foreach { v =>
       f.delete(new Path(commitDir(root), pad(v)), false)
       val dir = versionDir(root, v)

@@ -29,7 +29,12 @@ import graft.sources.VersionedTable
   * ([[VersionedTable.readChanges]] raises on gaps — a full-snapshot
   * writer in the history stops the stream loudly, never silently skips)
   * and vacuum retention must cover the slowest stream (standard
-  * table-format rule; see [[VersionedTable.vacuum]]'s `olderThanMs`). */
+  * table-format rule; see [[VersionedTable.vacuum]]'s `olderThanMs`).
+  * A violated retention contract is also LOUD: vacuum tombstones every
+  * version it drops, and a stream whose next batch reaches below the
+  * drop line fails with the data-loss error instead of silently skipping
+  * the vacuumed feed (fresh streams start past the line via
+  * [[VersionedTable.earliestFeedStart]]). */
 object ChangeFeedStream {
 
   /** `readStream` face. `maxVersionsPerBatch` bounds how many table
@@ -127,7 +132,11 @@ class ChangeFeedSource(
   override def getOffset: Option[Offset] = {
     val vs = VersionedTable.versions(spark, root)
     vs.lastOption.flatMap { cur =>
-      val base = offered.getOrElse(vs.head - 1)
+      // fresh stream: begin past every vacuumed version, not at the
+      // earliest committed one (a vacuum holdback below a dropped version
+      // would otherwise raise the data-loss guard on the first batch)
+      val base = offered.getOrElse(
+        VersionedTable.earliestFeedStart(spark, root) - 1)
       val end = maxVersionsPerBatch.map(m => math.min(cur, base + m)).getOrElse(cur)
       if (end <= base) offered.map(LongOffset(_))
       else { offered = Some(end); persistCursor(end); Some(LongOffset(end)) }
@@ -137,7 +146,7 @@ class ChangeFeedSource(
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val toVersion = toV(end)
     val fromVersion = start.map(toV(_) + 1).getOrElse(
-      VersionedTable.versions(spark, root).headOption.getOrElse(1L))
+      VersionedTable.earliestFeedStart(spark, root))
     val batch = VersionedTable.readChanges(spark, root, fromVersion, toVersion)
     // pin to the stream's schema: column order fixed, a dropped column
     // fails here loudly rather than corrupting downstream state

@@ -58,6 +58,58 @@ class VacuumSpec extends SparkSpec {
     assert(VersionedTable.lastTxn(spark, root, "appA").contains(11L))
   }
 
+  test("feed loss guard: a vacuumed version in range raises; fresh consumers start past it") {
+    import org.apache.spark.sql.functions.lit
+    val root = freshRoot()
+    def feedCommit(i: Long) = VersionedTable.commit(
+      Seq((i, "x")).toDF("id", "x"), root,
+      extras = Map("changes" ->
+        Seq((i, "x")).toDF("id", "x").withColumn("_change_type", lit("insert"))))
+    (1L to 4L).foreach(feedCommit)
+    assert(VersionedTable.vacuum(spark, root, keepLast = 2) == Seq(1L, 2L))
+    assert(VersionedTable.vacuumedVersions(spark, root) == Set(1L, 2L))
+    // a consumer whose checkpoint predates the drop fails LOUDLY
+    val e = intercept[java.io.IOException] {
+      VersionedTable.readChanges(spark, root, 1L, 4L)
+    }
+    assert(e.getMessage.contains("lost version"))
+    // ranges past the drop line read fine
+    assert(VersionedTable.readChanges(spark, root, 3L, 4L).count() == 2)
+    // fresh consumers begin past every dropped version
+    assert(VersionedTable.earliestFeedStart(spark, root) == 3L)
+    val ck = java.nio.file.Files.createTempDirectory("graft_vac_ck").toString
+    assert(VersionedTable.consumeChanges(spark, root, ck)(df =>
+      assert(df.count() == 2)).contains((3L, 4L)))
+    // pre-upgrade table (no ledger): the guard stands down — old behavior
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(root, "_vacuumed"), true)
+    assert(VersionedTable.readChanges(spark, root, 1L, 4L).count() == 2)
+  }
+
+  test("feed loss guard: stream restarted below the drop line stops loudly") {
+    import org.apache.spark.sql.functions.lit
+    val root = freshRoot()
+    def feedCommit(i: Long) = VersionedTable.commit(
+      Seq((i, "x")).toDF("id", "x"), root,
+      extras = Map("changes" ->
+        Seq((i, "x")).toDF("id", "x").withColumn("_change_type", lit("insert"))))
+    (1L to 3L).foreach(feedCommit)
+    VersionedTable.vacuum(spark, root, keepLast = 1)
+    // fresh stream on the vacuumed table: starts at earliestFeedStart
+    // and drains only the retained version
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_vac_st").toString
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = graft.streaming.ChangeFeedStream.read(spark, root)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        rows.synchronized { rows ++= df.select("id").collect().map(_.getLong(0)) }
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    assert(rows.toSeq == Seq(3L))
+  }
+
   test("unstamped aged versions drop even while an uncovered stamped one is held") {
     val root = freshRoot()
     VersionedTable.commit(Seq((1L, "x")).toDF("id", "x"), root) // no stamp
