@@ -160,15 +160,28 @@ object GraftSql {
   // ---- MERGE ---------------------------------------------------------------
 
   /** ANSI MERGE against the versioned table: evaluated as one full-outer
-    * join of the pinned snapshot with the source, row fates decided by
+    * join of the pinned target with the source, row fates decided by
     * the first applicable action per branch (SQL order-of-actions rule),
-    * result committed as a new full snapshot under the standard pin +
-    * in-claim re-validate + retry OCC. The SQL-standard cardinality rule
-    * is enforced (a target row matching multiple source rows refuses the
-    * merge rather than updating nondeterministically — one extra
-    * aggregation pass, skipped when no matched action exists). The
-    * commit is a full rewrite: MERGE is the SQL face; the file-granular
-    * fast path remains [[graft.sources.Sinks.upsertByKeyVersionedCow]]. */
+    * committed under the standard pin + in-claim re-validate + retry OCC.
+    * The SQL-standard cardinality rule is enforced (a target row matching
+    * multiple source rows refuses the merge rather than updating
+    * nondeterministically — one extra aggregation pass, skipped when no
+    * matched action exists).
+    *
+    * FILE-GRANULAR COPY-ON-WRITE (the Delta two-phase MERGE, the form
+    * whose write cost holds at 100 TB): when no NOT MATCHED BY SOURCE
+    * action exists, phase 1 finds the files containing at least one
+    * ON-matching row (inner join of a file-ref-annotated, column-pruned
+    * target scan with the source — any ON condition, no key/stats
+    * requirement), and phase 2 runs the merge over only that slice,
+    * carrying every other file into the new snapshot by manifest
+    * reference. A matched row's file is touched by construction, so
+    * untouched files hold only pass-through rows and the result — rows,
+    * feed, cardinality check — equals the full-outer form's. An
+    * insert-only merge touches nothing and degrades to an O(batch)
+    * append; a write-order table may touch everything and degrades to
+    * the full rewrite, correctly. NOT MATCHED BY SOURCE actions can hit
+    * rows in ANY file, so those merges take the full-rewrite road. */
   private def runMerge(spark: SparkSession, root: String, m: MergeIntoTable): Long = {
     require(!m.withSchemaEvolution,
       "MERGE WITH SCHEMA EVOLUTION is not supported — run evolveSchema() first")
@@ -181,10 +194,36 @@ object GraftSql {
         throw new java.io.IOException(s"no committed version under $root"))
       val readDf = VersionedTable.readVersion(spark, root, base)
       val tSchema = readDf.schema
-      // substitute the path relation with the pinned snapshot's plan,
-      // PRESERVING the user's alias node above it
+      // phase 1 — touched-file detection (COW-eligible merges only)
+      val keptRefs: Option[Seq[String]] =
+        if (m.notMatchedBySourceActions.nonEmpty) None
+        else {
+          val scan = VersionedTable
+            .readVersionWithFileRef(spark, root, base, "__t_file")
+          val tScanPlan = m.targetTable.transform {
+            case _: UnresolvedRelation => scan.queryExecution.analyzed
+          }
+          val touched = CommandBridge.dataFrame(spark, tScanPlan)
+            .join(CommandBridge.dataFrame(spark, m.sourceTable),
+              ColumnBridge.column(m.mergeCondition))
+            .select("__t_file").distinct()
+            .collect().map(_.getString(0)).toSet // metadata-scale: ≤ #files
+          Some(VersionedTable.dataFileRefs(spark, root, base)
+            .filterNot(touched))
+        }
+      // phase 2 — the merge itself, over the touched slice (COW) or the
+      // whole snapshot (full rewrite). Substitute the path relation with
+      // the pinned frame's plan, PRESERVING the user's alias node above it
+      val targetFrame = keptRefs match {
+        case Some(kept) =>
+          val touched = VersionedTable.dataFileRefs(spark, root, base)
+            .filterNot(kept.toSet)
+          if (touched.isEmpty) readDf.limit(0)
+          else VersionedTable.readFilesOf(spark, root, base, touched)
+        case None => readDf
+      }
       val tPlan = m.targetTable.transform {
-        case _: UnresolvedRelation => readDf.queryExecution.analyzed
+        case _: UnresolvedRelation => targetFrame.queryExecution.analyzed
       }
       val tDf = CommandBridge.dataFrame(spark, tPlan)
         .withColumn("__t_present", lit(1))
@@ -269,14 +308,20 @@ object GraftSql {
           .select(outValues: _*).withColumn("_change_type", lit("update_postimage")))
         .unionByName(inserts.withColumn("_change_type", lit("insert")))
 
-      try out = Some(VersionedTable.commit(
-        survivors.unionByName(inserts), root,
-        extras = Map("changes" -> feed),
-        preCommit = _ => {
-          val now = VersionedTable.currentVersion(spark, root)
-          if (now != Some(base))
-            throw new Sinks.ConcurrentWriteException(root, Some(base), now)
-        }))
+      val occCheck: Long => Unit = _ => {
+        val now = VersionedTable.currentVersion(spark, root)
+        if (now != Some(base))
+          throw new Sinks.ConcurrentWriteException(root, Some(base), now)
+      }
+      val result = survivors.unionByName(inserts)
+      try out = Some(keptRefs match {
+        case Some(kept) => VersionedTable.commitCow(
+          result, root, kept, extras = Map("changes" -> feed),
+          preCommit = occCheck)
+        case None => VersionedTable.commit(
+          result, root, extras = Map("changes" -> feed),
+          preCommit = occCheck)
+      })
       catch {
         case _: Sinks.ConcurrentWriteException if attempt < maxAttempts => ()
       }

@@ -377,8 +377,11 @@ object VersionedTable {
   }
 
   /** Version `v`'s data files as root-relative paths — the manifest when
-    * present, else the version dir's own part files. */
-  private def dataFileRefs(
+    * present, else the version dir's own part files. Public for COW
+    * writers that need the kept-file complement of a touched set (the
+    * SQL MERGE pruning); the refs are exactly what [[commitCow]] accepts
+    * as `keptFiles`. */
+  def dataFileRefs(
       spark: SparkSession, root: String, v: Long): Seq[String] =
     manifestOf(spark, root, v).getOrElse {
       dataFiles(fs(spark, root), versionDir(root, v))
@@ -468,6 +471,40 @@ object VersionedTable {
       case None => reader.parquet(versionDir(root, v).toString)
     }
     readExtra(spark, root, v, "dv").map(applyDv(base, _)).getOrElse(base)
+  }
+
+  /** [[readVersion]] with each row's root-relative file ref exposed as
+    * column `refCol` — the TOUCHED-FILE DETECTION scan for copy-on-write
+    * writers (Delta's findTouchedFiles job on this format): join this
+    * against a source on an arbitrary match condition, and the distinct
+    * `refCol` values are the files a matched-row rewrite must touch.
+    * DV-masked like every read; Catalyst prunes the scan to the join's
+    * columns + the metadata ref, so detection reads a column slice, not
+    * the table. */
+  def readVersionWithFileRef(
+      spark: SparkSession, root: String, v: Long, refCol: String): DataFrame = {
+    require(isCommitted(spark, root, v), s"version $v is not committed under $root")
+    val reader = versionReader(spark, root, v)
+    val base = manifestOf(spark, root, v) match {
+      case Some(refs) =>
+        reader.parquet(refs.map(r => new Path(root, r).toString): _*)
+      case None => reader.parquet(versionDir(root, v).toString)
+    }
+    val withRef = base.withColumn(refCol, fileRefCol)
+    readExtra(spark, root, v, "dv").map(applyDv(withRef, _)).getOrElse(withRef)
+  }
+
+  /** Read a SUBSET of version `v`'s files (root-relative refs, as listed
+    * by [[dataFileRefs]]) through the version's recorded schema and
+    * deletion-vector masks — the touched-slice read of a COW rewrite.
+    * Raw per-file reads would resurrect MOR-deleted rows; this is the
+    * safe form. */
+  def readFilesOf(
+      spark: SparkSession, root: String, v: Long, refs: Seq[String]): DataFrame = {
+    require(refs.nonEmpty, "readFilesOf needs at least one file ref")
+    val sub = versionReader(spark, root, v)
+      .parquet(refs.map(r => new Path(root, r).toString): _*)
+    readExtra(spark, root, v, "dv").map(applyDv(sub, _)).getOrElse(sub)
   }
 
   /** [[read]] with FILE-LEVEL DATA SKIPPING: files whose footer min/max

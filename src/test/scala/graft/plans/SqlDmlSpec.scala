@@ -79,6 +79,64 @@ class SqlDmlSpec extends SparkSpec {
     assert(got.length == 19) // 20 - 2 deleted + 1 inserted
   }
 
+  test("MERGE rewrites only touched files; the rest carry by manifest reference") {
+    val root = freshRoot()
+    // four range-clustered files over ids 1..100
+    VersionedTable.commit(
+      (1L to 100L).map(i => (i, s"r$i", i * 10)).toDF("id", "x", "amount")
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id"), root)
+    val baseRefs = VersionedTable.dataFileRefs(spark, root, 1L)
+    assert(baseRefs.size == 4)
+    Seq((3L, "upd", 33L), (200L, "new", 2000L)).toDF("id", "x", "amount")
+      .createOrReplaceTempView("merge_cow_src")
+    val v = GraftSql.execute(spark,
+      s"""MERGE INTO `$root` t USING merge_cow_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET x = s.x, amount = s.amount
+         |WHEN NOT MATCHED THEN INSERT (id, x, amount) VALUES (s.id, s.x, s.amount)
+         |""".stripMargin).collect().head.getLong(2)
+    // id=3 lives in one of the four files; the other three carry untouched
+    val mf = VersionedTable.manifestOf(spark, root, v).get
+    assert(mf.count(baseRefs.contains) == 3, s"expected 3 carried refs in: $mf")
+    val got = VersionedTable.read(spark, root)
+    assert(got.count() == 101)
+    assert(got.where(col("id") === 3).head.getString(1) == "upd")
+    assert(got.where(col("id") === 4).head.getString(1) == "r4")
+    // the merge feed rode the COW commit
+    assert(VersionedTable.readChanges(spark, root, v, v)
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("update_preimage" -> 1L, "update_postimage" -> 1L, "insert" -> 1L))
+    // insert-only merge: every prior file carries by reference (an
+    // O(batch) append in effect)
+    Seq((300L, "n2", 3L)).toDF("id", "x", "amount")
+      .createOrReplaceTempView("merge_cow_ins")
+    val v2 = GraftSql.execute(spark,
+      s"""MERGE INTO `$root` t USING merge_cow_ins s ON t.id = s.id
+         |WHEN NOT MATCHED THEN INSERT (id, x, amount) VALUES (s.id, s.x, s.amount)
+         |""".stripMargin).collect().head.getLong(2)
+    val mf2 = VersionedTable.manifestOf(spark, root, v2).get
+    assert(mf.forall(mf2.contains), "insert-only merge must carry all files")
+    assert(VersionedTable.read(spark, root).count() == 102)
+  }
+
+  test("MERGE on a deletion-vector table neither resurrects nor updates masked rows") {
+    val root = freshRoot(); seed(root)
+    VersionedTable.deleteWhere(spark, root, col("id") === 7, mor = true)
+    Seq((7L, "back", 7L), (8L, "upd8", 80L)).toDF("id", "x", "amount")
+      .createOrReplaceTempView("merge_dv_src")
+    GraftSql.execute(spark,
+      s"""MERGE INTO `$root` t USING merge_dv_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET x = s.x, amount = s.amount
+         |WHEN NOT MATCHED THEN INSERT (id, x, amount) VALUES (s.id, s.x, s.amount)
+         |""".stripMargin)
+    val got = VersionedTable.read(spark, root)
+    // the MOR-deleted id=7 is NOT MATCHED (masked rows are invisible to
+    // the detection scan and the slice) → inserted fresh, not updated
+    assert(got.where(col("id") === 7).head.getString(1) == "back")
+    assert(got.where(col("id") === 8).head.getString(1) == "upd8")
+    assert(got.count() == 20)
+  }
+
   test("MERGE refuses a target row matching multiple source rows") {
     val root = freshRoot(); seed(root)
     Seq((7L, "a", 1L), (7L, "b", 2L))
