@@ -1,0 +1,94 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.VersionedTable
+
+/** SQL MERGE write-volume bench:
+  * `runMain graft.tools.MergeBench <sfDir> [nFiles] [deltaKeys]`
+  *
+  * Seeds a versioned table from the events table, clusters it into
+  * `nFiles` files, then runs the SAME key-local merge (update a few
+  * clustered keys + insert a few new ones) through both MERGE roads:
+  * the full-rewrite form (forced by an identity NOT MATCHED BY SOURCE
+  * update — by-source actions disable pruning) and the touched-file
+  * copy-on-write form (the default when no by-source action exists).
+  * Reports bytes written, files carried by reference, and row equality.
+  * The claim under test: a MERGE touching k of n clustered files writes
+  * ≈ k/n of the table, not all of it. */
+object MergeBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val nFiles = args.lift(1).map(_.toInt).getOrElse(16)
+    val deltaKeys = args.lift(2).map(_.toInt).getOrElse(50)
+    val spark = graft.GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    import org.apache.hadoop.fs.Path
+
+    // one row per event: a wide-ish clustered mart keyed by event_id
+    val base = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id").as("id"), col("user_id"), col("event_type"),
+        col("ts"), col("value").as("amount"))
+
+    def seed(root: String): Unit = {
+      VersionedTable.commit(base, root)
+      val v = VersionedTable.currentVersion(spark, root).get
+      val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val bytes = f.listStatus(new Path(root, f"v$v%08d")).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+      VersionedTable.optimize(spark, root, Seq("id"),
+        targetFileBytes = math.max(1L, bytes / nFiles))
+    }
+    // key-local delta: update the lowest `deltaKeys` ids, insert as many
+    // brand-new ones — the hourly-batch shape against a clustered table
+    val updates = base.orderBy(col("id")).limit(deltaKeys)
+      .withColumn("event_type", lit("merged"))
+    val maxId = base.agg(max(col("id"))).head.getLong(0)
+    val inserts = updates.withColumn("id", col("id") + lit(maxId + 1000L))
+    updates.unionByName(inserts).localCheckpoint(eager = true)
+      .createOrReplaceTempView("merge_bench_src")
+
+    def newBytes(root: String, v: Long): Long = {
+      val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.listStatus(new Path(root, f"v$v%08d")).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    }
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def mergeSql(root: String, forceFull: Boolean): String =
+      s"""MERGE INTO `$root` t USING merge_bench_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET event_type = s.event_type
+         |WHEN NOT MATCHED THEN INSERT (id, user_id, event_type, ts, amount)
+         |  VALUES (s.id, s.user_id, s.event_type, s.ts, s.amount)
+         |""".stripMargin +
+        (if (forceFull) "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET event_type = t.event_type\n"
+         else "")
+
+    val rootFull = java.nio.file.Files.createTempDirectory("merge_full").toString + "/t"
+    seed(rootFull)
+    val (_, tFull) = timed(
+      graft.plans.GraftSql.execute(spark, mergeSql(rootFull, forceFull = true)).collect())
+    val vF = VersionedTable.currentVersion(spark, rootFull).get
+    val bFull = newBytes(rootFull, vF)
+
+    val rootCow = java.nio.file.Files.createTempDirectory("merge_cow").toString + "/t"
+    seed(rootCow)
+    val (_, tCow) = timed(
+      graft.plans.GraftSql.execute(spark, mergeSql(rootCow, forceFull = false)).collect())
+    val vC = VersionedTable.currentVersion(spark, rootCow).get
+    val bCow = newBytes(rootCow, vC)
+    val refs = VersionedTable.manifestOf(spark, rootCow, vC).map(_.size).getOrElse(0)
+    val keptRefs = VersionedTable.manifestOf(spark, rootCow, vC)
+      .map(_.count(!_.startsWith(f"v$vC%08d/"))).getOrElse(0)
+
+    // row-level equality of the two results (the bench is also a check)
+    val same = VersionedTable.read(spark, rootFull)
+      .exceptAll(VersionedTable.read(spark, rootCow)).isEmpty &&
+      VersionedTable.read(spark, rootCow)
+        .exceptAll(VersionedTable.read(spark, rootFull)).isEmpty
+
+    println(s"""{"metric":"merge_cow","sf":"$sfDir","n_files":$nFiles,"delta_keys":$deltaKeys,"full_bytes":$bFull,"cow_bytes":$bCow,"bytes_ratio":${bCow.toDouble / bFull},"full_sec":$tFull,"cow_sec":$tCow,"manifest_files":$refs,"kept_by_ref":$keptRefs,"results_equal":$same}""")
+    spark.stop()
+  }
+}
