@@ -182,6 +182,72 @@ object GraftSql {
     * append; a write-order table may touch everything and degrades to
     * the full rewrite, correctly. NOT MATCHED BY SOURCE actions can hit
     * rows in ANY file, so those merges take the full-rewrite road. */
+  /** `(targetCol, sourceCol)` pairs of a conjunctive attribute-equality
+    * ON clause, attributed by the two sides' aliases — empty when the
+    * condition isn't equi-shaped or either side is unaliased (attribution
+    * would be a guess; detection then scans without stats pre-pruning,
+    * which is only a cost, never a correctness change). */
+  private def equiKeys(m: MergeIntoTable): Seq[(String, String)] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def side(x: UnresolvedAttribute): Option[(String, String)] =
+      if (x.nameParts.size == 2)
+        Some((x.nameParts.head.toLowerCase, x.nameParts.last)) else None
+    (for {
+      ta <- aliasOf(m.targetTable).map(_.toLowerCase).toSeq
+      sa <- aliasOf(m.sourceTable).map(_.toLowerCase).toSeq
+      eq <- conjuncts(m.mergeCondition).collect {
+        case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) => (a, b)
+      }
+      pair <- (side(eq._1), side(eq._2)) match {
+        case (Some((q1, c1)), Some((q2, c2))) if q1 == ta && q2 == sa =>
+          Some((c1, c2))
+        case (Some((q1, c1)), Some((q2, c2))) if q1 == sa && q2 == ta =>
+          Some((c2, c1))
+        case _ => None
+      }
+    } yield pair)
+  }
+
+  /** Detection-scan CANDIDATES from the file key-range stats: the files
+    * whose [min,max] on an equi target key admits at least one source key
+    * (the [[graft.sources.Sinks.upsertByKeyVersionedCow]] pruning shape).
+    * None = pruning unavailable (no equi key, no usable stats, or a stats
+    * kind the comparison can't honor) — detection then scans everything.
+    * All-null-key files carry no boundaries and are provably untouched by
+    * an equi (NULL matches nothing), so they never become candidates. */
+  private def candidateRefs(
+      spark: SparkSession, root: String, base: Long,
+      m: MergeIntoTable, sDet: DataFrame): Option[Set[String]] =
+    equiKeys(m).headOption.flatMap { case (tk, sk) =>
+      VersionedTable.fileKeyRanges(spark, root, base, tk).flatMap { ranges =>
+        val boundaries = ranges.collect { case (rel, Some((_, mn, mx))) =>
+          (rel, mn, mx)
+        }
+        val kind = ranges.collectFirst { case (_, Some((k, _, _))) => k }
+        val castT = kind.collect {
+          case "long" => "bigint"
+          case "double" => "double"
+          case "string" => "string"
+        }
+        if (boundaries.isEmpty) Some(Set.empty[String])
+        else castT.map { t =>
+          val b = spark.createDataFrame(boundaries.map { case (rel, mn, mx) =>
+            (rel, mn.toString, mx.toString)
+          }).toDF("__file", "__mn", "__mx")
+          sDet.select(col(sk).cast(t).as("__k")).na.drop().distinct()
+            .join(broadcast(b),
+              col("__k") >= col("__mn").cast(t) &&
+              col("__k") <= col("__mx").cast(t))
+            .select("__file").distinct()
+            .collect().map(_.getString(0)).toSet
+        }
+      }
+    }
+
   private def runMerge(spark: SparkSession, root: String, m: MergeIntoTable): Long = {
     require(!m.withSchemaEvolution,
       "MERGE WITH SCHEMA EVOLUTION is not supported — run evolveSchema() first")
@@ -194,20 +260,27 @@ object GraftSql {
         throw new java.io.IOException(s"no committed version under $root"))
       val readDf = VersionedTable.readVersion(spark, root, base)
       val tSchema = readDf.schema
-      // phase 1 — touched-file detection (COW-eligible merges only)
+      // phase 1 — touched-file detection (COW-eligible merges only):
+      // stats pre-pruning first (equi ON keys vs per-file min/max — the
+      // candidate set), then the exact detection join over candidates only
       val keptRefs: Option[Seq[String]] =
         if (m.notMatchedBySourceActions.nonEmpty) None
         else {
-          val scan = VersionedTable
-            .readVersionWithFileRef(spark, root, base, "__t_file")
-          val tScanPlan = m.targetTable.transform {
-            case _: UnresolvedRelation => scan.queryExecution.analyzed
+          val sDet = CommandBridge.dataFrame(spark, m.sourceTable)
+          val cand = candidateRefs(spark, root, base, m, sDet)
+          val touched: Set[String] = cand match {
+            case Some(c) if c.isEmpty => Set.empty // provably nothing matches
+            case c =>
+              val scan = VersionedTable.readVersionWithFileRef(
+                spark, root, base, "__t_file", c.map(_.toSeq.sorted))
+              val tScanPlan = m.targetTable.transform {
+                case _: UnresolvedRelation => scan.queryExecution.analyzed
+              }
+              CommandBridge.dataFrame(spark, tScanPlan)
+                .join(sDet, ColumnBridge.column(m.mergeCondition))
+                .select("__t_file").distinct()
+                .collect().map(_.getString(0)).toSet // metadata-scale: ≤ #files
           }
-          val touched = CommandBridge.dataFrame(spark, tScanPlan)
-            .join(CommandBridge.dataFrame(spark, m.sourceTable),
-              ColumnBridge.column(m.mergeCondition))
-            .select("__t_file").distinct()
-            .collect().map(_.getString(0)).toSet // metadata-scale: ≤ #files
           Some(VersionedTable.dataFileRefs(spark, root, base)
             .filterNot(touched))
         }

@@ -482,13 +482,22 @@ object VersionedTable {
     * columns + the metadata ref, so detection reads a column slice, not
     * the table. */
   def readVersionWithFileRef(
-      spark: SparkSession, root: String, v: Long, refCol: String): DataFrame = {
+      spark: SparkSession, root: String, v: Long, refCol: String,
+      onlyRefs: Option[Seq[String]] = None): DataFrame = {
     require(isCommitted(spark, root, v), s"version $v is not committed under $root")
     val reader = versionReader(spark, root, v)
-    val base = manifestOf(spark, root, v) match {
+    // `onlyRefs` bounds the scan to a candidate subset (e.g. the files
+    // whose key stats admit a source key): detection then reads
+    // O(candidates), not the table
+    val base = onlyRefs match {
       case Some(refs) =>
+        require(refs.nonEmpty, "onlyRefs must be non-empty — skip the scan instead")
         reader.parquet(refs.map(r => new Path(root, r).toString): _*)
-      case None => reader.parquet(versionDir(root, v).toString)
+      case None => manifestOf(spark, root, v) match {
+        case Some(refs) =>
+          reader.parquet(refs.map(r => new Path(root, r).toString): _*)
+        case None => reader.parquet(versionDir(root, v).toString)
+      }
     }
     val withRef = base.withColumn(refCol, fileRefCol)
     readExtra(spark, root, v, "dv").map(applyDv(withRef, _)).getOrElse(withRef)

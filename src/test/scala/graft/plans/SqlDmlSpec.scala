@@ -119,6 +119,29 @@ class SqlDmlSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).count() == 102)
   }
 
+  test("MERGE with a non-equi ON skips stats pre-pruning; detection still prunes writes") {
+    val root = freshRoot()
+    VersionedTable.commit(
+      (1L to 100L).map(i => (i, s"r$i", i * 10)).toDF("id", "x", "amount")
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id"), root)
+    val baseRefs = VersionedTable.dataFileRefs(spark, root, 1L)
+    Seq((3L, "u3", 33L)).toDF("id", "x", "amount")
+      .createOrReplaceTempView("merge_nonequi_src")
+    // `s.id + 0` defeats the attribute-equality extraction, so the
+    // candidate pre-pruning stands down — the exact detection scan alone
+    // must still find the one touched file
+    val v = GraftSql.execute(spark,
+      s"""MERGE INTO `$root` t USING merge_nonequi_src s ON t.id = s.id + 0
+         |WHEN MATCHED THEN UPDATE SET x = s.x
+         |WHEN NOT MATCHED THEN INSERT (id, x, amount) VALUES (s.id, s.x, s.amount)
+         |""".stripMargin).collect().head.getLong(2)
+    assert(VersionedTable.read(spark, root)
+      .where(col("id") === 3).head.getString(1) == "u3")
+    assert(VersionedTable.read(spark, root).count() == 100)
+    val mf = VersionedTable.manifestOf(spark, root, v).get
+    assert(mf.count(baseRefs.contains) == 3, s"expected 3 carried refs in: $mf")
+  }
+
   test("MERGE on a deletion-vector table neither resurrects nor updates masked rows") {
     val root = freshRoot(); seed(root)
     VersionedTable.deleteWhere(spark, root, col("id") === 7, mor = true)
