@@ -229,13 +229,8 @@ object Sinks {
         val sameSchema =
           mergedSchema.map(f => (f.name, f.dataType)) ==
             target.schema.map(f => (f.name, f.dataType))
-        // a deletion-vector table falls back to the full rewrite: this
-        // path reads the touched slice RAW (by file), which would
-        // resurrect masked rows; the full path reads through the masks
-        // and its fresh snapshot folds them away
-        val hasDv = VersionedTable.hasDeletionVectors(spark, tableRoot, cur)
         VersionedTable.fileKeyRanges(spark, tableRoot, cur, key) match {
-          case Some(ranges) if sameSchema && !hasDv =>
+          case Some(ranges) if sameSchema =>
             // which files admit at least one staging key: distinct keys
             // against the broadcast file-boundary table (file count is
             // metadata-scale), then collect file names only
@@ -263,10 +258,15 @@ object Sinks {
                   .collect().map(_.getString(0)).toSet
               }
             val kept = ranges.map(_._1).filterNot(touched)
+            // the slice reads THROUGH the deletion-vector masks
+            // (readFilesOf): a MOR-deleted row neither matches a staging
+            // key nor re-enters the rewrite; kept files' masks carry
+            // forward in the commit, touched files' fold away with the
+            // rewrite
             val slice =
               if (touched.isEmpty) target.limit(0)
-              else spark.read.parquet(touched.toSeq.sorted.map(r =>
-                new org.apache.hadoop.fs.Path(tableRoot, r).toString): _*)
+              else VersionedTable.readFilesOf(
+                spark, tableRoot, cur, touched.toSeq.sorted)
             val merged = graft.operators.IncrementalMerge
               .mergeEvolving(slice, staging, key, runTs, statusCol, doneValue)
               .select(target.columns.map(col): _*)

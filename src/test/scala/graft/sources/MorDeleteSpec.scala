@@ -117,7 +117,7 @@ class MorDeleteSpec extends SparkSpec {
     assert(dv.count() == 9L)
   }
 
-  test("versioned cow upsert falls back to full rewrite on a dv table (no resurrection)") {
+  test("versioned cow upsert on a dv table: masks honored and carried, no resurrection") {
     val root = freshRoot()
     val t0 = lit("2024-06-01 00:00:00").cast("timestamp")
     def stg(rows: Seq[(Long, String, String)]) =
@@ -127,13 +127,25 @@ class MorDeleteSpec extends SparkSpec {
       stg(Seq((1L, "OPEN", "2024-05-30 10:00:00"), (2L, "OPEN", "2024-05-30 11:00:00"))),
       "id", t0, "last_status", "DONE")
     VersionedTable.deleteWhere(spark, root, col("id") === 2L, mor = true)
+    // insert-only delta: no file is touched, so every file — and the
+    // mask over the deleted row — carries forward by reference
     Sinks.upsertByKeyVersionedCow(spark, root,
       stg(Seq((3L, "OPEN", "2024-05-30 12:00:00"))), "id", t0, "last_status", "DONE")
     val ids = VersionedTable.read(spark, root)
       .select("id").collect().map(_.getLong(0)).toSet
     assert(ids == Set(1L, 3L), s"masked row resurrected or upsert lost: $ids")
-    // the full rewrite folded the masks away
     val cur = VersionedTable.currentVersion(spark, root).get
-    assert(!VersionedTable.hasDeletionVectors(spark, root, cur))
+    assert(VersionedTable.hasDeletionVectors(spark, root, cur),
+      "the carried mask should survive an untouched-file COW upsert")
+    // a delta hitting the masked row's file: the slice reads through the
+    // mask, so the deleted row neither matches nor resurrects — the
+    // staging row lands as a fresh insert
+    Sinks.upsertByKeyVersionedCow(spark, root,
+      stg(Seq((2L, "REBORN", "2024-05-30 13:00:00"))), "id", t0, "last_status", "DONE")
+    val got = VersionedTable.read(spark, root)
+      .select("id", "last_status").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(2L) == "REBORN", "expected the fresh insert, not the masked row")
   }
 }
