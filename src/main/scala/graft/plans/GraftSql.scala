@@ -20,11 +20,14 @@ import graft.sources.{Sinks, VersionedTable}
   *
   *   - `DELETE FROM `<root>` [WHERE p]`        → [[VersionedTable.deleteWhere]]
   *   - `UPDATE `<root>` SET c = e [WHERE p]`   → [[VersionedTable.updateWhere]]
-  *   - `MERGE INTO `<root>` [AS t] USING src [AS s] ON cond WHEN ...`
+  *   - `MERGE [WITH SCHEMA EVOLUTION] INTO `<root>` [AS t] USING src [AS s]
+  *     ON cond WHEN ...`
   *       → ANSI MERGE over the current snapshot (full matched /
   *         not-matched / not-matched-by-source action sets, `UPDATE SET *`
-  *         and `INSERT *` included), committed as a new version with the
-  *         same pin + in-claim re-validate + retry OCC as every writer
+  *         and `INSERT *` included; WITH SCHEMA EVOLUTION adds
+  *         source-only columns via a metadata-only evolveSchema first),
+  *         committed as a new version with the same pin + in-claim
+  *         re-validate + retry OCC as every writer
   *   - `OPTIMIZE '<root>' [SORT BY (c,..)] [ZORDER BY (c,..)]`
   *       → compact / [[VersionedTable.optimize]] / z-order
   *   - `VACUUM '<root>' KEEP n [OLDER THAN h HOURS]`
@@ -249,8 +252,24 @@ object GraftSql {
     }
 
   private def runMerge(spark: SparkSession, root: String, m: MergeIntoTable): Long = {
-    require(!m.withSchemaEvolution,
-      "MERGE WITH SCHEMA EVOLUTION is not supported — run evolveSchema() first")
+    // MERGE WITH SCHEMA EVOLUTION (the Delta autoMerge motion): source
+    // columns absent from the target are ADDED first — a metadata-only
+    // evolveSchema commit (additive, nullable; existing rows backfill
+    // null at read time) — and the merge then runs against the widened
+    // schema, so SET * / INSERT * and explicit assignments can reference
+    // them. Without the keyword a drifted source keeps failing loudly at
+    // resolution/commit, never silently dropping columns.
+    if (m.withSchemaEvolution) {
+      val sSchema = CommandBridge.dataFrame(spark, m.sourceTable).schema
+      val tSchema0 = VersionedTable.read(spark, root).schema
+      val have = tSchema0.fieldNames.map(_.toLowerCase).toSet
+      val added = sSchema.fields.toSeq
+        .filterNot(f => have(f.name.toLowerCase))
+        .map(_.copy(nullable = true))
+      if (added.nonEmpty)
+        VersionedTable.evolveSchema(spark, root,
+          org.apache.spark.sql.types.StructType(tSchema0.fields.toSeq ++ added))
+    }
     val maxAttempts = 5
     var attempt = 0
     var out: Option[Long] = None
@@ -318,13 +337,31 @@ object GraftSql {
 
       def actCond(c: Option[Expression]): Column =
         c.map(ColumnBridge.column).getOrElse(lit(true))
+      // explicit assignments must name real target columns — the fate
+      // fold would otherwise silently skip a typo'd SET/INSERT column,
+      // the same silent no-op updateWhere refuses
+      val tColSet = tSchema.fieldNames.map(_.toLowerCase).toSet
+      def checked(as: Map[String, Column]): Map[String, Column] = {
+        val bad = as.keys.filterNot(k => tColSet(k.toLowerCase))
+        require(bad.isEmpty,
+          s"MERGE: unknown target column(s) in assignment: ${bad.mkString(", ")}")
+        as
+      }
       def assignsOf(a: MergeAction): Map[String, Column] = a match {
         case u: UpdateAction =>
-          u.assignments.map(as => keyName(as.key) -> ColumnBridge.column(as.value)).toMap
+          checked(u.assignments.map(as =>
+            keyName(as.key) -> ColumnBridge.column(as.value)).toMap)
         case i: InsertAction =>
-          i.assignments.map(as => keyName(as.key) -> ColumnBridge.column(as.value)).toMap
+          checked(i.assignments.map(as =>
+            keyName(as.key) -> ColumnBridge.column(as.value)).toMap)
         case _: UpdateStarAction | _: InsertStarAction =>
-          tSchema.fieldNames.map(n => n -> sDf(n)).toMap
+          // star covers the SOURCE's columns (the Delta rule): target-only
+          // columns keep their values on update and insert as null — with
+          // evolution the target is the wider side, so this is what makes
+          // SET * / INSERT * legal against a narrower source
+          val sCols = sDf.columns.map(_.toLowerCase).toSet
+          tSchema.fieldNames.filter(n => sCols(n.toLowerCase))
+            .map(n => n -> sDf(n)).toMap
         case _ => Map.empty
       }
       // first applicable action decides the fate: -1 delete, -999 none

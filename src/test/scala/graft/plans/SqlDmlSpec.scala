@@ -160,6 +160,33 @@ class SqlDmlSpec extends SparkSpec {
     assert(got.count() == 20)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION adds source-only columns; star covers the source") {
+    val root = freshRoot(); seed(root) // (id, x, amount)
+    Seq((7L, "u7", 70L, "extra7"), (99L, "n99", 990L, "extra99"))
+      .toDF("id", "x", "amount", "note").createOrReplaceTempView("merge_evo_src")
+    GraftSql.execute(spark,
+      s"""MERGE WITH SCHEMA EVOLUTION INTO `$root` t USING merge_evo_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |""".stripMargin)
+    val got = VersionedTable.read(spark, root)
+    assert(got.columns.toSeq == Seq("id", "x", "amount", "note"))
+    val m7 = got.where(col("id") === 7).head
+    assert(m7.getString(1) == "u7" && m7.getString(3) == "extra7")
+    assert(got.where(col("id") === 99).head.getString(3) == "extra99")
+    assert(got.where(col("id") === 1).head.isNullAt(3)) // read-time backfill
+    assert(got.count() == 21)
+    // an assignment to a column the target doesn't have fails loudly —
+    // not the fate fold's silent no-op
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.execute(spark,
+        s"""MERGE INTO `$root` t USING merge_evo_src s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET y2 = s.note
+           |""".stripMargin)
+    }
+    assert(e.getMessage.contains("unknown target column"))
+  }
+
   test("MERGE refuses a target row matching multiple source rows") {
     val root = freshRoot(); seed(root)
     Seq((7L, "a", 1L), (7L, "b", 2L))
