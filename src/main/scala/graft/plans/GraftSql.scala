@@ -31,6 +31,9 @@ import graft.sources.{Sinks, VersionedTable}
   *   - `OPTIMIZE '<root>' [SORT BY (c,..)] [ZORDER BY (c,..)]`
   *       → compact / [[VersionedTable.optimize]] / z-order
   *   - `VACUUM '<root>' KEEP n [OLDER THAN h HOURS]`
+  *   - `DESCRIBE HISTORY '<root>'` → the commit log as a result set
+  *       (version, time, file/byte totals, fresh vs carried, feed/DV/txn
+  *       flags, schema width — [[VersionedTable.history]])
   *
   * Statements are parsed by SPARK'S OWN PARSER (Delete/Update/Merge are
   * ANSI syntax the parser already produces logical nodes for); graft only
@@ -62,6 +65,8 @@ object GraftSql {
     """(?is)\s*OPTIMIZE\s+'([^']+)'\s*(?:SORT\s+BY\s*\(([^)]*)\)|ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+'([^']+)'\s+KEEP\s+(\d+)(?:\s+OLDER\s+THAN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
+  private val HistoryRe =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
 
   private[plans] def maintenancePlan(sqlText: String): Option[LogicalPlan] =
     sqlText match {
@@ -83,6 +88,9 @@ object GraftSql {
             Option(hours).map(_.toLong * 3600 * 1000))
           Seq(Row("VACUUM", root, dropped.size.toLong))
         }))
+      case HistoryRe(root) =>
+        Some(org.apache.spark.sql.graft.GraftHistoryCommand(root,
+          s => VersionedTable.history(s, root).collect().toSeq))
       case _ => None
     }
 

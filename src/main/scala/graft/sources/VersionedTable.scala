@@ -1272,6 +1272,36 @@ object VersionedTable {
     }
   }
 
+  /** The table's commit HISTORY as a frame — the `DESCRIBE HISTORY`
+    * introspection face, derived entirely from stored metadata (no data
+    * read): per retained version its publish time (commit-marker mtime),
+    * data-file/byte totals, how many files the commit wrote fresh vs
+    * carried by manifest reference, whether it carries a change feed /
+    * deletion vectors / a txn stamp, and the recorded schema width.
+    * O(retained versions) driver work, newest first. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    val f = fs(spark, root)
+    val rows = versions(spark, root).sorted.reverse.map { v =>
+      val refs = dataFileRefs(spark, root, v)
+      val ownPrefix = f"v$v%08d/"
+      val fresh = refs.count(_.startsWith(ownPrefix))
+      val vdir = versionDir(root, v)
+      (v,
+        new java.sql.Timestamp(
+          f.getFileStatus(new Path(commitDir(root), pad(v))).getModificationTime),
+        refs.size, snapshotBytes(spark, root, v),
+        fresh, refs.size - fresh,
+        f.exists(new Path(vdir, "_changes")),
+        f.exists(new Path(vdir, "_dv")),
+        f.exists(new Path(vdir, "_txn")),
+        tableSchema(spark, root, v).map(_.size).getOrElse(-1))
+    }
+    import spark.implicits._
+    rows.toDF("version", "committed_at", "files", "bytes",
+      "fresh_files", "kept_refs", "change_feed", "deletion_vectors",
+      "txn_stamp", "schema_fields")
+  }
+
   private def dataFiles(
       f: org.apache.hadoop.fs.FileSystem, dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
     f.listStatus(dir).toSeq

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{LongType, StringType}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, TimestampType}
 
 /** Bridges for the SQL DML face ([[graft.plans.GraftSql]]): the runnable-
   * command plumbing and plan→DataFrame construction live behind
@@ -33,4 +33,25 @@ case class GraftCommand(name: String, table: String, body: SparkSession => Seq[R
     AttributeReference("result", LongType, nullable = false)())
   override def run(sparkSession: SparkSession): Seq[Row] = body(sparkSession)
   override def simpleString(maxFields: Int): String = s"GraftCommand($name $table)"
+}
+
+/** `DESCRIBE HISTORY '<root>'`: the versioned table's commit log as a
+  * result set (one row per retained version, newest first) — the
+  * introspection command of the SQL face, schema fixed to
+  * [[graft.sources.VersionedTable.history]]'s frame. */
+case class GraftHistoryCommand(table: String, body: SparkSession => Seq[Row])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("committed_at", TimestampType, nullable = false)(),
+    AttributeReference("files", IntegerType, nullable = false)(),
+    AttributeReference("bytes", LongType, nullable = false)(),
+    AttributeReference("fresh_files", IntegerType, nullable = false)(),
+    AttributeReference("kept_refs", IntegerType, nullable = false)(),
+    AttributeReference("change_feed", BooleanType, nullable = false)(),
+    AttributeReference("deletion_vectors", BooleanType, nullable = false)(),
+    AttributeReference("txn_stamp", BooleanType, nullable = false)(),
+    AttributeReference("schema_fields", IntegerType, nullable = false)())
+  override def run(sparkSession: SparkSession): Seq[Row] = body(sparkSession)
+  override def simpleString(maxFields: Int): String = s"GraftHistoryCommand($table)"
 }

@@ -219,6 +219,19 @@ class SqlDmlSpec extends SparkSpec {
       s"VACUUM '$root' KEEP 1 OLDER THAN 1 HOURS").collect().head.getLong(2) == 0L)
   }
 
+  test("DESCRIBE HISTORY lists the commit log newest first with per-commit flags") {
+    val root = freshRoot(); seed(root)                                    // v1
+    GraftSql.execute(spark, s"DELETE FROM `$root` WHERE id = 1")          // v2: COW
+    VersionedTable.deleteWhere(spark, root, col("id") === 2, mor = true)  // v3: DV
+    val h = GraftSql.execute(spark, s"DESCRIBE HISTORY '$root'").collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(3L, 2L, 1L))
+    assert(h.head.getBoolean(7), "v3 should flag deletion vectors")
+    assert(h(1).getBoolean(6), "the DML commit should flag its change feed")
+    assert(h(1).getInt(5) > 0, "the COW commit should carry refs")
+    assert(h.forall(_.getInt(9) == 3), "schema width recorded on every version")
+    assert(h.last.getInt(4) == h.last.getInt(2), "v1 wrote all its files fresh")
+  }
+
   test("the injected parser routes DML and passes ordinary SQL through") {
     val root = freshRoot(); seed(root)
     val parser = new GraftSqlParser(spark.sessionState.sqlParser)
