@@ -123,6 +123,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft_table(tableRoot) - the versioned table's latest committed snapshot (manifest-aware)") { a =>
       graft.sources.VersionedTable.read(SparkSession.active, str(a(0)))
     }
+    tvf(ext, "graft_history",
+      "graft_history(tableRoot) - the versioned table's commit log, newest first (DESCRIBE HISTORY as a table function)") { a =>
+      graft.sources.VersionedTable.history(SparkSession.active, str(a(0)))
+    }
     tvf(ext, "graft_table_at",
       "graft_table_at(tableRoot, version) - TIME TRAVEL: an exact committed snapshot of the versioned table (the SQL face of readVersion)") { a =>
       graft.sources.VersionedTable.readVersion(

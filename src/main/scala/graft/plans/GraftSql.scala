@@ -28,8 +28,10 @@ import graft.sources.{Sinks, VersionedTable}
   *         source-only columns via a metadata-only evolveSchema first),
   *         committed as a new version with the same pin + in-claim
   *         re-validate + retry OCC as every writer
-  *   - `OPTIMIZE '<root>' [SORT BY (c,..)] [ZORDER BY (c,..)]`
-  *       → compact / [[VersionedTable.optimize]] / z-order
+  *   - `OPTIMIZE '<root>' [SORT BY (c,..)] [ZORDER BY (c,..)] [WHERE p]`
+  *       → compact / [[VersionedTable.optimize]] / z-order; WHERE scopes
+  *         the rewrite to the files whose stats admit the predicate
+  *         ([[VersionedTable.optimizeWhere]] — incremental maintenance)
   *   - `VACUUM '<root>' KEEP n [OLDER THAN h HOURS]`
   *   - `DESCRIBE HISTORY '<root>'` → the commit log as a result set
   *       (version, time, file/byte totals, fresh vs carried, feed/DV/txn
@@ -62,7 +64,7 @@ object GraftSql {
   // ---- statement routing ---------------------------------------------------
 
   private val OptimizeRe =
-    """(?is)\s*OPTIMIZE\s+'([^']+)'\s*(?:SORT\s+BY\s*\(([^)]*)\)|ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+'([^']+)'\s*(?:SORT\s+BY\s*\(([^)]*)\)|ZORDER\s+BY\s*\(([^)]*)\))?(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+'([^']+)'\s+KEEP\s+(\d+)(?:\s+OLDER\s+THAN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
   private val HistoryRe =
@@ -70,15 +72,23 @@ object GraftSql {
 
   private[plans] def maintenancePlan(sqlText: String): Option[LogicalPlan] =
     sqlText match {
-      case OptimizeRe(root, sortCols, zCols) =>
+      case OptimizeRe(root, sortCols, zCols, where) =>
         Some(GraftCommand("OPTIMIZE", root, s => {
+          require(where == null || zCols == null,
+            "OPTIMIZE ... ZORDER BY does not take WHERE — z-order bucket " +
+              "boundaries are table-wide; use SORT BY for scoped maintenance")
+          def cols(cs: String) =
+            cs.split(',').map(_.trim).filter(_.nonEmpty).toSeq
           val v =
-            if (zCols != null)
-              VersionedTable.optimizeZOrder(s, root,
-                zCols.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+            if (where != null)
+              // predicate-scoped: only the admitted files are rewritten
+              VersionedTable.optimizeWhere(s, root,
+                org.apache.spark.sql.functions.expr(where),
+                Option(sortCols).map(cols).getOrElse(Nil))
+            else if (zCols != null)
+              VersionedTable.optimizeZOrder(s, root, cols(zCols))
             else if (sortCols != null)
-              VersionedTable.optimize(s, root,
-                sortCols.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+              VersionedTable.optimize(s, root, cols(sortCols))
             else VersionedTable.compact(s, root)
           Seq(Row("OPTIMIZE", root, v))
         }))

@@ -1381,6 +1381,51 @@ object VersionedTable {
     }
   }
 
+  /** PREDICATE-SCOPED OPTIMIZE (Delta's `OPTIMIZE ... WHERE` on this
+    * format): cluster/compact ONLY the files whose footer stats admit
+    * `predicate`, carrying every other file into the new snapshot by
+    * manifest reference — the incremental maintenance motion of a
+    * 100 TB table, where rewriting the whole layout in one commit is not
+    * an option (maintain yesterday's partition; leave the other 10 years
+    * alone). `sortCols` empty = plain compaction of the touched slice;
+    * non-empty = range-cluster the slice on those columns. The slice
+    * reads through deletion-vector masks (touched files' masks fold
+    * away with the rewrite; kept files' carry forward), and the commit
+    * is layout-only: rows unchanged, zero-row change feed. Returns the
+    * new version — or the current one unchanged when no file is
+    * admitted. */
+  def optimizeWhere(
+      spark: SparkSession, root: String, predicate: Column,
+      sortCols: Seq[String] = Nil,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      bloomCols: Seq[String] = Nil): Long = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    occRetry(spark, root) { v =>
+      val (mayMatch, _) = prunedFiles(spark, root, v, predicate)
+      if (mayMatch.isEmpty) v // nothing admitted: no-op, no commit
+      else {
+        val f = fs(spark, root)
+        val mayMatchSet = mayMatch.toSet
+        val all = dataFileRefs(spark, root, v)
+        val kept = all.filterNot(r =>
+          mayMatchSet(f.makeQualified(new Path(root, r)).toString))
+        val touched = all.filterNot(kept.toSet)
+        val bytes = touched.map(r => f.getFileStatus(new Path(root, r)).getLen).sum
+        val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+        val slice = readFilesOf(spark, root, v, touched)
+        val cols = sortCols.map(org.apache.spark.sql.functions.col)
+        val clustered =
+          if (cols.isEmpty) slice.repartition(nFiles)
+          else slice.repartitionByRange(nFiles, cols: _*)
+            .sortWithinPartitions(cols: _*)
+        commitCow(clustered, root, kept,
+          extras = Map("changes" -> emptyFeed(slice)), // layout-only
+          bloomCols = bloomCols,
+          preCommit = occValidate(spark, root, v))
+      }
+    }
+  }
+
   /** Z-ORDER optimize: cluster the current snapshot on the INTERLEAVED
     * bits of 2–3 numeric columns, so file min/max ranges become tight on
     * EVERY participating dimension — the multi-dimensional counterpart of

@@ -232,6 +232,29 @@ class SqlDmlSpec extends SparkSpec {
     assert(h.last.getInt(4) == h.last.getInt(2), "v1 wrote all its files fresh")
   }
 
+  test("OPTIMIZE ... WHERE rewrites only the admitted files") {
+    val root = freshRoot()
+    VersionedTable.commit(
+      (1L to 100L).map(i => (i, s"r$i", i * 10)).toDF("id", "x", "amount")
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id"), root)
+    val baseRefs = VersionedTable.dataFileRefs(spark, root, 1L)
+    assert(baseRefs.size == 4)
+    val v = GraftSql.execute(spark,
+      s"OPTIMIZE '$root' SORT BY (id) WHERE id <= 3").collect().head.getLong(2)
+    val mf = VersionedTable.manifestOf(spark, root, v).get
+    assert(mf.count(baseRefs.contains) == 3, s"expected 3 carried refs in: $mf")
+    // layout-only: rows unchanged, zero-row feed readable over the commit
+    assert(VersionedTable.read(spark, root).count() == 100)
+    assert(VersionedTable.readChanges(spark, root, v, v).count() == 0)
+    // a predicate admitting nothing is a no-op (no new version)
+    assert(VersionedTable.optimizeWhere(spark, root, col("id") > 10000) == v)
+    // ZORDER + WHERE refuses
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, s"OPTIMIZE '$root' ZORDER BY (id, amount) WHERE id <= 3")
+    }
+    assert(e.getMessage.contains("does not take WHERE"))
+  }
+
   test("the injected parser routes DML and passes ordinary SQL through") {
     val root = freshRoot(); seed(root)
     val parser = new GraftSqlParser(spark.sessionState.sqlParser)
