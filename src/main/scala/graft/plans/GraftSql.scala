@@ -32,7 +32,7 @@ import graft.sources.{Sinks, VersionedTable}
   *       → compact / [[VersionedTable.optimize]] / z-order; WHERE scopes
   *         the rewrite to the files whose stats admit the predicate
   *         ([[VersionedTable.optimizeWhere]] — incremental maintenance)
-  *   - `VACUUM '<root>' KEEP n [OLDER THAN h HOURS]`
+  *   - `VACUUM '<root>' KEEP n [OLDER THAN h HOURS] [DRY RUN]`
   *   - `DESCRIBE HISTORY '<root>'` → the commit log as a result set
   *       (version, time, file/byte totals, fresh vs carried, feed/DV/txn
   *       flags, schema width — [[VersionedTable.history]])
@@ -66,7 +66,7 @@ object GraftSql {
   private val OptimizeRe =
     """(?is)\s*OPTIMIZE\s+'([^']+)'\s*(?:SORT\s+BY\s*\(([^)]*)\)|ZORDER\s+BY\s*\(([^)]*)\))?(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
   private val VacuumRe =
-    """(?is)\s*VACUUM\s+'([^']+)'\s+KEEP\s+(\d+)(?:\s+OLDER\s+THAN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+'([^']+)'\s+KEEP\s+(\d+)(?:\s+OLDER\s+THAN\s+(\d+)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val HistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
 
@@ -92,10 +92,11 @@ object GraftSql {
             else VersionedTable.compact(s, root)
           Seq(Row("OPTIMIZE", root, v))
         }))
-      case VacuumRe(root, keep, hours) =>
+      case VacuumRe(root, keep, hours, dry) =>
         Some(GraftCommand("VACUUM", root, s => {
           val dropped = VersionedTable.vacuum(s, root, keep.toInt,
-            Option(hours).map(_.toLong * 3600 * 1000))
+            Option(hours).map(_.toLong * 3600 * 1000),
+            dryRun = dry != null)
           Seq(Row("VACUUM", root, dropped.size.toLong))
         }))
       case HistoryRe(root) =>
@@ -236,14 +237,16 @@ object GraftSql {
   /** Detection-scan CANDIDATES from the file key-range stats: the files
     * whose [min,max] on an equi target key admits at least one source key
     * (the [[graft.sources.Sinks.upsertByKeyVersionedCow]] pruning shape).
-    * None = pruning unavailable (no equi key, no usable stats, or a stats
+    * A multi-key equi ON INTERSECTS the per-key candidate sets — a file
+    * must admit every conjunct to possibly hold a match. None = pruning
+    * unavailable on every key (no equi key, no usable stats, or a stats
     * kind the comparison can't honor) — detection then scans everything.
     * All-null-key files carry no boundaries and are provably untouched by
     * an equi (NULL matches nothing), so they never become candidates. */
   private def candidateRefs(
       spark: SparkSession, root: String, base: Long,
-      m: MergeIntoTable, sDet: DataFrame): Option[Set[String]] =
-    equiKeys(m).headOption.flatMap { case (tk, sk) =>
+      m: MergeIntoTable, sDet: DataFrame): Option[Set[String]] = {
+    def forKey(tk: String, sk: String): Option[Set[String]] =
       VersionedTable.fileKeyRanges(spark, root, base, tk).flatMap { ranges =>
         val boundaries = ranges.collect { case (rel, Some((_, mn, mx))) =>
           (rel, mn, mx)
@@ -267,7 +270,9 @@ object GraftSql {
             .collect().map(_.getString(0)).toSet
         }
       }
-    }
+    val sets = equiKeys(m).flatMap { case (tk, sk) => forKey(tk, sk) }
+    sets.reduceOption(_ intersect _)
+  }
 
   private def runMerge(spark: SparkSession, root: String, m: MergeIntoTable): Long = {
     // MERGE WITH SCHEMA EVOLUTION (the Delta autoMerge motion): source

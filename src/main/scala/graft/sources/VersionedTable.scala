@@ -1555,7 +1555,8 @@ object VersionedTable {
     * batch). */
   def vacuum(
       spark: SparkSession, root: String, keepLast: Int,
-      olderThanMs: Option[Long] = None): Seq[Long] = {
+      olderThanMs: Option[Long] = None,
+      dryRun: Boolean = false): Seq[Long] = {
     require(keepLast >= 1, "keepLast must be >= 1")
     val f = fs(spark, root)
     val all = versions(spark, root)
@@ -1579,6 +1580,11 @@ object VersionedTable {
         val covered = readCheckpoint(spark, root).map(_.version).getOrElse(0L)
         aged.filter(v => v <= covered || !stamped(v))
       }
+    // DRY RUN: report what a real vacuum would drop — retention sizing
+    // without data loss (the age and coverage guards above have already
+    // run; note the checkpoint advance is a metadata write that happens
+    // either way). Nothing is deleted, no tombstone is recorded.
+    if (dryRun) return drop
     // retained = everything not dropped (possibly non-contiguous when an
     // age/coverage guard holds a middle version back) — references from
     // EVERY retained manifest protect their files

@@ -119,6 +119,26 @@ class SqlDmlSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).count() == 102)
   }
 
+  test("MERGE with a multi-key equi ON intersects candidates and stays correct") {
+    val root = freshRoot()
+    VersionedTable.commit(
+      (1L to 100L).map(i => (i, s"r$i", i * 10)).toDF("id", "x", "amount")
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id"), root)
+    val baseRefs = VersionedTable.dataFileRefs(spark, root, 1L)
+    Seq((3L, "u3", 30L)).toDF("id", "x", "amount")
+      .createOrReplaceTempView("merge_multikey_src")
+    val v = GraftSql.execute(spark,
+      s"""MERGE INTO `$root` t USING merge_multikey_src s
+         |ON t.id = s.id AND t.amount = s.amount
+         |WHEN MATCHED THEN UPDATE SET x = s.x
+         |""".stripMargin).collect().head.getLong(2)
+    assert(VersionedTable.read(spark, root)
+      .where(col("id") === 3).head.getString(1) == "u3")
+    assert(VersionedTable.read(spark, root).count() == 100)
+    val mf = VersionedTable.manifestOf(spark, root, v).get
+    assert(mf.count(baseRefs.contains) == 3, s"expected 3 carried refs in: $mf")
+  }
+
   test("MERGE with a non-equi ON skips stats pre-pruning; detection still prunes writes") {
     val root = freshRoot()
     VersionedTable.commit(
@@ -210,6 +230,11 @@ class SqlDmlSpec extends SparkSpec {
     assert(VersionedTable.currentVersion(spark, root).contains(opt))
     // z-order form parses and runs
     GraftSql.execute(spark, s"OPTIMIZE '$root' ZORDER BY (id, amount)")
+    // DRY RUN reports the would-drop count without dropping anything
+    val nv = VersionedTable.versions(spark, root).size
+    val dry = GraftSql.execute(spark, s"VACUUM '$root' KEEP 1 DRY RUN").collect().head
+    assert(dry.getLong(2) >= 2L)
+    assert(VersionedTable.versions(spark, root).size == nv, "dry run must not drop")
     val dropped = GraftSql.execute(spark, s"VACUUM '$root' KEEP 1").collect().head
     assert(dropped.getString(0) == "VACUUM" && dropped.getLong(2) >= 2L)
     assert(VersionedTable.read(spark, root).count() == 20)
