@@ -24,13 +24,27 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "region")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read nanos as long and convert to micros (lossless for
-    * this data — values are generated at microsecond precision). */
+  /** events.parquet's `ts` physical type has varied across driver data
+    * generations — TIMESTAMP(NANOS) (read as long via the legacy conf,
+    * lossless: values are generated at microsecond precision) and
+    * TIMESTAMP_NTZ micros. Normalize either to session-TZ TIMESTAMP
+    * (sessions run UTC, so the NTZ cast is micros-identical and matches
+    * the DuckDB oracle's naive reading). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    normalizeEventTs(table(spark, dir, "events"))
+  }
+
+  /** The `ts`-normalization shared with the streaming reader
+    * ([[graft.streaming.EventStream.readEvents]]). */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

@@ -22,11 +22,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object EventStream {
 
-  /** events.parquet schema with `ts` already at micros (see
-    * graft.sources.Tables.events). */
+  /** events.parquet schema as the CURRENT driver generation writes it
+    * (`ts` = TIMESTAMP_NTZ micros; see graft.sources.Tables.events for
+    * the generation history). [[readEvents]] peeks at the actual files
+    * and overrides the `ts` type when the directory carries an older
+    * representation. */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos-as-long in the raw file
+    StructField("ts", org.apache.spark.sql.types.TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -52,10 +55,19 @@ object EventStream {
     * is a Kafka/queue source with the same downstream plan). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventSchema)
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // a streaming source needs an explicit schema; peek at the files
+    // already present to honor whichever `ts` representation this
+    // directory carries (falling back to the current generation's NTZ)
+    val rawSchema =
+      try {
+        val s = spark.read.parquet(dir).schema
+        if (s.fieldNames.contains("ts"))
+          StructType(eventSchema.map(f =>
+            if (f.name == "ts") f.copy(dataType = s("ts").dataType) else f))
+        else eventSchema
+      } catch { case _: Exception => eventSchema }
+    graft.sources.Tables.normalizeEventTs(
+      spark.readStream.schema(rawSchema).parquet(dir))
   }
 
   /** Run `startQuery` under an overridden `spark.sql.shuffle.partitions`

@@ -19,7 +19,8 @@ class UpsertStreamSpec extends SparkSpec {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.schema(EventStream.eventSchema)
       .parquet(s"$dir/events.parquet")
-    val cut = java.sql.Timestamp.valueOf("2024-01-10 00:00:00").getTime * 1000000L
+    val cut = lit("2024-01-10 00:00:00")
+      .cast(org.apache.spark.sql.types.TimestampNTZType)
     raw.filter(col("ts") < cut).coalesce(1)
       .write.parquet(stage.resolve("b1").toString)
 
