@@ -901,44 +901,56 @@ object VersionedTable {
         df => df.where(not(coalesce(predicate, lit(false)))),
         feed = deleteFeed)
     else occRetry(spark, root) { cur =>
-      val (mayMatch, _) = prunedFiles(spark, root, cur, predicate)
-      if (mayMatch.isEmpty) cur // provably no row matches: no-op, no commit
-      else {
-        // physical positions of the rows to delete, evaluated only over
-        // the files whose stats admit the predicate; rows a previous
-        // delete already masked are read THROUGH the existing vector, so
-        // they re-enter neither the new vector's base nor the feed
-        val raw = versionReader(spark, root, cur).parquet(mayMatch: _*)
-          .withColumn("__dv_file", fileRefCol)
-          .withColumn("__dv_pos", col("_metadata.row_index"))
-        val visible = readExtra(spark, root, cur, "dv") match {
-          case Some(dv) =>
-            import org.apache.spark.sql.functions.broadcast
-            raw.join(broadcast(dv.select(col("file").as("__dv_file"),
-              col("pos").as("__dv_pos"))),
-              Seq("__dv_file", "__dv_pos"), "left_anti")
-          case None => raw
-        }
-        val hit = visible.where(coalesce(predicate, lit(false)))
-        val newDel = hit.select(col("__dv_file").as("file"),
-          col("__dv_pos").as("pos"))
-        if (newDel.limit(1).count() == 0L) cur // admitted but nothing matched
-        else {
-          val empty = spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            schemaOf(spark, root, cur))
-          val tableCols = schemaOf(spark, root, cur).fieldNames.toSeq
-          val extras = Map("dv" -> newDel) ++
-            (if (!changeFeed) Map.empty[String, DataFrame]
-             else Map("changes" -> feedWritable(
-               hit.select(tableCols.map(col): _*)
-                 .withColumn("_change_type", lit("delete")))))
-          commitCowInternal(empty, root, cur, dataFileRefs(spark, root, cur),
-            extras = extras, bloomCols = Nil,
-            preCommit = occValidate(spark, root, cur),
-            recordSchema = Some(schemaOf(spark, root, cur)))
-        }
+      morVisibleTagged(spark, root, cur, predicate) match {
+        case None => cur // provably no row matches: no-op, no commit
+        case Some(visible) =>
+          val hit = visible.where(coalesce(predicate, lit(false)))
+          val newDel = hit.select(col("__dv_file").as("file"),
+            col("__dv_pos").as("pos"))
+          if (newDel.limit(1).count() == 0L) cur // admitted but nothing matched
+          else {
+            val empty = spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              schemaOf(spark, root, cur))
+            val tableCols = schemaOf(spark, root, cur).fieldNames.toSeq
+            val extras = Map("dv" -> newDel) ++
+              (if (!changeFeed) Map.empty[String, DataFrame]
+               else Map("changes" -> feedWritable(
+                 hit.select(tableCols.map(col): _*)
+                   .withColumn("_change_type", lit("delete")))))
+            commitCowInternal(empty, root, cur, dataFileRefs(spark, root, cur),
+              extras = extras, bloomCols = Nil,
+              preCommit = occValidate(spark, root, cur),
+              recordSchema = Some(schemaOf(spark, root, cur)))
+          }
       }
+    }
+  }
+
+  /** The MERGE-ON-READ DML primitive: every row of version `cur` that is
+    * VISIBLE (existing deletion-vector masks folded) in the files whose
+    * stats admit `predicate`, tagged with its physical location as
+    * (`__dv_file`, `__dv_pos`) — the coordinates a new mask entry needs.
+    * Rows a previous MOR commit masked are anti-joined out, so they can
+    * neither re-match nor re-enter a vector or change feed. None when
+    * pruning proves no file can match (the caller's no-op shortcut). */
+  private def morVisibleTagged(
+      spark: SparkSession, root: String, cur: Long,
+      predicate: Column): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val (mayMatch, _) = prunedFiles(spark, root, cur, predicate)
+    if (mayMatch.isEmpty) None
+    else {
+      val raw = versionReader(spark, root, cur).parquet(mayMatch: _*)
+        .withColumn("__dv_file", fileRefCol)
+        .withColumn("__dv_pos", col("_metadata.row_index"))
+      Some(readExtra(spark, root, cur, "dv") match {
+        case Some(dv) =>
+          raw.join(broadcast(dv.select(col("file").as("__dv_file"),
+            col("pos").as("__dv_pos"))),
+            Seq("__dv_file", "__dv_pos"), "left_anti")
+        case None => raw
+      })
     }
   }
 
@@ -949,10 +961,21 @@ object VersionedTable {
     * handling, pruning, no-op shortcut, and optimistic concurrency are
     * exactly [[deleteWhere]]'s; fresh files get fresh footer stats, so
     * updated values re-enter data skipping correctly. Unknown `set`
-    * columns throw — a typo must not silently no-op. */
+    * columns throw — a typo must not silently no-op.
+    *
+    * `mor = true` switches to MERGE-ON-READ (the Delta DV-update shape):
+    * the matched rows' (file, position) pairs land in the `_dv` sidecar
+    * — masking the OLD copies in place — and the SET-projected
+    * replacements are appended as fresh files; every existing data file
+    * rides by reference. Bytes written scale with MATCHED ROWS, not
+    * touched files: a one-row update of a wide file costs one row, not a
+    * file rewrite. Reads mask-then-union, so results equal the
+    * copy-on-write form; [[compact]]/[[optimize]] fold the masks (and the
+    * update's small files) back into a clean layout. */
   def updateWhere(
       spark: SparkSession, root: String, predicate: Column,
-      set: Map[String, Column], changeFeed: Boolean = true): Long = {
+      set: Map[String, Column], mor: Boolean = false,
+      changeFeed: Boolean = true): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, when}
     require(set.nonEmpty, "updateWhere needs at least one SET column")
     def applySet(df: DataFrame): DataFrame = {
@@ -967,17 +990,51 @@ object VersionedTable {
         }
       }: _*)
     }
-    cowRewrite(spark, root, predicate)(applySet, feed = slice =>
-      if (!changeFeed) None
-      else {
-        // pre/post image pairs for the rows the predicate selects — the
-        // post image is the SET projection of the pre row, so the feed
-        // needs no second pass over the rewrite's output
-        val pre = slice.where(coalesce(predicate, lit(false)))
-        Some(pre.withColumn("_change_type", lit("update_preimage"))
-          .unionByName(applySet(pre)
-            .withColumn("_change_type", lit("update_postimage"))))
-      })
+    if (!mor)
+      cowRewrite(spark, root, predicate)(applySet, feed = slice =>
+        if (!changeFeed) None
+        else {
+          // pre/post image pairs for the rows the predicate selects — the
+          // post image is the SET projection of the pre row, so the feed
+          // needs no second pass over the rewrite's output
+          val pre = slice.where(coalesce(predicate, lit(false)))
+          Some(pre.withColumn("_change_type", lit("update_preimage"))
+            .unionByName(applySet(pre)
+              .withColumn("_change_type", lit("update_postimage"))))
+        })
+    else occRetry(spark, root) { cur =>
+      // the unknown-column contract holds regardless of matches: a typo'd
+      // SET must throw, not silently no-op through the pruning shortcut
+      val schema = schemaOf(spark, root, cur)
+      val bad = set.keySet -- schema.fieldNames.toSet
+      require(bad.isEmpty, s"unknown columns in SET: ${bad.mkString(", ")}")
+      morVisibleTagged(spark, root, cur, predicate) match {
+        case None => cur // provably no row matches: no-op, no commit
+        case Some(visible) =>
+          val hit = visible.where(coalesce(predicate, lit(false)))
+          if (hit.limit(1).count() == 0L) cur // admitted but nothing matched
+          else {
+            val tableCols = schema.fieldNames.toSeq
+            // mask the old copies where they sit ...
+            val newDel = hit.select(col("__dv_file").as("file"),
+              col("__dv_pos").as("pos"))
+            // ... and append the updated copies as fresh rows (fresh
+            // footer stats, so the new values re-enter data skipping)
+            val pre = hit.select(tableCols.map(col): _*)
+            val post = applySet(pre)
+            val extras = Map("dv" -> newDel) ++
+              (if (!changeFeed) Map.empty[String, DataFrame]
+               else Map("changes" -> feedWritable(
+                 pre.withColumn("_change_type", lit("update_preimage"))
+                   .unionByName(post
+                     .withColumn("_change_type", lit("update_postimage"))))))
+            commitCowInternal(post, root, cur, dataFileRefs(spark, root, cur),
+              extras = extras, bloomCols = Nil,
+              preCommit = occValidate(spark, root, cur),
+              recordSchema = Some(schema))
+          }
+      }
+    }
   }
 
   /** `preCommit` validation that rejects the commit when the table
