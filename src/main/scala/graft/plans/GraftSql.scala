@@ -36,6 +36,8 @@ import graft.sources.{Sinks, VersionedTable}
   *   - `DESCRIBE HISTORY '<root>'` → the commit log as a result set
   *       (version, time, file/byte totals, fresh vs carried, feed/DV/txn
   *       flags, schema width — [[VersionedTable.history]])
+  *   - `RESTORE [TABLE] '<root>' TO VERSION AS OF n` → metadata-only
+  *       rollback published as a new commit ([[VersionedTable.restore]])
   *
   * Statements are parsed by SPARK'S OWN PARSER (Delete/Update/Merge are
   * ANSI syntax the parser already produces logical nodes for); graft only
@@ -69,6 +71,8 @@ object GraftSql {
     """(?is)\s*VACUUM\s+'([^']+)'\s+KEEP\s+(\d+)(?:\s+OLDER\s+THAN\s+(\d+)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val HistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
+  private val RestoreRe =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?'([^']+)'\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
 
   private[plans] def maintenancePlan(sqlText: String): Option[LogicalPlan] =
     sqlText match {
@@ -102,6 +106,9 @@ object GraftSql {
       case HistoryRe(root) =>
         Some(org.apache.spark.sql.graft.GraftHistoryCommand(root,
           s => VersionedTable.history(s, root).collect().toSeq))
+      case RestoreRe(root, v) =>
+        Some(GraftCommand("RESTORE", root, s =>
+          Seq(Row("RESTORE", root, VersionedTable.restore(s, root, v.toLong)))))
       case _ => None
     }
 

@@ -1365,6 +1365,141 @@ object VersionedTable {
       .filter(s => s.getPath.getName.startsWith("part-") &&
         s.getPath.getName.endsWith(".parquet"))
 
+  /** RESTORE the table to an earlier committed version (Delta's
+    * `RESTORE TABLE ... VERSION AS OF` / Iceberg rollback): publish a NEW
+    * commit whose manifest references exactly `toVersion`'s data files —
+    * carrying its schema, its per-file stats, and its deletion-vector
+    * sidecar — so the rollback is METADATA-ONLY (zero data bytes move),
+    * lands at the top of history (the mistake-path versions stay
+    * time-travelable, and so does the restore itself), and runs under the
+    * same pin + in-claim re-validate + retry OCC as every writer. Refuses
+    * when vacuum already dropped a data file the target references.
+    *
+    * The commit's CHANGE FEED is the FILE-GRANULAR diff between current
+    * and target: rows of files only the target references are inserts,
+    * rows of files only the current references are deletes, and
+    * deletion-vector differences over shared files contribute the
+    * re-surfaced (insert) / re-masked (delete) rows. Data files are
+    * immutable, so shared files cannot otherwise differ — the feed costs
+    * O(differing files + differing mask rows), never O(table). */
+  def restore(spark: SparkSession, root: String, toVersion: Long,
+      changeFeed: Boolean = true): Long =
+    occRetry(spark, root) { cur =>
+      require(isCommitted(spark, root, toVersion),
+        s"version $toVersion is not committed under $root")
+      if (toVersion == cur) cur
+      else {
+        val f = fs(spark, root)
+        val tgtRefs = dataFileRefs(spark, root, toVersion)
+        val missing = tgtRefs.filterNot(r => f.exists(new Path(root, r)))
+        if (missing.nonEmpty) throw new java.io.IOException(
+          s"cannot restore $root to v$toVersion: ${missing.size} of its " +
+            s"data files were vacuumed (e.g. ${missing.take(3).mkString(", ")})")
+        val schema = schemaOf(spark, root, toVersion)
+        val empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        val extras =
+          readExtra(spark, root, toVersion, "dv").map("dv" -> _).toMap ++
+            (if (!changeFeed) Map.empty[String, DataFrame]
+             else Map("changes" -> feedWritable(
+               restoreFeed(spark, root, cur, toVersion, schema))))
+        // the target's stats carry forward re-keyed, exactly as
+        // commitCowInternal carries a kept file's rows
+        val tgtKeyed: Map[String, String] = manifestOf(spark, root, toVersion)
+          .map(_.map(r => r -> r).toMap)
+          .getOrElse(dataFiles(f, versionDir(root, toVersion))
+            .map(s => (f"v$toVersion%08d/" + s.getPath.getName) -> s.getPath.getName)
+            .toMap)
+        val tgtStats = TableStats.load(spark,
+          new Path(versionDir(root, toVersion), "_stats"))
+        commitWith(empty, root, collectStats = false, extras = extras,
+          finalizeVersion = (fh, dir, v) => {
+            val rows = tgtRefs.flatMap { r =>
+              tgtStats.getOrElse(tgtKeyed(r), Map.empty).toSeq
+                .map { case (c, (k, mn, mx, nu, nr)) => (r, c, k, mn, mx, nu, nr) }
+            }
+            // all-or-none, as everywhere: partial stats would silently
+            // disable pruning for just the uncovered files
+            val covered = tgtRefs.forall(r => tgtStats.contains(tgtKeyed(r)))
+            if (rows.nonEmpty && covered) TableStats.writeRows(fh, dir, rows)
+            val out = fh.create(
+              new Path(new Path(dir, "_manifest"), "manifest.txt"), true)
+            try out.write(tgtRefs.mkString("", "\n", "\n").getBytes("UTF-8"))
+            finally out.close()
+          },
+          preCommit = occValidate(spark, root, cur),
+          recordSchema = Some(schema))
+      }
+    }
+
+  /** The file-granular change feed of [[restore]] — see its doc. */
+  private def restoreFeed(
+      spark: SparkSession, root: String, cur: Long, tgt: Long,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    val curRefs = dataFileRefs(spark, root, cur)
+    val tgtRefs = dataFileRefs(spark, root, tgt)
+    val curSet = curRefs.toSet; val tgtSet = tgtRefs.toSet
+    val shared = curRefs.filter(tgtSet)
+    // one feed schema — the restored (target) one — even across a
+    // schema-evolution rollback: deleted rows from a wider current
+    // snapshot project onto it, missing columns backfill null
+    def project(df: DataFrame): DataFrame =
+      df.select(schema.map(sf =>
+        if (df.columns.contains(sf.name)) col(sf.name).cast(sf.dataType).as(sf.name)
+        else lit(null).cast(sf.dataType).as(sf.name)): _*)
+    def dvOf(v: Long): DataFrame = readExtra(spark, root, v, "dv")
+      .map(_.select(col("file"), col("pos")))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("file",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("pos",
+            org.apache.spark.sql.types.LongType)))))
+    val curDv = dvOf(cur); val tgtDv = dvOf(tgt)
+    var parts = List.empty[DataFrame]
+    val tgtOnly = tgtRefs.filterNot(curSet)
+    if (tgtOnly.nonEmpty)
+      parts ::= project(readFilesOf(spark, root, tgt, tgtOnly))
+        .withColumn("_change_type", lit("insert"))
+    val curOnly = curRefs.filterNot(tgtSet)
+    if (curOnly.nonEmpty)
+      parts ::= project(readFilesOf(spark, root, cur, curOnly))
+        .withColumn("_change_type", lit("delete"))
+    if (shared.nonEmpty) {
+      // mask diffs on shared files: rows masked now but not at the target
+      // re-surface; rows masked at the target but not now disappear
+      val sharedSet = shared.toSet
+      val resurfaced = curDv.where(col("file").isInCollection(sharedSet))
+        .join(tgtDv, Seq("file", "pos"), "left_anti")
+      val reMasked = tgtDv.where(col("file").isInCollection(sharedSet))
+        .join(curDv, Seq("file", "pos"), "left_anti")
+      // vectors are O(masked rows since compaction): collecting the
+      // distinct files they touch is metadata-scale and bounds the scan
+      // to exactly the differing-mask files
+      def rowsAt(positions: DataFrame, ct: String): Option[DataFrame] = {
+        val files = positions.select("file").distinct()
+          .collect().map(_.getString(0)).toSeq
+        if (files.isEmpty) None
+        else {
+          val raw = versionReader(spark, root, tgt)
+            .parquet(files.map(r => new Path(root, r).toString): _*)
+            .withColumn("__dv_file", fileRefCol)
+            .withColumn("__dv_pos", col("_metadata.row_index"))
+          Some(project(raw.join(broadcast(positions.select(
+            col("file").as("__dv_file"), col("pos").as("__dv_pos"))),
+            Seq("__dv_file", "__dv_pos"), "inner"))
+            .withColumn("_change_type", lit(ct)))
+        }
+      }
+      parts = parts ++ rowsAt(resurfaced, "insert") ++ rowsAt(reMasked, "delete")
+    }
+    parts.reduceOption(_.unionByName(_)).getOrElse(emptyFeed(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)))
+  }
+
   /** COMPACTION: rewrite the current snapshot into ≈`targetFileBytes`
     * files and commit the result as a new version — the small-files
     * maintenance pass every streaming/hourly-upsert table needs (a year
