@@ -38,6 +38,17 @@ import graft.sources.{Sinks, VersionedTable}
   *       flags, schema width — [[VersionedTable.history]])
   *   - `RESTORE [TABLE] '<root>' TO VERSION AS OF n` → metadata-only
   *       rollback published as a new commit ([[VersionedTable.restore]])
+  *   - `ALTER TABLE '<root>' ADD CONSTRAINT n CHECK (e)` / `ALTER TABLE
+  *       '<root>' DROP CONSTRAINT n` / `DESCRIBE CONSTRAINTS '<root>'` →
+  *       named CHECK constraints: validated over the whole table on add,
+  *       enforced against every staged write from then on
+  *       ([[VersionedTable.addConstraint]])
+  *   - `ALTER TABLE '<root>' SET TBLPROPERTIES ('k'='v',…)` / `UNSET
+  *       TBLPROPERTIES ('k',…)` / `SHOW TBLPROPERTIES '<root>'` → table
+  *       properties as metadata-only commits; setting
+  *       `graft.enableDeletionVectors=true` switches DELETE/UPDATE and
+  *       COW-eligible MERGE to the merge-on-read deletion-vector forms
+  *       (bytes written ∝ affected rows, not touched files)
   *
   * Statements are parsed by SPARK'S OWN PARSER (Delete/Update/Merge are
   * ANSI syntax the parser already produces logical nodes for); graft only
@@ -63,6 +74,11 @@ object GraftSql {
           .getOrElse(spark.sql(sqlText))
     }
 
+  /** The table property (Delta's `delta.enableDeletionVectors`) that
+    * switches SQL DML — DELETE, UPDATE, and COW-eligible MERGE — to the
+    * merge-on-read deletion-vector forms. */
+  private[plans] val DvProperty = "graft.enableDeletionVectors"
+
   // ---- statement routing ---------------------------------------------------
 
   private val OptimizeRe =
@@ -73,6 +89,20 @@ object GraftSql {
     """(?is)\s*DESCRIBE\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
   private val RestoreRe =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?'([^']+)'\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val AddConstraintRe =
+    """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
+  private val DropConstraintRe =
+    """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
+  private val ShowConstraintsRe =
+    """(?is)\s*DESCRIBE\s+CONSTRAINTS\s+'([^']+)'\s*;?\s*""".r
+  private val SetPropsRe =
+    """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+SET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*""".r
+  private val UnsetPropsRe =
+    """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+UNSET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*""".r
+  private val ShowPropsRe =
+    """(?is)\s*SHOW\s+TBLPROPERTIES\s+'([^']+)'\s*;?\s*""".r
+  private val PropPairRe = """'([^']*)'\s*=\s*'([^']*)'""".r
+  private val PropKeyRe = """'([^']*)'""".r
 
   private[plans] def maintenancePlan(sqlText: String): Option[LogicalPlan] =
     sqlText match {
@@ -109,6 +139,39 @@ object GraftSql {
       case RestoreRe(root, v) =>
         Some(GraftCommand("RESTORE", root, s =>
           Seq(Row("RESTORE", root, VersionedTable.restore(s, root, v.toLong)))))
+      case AddConstraintRe(root, name, check) =>
+        Some(GraftCommand("ADD CONSTRAINT", root, s =>
+          Seq(Row("ADD CONSTRAINT", root,
+            VersionedTable.addConstraint(s, root, name, check)))))
+      case DropConstraintRe(root, name) =>
+        Some(GraftCommand("DROP CONSTRAINT", root, s =>
+          Seq(Row("DROP CONSTRAINT", root,
+            VersionedTable.dropConstraint(s, root, name)))))
+      case ShowConstraintsRe(root) =>
+        Some(org.apache.spark.sql.graft.GraftConstraintsCommand(root, s => {
+          val cur = VersionedTable.currentVersion(s, root).getOrElse(
+            throw new java.io.IOException(s"no committed version under $root"))
+          VersionedTable.constraintsOf(s, root, cur).toSeq.sortBy(_._1)
+            .map { case (n, e) => Row(n, e) }
+        }))
+      case SetPropsRe(root, pairs) =>
+        val kvs = PropPairRe.findAllMatchIn(pairs)
+          .map(mm => mm.group(1) -> mm.group(2)).toMap
+        Some(GraftCommand("SET TBLPROPERTIES", root, s =>
+          Seq(Row("SET TBLPROPERTIES", root,
+            VersionedTable.setProperties(s, root, kvs)))))
+      case UnsetPropsRe(root, keys) =>
+        val ks = PropKeyRe.findAllMatchIn(keys).map(_.group(1)).toSeq
+        Some(GraftCommand("UNSET TBLPROPERTIES", root, s =>
+          Seq(Row("UNSET TBLPROPERTIES", root,
+            VersionedTable.unsetProperties(s, root, ks)))))
+      case ShowPropsRe(root) =>
+        Some(org.apache.spark.sql.graft.GraftPropertiesCommand(root, s => {
+          val cur = VersionedTable.currentVersion(s, root).getOrElse(
+            throw new java.io.IOException(s"no committed version under $root"))
+          VersionedTable.propertiesOf(s, root, cur).toSeq.sorted
+            .map { case (k, v) => Row(k, v) }
+        }))
       case _ => None
     }
 
@@ -132,9 +195,13 @@ object GraftSql {
     case DeleteFromTable(t, cond) =>
       pathRoot(t).map { root =>
         val c = stripQualifier(cond, aliasOf(t))
+        // the graft.enableDeletionVectors table property (the Delta knob)
+        // switches SQL DML to the merge-on-read forms: bytes written scale
+        // with affected rows, not touched files
         GraftCommand("DELETE", root, s =>
           Seq(Row("DELETE", root,
-            VersionedTable.deleteWhere(s, root, ColumnBridge.column(c)))))
+            VersionedTable.deleteWhere(s, root, ColumnBridge.column(c),
+              mor = VersionedTable.boolProperty(s, root, DvProperty)))))
       }.getOrElse(plan)
     case UpdateTable(t, assignments, cond) =>
       pathRoot(t).map { root =>
@@ -145,7 +212,8 @@ object GraftSql {
         val c = cond.map(stripQualifier(_, a))
           .map(ColumnBridge.column).getOrElse(lit(true))
         GraftCommand("UPDATE", root, s =>
-          Seq(Row("UPDATE", root, VersionedTable.updateWhere(s, root, c, sets))))
+          Seq(Row("UPDATE", root, VersionedTable.updateWhere(s, root, c, sets,
+            mor = VersionedTable.boolProperty(s, root, DvProperty)))))
       }.getOrElse(plan)
     case m: MergeIntoTable =>
       pathRoot(m.targetTable).map { root =>
@@ -333,14 +401,23 @@ object GraftSql {
           Some(VersionedTable.dataFileRefs(spark, root, base)
             .filterNot(touched))
         }
-      // phase 2 — the merge itself, over the touched slice (COW) or the
-      // whole snapshot (full rewrite). Substitute the path relation with
-      // the pinned frame's plan, PRESERVING the user's alias node above it
-      val targetFrame = keptRefs match {
-        case Some(kept) =>
-          val touched = VersionedTable.dataFileRefs(spark, root, base)
-            .filterNot(kept.toSet)
+      // phase 2 — the merge itself, over the touched slice (COW/MOR) or
+      // the whole snapshot (full rewrite). Substitute the path relation
+      // with the pinned frame's plan, PRESERVING the user's alias node
+      // above it. With deletion vectors enabled, a COW-eligible merge
+      // that touches files goes MERGE-ON-READ: the touched slice reads
+      // TAGGED with each row's physical (file, position), matched rows
+      // are masked where they sit, and only updated images + inserts are
+      // written — bytes ∝ affected rows, not touched files.
+      val touchedRefs: Option[Seq[String]] = keptRefs.map(kept =>
+        VersionedTable.dataFileRefs(spark, root, base).filterNot(kept.toSet))
+      val morMode = touchedRefs.exists(_.nonEmpty) &&
+        VersionedTable.boolProperty(spark, root, DvProperty)
+      val targetFrame = touchedRefs match {
+        case Some(touched) =>
           if (touched.isEmpty) readDf.limit(0)
+          else if (morMode)
+            VersionedTable.readFilesTagged(spark, root, base, touched)
           else VersionedTable.readFilesOf(spark, root, base, touched)
         case None => readDf
       }
@@ -453,15 +530,31 @@ object GraftSql {
         if (now != Some(base))
           throw new Sinks.ConcurrentWriteException(root, Some(base), now)
       }
-      val result = survivors.unionByName(inserts)
-      try out = Some(keptRefs match {
-        case Some(kept) => VersionedTable.commitCow(
-          result, root, kept, extras = Map("changes" -> feed),
-          preCommit = occCheck)
-        case None => VersionedTable.commit(
-          result, root, extras = Map("changes" -> feed),
-          preCommit = occCheck)
-      })
+      try out = Some(
+        if (morMode) {
+          // mask every matched row an action affected (delete or update)
+          // at its physical position; append updated images + inserts;
+          // carry EVERY file by reference — pass-through rows of touched
+          // files stay where they are, unmasked
+          val affected = joined.filter(tPresent && (fate === -1 || updFilter))
+          val newDel = affected.select(col("__dv_file").as("file"),
+            col("__dv_pos").as("pos"))
+          val newDelWritable = // empty-safe: keep the sidecar readable
+            if (newDel.rdd.getNumPartitions == 0) newDel.repartition(1)
+            else newDel
+          val updated = joined.filter(tPresent && updFilter).select(outValues: _*)
+          VersionedTable.commitCow(updated.unionByName(inserts), root,
+            VersionedTable.dataFileRefs(spark, root, base),
+            extras = Map("dv" -> newDelWritable, "changes" -> feed),
+            preCommit = occCheck)
+        } else keptRefs match {
+          case Some(kept) => VersionedTable.commitCow(
+            survivors.unionByName(inserts), root, kept,
+            extras = Map("changes" -> feed), preCommit = occCheck)
+          case None => VersionedTable.commit(
+            survivors.unionByName(inserts), root,
+            extras = Map("changes" -> feed), preCommit = occCheck)
+        })
       catch {
         case _: Sinks.ConcurrentWriteException if attempt < maxAttempts => ()
       }

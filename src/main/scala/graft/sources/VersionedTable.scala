@@ -253,7 +253,9 @@ object VersionedTable {
       finalizeVersion: (org.apache.hadoop.fs.FileSystem, Path, Long) => Unit,
       bloomCols: Seq[String] = Nil,
       preCommit: Long => Unit = _ => (),
-      recordSchema: Option[org.apache.spark.sql.types.StructType] = None): Long = {
+      recordSchema: Option[org.apache.spark.sql.types.StructType] = None,
+      recordConstraints: Option[Map[String, String]] = None,
+      recordProperties: Option[Map[String, String]] = None): Long = {
     val spark = df.sparkSession
     val f = fs(spark, root)
     f.mkdirs(commitDir(root))
@@ -297,6 +299,32 @@ object VersionedTable {
     val schemaJson = recordSchema.getOrElse(df.schema).json
     val sOut = f.create(new Path(new Path(staging, "_schema"), "schema.json"), true)
     try sOut.write(schemaJson.getBytes("UTF-8")) finally sOut.close()
+    // (1d) CHECK constraints (Delta invariants). Active = the current
+    // version's set (None before v1). Enforcement scans only the STAGED
+    // batch — columnar, one pass for all constraints: kept files were
+    // validated when they were fresh and addConstraint validates the
+    // whole table, so the table-wide invariant holds by induction. The
+    // new version re-records the set (or the caller's explicit one, for
+    // add/drop), so constraints survive every commit path.
+    val activeConstraints = currentVersion(spark, root)
+      .map(cv => constraintsOf(spark, root, cv)).getOrElse(Map.empty)
+    if (activeConstraints.nonEmpty && dataFiles(f, staging).nonEmpty)
+      try enforceConstraints(spark,
+        spark.read.schema(df.schema).parquet(staging.toString),
+        activeConstraints, root)
+      catch { case e: Throwable => f.delete(staging, true); throw e }
+    val constraintsToRecord = recordConstraints.getOrElse(activeConstraints)
+    if (constraintsToRecord.nonEmpty)
+      writeProps(f, new Path(new Path(staging, "_constraints"),
+        "constraints.properties"), constraintsToRecord)
+    // table PROPERTIES carry the same way (schema/constraints/properties
+    // are the three per-version metadata records)
+    val propsToRecord = recordProperties.getOrElse(
+      currentVersion(spark, root)
+        .map(cv => propertiesOf(spark, root, cv)).getOrElse(Map.empty))
+    if (propsToRecord.nonEmpty)
+      writeProps(f, new Path(new Path(staging, "_properties"),
+        "table.properties"), propsToRecord)
     // (2) claim the next version number with create-exclusive. Only "the
     // name is taken" counts as a lost race; any other IO failure is real
     // and must surface, not spin — and the attempt count is bounded so a
@@ -795,7 +823,9 @@ object VersionedTable {
       extras: Map[String, DataFrame],
       bloomCols: Seq[String],
       preCommit: Long => Unit,
-      recordSchema: Option[org.apache.spark.sql.types.StructType]): Long = {
+      recordSchema: Option[org.apache.spark.sql.types.StructType],
+      recordConstraints: Option[Map[String, String]] = None,
+      recordProperties: Option[Map[String, String]] = None): Long = {
     val spark = newData.sparkSession
     val f = fs(spark, root)
     // stats of the CURRENT snapshot, keyed as stored (name or relpath)
@@ -831,7 +861,8 @@ object VersionedTable {
       }
     commitWith(newData, root, collectStats = true, extras = extrasWithDv,
       bloomCols = bloomCols, preCommit = preCommit,
-      recordSchema = recordSchema,
+      recordSchema = recordSchema, recordConstraints = recordConstraints,
+      recordProperties = recordProperties,
       finalizeVersion = (fh, dir, v) => {
         val ownNames = dataFiles(fh, dir).map(_.getPath.getName)
         val refs = ownNames.map(n => f"v$v%08d/" + n) ++ keptFiles
@@ -951,6 +982,27 @@ object VersionedTable {
             Seq("__dv_file", "__dv_pos"), "left_anti")
         case None => raw
       })
+    }
+  }
+
+  /** [[readFilesOf]] with each VISIBLE row's physical location exposed as
+    * `__dv_file`/`__dv_pos` (existing masks already folded) — the tagged
+    * slice a MERGE-ON-READ writer (the SQL MERGE's DV form) needs to mask
+    * matched rows where they sit instead of rewriting their files. */
+  private[graft] def readFilesTagged(
+      spark: SparkSession, root: String, v: Long, refs: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    require(refs.nonEmpty, "readFilesTagged needs at least one file ref")
+    val raw = versionReader(spark, root, v)
+      .parquet(refs.map(r => new Path(root, r).toString): _*)
+      .withColumn("__dv_file", fileRefCol)
+      .withColumn("__dv_pos", col("_metadata.row_index"))
+    readExtra(spark, root, v, "dv") match {
+      case Some(dv) =>
+        raw.join(broadcast(dv.select(col("file").as("__dv_file"),
+          col("pos").as("__dv_pos"))),
+          Seq("__dv_file", "__dv_pos"), "left_anti")
+      case None => raw
     }
   }
 
@@ -1199,6 +1251,168 @@ object VersionedTable {
         Map("changes" -> emptyFeed(empty)), // metadata-only: zero-row feed
         Nil, preCommit = occValidate(spark, root, cur),
         recordSchema = Some(newSchema))
+    }
+
+  // ---- table properties ---------------------------------------------------
+
+  /** The free-form table PROPERTIES recorded for version `v` (Delta's
+    * TBLPROPERTIES): engine knobs — e.g. `graft.enableDeletionVectors` —
+    * and user annotations, carried by every commit path like the schema
+    * and constraints. Empty for versions before any [[setProperties]]. */
+  def propertiesOf(
+      spark: SparkSession, root: String, v: Long): Map[String, String] =
+    readProps(spark, new Path(new Path(versionDir(root, v), "_properties"),
+      "table.properties"))
+
+  /** Convenience: a boolean property of the CURRENT version (false when
+    * unset, the table is empty, or the value isn't `true`). */
+  def boolProperty(spark: SparkSession, root: String, key: String): Boolean =
+    currentVersion(spark, root)
+      .exists(v => propertiesOf(spark, root, v).get(key).exists(_.trim
+        .equalsIgnoreCase("true")))
+
+  /** SET table properties (merge semantics, as `ALTER TABLE ... SET
+    * TBLPROPERTIES`): a metadata-only commit carrying every data file by
+    * reference and the merged property map. */
+  def setProperties(
+      spark: SparkSession, root: String, props: Map[String, String]): Long = {
+    require(props.nonEmpty, "setProperties needs at least one property")
+    occRetry(spark, root) { cur =>
+      metadataOnlyCommit(spark, root, cur,
+        recordProperties = Some(propertiesOf(spark, root, cur) ++ props))
+    }
+  }
+
+  /** UNSET table properties by key (`ALTER TABLE ... UNSET TBLPROPERTIES`);
+    * unknown keys are ignored, as Spark's own UNSET is. */
+  def unsetProperties(
+      spark: SparkSession, root: String, keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "unsetProperties needs at least one key")
+    occRetry(spark, root) { cur =>
+      metadataOnlyCommit(spark, root, cur,
+        recordProperties = Some(propertiesOf(spark, root, cur) -- keys))
+    }
+  }
+
+  /** The shared metadata-only commit of [[setProperties]]/[[unsetProperties]]
+    * (and structurally [[addConstraint]]/[[evolveSchema]]): zero fresh
+    * rows, every file by reference, one recorded-metadata change. */
+  private def metadataOnlyCommit(
+      spark: SparkSession, root: String, cur: Long,
+      recordProperties: Option[Map[String, String]] = None,
+      recordConstraints: Option[Map[String, String]] = None): Long = {
+    val schema = schemaOf(spark, root, cur)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    commitCowInternal(empty, root, cur, dataFileRefs(spark, root, cur),
+      Map("changes" -> emptyFeed(empty)), Nil,
+      preCommit = occValidate(spark, root, cur),
+      recordSchema = Some(schema),
+      recordConstraints = recordConstraints,
+      recordProperties = recordProperties)
+  }
+
+  /** java-Properties file read shared by constraints and table
+    * properties — Properties handles escaping, so arbitrary expression
+    * strings round-trip. */
+  private def readProps(spark: SparkSession, p: Path): Map[String, String] = {
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) Map.empty
+    else {
+      val props = new java.util.Properties()
+      val in = f.open(p)
+      try props.load(in) finally in.close()
+      import scala.jdk.CollectionConverters._
+      props.asScala.toMap
+    }
+  }
+
+  private def writeProps(
+      f: org.apache.hadoop.fs.FileSystem, p: Path,
+      m: Map[String, String]): Unit = {
+    val props = new java.util.Properties()
+    m.foreach { case (k, v) => props.setProperty(k, v) }
+    val out = f.create(p, true)
+    try props.store(out, null) finally out.close()
+  }
+
+  // ---- CHECK constraints (Delta invariants) ------------------------------
+
+  /** The named CHECK constraints recorded for version `v` — name → SQL
+    * boolean expression over the table's columns. A row VIOLATES a
+    * constraint when the expression evaluates to FALSE; NULL passes
+    * (ANSI CHECK semantics — express non-nullability as
+    * `c IS NOT NULL`). Empty for versions committed before any
+    * [[addConstraint]]. */
+  def constraintsOf(
+      spark: SparkSession, root: String, v: Long): Map[String, String] =
+    readProps(spark, new Path(new Path(versionDir(root, v), "_constraints"),
+      "constraints.properties"))
+
+  /** Thrown when a staged write violates an active CHECK constraint, or
+    * [[addConstraint]] finds existing rows the new constraint rejects.
+    * Carries per-constraint violation counts; the write left no shared
+    * state behind. */
+  final class ConstraintViolationException(
+      root: String, violations: Map[String, (String, Long)])
+    extends RuntimeException(
+      s"CHECK constraint violation against $root: " +
+        violations.map { case (n, (e, c)) => s"$n [$e] — $c row(s)" }
+          .mkString("; "))
+
+  /** One columnar pass over `batch` counting violations of every active
+    * constraint; throws [[ConstraintViolationException]] when any row
+    * fails. `count(when(...))` per constraint keeps the pass a single
+    * whole-stage-codegen aggregate whatever the constraint count. */
+  private def enforceConstraints(
+      spark: SparkSession, batch: DataFrame,
+      constraints: Map[String, String], root: String): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, count, expr, lit, not, when}
+    val names = constraints.keys.toSeq
+    val aggs = names.map { n =>
+      count(when(not(coalesce(expr(constraints(n)), lit(true))), 1)).as(n)
+    }
+    val row = batch.agg(aggs.head, aggs.tail: _*).head
+    val bad = names.flatMap { n =>
+      val c = row.getAs[Long](n)
+      if (c > 0) Some(n -> (constraints(n), c)) else None
+    }.toMap
+    if (bad.nonEmpty) throw new ConstraintViolationException(root, bad)
+  }
+
+  /** ADD a named CHECK constraint (`ALTER TABLE ... ADD CONSTRAINT name
+    * CHECK (expr)`): validates the WHOLE current snapshot first — a
+    * constraint that existing rows violate is refused, as Delta does —
+    * then publishes a metadata-only commit carrying every data file by
+    * reference and the enlarged constraint set. From that version on,
+    * every commit's staged batch is scanned for the constraint and a
+    * violating write aborts before touching shared state. */
+  def addConstraint(
+      spark: SparkSession, root: String, name: String, checkExpr: String): Long = {
+    require(name.nonEmpty && name.forall(ch => ch.isLetterOrDigit || ch == '_'),
+      s"constraint name must be alphanumeric/underscore: $name")
+    occRetry(spark, root) { cur =>
+      val existing = constraintsOf(spark, root, cur)
+      require(!existing.contains(name),
+        s"constraint $name already exists on $root (drop it first)")
+      enforceConstraints(spark, readVersion(spark, root, cur),
+        Map(name -> checkExpr), root)
+      metadataOnlyCommit(spark, root, cur,
+        recordConstraints = Some(existing + (name -> checkExpr)))
+    }
+  }
+
+  /** DROP a named CHECK constraint — metadata-only commit with the
+    * shrunken set; unknown names throw (a typo must not silently no-op). */
+  def dropConstraint(
+      spark: SparkSession, root: String, name: String): Long =
+    occRetry(spark, root) { cur =>
+      val existing = constraintsOf(spark, root, cur)
+      require(existing.contains(name),
+        s"no constraint named $name on $root (have: " +
+          s"${existing.keys.toSeq.sorted.mkString(", ")})")
+      metadataOnlyCommit(spark, root, cur,
+        recordConstraints = Some(existing - name))
     }
 
   /** Read a side table committed alongside version `v` via [[commit]]'s

@@ -55,3 +55,27 @@ case class GraftHistoryCommand(table: String, body: SparkSession => Seq[Row])
   override def run(sparkSession: SparkSession): Seq[Row] = body(sparkSession)
   override def simpleString(maxFields: Int): String = s"GraftHistoryCommand($table)"
 }
+
+/** `DESCRIBE CONSTRAINTS '<root>'`: the current version's named CHECK
+  * constraints as a result set (name, expression) — introspection face of
+  * [[graft.sources.VersionedTable.constraintsOf]]. */
+case class GraftConstraintsCommand(table: String, body: SparkSession => Seq[Row])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", StringType, nullable = false)(),
+    AttributeReference("check_expression", StringType, nullable = false)())
+  override def run(sparkSession: SparkSession): Seq[Row] = body(sparkSession)
+  override def simpleString(maxFields: Int): String = s"GraftConstraintsCommand($table)"
+}
+
+/** `SHOW TBLPROPERTIES '<root>'`: the current version's table properties
+  * as a result set (key, value) — introspection face of
+  * [[graft.sources.VersionedTable.propertiesOf]]. */
+case class GraftPropertiesCommand(table: String, body: SparkSession => Seq[Row])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("key", StringType, nullable = false)(),
+    AttributeReference("value", StringType, nullable = false)())
+  override def run(sparkSession: SparkSession): Seq[Row] = body(sparkSession)
+  override def simpleString(maxFields: Int): String = s"GraftPropertiesCommand($table)"
+}
