@@ -132,6 +132,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.sources.VersionedTable.readVersion(
         SparkSession.active, str(a(0)), lng(a(1)))
     }
+    tvf(ext, "graft_table_asof",
+      "graft_table_asof(tableRoot, 'yyyy-MM-dd HH:mm:ss') - TIME TRAVEL by TIMESTAMP: the snapshot current at that wall-clock time (Delta's TIMESTAMP AS OF; commit-marker clock)") { a =>
+      val s = SparkSession.active
+      graft.sources.VersionedTable.readVersion(s, str(a(0)),
+        graft.sources.VersionedTable.versionAsOf(s, str(a(0)),
+          java.sql.Timestamp.valueOf(str(a(1)))))
+    }
     tvf(ext, "graft_quality_classifier",
       "graft_quality_classifier(table, idCol, textCol) - t9 hashed linear quality-classifier scores (n_feats, weight_sum, score, keep)") { a =>
       graft.operators.TextAnalysis.qualityClassifier(

@@ -488,6 +488,28 @@ object VersionedTable {
       .select(cols.map(col): _*)
   }
 
+  /** TIMESTAMP-based time travel (Delta's `TIMESTAMP AS OF`): the
+    * highest version whose commit time is at or before `ts` — resolved
+    * from the commit markers' modification times, the same clock
+    * [[history]] reports. Throws when `ts` predates the earliest
+    * retained commit (vacuum may have dropped the version that was
+    * current then — returning a later snapshot would silently lie). */
+  def versionAsOf(
+      spark: SparkSession, root: String, ts: java.sql.Timestamp): Long = {
+    val f = fs(spark, root)
+    val committed = versions(spark, root)
+    val at = committed.filter { v =>
+      f.getFileStatus(new Path(commitDir(root), pad(v)))
+        .getModificationTime <= ts.getTime
+    }
+    at.lastOption.getOrElse(throw new java.io.IOException(
+      s"no committed version of $root at or before $ts " +
+        s"(earliest retained commit is " +
+        s"${committed.headOption.map(v => new java.sql.Timestamp(
+          f.getFileStatus(new Path(commitDir(root), pad(v)))
+            .getModificationTime)).getOrElse("none")})"))
+  }
+
   /** Time travel: read an exact committed version (deletion-vector rows
     * masked out — the read is always the table's logical content). */
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
@@ -2026,6 +2048,19 @@ object VersionedTable {
     drop.lastOption.foreach { dm =>
       listVersions(f, claimDir(root)).filter(_ <= dm)
         .foreach(c => f.delete(new Path(claimDir(root), pad(c)), false))
+    }
+    // JANITOR: a writer that crashed mid-write leaves an orphaned
+    // `_staging/<uuid>` dir (pre-claim, so no reader or version ever
+    // referenced it). Anything older than an hour is garbage by the
+    // commit protocol — the rename into the version dir happens seconds
+    // after the write, never an hour (a conservatively long bound so a
+    // genuinely slow in-flight stage on a loaded cluster survives).
+    val stagingRoot = new Path(root, "_staging")
+    if (f.exists(stagingRoot)) {
+      val stale = System.currentTimeMillis() - 60L * 60 * 1000
+      f.listStatus(stagingRoot)
+        .filter(_.getModificationTime <= stale)
+        .foreach(s => f.delete(s.getPath, true))
     }
     drop
   }

@@ -126,4 +126,20 @@ class VacuumSpec extends SparkSpec {
     assert(VersionedTable.versions(spark, root) == Seq(2L, 3L))
     assert(VersionedTable.lastTxn(spark, root, "appB").contains(5L))
   }
+
+  test("janitor: vacuum removes hour-old orphaned staging dirs, keeps fresh ones") {
+    import org.apache.hadoop.fs.Path
+    val root = freshRoot()
+    VersionedTable.commit(Seq((1L, "x")).toDF("id", "x"), root)
+    VersionedTable.commit(Seq((2L, "x")).toDF("id", "x"), root)
+    val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crashed writer's leftover (old) and an in-flight writer's (fresh)
+    val old = new Path(root, "_staging/dead-writer")
+    val fresh = new Path(root, "_staging/in-flight")
+    f.mkdirs(old); f.mkdirs(fresh)
+    f.setTimes(old, System.currentTimeMillis() - 2L * 3600 * 1000, -1)
+    VersionedTable.vacuum(spark, root, keepLast = 1)
+    assert(!f.exists(old), "orphaned staging dir survived vacuum")
+    assert(f.exists(fresh), "in-flight staging dir must not be touched")
+  }
 }
