@@ -82,13 +82,31 @@ object MergeBench {
     val keptRefs = VersionedTable.manifestOf(spark, rootCow, vC)
       .map(_.count(!_.startsWith(f"v$vC%08d/"))).getOrElse(0)
 
-    // row-level equality of the two results (the bench is also a check)
-    val same = VersionedTable.read(spark, rootFull)
-      .exceptAll(VersionedTable.read(spark, rootCow)).isEmpty &&
-      VersionedTable.read(spark, rootCow)
-        .exceptAll(VersionedTable.read(spark, rootFull)).isEmpty
+    // third road: MERGE-ON-READ (deletion vectors enabled by table
+    // property) — matched rows masked in place, only updated images +
+    // inserts written fresh
+    val rootMor = java.nio.file.Files.createTempDirectory("merge_mor").toString + "/t"
+    seed(rootMor)
+    VersionedTable.setProperties(spark, rootMor,
+      Map("graft.enableDeletionVectors" -> "true"))
+    val (_, tMor) = timed(
+      graft.plans.GraftSql.execute(spark, mergeSql(rootMor, forceFull = false)).collect())
+    val vM = VersionedTable.currentVersion(spark, rootMor).get
+    val bMor = newBytes(rootMor, vM)
+    val dvBytes = {
+      val f = new Path(rootMor).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val p = new Path(new Path(rootMor, f"v$vM%08d"), "_dv")
+      if (!f.exists(p)) 0L
+      else f.listStatus(p).toSeq.map(_.getLen).sum
+    }
 
-    println(s"""{"metric":"merge_cow","sf":"$sfDir","n_files":$nFiles,"delta_keys":$deltaKeys,"full_bytes":$bFull,"cow_bytes":$bCow,"bytes_ratio":${bCow.toDouble / bFull},"full_sec":$tFull,"cow_sec":$tCow,"manifest_files":$refs,"kept_by_ref":$keptRefs,"results_equal":$same}""")
+    // row-level equality of the three results (the bench is also a check)
+    def sameAs(a: String, b: String): Boolean =
+      VersionedTable.read(spark, a).exceptAll(VersionedTable.read(spark, b)).isEmpty &&
+        VersionedTable.read(spark, b).exceptAll(VersionedTable.read(spark, a)).isEmpty
+    val same = sameAs(rootFull, rootCow) && sameAs(rootCow, rootMor)
+
+    println(s"""{"metric":"merge_cow","sf":"$sfDir","n_files":$nFiles,"delta_keys":$deltaKeys,"full_bytes":$bFull,"cow_bytes":$bCow,"mor_bytes":$bMor,"mor_dv_bytes":$dvBytes,"bytes_ratio":${bCow.toDouble / bFull},"mor_ratio":${(bMor + dvBytes).toDouble / bFull},"full_sec":$tFull,"cow_sec":$tCow,"mor_sec":$tMor,"manifest_files":$refs,"kept_by_ref":$keptRefs,"results_equal":$same}""")
     spark.stop()
   }
 }
