@@ -28,6 +28,16 @@ import graft.sources.{Sinks, VersionedTable}
   *         source-only columns via a metadata-only evolveSchema first),
   *         committed as a new version with the same pin + in-claim
   *         re-validate + retry OCC as every writer
+  *   - `INSERT INTO `<root>` [(cols)] <query|VALUES>` → O(batch) append
+  *       commit (insert feed, OCC, drift refused); `INSERT OVERWRITE
+  *       `<root>` <query>` → truncate-replace commit (delete pre-images +
+  *       insert images in the feed), creating the table on an empty root
+  *   - `CREATE TABLE '<root>' AS <query>` → create a versioned table from
+  *       a query result (refuses an existing root)
+  *   - `CREATE TABLE '<dest>' SHALLOW CLONE '<src>' [VERSION AS OF n]` →
+  *       zero-copy clone: absolute-ref manifest, stats/schema/constraints/
+  *       properties/deletion-vectors carried, O(files) metadata
+  *       ([[VersionedTable.shallowClone]])
   *   - `OPTIMIZE '<root>' [SORT BY (c,..)] [ZORDER BY (c,..)] [WHERE p]`
   *       → compact / [[VersionedTable.optimize]] / z-order; WHERE scopes
   *         the rewrite to the files whose stats admit the predicate
@@ -101,6 +111,10 @@ object GraftSql {
     """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+UNSET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*""".r
   private val ShowPropsRe =
     """(?is)\s*SHOW\s+TBLPROPERTIES\s+'([^']+)'\s*;?\s*""".r
+  private val CloneRe =
+    """(?is)\s*CREATE\s+TABLE\s+'([^']+)'\s+SHALLOW\s+CLONE\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
+  private val CreateAsRe =
+    """(?is)\s*CREATE\s+TABLE\s+'([^']+)'\s+AS\s+(.+?)\s*;?\s*""".r
   private val PropPairRe = """'([^']*)'\s*=\s*'([^']*)'""".r
   private val PropKeyRe = """'([^']*)'""".r
 
@@ -165,6 +179,22 @@ object GraftSql {
         Some(GraftCommand("UNSET TBLPROPERTIES", root, s =>
           Seq(Row("UNSET TBLPROPERTIES", root,
             VersionedTable.unsetProperties(s, root, ks)))))
+      case CloneRe(dest, src, v) =>
+        Some(GraftCommand("SHALLOW CLONE", dest, s =>
+          Seq(Row("SHALLOW CLONE", dest,
+            VersionedTable.shallowClone(s, dest, src,
+              Option(v).map(_.toLong))))))
+      case CreateAsRe(root, query) =>
+        Some(GraftCommand("CREATE TABLE AS", root, s => {
+          require(VersionedTable.currentVersion(s, root).isEmpty,
+            s"versioned table already exists under $root — INSERT " +
+              "OVERWRITE replaces it, INSERT INTO appends")
+          val df = s.sql(query)
+          Seq(Row("CREATE TABLE AS", root,
+            VersionedTable.commit(df, root, extras = Map("changes" ->
+              VersionedTable.feedWritable(
+                df.withColumn("_change_type", lit("insert")))))))
+        }))
       case ShowPropsRe(root) =>
         Some(org.apache.spark.sql.graft.GraftPropertiesCommand(root, s => {
           val cur = VersionedTable.currentVersion(s, root).getOrElse(
@@ -180,7 +210,7 @@ object GraftSql {
     * keeps the second parse off every ordinary query. */
   private def dmlPlan(sqlText: String, parser: ParserInterface): Option[LogicalPlan] = {
     val head = sqlText.trim.take(6).toUpperCase
-    if (head != "DELETE" && head != "UPDATE" && head != "MERGE ")
+    if (head != "DELETE" && head != "UPDATE" && head != "MERGE " && head != "INSERT")
       None
     else rewriteDml(parser.parsePlan(sqlText)) match {
       case g: GraftCommand => Some(g)
@@ -220,6 +250,12 @@ object GraftSql {
         GraftCommand("MERGE", root, s =>
           Seq(Row("MERGE", root, runMerge(s, root, m))))
       }.getOrElse(plan)
+    case i: InsertIntoStatement =>
+      pathRoot(i.table).map { root =>
+        val op = if (i.overwrite) "INSERT OVERWRITE" else "INSERT"
+        GraftCommand(op, root, s =>
+          Seq(Row(op, root, runInsert(s, root, i))))
+      }.getOrElse(plan)
     case other => other
   }
 
@@ -252,6 +288,105 @@ object GraftSql {
   private def keyName(e: Expression): String = e match {
     case a: UnresolvedAttribute => a.nameParts.last
     case other => other.sql
+  }
+
+  // ---- INSERT --------------------------------------------------------------
+
+  /** ANSI INSERT against the versioned table — the SQL LOAD verbs:
+    *
+    *   - `INSERT INTO `<root>` [(cols)] <query|VALUES ...> ` → O(batch)
+    *     append commit ([[VersionedTable.commitAppend]]): no existing file
+    *     read or copied, insert-image change feed, OCC vs concurrent
+    *     writers, schema drift refused at commit time.
+    *   - `INSERT OVERWRITE `<root>` <query>` → full truncate-replace
+    *     commit; the feed carries delete pre-images of every old row and
+    *     insert images of every new one (an overwrite IS a whole-table
+    *     change — the feed is the same O(table) as the data write, and
+    *     CDC consumers stay whole). On an empty root it CREATES the
+    *     table, recording the query's schema.
+    *
+    *   Source→table alignment follows SQL rules: positional (arity-exact,
+    *   cast to the table's types) by default; a column list or `BY NAME`
+    *   maps by target-column name, null-filling unnamed nullable columns. */
+  private def runInsert(
+      spark: SparkSession, root: String, i: InsertIntoStatement): Long = {
+    require(i.partitionSpec.isEmpty && !i.ifPartitionNotExists,
+      "PARTITION clauses are not supported on versioned-table INSERT — " +
+        "the format clusters with OPTIMIZE ... SORT BY / ZORDER BY instead")
+    val src = CommandBridge.dataFrame(spark, i.query)
+    VersionedTable.currentVersion(spark, root) match {
+      case None =>
+        // first write CREATES the table (the CTAS road). Only OVERWRITE
+        // may: a plain INSERT INTO against a missing root is far more
+        // often a typo'd path than an intentional create.
+        require(i.overwrite,
+          s"no versioned table under $root — INSERT OVERWRITE (or " +
+            "CREATE TABLE '<root>' AS ...) creates one")
+        require(i.userSpecifiedCols.isEmpty && !i.byName,
+          "a column list / BY NAME needs an existing table schema")
+        VersionedTable.commit(src, root, extras = Map("changes" ->
+          VersionedTable.feedWritable(
+            src.withColumn("_change_type", lit("insert")))))
+      case Some(v) =>
+        val target = VersionedTable.tableSchema(spark, root, v)
+          .getOrElse(VersionedTable.readVersion(spark, root, v).schema)
+        val aligned = alignToSchema(src, target, i.userSpecifiedCols,
+          i.byName, root)
+        if (i.overwrite) {
+          val feed = VersionedTable.readVersion(spark, root, v)
+            .withColumn("_change_type", lit("delete"))
+            .unionByName(aligned.withColumn("_change_type", lit("insert")),
+              allowMissingColumns = true)
+          VersionedTable.commit(aligned, root,
+            extras = Map("changes" -> VersionedTable.feedWritable(feed)))
+        } else VersionedTable.commitAppend(aligned, root, changeFeed = true)
+    }
+  }
+
+  /** Align the INSERT source to the table schema. Named mode (column list
+    * or BY NAME): each source column feeds its named target column, cast
+    * to the target type; unnamed target columns null-fill when nullable
+    * and refuse otherwise. Positional mode: arity must match exactly,
+    * columns pair up in schema order. Either way the aligned frame's
+    * columns equal the recorded schema, so the commit-time drift gate
+    * passes exactly when SQL says the INSERT is legal. */
+  private def alignToSchema(
+      src: DataFrame, target: org.apache.spark.sql.types.StructType,
+      userCols: Seq[String], byName: Boolean, root: String): DataFrame = {
+    def targetField(n: String) =
+      target.find(_.name.equalsIgnoreCase(n)).getOrElse(
+        throw new IllegalArgumentException(
+          s"INSERT column $n does not exist in $root " +
+            s"(table columns: ${target.map(_.name).mkString(", ")})"))
+    if (userCols.nonEmpty || byName) {
+      val named: Seq[(String, Column)] =
+        if (userCols.nonEmpty) {
+          require(userCols.size == src.columns.length,
+            s"INSERT column list names ${userCols.size} columns but the " +
+              s"query produces ${src.columns.length}")
+          userCols.zip(src.columns.toSeq).map { case (t, sc) =>
+            targetField(t).name -> src(s"`$sc`") }
+        } else src.columns.toSeq.map(c => targetField(c).name -> src(s"`$c`"))
+      val dups = named.map(_._1).groupBy(identity).filter(_._2.size > 1).keys
+      require(dups.isEmpty,
+        s"INSERT names target column(s) more than once: ${dups.mkString(", ")}")
+      val have = named.toMap
+      src.select(target.map { f =>
+        have.get(f.name).map(_.cast(f.dataType).as(f.name)).getOrElse {
+          require(f.nullable,
+            s"column ${f.name} is non-nullable and the INSERT gives it no value")
+          lit(null).cast(f.dataType).as(f.name)
+        }
+      }: _*)
+    } else {
+      require(src.columns.length == target.size,
+        s"INSERT by position: query produces ${src.columns.length} " +
+          s"columns, $root has ${target.size} — use a column list for " +
+          "partial inserts")
+      src.select(src.columns.toSeq.zip(target).map { case (sc, f) =>
+        src(s"`$sc`").cast(f.dataType).as(f.name)
+      }: _*)
+    }
   }
 
   // ---- MERGE ---------------------------------------------------------------

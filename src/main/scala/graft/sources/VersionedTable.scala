@@ -471,6 +471,16 @@ object VersionedTable {
     regexp_extract(col("_metadata.file_path"), "(v\\d{8}/[^/]+)$", 1)
   }
 
+  /** The `vNNNNNNNN/name` tail of a manifest ref — identity for ordinary
+    * root-relative refs, the trailing two segments for a shallow clone's
+    * absolute refs. [[fileRefCol]] extracts exactly this from scanned
+    * rows, so tail keys are the root-independent file identity the
+    * deletion-vector sidecar joins on. */
+  private def refTail(ref: String): String = {
+    val m = "(v\\d{8}/[^/]+)$".r.findFirstIn(ref)
+    m.getOrElse(ref)
+  }
+
   /** Mask `dv`'s (file, pos) rows out of `df` (a scan of this snapshot's
     * files): the merge-on-read fold, an anti join on the row's physical
     * identity (`_metadata` file + row index — stable for parquet, the
@@ -870,9 +880,13 @@ object VersionedTable {
       if (!hasDeletionVectors(spark, root, cur)) extras
       else {
         import org.apache.spark.sql.functions.col
-        // isInCollection folds to an InSet literal — metadata-scale, codegen'd
+        // isInCollection folds to an InSet literal — metadata-scale,
+        // codegen'd. Keys compare as vNNNNNNNN/name TAILS: dv entries are
+        // always tail-keyed ([[fileRefCol]]), while a shallow clone's
+        // manifest refs are absolute — tails are unique per snapshot
+        // (UUID part names), so the normalization is lossless.
         val carried = readExtra(spark, root, cur, "dv").get
-          .where(col("file").isInCollection(keptFiles))
+          .where(col("file").isInCollection(keptFiles.map(refTail)))
         val merged = extras.get("dv").map(_.unionByName(carried).distinct())
           .getOrElse(carried)
         // skip the sidecar entirely when nothing survives (all masked
@@ -1183,7 +1197,7 @@ object VersionedTable {
   /** A feed frame safe to land as an extra even when EMPTY: at least one
     * part file must exist so [[readExtra]]/[[readChanges]] can recover
     * the schema (a 0-partition empty write leaves a schemaless dir). */
-  private def feedWritable(fd: DataFrame): DataFrame =
+  private[graft] def feedWritable(fd: DataFrame): DataFrame =
     if (fd.rdd.getNumPartitions == 0) fd.repartition(1) else fd
 
   /** The zero-row change feed of a LAYOUT-ONLY commit (compaction,
@@ -1274,6 +1288,75 @@ object VersionedTable {
         Nil, preCommit = occValidate(spark, root, cur),
         recordSchema = Some(newSchema))
     }
+
+  /** SHALLOW CLONE (Delta's `CREATE TABLE ... SHALLOW CLONE`): publish
+    * `destRoot`'s first version as a manifest of ABSOLUTE references into
+    * `srcRoot`'s version `v` — zero data bytes copied, O(files) metadata,
+    * whatever the table size. The clone is a fully independent table from
+    * that instant: its own version log, OCC writers, schema/constraints/
+    * properties (all carried from the source version), stats (re-keyed to
+    * the absolute refs, so data skipping keeps working), and
+    * deletion-vector sidecar (copied — O(masked rows) — so the clone
+    * reads the source's logical content, masks included). COW/DML commits
+    * on the clone write fresh files under ITS root and drop refs into the
+    * source naturally; the source never observes the clone.
+    *
+    * The test/dev-branch motion of a 100 TB table: experiment on a clone
+    * (DML, OPTIMIZE, schema changes) without copying the table or
+    * touching production. THE standard shallow-clone hazard applies
+    * (exactly Delta's): VACUUM on the SOURCE does not know about clone
+    * references — size source retention to cover live clones, or compact
+    * the clone (its rewrite localizes every file) before vacuuming the
+    * source aggressively. */
+  def shallowClone(
+      spark: SparkSession, destRoot: String, srcRoot: String,
+      version: Option[Long] = None): Long = {
+    require(currentVersion(spark, destRoot).isEmpty,
+      s"shallow clone target $destRoot already holds a versioned table")
+    val v = version.orElse(currentVersion(spark, srcRoot)).getOrElse(
+      throw new java.io.IOException(s"no committed version under $srcRoot"))
+    require(isCommitted(spark, srcRoot, v),
+      s"version $v is not committed under $srcRoot")
+    val srcFs = fs(spark, srcRoot)
+    // fs-qualified absolute refs: resolvable from any root (Path(parent,
+    // child) returns an absolute child unchanged at every read site)
+    val srcRefs = dataFileRefs(spark, srcRoot, v)
+    val refs = srcRefs.map(r =>
+      srcFs.makeQualified(new Path(srcRoot, r)).toString)
+    val schema = schemaOf(spark, srcRoot, v)
+    // the clone's own version dir holds only metadata; data rides by ref
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val extras = readExtra(spark, srcRoot, v, "dv")
+      .map(d => Map("dv" -> d)).getOrElse(Map.empty) +
+      ("changes" -> emptyFeed(empty)) // clones re-emit no history (Delta)
+    // stats re-key: source rows are keyed bare-name (dir snapshot) or
+    // ref (manifest snapshot); the clone keys them by its absolute refs
+    val srcKeyOf: Map[String, String] = manifestOf(spark, srcRoot, v)
+      .map(_.map(r => r -> r).toMap)
+      .getOrElse(srcRefs.map(r => r -> r.split('/').last).toMap)
+    val srcStats = TableStats.load(spark,
+      new Path(versionDir(srcRoot, v), "_stats"))
+    commitWith(empty, destRoot, collectStats = false, extras = extras,
+      finalizeVersion = (fh, dir, _) => {
+        val rows = srcRefs.zip(refs).flatMap { case (r, abs) =>
+          srcStats.getOrElse(srcKeyOf(r), Map.empty).toSeq.map {
+            case (c, (k, mn, mx, nu, nr)) => (abs, c, k, mn, mx, nu, nr)
+          }
+        }
+        // all-or-none coverage, as every stats carry
+        val covered = srcRefs.forall(r => srcStats.contains(srcKeyOf(r)))
+        if (rows.nonEmpty && covered) TableStats.writeRows(fh, dir, rows)
+        else fh.delete(new Path(dir, "_stats"), true)
+        val out = fh.create(
+          new Path(new Path(dir, "_manifest"), "manifest.txt"), true)
+        try out.write(refs.mkString("", "\n", "\n").getBytes("UTF-8"))
+        finally out.close()
+      },
+      recordSchema = Some(schema),
+      recordConstraints = Some(constraintsOf(spark, srcRoot, v)),
+      recordProperties = Some(propertiesOf(spark, srcRoot, v)))
+  }
 
   // ---- table properties ---------------------------------------------------
 

@@ -1,0 +1,153 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.sources.VersionedTable
+import org.apache.spark.sql.functions._
+
+/** The SQL LOAD verbs: ANSI INSERT INTO / INSERT OVERWRITE routed to the
+  * versioned table, CREATE TABLE AS, and SHALLOW CLONE — the statements
+  * that make the SQL face whole (a SQL-first user could previously
+  * change a table but not load or create one). */
+class SqlLoadSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftExtensions.install(spark)
+
+  private def freshRoot() =
+    java.nio.file.Files.createTempDirectory("graft_sqlload").toString + "/t"
+
+  private def seed(root: String): Unit =
+    VersionedTable.commit(
+      (1L to 10L).map(i => (i, s"r$i", i * 10)).toDF("id", "x", "amount"), root)
+
+  test("INSERT INTO VALUES appends O(batch): rows land, old files ride by ref") {
+    val root = freshRoot(); seed(root)
+    val res = GraftSql.execute(spark,
+      s"INSERT INTO `$root` VALUES (11, 'r11', 110), (12, 'r12', 120)")
+      .collect().head
+    assert(res.getString(0) == "INSERT" && res.getLong(2) == 2L)
+    val got = VersionedTable.read(spark, root)
+    assert(got.count() == 12)
+    assert(got.where(col("id") === 11L).head.getString(1) == "r11")
+    // append commit: the new version's manifest carries v1's files by
+    // reference (kept_refs > 0 in history = nothing was rewritten)
+    val h = VersionedTable.history(spark, root)
+      .where(col("version") === 2L).head
+    assert(h.getAs[Int]("kept_refs") > 0, "INSERT INTO must not rewrite")
+    // feed carries the batch as insert images
+    val feed = VersionedTable.readChanges(spark, root, 2L, 2L)
+    assert(feed.count() == 2 &&
+      feed.select("_change_type").distinct().head.getString(0) == "insert")
+  }
+
+  test("INSERT INTO SELECT aligns by position with casts") {
+    val root = freshRoot(); seed(root)
+    Seq((13, "r13", 130)).toDF("a", "b", "c").createOrReplaceTempView("ins_src")
+    // int source columns cast to the table's long types
+    GraftSql.execute(spark, s"INSERT INTO `$root` SELECT a, b, c FROM ins_src")
+    val r = VersionedTable.read(spark, root).where(col("id") === 13L).head
+    assert(r.getLong(0) == 13L && r.getString(1) == "r13" && r.getLong(2) == 130L)
+  }
+
+  test("INSERT INTO with a column list null-fills unnamed columns; order-free") {
+    val root = freshRoot(); seed(root)
+    GraftSql.execute(spark,
+      s"INSERT INTO `$root` (amount, id) VALUES (990, 99)")
+    val r = VersionedTable.read(spark, root).where(col("id") === 99L).head
+    assert(r.getLong(2) == 990L && r.isNullAt(1), "x must null-fill")
+  }
+
+  test("INSERT refuses arity mismatch and unknown columns") {
+    val root = freshRoot(); seed(root)
+    val e1 = intercept[Exception](GraftSql.execute(spark,
+      s"INSERT INTO `$root` VALUES (1, 'only-two')"))
+    assert(e1.getMessage.contains("by position"))
+    val e2 = intercept[Exception](GraftSql.execute(spark,
+      s"INSERT INTO `$root` (id, nope, amount) VALUES (1, 'x', 2)"))
+    assert(e2.getMessage.contains("nope"))
+    // a plain INSERT INTO a missing root is refused (typo guard)
+    val e3 = intercept[Exception](GraftSql.execute(spark,
+      s"INSERT INTO `${freshRoot()}` VALUES (1, 'x', 2)"))
+    assert(e3.getMessage.contains("INSERT OVERWRITE"))
+  }
+
+  test("INSERT OVERWRITE truncate-replaces; feed = delete pre-images + inserts") {
+    val root = freshRoot(); seed(root)
+    GraftSql.execute(spark,
+      s"INSERT OVERWRITE `$root` SELECT id, x, amount FROM graft_table('$root') WHERE id <= 3")
+    val got = VersionedTable.read(spark, root)
+    assert(got.count() == 3)
+    val feed = VersionedTable.readChanges(spark, root, 2L, 2L)
+    val byType = feed.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("delete" -> 10L, "insert" -> 3L))
+    // overwrite of an empty root creates the table
+    val root2 = freshRoot()
+    GraftSql.execute(spark,
+      s"INSERT OVERWRITE `$root2` SELECT * FROM graft_table('$root')")
+    assert(VersionedTable.read(spark, root2).count() == 3)
+  }
+
+  test("CREATE TABLE AS creates; refuses an existing root") {
+    val root = freshRoot()
+    val res = GraftSql.execute(spark,
+      s"CREATE TABLE '$root' AS SELECT id, id * 2 AS dbl FROM range(5)").collect().head
+    assert(res.getString(0) == "CREATE TABLE AS")
+    val got = VersionedTable.read(spark, root)
+    assert(got.count() == 5 &&
+      got.where(col("id") === 3).head.getLong(1) == 6L)
+    // schema recorded at create
+    assert(VersionedTable.tableSchema(spark, root, 1L).exists(_.fieldNames
+      .sameElements(Array("id", "dbl"))))
+    val e = intercept[Exception](GraftSql.execute(spark,
+      s"CREATE TABLE '$root' AS SELECT 1"))
+    assert(e.getMessage.contains("already exists"))
+  }
+
+  test("SHALLOW CLONE: zero data copy, equal content, independent evolution") {
+    val src = freshRoot(); seed(src)
+    VersionedTable.setProperties(spark, src, Map("graft.team" -> "a"))
+    val dest = freshRoot()
+    GraftSql.execute(spark, s"CREATE TABLE '$dest' SHALLOW CLONE '$src'")
+    // content equal, schema/properties carried
+    assert(VersionedTable.read(spark, dest).orderBy("id").collect().toSeq ==
+      VersionedTable.read(spark, src).orderBy("id").collect().toSeq)
+    assert(VersionedTable.propertiesOf(spark, dest, 1L) ==
+      Map("graft.team" -> "a"))
+    // zero-copy: no parquet data bytes under the clone's version dir
+    val vdir = new java.io.File(s"$dest/v00000001")
+    val dataBytes = Option(vdir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length()).sum
+    assert(dataBytes < 2048, s"clone copied data: $dataBytes bytes")
+    // stats carried: the stats-only aggregate answers on the clone
+    val agg = VersionedTable.statsAggregate(spark, dest, Seq("amount"))
+    assert(agg.exists(_._1 == 10L), "clone must answer from carried stats")
+    // independent evolution: DML on the clone, source untouched
+    GraftSql.execute(spark, s"DELETE FROM `$dest` WHERE id <= 8")
+    GraftSql.execute(spark, s"INSERT INTO `$dest` VALUES (100, 'c', 1)")
+    assert(VersionedTable.read(spark, dest).count() == 3)
+    assert(VersionedTable.read(spark, src).count() == 10)
+  }
+
+  test("SHALLOW CLONE carries deletion vectors and they survive clone-side COW") {
+    val src = freshRoot(); seed(src)
+    VersionedTable.deleteWhere(spark, src, col("id") === 5L, mor = true)
+    val dest = freshRoot()
+    GraftSql.execute(spark, s"CREATE TABLE '$dest' SHALLOW CLONE '$src'")
+    assert(VersionedTable.read(spark, dest).count() == 9, "mask must apply on the clone")
+    // a clone-side COW delete must not resurrect the cloned mask's row
+    VersionedTable.deleteWhere(spark, dest, col("id") === 1L)
+    val ids = VersionedTable.read(spark, dest).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(5L) && !ids.contains(1L) && ids.size == 8)
+  }
+
+  test("SHALLOW CLONE VERSION AS OF pins an earlier snapshot") {
+    val src = freshRoot(); seed(src)
+    VersionedTable.deleteWhere(spark, src, col("id") > 2L) // v2: 2 rows
+    val dest = freshRoot()
+    GraftSql.execute(spark,
+      s"CREATE TABLE '$dest' SHALLOW CLONE '$src' VERSION AS OF 1")
+    assert(VersionedTable.read(spark, dest).count() == 10)
+  }
+}
