@@ -53,6 +53,10 @@ import graft.sources.{Sinks, VersionedTable}
   *       named CHECK constraints: validated over the whole table on add,
   *       enforced against every staged write from then on
   *       ([[VersionedTable.addConstraint]])
+  *   - `ALTER TABLE '<root>' RENAME COLUMN a TO b` / `DROP COLUMN c` →
+  *       METADATA-ONLY rename/drop via column mapping (physical birth
+  *       names frozen in the files, the logical map rewritten — zero data
+  *       rewritten at any table size; [[VersionedTable.renameColumn]])
   *   - `ALTER TABLE '<root>' SET TBLPROPERTIES ('k'='v',…)` / `UNSET
   *       TBLPROPERTIES ('k',…)` / `SHOW TBLPROPERTIES '<root>'` → table
   *       properties as metadata-only commits; setting
@@ -105,6 +109,10 @@ object GraftSql {
     """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
   private val ShowConstraintsRe =
     """(?is)\s*DESCRIBE\s+CONSTRAINTS\s+'([^']+)'\s*;?\s*""".r
+  private val RenameColRe =
+    """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
+  private val DropColRe =
+    """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*""".r
   private val SetPropsRe =
     """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+SET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*""".r
   private val UnsetPropsRe =
@@ -168,6 +176,14 @@ object GraftSql {
           VersionedTable.constraintsOf(s, root, cur).toSeq.sortBy(_._1)
             .map { case (n, e) => Row(n, e) }
         }))
+      case RenameColRe(root, from, to) =>
+        Some(GraftCommand("RENAME COLUMN", root, s =>
+          Seq(Row("RENAME COLUMN", root,
+            VersionedTable.renameColumn(s, root, from, to)))))
+      case DropColRe(root, name) =>
+        Some(GraftCommand("DROP COLUMN", root, s =>
+          Seq(Row("DROP COLUMN", root,
+            VersionedTable.dropColumn(s, root, name)))))
       case SetPropsRe(root, pairs) =>
         val kvs = PropPairRe.findAllMatchIn(pairs)
           .map(mm => mm.group(1) -> mm.group(2)).toMap
@@ -503,7 +519,7 @@ object GraftSql {
         VersionedTable.evolveSchema(spark, root,
           org.apache.spark.sql.types.StructType(tSchema0.fields.toSeq ++ added))
     }
-    val maxAttempts = 5
+    val maxAttempts = 20
     var attempt = 0
     var out: Option[Long] = None
     while (out.isEmpty) {
@@ -691,7 +707,10 @@ object GraftSql {
             extras = Map("changes" -> feed), preCommit = occCheck)
         })
       catch {
-        case _: Sinks.ConcurrentWriteException if attempt < maxAttempts => ()
+        case _: Sinks.ConcurrentWriteException if attempt < maxAttempts =>
+          // jittered backoff, as every OCC retry loop
+          Thread.sleep(scala.util.Random.nextLong(
+            math.min(100L << math.min(attempt, 4), 1600L)))
       }
     }
     out.get

@@ -126,14 +126,19 @@ object Sinks {
     // two filesystem operations, not one atomic claim-the-next-version
     // step — two writers that BOTH pass preCommit before EITHER publishes
     // still lose the earlier publish (check-then-act on distinct claimed
-    // numbers). Delta does not have this window: its commit is an atomic
-    // winner-takes-version-N log write. Closing it here needs the claim
-    // itself to be the publish (conditional PUT / create-exclusive log
-    // entry carrying the data pointer), which LocalFileSystem's
+    // numbers). SAME-JVM writers no longer have this window at all: the
+    // commit runs the re-check + publish pair under a per-root monitor
+    // (VersionedTable's publish lock), which exactly serializes the
+    // one-driver-many-threads deployment (parallel ingest, streaming
+    // sinks — OccStressSpec races them for real). CROSS-PROCESS writers
+    // keep the narrowed window: Delta does not have it (atomic
+    // winner-takes-version-N log write), and closing it here needs the
+    // claim itself to be the publish (conditional PUT / create-exclusive
+    // log entry carrying the data pointer), which LocalFileSystem's
     // non-atomic create-exclusive cannot honestly provide — so this
     // narrows the race from "the whole merge" to "between re-check and
     // publish" and documents the rest, rather than claiming parity.
-    val maxAttempts = 5
+    val maxAttempts = 20
     var attempt = 0
     var committed: Option[Long] = None
     while (committed.isEmpty) {
@@ -168,7 +173,10 @@ object Sinks {
         }))
       catch {
         case e: ConcurrentWriteException if attempt < maxAttempts =>
-          () // re-read the new current snapshot and re-merge
+          // re-read the new current snapshot and re-merge; jittered
+          // backoff de-synchronizes an N-writer retry burst
+          Thread.sleep(scala.util.Random.nextLong(
+            math.min(100L << math.min(attempt, 4), 1600L)))
       }
     }
     committed.get
@@ -214,7 +222,7 @@ object Sinks {
     // so a writer publishing meanwhile would have its fresh rows silently
     // dropped from the new manifest — re-validate inside the claim and
     // redo the whole touched-set computation on conflict
-    val maxAttempts = 5
+    val maxAttempts = 20
     var attempt = 0
     var committed: Option[Long] = None
     while (committed.isEmpty) {
@@ -286,7 +294,10 @@ object Sinks {
       })
       catch {
         case e: ConcurrentWriteException if attempt < maxAttempts =>
-          () // another writer published since `cur` — recompute and retry
+          // another writer published since `cur` — recompute and retry,
+          // jittered so a retry burst doesn't re-collide in lockstep
+          Thread.sleep(scala.util.Random.nextLong(
+            math.min(100L << math.min(attempt, 4), 1600L)))
       }
     }
     committed.get

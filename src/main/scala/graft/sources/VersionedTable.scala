@@ -255,9 +255,15 @@ object VersionedTable {
       preCommit: Long => Unit = _ => (),
       recordSchema: Option[org.apache.spark.sql.types.StructType] = None,
       recordConstraints: Option[Map[String, String]] = None,
-      recordProperties: Option[Map[String, String]] = None): Long = {
+      recordProperties: Option[Map[String, String]] = None,
+      recordMapping: Option[(Map[String, String], Set[String])] = None): Long = {
     val spark = df.sparkSession
     val f = fs(spark, root)
+    // COLUMN MAPPING: data files always carry PHYSICAL names. None =
+    // reset (a full rewrite re-births every column under its logical
+    // name); COW/append/metadata paths pass the carried or updated map.
+    val (colMap, retired) = recordMapping.getOrElse(
+      (Map.empty[String, String], Set.empty[String]))
     f.mkdirs(commitDir(root))
     f.mkdirs(claimDir(root))
     // (1) private data write — no shared state touched. Timestamps go out
@@ -269,9 +275,12 @@ object VersionedTable {
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     try {
       // per-column parquet BLOOM FILTERS (probed by readWhere's equality
-      // pruning): footer-adjacent, kilobytes per column per row group
-      val writer = bloomCols.foldLeft(df.write.mode(SaveMode.Overwrite)) {
-        (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
+      // pruning): footer-adjacent, kilobytes per column per row group.
+      // The frame and the bloom options write under PHYSICAL names.
+      val writer = bloomCols.foldLeft(
+        toPhysical(df, colMap).write.mode(SaveMode.Overwrite)) {
+        (w, c) => w.option(
+          s"parquet.bloom.filter.enabled#${physicalName(colMap, c)}", "true")
       }
       writer.parquet(staging.toString)
       // side tables that belong to THIS snapshot (e.g. a change feed):
@@ -299,6 +308,14 @@ object VersionedTable {
     val schemaJson = recordSchema.getOrElse(df.schema).json
     val sOut = f.create(new Path(new Path(staging, "_schema"), "schema.json"), true)
     try sOut.write(schemaJson.getBytes("UTF-8")) finally sOut.close()
+    // (1c') the logical→physical column mapping + retired birth names
+    // ride beside the schema; absent file = identity mapping
+    if (colMap.nonEmpty || retired.nonEmpty)
+      writeProps(f, new Path(new Path(staging, "_schema"),
+        "mapping.properties"),
+        colMap ++ (if (retired.nonEmpty)
+          Map(RetiredKey -> retired.toSeq.sorted.mkString(","))
+        else Map.empty))
     // (1d) CHECK constraints (Delta invariants). Active = the current
     // version's set (None before v1). Enforcement scans only the STAGED
     // batch — columnar, one pass for all constraints: kept files were
@@ -309,8 +326,11 @@ object VersionedTable {
     val activeConstraints = currentVersion(spark, root)
       .map(cv => constraintsOf(spark, root, cv)).getOrElse(Map.empty)
     if (activeConstraints.nonEmpty && dataFiles(f, staging).nonEmpty)
+      // staged files carry physical names; constraints speak logical —
+      // read physical, rename back before evaluating
       try enforceConstraints(spark,
-        spark.read.schema(df.schema).parquet(staging.toString),
+        toLogical(spark.read.schema(physicalSchema(df.schema, colMap))
+          .parquet(staging.toString), colMap),
         activeConstraints, root)
       catch { case e: Throwable => f.delete(staging, true); throw e }
     val constraintsToRecord = recordConstraints.getOrElse(activeConstraints)
@@ -361,19 +381,24 @@ object VersionedTable {
       throw new java.io.IOException(s"rename $staging -> $dir failed")
     // (3b) caller's pre-publish metadata (manifest, carried-forward stats)
     finalizeVersion(f, dir, v)
-    // (3c) re-run the caller's validation as LATE as possible: the rename
-    // and finalize above take real time (manifest + stats carry), and the
-    // check-then-act window between validation and publish is exactly
-    // where two OCC writers can both pass and both land (see the residual-
-    // window note in Sinks.upsertByKeyVersioned). This second check
-    // shrinks that window from "rename + finalize" to "one create call";
-    // a throw here aborts by deleting the version dir — the claim stays,
-    // later writers skip it by protocol. Validations must be idempotent
-    // (they are re-checks by construction).
-    try preCommit(v)
-    catch { case e: Throwable => f.delete(dir, true); throw e }
-    // (4) publish — the linearization point
-    f.create(new Path(commitDir(root), pad(v)), false).close()
+    // (3c) re-run the caller's validation as LATE as possible, then
+    // publish — ATOMICALLY for every writer in THIS JVM: the validate→
+    // publish pair runs under a per-root monitor, so two same-process OCC
+    // writers can never both pass the re-check and both land (the
+    // one-driver-many-threads deployment — parallel ingest batches,
+    // streaming sinks — is exactly serialized). Writers in DIFFERENT
+    // processes fall back to the check-then-act protocol, where this late
+    // re-check shrinks the cross-process lost-update window from "rename
+    // + finalize" to "one create call" (the residual-window note in
+    // Sinks.upsertByKeyVersioned). A throw aborts by deleting the version
+    // dir — the claim stays, later writers skip it by protocol.
+    // Validations must be idempotent (they are re-checks by construction).
+    publishLock(root).synchronized {
+      try preCommit(v)
+      catch { case e: Throwable => f.delete(dir, true); throw e }
+      // (4) publish — the linearization point
+      f.create(new Path(commitDir(root), pad(v)), false).close()
+    }
     // (5) advance the version-log checkpoint — best-effort, OUTSIDE the
     // atomicity story (the publish above already decided the commit):
     // O(1) reader resolution instead of log scans, and txn high-water
@@ -381,6 +406,16 @@ object VersionedTable {
     writeCheckpoint(spark, root, v)
     v
   }
+
+  /** Per-root publish monitors: the in-JVM half of the concurrency story
+    * (see the (3c) note in [[commitWith]]). Keyed by the root string as
+    * given — callers addressing one table through one spelling, the
+    * universal case; differing spellings degrade to the cross-process
+    * protocol, never to corruption. */
+  private val publishLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def publishLock(root: String): Object =
+    publishLocks.computeIfAbsent(root, _ => new Object)
 
   /** Read the latest committed snapshot. */
   def read(spark: SparkSession, root: String): DataFrame =
@@ -436,6 +471,55 @@ object VersionedTable {
       } catch { case _: Exception => None }
   }
 
+  // ---- column mapping (metadata-only rename/drop) -------------------------
+
+  private val RetiredKey = "__retired"
+
+  private def mappingPath(root: String, v: Long): Path =
+    new Path(new Path(versionDir(root, v), "_schema"), "mapping.properties")
+
+  /** LOGICAL→PHYSICAL column mapping recorded for version `v` (Delta
+    * column mapping, name mode): physical names are birth names frozen
+    * into the parquet files; RENAME/DROP COLUMN only rewrite this map and
+    * the logical schema — zero data files touched, whatever the table
+    * size. Identity entries are omitted; an absent file means the
+    * identity mapping (every table before its first rename). */
+  def columnMapping(
+      spark: SparkSession, root: String, v: Long): Map[String, String] =
+    readProps(spark, mappingPath(root, v)) - RetiredKey
+
+  /** Physical names RETIRED by a DROP COLUMN (or freed by a rename and
+    * then shadowed): a later evolveSchema add with the same logical name
+    * must mint a FRESH physical name, or old files' stale values would
+    * resurrect through by-name parquet resolution. */
+  private def retiredPhysicals(
+      spark: SparkSession, root: String, v: Long): Set[String] =
+    readProps(spark, mappingPath(root, v)).get(RetiredKey)
+      .map(_.split(',').filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+
+  private def physicalName(mapping: Map[String, String], c: String): String =
+    mapping.getOrElse(c, c)
+
+  private def physicalSchema(
+      logical: org.apache.spark.sql.types.StructType,
+      mapping: Map[String, String]): org.apache.spark.sql.types.StructType =
+    if (mapping.isEmpty) logical
+    else org.apache.spark.sql.types.StructType(
+      logical.map(f => f.copy(name = physicalName(mapping, f.name))))
+
+  /** Rename a scanned (physical-named) frame to the logical schema.
+    * Leaves unmapped columns — including `__dv_*` tags and exposed ref
+    * columns — untouched. */
+  private def toLogical(
+      df: DataFrame, mapping: Map[String, String]): DataFrame =
+    if (mapping.isEmpty) df
+    else df.withColumnsRenamed(mapping.map(_.swap))
+
+  /** Rename a logical frame to physical names for a data-file write. */
+  private def toPhysical(
+      df: DataFrame, mapping: Map[String, String]): DataFrame =
+    if (mapping.isEmpty) df else df.withColumnsRenamed(mapping)
+
   /** Version `v`'s effective schema: recorded when available, else
     * inferred from the snapshot's parquet footers. */
   private def schemaOf(
@@ -450,7 +534,10 @@ object VersionedTable {
   private def versionReader(
       spark: SparkSession, root: String, v: Long): org.apache.spark.sql.DataFrameReader =
     tableSchema(spark, root, v) match {
-      case Some(s) => spark.read.schema(s)
+      case Some(s) =>
+        // files carry PHYSICAL (birth) names; the logical rename is a
+        // Project applied after the scan (toLogical at each read site)
+        spark.read.schema(physicalSchema(s, columnMapping(spark, root, v)))
       case None => spark.read
     }
 
@@ -530,7 +617,9 @@ object VersionedTable {
         reader.parquet(refs.map(r => new Path(root, r).toString): _*)
       case None => reader.parquet(versionDir(root, v).toString)
     }
-    readExtra(spark, root, v, "dv").map(applyDv(base, _)).getOrElse(base)
+    toLogical(
+      readExtra(spark, root, v, "dv").map(applyDv(base, _)).getOrElse(base),
+      columnMapping(spark, root, v))
   }
 
   /** [[readVersion]] with each row's root-relative file ref exposed as
@@ -560,7 +649,9 @@ object VersionedTable {
       }
     }
     val withRef = base.withColumn(refCol, fileRefCol)
-    readExtra(spark, root, v, "dv").map(applyDv(withRef, _)).getOrElse(withRef)
+    toLogical(
+      readExtra(spark, root, v, "dv").map(applyDv(withRef, _)).getOrElse(withRef),
+      columnMapping(spark, root, v))
   }
 
   /** Read a SUBSET of version `v`'s files (root-relative refs, as listed
@@ -573,7 +664,9 @@ object VersionedTable {
     require(refs.nonEmpty, "readFilesOf needs at least one file ref")
     val sub = versionReader(spark, root, v)
       .parquet(refs.map(r => new Path(root, r).toString): _*)
-    readExtra(spark, root, v, "dv").map(applyDv(sub, _)).getOrElse(sub)
+    toLogical(
+      readExtra(spark, root, v, "dv").map(applyDv(sub, _)).getOrElse(sub),
+      columnMapping(spark, root, v))
   }
 
   /** [[read]] with FILE-LEVEL DATA SKIPPING: files whose footer min/max
@@ -600,7 +693,9 @@ object VersionedTable {
         .where(org.apache.spark.sql.functions.lit(false)).where(predicate)
     else {
       val sub = versionReader(spark, root, v).parquet(kept: _*)
-      readExtra(spark, root, v, "dv").map(applyDv(sub, _)).getOrElse(sub)
+      toLogical(
+        readExtra(spark, root, v, "dv").map(applyDv(sub, _)).getOrElse(sub),
+        columnMapping(spark, root, v))
         .where(predicate)
     }
   }
@@ -720,6 +815,8 @@ object VersionedTable {
       case None => dataFiles(fs(spark, root), dir).map(_.getPath.getName)
     }
     val stats = TableStats.load(spark, new Path(dir, "_stats"))
+    // stats are keyed by PHYSICAL column names; requests speak logical
+    val mapping = columnMapping(spark, root, v)
     // every data file must be covered, else row counts are unknowable
     val perFile = fileKeys.map(k => stats.get(k).filter(_.nonEmpty))
     if (fileKeys.nonEmpty && perFile.exists(_.isEmpty)) None
@@ -728,7 +825,7 @@ object VersionedTable {
       val totalRows = fileMaps.map(_.head._2._5).sum
       val colStats = cols.foldLeft(Option(Vector.empty[ColStat])) { (accO, c) =>
         accO.flatMap { acc =>
-          val entries = fileMaps.map(_.get(c))
+          val entries = fileMaps.map(_.get(physicalName(mapping, c)))
           if (entries.exists(_.isEmpty)) None
           else {
             val es = entries.map(_.get) // (kind, minO, maxO, nulls, rows)
@@ -769,8 +866,9 @@ object VersionedTable {
         .map(s => (f"v$v%08d/" + s.getPath.getName, s.getPath.getName))
     }
     val stats = TableStats.load(spark, new Path(dir, "_stats"))
+    val physCol = physicalName(columnMapping(spark, root, v), column)
     val out = entries.map { case (rel, sk) =>
-      stats.get(sk).flatMap(_.get(column)) match {
+      stats.get(sk).flatMap(_.get(physCol)) match {
         case Some((kind, Some(mn), Some(mx), nulls, _)) if nulls >= 0 =>
           Some((rel, Some((kind,
             TableStats.parse(kind, mn), TableStats.parse(kind, mx)))))
@@ -857,9 +955,15 @@ object VersionedTable {
       preCommit: Long => Unit,
       recordSchema: Option[org.apache.spark.sql.types.StructType],
       recordConstraints: Option[Map[String, String]] = None,
-      recordProperties: Option[Map[String, String]] = None): Long = {
+      recordProperties: Option[Map[String, String]] = None,
+      recordMapping: Option[(Map[String, String], Set[String])] = None): Long = {
     val spark = newData.sparkSession
     val f = fs(spark, root)
+    // kept files were written under the current mapping's physical names:
+    // every snapshot-derived commit CARRIES the mapping unless the caller
+    // (rename/drop/evolve) hands in an updated one
+    val mappingToRecord = recordMapping.getOrElse(
+      (columnMapping(spark, root, cur), retiredPhysicals(spark, root, cur)))
     // stats of the CURRENT snapshot, keyed as stored (name or relpath)
     val curKeyed: Map[String, String] = manifestOf(spark, root, cur)
       .map(_.map(r => r -> r).toMap)
@@ -899,6 +1003,7 @@ object VersionedTable {
       bloomCols = bloomCols, preCommit = preCommit,
       recordSchema = recordSchema, recordConstraints = recordConstraints,
       recordProperties = recordProperties,
+      recordMapping = Some(mappingToRecord),
       finalizeVersion = (fh, dir, v) => {
         val ownNames = dataFiles(fh, dir).map(_.getPath.getName)
         val refs = ownNames.map(n => f"v$v%08d/" + n) ++ keptFiles
@@ -1011,13 +1116,14 @@ object VersionedTable {
       val raw = versionReader(spark, root, cur).parquet(mayMatch: _*)
         .withColumn("__dv_file", fileRefCol)
         .withColumn("__dv_pos", col("_metadata.row_index"))
-      Some(readExtra(spark, root, cur, "dv") match {
+      val folded = readExtra(spark, root, cur, "dv") match {
         case Some(dv) =>
           raw.join(broadcast(dv.select(col("file").as("__dv_file"),
             col("pos").as("__dv_pos"))),
             Seq("__dv_file", "__dv_pos"), "left_anti")
         case None => raw
-      })
+      }
+      Some(toLogical(folded, columnMapping(spark, root, cur)))
     }
   }
 
@@ -1033,13 +1139,14 @@ object VersionedTable {
       .parquet(refs.map(r => new Path(root, r).toString): _*)
       .withColumn("__dv_file", fileRefCol)
       .withColumn("__dv_pos", col("_metadata.row_index"))
-    readExtra(spark, root, v, "dv") match {
+    val folded = readExtra(spark, root, v, "dv") match {
       case Some(dv) =>
         raw.join(broadcast(dv.select(col("file").as("__dv_file"),
           col("pos").as("__dv_pos"))),
           Seq("__dv_file", "__dv_pos"), "left_anti")
       case None => raw
     }
+    toLogical(folded, columnMapping(spark, root, v))
   }
 
   /** Row-level UPDATE, copy-on-write (Delta/Iceberg `UPDATE ... SET` on
@@ -1140,10 +1247,14 @@ object VersionedTable {
     * maintenance): pin the version, run `body` against it (whose commit
     * must re-validate via [[occValidate]] inside the claim), and on
     * conflict REBASE — re-read the new current and recompute. Bounded
-    * attempts: persistent contention surfaces the conflict rather than
-    * spinning. */
+    * attempts with JITTERED BACKOFF (the Delta commit-retry shape): under
+    * an N-writer burst every loser re-stages simultaneously and exactly
+    * one wins per round, so without backoff a writer can lose ⌈N⌉
+    * straight races; the jitter de-synchronizes the burst instead.
+    * Persistent contention past the bound surfaces the conflict rather
+    * than spinning forever. */
   private def occRetry(spark: SparkSession, root: String)(body: Long => Long): Long = {
-    val maxAttempts = 5
+    val maxAttempts = 20
     var attempt = 0
     var out: Option[Long] = None
     while (out.isEmpty) {
@@ -1152,7 +1263,9 @@ object VersionedTable {
         throw new java.io.IOException(s"no committed version under $root"))
       try out = Some(body(cur))
       catch {
-        case _: Sinks.ConcurrentWriteException if attempt < maxAttempts => ()
+        case _: Sinks.ConcurrentWriteException if attempt < maxAttempts =>
+          val cap = math.min(100L << math.min(attempt, 4), 1600L)
+          Thread.sleep(scala.util.Random.nextLong(cap))
       }
     }
     out.get
@@ -1184,8 +1297,10 @@ object VersionedTable {
         // of a masked file must not resurrect its masked rows); kept
         // files' masks carry forward via commitCow's dv carry
         val sliceRaw = versionReader(spark, root, cur).parquet(mayMatch: _*)
-        val slice = readExtra(spark, root, cur, "dv")
-          .map(applyDv(sliceRaw, _)).getOrElse(sliceRaw)
+        val slice = toLogical(
+          readExtra(spark, root, cur, "dv")
+            .map(applyDv(sliceRaw, _)).getOrElse(sliceRaw),
+          columnMapping(spark, root, cur))
         val rewritten = rewrite(slice)
         val extras = feed(slice)
           .map(fd => Map("changes" -> feedWritable(fd))).getOrElse(Map.empty)
@@ -1281,12 +1396,25 @@ object VersionedTable {
       require(added.forall(_.nullable),
         s"added columns must be nullable (${added.filterNot(_.nullable).map(_.name).mkString(", ")}) " +
           "— existing files carry no values for them")
+      // BIRTH-NAME COLLISIONS: an added column whose logical name equals
+      // a retired physical (dropped column) or a still-live physical
+      // (freed by a rename) must mint a FRESH physical name — by-name
+      // parquet resolution would otherwise resurrect old files' stale
+      // values under the new column
+      val mapping = columnMapping(spark, root, cur)
+      val retired = retiredPhysicals(spark, root, cur)
+      val usedPhys = curSchema.map(f => physicalName(mapping, f.name)).toSet ++ retired
+      val minted = added.collect {
+        case f if usedPhys(f.name) =>
+          f.name -> s"${f.name}_${java.util.UUID.randomUUID().toString.take(8)}"
+      }.toMap
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], newSchema)
       commitCowInternal(empty, root, cur, dataFileRefs(spark, root, cur),
         Map("changes" -> emptyFeed(empty)), // metadata-only: zero-row feed
         Nil, preCommit = occValidate(spark, root, cur),
-        recordSchema = Some(newSchema))
+        recordSchema = Some(newSchema),
+        recordMapping = Some((mapping ++ minted, retired)))
     }
 
   /** SHALLOW CLONE (Delta's `CREATE TABLE ... SHALLOW CLONE`): publish
@@ -1355,8 +1483,90 @@ object VersionedTable {
       },
       recordSchema = Some(schema),
       recordConstraints = Some(constraintsOf(spark, srcRoot, v)),
-      recordProperties = Some(propertiesOf(spark, srcRoot, v)))
+      recordProperties = Some(propertiesOf(spark, srcRoot, v)),
+      recordMapping = Some((columnMapping(spark, srcRoot, v),
+        retiredPhysicals(spark, srcRoot, v))))
   }
+
+  /** Constraints whose expression mentions `column` as a word — the
+    * conservative guard rename/drop use to refuse breaking a recorded
+    * CHECK silently. */
+  private def constraintsMentioning(
+      spark: SparkSession, root: String, v: Long, column: String): Seq[String] = {
+    val re = ("(?i)\\b" + java.util.regex.Pattern.quote(column) + "\\b").r
+    constraintsOf(spark, root, v).collect {
+      case (n, e) if re.findFirstIn(e).isDefined => n
+    }.toSeq
+  }
+
+  /** METADATA-ONLY column RENAME (Delta column mapping): publish a new
+    * version whose logical schema carries the new name while the
+    * logical→physical map keeps pointing at the column's BIRTH name —
+    * zero data files read or written, whatever the table size. Reads of
+    * the new version surface the new name over all existing data; time
+    * travel keeps showing each version under its own names; writers use
+    * the new name from the next commit on (drifted writers are refused by
+    * the schema gate, exactly as before). Refuses when a CHECK constraint
+    * references the column — drop or re-add the constraint around the
+    * rename, or it would silently stop binding. */
+  def renameColumn(
+      spark: SparkSession, root: String, from: String, to: String): Long =
+    occRetry(spark, root) { cur =>
+      val schema = schemaOf(spark, root, cur)
+      require(schema.fieldNames.contains(from),
+        s"no column $from in $root (columns: ${schema.fieldNames.mkString(", ")})")
+      require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+        s"column $to already exists in $root")
+      val broken = constraintsMentioning(spark, root, cur, from)
+      require(broken.isEmpty,
+        s"CHECK constraint(s) ${broken.mkString(", ")} reference $from — " +
+          "drop them before the rename and re-add against the new name")
+      val mapping = columnMapping(spark, root, cur)
+      val phys = physicalName(mapping, from)
+      val newMapping = (mapping - from) ++
+        (if (to == phys) Map.empty[String, String] else Map(to -> phys))
+      val newSchema = org.apache.spark.sql.types.StructType(schema.map(f =>
+        if (f.name == from) f.copy(name = to) else f))
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], newSchema)
+      commitCowInternal(empty, root, cur, dataFileRefs(spark, root, cur),
+        Map("changes" -> emptyFeed(empty)), // metadata-only: zero-row feed
+        Nil, preCommit = occValidate(spark, root, cur),
+        recordSchema = Some(newSchema),
+        recordMapping = Some((newMapping, retiredPhysicals(spark, root, cur))))
+    }
+
+  /** METADATA-ONLY column DROP (Delta column mapping): the logical schema
+    * loses the field and its physical birth name is RETIRED — the bytes
+    * stay in the existing files (readers never request the column;
+    * columnar pruning means they never pay for it either) and fold away
+    * as compaction/optimize rewrites touch each file. A later add of the
+    * same logical name mints a fresh physical name, so the dropped
+    * column's stale values can never resurrect. Refuses to drop the last
+    * column or one a CHECK constraint references. */
+  def dropColumn(spark: SparkSession, root: String, name: String): Long =
+    occRetry(spark, root) { cur =>
+      val schema = schemaOf(spark, root, cur)
+      require(schema.fieldNames.contains(name),
+        s"no column $name in $root (columns: ${schema.fieldNames.mkString(", ")})")
+      require(schema.size > 1, s"cannot drop the last column of $root")
+      val broken = constraintsMentioning(spark, root, cur, name)
+      require(broken.isEmpty,
+        s"CHECK constraint(s) ${broken.mkString(", ")} reference $name — " +
+          "drop them before dropping the column")
+      val mapping = columnMapping(spark, root, cur)
+      val phys = physicalName(mapping, name)
+      val newSchema = org.apache.spark.sql.types.StructType(
+        schema.filterNot(_.name == name))
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], newSchema)
+      commitCowInternal(empty, root, cur, dataFileRefs(spark, root, cur),
+        Map("changes" -> emptyFeed(empty)), // metadata-only: zero-row feed
+        Nil, preCommit = occValidate(spark, root, cur),
+        recordSchema = Some(newSchema),
+        recordMapping = Some((mapping - name,
+          retiredPhysicals(spark, root, cur) + phys)))
+    }
 
   // ---- table properties ---------------------------------------------------
 
@@ -1747,7 +1957,12 @@ object VersionedTable {
             finally out.close()
           },
           preCommit = occValidate(spark, root, cur),
-          recordSchema = Some(schema))
+          recordSchema = Some(schema),
+          // the restored snapshot reads under ITS mapping; retired names
+          // union so a post-restore add can't collide with either era
+          recordMapping = Some((columnMapping(spark, root, toVersion),
+            retiredPhysicals(spark, root, toVersion) ++
+              retiredPhysicals(spark, root, cur))))
       }
     }
 
@@ -1802,10 +2017,11 @@ object VersionedTable {
           .collect().map(_.getString(0)).toSeq
         if (files.isEmpty) None
         else {
-          val raw = versionReader(spark, root, tgt)
+          val raw = toLogical(versionReader(spark, root, tgt)
             .parquet(files.map(r => new Path(root, r).toString): _*)
             .withColumn("__dv_file", fileRefCol)
-            .withColumn("__dv_pos", col("_metadata.row_index"))
+            .withColumn("__dv_pos", col("_metadata.row_index")),
+            columnMapping(spark, root, tgt))
           Some(project(raw.join(broadcast(positions.select(
             col("file").as("__dv_file"), col("pos").as("__dv_pos"))),
             Seq("__dv_file", "__dv_pos"), "inner"))
