@@ -25,7 +25,7 @@ object SparkEntry {
     "q1_pricing_summary" -> ((s, dir) => q1PricingSummary(s, dir))
   ) ++ graft.queries.EtlQueries.defs ++ graft.queries.AnalyticsQueries.defs ++
     graft.queries.DedupQueries.defs ++ graft.queries.TextQueries.defs ++
-    graft.queries.CurationQueries.defs
+    graft.queries.CurationQueries.defs ++ graft.queries.FormatQueries.defs
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -44,7 +44,7 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin
   ) ++ graft.queries.EtlQueries.oracles ++ graft.queries.AnalyticsQueries.oracles ++
     graft.queries.DedupQueries.oracles ++ graft.queries.TextQueries.oracles ++
-    graft.queries.CurationQueries.oracles
+    graft.queries.CurationQueries.oracles ++ graft.queries.FormatQueries.oracles
 
   /** q1: groupBy multi-aggregate over the fact table (TPC-H Q1 shape — the
     * dbt-style "aggregate mart" pattern of the reference, e.g.

@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.plans.GraftSql
+import graft.sources.{Tables, VersionedTable}
+
+/** SURVEY.md §2g — the TABLE FORMAT's DML semantics, oracle-checked:
+  * each key materializes a versioned table in a scratch root, drives it
+  * through the SQL face (MERGE, deletion-vector DELETE/UPDATE, INSERT
+  * INTO + metadata-only RENAME COLUMN), and returns the final table
+  * state — which DuckDB re-derives RELATIONALLY from the same input
+  * parquet. A hash match proves the format's write paths (copy-on-write
+  * planning, deletion-vector masking, column mapping, append commits)
+  * compute exactly the semantics an independent engine assigns to the
+  * same statements — the gate the spec suite can't provide, because it
+  * never leaves this engine.
+  *
+  * All inputs are deterministic slices of `orders`; values pass through
+  * unchanged (no float arithmetic), so the comparison is exact. Scratch
+  * roots are fresh per invocation and O(sf) sized; at 100 TB these same
+  * statements run against a persistent root — the semantics under test
+  * are size-independent. */
+object FormatQueries {
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_format_merge"     -> ((s, d) => q27(s, d)),
+    "q28_format_dv_dml"    -> ((s, d) => q28(s, d)),
+    "q29_format_evolution" -> ((s, d) => q29(s, d))
+  )
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_fmtq").toString + "/t"
+
+  /** q27: ANSI SQL MERGE on the versioned table (the touched-file COW
+    * road): matched rows take the source image (`UPDATE SET *`),
+    * unmatched source rows insert (`INSERT *`). The oracle re-derives the
+    * merge as source ∪ (target anti source) — a full-join restatement of
+    * the SQL-standard action semantics. */
+  def q27(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot()
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"))
+    VersionedTable.commit(orders.where(col("o_orderkey") % 3 =!= 0), root)
+    orders.where(col("o_orderkey") % 2 === 0)
+      .withColumn("o_orderstatus", lit("M"))
+      .createOrReplaceTempView("q27_src")
+    GraftSql.execute(s,
+      s"""MERGE INTO `$root` AS t USING q27_src AS s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    VersionedTable.read(s, root).orderBy(col("o_orderkey"))
+  }
+
+  /** q28: DELETION-VECTOR DML — `graft.enableDeletionVectors=true` flips
+    * the SQL DELETE and UPDATE to merge-on-read: matched rows are masked
+    * at their (file, position) and updates append replacement rows; the
+    * read folds the masks. The oracle is the plain relational statement
+    * of the same two operations. */
+  def q28(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot()
+    VersionedTable.commit(Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+      root)
+    VersionedTable.setProperties(s, root,
+      Map("graft.enableDeletionVectors" -> "true"))
+    GraftSql.execute(s, s"DELETE FROM `$root` WHERE o_totalprice < 100000.0")
+    GraftSql.execute(s,
+      s"UPDATE `$root` SET o_orderstatus = 'X' WHERE o_orderkey % 5 = 0")
+    VersionedTable.read(s, root).orderBy(col("o_orderkey"))
+  }
+
+  /** q29: SCHEMA EVOLUTION road — `INSERT INTO` (O(batch) append commit)
+    * followed by a METADATA-ONLY `RENAME COLUMN` (column mapping: the
+    * files keep the birth name, the logical schema renames). The result
+    * surfaces both commits' rows under the renamed column; the oracle
+    * is a projection with the alias applied — proving the mapping
+    * changes names and nothing else. */
+  def q29(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot()
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    VersionedTable.commit(orders.where(col("o_orderkey") % 4 === 1), root)
+    orders.where(col("o_orderkey") % 4 === 2)
+      .createOrReplaceTempView("q29_src")
+    GraftSql.execute(s, s"INSERT INTO `$root` SELECT * FROM q29_src")
+    GraftSql.execute(s,
+      s"ALTER TABLE '$root' RENAME COLUMN o_totalprice TO price")
+    VersionedTable.read(s, root).orderBy(col("o_orderkey"))
+  }
+
+  def oracles: Map[String, String] = Map(
+    "q27_format_merge" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |s AS (
+        |  SELECT o_orderkey, 'M' AS o_orderstatus, o_totalprice, o_orderdate
+        |  FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM s
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+        |FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q28_format_dv_dml" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END
+        |    AS o_orderstatus,
+        |  o_totalprice
+        |FROM orders
+        |WHERE NOT (o_totalprice < 100000.0)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q29_format_evolution" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice AS price
+        |FROM orders
+        |WHERE o_orderkey % 4 = 1 OR o_orderkey % 4 = 2
+        |ORDER BY o_orderkey""".stripMargin
+  )
+}
