@@ -34,6 +34,11 @@ import graft.sources.{Sinks, VersionedTable}
   *       insert images in the feed), creating the table on an empty root
   *   - `CREATE TABLE '<root>' AS <query>` → create a versioned table from
   *       a query result (refuses an existing root)
+  *   - `COPY INTO '<root>' FROM '<dir>' FILEFORMAT = PARQUET|CSV|JSON
+  *       [PATTERN = 'glob'] [FORMAT_OPTIONS ('k'='v',…)]` → IDEMPOTENT
+  *       landing-zone ingest: a loaded-file ledger commits atomically
+  *       with the rows, so re-runs load each source file exactly once
+  *       ([[runCopyInto]])
   *   - `CREATE TABLE '<dest>' SHALLOW CLONE '<src>' [VERSION AS OF n]` →
   *       zero-copy clone: absolute-ref manifest, stats/schema/constraints/
   *       properties/deletion-vectors carried, O(files) metadata
@@ -121,6 +126,8 @@ object GraftSql {
     """(?is)\s*SHOW\s+TBLPROPERTIES\s+'([^']+)'\s*;?\s*""".r
   private val CloneRe =
     """(?is)\s*CREATE\s+TABLE\s+'([^']+)'\s+SHALLOW\s+CLONE\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
+  private val CopyIntoRe =
+    """(?is)\s*COPY\s+INTO\s+'([^']+)'\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)(?:\s+PATTERN\s*=\s*'([^']+)')?(?:\s+FORMAT_OPTIONS\s*\((.*?)\))?\s*;?\s*""".r
   private val CreateAsRe =
     """(?is)\s*CREATE\s+TABLE\s+'([^']+)'\s+AS\s+(.+?)\s*;?\s*""".r
   private val PropPairRe = """'([^']*)'\s*=\s*'([^']*)'""".r
@@ -195,6 +202,14 @@ object GraftSql {
         Some(GraftCommand("UNSET TBLPROPERTIES", root, s =>
           Seq(Row("UNSET TBLPROPERTIES", root,
             VersionedTable.unsetProperties(s, root, ks)))))
+      case CopyIntoRe(root, srcDir, fmt, pattern, opts) =>
+        val fmtOpts = Option(opts).map(o =>
+          PropPairRe.findAllMatchIn(o).map(m => m.group(1) -> m.group(2)).toMap)
+          .getOrElse(Map.empty)
+        Some(GraftCommand("COPY INTO", root, s =>
+          Seq(Row("COPY INTO", root,
+            runCopyInto(s, root, srcDir, fmt.toLowerCase,
+              Option(pattern), fmtOpts)))))
       case CloneRe(dest, src, v) =>
         Some(GraftCommand("SHALLOW CLONE", dest, s =>
           Seq(Row("SHALLOW CLONE", dest,
@@ -403,6 +418,97 @@ object GraftSql {
         src(s"`$sc`").cast(f.dataType).as(f.name)
       }: _*)
     }
+  }
+
+  // ---- COPY INTO -----------------------------------------------------------
+
+  /** `COPY INTO '<root>' FROM '<dir>' FILEFORMAT = PARQUET|CSV|JSON
+    * [PATTERN = 'glob'] [FORMAT_OPTIONS ('k'='v',…)]` — IDEMPOTENT file
+    * ingestion (the Delta COPY INTO contract): the table carries a
+    * LOADED-FILE LEDGER (`_copyfiles` extra, one row per ingested source
+    * file), each run loads only files not yet in it, and the ledger and
+    * the rows commit atomically in one snapshot — so a crashed or
+    * re-scheduled run re-loads NOTHING (exactly-once per file), which is
+    * the property an hourly landing-zone ingest actually needs (the
+    * alternative, remembering progress in the scheduler, loses it on
+    * redeploys). Returns the number of files loaded (0 = fully caught
+    * up, no commit published).
+    *
+    * The load is an O(batch) append commit: source files are read with
+    * the table's recorded schema (CSV/JSON get it as the parse schema;
+    * parquet verifies against it by name), aligned BY NAME with casts,
+    * and appended with an insert-image change feed. Requires an existing
+    * table — the schema is the contract the files are checked against.
+    * Optimistic-concurrent: two racing COPYs recompute the ledger on
+    * conflict, so a file is never double-loaded. */
+  private def runCopyInto(
+      spark: SparkSession, root: String, srcDir: String, fmt: String,
+      pattern: Option[String], fmtOpts: Map[String, String]): Long = {
+    require(Set("parquet", "csv", "json")(fmt),
+      s"FILEFORMAT must be PARQUET, CSV or JSON (got $fmt)")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(srcDir)
+    val fs = src.getFileSystem(hconf)
+    val maxAttempts = 20
+    var attempt = 0
+    var out: Option[Long] = None
+    while (out.isEmpty) {
+      attempt += 1
+      val base = VersionedTable.currentVersion(spark, root).getOrElse(
+        throw new java.io.IOException(
+          s"COPY INTO needs an existing versioned table under $root — " +
+            "CREATE TABLE '<root>' AS ... first (its schema is the contract " +
+            "the copied files are checked against)"))
+      val glob = pattern.map(p => new org.apache.hadoop.fs.Path(src, p))
+        .getOrElse(new org.apache.hadoop.fs.Path(src, "*"))
+      val candidates = fs.globStatus(glob).toSeq
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .map(st => fs.makeQualified(st.getPath).toString)
+      val ledger: Set[String] =
+        VersionedTable.readExtra(spark, root, base, "copyfiles")
+          .map(_.select("file").collect().map(_.getString(0)).toSet)
+          .getOrElse(Set.empty)
+      val fresh = candidates.filterNot(ledger).sorted
+      if (fresh.isEmpty) out = Some(0L)
+      else {
+        val schema = VersionedTable.tableSchema(spark, root, base)
+          .getOrElse(VersionedTable.readVersion(spark, root, base).schema)
+        val reader = fmtOpts.foldLeft(spark.read) { case (r, (k, v)) =>
+          r.option(k, v) }
+        val raw = fmt match {
+          // CSV/JSON parse under the table schema (names + types are the
+          // contract); parquet is self-describing and aligns below
+          case "parquet" => reader.parquet(fresh: _*)
+          case "csv" => reader.schema(schema).csv(fresh: _*)
+          case "json" => reader.schema(schema).json(fresh: _*)
+        }
+        val aligned = alignToSchema(raw, schema, Nil, byName = true, root)
+        import spark.implicits._
+        val newLedger = (ledger ++ fresh).toSeq.sorted.toDF("file")
+        try {
+          VersionedTable.commitCow(aligned, root,
+            VersionedTable.dataFileRefs(spark, root, base),
+            extras = Map(
+              "copyfiles" -> newLedger,
+              "changes" -> VersionedTable.feedWritable(
+                aligned.withColumn("_change_type", lit("insert")))),
+            preCommit = _ => {
+              val now = VersionedTable.currentVersion(spark, root)
+              if (now != Some(base))
+                throw new Sinks.ConcurrentWriteException(root, Some(base), now)
+            })
+          out = Some(fresh.size.toLong)
+        } catch {
+          case _: Sinks.ConcurrentWriteException if attempt < maxAttempts =>
+            // another writer published: recompute the ledger against the
+            // new current so a racing COPY can't double-load a file
+            Thread.sleep(scala.util.Random.nextLong(
+              math.min(100L << math.min(attempt, 4), 1600L)))
+        }
+      }
+    }
+    out.get
   }
 
   // ---- MERGE ---------------------------------------------------------------

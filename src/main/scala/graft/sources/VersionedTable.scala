@@ -286,8 +286,17 @@ object VersionedTable {
       // side tables that belong to THIS snapshot (e.g. a change feed):
       // written under "_"-prefixed subdirs inside the staging dir, so they
       // rename, publish and vacuum atomically with their version and stay
-      // invisible to plain snapshot readers
-      extras.foreach { case (name, extra) =>
+      // invisible to plain snapshot readers. The COPY INTO loaded-file
+      // ledger ("copyfiles") is LOAD HISTORY, not snapshot state: it
+      // carries forward through every commit path (rewrites included) so
+      // an idempotent ingest stays idempotent across unrelated writes —
+      // O(ledger) rows, only on tables COPY INTO ever touched.
+      val extrasCarried =
+        if (extras.contains("copyfiles")) extras
+        else currentVersion(spark, root)
+          .flatMap(cv => readExtra(spark, root, cv, "copyfiles"))
+          .map(l => extras.updated("copyfiles", l)).getOrElse(extras)
+      extrasCarried.foreach { case (name, extra) =>
         require(name.nonEmpty && name.forall(ch => ch.isLetterOrDigit || ch == '_'),
           s"extra table name must be alphanumeric/underscore: $name")
         extra.write.mode(SaveMode.Overwrite)
@@ -1456,7 +1465,10 @@ object VersionedTable {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val extras = readExtra(spark, srcRoot, v, "dv")
-      .map(d => Map("dv" -> d)).getOrElse(Map.empty) +
+      .map(d => Map("dv" -> d)).getOrElse(Map.empty) ++
+      // the COPY INTO ledger rides along: re-running the source's ingest
+      // against the clone must not double-load the same landing files
+      readExtra(spark, srcRoot, v, "copyfiles").map("copyfiles" -> _).toMap +
       ("changes" -> emptyFeed(empty)) // clones re-emit no history (Delta)
     // stats re-key: source rows are keyed bare-name (dir snapshot) or
     // ref (manifest snapshot); the clone keys them by its absolute refs
