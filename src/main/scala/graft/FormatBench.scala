@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.VersionedTable
+
+/** Measures the round-8 table-format motions against their naive roads
+  * on a real table (orders at `SPARK_GRAFT_SF_DIR`): metadata-only
+  * RENAME COLUMN vs the full rewrite a mapping-less format needs,
+  * SHALLOW CLONE vs a data copy, and the bytes each publishes. One JSON
+  * line on stdout; numbers land in SCALING.md. */
+object FormatBench {
+  private def dirBytes(p: String): Long = {
+    val f = new java.io.File(p)
+    if (!f.exists()) 0L
+    else if (f.isFile) f.length()
+    else Option(f.listFiles()).getOrElse(Array.empty)
+      .map(x => dirBytes(x.getPath)).sum
+  }
+  private def time[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime(); val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-format-bench")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val scratch = java.nio.file.Files.createTempDirectory("graft_fmtbench").toString
+    val root = scratch + "/t"
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+
+    val (_, tBuild) = time { VersionedTable.commit(orders, root) }
+    val tableBytes = dirBytes(root)
+
+    // metadata-only rename vs the rewrite road (what a format without
+    // column mapping must do): same logical outcome, measured both ways
+    val preRename = dirBytes(root)
+    val (_, tRename) = time {
+      VersionedTable.renameColumn(spark, root, "o_totalprice", "price")
+    }
+    val renameBytes = dirBytes(root) - preRename
+    val rewriteRoot = scratch + "/rw"
+    val (_, tRewrite) = time {
+      VersionedTable.commit(
+        VersionedTable.read(spark, root).withColumnRenamed("price", "o_totalprice"),
+        rewriteRoot)
+    }
+    val rewriteBytes = dirBytes(rewriteRoot)
+
+    // zero-copy clone vs a data copy of the same snapshot
+    val cloneRoot = scratch + "/clone"
+    val (_, tClone) = time {
+      VersionedTable.shallowClone(spark, cloneRoot, root)
+    }
+    val cloneBytes = dirBytes(cloneRoot)
+
+    val rows = orders.count()
+    println(
+      s"""{"metric":"format_bench","sf":"$sfDir","rows":$rows,""" +
+      s""""table_bytes":$tableBytes,""" +
+      s""""build_s":${f"$tBuild%.3f"},""" +
+      s""""rename_s":${f"$tRename%.3f"},"rename_bytes":$renameBytes,""" +
+      s""""rewrite_s":${f"$tRewrite%.3f"},"rewrite_bytes":$rewriteBytes,""" +
+      s""""clone_s":${f"$tClone%.3f"},"clone_bytes":$cloneBytes}""")
+    spark.stop()
+  }
+}
