@@ -89,6 +89,27 @@ class CopyIntoSpec extends SparkSpec {
       got.select(min(col("id"))).head.getLong(0) == 100L)
   }
 
+  test("racing COPY threads never double-load a file") {
+    val root = freshDir("t6") + "/t"; seedTable(root)
+    val landing = freshDir("land6")
+    (1 to 4).foreach(b => land(landing, b * 100 until b * 100 + 5, s"b$b"))
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val loaded = new java.util.concurrent.atomic.AtomicLong(0)
+    val threads = (1 to 3).map(i => new Thread(() => {
+      try loaded.addAndGet(GraftSql.execute(spark,
+        s"COPY INTO '$root' FROM '$landing' FILEFORMAT = PARQUET")
+        .collect().head.getLong(2))
+      catch { case t: Throwable => errors.add(t) }
+    }, s"copier-$i"))
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errors.isEmpty, s"copier failed: ${errors.peek()}")
+    // between them the three copiers loaded each file exactly once
+    assert(loaded.get() == 4L, s"files loaded ${loaded.get()} times, not 4")
+    val got = VersionedTable.read(spark, root)
+    assert(got.count() == 21)
+    assert(got.select("id").distinct().count() == 21, "a file double-loaded")
+  }
+
   test("refuses a missing table and unknown formats") {
     val landing = freshDir("land5")
     val e1 = intercept[Exception](GraftSql.execute(spark,

@@ -150,4 +150,19 @@ class SqlLoadSpec extends SparkSpec {
       s"CREATE TABLE '$dest' SHALLOW CLONE '$src' VERSION AS OF 1")
     assert(VersionedTable.read(spark, dest).count() == 10)
   }
+
+  test("vacuum on a clone drops its own history, never the source's files") {
+    val src = freshRoot(); seed(src)
+    val dest = freshRoot()
+    GraftSql.execute(spark, s"CREATE TABLE '$dest' SHALLOW CLONE '$src'")
+    // build clone-local history, then vacuum it down
+    GraftSql.execute(spark, s"INSERT INTO `$dest` VALUES (11, 'c', 1)")
+    GraftSql.execute(spark, s"INSERT INTO `$dest` VALUES (12, 'c', 2)")
+    VersionedTable.vacuum(spark, dest, keepLast = 1, olderThanMs = Some(0L))
+    // the clone still reads (its manifest references live source files)
+    assert(VersionedTable.read(spark, dest).count() == 12)
+    // and the SOURCE is untouched: full content + its own history intact
+    assert(VersionedTable.read(spark, src).count() == 10)
+    assert(VersionedTable.readVersion(spark, src, 1L).count() == 10)
+  }
 }

@@ -158,6 +158,26 @@ class ColumnMappingSpec extends SparkSpec {
     assert(VersionedTable.read(spark, dest).count() == 20)
   }
 
+  test("maintenance rewrites on a mapped table: z-order re-births names cleanly") {
+    val root = freshRoot(); seed(root)
+    VersionedTable.renameColumn(spark, root, "amount", "revenue")
+    // a full layout rewrite reads logical, writes fresh files whose birth
+    // names ARE the logical names — mapping resets, data identical
+    // (tiny byte target: force several clustered files so pruning can bite)
+    VersionedTable.optimize(spark, root, Seq("revenue"), targetFileBytes = 512)
+    val cur = VersionedTable.currentVersion(spark, root).get
+    assert(VersionedTable.columnMapping(spark, root, cur).isEmpty,
+      "full rewrite must re-birth columns under logical names")
+    val got = VersionedTable.read(spark, root)
+    assert(got.columns.toSeq == Seq("id", "x", "revenue"))
+    assert(got.select(sum(col("revenue"))).head.getLong(0) ==
+      (1L to 20L).map(_ * 10).sum)
+    // and the clustered files prune on the renamed column
+    val (kept, total) = VersionedTable.prunedFiles(spark, root, cur,
+      col("revenue") === 10L)
+    assert(kept.size < total)
+  }
+
   test("SQL face: ALTER TABLE RENAME/DROP COLUMN route to the mapping") {
     val root = freshRoot(); seed(root)
     val r = GraftSql.execute(spark,
