@@ -51,6 +51,10 @@ import graft.sources.{Sinks, VersionedTable}
   *   - `DESCRIBE HISTORY '<root>'` → the commit log as a result set
   *       (version, time, file/byte totals, fresh vs carried, feed/DV/txn
   *       flags, schema width — [[VersionedTable.history]])
+  *   - `DESCRIBE DETAIL '<root>'` → one-row current-snapshot summary
+  *       (version, files/bytes, schema width, renamed columns,
+  *       constraints, properties, DV/ledger state —
+  *       [[VersionedTable.detail]])
   *   - `RESTORE [TABLE] '<root>' TO VERSION AS OF n` → metadata-only
   *       rollback published as a new commit ([[VersionedTable.restore]])
   *   - `ALTER TABLE '<root>' ADD CONSTRAINT n CHECK (e)` / `ALTER TABLE
@@ -106,6 +110,8 @@ object GraftSql {
     """(?is)\s*VACUUM\s+'([^']+)'\s+KEEP\s+(\d+)(?:\s+OLDER\s+THAN\s+(\d+)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val HistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
+  private val DetailRe =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+'([^']+)'\s*;?\s*""".r
   private val RestoreRe =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?'([^']+)'\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val AddConstraintRe =
@@ -165,6 +171,9 @@ object GraftSql {
       case HistoryRe(root) =>
         Some(org.apache.spark.sql.graft.GraftHistoryCommand(root,
           s => VersionedTable.history(s, root).collect().toSeq))
+      case DetailRe(root) =>
+        Some(org.apache.spark.sql.graft.GraftDetailCommand(root,
+          s => Seq(VersionedTable.detail(s, root))))
       case RestoreRe(root, v) =>
         Some(GraftCommand("RESTORE", root, s =>
           Seq(Row("RESTORE", root, VersionedTable.restore(s, root, v.toLong)))))

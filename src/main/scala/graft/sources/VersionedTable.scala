@@ -1580,6 +1580,26 @@ object VersionedTable {
           retiredPhysicals(spark, root, cur) + phys)))
     }
 
+  /** One-row current-snapshot summary — `DESCRIBE DETAIL`'s body (the
+    * Delta shape): metadata-only, no data read. Row layout matches
+    * [[org.apache.spark.sql.graft.GraftDetailCommand]]. */
+  def detail(spark: SparkSession, root: String): org.apache.spark.sql.Row = {
+    val v = currentVersion(spark, root).getOrElse(
+      throw new java.io.IOException(s"no committed version under $root"))
+    val refs = dataFileRefs(spark, root, v)
+    val ledger = readExtra(spark, root, v, "copyfiles")
+      .map(_.count()).getOrElse(0L)
+    org.apache.spark.sql.Row(
+      root, v, refs.size, snapshotBytes(spark, root, v),
+      schemaOf(spark, root, v).size,
+      columnMapping(spark, root, v).size,
+      constraintsOf(spark, root, v).size,
+      propertiesOf(spark, root, v).size,
+      hasDeletionVectors(spark, root, v),
+      ledger,
+      versions(spark, root).size)
+  }
+
   // ---- table properties ---------------------------------------------------
 
   /** The free-form table PROPERTIES recorded for version `v` (Delta's

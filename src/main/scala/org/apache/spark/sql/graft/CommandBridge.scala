@@ -68,6 +68,27 @@ case class GraftConstraintsCommand(table: String, body: SparkSession => Seq[Row]
   override def simpleString(maxFields: Int): String = s"GraftConstraintsCommand($table)"
 }
 
+/** `DESCRIBE DETAIL '<root>'`: one-row summary of the current snapshot
+  * (Delta's DESCRIBE DETAIL shape) — version, file/byte totals, schema
+  * width, and which format features are active on the table. */
+case class GraftDetailCommand(table: String, body: SparkSession => Seq[Row])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("num_files", IntegerType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("schema_fields", IntegerType, nullable = false)(),
+    AttributeReference("renamed_columns", IntegerType, nullable = false)(),
+    AttributeReference("constraints", IntegerType, nullable = false)(),
+    AttributeReference("properties", IntegerType, nullable = false)(),
+    AttributeReference("deletion_vectors", BooleanType, nullable = false)(),
+    AttributeReference("copy_ledger_files", LongType, nullable = false)(),
+    AttributeReference("retained_versions", IntegerType, nullable = false)())
+  override def run(sparkSession: SparkSession): Seq[Row] = body(sparkSession)
+  override def simpleString(maxFields: Int): String = s"GraftDetailCommand($table)"
+}
+
 /** `SHOW TBLPROPERTIES '<root>'`: the current version's table properties
   * as a result set (key, value) — introspection face of
   * [[graft.sources.VersionedTable.propertiesOf]]. */

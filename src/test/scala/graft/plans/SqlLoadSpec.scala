@@ -151,6 +151,24 @@ class SqlLoadSpec extends SparkSpec {
     assert(VersionedTable.read(spark, dest).count() == 10)
   }
 
+  test("DESCRIBE DETAIL summarizes the snapshot and its active features") {
+    val root = freshRoot(); seed(root)
+    VersionedTable.setProperties(spark, root,
+      Map("graft.enableDeletionVectors" -> "true"))
+    GraftSql.execute(spark, s"DELETE FROM `$root` WHERE id = 1") // DV mode
+    VersionedTable.renameColumn(spark, root, "amount", "revenue")
+    val d = GraftSql.execute(spark, s"DESCRIBE DETAIL '$root'").collect().head
+    assert(d.getAs[String]("location") == root)
+    assert(d.getAs[Long]("version") == 4L)
+    assert(d.getAs[Int]("num_files") > 0)
+    assert(d.getAs[Long]("size_bytes") > 0L)
+    assert(d.getAs[Int]("schema_fields") == 3)
+    assert(d.getAs[Int]("renamed_columns") == 1)
+    assert(d.getAs[Int]("properties") == 1)
+    assert(d.getAs[Boolean]("deletion_vectors"))
+    assert(d.getAs[Int]("retained_versions") == 4)
+  }
+
   test("vacuum on a clone drops its own history, never the source's files") {
     val src = freshRoot(); seed(src)
     val dest = freshRoot()
