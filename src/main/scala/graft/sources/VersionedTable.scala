@@ -136,10 +136,20 @@ object VersionedTable {
     * the hole immediately). Where fresh consumers ([[consumeChanges]],
     * the streaming source) begin. */
   def earliestFeedStart(spark: SparkSession, root: String): Long = {
-    val head = versions(spark, root).headOption.getOrElse(1L)
+    val vs = versions(spark, root)
     val pastDropped = vacuumedVersions(spark, root)
       .foldLeft(0L)(math.max) + 1L
-    math.max(head, pastDropped)
+    // CDC starts at the first version that CARRIES a feed: a table whose
+    // creation commit was a plain commit() has none there (Delta's CDF
+    // likewise reads from its enablement point, not table birth). A
+    // mid-chain feed-less version still raises in readChanges — that is
+    // a continuity break, not a pre-CDC prefix. No version fed at all →
+    // start past the end: nothing to consume yet, not an error.
+    val f = fs(spark, root)
+    val firstFed = vs.find(v =>
+      f.exists(new Path(versionDir(root, v), "_changes")))
+    math.max(firstFed.getOrElse(vs.lastOption.map(_ + 1L).getOrElse(1L)),
+      pastDropped)
   }
 
   // ---- version-log checkpoint --------------------------------------------

@@ -73,6 +73,47 @@ class ChangeFeedStreamSpec extends SparkSpec {
     assert(drain(root, ckpt)._1.isEmpty)
   }
 
+  test("every SQL write verb feeds the stream: INSERT, COPY INTO, MERGE, DV DELETE") {
+    import graft.plans.GraftSql
+    val root = java.nio.file.Files.createTempDirectory("graft_cfs3").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cfs3_ck").toString
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "x"), root) // v1 (no feed)
+    GraftSql.execute(spark, s"INSERT INTO `$root` VALUES (3, 'c')")       // v2
+    val landing = java.nio.file.Files.createTempDirectory("graft_cfs3_l").toString
+    Seq((4L, "d")).toDF("id", "x").coalesce(1).write.mode("append").parquet(landing)
+    GraftSql.execute(spark,
+      s"COPY INTO '$root' FROM '$landing' FILEFORMAT = PARQUET")          // v3
+    Seq((2L, "B2"), (5L, "e")).toDF("id", "x").createOrReplaceTempView("cfs3_src")
+    GraftSql.execute(spark,
+      s"""MERGE INTO `$root` AS t USING cfs3_src AS s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)                  // v4
+    VersionedTable.setProperties(spark, root,
+      Map("graft.enableDeletionVectors" -> "true"))                       // v5 (zero-row)
+    GraftSql.execute(spark, s"DELETE FROM `$root` WHERE id = 1")          // v6 (DV)
+
+    val (got, _) = {
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+      val q = ChangeFeedStream.read(spark, root)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          rows.synchronized { rows ++= df
+            .select(col("id"), col("_change_type"), col("_commit_version"))
+            .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))) }
+          ()
+        }.start()
+      q.processAllAvailable(); q.stop()
+      (rows.toSeq, ())
+    }
+    val byVersion = got.groupBy(_._3)
+    assert(byVersion(2L).map(t => (t._1, t._2)) == Seq((3L, "insert")))
+    assert(byVersion(3L).map(t => (t._1, t._2)) == Seq((4L, "insert")))
+    assert(byVersion(4L).map(t => (t._1, t._2)).sorted ==
+      Seq((2L, "update_postimage"), (2L, "update_preimage"), (5L, "insert")))
+    assert(byVersion(6L).map(t => (t._1, t._2)) == Seq((1L, "delete")))
+    assert(!byVersion.contains(5L) || byVersion(5L).isEmpty) // metadata-only
+  }
+
   test("maxVersionsPerBatch rate-limits catch-up to one version per micro-batch") {
     val root = java.nio.file.Files.createTempDirectory("graft_cfs2").toString + "/t"
     val ckpt = java.nio.file.Files.createTempDirectory("graft_cfs2_ck").toString
