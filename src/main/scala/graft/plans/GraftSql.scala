@@ -233,7 +233,8 @@ object GraftSql {
           Seq(Row("CREATE TABLE AS", root,
             VersionedTable.commit(df, root, extras = Map("changes" ->
               VersionedTable.feedWritable(
-                df.withColumn("_change_type", lit("insert")))))))
+                df.withColumn("_change_type", lit("insert")))),
+              preCommit = stillEmptyGuard(s, root))))
         }))
       case ShowPropsRe(root) =>
         Some(org.apache.spark.sql.graft.GraftPropertiesCommand(root, s => {
@@ -366,22 +367,63 @@ object GraftSql {
           "a column list / BY NAME needs an existing table schema")
         VersionedTable.commit(src, root, extras = Map("changes" ->
           VersionedTable.feedWritable(
-            src.withColumn("_change_type", lit("insert")))))
-      case Some(v) =>
-        val target = VersionedTable.tableSchema(spark, root, v)
-          .getOrElse(VersionedTable.readVersion(spark, root, v).schema)
-        val aligned = alignToSchema(src, target, i.userSpecifiedCols,
-          i.byName, root)
+            src.withColumn("_change_type", lit("insert")))),
+          preCommit = stillEmptyGuard(spark, root))
+      case Some(v0) =>
         if (i.overwrite) {
-          val feed = VersionedTable.readVersion(spark, root, v)
-            .withColumn("_change_type", lit("delete"))
-            .unionByName(aligned.withColumn("_change_type", lit("insert")),
-              allowMissingColumns = true)
-          VersionedTable.commit(aligned, root,
-            extras = Map("changes" -> VersionedTable.feedWritable(feed)))
-        } else VersionedTable.commitAppend(aligned, root, changeFeed = true)
+          // OCC: the delete-pre-image feed is computed FROM the pinned
+          // base, so a concurrent commit landing between the pin and the
+          // publish would vanish from the table with no delete image —
+          // a CDC consumer would keep its rows forever. Re-validate
+          // inside the claim and rebuild the feed on conflict, exactly
+          // like every other snapshot-derived writer.
+          val maxAttempts = 20
+          var attempt = 0
+          var out: Option[Long] = None
+          while (out.isEmpty) {
+            attempt += 1
+            val base = VersionedTable.currentVersion(spark, root).getOrElse(v0)
+            val target = VersionedTable.tableSchema(spark, root, base)
+              .getOrElse(VersionedTable.readVersion(spark, root, base).schema)
+            val aligned = alignToSchema(src, target, i.userSpecifiedCols,
+              i.byName, root)
+            val feed = VersionedTable.readVersion(spark, root, base)
+              .withColumn("_change_type", lit("delete"))
+              .unionByName(aligned.withColumn("_change_type", lit("insert")),
+                allowMissingColumns = true)
+            try out = Some(VersionedTable.commit(aligned, root,
+              extras = Map("changes" -> VersionedTable.feedWritable(feed)),
+              preCommit = _ => {
+                val now = VersionedTable.currentVersion(spark, root)
+                if (now != Some(base))
+                  throw new Sinks.ConcurrentWriteException(root, Some(base), now)
+              }))
+            catch {
+              case _: Sinks.ConcurrentWriteException if attempt < maxAttempts =>
+                Sinks.backoff(attempt)
+            }
+          }
+          out.get
+        } else {
+          val target = VersionedTable.tableSchema(spark, root, v0)
+            .getOrElse(VersionedTable.readVersion(spark, root, v0).schema)
+          VersionedTable.commitAppend(
+            alignToSchema(src, target, i.userSpecifiedCols, i.byName, root),
+            root, changeFeed = true)
+        }
     }
   }
+
+  /** Pre-publish guard for the CREATE roads (CTAS, first INSERT
+    * OVERWRITE): re-assert inside the commit claim that the root is
+    * STILL empty — two racing creators otherwise both report success
+    * with the loser's table silently shadowed (Delta errors the loser of
+    * a concurrent CREATE; so do we). */
+  private def stillEmptyGuard(spark: SparkSession, root: String): Long => Unit =
+    _ => VersionedTable.currentVersion(spark, root).foreach(v =>
+      throw new IllegalStateException(
+        s"concurrent CREATE: $root was created (v$v) while this " +
+          "statement ran — the table already exists"))
 
   /** Align the INSERT source to the table schema. Named mode (column list
     * or BY NAME): each source column feeds its named target column, cast
@@ -449,7 +491,13 @@ object GraftSql {
     * and appended with an insert-image change feed. Requires an existing
     * table — the schema is the contract the files are checked against.
     * Optimistic-concurrent: two racing COPYs recompute the ledger on
-    * conflict, so a file is never double-loaded. */
+    * conflict, so a file is never double-loaded.
+    *
+    * SCOPE: the default matches the source dir's DIRECT children
+    * (`<dir>/*`); a partitioned landing layout needs an explicit
+    * PATTERN with the directory levels spelled out (e.g.
+    * `PATTERN = '*/*.parquet'` for `date=.../part-*.parquet`) —
+    * globs may span levels, they are just never implicit. */
   private def runCopyInto(
       spark: SparkSession, root: String, srcDir: String, fmt: String,
       pattern: Option[String], fmtOpts: Map[String, String]): Long = {
@@ -512,8 +560,7 @@ object GraftSql {
           case _: Sinks.ConcurrentWriteException if attempt < maxAttempts =>
             // another writer published: recompute the ledger against the
             // new current so a racing COPY can't double-load a file
-            Thread.sleep(scala.util.Random.nextLong(
-              math.min(100L << math.min(attempt, 4), 1600L)))
+            Sinks.backoff(attempt)
         }
       }
     }
@@ -824,8 +871,7 @@ object GraftSql {
       catch {
         case _: Sinks.ConcurrentWriteException if attempt < maxAttempts =>
           // jittered backoff, as every OCC retry loop
-          Thread.sleep(scala.util.Random.nextLong(
-            math.min(100L << math.min(attempt, 4), 1600L)))
+          Sinks.backoff(attempt)
       }
     }
     out.get

@@ -106,6 +106,13 @@ object Sinks {
     extends RuntimeException(
       s"concurrent write to $root: merged against version $base but current is $now")
 
+  /** Jittered exponential backoff between OCC retries (the Delta
+    * commit-retry shape) — shared by every conflict loop so an N-writer
+    * burst de-synchronizes instead of re-colliding in lockstep. */
+  private[graft] def backoff(attempt: Int): Unit =
+    Thread.sleep(scala.util.Random.nextLong(
+      math.min(100L << math.min(attempt, 4), 1600L)))
+
   def upsertByKeyVersioned(
       spark: SparkSession,
       tableRoot: String,
@@ -175,8 +182,7 @@ object Sinks {
         case e: ConcurrentWriteException if attempt < maxAttempts =>
           // re-read the new current snapshot and re-merge; jittered
           // backoff de-synchronizes an N-writer retry burst
-          Thread.sleep(scala.util.Random.nextLong(
-            math.min(100L << math.min(attempt, 4), 1600L)))
+          backoff(attempt)
       }
     }
     committed.get
@@ -296,8 +302,7 @@ object Sinks {
         case e: ConcurrentWriteException if attempt < maxAttempts =>
           // another writer published since `cur` — recompute and retry,
           // jittered so a retry burst doesn't re-collide in lockstep
-          Thread.sleep(scala.util.Random.nextLong(
-            math.min(100L << math.min(attempt, 4), 1600L)))
+          backoff(attempt)
       }
     }
     committed.get

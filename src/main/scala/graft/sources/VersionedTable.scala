@@ -144,10 +144,11 @@ object VersionedTable {
     // likewise reads from its enablement point, not table birth). A
     // mid-chain feed-less version still raises in readChanges — that is
     // a continuity break, not a pre-CDC prefix. No version fed at all →
-    // start past the end: nothing to consume yet, not an error.
-    val f = fs(spark, root)
-    val firstFed = vs.find(v =>
-      f.exists(new Path(versionDir(root, v), "_changes")))
+    // start past the end: nothing to consume yet, not an error. The find
+    // is O(pre-CDC prefix) existence probes — once per BATCH consumer
+    // call; the streaming source memoizes it across polls
+    // (ChangeFeedSource.feedStart).
+    val firstFed = vs.find(v => hasChangeFeed(spark, root, v))
     math.max(firstFed.getOrElse(vs.lastOption.map(_ + 1L).getOrElse(1L)),
       pastDropped)
   }
@@ -344,15 +345,20 @@ object VersionedTable {
     // add/drop), so constraints survive every commit path.
     val activeConstraints = currentVersion(spark, root)
       .map(cv => constraintsOf(spark, root, cv)).getOrElse(Map.empty)
-    if (activeConstraints.nonEmpty && dataFiles(f, staging).nonEmpty)
+    // enforce the set RECORDED WITH THIS COMMIT (= active unless the
+    // caller rewrites it — add/drop constraint, or RESTORE re-recording
+    // the target era's set): enforcing the current era's set against a
+    // commit that rolls metadata back would evaluate CHECKs over columns
+    // the staged schema no longer has
+    val constraintsToRecord = recordConstraints.getOrElse(activeConstraints)
+    if (constraintsToRecord.nonEmpty && dataFiles(f, staging).nonEmpty)
       // staged files carry physical names; constraints speak logical —
       // read physical, rename back before evaluating
       try enforceConstraints(spark,
         toLogical(spark.read.schema(physicalSchema(df.schema, colMap))
           .parquet(staging.toString), colMap),
-        activeConstraints, root)
+        constraintsToRecord, root)
       catch { case e: Throwable => f.delete(staging, true); throw e }
-    val constraintsToRecord = recordConstraints.getOrElse(activeConstraints)
     if (constraintsToRecord.nonEmpty)
       writeProps(f, new Path(new Path(staging, "_constraints"),
         "constraints.properties"), constraintsToRecord)
@@ -568,6 +574,12 @@ object VersionedTable {
     * O(1) existence probe, no data read. */
   def hasDeletionVectors(spark: SparkSession, root: String, v: Long): Boolean =
     fs(spark, root).exists(new Path(versionDir(root, v), "_dv"))
+
+  /** Whether version `v` carries a change feed ("changes" extra) — O(1)
+    * existence probe, the per-version building block of
+    * [[earliestFeedStart]] and the streaming source's memoized scan. */
+  def hasChangeFeed(spark: SparkSession, root: String, v: Long): Boolean =
+    fs(spark, root).exists(new Path(versionDir(root, v), "_changes"))
 
   /** Root-relative ref of the file each row was read from — the join key
     * between scanned rows and the deletion-vector/manifest file naming
@@ -989,9 +1001,15 @@ object VersionedTable {
       .getOrElse(dataFiles(f, versionDir(root, cur))
         .map(s => (f"v$cur%08d/" + s.getPath.getName) -> s.getPath.getName).toMap)
     val badKept = keptFiles.filterNot(curKeyed.contains)
-    require(badKept.isEmpty,
-      s"kept files must come from the current snapshot v$cur; unknown: " +
-        badKept.take(3).mkString(", "))
+    if (badKept.nonEmpty)
+      // refs the current snapshot no longer holds: either the caller's
+      // pinned version was REWRITTEN by a concurrent compact/COW (the
+      // common case — thrown as the conflict type so every OCC retry
+      // loop REBASES instead of failing the batch outright), or the refs
+      // are genuinely bogus (then the rebase recomputes them and the
+      // retry bound surfaces the error)
+      throw new Sinks.ConcurrentWriteException(root,
+        None, currentVersion(spark, root))
     val curStats = TableStats.load(spark,
       new Path(versionDir(root, cur), "_stats"))
     // DELETION-VECTOR CARRY: kept files keep their masks (their rows were
@@ -1283,8 +1301,7 @@ object VersionedTable {
       try out = Some(body(cur))
       catch {
         case _: Sinks.ConcurrentWriteException if attempt < maxAttempts =>
-          val cap = math.min(100L << math.min(attempt, 4), 1600L)
-          Thread.sleep(scala.util.Random.nextLong(cap))
+          Sinks.backoff(attempt)
       }
     }
     out.get
@@ -1488,6 +1505,11 @@ object VersionedTable {
     val srcStats = TableStats.load(spark,
       new Path(versionDir(srcRoot, v), "_stats"))
     commitWith(empty, destRoot, collectStats = false, extras = extras,
+      // re-assert emptiness inside the claim: two racing cloners must not
+      // both report success with one silently shadowed
+      preCommit = _ => currentVersion(spark, destRoot).foreach(dv =>
+        throw new IllegalStateException(
+          s"concurrent CREATE: $destRoot gained v$dv while this clone ran")),
       finalizeVersion = (fh, dir, _) => {
         val rows = srcRefs.zip(refs).flatMap { case (r, abs) =>
           srcStats.getOrElse(srcKeyOf(r), Map.empty).toSeq.map {
@@ -1539,6 +1561,8 @@ object VersionedTable {
         s"no column $from in $root (columns: ${schema.fieldNames.mkString(", ")})")
       require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)),
         s"column $to already exists in $root")
+      require(!to.startsWith("__"),
+        s"column names starting with __ are reserved (got $to)")
       val broken = constraintsMentioning(spark, root, cur, from)
       require(broken.isEmpty,
         s"CHECK constraint(s) ${broken.mkString(", ")} reference $from — " +
@@ -2000,6 +2024,12 @@ object VersionedTable {
           },
           preCommit = occValidate(spark, root, cur),
           recordSchema = Some(schema),
+          // RESTORE rolls back table METADATA with the data: the
+          // target's constraints and properties are re-recorded (a
+          // current-version CHECK referencing a column the restored
+          // schema lacks would otherwise fail every subsequent write)
+          recordConstraints = Some(constraintsOf(spark, root, toVersion)),
+          recordProperties = Some(propertiesOf(spark, root, toVersion)),
           // the restored snapshot reads under ITS mapping; retired names
           // union so a post-restore add can't collide with either era
           recordMapping = Some((columnMapping(spark, root, toVersion),

@@ -129,14 +129,31 @@ class ChangeFeedSource(
     case other => other.json.trim.toLong // SerializedOffset from the log
   }
 
+  /** [[VersionedTable.earliestFeedStart]], memoized across polls: the
+    * first FED version never changes once found, so it probes each
+    * version dir at most once over the source's lifetime — a fresh
+    * stream over a long-history (or never-fed) table must not pay an
+    * O(versions) existence scan on EVERY trigger. */
+  private var firstFed: Option[Long] = None
+  private var probedThrough = 0L
+  private def feedStart(): Long = {
+    if (firstFed.isEmpty) {
+      val unprobed = VersionedTable.versions(spark, root).filter(_ > probedThrough)
+      firstFed = unprobed.find(v => VersionedTable.hasChangeFeed(spark, root, v))
+      unprobed.lastOption.foreach(l => probedThrough = math.max(probedThrough, l))
+    }
+    val pastDropped = VersionedTable.vacuumedVersions(spark, root)
+      .foldLeft(0L)(math.max) + 1L
+    math.max(firstFed.getOrElse(probedThrough + 1L), pastDropped)
+  }
+
   override def getOffset: Option[Offset] = {
     val vs = VersionedTable.versions(spark, root)
     vs.lastOption.flatMap { cur =>
       // fresh stream: begin past every vacuumed version, not at the
       // earliest committed one (a vacuum holdback below a dropped version
       // would otherwise raise the data-loss guard on the first batch)
-      val base = offered.getOrElse(
-        VersionedTable.earliestFeedStart(spark, root) - 1)
+      val base = offered.getOrElse(feedStart() - 1)
       val end = maxVersionsPerBatch.map(m => math.min(cur, base + m)).getOrElse(cur)
       if (end <= base) offered.map(LongOffset(_))
       else { offered = Some(end); persistCursor(end); Some(LongOffset(end)) }
@@ -145,8 +162,7 @@ class ChangeFeedSource(
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val toVersion = toV(end)
-    val fromVersion = start.map(toV(_) + 1).getOrElse(
-      VersionedTable.earliestFeedStart(spark, root))
+    val fromVersion = start.map(toV(_) + 1).getOrElse(feedStart())
     val batch = VersionedTable.readChanges(spark, root, fromVersion, toVersion)
     // pin to the stream's schema: column order fixed, a dropped column
     // fails here loudly rather than corrupting downstream state

@@ -17,6 +17,20 @@ class MaintenanceOccSpec extends SparkSpec {
   private def ids(root: String): Set[Long] =
     VersionedTable.read(spark, root).select("id").collect().map(_.getLong(0)).toSet
 
+  test("commitCow with refs from a rewritten snapshot signals a CONFLICT, not a crash") {
+    val root = freshRoot()
+    VersionedTable.commit((1L to 8L).map(i => (i, "a")).toDF("id", "x"), root)
+    val staleRefs = VersionedTable.dataFileRefs(spark, root, 1L)
+    VersionedTable.compact(spark, root) // v2: v1's files replaced wholesale
+    // a writer that pinned v1 now holds refs the current snapshot no
+    // longer contains — that is a concurrent-write conflict the OCC
+    // retry loops must catch and REBASE, not an argument error that
+    // fails the batch outright
+    intercept[Sinks.ConcurrentWriteException] {
+      VersionedTable.commitCow(Seq((99L, "b")).toDF("id", "x"), root, staleRefs)
+    }
+  }
+
   test("concurrent appends: both batches' files survive in the final manifest") {
     val root = freshRoot()
     VersionedTable.commit(Seq((1L, "base")).toDF("id", "x"), root)

@@ -46,6 +46,28 @@ class RestoreSpec extends SparkSpec {
       .exists(_._1 == 100L))
   }
 
+  test("restore re-records the TARGET's constraints/properties, keeping writes alive") {
+    val root = freshRoot(); seed(root) // v1: (id, x)
+    // evolve a column in, constrain it, then roll back past both
+    val widened = org.apache.spark.sql.types.StructType(
+      VersionedTable.read(spark, root).schema :+
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.LongType, nullable = true))
+    VersionedTable.evolveSchema(spark, root, widened)            // v2
+    VersionedTable.addConstraint(spark, root, "score_pos",
+      "score IS NULL OR score >= 0")                             // v3
+    VersionedTable.setProperties(spark, root, Map("k" -> "v3"))  // v4
+    VersionedTable.restore(spark, root, 1L)                      // v5
+    val cur = VersionedTable.currentVersion(spark, root).get
+    // the restored metadata matches the target era: a carried-forward
+    // CHECK on the now-absent column would fail every subsequent write
+    assert(VersionedTable.constraintsOf(spark, root, cur).isEmpty)
+    assert(VersionedTable.propertiesOf(spark, root, cur).isEmpty)
+    import spark.implicits._
+    VersionedTable.commitAppend(Seq((999L, "ok")).toDF("id", "x"), root)
+    assert(VersionedTable.read(spark, root).count() == 101)
+  }
+
   test("restore change feed is the file-granular diff") {
     val root = freshRoot(); seed(root)
     // v2: delete the low file entirely (COW rewrites file 1)
