@@ -55,8 +55,12 @@ import graft.sources.{Sinks, VersionedTable}
   *       (version, files/bytes, schema width, renamed columns,
   *       constraints, properties, DV/ledger state —
   *       [[VersionedTable.detail]])
-  *   - `RESTORE [TABLE] '<root>' TO VERSION AS OF n` → metadata-only
-  *       rollback published as a new commit ([[VersionedTable.restore]])
+  *   - `RESTORE [TABLE] '<root>' TO VERSION AS OF n` (or `TO TIMESTAMP
+  *       AS OF 'ts'`) → metadata-only rollback published as a new commit
+  *       ([[VersionedTable.restore]]); SHALLOW CLONE takes the same
+  *       `TIMESTAMP AS OF` form
+  *   - `DESCRIBE [TABLE] '<root>'` → the current logical schema with each
+  *       column's physical birth name (column-mapping introspection)
   *   - `ALTER TABLE '<root>' ADD CONSTRAINT n CHECK (e)` / `ALTER TABLE
   *       '<root>' DROP CONSTRAINT n` / `DESCRIBE CONSTRAINTS '<root>'` →
   *       named CHECK constraints: validated over the whole table on add,
@@ -114,6 +118,10 @@ object GraftSql {
     """(?is)\s*DESCRIBE\s+DETAIL\s+'([^']+)'\s*;?\s*""".r
   private val RestoreRe =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?'([^']+)'\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val RestoreTsRe =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?'([^']+)'\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
+  private val DescTableRe =
+    """(?is)\s*DESCRIBE\s+(?:TABLE\s+)?'([^']+)'\s*;?\s*""".r
   private val AddConstraintRe =
     """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraintRe =
@@ -131,7 +139,7 @@ object GraftSql {
   private val ShowPropsRe =
     """(?is)\s*SHOW\s+TBLPROPERTIES\s+'([^']+)'\s*;?\s*""".r
   private val CloneRe =
-    """(?is)\s*CREATE\s+TABLE\s+'([^']+)'\s+SHALLOW\s+CLONE\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+'([^']+)'\s+SHALLOW\s+CLONE\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*;?\s*""".r
   private val CopyIntoRe =
     """(?is)\s*COPY\s+INTO\s+'([^']+)'\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)(?:\s+PATTERN\s*=\s*'([^']+)')?(?:\s+FORMAT_OPTIONS\s*\((.*?)\))?\s*;?\s*""".r
   private val CreateAsRe =
@@ -174,9 +182,24 @@ object GraftSql {
       case DetailRe(root) =>
         Some(org.apache.spark.sql.graft.GraftDetailCommand(root,
           s => Seq(VersionedTable.detail(s, root))))
+      case DescTableRe(root) =>
+        Some(org.apache.spark.sql.graft.GraftSchemaCommand(root, s => {
+          val cur = VersionedTable.currentVersion(s, root).getOrElse(
+            throw new java.io.IOException(s"no committed version under $root"))
+          val schema = VersionedTable.tableSchema(s, root, cur)
+            .getOrElse(VersionedTable.readVersion(s, root, cur).schema)
+          val mapping = VersionedTable.columnMapping(s, root, cur)
+          schema.map(f => Row(f.name, f.dataType.simpleString, f.nullable,
+            mapping.getOrElse(f.name, f.name))).toSeq
+        }))
       case RestoreRe(root, v) =>
         Some(GraftCommand("RESTORE", root, s =>
           Seq(Row("RESTORE", root, VersionedTable.restore(s, root, v.toLong)))))
+      case RestoreTsRe(root, ts) =>
+        Some(GraftCommand("RESTORE", root, s =>
+          Seq(Row("RESTORE", root, VersionedTable.restore(s, root,
+            VersionedTable.versionAsOf(s, root,
+              java.sql.Timestamp.valueOf(ts)))))))
       case AddConstraintRe(root, name, check) =>
         Some(GraftCommand("ADD CONSTRAINT", root, s =>
           Seq(Row("ADD CONSTRAINT", root,
@@ -219,11 +242,13 @@ object GraftSql {
           Seq(Row("COPY INTO", root,
             runCopyInto(s, root, srcDir, fmt.toLowerCase,
               Option(pattern), fmtOpts)))))
-      case CloneRe(dest, src, v) =>
+      case CloneRe(dest, src, v, ts) =>
         Some(GraftCommand("SHALLOW CLONE", dest, s =>
           Seq(Row("SHALLOW CLONE", dest,
             VersionedTable.shallowClone(s, dest, src,
-              Option(v).map(_.toLong))))))
+              Option(v).map(_.toLong).orElse(Option(ts).map(t =>
+                VersionedTable.versionAsOf(s, src,
+                  java.sql.Timestamp.valueOf(t)))))))))
       case CreateAsRe(root, query) =>
         Some(GraftCommand("CREATE TABLE AS", root, s => {
           require(VersionedTable.currentVersion(s, root).isEmpty,

@@ -68,6 +68,20 @@ case class GraftConstraintsCommand(table: String, body: SparkSession => Seq[Row]
   override def simpleString(maxFields: Int): String = s"GraftConstraintsCommand($table)"
 }
 
+/** `DESCRIBE '<root>'`: the current logical schema as a result set, with
+  * each column's PHYSICAL (birth) parquet name when column mapping has
+  * renamed it — the introspection face of the schema-per-version record. */
+case class GraftSchemaCommand(table: String, body: SparkSession => Seq[Row])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("col_name", StringType, nullable = false)(),
+    AttributeReference("data_type", StringType, nullable = false)(),
+    AttributeReference("nullable", BooleanType, nullable = false)(),
+    AttributeReference("physical_name", StringType, nullable = false)())
+  override def run(sparkSession: SparkSession): Seq[Row] = body(sparkSession)
+  override def simpleString(maxFields: Int): String = s"GraftSchemaCommand($table)"
+}
+
 /** `DESCRIBE DETAIL '<root>'`: one-row summary of the current snapshot
   * (Delta's DESCRIBE DETAIL shape) — version, file/byte totals, schema
   * width, and which format features are active on the table. */

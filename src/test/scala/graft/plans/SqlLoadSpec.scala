@@ -151,6 +151,34 @@ class SqlLoadSpec extends SparkSpec {
     assert(VersionedTable.read(spark, dest).count() == 10)
   }
 
+  test("DESCRIBE '<root>' lists the logical schema with physical birth names") {
+    val root = freshRoot(); seed(root)
+    VersionedTable.renameColumn(spark, root, "amount", "revenue")
+    val rows = GraftSql.execute(spark, s"DESCRIBE '$root'").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2), r.getString(3)))
+    assert(rows.map(_._1).toSeq == Seq("id", "x", "revenue"))
+    assert(rows.find(_._1 == "revenue").exists(r =>
+      r._2 == "bigint" && r._4 == "amount"),
+      s"renamed column must expose its birth name: ${rows.toSeq}")
+    assert(rows.find(_._1 == "id").exists(_._4 == "id"))
+  }
+
+  test("RESTORE / SHALLOW CLONE accept TIMESTAMP AS OF") {
+    val src = freshRoot(); seed(src)
+    Thread.sleep(1100) // commit-marker clock has second granularity headroom
+    val cutoff = new java.sql.Timestamp(System.currentTimeMillis())
+    GraftSql.execute(spark, s"DELETE FROM `$src` WHERE id > 2")
+    val tsStr = cutoff.toString.replaceAll("\\.\\d+$", "")
+    val dest = freshRoot()
+    GraftSql.execute(spark,
+      s"CREATE TABLE '$dest' SHALLOW CLONE '$src' TIMESTAMP AS OF '$tsStr'")
+    assert(VersionedTable.read(spark, dest).count() == 10,
+      "clone must pin the pre-delete snapshot")
+    GraftSql.execute(spark,
+      s"RESTORE '$src' TO TIMESTAMP AS OF '$tsStr'")
+    assert(VersionedTable.read(spark, src).count() == 10)
+  }
+
   test("DESCRIBE DETAIL summarizes the snapshot and its active features") {
     val root = freshRoot(); seed(root)
     VersionedTable.setProperties(spark, root,
