@@ -599,19 +599,59 @@ object VersionedTable {
     m.getOrElse(ref)
   }
 
+  /** Broadcast threshold (bytes) for deletion-vector masks — above it the
+    * anti-join goes distributed (sort-merge) instead of driver-collected.
+    * Tunable per session; the default tracks a comfortably-broadcastable
+    * sidecar (64 MiB of compressed (file,pos) parquet ≈ tens of millions
+    * of masked rows). */
+  private[graft] val DvBroadcastThresholdKey = "spark.graft.dv.broadcastThreshold"
+  private val DvBroadcastThresholdDefault: Long = 64L << 20
+
+  /** On-disk bytes of version `v`'s `_name` sidecar (0 when absent) — an
+    * O(#sidecar-files) listing, no Spark job. The size gate for
+    * [[dvMaskSide]]. */
+  private def extraBytes(
+      spark: SparkSession, root: String, v: Long, name: String): Long = {
+    val p = new Path(versionDir(root, v), s"_$name")
+    val f = fs(spark, root)
+    if (!f.exists(p)) 0L else f.getContentSummary(p).getLength
+  }
+
+  /** The deletion-vector mask as an anti-join build side, SIZE-GATED:
+    * below [[DvBroadcastThresholdKey]] the mask is broadcast (one tiny
+    * table to every scan task, no shuffle of the data side); above it the
+    * hint flips to a sort-merge join — both sides shuffle on
+    * (`__dv_file`, `__dv_pos`), which is spillable and never materializes
+    * the mask on the driver. A large MOR delete (the workload DVs exist
+    * for — delete 30% of a 100 TB table) produces a mask of billions of
+    * rows; an unconditional `broadcast()` hint would collect it to the
+    * driver and OOM, regardless of what the optimizer knows. `dvBytes` is
+    * the sidecar's on-disk size ([[extraBytes]] — metadata-scale probe). */
+  private def dvMaskSide(
+      spark: SparkSession, dv: DataFrame, dvBytes: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val mask = dv.select(
+      col("file").as("__dv_file"), col("pos").as("__dv_pos"))
+    val threshold = spark.conf
+      .get(DvBroadcastThresholdKey, DvBroadcastThresholdDefault.toString).toLong
+    if (dvBytes <= threshold) broadcast(mask) else mask.hint("merge")
+  }
+
   /** Mask `dv`'s (file, pos) rows out of `df` (a scan of this snapshot's
     * files): the merge-on-read fold, an anti join on the row's physical
     * identity (`_metadata` file + row index — stable for parquet, the
-    * same identity Delta's deletion vectors address). The vector is
-    * broadcast: it is O(deleted rows since the last compaction), and
-    * [[compact]]/[[optimize]] fold it away when it grows. */
-  private def applyDv(df: DataFrame, dv: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col}
+    * same identity Delta's deletion vectors address). The mask side is
+    * size-gated ([[dvMaskSide]]): broadcast while small, distributed
+    * sort-merge once it outgrows the threshold —
+    * [[compact]]/[[optimize]] fold it away either way. */
+  private def applyDv(
+      spark: SparkSession, root: String, v: Long,
+      df: DataFrame, dv: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val cols = df.columns.toSeq
     df.withColumn("__dv_file", fileRefCol)
       .withColumn("__dv_pos", col("_metadata.row_index"))
-      .join(broadcast(dv.select(
-        col("file").as("__dv_file"), col("pos").as("__dv_pos"))),
+      .join(dvMaskSide(spark, dv, extraBytes(spark, root, v, "dv")),
         Seq("__dv_file", "__dv_pos"), "left_anti")
       .select(cols.map(col): _*)
   }
@@ -649,7 +689,7 @@ object VersionedTable {
       case None => reader.parquet(versionDir(root, v).toString)
     }
     toLogical(
-      readExtra(spark, root, v, "dv").map(applyDv(base, _)).getOrElse(base),
+      readExtra(spark, root, v, "dv").map(applyDv(spark, root, v, base, _)).getOrElse(base),
       columnMapping(spark, root, v))
   }
 
@@ -681,7 +721,7 @@ object VersionedTable {
     }
     val withRef = base.withColumn(refCol, fileRefCol)
     toLogical(
-      readExtra(spark, root, v, "dv").map(applyDv(withRef, _)).getOrElse(withRef),
+      readExtra(spark, root, v, "dv").map(applyDv(spark, root, v, withRef, _)).getOrElse(withRef),
       columnMapping(spark, root, v))
   }
 
@@ -696,7 +736,7 @@ object VersionedTable {
     val sub = versionReader(spark, root, v)
       .parquet(refs.map(r => new Path(root, r).toString): _*)
     toLogical(
-      readExtra(spark, root, v, "dv").map(applyDv(sub, _)).getOrElse(sub),
+      readExtra(spark, root, v, "dv").map(applyDv(spark, root, v, sub, _)).getOrElse(sub),
       columnMapping(spark, root, v))
   }
 
@@ -725,7 +765,7 @@ object VersionedTable {
     else {
       val sub = versionReader(spark, root, v).parquet(kept: _*)
       toLogical(
-        readExtra(spark, root, v, "dv").map(applyDv(sub, _)).getOrElse(sub),
+        readExtra(spark, root, v, "dv").map(applyDv(spark, root, v, sub, _)).getOrElse(sub),
         columnMapping(spark, root, v))
         .where(predicate)
     }
@@ -1146,7 +1186,7 @@ object VersionedTable {
   private def morVisibleTagged(
       spark: SparkSession, root: String, cur: Long,
       predicate: Column): Option[DataFrame] = {
-    import org.apache.spark.sql.functions.{broadcast, col}
+    import org.apache.spark.sql.functions.col
     val (mayMatch, _) = prunedFiles(spark, root, cur, predicate)
     if (mayMatch.isEmpty) None
     else {
@@ -1155,8 +1195,7 @@ object VersionedTable {
         .withColumn("__dv_pos", col("_metadata.row_index"))
       val folded = readExtra(spark, root, cur, "dv") match {
         case Some(dv) =>
-          raw.join(broadcast(dv.select(col("file").as("__dv_file"),
-            col("pos").as("__dv_pos"))),
+          raw.join(dvMaskSide(spark, dv, extraBytes(spark, root, cur, "dv")),
             Seq("__dv_file", "__dv_pos"), "left_anti")
         case None => raw
       }
@@ -1170,7 +1209,7 @@ object VersionedTable {
     * matched rows where they sit instead of rewriting their files. */
   private[graft] def readFilesTagged(
       spark: SparkSession, root: String, v: Long, refs: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col}
+    import org.apache.spark.sql.functions.col
     require(refs.nonEmpty, "readFilesTagged needs at least one file ref")
     val raw = versionReader(spark, root, v)
       .parquet(refs.map(r => new Path(root, r).toString): _*)
@@ -1178,8 +1217,7 @@ object VersionedTable {
       .withColumn("__dv_pos", col("_metadata.row_index"))
     val folded = readExtra(spark, root, v, "dv") match {
       case Some(dv) =>
-        raw.join(broadcast(dv.select(col("file").as("__dv_file"),
-          col("pos").as("__dv_pos"))),
+        raw.join(dvMaskSide(spark, dv, extraBytes(spark, root, v, "dv")),
           Seq("__dv_file", "__dv_pos"), "left_anti")
       case None => raw
     }
@@ -1335,7 +1373,7 @@ object VersionedTable {
         val sliceRaw = versionReader(spark, root, cur).parquet(mayMatch: _*)
         val slice = toLogical(
           readExtra(spark, root, cur, "dv")
-            .map(applyDv(sliceRaw, _)).getOrElse(sliceRaw),
+            .map(applyDv(spark, root, cur, sliceRaw, _)).getOrElse(sliceRaw),
           columnMapping(spark, root, cur))
         val rewritten = rewrite(slice)
         val extras = feed(slice)
@@ -2042,7 +2080,7 @@ object VersionedTable {
   private def restoreFeed(
       spark: SparkSession, root: String, cur: Long, tgt: Long,
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    import org.apache.spark.sql.functions.{col, lit}
     val curRefs = dataFileRefs(spark, root, cur)
     val tgtRefs = dataFileRefs(spark, root, tgt)
     val curSet = curRefs.toSet; val tgtSet = tgtRefs.toSet
@@ -2081,9 +2119,13 @@ object VersionedTable {
         .join(tgtDv, Seq("file", "pos"), "left_anti")
       val reMasked = tgtDv.where(col("file").isInCollection(sharedSet))
         .join(curDv, Seq("file", "pos"), "left_anti")
-      // vectors are O(masked rows since compaction): collecting the
-      // distinct files they touch is metadata-scale and bounds the scan
-      // to exactly the differing-mask files
+      // distinct touched files are metadata-scale (bounded by #files) and
+      // bound the scan to exactly the differing-mask files; the position
+      // join itself is size-gated like every DV fold ([[dvMaskSide]]) —
+      // the diffs are subsets of the cumulative vectors, so their upper
+      // bound is the larger sidecar's bytes
+      val dvSize = math.max(extraBytes(spark, root, cur, "dv"),
+        extraBytes(spark, root, tgt, "dv"))
       def rowsAt(positions: DataFrame, ct: String): Option[DataFrame] = {
         val files = positions.select("file").distinct()
           .collect().map(_.getString(0)).toSeq
@@ -2094,8 +2136,7 @@ object VersionedTable {
             .withColumn("__dv_file", fileRefCol)
             .withColumn("__dv_pos", col("_metadata.row_index")),
             columnMapping(spark, root, tgt))
-          Some(project(raw.join(broadcast(positions.select(
-            col("file").as("__dv_file"), col("pos").as("__dv_pos"))),
+          Some(project(raw.join(dvMaskSide(spark, positions, dvSize),
             Seq("__dv_file", "__dv_pos"), "inner"))
             .withColumn("_change_type", lit(ct)))
         }

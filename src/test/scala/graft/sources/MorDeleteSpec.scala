@@ -148,4 +148,39 @@ class MorDeleteSpec extends SparkSpec {
     assert(got.keySet == Set(1L, 2L, 3L))
     assert(got(2L) == "REBORN", "expected the fresh insert, not the masked row")
   }
+
+  test("dv above broadcast threshold: distributed anti-join, no BroadcastExchange, rows == cow") {
+    val rootM = freshRoot(); val rootC = freshRoot()
+    seed(rootM); seed(rootC)
+    val pred = col("id") % 3 === 0 // 100 masked rows across all 3 files
+    VersionedTable.deleteWhere(spark, rootM, pred, mor = true)
+    VersionedTable.deleteWhere(spark, rootC, pred)
+    def planOf(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect() // force AQE to finalize the physical plan
+      df.queryExecution.executedPlan.toString
+    }
+    // below the (default 64 MiB) threshold the mask broadcasts — the
+    // small-DV fast path must stay a broadcast anti-join
+    assert(planOf(VersionedTable.read(spark, rootM))
+      .contains("BroadcastExchange"), "small DV should broadcast")
+    // force the sidecar over the threshold: the hint must flip to a
+    // sort-merge anti-join — nothing DV-sized ever lands on the driver —
+    // and AQE must not re-broadcast past an explicit merge hint
+    spark.conf.set(VersionedTable.DvBroadcastThresholdKey, "0")
+    try {
+      val gated = VersionedTable.read(spark, rootM)
+      val plan = planOf(gated)
+      assert(!plan.contains("BroadcastExchange"),
+        s"DV above threshold must not broadcast:\n$plan")
+      assert(plan.contains("SortMergeJoin"),
+        s"expected a sort-merge anti-join above the threshold:\n$plan")
+      assert(gated.orderBy("id").collect().toSeq ==
+        VersionedTable.read(spark, rootC).orderBy("id").collect().toSeq,
+        "gated MOR read must stay row-identical to COW")
+      // the pruned-read and tagged (DML) paths ride the same gate
+      assert(VersionedTable.readWhere(spark, rootM, col("id") < 50L)
+        .select("id").collect().map(_.getLong(0)).toSet ==
+        (1L until 50L).filterNot(_ % 3 == 0).toSet)
+    } finally spark.conf.unset(VersionedTable.DvBroadcastThresholdKey)
+  }
 }
