@@ -71,22 +71,35 @@ object TableStats {
     * budget, so the commit path's driver I/O is O(1), never O(files). */
   def write(spark: SparkSession, f: FileSystem, dir: Path): Unit =
     try {
-      val files = f.listStatus(dir).toSeq.map(_.getPath)
-        .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      // recurse into partition subdirs (`p__<col>=<val>/`); "_"/"."
+      // prefixed dirs are sidecars, never data. Keys are DIR-RELATIVE
+      // paths (equal to the bare name for flat layouts): Spark's
+      // partitioned writer reuses one part NAME across every partition
+      // dir of a task, so bare names collide on partitioned snapshots.
+      def walk(d: Path, rel: String): Seq[(Path, String)] =
+        f.listStatus(d).toSeq.flatMap { s =>
+          val n = s.getPath.getName
+          if (s.isDirectory && !n.startsWith("_") && !n.startsWith("."))
+            walk(s.getPath, rel + n + "/")
+          else if (n.startsWith("part-") && n.endsWith(".parquet"))
+            Seq((s.getPath, rel + n))
+          else Nil
+        }
+      val files = walk(dir, "")
       val rows =
         if (files.size <= DriverFooterBudget)
-          files.flatMap { p => fileRows(f.getConf, p) }
+          files.flatMap { case (p, key) => fileRows(f.getConf, p, key) }
         else {
           val confEntries = f.getConf.iterator().asScala
             .map(e => (e.getKey, e.getValue)).toVector
-          val paths = files.map(_.toString)
+          val paths = files.map { case (p, key) => (p.toString, key) }
           val slices = math.min(paths.size,
             math.max(1, spark.sparkContext.defaultParallelism))
           spark.sparkContext.parallelize(paths, slices)
             .mapPartitions { it =>
               val conf = new org.apache.hadoop.conf.Configuration(false)
               confEntries.foreach { case (k, v) => conf.set(k, v) }
-              it.flatMap(s => fileRows(conf, new Path(s)))
+              it.flatMap { case (s, key) => fileRows(conf, new Path(s), key) }
             }
             .collect().toSeq
         }
@@ -99,8 +112,9 @@ object TableStats {
   /** Write a stats table from precomputed rows (fileKey, column, kind,
     * min, max, nullCount, numRows) — the path manifest commits use to
     * carry kept files' stats forward without re-reading any footer. The
-    * fileKey is whatever the matching reader will look files up by (bare
-    * name for plain snapshots, root-relative path for manifests). */
+    * fileKey is whatever the matching reader will look files up by
+    * (dir-relative path for plain snapshots, root-relative for
+    * manifests). */
   def writeRows(
       f: FileSystem, dir: Path,
       rows: Seq[(String, String, String, Option[String], Option[String], Long, Long)]): Unit = {
@@ -119,7 +133,8 @@ object TableStats {
     * min/max null when the file has no refutable stats for the column.
     * Takes a bare Configuration so the distributed collection path can
     * call it executor-side. */
-  private def fileRows(conf: org.apache.hadoop.conf.Configuration, p: Path)
+  private def fileRows(
+      conf: org.apache.hadoop.conf.Configuration, p: Path, key: String)
       : Seq[(String, String, String, Option[String], Option[String], Long, Long)] = {
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(p, conf))
@@ -138,11 +153,11 @@ object TableStats {
           .filter(_.isPrimitive).map(_.asPrimitiveType)
           .flatMap { pt =>
             canonKind(pt.getPrimitiveTypeName, pt.getLogicalTypeAnnotation)
-              .map(kind => (p.getName, pt.getName, kind,
+              .map(kind => (key, pt.getName, kind,
                 None: Option[String], None: Option[String], 0L, 0L))
           }
         return if (typed.nonEmpty) typed
-               else Seq((p.getName, "__norows", "long", None, None, 0L, 0L))
+               else Seq((key, "__norows", "long", None, None, 0L, 0L))
       }
       val accs = scala.collection.mutable.LinkedHashMap.empty[String, Acc]
       blocks.foreach { block =>
@@ -174,10 +189,10 @@ object TableStats {
       }
       accs.toSeq.map { case (name, a) =>
         if (a.valid)
-          (p.getName, name, a.kind,
+          (key, name, a.kind,
             Option(a.min).map(_.toString), Option(a.max).map(_.toString),
             a.nulls, numRows)
-        else (p.getName, name, a.kind, None, None, -1L, numRows)
+        else (key, name, a.kind, None, None, -1L, numRows)
       }
     } finally reader.close()
   }
@@ -323,7 +338,7 @@ object TableStats {
   /** Catalyst literal → (kind, canonical value). Catalyst's internal date
     * (Int days) and timestamp (Long micros) representations already match
     * the canonical stats domain. */
-  private def literalValue(l: Literal): Option[(String, Any)] = l.dataType match {
+  private[sources] def literalValue(l: Literal): Option[(String, Any)] = l.dataType match {
     case ByteType | ShortType | IntegerType | LongType | DateType =>
       Option(l.value).map(v => ("long", v.asInstanceOf[Number].longValue))
     case TimestampType | TimestampNTZType =>

@@ -248,9 +248,10 @@ object VersionedTable {
       df: DataFrame, root: String, collectStats: Boolean = true,
       extras: Map[String, DataFrame] = Map.empty,
       bloomCols: Seq[String] = Nil,
-      preCommit: Long => Unit = _ => ()): Long =
+      preCommit: Long => Unit = _ => (),
+      partitionBy: Seq[String] = Nil): Long =
     commitWith(df, root, collectStats, extras, (_, _, _) => (), bloomCols,
-      preCommit)
+      preCommit, partitionBy = partitionBy)
 
   /** [[commit]] with a pre-publish hook: `finalize(fs, versionDir, v)`
     * runs after the staging dir is renamed into place but BEFORE the
@@ -267,7 +268,8 @@ object VersionedTable {
       recordSchema: Option[org.apache.spark.sql.types.StructType] = None,
       recordConstraints: Option[Map[String, String]] = None,
       recordProperties: Option[Map[String, String]] = None,
-      recordMapping: Option[(Map[String, String], Set[String])] = None): Long = {
+      recordMapping: Option[(Map[String, String], Set[String])] = None,
+      partitionBy: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val f = fs(spark, root)
     // COLUMN MAPPING: data files always carry PHYSICAL names. None =
@@ -275,6 +277,30 @@ object VersionedTable {
     // name); COW/append/metadata paths pass the carried or updated map.
     val (colMap, retired) = recordMapping.getOrElse(
       (Map.empty[String, String], Set.empty[String]))
+    // PARTITIONING: the recorded spec governs the write layout of EVERY
+    // commit path (append, COW, maintenance — carried as a property); a
+    // caller-supplied partitionBy is legal at table birth or when it
+    // matches the recorded spec. Computed BEFORE the data write because
+    // it shapes the staging layout.
+    val carriedProps = recordProperties.getOrElse(
+      currentVersion(spark, root)
+        .map(cv => propertiesOf(spark, root, cv)).getOrElse(Map.empty))
+    val recordedSpec = carriedProps.get(PartitionByProp)
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    require(partitionBy.isEmpty || recordedSpec.isEmpty ||
+      partitionBy == recordedSpec,
+      s"$root is partitioned by (${recordedSpec.mkString(",")}); a commit " +
+        s"cannot repartition it to (${partitionBy.mkString(",")})")
+    val partSpec = if (partitionBy.nonEmpty) partitionBy else recordedSpec
+    val missingPart = partSpec.filterNot(df.columns.contains)
+    require(missingPart.isEmpty,
+      s"partition column(s) missing from the frame: ${missingPart.mkString(",")}")
+    require(df.columns.forall(!_.startsWith(PartDirPrefix)),
+      s"column names must not start with $PartDirPrefix " +
+        "(reserved for the partition layout)")
+    val propsToRecord =
+      if (partSpec.isEmpty) carriedProps
+      else carriedProps.updated(PartitionByProp, partSpec.mkString(","))
     f.mkdirs(commitDir(root))
     f.mkdirs(claimDir(root))
     // (1) private data write — no shared state touched. Timestamps go out
@@ -288,8 +314,21 @@ object VersionedTable {
       // per-column parquet BLOOM FILTERS (probed by readWhere's equality
       // pruning): footer-adjacent, kilobytes per column per row group.
       // The frame and the bloom options write under PHYSICAL names.
-      val writer = bloomCols.foldLeft(
-        toPhysical(df, colMap).write.mode(SaveMode.Overwrite)) {
+      //
+      // PARTITIONED tables duplicate each partition column under a
+      // `p__` name and partitionBy the DUPLICATES: the layout gets
+      // Hive-style `p__<col>=<val>/` leaves (one file never spans two
+      // tuples — what metadata-only drop/overwrite and manifest pruning
+      // need) while the data files keep every REAL column, so the read
+      // paths stay layout-blind.
+      val physSpec = partSpec.map(physicalName(colMap, _))
+      val frame = physSpec.foldLeft(toPhysical(df, colMap))((d, p) =>
+        d.withColumn(PartDirPrefix + p, org.apache.spark.sql.functions.col(p)))
+      val writer0 = frame.write.mode(SaveMode.Overwrite)
+      val writer1 =
+        if (physSpec.isEmpty) writer0
+        else writer0.partitionBy(physSpec.map(PartDirPrefix + _): _*)
+      val writer = bloomCols.foldLeft(writer1) {
         (w, c) => w.option(
           s"parquet.bloom.filter.enabled#${physicalName(colMap, c)}", "true")
       }
@@ -355,7 +394,8 @@ object VersionedTable {
       // staged files carry physical names; constraints speak logical —
       // read physical, rename back before evaluating
       try enforceConstraints(spark,
-        toLogical(spark.read.schema(physicalSchema(df.schema, colMap))
+        toLogical(spark.read.option("recursiveFileLookup", "true")
+          .schema(physicalSchema(df.schema, colMap))
           .parquet(staging.toString), colMap),
         constraintsToRecord, root)
       catch { case e: Throwable => f.delete(staging, true); throw e }
@@ -363,10 +403,8 @@ object VersionedTable {
       writeProps(f, new Path(new Path(staging, "_constraints"),
         "constraints.properties"), constraintsToRecord)
     // table PROPERTIES carry the same way (schema/constraints/properties
-    // are the three per-version metadata records)
-    val propsToRecord = recordProperties.getOrElse(
-      currentVersion(spark, root)
-        .map(cv => propertiesOf(spark, root, cv)).getOrElse(Map.empty))
+    // are the three per-version metadata records); propsToRecord was
+    // resolved before the write (the partition spec shapes the layout)
     if (propsToRecord.nonEmpty)
       writeProps(f, new Path(new Path(staging, "_properties"),
         "table.properties"), propsToRecord)
@@ -472,8 +510,8 @@ object VersionedTable {
   def dataFileRefs(
       spark: SparkSession, root: String, v: Long): Seq[String] =
     manifestOf(spark, root, v).getOrElse {
-      dataFiles(fs(spark, root), versionDir(root, v))
-        .map(s => f"v$v%08d/" + s.getPath.getName)
+      dataFileRels(fs(spark, root), versionDir(root, v))
+        .map { case (_, rel) => f"v$v%08d/" + rel }
     }
 
   /** The schema RECORDED for version `v` at commit time, or None for
@@ -558,12 +596,17 @@ object VersionedTable {
     * else plain inference. */
   private def versionReader(
       spark: SparkSession, root: String, v: Long): org.apache.spark.sql.DataFrameReader =
+    // recursiveFileLookup: dir reads of a PARTITIONED snapshot must find
+    // the `p__<col>=<val>/` leaves WITHOUT Hive partition inference (the
+    // dir columns are write-layout duplicates; the data files carry every
+    // real column) — and leaf-file reads never wanted inference anyway
     tableSchema(spark, root, v) match {
       case Some(s) =>
         // files carry PHYSICAL (birth) names; the logical rename is a
         // Project applied after the scan (toLogical at each read site)
-        spark.read.schema(physicalSchema(s, columnMapping(spark, root, v)))
-      case None => spark.read
+        spark.read.option("recursiveFileLookup", "true")
+          .schema(physicalSchema(s, columnMapping(spark, root, v)))
+      case None => spark.read.option("recursiveFileLookup", "true")
     }
 
   // ---- merge-on-read deletion vectors ------------------------------------
@@ -586,7 +629,9 @@ object VersionedTable {
     * (refs always look like `vNNNNNNNN/part-...parquet`). */
   private def fileRefCol: Column = {
     import org.apache.spark.sql.functions.{col, regexp_extract}
-    regexp_extract(col("_metadata.file_path"), "(v\\d{8}/[^/]+)$", 1)
+    // multi-segment: a partitioned snapshot's files nest under
+    // `vNNNNNNNN/__p_<col>=<val>/...`
+    regexp_extract(col("_metadata.file_path"), "(v\\d{8}/.+)$", 1)
   }
 
   /** The `vNNNNNNNN/name` tail of a manifest ref — identity for ordinary
@@ -595,8 +640,294 @@ object VersionedTable {
     * rows, so tail keys are the root-independent file identity the
     * deletion-vector sidecar joins on. */
   private def refTail(ref: String): String = {
-    val m = "(v\\d{8}/[^/]+)$".r.findFirstIn(ref)
+    val m = "(v\\d{8}/.+)$".r.findFirstIn(ref)
     m.getOrElse(ref)
+  }
+
+  // ---- partitioning -------------------------------------------------------
+  //
+  // The spec is a reserved table property; every commit path writes the
+  // data through Hive-style `p__<col>=<val>/` leaf dirs (the `p__`
+  // columns are write-time DUPLICATES, so the data files keep every real
+  // column and all read paths stay layout-blind). One file never spans
+  // two partition tuples — which is exactly what metadata-only partition
+  // drop ([[deleteWhere]] fast path), [[overwritePartitions]], and
+  // manifest-level partition pruning need. The same idea as Delta's
+  // per-AddFile partitionValues, carried in the file REF instead of a log
+  // entry. Cited reference shape: the hourly `loaded_at`-batched loads of
+  // /root/reference/dags/retail_hourly_etl.py.
+
+  /** Reserved table property holding the comma-joined partition columns.
+    * Set at table birth via [[commit]]'s `partitionBy`; immutable after
+    * ([[setProperties]]/[[unsetProperties]] refuse to touch it). */
+  val PartitionByProp = "graft.partitionBy"
+  private val PartDirPrefix = "p__"
+  private val HiveNullPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** The partition spec recorded for version `v` (LOGICAL column names),
+    * Nil for unpartitioned tables. */
+  def partitionColumnsOf(
+      spark: SparkSession, root: String, v: Long): Seq[String] =
+    propertiesOf(spark, root, v).get(PartitionByProp)
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+
+  /** Inverse of the writer's Hive path-name escaping (%XX, ASCII). */
+  private def unescapePathName(s: String): String =
+    if (!s.contains('%')) s
+    else {
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 2 < s.length &&
+            Character.digit(s.charAt(i + 1), 16) >= 0 &&
+            Character.digit(s.charAt(i + 2), 16) >= 0) {
+          sb.append((Character.digit(s.charAt(i + 1), 16) * 16 +
+            Character.digit(s.charAt(i + 2), 16)).toChar)
+          i += 3
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+
+  /** (logical column -> raw dir value) parsed from a ref/path's
+    * `p__<phys>=<val>` segments; a `None` value is the Hive null
+    * marker. Physical names resolve to logical through the reverse
+    * column mapping, so partition pruning survives renames. */
+  private def partRawValues(
+      ref: String, reverse: Map[String, String]): Map[String, Option[String]] =
+    ref.split('/').toSeq
+      .filter(seg => seg.startsWith(PartDirPrefix) && seg.contains('='))
+      .map { seg =>
+        val i = seg.indexOf('=')
+        val phys = seg.substring(PartDirPrefix.length, i)
+        val raw = unescapePathName(seg.substring(i + 1))
+        (reverse.getOrElse(phys, phys),
+          if (raw == HiveNullPartition) None else Some(raw))
+      }.toMap
+
+  /** Dir-value string → canonical stats (kind, value) — the exact domain
+    * [[TableStats]] stores and compares, so partition segments plug
+    * straight into the pruner. Timestamp partition values are NOT
+    * canonicalized (their dir rendering is session-zone-dependent);
+    * footer stats still prune those. Unparseable → None (conservative). */
+  private def canonPartValue(
+      dt: org.apache.spark.sql.types.DataType, s: String): Option[(String, Any)] = {
+    import org.apache.spark.sql.types._
+    try dt match {
+      case StringType => Some(("string", s))
+      case ByteType | ShortType | IntegerType | LongType => Some(("long", s.toLong))
+      case BooleanType => Some(("long", if (s.toBoolean) 1L else 0L))
+      case DateType => Some(("long", java.time.LocalDate.parse(s).toEpochDay))
+      case FloatType | DoubleType => Some(("double", s.toDouble))
+      case _ => None
+    } catch { case _: Exception => None }
+  }
+
+  /** A runtime value from a partition-column collect → the same canonical
+    * domain, for tuple comparison against dir segments. */
+  private def canonRuntimeValue(v: Any): Option[(String, Any)] = v match {
+    case null => None
+    case x: java.lang.Boolean => Some(("long", if (x) 1L else 0L))
+    case x: java.lang.Byte => Some(("long", x.longValue))
+    case x: java.lang.Short => Some(("long", x.longValue))
+    case x: java.lang.Integer => Some(("long", x.longValue))
+    case x: java.lang.Long => Some(("long", x.longValue))
+    case x: java.lang.Float => Some(("double", x.doubleValue))
+    case x: java.lang.Double => Some(("double", x.doubleValue))
+    case x: String => Some(("string", x))
+    case x: java.sql.Date => Some(("long", x.toLocalDate.toEpochDay))
+    case x: java.time.LocalDate => Some(("long", x.toEpochDay))
+    case _ => None
+  }
+
+  /** The synthetic per-file stats a partitioned ref carries in its path:
+    * exact min=max point entries for each partition column — available
+    * with no stats table at all, and exact by construction (a file under
+    * `p__date=2024-01-01/` holds ONLY that date). */
+  private def partSynthStats(
+      p: String, reverse: Map[String, String],
+      types: Map[String, org.apache.spark.sql.types.DataType])
+      : Map[String, (String, Option[String], Option[String], Long, Long)] =
+    partRawValues(p, reverse).flatMap { case (c, raw) =>
+      raw match {
+        case None =>
+          // all-null partition: nulls == rows refutes col-op-lit, keeps
+          // IS NULL — exactly the pruner's all-null file handling
+          Some(c -> (("long", None: Option[String], None: Option[String], 1L, 1L)))
+        case Some(s) => types.get(c).flatMap(dt => canonPartValue(dt, s)).map {
+          case (k, v2) =>
+            c -> ((k, Some(v2.toString), Some(v2.toString), 0L, 1L))
+        }
+      }
+    }
+
+  /** Decide one optimizer conjunct against a file's partition POINT
+    * values: Some(true/false) = every row of the file agrees (partition
+    * columns are constant per file), None = undecidable (unknown shape,
+    * non-partition column, incomparable domains) — the caller must fall
+    * back to the row-level path. SQL semantics: a null partition value
+    * makes comparisons not-TRUE, `IS NULL` true. */
+  private def evalPartitionConjunct(
+      conj: org.apache.spark.sql.catalyst.expressions.Expression,
+      tuple: Map[String, Option[(String, Any)]]): Option[Boolean] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def attr(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => Some(a.name)
+      case _ => None
+    }
+    def point(a: Expression): Option[Option[(String, Any)]] =
+      attr(a).flatMap(tuple.get)
+    def decide(a: Expression, l: Literal)(f: Int => Boolean): Option[Boolean] =
+      (point(a), TableStats.literalValue(l)) match {
+        case (Some(None), Some(_)) => Some(false) // null op lit: not TRUE
+        case (Some(Some((k, v))), Some((lk, lv)))
+            if lk == k || (lk != "string" && k != "string") =>
+          Some(f(TableStats.cmp(k, v, lv)))
+        case _ => None
+      }
+    conj match {
+      case EqualTo(a, l: Literal) => decide(a, l)(_ == 0)
+      case EqualTo(l: Literal, a) => decide(a, l)(_ == 0)
+      case EqualNullSafe(a, l: Literal) if l.value != null => decide(a, l)(_ == 0)
+      case EqualNullSafe(l: Literal, a) if l.value != null => decide(a, l)(_ == 0)
+      case LessThan(a, l: Literal) => decide(a, l)(_ < 0)
+      case LessThan(l: Literal, a) => decide(a, l)(_ > 0)
+      case LessThanOrEqual(a, l: Literal) => decide(a, l)(_ <= 0)
+      case LessThanOrEqual(l: Literal, a) => decide(a, l)(_ >= 0)
+      case GreaterThan(a, l: Literal) => decide(a, l)(_ > 0)
+      case GreaterThan(l: Literal, a) => decide(a, l)(_ < 0)
+      case GreaterThanOrEqual(a, l: Literal) => decide(a, l)(_ >= 0)
+      case GreaterThanOrEqual(l: Literal, a) => decide(a, l)(_ <= 0)
+      case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        val ds = vs.map { case l: Literal => decide(a, l)(_ == 0) }
+        if (ds.contains(None)) None else Some(ds.flatten.contains(true))
+      case IsNull(a) => point(a).map(_.isEmpty)
+      case IsNotNull(a) => point(a).map(_.nonEmpty)
+      case _ => None
+    }
+  }
+
+  /** Plan `DELETE WHERE predicate` as a METADATA-ONLY partition drop at
+    * version `cur`: Some(refs to drop) when every conjunct decides
+    * wholly-in/wholly-out for every data file from partition values
+    * alone; None = not answerable by metadata (row-level path takes
+    * over). Empty Seq = provably nothing matches. */
+  private def partitionDropPlan(
+      spark: SparkSession, root: String, cur: Long,
+      predicate: Column): Option[Seq[String]] = {
+    if (partitionColumnsOf(spark, root, cur).isEmpty) return None
+    val types = schemaOf(spark, root, cur).map(f => f.name -> f.dataType).toMap
+    val optimized = readVersion(spark, root, cur).where(predicate)
+      .queryExecution.optimizedPlan
+    val conjs = optimized.collect {
+      case fl: org.apache.spark.sql.catalyst.plans.logical.Filter => fl.condition
+    }.flatMap(TableStats.conjuncts)
+    // no Filter in the optimized plan = the predicate folded away (or the
+    // plan shape is unexpected) — never treat that as "drop everything"
+    if (conjs.isEmpty) return None
+    val reverse = columnMapping(spark, root, cur).map(_.swap)
+    val refs = dataFileRefs(spark, root, cur)
+    val decisions = refs.map { r =>
+      val tuple: Map[String, Option[(String, Any)]] =
+        partRawValues(r, reverse).flatMap { case (c, raw) =>
+          raw match {
+            case None => Some(c -> (None: Option[(String, Any)]))
+            case Some(s) =>
+              types.get(c).flatMap(dt => canonPartValue(dt, s)).map(kv => c -> Some(kv))
+          }
+        }
+      val per = conjs.map(c => evalPartitionConjunct(c, tuple))
+      if (per.contains(None)) None else Some(per.forall(_.contains(true)))
+    }
+    if (decisions.contains(None)) None
+    else Some(refs.zip(decisions).collect { case (r, Some(true)) => r })
+  }
+
+  /** The metadata-only partition-drop commit: manifest = current refs
+    * minus `dropRefs`, zero fresh data rows, dropped files' masks NOT
+    * carried (their rows are gone with them). The change feed, when
+    * requested, reads the dropped files once (feed bytes, not data
+    * bytes). */
+  private def commitPartitionDrop(
+      spark: SparkSession, root: String, cur: Long,
+      dropRefs: Seq[String], changeFeed: Boolean): Long = {
+    val schema = schemaOf(spark, root, cur)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val kept = dataFileRefs(spark, root, cur).filterNot(dropRefs.toSet)
+    val extras =
+      if (!changeFeed) Map.empty[String, DataFrame]
+      else Map("changes" -> feedWritable(
+        readFilesOf(spark, root, cur, dropRefs).withColumn("_change_type",
+          org.apache.spark.sql.functions.lit("delete"))))
+    commitCowInternal(empty, root, cur, kept, extras, Nil,
+      preCommit = occValidate(spark, root, cur),
+      recordSchema = Some(schema))
+  }
+
+  /** DYNAMIC PARTITION OVERWRITE (Delta's `partitionOverwriteMode=
+    * dynamic` / Hive insert-overwrite-partitions, on this format):
+    * replace exactly the partition tuples PRESENT IN `newData`, carrying
+    * every other partition's files by reference — the hourly-reload verb
+    * (re-land one `loaded_date` without touching ten years of history).
+    * The distinct-tuple collect is metadata-scale (O(partitions in the
+    * batch)); untouched partitions cost zero read and zero write.
+    * Optimistic-concurrent like every writer. Refuses when an existing
+    * file's partition values cannot be decided from its path (pre-spec
+    * files — run [[compact]] once to re-layout). */
+  def overwritePartitions(
+      spark: SparkSession, root: String, newData: DataFrame,
+      changeFeed: Boolean = true): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val v0 = currentVersion(spark, root).getOrElse(throw new java.io.IOException(
+      s"dynamic partition overwrite needs an existing snapshot under $root"))
+    require(partitionColumnsOf(spark, root, v0).nonEmpty,
+      s"$root has no partition spec ($PartitionByProp) — " +
+        "dynamic partition overwrite is only defined on partitioned tables")
+    occRetry(spark, root) { cur =>
+      val spec = partitionColumnsOf(spark, root, cur)
+      val touched: Set[Seq[Option[(String, Any)]]] =
+        newData.select(spec.map(col): _*).distinct().collect()
+          .map(r => spec.indices.map(i => canonRuntimeValue(r.get(i)))).toSet
+      val reverse = columnMapping(spark, root, cur).map(_.swap)
+      val types = schemaOf(spark, root, cur).map(f => f.name -> f.dataType).toMap
+      val refs = dataFileRefs(spark, root, cur)
+      val tuples: Seq[(String, Option[Seq[Option[(String, Any)]]])] = refs.map { r =>
+        val raw = partRawValues(r, reverse)
+        val t = spec.map { c =>
+          raw.get(c) match {
+            case Some(None) => Some(None: Option[(String, Any)]) // null value
+            case Some(Some(s)) =>
+              types.get(c).flatMap(dt => canonPartValue(dt, s)).map(Some(_))
+            case None => None // segment missing: undecidable
+          }
+        }
+        (r, if (t.contains(None)) None else Some(t.map(_.get)))
+      }
+      val undecidable = tuples.collect { case (r, None) => r }
+      require(undecidable.isEmpty,
+        s"$root holds ${undecidable.size} file(s) without decidable " +
+          s"partition values (written before the spec?) — compact() once " +
+          s"to re-layout, e.g. ${undecidable.take(3).mkString(", ")}")
+      val dropped = tuples.collect {
+        case (r, Some(t)) if touched(t) => r
+      }
+      val kept = refs.filterNot(dropped.toSet)
+      val extras =
+        if (!changeFeed) Map.empty[String, DataFrame]
+        else {
+          val inserts = newData.withColumn("_change_type", lit("insert"))
+          val feed =
+            if (dropped.isEmpty) inserts
+            else readFilesOf(spark, root, cur, dropped)
+              .withColumn("_change_type", lit("delete")).unionByName(inserts)
+          Map("changes" -> feedWritable(feed))
+        }
+      commitCow(newData, root, kept, extras = extras,
+        preCommit = occValidate(spark, root, cur))
+    }
   }
 
   /** Broadcast threshold (bytes) for deletion-vector masks — above it the
@@ -779,13 +1110,14 @@ object VersionedTable {
       predicate: Column): (Seq[String], Int) = {
     require(isCommitted(spark, root, v), s"version $v is not committed under $root")
     val dir = versionDir(root, v)
-    // (absolute path, stats-lookup key): plain snapshots key stats by bare
-    // file name; manifest snapshots by root-relative path (bare names
-    // collide across the version dirs a manifest can span)
+    // (absolute path, stats-lookup key): plain snapshots key stats by
+    // DIR-RELATIVE path; manifest snapshots by root-relative path (bare
+    // names collide across version dirs AND across partition subdirs —
+    // Spark's partitioned writer reuses one part name per task)
     val files: Seq[(Path, String)] = manifestOf(spark, root, v) match {
       case Some(refs) => refs.map(r => (new Path(root, r), r))
-      case None => dataFiles(fs(spark, root), dir)
-        .map(s => (s.getPath, s.getPath.getName))
+      case None => dataFileRels(fs(spark, root), dir)
+        .map { case (st, rel) => (st.getPath, rel) }
     }
     val stats = TableStats.load(spark, new Path(dir, "_stats"))
     // resolve the predicate against the snapshot schema through the
@@ -797,10 +1129,22 @@ object VersionedTable {
     val conjs = optimized.collect {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
     }.flatMap(TableStats.conjuncts)
+    // PARTITIONS PRUNE BEFORE (and without) FILE STATS: each
+    // `p__<col>=<val>` path segment is an exact min=max point stat,
+    // synthesized into the pruner's domain — so a partitioned snapshot
+    // skips non-matching partitions even when the stats table is absent
+    // or uncovered, and keeps skipping across renames (segments resolve
+    // physical → logical through the mapping).
+    val reverseMap = columnMapping(spark, root, v).map(_.swap)
+    val partTypes: Map[String, org.apache.spark.sql.types.DataType] =
+      scala.util.Try(schemaOf(spark, root, v)).toOption
+        .map(_.map(sf => sf.name -> sf.dataType).toMap).getOrElse(Map.empty)
+    def synth(p: Path) = partSynthStats(p.toString, reverseMap, partTypes)
+    val anyPartitioned = files.exists(_._1.toString.contains("/" + PartDirPrefix))
     val statsKept =
-      if (stats.isEmpty) files
-      else files.filter { case (_, key) =>
-        val fileStats = stats.getOrElse(key, Map.empty)
+      if (stats.isEmpty && !anyPartitioned) files
+      else files.filter { case (p, key) =>
+        val fileStats = stats.getOrElse(key, Map.empty) ++ synth(p)
         conjs.forall(c => TableStats.mayMatch(c, fileStats))
       }
     // BLOOM refinement for equality/IN conjuncts: min/max cannot prune a
@@ -883,7 +1227,7 @@ object VersionedTable {
     val dir = versionDir(root, v)
     val fileKeys: Seq[String] = manifestOf(spark, root, v) match {
       case Some(refs) => refs
-      case None => dataFiles(fs(spark, root), dir).map(_.getPath.getName)
+      case None => dataFileRels(fs(spark, root), dir).map(_._2)
     }
     val stats = TableStats.load(spark, new Path(dir, "_stats"))
     // stats are keyed by PHYSICAL column names; requests speak logical
@@ -933,8 +1277,8 @@ object VersionedTable {
     val dir = versionDir(root, v)
     val entries: Seq[(String, String)] = manifestOf(spark, root, v) match {
       case Some(refs) => refs.map(r => (r, r))
-      case None => dataFiles(fs(spark, root), dir)
-        .map(s => (f"v$v%08d/" + s.getPath.getName, s.getPath.getName))
+      case None => dataFileRels(fs(spark, root), dir)
+        .map { case (_, rel) => (f"v$v%08d/" + rel, rel) }
     }
     val stats = TableStats.load(spark, new Path(dir, "_stats"))
     val physCol = physicalName(columnMapping(spark, root, v), column)
@@ -1038,8 +1382,8 @@ object VersionedTable {
     // stats of the CURRENT snapshot, keyed as stored (name or relpath)
     val curKeyed: Map[String, String] = manifestOf(spark, root, cur)
       .map(_.map(r => r -> r).toMap)
-      .getOrElse(dataFiles(f, versionDir(root, cur))
-        .map(s => (f"v$cur%08d/" + s.getPath.getName) -> s.getPath.getName).toMap)
+      .getOrElse(dataFileRels(f, versionDir(root, cur))
+        .map { case (_, rel) => (f"v$cur%08d/" + rel) -> rel }.toMap)
     val badKept = keptFiles.filterNot(curKeyed.contains)
     if (badKept.nonEmpty)
       // refs the current snapshot no longer holds: either the caller's
@@ -1082,16 +1426,17 @@ object VersionedTable {
       recordProperties = recordProperties,
       recordMapping = Some(mappingToRecord),
       finalizeVersion = (fh, dir, v) => {
-        val ownNames = dataFiles(fh, dir).map(_.getPath.getName)
-        val refs = ownNames.map(n => f"v$v%08d/" + n) ++ keptFiles
-        // merged stats: fresh files' rows (just collected, keyed by name)
-        // re-keyed to relpath + kept files' rows carried forward
+        val own = dataFileRels(fh, dir)
+        val refs = own.map { case (_, rel) => f"v$v%08d/" + rel } ++ keptFiles
+        // merged stats: fresh files' rows (just collected, keyed by bare
+        // name) re-keyed to relpath + kept files' rows carried forward
         val ownStats = TableStats.load(spark, new Path(dir, "_stats"))
         val rows =
-          ownNames.flatMap { n =>
-            ownStats.getOrElse(n, Map.empty).toSeq.map { case (c, (k, mn, mx, nu, nr)) =>
-              (f"v$v%08d/" + n, c, k, mn, mx, nu, nr)
-            }
+          own.flatMap { case (_, rel) =>
+            ownStats.getOrElse(rel, Map.empty).toSeq
+              .map { case (c, (k, mn, mx, nu, nr)) =>
+                (f"v$v%08d/" + rel, c, k, mn, mx, nu, nr)
+              }
           } ++
           keptFiles.flatMap { r =>
             curStats.getOrElse(curKeyed(r), Map.empty).toSeq
@@ -1100,7 +1445,7 @@ object VersionedTable {
         // a stats table must cover ALL files or claim none: a fresh file
         // whose footer pass failed, or a kept file with no carried rows,
         // would otherwise silently disable pruning only for itself
-        val covered = (ownNames.map(n => ownStats.contains(n)) ++
+        val covered = (own.map { case (_, rel) => ownStats.contains(rel) } ++
           keptFiles.map(r => curStats.contains(curKeyed(r)))).forall(identity)
         if (rows.nonEmpty && covered) TableStats.writeRows(fh, dir, rows)
         else fh.delete(new Path(dir, "_stats"), true)
@@ -1146,9 +1491,23 @@ object VersionedTable {
       else Some(slice.where(coalesce(predicate, lit(false)))
         .withColumn("_change_type", lit("delete")))
     if (!mor)
-      cowRewrite(spark, root, predicate)(
-        df => df.where(not(coalesce(predicate, lit(false)))),
-        feed = deleteFeed)
+      occRetry(spark, root) { cur =>
+        // METADATA-ONLY FAST PATH: a predicate decidable from partition
+        // values alone (the retention verb — `DELETE WHERE date < X` on a
+        // date-partitioned table) drops whole partitions from the
+        // manifest: zero data bytes written, whatever the partitions
+        // hold. Undecidable → the row-level COW/pruned rewrite, same
+        // result row-for-row.
+        partitionDropPlan(spark, root, cur, predicate) match {
+          case Some(dropRefs) =>
+            if (dropRefs.isEmpty) cur // provably nothing matches: no-op
+            else commitPartitionDrop(spark, root, cur, dropRefs, changeFeed)
+          case None =>
+            cowRewriteAt(spark, root, cur, predicate)(
+              df => df.where(not(coalesce(predicate, lit(false)))),
+              feed = deleteFeed)
+        }
+      }
     else occRetry(spark, root) { cur =>
       morVisibleTagged(spark, root, cur, predicate) match {
         case None => cur // provably no row matches: no-op, no commit
@@ -1358,6 +1717,16 @@ object VersionedTable {
       rewrite: DataFrame => DataFrame,
       feed: DataFrame => Option[DataFrame] = _ => None): Long =
     occRetry(spark, root) { cur =>
+      cowRewriteAt(spark, root, cur, predicate)(rewrite, feed)
+    }
+
+  /** One attempt of [[cowRewrite]] against a pinned `cur` — split out so
+    * [[deleteWhere]] can choose per-attempt between this and the
+    * metadata-only partition drop inside ONE occRetry loop. */
+  private def cowRewriteAt(
+      spark: SparkSession, root: String, cur: Long, predicate: Column)(
+      rewrite: DataFrame => DataFrame,
+      feed: DataFrame => Option[DataFrame]): Long = {
       val (mayMatch, _) = prunedFiles(spark, root, cur, predicate)
       if (mayMatch.isEmpty) cur // provably no row matches: no-op, no commit
       else {
@@ -1613,10 +1982,22 @@ object VersionedTable {
         if (f.name == from) f.copy(name = to) else f))
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], newSchema)
+      // the partition property speaks LOGICAL names: follow the rename
+      // (dir segments keep the frozen physical name and resolve through
+      // the mapping, so pruning and drops keep working)
+      val curProps = propertiesOf(spark, root, cur)
+      val renamedProps = curProps.get(PartitionByProp) match {
+        case Some(specStr) if specStr.split(',').contains(from) =>
+          Some(curProps.updated(PartitionByProp,
+            specStr.split(',').toSeq.map(c => if (c == from) to else c)
+              .mkString(",")))
+        case _ => None
+      }
       commitCowInternal(empty, root, cur, dataFileRefs(spark, root, cur),
         Map("changes" -> emptyFeed(empty)), // metadata-only: zero-row feed
         Nil, preCommit = occValidate(spark, root, cur),
         recordSchema = Some(newSchema),
+        recordProperties = renamedProps,
         recordMapping = Some((newMapping, retiredPhysicals(spark, root, cur))))
     }
 
@@ -1630,6 +2011,9 @@ object VersionedTable {
     * column or one a CHECK constraint references. */
   def dropColumn(spark: SparkSession, root: String, name: String): Long =
     occRetry(spark, root) { cur =>
+      require(!partitionColumnsOf(spark, root, cur).contains(name),
+        s"$name is a partition column of $root — the layout depends on it; " +
+          "repartition via a full rewrite before dropping")
       val schema = schemaOf(spark, root, cur)
       require(schema.fieldNames.contains(name),
         s"no column $name in $root (columns: ${schema.fieldNames.mkString(", ")})")
@@ -1697,6 +2081,14 @@ object VersionedTable {
       spark: SparkSession, root: String, props: Map[String, String]): Long = {
     require(props.nonEmpty, "setProperties needs at least one property")
     occRetry(spark, root) { cur =>
+      // the partition spec shapes the physical layout of every committed
+      // file — flipping it via a metadata-only property write would leave
+      // files that disagree with it; the spec is set at table birth only
+      val curSpec = propertiesOf(spark, root, cur).get(PartitionByProp)
+      require(!props.contains(PartitionByProp) ||
+        props.get(PartitionByProp) == curSpec,
+        s"$PartitionByProp is fixed at table birth (commit(partitionBy=...)); " +
+          "it cannot be changed through setProperties")
       metadataOnlyCommit(spark, root, cur,
         recordProperties = Some(propertiesOf(spark, root, cur) ++ props))
     }
@@ -1707,6 +2099,9 @@ object VersionedTable {
   def unsetProperties(
       spark: SparkSession, root: String, keys: Seq[String]): Long = {
     require(keys.nonEmpty, "unsetProperties needs at least one key")
+    require(!keys.contains(PartitionByProp),
+      s"$PartitionByProp is fixed at table birth; it cannot be unset " +
+        "(the committed layout depends on it)")
     occRetry(spark, root) { cur =>
       metadataOnlyCommit(spark, root, cur,
         recordProperties = Some(propertiesOf(spark, root, cur) -- keys))
@@ -1994,9 +2389,30 @@ object VersionedTable {
 
   private def dataFiles(
       f: org.apache.hadoop.fs.FileSystem, dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
-    f.listStatus(dir).toSeq
-      .filter(s => s.getPath.getName.startsWith("part-") &&
-        s.getPath.getName.endsWith(".parquet"))
+    f.listStatus(dir).toSeq.flatMap { s =>
+      val n = s.getPath.getName
+      // partitioned snapshots nest data files under `p__<col>=<val>/`
+      // dirs (Hive layout); "_"/"." prefixed dirs are sidecars, never data
+      if (s.isDirectory && !n.startsWith("_") && !n.startsWith("."))
+        dataFiles(f, s.getPath)
+      else if (n.startsWith("part-") && n.endsWith(".parquet")) Seq(s)
+      else Nil
+    }
+
+  /** `dataFiles` with each file's DIR-RELATIVE path (e.g.
+    * `p__date=2024-01-01/part-x.parquet`, or just `part-x.parquet` for
+    * flat layouts) — the tail that joins a version prefix to form a
+    * manifest ref. */
+  private def dataFileRels(
+      f: org.apache.hadoop.fs.FileSystem, dir: Path)
+      : Seq[(org.apache.hadoop.fs.FileStatus, String)] = {
+    val base = f.makeQualified(dir).toString.stripSuffix("/") + "/"
+    dataFiles(f, dir).map { s =>
+      val abs = f.makeQualified(s.getPath).toString
+      require(abs.startsWith(base), s"$abs not under $base")
+      (s, abs.stripPrefix(base))
+    }
+  }
 
   /** RESTORE the table to an earlier committed version (Delta's
     * `RESTORE TABLE ... VERSION AS OF` / Iceberg rollback): publish a NEW
@@ -2040,8 +2456,8 @@ object VersionedTable {
         // commitCowInternal carries a kept file's rows
         val tgtKeyed: Map[String, String] = manifestOf(spark, root, toVersion)
           .map(_.map(r => r -> r).toMap)
-          .getOrElse(dataFiles(f, versionDir(root, toVersion))
-            .map(s => (f"v$toVersion%08d/" + s.getPath.getName) -> s.getPath.getName)
+          .getOrElse(dataFileRels(f, versionDir(root, toVersion))
+            .map { case (_, rel) => (f"v$toVersion%08d/" + rel) -> rel }
             .toMap)
         val tgtStats = TableStats.load(spark,
           new Path(versionDir(root, toVersion), "_stats"))
@@ -2181,7 +2597,14 @@ object VersionedTable {
       val bytes = snapshotBytes(spark, root, v)
       val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
       val df = readVersion(spark, root, v)
-      commit(df.repartition(nFiles), root,
+      // a partitioned table clusters by its spec so the partitionBy
+      // write emits few files per task instead of (tasks x tuples)
+      val pspec = partitionColumnsOf(spark, root, v)
+        .map(org.apache.spark.sql.functions.col)
+      val reshaped =
+        if (pspec.isEmpty) df.repartition(nFiles)
+        else df.repartitionByRange(nFiles, pspec: _*)
+      commit(reshaped, root,
         extras = Map("changes" -> emptyFeed(df)), // layout-only: zero-row feed
         bloomCols = bloomCols,
         preCommit = w => { preCommit(w); occValidate(spark, root, v)(w) })
@@ -2210,8 +2633,12 @@ object VersionedTable {
     occRetry(spark, root) { v =>
       val bytes = snapshotBytes(spark, root, v)
       val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-      val cols = sortCols.map(org.apache.spark.sql.functions.col)
       val df = readVersion(spark, root, v)
+      // partition columns lead the clustering so the partitionBy write
+      // stays tuple-contiguous (few files per task)
+      val pspec = partitionColumnsOf(spark, root, v)
+      val cols = (pspec ++ sortCols.filterNot(pspec.contains))
+        .map(org.apache.spark.sql.functions.col)
       commit(df
         .repartitionByRange(nFiles, cols: _*)
         .sortWithinPartitions(cols: _*), root,
@@ -2253,7 +2680,9 @@ object VersionedTable {
         val bytes = touched.map(r => f.getFileStatus(new Path(root, r)).getLen).sum
         val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
         val slice = readFilesOf(spark, root, v, touched)
-        val cols = sortCols.map(org.apache.spark.sql.functions.col)
+        val pspec = partitionColumnsOf(spark, root, v)
+        val cols = (pspec ++ sortCols.filterNot(pspec.contains))
+          .map(org.apache.spark.sql.functions.col)
         val clustered =
           if (cols.isEmpty) slice.repartition(nFiles)
           else slice.repartitionByRange(nFiles, cols: _*)
@@ -2350,9 +2779,11 @@ object VersionedTable {
     }
     val bytes = snapshotBytes(spark, root, v)
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    // partition columns lead the z-clustering (tuple-contiguous tasks)
+    val pspecZ = partitionColumnsOf(spark, root, v).map(col)
     commit(df.withColumn("__z", z)
-      .repartitionByRange(nFiles, col("__z"))
-      .sortWithinPartitions(col("__z"))
+      .repartitionByRange(nFiles, (pspecZ :+ col("__z")): _*)
+      .sortWithinPartitions((pspecZ :+ col("__z")): _*)
       .drop("__z"), root,
       extras = Map("changes" -> emptyFeed(df)), // layout-only: zero-row feed
       bloomCols = bloomCols,
@@ -2439,17 +2870,26 @@ object VersionedTable {
       f.delete(new Path(commitDir(root), pad(v)), false)
       val dir = versionDir(root, v)
       val prefix = f"v$v%08d/"
-      val keptHere = dataFiles(f, dir)
-        .map(_.getPath.getName).filter(n => referenced(prefix + n))
+      val keptHere = dataFileRels(f, dir)
+        .map(_._2).filter(rel => referenced(prefix + rel))
       if (keptHere.isEmpty) f.delete(dir, true)
-      else {
-        // referenced data files stay; everything else in the dir goes
-        if (f.exists(dir)) f.listStatus(dir).foreach { s =>
-          val n = s.getPath.getName
-          if (!(n.startsWith("part-") && n.endsWith(".parquet") &&
-              referenced(prefix + n)))
-            f.delete(s.getPath, true)
+      else if (f.exists(dir)) {
+        // referenced data files stay; everything else — sidecars, orphaned
+        // data, emptied partition subdirs — goes. Returns "left empty".
+        def sweep(d: Path, rel: String): Boolean = {
+          var kept = false
+          f.listStatus(d).foreach { s =>
+            val n = s.getPath.getName
+            if (s.isDirectory && !n.startsWith("_") && !n.startsWith(".")) {
+              if (sweep(s.getPath, rel + n + "/")) f.delete(s.getPath, true)
+              else kept = true
+            } else if (n.startsWith("part-") && n.endsWith(".parquet") &&
+                referenced(prefix + rel + n)) kept = true
+            else f.delete(s.getPath, true)
+          }
+          !kept
         }
+        sweep(dir, "")
       }
     }
     // truncate the CLAIM log alongside: claims exist only to order
