@@ -141,11 +141,55 @@ object GraftSql {
   private val CloneRe =
     """(?is)\s*CREATE\s+TABLE\s+'([^']+)'\s+SHALLOW\s+CLONE\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*;?\s*""".r
   private val CopyIntoRe =
-    """(?is)\s*COPY\s+INTO\s+'([^']+)'\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)(?:\s+PATTERN\s*=\s*'([^']+)')?(?:\s+FORMAT_OPTIONS\s*\((.*?)\))?\s*;?\s*""".r
+    """(?is)\s*COPY\s+INTO\s+'([^']+)'\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)(?:\s+PATTERN\s*=\s*'([^']+)')?(?:\s+FORMAT_OPTIONS\s*\((.*)\))?\s*;?\s*""".r
   private val CreateAsRe =
     """(?is)\s*CREATE\s+TABLE\s+'([^']+)'\s+AS\s+(.+?)\s*;?\s*""".r
-  private val PropPairRe = """'([^']*)'\s*=\s*'([^']*)'""".r
   private val PropKeyRe = """'([^']*)'""".r
+
+  /** Quote-aware `'k' = 'v', …` pair list parser (SET TBLPROPERTIES,
+    * FORMAT_OPTIONS). A regex scan cannot represent quotes inside values
+    * and silently DROPS unparsed residue — an option value containing
+    * `)` or `,` (a regex, a custom quote char) would truncate the list
+    * without a word. Here `''` inside a quoted literal is an escaped
+    * quote (the SQL convention) and any residue is an error, never a
+    * silent drop. */
+  private[plans] def parseOptionPairs(s: String): Map[String, String] = {
+    var i = 0
+    val n = s.length
+    val out = scala.collection.mutable.LinkedHashMap[String, String]()
+    def ws(): Unit = while (i < n && s(i).isWhitespace) i += 1
+    def quoted(what: String): String = {
+      require(i < n && s(i) == '\'',
+        s"expected a quoted $what at position $i in: $s")
+      i += 1
+      val sb = new StringBuilder
+      var done = false
+      while (!done) {
+        require(i < n, s"unterminated quote in: $s")
+        if (s(i) == '\'') {
+          if (i + 1 < n && s(i + 1) == '\'') { sb += '\''; i += 2 }
+          else { i += 1; done = true }
+        } else { sb += s(i); i += 1 }
+      }
+      sb.toString
+    }
+    ws()
+    while (i < n) {
+      val k = quoted("key")
+      ws()
+      require(i < n && s(i) == '=', s"expected = after key '$k' in: $s")
+      i += 1; ws()
+      out(k) = quoted("value")
+      ws()
+      if (i < n) {
+        require(s(i) == ',',
+          s"unparsed residue after a pair: '${s.substring(i)}' in: $s")
+        i += 1; ws()
+        require(i < n, s"trailing comma in: $s")
+      }
+    }
+    out.toMap
+  }
 
   private[plans] def maintenancePlan(sqlText: String): Option[LogicalPlan] =
     sqlText match {
@@ -224,8 +268,7 @@ object GraftSql {
           Seq(Row("DROP COLUMN", root,
             VersionedTable.dropColumn(s, root, name)))))
       case SetPropsRe(root, pairs) =>
-        val kvs = PropPairRe.findAllMatchIn(pairs)
-          .map(mm => mm.group(1) -> mm.group(2)).toMap
+        val kvs = parseOptionPairs(pairs)
         Some(GraftCommand("SET TBLPROPERTIES", root, s =>
           Seq(Row("SET TBLPROPERTIES", root,
             VersionedTable.setProperties(s, root, kvs)))))
@@ -235,9 +278,7 @@ object GraftSql {
           Seq(Row("UNSET TBLPROPERTIES", root,
             VersionedTable.unsetProperties(s, root, ks)))))
       case CopyIntoRe(root, srcDir, fmt, pattern, opts) =>
-        val fmtOpts = Option(opts).map(o =>
-          PropPairRe.findAllMatchIn(o).map(m => m.group(1) -> m.group(2)).toMap)
-          .getOrElse(Map.empty)
+        val fmtOpts = Option(opts).map(parseOptionPairs).getOrElse(Map.empty)
         Some(GraftCommand("COPY INTO", root, s =>
           Seq(Row("COPY INTO", root,
             runCopyInto(s, root, srcDir, fmt.toLowerCase,
@@ -465,6 +506,9 @@ object GraftSql {
         throw new IllegalArgumentException(
           s"INSERT column $n does not exist in $root " +
             s"(table columns: ${target.map(_.name).mkString(", ")})"))
+    val srcType = src.schema.map(f => f.name -> f.dataType).toMap
+    def store(srcName: String, f: org.apache.spark.sql.types.StructField) =
+      storeCast(src(s"`$srcName`"), srcType(srcName), f, root)
     if (userCols.nonEmpty || byName) {
       val named: Seq[(String, Column)] =
         if (userCols.nonEmpty) {
@@ -472,18 +516,18 @@ object GraftSql {
             s"INSERT column list names ${userCols.size} columns but the " +
               s"query produces ${src.columns.length}")
           userCols.zip(src.columns.toSeq).map { case (t, sc) =>
-            targetField(t).name -> src(s"`$sc`") }
-        } else src.columns.toSeq.map(c => targetField(c).name -> src(s"`$c`"))
+            targetField(t).name -> store(sc, targetField(t)) }
+        } else src.columns.toSeq.map(c => targetField(c).name -> store(c, targetField(c)))
       val dups = named.map(_._1).groupBy(identity).filter(_._2.size > 1).keys
       require(dups.isEmpty,
         s"INSERT names target column(s) more than once: ${dups.mkString(", ")}")
       val have = named.toMap
       src.select(target.map { f =>
-        have.get(f.name).map(_.cast(f.dataType).as(f.name)).getOrElse {
+        have.getOrElse(f.name, {
           require(f.nullable,
             s"column ${f.name} is non-nullable and the INSERT gives it no value")
           lit(null).cast(f.dataType).as(f.name)
-        }
+        })
       }: _*)
     } else {
       require(src.columns.length == target.size,
@@ -491,24 +535,56 @@ object GraftSql {
           s"columns, $root has ${target.size} — use a column list for " +
           "partial inserts")
       src.select(src.columns.toSeq.zip(target).map { case (sc, f) =>
-        src(s"`$sc`").cast(f.dataType).as(f.name)
+        store(sc, f)
       }: _*)
     }
   }
+
+  /** Store assignment with ANSI-like malformed-value semantics: a value
+    * the target type cannot represent FAILS the insert at runtime instead
+    * of silently becoming NULL (plain `Column.cast` nulls out e.g. 'abc'
+    * → BIGINT, which then slips past even non-nullable targets). The
+    * guard is inline in the projection — `when(introduced-null,
+    * raise_error).otherwise(cast)` — so it codegens with the scan and
+    * costs no extra pass. Same-type columns skip the wrapper entirely.
+    * (Numeric overflow under non-ANSI cast truncates rather than nulls;
+    * that narrower hazard is out of this guard's reach by construction.) */
+  private def storeCast(
+      c: Column, from: org.apache.spark.sql.types.DataType,
+      f: org.apache.spark.sql.types.StructField, root: String): Column =
+    if (from == f.dataType) c.as(f.name)
+    else {
+      val casted = c.cast(f.dataType)
+      when(c.isNotNull && casted.isNull,
+        raise_error(concat(
+          lit(s"INSERT into $root: value '"),
+          c.cast(org.apache.spark.sql.types.StringType),
+          lit(s"' cannot be stored in column ${f.name} " +
+            s"(${f.dataType.simpleString}) — ANSI store assignment"))))
+        .otherwise(casted).as(f.name)
+    }
 
   // ---- COPY INTO -----------------------------------------------------------
 
   /** `COPY INTO '<root>' FROM '<dir>' FILEFORMAT = PARQUET|CSV|JSON
     * [PATTERN = 'glob'] [FORMAT_OPTIONS ('k'='v',…)]` — IDEMPOTENT file
     * ingestion (the Delta COPY INTO contract): the table carries a
-    * LOADED-FILE LEDGER (`_copyfiles` extra, one row per ingested source
-    * file), each run loads only files not yet in it, and the ledger and
-    * the rows commit atomically in one snapshot — so a crashed or
-    * re-scheduled run re-loads NOTHING (exactly-once per file), which is
-    * the property an hourly landing-zone ingest actually needs (the
-    * alternative, remembering progress in the scheduler, loses it on
-    * redeploys). Returns the number of files loaded (0 = fully caught
-    * up, no commit published).
+    * LOADED-FILE LEDGER, each run loads only files not yet in it, and
+    * the ledger and the rows commit atomically in one snapshot — so a
+    * crashed or re-scheduled run re-loads NOTHING (exactly-once per
+    * file), which is the property an hourly landing-zone ingest actually
+    * needs (the alternative, remembering progress in the scheduler,
+    * loses it on redeploys). Returns the number of files loaded (0 =
+    * fully caught up, no commit published).
+    *
+    * The ledger is INCREMENTAL: each COPY commits only its own newly
+    * loaded files (`_copyfiles` delta, O(new files) bytes), candidates
+    * are probed with a distributed anti-join against the folded union
+    * ([[VersionedTable.copyLedger]]), and every
+    * `spark.graft.copy.foldEvery` (default 64) commits the union
+    * collapses into one `_copyfull` barrier — a landing zone with
+    * millions of accumulated files costs each COPY O(new), never
+    * O(files-ever), in both write volume and driver memory.
     *
     * The load is an O(batch) append commit: source files are read with
     * the table's recorded schema (CSV/JSON get it as the parse schema;
@@ -543,15 +619,28 @@ object GraftSql {
             "the copied files are checked against)"))
       val glob = pattern.map(p => new org.apache.hadoop.fs.Path(src, p))
         .getOrElse(new org.apache.hadoop.fs.Path(src, "*"))
-      val candidates = fs.globStatus(glob).toSeq
+      // globStatus returns null (not empty) for a wildcard-free PATTERN
+      // naming a missing path — that is "0 files to load", not an NPE
+      val candidates = Option(fs.globStatus(glob))
+        .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus]).toSeq
         .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
           !st.getPath.getName.startsWith("."))
         .map(st => fs.makeQualified(st.getPath).toString)
-      val ledger: Set[String] =
-        VersionedTable.readExtra(spark, root, base, "copyfiles")
-          .map(_.select("file").collect().map(_.getString(0)).toSet)
-          .getOrElse(Set.empty)
-      val fresh = candidates.filterNot(ledger).sorted
+      // INCREMENTAL LEDGER: the table's loaded-file set is the fold of
+      // per-commit deltas ([[VersionedTable.copyLedger]]); candidates are
+      // probed with a DISTRIBUTED anti-join against it — the driver never
+      // materializes the ledger (a daily landing zone accumulates
+      // millions of files; only the O(new files) survivors come back).
+      val ledger = VersionedTable.copyLedger(spark, root, base)
+      import spark.implicits._
+      val fresh: Seq[String] = ledger match {
+        case None => candidates.sorted
+        case Some(l) =>
+          // no broadcast hint on the ledger side: AQE picks broadcast
+          // while it is small and flips to shuffle when it grows
+          candidates.toDF("file").join(l, Seq("file"), "left_anti")
+            .collect().map(_.getString(0)).toSeq.sorted
+      }
       if (fresh.isEmpty) out = Some(0L)
       else {
         val schema = VersionedTable.tableSchema(spark, root, base)
@@ -566,13 +655,23 @@ object GraftSql {
           case "json" => reader.schema(schema).json(fresh: _*)
         }
         val aligned = alignToSchema(raw, schema, Nil, byName = true, root)
-        import spark.implicits._
-        val newLedger = (ledger ++ fresh).toSeq.sorted.toDF("file")
+        // per-commit ledger DELTA: O(new files) bytes, not O(files-ever).
+        // Every spark.graft.copy.foldEvery COPYs the walk is amortized
+        // back to O(1) by folding the union into a "copyfull" barrier
+        // riding this same commit (no extra version).
+        val foldEvery = spark.conf.getOption("spark.graft.copy.foldEvery")
+          .map(_.toInt).getOrElse(64)
+        val freshDf = fresh.toDF("file")
+        val ledgerExtra: (String, DataFrame) =
+          if (VersionedTable.copyLedgerDepth(spark, root, base) + 1 < foldEvery)
+            "copyfiles" -> freshDf
+          else "copyfull" -> ledger.map(_.unionByName(freshDf).distinct())
+            .getOrElse(freshDf).localCheckpoint(eager = true)
         try {
           VersionedTable.commitCow(aligned, root,
             VersionedTable.dataFileRefs(spark, root, base),
             extras = Map(
-              "copyfiles" -> newLedger,
+              ledgerExtra,
               "changes" -> VersionedTable.feedWritable(
                 aligned.withColumn("_change_type", lit("insert")))),
             preCommit = _ => {

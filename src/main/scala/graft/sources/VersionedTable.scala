@@ -337,16 +337,13 @@ object VersionedTable {
       // written under "_"-prefixed subdirs inside the staging dir, so they
       // rename, publish and vacuum atomically with their version and stay
       // invisible to plain snapshot readers. The COPY INTO loaded-file
-      // ledger ("copyfiles") is LOAD HISTORY, not snapshot state: it
-      // carries forward through every commit path (rewrites included) so
-      // an idempotent ingest stays idempotent across unrelated writes —
-      // O(ledger) rows, only on tables COPY INTO ever touched.
-      val extrasCarried =
-        if (extras.contains("copyfiles")) extras
-        else currentVersion(spark, root)
-          .flatMap(cv => readExtra(spark, root, cv, "copyfiles"))
-          .map(l => extras.updated("copyfiles", l)).getOrElse(extras)
-      extrasCarried.foreach { case (name, extra) =>
+      // ledger is NOT carried here: each COPY commits only its own
+      // newly-loaded files ("copyfiles" delta) and readers fold the
+      // union across versions ([[copyLedger]]) — so an unrelated commit
+      // writes zero ledger bytes AND cannot race a COPY into publishing
+      // with a stale ledger (the carry-forward read this replaced ran
+      // outside the publish lock).
+      extras.foreach { case (name, extra) =>
         require(name.nonEmpty && name.forall(ch => ch.isLetterOrDigit || ch == '_'),
           s"extra table name must be alphanumeric/underscore: $name")
         extra.write.mode(SaveMode.Overwrite)
@@ -1901,8 +1898,11 @@ object VersionedTable {
     val extras = readExtra(spark, srcRoot, v, "dv")
       .map(d => Map("dv" -> d)).getOrElse(Map.empty) ++
       // the COPY INTO ledger rides along: re-running the source's ingest
-      // against the clone must not double-load the same landing files
-      readExtra(spark, srcRoot, v, "copyfiles").map("copyfiles" -> _).toMap +
+      // against the clone must not double-load the same landing files.
+      // Folded to a complete "copyfull" BARRIER — the clone's ledger walk
+      // must never reach back into the source's log
+      copyLedger(spark, srcRoot, v)
+        .map(l => "copyfull" -> l.localCheckpoint(eager = true)).toMap +
       ("changes" -> emptyFeed(empty)) // clones re-emit no history (Delta)
     // stats re-key: source rows are keyed bare-name (dir snapshot) or
     // ref (manifest snapshot); the clone keys them by its absolute refs
@@ -2043,8 +2043,7 @@ object VersionedTable {
     val v = currentVersion(spark, root).getOrElse(
       throw new java.io.IOException(s"no committed version under $root"))
     val refs = dataFileRefs(spark, root, v)
-    val ledger = readExtra(spark, root, v, "copyfiles")
-      .map(_.count()).getOrElse(0L)
+    val ledger = copyLedger(spark, root, v).map(_.count()).getOrElse(0L)
     org.apache.spark.sql.Row(
       root, v, refs.size, snapshotBytes(spark, root, v),
       schemaOf(spark, root, v).size,
@@ -2239,6 +2238,72 @@ object VersionedTable {
     val p = new Path(versionDir(root, v), s"_$name")
     if (fs(spark, root).exists(p)) Some(spark.read.parquet(p.toString)) else None
   }
+
+  // ---- COPY INTO loaded-file ledger (incremental) -------------------------
+
+  /** The complete COPY INTO loaded-file ledger as of version `v`, or None
+    * when no COPY ever touched the table. INCREMENTAL shape: each COPY
+    * commit carries only ITS OWN newly-loaded files (a "copyfiles" delta
+    * extra, O(new files) bytes), and the complete set is the union folded
+    * here — walking versions newest-first and stopping at the first
+    * BARRIER, a version whose "copyfull" extra is the complete ledger as
+    * of that version ([[foldCopyLedger]] commits, shallow clones). A
+    * daily landing zone with millions of files thus pays O(new) per
+    * commit, not O(files-ever); the fold is amortized. Pre-upgrade
+    * tables (cumulative ledger carried on every version) fold correctly
+    * too: unioning cumulative snapshots distinct-reduces to the newest.
+    * The result is a distributed frame — probe it with an anti-join,
+    * never a driver collect. */
+  def copyLedger(
+      spark: SparkSession, root: String, v: Long): Option[DataFrame] = {
+    val frames = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val it = versions(spark, root).filter(_ <= v).sorted.reverse.iterator
+    var stop = false
+    while (!stop && it.hasNext) {
+      val vv = it.next()
+      readExtra(spark, root, vv, "copyfull") match {
+        case Some(full) => frames += full; stop = true
+        case None =>
+          readExtra(spark, root, vv, "copyfiles").foreach(frames += _)
+      }
+    }
+    if (frames.isEmpty) None
+    else Some(frames.reduce(_.unionByName(_)).select("file").distinct())
+  }
+
+  /** How many versions [[copyLedger]] must walk at `v` before hitting a
+    * barrier (or the log's start) — the fold trigger's input. */
+  private[graft] def copyLedgerDepth(
+      spark: SparkSession, root: String, v: Long): Int = {
+    val vs = versions(spark, root).filter(_ <= v).sorted.reverse
+    val idx = vs.indexWhere(vv => readExtra(spark, root, vv, "copyfull").isDefined)
+    if (idx < 0) vs.size else idx + 1
+  }
+
+  /** Fold the incremental COPY ledger into one complete "copyfull"
+    * barrier via a metadata-only commit (zero data bytes, every file by
+    * reference, empty feed). Amortizes [[copyLedger]]'s walk back to
+    * O(1 barrier read + short suffix); [[vacuum]] calls it before
+    * dropping any version that still carries ledger deltas, so load
+    * history survives retention. No-op (returns the current version)
+    * when the table has no ledger. */
+  def foldCopyLedger(spark: SparkSession, root: String): Long =
+    occRetry(spark, root) { cur =>
+      copyLedger(spark, root, cur) match {
+        case None => cur
+        case Some(folded) =>
+          val schema = schemaOf(spark, root, cur)
+          val empty = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          commitCowInternal(empty, root, cur, dataFileRefs(spark, root, cur),
+            Map("changes" -> emptyFeed(empty),
+              // materialize BEFORE committing: the fold reads extras of
+              // versions a concurrent vacuum could be dropping mid-write
+              "copyfull" -> folded.localCheckpoint(eager = true)),
+            Nil, preCommit = occValidate(spark, root, cur),
+            recordSchema = Some(schema))
+      }
+    }
 
   /** Highest transaction id committed under `appId` — the idempotent-sink
     * high-water mark (Delta's txnAppId/txnVersion pattern): a streaming
@@ -2856,6 +2921,24 @@ object VersionedTable {
     // run; note the checkpoint advance is a metadata write that happens
     // either way). Nothing is deleted, no tombstone is recorded.
     if (dryRun) return drop
+    // COPY-LEDGER coverage: dropping a version that still carries ledger
+    // deltas (or the only barrier) would forget loaded files and let a
+    // re-run double-load them. Fold first — the fold commit is the
+    // newest version, survives keepLast >= 1, and covers everything
+    // below it — then recompute the drop set once.
+    def hasLedger(v: Long) =
+      f.exists(new Path(versionDir(root, v), "_copyfiles")) ||
+        f.exists(new Path(versionDir(root, v), "_copyfull"))
+    val ledgerDrops = drop.filter(hasLedger)
+    if (ledgerDrops.nonEmpty) {
+      val survivors = all.filterNot(drop.toSet)
+      val covered = survivors.exists(s => s > ledgerDrops.max &&
+        f.exists(new Path(versionDir(root, s), "_copyfull")))
+      if (!covered) {
+        foldCopyLedger(spark, root)
+        return vacuum(spark, root, keepLast, olderThanMs, dryRun)
+      }
+    }
     // retained = everything not dropped (possibly non-contiguous when an
     // age/coverage guard holds a middle version back) — references from
     // EVERY retained manifest protect their files

@@ -135,16 +135,21 @@ class ChangeFeedSource(
     * stream over a long-history (or never-fed) table must not pay an
     * O(versions) existence scan on EVERY trigger. */
   private var firstFed: Option[Long] = None
-  private var probedThrough = 0L
+  private var probed = Set.empty[Long]
   private def feedStart(): Long = {
     if (firstFed.isEmpty) {
-      val unprobed = VersionedTable.versions(spark, root).filter(_ > probedThrough)
+      // memoized as a SET of probed version numbers, not a high-water
+      // mark: a lower-numbered version published after a higher one
+      // (possible only for writers bypassing OCC validation) still gets
+      // probed on the next poll instead of being skipped forever. The
+      // set is driver-sized (the versions() listing already is).
+      val unprobed = VersionedTable.versions(spark, root).filterNot(probed)
       firstFed = unprobed.find(v => VersionedTable.hasChangeFeed(spark, root, v))
-      unprobed.lastOption.foreach(l => probedThrough = math.max(probedThrough, l))
+      probed ++= unprobed
     }
     val pastDropped = VersionedTable.vacuumedVersions(spark, root)
       .foldLeft(0L)(math.max) + 1L
-    math.max(firstFed.getOrElse(probedThrough + 1L), pastDropped)
+    math.max(firstFed.getOrElse(probed.foldLeft(0L)(math.max) + 1L), pastDropped)
   }
 
   override def getOffset: Option[Offset] = {

@@ -110,6 +110,96 @@ class CopyIntoSpec extends SparkSpec {
     assert(got.select("id").distinct().count() == 21, "a file double-loaded")
   }
 
+  test("ledger is incremental: each COPY commits only its own files; " +
+    "the fold collapses to a barrier at the threshold") {
+    val root = freshDir("t7") + "/t"; seedTable(root)
+    val landing = freshDir("land7")
+    // depth counts every version the fold walk would visit (the seed
+    // commit included): 4 ⇒ the third COPY (walk depth 3 + itself) folds
+    spark.conf.set("spark.graft.copy.foldEvery", "4")
+    try {
+      land(landing, 100 until 105, "b1")
+      GraftSql.execute(spark,
+        s"COPY INTO '$root' FROM '$landing' FILEFORMAT = PARQUET")
+      val v1 = VersionedTable.currentVersion(spark, root).get
+      // delta shape: the commit's own extra holds ONE file, not the
+      // cumulative history
+      assert(VersionedTable.readExtra(spark, root, v1, "copyfiles")
+        .get.count() == 1L, "first COPY's extra is not a 1-file delta")
+      land(landing, 200 until 205, "b2")
+      GraftSql.execute(spark,
+        s"COPY INTO '$root' FROM '$landing' FILEFORMAT = PARQUET")
+      val v2 = VersionedTable.currentVersion(spark, root).get
+      assert(VersionedTable.readExtra(spark, root, v2, "copyfiles")
+        .get.count() == 1L, "second COPY's extra grew beyond its delta")
+      // third COPY crosses foldEvery=3 → the commit carries the folded
+      // barrier instead of a delta
+      land(landing, 300 until 305, "b3")
+      GraftSql.execute(spark,
+        s"COPY INTO '$root' FROM '$landing' FILEFORMAT = PARQUET")
+      val v3 = VersionedTable.currentVersion(spark, root).get
+      assert(VersionedTable.readExtra(spark, root, v3, "copyfiles").isEmpty)
+      assert(VersionedTable.readExtra(spark, root, v3, "copyfull")
+        .get.count() == 3L, "barrier does not hold the complete ledger")
+      // folded or not, the behavior is unchanged: nothing re-loads
+      assert(GraftSql.execute(spark,
+        s"COPY INTO '$root' FROM '$landing' FILEFORMAT = PARQUET")
+        .collect().head.getLong(2) == 0L)
+      assert(VersionedTable.read(spark, root).select("id")
+        .distinct().count() == 16)
+    } finally spark.conf.unset("spark.graft.copy.foldEvery")
+  }
+
+  test("vacuum folds the ledger before dropping delta-carrying versions") {
+    val root = freshDir("t8") + "/t"; seedTable(root)
+    val landing = freshDir("land8")
+    land(landing, 1 to 5, "b1")
+    GraftSql.execute(spark,
+      s"COPY INTO '$root' FROM '$landing' FILEFORMAT = PARQUET")
+    // bury the COPY commit under unrelated writes, then vacuum past it
+    (1 to 3).foreach(i => GraftSql.execute(spark,
+      s"UPDATE `$root` SET src = 'u$i' WHERE id = 1"))
+    VersionedTable.vacuum(spark, root, keepLast = 2)
+    // the COPY commit is gone, but its load history survived the fold —
+    // a re-run must not double-load
+    assert(GraftSql.execute(spark,
+      s"COPY INTO '$root' FROM '$landing' FILEFORMAT = PARQUET")
+      .collect().head.getLong(2) == 0L,
+      "vacuum destroyed the loaded-file ledger — files re-loaded")
+    assert(VersionedTable.read(spark, root).select("id")
+      .distinct().count() == 6)
+  }
+
+  test("a wildcard-free PATTERN naming a missing path reports 0 files") {
+    val root = freshDir("t9") + "/t"; seedTable(root)
+    val landing = freshDir("land9")
+    assert(GraftSql.execute(spark,
+      s"COPY INTO '$root' FROM '$landing' FILEFORMAT = PARQUET " +
+        "PATTERN = 'no_such_subdir/file.parquet'")
+      .collect().head.getLong(2) == 0L)
+  }
+
+  test("FORMAT_OPTIONS values may contain ')' ',' '=' and escaped quotes") {
+    assert(GraftSql.parseOptionPairs(
+      "'quote'='\"', 'sep'=')', 'regex'='a,b=c''d)'") ==
+      Map("quote" -> "\"", "sep" -> ")", "regex" -> "a,b=c'd)"))
+    val bad = intercept[IllegalArgumentException](
+      GraftSql.parseOptionPairs("'k'='v' junk"))
+    assert(bad.getMessage.contains("residue"))
+    // end to end: a CSV with ')' as the delimiter round-trips
+    val root = freshDir("t10") + "/t"; seedTable(root)
+    val landing = freshDir("land10")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(landing, "w.csv"),
+      "id)src\n500)weird\n".getBytes("UTF-8"))
+    assert(GraftSql.execute(spark,
+      s"COPY INTO '$root' FROM '$landing' FILEFORMAT = CSV " +
+        "FORMAT_OPTIONS ('header'='true', 'sep'=')')")
+      .collect().head.getLong(2) == 1L)
+    assert(VersionedTable.read(spark, root)
+      .where(col("src") === "weird").head.getLong(0) == 500L)
+  }
+
   test("refuses a missing table and unknown formats") {
     val landing = freshDir("land5")
     val e1 = intercept[Exception](GraftSql.execute(spark,

@@ -57,6 +57,35 @@ class SqlLoadSpec extends SparkSpec {
     assert(r.getLong(2) == 990L && r.isNullAt(1), "x must null-fill")
   }
 
+  test("INSERT fails loudly on a malformed value instead of storing NULL") {
+    val root = freshRoot(); seed(root)
+    // under ANSI (the default) the cast itself raises CAST_INVALID_INPUT;
+    // with ANSI disabled the cast would turn 'abc' → NULL and land it
+    // silently — the store-assignment guard raises there instead. Either
+    // way the INSERT must fail loudly, never store NULL.
+    val e = intercept[Exception](GraftSql.execute(spark,
+      s"INSERT INTO `$root` VALUES ('abc', 'bad', 'xyz')").collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && (m.contains("cannot be stored") ||
+      m.contains("CAST_INVALID_INPUT"))),
+      s"expected a store-assignment error, got: ${e.getMessage}")
+    // and with ANSI off, the inline guard is what fires
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val e2 = intercept[Exception](GraftSql.execute(spark,
+        s"INSERT INTO `$root` VALUES ('abc', 'bad', 'xyz')").collect())
+      assert(msgs(e2).exists(m => m != null && m.contains("cannot be stored")),
+        s"expected the store-assignment guard, got: ${e2.getMessage}")
+    } finally spark.conf.set("spark.sql.ansi.enabled", "true")
+    assert(VersionedTable.read(spark, root).count() == 10,
+      "the malformed INSERT must not have committed")
+    // a CASTABLE value still lands (the guard only fires on introduced nulls)
+    GraftSql.execute(spark,
+      s"INSERT INTO `$root` VALUES ('11', 'r11', '110')").collect()
+    assert(VersionedTable.read(spark, root).count() == 11)
+  }
+
   test("INSERT refuses arity mismatch and unknown columns") {
     val root = freshRoot(); seed(root)
     val e1 = intercept[Exception](GraftSql.execute(spark,

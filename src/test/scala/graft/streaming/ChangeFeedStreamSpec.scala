@@ -114,6 +114,55 @@ class ChangeFeedStreamSpec extends SparkSpec {
     assert(!byVersion.contains(5L) || byVersion(5L).isEmpty) // metadata-only
   }
 
+  test("deep catch-up (100 versions, maxVersionsPerBatch=10) killed and " +
+    "resumed mid-way equals the batch union, rate limit held throughout") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cfs4").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cfs4_ck").toString
+    // 100 fed versions, one insert image each — the long-history table a
+    // fresh AvailableNow-style consumer must catch up on
+    (1 to 100).foreach { i =>
+      VersionedTable.commit(Seq((i.toLong, s"r$i")).toDF("id", "x"), root,
+        collectStats = false,
+        extras = Map("changes" -> VersionedTable.feedWritable(
+          Seq((i.toLong, s"r$i")).toDF("id", "x")
+            .withColumn("_change_type", lit("insert")))))
+    }
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val spans = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def run(killAfter: Int): Boolean = {
+      var n = 0
+      val q = ChangeFeedStream.read(spark, root, Some(10))
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val got = df.select(col("id"), col("_commit_version"))
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+          rows.synchronized {
+            n += 1
+            // the killed batch records NOTHING — its offset is never
+            // committed, so the restart must re-deliver it in full
+            if (n > killAfter) throw new RuntimeException("kill mid-catch-up")
+            if (got.nonEmpty) {
+              rows ++= got
+              spans += got.map(_._2).distinct.size
+            }
+          }
+          ()
+        }.start()
+      try { q.processAllAvailable(); q.stop(); false }
+      catch { case _: Throwable => scala.util.Try(q.stop()); true }
+    }
+    assert(run(killAfter = 4), "the mid-catch-up kill did not fire")
+    assert(!run(killAfter = Int.MaxValue), "the resumed drain failed")
+    // exactly the batch union: every version once, no replays, no holes
+    assert(rows.map(_._2).sorted == (1L to 100L),
+      s"resume lost or replayed versions: got ${rows.size} rows")
+    assert(rows.map(_._1).sorted == (1L to 100L))
+    // the offset log held the rate limit across the kill/resume boundary
+    assert(spans.forall(_ <= 10),
+      s"a batch spanned ${spans.max} versions (limit 10)")
+    assert(spans.size == 10, s"expected 10 ten-version batches, got ${spans.size}")
+  }
+
   test("maxVersionsPerBatch rate-limits catch-up to one version per micro-batch") {
     val root = java.nio.file.Files.createTempDirectory("graft_cfs2").toString + "/t"
     val ckpt = java.nio.file.Files.createTempDirectory("graft_cfs2_ck").toString
