@@ -339,6 +339,7 @@ object Similarity {
       .option("path", path)
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .saveAsTable(tableName)
+    recordIndexBase(emb.sparkSession, tableName, path)
   }
 
   /** Probe a materialized IVF index: identical semantics (and bit-identical
@@ -1007,6 +1008,7 @@ object Similarity {
       .option("path", path)
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .saveAsTable(tableName)
+    recordIndexBase(spark, tableName, path)
   }
 
   /** APPEND a batch of new vectors to a persisted IVF index without
@@ -1094,5 +1096,92 @@ object Similarity {
       .select(col(idCol).as("neighbor_id"), col("__cell"), col("__codes"), col("__rn2"))
     ivfPqScan(queries, codes, cent, cmap, rerank, idCol, vecCol,
       k, nProbes, nSub, subDim, kPerSub, shortlist)
+  }
+
+  // ---- rebuild policy (the faiss operating rule, measured) ----------------
+
+  /** What [[driftReport]] returns: a MEASURED recall@k of the persisted
+    * index against brute-force ground truth on a deterministic query
+    * sample, the fraction of the index appended since its geometry was
+    * trained, and the rebuild recommendation the two imply. */
+  final case class DriftReport(
+      recallAtK: Double,
+      k: Int,
+      sampledQueries: Long,
+      indexRows: Long,
+      appendedFraction: Double,
+      recallFloor: Double,
+      rebuildRecommended: Boolean)
+
+  /** Record the trained-geometry row count beside an index — the
+    * denominator of [[driftReport]]'s appended-fraction. Called by every
+    * build; pre-upgrade indexes simply report fraction -1 (unknown). */
+  private def recordIndexBase(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String, path: String): Unit = {
+    import spark.implicits._
+    Seq(spark.table(tableName).count()).toDF("base_rows")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("path", s"${path}_meta")
+      .saveAsTable(s"${tableName}_meta")
+  }
+
+  /** The REBUILD-POLICY hook closing the append contract's loop
+    * ([[appendToIvfIndex]]/[[appendToIvfPqIndex]] say "rebuild when
+    * drift erodes recall" — this is what measures the erosion and says
+    * so): samples `1/sampleEvery` of the current corpus as queries
+    * (deterministic hash sample), computes exact brute-force top-k as
+    * ground truth, probes the PERSISTED index (IVF, or IVF∘PQ when `pq`
+    * geometry is given), and recommends a rebuild when measured recall@k
+    * falls below `recallFloor`. Appended-fraction since the last build
+    * rides along (current rows vs the `<table>_meta` base recorded at
+    * build) as the cheap leading indicator to alarm on between full
+    * probes.
+    *
+    * COST, stated plainly: ground truth is O(sample × corpus) — that is
+    * the price of a measured recall rather than a guessed one; size
+    * `sampleEvery` so the brute-force slice fits the maintenance window
+    * (at 1/1000 sampling a 10⁹-row corpus pays a 10⁶×10⁹ partial
+    * product, the same shape [[knnBruteForce]] already bounds per
+    * partition). Run it where RecallProbe runs today: per ingest epoch,
+    * not per query. */
+  def driftReport(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int,
+      nProbes: Int,
+      recallFloor: Double = 0.9,
+      sampleEvery: Int = 100,
+      pq: Option[(Int, Int, Int, Int)] = None): DriftReport = {
+    val queries = corpus
+      .filter(pmod(hash(col(idCol)), lit(sampleEvery)) === 0)
+      .localCheckpoint(eager = true)
+    val truth = knnBruteForce(queries, corpus, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(eager = true)
+    val approx = (pq match {
+      case Some((nSub, subDim, kPerSub, shortlist)) =>
+        probeIvfPqIndex(spark, tableName, queries, corpus, idCol, vecCol,
+          k, nProbes, nSub, subDim, kPerSub, shortlist)
+      case None =>
+        probeIvfIndex(spark, tableName, queries, idCol, vecCol, k, nCells, nProbes)
+    }).select(col("query_id"), col("neighbor_id"))
+    val tot = truth.count()
+    val hits = truth.join(approx, Seq("query_id", "neighbor_id")).count()
+    val recall = if (tot == 0L) 1.0 else hits.toDouble / tot
+    val indexRows = spark.table(tableName).count()
+    val appendedFraction =
+      if (!spark.catalog.tableExists(s"${tableName}_meta")) -1.0
+      else {
+        val base = spark.table(s"${tableName}_meta").head().getAs[Long]("base_rows")
+        math.max(0.0, (indexRows - base).toDouble / math.max(indexRows, 1L))
+      }
+    DriftReport(recall, k, queries.count(), indexRows, appendedFraction,
+      recallFloor, rebuildRecommended = recall < recallFloor)
   }
 }

@@ -95,11 +95,35 @@ object GraftSql {
     spark.sessionState.sqlParser match {
       case _: GraftSqlParser => spark.sql(sqlText) // parser face handles it
       case p =>
-        maintenancePlan(sqlText)
-          .orElse(dmlPlan(sqlText, p))
+        val sql = rewriteTimeTravel(sqlText)
+        maintenancePlan(sql)
+          .orElse(dmlPlan(sql, p))
           .map(cmd => CommandBridge.dataFrame(spark, cmd))
-          .getOrElse(spark.sql(sqlText))
+          .getOrElse(spark.sql(sql))
     }
+
+  // ---- SQL time travel in FROM position ------------------------------------
+
+  private val TtVersionRe =
+    """(?is)FROM\s+['`]([^'`]+)['`]\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+  private val TtTimestampRe =
+    """(?is)FROM\s+['`]([^'`]+)['`]\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'""".r
+
+  /** `SELECT ... FROM '<root>' VERSION AS OF n` / `TIMESTAMP AS OF 'ts'`
+    * — the Delta read-side time-travel syntax — rewritten to the
+    * existing `graft_table_at` / `graft_table_asof` table functions, so
+    * the SQL read face is symmetric with RESTORE's and SHALLOW CLONE's
+    * AS OF. Textual: a quoted path in FROM position is not valid Spark
+    * SQL otherwise, so the rewrite can never capture a legal statement
+    * (COPY INTO's `FROM '<dir>'` is followed by FILEFORMAT, never by an
+    * AS OF clause). Aliases and the rest of the query pass through. */
+  private[plans] def rewriteTimeTravel(sql: String): String = {
+    val q = java.util.regex.Matcher.quoteReplacement _
+    val a = TtVersionRe.replaceAllIn(sql, m =>
+      q(s"FROM graft_table_at('${m.group(1)}', ${m.group(2)})"))
+    TtTimestampRe.replaceAllIn(a, m =>
+      q(s"FROM graft_table_asof('${m.group(1)}', '${m.group(2)}')"))
+  }
 
   /** The table property (Delta's `delta.enableDeletionVectors`) that
     * switches SQL DML — DELETE, UPDATE, and COW-eligible MERGE — to the
@@ -1008,9 +1032,11 @@ object GraftSql {
   * substituted with graft commands. Every other statement — and every
   * other parser entry point — is the delegate's, untouched. */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
-  override def parsePlan(sqlText: String): LogicalPlan =
-    GraftSql.maintenancePlan(sqlText)
-      .getOrElse(GraftSql.rewriteDml(delegate.parsePlan(sqlText)))
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    val sql = GraftSql.rewriteTimeTravel(sqlText)
+    GraftSql.maintenancePlan(sql)
+      .getOrElse(GraftSql.rewriteDml(delegate.parsePlan(sql)))
+  }
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String) =
@@ -1020,7 +1046,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parseMultipartIdentifier(sqlText: String) =
     delegate.parseMultipartIdentifier(sqlText)
   override def parseQuery(sqlText: String): LogicalPlan =
-    delegate.parseQuery(sqlText)
+    delegate.parseQuery(GraftSql.rewriteTimeTravel(sqlText))
   override def parseRoutineParam(sqlText: String) =
     delegate.parseRoutineParam(sqlText)
   override def parseTableSchema(sqlText: String) =

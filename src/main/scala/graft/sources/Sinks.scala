@@ -127,24 +127,28 @@ object Sinks {
     // OPTIMISTIC CONCURRENCY: pin the target read to the version it
     // resolved, re-validate inside the commit (after the claim, before
     // publish) that no other writer published meanwhile, and retry the
-    // whole merge on conflict. Two interleaving writers can no longer
-    // silently drop each other's merged rows in the common interleavings.
-    // RESIDUAL WINDOW, stated plainly: the re-check and the publish are
-    // two filesystem operations, not one atomic claim-the-next-version
-    // step — two writers that BOTH pass preCommit before EITHER publishes
-    // still lose the earlier publish (check-then-act on distinct claimed
-    // numbers). SAME-JVM writers no longer have this window at all: the
-    // commit runs the re-check + publish pair under a per-root monitor
-    // (VersionedTable's publish lock), which exactly serializes the
-    // one-driver-many-threads deployment (parallel ingest, streaming
-    // sinks — OccStressSpec races them for real). CROSS-PROCESS writers
-    // keep the narrowed window: Delta does not have it (atomic
-    // winner-takes-version-N log write), and closing it here needs the
-    // claim itself to be the publish (conditional PUT / create-exclusive
-    // log entry carrying the data pointer), which LocalFileSystem's
-    // non-atomic create-exclusive cannot honestly provide — so this
-    // narrows the race from "the whole merge" to "between re-check and
-    // publish" and documents the rest, rather than claiming parity.
+    // whole merge on conflict. The publish itself is WINNER-TAKES-
+    // VERSION-N (VersionedTable.commitWith step 4): every writer
+    // contends for marker number currentVersion+1 with one
+    // rename-no-overwrite, so the old check-then-act window between
+    // re-validation and publish is decided by the filesystem, not by
+    // timing. GUARANTEES BY STORE, stated plainly:
+    //   - rename-no-overwrite filesystems (HDFS semantics, ABFS,
+    //     GCS-connector rename): cross-process lost updates are
+    //     IMPOSSIBLE — the loser's marker rename fails, it re-runs this
+    //     validation, raises the conflict, and the merge rebases. This
+    //     is Delta's atomic log-write guarantee on this format.
+    //   - LocalFileSystem (dev/test): rename OVERWRITES, so the
+    //     arbitration degrades to exists-precheck + content readback —
+    //     same-JVM writers are still EXACTLY serialized by the per-root
+    //     publish monitor (the one-driver-many-threads deployment —
+    //     OccStressSpec races it for real; CrossProcessPublishSpec
+    //     races monitor-disjoint writers through the filesystem
+    //     protocol), and cross-process writers keep a readback-gap
+    //     window documented here rather than claimed closed.
+    //   - object stores WITHOUT atomic rename-no-overwrite (raw S3):
+    //     need an external arbiter (the DynamoDB-style LogStore Delta
+    //     uses there); out of scope for this format.
     val maxAttempts = 20
     var attempt = 0
     var committed: Option[Long] = None

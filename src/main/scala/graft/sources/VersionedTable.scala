@@ -233,10 +233,13 @@ object VersionedTable {
     }
 
   /** Write `df` as the next snapshot and publish it. Returns the committed
-    * version. The data is written ONCE to a private staging dir; claiming,
-    * moving and publishing are three metadata operations (create, dir
-    * rename, create) — a lost claim race costs one retried empty-file
-    * create, never a data rewrite.
+    * version NUMBER — dense publish order, decided at the marker rename
+    * (winner-takes-version-N), and possibly lower than the claimed dir
+    * name when earlier claims were burned. The data is written ONCE to a
+    * private staging dir; claiming, moving and publishing are three
+    * metadata operations (create, dir rename, marker rename) — a lost
+    * race at either contention point costs one retried metadata op,
+    * never a data rewrite.
     *
     * `preCommit(v)` runs AFTER the version claim and before anything is
     * published: an idempotence/conflict re-validation point (e.g. the
@@ -434,38 +437,128 @@ object VersionedTable {
     try preCommit(v)
     catch { case e: Throwable => f.delete(staging, true); throw e }
     // (3) move staging into place — we own v, so the dir is free modulo
-    // garbage from a writer that crashed after claiming this very number
+    // garbage from a writer that crashed after claiming this very number.
+    // The claim owns the DIRECTORY NAME only; the published version
+    // NUMBER is decided at (4) and may be lower when other claims burned.
     val dir = versionDir(root, v)
     if (f.exists(dir)) f.delete(dir, true)
     if (!f.rename(staging, dir))
       throw new java.io.IOException(s"rename $staging -> $dir failed")
     // (3b) caller's pre-publish metadata (manifest, carried-forward stats)
     finalizeVersion(f, dir, v)
-    // (3c) re-run the caller's validation as LATE as possible, then
-    // publish — ATOMICALLY for every writer in THIS JVM: the validate→
-    // publish pair runs under a per-root monitor, so two same-process OCC
-    // writers can never both pass the re-check and both land (the
-    // one-driver-many-threads deployment — parallel ingest batches,
-    // streaming sinks — is exactly serialized). Writers in DIFFERENT
-    // processes fall back to the check-then-act protocol, where this late
-    // re-check shrinks the cross-process lost-update window from "rename
-    // + finalize" to "one create call" (the residual-window note in
-    // Sinks.upsertByKeyVersioned). A throw aborts by deleting the version
-    // dir — the claim stays, later writers skip it by protocol.
-    // Validations must be idempotent (they are re-checks by construction).
-    publishLock(root).synchronized {
+    // (3c)+(4) publish — WINNER-TAKES-VERSION-N (the Delta commit-log
+    // shape): the marker for number n = currentVersion+1 is written to a
+    // temp name and RENAMED into place, its content naming this commit's
+    // data dir. On rename-no-overwrite stores (HDFS semantics) the
+    // rename IS the linearization point — two processes contending for n
+    // cannot both win, so the old check-then-act window between
+    // re-validation and publish is gone: a loser re-runs the caller's
+    // validation (an OCC writer then raises its conflict and rebases; a
+    // non-validating append just takes the next number) and the race is
+    // decided by the filesystem, not by timing. LocalFileSystem's rename
+    // OVERWRITES an existing destination, so there the guarantee is the
+    // per-root monitor (exact for every writer in THIS JVM — the
+    // one-driver-many-threads deployment) plus an exists-precheck and a
+    // content readback that narrow the cross-process window to the
+    // readback gap; documented, not claimed closed. Validations must be
+    // idempotent (they are re-checks by construction).
+    val dirName = f"v$v%08d"
+    val published = publishLock(root).synchronized {
       try preCommit(v)
       catch { case e: Throwable => f.delete(dir, true); throw e }
-      // (4) publish — the linearization point
-      f.create(new Path(commitDir(root), pad(v)), false).close()
+      var n = currentVersion(spark, root).getOrElse(0L) + 1
+      var won = -1L
+      var spins = 0
+      while (won < 0) {
+        spins += 1
+        if (spins > 1000) {
+          f.delete(dir, true)
+          throw new java.io.IOException(
+            s"could not publish a commit marker under $root after 1000 attempts")
+        }
+        val tmp = new Path(commitDir(root),
+          ".m" + java.util.UUID.randomUUID().toString.take(12) + ".tmp")
+        val o = f.create(tmp, true)
+        try o.write((dirName + "\n").getBytes("UTF-8")) finally o.close()
+        val target = new Path(commitDir(root), pad(n))
+        val renamed = !f.exists(target) &&
+          (try f.rename(tmp, target)
+           catch {
+             case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+             case _: java.nio.file.FileAlreadyExistsException => false
+           })
+        if (!renamed) {
+          f.delete(tmp, false)
+          // lost n to another writer (necessarily another process — this
+          // JVM is serialized by the monitor): re-validate, then contend
+          // for the next number
+          try preCommit(n)
+          catch { case e: Throwable => f.delete(dir, true); throw e }
+          n = math.max(n + 1, currentVersion(spark, root).getOrElse(n) + 1)
+        } else if (readTextFile(f, target).trim != dirName) {
+          // local-fs defense: LocalFileSystem's rename can OVERWRITE, so
+          // a concurrent marker may have replaced ours after the rename
+          // "succeeded". The survivor owns n; treat it as a lost race —
+          // re-validate and contend for the next number, exactly as an
+          // atomic-rename loss.
+          try preCommit(n)
+          catch { case e: Throwable => f.delete(dir, true); throw e }
+          n = math.max(n + 1, currentVersion(spark, root).getOrElse(n) + 1)
+        } else won = n
+      }
+      won
     }
     // (5) advance the version-log checkpoint — best-effort, OUTSIDE the
     // atomicity story (the publish above already decided the commit):
     // O(1) reader resolution instead of log scans, and txn high-water
     // marks that outlive vacuum
-    writeCheckpoint(spark, root, v)
-    v
+    writeCheckpoint(spark, root, published)
+    published
   }
+
+  /** Small-text read (commit markers, manifests); "" on any failure. */
+  private def readTextFile(
+      f: org.apache.hadoop.fs.FileSystem, p: Path): String =
+    try {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    } catch { case _: Exception => "" }
+
+  /** Resolve a PUBLISHED version number to its data directory NAME. The
+    * commit marker's content names the dir: the winner-takes-N publish
+    * can land a claim-named dir (e.g. `v00000008`) under a lower number
+    * (e.g. 7) when earlier claims were burned by aborted commits. Empty
+    * content — every pre-upgrade marker, and unreadable ones — falls
+    * back to the identity name `v<padded>`, so old tables read exactly
+    * as before. Markers are immutable once published, so resolutions
+    * memoize (uncached while the marker is absent: an unpublished
+    * number must not pin a wrong name). */
+  private val dirNames =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), String]()
+  private def dataDirName(
+      spark: SparkSession, root: String, v: Long): String = {
+    val key = (root, v)
+    val got = dirNames.get(key)
+    if (got != null) got
+    else {
+      val f = fs(spark, root)
+      val marker = new Path(commitDir(root), pad(v))
+      if (!f.exists(marker)) f"v$v%08d"
+      else {
+        val content = readTextFile(f, marker).trim
+        val name = if (content.nonEmpty) content else f"v$v%08d"
+        dirNames.put(key, name)
+        name
+      }
+    }
+  }
+
+  /** The data directory of published version `v` — ALWAYS this, never
+    * [[versionDir]], on a read path (versionDir names a CLAIM's dir and
+    * the two diverge once any commit aborts). */
+  private def dataDir(spark: SparkSession, root: String, v: Long): Path =
+    new Path(root, dataDirName(spark, root, v))
 
   /** Per-root publish monitors: the in-JVM half of the concurrency story
     * (see the (3c) note in [[commitWith]]). Keyed by the root string as
@@ -489,7 +582,7 @@ object VersionedTable {
     * text file: O(files), the same scale as Delta's log entry. */
   def manifestOf(spark: SparkSession, root: String, v: Long): Option[Seq[String]] = {
     val f = fs(spark, root)
-    val mf = new Path(new Path(versionDir(root, v), "_manifest"), "manifest.txt")
+    val mf = new Path(new Path(dataDir(spark, root, v), "_manifest"), "manifest.txt")
     if (!f.exists(mf)) None
     else {
       val in = f.open(mf)
@@ -507,8 +600,8 @@ object VersionedTable {
   def dataFileRefs(
       spark: SparkSession, root: String, v: Long): Seq[String] =
     manifestOf(spark, root, v).getOrElse {
-      dataFileRels(fs(spark, root), versionDir(root, v))
-        .map { case (_, rel) => f"v$v%08d/" + rel }
+      dataFileRels(fs(spark, root), dataDir(spark, root, v))
+        .map { case (_, rel) => dataDirName(spark, root, v) + "/" + rel }
     }
 
   /** The schema RECORDED for version `v` at commit time, or None for
@@ -519,7 +612,7 @@ object VersionedTable {
       spark: SparkSession, root: String, v: Long)
       : Option[org.apache.spark.sql.types.StructType] = {
     val f = fs(spark, root)
-    val p = new Path(new Path(versionDir(root, v), "_schema"), "schema.json")
+    val p = new Path(new Path(dataDir(spark, root, v), "_schema"), "schema.json")
     if (!f.exists(p)) None
     else
       try {
@@ -535,8 +628,8 @@ object VersionedTable {
 
   private val RetiredKey = "__retired"
 
-  private def mappingPath(root: String, v: Long): Path =
-    new Path(new Path(versionDir(root, v), "_schema"), "mapping.properties")
+  private def mappingPath(spark: SparkSession, root: String, v: Long): Path =
+    new Path(new Path(dataDir(spark, root, v), "_schema"), "mapping.properties")
 
   /** LOGICAL→PHYSICAL column mapping recorded for version `v` (Delta
     * column mapping, name mode): physical names are birth names frozen
@@ -546,7 +639,7 @@ object VersionedTable {
     * identity mapping (every table before its first rename). */
   def columnMapping(
       spark: SparkSession, root: String, v: Long): Map[String, String] =
-    readProps(spark, mappingPath(root, v)) - RetiredKey
+    readProps(spark, mappingPath(spark, root, v)) - RetiredKey
 
   /** Physical names RETIRED by a DROP COLUMN (or freed by a rename and
     * then shadowed): a later evolveSchema add with the same logical name
@@ -554,7 +647,7 @@ object VersionedTable {
     * resurrect through by-name parquet resolution. */
   private def retiredPhysicals(
       spark: SparkSession, root: String, v: Long): Set[String] =
-    readProps(spark, mappingPath(root, v)).get(RetiredKey)
+    readProps(spark, mappingPath(spark, root, v)).get(RetiredKey)
       .map(_.split(',').filter(_.nonEmpty).toSet).getOrElse(Set.empty)
 
   private def physicalName(mapping: Map[String, String], c: String): String =
@@ -613,13 +706,13 @@ object VersionedTable {
     * masked out at read time instead of rewritten out at delete time.
     * O(1) existence probe, no data read. */
   def hasDeletionVectors(spark: SparkSession, root: String, v: Long): Boolean =
-    fs(spark, root).exists(new Path(versionDir(root, v), "_dv"))
+    fs(spark, root).exists(new Path(dataDir(spark, root, v), "_dv"))
 
   /** Whether version `v` carries a change feed ("changes" extra) — O(1)
     * existence probe, the per-version building block of
     * [[earliestFeedStart]] and the streaming source's memoized scan. */
   def hasChangeFeed(spark: SparkSession, root: String, v: Long): Boolean =
-    fs(spark, root).exists(new Path(versionDir(root, v), "_changes"))
+    fs(spark, root).exists(new Path(dataDir(spark, root, v), "_changes"))
 
   /** Root-relative ref of the file each row was read from — the join key
     * between scanned rows and the deletion-vector/manifest file naming
@@ -940,7 +1033,7 @@ object VersionedTable {
     * [[dvMaskSide]]. */
   private def extraBytes(
       spark: SparkSession, root: String, v: Long, name: String): Long = {
-    val p = new Path(versionDir(root, v), s"_$name")
+    val p = new Path(dataDir(spark, root, v), s"_$name")
     val f = fs(spark, root)
     if (!f.exists(p)) 0L else f.getContentSummary(p).getLength
   }
@@ -1014,7 +1107,7 @@ object VersionedTable {
     val base = manifestOf(spark, root, v) match {
       case Some(refs) =>
         reader.parquet(refs.map(r => new Path(root, r).toString): _*)
-      case None => reader.parquet(versionDir(root, v).toString)
+      case None => reader.parquet(dataDir(spark, root, v).toString)
     }
     toLogical(
       readExtra(spark, root, v, "dv").map(applyDv(spark, root, v, base, _)).getOrElse(base),
@@ -1044,7 +1137,7 @@ object VersionedTable {
       case None => manifestOf(spark, root, v) match {
         case Some(refs) =>
           reader.parquet(refs.map(r => new Path(root, r).toString): _*)
-        case None => reader.parquet(versionDir(root, v).toString)
+        case None => reader.parquet(dataDir(spark, root, v).toString)
       }
     }
     val withRef = base.withColumn(refCol, fileRefCol)
@@ -1106,7 +1199,7 @@ object VersionedTable {
       spark: SparkSession, root: String, v: Long,
       predicate: Column): (Seq[String], Int) = {
     require(isCommitted(spark, root, v), s"version $v is not committed under $root")
-    val dir = versionDir(root, v)
+    val dir = dataDir(spark, root, v)
     // (absolute path, stats-lookup key): plain snapshots key stats by
     // DIR-RELATIVE path; manifest snapshots by root-relative path (bare
     // names collide across version dirs AND across partition subdirs —
@@ -1221,7 +1314,7 @@ object VersionedTable {
     // deletion vectors mask rows the footer stats still count — stats
     // cannot answer until a compaction folds the masks in
     if (hasDeletionVectors(spark, root, v)) return None
-    val dir = versionDir(root, v)
+    val dir = dataDir(spark, root, v)
     val fileKeys: Seq[String] = manifestOf(spark, root, v) match {
       case Some(refs) => refs
       case None => dataFileRels(fs(spark, root), dir).map(_._2)
@@ -1271,11 +1364,11 @@ object VersionedTable {
       spark: SparkSession, root: String, v: Long, column: String)
       : Option[Seq[(String, Option[(String, Any, Any)])]] = {
     require(isCommitted(spark, root, v), s"version $v is not committed under $root")
-    val dir = versionDir(root, v)
+    val dir = dataDir(spark, root, v)
     val entries: Seq[(String, String)] = manifestOf(spark, root, v) match {
       case Some(refs) => refs.map(r => (r, r))
       case None => dataFileRels(fs(spark, root), dir)
-        .map { case (_, rel) => (f"v$v%08d/" + rel, rel) }
+        .map { case (_, rel) => (dataDirName(spark, root, v) + "/" + rel, rel) }
     }
     val stats = TableStats.load(spark, new Path(dir, "_stats"))
     val physCol = physicalName(columnMapping(spark, root, v), column)
@@ -1379,8 +1472,8 @@ object VersionedTable {
     // stats of the CURRENT snapshot, keyed as stored (name or relpath)
     val curKeyed: Map[String, String] = manifestOf(spark, root, cur)
       .map(_.map(r => r -> r).toMap)
-      .getOrElse(dataFileRels(f, versionDir(root, cur))
-        .map { case (_, rel) => (f"v$cur%08d/" + rel) -> rel }.toMap)
+      .getOrElse(dataFileRels(f, dataDir(spark, root, cur))
+        .map { case (_, rel) => (dataDirName(spark, root, cur) + "/" + rel) -> rel }.toMap)
     val badKept = keptFiles.filterNot(curKeyed.contains)
     if (badKept.nonEmpty)
       // refs the current snapshot no longer holds: either the caller's
@@ -1392,7 +1485,7 @@ object VersionedTable {
       throw new Sinks.ConcurrentWriteException(root,
         None, currentVersion(spark, root))
     val curStats = TableStats.load(spark,
-      new Path(versionDir(root, cur), "_stats"))
+      new Path(dataDir(spark, root, cur), "_stats"))
     // DELETION-VECTOR CARRY: kept files keep their masks (their rows were
     // not rewritten), rewritten files drop theirs (the rewrite read
     // through the masks, so fresh files contain no masked rows). A
@@ -1910,7 +2003,7 @@ object VersionedTable {
       .map(_.map(r => r -> r).toMap)
       .getOrElse(srcRefs.map(r => r -> r.split('/').last).toMap)
     val srcStats = TableStats.load(spark,
-      new Path(versionDir(srcRoot, v), "_stats"))
+      new Path(dataDir(spark, srcRoot, v), "_stats"))
     commitWith(empty, destRoot, collectStats = false, extras = extras,
       // re-assert emptiness inside the claim: two racing cloners must not
       // both report success with one silently shadowed
@@ -2063,7 +2156,7 @@ object VersionedTable {
     * and constraints. Empty for versions before any [[setProperties]]. */
   def propertiesOf(
       spark: SparkSession, root: String, v: Long): Map[String, String] =
-    readProps(spark, new Path(new Path(versionDir(root, v), "_properties"),
+    readProps(spark, new Path(new Path(dataDir(spark, root, v), "_properties"),
       "table.properties"))
 
   /** Convenience: a boolean property of the CURRENT version (false when
@@ -2159,7 +2252,7 @@ object VersionedTable {
     * [[addConstraint]]. */
   def constraintsOf(
       spark: SparkSession, root: String, v: Long): Map[String, String] =
-    readProps(spark, new Path(new Path(versionDir(root, v), "_constraints"),
+    readProps(spark, new Path(new Path(dataDir(spark, root, v), "_constraints"),
       "constraints.properties"))
 
   /** Thrown when a staged write violates an active CHECK constraint, or
@@ -2235,7 +2328,7 @@ object VersionedTable {
   def readExtra(
       spark: SparkSession, root: String, v: Long, name: String): Option[DataFrame] = {
     require(isCommitted(spark, root, v), s"version $v is not committed under $root")
-    val p = new Path(versionDir(root, v), s"_$name")
+    val p = new Path(dataDir(spark, root, v), s"_$name")
     if (fs(spark, root).exists(p)) Some(spark.read.parquet(p.toString)) else None
   }
 
@@ -2433,9 +2526,9 @@ object VersionedTable {
     val f = fs(spark, root)
     val rows = versions(spark, root).sorted.reverse.map { v =>
       val refs = dataFileRefs(spark, root, v)
-      val ownPrefix = f"v$v%08d/"
+      val ownPrefix = dataDirName(spark, root, v) + "/"
       val fresh = refs.count(_.startsWith(ownPrefix))
-      val vdir = versionDir(root, v)
+      val vdir = dataDir(spark, root, v)
       (v,
         new java.sql.Timestamp(
           f.getFileStatus(new Path(commitDir(root), pad(v))).getModificationTime),
@@ -2521,11 +2614,11 @@ object VersionedTable {
         // commitCowInternal carries a kept file's rows
         val tgtKeyed: Map[String, String] = manifestOf(spark, root, toVersion)
           .map(_.map(r => r -> r).toMap)
-          .getOrElse(dataFileRels(f, versionDir(root, toVersion))
-            .map { case (_, rel) => (f"v$toVersion%08d/" + rel) -> rel }
+          .getOrElse(dataFileRels(f, dataDir(spark, root, toVersion))
+            .map { case (_, rel) => (dataDirName(spark, root, toVersion) + "/" + rel) -> rel }
             .toMap)
         val tgtStats = TableStats.load(spark,
-          new Path(versionDir(root, toVersion), "_stats"))
+          new Path(dataDir(spark, root, toVersion), "_stats"))
         commitWith(empty, root, collectStats = false, extras = extras,
           finalizeVersion = (fh, dir, v) => {
             val rows = tgtRefs.flatMap { r =>
@@ -2908,7 +3001,7 @@ object VersionedTable {
     }
     // txn-stamp coverage: advance the checkpoint over the whole log, then
     // keep any stamped version the (re-read) checkpoint still doesn't cover
-    def stamped(v: Long) = f.exists(new Path(versionDir(root, v), "_txn"))
+    def stamped(v: Long) = f.exists(new Path(dataDir(spark, root, v), "_txn"))
     val drop =
       if (!aged.exists(stamped)) aged
       else {
@@ -2927,13 +3020,13 @@ object VersionedTable {
     // newest version, survives keepLast >= 1, and covers everything
     // below it — then recompute the drop set once.
     def hasLedger(v: Long) =
-      f.exists(new Path(versionDir(root, v), "_copyfiles")) ||
-        f.exists(new Path(versionDir(root, v), "_copyfull"))
+      f.exists(new Path(dataDir(spark, root, v), "_copyfiles")) ||
+        f.exists(new Path(dataDir(spark, root, v), "_copyfull"))
     val ledgerDrops = drop.filter(hasLedger)
     if (ledgerDrops.nonEmpty) {
       val survivors = all.filterNot(drop.toSet)
       val covered = survivors.exists(s => s > ledgerDrops.max &&
-        f.exists(new Path(versionDir(root, s), "_copyfull")))
+        f.exists(new Path(dataDir(spark, root, s), "_copyfull")))
       if (!covered) {
         foldCopyLedger(spark, root)
         return vacuum(spark, root, keepLast, olderThanMs, dryRun)
@@ -2950,9 +3043,12 @@ object VersionedTable {
     // must fail loudly, not read an incomplete feed
     recordVacuumed(spark, root, drop)
     drop.foreach { v =>
+      // resolve the data dir BEFORE deleting the marker: the marker's
+      // content is what maps a diverged version number to its dir
+      val dirName = dataDirName(spark, root, v)
+      val dir = new Path(root, dirName)
+      val prefix = dirName + "/"
       f.delete(new Path(commitDir(root), pad(v)), false)
-      val dir = versionDir(root, v)
-      val prefix = f"v$v%08d/"
       val keptHere = dataFileRels(f, dir)
         .map(_._2).filter(rel => referenced(prefix + rel))
       if (keptHere.isEmpty) f.delete(dir, true)
@@ -2996,6 +3092,17 @@ object VersionedTable {
       f.listStatus(stagingRoot)
         .filter(_.getModificationTime <= stale)
         .foreach(s => f.delete(s.getPath, true))
+    }
+    // ... and a writer that crashed between writing a marker temp and
+    // renaming it leaves `.m*.tmp` garbage in the commit log (ignored by
+    // listVersions; swept on the same staleness bound)
+    if (f.exists(commitDir(root))) {
+      val stale = System.currentTimeMillis() - 60L * 60 * 1000
+      f.listStatus(commitDir(root))
+        .filter(s => s.getPath.getName.startsWith(".m") &&
+          s.getPath.getName.endsWith(".tmp") &&
+          s.getModificationTime <= stale)
+        .foreach(s => f.delete(s.getPath, false))
     }
     drop
   }

@@ -116,6 +116,37 @@ class SqlSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("SELECT ... FROM '<root>' VERSION AS OF / TIMESTAMP AS OF — the " +
+    "read face is symmetric with RESTORE/CLONE's AS OF") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_sql_tt2")
+      .toString + "/t"
+    graft.sources.VersionedTable.commit(Seq((1L, "a")).toDF("id", "x"), root)
+    graft.sources.VersionedTable.commit(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "x"), root)
+    // via GraftSql.execute (this session's parser is not injectable
+    // post-build; sessions built with GraftExtensions get the same
+    // rewrite inside GraftSqlParser.parsePlan/parseQuery)
+    assert(GraftSql.execute(spark, s"SELECT id FROM '$root' VERSION AS OF 1")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // composes as a subquery: alias, filter, join against the current read
+    assert(GraftSql.execute(spark,
+      s"""SELECT cur.id FROM graft_table('$root') cur
+         |LEFT ANTI JOIN (SELECT * FROM '$root' VERSION AS OF 1) old
+         |ON cur.id = old.id""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // TIMESTAMP AS OF: any time at/after the last commit reads the
+    // current snapshot (the commit-marker clock)
+    val ts = new java.sql.Timestamp(System.currentTimeMillis() + 60000)
+    assert(GraftSql.execute(spark,
+      s"SELECT count(*) FROM '$root' TIMESTAMP AS OF '$ts'")
+      .collect()(0).getLong(0) == 2L)
+    // COPY INTO's own FROM '<dir>' clause is untouched by the rewrite
+    assert(GraftSql.rewriteTimeTravel(
+      s"COPY INTO '$root' FROM '/landing' FILEFORMAT = PARQUET")
+      .contains("FROM '/landing' FILEFORMAT"))
+  }
+
   test("graft_quality_classifier from SQL equals the Scala operator") {
     val fromSql = spark.sql(
       "SELECT doc_id, weight_sum, keep FROM graft_quality_classifier('docs', 'doc_id', 'text')")

@@ -116,9 +116,10 @@ class SinksSpec extends SparkSpec {
     val ids = VersionedTable.read(spark, root)
       .select("id").collect().map(_.getLong(0)).toSet
     assert(ids == Set(1L, 2L, 3L), s"lost update: final snapshot has $ids")
-    // A claimed 2 then aborted it; B (running inside A's claim window)
-    // claimed+published 3; A's retry published 4. Claim 2 stays skipped
-    // by protocol.
-    assert(VersionedTable.versions(spark, root) == Seq(1L, 3L, 4L))
+    // A claimed dir 2 then aborted; B (inside A's claim window) claimed
+    // dir 3 and published it as VERSION 2 (winner-takes-N numbering is
+    // dense); A's retry claimed dir 4 and published version 3. Burned
+    // claims cost dir names, never version numbers.
+    assert(VersionedTable.versions(spark, root) == Seq(1L, 2L, 3L))
   }
 }

@@ -32,10 +32,16 @@ class VersionedTableSpec extends SparkSpec {
     f.create(new org.apache.hadoop.fs.Path(s"$root/_claims/00000002"), false).close()
     assert(VersionedTable.currentVersion(spark, root).contains(1L))
     assert(VersionedTable.read(spark, root).collect().map(_.getLong(0)).toSeq == Seq(1L))
-    // the next writer skips the orphaned claim: lands on 3, table reads 3
+    // the next writer skips the orphaned claim's DIRECTORY (it stages
+    // under v00000003) but publishes as the DENSE next number 2 — the
+    // marker's content maps version 2 to the v00000003 dir, so the
+    // crashed writer's junk dir is never read
     val v = VersionedTable.commit(Seq((2L, "b")).toDF("id", "x"), root)
-    assert(v == 3L)
+    assert(v == 2L, s"published $v, expected the dense next number 2")
     assert(VersionedTable.read(spark, root).collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(VersionedTable.readVersion(spark, root, 2)
+      .collect().map(_.getLong(0)).toSeq == Seq(2L),
+      "version 2 resolved to the crashed writer's orphaned dir")
   }
 
   test("losing the claim race retries with the next number, no data rewrite") {
@@ -46,9 +52,13 @@ class VersionedTableSpec extends SparkSpec {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     f.create(new org.apache.hadoop.fs.Path(s"$root/_claims/00000002"), false).close()
     val v = VersionedTable.commit(Seq((3L, "mine")).toDF("id", "x"), root)
-    assert(v == 3L)
-    // the other writer's claimed number was never touched by us
+    // dense numbering: we stage under the NEXT free dir (v00000003) but
+    // publish as version 2 — the held claim burns a dir name, never a
+    // version number
+    assert(v == 2L, s"published $v, expected the dense next number 2")
+    // the other writer's claimed dir was never touched by us
     assert(!f.exists(new org.apache.hadoop.fs.Path(s"$root/v00000002")))
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$root/v00000003")))
     assert(VersionedTable.read(spark, root).collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
