@@ -27,7 +27,8 @@ object FormatQueries {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_format_merge"     -> ((s, d) => q27(s, d)),
     "q28_format_dv_dml"    -> ((s, d) => q28(s, d)),
-    "q29_format_evolution" -> ((s, d) => q29(s, d))
+    "q29_format_evolution" -> ((s, d) => q29(s, d)),
+    "q30_format_partition" -> ((s, d) => q30(s, d))
   )
 
   private def freshRoot(): String =
@@ -92,6 +93,31 @@ object FormatQueries {
     VersionedTable.read(s, root).orderBy(col("o_orderkey"))
   }
 
+  /** q30: PARTITIONED table lifecycle — the reference's own load shape
+    * (hourly/date batches) driven through the format's partition verbs:
+    * a month-partitioned table, date-RETENTION delete (`DELETE WHERE
+    * <partition> < cutoff` — the metadata-only manifest drop road, zero
+    * data bytes), then DYNAMIC PARTITION OVERWRITE reloading one month
+    * with corrected rows (the hourly-reload verb — exactly that month's
+    * partition is replaced, every other rides by reference). The oracle
+    * is the plain relational statement: rows at/after the cutoff, with
+    * the reloaded month's status rewritten. A hash match proves the
+    * partition roads change WHICH files exist, never what the table
+    * means. */
+  def q30(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot()
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"))
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+    VersionedTable.commit(orders, root, partitionBy = Seq("o_month"))
+    GraftSql.execute(s, s"DELETE FROM `$root` WHERE o_month < '1997-01'")
+    VersionedTable.overwritePartitions(s, root,
+      orders.where(col("o_month") === "1999-06")
+        .withColumn("o_orderstatus", lit("R")))
+    VersionedTable.read(s, root).orderBy(col("o_orderkey"))
+  }
+
   def oracles: Map[String, String] = Map(
     "q27_format_merge" ->
       """WITH t AS (
@@ -117,6 +143,15 @@ object FormatQueries {
       """SELECT o_orderkey, o_orderstatus, o_totalprice AS price
         |FROM orders
         |WHERE o_orderkey % 4 = 1 OR o_orderkey % 4 = 2
+        |ORDER BY o_orderkey""".stripMargin,
+    "q30_format_partition" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN strftime(o_orderdate, '%Y-%m') = '1999-06' THEN 'R'
+        |       ELSE o_orderstatus END AS o_orderstatus,
+        |  o_totalprice, o_orderdate,
+        |  strftime(o_orderdate, '%Y-%m') AS o_month
+        |FROM orders
+        |WHERE strftime(o_orderdate, '%Y-%m') >= '1997-01'
         |ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -2349,17 +2349,18 @@ object VersionedTable {
     * never a driver collect. */
   def copyLedger(
       spark: SparkSession, root: String, v: Long): Option[DataFrame] = {
-    val frames = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    val it = versions(spark, root).filter(_ <= v).sorted.reverse.iterator
-    var stop = false
-    while (!stop && it.hasNext) {
-      val vv = it.next()
-      readExtra(spark, root, vv, "copyfull") match {
-        case Some(full) => frames += full; stop = true
-        case None =>
-          readExtra(spark, root, vv, "copyfiles").foreach(frames += _)
-      }
-    }
+    // intersect the memo with the LIVE listing: vacuumed versions keep
+    // their cached classification but must not be read (their barriers
+    // are covered by a surviving fold — the vacuum guard's invariant)
+    val live = versions(spark, root)
+    val scan = ledgerClassify(spark, root, live)
+    val liveLe = live.filter(_ <= v).toSet
+    val barrier = (scan.barriers & liveLe).maxOption
+    val floor = barrier.getOrElse(0L)
+    val deltas = (scan.deltas & liveLe).filter(_ > floor).toSeq.sorted
+    val frames =
+      barrier.flatMap(b => readExtra(spark, root, b, "copyfull")).toSeq ++
+        deltas.flatMap(d => readExtra(spark, root, d, "copyfiles"))
     if (frames.isEmpty) None
     else Some(frames.reduce(_.unionByName(_)).select("file").distinct())
   }
@@ -2368,9 +2369,47 @@ object VersionedTable {
     * barrier (or the log's start) — the fold trigger's input. */
   private[graft] def copyLedgerDepth(
       spark: SparkSession, root: String, v: Long): Int = {
-    val vs = versions(spark, root).filter(_ <= v).sorted.reverse
-    val idx = vs.indexWhere(vv => readExtra(spark, root, vv, "copyfull").isDefined)
-    if (idx < 0) vs.size else idx + 1
+    val live = versions(spark, root)
+    val scan = ledgerClassify(spark, root, live)
+    val liveLe = live.filter(_ <= v).toSet
+    (scan.barriers & liveLe).maxOption match {
+      case Some(b) => liveLe.count(_ > b) + 1
+      case None => liveLe.size
+    }
+  }
+
+  /** In-JVM memo of the per-version ledger-extra classification. A
+    * version's extras are IMMUTABLE once committed, so each version is
+    * probed at most once per JVM — without this, every `DESCRIBE
+    * DETAIL` / COPY INTO on a 100k-commit streaming table that never
+    * saw a COPY would walk the whole log (two existence probes per
+    * version, every call). Cold start still pays one full walk, the
+    * same class as [[earliestFeedStart]]'s probe; after that only the
+    * new suffix is probed. Vacuumed versions simply stop appearing in
+    * the [[versions]] listing the callers intersect with. */
+  private final case class LedgerScan(
+      probed: Set[Long], barriers: Set[Long], deltas: Set[Long])
+  private val ledgerScans =
+    new java.util.concurrent.ConcurrentHashMap[String, LedgerScan]()
+  private def ledgerClassify(
+      spark: SparkSession, root: String, listed: Seq[Long]): LedgerScan = {
+    val prev = Option(ledgerScans.get(root))
+      .getOrElse(LedgerScan(Set.empty, Set.empty, Set.empty))
+    val unprobed = listed.filterNot(prev.probed)
+    if (unprobed.isEmpty) prev
+    else {
+      val f = fs(spark, root)
+      var barriers = prev.barriers
+      var deltas = prev.deltas
+      unprobed.foreach { v =>
+        val dir = dataDir(spark, root, v)
+        if (f.exists(new Path(dir, "_copyfull"))) barriers += v
+        else if (f.exists(new Path(dir, "_copyfiles"))) deltas += v
+      }
+      val next = LedgerScan(prev.probed ++ unprobed, barriers, deltas)
+      ledgerScans.put(root, next)
+      next
+    }
   }
 
   /** Fold the incremental COPY ledger into one complete "copyfull"
