@@ -70,6 +70,11 @@ import graft.sources.{Sinks, VersionedTable}
   *       METADATA-ONLY rename/drop via column mapping (physical birth
   *       names frozen in the files, the logical map rewritten — zero data
   *       rewritten at any table size; [[VersionedTable.renameColumn]])
+  *   - `ALTER TABLE '<root>' ADD COLUMN a INT` / `ADD COLUMNS (a INT,
+  *       b DECIMAL(10,2))` → METADATA-ONLY schema evolution
+  *       ([[VersionedTable.addColumns]]): old files backfill null at
+  *       read time by name resolution, added columns forced nullable,
+  *       birth-name collisions with retired physicals minted fresh
   *   - `ALTER TABLE '<root>' SET TBLPROPERTIES ('k'='v',…)` / `UNSET
   *       TBLPROPERTIES ('k',…)` / `SHOW TBLPROPERTIES '<root>'` → table
   *       properties as metadata-only commits; setting
@@ -154,6 +159,10 @@ object GraftSql {
     """(?is)\s*DESCRIBE\s+CONSTRAINTS\s+'([^']+)'\s*;?\s*""".r
   private val RenameColRe =
     """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
+  private val AddColsRe = // parenthesized list: ADD COLUMNS (a INT, b DECIMAL(10,2))
+    """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+COLUMNS?\s*\((.+)\)\s*;?\s*""".r
+  private val AddColRe = // bare single form: ADD COLUMN a INT
+    """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+COLUMN\s+(\w+\s+[^(;][^;]*?)\s*;?\s*""".r
   private val DropColRe =
     """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*""".r
   private val SetPropsRe =
@@ -291,6 +300,18 @@ object GraftSql {
         Some(GraftCommand("DROP COLUMN", root, s =>
           Seq(Row("DROP COLUMN", root,
             VersionedTable.dropColumn(s, root, name)))))
+      case AddColsRe(root, colsDdl) =>
+        Some(GraftCommand("ADD COLUMNS", root, s =>
+          Seq(Row("ADD COLUMNS", root,
+            VersionedTable.addColumns(s, root,
+              // Spark's own DDL struct parser: nested types, DECIMAL(p,s),
+              // ARRAY<...>, comments — no hand-rolled comma split
+              org.apache.spark.sql.types.StructType.fromDDL(colsDdl))))))
+      case AddColRe(root, colDdl) =>
+        Some(GraftCommand("ADD COLUMNS", root, s =>
+          Seq(Row("ADD COLUMNS", root,
+            VersionedTable.addColumns(s, root,
+              org.apache.spark.sql.types.StructType.fromDDL(colDdl))))))
       case SetPropsRe(root, pairs) =>
         val kvs = parseOptionPairs(pairs)
         Some(GraftCommand("SET TBLPROPERTIES", root, s =>

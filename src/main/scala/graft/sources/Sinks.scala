@@ -138,14 +138,15 @@ object Sinks {
     //     IMPOSSIBLE — the loser's marker rename fails, it re-runs this
     //     validation, raises the conflict, and the merge rebases. This
     //     is Delta's atomic log-write guarantee on this format.
-    //   - LocalFileSystem (dev/test): rename OVERWRITES, so the
-    //     arbitration degrades to exists-precheck + content readback —
-    //     same-JVM writers are still EXACTLY serialized by the per-root
-    //     publish monitor (the one-driver-many-threads deployment —
-    //     OccStressSpec races it for real; CrossProcessPublishSpec
-    //     races monitor-disjoint writers through the filesystem
-    //     protocol), and cross-process writers keep a readback-gap
-    //     window documented here rather than claimed closed.
+    //   - LocalFileSystem (dev/test): Hadoop's rename OVERWRITES and its
+    //     create-exclusive is check-then-act, so the claim and the
+    //     marker publish drop to java.nio's atomic syscalls
+    //     (O_CREAT|O_EXCL for claims, link(2) for markers — both fail
+    //     with EEXIST, never overwrite): cross-process lost updates are
+    //     impossible here too. Same-JVM writers additionally serialize
+    //     on the per-root publish monitor (OccStressSpec races it for
+    //     real; CrossProcessPublishSpec races monitor-disjoint writers
+    //     through the filesystem protocol alone).
     //   - object stores WITHOUT atomic rename-no-overwrite (raw S3):
     //     need an external arbiter (the DynamoDB-style LogStore Delta
     //     uses there); out of scope for this format.

@@ -423,12 +423,7 @@ object VersionedTable {
       if (attempts > 1000)
         throw new java.io.IOException(
           s"could not claim a version under $root after 1000 attempts")
-      claimed =
-        try { f.create(new Path(claimDir(root), pad(v)), false).close(); true }
-        catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-          case _: java.nio.file.FileAlreadyExistsException => false
-        }
+      claimed = createExclusive(f, new Path(claimDir(root), pad(v)))
       if (!claimed) v += 1
     }
     // (2b) caller's pre-publish validation, run while holding the claim:
@@ -448,20 +443,19 @@ object VersionedTable {
     finalizeVersion(f, dir, v)
     // (3c)+(4) publish — WINNER-TAKES-VERSION-N (the Delta commit-log
     // shape): the marker for number n = currentVersion+1 is written to a
-    // temp name and RENAMED into place, its content naming this commit's
-    // data dir. On rename-no-overwrite stores (HDFS semantics) the
-    // rename IS the linearization point — two processes contending for n
-    // cannot both win, so the old check-then-act window between
-    // re-validation and publish is gone: a loser re-runs the caller's
-    // validation (an OCC writer then raises its conflict and rebases; a
-    // non-validating append just takes the next number) and the race is
-    // decided by the filesystem, not by timing. LocalFileSystem's rename
-    // OVERWRITES an existing destination, so there the guarantee is the
-    // per-root monitor (exact for every writer in THIS JVM — the
-    // one-driver-many-threads deployment) plus an exists-precheck and a
-    // content readback that narrow the cross-process window to the
-    // readback gap; documented, not claimed closed. Validations must be
-    // idempotent (they are re-checks by construction).
+    // temp name and moved into place ATOMICALLY-NO-OVERWRITE
+    // ([[renameNoOverwrite]]: HDFS rename-onto-file semantics, hard link
+    // on local fs), its content naming this commit's data dir. The move
+    // IS the linearization point — two processes contending for n cannot
+    // both win, there is no check-then-act window between re-validation
+    // and publish: a loser re-runs the caller's validation (an OCC
+    // writer then raises its conflict and rebases; a non-validating
+    // append just takes the next number) and the race is decided by the
+    // filesystem, not by timing. The per-root monitor stays as the
+    // in-JVM fast path; object stores without an atomic no-overwrite
+    // move (S3 sans conditional PUT) keep the documented caveat.
+    // Validations must be idempotent (they are re-checks by
+    // construction).
     val dirName = f"v$v%08d"
     val published = publishLock(root).synchronized {
       try preCommit(v)
@@ -481,26 +475,10 @@ object VersionedTable {
         val o = f.create(tmp, true)
         try o.write((dirName + "\n").getBytes("UTF-8")) finally o.close()
         val target = new Path(commitDir(root), pad(n))
-        val renamed = !f.exists(target) &&
-          (try f.rename(tmp, target)
-           catch {
-             case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-             case _: java.nio.file.FileAlreadyExistsException => false
-           })
-        if (!renamed) {
-          f.delete(tmp, false)
+        if (!renameNoOverwrite(f, tmp, target)) {
           // lost n to another writer (necessarily another process — this
           // JVM is serialized by the monitor): re-validate, then contend
           // for the next number
-          try preCommit(n)
-          catch { case e: Throwable => f.delete(dir, true); throw e }
-          n = math.max(n + 1, currentVersion(spark, root).getOrElse(n) + 1)
-        } else if (readTextFile(f, target).trim != dirName) {
-          // local-fs defense: LocalFileSystem's rename can OVERWRITE, so
-          // a concurrent marker may have replaced ours after the rename
-          // "succeeded". The survivor owns n; treat it as a lost race —
-          // re-validate and contend for the next number, exactly as an
-          // atomic-rename loss.
           try preCommit(n)
           catch { case e: Throwable => f.delete(dir, true); throw e }
           n = math.max(n + 1, currentVersion(spark, root).getOrElse(n) + 1)
@@ -515,6 +493,65 @@ object VersionedTable {
     writeCheckpoint(spark, root, published)
     published
   }
+
+  /** Whether `f` is a local filesystem — where Hadoop's
+    * `create(overwrite=false)` and `rename` are CHECK-THEN-ACT (the
+    * RawLocalFileSystem implementations test existence and then act),
+    * so the claim/publish primitives must drop to java.nio's genuinely
+    * atomic syscalls instead. */
+  private def isLocalFs(f: org.apache.hadoop.fs.FileSystem): Boolean =
+    f.getScheme == "file"
+
+  private def localPath(f: org.apache.hadoop.fs.FileSystem, p: Path) =
+    java.nio.file.Paths.get(f.makeQualified(p).toUri.getPath)
+
+  /** ATOMIC create-exclusive — the claim primitive. True = this caller
+    * owns the name; false = the name was taken (lost race); any other IO
+    * failure surfaces. HDFS-semantics stores: `create(overwrite=false)`
+    * is atomic at the NameNode. Local fs: Hadoop's version is
+    * check-then-act between processes, so use O_CREAT|O_EXCL via
+    * java.nio — without this, two monitor-disjoint writers can both
+    * "win" one claim, and the second one's stale-garbage cleanup DELETES
+    * the first one's published data dir. Object stores without atomic
+    * create (S3 sans conditional PUT) keep the documented caveat. */
+  private def createExclusive(
+      f: org.apache.hadoop.fs.FileSystem, p: Path): Boolean =
+    if (isLocalFs(f)) {
+      f.mkdirs(p.getParent)
+      try { java.nio.file.Files.createFile(localPath(f, p)); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else
+      try { f.create(p, false).close(); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+
+  /** ATOMIC no-overwrite file publish — the marker primitive: move `tmp`
+    * to `target` iff `target` does not exist, atomically. HDFS: `rename`
+    * onto an existing file destination fails without overwriting — the
+    * NameNode decides. Local fs: rename(2) OVERWRITES, so publish via a
+    * HARD LINK instead (`link(2)` fails with EEXIST when the target
+    * exists — the classic lock-file primitive); the tmp name is removed
+    * after, win or lose. */
+  private def renameNoOverwrite(
+      f: org.apache.hadoop.fs.FileSystem, tmp: Path, target: Path): Boolean =
+    if (isLocalFs(f)) {
+      val won =
+        try { java.nio.file.Files.createLink(localPath(f, target), localPath(f, tmp)); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      f.delete(tmp, false)
+      won
+    } else {
+      val won = !f.exists(target) &&
+        (try f.rename(tmp, target)
+         catch {
+           case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+           case _: java.nio.file.FileAlreadyExistsException => false
+         })
+      if (!won) f.delete(tmp, false)
+      won
+    }
 
   /** Small-text read (commit markers, manifests); "" on any failure. */
   private def readTextFile(
@@ -1914,6 +1951,38 @@ object VersionedTable {
       spark: SparkSession, root: String,
       newSchema: org.apache.spark.sql.types.StructType): Long =
     occRetry(spark, root) { cur =>
+      evolveSchemaAt(spark, root, cur, newSchema)
+    }
+
+  /** `ALTER TABLE ... ADD COLUMN(S)`: [[evolveSchema]] with the new
+    * columns APPENDED to whatever the current schema is at commit time —
+    * the caller names only the additions, so the read-modify-write of
+    * the full schema happens INSIDE the OCC retry loop (a concurrent
+    * rename/add between "read schema" and "publish" rebases instead of
+    * silently reverting it). Added columns are forced nullable (existing
+    * files carry no values for them — they backfill null at read time,
+    * metadata-only, zero data bytes whatever the table size). */
+  def addColumns(
+      spark: SparkSession, root: String,
+      added: org.apache.spark.sql.types.StructType): Long = {
+    require(added.nonEmpty, "ADD COLUMNS needs at least one column")
+    occRetry(spark, root) { cur =>
+      val curSchema = schemaOf(spark, root, cur)
+      val dup = added.filter(f => curSchema.exists(_.name.equalsIgnoreCase(f.name)))
+      require(dup.isEmpty,
+        s"column(s) already exist: ${dup.map(_.name).mkString(", ")}")
+      val dupIn = added.groupBy(_.name.toLowerCase).filter(_._2.size > 1).keys
+      require(dupIn.isEmpty,
+        s"ADD COLUMNS names a column more than once: ${dupIn.mkString(", ")}")
+      evolveSchemaAt(spark, root, cur,
+        org.apache.spark.sql.types.StructType(
+          curSchema ++ added.map(_.copy(nullable = true))))
+    }
+  }
+
+  private def evolveSchemaAt(
+      spark: SparkSession, root: String, cur: Long,
+      newSchema: org.apache.spark.sql.types.StructType): Long = {
       val curSchema = schemaOf(spark, root, cur)
       val newByName = newSchema.map(f => f.name -> f).toMap
       val dropped = curSchema.filterNot(f => newByName.contains(f.name))

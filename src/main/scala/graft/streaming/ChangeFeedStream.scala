@@ -39,31 +39,54 @@ object ChangeFeedStream {
 
   /** `readStream` face. `maxVersionsPerBatch` bounds how many table
     * versions one micro-batch folds (rate limiting a catch-up from deep
-    * history); default unlimited = one batch to the current version. */
+    * history); default unlimited = one batch to the current version.
+    * `initialSnapshot=true` is the Delta `readStream`-on-a-table shape:
+    * the FIRST batch is the full logical snapshot at stream start
+    * (deletion-vector masks folded, every row `_change_type='insert'`,
+    * stamped with the snapshot's version), and the feed tail begins at
+    * the NEXT version — so a brand-new consumer materializes the table
+    * without replaying history it cannot see (feeds before
+    * [[VersionedTable.earliestFeedStart]], vacuumed versions). */
   def read(
       spark: SparkSession, tableRoot: String,
-      maxVersionsPerBatch: Option[Int] = None): DataFrame = {
+      maxVersionsPerBatch: Option[Int] = None,
+      initialSnapshot: Boolean = false): DataFrame = {
     val r = spark.readStream
       .format(classOf[ChangeFeedSourceProvider].getName)
       .option("path", tableRoot)
     maxVersionsPerBatch.foreach(m => r.option("maxVersionsPerBatch", m.toString))
+    if (initialSnapshot) r.option("initialSnapshot", "true")
     r.load()
   }
 
   /** Feed schema at stream start: the newest feed-bearing version's
     * columns + the `_commit_version` stamp. Pinned for the stream's
     * lifetime — a mid-stream feed evolution that drops a pinned column
-    * fails the batch loudly; restart re-pins (the Delta contract). */
-  private[streaming] def feedSchema(spark: SparkSession, root: String): StructType = {
+    * fails the batch loudly; restart re-pins (the Delta contract).
+    * Snapshot mode derives the same shape from the CURRENT version's
+    * schema instead, so a table whose history carries no feed at all
+    * (full-snapshot writers only) still streams: snapshot first, feeds
+    * required only from the next commit on. */
+  private[streaming] def feedSchema(
+      spark: SparkSession, root: String,
+      initialSnapshot: Boolean = false): StructType = {
     val vs = VersionedTable.versions(spark, root)
     require(vs.nonEmpty, s"no committed version under $root")
-    val withFeed = vs.reverse.find(v =>
-      VersionedTable.readExtra(spark, root, v, "changes").nonEmpty)
-      .getOrElse(throw new IllegalArgumentException(
-        s"no version under $root carries a change feed — " +
-          "write the table with the versioned upsert paths"))
-    val feed = VersionedTable.readExtra(spark, root, withFeed, "changes").get
-    StructType(feed.schema.fields.toSeq :+ StructField("_commit_version", LongType))
+    if (initialSnapshot) {
+      val cur = vs.last
+      val cols = VersionedTable.readVersion(spark, root, cur).schema.fields.toSeq
+      StructType(cols :+
+        StructField("_change_type", org.apache.spark.sql.types.StringType) :+
+        StructField("_commit_version", LongType))
+    } else {
+      val withFeed = vs.reverse.find(v =>
+        VersionedTable.readExtra(spark, root, v, "changes").nonEmpty)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no version under $root carries a change feed — " +
+            "write the table with the versioned upsert paths"))
+      val feed = VersionedTable.readExtra(spark, root, withFeed, "changes").get
+      StructType(feed.schema.fields.toSeq :+ StructField("_commit_version", LongType))
+    }
   }
 }
 
@@ -72,27 +95,34 @@ class ChangeFeedSourceProvider extends StreamSourceProvider {
     parameters.getOrElse("path",
       throw new IllegalArgumentException("option 'path' (the table root) is required"))
 
+  private def snapshotMode(parameters: Map[String, String]): Boolean =
+    parameters.get("initialSnapshot").exists(_.toBoolean)
+
   override def sourceSchema(
       sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) =
     ("graft-changes",
       schema.getOrElse(
-        ChangeFeedStream.feedSchema(sqlContext.sparkSession, root(parameters))))
+        ChangeFeedStream.feedSchema(sqlContext.sparkSession, root(parameters),
+          snapshotMode(parameters))))
 
   override def createSource(
       sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new ChangeFeedSource(sqlContext.sparkSession, root(parameters), metadataPath,
-      parameters.get("maxVersionsPerBatch").map(_.toInt))
+      parameters.get("maxVersionsPerBatch").map(_.toInt),
+      snapshotMode(parameters))
 }
 
 class ChangeFeedSource(
     spark: SparkSession, root: String, metadataPath: String,
-    maxVersionsPerBatch: Option[Int])
+    maxVersionsPerBatch: Option[Int],
+    initialSnapshot: Boolean = false)
   extends Source {
 
-  override val schema: StructType = ChangeFeedStream.feedSchema(spark, root)
+  override val schema: StructType =
+    ChangeFeedStream.feedSchema(spark, root, initialSnapshot)
 
   /** Highest version this source already OFFERED via [[getOffset]] — the
     * rate-limit cursor, PERSISTED under the source's own metadataPath
@@ -155,25 +185,52 @@ class ChangeFeedSource(
   override def getOffset: Option[Offset] = {
     val vs = VersionedTable.versions(spark, root)
     vs.lastOption.flatMap { cur =>
-      // fresh stream: begin past every vacuumed version, not at the
-      // earliest committed one (a vacuum holdback below a dropped version
-      // would otherwise raise the data-loss guard on the first batch)
-      val base = offered.getOrElse(feedStart() - 1)
-      val end = maxVersionsPerBatch.map(m => math.min(cur, base + m)).getOrElse(cur)
-      if (end <= base) offered.map(LongOffset(_))
-      else { offered = Some(end); persistCursor(end); Some(LongOffset(end)) }
+      if (initialSnapshot && offered.isEmpty) {
+        // snapshot mode, fresh stream: the first offered offset IS the
+        // snapshot boundary — one batch, the whole logical table at the
+        // current version (rate limiting applies to the feed tail only;
+        // the snapshot is indivisible)
+        offered = Some(cur); persistCursor(cur); Some(LongOffset(cur))
+      } else {
+        // fresh stream: begin past every vacuumed version, not at the
+        // earliest committed one (a vacuum holdback below a dropped version
+        // would otherwise raise the data-loss guard on the first batch)
+        val base = offered.getOrElse(feedStart() - 1)
+        val end = maxVersionsPerBatch.map(m => math.min(cur, base + m)).getOrElse(cur)
+        if (end <= base) offered.map(LongOffset(_))
+        else { offered = Some(end); persistCursor(end); Some(LongOffset(end)) }
+      }
     }
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
     val toVersion = toV(end)
-    val fromVersion = start.map(toV(_) + 1).getOrElse(feedStart())
-    val batch = VersionedTable.readChanges(spark, root, fromVersion, toVersion)
-    // pin to the stream's schema: column order fixed, a dropped column
-    // fails here loudly rather than corrupting downstream state
-    val pinned = batch.select(
-      schema.fieldNames.toSeq.map(org.apache.spark.sql.functions.col): _*)
-    org.apache.spark.sql.graft.StreamBridge.asStreaming(pinned)
+    if (initialSnapshot && start.isEmpty) {
+      // the snapshot batch: full logical content at `toVersion` (DV
+      // masks folded by readVersion), every row an 'insert' stamped
+      // with the snapshot version — the tail then starts at
+      // toVersion+1 because the engine hands this batch's end back as
+      // the next batch's start. Rebased onto its own RDD lineage
+      // (LogicalRDD): the DV fold is an anti-JOIN, which must plan as a
+      // BATCH join inside the lazy lineage — surfacing it in the
+      // streaming plan would make the planner reject it as a
+      // stream-stream LeftAnti. Lazy and distributed; nothing
+      // materializes on the driver.
+      val snap = VersionedTable.readVersion(spark, root, toVersion)
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(toVersion))
+        .select(schema.fieldNames.toSeq.map(col): _*)
+      org.apache.spark.sql.graft.StreamBridge.asStreaming(
+        spark.createDataFrame(snap.rdd, snap.schema))
+    } else {
+      val batch = VersionedTable.readChanges(
+        spark, root, start.map(toV(_) + 1).getOrElse(feedStart()), toVersion)
+      // pin to the stream's schema: column order fixed, a dropped column
+      // fails here loudly rather than corrupting downstream state
+      val pinned = batch.select(schema.fieldNames.toSeq.map(col): _*)
+      org.apache.spark.sql.graft.StreamBridge.asStreaming(pinned)
+    }
   }
 
   override def commit(end: Offset): Unit = () // retention is vacuum's job

@@ -16,6 +16,12 @@ object StreamBridge {
     val plan = df.queryExecution.analyzed.transform {
       case lr: LogicalRelation if !lr.isStreaming => lr.copy(isStreaming = true)
       case loc: LocalRelation if !loc.isStreaming => loc.copy(isStreaming = true)
+      // RDD-backed batches (the change-feed snapshot batch rebases its
+      // DV-fold join onto an RDD lineage so it plans as a batch join)
+      case rdd: org.apache.spark.sql.execution.LogicalRDD if !rdd.isStreaming =>
+        new org.apache.spark.sql.execution.LogicalRDD(
+          rdd.output, rdd.rdd, rdd.outputPartitioning, rdd.outputOrdering,
+          true, rdd.stream)(sess, None, None)
     }
     org.apache.spark.sql.classic.Dataset.ofRows(sess, plan)
   }

@@ -98,6 +98,35 @@ class SchemaTrackingSpec extends SparkSpec {
     assert(VersionedTable.versions(spark, root) == Seq(1L))
   }
 
+  test("ALTER TABLE ADD COLUMN(S): caller names only the additions; SQL routes through") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq((1L, "a")).toDF("id", "x"), root)
+    // bare single form, then the parenthesized list with parameterized and
+    // nested types (the forms a comma-split parser gets wrong)
+    val r = graft.plans.GraftSql.execute(spark,
+      s"ALTER TABLE '$root' ADD COLUMN score DOUBLE").collect().head
+    assert(r.getString(0) == "ADD COLUMNS" && r.getLong(2) == 2L)
+    graft.plans.GraftSql.execute(spark,
+      s"ALTER TABLE '$root' ADD COLUMNS (amt DECIMAL(10,2), tags ARRAY<STRING>)")
+    val sch = VersionedTable.tableSchema(spark, root, 3L).get
+    assert(sch.fieldNames.toSeq == Seq("id", "x", "score", "amt", "tags"))
+    assert(sch.filter(f => f.name != "id" && f.name != "x").forall(_.nullable))
+    // old rows backfill null across all three added columns
+    val row = VersionedTable.read(spark, root).collect().head
+    assert(row.isNullAt(2) && row.isNullAt(3) && row.isNullAt(4))
+    // duplicates refuse loudly — against the table (case-insensitive, the
+    // INSERT resolution convention) and within the ADD list itself
+    intercept[IllegalArgumentException] {
+      VersionedTable.addColumns(spark, root,
+        StructType(Seq(StructField("X", StringType))))
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.addColumns(spark, root, StructType(Seq(
+        StructField("n", LongType), StructField("N", LongType))))
+    }
+    assert(VersionedTable.versions(spark, root) == Seq(1L, 2L, 3L))
+  }
+
   test("pre-tracking snapshots validate against the inferred schema and upgrade on write") {
     val root = freshRoot()
     VersionedTable.commit(Seq((1L, "a")).toDF("id", "x"), root)

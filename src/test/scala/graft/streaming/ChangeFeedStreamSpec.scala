@@ -163,6 +163,71 @@ class ChangeFeedStreamSpec extends SparkSpec {
     assert(spans.size == 10, s"expected 10 ten-version batches, got ${spans.size}")
   }
 
+  test("initialSnapshot: first batch is the masked logical snapshot; the tail " +
+    "starts at the next version; feed-less history still streams") {
+    import graft.plans.GraftSql
+    val root = java.nio.file.Files.createTempDirectory("graft_cfs5").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cfs5_ck").toString
+    // history a fresh consumer CANNOT replay: v1 is a full commit with no
+    // feed, v3 is a DV delete whose mask must fold into the snapshot
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "x"), root) // v1
+    GraftSql.execute(spark, s"INSERT INTO `$root` VALUES (4, 'd')")                   // v2
+    VersionedTable.setProperties(spark, root,
+      Map("graft.enableDeletionVectors" -> "true"))                                   // v3
+    GraftSql.execute(spark, s"DELETE FROM `$root` WHERE id = 2")                      // v4 (DV)
+    val snapV = VersionedTable.currentVersion(spark, root).get
+
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    def drainSnap(): Unit = {
+      val q = ChangeFeedStream.read(spark, root, initialSnapshot = true)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          rows.synchronized { rows ++= df
+            .select(col("id"), col("_change_type"), col("_commit_version"))
+            .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))) }
+          ()
+        }.start()
+      q.processAllAvailable(); q.stop()
+    }
+    drainSnap()
+    // one snapshot batch: the logical table at snapV (DV mask folded — no
+    // id=2), every row an insert stamped with the snapshot version
+    assert(rows.toSeq.sorted == Seq(
+      (1L, "insert", snapV), (3L, "insert", snapV), (4L, "insert", snapV)))
+
+    // the tail: two more commits, restart from the same checkpoint —
+    // ONLY the new versions arrive (no second snapshot, no replay)
+    rows.clear()
+    GraftSql.execute(spark, s"INSERT INTO `$root` VALUES (5, 'e')")                   // v5
+    GraftSql.execute(spark, s"DELETE FROM `$root` WHERE id = 1")                      // v6 (DV)
+    drainSnap()
+    assert(rows.toSeq.sorted == Seq(
+      (1L, "delete", snapV + 2), (5L, "insert", snapV + 1)),
+      s"tail after snapshot wrong: ${rows.toSeq.sorted}")
+
+    // a table whose history carries NO feed at all (full-snapshot writers
+    // only) still streams in snapshot mode — the non-snapshot source
+    // refuses the same table loudly
+    val root2 = java.nio.file.Files.createTempDirectory("graft_cfs6").toString + "/t"
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_cfs6_ck").toString
+    VersionedTable.commit(Seq((9L, "z")).toDF("id", "x"), root2)
+    intercept[IllegalArgumentException] {
+      ChangeFeedStream.read(spark, root2).writeStream
+        .option("checkpointLocation", ckpt2 + "/no").foreachBatch {
+          (_: org.apache.spark.sql.DataFrame, _: Long) => () }.start()
+    }
+    val got2 = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q2 = ChangeFeedStream.read(spark, root2, initialSnapshot = true)
+      .writeStream.option("checkpointLocation", ckpt2)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got2.synchronized { got2 ++= df.select(col("id"), col("_commit_version"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))) }
+        ()
+      }.start()
+    q2.processAllAvailable(); q2.stop()
+    assert(got2.toSeq == Seq((9L, 1L)))
+  }
+
   test("maxVersionsPerBatch rate-limits catch-up to one version per micro-batch") {
     val root = java.nio.file.Files.createTempDirectory("graft_cfs2").toString + "/t"
     val ckpt = java.nio.file.Files.createTempDirectory("graft_cfs2_ck").toString
