@@ -75,6 +75,10 @@ import graft.sources.{Sinks, VersionedTable}
   *       ([[VersionedTable.addColumns]]): old files backfill null at
   *       read time by name resolution, added columns forced nullable,
   *       birth-name collisions with retired physicals minted fresh
+  *   - `ALTER TABLE '<root>' ALTER COLUMN c TYPE BIGINT` → METADATA-ONLY
+  *       type widening ([[VersionedTable.widenColumn]]): int→bigint,
+  *       int→double, float→double, decimal(p,s)→decimal(p+,s); old
+  *       narrow-typed files serve through the widened reader schema
   *   - `ALTER TABLE '<root>' SET TBLPROPERTIES ('k'='v',…)` / `UNSET
   *       TBLPROPERTIES ('k',…)` / `SHOW TBLPROPERTIES '<root>'` → table
   *       properties as metadata-only commits; setting
@@ -163,6 +167,8 @@ object GraftSql {
     """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+COLUMNS?\s*\((.+)\)\s*;?\s*""".r
   private val AddColRe = // bare single form: ADD COLUMN a INT
     """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+COLUMN\s+(\w+\s+[^(;][^;]*?)\s*;?\s*""".r
+  private val AlterColTypeRe = // metadata-only widening: ALTER COLUMN c TYPE BIGINT
+    """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+(.+?)\s*;?\s*""".r
   private val DropColRe =
     """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*""".r
   private val SetPropsRe =
@@ -312,6 +318,11 @@ object GraftSql {
           Seq(Row("ADD COLUMNS", root,
             VersionedTable.addColumns(s, root,
               org.apache.spark.sql.types.StructType.fromDDL(colDdl))))))
+      case AlterColTypeRe(root, name, typeDdl) =>
+        Some(GraftCommand("ALTER COLUMN TYPE", root, s =>
+          Seq(Row("ALTER COLUMN TYPE", root,
+            VersionedTable.widenColumn(s, root, name,
+              org.apache.spark.sql.types.DataType.fromDDL(typeDdl))))))
       case SetPropsRe(root, pairs) =>
         val kvs = parseOptionPairs(pairs)
         Some(GraftCommand("SET TBLPROPERTIES", root, s =>

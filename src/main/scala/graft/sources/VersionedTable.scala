@@ -1980,6 +1980,63 @@ object VersionedTable {
     }
   }
 
+  /** Widenings servable METADATA-ONLY: every probe-backed pair this
+    * Spark's parquet readers resolve from the narrower physical type
+    * (WideningProbeSpec is the empirical gate), restricted further to
+    * pairs the footer-stats domain keeps comparable (ints are long-kind,
+    * long-vs-double promotes in cmp, decimals are never pruned on).
+    * date→timestamp is deliberately ABSENT: the reader serves it, but
+    * recorded stats are epoch DAYS while a timestamp literal is MICROS —
+    * pruning would compare across units and skip matching files. */
+  private def widenOk(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case (a: DecimalType, b: DecimalType) =>
+        b.scale == a.scale && b.precision > a.precision
+      case _ => false
+    }
+  }
+
+  /** `ALTER TABLE ... ALTER COLUMN c TYPE t` — METADATA-ONLY type
+    * widening (the Delta type-widening feature on this format): the new
+    * type is recorded in the schema, every data file rides by reference,
+    * and readers serve old narrow-typed files through the widened reader
+    * schema (parquet widening resolution — WideningProbeSpec proves each
+    * allowed pair on this Spark). Appends from then on write the wide
+    * type; the drift gate holds writers to the widened schema. Only
+    * [[widenOk]] pairs qualify — anything else needs [[commit]]'s full
+    * rewrite. Partition columns refuse (their values are parsed from the
+    * recorded spec's layout; a type flip under that parse is not worth
+    * the footgun). */
+  def widenColumn(
+      spark: SparkSession, root: String, name: String,
+      to: org.apache.spark.sql.types.DataType): Long =
+    occRetry(spark, root) { cur =>
+      val curSchema = schemaOf(spark, root, cur)
+      val field = curSchema.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column $name in $root (columns: ${curSchema.fieldNames.mkString(", ")})"))
+      require(widenOk(field.dataType, to),
+        s"cannot widen $name from ${field.dataType.simpleString} to " +
+          s"${to.simpleString} metadata-only — allowed: int->bigint, " +
+          "int->double, float->double, decimal(p,s)->decimal(p+,s); " +
+          "anything else is a full-rewrite commit()")
+      require(!partitionColumnsOf(spark, root, cur).contains(name),
+        s"$name is a partition column — repartition via a full commit()")
+      val newSchema = org.apache.spark.sql.types.StructType(
+        curSchema.map(x => if (x.name == name) x.copy(dataType = to) else x))
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], newSchema)
+      commitCowInternal(empty, root, cur, dataFileRefs(spark, root, cur),
+        Map("changes" -> emptyFeed(empty)), // metadata-only: zero-row feed
+        Nil, preCommit = occValidate(spark, root, cur),
+        recordSchema = Some(newSchema))
+    }
+
   private def evolveSchemaAt(
       spark: SparkSession, root: String, cur: Long,
       newSchema: org.apache.spark.sql.types.StructType): Long = {

@@ -127,6 +127,52 @@ class SchemaTrackingSpec extends SparkSpec {
     assert(VersionedTable.versions(spark, root) == Seq(1L, 2L, 3L))
   }
 
+  test("ALTER COLUMN TYPE: metadata-only widening; narrow files serve; " +
+    "skipping prunes across vintages; non-widenings refuse") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq((1, 1.5f), (200, 2.5f)).toDF("i", "f"), root) // v1: int, float
+    graft.plans.GraftSql.execute(spark,
+      s"ALTER TABLE '$root' ALTER COLUMN i TYPE BIGINT")                    // v2
+    graft.plans.GraftSql.execute(spark,
+      s"ALTER TABLE '$root' ALTER COLUMN f TYPE DOUBLE")                    // v3
+    // metadata-only: the widening commits rewrote no data
+    val fh = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(2, 3).foreach { v =>
+      val own = fh.listStatus(new org.apache.hadoop.fs.Path(f"$root/v$v%08d"))
+        .filter(s => s.getPath.getName.startsWith("part-") &&
+          s.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+      assert(own < 4096, s"widening v$v rewrote data: $own bytes")
+    }
+    // the narrow v1 files serve through the widened schema, values intact
+    val sch = VersionedTable.read(spark, root).schema
+    assert(sch("i").dataType == LongType && sch("f").dataType == DoubleType)
+    val got = VersionedTable.read(spark, root).orderBy("i").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 200L))
+    assert(math.abs(got(1).getDouble(1) - 2.5) < 1e-9)
+    // time travel still shows the narrow era
+    assert(VersionedTable.readVersion(spark, root, 1L)
+      .schema("i").dataType == IntegerType)
+    // appends now carry the wide type — including values an int cannot hold
+    VersionedTable.commitAppend(Seq((5000000000L, 9.25)).toDF("i", "f"), root)
+    // data skipping stays correct across mixed-vintage files: long-kind
+    // stats from int32 files compare against the widened literal
+    assert(VersionedTable.readWhere(spark, root, col("i") > 3000000000L)
+      .collect().map(_.getLong(0)).toSeq == Seq(5000000000L))
+    assert(VersionedTable.readWhere(spark, root, col("i") === 200L)
+      .collect().map(_.getLong(0)).toSeq == Seq(200L))
+    // refusals: narrowing, cross-family, unknown column
+    intercept[IllegalArgumentException] {
+      VersionedTable.widenColumn(spark, root, "i", IntegerType)
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.widenColumn(spark, root, "f", StringType)
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.widenColumn(spark, root, "nope", LongType)
+    }
+  }
+
   test("pre-tracking snapshots validate against the inferred schema and upgrade on write") {
     val root = freshRoot()
     VersionedTable.commit(Seq((1L, "a")).toDF("id", "x"), root)
