@@ -275,6 +275,10 @@ object VersionedTable {
       partitionBy: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val f = fs(spark, root)
+    // PROTOCOL GATE: refuse to write against a table whose current
+    // version requires features outside this build (and to read it —
+    // every commit path reads the current state it commits against)
+    currentVersion(spark, root).foreach(assertWritable(spark, root, _))
     // COLUMN MAPPING: data files always carry PHYSICAL names. None =
     // reset (a full rewrite re-births every column under its logical
     // name); COW/append/metadata paths pass the carried or updated map.
@@ -408,6 +412,26 @@ object VersionedTable {
     if (propsToRecord.nonEmpty)
       writeProps(f, new Path(new Path(staging, "_properties"),
         "table.properties"), propsToRecord)
+    // (1e) PROTOCOL record: the features this version actually uses,
+    // derived from what the commit carries — a future reader outside
+    // these features' support refuses loudly instead of serving wrong
+    // results (ignored DV masks resurrect deletes; ignored mapping
+    // resolves renamed columns to nothing). Absent file = no
+    // requirements, so pre-upgrade tables read unchanged.
+    val readerFeats = Set(
+      if (extras.contains("dv")) Some("deletion-vectors") else None,
+      if (colMap.nonEmpty || retired.nonEmpty) Some("column-mapping") else None,
+      if (propsToRecord.contains(PartitionByProp)) Some("partition-spec") else None,
+      if (extras.contains("copyfiles") || extras.contains("copyfull"))
+        Some("copy-ledger") else None,
+      if (propsToRecord.get(WidenedTypesProp).contains("true"))
+        Some("widened-types") else None
+    ).flatten
+    if (readerFeats.nonEmpty)
+      writeProps(f, new Path(new Path(staging, "_protocol"),
+        "features.properties"),
+        Map("reader" -> readerFeats.toSeq.sorted.mkString(","),
+            "writer" -> readerFeats.toSeq.sorted.mkString(",")))
     // (2) claim the next version number with create-exclusive. Only "the
     // name is taken" counts as a lost race; any other IO failure is real
     // and must surface, not spin — and the attempt count is bounded so a
@@ -661,6 +685,76 @@ object VersionedTable {
       } catch { case _: Exception => None }
   }
 
+  // ---- protocol: table features (reader/writer gate) ----------------------
+
+  /** Features THIS build can read correctly. A version that requires a
+    * feature outside this set must refuse to read — serving it anyway
+    * would be silently wrong (e.g. a reader that ignores deletion
+    * vectors resurrects deleted rows). The Delta protocol-versioning
+    * idea, table-features form. */
+  val SupportedReaderFeatures: Set[String] = Set(
+    "deletion-vectors", "column-mapping", "partition-spec",
+    "widened-types", "copy-ledger")
+
+  /** Features THIS build can write against. Writing to a table whose
+    * current version requires an unknown feature could break that
+    * feature's invariants (e.g. appending without maintaining a future
+    * index structure). */
+  val SupportedWriterFeatures: Set[String] = SupportedReaderFeatures
+
+  /** A version requires features outside what this build supports. */
+  final case class ProtocolException(
+      root: String, version: Long, missing: Set[String], side: String)
+    extends java.io.IOException(
+      s"version $version of $root requires $side feature(s) this build " +
+        s"does not support: ${missing.toSeq.sorted.mkString(", ")} — " +
+        "upgrade the library to read/write this table")
+
+  private def protocolPath(spark: SparkSession, root: String, v: Long): Path =
+    new Path(new Path(dataDir(spark, root, v), "_protocol"),
+      "features.properties")
+
+  /** (readerFeatures, writerFeatures) RECORDED for version `v`; empty
+    * sets for pre-upgrade versions (absent file) — old tables keep
+    * reading exactly as before. */
+  def protocolOf(
+      spark: SparkSession, root: String, v: Long): (Set[String], Set[String]) = {
+    val props = readProps(spark, protocolPath(spark, root, v))
+    def split(k: String) = props.get(k)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    (split("reader"), split("writer"))
+  }
+
+  /** Memo of versions proved readable/writable — the protocol record is
+    * immutable once published, so each (root, version) pays the probe
+    * once per JVM. Failures are NOT memoized (an operator fixing the
+    * table in place during tests must be re-probed). */
+  private val protocolOk =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Long, String)]()
+
+  private[sources] def assertReadable(
+      spark: SparkSession, root: String, v: Long): Unit = {
+    val key = (root, v, "r")
+    if (!protocolOk.contains(key)) {
+      val missing = protocolOf(spark, root, v)._1 -- SupportedReaderFeatures
+      if (missing.nonEmpty) throw ProtocolException(root, v, missing, "reader")
+      protocolOk.add(key)
+    }
+  }
+
+  private def assertWritable(
+      spark: SparkSession, root: String, v: Long): Unit = {
+    val key = (root, v, "w")
+    if (!protocolOk.contains(key)) {
+      val (r, w) = protocolOf(spark, root, v)
+      // a writer must also READ the current state to commit against it
+      val missing = (r -- SupportedReaderFeatures) ++ (w -- SupportedWriterFeatures)
+      if (missing.nonEmpty) throw ProtocolException(root, v, missing, "writer")
+      protocolOk.add(key)
+    }
+  }
+
   // ---- column mapping (metadata-only rename/drop) -------------------------
 
   private val RetiredKey = "__retired"
@@ -788,6 +882,13 @@ object VersionedTable {
     * Set at table birth via [[commit]]'s `partitionBy`; immutable after
     * ([[setProperties]]/[[unsetProperties]] refuse to touch it). */
   val PartitionByProp = "graft.partitionBy"
+
+  /** STICKY marker that some live data file is typed narrower than the
+    * recorded schema ([[widenColumn]] sets it): readers must support
+    * parquet widening resolution from then on. Sticky like Delta table
+    * features — a later full rewrite could clear it, but proving every
+    * narrow file is gone isn't worth the accounting. */
+  val WidenedTypesProp = "graft.feature.widenedTypes"
   private val PartDirPrefix = "p__"
   private val HiveNullPartition = "__HIVE_DEFAULT_PARTITION__"
 
@@ -1140,6 +1241,7 @@ object VersionedTable {
     * masked out — the read is always the table's logical content). */
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
     require(isCommitted(spark, root, v), s"version $v is not committed under $root")
+    assertReadable(spark, root, v)
     val reader = versionReader(spark, root, v)
     val base = manifestOf(spark, root, v) match {
       case Some(refs) =>
@@ -1163,6 +1265,7 @@ object VersionedTable {
       spark: SparkSession, root: String, v: Long, refCol: String,
       onlyRefs: Option[Seq[String]] = None): DataFrame = {
     require(isCommitted(spark, root, v), s"version $v is not committed under $root")
+    assertReadable(spark, root, v)
     val reader = versionReader(spark, root, v)
     // `onlyRefs` bounds the scan to a candidate subset (e.g. the files
     // whose key stats admit a source key): detection then reads
@@ -2034,7 +2137,11 @@ object VersionedTable {
       commitCowInternal(empty, root, cur, dataFileRefs(spark, root, cur),
         Map("changes" -> emptyFeed(empty)), // metadata-only: zero-row feed
         Nil, preCommit = occValidate(spark, root, cur),
-        recordSchema = Some(newSchema))
+        recordSchema = Some(newSchema),
+        // sticky feature flag: narrow-typed files now live under a wider
+        // schema — the protocol gate requires widening-capable readers
+        recordProperties = Some(propertiesOf(spark, root, cur)
+          .updated(WidenedTypesProp, "true")))
     }
 
   private def evolveSchemaAt(
