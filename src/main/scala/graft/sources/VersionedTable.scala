@@ -2378,7 +2378,8 @@ object VersionedTable {
       propertiesOf(spark, root, v).size,
       hasDeletionVectors(spark, root, v),
       ledger,
-      versions(spark, root).size)
+      versions(spark, root).size,
+      protocolOf(spark, root, v)._1.toSeq.sorted.mkString(","))
   }
 
   // ---- table properties ---------------------------------------------------

@@ -224,6 +224,7 @@ class SqlLoadSpec extends SparkSpec {
     assert(d.getAs[Int]("properties") == 1)
     assert(d.getAs[Boolean]("deletion_vectors"))
     assert(d.getAs[Int]("retained_versions") == 4)
+    assert(d.getAs[String]("protocol_features") == "column-mapping,deletion-vectors")
   }
 
   test("vacuum on a clone drops its own history, never the source's files") {
