@@ -1095,6 +1095,35 @@ object VersionedTable {
       recordSchema = Some(schema))
   }
 
+  /** PARTITION-SPEC EVOLUTION: re-lay the table out under a NEW
+    * partition spec (or none) and record it — a FULL-REWRITE commit, by
+    * design: on this format the spec IS the data placement (Hive-style
+    * `p__<col>=<val>/` leaves), so unlike Iceberg's per-file spec-id a
+    * spec change genuinely has to move bytes, and pretending otherwise
+    * would leave files that disagree with the recorded layout
+    * (setProperties refuses PartitionByProp for exactly that reason).
+    * Runs under the OCC rebase loop; layout-only, so the change feed is
+    * zero-row and rows are unchanged. The old spec's versions stay
+    * time-travelable with their own layout. */
+  def repartitionTable(
+      spark: SparkSession, root: String, newSpec: Seq[String],
+      bloomCols: Seq[String] = Nil): Long =
+    occRetry(spark, root) { cur =>
+      val df = readVersion(spark, root, cur)
+      val missing = newSpec.filterNot(df.columns.contains)
+      require(missing.isEmpty,
+        s"partition column(s) not in $root: ${missing.mkString(", ")}")
+      val props0 = propertiesOf(spark, root, cur)
+      val props = if (newSpec.isEmpty) props0 - PartitionByProp
+                  else props0.updated(PartitionByProp, newSpec.mkString(","))
+      commitWith(df, root, collectStats = true,
+        extras = Map("changes" -> emptyFeed(df)), // layout-only
+        (_, _, _) => (), bloomCols,
+        preCommit = occValidate(spark, root, cur),
+        recordProperties = Some(props),
+        partitionBy = newSpec)
+    }
+
   /** DYNAMIC PARTITION OVERWRITE (Delta's `partitionOverwriteMode=
     * dynamic` / Hive insert-overwrite-partitions, on this format):
     * replace exactly the partition tuples PRESENT IN `newData`, carrying

@@ -199,6 +199,35 @@ class VersionedPartitionSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).count() == 200)
   }
 
+  test("repartitionTable: spec evolution is an honest full rewrite; " +
+    "old layouts stay time-travelable") {
+    val root = freshRoot()
+    seed(root) // v1: partitioned by d
+    // de-partition: flat layout, spec gone, rows unchanged
+    val v2 = VersionedTable.repartitionTable(spark, root, Nil)
+    assert(VersionedTable.partitionColumnsOf(spark, root, v2).isEmpty)
+    assert(VersionedTable.dataFileRefs(spark, root, v2)
+      .forall(!_.contains("p__")), "de-partitioned refs still have leaves")
+    assert(VersionedTable.read(spark, root).count() == 300)
+    // the protocol follows: no partition-spec requirement on v2
+    assert(!VersionedTable.protocolOf(spark, root, v2)._1.contains("partition-spec"))
+    // re-partition by d: leaves return, and the metadata-only retention
+    // verb works against the NEW spec
+    val v3 = VersionedTable.repartitionTable(spark, root, Seq("d"))
+    assert(VersionedTable.partitionColumnsOf(spark, root, v3) == Seq("d"))
+    assert(VersionedTable.dataFileRefs(spark, root, v3)
+      .forall(_.contains("p__d=")))
+    val v4 = VersionedTable.deleteWhere(spark, root,
+      col("d") === lit("2024-01-01").cast("date"))
+    assert(ownDataBytes(root, v4) == 0L, "retention delete should be metadata-only")
+    assert(VersionedTable.read(spark, root).count() == 200)
+    // unknown column refused; v1's layout still time-travels
+    intercept[IllegalArgumentException] {
+      VersionedTable.repartitionTable(spark, root, Seq("nope"))
+    }
+    assert(VersionedTable.readVersion(spark, root, 1L).count() == 300)
+  }
+
   test("null partition values: hive default dir, IS NULL pruning, drops") {
     val root = freshRoot()
     val df = Seq(
