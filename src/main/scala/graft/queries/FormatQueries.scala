@@ -28,7 +28,8 @@ object FormatQueries {
     "q27_format_merge"     -> ((s, d) => q27(s, d)),
     "q28_format_dv_dml"    -> ((s, d) => q28(s, d)),
     "q29_format_evolution" -> ((s, d) => q29(s, d)),
-    "q30_format_partition" -> ((s, d) => q30(s, d))
+    "q30_format_partition" -> ((s, d) => q30(s, d)),
+    "q31_format_schema"    -> ((s, d) => q31(s, d))
   )
 
   private def freshRoot(): String =
@@ -118,6 +119,40 @@ object FormatQueries {
     VersionedTable.read(s, root).orderBy(col("o_orderkey"))
   }
 
+  /** q31: the SCHEMA-EVOLUTION DDL surface end to end — METADATA-ONLY
+    * `ADD COLUMNS` (old rows null-backfill at read time) and
+    * METADATA-ONLY `ALTER COLUMN TYPE` widening (int files served under
+    * a bigint reader schema), then an `INSERT INTO` whose rows populate
+    * the added columns and carry values an int cannot hold. The final
+    * read mixes file vintages: pre-evolution int-typed files with null
+    * backfill, post-evolution wide files with real values. The oracle is
+    * the plain relational union of the two eras — a hash match proves
+    * the evolution commits changed the SCHEMA and nothing else, and that
+    * the widened read path is value-exact. */
+  def q31(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot()
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    VersionedTable.commit(orders.where(col("o_orderkey") % 4 === 1)
+      .withColumn("o_qty", (col("o_orderkey") % 100).cast("int")), root)
+    GraftSql.execute(s,
+      s"ALTER TABLE '$root' ADD COLUMNS (discount DECIMAL(10,2), note STRING)")
+    GraftSql.execute(s, s"ALTER TABLE '$root' ALTER COLUMN o_qty TYPE BIGINT")
+    orders.where(col("o_orderkey") % 4 === 2)
+      .withColumn("o_qty", col("o_orderkey") + 5000000000L)
+      .withColumn("discount", (col("o_orderkey") % 50).cast("decimal(10,2)"))
+      .withColumn("note", concat(lit("n"), col("o_orderkey")))
+      .createOrReplaceTempView("q31_src")
+    GraftSql.execute(s, s"INSERT INTO `$root` SELECT * FROM q31_src")
+    // the TABLE stores DECIMAL(10,2); the comparison surface casts to
+    // double because the driver's hash is dtype-sensitive and DuckDB's
+    // pandas export renders decimals as float64 (values are integral,
+    // so the cast is exact)
+    VersionedTable.read(s, root)
+      .withColumn("discount", col("discount").cast("double"))
+      .orderBy(col("o_orderkey"))
+  }
+
   def oracles: Map[String, String] = Map(
     "q27_format_merge" ->
       """WITH t AS (
@@ -152,6 +187,21 @@ object FormatQueries {
         |  strftime(o_orderdate, '%Y-%m') AS o_month
         |FROM orders
         |WHERE strftime(o_orderdate, '%Y-%m') >= '1997-01'
+        |ORDER BY o_orderkey""".stripMargin,
+    "q31_format_schema" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_orderkey % 100 AS BIGINT) AS o_qty,
+        |    CAST(NULL AS DOUBLE) AS discount,
+        |    CAST(NULL AS VARCHAR) AS note
+        |  FROM orders WHERE o_orderkey % 4 = 1),
+        |s AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_orderkey + 5000000000 AS BIGINT) AS o_qty,
+        |    CAST(CAST(o_orderkey % 50 AS DECIMAL(10,2)) AS DOUBLE) AS discount,
+        |    'n' || CAST(o_orderkey AS VARCHAR) AS note
+        |  FROM orders WHERE o_orderkey % 4 = 2)
+        |SELECT * FROM t UNION ALL SELECT * FROM s
         |ORDER BY o_orderkey""".stripMargin
   )
 }
