@@ -476,3 +476,45 @@ object QuantileBucket {
     p.toLong
   }
 }
+
+/** Per-file deletion-vector probe — the SCAN-INTEGRATED mask road
+  * ([[graft.sources.DvBitmaps]]): TRUE iff `(file, pos)` is deleted
+  * according to the version's per-file bitmap sidecar under `dir`.
+  * Used as `filter(!DvMasked(...))` by the masked read above the
+  * broadcast threshold: the predicate evaluates file-locally inside
+  * WholeStageCodegen (a static call into the thread-cached bitmap),
+  * so the data side needs NO exchange — where the join form shuffles
+  * the entire scan on (file, pos). Non-deterministic-free and
+  * side-effect-free: the sidecar is immutable once its version is
+  * published. Mirrors Delta's per-AddFile deletion-vector application
+  * inside the scan. */
+case class DvMasked(dir: String, file: Expression, pos: Expression)
+  extends BinaryExpression {
+
+  override def left: Expression = file
+  override def right: Expression = pos
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_dv_masked"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (file.dataType, pos.dataType) match {
+      case (StringType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (ft, pt) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (string, bigint), got " +
+          s"${ft.catalogString}, ${pt.catalogString}")
+    }
+
+  override protected def nullSafeEval(f: Any, p: Any): Any =
+    graft.sources.DvBitmaps.lookup(
+      dir, f.asInstanceOf[UTF8String], p.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val dirRef = ctx.addReferenceObj("dvBitmapDir", dir, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, (f, p) =>
+      s"${ev.value} = graft.sources.DvBitmaps.lookup($dirRef, $f, $p);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(file = newLeft, pos = newRight)
+}

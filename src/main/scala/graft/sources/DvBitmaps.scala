@@ -1,0 +1,207 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Per-FILE deletion-vector bitmaps — the scan-integrated form of the
+  * `_dv` sidecar (the Delta deletion-vector file idea: one compact
+  * position set per data file, applied file-locally by whichever task
+  * reads that file, with ZERO exchange on the data side).
+  *
+  * The row-level `_dv` parquet (file, pos) stays the source of truth —
+  * oracle-checkable, join-able, size-gated for the broadcast fast path.
+  * These bitmaps are a DERIVED index written in the same staging dir at
+  * commit time, so they publish/travel/vacuum atomically with their
+  * version. Above the broadcast threshold the masked read consults them
+  * through [[graft.plans.DvContains]] instead of shuffling the entire
+  * data side on (file, pos) — a 100 TB read between a large MOR delete
+  * and compaction pays a per-task sidecar lookup, not a full sort-merge
+  * exchange.
+  *
+  * Layout: `<version>/_dv/_bitmaps/<sha1hex(fileRef)>.bin` + a `_DONE`
+  * marker after the last bitmap. One object per masked data file, named
+  * by the hash of its root-relative ref — each scan task reads exactly
+  * its own file's bitmap, O(own mask) bytes. (Delta additionally packs
+  * multiple vectors into shared objects with offsets; one-object-per-file
+  * keeps the lookup trivially addressable and is metadata-scale — the
+  * bitmap count is bounded by the MASKED file count.) An absent bitmap
+  * under a `_DONE`-marked dir means "no deletions in that file".
+  *
+  * Encoding per bitmap (magic 'D', then one encoding byte):
+  *  - 0 SPARSE: count n, then n positions as big-endian longs, ascending
+  *    (binary-searched at probe time);
+  *  - 1 DENSE: maxPos, then a bitset of ceil((maxPos+1)/8) bytes
+  *    (bit-tested at probe time).
+  * The writer picks whichever is smaller — a 30%-deleted 1M-row file
+  * costs 125 KB dense vs 2.4 MB sparse; a 10-row GDPR delete costs 90
+  * bytes sparse. */
+object DvBitmaps {
+  val DirName = "_bitmaps"
+  val DoneMarker = "_DONE"
+  private val Magic: Byte = 'D'.toByte
+
+  private[sources] def sha1hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(s.getBytes("UTF-8"))
+    d.map(b => f"$b%02x").mkString
+  }
+
+  /** Bitmap object name for a data file's root-relative ref. */
+  def binName(fileRef: String): String = sha1hex(fileRef) + ".bin"
+
+  // ---- encoding -----------------------------------------------------------
+
+  /** Encode ascending positions, picking the smaller of sparse/dense. */
+  private[sources] def encode(sorted: Array[Long]): Array[Byte] = {
+    val n = sorted.length
+    require(n > 0, "empty bitmap: the writer must skip unmasked files")
+    val maxPos = sorted(n - 1)
+    val sparseBytes = 2 + 8 + 8L * n
+    val denseBytes = 2 + 8 + (maxPos / 8 + 1)
+    val buf =
+      if (denseBytes < sparseBytes && denseBytes <= Int.MaxValue.toLong) {
+        val b = java.nio.ByteBuffer.allocate(denseBytes.toInt)
+        b.put(Magic).put(1: Byte).putLong(maxPos)
+        val bits = new Array[Byte]((maxPos / 8 + 1).toInt)
+        var i = 0
+        while (i < n) {
+          val p = sorted(i)
+          bits((p >> 3).toInt) = (bits((p >> 3).toInt) | (1 << (p & 7)).toByte).toByte
+          i += 1
+        }
+        b.put(bits)
+        b
+      } else {
+        val b = java.nio.ByteBuffer.allocate(sparseBytes.toInt)
+        b.put(Magic).put(0: Byte).putLong(n.toLong)
+        var i = 0
+        while (i < n) { b.putLong(sorted(i)); i += 1 }
+        b
+      }
+    buf.array()
+  }
+
+  /** Probe a decoded bitmap. The byte array is probed in place — no
+    * deserialization step, so a cached bitmap costs its own bytes once. */
+  private[sources] def contains(bytes: Array[Byte], pos: Long): Boolean = {
+    if (bytes.length < 2 || bytes(0) != Magic) return false
+    val b = java.nio.ByteBuffer.wrap(bytes)
+    b.position(2)
+    bytes(1) match {
+      case 0 => // sparse: binary search the sorted long block
+        val n = b.getLong.toInt
+        var lo = 0; var hi = n - 1
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          val v = b.getLong(10 + 8 * mid)
+          if (v == pos) return true
+          else if (v < pos) lo = mid + 1
+          else hi = mid - 1
+        }
+        false
+      case 1 => // dense: bit test
+        val maxPos = b.getLong
+        if (pos < 0 || pos > maxPos) false
+        else (bytes(10 + (pos >> 3).toInt) & (1 << (pos & 7))) != 0
+      case _ => false
+    }
+  }
+
+  // ---- write side ---------------------------------------------------------
+
+  /** Derive the per-file bitmaps from `<dvDir>` (the staged `_dv`
+    * parquet) into `<dvDir>/_bitmaps`. One Spark job, O(mask) work: the
+    * mask shuffles once on `file` (every position of one file lands in
+    * one task), each task streams its sorted run and flushes one bitmap
+    * per file boundary. Heap per task is bounded by the largest single
+    * file's mask (a fully-deleted 128 MiB/1M-row file buffers 8 MB).
+    * Runs BEFORE publish, inside the staging dir — crash leaves invisible
+    * garbage, never a half-indexed published version. */
+  def write(spark: SparkSession, dvDir: Path): Unit = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val outDir = new Path(dvDir, DirName)
+    val fsc = dvDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fsc.exists(outDir)) fsc.delete(outDir, true) // re-derive idempotently
+    fsc.mkdirs(outDir)
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val outStr = outDir.toString
+    spark.read.parquet(dvDir.toString)
+      .select(col("file").cast("string"), col("pos").cast("long"))
+      .repartition(col("file"))
+      .sortWithinPartitions("file", "pos")
+      .as[(String, Long)]
+      .foreachPartition { it: Iterator[(String, Long)] =>
+        val f = new Path(outStr).getFileSystem(hconf.value)
+        var curFile: String = null
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+        def flush(): Unit = if (curFile != null && buf.nonEmpty) {
+          // distinct within a file: commitCowInternal dedupes the union,
+          // but a defensive dedupe here keeps the encoding's ascending
+          // contract under any caller
+          val sorted = buf.distinct.toArray
+          java.util.Arrays.sort(sorted)
+          val out = f.create(new Path(outStr, binName(curFile)), true)
+          try out.write(encode(sorted)) finally out.close()
+          buf.clear()
+        }
+        it.foreach { case (file, pos) =>
+          if (file != curFile) { flush(); curFile = file }
+          buf += pos
+        }
+        flush()
+      }
+    // the marker makes "fully derived" a single existence probe — and
+    // distinguishes bitmap-carrying versions from pre-bitmap ones
+    fsc.create(new Path(outDir, DoneMarker), true).close()
+  }
+
+  // ---- read side (executor-local) ----------------------------------------
+
+  /** Single-entry per-thread bitmap cache: a scan task reads one file
+    * (or a handful of splits of one file), so consecutive probes hit the
+    * same (dir, file) key — the load cost is paid once per task, not per
+    * row. `bytes == null` = known-absent bitmap (no deletions in that
+    * file). The cached UTF8String is a CLONE: unsafe-row strings can
+    * point into reused scan buffers. */
+  private final class Entry(
+      val dir: String,
+      val file: org.apache.spark.unsafe.types.UTF8String,
+      val bytes: Array[Byte])
+  private val cache = new ThreadLocal[Entry]()
+
+  private def load(dir: String, file: String): Array[Byte] = {
+    val p = new Path(dir, binName(file))
+    val f = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (!f.exists(p)) null
+    else {
+      val st = f.getFileStatus(p)
+      val arr = new Array[Byte](st.getLen.toInt)
+      val in = f.open(p)
+      try in.readFully(0L, arr) finally in.close()
+      arr
+    }
+  }
+
+  /** Executor-side probe: is (file, pos) masked? `dir` is the absolute
+    * `_bitmaps` URI baked into the plan by the driver; `file` compares
+    * byte-wise against the cached key, so the per-row hot path allocates
+    * nothing. The Hadoop conf is reconstructed from executor-classpath
+    * defaults — the standard cluster layout ships core-site.xml with the
+    * executors; the local test rig needs nothing. */
+  def lookup(
+      dir: String, file: org.apache.spark.unsafe.types.UTF8String,
+      pos: Long): Boolean = {
+    var e = cache.get()
+    if (e == null || !e.dir.equals(dir) || !e.file.equals(file)) {
+      e = new Entry(dir, file.clone(), load(dir, file.toString))
+      cache.set(e)
+    }
+    e.bytes != null && contains(e.bytes, pos)
+  }
+
+  /** String-keyed convenience (tests, driver-side probes). */
+  def lookup(dir: String, file: String, pos: Long): Boolean =
+    lookup(dir, org.apache.spark.unsafe.types.UTF8String.fromString(file), pos)
+}

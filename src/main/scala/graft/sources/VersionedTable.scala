@@ -356,6 +356,13 @@ object VersionedTable {
         extra.write.mode(SaveMode.Overwrite)
           .parquet(new Path(staging, s"_$name").toString)
       }
+      // DERIVED per-file bitmaps beside the row-level DV parquet: the
+      // scan-integrated mask road ([[DvBitmaps]]) for reads above the
+      // broadcast threshold. One O(mask) job per DV-carrying commit —
+      // the same trade Delta makes writing DV files at delete time.
+      // Inside staging, so the index publishes atomically with the mask.
+      if (extras.contains("dv"))
+        DvBitmaps.write(spark, new Path(staging, "_dv"))
     }
     finally prevTsType match {
       case Some(t) => spark.conf.set("spark.sql.parquet.outputTimestampType", t)
@@ -502,10 +509,17 @@ object VersionedTable {
         if (!renameNoOverwrite(f, tmp, target)) {
           // lost n to another writer (necessarily another process — this
           // JVM is serialized by the monitor): re-validate, then contend
-          // for the next number
+          // for the next number. The PROTOCOL GATE re-runs against the
+          // newly observed current version too — the concurrent winner
+          // may be a newer build whose commit carries features this
+          // build cannot write over (the entry-time assertWritable saw
+          // the pre-race state only).
           try preCommit(n)
           catch { case e: Throwable => f.delete(dir, true); throw e }
-          n = math.max(n + 1, currentVersion(spark, root).getOrElse(n) + 1)
+          val cvNow = currentVersion(spark, root)
+          try cvNow.foreach(assertWritable(spark, root, _))
+          catch { case e: Throwable => f.delete(dir, true); throw e }
+          n = math.max(n + 1, cvNow.getOrElse(n) + 1)
         } else won = n
       }
       won
@@ -563,7 +577,31 @@ object VersionedTable {
     if (isLocalFs(f)) {
       val won =
         try { java.nio.file.Files.createLink(localPath(f, target), localPath(f, tmp)); true }
-        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          // file:// mounts without hard-link support (FAT, some NFS and
+          // overlay mounts): link(2) is unavailable, not lost. Degrade to
+          // exists-precheck + atomic move + CONTENT READBACK — the
+          // readback decides the winner when two degraded writers both
+          // pass the precheck (the overwriting move destroys the loser's
+          // marker, so the survivor's content names the winner). A
+          // narrow two-writer race window remains on such mounts
+          // (documented caveat); filesystems with link(2) never enter
+          // this branch.
+          case _: UnsupportedOperationException |
+               _: java.nio.file.FileSystemException =>
+            val lt = localPath(f, target)
+            if (java.nio.file.Files.exists(lt)) false
+            else {
+              val mine = new String(
+                java.nio.file.Files.readAllBytes(localPath(f, tmp)), "UTF-8")
+              try {
+                java.nio.file.Files.move(localPath(f, tmp), lt,
+                  java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                readTextFile(f, target) == mine
+              } catch { case _: java.io.IOException => false }
+            }
+        }
       f.delete(tmp, false)
       won
     } else {
@@ -729,13 +767,28 @@ object VersionedTable {
   /** Memo of versions proved readable/writable — the protocol record is
     * immutable once published, so each (root, version) pays the probe
     * once per JVM. Failures are NOT memoized (an operator fixing the
-    * table in place during tests must be re-probed). */
+    * table in place during tests must be re-probed). The key carries the
+    * COMMIT MARKER's modification time so that a table deleted and
+    * recreated at the same root (common in tests/dev) cannot ride a
+    * stale OK from the previous incarnation: the recreated version's
+    * marker is a new file with a new mtime, so it pays a fresh probe.
+    * Cost of the identity check: one `getFileStatus` per assert — still
+    * far below the properties-file read the memo avoids. */
   private val protocolOk =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Long, String)]()
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Long, Long, String)]()
+
+  /** The commit marker's mtime — the version's IDENTITY for per-JVM
+    * memos (same root + same number + recreated table ⇒ different
+    * mtime). -1 when the marker is unreadable (never memo-matches). */
+  private def markerIdentity(
+      spark: SparkSession, root: String, v: Long): Long =
+    try fs(spark, root)
+      .getFileStatus(new Path(commitDir(root), pad(v))).getModificationTime
+    catch { case _: Exception => -1L }
 
   private[sources] def assertReadable(
       spark: SparkSession, root: String, v: Long): Unit = {
-    val key = (root, v, "r")
+    val key = (root, v, markerIdentity(spark, root, v), "r")
     if (!protocolOk.contains(key)) {
       val missing = protocolOf(spark, root, v)._1 -- SupportedReaderFeatures
       if (missing.nonEmpty) throw ProtocolException(root, v, missing, "reader")
@@ -745,7 +798,7 @@ object VersionedTable {
 
   private def assertWritable(
       spark: SparkSession, root: String, v: Long): Unit = {
-    val key = (root, v, "w")
+    val key = (root, v, markerIdentity(spark, root, v), "w")
     if (!protocolOk.contains(key)) {
       val (r, w) = protocolOf(spark, root, v)
       // a writer must also READ the current state to commit against it
@@ -1197,12 +1250,33 @@ object VersionedTable {
 
   /** On-disk bytes of version `v`'s `_name` sidecar (0 when absent) — an
     * O(#sidecar-files) listing, no Spark job. The size gate for
-    * [[dvMaskSide]]. */
+    * [[dvMaskSide]]. MEMOIZED per (root, version, name) — a version's
+    * sidecar is immutable once published, but every masked-read plan
+    * build consults this, and a DV-heavy workload would otherwise
+    * re-list the sidecar dir at each one. Keyed on the commit marker's
+    * mtime like the protocol-gate memo, so a recreated table at the
+    * same root pays a fresh listing instead of riding a stale size. */
+  private val extraBytesMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, String, Long), java.lang.Long]()
+
+  /** Count of REAL sidecar listings performed (memo misses) — a test
+    * probe for the memoization contract, not an operational metric. */
+  private[graft] val extraBytesListings =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def extraBytes(
       spark: SparkSession, root: String, v: Long, name: String): Long = {
-    val p = new Path(dataDir(spark, root, v), s"_$name")
-    val f = fs(spark, root)
-    if (!f.exists(p)) 0L else f.getContentSummary(p).getLength
+    val key = (root, v, name, markerIdentity(spark, root, v))
+    val got = extraBytesMemo.get(key)
+    if (got != null) got.longValue()
+    else {
+      extraBytesListings.incrementAndGet()
+      val p = new Path(dataDir(spark, root, v), s"_$name")
+      val f = fs(spark, root)
+      val bytes = if (!f.exists(p)) 0L else f.getContentSummary(p).getLength
+      extraBytesMemo.put(key, bytes)
+      bytes
+    }
   }
 
   /** The deletion-vector mask as an anti-join build side, SIZE-GATED:
@@ -1225,23 +1299,82 @@ object VersionedTable {
     if (dvBytes <= threshold) broadcast(mask) else mask.hint("merge")
   }
 
+  /** Version `v`'s per-file bitmap dir URI, when the sidecar carries a
+    * COMPLETE derived index ([[DvBitmaps]] `_DONE` marker present).
+    * Memoized beside [[extraBytes]] — same immutability argument, same
+    * marker-mtime identity. None for pre-bitmap versions, which keep the
+    * join road. */
+  private val dvBitmapsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Option[String]]()
+  private def dvBitmapsDir(
+      spark: SparkSession, root: String, v: Long): Option[String] = {
+    val key = (root, v, markerIdentity(spark, root, v))
+    val got = dvBitmapsMemo.get(key)
+    if (got != null) got
+    else {
+      val dir = new Path(new Path(dataDir(spark, root, v), "_dv"),
+        DvBitmaps.DirName)
+      val f = fs(spark, root)
+      val res =
+        if (f.exists(new Path(dir, DvBitmaps.DoneMarker)))
+          Some(f.makeQualified(dir).toString)
+        else None
+      dvBitmapsMemo.put(key, res)
+      res
+    }
+  }
+
+  /** Fold the deletion-vector mask out of `tagged` (a frame already
+    * carrying `__dv_file`/`__dv_pos`), picking the road by mask size:
+    *
+    *  - at or below [[DvBroadcastThresholdKey]]: BROADCAST anti-join —
+    *    one tiny table to every scan task, no exchange on the data side;
+    *  - above it with a derived bitmap index: SCAN-INTEGRATED filter
+    *    ([[graft.plans.DvMasked]]) — each task probes its own file's
+    *    bitmap inside WholeStageCodegen; NO exchange on the data side
+    *    and nothing DV-sized on the driver (the per-task cost is one
+    *    bitmap load, O(that file's mask));
+    *  - above it on a pre-bitmap version: distributed sort-merge
+    *    anti-join — correct and spillable, but it shuffles the entire
+    *    data side on (file, pos); kept only as the legacy road.
+    *
+    * At 100 TB the middle road is the one that matters: a masked read
+    * between a large MOR delete and compaction pays per-task bitmap
+    * probes instead of a full data-side exchange. */
+  private def foldMask(
+      spark: SparkSession, root: String, v: Long,
+      tagged: DataFrame, dv: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, not}
+    val dvBytes = extraBytes(spark, root, v, "dv")
+    val threshold = spark.conf
+      .get(DvBroadcastThresholdKey, DvBroadcastThresholdDefault.toString).toLong
+    lazy val joined = tagged.join(dvMaskSide(spark, dv, dvBytes),
+      Seq("__dv_file", "__dv_pos"), "left_anti")
+    if (dvBytes <= threshold) joined
+    else dvBitmapsDir(spark, root, v) match {
+      case Some(dir) =>
+        tagged.where(not(org.apache.spark.sql.graft.StreamBridge.columnOf(
+          graft.plans.DvMasked(dir,
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq("__dv_file")),
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq("__dv_pos"))))))
+      case None => joined
+    }
+  }
+
   /** Mask `dv`'s (file, pos) rows out of `df` (a scan of this snapshot's
-    * files): the merge-on-read fold, an anti join on the row's physical
-    * identity (`_metadata` file + row index — stable for parquet, the
-    * same identity Delta's deletion vectors address). The mask side is
-    * size-gated ([[dvMaskSide]]): broadcast while small, distributed
-    * sort-merge once it outgrows the threshold —
-    * [[compact]]/[[optimize]] fold it away either way. */
+    * files): the merge-on-read fold on the row's physical identity
+    * (`_metadata` file + row index — stable for parquet, the same
+    * identity Delta's deletion vectors address). Road selection is
+    * [[foldMask]]'s; [[compact]]/[[optimize]] fold the mask away
+    * entirely either way. */
   private def applyDv(
       spark: SparkSession, root: String, v: Long,
       df: DataFrame, dv: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
     val cols = df.columns.toSeq
-    df.withColumn("__dv_file", fileRefCol)
+    val tagged = df.withColumn("__dv_file", fileRefCol)
       .withColumn("__dv_pos", col("_metadata.row_index"))
-      .join(dvMaskSide(spark, dv, extraBytes(spark, root, v, "dv")),
-        Seq("__dv_file", "__dv_pos"), "left_anti")
-      .select(cols.map(col): _*)
+    foldMask(spark, root, v, tagged, dv).select(cols.map(col): _*)
   }
 
   /** TIMESTAMP-based time travel (Delta's `TIMESTAMP AS OF`): the
@@ -1812,9 +1945,7 @@ object VersionedTable {
         .withColumn("__dv_file", fileRefCol)
         .withColumn("__dv_pos", col("_metadata.row_index"))
       val folded = readExtra(spark, root, cur, "dv") match {
-        case Some(dv) =>
-          raw.join(dvMaskSide(spark, dv, extraBytes(spark, root, cur, "dv")),
-            Seq("__dv_file", "__dv_pos"), "left_anti")
+        case Some(dv) => foldMask(spark, root, cur, raw, dv)
         case None => raw
       }
       Some(toLogical(folded, columnMapping(spark, root, cur)))
@@ -1834,9 +1965,7 @@ object VersionedTable {
       .withColumn("__dv_file", fileRefCol)
       .withColumn("__dv_pos", col("_metadata.row_index"))
     val folded = readExtra(spark, root, v, "dv") match {
-      case Some(dv) =>
-        raw.join(dvMaskSide(spark, dv, extraBytes(spark, root, v, "dv")),
-          Seq("__dv_file", "__dv_pos"), "left_anti")
+      case Some(dv) => foldMask(spark, root, v, raw, dv)
       case None => raw
     }
     toLogical(folded, columnMapping(spark, root, v))
@@ -2758,6 +2887,11 @@ object VersionedTable {
           s"or restart the consumer from earliestFeedStart = " +
           s"${earliestFeedStart(spark, root)}")
     val frames = vs.map { v =>
+      // PROTOCOL GATE on the feed too: a version requiring an unknown
+      // future feature must not serve its change feed either (a future
+      // feature could alter the feed's encoding). Cheap — the probe is
+      // memoized per JVM, so the tail pays one file read per version ever.
+      assertReadable(spark, root, v)
       val df = readExtra(spark, root, v, "changes").getOrElse(
         throw new java.io.IOException(
           s"version $v under $root has no change feed — feed range is incomplete"))

@@ -216,13 +216,13 @@ class ChangeFeedSource(
       // BATCH join inside the lazy lineage — surfacing it in the
       // streaming plan would make the planner reject it as a
       // stream-stream LeftAnti. Lazy and distributed; nothing
-      // materializes on the driver.
+      // materializes on the driver — and the rebase stays in INTERNAL
+      // rows (no encoder round-trip on the stream's largest batch).
       val snap = VersionedTable.readVersion(spark, root, toVersion)
         .withColumn("_change_type", lit("insert"))
         .withColumn("_commit_version", lit(toVersion))
         .select(schema.fieldNames.toSeq.map(col): _*)
-      org.apache.spark.sql.graft.StreamBridge.asStreaming(
-        spark.createDataFrame(snap.rdd, snap.schema))
+      org.apache.spark.sql.graft.StreamBridge.internalAsStreaming(snap)
     } else {
       val batch = VersionedTable.readChanges(
         spark, root, start.map(toV(_) + 1).getOrElse(feedStart()), toVersion)

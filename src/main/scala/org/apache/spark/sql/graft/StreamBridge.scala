@@ -25,4 +25,29 @@ object StreamBridge {
     }
     org.apache.spark.sql.classic.Dataset.ofRows(sess, plan)
   }
+
+  /** Rebase `df` onto its own INTERNAL-row lineage as a streaming frame —
+    * the snapshot-batch path: `LogicalRDD.fromDataset(queryExecution.toRdd)`
+    * keeps the rows in Tungsten format end to end, where
+    * `createDataFrame(df.rdd, schema)` would round-trip every row
+    * InternalRow→Row→InternalRow through the encoder — roughly doubling
+    * the CPU cost of what is by construction the stream's largest batch.
+    * The RDD lineage still hides the DV-fold anti-join from the streaming
+    * planner (it plans as a batch join inside the leaf), and `toRdd` is
+    * lazy — nothing executes or materializes here. */
+  def internalAsStreaming(df: DataFrame): DataFrame = {
+    val sess = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    val plan = org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+      df.queryExecution.toRdd, ds, isStreaming = true)
+    org.apache.spark.sql.classic.Dataset.ofRows(sess, plan)
+  }
+
+  /** A [[org.apache.spark.sql.Column]] from a raw Catalyst Expression —
+    * `ExpressionUtils.column` sits behind `private[sql]` in Spark 4's
+    * detached column API; graft's scan-integrated DV filter builds its
+    * predicate ([[graft.plans.DvMasked]]) as an Expression directly. */
+  def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
 }

@@ -149,23 +149,37 @@ class MorDeleteSpec extends SparkSpec {
     assert(got(2L) == "REBORN", "expected the fresh insert, not the masked row")
   }
 
-  test("dv above broadcast threshold: distributed anti-join, no BroadcastExchange, rows == cow") {
+  private def planOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // force AQE to finalize the physical plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  /** Remove version `v`'s derived bitmap index — simulates a PRE-BITMAP
+    * (legacy) sidecar so the join roads stay testable. Must run before
+    * the first above-threshold read (the dir probe memoizes). */
+  private def dropBitmaps(root: String, v: Long): Unit = {
+    val f = fsOf(root)
+    val dir = new org.apache.hadoop.fs.Path(root,
+      f"v$v%08d/_dv/${DvBitmaps.DirName}")
+    assert(f.exists(dir), s"expected a derived bitmap index at $dir")
+    f.delete(dir, true)
+  }
+
+  test("legacy dv (no bitmap index) above threshold: distributed anti-join, no BroadcastExchange, rows == cow") {
     val rootM = freshRoot(); val rootC = freshRoot()
     seed(rootM); seed(rootC)
     val pred = col("id") % 3 === 0 // 100 masked rows across all 3 files
-    VersionedTable.deleteWhere(spark, rootM, pred, mor = true)
+    val vM = VersionedTable.deleteWhere(spark, rootM, pred, mor = true)
     VersionedTable.deleteWhere(spark, rootC, pred)
-    def planOf(df: org.apache.spark.sql.DataFrame): String = {
-      df.collect() // force AQE to finalize the physical plan
-      df.queryExecution.executedPlan.toString
-    }
+    dropBitmaps(rootM, vM)
     // below the (default 64 MiB) threshold the mask broadcasts — the
     // small-DV fast path must stay a broadcast anti-join
     assert(planOf(VersionedTable.read(spark, rootM))
       .contains("BroadcastExchange"), "small DV should broadcast")
-    // force the sidecar over the threshold: the hint must flip to a
-    // sort-merge anti-join — nothing DV-sized ever lands on the driver —
-    // and AQE must not re-broadcast past an explicit merge hint
+    // force the sidecar over the threshold: without the bitmap index the
+    // hint must flip to a sort-merge anti-join — nothing DV-sized ever
+    // lands on the driver — and AQE must not re-broadcast past an
+    // explicit merge hint
     spark.conf.set(VersionedTable.DvBroadcastThresholdKey, "0")
     try {
       val gated = VersionedTable.read(spark, rootM)
@@ -182,5 +196,70 @@ class MorDeleteSpec extends SparkSpec {
         .select("id").collect().map(_.getLong(0)).toSet ==
         (1L until 50L).filterNot(_ % 3 == 0).toSet)
     } finally spark.conf.unset(VersionedTable.DvBroadcastThresholdKey)
+  }
+
+  test("dv above threshold with bitmap index: scan-integrated filter, ZERO exchanges, rows == cow") {
+    val rootM = freshRoot(); val rootC = freshRoot()
+    seed(rootM); seed(rootC)
+    val pred = col("id") % 3 === 0
+    VersionedTable.deleteWhere(spark, rootM, pred, mor = true)
+    VersionedTable.deleteWhere(spark, rootC, pred)
+    spark.conf.set(VersionedTable.DvBroadcastThresholdKey, "0")
+    try {
+      val gated = VersionedTable.read(spark, rootM)
+      val plan = planOf(gated)
+      // the scan-integrated road: the mask is applied per file INSIDE the
+      // scan stage — no exchange of any kind, no join operator at all
+      assert(!plan.contains("Exchange"),
+        s"bitmap road must not exchange anything:\n$plan")
+      assert(plan.contains("graft_dv_masked"),
+        s"expected the scan-integrated DV filter in the plan:\n$plan")
+      assert(gated.orderBy("id").collect().toSeq ==
+        VersionedTable.read(spark, rootC).orderBy("id").collect().toSeq,
+        "bitmap-road MOR read must stay row-identical to COW")
+      // composition: a SECOND mor delete re-derives the index from the
+      // cumulative mask; the read still folds both vintages exactly
+      VersionedTable.deleteWhere(spark, rootM, col("id") === 10L, mor = true)
+      VersionedTable.deleteWhere(spark, rootC, col("id") === 10L)
+      assert(VersionedTable.read(spark, rootM).orderBy("id").collect().toSeq ==
+        VersionedTable.read(spark, rootC).orderBy("id").collect().toSeq)
+      // DML read paths (tagged slice) ride the same road: a mor UPDATE on
+      // the bitmap-masked table matches only visible rows
+      VersionedTable.updateWhere(spark, rootM, col("id") === 11L,
+        Map("x" -> org.apache.spark.sql.functions.lit("upd")), mor = true)
+      VersionedTable.updateWhere(spark, rootC, col("id") === 11L,
+        Map("x" -> org.apache.spark.sql.functions.lit("upd")))
+      assert(VersionedTable.read(spark, rootM).orderBy("id").collect().toSeq ==
+        VersionedTable.read(spark, rootC).orderBy("id").collect().toSeq)
+    } finally spark.conf.unset(VersionedTable.DvBroadcastThresholdKey)
+  }
+
+  test("bitmap encodings round-trip: sparse and dense, membership exact") {
+    // sparse pick: few positions, large spread
+    val sparse = Array(0L, 7L, 1000000L)
+    val se = DvBitmaps.encode(sparse)
+    assert(se(1) == 0, "expected sparse encoding for a wide sparse set")
+    assert(sparse.forall(p => DvBitmaps.contains(se, p)))
+    assert(!DvBitmaps.contains(se, 1L) && !DvBitmaps.contains(se, 999999L) &&
+      !DvBitmaps.contains(se, 1000001L))
+    // dense pick: >1/64 of the range set
+    val dense = (0L until 1000L by 2L).toArray
+    val de = DvBitmaps.encode(dense)
+    assert(de(1) == 1, "expected dense encoding for a half-full range")
+    assert(dense.forall(p => DvBitmaps.contains(de, p)))
+    assert((1L until 1000L by 2L).forall(p => !DvBitmaps.contains(de, p)))
+    assert(!DvBitmaps.contains(de, 1000L) && !DvBitmaps.contains(de, -1L))
+  }
+
+  test("sidecar size probe memoizes: one listing per version per JVM") {
+    val root = freshRoot()
+    seed(root)
+    VersionedTable.deleteWhere(spark, root, col("id") === 5L, mor = true)
+    VersionedTable.read(spark, root).count() // first masked read: lists
+    val after1 = VersionedTable.extraBytesListings.get()
+    VersionedTable.read(spark, root).count() // second: memo hit
+    VersionedTable.read(spark, root).count()
+    assert(VersionedTable.extraBytesListings.get() == after1,
+      "repeat masked reads of one version must not re-list the sidecar")
   }
 }
