@@ -439,11 +439,14 @@ object VersionedTable {
         "features.properties"),
         Map("reader" -> readerFeats.toSeq.sorted.mkString(","),
             "writer" -> readerFeats.toSeq.sorted.mkString(",")))
-    // (2) claim the next version number with create-exclusive. Only "the
-    // name is taken" counts as a lost race; any other IO failure is real
-    // and must surface, not spin — and the attempt count is bounded so a
-    // filesystem that misreports arbitrary failures as already-exists
-    // cannot busy-loop the writer forever.
+    // (2) claim the next version number with the store's atomic
+    // create-if-absent ([[StoreAdapter.claim]] — O_EXCL on local fs,
+    // NameNode create on HDFS, conditional PUT on object stores). Only
+    // "the name is taken" counts as a lost race; any other IO failure is
+    // real and must surface, not spin — and the attempt count is bounded
+    // so a filesystem that misreports arbitrary failures as
+    // already-exists cannot busy-loop the writer forever.
+    val store = StoreAdapter.forFs(f)
     var v = math.max(
       listVersions(f, claimDir(root)).lastOption.getOrElse(0L),
       listVersions(f, commitDir(root)).lastOption.getOrElse(0L)) + 1
@@ -454,7 +457,7 @@ object VersionedTable {
       if (attempts > 1000)
         throw new java.io.IOException(
           s"could not claim a version under $root after 1000 attempts")
-      claimed = createExclusive(f, new Path(claimDir(root), pad(v)))
+      claimed = store.claim(f, new Path(claimDir(root), pad(v)))
       if (!claimed) v += 1
     }
     // (2b) caller's pre-publish validation, run while holding the claim:
@@ -473,20 +476,21 @@ object VersionedTable {
     // (3b) caller's pre-publish metadata (manifest, carried-forward stats)
     finalizeVersion(f, dir, v)
     // (3c)+(4) publish — WINNER-TAKES-VERSION-N (the Delta commit-log
-    // shape): the marker for number n = currentVersion+1 is written to a
-    // temp name and moved into place ATOMICALLY-NO-OVERWRITE
-    // ([[renameNoOverwrite]]: HDFS rename-onto-file semantics, hard link
-    // on local fs), its content naming this commit's data dir. The move
-    // IS the linearization point — two processes contending for n cannot
-    // both win, there is no check-then-act window between re-validation
-    // and publish: a loser re-runs the caller's validation (an OCC
-    // writer then raises its conflict and rebases; a non-validating
-    // append just takes the next number) and the race is decided by the
-    // filesystem, not by timing. The per-root monitor stays as the
-    // in-JVM fast path; object stores without an atomic no-overwrite
-    // move (S3 sans conditional PUT) keep the documented caveat.
-    // Validations must be idempotent (they are re-checks by
-    // construction).
+    // shape): the marker for number n = currentVersion+1 is created
+    // ATOMICALLY-IF-ABSENT with content naming this commit's data dir
+    // ([[StoreAdapter.putIfAbsent]] — temp-then-rename-no-overwrite on
+    // HDFS semantics, link(2) on local fs, conditional PUT on object
+    // stores that expose it). The create IS the linearization point —
+    // two processes contending for n cannot both win, there is no
+    // check-then-act window between re-validation and publish: a loser
+    // re-runs the caller's validation (an OCC writer then raises its
+    // conflict and rebases; a non-validating append just takes the next
+    // number) and the race is decided by the store, not by timing. The
+    // per-root monitor stays as the in-JVM fast path; object stores
+    // WITHOUT conditional create keep the documented lost-update caveat
+    // (configure `graft.store.adapter.<scheme>=conditional-put` where
+    // the store has it). Validations must be idempotent (they are
+    // re-checks by construction).
     val dirName = f"v$v%08d"
     val published = publishLock(root).synchronized {
       try preCommit(v)
@@ -501,12 +505,8 @@ object VersionedTable {
           throw new java.io.IOException(
             s"could not publish a commit marker under $root after 1000 attempts")
         }
-        val tmp = new Path(commitDir(root),
-          ".m" + java.util.UUID.randomUUID().toString.take(12) + ".tmp")
-        val o = f.create(tmp, true)
-        try o.write((dirName + "\n").getBytes("UTF-8")) finally o.close()
         val target = new Path(commitDir(root), pad(n))
-        if (!renameNoOverwrite(f, tmp, target)) {
+        if (!store.putIfAbsent(f, target, (dirName + "\n").getBytes("UTF-8"))) {
           // lost n to another writer (necessarily another process — this
           // JVM is serialized by the monitor): re-validate, then contend
           // for the next number. The PROTOCOL GATE re-runs against the
@@ -531,89 +531,6 @@ object VersionedTable {
     writeCheckpoint(spark, root, published)
     published
   }
-
-  /** Whether `f` is a local filesystem — where Hadoop's
-    * `create(overwrite=false)` and `rename` are CHECK-THEN-ACT (the
-    * RawLocalFileSystem implementations test existence and then act),
-    * so the claim/publish primitives must drop to java.nio's genuinely
-    * atomic syscalls instead. */
-  private def isLocalFs(f: org.apache.hadoop.fs.FileSystem): Boolean =
-    f.getScheme == "file"
-
-  private def localPath(f: org.apache.hadoop.fs.FileSystem, p: Path) =
-    java.nio.file.Paths.get(f.makeQualified(p).toUri.getPath)
-
-  /** ATOMIC create-exclusive — the claim primitive. True = this caller
-    * owns the name; false = the name was taken (lost race); any other IO
-    * failure surfaces. HDFS-semantics stores: `create(overwrite=false)`
-    * is atomic at the NameNode. Local fs: Hadoop's version is
-    * check-then-act between processes, so use O_CREAT|O_EXCL via
-    * java.nio — without this, two monitor-disjoint writers can both
-    * "win" one claim, and the second one's stale-garbage cleanup DELETES
-    * the first one's published data dir. Object stores without atomic
-    * create (S3 sans conditional PUT) keep the documented caveat. */
-  private def createExclusive(
-      f: org.apache.hadoop.fs.FileSystem, p: Path): Boolean =
-    if (isLocalFs(f)) {
-      f.mkdirs(p.getParent)
-      try { java.nio.file.Files.createFile(localPath(f, p)); true }
-      catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    } else
-      try { f.create(p, false).close(); true }
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case _: java.nio.file.FileAlreadyExistsException => false
-      }
-
-  /** ATOMIC no-overwrite file publish — the marker primitive: move `tmp`
-    * to `target` iff `target` does not exist, atomically. HDFS: `rename`
-    * onto an existing file destination fails without overwriting — the
-    * NameNode decides. Local fs: rename(2) OVERWRITES, so publish via a
-    * HARD LINK instead (`link(2)` fails with EEXIST when the target
-    * exists — the classic lock-file primitive); the tmp name is removed
-    * after, win or lose. */
-  private def renameNoOverwrite(
-      f: org.apache.hadoop.fs.FileSystem, tmp: Path, target: Path): Boolean =
-    if (isLocalFs(f)) {
-      val won =
-        try { java.nio.file.Files.createLink(localPath(f, target), localPath(f, tmp)); true }
-        catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
-          // file:// mounts without hard-link support (FAT, some NFS and
-          // overlay mounts): link(2) is unavailable, not lost. Degrade to
-          // exists-precheck + atomic move + CONTENT READBACK — the
-          // readback decides the winner when two degraded writers both
-          // pass the precheck (the overwriting move destroys the loser's
-          // marker, so the survivor's content names the winner). A
-          // narrow two-writer race window remains on such mounts
-          // (documented caveat); filesystems with link(2) never enter
-          // this branch.
-          case _: UnsupportedOperationException |
-               _: java.nio.file.FileSystemException =>
-            val lt = localPath(f, target)
-            if (java.nio.file.Files.exists(lt)) false
-            else {
-              val mine = new String(
-                java.nio.file.Files.readAllBytes(localPath(f, tmp)), "UTF-8")
-              try {
-                java.nio.file.Files.move(localPath(f, tmp), lt,
-                  java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-                readTextFile(f, target) == mine
-              } catch { case _: java.io.IOException => false }
-            }
-        }
-      f.delete(tmp, false)
-      won
-    } else {
-      val won = !f.exists(target) &&
-        (try f.rename(tmp, target)
-         catch {
-           case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-           case _: java.nio.file.FileAlreadyExistsException => false
-         })
-      if (!won) f.delete(tmp, false)
-      won
-    }
 
   /** Small-text read (commit markers, manifests); "" on any failure. */
   private def readTextFile(

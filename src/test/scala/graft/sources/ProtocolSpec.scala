@@ -70,4 +70,57 @@ class ProtocolSpec extends SparkSpec {
     assert(VersionedTable.versions(spark, root) == Seq(1L, 2L))
     assert(VersionedTable.readVersion(spark, root, 1L).count() == 1L)
   }
+
+  private def injectFutureFeature(root: String, v: Long): Unit = {
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(
+      f"$root/v$v%08d/_protocol/features.properties")
+    f.mkdirs(p.getParent)
+    val out = f.create(p, true)
+    try out.write("reader=time-machine\nwriter=time-machine\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  test("the change feed is gated too: a future-feature version refuses its CDC tail") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq((1L, "a")).toDF("id", "x"), root)
+    VersionedTable.commitAppend(Seq((2L, "b")).toDF("id", "x"), root,
+      changeFeed = true) // v2 carries a feed
+    // sanity: the feed serves before the injection
+    assert(VersionedTable.readChanges(spark, root, 2L, 2L).count() == 1L)
+    // ...but the memo must not let a MUTATED version ride the old OK:
+    // simulate a future build's version by replacing v2's protocol
+    // record AND its marker (new marker file = new identity)
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    injectFutureFeature(root, 2L)
+    val marker = new org.apache.hadoop.fs.Path(s"$root/_commits/00000002")
+    f.delete(marker, false)
+    Thread.sleep(20) // local-fs mtime is ms-resolution
+    f.create(marker, true).close()
+    val err = intercept[VersionedTable.ProtocolException] {
+      VersionedTable.readChanges(spark, root, 2L, 2L).count()
+    }
+    assert(err.getMessage.contains("time-machine"))
+  }
+
+  test("a recreated table at the same root pays a fresh protocol probe (no stale memo OK)") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq((1L, "a")).toDF("id", "x"), root)
+    VersionedTable.read(spark, root).count() // memoizes v1 as readable
+    // drop the table entirely and recreate it at the SAME root — the dev/
+    // test pattern the stale-memo hole bit
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(root), true)
+    Thread.sleep(20) // marker identity = mtime, ms-resolution on ext4
+    VersionedTable.commit(Seq((2L, "b")).toDF("id", "x"), root)
+    injectFutureFeature(root, 1L)
+    val err = intercept[VersionedTable.ProtocolException] {
+      VersionedTable.read(spark, root).count()
+    }
+    assert(err.getMessage.contains("time-machine"),
+      "the recreated incarnation must be probed fresh, not ride the old OK")
+  }
 }
