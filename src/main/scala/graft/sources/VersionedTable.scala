@@ -252,9 +252,11 @@ object VersionedTable {
       extras: Map[String, DataFrame] = Map.empty,
       bloomCols: Seq[String] = Nil,
       preCommit: Long => Unit = _ => (),
-      partitionBy: Seq[String] = Nil): Long =
+      partitionBy: Seq[String] = Nil,
+      recordProperties: Option[Map[String, String]] = None): Long =
     commitWith(df, root, collectStats, extras, (_, _, _) => (), bloomCols,
-      preCommit, partitionBy = partitionBy)
+      preCommit, partitionBy = partitionBy,
+      recordProperties = recordProperties)
 
   /** [[commit]] with a pre-publish hook: `finalize(fs, versionDir, v)`
     * runs after the staging dir is renamed into place but BEFORE the
@@ -1270,7 +1272,7 @@ object VersionedTable {
     if (dvBytes <= threshold) joined
     else dvBitmapsDir(spark, root, v) match {
       case Some(dir) =>
-        tagged.where(not(org.apache.spark.sql.graft.StreamBridge.columnOf(
+        tagged.where(not(org.apache.spark.sql.graft.ColumnBridge.column(
           graft.plans.DvMasked(dir,
             org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq("__dv_file")),
             org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq("__dv_pos"))))))
@@ -2454,7 +2456,148 @@ object VersionedTable {
       hasDeletionVectors(spark, root, v),
       ledger,
       versions(spark, root).size,
-      protocolOf(spark, root, v)._1.toSeq.sorted.mkString(","))
+      protocolOf(spark, root, v)._1.toSeq.sorted.mkString(","),
+      maintenanceReport(spark, root).recommendations.mkString(","))
+  }
+
+  // ---- auto-maintenance policy --------------------------------------------
+
+  /** Table property recording the clustering columns of the last full
+    * [[optimize]]/[[optimizeZOrder]] — carried forward by every commit
+    * like any property, so [[maintenanceReport]] knows WHICH columns the
+    * layout is supposed to be clustered on. */
+  val ClusteredByProp = "graft.clusteredBy"
+
+  /** What [[maintenanceReport]] measured and concluded. `avgRangeOverlap`
+    * = mean number of OTHER files whose lead-clustering-column [min,max]
+    * range overlaps a file's range (0 = perfectly disjoint layout; it
+    * grows as appends interleave key ranges). */
+  final case class MaintenanceReport(
+      version: Long,
+      dataFiles: Int,
+      tableBytes: Long,
+      dvBytes: Long,
+      dvFraction: Double,
+      smallFiles: Int,
+      smallFileFraction: Double,
+      clusteredBy: Seq[String],
+      avgRangeOverlap: Double,
+      copyLedgerDepth: Int,
+      retainedVersions: Int,
+      recommendations: Seq[String])
+
+  /** MEASURE-THEN-RECOMMEND maintenance policy (the shape of
+    * [[graft.operators.Similarity.driftReport]] applied to table
+    * layout): inspect the current snapshot's metadata — sidecar bytes,
+    * file-size histogram, footer-stats range overlap, ledger depth,
+    * retained-version count; all metadata-scale, no data scan — and
+    * emit typed recommendations:
+    *
+    *  - `compact` when the deletion-vector sidecar reaches `dvFloor` of
+    *    the table's data bytes (a masked read pays the mask on every
+    *    scan until a rewrite folds it), or when at least
+    *    `smallFileFloor` of the files are under half `targetFileBytes`
+    *    (a year of micro-batch commits should not cost a file-open per
+    *    batch per reader);
+    *  - `optimize` when the table records a clustering
+    *    ([[ClusteredByProp]]) but the lead column's file ranges overlap
+    *    beyond `overlapFloor` — appends since the last optimize have
+    *    interleaved the key space and range pruning is decaying;
+    *  - `foldCopyLedger` when the incremental COPY INTO ledger's
+    *    version walk exceeds the fold cadence;
+    *  - `vacuum` when more than `keepVersions` versions are retained.
+    *
+    * Delta/Iceberg ship auto-compaction heuristics for the same reason:
+    * an operator should be TOLD a table needs maintenance, not notice.
+    * Wire this to a scheduler (run per ingest epoch beside driftReport)
+    * and dispatch the verbs it names; surfaced in `DESCRIBE DETAIL` as
+    * the `maintenance` column. */
+  def maintenanceReport(
+      spark: SparkSession, root: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      dvFloor: Double = 0.05,
+      smallFileFloor: Double = 0.5,
+      overlapFloor: Double = 2.0,
+      keepVersions: Int = 96): MaintenanceReport = {
+    val v = currentVersion(spark, root).getOrElse(
+      throw new java.io.IOException(s"no committed version under $root"))
+    val f = fs(spark, root)
+    val refs = dataFileRefs(spark, root, v)
+    val sizes = refs.map(r => f.getFileStatus(new Path(root, r)).getLen)
+    val tableBytes = sizes.sum
+    val dvBytes = extraBytes(spark, root, v, "dv")
+    val dvFraction =
+      if (tableBytes == 0L) (if (dvBytes > 0) 1.0 else 0.0)
+      else dvBytes.toDouble / tableBytes
+    val small = sizes.count(_ < targetFileBytes / 2)
+    val smallFraction = if (refs.isEmpty) 0.0 else small.toDouble / refs.size
+    val clusteredBy = propertiesOf(spark, root, v).get(ClusteredByProp)
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val overlap = clusteredBy.headOption.map { lead =>
+      val phys = physicalName(columnMapping(spark, root, v), lead)
+      rangeOverlapMetric(
+        TableStats.load(spark, new Path(dataDir(spark, root, v), "_stats")),
+        phys)
+    }.getOrElse(0.0)
+    val ledgerDepth = copyLedgerDepth(spark, root, v)
+    val foldEvery = spark.conf.getOption("spark.graft.copy.foldEvery")
+      .map(_.toInt).getOrElse(64)
+    val retained = versions(spark, root).size
+    val recs = scala.collection.mutable.LinkedHashSet.empty[String]
+    if (dvBytes > 0L && dvFraction >= dvFloor) recs += "compact"
+    if (refs.size > 1 && smallFraction >= smallFileFloor) recs += "compact"
+    if (clusteredBy.nonEmpty && overlap >= overlapFloor) recs += "optimize"
+    if (ledgerDepth > foldEvery) recs += "foldCopyLedger"
+    if (retained > keepVersions) recs += "vacuum"
+    MaintenanceReport(v, refs.size, tableBytes, dvBytes, dvFraction,
+      small, smallFraction, clusteredBy, overlap, ledgerDepth, retained,
+      recs.toSeq)
+  }
+
+  /** Mean count of OTHER files whose [min,max] range on `col` overlaps a
+    * file's own range — 0 for a freshly range-clustered layout (disjoint
+    * files; boundary-value ties count), approaching (files - 1) for a
+    * fully interleaved one. Driver-side over the footer-stats table,
+    * sampled to 256 files so the pairwise pass stays O(1)-ish whatever
+    * the file count; files without usable stats are skipped
+    * (conservative: unmeasurable ≠ drifted). */
+  private def rangeOverlapMetric(
+      stats: Map[String, Map[String, (String, Option[String], Option[String], Long, Long)]],
+      col: String): Double = {
+    val numeric = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    val textual = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    stats.valuesIterator.foreach { cols =>
+      cols.get(col).foreach {
+        case (kind, Some(mn), Some(mx), _, _) =>
+          if (kind == "string") textual += ((mn, mx))
+          else for (a <- mn.toDoubleOption; b <- mx.toDoubleOption)
+            numeric += ((a, b))
+        case _ => ()
+      }
+    }
+    def mean[T](rs: IndexedSeq[T])(overlaps: (T, T) => Boolean): Double = {
+      val s = rs.take(256)
+      if (s.length < 2) 0.0
+      else {
+        var total = 0L
+        var i = 0
+        while (i < s.length) {
+          var j = 0
+          while (j < s.length) {
+            if (i != j && overlaps(s(i), s(j))) total += 1
+            j += 1
+          }
+          i += 1
+        }
+        total.toDouble / s.length
+      }
+    }
+    if (numeric.nonEmpty)
+      mean(numeric.toIndexedSeq) { case ((aMin, aMax), (bMin, bMax)) =>
+        aMin <= bMax && bMin <= aMax }
+    else
+      mean(textual.toIndexedSeq) { case ((aMin, aMax), (bMin, bMax)) =>
+        aMin <= bMax && bMin <= aMax }
   }
 
   // ---- table properties ---------------------------------------------------
@@ -3155,7 +3298,10 @@ object VersionedTable {
         .sortWithinPartitions(cols: _*), root,
         extras = Map("changes" -> emptyFeed(df)), // layout-only: zero-row feed
         bloomCols = bloomCols,
-        preCommit = w => { preCommit(w); occValidate(spark, root, v)(w) })
+        preCommit = w => { preCommit(w); occValidate(spark, root, v)(w) },
+        // record the clustering so maintenanceReport can measure its decay
+        recordProperties = Some(propertiesOf(spark, root, v)
+          .updated(ClusteredByProp, sortCols.mkString(","))))
     }
   }
 
@@ -3298,7 +3444,12 @@ object VersionedTable {
       .drop("__z"), root,
       extras = Map("changes" -> emptyFeed(df)), // layout-only: zero-row feed
       bloomCols = bloomCols,
-      preCommit = w => { preCommit(w); occValidate(spark, root, v)(w) })
+      preCommit = w => { preCommit(w); occValidate(spark, root, v)(w) },
+      // z-ordered files interleave per-column ranges by design, so the
+      // drift measure uses the LEAD column only — still a usable decay
+      // signal (fresh z-layout: bounded overlap; append churn: it grows)
+      recordProperties = Some(propertiesOf(spark, root, v)
+        .updated(ClusteredByProp, cols.mkString(","))))
     }
   }
 

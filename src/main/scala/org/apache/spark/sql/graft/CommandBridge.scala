@@ -99,7 +99,8 @@ case class GraftDetailCommand(table: String, body: SparkSession => Seq[Row])
     AttributeReference("deletion_vectors", BooleanType, nullable = false)(),
     AttributeReference("copy_ledger_files", LongType, nullable = false)(),
     AttributeReference("retained_versions", IntegerType, nullable = false)(),
-    AttributeReference("protocol_features", StringType, nullable = false)())
+    AttributeReference("protocol_features", StringType, nullable = false)(),
+    AttributeReference("maintenance", StringType, nullable = false)())
   override def run(sparkSession: SparkSession): Seq[Row] = body(sparkSession)
   override def simpleString(maxFields: Int): String = s"GraftDetailCommand($table)"
 }

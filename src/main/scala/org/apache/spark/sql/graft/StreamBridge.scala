@@ -42,12 +42,4 @@ object StreamBridge {
       df.queryExecution.toRdd, ds, isStreaming = true)
     org.apache.spark.sql.classic.Dataset.ofRows(sess, plan)
   }
-
-  /** A [[org.apache.spark.sql.Column]] from a raw Catalyst Expression —
-    * `ExpressionUtils.column` sits behind `private[sql]` in Spark 4's
-    * detached column API; graft's scan-integrated DV filter builds its
-    * predicate ([[graft.plans.DvMasked]]) as an Expression directly. */
-  def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression)
-      : org.apache.spark.sql.Column =
-    org.apache.spark.sql.classic.ExpressionUtils.column(e)
 }
