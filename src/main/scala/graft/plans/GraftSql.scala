@@ -104,12 +104,62 @@ object GraftSql {
     spark.sessionState.sqlParser match {
       case _: GraftSqlParser => spark.sql(sqlText) // parser face handles it
       case p =>
-        val sql = rewriteTimeTravel(sqlText)
+        val sql = rewriteTimeTravel(resolveNames(spark, sqlText))
         maintenancePlan(sql)
           .orElse(dmlPlan(sql, p))
           .map(cmd => CommandBridge.dataFrame(spark, cmd))
           .getOrElse(spark.sql(sql))
     }
+
+  // ---- named-catalog resolution --------------------------------------------
+
+  private val IdPat = "([A-Za-z_][A-Za-z0-9_]*)"
+  private val DmlNameRe =
+    s"""(?i)\\b(DELETE\\s+FROM|MERGE\\s+INTO|INSERT\\s+INTO|INSERT\\s+OVERWRITE(?:\\s+TABLE)?|UPDATE)\\s+$IdPat\\b""".r
+  private val DdlNameRe =
+    s"""(?i)\\b(OPTIMIZE|VACUUM|RESTORE\\s+TABLE|RESTORE|ALTER\\s+TABLE|COPY\\s+INTO|SHOW\\s+TBLPROPERTIES|DESCRIBE\\s+HISTORY|DESCRIBE\\s+DETAIL|DESCRIBE\\s+CONSTRAINTS|DESCRIBE\\s+TABLE|DESCRIBE|CREATE\\s+TABLE)\\s+$IdPat\\b""".r
+  private val TtNameRe =
+    s"""(?i)\\b(FROM|JOIN)\\s+$IdPat(?=\\s+(?:VERSION|TIMESTAMP)\\s+AS\\s+OF\\b)""".r
+  private val ReadNameRe =
+    s"""(?i)\\b(FROM|JOIN)\\s+$IdPat\\b(?!\\s*\\()""".r
+
+  /** CATALOG NAME RESOLUTION (textual, membership-gated): a bare
+    * identifier in a table-reference position that is REGISTERED in
+    * [[graft.sources.GraftCatalog]] rewrites to its root —
+    * `OPTIMIZE events` becomes `OPTIMIZE '<root>'`, `DELETE FROM events`
+    * becomes ``DELETE FROM `<root>` `` (the parser then produces the
+    * path-target node [[rewriteDml]] already routes), and `FROM events`
+    * becomes `FROM graft_table('<root>')` (or the quoted time-travel
+    * form when an AS OF clause follows, which [[rewriteTimeTravel]]
+    * then picks up). Unregistered identifiers are NEVER touched, so
+    * ordinary Spark SQL — temp views, catalog tables, `extract(x FROM
+    * y)` — passes through byte-identical; a registered graft name takes
+    * precedence over a same-named temp view in these positions
+    * (documented). Cost: one catalog dir listing per statement, only
+    * when the statement contains a candidate keyword. */
+  private[plans] def resolveNames(spark: SparkSession, sql: String): String = {
+    val known = graft.sources.GraftCatalog.names(spark)
+    if (known.isEmpty) return sql
+    def rootOf(name: String): Option[String] =
+      if (!known.contains(name)) None
+      else graft.sources.GraftCatalog.resolve(spark, name)
+    val q = java.util.regex.Matcher.quoteReplacement _
+    var s = sql
+    s = DmlNameRe.replaceAllIn(s, m => rootOf(m.group(2))
+      .map(r => q(s"${m.group(1)} `$r`")).getOrElse(q(m.matched)))
+    s = DdlNameRe.replaceAllIn(s, m => rootOf(m.group(2))
+      .map(r => q(s"${m.group(1)} '$r'")).getOrElse(q(m.matched)))
+    s = TtNameRe.replaceAllIn(s, m => rootOf(m.group(2))
+      .map(r => q(s"${m.group(1)} '$r'")).getOrElse(q(m.matched)))
+    s = ReadNameRe.replaceAllIn(s, m => rootOf(m.group(2))
+      .map(r => q(s"${m.group(1)} graft_table('$r')")).getOrElse(q(m.matched)))
+    s
+  }
+
+  /** [[resolveNames]] against the thread's active session — the parser
+    * face has no session parameter; parsing always runs inside one. */
+  private[plans] def resolveNamesActive(sql: String): String =
+    SparkSession.getActiveSession.map(resolveNames(_, sql)).getOrElse(sql)
 
   // ---- SQL time travel in FROM position ------------------------------------
 
@@ -183,6 +233,17 @@ object GraftSql {
     """(?is)\s*COPY\s+INTO\s+'([^']+)'\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)(?:\s+PATTERN\s*=\s*'([^']+)')?(?:\s+FORMAT_OPTIONS\s*\((.*)\))?\s*;?\s*""".r
   private val CreateAsRe =
     """(?is)\s*CREATE\s+TABLE\s+'([^']+)'\s+AS\s+(.+?)\s*;?\s*""".r
+  // named-catalog verbs (GraftCatalog): a NEW name's CTAS lands under the
+  // warehouse; LOCATION registers a name for an existing root; DROP
+  // removes the pointer only; SHOW GRAFT TABLES lists the catalog
+  private val CreateNamedAsRe =
+    """(?is)\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(.+?)\s*;?\s*""".r
+  private val CreateNamedLocRe =
+    """(?is)\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+LOCATION\s+'([^']+)'\s*;?\s*""".r
+  private val DropNamedRe =
+    """(?is)\s*DROP\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
+  private val ShowGraftTablesRe =
+    """(?is)\s*SHOW\s+GRAFT\s+TABLES\s*;?\s*""".r
   private val PropKeyRe = """'([^']*)'""".r
 
   /** Quote-aware `'k' = 'v', …` pair list parser (SET TBLPROPERTIES,
@@ -365,6 +426,42 @@ object GraftSql {
           VersionedTable.propertiesOf(s, root, cur).toSeq.sorted
             .map { case (k, v) => Row(k, v) }
         }))
+      // ---- named catalog ----------------------------------------------
+      // a REGISTERED name never reaches these: resolveNames already
+      // rewrote it to its quoted root (CreateAsRe above then refuses an
+      // existing table exactly as for paths). These handle NEW names.
+      case CreateNamedAsRe(name, query) =>
+        Some(GraftCommand("CREATE TABLE AS", name, s => {
+          val root = graft.sources.GraftCatalog.defaultRoot(s, name)
+          graft.sources.GraftCatalog.register(s, name, root)
+          require(VersionedTable.currentVersion(s, root).isEmpty,
+            s"versioned table already exists under $root")
+          val df = s.sql(query)
+          Seq(Row("CREATE TABLE AS", s"$name -> $root",
+            VersionedTable.commit(df, root, extras = Map("changes" ->
+              VersionedTable.feedWritable(
+                df.withColumn("_change_type", lit("insert")))),
+              preCommit = stillEmptyGuard(s, root))))
+        }))
+      case CreateNamedLocRe(name, root) =>
+        Some(GraftCommand("CREATE TABLE", name, s => {
+          graft.sources.GraftCatalog.register(s, name, root)
+          Seq(Row("CREATE TABLE", s"$name -> $root", 0L))
+        }))
+      case DropNamedRe(name)
+          if SparkSession.getActiveSession
+            .exists(s => graft.sources.GraftCatalog.resolve(s, name).isDefined) =>
+        // membership-gated at plan time: an unregistered name falls
+        // through to Spark's own DROP TABLE (temp views, catalog tables)
+        Some(GraftCommand("DROP TABLE", name, s => {
+          graft.sources.GraftCatalog.drop(s, name)
+          // pointer-only drop (external-table semantics): data stays
+          Seq(Row("DROP TABLE", name, 0L))
+        }))
+      case ShowGraftTablesRe() =>
+        Some(org.apache.spark.sql.graft.GraftPropertiesCommand("catalog",
+          s => graft.sources.GraftCatalog.tables(s)
+            .map { case (n, r) => Row(n, r) }))
       case _ => None
     }
 
@@ -1065,7 +1162,7 @@ object GraftSql {
   * other parser entry point — is the delegate's, untouched. */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan = {
-    val sql = GraftSql.rewriteTimeTravel(sqlText)
+    val sql = GraftSql.rewriteTimeTravel(GraftSql.resolveNamesActive(sqlText))
     GraftSql.maintenancePlan(sql)
       .getOrElse(GraftSql.rewriteDml(delegate.parsePlan(sql)))
   }
@@ -1078,7 +1175,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parseMultipartIdentifier(sqlText: String) =
     delegate.parseMultipartIdentifier(sqlText)
   override def parseQuery(sqlText: String): LogicalPlan =
-    delegate.parseQuery(GraftSql.rewriteTimeTravel(sqlText))
+    delegate.parseQuery(
+      GraftSql.rewriteTimeTravel(GraftSql.resolveNamesActive(sqlText)))
   override def parseRoutineParam(sqlText: String) =
     delegate.parseRoutineParam(sqlText)
   override def parseTableSchema(sqlText: String) =

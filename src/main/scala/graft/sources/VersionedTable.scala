@@ -494,7 +494,7 @@ object VersionedTable {
     // the store has it). Validations must be idempotent (they are
     // re-checks by construction).
     val dirName = f"v$v%08d"
-    val published = publishLock(root).synchronized {
+    val published = publishLock(f, root).synchronized {
       try preCommit(v)
       catch { case e: Throwable => f.delete(dir, true); throw e }
       var n = currentVersion(spark, root).getOrElse(0L) + 1
@@ -579,14 +579,19 @@ object VersionedTable {
     new Path(root, dataDirName(spark, root, v))
 
   /** Per-root publish monitors: the in-JVM half of the concurrency story
-    * (see the (3c) note in [[commitWith]]). Keyed by the root string as
-    * given — callers addressing one table through one spelling, the
-    * universal case; differing spellings degrade to the cross-process
+    * (see the (3c) note in [[commitWith]]). Keyed by the CANONICAL root
+    * (`makeQualified`: scheme and authority attached, `.`/`//` segments
+    * normalized) so spelling variants of one path — `/lake/t`,
+    * `file:/lake/t`, `/lake/./t` — share one monitor and take the fast
+    * path. Canonicalization is textual: paths that genuinely differ
+    * (symlinks, mounts) degrade to the cross-process filesystem
     * protocol, never to corruption. */
   private val publishLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def publishLock(root: String): Object =
-    publishLocks.computeIfAbsent(root, _ => new Object)
+  private[sources] def publishLock(
+      f: org.apache.hadoop.fs.FileSystem, root: String): Object =
+    publishLocks.computeIfAbsent(
+      f.makeQualified(new Path(root)).toString, _ => new Object)
 
   /** Read the latest committed snapshot. */
   def read(spark: SparkSession, root: String): DataFrame =

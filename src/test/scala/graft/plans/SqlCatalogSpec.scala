@@ -1,0 +1,83 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.sources.{GraftCatalog, VersionedTable}
+import org.apache.spark.sql.functions._
+
+/** The named-catalog SQL face: `CREATE TABLE t AS ...` / `FROM t` /
+  * `INSERT INTO t` / `OPTIMIZE t` / `DESCRIBE DETAIL t` without quoted
+  * paths, backed by [[GraftCatalog]]'s name→root mapping under the
+  * warehouse dir — with the path form staying interchangeable (the name
+  * is a pointer; the root is the identity). */
+class SqlCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    GraftExtensions.install(spark) // graft_table TVF for the FROM rewrite
+    spark.conf.set(GraftCatalog.WarehouseKey,
+      java.nio.file.Files.createTempDirectory("graft_wh").toString)
+  }
+
+  test("create/insert/select/describe by name; path and name interchangeable") {
+    Seq((1L, "a"), (2L, "b")).toDF("id", "x").createOrReplaceTempView("seed")
+    GraftSql.execute(spark, "CREATE TABLE cat_t AS SELECT * FROM seed")
+    val root = GraftCatalog.resolve(spark, "cat_t").get
+    assert(root.startsWith(GraftCatalog.warehouse(spark)))
+    // read by name
+    assert(GraftSql.execute(spark, "SELECT count(*) AS n FROM cat_t")
+      .collect().head.getLong(0) == 2L)
+    // DML by name
+    GraftSql.execute(spark, "INSERT INTO cat_t VALUES (3, 'c')")
+    GraftSql.execute(spark, "DELETE FROM cat_t WHERE id = 1")
+    assert(GraftSql.execute(spark, "SELECT id FROM cat_t ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    // ...and the PATH face sees the same table
+    assert(VersionedTable.read(spark, root).count() == 2L)
+    VersionedTable.commitAppend(Seq((4L, "d")).toDF("id", "x"), root)
+    assert(GraftSql.execute(spark, "SELECT count(*) AS n FROM cat_t")
+      .collect().head.getLong(0) == 3L)
+    // maintenance + introspection by name
+    GraftSql.execute(spark, "OPTIMIZE cat_t SORT BY (id)")
+    val detail = GraftSql.execute(spark, "DESCRIBE DETAIL cat_t").collect().head
+    assert(detail.getString(detail.fieldIndex("location")) == root)
+    // time travel by name rides the same rewrite chain
+    assert(GraftSql.execute(spark,
+      "SELECT count(*) AS n FROM cat_t VERSION AS OF 1")
+      .collect().head.getLong(0) == 2L)
+  }
+
+  test("registration is atomic and never silently repoints; DROP removes the pointer only") {
+    val external = java.nio.file.Files
+      .createTempDirectory("graft_cat_ext").toString + "/t"
+    VersionedTable.commit(Seq((9L, "z")).toDF("id", "x"), external)
+    GraftSql.execute(spark, s"CREATE TABLE cat_ext LOCATION '$external'")
+    assert(GraftSql.execute(spark, "SELECT id FROM cat_ext")
+      .collect().head.getLong(0) == 9L)
+    // same-root re-registration is idempotent; a different root refuses
+    GraftCatalog.register(spark, "cat_ext", external)
+    val err = intercept[java.io.IOException](
+      GraftCatalog.register(spark, "cat_ext", external + "_other"))
+    assert(err.getMessage.contains("already registered"))
+    // DROP: pointer gone, data intact, name re-registrable
+    GraftSql.execute(spark, "DROP TABLE cat_ext")
+    assert(GraftCatalog.resolve(spark, "cat_ext").isEmpty)
+    assert(VersionedTable.read(spark, external).count() == 1L)
+    GraftCatalog.register(spark, "cat_ext", external)
+    assert(GraftCatalog.resolve(spark, "cat_ext").contains(external))
+    // the listing face
+    val listed = GraftSql.execute(spark, "SHOW GRAFT TABLES").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(listed.get("cat_ext").contains(external))
+  }
+
+  test("unregistered identifiers pass through untouched (temp views, plain SQL)") {
+    Seq((1, "x")).toDF("a", "b").createOrReplaceTempView("plain_view")
+    assert(GraftSql.execute(spark, "SELECT count(*) FROM plain_view")
+      .collect().head.getLong(0) == 1L)
+    // DROP TABLE of a non-catalog name still reaches Spark (and errors
+    // there for a temp view, exactly as without graft)
+    intercept[Exception](
+      GraftSql.execute(spark, "DROP TABLE definitely_not_registered"))
+  }
+}

@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
   * (marker written tmp-then-rename, content naming the data dir) must
   * hold WITHOUT the per-root in-JVM monitor — two separate processes
   * share no monitor. Simulated here by addressing one physical table
-  * through two DIFFERENT root spellings (`/tmp/...` and `file:/tmp/...`):
-  * the publish monitor keys on the root string as given, so the two
-  * writers take two unrelated locks and race the filesystem protocol
-  * exactly as two driver processes would, while every read resolves to
-  * the same files. */
+  * through a real path and a SYMLINKED one: the publish monitor keys on
+  * the canonicalized root STRING (spelling variants of one path now
+  * share a monitor — the in-JVM fast path), but textual
+  * canonicalization cannot see through a symlink, so the two writers
+  * take two unrelated locks and race the filesystem protocol exactly as
+  * two driver processes would, while every read resolves to the same
+  * files. */
 class CrossProcessPublishSpec extends SparkSpec {
   import spark.implicits._
 
@@ -24,10 +26,13 @@ class CrossProcessPublishSpec extends SparkSpec {
 
   test("two monitor-disjoint writers (distinct root spellings): " +
     "no lost update, dense version numbers, every id present") {
-    val base = java.nio.file.Files
-      .createTempDirectory("graft_xproc").toString + "/t"
-    val spellingA = base            // plain path → one monitor key
-    val spellingB = "file:" + base  // scheme-qualified → another
+    val baseDir = java.nio.file.Files.createTempDirectory("graft_xproc")
+    val real = baseDir.resolve("real")
+    java.nio.file.Files.createDirectory(real)
+    val link = baseDir.resolve("link")
+    java.nio.file.Files.createSymbolicLink(link, real)
+    val spellingA = real.toString + "/t" // real path → one monitor key
+    val spellingB = link.toString + "/t" // symlink → another (canonicalization is textual)
     Sinks.upsertByKeyVersioned(spark, spellingA, stg(Seq(0L), "seed"),
       "id", runTs, "last_status", "DONE")
 

@@ -28,6 +28,23 @@ class StoreAdapterSpec extends SparkSpec {
   private def freshBase() =
     java.nio.file.Files.createTempDirectory("graft_store").toString
 
+  test("spelling variants of one root share the in-JVM publish monitor; symlinks do not") {
+    val baseDir = java.nio.file.Files.createTempDirectory("graft_lockkey")
+    val real = baseDir.resolve("real")
+    java.nio.file.Files.createDirectory(real)
+    val link = baseDir.resolve("link")
+    java.nio.file.Files.createSymbolicLink(link, real)
+    val f = new Path(real.toString).getFileSystem(hc)
+    val a = VersionedTable.publishLock(f, real.toString + "/t")
+    val b = VersionedTable.publishLock(f, "file:" + real.toString + "/t")
+    val c = VersionedTable.publishLock(f, real.toString + "/./t")
+    assert((a eq b) && (b eq c),
+      "three spellings of one path must canonicalize to one monitor")
+    val d = VersionedTable.publishLock(f, link.toString + "/t")
+    assert(!(a eq d),
+      "textual canonicalization must not pretend to see through symlinks")
+  }
+
   test("adapter selection: per-scheme conf, sane defaults, unknown names refuse") {
     val local = new Path("file:///tmp").getFileSystem(hc)
     assert(StoreAdapter.forFs(local) == LocalStoreAdapter)
@@ -83,12 +100,17 @@ class StoreAdapterSpec extends SparkSpec {
   }
 
   test("end-to-end on the broken store: monitor-disjoint writers, zero lost updates, dense versions") {
-    val base = freshBase() + "/t"
-    // two spellings of one physical root → two unrelated in-JVM monitors
-    // (the publish lock keys on the root STRING): the race is decided by
-    // the store's conditional create, exactly as two processes would
-    val spellingA = "broken://" + base
-    val spellingB = "broken://" + base.replaceFirst("/t$", "/./t")
+    // a real path and a symlinked one → two unrelated in-JVM monitors
+    // (the publish lock canonicalizes SPELLINGS, but text cannot see
+    // through a symlink): the race is decided by the store's conditional
+    // create, exactly as two processes would
+    val baseDir = java.nio.file.Files.createTempDirectory("graft_store_e2e")
+    val real = baseDir.resolve("real")
+    java.nio.file.Files.createDirectory(real)
+    val link = baseDir.resolve("link")
+    java.nio.file.Files.createSymbolicLink(link, real)
+    val spellingA = "broken://" + real.toString + "/t"
+    val spellingB = "broken://" + link.toString + "/t"
     val runTs = lit("2024-06-01 00:00:00").cast("timestamp")
     def stg(ids: Seq[Long]) =
       ids.map(i => (i, "OPEN")).toDF("id", "last_status")
