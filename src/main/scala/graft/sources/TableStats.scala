@@ -277,8 +277,24 @@ object TableStats {
             if (bloom == null) true // no bloom written for this row group
             else {
               val pt = cc.getPrimitiveType.getPrimitiveTypeName
+              val isDateChunk = cc.getPrimitiveType.getLogicalTypeAnnotation
+                .isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation]
+              val MicrosPerDay = 86400000000L
               val hashed: Option[Long] = (value, pt) match {
                 case (l: Long, PrimitiveTypeName.INT64) => Some(bloom.hash(l))
+                // a DATE-annotated chunk probed with a MICROS literal: the
+                // column was widened date→timestamp_ntz after this file
+                // was written. A midnight literal converts to its day
+                // (the only instant a date row can equal); any other
+                // micros value stays conservative — hashing it raw would
+                // compare across units and could WRONGLY skip the file.
+                // Unit discrimination: every valid epoch DAY is < 20e6
+                // (year 9999 ≈ 2.9e6), so a larger long under a DATE
+                // chunk can only be micros.
+                case (l: Long, PrimitiveTypeName.INT32)
+                    if isDateChunk && math.abs(l) >= 20000000L =>
+                  if (l % MicrosPerDay == 0) Some(bloom.hash((l / MicrosPerDay).toInt))
+                  else None
                 case (l: Long, PrimitiveTypeName.INT32) => Some(bloom.hash(l.toInt))
                 case (d: Double, PrimitiveTypeName.DOUBLE) => Some(bloom.hash(d))
                 case (d: Double, PrimitiveTypeName.FLOAT) => Some(bloom.hash(d.toFloat))

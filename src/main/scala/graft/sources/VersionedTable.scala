@@ -1687,7 +1687,10 @@ object VersionedTable {
       recordSchema: Option[org.apache.spark.sql.types.StructType],
       recordConstraints: Option[Map[String, String]] = None,
       recordProperties: Option[Map[String, String]] = None,
-      recordMapping: Option[(Map[String, String], Set[String])] = None): Long = {
+      recordMapping: Option[(Map[String, String], Set[String])] = None,
+      carriedStatsMap: Option[
+        (String, String, Option[String], Option[String]) =>
+          (String, Option[String], Option[String])] = None): Long = {
     val spark = newData.sparkSession
     val f = fs(spark, root)
     // kept files were written under the current mapping's physical names:
@@ -1756,7 +1759,14 @@ object VersionedTable {
           } ++
           keptFiles.flatMap { r =>
             curStats.getOrElse(curKeyed(r), Map.empty).toSeq
-              .map { case (c, (k, mn, mx, nu, nr)) => (r, c, k, mn, mx, nu, nr) }
+              .map { case (c, (k, mn, mx, nu, nr)) =>
+                // metadata-evolution hook: a widening commit converts the
+                // carried rows' UNIT (e.g. date days → ntz micros) so the
+                // stats stay comparable with the new type's literals
+                val (k2, mn2, mx2) = carriedStatsMap
+                  .map(_(c, k, mn, mx)).getOrElse((k, mn, mx))
+                (r, c, k2, mn2, mx2, nu, nr)
+              }
           }
         // a stats table must cover ALL files or claim none: a fresh file
         // whose footer pass failed, or a kept file with no carried rows,
@@ -2170,9 +2180,15 @@ object VersionedTable {
     * (WideningProbeSpec is the empirical gate), restricted further to
     * pairs the footer-stats domain keeps comparable (ints are long-kind,
     * long-vs-double promotes in cmp, decimals are never pruned on).
-    * date→timestamp is deliberately ABSENT: the reader serves it, but
-    * recorded stats are epoch DAYS while a timestamp literal is MICROS —
-    * pruning would compare across units and skip matching files. */
+    * date→timestamp_ntz is admissible because the widening COMMIT
+    * CONVERTS the carried stats rows from epoch days to micro bounds
+    * (day d covers [d·86400e6, (d+1)·86400e6)) — so pruning compares in
+    * one unit on either side of the evolution; the r9 refusal reason
+    * (day stats vs micro literals) is engineered away at the only place
+    * the units could meet. date→TIMESTAMP (tz-adjusted) stays refused:
+    * a date names no instant, and this Spark's parquet reader resolves
+    * DATE under TimestampNTZType only (WideningProbeSpec). */
+  private[sources] val MicrosPerDay = 86400000000L
   private def widenOk(
       from: org.apache.spark.sql.types.DataType,
       to: org.apache.spark.sql.types.DataType): Boolean = {
@@ -2180,6 +2196,7 @@ object VersionedTable {
     (from, to) match {
       case (IntegerType, LongType | DoubleType) => true
       case (FloatType, DoubleType) => true
+      case (DateType, TimestampNTZType) => true
       case (a: DecimalType, b: DecimalType) =>
         b.scale == a.scale && b.precision > a.precision
       case _ => false
@@ -2208,7 +2225,8 @@ object VersionedTable {
       require(widenOk(field.dataType, to),
         s"cannot widen $name from ${field.dataType.simpleString} to " +
           s"${to.simpleString} metadata-only — allowed: int->bigint, " +
-          "int->double, float->double, decimal(p,s)->decimal(p+,s); " +
+          "int->double, float->double, date->timestamp_ntz, " +
+          "decimal(p,s)->decimal(p+,s); " +
           "anything else is a full-rewrite commit()")
       require(!partitionColumnsOf(spark, root, cur).contains(name),
         s"$name is a partition column — repartition via a full commit()")
@@ -2216,6 +2234,24 @@ object VersionedTable {
         curSchema.map(x => if (x.name == name) x.copy(dataType = to) else x))
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], newSchema)
+      // date→ntz: convert the carried stats from epoch DAYS to MICRO
+      // bounds for the widened column, so post-evolution literals (micros)
+      // compare against post-evolution stats (micros) — prune-correct
+      // across vintages with zero data bytes touched
+      val phys = physicalName(columnMapping(spark, root, cur), name)
+      val statsMap: Option[(String, String, Option[String], Option[String]) =>
+          (String, Option[String], Option[String])] =
+        (field.dataType, to) match {
+          case (org.apache.spark.sql.types.DateType,
+                org.apache.spark.sql.types.TimestampNTZType) =>
+            Some((c, k, mn, mx) =>
+              if (c != phys || k != "long") (k, mn, mx)
+              else ("long",
+                mn.flatMap(_.toLongOption).map(d => (d * MicrosPerDay).toString),
+                mx.flatMap(_.toLongOption)
+                  .map(d => ((d + 1) * MicrosPerDay - 1).toString)))
+          case _ => None
+        }
       commitCowInternal(empty, root, cur, dataFileRefs(spark, root, cur),
         Map("changes" -> emptyFeed(empty)), // metadata-only: zero-row feed
         Nil, preCommit = occValidate(spark, root, cur),
@@ -2223,7 +2259,8 @@ object VersionedTable {
         // sticky feature flag: narrow-typed files now live under a wider
         // schema — the protocol gate requires widening-capable readers
         recordProperties = Some(propertiesOf(spark, root, cur)
-          .updated(WidenedTypesProp, "true")))
+          .updated(WidenedTypesProp, "true")),
+        carriedStatsMap = statsMap)
     }
 
   private def evolveSchemaAt(

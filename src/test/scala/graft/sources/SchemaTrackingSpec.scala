@@ -173,6 +173,65 @@ class SchemaTrackingSpec extends SparkSpec {
     }
   }
 
+  test("date -> timestamp_ntz widening: the widen commit converts carried " +
+    "stats from days to micros; prune-correct and row-exact across vintages") {
+    val root = freshRoot()
+    // vintage 1: a DATE column, range-clustered so the footer stats bite
+    // (3 files over Jan 2024)
+    val dates = (1 to 30).map(d => (d.toLong, f"2024-01-$d%02d")).toDF("id", "ds")
+      .withColumn("d", col("ds").cast("date")).drop("ds")
+      .repartitionByRange(3, col("d")).sortWithinPartitions("d")
+    VersionedTable.commit(dates, root)
+    VersionedTable.widenColumn(spark, root, "d", TimestampNTZType)     // v2
+    // metadata-only: no data rewritten by the widening commit
+    val fh = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val own = fh.listStatus(new org.apache.hadoop.fs.Path(root + "/v00000002"))
+      .filter(s => s.getPath.getName.startsWith("part-") &&
+        s.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    assert(own < 4096, s"widening rewrote data: $own bytes")
+    // vintage 2: native NTZ appends (new unit, new files)
+    VersionedTable.commitAppend(
+      Seq((101L, "2024-02-05 13:30:00"), (102L, "2024-02-20 01:00:00"))
+        .toDF("id", "ds")
+        .withColumn("d", to_timestamp_ntz(col("ds"))).drop("ds"), root)
+    // reads serve old date files as midnight NTZ
+    assert(VersionedTable.read(spark, root).schema("d").dataType ==
+      TimestampNTZType)
+    // PRUNE-CORRECTNESS across the evolution: a micros-range predicate
+    // over the OLD vintage must admit exactly the matching rows — with
+    // the r9-refused unit mismatch (day stats vs micro literals) these
+    // files would be silently skipped and rows lost
+    val pred = col("d") >= to_timestamp_ntz(lit("2024-01-10 00:00:00")) &&
+      col("d") < to_timestamp_ntz(lit("2024-01-12 00:00:00"))
+    val got = VersionedTable.readWhere(spark, root, pred)
+    assert(got.collect().map(_.getLong(0)).toSet == Set(10L, 11L),
+      "old-vintage date rows must survive a post-widening micros predicate")
+    // ...and pruning still BITES: the two-day range opens one of the four
+    // files, not the table
+    val scanned = got.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value }
+    got.collect()
+    assert(scanned.exists(_ <= 2L),
+      s"expected the converted stats to prune to <=2 files, scanned $scanned")
+    // equality on a pre-widening date (midnight instant) and on a
+    // post-widening timestamp both land exactly
+    assert(VersionedTable.readWhere(spark, root,
+      col("d") === to_timestamp_ntz(lit("2024-01-05 00:00:00")))
+      .collect().map(_.getLong(0)).toSeq == Seq(5L))
+    assert(VersionedTable.readWhere(spark, root,
+      col("d") === to_timestamp_ntz(lit("2024-02-05 13:30:00")))
+      .collect().map(_.getLong(0)).toSeq == Seq(101L))
+    // tz-adjusted TIMESTAMP stays refused (a date names no instant)
+    val root2 = freshRoot()
+    VersionedTable.commit(
+      Seq((1L, java.sql.Date.valueOf("2024-01-01"))).toDF("id", "d"), root2)
+    intercept[IllegalArgumentException] {
+      VersionedTable.widenColumn(spark, root2, "d", TimestampType)
+    }
+  }
+
   test("pre-tracking snapshots validate against the inferred schema and upgrade on write") {
     val root = freshRoot()
     VersionedTable.commit(Seq((1L, "a")).toDF("id", "x"), root)
