@@ -276,6 +276,26 @@ object Bench {
       case e: Exception =>
         System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
+    // COMPACT line LAST: the harness keeps only a ~2000-char stdout TAIL
+    // and parses the trailing JSON it finds there; the full line above
+    // never fit (r1–r9 all recorded parsed:null) and sbt appends ~80
+    // chars of its own after us. Values at 3 decimals; the per-key map
+    // drops the cheapest keys first if the line would still overflow the
+    // window (full fidelity is one line up and in the file either way).
+    def r3(d: Double): Double = math.rint(d * 1000) / 1000
+    def compact(keep: Int): String = {
+      val kept = results.sortBy(-_._2).take(keep).sortBy(_._1)
+      val cq = kept.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","best_of":$repeat,"n_queries":${results.size},"queries_kept":${kept.size},"full":"$outFile","queries":$cq}"""
+    }
+    var keep = results.size
+    var compactLine = compact(keep)
+    while (compactLine.length > 1800 && keep > 5) {
+      keep -= 5
+      compactLine = compact(keep)
+    }
+    println(compactLine)
     spark.stop()
   }
 }

@@ -29,7 +29,8 @@ object FormatQueries {
     "q28_format_dv_dml"    -> ((s, d) => q28(s, d)),
     "q29_format_evolution" -> ((s, d) => q29(s, d)),
     "q30_format_partition" -> ((s, d) => q30(s, d)),
-    "q31_format_schema"    -> ((s, d) => q31(s, d))
+    "q31_format_schema"    -> ((s, d) => q31(s, d)),
+    "q32_catalog_widen"    -> ((s, d) => q32(s, d))
   )
 
   private def freshRoot(): String =
@@ -153,6 +154,38 @@ object FormatQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** q32: the NAMED-CATALOG face + date→timestamp_ntz widening, driven
+    * end to end BY NAME — no quoted path appears in any statement. A
+    * fresh warehouse hosts `q32_orders`: CTAS from a date-typed slice,
+    * metadata-only `ALTER COLUMN TYPE TIMESTAMP_NTZ` (the widen commit
+    * converts the carried day-stats to micro bounds), an INSERT of
+    * native non-midnight NTZ rows, a DELETE, and a micro-literal range
+    * read that crosses both vintages — the exact read that r9's unit
+    * mismatch would have silently truncated. DuckDB re-derives the
+    * state relationally from the same parquet. */
+  def q32(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_whq32").toString
+    s.conf.set(graft.sources.GraftCatalog.WarehouseKey, wh)
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderdate").cast("date").as("o_d"))
+    orders.where(col("o_orderkey") % 3 === 1)
+      .createOrReplaceTempView("q32_seed")
+    GraftSql.execute(s, "CREATE TABLE q32_orders AS SELECT * FROM q32_seed")
+    GraftSql.execute(s,
+      "ALTER TABLE q32_orders ALTER COLUMN o_d TYPE TIMESTAMP_NTZ")
+    orders.where(col("o_orderkey") % 3 === 2)
+      .withColumn("o_d",
+        col("o_d").cast("timestamp_ntz") + expr("INTERVAL 6 HOURS"))
+      .createOrReplaceTempView("q32_more")
+    GraftSql.execute(s, "INSERT INTO q32_orders SELECT * FROM q32_more")
+    GraftSql.execute(s, "DELETE FROM q32_orders WHERE o_orderkey % 7 = 0")
+    GraftSql.execute(s,
+      "SELECT o_orderkey, o_orderstatus, o_d FROM q32_orders " +
+        "WHERE o_d >= TIMESTAMP_NTZ '1996-01-01 00:00:00' " +
+        "ORDER BY o_orderkey")
+  }
+
   def oracles: Map[String, String] = Map(
     "q27_format_merge" ->
       """WITH t AS (
@@ -202,6 +235,21 @@ object FormatQueries {
         |    'n' || CAST(o_orderkey AS VARCHAR) AS note
         |  FROM orders WHERE o_orderkey % 4 = 2)
         |SELECT * FROM t UNION ALL SELECT * FROM s
+        |ORDER BY o_orderkey""".stripMargin,
+    "q32_catalog_widen" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS o_d
+        |  FROM orders WHERE o_orderkey % 3 = 1),
+        |m AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)
+        |      + INTERVAL 6 HOUR AS o_d
+        |  FROM orders WHERE o_orderkey % 3 = 2),
+        |u AS (SELECT * FROM t UNION ALL SELECT * FROM m)
+        |SELECT o_orderkey, o_orderstatus, o_d FROM u
+        |WHERE o_orderkey % 7 <> 0
+        |  AND o_d >= TIMESTAMP '1996-01-01 00:00:00'
         |ORDER BY o_orderkey""".stripMargin
   )
 }

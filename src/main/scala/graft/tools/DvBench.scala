@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.functions._
 import org.apache.hadoop.fs.Path
 
-import graft.sources.VersionedTable
+import graft.sources.{DvBitmaps, VersionedTable}
 
 /** Merge-on-read masked-read bench:
   * `runMain graft.tools.DvBench [sfDir]` (default sf0.1).
@@ -11,11 +11,16 @@ import graft.sources.VersionedTable
   * The r8 judge's scale hazard: the DV fold used to FORCE-broadcast the
   * cumulative mask, so one large MOR delete (delete 30% of the table —
   * the workload DVs exist for) built a driver-sized mask however big it
-  * was. The r9 size gate (`spark.graft.dv.broadcastThreshold`) flips
-  * the anti-join to distributed sort-merge above the threshold. This
-  * measures the masked read at growing mask sizes through BOTH roads —
-  * broadcast (threshold high) and distributed (threshold 0) — plus the
-  * mask-free compacted read as the floor. One JSON line per point. */
+  * was. r9 gated it (`spark.graft.dv.broadcastThreshold` → distributed
+  * sort-merge above the gate), which was safe but shuffled the ENTIRE
+  * data side on (file, pos). r10 integrates the mask into the scan:
+  * per-file bitmap sidecars probed task-locally with ZERO exchange.
+  * This measures the masked read at growing mask sizes through all
+  * THREE roads — broadcast (threshold high), scan-integrated bitmaps
+  * (threshold 0, the new above-gate default), and the legacy
+  * distributed join (threshold 0 with the derived index removed, i.e. a
+  * pre-bitmap table) — plus the mask-free compacted read as the floor.
+  * One JSON line per point. */
 object DvBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -43,22 +48,33 @@ object DvBench {
       val dv = VersionedTable.readExtra(spark, root, v, "dv").get
       val maskRows = dv.count()
       val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // warm both roads once, then best-of-3 each
+      // warm each road once, then best-of-3
       def masked(): Long = VersionedTable.read(spark, root).count()
       spark.conf.set(VersionedTable.DvBroadcastThresholdKey, (64L << 20).toString)
       masked()
       val bWall = (1 to 3).map(_ => time(masked())._2).min
       val rowsB = masked()
+      // above the gate, bitmaps present: the scan-integrated road
       spark.conf.set(VersionedTable.DvBroadcastThresholdKey, "0")
+      masked()
+      val sWall = (1 to 3).map(_ => time(masked())._2).min
+      val rowsS = masked()
+      // above the gate on a PRE-BITMAP table (bench-only simulation:
+      // drop the derived index and bump the marker mtime so the per-JVM
+      // probes re-key): the legacy distributed sort-merge join road
+      f.delete(new Path(s"$root/v${"%08d".format(v)}/_dv/${DvBitmaps.DirName}"), true)
+      f.setTimes(new Path(s"$root/_commits/${"%08d".format(v)}"),
+        System.currentTimeMillis(), -1)
       masked()
       val dWall = (1 to 3).map(_ => time(masked())._2).min
       val rowsD = masked()
-      require(rowsB == rowsD, s"strategy changed the result: $rowsB vs $rowsD")
+      require(rowsB == rowsS && rowsS == rowsD,
+        s"road changed the result: $rowsB vs $rowsS vs $rowsD")
       spark.conf.unset(VersionedTable.DvBroadcastThresholdKey)
       // the compacted floor: fold the mask away entirely
       VersionedTable.compact(spark, root)
       val cWall = (1 to 3).map(_ => time(masked())._2).min
-      println(f"""{"deleted_pct":$pct,"mask_rows":$maskRows,"visible_rows":$rowsB,"mor_delete_s":$delWall%.2f,"masked_read_broadcast_s":$bWall%.2f,"masked_read_distributed_s":$dWall%.2f,"compacted_read_s":$cWall%.2f}""")
+      println(f"""{"deleted_pct":$pct,"mask_rows":$maskRows,"visible_rows":$rowsB,"mor_delete_s":$delWall%.2f,"masked_read_broadcast_s":$bWall%.2f,"masked_read_bitmap_s":$sWall%.2f,"masked_read_distributed_join_s":$dWall%.2f,"compacted_read_s":$cWall%.2f}""")
     }
     spark.stop()
   }
