@@ -487,14 +487,23 @@ object QuantileBucket {
   * the entire scan on (file, pos). Non-deterministic-free and
   * side-effect-free: the sidecar is immutable once its version is
   * published. Mirrors Delta's per-AddFile deletion-vector application
-  * inside the scan. */
-case class DvMasked(dir: String, file: Expression, pos: Expression)
+  * inside the scan.
+  *
+  * `hconf` (second parameter list: carried by the node, outside case
+  * equality) is the DRIVER'S Hadoop conf — executors resolve the
+  * sidecar's filesystem with it, because their classpath defaults lack
+  * per-store settings (object-store credentials, endpoints). */
+case class DvMasked(dir: String, file: Expression, pos: Expression)(
+    val hconf: org.apache.spark.util.SerializableConfiguration)
   extends BinaryExpression {
 
   override def left: Expression = file
   override def right: Expression = pos
   override def dataType: DataType = BooleanType
   override def prettyName: String = "graft_dv_masked"
+
+  // second-param-list field: name it for the tree printer / canonicalizer
+  override def otherCopyArgs: Seq[AnyRef] = hconf :: Nil
 
   override def checkInputDataTypes(): TypeCheckResult =
     (file.dataType, pos.dataType) match {
@@ -506,15 +515,17 @@ case class DvMasked(dir: String, file: Expression, pos: Expression)
 
   override protected def nullSafeEval(f: Any, p: Any): Any =
     graft.sources.DvBitmaps.lookup(
-      dir, f.asInstanceOf[UTF8String], p.asInstanceOf[Long])
+      dir, f.asInstanceOf[UTF8String], p.asInstanceOf[Long], hconf)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val dirRef = ctx.addReferenceObj("dvBitmapDir", dir, "java.lang.String")
+    val confRef = ctx.addReferenceObj("dvHconf", hconf,
+      "org.apache.spark.util.SerializableConfiguration")
     nullSafeCodeGen(ctx, ev, (f, p) =>
-      s"${ev.value} = graft.sources.DvBitmaps.lookup($dirRef, $f, $p);")
+      s"${ev.value} = graft.sources.DvBitmaps.lookup($dirRef, $f, $p, $confRef);")
   }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
-    copy(file = newLeft, pos = newRight)
+    copy(file = newLeft, pos = newRight)(hconf)
 }

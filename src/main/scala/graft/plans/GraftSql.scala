@@ -48,6 +48,10 @@ import graft.sources.{Sinks, VersionedTable}
   *         the rewrite to the files whose stats admit the predicate
   *         ([[VersionedTable.optimizeWhere]] — incremental maintenance)
   *   - `VACUUM '<root>' KEEP n [OLDER THAN h HOURS] [DRY RUN]`
+  *   - `MAINTAIN '<root>' [DRY RUN]` → run (or, DRY RUN, just report)
+  *       whatever [[VersionedTable.maintenanceReport]] recommends —
+  *       measure-then-act layout upkeep (compact/optimize/ledger
+  *       fold/vacuum), optimize-over-compact on clustered tables
   *   - `DESCRIBE HISTORY '<root>'` → the commit log as a result set
   *       (version, time, file/byte totals, fresh vs carried, feed/DV/txn
   *       flags, schema width — [[VersionedTable.history]])
@@ -117,7 +121,7 @@ object GraftSql {
   private val DmlNameRe =
     s"""(?i)\\b(DELETE\\s+FROM|MERGE\\s+INTO|INSERT\\s+INTO|INSERT\\s+OVERWRITE(?:\\s+TABLE)?|UPDATE)\\s+$IdPat\\b""".r
   private val DdlNameRe =
-    s"""(?i)\\b(OPTIMIZE|VACUUM|RESTORE\\s+TABLE|RESTORE|ALTER\\s+TABLE|COPY\\s+INTO|SHOW\\s+TBLPROPERTIES|DESCRIBE\\s+HISTORY|DESCRIBE\\s+DETAIL|DESCRIBE\\s+CONSTRAINTS|DESCRIBE\\s+TABLE|DESCRIBE|CREATE\\s+TABLE)\\s+$IdPat\\b""".r
+    s"""(?i)\\b(OPTIMIZE|VACUUM|MAINTAIN|RESTORE\\s+TABLE|RESTORE|ALTER\\s+TABLE|COPY\\s+INTO|SHOW\\s+TBLPROPERTIES|DESCRIBE\\s+HISTORY|DESCRIBE\\s+DETAIL|DESCRIBE\\s+CONSTRAINTS|DESCRIBE\\s+TABLE|DESCRIBE|CREATE\\s+TABLE)\\s+$IdPat\\b""".r
   private val TtNameRe =
     s"""(?i)\\b(FROM|JOIN)\\s+$IdPat(?=\\s+(?:VERSION|TIMESTAMP)\\s+AS\\s+OF\\b)""".r
   private val ReadNameRe =
@@ -244,6 +248,11 @@ object GraftSql {
     """(?is)\s*DROP\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
   private val ShowGraftTablesRe =
     """(?is)\s*SHOW\s+GRAFT\s+TABLES\s*;?\s*""".r
+  // measure-then-act maintenance: run whatever maintenanceReport
+  // recommends (optimize-over-compact on clustered tables, ledger fold,
+  // vacuum); DRY RUN reports the verbs without executing
+  private val MaintainRe =
+    """(?is)\s*MAINTAIN\s+'([^']+)'(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val PropKeyRe = """'([^']*)'""".r
 
   /** Quote-aware `'k' = 'v', …` pair list parser (SET TBLPROPERTIES,
@@ -462,6 +471,17 @@ object GraftSql {
         Some(org.apache.spark.sql.graft.GraftPropertiesCommand("catalog",
           s => graft.sources.GraftCatalog.tables(s)
             .map { case (n, r) => Row(n, r) }))
+      case MaintainRe(root, dry) =>
+        // (key, value) result shape: one row per verb — recommended (DRY
+        // RUN) or executed — or a single ("healthy", root) row
+        Some(org.apache.spark.sql.graft.GraftPropertiesCommand(root, s => {
+          val verbs =
+            if (dry != null)
+              VersionedTable.maintenanceReport(s, root).recommendations
+            else VersionedTable.applyMaintenance(s, root)
+          if (verbs.isEmpty) Seq(Row("healthy", root))
+          else verbs.map(v => Row(v, root))
+        }))
       case _ => None
     }
 

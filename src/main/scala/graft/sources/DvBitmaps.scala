@@ -171,9 +171,11 @@ object DvBitmaps {
       val bytes: Array[Byte])
   private val cache = new ThreadLocal[Entry]()
 
-  private def load(dir: String, file: String): Array[Byte] = {
+  private def load(
+      dir: String, file: String,
+      conf: org.apache.hadoop.conf.Configuration): Array[Byte] = {
     val p = new Path(dir, binName(file))
-    val f = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val f = p.getFileSystem(conf)
     if (!f.exists(p)) null
     else {
       val st = f.getFileStatus(p)
@@ -187,21 +189,26 @@ object DvBitmaps {
   /** Executor-side probe: is (file, pos) masked? `dir` is the absolute
     * `_bitmaps` URI baked into the plan by the driver; `file` compares
     * byte-wise against the cached key, so the per-row hot path allocates
-    * nothing. The Hadoop conf is reconstructed from executor-classpath
-    * defaults — the standard cluster layout ships core-site.xml with the
-    * executors; the local test rig needs nothing. */
+    * nothing. `hconf` is the DRIVER'S Hadoop conf serialized into the
+    * plan ([[graft.plans.DvMasked]] carries it) — executor-classpath
+    * defaults would lack per-store settings such as object-store
+    * credentials. */
   def lookup(
       dir: String, file: org.apache.spark.unsafe.types.UTF8String,
-      pos: Long): Boolean = {
+      pos: Long,
+      hconf: org.apache.spark.util.SerializableConfiguration): Boolean = {
     var e = cache.get()
     if (e == null || !e.dir.equals(dir) || !e.file.equals(file)) {
-      e = new Entry(dir, file.clone(), load(dir, file.toString))
+      e = new Entry(dir, file.clone(), load(dir, file.toString, hconf.value))
       cache.set(e)
     }
     e.bytes != null && contains(e.bytes, pos)
   }
 
   /** String-keyed convenience (tests, driver-side probes). */
-  def lookup(dir: String, file: String, pos: Long): Boolean =
-    lookup(dir, org.apache.spark.unsafe.types.UTF8String.fromString(file), pos)
+  def lookup(
+      dir: String, file: String, pos: Long,
+      hconf: org.apache.spark.util.SerializableConfiguration): Boolean =
+    lookup(dir, org.apache.spark.unsafe.types.UTF8String.fromString(file),
+      pos, hconf)
 }

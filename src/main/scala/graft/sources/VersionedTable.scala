@@ -1280,7 +1280,9 @@ object VersionedTable {
         tagged.where(not(org.apache.spark.sql.graft.ColumnBridge.column(
           graft.plans.DvMasked(dir,
             org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq("__dv_file")),
-            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq("__dv_pos"))))))
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq("__dv_pos")))(
+            new org.apache.spark.util.SerializableConfiguration(
+              spark.sparkContext.hadoopConfiguration)))))
       case None => joined
     }
   }
@@ -2594,6 +2596,47 @@ object VersionedTable {
     MaintenanceReport(v, refs.size, tableBytes, dvBytes, dvFraction,
       small, smallFraction, clusteredBy, overlap, ledgerDepth, retained,
       recs.toSeq)
+  }
+
+  /** EXECUTE the verbs [[maintenanceReport]] recommends — the dispatcher
+    * an operator (or a scheduler tick per ingest epoch) calls so the
+    * loop is measure → recommend → ACT, not measure → hope. Verb
+    * resolution: a compact on a table with a recorded clustering runs
+    * as [[optimize]] on those columns (a plain compact would DESTROY the
+    * clustered layout it measures), so overlapping compact+optimize
+    * recommendations collapse into one rewrite; `foldCopyLedger` and
+    * `vacuum` (at `keepVersions`) run as themselves. Returns the verbs
+    * actually executed, in order — empty means the table was healthy.
+    * Each verb is the normal OCC-committing operation: concurrent
+    * writers rebase exactly as against any maintenance commit. */
+  def applyMaintenance(
+      spark: SparkSession, root: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      dvFloor: Double = 0.05,
+      smallFileFloor: Double = 0.5,
+      overlapFloor: Double = 2.0,
+      keepVersions: Int = 96): Seq[String] = {
+    val rep = maintenanceReport(spark, root, targetFileBytes, dvFloor,
+      smallFileFloor, overlapFloor, keepVersions)
+    val verbs = rep.recommendations.toSet
+    val done = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (verbs.contains("optimize") ||
+        (verbs.contains("compact") && rep.clusteredBy.nonEmpty)) {
+      optimize(spark, root, rep.clusteredBy, targetFileBytes)
+      done += "optimize"
+    } else if (verbs.contains("compact")) {
+      compact(spark, root, targetFileBytes)
+      done += "compact"
+    }
+    if (verbs.contains("foldCopyLedger")) {
+      foldCopyLedger(spark, root)
+      done += "foldCopyLedger"
+    }
+    if (verbs.contains("vacuum")) {
+      vacuum(spark, root, keepVersions)
+      done += "vacuum"
+    }
+    done.toSeq
   }
 
   /** Mean count of OTHER files whose [min,max] range on `col` overlaps a

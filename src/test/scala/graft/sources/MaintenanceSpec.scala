@@ -75,6 +75,33 @@ class MaintenanceSpec extends SparkSpec {
       .recommendations.contains("optimize"))
   }
 
+  test("applyMaintenance executes the recommended verbs and leaves a healthy table") {
+    val root = freshRoot()
+    VersionedTable.commit(
+      (1L to 2000L).map(i => (i, s"r$i")).toDF("id", "x").repartition(4), root)
+    VersionedTable.optimize(spark, root, Seq("id"), targetFileBytes = 8192)
+    // drift it: a heavy MOR delete + interleaved appends + a long log
+    VersionedTable.deleteWhere(spark, root, col("id") % 3 === 0, mor = true)
+    (1 to 4).foreach(_ => VersionedTable.commitAppend(
+      (1L to 2000L by 200L).map(i => (10000L + i, "a")).toDF("id", "x"), root))
+    val before = VersionedTable.maintenanceReport(spark, root,
+      targetFileBytes = 4096, keepVersions = 4)
+    assert(before.recommendations.nonEmpty, s"expected drift, got $before")
+    val ran = VersionedTable.applyMaintenance(spark, root,
+      targetFileBytes = 4096, keepVersions = 4)
+    // clustered table: the compact/optimize overlap collapses to ONE
+    // optimize (a plain compact would destroy the measured clustering)
+    assert(ran.contains("optimize") && !ran.contains("compact"), s"ran $ran")
+    assert(ran.contains("vacuum"), s"ran $ran")
+    val after = VersionedTable.maintenanceReport(spark, root,
+      targetFileBytes = 4096, keepVersions = 4)
+    assert(after.recommendations.isEmpty,
+      s"one maintenance pass must leave the table healthy: $after")
+    // rows intact through the whole pass
+    assert(VersionedTable.read(spark, root).count() ==
+      2000L - 666L + 4L * 10L)
+  }
+
   test("long version logs flip vacuum; DESCRIBE DETAIL surfaces the verbs") {
     val root = freshRoot()
     VersionedTable.commit(Seq((1L, "a")).toDF("id", "x"), root)
@@ -89,5 +116,16 @@ class MaintenanceSpec extends SparkSpec {
     val maint = row.getString(row.fieldIndex("maintenance"))
     assert(maint.contains("compact"), // 7 tiny files: small-file churn
       s"DESCRIBE DETAIL should surface maintenance verbs, got '$maint'")
+    // MAINTAIN DRY RUN reports without acting; MAINTAIN executes
+    val dry = graft.plans.GraftSql.execute(spark,
+      s"MAINTAIN '$root' DRY RUN").collect().map(_.getString(0)).toSet
+    assert(dry.contains("compact"), s"dry: $dry") // default keepVersions=96: no vacuum
+    assert(VersionedTable.versions(spark, root).size == 7, "dry run acted!")
+    val ran = graft.plans.GraftSql.execute(spark, s"MAINTAIN '$root'")
+      .collect().map(_.getString(0)).toSet
+    assert(ran.contains("compact"), s"ran: $ran")
+    val after = graft.plans.GraftSql.execute(spark,
+      s"MAINTAIN '$root' DRY RUN").collect().map(_.getString(0)).toSet
+    assert(after == Set("healthy"), s"after one pass: $after")
   }
 }
