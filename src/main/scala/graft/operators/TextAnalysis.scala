@@ -242,6 +242,76 @@ object TextAnalysis {
         col("top_bigram_frac"), col("dup_trigram_frac"))
   }
 
+  /** t10: corpus-trained BIGRAM SURPRISE — the perplexity-filter shape
+    * (CCNet/Gopher filter training text by LM perplexity; both public)
+    * with the corpus itself as the model, no external LM. Per document:
+    *
+    *   avg_surprise_bits = mean over its bigrams (u,v) of
+    *     bitlen(c1(u) + V) − bitlen(c2(u,v) + 1)
+    *
+    * where c2 = corpus count of the bigram, c1 = corpus count of u as a
+    * bigram PREFIX, V = corpus vocabulary size, and bitlen(x) =
+    * ⌊log2 x⌋ + 1 — an INTEGER-QUANTIZED −log2 of the add-one-smoothed
+    * bigram probability (c2+1)/(c1+V). Common phrasing scores LOW;
+    * incoherent / out-of-domain / shuffled text scores HIGH — the
+    * two-sided trim the perplexity filters apply. The quantization is
+    * the reproducibility trick: bitlen computes as `length(bin(x))` in
+    * BOTH engines, every sum is over integers, and the one floating
+    * division happens last — so the score is bit-reproducible and the
+    * DuckDB oracle re-derives it exactly (a float log-sum would diverge
+    * in the last ulp and the order of summation).
+    *
+    * Scale shape: bigram extraction is MAP-SIDE (slice+zip over the
+    * token array, no join); the model is two count aggregations (one
+    * over per-doc bigram counts, one tiny over distinct bigrams); the
+    * probe is one join of per-doc bigram counts against the
+    * distinct-bigram model — every shuffle key is a short string, no
+    * all-pairs term anywhere, nothing on the driver. */
+  def bigramSurprise(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs
+      .withColumn("__ts", filter(wordsOf(col(textCol)), w => w =!= ""))
+    val bg = toks
+      .withColumn("__bg",
+        when(size(col("__ts")) >= 2,
+          zip_with(
+            slice(col("__ts"), lit(1), size(col("__ts")) - 1),
+            slice(col("__ts"), lit(2), size(col("__ts")) - 1),
+            (u, v) => concat(u, lit(" "), v)))
+          .otherwise(array().cast("array<string>")))
+      .select(col(idCol), explode(col("__bg")).as("bigram"))
+    // per-doc bigram multiset (the probe side), then the corpus model
+    val docBg = bg.groupBy(col(idCol), col("bigram"))
+      .agg(count(lit(1)).as("occ"))
+    val c2 = docBg.groupBy("bigram").agg(sum("occ").as("c2"))
+    val c1 = c2.withColumn("prefix", substring_index(col("bigram"), " ", 1))
+      .groupBy("prefix").agg(sum("c2").as("c1"))
+    // V as an eager scalar (the tfidfTopTerms docs.count() pattern): one
+    // driver-side long, folded into the plan as a literal — no 1-row
+    // cross join for the audit to mistake for a cartesian
+    val vocabSize = toks.select(explode(col("__ts")).as("w"))
+      .agg(countDistinct(col("w"))).first().getLong(0)
+    val model = c2
+      .withColumn("prefix", substring_index(col("bigram"), " ", 1))
+      .join(c1, "prefix")
+      .withColumn("bits",
+        (length(bin(col("c1") + lit(vocabSize))) -
+          length(bin(col("c2") + lit(1L)))).cast("long"))
+      .select(col("bigram"), col("bits"))
+    val perDoc = docBg.join(model, "bigram")
+      .groupBy(col(idCol))
+      .agg(sum(col("occ") * col("bits")).as("total_bits"),
+        sum(col("occ")).as("n_bigrams"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+      .withColumn("total_bits", coalesce(col("total_bits"), lit(0L)))
+      .withColumn("avg_surprise_bits",
+        when(col("n_bigrams") > 0L,
+          col("total_bits").cast("double") / col("n_bigrams").cast("double")))
+      .select(col(idCol), col("n_bigrams"), col("total_bits"),
+        col("avg_surprise_bits"))
+  }
+
   /** t4: document fingerprint — the rolling polynomial hash of the
     * normalized text (explicit modular arithmetic, engine-neutral) — and
     * the duplicate groups it induces. At corpus scale the fingerprint is

@@ -56,6 +56,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case other => other.toString.toDouble
   }
   private def table(name: String): DataFrame = SparkSession.active.table(name)
+  /** A versioned-table ROOT argument: a path passes through; a bare
+    * identifier resolves through the named catalog when registered —
+    * `graft_table('events')` and `graft_table('/lake/events')` are the
+    * same read (symmetric with GraftSql.resolveNames). */
+  private def rootArg(a: Any): String = {
+    val s = str(a)
+    if (s.contains("/")) s
+    else graft.sources.GraftCatalog.resolve(SparkSession.active, s).getOrElse(s)
+  }
   private def plan(df: DataFrame): LogicalPlan = df.queryExecution.logical
 
   private def tvf(ext: SparkSessionExtensions, name: String, usage: String)(
@@ -121,22 +130,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     tvf(ext, "graft_table",
       "graft_table(tableRoot) - the versioned table's latest committed snapshot (manifest-aware)") { a =>
-      graft.sources.VersionedTable.read(SparkSession.active, str(a(0)))
+      graft.sources.VersionedTable.read(SparkSession.active, rootArg(a(0)))
     }
     tvf(ext, "graft_history",
       "graft_history(tableRoot) - the versioned table's commit log, newest first (DESCRIBE HISTORY as a table function)") { a =>
-      graft.sources.VersionedTable.history(SparkSession.active, str(a(0)))
+      graft.sources.VersionedTable.history(SparkSession.active, rootArg(a(0)))
     }
     tvf(ext, "graft_table_at",
       "graft_table_at(tableRoot, version) - TIME TRAVEL: an exact committed snapshot of the versioned table (the SQL face of readVersion)") { a =>
       graft.sources.VersionedTable.readVersion(
-        SparkSession.active, str(a(0)), lng(a(1)))
+        SparkSession.active, rootArg(a(0)), lng(a(1)))
     }
     tvf(ext, "graft_table_asof",
       "graft_table_asof(tableRoot, 'yyyy-MM-dd HH:mm:ss') - TIME TRAVEL by TIMESTAMP: the snapshot current at that wall-clock time (Delta's TIMESTAMP AS OF; commit-marker clock)") { a =>
       val s = SparkSession.active
-      graft.sources.VersionedTable.readVersion(s, str(a(0)),
-        graft.sources.VersionedTable.versionAsOf(s, str(a(0)),
+      graft.sources.VersionedTable.readVersion(s, rootArg(a(0)),
+        graft.sources.VersionedTable.versionAsOf(s, rootArg(a(0)),
           java.sql.Timestamp.valueOf(str(a(1)))))
     }
     tvf(ext, "graft_quality_classifier",

@@ -25,6 +25,7 @@ object TextQueries {
     "t7_repetition"      -> ((s, d) => t7(s, d)),
     "t8_pii_redact"      -> ((s, d) => t8(s, d)),
     "t9_quality_classifier" -> ((s, d) => t9(s, d)),
+    "t10_perplexity"     -> ((s, d) => t10(s, d)),
     "m1_multimodal_meta" -> ((s, d) => m1(s, d)),
     "m3_multimodal_frames" -> ((s, d) => m3(s, d)),
     "m2_multimodal_resize" -> ((s, d) => m2(s, d)),
@@ -64,6 +65,10 @@ object TextQueries {
   def t6(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", TfidfTopK)
       .orderBy(col("doc_id"), col("term_rank"))
+
+  def t10(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramSurprise(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
 
   /** t7's per-row fold is interpreted (HOF lambdas don't codegen), so its
     * wall time is compute-bound, not scan-bound — and the test corpus is a
@@ -335,6 +340,38 @@ object TextQueries {
          |SELECT doc_id, term_rank, word, tf, df, tfidf_ratio
          |FROM r WHERE term_rank <= $TfidfTopK
          |ORDER BY doc_id, term_rank""".stripMargin,
+
+    "t10_perplexity" ->
+      s"""WITH $WsCte,
+         |x AS (SELECT doc_id, list_filter(ws, t -> t <> '') AS ts FROM w),
+         |b AS (SELECT doc_id,
+         |    CASE WHEN len(ts) >= 2 THEN list_transform(range(1, len(ts)),
+         |      i -> ts[i] || ' ' || ts[i+1]) ELSE []::VARCHAR[] END AS bg
+         |  FROM x),
+         |e AS (SELECT doc_id, unnest(bg) AS bigram FROM b),
+         |db AS (SELECT doc_id, bigram, count(*)::BIGINT AS occ
+         |  FROM e GROUP BY 1, 2),
+         |c2 AS (SELECT bigram, sum(occ)::BIGINT AS c2 FROM db GROUP BY bigram),
+         |c1 AS (SELECT split_part(bigram, ' ', 1) AS prefix,
+         |    sum(c2)::BIGINT AS c1 FROM c2 GROUP BY 1),
+         |vv AS (SELECT count(DISTINCT t)::BIGINT AS v
+         |  FROM (SELECT unnest(ts) AS t FROM x)),
+         |model AS (SELECT c2.bigram,
+         |    (length(bin(c1.c1 + vv.v)) - length(bin(c2.c2 + 1)))::BIGINT AS bits
+         |  FROM c2
+         |  JOIN c1 ON split_part(c2.bigram, ' ', 1) = c1.prefix
+         |  CROSS JOIN vv),
+         |pd AS (SELECT doc_id, sum(occ * bits)::BIGINT AS total_bits,
+         |    sum(occ)::BIGINT AS n_bigrams
+         |  FROM db JOIN model USING (bigram) GROUP BY doc_id)
+         |SELECT x.doc_id,
+         |  coalesce(pd.n_bigrams, 0)::BIGINT AS n_bigrams,
+         |  coalesce(pd.total_bits, 0)::BIGINT AS total_bits,
+         |  CASE WHEN pd.n_bigrams > 0
+         |    THEN pd.total_bits::DOUBLE / pd.n_bigrams::DOUBLE END
+         |    AS avg_surprise_bits
+         |FROM x LEFT JOIN pd USING (doc_id)
+         |ORDER BY x.doc_id""".stripMargin,
 
     "t7_repetition" ->
       s"""WITH $WsCte,

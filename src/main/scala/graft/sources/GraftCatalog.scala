@@ -57,7 +57,9 @@ object GraftCatalog {
     val f = fs(spark, p)
     f.mkdirs(p.getParent)
     val content = (root + "\n").getBytes("UTF-8")
-    if (!StoreAdapter.forFs(f).putIfAbsent(f, p, content)) {
+    val won = StoreAdapter.forFs(f).putIfAbsent(f, p, content)
+    invalidateNames(spark)
+    if (!won) {
       val existing = resolve(spark, name)
       if (!existing.contains(root))
         throw new java.io.IOException(
@@ -86,7 +88,9 @@ object GraftCatalog {
     * semantics). True when the name existed. */
   def drop(spark: SparkSession, name: String): Boolean = {
     val p = entry(spark, name)
-    fs(spark, p).delete(p, false)
+    val existed = fs(spark, p).delete(p, false)
+    invalidateNames(spark)
+    existed
   }
 
   /** Every registered (name, root), name-sorted — the SHOW TABLES
@@ -104,16 +108,46 @@ object GraftCatalog {
   }
 
   /** Registered names only — the membership set [[graft.plans.GraftSql]]
-    * consults before rewriting an identifier (one dir listing per
-    * statement that mentions a candidate position). */
+    * consults before rewriting an identifier. MEMOIZED against the
+    * catalog dir's mtime on stores where directory mtimes track child
+    * churn (local fs, HDFS): the per-statement cost is then one
+    * `getFileStatus`, not a LIST — and in-JVM register/drop invalidate
+    * eagerly, so the same-millisecond registration race cannot serve a
+    * stale set to its own process. Object stores have no real directory
+    * mtime, so they list every time (their LIST is the membership
+    * oracle; memoizing on a constant mtime would stale-cache forever). */
+  private val namesMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Set[String])]()
+
+  private[sources] def invalidateNames(spark: SparkSession): Unit =
+    namesMemo.remove(catalogDir(spark).toString)
+
   def names(spark: SparkSession): Set[String] = {
     val dir = catalogDir(spark)
     val f = fs(spark, dir)
-    if (!f.exists(dir)) Set.empty
-    else f.listStatus(dir).iterator
-      .map(_.getPath.getName)
-      .filter(_.endsWith(".tbl"))
-      .map(_.stripSuffix(".tbl"))
-      .toSet
+    val mtimeTracked = f.getScheme == "file" || f.getScheme == "hdfs"
+    def list(): Set[String] =
+      if (!f.exists(dir)) Set.empty
+      else f.listStatus(dir).iterator
+        .map(_.getPath.getName)
+        .filter(_.endsWith(".tbl"))
+        .map(_.stripSuffix(".tbl"))
+        .toSet
+    if (!mtimeTracked) list()
+    else {
+      val mtime =
+        try f.getFileStatus(dir).getModificationTime
+        catch { case _: Exception => -1L }
+      if (mtime < 0) { namesMemo.remove(dir.toString); Set.empty }
+      else {
+        val cached = namesMemo.get(dir.toString)
+        if (cached != null && cached._1 == mtime) cached._2
+        else {
+          val ns = list()
+          namesMemo.put(dir.toString, (mtime, ns))
+          ns
+        }
+      }
+    }
   }
 }

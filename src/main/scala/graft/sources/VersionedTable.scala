@@ -2200,7 +2200,14 @@ object VersionedTable {
       case (FloatType, DoubleType) => true
       case (DateType, TimestampNTZType) => true
       case (a: DecimalType, b: DecimalType) =>
-        b.scale == a.scale && b.precision > a.precision
+        // precision AND scale may grow as long as the integral digits
+        // don't shrink — this Spark's vectorized reader RESCALES stored
+        // unscaled values on read (probe-backed: decimal(5,2) files read
+        // exactly as 123.4500 under decimal(10,4); scale NARROWING
+        // throws). Decimals are never pruned on, so no stats-unit work.
+        (a.precision, a.scale) != (b.precision, b.scale) &&
+          b.scale >= a.scale &&
+          b.precision - b.scale >= a.precision - a.scale
       case _ => false
     }
   }
@@ -2228,7 +2235,7 @@ object VersionedTable {
         s"cannot widen $name from ${field.dataType.simpleString} to " +
           s"${to.simpleString} metadata-only — allowed: int->bigint, " +
           "int->double, float->double, date->timestamp_ntz, " +
-          "decimal(p,s)->decimal(p+,s); " +
+          "decimal growth that keeps integral digits (p-s) non-shrinking; " +
           "anything else is a full-rewrite commit()")
       require(!partitionColumnsOf(spark, root, cur).contains(name),
         s"$name is a partition column — repartition via a full commit()")

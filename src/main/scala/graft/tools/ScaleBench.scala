@@ -66,7 +66,13 @@ object ScaleBench {
       // d11: per-block quadratic — replicas are Caesar-rotated, so blocks
       // never merge across replicas and the within-block term stays at
       // the original corpus's size; m3: pure flatMap fan-out
-      "d11_fuzzy_join", "m3_multimodal_frames")
+      "d11_fuzzy_join", "m3_multimodal_frames",
+      // round-10: the bigram-surprise model is two count aggregations +
+      // one probe join on short string keys — the wordcount shape; its
+      // curve should track d1/d8's near-flat line (Caesar rotation keeps
+      // replica vocabularies disjoint, so the model table grows with the
+      // corpus exactly as a real corpus's would)
+      "t10_perplexity")
 
     // d10 under its HEADLINE claim — batch FIXED (replica 0's % 5 == 4
     // slice; ScaleData id stride keeps replica 0 at the original ids),

@@ -9,6 +9,13 @@ class PlanAuditSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    // q32 reads through the graft_table TVF by catalog name — the audit
+    // sweep runs every key, so the functions must exist on this session
+    graft.plans.GraftExtensions.install(spark)
+  }
+
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 

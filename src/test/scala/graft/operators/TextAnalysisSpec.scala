@@ -167,4 +167,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(joined.nonEmpty)
     assert(joined.forall(r => r.getBoolean(0) && r.getBoolean(1)))
   }
+
+  test("bigramSurprise: common phrasing scores low, shuffled text scores high, arithmetic exact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a corpus dominated by one phrase, plus one doc of never-repeated
+    // bigrams over the same vocabulary: the repeated phrasing must score
+    // strictly fewer surprise bits
+    val common = (1 to 8).map(i => (i.toLong, "the quick brown fox jumps"))
+    val odd = Seq((99L, "fox the jumps quick brown"))
+    val docs = (common ++ odd).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramSurprise(docs, "doc_id", "text")
+      .collect().map { r =>
+        r.getLong(r.fieldIndex("doc_id")) ->
+          ((r.getLong(r.fieldIndex("n_bigrams")),
+            r.getLong(r.fieldIndex("total_bits")),
+            Option(r.get(r.fieldIndex("avg_surprise_bits")))
+              .map(_.asInstanceOf[Double])))
+      }.toMap
+    // hand-checked model: V = 5; common bigrams occur 8x each -> c2 = 8;
+    // each prefix occurs in exactly one context except crossings from the
+    // odd doc. Just assert the ORDERING and the exact bigram counts.
+    assert(out(1L)._1 == 4L) // 5 tokens -> 4 bigrams
+    assert(out(99L)._1 == 4L)
+    val commonBits = out(1L)._3.get
+    val oddBits = out(99L)._3.get
+    assert(oddBits > commonBits,
+      s"shuffled text must surprise more: common=$commonBits odd=$oddBits")
+    // single-token and empty docs: zero bigrams, null score
+    val edge = TextAnalysis.bigramSurprise(
+      Seq((1L, "word"), (2L, "")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(r.fieldIndex("n_bigrams")),
+          r.isNullAt(r.fieldIndex("avg_surprise_bits"))))).toMap
+    assert(edge(1L) == ((0L, true)) && edge(2L) == ((0L, true)))
+  }
 }

@@ -71,6 +71,19 @@ class SqlCatalogSpec extends SparkSpec {
     assert(listed.get("cat_ext").contains(external))
   }
 
+  test("graft_table TVF family resolves catalog names too") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cat_tvf").toString + "/t"
+    VersionedTable.commit(Seq((7L, "x")).toDF("id", "v"), root)
+    GraftCatalog.register(spark, "cat_tvf", root)
+    assert(spark.sql("SELECT id FROM graft_table('cat_tvf')")
+      .collect().head.getLong(0) == 7L)
+    assert(spark.sql("SELECT id FROM graft_table_at('cat_tvf', 1)")
+      .collect().head.getLong(0) == 7L)
+    assert(spark.sql("SELECT count(*) FROM graft_history('cat_tvf')")
+      .collect().head.getLong(0) == 1L)
+  }
+
   test("unregistered identifiers pass through untouched (temp views, plain SQL)") {
     Seq((1, "x")).toDF("a", "b").createOrReplaceTempView("plain_view")
     assert(GraftSql.execute(spark, "SELECT count(*) FROM plain_view")

@@ -33,5 +33,29 @@ class WideningProbeSpec extends SparkSpec {
     val r3 = spark.read.schema(StructType(Seq(StructField("m", DecimalType(10, 2)))))
       .parquet(dir + "/q").collect().head
     assert(r3.getDecimal(0).toPlainString == "123.45")
+    // decimal SCALE growth: the reader RESCALES the stored unscaled
+    // values (123.45 in decimal(5,2) reads as exactly 123.4500 under
+    // decimal(10,4)) — so widenOk admits scale growth that keeps the
+    // integral digits
+    val r4 = spark.read.schema(StructType(Seq(StructField("m", DecimalType(10, 4)))))
+      .parquet(dir + "/q").collect().head
+    assert(r4.getDecimal(0).toPlainString == "123.4500")
+  }
+
+  test("the refused pairs are empirically unserveable: narrowings throw") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_widen_neg").toString
+    Seq((5000000000L, BigDecimal("123.45"))).toDF("l", "m")
+      .select(col("l"), col("m").cast(DecimalType(5, 2)).as("m"))
+      .write.parquet(dir + "/p")
+    // long file under an int reader schema: narrowing, must not serve
+    intercept[Throwable] {
+      spark.read.schema(StructType(Seq(StructField("l", IntegerType))))
+        .parquet(dir + "/p").collect()
+    }
+    // decimal scale NARROWING (integral digits shrink): throws
+    intercept[Throwable] {
+      spark.read.schema(StructType(Seq(StructField("m", DecimalType(4, 1)))))
+        .parquet(dir + "/p").collect()
+    }
   }
 }
