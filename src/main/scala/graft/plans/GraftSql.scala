@@ -52,6 +52,10 @@ import graft.sources.{Sinks, VersionedTable}
   *       whatever [[VersionedTable.maintenanceReport]] recommends —
   *       measure-then-act layout upkeep (compact/optimize/ledger
   *       fold/vacuum), optimize-over-compact on clustered tables
+  *   - `APPLY CHANGES INTO '<dst>' FROM '<src>' KEYS (k,..) CHECKPOINT
+  *       '<dir>'` → CDC replication ([[graft.sources.ChangeReplica]]):
+  *       consume the source's change feed since this checkpoint and
+  *       MERGE the per-key net effect into the destination
   *   - `DESCRIBE HISTORY '<root>'` → the commit log as a result set
   *       (version, time, file/byte totals, fresh vs carried, feed/DV/txn
   *       flags, schema width — [[VersionedTable.history]])
@@ -253,6 +257,10 @@ object GraftSql {
   // vacuum); DRY RUN reports the verbs without executing
   private val MaintainRe =
     """(?is)\s*MAINTAIN\s+'([^']+)'(\s+DRY\s+RUN)?\s*;?\s*""".r
+  // CDC replication: consume the source's change feed since this
+  // consumer's checkpoint and apply the net effect to the destination
+  private val ApplyChangesRe =
+    """(?is)\s*APPLY\s+CHANGES\s+INTO\s+'([^']+)'\s+FROM\s+'([^']+)'\s+KEYS\s*\(([^)]+)\)\s+CHECKPOINT\s+'([^']+)'\s*;?\s*""".r
   private val PropKeyRe = """'([^']*)'""".r
 
   /** Quote-aware `'k' = 'v', …` pair list parser (SET TBLPROPERTIES,
@@ -471,6 +479,13 @@ object GraftSql {
         Some(org.apache.spark.sql.graft.GraftPropertiesCommand("catalog",
           s => graft.sources.GraftCatalog.tables(s)
             .map { case (n, r) => Row(n, r) }))
+      case ApplyChangesRe(dst, src, keys, ck) =>
+        Some(GraftCommand("APPLY CHANGES", dst, s => {
+          val keyCols = keys.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          val range = graft.sources.ChangeReplica
+            .applyChanges(s, src, dst, keyCols, ck)
+          Seq(Row("APPLY CHANGES", dst, range.map(_._2).getOrElse(-1L)))
+        }))
       case MaintainRe(root, dry) =>
         // (key, value) result shape: one row per verb — recommended (DRY
         // RUN) or executed — or a single ("healthy", root) row

@@ -1,0 +1,102 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** APPLY CHANGES INTO — row-level CDC replication on the versioned
+  * format (the Delta Live Tables verb, public semantics): maintain
+  * `dstRoot` as a keyed replica of `srcRoot` by consuming the source's
+  * CHANGE FEED incrementally and applying each batch's NET effect as
+  * one MERGE. This closes the last CDC gap: the feed existed
+  * ([[VersionedTable.readChanges]], [[VersionedTable.consumeChanges]],
+  * the streaming source), but a downstream table still had to hand-roll
+  * the apply.
+  *
+  * Semantics per batch (a contiguous version range of the feed):
+  *  - `update_preimage` rows are audit, not state — dropped;
+  *  - per key, the LAST event wins (ordered by `_commit_version`); a
+  *    delete and an image of one key in the SAME version is a replace
+  *    (the image outranks — the shape `overwritePartitions` emits);
+  *  - net images MERGE as upserts, net deletes as `WHEN MATCHED THEN
+  *    DELETE`; a key inserted and deleted inside one range never
+  *    touches the replica.
+  *
+  * Delivery is [[VersionedTable.consumeChanges]]'s at-least-once with a
+  * caller-owned checkpoint; the apply is STATE-idempotent (replaying a
+  * range merges the same images to the same values and re-deletes
+  * absent keys), so crash/replay converges — the same contract a
+  * foreachBatch upsert sink gives. Scale shape: the net-effect window
+  * partitions by key over O(batch) rows; the MERGE is the format's
+  * touched-file COW (or DV form when enabled on the replica) — O(delta
+  * + touched files), never O(table). */
+object ChangeReplica {
+
+  /** Consume everything new in `srcRoot`'s feed since this consumer's
+    * checkpoint and apply it to `dstRoot`; returns the applied version
+    * range, or None when there was nothing new. An unborn `dstRoot` is
+    * created from the first batch's net images (the snapshot-free
+    * bootstrap: start the checkpoint at a fed version range that covers
+    * the rows you need — a table born through the SQL face's CTAS /
+    * INSERT OVERWRITE carries insert feeds from birth). */
+  def applyChanges(
+      spark: SparkSession, srcRoot: String, dstRoot: String,
+      keyCols: Seq[String], checkpointDir: String): Option[(Long, Long)] = {
+    require(keyCols.nonEmpty, "applyChanges needs at least one key column")
+    VersionedTable.consumeChanges(spark, srcRoot, checkpointDir) { batch =>
+      applyBatch(spark, dstRoot, keyCols, batch)
+    }
+  }
+
+  /** Apply one feed batch (must carry `_change_type` and
+    * `_commit_version`) to `dstRoot`. Exposed for tests and for callers
+    * wiring their own delivery (e.g. a foreachBatch over the streaming
+    * change-feed source). */
+  private[graft] def applyBatch(
+      spark: SparkSession, dstRoot: String, keyCols: Seq[String],
+      batch: DataFrame): Unit = {
+    val missing = keyCols.filterNot(batch.columns.contains)
+    require(missing.isEmpty,
+      s"key column(s) missing from the feed: ${missing.mkString(", ")}")
+    // NET EFFECT per key: last version wins; within a version an image
+    // outranks a delete (delete+reinsert of one key in one version is a
+    // replace). row_number, not rank — exactly one survivor per key.
+    val net = batch
+      .where(col("_change_type")
+        .isin("insert", "update_postimage", "delete"))
+      .withColumn("__rank", row_number().over(
+        Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col("_commit_version").desc,
+            when(col("_change_type") === "delete", 0).otherwise(1).desc)))
+      .where(col("__rank") === 1)
+      .drop("__rank", "_commit_version")
+    val dataCols = net.columns.filterNot(_ == "_change_type").toSeq
+    if (VersionedTable.currentVersion(spark, dstRoot).isEmpty) {
+      // bootstrap: the replica is born from the net images, feed-carrying
+      // so a replica OF the replica can chain
+      val images = net.where(col("_change_type") =!= "delete")
+        .select(dataCols.map(col): _*)
+      VersionedTable.commit(images, dstRoot,
+        extras = Map("changes" -> VersionedTable.feedWritable(
+          images.withColumn("_change_type", lit("insert")))))
+    } else {
+      val view = "__graft_apply_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      net.createOrReplaceTempView(view)
+      try {
+        def bq(c: String) = "`" + c + "`"
+        val on = keyCols.map(k => s"t.${bq(k)} = s.${bq(k)}").mkString(" AND ")
+        val sets = dataCols.map(c => s"${bq(c)} = s.${bq(c)}").mkString(", ")
+        val insCols = dataCols.map(bq).mkString(", ")
+        val insVals = dataCols.map(c => s"s.${bq(c)}").mkString(", ")
+        graft.plans.GraftSql.execute(spark,
+          s"""MERGE INTO `$dstRoot` AS t USING $view AS s
+             |ON $on
+             |WHEN MATCHED AND s._change_type = 'delete' THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET $sets
+             |WHEN NOT MATCHED AND s._change_type <> 'delete'
+             |  THEN INSERT ($insCols) VALUES ($insVals)""".stripMargin)
+      } finally spark.catalog.dropTempView(view)
+    }
+  }
+}

@@ -231,6 +231,11 @@ class MorDeleteSpec extends SparkSpec {
         Map("x" -> org.apache.spark.sql.functions.lit("upd")))
       assert(VersionedTable.read(spark, rootM).orderBy("id").collect().toSeq ==
         VersionedTable.read(spark, rootC).orderBy("id").collect().toSeq)
+      // the pruned read composes with the bitmap road too
+      assert(VersionedTable.readWhere(spark, rootM, col("id") < 50L)
+        .select("id").collect().map(_.getLong(0)).toSet ==
+        VersionedTable.readWhere(spark, rootC, col("id") < 50L)
+          .select("id").collect().map(_.getLong(0)).toSet)
     } finally spark.conf.unset(VersionedTable.DvBroadcastThresholdKey)
   }
 
