@@ -130,6 +130,13 @@ object GraftSql {
     s"""(?i)\\b(FROM|JOIN)\\s+$IdPat(?=\\s+(?:VERSION|TIMESTAMP)\\s+AS\\s+OF\\b)""".r
   private val ReadNameRe =
     s"""(?i)\\b(FROM|JOIN)\\s+$IdPat\\b(?!\\s*\\()""".r
+  // APPLY CHANGES resolves BEFORE the generic read rule: its `FROM <id>`
+  // is a table TARGET (quoted form), not a query source — the lookahead
+  // on KEYS keeps the generic graft_table rewrite away from it
+  private val ApplyIntoNameRe =
+    s"""(?i)\\b(APPLY\\s+CHANGES\\s+INTO)\\s+$IdPat\\b""".r
+  private val ApplyFromNameRe =
+    s"""(?i)\\b(FROM)\\s+$IdPat(?=\\s+KEYS\\s*\\()""".r
 
   /** CATALOG NAME RESOLUTION (textual, membership-gated): a bare
     * identifier in a table-reference position that is REGISTERED in
@@ -153,6 +160,10 @@ object GraftSql {
       else graft.sources.GraftCatalog.resolve(spark, name)
     val q = java.util.regex.Matcher.quoteReplacement _
     var s = sql
+    s = ApplyIntoNameRe.replaceAllIn(s, m => rootOf(m.group(2))
+      .map(r => q(s"${m.group(1)} '$r'")).getOrElse(q(m.matched)))
+    s = ApplyFromNameRe.replaceAllIn(s, m => rootOf(m.group(2))
+      .map(r => q(s"${m.group(1)} '$r'")).getOrElse(q(m.matched)))
     s = DmlNameRe.replaceAllIn(s, m => rootOf(m.group(2))
       .map(r => q(s"${m.group(1)} `$r`")).getOrElse(q(m.matched)))
     s = DdlNameRe.replaceAllIn(s, m => rootOf(m.group(2))
@@ -261,6 +272,10 @@ object GraftSql {
   // consumer's checkpoint and apply the net effect to the destination
   private val ApplyChangesRe =
     """(?is)\s*APPLY\s+CHANGES\s+INTO\s+'([^']+)'\s+FROM\s+'([^']+)'\s+KEYS\s*\(([^)]+)\)\s+CHECKPOINT\s+'([^']+)'\s*;?\s*""".r
+  // a NEW destination name (not yet in the catalog — the usual replica
+  // bootstrap) registers under the warehouse on first apply
+  private val ApplyChangesNamedRe =
+    """(?is)\s*APPLY\s+CHANGES\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+FROM\s+'([^']+)'\s+KEYS\s*\(([^)]+)\)\s+CHECKPOINT\s+'([^']+)'\s*;?\s*""".r
   private val PropKeyRe = """'([^']*)'""".r
 
   /** Quote-aware `'k' = 'v', …` pair list parser (SET TBLPROPERTIES,
@@ -485,6 +500,16 @@ object GraftSql {
           val range = graft.sources.ChangeReplica
             .applyChanges(s, src, dst, keyCols, ck)
           Seq(Row("APPLY CHANGES", dst, range.map(_._2).getOrElse(-1L)))
+        }))
+      case ApplyChangesNamedRe(dstName, src, keys, ck) =>
+        Some(GraftCommand("APPLY CHANGES", dstName, s => {
+          val root = graft.sources.GraftCatalog.defaultRoot(s, dstName)
+          graft.sources.GraftCatalog.register(s, dstName, root)
+          val keyCols = keys.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          val range = graft.sources.ChangeReplica
+            .applyChanges(s, src, root, keyCols, ck)
+          Seq(Row("APPLY CHANGES", s"$dstName -> $root",
+            range.map(_._2).getOrElse(-1L)))
         }))
       case MaintainRe(root, dry) =>
         // (key, value) result shape: one row per verb — recommended (DRY

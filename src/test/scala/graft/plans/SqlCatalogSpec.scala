@@ -84,6 +84,21 @@ class SqlCatalogSpec extends SparkSpec {
       .collect().head.getLong(0) == 1L)
   }
 
+  test("APPLY CHANGES by name: source resolves, new destination registers under the warehouse") {
+    Seq((1L, "a"), (2L, "b")).toDF("id", "x").createOrReplaceTempView("cr_cat")
+    GraftSql.execute(spark, "CREATE TABLE cat_cdc_src AS SELECT * FROM cr_cat")
+    GraftSql.execute(spark, "DELETE FROM cat_cdc_src WHERE id = 2")
+    val ck = java.nio.file.Files.createTempDirectory("graft_cat_ck").toString
+    GraftSql.execute(spark,
+      s"APPLY CHANGES INTO cat_cdc_dst FROM cat_cdc_src KEYS (id) CHECKPOINT '$ck'")
+    val dstRoot = GraftCatalog.resolve(spark, "cat_cdc_dst").get
+    assert(VersionedTable.read(spark, dstRoot).collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    // the replica now reads by name like any catalog table
+    assert(GraftSql.execute(spark, "SELECT count(*) AS n FROM cat_cdc_dst")
+      .collect().head.getLong(0) == 1L)
+  }
+
   test("unregistered identifiers pass through untouched (temp views, plain SQL)") {
     Seq((1, "x")).toDF("a", "b").createOrReplaceTempView("plain_view")
     assert(GraftSql.execute(spark, "SELECT count(*) FROM plain_view")
