@@ -159,20 +159,56 @@ object GraftSql {
       if (!known.contains(name)) None
       else graft.sources.GraftCatalog.resolve(spark, name)
     val q = java.util.regex.Matcher.quoteReplacement _
-    var s = sql
-    s = ApplyIntoNameRe.replaceAllIn(s, m => rootOf(m.group(2))
-      .map(r => q(s"${m.group(1)} '$r'")).getOrElse(q(m.matched)))
-    s = ApplyFromNameRe.replaceAllIn(s, m => rootOf(m.group(2))
-      .map(r => q(s"${m.group(1)} '$r'")).getOrElse(q(m.matched)))
-    s = DmlNameRe.replaceAllIn(s, m => rootOf(m.group(2))
-      .map(r => q(s"${m.group(1)} `$r`")).getOrElse(q(m.matched)))
-    s = DdlNameRe.replaceAllIn(s, m => rootOf(m.group(2))
-      .map(r => q(s"${m.group(1)} '$r'")).getOrElse(q(m.matched)))
-    s = TtNameRe.replaceAllIn(s, m => rootOf(m.group(2))
-      .map(r => q(s"${m.group(1)} '$r'")).getOrElse(q(m.matched)))
-    s = ReadNameRe.replaceAllIn(s, m => rootOf(m.group(2))
-      .map(r => q(s"${m.group(1)} graft_table('$r')")).getOrElse(q(m.matched)))
-    s
+    def pass(text: String): String = {
+      var s = text
+      s = ApplyIntoNameRe.replaceAllIn(s, m => rootOf(m.group(2))
+        .map(r => q(s"${m.group(1)} '$r'")).getOrElse(q(m.matched)))
+      s = ApplyFromNameRe.replaceAllIn(s, m => rootOf(m.group(2))
+        .map(r => q(s"${m.group(1)} '$r'")).getOrElse(q(m.matched)))
+      s = DmlNameRe.replaceAllIn(s, m => rootOf(m.group(2))
+        .map(r => q(s"${m.group(1)} `$r`")).getOrElse(q(m.matched)))
+      s = DdlNameRe.replaceAllIn(s, m => rootOf(m.group(2))
+        .map(r => q(s"${m.group(1)} '$r'")).getOrElse(q(m.matched)))
+      s = TtNameRe.replaceAllIn(s, m => rootOf(m.group(2))
+        .map(r => q(s"${m.group(1)} '$r'")).getOrElse(q(m.matched)))
+      s = ReadNameRe.replaceAllIn(s, m => rootOf(m.group(2))
+        .map(r => q(s"${m.group(1)} graft_table('$r')")).getOrElse(q(m.matched)))
+      s
+    }
+    // rewrite OUTSIDE single-quoted literals only: a data value containing
+    // "from <registered-name>" must pass through byte-identical ('' is the
+    // SQL escaped quote; keyword+identifier pairs never straddle a quote)
+    outsideQuotes(sql)(pass)
+  }
+
+  /** Apply `transform` to the regions of `sql` outside single-quoted
+    * string literals, preserving the literals (and their `''` escapes)
+    * verbatim. Unterminated quotes pass the tail through untransformed —
+    * the parser will reject the statement with its own error. */
+  private[plans] def outsideQuotes(sql: String)(
+      transform: String => String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var segStart = 0
+    while (i < sql.length) {
+      if (sql(i) == '\'') {
+        sb.append(transform(sql.substring(segStart, i)))
+        val lit = new StringBuilder("'")
+        i += 1
+        var done = false
+        while (!done && i < sql.length) {
+          if (sql(i) == '\'' && i + 1 < sql.length && sql(i + 1) == '\'') {
+            lit.append("''"); i += 2
+          } else if (sql(i) == '\'') {
+            lit.append('\''); i += 1; done = true
+          } else { lit.append(sql(i)); i += 1 }
+        }
+        sb.append(lit)
+        segStart = i
+      } else i += 1
+    }
+    if (segStart == 0) transform(sql)
+    else { sb.append(transform(sql.substring(segStart))); sb.toString }
   }
 
   /** [[resolveNames]] against the thread's active session — the parser

@@ -189,6 +189,13 @@ object ConditionalPutStoreAdapter extends StoreAdapter {
       true
     } catch {
       case t: Throwable if StoreAdapter.isAlreadyExists(t) => false
+      case t: Throwable =>
+        // a REAL IO failure mid-write: on an object store nothing
+        // materialized (the body lands at close or not at all), but on a
+        // plain filesystem the create already made the name — remove the
+        // partial file so a torn marker can never be read, then surface
+        try f.delete(target, false) catch { case _: Exception => () }
+        throw t
     }
   }
 }

@@ -99,6 +99,23 @@ class SqlCatalogSpec extends SparkSpec {
       .collect().head.getLong(0) == 1L)
   }
 
+  test("registered names inside string LITERALS are never rewritten") {
+    Seq((1L, "seed")).toDF("id", "x").createOrReplaceTempView("lit_seed")
+    GraftSql.execute(spark, "CREATE TABLE cat_lit AS SELECT * FROM lit_seed")
+    // the literal mentions the registered name in a FROM position — a
+    // naive textual rewrite would corrupt the VALUE into graft_table(...)
+    GraftSql.execute(spark,
+      "INSERT INTO cat_lit VALUES (2, 'copied from cat_lit yesterday')")
+    val got = GraftSql.execute(spark,
+      "SELECT x FROM cat_lit WHERE id = 2").collect().head.getString(0)
+    assert(got == "copied from cat_lit yesterday", s"literal corrupted: '$got'")
+    // escaped quotes inside the literal survive too
+    GraftSql.execute(spark,
+      "INSERT INTO cat_lit VALUES (3, 'it''s from cat_lit')")
+    assert(GraftSql.execute(spark, "SELECT x FROM cat_lit WHERE id = 3")
+      .collect().head.getString(0) == "it's from cat_lit")
+  }
+
   test("unregistered identifiers pass through untouched (temp views, plain SQL)") {
     Seq((1, "x")).toDF("a", "b").createOrReplaceTempView("plain_view")
     assert(GraftSql.execute(spark, "SELECT count(*) FROM plain_view")
