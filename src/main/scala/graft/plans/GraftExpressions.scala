@@ -489,11 +489,16 @@ object QuantileBucket {
   * published. Mirrors Delta's per-AddFile deletion-vector application
   * inside the scan.
   *
+  * `identity` is the masked version's commit-marker mtime — part of the
+  * executor-side bitmap cache key, so a table deleted and recreated at
+  * the same root/version can never be served the dead incarnation's
+  * cached bitmaps by a long-lived executor thread.
+  *
   * `hconf` (second parameter list: carried by the node, outside case
   * equality) is the DRIVER'S Hadoop conf — executors resolve the
   * sidecar's filesystem with it, because their classpath defaults lack
   * per-store settings (object-store credentials, endpoints). */
-case class DvMasked(dir: String, file: Expression, pos: Expression)(
+case class DvMasked(dir: String, identity: Long, file: Expression, pos: Expression)(
     val hconf: org.apache.spark.util.SerializableConfiguration)
   extends BinaryExpression {
 
@@ -515,14 +520,14 @@ case class DvMasked(dir: String, file: Expression, pos: Expression)(
 
   override protected def nullSafeEval(f: Any, p: Any): Any =
     graft.sources.DvBitmaps.lookup(
-      dir, f.asInstanceOf[UTF8String], p.asInstanceOf[Long], hconf)
+      dir, identity, f.asInstanceOf[UTF8String], p.asInstanceOf[Long], hconf)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val dirRef = ctx.addReferenceObj("dvBitmapDir", dir, "java.lang.String")
     val confRef = ctx.addReferenceObj("dvHconf", hconf,
       "org.apache.spark.util.SerializableConfiguration")
     nullSafeCodeGen(ctx, ev, (f, p) =>
-      s"${ev.value} = graft.sources.DvBitmaps.lookup($dirRef, $f, $p, $confRef);")
+      s"${ev.value} = graft.sources.DvBitmaps.lookup($dirRef, ${identity}L, $f, $p, $confRef);")
   }
 
   override protected def withNewChildrenInternal(

@@ -51,15 +51,30 @@ object DvBitmaps {
 
   // ---- encoding -----------------------------------------------------------
 
-  /** Encode ascending positions, picking the smaller of sparse/dense. */
+  /** One file's mask fits neither encoding inside a single byte array
+    * (sparse needs > 2 GiB of longs AND the dense bitset would too).
+    * Derivation for the VERSION is then skipped — an absent `_DONE`
+    * leaves the distributed-join road, which is correct at any size. */
+  final class BitmapTooLargeException(n: Long, maxPos: Long)
+    extends RuntimeException(
+      s"deletion-vector bitmap too large to encode: $n positions, max $maxPos")
+
+  /** Encode ascending positions, picking the smaller of sparse/dense.
+    * Overflow-guarded on BOTH branches: a mask whose sparse form exceeds
+    * `Int.MaxValue` bytes (≈268M positions) falls back to dense when the
+    * dense bitset fits, and throws [[BitmapTooLargeException]] when
+    * neither fits — a truncated `toInt` allocation would otherwise fail
+    * the commit with an opaque negative-size error. */
   private[sources] def encode(sorted: Array[Long]): Array[Byte] = {
     val n = sorted.length
     require(n > 0, "empty bitmap: the writer must skip unmasked files")
     val maxPos = sorted(n - 1)
     val sparseBytes = 2 + 8 + 8L * n
     val denseBytes = 2 + 8 + (maxPos / 8 + 1)
+    val denseFits = denseBytes <= Int.MaxValue.toLong
+    val sparseFits = sparseBytes <= Int.MaxValue.toLong
     val buf =
-      if (denseBytes < sparseBytes && denseBytes <= Int.MaxValue.toLong) {
+      if (denseFits && (denseBytes < sparseBytes || !sparseFits)) {
         val b = java.nio.ByteBuffer.allocate(denseBytes.toInt)
         b.put(Magic).put(1: Byte).putLong(maxPos)
         val bits = new Array[Byte]((maxPos / 8 + 1).toInt)
@@ -71,13 +86,13 @@ object DvBitmaps {
         }
         b.put(bits)
         b
-      } else {
+      } else if (sparseFits) {
         val b = java.nio.ByteBuffer.allocate(sparseBytes.toInt)
         b.put(Magic).put(0: Byte).putLong(n.toLong)
         var i = 0
         while (i < n) { b.putLong(sorted(i)); i += 1 }
         b
-      }
+      } else throw new BitmapTooLargeException(n.toLong, maxPos)
     buf.array()
   }
 
@@ -116,8 +131,16 @@ object DvBitmaps {
     * per file boundary. Heap per task is bounded by the largest single
     * file's mask (a fully-deleted 128 MiB/1M-row file buffers 8 MB).
     * Runs BEFORE publish, inside the staging dir — crash leaves invisible
-    * garbage, never a half-indexed published version. */
-  def write(spark: SparkSession, dvDir: Path): Unit = {
+    * garbage, never a half-indexed published version.
+    *
+    * Returns true when the index fully derived (`_DONE` written). The
+    * bitmaps are a DERIVED OPTIMIZATION, never correctness: on failure —
+    * a single file's mask that fits neither encoding
+    * ([[BitmapTooLargeException]]), or any store error — the half-built
+    * dir is removed, no `_DONE` lands, reads keep the distributed-join
+    * road, and the COMMIT proceeds (the same never-block-the-commit rule
+    * as [[TableStats.write]]). */
+  def write(spark: SparkSession, dvDir: Path): Boolean = {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
     val outDir = new Path(dvDir, DirName)
@@ -127,46 +150,61 @@ object DvBitmaps {
     val hconf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val outStr = outDir.toString
-    spark.read.parquet(dvDir.toString)
-      .select(col("file").cast("string"), col("pos").cast("long"))
-      .repartition(col("file"))
-      .sortWithinPartitions("file", "pos")
-      .as[(String, Long)]
-      .foreachPartition { it: Iterator[(String, Long)] =>
-        val f = new Path(outStr).getFileSystem(hconf.value)
-        var curFile: String = null
-        val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
-        def flush(): Unit = if (curFile != null && buf.nonEmpty) {
-          // distinct within a file: commitCowInternal dedupes the union,
-          // but a defensive dedupe here keeps the encoding's ascending
-          // contract under any caller
-          val sorted = buf.distinct.toArray
-          java.util.Arrays.sort(sorted)
-          val out = f.create(new Path(outStr, binName(curFile)), true)
-          try out.write(encode(sorted)) finally out.close()
-          buf.clear()
+    try {
+      spark.read.parquet(dvDir.toString)
+        .select(col("file").cast("string"), col("pos").cast("long"))
+        .repartition(col("file"))
+        .sortWithinPartitions("file", "pos")
+        .as[(String, Long)]
+        .foreachPartition { it: Iterator[(String, Long)] =>
+          val f = new Path(outStr).getFileSystem(hconf.value)
+          var curFile: String = null
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+          def flush(): Unit = if (curFile != null && buf.nonEmpty) {
+            // distinct within a file: commitCowInternal dedupes the union,
+            // but a defensive dedupe here keeps the encoding's ascending
+            // contract under any caller
+            val sorted = buf.distinct.toArray
+            java.util.Arrays.sort(sorted)
+            val out = f.create(new Path(outStr, binName(curFile)), true)
+            try out.write(encode(sorted)) finally out.close()
+            buf.clear()
+          }
+          it.foreach { case (file, pos) =>
+            if (file != curFile) { flush(); curFile = file }
+            buf += pos
+          }
+          flush()
         }
-        it.foreach { case (file, pos) =>
-          if (file != curFile) { flush(); curFile = file }
-          buf += pos
-        }
-        flush()
-      }
-    // the marker makes "fully derived" a single existence probe — and
-    // distinguishes bitmap-carrying versions from pre-bitmap ones
-    fsc.create(new Path(outDir, DoneMarker), true).close()
+      // the marker makes "fully derived" a single existence probe — and
+      // distinguishes bitmap-carrying versions from pre-bitmap ones
+      fsc.create(new Path(outDir, DoneMarker), true).close()
+      true
+    } catch {
+      case e: Exception =>
+        try fsc.delete(outDir, true) catch { case _: Exception => () }
+        System.err.println(
+          s"[versioned-table] dv bitmap derivation skipped: ${e.getMessage}")
+        false
+    }
   }
 
   // ---- read side (executor-local) ----------------------------------------
 
   /** Single-entry per-thread bitmap cache: a scan task reads one file
     * (or a handful of splits of one file), so consecutive probes hit the
-    * same (dir, file) key — the load cost is paid once per task, not per
-    * row. `bytes == null` = known-absent bitmap (no deletions in that
-    * file). The cached UTF8String is a CLONE: unsafe-row strings can
-    * point into reused scan buffers. */
+    * same (dir, identity, file) key — the load cost is paid once per
+    * task, not per row. `identity` is the version's COMMIT-MARKER mtime,
+    * baked into the plan by the driver ([[graft.plans.DvMasked]]): a
+    * table deleted and recreated at the same root/version changes
+    * identity, so a long-lived executor thread can never serve the dead
+    * incarnation's bitmaps (the executor-side twin of the driver-side
+    * marker-mtime memo keys). `bytes == null` = known-absent bitmap (no
+    * deletions in that file). The cached UTF8String is a CLONE:
+    * unsafe-row strings can point into reused scan buffers. */
   private final class Entry(
       val dir: String,
+      val identity: Long,
       val file: org.apache.spark.unsafe.types.UTF8String,
       val bytes: Array[Byte])
   private val cache = new ThreadLocal[Entry]()
@@ -194,12 +232,15 @@ object DvBitmaps {
     * defaults would lack per-store settings such as object-store
     * credentials. */
   def lookup(
-      dir: String, file: org.apache.spark.unsafe.types.UTF8String,
+      dir: String, identity: Long,
+      file: org.apache.spark.unsafe.types.UTF8String,
       pos: Long,
       hconf: org.apache.spark.util.SerializableConfiguration): Boolean = {
     var e = cache.get()
-    if (e == null || !e.dir.equals(dir) || !e.file.equals(file)) {
-      e = new Entry(dir, file.clone(), load(dir, file.toString, hconf.value))
+    if (e == null || e.identity != identity || !e.dir.equals(dir) ||
+        !e.file.equals(file)) {
+      e = new Entry(dir, identity, file.clone(),
+        load(dir, file.toString, hconf.value))
       cache.set(e)
     }
     e.bytes != null && contains(e.bytes, pos)
@@ -207,8 +248,8 @@ object DvBitmaps {
 
   /** String-keyed convenience (tests, driver-side probes). */
   def lookup(
-      dir: String, file: String, pos: Long,
+      dir: String, identity: Long, file: String, pos: Long,
       hconf: org.apache.spark.util.SerializableConfiguration): Boolean =
-    lookup(dir, org.apache.spark.unsafe.types.UTF8String.fromString(file),
-      pos, hconf)
+    lookup(dir, identity,
+      org.apache.spark.unsafe.types.UTF8String.fromString(file), pos, hconf)
 }

@@ -1197,7 +1197,13 @@ object VersionedTable {
       extraBytesListings.incrementAndGet()
       val p = new Path(dataDir(spark, root, v), s"_$name")
       val f = fs(spark, root)
-      val bytes = if (!f.exists(p)) 0L else f.getContentSummary(p).getLength
+      // DIRECT file children only: sidecar parquet is written flat, and
+      // derived subdirs (the `_dv/_bitmaps` index) must not inflate the
+      // size the broadcast gate / DESCRIBE DETAIL / dvFraction measure —
+      // a bitmap-carrying sidecar would otherwise read ~2x its mask
+      val bytes =
+        if (!f.exists(p)) 0L
+        else f.listStatus(p).iterator.filter(_.isFile).map(_.getLen).sum
       extraBytesMemo.put(key, bytes)
       bytes
     }
