@@ -1284,7 +1284,7 @@ object VersionedTable {
     else dvBitmapsDir(spark, root, v) match {
       case Some(dir) =>
         tagged.where(not(org.apache.spark.sql.graft.ColumnBridge.column(
-          graft.plans.DvMasked(dir,
+          graft.plans.DvMasked(dir, markerIdentity(spark, root, v),
             org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq("__dv_file")),
             org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq("__dv_pos")))(
             new org.apache.spark.util.SerializableConfiguration(
