@@ -498,7 +498,8 @@ object QuantileBucket {
   * equality) is the DRIVER'S Hadoop conf — executors resolve the
   * sidecar's filesystem with it, because their classpath defaults lack
   * per-store settings (object-store credentials, endpoints). */
-case class DvMasked(dir: String, identity: Long, file: Expression, pos: Expression)(
+case class DvMasked private[plans] (
+    dir: String, identity: Long, file: Expression, pos: Expression)(
     val hconf: org.apache.spark.util.SerializableConfiguration)
   extends BinaryExpression {
 
@@ -533,4 +534,19 @@ case class DvMasked(dir: String, identity: Long, file: Expression, pos: Expressi
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(file = newLeft, pos = newRight)(hconf)
+}
+
+object DvMasked {
+  /** The ONE way to build the probe (the constructor is package-private):
+    * the cache-key `identity` and the executor-bound Hadoop conf are
+    * DERIVED here from the version being masked, so no call site can
+    * forget either — exactly the omission that once broke the build. */
+  def forVersion(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String, v: Long, dir: String,
+      file: Expression, pos: Expression): DvMasked =
+    DvMasked(dir, graft.sources.VersionedTable.markerIdentity(spark, root, v),
+      file, pos)(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
 }

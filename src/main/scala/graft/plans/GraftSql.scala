@@ -106,6 +106,8 @@ import graft.sources.{Sinks, VersionedTable}
   * runs these statements directly. */
 object GraftSql {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Execute `sqlText`, routing versioned-table DML/maintenance;
     * delegates everything else to `spark.sql`. */
   def execute(spark: SparkSession, sqlText: String): DataFrame =
@@ -181,26 +183,38 @@ object GraftSql {
     outsideQuotes(sql)(pass)
   }
 
-  /** Apply `transform` to the regions of `sql` outside single-quoted
-    * string literals, preserving the literals (and their `''` escapes)
-    * verbatim. Unterminated quotes pass the tail through untransformed —
-    * the parser will reject the statement with its own error. */
+  /** Apply `transform` to the regions of `sql` outside string literals,
+    * preserving the literals verbatim. Mirrors Spark's lexer: BOTH quote
+    * characters delimit strings (`'...'` and `"..."` — double quotes are
+    * string literals in default mode), a doubled quote (`''` / `""`) is
+    * an escaped quote, and a BACKSLASH escapes the next character inside
+    * a literal (`\'` does not terminate; `\\` is a literal backslash) —
+    * so a registered name after FROM inside a double-quoted value, or
+    * behind a backslash-escaped quote, can never be rewritten into the
+    * data. Unterminated quotes pass the tail through untransformed — the
+    * parser will reject the statement with its own error. */
   private[plans] def outsideQuotes(sql: String)(
       transform: String => String): String = {
     val sb = new StringBuilder
     var i = 0
     var segStart = 0
     while (i < sql.length) {
-      if (sql(i) == '\'') {
+      val c = sql(i)
+      if (c == '\'' || c == '"') {
         sb.append(transform(sql.substring(segStart, i)))
-        val lit = new StringBuilder("'")
+        val lit = new StringBuilder
+        lit.append(c)
         i += 1
         var done = false
         while (!done && i < sql.length) {
-          if (sql(i) == '\'' && i + 1 < sql.length && sql(i + 1) == '\'') {
-            lit.append("''"); i += 2
-          } else if (sql(i) == '\'') {
-            lit.append('\''); i += 1; done = true
+          if (sql(i) == '\\' && i + 1 < sql.length) {
+            // backslash escape: copy both characters blind — the next
+            // char is data whatever it is (quote, backslash, letter)
+            lit.append(sql(i)).append(sql(i + 1)); i += 2
+          } else if (sql(i) == c && i + 1 < sql.length && sql(i + 1) == c) {
+            lit.append(c).append(c); i += 2 // doubled-quote escape
+          } else if (sql(i) == c) {
+            lit.append(c); i += 1; done = true
           } else { lit.append(sql(i)); i += 1 }
         }
         sb.append(lit)
@@ -291,6 +305,21 @@ object GraftSql {
   // named-catalog verbs (GraftCatalog): a NEW name's CTAS lands under the
   // warehouse; LOCATION registers a name for an existing root; DROP
   // removes the pointer only; SHOW GRAFT TABLES lists the catalog
+  //
+  // GATED: bare-identifier CREATE TABLE is ALSO valid Spark-catalog
+  // syntax, and an ungated intercept would hijack every session CTAS the
+  // moment the extensions are injected. The graft forms activate only
+  // when the session opted into the graft catalog — the warehouse conf
+  // is set explicitly, or spark.graft.sql.namedDdl=true (which also
+  // force-DISABLES with =false, warehouse notwithstanding). Ungated
+  // sessions fall through to Spark's own CTAS untouched.
+  private[plans] val NamedDdlKey = "spark.graft.sql.namedDdl"
+  private def namedDdlActive: Boolean =
+    SparkSession.getActiveSession.exists { s =>
+      s.conf.getOption(NamedDdlKey).map(_.trim.equalsIgnoreCase("true"))
+        .getOrElse(s.conf.getOption(
+          graft.sources.GraftCatalog.WarehouseKey).isDefined)
+    }
   private val CreateNamedAsRe =
     """(?is)\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(.+?)\s*;?\s*""".r
   private val CreateNamedLocRe =
@@ -498,8 +527,15 @@ object GraftSql {
       // a REGISTERED name never reaches these: resolveNames already
       // rewrote it to its quoted root (CreateAsRe above then refuses an
       // existing table exactly as for paths). These handle NEW names.
-      case CreateNamedAsRe(name, query) =>
+      case CreateNamedAsRe(name, query) if namedDdlActive =>
         Some(GraftCommand("CREATE TABLE AS", name, s => {
+          // a same-named temp view keeps winning FROM-position resolution
+          // until registration lands in the catalog — surprising enough
+          // to say out loud, not an error (the path face is unambiguous)
+          if (s.catalog.tableExists(name))
+            log.warn(s"CREATE TABLE $name: a temp view or catalog table " +
+              "with this name exists; graft registration shadows it in " +
+              "graft SQL verbs but Spark's own FROM resolution may differ")
           val root = graft.sources.GraftCatalog.defaultRoot(s, name)
           graft.sources.GraftCatalog.register(s, name, root)
           require(VersionedTable.currentVersion(s, root).isEmpty,
@@ -511,7 +547,7 @@ object GraftSql {
                 df.withColumn("_change_type", lit("insert")))),
               preCommit = stillEmptyGuard(s, root))))
         }))
-      case CreateNamedLocRe(name, root) =>
+      case CreateNamedLocRe(name, root) if namedDdlActive =>
         Some(GraftCommand("CREATE TABLE", name, s => {
           graft.sources.GraftCatalog.register(s, name, root)
           Seq(Row("CREATE TABLE", s"$name -> $root", 0L))

@@ -183,10 +183,38 @@ object DvBitmaps {
     } catch {
       case e: Exception =>
         try fsc.delete(outDir, true) catch { case _: Exception => () }
-        System.err.println(
-          s"[versioned-table] dv bitmap derivation skipped: ${e.getMessage}")
+        // a CANCELLED derivation (killed commit, interrupted driver) must
+        // surface, not masquerade as a benign skip — the commit it belongs
+        // to is being torn down and "proceed without bitmaps" would be the
+        // wrong outcome; only genuine derivation failures downgrade to the
+        // distributed-join road
+        if (isCancellation(e)) throw e
+        log.warn(s"dv bitmap derivation skipped for $dvDir; reads above " +
+          "the broadcast threshold fall back to the distributed-join road", e)
         false
     }
+  }
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** True when `e`'s cause chain carries an interruption/cancellation —
+    * Spark wraps a killed job's InterruptedException in SparkException
+    * layers, and the thread's interrupt flag survives some unwinds. */
+  private def isCancellation(e: Throwable): Boolean = {
+    if (Thread.currentThread().isInterrupted) return true
+    var t: Throwable = e
+    val seen = scala.collection.mutable.Set.empty[Throwable]
+    while (t != null && seen.add(t)) {
+      t match {
+        case _: InterruptedException => return true
+        case _: java.io.InterruptedIOException => return true
+        case s if s.getMessage != null &&
+          s.getMessage.toLowerCase.contains("cancelled") => return true
+        case _ =>
+      }
+      t = t.getCause
+    }
+    false
   }
 
   // ---- read side (executor-local) ----------------------------------------

@@ -31,11 +31,11 @@ object PartitionBench {
     // bytes the commit wrote FRESH: refs not carried from the previous
     // version (robust to claim-named dirs)
     def freshDataBytes(root: String, v: Long): Long = {
-      val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
       val prev = VersionedTable.dataFileRefs(spark, root, v - 1).toSet
+      val sizeOf = VersionedTable.fileSizes(spark, root, v)
       VersionedTable.dataFileRefs(spark, root, v)
         .filterNot(prev)
-        .map(r => f.getFileStatus(new Path(root, r)).getLen).sum
+        .map(sizeOf).sum
     }
     def time[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val a = f

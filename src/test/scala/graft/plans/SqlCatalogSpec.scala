@@ -114,6 +114,50 @@ class SqlCatalogSpec extends SparkSpec {
       "INSERT INTO cat_lit VALUES (3, 'it''s from cat_lit')")
     assert(GraftSql.execute(spark, "SELECT x FROM cat_lit WHERE id = 3")
       .collect().head.getString(0) == "it's from cat_lit")
+    // DOUBLE-quoted literals are strings in Spark's default mode — the
+    // tracker must treat them as opaque exactly like single-quoted ones
+    GraftSql.execute(spark,
+      "INSERT INTO cat_lit VALUES (4, \"copied from cat_lit twice\")")
+    assert(GraftSql.execute(spark, "SELECT x FROM cat_lit WHERE id = 4")
+      .collect().head.getString(0) == "copied from cat_lit twice")
+    // BACKSLASH-escaped quote must not end the literal early (a naive
+    // tracker would resume scanning mid-value and rewrite the name)
+    GraftSql.execute(spark,
+      "INSERT INTO cat_lit VALUES (5, 'don\\'t read from cat_lit')")
+    assert(GraftSql.execute(spark, "SELECT x FROM cat_lit WHERE id = 5")
+      .collect().head.getString(0) == "don't read from cat_lit")
+  }
+
+  test("outsideQuotes treats both quote styles and backslash escapes as opaque") {
+    def upper(s: String) = GraftSql.outsideQuotes(s)(_.toUpperCase)
+    assert(upper("select 'from a' x, \"from b\" y") ==
+      "SELECT 'from a' X, \"from b\" Y")
+    assert(upper("select 'it\\'s from a' z") == "SELECT 'it\\'s from a' Z")
+    assert(upper("select \"he said \"\"from a\"\"\" w") ==
+      "SELECT \"he said \"\"from a\"\"\" W")
+    // a single-quote inside a double-quoted literal (and vice versa) is
+    // plain data, not a nested literal boundary
+    assert(upper("select \"o'brien from a\" q, 'say \"from b\"' r") ==
+      "SELECT \"o'brien from a\" Q, 'say \"from b\"' R")
+  }
+
+  test("bare-name CTAS interception is gated on the graft catalog opt-in") {
+    // force-disable: even with the warehouse configured, namedDdl=false
+    // must fall through to Spark's own CTAS (the session did not opt in)
+    spark.conf.set(GraftSql.NamedDdlKey, "false")
+    try {
+      GraftSql.execute(spark, "CREATE TABLE gated_spark_t AS SELECT 1 AS a")
+      assert(GraftCatalog.resolve(spark, "gated_spark_t").isEmpty,
+        "gated-off CTAS must not register a graft table")
+      assert(spark.catalog.tableExists("gated_spark_t"),
+        "gated-off CTAS must reach Spark's catalog")
+    } finally {
+      spark.conf.unset(GraftSql.NamedDdlKey)
+      spark.sql("DROP TABLE IF EXISTS gated_spark_t")
+    }
+    // opt-in path (warehouse set in beforeAll): intercepted by graft
+    GraftSql.execute(spark, "CREATE TABLE gated_graft_t AS SELECT 1 AS a")
+    assert(GraftCatalog.resolve(spark, "gated_graft_t").isDefined)
   }
 
   test("unregistered identifiers pass through untouched (temp views, plain SQL)") {
