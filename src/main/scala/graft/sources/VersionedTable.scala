@@ -2543,7 +2543,11 @@ object VersionedTable {
       ledger,
       versions(spark, root).size,
       protocolOf(spark, root, v)._1.toSeq.sorted.mkString(","),
-      maintenanceReport(spark, root).recommendations.mkString(","))
+      // metadata-only, per this function's contract: the ANN drift probe
+      // reads data (sampled brute-force recall) so DESCRIBE DETAIL skips
+      // it — MAINTAIN [DRY RUN] is the face that measures everything
+      maintenanceReport(spark, root, measureAnnDrift = false)
+        .recommendations.mkString(","))
   }
 
   // ---- auto-maintenance policy --------------------------------------------
@@ -2570,7 +2574,8 @@ object VersionedTable {
       avgRangeOverlap: Double,
       copyLedgerDepth: Int,
       retainedVersions: Int,
-      recommendations: Seq[String])
+      recommendations: Seq[String],
+      annRecall: Seq[(String, Double)] = Nil)
 
   /** MEASURE-THEN-RECOMMEND maintenance policy (the shape of
     * [[graft.operators.Similarity.driftReport]] applied to table
@@ -2591,7 +2596,16 @@ object VersionedTable {
     *    interleaved the key space and range pruning is decaying;
     *  - `foldCopyLedger` when the incremental COPY INTO ledger's
     *    version walk exceeds the fold cadence;
-    *  - `vacuum` when more than `keepVersions` versions are retained.
+    *  - `vacuum` when more than `keepVersions` versions are retained;
+    *  - `rebuild_ann:<name>` when a REGISTERED ANN index's measured
+    *    recall@k ([[graft.operators.AnnIndexes.drift]] — brute-force
+    *    ground truth on a deterministic sample) falls under its floor:
+    *    appends between rebuilds froze the trained geometry while the
+    *    corpus distribution moved (the faiss operating rule, measured).
+    *    The drift probe is the ONE recommendation that reads data — its
+    *    cost is bounded by each index's recorded `sampleEvery`; pass
+    *    `measureAnnDrift = false` for a metadata-only report (what
+    *    `DESCRIBE DETAIL` does).
     *
     * Delta/Iceberg ship auto-compaction heuristics for the same reason:
     * an operator should be TOLD a table needs maintenance, not notice.
@@ -2604,7 +2618,8 @@ object VersionedTable {
       dvFloor: Double = 0.05,
       smallFileFloor: Double = 0.5,
       overlapFloor: Double = 2.0,
-      keepVersions: Int = 96): MaintenanceReport = {
+      keepVersions: Int = 96,
+      measureAnnDrift: Boolean = true): MaintenanceReport = {
     val v = currentVersion(spark, root).getOrElse(
       throw new java.io.IOException(s"no committed version under $root"))
     val refs = dataFileRefs(spark, root, v)
@@ -2637,10 +2652,31 @@ object VersionedTable {
     if (clusteredBy.nonEmpty && overlap >= overlapFloor) recs += "optimize"
     if (ledgerDepth > foldEvery) recs += "foldCopyLedger"
     if (retained > keepVersions) recs += "vacuum"
+    // registered ANN indexes: measure recall against the current corpus
+    // and recommend a geometry rebuild under the recorded floor. A
+    // broken registration (dropped index table) degrades to a logged
+    // skip — one stale pointer must not kill the whole tick.
+    val ann =
+      if (!measureAnnDrift) Nil
+      else graft.operators.AnnIndexes.registered(spark, root).flatMap { sp =>
+        try {
+          val d = graft.operators.AnnIndexes.drift(spark, root, sp)
+          if (d.rebuildRecommended) recs += s"rebuild_ann:${sp.name}"
+          Some(sp.name -> d.recallAtK)
+        } catch {
+          case e: Exception =>
+            maintLog.warn(
+              s"ANN drift probe for index '${sp.name}' on $root failed " +
+                s"(skipping): ${e.getMessage}")
+            None
+        }
+      }
     MaintenanceReport(v, refs.size, tableBytes, dvBytes, dvFraction,
       small, smallFraction, clusteredBy, overlap, ledgerDepth, retained,
-      recs.toSeq)
+      recs.toSeq, ann)
   }
+
+  private val maintLog = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** EXECUTE the verbs [[maintenanceReport]] recommends — the dispatcher
     * an operator (or a scheduler tick per ingest epoch) calls so the
@@ -2679,6 +2715,17 @@ object VersionedTable {
     if (verbs.contains("vacuum")) {
       vacuum(spark, root, keepVersions)
       done += "vacuum"
+    }
+    // drifted ANN indexes: re-train each named index's geometry on the
+    // current corpus (SaveMode.Overwrite build — probes atomically see
+    // the fresh geometry; identical to running build*Index by hand)
+    rep.recommendations.filter(_.startsWith("rebuild_ann:")).foreach { verb =>
+      val name = verb.stripPrefix("rebuild_ann:")
+      graft.operators.AnnIndexes.registered(spark, root)
+        .find(_.name == name).foreach { sp =>
+          graft.operators.AnnIndexes.rebuild(spark, root, sp)
+          done += verb
+        }
     }
     done.toSeq
   }
