@@ -1071,7 +1071,35 @@ object GraftSql {
     sets.reduceOption(_ intersect _)
   }
 
-  private def runMerge(spark: SparkSession, root: String, m: MergeIntoTable): Long = {
+  /** Run a MERGE statement against a versioned-table target, with
+    * caller-supplied extra side tables and an extra pre-publish check
+    * riding the SAME atomic commit — the hook a transactional streaming
+    * apply needs: its `(app_id, batch_id)` txn stamp must publish with
+    * the merged data or not at all (the Delta txnAppId idempotent-sink
+    * pattern; see [[graft.streaming.UpsertStream]]). Parses `sqlText`
+    * with the session parser and refuses anything that is not a MERGE
+    * on a path target. */
+  private[graft] def mergeWithExtras(
+      spark: SparkSession, sqlText: String,
+      extraTables: Map[String, DataFrame],
+      extraPreCommit: Long => Unit): Long = {
+    val parsed = spark.sessionState.sqlParser
+      .parsePlan(resolveNames(spark, sqlText))
+    parsed match {
+      case m: MergeIntoTable =>
+        val root = pathRoot(m.targetTable).getOrElse(
+          throw new IllegalArgumentException(
+            s"mergeWithExtras needs a path-target MERGE, got: $sqlText"))
+        runMerge(spark, root, m, extraTables, extraPreCommit)
+      case other => throw new IllegalArgumentException(
+        s"mergeWithExtras needs a MERGE statement, got: ${other.nodeName}")
+    }
+  }
+
+  private def runMerge(
+      spark: SparkSession, root: String, m: MergeIntoTable,
+      extraTables: Map[String, DataFrame] = Map.empty,
+      extraPreCommit: Long => Unit = _ => ()): Long = {
     // MERGE WITH SCHEMA EVOLUTION (the Delta autoMerge motion): source
     // columns absent from the target are ADDED first — a metadata-only
     // evolveSchema commit (additive, nullable; existing rows backfill
@@ -1247,10 +1275,11 @@ object GraftSql {
           .select(outValues: _*).withColumn("_change_type", lit("update_postimage")))
         .unionByName(inserts.withColumn("_change_type", lit("insert")))
 
-      val occCheck: Long => Unit = _ => {
+      val occCheck: Long => Unit = w => {
         val now = VersionedTable.currentVersion(spark, root)
         if (now != Some(base))
           throw new Sinks.ConcurrentWriteException(root, Some(base), now)
+        extraPreCommit(w)
       }
       try out = Some(
         if (morMode) {
@@ -1267,15 +1296,15 @@ object GraftSql {
           val updated = joined.filter(tPresent && updFilter).select(outValues: _*)
           VersionedTable.commitCow(updated.unionByName(inserts), root,
             VersionedTable.dataFileRefs(spark, root, base),
-            extras = Map("dv" -> newDelWritable, "changes" -> feed),
+            extras = Map("dv" -> newDelWritable, "changes" -> feed) ++ extraTables,
             preCommit = occCheck)
         } else keptRefs match {
           case Some(kept) => VersionedTable.commitCow(
             survivors.unionByName(inserts), root, kept,
-            extras = Map("changes" -> feed), preCommit = occCheck)
+            extras = Map("changes" -> feed) ++ extraTables, preCommit = occCheck)
           case None => VersionedTable.commit(
             survivors.unionByName(inserts), root,
-            extras = Map("changes" -> feed), preCommit = occCheck)
+            extras = Map("changes" -> feed) ++ extraTables, preCommit = occCheck)
         })
       catch {
         case _: Sinks.ConcurrentWriteException if attempt < maxAttempts =>

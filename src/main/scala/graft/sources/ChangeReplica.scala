@@ -48,13 +48,42 @@ object ChangeReplica {
     }
   }
 
+  /** Thrown inside the apply's commit when the batch's txn stamp is at
+    * or below the replica's published high-water mark — the batch was
+    * applied by a replacement writer while this one stalled (the same
+    * zombie defense as [[graft.streaming.UpsertStream]]). */
+  final class StaleBatchException(appId: String, batchId: Long)
+    extends RuntimeException(
+      s"batch $batchId for app $appId already applied — aborting stale apply")
+
   /** Apply one feed batch (must carry `_change_type` and
     * `_commit_version`) to `dstRoot`. Exposed for tests and for callers
     * wiring their own delivery (e.g. a foreachBatch over the streaming
-    * change-feed source). */
+    * change-feed source).
+    *
+    * `txn = Some((appId, batchId))` makes the apply TRANSACTIONAL for a
+    * streaming caller: the stamp rides the SAME atomic commit as the
+    * merged data (Delta's txnAppId/txnVersion idempotent-sink pattern),
+    * [[VersionedTable.lastTxn]] gates a replayed batch into a no-op
+    * BEFORE any work, and the in-claim re-check aborts a zombie writer
+    * with [[StaleBatchException]]. Returns false when the batch was
+    * skipped as a replay. */
   private[graft] def applyBatch(
       spark: SparkSession, dstRoot: String, keyCols: Seq[String],
-      batch: DataFrame): Unit = {
+      batch: DataFrame, txn: Option[(String, Long)] = None): Boolean = {
+    txn match {
+      case Some((appId, batchId))
+          if VersionedTable.lastTxn(spark, dstRoot, appId).exists(_ >= batchId) =>
+        false // replayed batch: already atomically applied and stamped
+      case _ =>
+        try { applyBatchInternal(spark, dstRoot, keyCols, batch, txn); true }
+        catch { case _: StaleBatchException => false }
+    }
+  }
+
+  private def applyBatchInternal(
+      spark: SparkSession, dstRoot: String, keyCols: Seq[String],
+      batch: DataFrame, txn: Option[(String, Long)]): Unit = {
     val missing = keyCols.filterNot(batch.columns.contains)
     require(missing.isEmpty,
       s"key column(s) missing from the feed: ${missing.mkString(", ")}")
@@ -71,6 +100,16 @@ object ChangeReplica {
       .where(col("__rank") === 1)
       .drop("__rank", "_commit_version")
     val dataCols = net.columns.filterNot(_ == "_change_type").toSeq
+    // the txn stamp (if any) publishes INSIDE the same commit as the
+    // applied rows; the in-claim re-check aborts a stalled zombie writer
+    import spark.implicits._
+    val txnExtra: Map[String, DataFrame] = txn.map { case (appId, batchId) =>
+      "txn" -> Seq((appId, batchId)).toDF("app_id", "batch_id")
+    }.toMap
+    val zombieCheck: Long => Unit = _ => txn.foreach { case (appId, batchId) =>
+      if (VersionedTable.lastTxn(spark, dstRoot, appId).exists(_ >= batchId))
+        throw new StaleBatchException(appId, batchId)
+    }
     if (VersionedTable.currentVersion(spark, dstRoot).isEmpty) {
       // bootstrap: the replica is born from the net images, feed-carrying
       // so a replica OF the replica can chain
@@ -78,7 +117,8 @@ object ChangeReplica {
         .select(dataCols.map(col): _*)
       VersionedTable.commit(images, dstRoot,
         extras = Map("changes" -> VersionedTable.feedWritable(
-          images.withColumn("_change_type", lit("insert")))))
+          images.withColumn("_change_type", lit("insert")))) ++ txnExtra,
+        preCommit = zombieCheck)
     } else {
       val view = "__graft_apply_" +
         java.util.UUID.randomUUID().toString.replace("-", "").take(12)
@@ -89,13 +129,15 @@ object ChangeReplica {
         val sets = dataCols.map(c => s"${bq(c)} = s.${bq(c)}").mkString(", ")
         val insCols = dataCols.map(bq).mkString(", ")
         val insVals = dataCols.map(c => s"s.${bq(c)}").mkString(", ")
-        graft.plans.GraftSql.execute(spark,
+        val sql =
           s"""MERGE INTO `$dstRoot` AS t USING $view AS s
              |ON $on
              |WHEN MATCHED AND s._change_type = 'delete' THEN DELETE
              |WHEN MATCHED THEN UPDATE SET $sets
              |WHEN NOT MATCHED AND s._change_type <> 'delete'
-             |  THEN INSERT ($insCols) VALUES ($insVals)""".stripMargin)
+             |  THEN INSERT ($insCols) VALUES ($insVals)""".stripMargin
+        if (txn.isEmpty) graft.plans.GraftSql.execute(spark, sql)
+        else graft.plans.GraftSql.mergeWithExtras(spark, sql, txnExtra, zombieCheck)
       } finally spark.catalog.dropTempView(view)
     }
   }
