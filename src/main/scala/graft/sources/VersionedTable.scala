@@ -363,8 +363,19 @@ object VersionedTable {
       // broadcast threshold. One O(mask) job per DV-carrying commit —
       // the same trade Delta makes writing DV files at delete time.
       // Inside staging, so the index publishes atomically with the mask.
-      if (extras.contains("dv"))
-        DvBitmaps.write(spark, new Path(staging, "_dv"))
+      // FLOOR-GATED ([[DvBitmapFloorKey]]): a mask small enough that
+      // every read broadcasts it skips the derivation job entirely —
+      // the hourly small-delete workload pays zero extra jobs, and the
+      // commit whose cumulative mask crosses the floor derives.
+      if (extras.contains("dv")) {
+        val dvStaged = new Path(staging, "_dv")
+        val stagedBytes =
+          if (!f.exists(dvStaged)) 0L
+          else f.listStatus(dvStaged).iterator.filter(_.isFile).map(_.getLen).sum
+        val floor = spark.conf
+          .get(DvBitmapFloorKey, DvBitmapFloorDefault.toString).toLong
+        if (stagedBytes > floor) DvBitmaps.write(spark, dvStaged)
+      }
     }
     finally prevTsType match {
       case Some(t) => spark.conf.set("spark.sql.parquet.outputTimestampType", t)
@@ -1180,6 +1191,20 @@ object VersionedTable {
     * of masked rows). */
   private[graft] val DvBroadcastThresholdKey = "spark.graft.dv.broadcastThreshold"
   private val DvBroadcastThresholdDefault: Long = 64L << 20
+
+  /** Write-side floor (bytes) below which a DV commit SKIPS deriving the
+    * per-file bitmap index: an hourly 10-row GDPR delete must not pay a
+    * Spark job deriving a 90-byte bitmap that no read will consult (a
+    * mask this small rides the broadcast road at any sane threshold).
+    * The mask carried by each commit is CUMULATIVE, so the commit whose
+    * union crosses the floor derives the index — later reads above the
+    * broadcast gate find it. A session that lowers the broadcast
+    * threshold below this floor falls back to the distributed-join road
+    * for the un-indexed versions: correct, just not exchange-free (set
+    * both knobs together when simulating above-gate reads at toy scale,
+    * as the specs and DvBench do). */
+  private[graft] val DvBitmapFloorKey = "spark.graft.dv.bitmapFloorBytes"
+  private val DvBitmapFloorDefault: Long = 1L << 20
 
   /** On-disk bytes of version `v`'s `_name` sidecar (0 when absent) — an
     * O(#sidecar-files) listing, no Spark job. The size gate for

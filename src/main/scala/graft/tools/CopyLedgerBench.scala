@@ -34,12 +34,16 @@ object CopyLedgerBench {
     VersionedTable.commit(Seq((0L, "seed")).toDF("id", "src"), root)
 
     def extraBytes(v: Long, name: String): Long = {
-      // version dirs are claim-named; resolve through dataFileRefs' dir
+      // version dirs are claim-named; resolve through dataFileRefs' dir.
+      // Direct file children only — the same probe the production
+      // extraBytes uses (sidecar parquet is written flat)
       val dirs = f.listStatus(new Path(root)).map(_.getPath)
         .filter(_.getName.startsWith("v"))
       dirs.flatMap { d =>
         val p = new Path(d, s"_$name")
-        if (f.exists(p)) Some(d.getName -> f.getContentSummary(p).getLength)
+        if (f.exists(p))
+          Some(d.getName ->
+            f.listStatus(p).iterator.filter(_.isFile).map(_.getLen).sum)
         else None
       }.toMap.maxByOption(_._1).map(_._2).getOrElse(0L)
     }

@@ -36,6 +36,10 @@ object DvBench {
       (a, (System.nanoTime() - t0) / 1e9)
     }
 
+    // toy-scale masks are KB-sized: zero the write-side floor so the
+    // bitmap road exists to measure (at real scale the cumulative mask
+    // crosses the default floor on its own)
+    spark.conf.set(VersionedTable.DvBitmapFloorKey, "0")
     Seq(1, 10, 30).foreach { pct =>
       val tmp = java.nio.file.Files.createTempDirectory(s"graft_dv$pct").toString
       val root = s"$tmp/t"

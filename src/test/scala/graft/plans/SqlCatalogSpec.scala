@@ -71,6 +71,23 @@ class SqlCatalogSpec extends SparkSpec {
     assert(listed.get("cat_ext").contains(external))
   }
 
+  test("SHOW GRAFT TABLES tracks the warehouse through creates and drops") {
+    Seq((1L, "x")).toDF("id", "x").createOrReplaceTempView("sgt_seed")
+    GraftSql.execute(spark, "CREATE TABLE sgt_one AS SELECT * FROM sgt_seed")
+    GraftSql.execute(spark, "CREATE TABLE sgt_two AS SELECT * FROM sgt_seed")
+    def listed(): Map[String, String] =
+      GraftSql.execute(spark, "SHOW GRAFT TABLES").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    val both = listed()
+    assert(both.contains("sgt_one") && both.contains("sgt_two"),
+      s"both creates must list: ${both.keySet}")
+    assert(both("sgt_one").startsWith(GraftCatalog.warehouse(spark)))
+    GraftSql.execute(spark, "DROP TABLE sgt_one")
+    val after = listed()
+    assert(!after.contains("sgt_one") && after.contains("sgt_two"),
+      s"drop must remove exactly its pointer: ${after.keySet}")
+  }
+
   test("graft_table TVF family resolves catalog names too") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_cat_tvf").toString + "/t"

@@ -169,7 +169,12 @@ class MorDeleteSpec extends SparkSpec {
     val rootM = freshRoot(); val rootC = freshRoot()
     seed(rootM); seed(rootC)
     val pred = col("id") % 3 === 0 // 100 masked rows across all 3 files
-    val vM = VersionedTable.deleteWhere(spark, rootM, pred, mor = true)
+    // derive the bitmap index despite the toy-scale mask (write-side
+    // floor off), then drop it to simulate the pre-bitmap vintage
+    spark.conf.set(VersionedTable.DvBitmapFloorKey, "0")
+    val vM =
+      try VersionedTable.deleteWhere(spark, rootM, pred, mor = true)
+      finally spark.conf.unset(VersionedTable.DvBitmapFloorKey)
     VersionedTable.deleteWhere(spark, rootC, pred)
     dropBitmaps(rootM, vM)
     // below the (default 64 MiB) threshold the mask broadcasts — the
@@ -202,6 +207,10 @@ class MorDeleteSpec extends SparkSpec {
     val rootM = freshRoot(); val rootC = freshRoot()
     seed(rootM); seed(rootC)
     val pred = col("id") % 3 === 0
+    // toy-scale above-gate simulation: zero BOTH knobs — the write-side
+    // floor so these KB-sized masks derive their bitmap index at all,
+    // and the read gate so the read takes the bitmap road
+    spark.conf.set(VersionedTable.DvBitmapFloorKey, "0")
     VersionedTable.deleteWhere(spark, rootM, pred, mor = true)
     VersionedTable.deleteWhere(spark, rootC, pred)
     spark.conf.set(VersionedTable.DvBroadcastThresholdKey, "0")
@@ -236,7 +245,38 @@ class MorDeleteSpec extends SparkSpec {
         .select("id").collect().map(_.getLong(0)).toSet ==
         VersionedTable.readWhere(spark, rootC, col("id") < 50L)
           .select("id").collect().map(_.getLong(0)).toSet)
-    } finally spark.conf.unset(VersionedTable.DvBroadcastThresholdKey)
+    } finally {
+      spark.conf.unset(VersionedTable.DvBroadcastThresholdKey)
+      spark.conf.unset(VersionedTable.DvBitmapFloorKey)
+    }
+  }
+
+  test("a mask under the bitmap floor skips derivation; the crossing commit derives") {
+    val rootM = freshRoot()
+    seed(rootM)
+    // default floor (1 MiB): a KB-sized mask must NOT pay the derivation
+    // job — no bitmap dir, and the read (below the broadcast gate)
+    // still folds exactly
+    val v1 = VersionedTable.deleteWhere(spark, rootM, col("id") === 3L, mor = true)
+    val f = new org.apache.hadoop.fs.Path(rootM)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def bitmapDir(v: Long) = new org.apache.hadoop.fs.Path(
+      s"$rootM/v${"%08d".format(v)}/_dv/${DvBitmaps.DirName}")
+    assert(!f.exists(bitmapDir(v1)),
+      "a below-floor mask must skip bitmap derivation")
+    assert(!VersionedTable.read(spark, rootM).select("id")
+      .collect().map(_.getLong(0)).contains(3L))
+    // drop the floor: the next cumulative mask crosses it and derives
+    spark.conf.set(VersionedTable.DvBitmapFloorKey, "0")
+    try {
+      val v2 = VersionedTable.deleteWhere(spark, rootM, col("id") === 6L, mor = true)
+      assert(f.exists(new org.apache.hadoop.fs.Path(bitmapDir(v2),
+        DvBitmaps.DoneMarker)),
+        "the crossing commit must derive the full cumulative index")
+      assert(VersionedTable.read(spark, rootM).select("id")
+        .collect().map(_.getLong(0)).toSet
+        .intersect(Set(3L, 6L)).isEmpty)
+    } finally spark.conf.unset(VersionedTable.DvBitmapFloorKey)
   }
 
   test("bitmap encodings round-trip: sparse and dense, membership exact") {
