@@ -69,8 +69,10 @@ object AnnIndexes {
     * [[VersionedTable.setProperties]]); re-registering a name replaces
     * its geometry record. Returns the new table version. */
   def register(spark: SparkSession, root: String, spec: AnnIndexSpec): Long = {
-    val names = (registered(spark, root).map(_.name).toSet + spec.name)
-      .toSeq.sorted
+    // RAW names, not registered(): a record that fails to parse is a
+    // per-tick logged skip, and rewriting the name list from the parsed
+    // view would silently unregister it forever
+    val names = (rawNames(spark, root).toSet + spec.name).toSeq.sorted
     val geom = Map(
       prop(spec.name, "kind") -> spec.kind,
       prop(spec.name, "table") -> spec.table,
@@ -94,7 +96,7 @@ object AnnIndexes {
   /** Drop `name`'s registration (the index tables stay — external-table
     * semantics, like DROP TABLE on a catalog pointer). */
   def unregister(spark: SparkSession, root: String, name: String): Long = {
-    val remaining = registered(spark, root).map(_.name).filterNot(_ == name)
+    val remaining = rawNames(spark, root).filterNot(_ == name)
     val geomKeys = Seq("kind", "table", "path", "idCol", "vecCol", "k",
       "nCells", "nProbes", "nBuckets", "coarseIters", "pqIters",
       "recallFloor", "sampleEvery", "pq").map(prop(name, _))
@@ -106,6 +108,14 @@ object AnnIndexes {
       VersionedTable.unsetProperties(spark, root, geomKeys)
     }
   }
+
+  /** Every name in the registry property, parseable or not — what
+    * register/unregister rewrite the list from. */
+  private def rawNames(spark: SparkSession, root: String): Seq[String] =
+    VersionedTable.currentVersion(spark, root).toSeq.flatMap { v =>
+      VersionedTable.propertiesOf(spark, root, v).get(IndexesProp).toSeq
+        .flatMap(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+    }
 
   /** The indexes registered on `root`'s CURRENT version. Records with
     * missing/corrupt geometry are skipped (a maintenance tick must not
@@ -165,32 +175,11 @@ object AnnIndexes {
           spec.recallFloor, spec.sampleEvery, pq = spec.pqGeom)
       case "pq" =>
         val Some((nSub, subDim, kPerSub, shortlist)) = spec.pqGeom
-        val queries = corpus
-          .filter(pmod(hash(col(spec.idCol)), lit(spec.sampleEvery)) === 0)
-          .localCheckpoint(eager = true)
-        val truth = Similarity.knnBruteForce(
-          queries, corpus, spec.idCol, spec.vecCol, spec.k)
-          .select(col("query_id"), col("neighbor_id"))
-          .localCheckpoint(eager = true)
-        val approx = Similarity.probePqIndex(spark, spec.table, queries,
-          corpus, spec.idCol, spec.vecCol, spec.k,
-          nSub, subDim, kPerSub, shortlist)
-          .select(col("query_id"), col("neighbor_id"))
-        val tot = truth.count()
-        val hits = truth.join(approx, Seq("query_id", "neighbor_id")).count()
-        val recall = if (tot == 0L) 1.0 else hits.toDouble / tot
-        val indexRows = spark.table(spec.table).count()
-        val appendedFraction =
-          if (!spark.catalog.tableExists(s"${spec.table}_meta")) -1.0
-          else {
-            val base = spark.table(s"${spec.table}_meta")
-              .head().getAs[Long]("base_rows")
-            math.max(0.0,
-              (indexRows - base).toDouble / math.max(indexRows, 1L))
-          }
-        Similarity.DriftReport(recall, spec.k, queries.count(), indexRows,
-          appendedFraction, spec.recallFloor,
-          rebuildRecommended = recall < spec.recallFloor)
+        Similarity.measureDrift(spark, spec.table, corpus, spec.idCol,
+          spec.vecCol, spec.k, spec.recallFloor, spec.sampleEvery) { queries =>
+          Similarity.probePqIndex(spark, spec.table, queries, corpus,
+            spec.idCol, spec.vecCol, spec.k, nSub, subDim, kPerSub, shortlist)
+        }
     }
   }
 

@@ -1157,20 +1157,40 @@ object Similarity {
       nProbes: Int,
       recallFloor: Double = 0.9,
       sampleEvery: Int = 100,
-      pq: Option[(Int, Int, Int, Int)] = None): DriftReport = {
+      pq: Option[(Int, Int, Int, Int)] = None): DriftReport =
+    measureDrift(spark, tableName, corpus, idCol, vecCol, k,
+      recallFloor, sampleEvery) { queries =>
+      pq match {
+        case Some((nSub, subDim, kPerSub, shortlist)) =>
+          probeIvfPqIndex(spark, tableName, queries, corpus, idCol, vecCol,
+            k, nProbes, nSub, subDim, kPerSub, shortlist)
+        case None =>
+          probeIvfIndex(spark, tableName, queries, idCol, vecCol, k, nCells, nProbes)
+      }
+    }
+
+  /** The probe-agnostic core of [[driftReport]] — deterministic query
+    * sample, brute-force ground truth, recall against whatever `probe`
+    * returns, appended-fraction from the `<table>_meta` base. Shared by
+    * the PQ-only kind ([[graft.operators.AnnIndexes.drift]]) so the
+    * sampling rule and fraction semantics cannot diverge per kind. */
+  private[operators] def measureDrift(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      recallFloor: Double,
+      sampleEvery: Int)(
+      probe: DataFrame => DataFrame): DriftReport = {
     val queries = corpus
       .filter(pmod(hash(col(idCol)), lit(sampleEvery)) === 0)
       .localCheckpoint(eager = true)
     val truth = knnBruteForce(queries, corpus, idCol, vecCol, k)
       .select(col("query_id"), col("neighbor_id"))
       .localCheckpoint(eager = true)
-    val approx = (pq match {
-      case Some((nSub, subDim, kPerSub, shortlist)) =>
-        probeIvfPqIndex(spark, tableName, queries, corpus, idCol, vecCol,
-          k, nProbes, nSub, subDim, kPerSub, shortlist)
-      case None =>
-        probeIvfIndex(spark, tableName, queries, idCol, vecCol, k, nCells, nProbes)
-    }).select(col("query_id"), col("neighbor_id"))
+    val approx = probe(queries).select(col("query_id"), col("neighbor_id"))
     val tot = truth.count()
     val hits = truth.join(approx, Seq("query_id", "neighbor_id")).count()
     val recall = if (tot == 0L) 1.0 else hits.toDouble / tot

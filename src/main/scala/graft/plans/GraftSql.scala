@@ -109,8 +109,13 @@ object GraftSql {
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Execute `sqlText`, routing versioned-table DML/maintenance;
-    * delegates everything else to `spark.sql`. */
-  def execute(spark: SparkSession, sqlText: String): DataFrame =
+    * delegates everything else to `spark.sql`. Pins the ACTIVE session
+    * to the one passed in: route-time guards with no session parameter
+    * (the named-DDL gate, the DROP membership check) read the active
+    * session, which on a foreign thread could be a different session or
+    * none — the caller's explicit choice must win. */
+  def execute(spark: SparkSession, sqlText: String): DataFrame = {
+    SparkSession.setActiveSession(spark)
     spark.sessionState.sqlParser match {
       case _: GraftSqlParser => spark.sql(sqlText) // parser face handles it
       case p =>
@@ -120,6 +125,7 @@ object GraftSql {
           .map(cmd => CommandBridge.dataFrame(spark, cmd))
           .getOrElse(spark.sql(sql))
     }
+  }
 
   // ---- named-catalog resolution --------------------------------------------
 
@@ -192,7 +198,17 @@ object GraftSql {
     * so a registered name after FROM inside a double-quoted value, or
     * behind a backslash-escaped quote, can never be rewritten into the
     * data. Unterminated quotes pass the tail through untransformed — the
-    * parser will reject the statement with its own error. */
+    * parser will reject the statement with its own error.
+    *
+    * Conf-independence, stated deliberately: Spark's lexer rule for a
+    * string literal consumes `\\.` and doubled quotes regardless of
+    * session confs — `spark.sql.parser.escapedStringLiterals` changes
+    * only how the VALUE is unescaped, never the literal's extent, so
+    * this tracker's boundaries match the lexer under either setting.
+    * `spark.sql.ansi.doubleQuotedIdentifiers` turns `"..."` into an
+    * identifier, and skipping identifier regions is equally correct:
+    * the name rewrites match BARE identifiers only, which a quoted
+    * identifier never is. */
   private[plans] def outsideQuotes(sql: String)(
       transform: String => String): String = {
     val sb = new StringBuilder

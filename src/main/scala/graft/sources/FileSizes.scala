@@ -81,16 +81,13 @@ object FileSizes {
       val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
       refs.map(r => r -> f.getFileStatus(new Path(root, r)).getLen).toMap
     } else {
-      import scala.jdk.CollectionConverters._
-      val confEntries = spark.sparkContext.hadoopConfiguration
-        .iterator().asScala.map(e => (e.getKey, e.getValue)).toVector
+      val hconf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
       val slices = math.min(refs.size,
         math.max(1, spark.sparkContext.defaultParallelism))
       spark.sparkContext.parallelize(refs, slices)
         .mapPartitions { it =>
-          val conf = new org.apache.hadoop.conf.Configuration(false)
-          confEntries.foreach { case (k, v) => conf.set(k, v) }
-          val f = new Path(root).getFileSystem(conf)
+          val f = new Path(root).getFileSystem(hconf.value)
           it.map(r => r -> f.getFileStatus(new Path(root, r)).getLen)
         }
         .collect().toMap

@@ -490,11 +490,18 @@ object VersionedTable {
     // AddFile.size): the listing below is the only metadata pass — its
     // FileStatus rows already carry the lengths, so maintenance never
     // again pays a per-file getFileStatus walk ([[fileSizes]]). Keyed
-    // root-relative, the strings [[dataFileRefs]] returns.
-    FileSizes.write(f, dir,
+    // root-relative, the strings [[dataFileRefs]] returns. NEVER blocks
+    // the commit (the TableStats rule): the sidecar is a derived
+    // optimization with a complete stat-fallback road in the reader.
+    try FileSizes.write(f, dir,
       dataFileRels(f, dir).map { case (st, rel) =>
         (f"v$v%08d/" + rel) -> st.getLen
       })
+    catch {
+      case e: Exception =>
+        maintLog.warn(s"size-sidecar write skipped for $dir " +
+          "(reads fall back to a distributed stat)", e)
+    }
     // (3b) caller's pre-publish metadata (manifest, carried-forward stats)
     finalizeVersion(f, dir, v)
     // (3c)+(4) publish — WINNER-TAKES-VERSION-N (the Delta commit-log
@@ -1830,9 +1837,17 @@ object VersionedTable {
         if (rows.nonEmpty && covered) TableStats.writeRows(fh, dir, rows)
         else fh.delete(new Path(dir, "_stats"), true)
         // kept files' byte sizes carry beside their stats (own files'
-        // rows were recorded by commitWith's listing already)
-        val curSizes = fileSizes(spark, root, cur)
-        FileSizes.append(fh, dir, keptFiles.map(r => r -> curSizes(r)))
+        // rows were recorded by commitWith's listing already). Derived
+        // optimization: a failure here (e.g. the legacy-vintage stat
+        // fallback hitting a transient store error) must not abort a
+        // data commit that never needed sizes — readers fall back.
+        try {
+          val curSizes = fileSizes(spark, root, cur)
+          FileSizes.append(fh, dir, keptFiles.map(r => r -> curSizes(r)))
+        } catch {
+          case e: Exception =>
+            maintLog.warn(s"size-sidecar carry skipped for $dir", e)
+        }
         val out = fh.create(
           new Path(new Path(dir, "_manifest"), "manifest.txt"), true)
         try out.write(refs.mkString("", "\n", "\n").getBytes("UTF-8"))
@@ -2437,10 +2452,16 @@ object VersionedTable {
         val covered = srcRefs.forall(r => srcStats.contains(srcKeyOf(r)))
         if (rows.nonEmpty && covered) TableStats.writeRows(fh, dir, rows)
         else fh.delete(new Path(dir, "_stats"), true)
-        // sizes carry re-keyed to the clone's absolute refs
-        val srcSizes = fileSizes(spark, srcRoot, v)
-        FileSizes.append(fh, dir,
-          srcRefs.zip(refs).map { case (r, abs) => abs -> srcSizes(r) })
+        // sizes carry re-keyed to the clone's absolute refs (derived
+        // optimization — a failure must not block the clone)
+        try {
+          val srcSizes = fileSizes(spark, srcRoot, v)
+          FileSizes.append(fh, dir,
+            srcRefs.zip(refs).map { case (r, abs) => abs -> srcSizes(r) })
+        } catch {
+          case e: Exception =>
+            maintLog.warn(s"size-sidecar carry skipped for clone $dir", e)
+        }
         val out = fh.create(
           new Path(new Path(dir, "_manifest"), "manifest.txt"), true)
         try out.write(refs.mkString("", "\n", "\n").getBytes("UTF-8"))
@@ -3327,8 +3348,14 @@ object VersionedTable {
             val covered = tgtRefs.forall(r => tgtStats.contains(tgtKeyed(r)))
             if (rows.nonEmpty && covered) TableStats.writeRows(fh, dir, rows)
             // the restored snapshot's sizes are the target's, re-carried
-            val tgtSizes = fileSizes(spark, root, toVersion)
-            FileSizes.append(fh, dir, tgtRefs.map(r => r -> tgtSizes(r)))
+            // (derived optimization — never blocks the restore)
+            try {
+              val tgtSizes = fileSizes(spark, root, toVersion)
+              FileSizes.append(fh, dir, tgtRefs.map(r => r -> tgtSizes(r)))
+            } catch {
+              case e: Exception =>
+                maintLog.warn(s"size-sidecar carry skipped for restore $dir", e)
+            }
             val out = fh.create(
               new Path(new Path(dir, "_manifest"), "manifest.txt"), true)
             try out.write(tgtRefs.mkString("", "\n", "\n").getBytes("UTF-8"))
@@ -3451,9 +3478,25 @@ object VersionedTable {
   }
 
   /** Total data bytes of version `v`, manifest-aware (a COW snapshot's
-    * bytes live partly in earlier version dirs). */
-  private def snapshotBytes(spark: SparkSession, root: String, v: Long): Long =
-    fileSizes(spark, root, v).values.sum
+    * bytes live partly in earlier version dirs). MEMOIZED like
+    * [[extraBytesMemo]] (one Long per version, keyed on the commit
+    * marker's mtime): a published snapshot's bytes are immutable, and
+    * `DESCRIBE HISTORY` on a PRE-UPGRADE table (no recorded `_sizes` for
+    * old versions — they never heal) would otherwise re-run the
+    * distributed stat fallback for every version on every call. */
+  private val snapshotBytesMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), java.lang.Long]()
+
+  private def snapshotBytes(spark: SparkSession, root: String, v: Long): Long = {
+    val key = (root, v, markerIdentity(spark, root, v))
+    val got = snapshotBytesMemo.get(key)
+    if (got != null) got.longValue()
+    else {
+      val bytes = fileSizes(spark, root, v).values.sum
+      snapshotBytesMemo.put(key, bytes)
+      bytes
+    }
+  }
 
   def compact(
       spark: SparkSession, root: String,

@@ -128,5 +128,21 @@ class AnnMaintenanceSpec extends SparkSpec {
     val rep = VersionedTable.maintenanceReport(spark, root)
     assert(rep.annRecall.isEmpty)
     assert(!rep.recommendations.exists(_.startsWith("rebuild_ann:")))
+    // a CORRUPT record (name listed, geometry unparseable) is a logged
+    // per-tick skip — later registrations must NOT rewrite it away
+    val v = VersionedTable.setProperties(spark, root, Map(
+      AnnIndexes.IndexesProp -> "broken,ghost",
+      "graft.ann.broken.kind" -> "no-such-kind"))
+    assert(v > 0)
+    AnnIndexes.register(spark, root, AnnIndexes.AnnIndexSpec(
+      name = "fresh", kind = "ivf",
+      table = "graft_annm_fresh", path = "/nowhere2",
+      idCol = "vec_id", vecCol = "embedding",
+      k = 5, nCells = 16, nProbes = 3))
+    val cur = VersionedTable.currentVersion(spark, root).get
+    val names = VersionedTable.propertiesOf(spark, root, cur)(
+      AnnIndexes.IndexesProp)
+    assert(names.split(',').toSet == Set("broken", "fresh", "ghost"),
+      s"register must preserve the unparseable name: $names")
   }
 }

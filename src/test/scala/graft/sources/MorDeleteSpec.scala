@@ -209,12 +209,13 @@ class MorDeleteSpec extends SparkSpec {
     val pred = col("id") % 3 === 0
     // toy-scale above-gate simulation: zero BOTH knobs — the write-side
     // floor so these KB-sized masks derive their bitmap index at all,
-    // and the read gate so the read takes the bitmap road
+    // and the read gate so the read takes the bitmap road. Everything
+    // under try so a failing delete cannot leak the zeroed confs.
     spark.conf.set(VersionedTable.DvBitmapFloorKey, "0")
-    VersionedTable.deleteWhere(spark, rootM, pred, mor = true)
-    VersionedTable.deleteWhere(spark, rootC, pred)
     spark.conf.set(VersionedTable.DvBroadcastThresholdKey, "0")
     try {
+      VersionedTable.deleteWhere(spark, rootM, pred, mor = true)
+      VersionedTable.deleteWhere(spark, rootC, pred)
       val gated = VersionedTable.read(spark, rootM)
       val plan = planOf(gated)
       // the scan-integrated road: the mask is applied per file INSIDE the
