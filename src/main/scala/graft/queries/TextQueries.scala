@@ -34,7 +34,8 @@ object TextQueries {
     "st3_stream_enrich"  -> ((s, d) => st3(s, d)),
     "st4_stream_state"   -> ((s, d) => st4(s, d)),
     "st5_stream_dedup"   -> ((s, d) => st5(s, d)),
-    "st6_stream_join"    -> ((s, d) => st6(s, d))
+    "st6_stream_join"    -> ((s, d) => st6(s, d)),
+    "st7_stream_apply"   -> ((s, d) => st7(s, d))
   )
 
   private val SessionGapSeconds = 7200L // same boundary as q13
@@ -242,6 +243,35 @@ object TextQueries {
         ev.filter(col("event_type") === "click"),
         ev.filter(col("event_type") === "purchase"))
       .orderBy(col("purchase_id"), col("click_id"))
+  }
+
+  /** st7: CONTINUOUS APPLY CHANGES run end to end — unlike st1–st6
+    * (batch faces, stream ≡ batch spec-asserted) this key runs the REAL
+    * streaming query: a feed-carrying source table takes an insert
+    * seed, an append, an update, and a delete; [[ReplicaStream]] then
+    * replays the whole feed through the change-feed source into a fresh
+    * replica, each micro-batch one txn-stamped net-effect merge. The
+    * result is the replica's final content, which the oracle states
+    * relationally — so the correctness gate covers the stream source,
+    * the net-effect fold, AND the transactional apply in one key. */
+  def st7(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.VersionedTable
+    val tmp = java.nio.file.Files.createTempDirectory("graft_st7").toString
+    val src = s"$tmp/src"; val dst = s"$tmp/dst"; val ck = s"$tmp/ck"
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val seed = orders.where(col("o_orderkey") % 4 === 1)
+    VersionedTable.commit(seed, src, extras = Map("changes" ->
+      VersionedTable.feedWritable(
+        seed.withColumn("_change_type", lit("insert")))))
+    VersionedTable.commitAppend(
+      orders.where(col("o_orderkey") % 4 === 2), src, changeFeed = true)
+    VersionedTable.updateWhere(s, src, col("o_orderkey") % 10 === 0,
+      Map("o_orderstatus" -> lit("X")))
+    VersionedTable.deleteWhere(s, src, col("o_totalprice") < lit(50000.0))
+    graft.streaming.ReplicaStream.start(s, src, dst, Seq("o_orderkey"), ck,
+      appId = "st7", availableNow = true).awaitTermination()
+    VersionedTable.read(s, dst).orderBy(col("o_orderkey"))
   }
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -517,6 +547,17 @@ object TextQueries {
         | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
         |ORDER BY purchase_id, click_id""".stripMargin,
+    // the replica's final state, stated relationally: seed + append,
+    // then the update's CASE, then the delete's complement
+    "st7_stream_apply" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END
+        |    AS o_orderstatus,
+        |  o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 4 IN (1, 2)
+        |  AND NOT (o_totalprice < 50000.0)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "st5_stream_dedup" ->
       s"""WITH feed AS (
