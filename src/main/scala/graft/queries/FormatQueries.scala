@@ -30,7 +30,8 @@ object FormatQueries {
     "q29_format_evolution" -> ((s, d) => q29(s, d)),
     "q30_format_partition" -> ((s, d) => q30(s, d)),
     "q31_format_schema"    -> ((s, d) => q31(s, d)),
-    "q32_catalog_widen"    -> ((s, d) => q32(s, d))
+    "q32_catalog_widen"    -> ((s, d) => q32(s, d)),
+    "q33_convert"          -> ((s, d) => q33(s, d))
   )
 
   private def freshRoot(): String =
@@ -186,7 +187,34 @@ object FormatQueries {
         "ORDER BY o_orderkey")
   }
 
+  /** q33: CONVERT TO GRAFT — an existing plain-parquet directory becomes
+    * a versioned table IN PLACE (manifest by absolute reference, zero
+    * data movement), then proves full citizenship: an INSERT lands a
+    * version dir beside the original files, a DELETE is a COW over the
+    * converted refs, and the final read crosses both vintages. The
+    * oracle states the surviving rows relationally. */
+  def q33(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot()
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    orders.where(col("o_orderkey") % 3 === 1)
+      .repartitionByRange(4, col("o_orderkey"))
+      .write.parquet(root)
+    GraftSql.execute(s, s"CONVERT TO GRAFT '$root'")
+    orders.where(col("o_orderkey") % 3 === 2)
+      .createOrReplaceTempView("q33_more")
+    GraftSql.execute(s, s"INSERT INTO `$root` SELECT * FROM q33_more")
+    GraftSql.execute(s, s"DELETE FROM `$root` WHERE o_totalprice < 75000.0")
+    VersionedTable.read(s, root).orderBy(col("o_orderkey"))
+  }
+
   def oracles: Map[String, String] = Map(
+    "q33_convert" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 3 IN (1, 2)
+        |  AND NOT (o_totalprice < 75000.0)
+        |ORDER BY o_orderkey""".stripMargin,
     "q27_format_merge" ->
       """WITH t AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate

@@ -86,27 +86,36 @@ object TableStats {
           else Nil
         }
       val files = walk(dir, "")
-      val rows =
-        if (files.size <= DriverFooterBudget)
-          files.flatMap { case (p, key) => fileRows(f.getConf, p, key) }
-        else {
-          val confEntries = f.getConf.iterator().asScala
-            .map(e => (e.getKey, e.getValue)).toVector
-          val paths = files.map { case (p, key) => (p.toString, key) }
-          val slices = math.min(paths.size,
-            math.max(1, spark.sparkContext.defaultParallelism))
-          spark.sparkContext.parallelize(paths, slices)
-            .mapPartitions { it =>
-              val conf = new org.apache.hadoop.conf.Configuration(false)
-              confEntries.foreach { case (k, v) => conf.set(k, v) }
-              it.flatMap { case (s, key) => fileRows(conf, new Path(s), key) }
-            }
-            .collect().toSeq
-        }
+      val rows = collectRows(spark, f, files)
       if (rows.nonEmpty) writeRows(f, dir, rows)
     } catch {
       case e: Exception =>
         System.err.println(s"[versioned-table] stats collection skipped: ${e.getMessage}")
+    }
+
+  /** Collect stat rows for explicit (path, key) pairs — shared by the
+    * commit-side footer pass and CONVERT's external-file import (where
+    * the keys are the manifest refs the reader will look files up by).
+    * Driver-side under [[DriverFooterBudget]], one distributed footer
+    * job above it: the driver never loops over O(files) I/O. */
+  private[sources] def collectRows(
+      spark: SparkSession, f: FileSystem, files: Seq[(Path, String)])
+      : Seq[(String, String, String, Option[String], Option[String], Long, Long)] =
+    if (files.size <= DriverFooterBudget)
+      files.flatMap { case (p, key) => fileRows(f.getConf, p, key) }
+    else {
+      val confEntries = f.getConf.iterator().asScala
+        .map(e => (e.getKey, e.getValue)).toVector
+      val paths = files.map { case (p, key) => (p.toString, key) }
+      val slices = math.min(paths.size,
+        math.max(1, spark.sparkContext.defaultParallelism))
+      spark.sparkContext.parallelize(paths, slices)
+        .mapPartitions { it =>
+          val conf = new org.apache.hadoop.conf.Configuration(false)
+          confEntries.foreach { case (k, v) => conf.set(k, v) }
+          it.flatMap { case (s, key) => fileRows(conf, new Path(s), key) }
+        }
+        .collect().toSeq
     }
 
   /** Write a stats table from precomputed rows (fileKey, column, kind,

@@ -849,14 +849,24 @@ object VersionedTable {
   def hasChangeFeed(spark: SparkSession, root: String, v: Long): Boolean =
     fs(spark, root).exists(new Path(dataDir(spark, root, v), "_changes"))
 
-  /** Root-relative ref of the file each row was read from — the join key
-    * between scanned rows and the deletion-vector/manifest file naming
-    * (refs always look like `vNNNNNNNN/part-...parquet`). */
+  /** Ref of the file each row was read from — the join key between
+    * scanned rows and the deletion-vector/manifest file naming. Files in
+    * version dirs key by their `vNNNNNNNN/...` tail (root-independent,
+    * what the DV sidecar stores); files OUTSIDE any version dir — a
+    * CONVERTED table's original files ([[convertToGraft]]) — fall back
+    * to the FULL path, normalized to [[Path]]'s empty-authority form
+    * (`file:/x`, not the scan's `file:///x`) so it compares equal to
+    * the manifest's `makeQualified` refs. Without the fallback every
+    * converted file would key as "" and MOR positions would collide
+    * across files. */
   private def fileRefCol: Column = {
-    import org.apache.spark.sql.functions.{col, regexp_extract}
+    import org.apache.spark.sql.functions.{col, regexp_extract, regexp_replace, when, length}
     // multi-segment: a partitioned snapshot's files nest under
     // `vNNNNNNNN/__p_<col>=<val>/...`
-    regexp_extract(col("_metadata.file_path"), "(v\\d{8}/.+)$", 1)
+    val tail = regexp_extract(col("_metadata.file_path"), "(v\\d{8}/.+)$", 1)
+    val normalizedFull = regexp_replace(col("_metadata.file_path"),
+      "^([a-zA-Z0-9+.-]+):///", "$1:/")
+    when(length(tail) > 0, tail).otherwise(normalizedFull)
   }
 
   /** The `vNNNNNNNN/name` tail of a manifest ref — identity for ordinary
@@ -2472,6 +2482,81 @@ object VersionedTable {
       recordProperties = Some(propertiesOf(spark, srcRoot, v)),
       recordMapping = Some((columnMapping(spark, srcRoot, v),
         retiredPhysicals(spark, srcRoot, v))))
+  }
+
+  /** CONVERT an existing plain-parquet directory into a versioned table
+    * IN PLACE (Delta's `CONVERT TO DELTA`): version 1 is a MANIFEST
+    * commit referencing the existing files by absolute path — ZERO data
+    * bytes move at any table size — with the inferred schema recorded,
+    * per-file stats collected (distributed footer read beyond the
+    * driver budget, so a million-file conversion never loops on the
+    * driver), and byte sizes recorded from the same listing. After the
+    * convert the directory is a full citizen: append/delete/update/
+    * optimize/time-travel all work, and new commits land in version
+    * dirs beside the original files (which vacuum never touches — they
+    * are referenced data, exactly like a shallow clone's source).
+    *
+    * Hive-PARTITIONED layouts (`col=val/` subdirectories) are REFUSED:
+    * their partition values live only in dir names, which this format's
+    * manifest read does not synthesize — route those through `COPY
+    * INTO`/`commit(partitionBy = ...)`, which rewrites once into the
+    * format's own layout. No change feed is recorded (the files predate
+    * the log — same as Delta); streaming consumers start with
+    * [[graft.streaming.ChangeFeedStream]]'s `initialSnapshot`. */
+  def convertToGraft(spark: SparkSession, root: String): Long = {
+    require(currentVersion(spark, root).isEmpty,
+      s"$root already holds a versioned table")
+    val f = fs(spark, root)
+    val rootPath = f.makeQualified(new Path(root))
+    require(f.exists(rootPath) && f.getFileStatus(rootPath).isDirectory,
+      s"CONVERT TO GRAFT needs an existing directory: $root")
+    def walk(d: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      f.listStatus(d).toSeq.flatMap { s =>
+        val n = s.getPath.getName
+        if (s.isDirectory) {
+          if (n.startsWith("_") || n.startsWith(".")) Nil
+          else {
+            require(!n.contains("="),
+              s"$root is a Hive-partitioned layout ($n): partition values " +
+                "live only in dir names, which a manifest read cannot " +
+                "synthesize — load it with COPY INTO / commit(partitionBy)")
+            walk(s.getPath)
+          }
+        } else if (n.endsWith(".parquet") && !n.startsWith("_") &&
+            !n.startsWith(".")) Seq(s)
+        else Nil
+      }
+    val files = walk(rootPath)
+    require(files.nonEmpty, s"no parquet files under $root to convert")
+    val refs = files.map(s => f.makeQualified(s.getPath).toString)
+    val schema = spark.read.option("recursiveFileLookup", "true")
+      .parquet(root).schema
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    commitWith(empty, root, collectStats = false, extras = Map.empty,
+      // two racing converters must not both claim success
+      preCommit = _ => currentVersion(spark, root).foreach(cv =>
+        throw new IllegalStateException(
+          s"concurrent CONVERT: $root gained v$cv while this one ran")),
+      finalizeVersion = (fh, dir, _) => {
+        val rows = TableStats.collectRows(spark, fh,
+          files.map(s => (s.getPath, f.makeQualified(s.getPath).toString)))
+        // all-or-none coverage, as every stats table
+        val keyed = rows.map(_._1).toSet
+        if (rows.nonEmpty && refs.forall(keyed))
+          TableStats.writeRows(fh, dir, rows)
+        try FileSizes.append(fh, dir,
+          files.map(s => f.makeQualified(s.getPath).toString -> s.getLen))
+        catch {
+          case e: Exception =>
+            maintLog.warn(s"size-sidecar write skipped for convert $dir", e)
+        }
+        val out = fh.create(
+          new Path(new Path(dir, "_manifest"), "manifest.txt"), true)
+        try out.write(refs.mkString("", "\n", "\n").getBytes("UTF-8"))
+        finally out.close()
+      },
+      recordSchema = Some(schema))
   }
 
   /** Constraints whose expression mentions `column` as a word — the
