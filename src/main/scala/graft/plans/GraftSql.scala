@@ -316,6 +316,8 @@ object GraftSql {
     """(?is)\s*CREATE\s+TABLE\s+'([^']+)'\s+SHALLOW\s+CLONE\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*;?\s*""".r
   private val ConvertRe =
     """(?is)\s*CONVERT\s+TO\s+GRAFT\s+'([^']+)'\s*;?\s*""".r
+  private val DeepCloneRe =
+    """(?is)\s*CREATE\s+TABLE\s+'([^']+)'\s+DEEP\s+CLONE\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*;?\s*""".r
   private val CopyIntoRe =
     """(?is)\s*COPY\s+INTO\s+'([^']+)'\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)(?:\s+PATTERN\s*=\s*'([^']+)')?(?:\s+FORMAT_OPTIONS\s*\((.*)\))?\s*;?\s*""".r
   private val CreateAsRe =
@@ -526,6 +528,13 @@ object GraftSql {
         Some(GraftCommand("CONVERT TO GRAFT", root, s =>
           Seq(Row("CONVERT TO GRAFT", root,
             VersionedTable.convertToGraft(s, root)))))
+      case DeepCloneRe(dest, src, v, ts) =>
+        Some(GraftCommand("DEEP CLONE", dest, s =>
+          Seq(Row("DEEP CLONE", dest,
+            VersionedTable.deepClone(s, dest, src,
+              Option(v).map(_.toLong).orElse(Option(ts).map(t =>
+                VersionedTable.versionAsOf(s, src,
+                  java.sql.Timestamp.valueOf(t)))))))))
       case CreateAsRe(root, query) =>
         Some(GraftCommand("CREATE TABLE AS", root, s => {
           require(VersionedTable.currentVersion(s, root).isEmpty,

@@ -31,7 +31,8 @@ object FormatQueries {
     "q30_format_partition" -> ((s, d) => q30(s, d)),
     "q31_format_schema"    -> ((s, d) => q31(s, d)),
     "q32_catalog_widen"    -> ((s, d) => q32(s, d)),
-    "q33_convert"          -> ((s, d) => q33(s, d))
+    "q33_convert"          -> ((s, d) => q33(s, d)),
+    "q34_deep_clone"       -> ((s, d) => q34(s, d))
   )
 
   private def freshRoot(): String =
@@ -208,7 +209,38 @@ object FormatQueries {
     VersionedTable.read(s, root).orderBy(col("o_orderkey"))
   }
 
+  /** q34: DEEP CLONE — an INDEPENDENT byte-level copy of a multi-commit
+    * snapshot (the distributed file-copy road: no masks, no partitions),
+    * then proves independence the only way that matters: DML against the
+    * clone while the SOURCE stays byte-identical — a shallow clone would
+    * share files here; the deep clone owns its own. The returned frame is
+    * the mutated clone; the untouched source is asserted inside the query
+    * (count preserved) so a shared-file bug fails loudly, not silently. */
+  def q34(s: SparkSession, dir: String): DataFrame = {
+    val src = freshRoot()
+    val dst = freshRoot()
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    VersionedTable.commit(orders.where(col("o_orderkey") % 3 === 0), src)
+    orders.where(col("o_orderkey") % 3 === 1)
+      .createOrReplaceTempView("q34_more")
+    GraftSql.execute(s, s"INSERT INTO `$src` SELECT * FROM q34_more")
+    val srcRows = VersionedTable.read(s, src).count()
+    GraftSql.execute(s, s"CREATE TABLE '$dst' DEEP CLONE '$src'")
+    GraftSql.execute(s, s"DELETE FROM `$dst` WHERE o_totalprice < 50000.0")
+    val after = VersionedTable.read(s, src).count()
+    require(after == srcRows,
+      s"deep clone not independent: source went $srcRows -> $after rows")
+    VersionedTable.read(s, dst).orderBy(col("o_orderkey"))
+  }
+
   def oracles: Map[String, String] = Map(
+    "q34_deep_clone" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 3 IN (0, 1)
+        |  AND NOT (o_totalprice < 50000.0)
+        |ORDER BY o_orderkey""".stripMargin,
     "q33_convert" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders

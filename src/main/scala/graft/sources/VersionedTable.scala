@@ -2484,6 +2484,128 @@ object VersionedTable {
         retiredPhysicals(spark, srcRoot, v))))
   }
 
+  /** DEEP CLONE (Delta's `CREATE TABLE ... DEEP CLONE`): an INDEPENDENT
+    * copy of `srcRoot`'s snapshot at `version` — where a shallow clone
+    * references the source's files (vacuuming the source can strand it),
+    * a deep clone OWNS its bytes: the data files are copied byte-for-
+    * byte by a DISTRIBUTED job (one task per slice of files — the
+    * driver never streams data), landing as version 1's own snapshot
+    * with the source's schema/constraints/properties/mapping and its
+    * per-file STATS AND SIZES carried re-keyed (no footer re-read, no
+    * stat walk — the copy is the only data I/O). Clones re-emit no
+    * history (a zero-row feed, as shallow clones).
+    *
+    * A snapshot carrying DELETION VECTORS — or a PARTITIONED layout —
+    * takes the REWRITE road instead ([[readVersion]] folds the masks,
+    * one clean write under the recorded partition spec): a byte copy
+    * would carry masks keyed by source-version tails (wrong in the
+    * clone's namespace) or flatten the `p__col=val` layout the
+    * partition verbs depend on. Delta's deep clone copies its DV files
+    * for the same reason ours re-keys nothing: the rewrite is the
+    * simpler correct form, and the clone is then mask-free. */
+  def deepClone(
+      spark: SparkSession, destRoot: String, srcRoot: String,
+      version: Option[Long] = None): Long = {
+    require(currentVersion(spark, destRoot).isEmpty,
+      s"deep clone target $destRoot already holds a versioned table")
+    val v = version.orElse(currentVersion(spark, srcRoot)).getOrElse(
+      throw new java.io.IOException(s"no committed version under $srcRoot"))
+    require(isCommitted(spark, srcRoot, v),
+      s"version $v is not committed under $srcRoot")
+    assertReadable(spark, srcRoot, v)
+    val schema = schemaOf(spark, srcRoot, v)
+    val emptyGuard: Long => Unit =
+      _ => currentVersion(spark, destRoot).foreach(dv =>
+        throw new IllegalStateException(
+          s"concurrent CREATE: $destRoot gained v$dv while this clone ran"))
+    // the COPY INTO ledger rides along (as in shallowClone): re-running
+    // the source's ingest against the clone must not double-load
+    val ledgerExtra = copyLedger(spark, srcRoot, v)
+      .map(l => "copyfull" -> l.localCheckpoint(eager = true)).toMap
+    if (hasDeletionVectors(spark, srcRoot, v) ||
+        partitionColumnsOf(spark, srcRoot, v).nonEmpty) {
+      // masked or partitioned snapshot: rewrite road — one clean write
+      // (the recorded PartitionByProp, carried via recordProperties,
+      // shapes the layout exactly as any commit against the spec)
+      return commitWith(readVersion(spark, srcRoot, v), destRoot,
+        collectStats = true,
+        extras = Map("changes" -> emptyFeed(readVersion(spark, srcRoot, v))) ++
+          ledgerExtra,
+        finalizeVersion = (_, _, _) => (),
+        preCommit = emptyGuard,
+        recordSchema = Some(schema),
+        recordConstraints = Some(constraintsOf(spark, srcRoot, v)),
+        recordProperties = Some(propertiesOf(spark, srcRoot, v)))
+    }
+    val srcFs = fs(spark, srcRoot)
+    val srcRefs = dataFileRefs(spark, srcRoot, v)
+    // one unique flat name per source ref: tails are unique within a
+    // snapshot but can collide ACROSS manifest vintages' dirs, so the
+    // name hashes the full ref; the part- prefix keeps the plain
+    // dir-snapshot listing ([[dataFiles]]) finding them
+    val newRel = srcRefs.map(r => r -> ("part-" + DvBitmaps.sha1hex(r) + ".parquet")).toMap
+    val srcKeyOf: Map[String, String] = manifestOf(spark, srcRoot, v)
+      .map(_.map(r => r -> r).toMap)
+      .getOrElse(srcRefs.map(r => r -> r.split('/').last).toMap)
+    val srcStats = TableStats.load(spark,
+      new Path(dataDir(spark, srcRoot, v), "_stats"))
+    val srcSizes =
+      try fileSizes(spark, srcRoot, v)
+      catch { case _: Exception => Map.empty[String, Long] }
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    commitWith(empty, destRoot, collectStats = false,
+      extras = Map("changes" -> emptyFeed(empty)) ++ ledgerExtra,
+      preCommit = emptyGuard,
+      finalizeVersion = (fh, dir, ver) => {
+        // the zero-row commit frame leaves one empty part file in the
+        // dir — drop it so the snapshot lists EXACTLY the copied files
+        dataFiles(fh, dir).foreach(s => fh.delete(s.getPath, false))
+        // DISTRIBUTED byte copy into the (already-renamed) version dir:
+        // each task streams its slice of files src → dest through the
+        // executor-side filesystems; O(bytes/parallelism) wall time,
+        // zero driver data I/O
+        val hconf = new org.apache.spark.util.SerializableConfiguration(
+          spark.sparkContext.hadoopConfiguration)
+        val pairs = srcRefs.map { r =>
+          (srcFs.makeQualified(new Path(srcRoot, r)).toString,
+            new Path(dir, newRel(r)).toString)
+        }
+        val slices = math.min(pairs.size,
+          math.max(1, spark.sparkContext.defaultParallelism))
+        spark.sparkContext.parallelize(pairs, slices).foreachPartition { it =>
+          it.foreach { case (srcP, dstP) =>
+            val sp = new Path(srcP); val dp = new Path(dstP)
+            org.apache.hadoop.fs.FileUtil.copy(
+              sp.getFileSystem(hconf.value), sp,
+              dp.getFileSystem(hconf.value), dp,
+              false, true, hconf.value)
+          }
+        }
+        // stats carry re-keyed to the copied names (plain dir snapshot:
+        // bare-name keys), all-or-none as every carry
+        val rows = srcRefs.flatMap { r =>
+          srcStats.getOrElse(srcKeyOf(r), Map.empty).toSeq.map {
+            case (c, (k, mn, mx, nu, nr)) => (newRel(r), c, k, mn, mx, nu, nr)
+          }
+        }
+        val covered = srcRefs.forall(r => srcStats.contains(srcKeyOf(r)))
+        if (rows.nonEmpty && covered) TableStats.writeRows(fh, dir, rows)
+        else fh.delete(new Path(dir, "_stats"), true)
+        try FileSizes.append(fh, dir, srcRefs.flatMap(r =>
+          srcSizes.get(r).map(len => (f"v$ver%08d/" + newRel(r)) -> len)))
+        catch {
+          case e: Exception =>
+            maintLog.warn(s"size-sidecar carry skipped for deep clone $dir", e)
+        }
+      },
+      recordSchema = Some(schema),
+      recordConstraints = Some(constraintsOf(spark, srcRoot, v)),
+      recordProperties = Some(propertiesOf(spark, srcRoot, v)),
+      recordMapping = Some((columnMapping(spark, srcRoot, v),
+        retiredPhysicals(spark, srcRoot, v))))
+  }
+
   /** CONVERT an existing plain-parquet directory into a versioned table
     * IN PLACE (Delta's `CONVERT TO DELTA`): version 1 is a MANIFEST
     * commit referencing the existing files by absolute path — ZERO data
