@@ -522,9 +522,20 @@ object VersionedTable {
     // re-checks by construction).
     val dirName = f"v$v%08d"
     val published = publishLock(f, root).synchronized {
+      // CLAIM-NUMBER DISCIPLINE: the number contended for is always
+      // (observed current)+1 with the observation taken BEFORE the
+      // validation runs. Currents are monotone, so a validation that
+      // passes proves the observation is still the validated state, and
+      // any competing publish that lands after it necessarily owns
+      // exactly this writer's number — the putIfAbsent below then FAILS
+      // and the loop re-validates. (Observing AFTER validating — the
+      // previous order — left a window where a commit that landed
+      // between the two reads silently bumped n past it and a stale
+      // merge published with no re-check: a cross-process lost update,
+      // caught as a rare StoreAdapterSpec flake.)
+      var n = currentVersion(spark, root).getOrElse(0L) + 1
       try preCommit(v)
       catch { case e: Throwable => f.delete(dir, true); throw e }
-      var n = currentVersion(spark, root).getOrElse(0L) + 1
       var won = -1L
       var spins = 0
       while (won < 0) {
@@ -537,18 +548,20 @@ object VersionedTable {
         val target = new Path(commitDir(root), pad(n))
         if (!store.putIfAbsent(f, target, (dirName + "\n").getBytes("UTF-8"))) {
           // lost n to another writer (necessarily another process — this
-          // JVM is serialized by the monitor): re-validate, then contend
-          // for the next number. The PROTOCOL GATE re-runs against the
-          // newly observed current version too — the concurrent winner
-          // may be a newer build whose commit carries features this
-          // build cannot write over (the entry-time assertWritable saw
-          // the pre-race state only).
-          try preCommit(n)
-          catch { case e: Throwable => f.delete(dir, true); throw e }
+          // JVM is serialized by the monitor): observe the new current
+          // FIRST, then re-validate, then contend for exactly
+          // observed+1 (same discipline as the first attempt). The
+          // PROTOCOL GATE re-runs against the newly observed current
+          // version too — the concurrent winner may be a newer build
+          // whose commit carries features this build cannot write over
+          // (the entry-time assertWritable saw the pre-race state only).
           val cvNow = currentVersion(spark, root)
+          val next = math.max(n + 1, cvNow.getOrElse(n) + 1)
+          try preCommit(next)
+          catch { case e: Throwable => f.delete(dir, true); throw e }
           try cvNow.foreach(assertWritable(spark, root, _))
           catch { case e: Throwable => f.delete(dir, true); throw e }
-          n = math.max(n + 1, cvNow.getOrElse(n) + 1)
+          n = next
         } else won = n
       }
       won

@@ -75,4 +75,46 @@ class OccStressSpec extends SparkSpec {
       }
     } finally fin.unpersist()
   }
+
+  test("validation-to-claim window: a publish landing after a passed " +
+    "validation forces a marker collision, never a silent stale publish") {
+    // Pins the exact interleaving behind the rare StoreAdapterSpec
+    // lost-update flake: writer X validates (current == base, passes),
+    // then a competing commit publishes base+1, then X claims its
+    // number. X's claim MUST collide (it contends for base+1, already
+    // taken) and its re-validation must raise — publishing X's merge
+    // under a fresh number would drop the competitor's rows. The
+    // competing commit is injected from inside X's own preCommit
+    // closure (after its validation check), ON ITS SECOND INVOCATION —
+    // preCommit runs once at the version claim (2b) and once inside the
+    // publish lock (3c); only an injection at the publish-lock call
+    // lands inside the validate→claim window. The per-root monitor is
+    // reentrant, so the inner commit proceeds as a cross-process winner
+    // would.
+    val root = freshRoot()
+    VersionedTable.commit(Seq((0L, "seed")).toDF("id", "tag"), root)
+    val base = VersionedTable.currentVersion(spark, root)
+    assert(base.contains(1L))
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val staleMerge = Seq((0L, "seed"), (1L, "mine")).toDF("id", "tag")
+    val conflicted =
+      try {
+        VersionedTable.commit(staleMerge, root, preCommit = _ => {
+          val now = VersionedTable.currentVersion(spark, root)
+          if (now != base) throw new RuntimeException("occ-conflict")
+          if (calls.incrementAndGet() == 2)
+            VersionedTable.commit(
+              Seq((0L, "seed"), (101L, "theirs")).toDF("id", "tag"), root)
+        })
+        false
+      } catch {
+        case e: RuntimeException if e.getMessage == "occ-conflict" => true
+      }
+    assert(conflicted,
+      "the stale merge published without re-validating — lost update")
+    val tags = VersionedTable.read(spark, root)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(tags == Set(0L, 101L),
+      s"competing commit's rows must survive, got $tags")
+  }
 }
