@@ -224,10 +224,12 @@ object Sinks {
       runTs: org.apache.spark.sql.Column,
       statusCol: String,
       doneValue: String,
-      changeFeed: Boolean = true): Long = {
+      changeFeed: Boolean = true,
+      preCommit: Long => Unit = _ => ()): Long = {
     import org.apache.spark.sql.functions.{broadcast, col, lit}
     val full = () => upsertByKeyVersioned(
-      spark, tableRoot, staging, key, runTs, statusCol, doneValue, changeFeed)
+      spark, tableRoot, staging, key, runTs, statusCol, doneValue, changeFeed,
+      preCommit = preCommit)
     // same optimistic concurrency as the full-rewrite path: the touched
     // set, merge, and carried references are all computed against `cur`,
     // so a writer publishing meanwhile would have its fresh rows silently
@@ -293,13 +295,17 @@ object Sinks {
               if (!changeFeed) Map.empty[String, DataFrame]
               else Map("changes" -> graft.operators.IncrementalMerge
                 .changeFeed(slice, staging, key, runTs, statusCol, doneValue))
+            // claim-time rebase ([[VersionedTable.AppendRebase]]): a blind
+            // append landing during the merge joins the manifest by union
+            // instead of forcing the whole touched-set recompute — the
+            // hourly-append-during-hourly-merge collision costs two
+            // driver-side manifest reads, not a re-merge
+            val rb = new VersionedTable.AppendRebase(spark, tableRoot, cur)
             VersionedTable.commitCow(merged, tableRoot, kept, extras,
               bloomCols = Seq(key),
-              preCommit = _ => {
-                val now = VersionedTable.currentVersion(spark, tableRoot)
-                if (now != Some(cur))
-                  throw new ConcurrentWriteException(tableRoot, Some(cur), now)
-              })
+              preCommit = v => { preCommit(v); rb.validate(v) },
+              rebase = Some(rb),
+              recordInfo = Map("operation" -> "merge"))
           case _ => full()
         }
       })

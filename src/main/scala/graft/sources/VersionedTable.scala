@@ -274,7 +274,8 @@ object VersionedTable {
       recordConstraints: Option[Map[String, String]] = None,
       recordProperties: Option[Map[String, String]] = None,
       recordMapping: Option[(Map[String, String], Set[String])] = None,
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String] = Nil,
+      recordInfo: Map[String, String] = Map.empty): Long = {
     val spark = df.sparkSession
     val f = fs(spark, root)
     // PROTOCOL GATE: refuse to write against a table whose current
@@ -452,6 +453,15 @@ object VersionedTable {
         "features.properties"),
         Map("reader" -> readerFeats.toSeq.sorted.mkString(","),
             "writer" -> readerFeats.toSeq.sorted.mkString(",")))
+    // (1f) COMMIT INFO: what operation produced this version (Delta's
+    // commitInfo action). Informational for history, LOAD-BEARING for
+    // concurrency: `blindAppend=true` is the stamp [[AppendRebase]]
+    // trusts to merge a concurrent append into a losing writer's
+    // manifest instead of recomputing the whole DML. Absent file = an
+    // unknown operation, which conflict resolution treats as opaque.
+    if (recordInfo.nonEmpty)
+      writeProps(f, new Path(new Path(staging, "_commitinfo"),
+        "info.properties"), recordInfo)
     // (2) claim the next version number with the store's atomic
     // create-if-absent ([[StoreAdapter.claim]] — O_EXCL on local fs,
     // NameNode create on HDFS, conditional PUT on object stores). Only
@@ -1721,7 +1731,9 @@ object VersionedTable {
       newData: DataFrame, root: String, keptFiles: Seq[String],
       extras: Map[String, DataFrame] = Map.empty,
       bloomCols: Seq[String] = Nil,
-      preCommit: Long => Unit = _ => ()): Long = {
+      preCommit: Long => Unit = _ => (),
+      rebase: Option[AppendRebase] = None,
+      recordInfo: Map[String, String] = Map.empty): Long = {
     val spark = newData.sparkSession
     val cur = currentVersion(spark, root).getOrElse(
       throw new java.io.IOException(
@@ -1737,7 +1749,8 @@ object VersionedTable {
     // record the CURRENT schema (canonical order + evolve's nullability
     // marks), not newData's incidental one
     commitCowInternal(newData, root, cur, keptFiles, extras, bloomCols,
-      preCommit, recordSchema = Some(curSchema))
+      preCommit, recordSchema = Some(curSchema), rebase = rebase,
+      recordInfo = recordInfo)
   }
 
   /** Thrown by [[commitCow]]/[[commitAppend]] when the incoming frame's
@@ -1774,7 +1787,9 @@ object VersionedTable {
       recordMapping: Option[(Map[String, String], Set[String])] = None,
       carriedStatsMap: Option[
         (String, String, Option[String], Option[String]) =>
-          (String, Option[String], Option[String])] = None): Long = {
+          (String, Option[String], Option[String])] = None,
+      rebase: Option[AppendRebase] = None,
+      recordInfo: Map[String, String] = Map.empty): Long = {
     val spark = newData.sparkSession
     val f = fs(spark, root)
     // kept files were written under the current mapping's physical names:
@@ -1828,9 +1843,17 @@ object VersionedTable {
       recordSchema = recordSchema, recordConstraints = recordConstraints,
       recordProperties = recordProperties,
       recordMapping = Some(mappingToRecord),
+      recordInfo = recordInfo,
       finalizeVersion = (fh, dir, v) => {
+        // refs TOLERATED in at claim time ([[AppendRebase]]): blind
+        // appends that published between this commit's pinned version
+        // and its claim. Frozen before this finalizer runs — the
+        // validator is strict once the manifest is on disk.
+        val extraRefs = rebase.map(_.extraRefs).getOrElse(Nil)
+          .filterNot(keptFiles.toSet)
         val own = dataFileRels(fh, dir)
-        val refs = own.map { case (_, rel) => f"v$v%08d/" + rel } ++ keptFiles
+        val refs = own.map { case (_, rel) => f"v$v%08d/" + rel } ++
+          keptFiles ++ extraRefs
         // merged stats: fresh files' rows (just collected, keyed by bare
         // name) re-keyed to relpath + kept files' rows carried forward
         val ownStats = TableStats.load(spark, new Path(dir, "_stats"))
@@ -1852,21 +1875,43 @@ object VersionedTable {
                 (r, c, k2, mn2, mx2, nu, nr)
               }
           }
+        // rebased-in refs carry THEIR committed stats (the tolerated
+        // append version's table is ref-keyed — appends always manifest)
+        val rbStats: Map[String, Map[String,
+            (String, Option[String], Option[String], Long, Long)]] =
+          if (extraRefs.isEmpty) Map.empty
+          else rebase.map(rb => TableStats.load(spark,
+            new Path(dataDir(spark, root, rb.through), "_stats")))
+            .getOrElse(Map.empty)
+        val rbRows = extraRefs.flatMap { r =>
+          rbStats.getOrElse(r, Map.empty).toSeq
+            .map { case (c, (k, mn, mx, nu, nr)) =>
+              val (k2, mn2, mx2) = carriedStatsMap
+                .map(_(c, k, mn, mx)).getOrElse((k, mn, mx))
+              (r, c, k2, mn2, mx2, nu, nr)
+            }
+        }
         // a stats table must cover ALL files or claim none: a fresh file
         // whose footer pass failed, or a kept file with no carried rows,
         // would otherwise silently disable pruning only for itself
         val covered = (own.map { case (_, rel) => ownStats.contains(rel) } ++
-          keptFiles.map(r => curStats.contains(curKeyed(r)))).forall(identity)
-        if (rows.nonEmpty && covered) TableStats.writeRows(fh, dir, rows)
+          keptFiles.map(r => curStats.contains(curKeyed(r))) ++
+          extraRefs.map(rbStats.contains)).forall(identity)
+        if (rows.nonEmpty && covered)
+          TableStats.writeRows(fh, dir, rows ++ rbRows)
         else fh.delete(new Path(dir, "_stats"), true)
         // kept files' byte sizes carry beside their stats (own files'
         // rows were recorded by commitWith's listing already). Derived
         // optimization: a failure here (e.g. the legacy-vintage stat
         // fallback hitting a transient store error) must not abort a
         // data commit that never needed sizes — readers fall back.
+        // Rebased-in refs read their sizes from the tolerated version
+        // (appends only add, so its sidecar covers the kept refs too).
         try {
-          val curSizes = fileSizes(spark, root, cur)
-          FileSizes.append(fh, dir, keptFiles.map(r => r -> curSizes(r)))
+          val sizeV = rebase.map(_.through).getOrElse(cur)
+          val curSizes = fileSizes(spark, root, sizeV)
+          FileSizes.append(fh, dir,
+            (keptFiles ++ extraRefs).map(r => r -> curSizes(r)))
         } catch {
           case e: Exception =>
             maintLog.warn(s"size-sidecar carry skipped for $dir", e)
@@ -1906,7 +1951,8 @@ object VersionedTable {
     * mask would falsify, stands down until then). */
   def deleteWhere(
       spark: SparkSession, root: String, predicate: Column,
-      mor: Boolean = false, changeFeed: Boolean = true): Long = {
+      mor: Boolean = false, changeFeed: Boolean = true,
+      preCommit: Long => Unit = _ => ()): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
     def deleteFeed(slice: DataFrame): Option[DataFrame] =
       if (!changeFeed) None
@@ -1925,7 +1971,7 @@ object VersionedTable {
             if (dropRefs.isEmpty) cur // provably nothing matches: no-op
             else commitPartitionDrop(spark, root, cur, dropRefs, changeFeed)
           case None =>
-            cowRewriteAt(spark, root, cur, predicate)(
+            cowRewriteAt(spark, root, cur, predicate, "delete", preCommit)(
               df => df.where(not(coalesce(predicate, lit(false)))),
               feed = deleteFeed)
         }
@@ -1948,10 +1994,13 @@ object VersionedTable {
                else Map("changes" -> feedWritable(
                  hit.select(tableCols.map(col): _*)
                    .withColumn("_change_type", lit("delete")))))
+            val rb = new AppendRebase(spark, root, cur)
             commitCowInternal(empty, root, cur, dataFileRefs(spark, root, cur),
               extras = extras, bloomCols = Nil,
-              preCommit = occValidate(spark, root, cur),
-              recordSchema = Some(schemaOf(spark, root, cur)))
+              preCommit = v => { preCommit(v); rb.validate(v) },
+              recordSchema = Some(schemaOf(spark, root, cur)),
+              rebase = Some(rb),
+              recordInfo = Map("operation" -> "delete", "mor" -> "true"))
           }
       }
     }
@@ -2022,7 +2071,8 @@ object VersionedTable {
   def updateWhere(
       spark: SparkSession, root: String, predicate: Column,
       set: Map[String, Column], mor: Boolean = false,
-      changeFeed: Boolean = true): Long = {
+      changeFeed: Boolean = true,
+      preCommit: Long => Unit = _ => ()): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, when}
     require(set.nonEmpty, "updateWhere needs at least one SET column")
     def applySet(df: DataFrame): DataFrame = {
@@ -2038,7 +2088,8 @@ object VersionedTable {
       }: _*)
     }
     if (!mor)
-      cowRewrite(spark, root, predicate)(applySet, feed = slice =>
+      cowRewrite(spark, root, predicate, "update", preCommit)(
+        applySet, feed = slice =>
         if (!changeFeed) None
         else {
           // pre/post image pairs for the rows the predicate selects — the
@@ -2075,10 +2126,13 @@ object VersionedTable {
                  pre.withColumn("_change_type", lit("update_preimage"))
                    .unionByName(post
                      .withColumn("_change_type", lit("update_postimage"))))))
+            val rb = new AppendRebase(spark, root, cur)
             commitCowInternal(post, root, cur, dataFileRefs(spark, root, cur),
               extras = extras, bloomCols = Nil,
-              preCommit = occValidate(spark, root, cur),
-              recordSchema = Some(schema))
+              preCommit = v => { preCommit(v); rb.validate(v) },
+              recordSchema = Some(schema),
+              rebase = Some(rb),
+              recordInfo = Map("operation" -> "update", "mor" -> "true"))
           }
       }
     }
@@ -2093,6 +2147,111 @@ object VersionedTable {
       if (now != Some(cur))
         throw new Sinks.ConcurrentWriteException(root, Some(cur), now)
     }
+
+  /** Write-isolation level for snapshot-deriving commits (Delta's
+    * `delta.isolationLevel`, same default):
+    *
+    *  - `write-serializable` (default): a DML/append/maintenance commit
+    *    that loses its claim race to nothing but BLIND APPENDS publishes
+    *    anyway, with the appended files merged into its manifest — the
+    *    history is equivalent to the losing commit having serialized
+    *    BEFORE the appends (so a `DELETE WHERE` does not apply to rows
+    *    appended mid-flight). Writes stay serializable; reads may
+    *    observe the DML "before" an append that wall-clock preceded its
+    *    publish. At 100 TB this is the difference between an hourly
+    *    streaming append costing a multi-minute merge RECOMPUTE and it
+    *    costing two driver-side manifest reads.
+    *  - `serializable`: any intervening commit conflicts; the loser
+    *    recomputes against the new snapshot (appended rows become
+    *    subject to the DML's predicate). */
+  private[graft] val IsolationKey = "spark.graft.isolation"
+
+  private def writeSerializable(spark: SparkSession): Boolean =
+    spark.conf.get(IsolationKey, "write-serializable")
+      .trim.toLowerCase(java.util.Locale.ROOT) != "serializable"
+
+  /** The operation record stamped with version `v` ([[commitWith]] 1f) —
+    * Delta's commitInfo. Empty for versions committed by paths that
+    * don't stamp (or pre-upgrade vintages): conflict resolution treats
+    * those as opaque and falls back to a full recompute. */
+  def commitInfoOf(
+      spark: SparkSession, root: String, v: Long): Map[String, String] =
+    readProps(spark, new Path(new Path(dataDir(spark, root, v),
+      "_commitinfo"), "info.properties"))
+
+  /** Some(refs added in (base, now]) iff EVERY commit in that window is a
+    * stamped blind append that left all table metadata untouched — the
+    * precondition for a losing writer to publish by manifest-union
+    * instead of recomputing. Belt checks beyond the stamp (schema,
+    * constraints, properties, mapping, ref superset) are driver-sized
+    * reads of `base` and `now` only: blind appends change none of them,
+    * so base-vs-now equality covers the whole window. Any doubt → None
+    * (the safe answer is always "recompute"). */
+  private def blindAppendRefsSince(
+      spark: SparkSession, root: String,
+      base: Long, now: Long): Option[Seq[String]] = {
+    val allBlind = (base + 1 to now).forall(w =>
+      commitInfoOf(spark, root, w).get("blindAppend").contains("true"))
+    if (!allBlind) None
+    else {
+      val baseRefs = dataFileRefs(spark, root, base).toSet
+      val nowRefs = dataFileRefs(spark, root, now)
+      val metaUnchanged =
+        baseRefs.subsetOf(nowRefs.toSet) &&
+        schemaOf(spark, root, base).map(f => (f.name, f.dataType)) ==
+          schemaOf(spark, root, now).map(f => (f.name, f.dataType)) &&
+        constraintsOf(spark, root, base) == constraintsOf(spark, root, now) &&
+        propertiesOf(spark, root, base) == propertiesOf(spark, root, now) &&
+        columnMapping(spark, root, base) == columnMapping(spark, root, now) &&
+        retiredPhysicals(spark, root, base) == retiredPhysicals(spark, root, now)
+      if (!metaUnchanged) None
+      else Some(nowRefs.filterNot(baseRefs))
+    }
+  }
+
+  /** Claim-time conflict RESOLUTION for snapshot-deriving commits (the
+    * Delta ConflictChecker shape, blind-append rule only): used as the
+    * commit's `preCommit` validator in place of [[occValidate]]. The
+    * first validation (inside the version claim, before the manifest is
+    * finalized) may TOLERATE intervening blind appends under
+    * write-serializable isolation — it records the appended refs, which
+    * [[commitCowInternal]] merges into the manifest with their stats and
+    * sizes carried — so the expensive staged work (a COW merge's rewrite,
+    * an append's batch write) publishes instead of burning. Later
+    * validations (inside the publish lock, after the manifest is on
+    * disk) are STRICT against the rebased-through version: a commit
+    * landing in that last millisecond-scale window falls back to the
+    * occRetry recompute, which is always correct. */
+  private[graft] final class AppendRebase(
+      spark: SparkSession, root: String, cur: Long) {
+    private var throughV: Long = cur
+    private var extra: Seq[String] = Nil
+    private var calls: Int = 0
+    /** The newest version whose state the pending commit now reflects. */
+    def through: Long = throughV
+    /** Refs appended by tolerated commits in (pinned, through]. */
+    def extraRefs: Seq[String] = extra
+    def validate(v: Long): Unit = synchronized {
+      calls += 1
+      val now = currentVersion(spark, root)
+      if (now != Some(throughV)) {
+        val tolerated =
+          if (calls > 1 || !writeSerializable(spark)) None
+          else now.filter(_ > throughV)
+            .flatMap(n => blindAppendRefsSince(spark, root, throughV, n))
+        tolerated match {
+          case Some(added) =>
+            // the winner may be a newer build: re-run the protocol gate
+            // against the state this commit now claims to derive from
+            now.foreach(assertWritable(spark, root, _))
+            extra = (extra ++ added).distinct
+            throughV = now.get
+          case None =>
+            throw new Sinks.ConcurrentWriteException(root, Some(throughV), now)
+        }
+      }
+    }
+  }
 
   /** The optimistic-concurrency loop shared by every writer that derives
     * its commit from the current snapshot (COW row rewrites, appends,
@@ -2131,18 +2290,20 @@ object VersionedTable {
     * incremental consumers ([[readChanges]], the streaming source) never
     * hit a feed gap on a table that mixes upserts with DML. */
   private def cowRewrite(
-      spark: SparkSession, root: String, predicate: Column)(
+      spark: SparkSession, root: String, predicate: Column, op: String,
+      hook: Long => Unit = _ => ())(
       rewrite: DataFrame => DataFrame,
       feed: DataFrame => Option[DataFrame] = _ => None): Long =
     occRetry(spark, root) { cur =>
-      cowRewriteAt(spark, root, cur, predicate)(rewrite, feed)
+      cowRewriteAt(spark, root, cur, predicate, op, hook)(rewrite, feed)
     }
 
   /** One attempt of [[cowRewrite]] against a pinned `cur` — split out so
     * [[deleteWhere]] can choose per-attempt between this and the
     * metadata-only partition drop inside ONE occRetry loop. */
   private def cowRewriteAt(
-      spark: SparkSession, root: String, cur: Long, predicate: Column)(
+      spark: SparkSession, root: String, cur: Long, predicate: Column,
+      op: String, hook: Long => Unit)(
       rewrite: DataFrame => DataFrame,
       feed: DataFrame => Option[DataFrame]): Long = {
       val (mayMatch, _) = prunedFiles(spark, root, cur, predicate)
@@ -2165,8 +2326,14 @@ object VersionedTable {
         val rewritten = rewrite(slice)
         val extras = feed(slice)
           .map(fd => Map("changes" -> feedWritable(fd))).getOrElse(Map.empty)
+        // claim-time rebase: a blind append landing during the rewrite
+        // merges into the manifest instead of forcing a recompute
+        // (write-serializable — the DML serializes BEFORE the append, so
+        // appended rows are not subject to the predicate)
+        val rb = new AppendRebase(spark, root, cur)
         commitCow(rewritten, root, keptRefs, extras = extras,
-          preCommit = occValidate(spark, root, cur))
+          preCommit = v => { hook(v); rb.validate(v) },
+          rebase = Some(rb), recordInfo = Map("operation" -> op))
       }
     }
 
@@ -2218,8 +2385,17 @@ object VersionedTable {
       else extras.updated("changes", feedWritable(newData.withColumn(
         "_change_type", org.apache.spark.sql.functions.lit("insert"))))
     occRetry(spark, root) { cur =>
+      // BLIND-APPEND stamp: this commit reads nothing it doesn't carry
+      // forward verbatim, so concurrent writers may rebase onto it by
+      // manifest-union. A caller-supplied "dv" extra would mutate the
+      // visible rows of EXISTING files — not blind; don't stamp it.
+      val info = Map("operation" -> "append") ++
+        (if (extras.contains("dv")) Map.empty[String, String]
+         else Map("blindAppend" -> "true"))
+      val rb = new AppendRebase(spark, root, cur)
       commitCow(newData, root, dataFileRefs(spark, root, cur), withFeed, bloomCols,
-        preCommit = v => { preCommit(v); occValidate(spark, root, cur)(v) })
+        preCommit = v => { preCommit(v); rb.validate(v) },
+        rebase = Some(rb), recordInfo = info)
     }
   }
 
