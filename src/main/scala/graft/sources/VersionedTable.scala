@@ -3894,6 +3894,46 @@ object VersionedTable {
     }
   }
 
+  /** The shared publish of a FULL-LAYOUT maintenance rewrite
+    * ([[compact]]/[[optimize]]/[[optimizeZOrder]]). On an unmapped table
+    * it commits via the MANIFEST road so a concurrent blind append
+    * merges in by union ([[AppendRebase]]) — the maintenance rewrite is
+    * the longest-window writer there is (it reads the whole table), so
+    * "hourly append lands mid-compaction" is the single most likely OCC
+    * collision at 100 TB, and redoing the multi-hour rewrite for it is
+    * the single most expensive recompute. A mapped table keeps the
+    * legacy full-snapshot commit, which re-births columns under logical
+    * names: resetting the mapping and unioning in appended files written
+    * under the OLD physical names cannot coexist in one commit, so
+    * there the append conflict stays a (correct) recompute. */
+  private def commitLayoutRewrite(
+      spark: SparkSession, root: String, v: Long,
+      reshaped: DataFrame, feedSrc: DataFrame,
+      bloomCols: Seq[String],
+      preCommit: Long => Unit,
+      op: String,
+      recordProperties: Option[Map[String, String]] = None): Long = {
+    val mapped = columnMapping(spark, root, v).nonEmpty ||
+      retiredPhysicals(spark, root, v).nonEmpty
+    if (mapped)
+      commit(reshaped, root,
+        extras = Map("changes" -> emptyFeed(feedSrc)), // layout-only feed
+        bloomCols = bloomCols,
+        preCommit = w => { preCommit(w); occValidate(spark, root, v)(w) },
+        recordProperties = recordProperties)
+    else {
+      val rb = new AppendRebase(spark, root, v)
+      commitCowInternal(reshaped, root, v, Nil,
+        extras = Map("changes" -> emptyFeed(feedSrc)),
+        bloomCols = bloomCols,
+        preCommit = w => { preCommit(w); rb.validate(w) },
+        recordSchema = Some(schemaOf(spark, root, v)),
+        recordProperties = recordProperties,
+        rebase = Some(rb),
+        recordInfo = Map("operation" -> op))
+    }
+  }
+
   def compact(
       spark: SparkSession, root: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
@@ -3904,8 +3944,9 @@ object VersionedTable {
     // the whole table), so the in-claim re-validation matters most here —
     // an upsert landing mid-compaction must not be erased by the layout
     // rewrite's publish. Layout-only rewrites change no rows, so the
-    // conflict resolution is a plain REBASE: re-read the new current and
-    // redo the rewrite.
+    // conflict resolution is a REBASE: blind appends merge in by
+    // manifest-union ([[commitLayoutRewrite]]); anything else re-reads
+    // the new current and redoes the rewrite.
     occRetry(spark, root) { v =>
       val bytes = snapshotBytes(spark, root, v)
       val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
@@ -3917,10 +3958,8 @@ object VersionedTable {
       val reshaped =
         if (pspec.isEmpty) df.repartition(nFiles)
         else df.repartitionByRange(nFiles, pspec: _*)
-      commit(reshaped, root,
-        extras = Map("changes" -> emptyFeed(df)), // layout-only: zero-row feed
-        bloomCols = bloomCols,
-        preCommit = w => { preCommit(w); occValidate(spark, root, v)(w) })
+      commitLayoutRewrite(spark, root, v, reshaped, df, bloomCols,
+        preCommit, "compact")
     }
   }
 
@@ -3952,12 +3991,10 @@ object VersionedTable {
       val pspec = partitionColumnsOf(spark, root, v)
       val cols = (pspec ++ sortCols.filterNot(pspec.contains))
         .map(org.apache.spark.sql.functions.col)
-      commit(df
-        .repartitionByRange(nFiles, cols: _*)
-        .sortWithinPartitions(cols: _*), root,
-        extras = Map("changes" -> emptyFeed(df)), // layout-only: zero-row feed
-        bloomCols = bloomCols,
-        preCommit = w => { preCommit(w); occValidate(spark, root, v)(w) },
+      commitLayoutRewrite(spark, root, v,
+        df.repartitionByRange(nFiles, cols: _*)
+          .sortWithinPartitions(cols: _*),
+        df, bloomCols, preCommit, "optimize",
         // record the clustering so maintenanceReport can measure its decay
         recordProperties = Some(propertiesOf(spark, root, v)
           .updated(ClusteredByProp, sortCols.mkString(","))))
@@ -4004,10 +4041,15 @@ object VersionedTable {
           if (cols.isEmpty) slice.repartition(nFiles)
           else slice.repartitionByRange(nFiles, cols: _*)
             .sortWithinPartitions(cols: _*)
+        // blind appends landing during the slice rewrite merge in by
+        // manifest-union, exactly as the DML COW paths
+        val rb = new AppendRebase(spark, root, v)
         commitCow(clustered, root, kept,
           extras = Map("changes" -> emptyFeed(slice)), // layout-only
           bloomCols = bloomCols,
-          preCommit = occValidate(spark, root, v))
+          preCommit = rb.validate,
+          rebase = Some(rb),
+          recordInfo = Map("operation" -> "optimize-where"))
       }
     }
   }
@@ -4098,13 +4140,12 @@ object VersionedTable {
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     // partition columns lead the z-clustering (tuple-contiguous tasks)
     val pspecZ = partitionColumnsOf(spark, root, v).map(col)
-    commit(df.withColumn("__z", z)
-      .repartitionByRange(nFiles, (pspecZ :+ col("__z")): _*)
-      .sortWithinPartitions((pspecZ :+ col("__z")): _*)
-      .drop("__z"), root,
-      extras = Map("changes" -> emptyFeed(df)), // layout-only: zero-row feed
-      bloomCols = bloomCols,
-      preCommit = w => { preCommit(w); occValidate(spark, root, v)(w) },
+    commitLayoutRewrite(spark, root, v,
+      df.withColumn("__z", z)
+        .repartitionByRange(nFiles, (pspecZ :+ col("__z")): _*)
+        .sortWithinPartitions((pspecZ :+ col("__z")): _*)
+        .drop("__z"),
+      df, bloomCols, preCommit, "zorder",
       // z-ordered files interleave per-column ranges by design, so the
       // drift measure uses the LEAD column only — still a usable decay
       // signal (fresh z-layout: bounded overlap; append churn: it grows)

@@ -63,10 +63,16 @@ class MaintenanceOccSpec extends SparkSpec {
     assert(interleaved)
     assert(ids(root) == (1L to 50L).toSet + 99L,
       "layout rewrite erased the concurrent append")
-    // the rebase re-ran the rewrite over the post-append snapshot: the
-    // final version is a fresh full snapshot (no manifest), still sorted
-    assert(VersionedTable.manifestOf(spark, root,
-      VersionedTable.currentVersion(spark, root).get).isEmpty)
+    // append-tolerant rebase (AppendRebaseSpec pins the mechanics): the
+    // rewrite is NOT redone — the final version is a manifest that
+    // unions the optimize's own clustered files (claimed dir 2, BEFORE
+    // the append's dir 3) with the appended file by reference
+    val refs = VersionedTable.manifestOf(spark, root,
+      VersionedTable.currentVersion(spark, root).get).get
+    assert(refs.exists(_.startsWith("v00000002/")),
+      s"optimize's original rewrite was burned (recompute): $refs")
+    assert(refs.exists(_.startsWith("v00000003/")),
+      s"appended file missing from the rebased manifest: $refs")
   }
 
   test("compact vs concurrent upsert-style commit: no lost update") {
