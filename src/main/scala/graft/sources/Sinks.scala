@@ -178,7 +178,9 @@ object Sinks {
       // a bloom on the merge key keeps readWhere point lookups prunable
       // even before the table is clustered
       try committed = Some(VersionedTable.commit(merged, tableRoot, extras = extras,
-        bloomCols = Seq(key), preCommit = v => {
+        bloomCols = Seq(key),
+        recordInfo = Map("operation" -> "merge"),
+        preCommit = v => {
           preCommit(v) // caller's validation first (e.g. the txn gate)
           val now = VersionedTable.currentVersion(spark, tableRoot)
           if (now != base) throw new ConcurrentWriteException(tableRoot, base, now)

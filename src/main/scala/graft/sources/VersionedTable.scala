@@ -253,10 +253,12 @@ object VersionedTable {
       bloomCols: Seq[String] = Nil,
       preCommit: Long => Unit = _ => (),
       partitionBy: Seq[String] = Nil,
-      recordProperties: Option[Map[String, String]] = None): Long =
+      recordProperties: Option[Map[String, String]] = None,
+      recordInfo: Map[String, String] = Map("operation" -> "write")): Long =
     commitWith(df, root, collectStats, extras, (_, _, _) => (), bloomCols,
       preCommit, partitionBy = partitionBy,
-      recordProperties = recordProperties)
+      recordProperties = recordProperties,
+      recordInfo = recordInfo)
 
   /** [[commit]] with a pre-publish hook: `finalize(fs, versionDir, v)`
     * runs after the staging dir is renamed into place but BEFORE the
@@ -1129,7 +1131,8 @@ object VersionedTable {
           org.apache.spark.sql.functions.lit("delete"))))
     commitCowInternal(empty, root, cur, kept, extras, Nil,
       preCommit = occValidate(spark, root, cur),
-      recordSchema = Some(schema))
+      recordSchema = Some(schema),
+      recordInfo = Map("operation" -> "delete", "partitionDrop" -> "true"))
   }
 
   /** PARTITION-SPEC EVOLUTION: re-lay the table out under a NEW
@@ -1158,7 +1161,8 @@ object VersionedTable {
         (_, _, _) => (), bloomCols,
         preCommit = occValidate(spark, root, cur),
         recordProperties = Some(props),
-        partitionBy = newSpec)
+        partitionBy = newSpec,
+        recordInfo = Map("operation" -> "repartition"))
     }
 
   /** DYNAMIC PARTITION OVERWRITE (Delta's `partitionOverwriteMode=
@@ -2539,7 +2543,8 @@ object VersionedTable {
         // schema — the protocol gate requires widening-capable readers
         recordProperties = Some(propertiesOf(spark, root, cur)
           .updated(WidenedTypesProp, "true")),
-        carriedStatsMap = statsMap)
+        carriedStatsMap = statsMap,
+        recordInfo = Map("operation" -> "widen-column"))
     }
 
   private def evolveSchemaAt(
@@ -2578,7 +2583,8 @@ object VersionedTable {
         Map("changes" -> emptyFeed(empty)), // metadata-only: zero-row feed
         Nil, preCommit = occValidate(spark, root, cur),
         recordSchema = Some(newSchema),
-        recordMapping = Some((mapping ++ minted, retired)))
+        recordMapping = Some((mapping ++ minted, retired)),
+        recordInfo = Map("operation" -> "evolve-schema"))
     }
 
   /** SHALLOW CLONE (Delta's `CREATE TABLE ... SHALLOW CLONE`): publish
@@ -2636,6 +2642,7 @@ object VersionedTable {
     val srcStats = TableStats.load(spark,
       new Path(dataDir(spark, srcRoot, v), "_stats"))
     commitWith(empty, destRoot, collectStats = false, extras = extras,
+      recordInfo = Map("operation" -> "clone"),
       // re-assert emptiness inside the claim: two racing cloners must not
       // both report success with one silently shadowed
       preCommit = _ => currentVersion(spark, destRoot).foreach(dv =>
@@ -2724,7 +2731,8 @@ object VersionedTable {
         preCommit = emptyGuard,
         recordSchema = Some(schema),
         recordConstraints = Some(constraintsOf(spark, srcRoot, v)),
-        recordProperties = Some(propertiesOf(spark, srcRoot, v)))
+        recordProperties = Some(propertiesOf(spark, srcRoot, v)),
+        recordInfo = Map("operation" -> "deep-clone"))
     }
     val srcFs = fs(spark, srcRoot)
     val srcRefs = dataFileRefs(spark, srcRoot, v)
@@ -2746,6 +2754,7 @@ object VersionedTable {
     commitWith(empty, destRoot, collectStats = false,
       extras = Map("changes" -> emptyFeed(empty)) ++ ledgerExtra,
       preCommit = emptyGuard,
+      recordInfo = Map("operation" -> "deep-clone"),
       finalizeVersion = (fh, dir, ver) => {
         // the zero-row commit frame leaves one empty part file in the
         // dir — drop it so the snapshot lists EXACTLY the copied files
@@ -2845,6 +2854,7 @@ object VersionedTable {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     commitWith(empty, root, collectStats = false, extras = Map.empty,
+      recordInfo = Map("operation" -> "convert"),
       // two racing converters must not both claim success
       preCommit = _ => currentVersion(spark, root).foreach(cv =>
         throw new IllegalStateException(
@@ -2929,7 +2939,8 @@ object VersionedTable {
         Nil, preCommit = occValidate(spark, root, cur),
         recordSchema = Some(newSchema),
         recordProperties = renamedProps,
-        recordMapping = Some((newMapping, retiredPhysicals(spark, root, cur))))
+        recordMapping = Some((newMapping, retiredPhysicals(spark, root, cur))),
+        recordInfo = Map("operation" -> "rename-column"))
     }
 
   /** METADATA-ONLY column DROP (Delta column mapping): the logical schema
@@ -2964,7 +2975,8 @@ object VersionedTable {
         Nil, preCommit = occValidate(spark, root, cur),
         recordSchema = Some(newSchema),
         recordMapping = Some((mapping - name,
-          retiredPhysicals(spark, root, cur) + phys)))
+          retiredPhysicals(spark, root, cur) + phys)),
+        recordInfo = Map("operation" -> "drop-column"))
     }
 
   /** One-row current-snapshot summary — `DESCRIBE DETAIL`'s body (the
@@ -3252,7 +3264,8 @@ object VersionedTable {
         s"$PartitionByProp is fixed at table birth (commit(partitionBy=...)); " +
           "it cannot be changed through setProperties")
       metadataOnlyCommit(spark, root, cur,
-        recordProperties = Some(propertiesOf(spark, root, cur) ++ props))
+        recordProperties = Some(propertiesOf(spark, root, cur) ++ props),
+        op = "set-properties")
     }
   }
 
@@ -3266,7 +3279,8 @@ object VersionedTable {
         "(the committed layout depends on it)")
     occRetry(spark, root) { cur =>
       metadataOnlyCommit(spark, root, cur,
-        recordProperties = Some(propertiesOf(spark, root, cur) -- keys))
+        recordProperties = Some(propertiesOf(spark, root, cur) -- keys),
+        op = "unset-properties")
     }
   }
 
@@ -3276,7 +3290,8 @@ object VersionedTable {
   private def metadataOnlyCommit(
       spark: SparkSession, root: String, cur: Long,
       recordProperties: Option[Map[String, String]] = None,
-      recordConstraints: Option[Map[String, String]] = None): Long = {
+      recordConstraints: Option[Map[String, String]] = None,
+      op: String = "metadata"): Long = {
     val schema = schemaOf(spark, root, cur)
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -3285,7 +3300,8 @@ object VersionedTable {
       preCommit = occValidate(spark, root, cur),
       recordSchema = Some(schema),
       recordConstraints = recordConstraints,
-      recordProperties = recordProperties)
+      recordProperties = recordProperties,
+      recordInfo = Map("operation" -> op))
   }
 
   /** java-Properties file read shared by constraints and table
@@ -3374,7 +3390,8 @@ object VersionedTable {
       enforceConstraints(spark, readVersion(spark, root, cur),
         Map(name -> checkExpr), root)
       metadataOnlyCommit(spark, root, cur,
-        recordConstraints = Some(existing + (name -> checkExpr)))
+        recordConstraints = Some(existing + (name -> checkExpr)),
+        op = "add-constraint")
     }
   }
 
@@ -3388,7 +3405,8 @@ object VersionedTable {
         s"no constraint named $name on $root (have: " +
           s"${existing.keys.toSeq.sorted.mkString(", ")})")
       metadataOnlyCommit(spark, root, cur,
-        recordConstraints = Some(existing - name))
+        recordConstraints = Some(existing - name),
+        op = "drop-constraint")
     }
 
   /** Read a side table committed alongside version `v` via [[commit]]'s
@@ -3503,7 +3521,8 @@ object VersionedTable {
               // versions a concurrent vacuum could be dropping mid-write
               "copyfull" -> folded.localCheckpoint(eager = true)),
             Nil, preCommit = occValidate(spark, root, cur),
-            recordSchema = Some(schema))
+            recordSchema = Some(schema),
+            recordInfo = Map("operation" -> "fold-copy-ledger"))
       }
     }
 
@@ -3643,9 +3662,13 @@ object VersionedTable {
       val ownPrefix = dataDirName(spark, root, v) + "/"
       val fresh = refs.count(_.startsWith(ownPrefix))
       val vdir = dataDir(spark, root, v)
+      // the commitinfo operation stamp (Delta's commitInfo.operation);
+      // "" for pre-stamp vintages and unstamped paths
+      val info = commitInfoOf(spark, root, v)
       (v,
         new java.sql.Timestamp(
           f.getFileStatus(new Path(commitDir(root), pad(v))).getModificationTime),
+        info.getOrElse("operation", ""),
         refs.size, snapshotBytes(spark, root, v),
         fresh, refs.size - fresh,
         f.exists(new Path(vdir, "_changes")),
@@ -3654,7 +3677,7 @@ object VersionedTable {
         tableSchema(spark, root, v).map(_.size).getOrElse(-1))
     }
     import spark.implicits._
-    rows.toDF("version", "committed_at", "files", "bytes",
+    rows.toDF("version", "committed_at", "operation", "files", "bytes",
       "fresh_files", "kept_refs", "change_feed", "deletion_vectors",
       "txn_stamp", "schema_fields")
   }
@@ -3734,6 +3757,7 @@ object VersionedTable {
         val tgtStats = TableStats.load(spark,
           new Path(dataDir(spark, root, toVersion), "_stats"))
         commitWith(empty, root, collectStats = false, extras = extras,
+          recordInfo = Map("operation" -> "restore"),
           finalizeVersion = (fh, dir, v) => {
             val rows = tgtRefs.flatMap { r =>
               tgtStats.getOrElse(tgtKeyed(r), Map.empty).toSeq
