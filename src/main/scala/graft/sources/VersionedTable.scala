@@ -1850,14 +1850,17 @@ object VersionedTable {
       recordInfo = recordInfo,
       finalizeVersion = (fh, dir, v) => {
         // refs TOLERATED in at claim time ([[AppendRebase]]): blind
-        // appends that published between this commit's pinned version
-        // and its claim. Frozen before this finalizer runs — the
-        // validator is strict once the manifest is on disk.
+        // appends (added) and disjoint DML winners (added + removed)
+        // that published between this commit's pinned version and its
+        // claim. Frozen before this finalizer runs — the validator is
+        // strict once the manifest is on disk.
         val extraRefs = rebase.map(_.extraRefs).getOrElse(Nil)
           .filterNot(keptFiles.toSet)
+        val removedRefs = rebase.map(_.removedRefs).getOrElse(Set.empty)
+        val keptEff = keptFiles.filterNot(removedRefs)
         val own = dataFileRels(fh, dir)
         val refs = own.map { case (_, rel) => f"v$v%08d/" + rel } ++
-          keptFiles ++ extraRefs
+          keptEff ++ extraRefs
         // merged stats: fresh files' rows (just collected, keyed by bare
         // name) re-keyed to relpath + kept files' rows carried forward
         val ownStats = TableStats.load(spark, new Path(dir, "_stats"))
@@ -1868,7 +1871,7 @@ object VersionedTable {
                 (f"v$v%08d/" + rel, c, k, mn, mx, nu, nr)
               }
           } ++
-          keptFiles.flatMap { r =>
+          keptEff.flatMap { r =>
             curStats.getOrElse(curKeyed(r), Map.empty).toSeq
               .map { case (c, (k, mn, mx, nu, nr)) =>
                 // metadata-evolution hook: a widening commit converts the
@@ -1899,7 +1902,7 @@ object VersionedTable {
         // whose footer pass failed, or a kept file with no carried rows,
         // would otherwise silently disable pruning only for itself
         val covered = (own.map { case (_, rel) => ownStats.contains(rel) } ++
-          keptFiles.map(r => curStats.contains(curKeyed(r))) ++
+          keptEff.map(r => curStats.contains(curKeyed(r))) ++
           extraRefs.map(rbStats.contains)).forall(identity)
         if (rows.nonEmpty && covered)
           TableStats.writeRows(fh, dir, rows ++ rbRows)
@@ -1915,7 +1918,7 @@ object VersionedTable {
           val sizeV = rebase.map(_.through).getOrElse(cur)
           val curSizes = fileSizes(spark, root, sizeV)
           FileSizes.append(fh, dir,
-            (keptFiles ++ extraRefs).map(r => r -> curSizes(r)))
+            (keptEff ++ extraRefs).map(r => r -> curSizes(r)))
         } catch {
           case e: Exception =>
             maintLog.warn(s"size-sidecar carry skipped for $dir", e)
@@ -1998,7 +2001,17 @@ object VersionedTable {
                else Map("changes" -> feedWritable(
                  hit.select(tableCols.map(col): _*)
                    .withColumn("_change_type", lit("delete")))))
-            val rb = new AppendRebase(spark, root, cur)
+            // interest = the files this commit masks: a tolerated winner
+            // must not have rewritten them (its rewrite read the masks of
+            // ITS pinned version — these fresh deletions would be lost)
+            val maskedRefs = () => {
+              val tails = newDel.select("file").distinct()
+                .collect().map(_.getString(0)).toSet
+              dataFileRefs(spark, root, cur).filter(r => tails(refTail(r))).toSet
+            }
+            val rb = new AppendRebase(spark, root, cur,
+              allowDml = true, interest = maskedRefs,
+              readPredicate = Some(predicate))
             commitCowInternal(empty, root, cur, dataFileRefs(spark, root, cur),
               extras = extras, bloomCols = Nil,
               preCommit = v => { preCommit(v); rb.validate(v) },
@@ -2130,7 +2143,15 @@ object VersionedTable {
                  pre.withColumn("_change_type", lit("update_preimage"))
                    .unionByName(post
                      .withColumn("_change_type", lit("update_postimage"))))))
-            val rb = new AppendRebase(spark, root, cur)
+            // as the MOR delete: the masked files are the interest set
+            val maskedRefs = () => {
+              val tails = newDel.select("file").distinct()
+                .collect().map(_.getString(0)).toSet
+              dataFileRefs(spark, root, cur).filter(r => tails(refTail(r))).toSet
+            }
+            val rb = new AppendRebase(spark, root, cur,
+              allowDml = true, interest = maskedRefs,
+              readPredicate = Some(predicate))
             commitCowInternal(post, root, cur, dataFileRefs(spark, root, cur),
               extras = extras, bloomCols = Nil,
               preCommit = v => { preCommit(v); rb.validate(v) },
@@ -2183,25 +2204,48 @@ object VersionedTable {
     readProps(spark, new Path(new Path(dataDir(spark, root, v),
       "_commitinfo"), "info.properties"))
 
-  /** Some(refs added in (base, now]) iff EVERY commit in that window is a
-    * stamped blind append that left all table metadata untouched — the
-    * precondition for a losing writer to publish by manifest-union
-    * instead of recomputing. Belt checks beyond the stamp (schema,
-    * constraints, properties, mapping, ref superset) are driver-sized
-    * reads of `base` and `now` only: blind appends change none of them,
-    * so base-vs-now equality covers the whole window. Any doubt → None
-    * (the safe answer is always "recompute"). */
-  private def blindAppendRefsSince(
+  /** Winner operations a losing DML may compose with by manifest
+    * arithmetic: file-local COW rewrites (their whole effect is "these
+    * refs removed, those added"). MOR commits are excluded by their
+    * stamp — their new masks would not reach the loser's carried dv. */
+  private val TolerableDmlOps = Set("delete", "update", "merge", "optimize-where")
+
+  /** Some((addedRefs, removedRefs)) iff every commit in (base, now] is
+    * composable with the losing writer by manifest arithmetic — the
+    * Delta ConflictChecker decision, answered from commit metadata:
+    *
+    *  - a stamped BLIND APPEND composes with anything (write-serializable
+    *    isolation; the caller gates that);
+    *  - a stamped non-MOR DML ([[TolerableDmlOps]]) composes iff the
+    *    files it REMOVED don't intersect the loser's interest set (the
+    *    files the loser rewrote or masks) and the files it ADDED provably
+    *    cannot match the loser's read predicate (footer stats/blooms at
+    *    `now` — Delta's added-files-vs-read-predicate check, resolved
+    *    exactly instead of conservatively aborting);
+    *  - anything else (unstamped vintages, restore, metadata changes,
+    *    MOR) → None, the safe recompute.
+    *
+    * Belt checks (schema, constraints, properties, mapping equality
+    * between `base` and `now`) are driver-sized reads; tolerated
+    * operations change none of them. */
+  private def rebasePlanSince(
       spark: SparkSession, root: String,
-      base: Long, now: Long): Option[Seq[String]] = {
-    val allBlind = (base + 1 to now).forall(w =>
-      commitInfoOf(spark, root, w).get("blindAppend").contains("true"))
-    if (!allBlind) None
+      base: Long, now: Long,
+      allowDml: Boolean,
+      interest: () => Set[String],
+      readPredicate: Option[Column]): Option[(Seq[String], Set[String])] = {
+    val infos = (base + 1 to now).map(w => commitInfoOf(spark, root, w))
+    def blind(i: Map[String, String]) = i.get("blindAppend").contains("true")
+    val allTolerable = infos.forall { i =>
+      blind(i) || (allowDml &&
+        i.get("operation").exists(TolerableDmlOps) &&
+        !i.get("mor").contains("true"))
+    }
+    if (!allTolerable) None
     else {
       val baseRefs = dataFileRefs(spark, root, base).toSet
       val nowRefs = dataFileRefs(spark, root, now)
       val metaUnchanged =
-        baseRefs.subsetOf(nowRefs.toSet) &&
         schemaOf(spark, root, base).map(f => (f.name, f.dataType)) ==
           schemaOf(spark, root, now).map(f => (f.name, f.dataType)) &&
         constraintsOf(spark, root, base) == constraintsOf(spark, root, now) &&
@@ -2209,46 +2253,86 @@ object VersionedTable {
         columnMapping(spark, root, base) == columnMapping(spark, root, now) &&
         retiredPhysicals(spark, root, base) == retiredPhysicals(spark, root, now)
       if (!metaUnchanged) None
-      else Some(nowRefs.filterNot(baseRefs))
+      else {
+        val added = nowRefs.filterNot(baseRefs)
+        val removed = baseRefs -- nowRefs.toSet
+        val anyDml = infos.exists(i => !blind(i))
+        if (!anyDml) {
+          // blind appends only: add-only by construction — a removal
+          // means the stamp lied or the window was misread; recompute
+          if (removed.nonEmpty) None else Some((added, removed))
+        } else if ((removed & interest()).nonEmpty) None
+        else {
+          val predicateSafe = readPredicate match {
+            case None => true
+            case Some(p) =>
+              // do the winner's fresh files provably refute the loser's
+              // read predicate? (stats + blooms of the `now` snapshot)
+              val (mayMatch, _) = prunedFiles(spark, root, now, p)
+              val f = fs(spark, root)
+              val mayQ = mayMatch
+                .map(s => f.makeQualified(new Path(s)).toString).toSet
+              !added.exists(r =>
+                mayQ(f.makeQualified(new Path(root, r)).toString))
+          }
+          if (predicateSafe) Some((added, removed)) else None
+        }
+      }
     }
   }
 
   /** Claim-time conflict RESOLUTION for snapshot-deriving commits (the
-    * Delta ConflictChecker shape, blind-append rule only): used as the
-    * commit's `preCommit` validator in place of [[occValidate]]. The
-    * first validation (inside the version claim, before the manifest is
-    * finalized) may TOLERATE intervening blind appends under
-    * write-serializable isolation — it records the appended refs, which
-    * [[commitCowInternal]] merges into the manifest with their stats and
-    * sizes carried — so the expensive staged work (a COW merge's rewrite,
-    * an append's batch write) publishes instead of burning. Later
-    * validations (inside the publish lock, after the manifest is on
-    * disk) are STRICT against the rebased-through version: a commit
-    * landing in that last millisecond-scale window falls back to the
-    * occRetry recompute, which is always correct. */
+    * Delta ConflictChecker shape): used as the commit's `preCommit`
+    * validator in place of [[occValidate]]. The first validation (inside
+    * the version claim, before the manifest is finalized) may TOLERATE
+    * intervening commits per [[rebasePlanSince]] — it records the
+    * added/removed refs, which [[commitCowInternal]] folds into the
+    * manifest with stats and sizes carried — so the expensive staged
+    * work (a COW merge's rewrite, an append's batch write) publishes
+    * instead of burning. Later validations (inside the publish lock,
+    * after the manifest is on disk) are STRICT against the
+    * rebased-through version: a commit landing in that last
+    * millisecond-scale window falls back to the occRetry recompute,
+    * which is always correct.
+    *
+    * `interest`: the refs whose CONTENT the loser's commit depends on —
+    * the files a COW rewrite replaces, or a MOR commit masks (evaluated
+    * lazily, only on an actual conflict). `readPredicate`: the DML's
+    * WHERE — a tolerated winner's fresh files must provably refute it.
+    * `allowDml = false` (appends-only tolerance) for losers whose reads
+    * cannot be file-scoped: full-table merges and layout rewrites. */
   private[graft] final class AppendRebase(
-      spark: SparkSession, root: String, cur: Long) {
+      spark: SparkSession, root: String, cur: Long,
+      allowDml: Boolean = false,
+      interest: () => Set[String] = () => Set.empty,
+      readPredicate: Option[Column] = None) {
     private var throughV: Long = cur
     private var extra: Seq[String] = Nil
+    private var removed: Set[String] = Set.empty
     private var calls: Int = 0
     /** The newest version whose state the pending commit now reflects. */
     def through: Long = throughV
-    /** Refs appended by tolerated commits in (pinned, through]. */
+    /** Refs added by tolerated commits in (pinned, through]. */
     def extraRefs: Seq[String] = extra
+    /** Refs removed by tolerated commits — subtracted from the loser's
+      * kept list at finalize time. */
+    def removedRefs: Set[String] = removed
     def validate(v: Long): Unit = synchronized {
       calls += 1
       val now = currentVersion(spark, root)
       if (now != Some(throughV)) {
         val tolerated =
           if (calls > 1 || !writeSerializable(spark)) None
-          else now.filter(_ > throughV)
-            .flatMap(n => blindAppendRefsSince(spark, root, throughV, n))
+          else now.filter(_ > throughV).flatMap(n =>
+            rebasePlanSince(spark, root, throughV, n,
+              allowDml, interest, readPredicate))
         tolerated match {
-          case Some(added) =>
+          case Some((added, rem)) =>
             // the winner may be a newer build: re-run the protocol gate
             // against the state this commit now claims to derive from
             now.foreach(assertWritable(spark, root, _))
-            extra = (extra ++ added).distinct
+            extra = ((extra ++ added).toSet -- rem).toSeq
+            removed = removed ++ rem
             throughV = now.get
           case None =>
             throw new Sinks.ConcurrentWriteException(root, Some(throughV), now)
@@ -2317,8 +2401,10 @@ object VersionedTable {
         // (file:/...), dataFileRefs are root-relative
         val f = fs(spark, root)
         val mayMatchSet = mayMatch.map(s => f.makeQualified(new Path(s)).toString).toSet
-        val keptRefs = dataFileRefs(spark, root, cur)
+        val allRefs = dataFileRefs(spark, root, cur)
+        val keptRefs = allRefs
           .filterNot(r => mayMatchSet(f.makeQualified(new Path(root, r)).toString))
+        val touchedRefs = allRefs.toSet -- keptRefs
         // the touched slice reads THROUGH the deletion vectors (a rewrite
         // of a masked file must not resurrect its masked rows); kept
         // files' masks carry forward via commitCow's dv carry
@@ -2333,8 +2419,12 @@ object VersionedTable {
         // claim-time rebase: a blind append landing during the rewrite
         // merges into the manifest instead of forcing a recompute
         // (write-serializable — the DML serializes BEFORE the append, so
-        // appended rows are not subject to the predicate)
-        val rb = new AppendRebase(spark, root, cur)
+        // appended rows are not subject to the predicate), and a DML
+        // winner whose rewrite is provably disjoint (files AND predicate)
+        // composes by manifest arithmetic
+        val rb = new AppendRebase(spark, root, cur,
+          allowDml = true, interest = () => touchedRefs,
+          readPredicate = Some(predicate))
         commitCow(rewritten, root, keptRefs, extras = extras,
           preCommit = v => { hook(v); rb.validate(v) },
           rebase = Some(rb), recordInfo = Map("operation" -> op))
@@ -2396,7 +2486,10 @@ object VersionedTable {
       val info = Map("operation" -> "append") ++
         (if (extras.contains("dv")) Map.empty[String, String]
          else Map("blindAppend" -> "true"))
-      val rb = new AppendRebase(spark, root, cur)
+      // an append reads nothing and rides on top of ANY composable
+      // winner: empty interest set, no read predicate — a disjoint DML
+      // landing mid-append just reshapes the kept list
+      val rb = new AppendRebase(spark, root, cur, allowDml = true)
       commitCow(newData, root, dataFileRefs(spark, root, cur), withFeed, bloomCols,
         preCommit = v => { preCommit(v); rb.validate(v) },
         rebase = Some(rb), recordInfo = info)

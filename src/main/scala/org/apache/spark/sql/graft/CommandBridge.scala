@@ -44,6 +44,7 @@ case class GraftHistoryCommand(table: String, body: SparkSession => Seq[Row])
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("committed_at", TimestampType, nullable = false)(),
+    AttributeReference("operation", StringType, nullable = false)(),
     AttributeReference("files", IntegerType, nullable = false)(),
     AttributeReference("bytes", LongType, nullable = false)(),
     AttributeReference("fresh_files", IntegerType, nullable = false)(),

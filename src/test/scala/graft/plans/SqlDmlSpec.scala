@@ -250,11 +250,13 @@ class SqlDmlSpec extends SparkSpec {
     VersionedTable.deleteWhere(spark, root, col("id") === 2, mor = true)  // v3: DV
     val h = GraftSql.execute(spark, s"DESCRIBE HISTORY '$root'").collect()
     assert(h.map(_.getLong(0)).toSeq == Seq(3L, 2L, 1L))
-    assert(h.head.getBoolean(7), "v3 should flag deletion vectors")
-    assert(h(1).getBoolean(6), "the DML commit should flag its change feed")
-    assert(h(1).getInt(5) > 0, "the COW commit should carry refs")
-    assert(h.forall(_.getInt(9) == 3), "schema width recorded on every version")
-    assert(h.last.getInt(4) == h.last.getInt(2), "v1 wrote all its files fresh")
+    assert(h.map(_.getString(2)).toSeq == Seq("delete", "delete", "write"),
+      "operation column from the commitinfo stamp")
+    assert(h.head.getBoolean(8), "v3 should flag deletion vectors")
+    assert(h(1).getBoolean(7), "the DML commit should flag its change feed")
+    assert(h(1).getInt(6) > 0, "the COW commit should carry refs")
+    assert(h.forall(_.getInt(10) == 3), "schema width recorded on every version")
+    assert(h.last.getInt(5) == h.last.getInt(3), "v1 wrote all its files fresh")
   }
 
   test("OPTIMIZE ... WHERE rewrites only the admitted files") {

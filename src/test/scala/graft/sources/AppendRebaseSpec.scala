@@ -158,6 +158,105 @@ class AppendRebaseSpec extends SparkSpec {
       s"the full-snapshot writer's state was lost: ${ids(root)}")
   }
 
+  test("disjoint DML vs DML: delete loser composes with an update winner " +
+      "by manifest arithmetic (no recompute)") {
+    val root = freshRoot()
+    VersionedTable.commit(
+      spark.range(1, 101).toDF("id").withColumn("x", concat(lit("r"), $"id"))
+        .repartitionByRange(4, $"id"), root)
+    var interleaved = false
+    // loser deletes the LOW ids; the injected winner updates the HIGH
+    // ids — different files, and the winner's fresh rows (id >= 90)
+    // provably refute the loser's predicate (id <= 10)
+    VersionedTable.deleteWhere(spark, root, $"id" <= 10,
+      preCommit = _ =>
+        if (!interleaved) {
+          interleaved = true
+          VersionedTable.updateWhere(spark, root, $"id" >= 90,
+            Map("x" -> lit("upd")))
+          ()
+        })
+    assert(interleaved)
+    val out = VersionedTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == (11L to 100L).toSet, "both DML effects must land")
+    assert((90L to 100L).forall(out(_) == "upd"), "update winner's effect lost")
+    assert((11L to 89L).forall(i => out(i) == s"r$i"))
+    // no recompute: the delete's original staging (dir 2, claimed before
+    // the update's dir 3) is in the final manifest
+    val refs = finalRefs(root)
+    assert(refs.exists(_.startsWith("v00000002/")),
+      s"delete's original rewrite was burned (recompute): $refs")
+    assert(refs.exists(_.startsWith("v00000003/")),
+      s"update winner's fresh file missing: $refs")
+  }
+
+  test("DML winner whose fresh rows ADMIT the loser's predicate: strict " +
+      "recompute (the update moves rows INTO the delete range)") {
+    val root = freshRoot()
+    VersionedTable.commit(
+      spark.range(1, 101).toDF("id").withColumn("x", concat(lit("r"), $"id"))
+        .repartitionByRange(4, $"id"), root)
+    var interleaved = false
+    // the winner REWRITES id=95 to id=5 — its fresh file admits the
+    // loser's predicate, so composing would resurrect a row the
+    // serial-order delete must kill; the loser must recompute
+    VersionedTable.deleteWhere(spark, root, $"id" <= 10,
+      preCommit = _ =>
+        if (!interleaved) {
+          interleaved = true
+          VersionedTable.updateWhere(spark, root, $"id" === 95L,
+            Map("id" -> lit(5L)))
+          ()
+        })
+    assert(interleaved)
+    assert(ids(root) == (11L to 94L).toSet ++ (96L to 100L).toSet,
+      s"the recomputed delete must kill the moved row: ${ids(root)}")
+  }
+
+  test("DML winner that rewrote the MOR loser's masked file: strict recompute") {
+    val root = freshRoot()
+    VersionedTable.commit(
+      spark.range(1, 101).toDF("id").withColumn("x", concat(lit("r"), $"id"))
+        .repartitionByRange(4, $"id"), root)
+    var interleaved = false
+    // the winner's COW update rewrites the same low-id file the MOR
+    // delete is masking — tolerating would point masks at a removed
+    // file and resurrect the deletes; must recompute
+    VersionedTable.deleteWhere(spark, root, $"id" <= 10, mor = true,
+      preCommit = _ =>
+        if (!interleaved) {
+          interleaved = true
+          VersionedTable.updateWhere(spark, root, $"id" === 3L,
+            Map("x" -> lit("sneak")))
+          ()
+        })
+    assert(interleaved)
+    assert(ids(root) == (11L to 100L).toSet,
+      s"MOR delete must re-apply over the winner's rewrite: ${ids(root)}")
+  }
+
+  test("append loser vs DML winner: append survives without re-staging") {
+    val root = freshRoot()
+    VersionedTable.commit(
+      spark.range(1, 101).toDF("id").withColumn("x", concat(lit("r"), $"id"))
+        .repartitionByRange(4, $"id"), root)
+    var interleaved = false
+    VersionedTable.commitAppend(Seq((200L, "new")).toDF("id", "x"), root,
+      preCommit = _ =>
+        if (!interleaved) {
+          interleaved = true
+          VersionedTable.deleteWhere(spark, root, $"id" <= 10)
+          ()
+        })
+    assert(interleaved)
+    assert(ids(root) == (11L to 100L).toSet + 200L,
+      s"append + delete must both land: ${ids(root)}")
+    val refs = finalRefs(root)
+    assert(refs.exists(_.startsWith("v00000002/")),
+      s"append's original staging was burned (recompute): $refs")
+  }
+
   test("COW merge vs blind append: no re-merge, both land") {
     val root = freshRoot()
     val ts0 = lit("2024-06-01 00:00:00").cast("timestamp")
