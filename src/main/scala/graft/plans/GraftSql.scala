@@ -115,8 +115,13 @@ object GraftSql {
     * session, which on a foreign thread could be a different session or
     * none — the caller's explicit choice must win. */
   def execute(spark: SparkSession, sqlText: String): DataFrame = {
+    // pin for the duration only: restore the caller thread's previous
+    // active session on exit, so embedding execute() inside another
+    // session's work (a streaming foreachBatch on a cloned session)
+    // doesn't permanently redirect that thread's thread-local
+    val prev = SparkSession.getActiveSession
     SparkSession.setActiveSession(spark)
-    spark.sessionState.sqlParser match {
+    try spark.sessionState.sqlParser match {
       case _: GraftSqlParser => spark.sql(sqlText) // parser face handles it
       case p =>
         val sql = rewriteTimeTravel(resolveNames(spark, sqlText))
@@ -124,6 +129,9 @@ object GraftSql {
           .orElse(dmlPlan(sql, p))
           .map(cmd => CommandBridge.dataFrame(spark, cmd))
           .getOrElse(spark.sql(sql))
+    } finally prev match {
+      case Some(s) if !(s eq spark) => SparkSession.setActiveSession(s)
+      case _ => // caller was already on `spark` (or had none): leave it
     }
   }
 

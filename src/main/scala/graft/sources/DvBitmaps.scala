@@ -197,6 +197,16 @@ object DvBitmaps {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Spark's own job-kill message shapes (DAGScheduler's "Job N
+    * cancelled ...", "... cancelled as part of cancellation of all
+    * jobs", stage/job-group cancellation) — matched ONLY on
+    * SparkException, never on arbitrary causes: an upstream failure
+    * whose message happens to contain the word "cancelled" is a genuine
+    * derivation failure and must abort the commit, not downgrade to the
+    * distributed-join road. */
+  private val SparkCancelMsg =
+    """(?is).*\b(job(\s+\d+)?\s+cancelled|stage(\s+\d+)?\s+cancelled|cancellation of all jobs|job group\s+\S+\s+cancelled).*""".r
+
   /** True when `e`'s cause chain carries an interruption/cancellation —
     * Spark wraps a killed job's InterruptedException in SparkException
     * layers, and the thread's interrupt flag survives some unwinds. */
@@ -208,8 +218,10 @@ object DvBitmaps {
       t match {
         case _: InterruptedException => return true
         case _: java.io.InterruptedIOException => return true
-        case s if s.getMessage != null &&
-          s.getMessage.toLowerCase.contains("cancelled") => return true
+        case s: org.apache.spark.SparkException
+            if s.getMessage != null &&
+              SparkCancelMsg.pattern.matcher(s.getMessage).matches() =>
+          return true
         case _ =>
       }
       t = t.getCause

@@ -74,22 +74,32 @@ object FileSizes {
     * beyond it a Spark job stats one slice of refs per task and only the
     * O(files) (ref, len) pairs return to the driver. Refs resolve
     * against `root` exactly as every read site does
-    * (`new Path(root, ref)` — absolute refs pass through unchanged). */
+    * (`new Path(root, ref)` — absolute refs pass through unchanged),
+    * but each ref's FILESYSTEM resolves from the ref's own resolved
+    * path, not root's: a shallow clone's absolute ref can live on a
+    * different scheme/authority than the clone itself (root's FS would
+    * throw Wrong-FS). `FileSystem.get` caches per (scheme, authority,
+    * ugi), so same-store refs — the overwhelming case — pay one lookup.
+    * A ref whose size can't be stat'ed (store gone, permission) degrades
+    * to ABSENT rather than failing the whole maintenance tick — callers
+    * already treat missing entries as unsized. */
   def statRefs(spark: SparkSession, root: String, refs: Seq[String]): Map[String, Long] = {
+    def statOne(conf: org.apache.hadoop.conf.Configuration)(r: String): Option[(String, Long)] = {
+      val p = new Path(root, r)
+      try Some(r -> p.getFileSystem(conf).getFileStatus(p).getLen)
+      catch { case _: java.io.IOException | _: IllegalArgumentException => None }
+    }
     if (refs.isEmpty) Map.empty
     else if (refs.size <= DriverStatBudget) {
-      val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      refs.map(r => r -> f.getFileStatus(new Path(root, r)).getLen).toMap
+      val conf = spark.sparkContext.hadoopConfiguration
+      refs.flatMap(statOne(conf)).toMap
     } else {
       val hconf = new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration)
       val slices = math.min(refs.size,
         math.max(1, spark.sparkContext.defaultParallelism))
       spark.sparkContext.parallelize(refs, slices)
-        .mapPartitions { it =>
-          val f = new Path(root).getFileSystem(hconf.value)
-          it.map(r => r -> f.getFileStatus(new Path(root, r)).getLen)
-        }
+        .mapPartitions(it => it.flatMap(statOne(hconf.value)))
         .collect().toMap
     }
   }

@@ -1119,7 +1119,8 @@ object VersionedTable {
     * bytes). */
   private def commitPartitionDrop(
       spark: SparkSession, root: String, cur: Long,
-      dropRefs: Seq[String], changeFeed: Boolean): Long = {
+      dropRefs: Seq[String], changeFeed: Boolean,
+      preCommit: Long => Unit = _ => ()): Long = {
     val schema = schemaOf(spark, root, cur)
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -1129,8 +1130,10 @@ object VersionedTable {
       else Map("changes" -> feedWritable(
         readFilesOf(spark, root, cur, dropRefs).withColumn("_change_type",
           org.apache.spark.sql.functions.lit("delete"))))
+    // caller's in-claim gate (txn idempotence, validation) runs on this
+    // road too — the COW and MOR roads of the same deleteWhere honor it
     commitCowInternal(empty, root, cur, kept, extras, Nil,
-      preCommit = occValidate(spark, root, cur),
+      preCommit = v => { preCommit(v); occValidate(spark, root, cur)(v) },
       recordSchema = Some(schema),
       recordInfo = Map("operation" -> "delete", "partitionDrop" -> "true"))
   }
@@ -1976,7 +1979,8 @@ object VersionedTable {
         partitionDropPlan(spark, root, cur, predicate) match {
           case Some(dropRefs) =>
             if (dropRefs.isEmpty) cur // provably nothing matches: no-op
-            else commitPartitionDrop(spark, root, cur, dropRefs, changeFeed)
+            else commitPartitionDrop(spark, root, cur, dropRefs, changeFeed,
+              preCommit)
           case None =>
             cowRewriteAt(spark, root, cur, predicate, "delete", preCommit)(
               df => df.where(not(coalesce(predicate, lit(false)))),
@@ -2478,18 +2482,49 @@ object VersionedTable {
       if (!changeFeed || extras.contains("changes")) extras
       else extras.updated("changes", feedWritable(newData.withColumn(
         "_change_type", org.apache.spark.sql.functions.lit("insert"))))
+    // a caller-supplied "dv" extra masks rows of EXISTING files by
+    // (file, pos); the masked tails anchor both the conflict interest
+    // set and the per-attempt dangling-mask gate below. One collect,
+    // O(distinct masked files) — the MOR roads pay the same.
+    val dvTails: Set[String] = extras.get("dv") match {
+      case Some(dv) =>
+        dv.select("file").distinct().collect().map(_.getString(0)).toSet
+      case None => Set.empty
+    }
     occRetry(spark, root) { cur =>
       // BLIND-APPEND stamp: this commit reads nothing it doesn't carry
       // forward verbatim, so concurrent writers may rebase onto it by
       // manifest-union. A caller-supplied "dv" extra would mutate the
       // visible rows of EXISTING files — not blind; don't stamp it.
       val info = Map("operation" -> "append") ++
-        (if (extras.contains("dv")) Map.empty[String, String]
+        (if (dvTails.nonEmpty) Map.empty[String, String]
          else Map("blindAppend" -> "true"))
-      // an append reads nothing and rides on top of ANY composable
+      // A dv-carrying append's masks are only meaningful while the files
+      // they key are in the manifest. Positions don't survive a rewrite,
+      // so a conflict here is NOT rebasable — surface it (the caller
+      // must recompute its masks against the new snapshot) rather than
+      // silently publishing masks nothing resolves.
+      if (dvTails.nonEmpty) {
+        val present = dataFileRefs(spark, root, cur).map(refTail).toSet
+        val dangling = dvTails -- present
+        if (dangling.nonEmpty) throw new java.io.IOException(
+          s"dv extra masks file(s) not in $root's current manifest " +
+            s"(a concurrent rewrite won — recompute the masks): " +
+            dangling.toSeq.sorted.mkString(", "))
+      }
+      // a PLAIN append reads nothing and rides on top of ANY composable
       // winner: empty interest set, no read predicate — a disjoint DML
-      // landing mid-append just reshapes the kept list
-      val rb = new AppendRebase(spark, root, cur, allowDml = true)
+      // landing mid-append just reshapes the kept list. A dv-carrying
+      // append declares the masked files as its interest, exactly as
+      // the MOR deleteWhere/updateWhere roads do: a tolerated winner
+      // that rewrote one of them would leave the mask dangling (keyed
+      // to a ref gone from the manifest — the intended deletions would
+      // silently survive in the rewritten file).
+      val rb =
+        if (dvTails.isEmpty) new AppendRebase(spark, root, cur, allowDml = true)
+        else new AppendRebase(spark, root, cur, allowDml = true,
+          interest = () =>
+            dataFileRefs(spark, root, cur).filter(r => dvTails(refTail(r))).toSet)
       commitCow(newData, root, dataFileRefs(spark, root, cur), withFeed, bloomCols,
         preCommit = v => { preCommit(v); rb.validate(v) },
         rebase = Some(rb), recordInfo = info)
@@ -3173,7 +3208,9 @@ object VersionedTable {
     // commit-recorded sizes (AddFile shape) — NOT a per-file stat walk;
     // legacy vintages resolve via one distributed job ([[fileSizes]])
     val sizeOf = fileSizes(spark, root, v)
-    val sizes = refs.map(sizeOf)
+    // a ref with no resolvable size (cross-store legacy clone, dead
+    // source) counts as unsized rather than failing the report
+    val sizes = refs.flatMap(sizeOf.get)
     val tableBytes = sizes.sum
     val dvBytes = extraBytes(spark, root, v, "dv")
     val dvFraction =
@@ -3985,8 +4022,11 @@ object VersionedTable {
     val missing = refs.filterNot(recorded.contains)
     if (missing.isEmpty) refs.map(r => r -> recorded(r)).toMap
     else {
+      // a ref statRefs couldn't resolve (cross-store clone whose source
+      // is unreachable) degrades to unsized — one dead legacy ref must
+      // not fail the whole maintenance tick
       val resolved = FileSizes.statRefs(spark, root, missing)
-      refs.map(r => r -> recorded.getOrElse(r, resolved(r))).toMap
+      refs.flatMap(r => recorded.get(r).orElse(resolved.get(r)).map(r -> _)).toMap
     }
   }
 
@@ -4148,7 +4188,7 @@ object VersionedTable {
           mayMatchSet(f.makeQualified(new Path(root, r)).toString))
         val touched = all.filterNot(kept.toSet)
         val sizeOf = fileSizes(spark, root, v)
-        val bytes = touched.map(sizeOf).sum
+        val bytes = touched.flatMap(sizeOf.get).sum
         val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
         val slice = readFilesOf(spark, root, v, touched)
         val pspec = partitionColumnsOf(spark, root, v)
