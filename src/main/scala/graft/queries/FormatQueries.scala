@@ -32,7 +32,8 @@ object FormatQueries {
     "q31_format_schema"    -> ((s, d) => q31(s, d)),
     "q32_catalog_widen"    -> ((s, d) => q32(s, d)),
     "q33_convert"          -> ((s, d) => q33(s, d)),
-    "q34_deep_clone"       -> ((s, d) => q34(s, d))
+    "q34_deep_clone"       -> ((s, d) => q34(s, d)),
+    "q35_convert_partitioned" -> ((s, d) => q35(s, d))
   )
 
   private def freshRoot(): String =
@@ -234,7 +235,44 @@ object FormatQueries {
     VersionedTable.read(s, dst).orderBy(col("o_orderkey"))
   }
 
+  /** q35: Hive-partitioned CONVERT — the q30 lifecycle run against a
+    * directory that was NEVER loaded through this engine: Spark's plain
+    * `partitionBy` writer lays out `o_month=.../part-*.parquet` with the
+    * partition values ONLY in the dir names (the classic lake layout,
+    * the reference's own date-batched load shape —
+    * /root/reference/dags/retail_hourly_etl.py), then CONVERT TO GRAFT
+    * adopts it in place (zero bytes moved), the retention DELETE drops
+    * whole hive partitions metadata-only, and a dynamic partition
+    * overwrite reloads one month through the native layout. The oracle
+    * re-derives the final state relationally — a hash match proves the
+    * synthesized partition values are exactly the written ones, across
+    * both the original hive files and the post-convert native files. */
+  def q35(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot()
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"))
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+    orders.repartition(col("o_month"))
+      .write.partitionBy("o_month").parquet(root)
+    GraftSql.execute(s, s"CONVERT TO GRAFT '$root'")
+    GraftSql.execute(s, s"DELETE FROM `$root` WHERE o_month < '1997-01'")
+    VersionedTable.overwritePartitions(s, root,
+      orders.where(col("o_month") === "1999-06")
+        .withColumn("o_orderstatus", lit("R")))
+    VersionedTable.read(s, root).orderBy(col("o_orderkey"))
+  }
+
   def oracles: Map[String, String] = Map(
+    "q35_convert_partitioned" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN strftime(o_orderdate, '%Y-%m') = '1999-06' THEN 'R'
+        |       ELSE o_orderstatus END AS o_orderstatus,
+        |  o_totalprice, o_orderdate,
+        |  strftime(o_orderdate, '%Y-%m') AS o_month
+        |FROM orders
+        |WHERE strftime(o_orderdate, '%Y-%m') >= '1997-01'
+        |ORDER BY o_orderkey""".stripMargin,
     "q34_deep_clone" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders

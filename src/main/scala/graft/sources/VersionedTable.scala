@@ -159,13 +159,24 @@ object VersionedTable {
   private def checkpointFile(root: String) = new Path(checkpointDir(root), "ckpt.tsv")
 
   /** Driver-sized summary of the version log as of `version`: the newest
-    * published version at write time plus the per-app txn high-water mark
-    * over ALL commits ≤ `version` — the Delta `_last_checkpoint` idea on
-    * this format. Readers resolve idempotence state from this one file
-    * plus the (normally empty) suffix of versions published after it,
-    * instead of scanning the whole log; and because the marks live here,
-    * they SURVIVE [[vacuum]] dropping the stamped commits themselves. */
-  final case class Checkpoint(version: Long, txns: Map[String, Long])
+    * published version at write time, the per-app txn high-water mark
+    * over ALL commits ≤ `version`, and each covered version's snapshot
+    * data bytes — the Delta `_last_checkpoint` idea on this format.
+    * Readers resolve idempotence state AND history/maintenance sizing
+    * from this one file plus the (normally empty) suffix of versions
+    * published after it, instead of touching O(versions) per-version
+    * sidecars; and because marks and sizes live here, they SURVIVE
+    * [[vacuum]] dropping the stamped commits themselves. The bytes map
+    * is one ~20-byte line per version — the Delta-checkpoint growth
+    * class, megabytes at 100k commits. */
+  final case class Checkpoint(
+      version: Long, txns: Map[String, Long],
+      bytes: Map[Long, Long] = Map.empty)
+
+  /** Marker prefix of a checkpoint snapshot-bytes line
+    * (`!b\t<version>\t<bytes>`). Unambiguous vs txn lines: app ids are
+    * URL-encoded, which renders a literal `!` as `%21`. */
+  private val CkptBytesTag = "!b"
 
   /** The current checkpoint, or None when none was ever written (pre-
     * checkpoint tables) or the file is unreadable — callers fall back to
@@ -181,11 +192,17 @@ object VersionedTable {
         val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                    finally in.close()
         val lines = text.split('\n').filter(_.nonEmpty)
-        val txns = lines.tail.map { l =>
+        val (byteLines, txnLines) =
+          lines.tail.partition(_.startsWith(CkptBytesTag + "\t"))
+        val txns = txnLines.map { l =>
           val a = l.split('\t')
           java.net.URLDecoder.decode(a(0), "UTF-8") -> a(1).toLong
         }.toMap
-        Some(Checkpoint(lines.head.toLong, txns))
+        val bytes = byteLines.map { l =>
+          val a = l.split('\t')
+          a(1).toLong -> a(2).toLong
+        }.toMap
+        Some(Checkpoint(lines.head.toLong, txns, bytes))
       } catch { case _: Exception => None }
   }
 
@@ -216,12 +233,28 @@ object VersionedTable {
               case None => m
             }
           }
+        // snapshot bytes per covered version: the gap versions resolve
+        // through [[snapshotBytes]] (normally one just-written `_sizes`
+        // read; a legacy vintage pays its distributed stat ONCE here and
+        // never again), earlier entries carry forward — so a deep
+        // history answers sizing from this file + the tail, and the
+        // sizes survive vacuum dropping the version dirs. Per-version
+        // best-effort: one unsizable version skips, never blocks.
+        val bytes = gap.sorted
+          .foldLeft(prev.map(_.bytes).getOrElse(Map.empty[Long, Long])) { (m, vv) =>
+            try m.updated(vv, snapshotBytes(spark, root, vv))
+            catch { case _: Exception => m }
+          }
         f.mkdirs(checkpointDir(root))
         val tmp = new Path(checkpointDir(root),
           "ckpt." + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
-        val body = (Seq(v.toString) ++ txns.toSeq.sortBy(_._1).map { case (a, b) =>
-          java.net.URLEncoder.encode(a, "UTF-8") + "\t" + b
-        }).mkString("", "\n", "\n")
+        val body = (Seq(v.toString) ++
+          txns.toSeq.sortBy(_._1).map { case (a, b) =>
+            java.net.URLEncoder.encode(a, "UTF-8") + "\t" + b
+          } ++
+          bytes.toSeq.sorted.map { case (vv, len) =>
+            s"$CkptBytesTag\t$vv\t$len"
+          }).mkString("", "\n", "\n")
         val out = f.create(tmp, true)
         try out.write(body.getBytes("UTF-8")) finally out.close()
         f.delete(checkpointFile(root), false)
@@ -928,8 +961,57 @@ object VersionedTable {
     * features — a later full rewrite could clear it, but proving every
     * narrow file is gone isn't worth the accounting. */
   val WidenedTypesProp = "graft.feature.widenedTypes"
+
+  /** STICKY marker that this table was [[convertToGraft]]-ed in place
+    * from a Hive-partitioned (`col=val/`) parquet layout: the original
+    * files carry their partition values ONLY in their dir names, so
+    * every read synthesizes the recorded partition columns from the
+    * scan's file paths ([[synthHiveParts]] — null in the file resolves
+    * from the path; files written after the convert carry real values
+    * and are untouched). Sticky like [[WidenedTypesProp]]: a full
+    * rewrite could clear it, but proving every original file is gone
+    * isn't worth the accounting, and the synthesis projection is a
+    * no-op on complete files. */
+  val HivePartitionedProp = "graft.convert.hivePartitioned"
   private val PartDirPrefix = "p__"
   private val HiveNullPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** For a Hive-CONVERTed snapshot ([[HivePartitionedProp]]), resolve
+    * each recorded partition column as `coalesce(<file value>, <value
+    * parsed from the file's path>)`, applied directly over a scan
+    * `df` (the `_metadata` column must still be reachable). The parse
+    * takes the LAST `(p__)?<phys>=<val>/` dir segment in the path —
+    * segments above the table root can't shadow the true partition
+    * dir — and decodes Hive's %XX path escaping exactly (a literal
+    * `'+'` is first shielded from `url_decode`'s form rule). Values
+    * cast through the recorded column type; convert validated every
+    * original dir value against it, so the ANSI cast cannot throw on
+    * referenced files. On any other table this is the identity. */
+  private def synthHiveParts(
+      spark: SparkSession, root: String, v: Long, df: DataFrame): DataFrame = {
+    if (!propertiesOf(spark, root, v).get(HivePartitionedProp).contains("true")) df
+    else {
+      val spec = partitionColumnsOf(spark, root, v)
+      val mapping = columnMapping(spark, root, v)
+      val types = tableSchema(spark, root, v)
+        .map(_.map(f => f.name -> f.dataType).toMap).getOrElse(Map.empty)
+      import org.apache.spark.sql.functions._
+      spec.foldLeft(df) { (d, c) =>
+        val phys = physicalName(mapping, c)
+        if (!d.columns.contains(phys) || !types.contains(c)) d
+        else {
+          val raw = regexp_extract(col("_metadata.file_path"),
+            ".*/(?:" + PartDirPrefix + ")?" +
+              java.util.regex.Pattern.quote(phys) + "=([^/]+)/.*", 1)
+          val decoded = url_decode(regexp_replace(raw, "\\+", "%2B"))
+          val parsed = when(raw === "" || raw === HiveNullPartition,
+              lit(null).cast(types(c)))
+            .otherwise(decoded.cast(types(c)))
+          d.withColumn(phys, coalesce(col(phys), parsed))
+        }
+      }
+    }
+  }
 
   /** The partition spec recorded for version `v` (LOGICAL column names),
     * Nil for unpartitioned tables. */
@@ -960,18 +1042,40 @@ object VersionedTable {
   /** (logical column -> raw dir value) parsed from a ref/path's
     * `p__<phys>=<val>` segments; a `None` value is the Hive null
     * marker. Physical names resolve to logical through the reverse
-    * column mapping, so partition pruning survives renames. */
+    * column mapping, so partition pruning survives renames.
+    *
+    * `bareCols` (logical names) additionally admits PLAIN Hive
+    * `<phys>=<val>` segments — the layout a CONVERTed directory's
+    * original files sit in ([[convertToGraft]]). Restricted to the
+    * recorded partition spec and to DIRECTORY segments only, and
+    * deeper segments win ties, so a `col=val` segment in the path
+    * ABOVE the table root (a coincidence of where the table lives)
+    * can neither invent a partition column nor shadow the true
+    * partition dir below the root. */
   private def partRawValues(
-      ref: String, reverse: Map[String, String]): Map[String, Option[String]] =
-    ref.split('/').toSeq
+      ref: String, reverse: Map[String, String],
+      bareCols: Set[String] = Set.empty): Map[String, Option[String]] = {
+    val segs = ref.split('/').toSeq
+    def parse(seg: String, prefix: Int): (String, Option[String]) = {
+      val i = seg.indexOf('=')
+      val phys = seg.substring(prefix, i)
+      val raw = unescapePathName(seg.substring(i + 1))
+      (reverse.getOrElse(phys, phys),
+        if (raw == HiveNullPartition) None else Some(raw))
+    }
+    val bare =
+      if (bareCols.isEmpty) Nil
+      else segs.dropRight(1)
+        .filter(seg => !seg.startsWith(PartDirPrefix) && seg.contains('=') &&
+          seg.indexOf('=') > 0)
+        .map(parse(_, 0))
+        .filter { case (c, _) => bareCols(c) }
+    val native = segs
       .filter(seg => seg.startsWith(PartDirPrefix) && seg.contains('='))
-      .map { seg =>
-        val i = seg.indexOf('=')
-        val phys = seg.substring(PartDirPrefix.length, i)
-        val raw = unescapePathName(seg.substring(i + 1))
-        (reverse.getOrElse(phys, phys),
-          if (raw == HiveNullPartition) None else Some(raw))
-      }.toMap
+      .map(parse(_, PartDirPrefix.length))
+    // toMap keeps the LAST occurrence per column: deeper segments win
+    (bare ++ native).toMap
+  }
 
   /** Dir-value string → canonical stats (kind, value) — the exact domain
     * [[TableStats]] stores and compares, so partition segments plug
@@ -1014,9 +1118,10 @@ object VersionedTable {
     * `p__date=2024-01-01/` holds ONLY that date). */
   private def partSynthStats(
       p: String, reverse: Map[String, String],
-      types: Map[String, org.apache.spark.sql.types.DataType])
+      types: Map[String, org.apache.spark.sql.types.DataType],
+      bareCols: Set[String] = Set.empty)
       : Map[String, (String, Option[String], Option[String], Long, Long)] =
-    partRawValues(p, reverse).flatMap { case (c, raw) =>
+    partRawValues(p, reverse, bareCols).flatMap { case (c, raw) =>
       raw match {
         case None =>
           // all-null partition: nulls == rows refutes col-op-lit, keeps
@@ -1086,8 +1191,8 @@ object VersionedTable {
       predicate: Column): Option[Seq[String]] = {
     if (partitionColumnsOf(spark, root, cur).isEmpty) return None
     val types = schemaOf(spark, root, cur).map(f => f.name -> f.dataType).toMap
-    val optimized = readVersion(spark, root, cur).where(predicate)
-      .queryExecution.optimizedPlan
+    val optimized = versionFrame(spark, root, cur, synth = false)
+      .where(predicate).queryExecution.optimizedPlan
     val conjs = optimized.collect {
       case fl: org.apache.spark.sql.catalyst.plans.logical.Filter => fl.condition
     }.flatMap(TableStats.conjuncts)
@@ -1095,10 +1200,11 @@ object VersionedTable {
     // plan shape is unexpected) — never treat that as "drop everything"
     if (conjs.isEmpty) return None
     val reverse = columnMapping(spark, root, cur).map(_.swap)
+    val bareCols = partitionColumnsOf(spark, root, cur).toSet
     val refs = dataFileRefs(spark, root, cur)
     val decisions = refs.map { r =>
       val tuple: Map[String, Option[(String, Any)]] =
-        partRawValues(r, reverse).flatMap { case (c, raw) =>
+        partRawValues(r, reverse, bareCols).flatMap { case (c, raw) =>
           raw match {
             case None => Some(c -> (None: Option[(String, Any)]))
             case Some(s) =>
@@ -1196,7 +1302,7 @@ object VersionedTable {
       val types = schemaOf(spark, root, cur).map(f => f.name -> f.dataType).toMap
       val refs = dataFileRefs(spark, root, cur)
       val tuples: Seq[(String, Option[Seq[Option[(String, Any)]]])] = refs.map { r =>
-        val raw = partRawValues(r, reverse)
+        val raw = partRawValues(r, reverse, spec.toSet)
         val t = spec.map { c =>
           raw.get(c) match {
             case Some(None) => Some(None: Option[(String, Any)]) // null value
@@ -1426,15 +1532,27 @@ object VersionedTable {
 
   /** Time travel: read an exact committed version (deletion-vector rows
     * masked out — the read is always the table's logical content). */
-  def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
+  def readVersion(spark: SparkSession, root: String, v: Long): DataFrame =
+    versionFrame(spark, root, v, synth = true)
+
+  /** [[readVersion]] with the Hive-convert partition synthesis
+    * optionally SKIPPED (`synth = false`): the conjunct-extraction
+    * sites ([[prunedFiles]], [[partitionDropPlan]]) resolve predicates
+    * against this plain frame, because the optimizer pushes a filter
+    * through the synthesis Project by SUBSTITUTING the coalesce — a
+    * partition conjunct would reach the pruner coalesce-shaped and
+    * undecidable. Execution reads always synthesize. */
+  private def versionFrame(
+      spark: SparkSession, root: String, v: Long, synth: Boolean): DataFrame = {
     require(isCommitted(spark, root, v), s"version $v is not committed under $root")
     assertReadable(spark, root, v)
     val reader = versionReader(spark, root, v)
-    val base = manifestOf(spark, root, v) match {
+    val scan = manifestOf(spark, root, v) match {
       case Some(refs) =>
         reader.parquet(refs.map(r => new Path(root, r).toString): _*)
       case None => reader.parquet(dataDir(spark, root, v).toString)
     }
+    val base = if (synth) synthHiveParts(spark, root, v, scan) else scan
     toLogical(
       readExtra(spark, root, v, "dv").map(applyDv(spark, root, v, base, _)).getOrElse(base),
       columnMapping(spark, root, v))
@@ -1457,7 +1575,7 @@ object VersionedTable {
     // `onlyRefs` bounds the scan to a candidate subset (e.g. the files
     // whose key stats admit a source key): detection then reads
     // O(candidates), not the table
-    val base = onlyRefs match {
+    val base = synthHiveParts(spark, root, v, onlyRefs match {
       case Some(refs) =>
         require(refs.nonEmpty, "onlyRefs must be non-empty — skip the scan instead")
         reader.parquet(refs.map(r => new Path(root, r).toString): _*)
@@ -1466,7 +1584,7 @@ object VersionedTable {
           reader.parquet(refs.map(r => new Path(root, r).toString): _*)
         case None => reader.parquet(dataDir(spark, root, v).toString)
       }
-    }
+    })
     val withRef = base.withColumn(refCol, fileRefCol)
     toLogical(
       readExtra(spark, root, v, "dv").map(applyDv(spark, root, v, withRef, _)).getOrElse(withRef),
@@ -1481,8 +1599,8 @@ object VersionedTable {
   def readFilesOf(
       spark: SparkSession, root: String, v: Long, refs: Seq[String]): DataFrame = {
     require(refs.nonEmpty, "readFilesOf needs at least one file ref")
-    val sub = versionReader(spark, root, v)
-      .parquet(refs.map(r => new Path(root, r).toString): _*)
+    val sub = synthHiveParts(spark, root, v, versionReader(spark, root, v)
+      .parquet(refs.map(r => new Path(root, r).toString): _*))
     toLogical(
       readExtra(spark, root, v, "dv").map(applyDv(spark, root, v, sub, _)).getOrElse(sub),
       columnMapping(spark, root, v))
@@ -1511,7 +1629,8 @@ object VersionedTable {
       readVersion(spark, root, v)
         .where(org.apache.spark.sql.functions.lit(false)).where(predicate)
     else {
-      val sub = versionReader(spark, root, v).parquet(kept: _*)
+      val sub = synthHiveParts(spark, root, v,
+        versionReader(spark, root, v).parquet(kept: _*))
       toLogical(
         readExtra(spark, root, v, "dv").map(applyDv(spark, root, v, sub, _)).getOrElse(sub),
         columnMapping(spark, root, v))
@@ -1541,8 +1660,10 @@ object VersionedTable {
     // analyzer + optimizer: Column expressions are lazy ColumnNode
     // wrappers in Spark 4, and optimization also constant-folds literal
     // casts — the Filter conditions below are plain resolved conjuncts
-    val optimized = readVersion(spark, root, v).where(predicate)
-      .queryExecution.optimizedPlan
+    // (synth=false: the Hive-convert coalesce Project would otherwise
+    // substitute into pushed-down partition conjuncts)
+    val optimized = versionFrame(spark, root, v, synth = false)
+      .where(predicate).queryExecution.optimizedPlan
     val conjs = optimized.collect {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
     }.flatMap(TableStats.conjuncts)
@@ -1556,8 +1677,10 @@ object VersionedTable {
     val partTypes: Map[String, org.apache.spark.sql.types.DataType] =
       scala.util.Try(schemaOf(spark, root, v)).toOption
         .map(_.map(sf => sf.name -> sf.dataType).toMap).getOrElse(Map.empty)
-    def synth(p: Path) = partSynthStats(p.toString, reverseMap, partTypes)
-    val anyPartitioned = files.exists(_._1.toString.contains("/" + PartDirPrefix))
+    val bareCols = partitionColumnsOf(spark, root, v).toSet
+    def synth(p: Path) = partSynthStats(p.toString, reverseMap, partTypes, bareCols)
+    val anyPartitioned = bareCols.nonEmpty ||
+      files.exists(_._1.toString.contains("/" + PartDirPrefix))
     val statsKept =
       if (stats.isEmpty && !anyPartitioned) files
       else files.filter { case (p, key) =>
@@ -2041,7 +2164,8 @@ object VersionedTable {
     val (mayMatch, _) = prunedFiles(spark, root, cur, predicate)
     if (mayMatch.isEmpty) None
     else {
-      val raw = versionReader(spark, root, cur).parquet(mayMatch: _*)
+      val raw = synthHiveParts(spark, root, cur,
+          versionReader(spark, root, cur).parquet(mayMatch: _*))
         .withColumn("__dv_file", fileRefCol)
         .withColumn("__dv_pos", col("_metadata.row_index"))
       val folded = readExtra(spark, root, cur, "dv") match {
@@ -2060,8 +2184,8 @@ object VersionedTable {
       spark: SparkSession, root: String, v: Long, refs: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.col
     require(refs.nonEmpty, "readFilesTagged needs at least one file ref")
-    val raw = versionReader(spark, root, v)
-      .parquet(refs.map(r => new Path(root, r).toString): _*)
+    val raw = synthHiveParts(spark, root, v, versionReader(spark, root, v)
+        .parquet(refs.map(r => new Path(root, r).toString): _*))
       .withColumn("__dv_file", fileRefCol)
       .withColumn("__dv_pos", col("_metadata.row_index"))
     val folded = readExtra(spark, root, v, "dv") match {
@@ -2412,7 +2536,8 @@ object VersionedTable {
         // the touched slice reads THROUGH the deletion vectors (a rewrite
         // of a masked file must not resurrect its masked rows); kept
         // files' masks carry forward via commitCow's dv carry
-        val sliceRaw = versionReader(spark, root, cur).parquet(mayMatch: _*)
+        val sliceRaw = synthHiveParts(spark, root, cur,
+          versionReader(spark, root, cur).parquet(mayMatch: _*))
         val slice = toLogical(
           readExtra(spark, root, cur, "dv")
             .map(applyDv(spark, root, cur, sliceRaw, _)).getOrElse(sliceRaw),
@@ -2932,24 +3057,112 @@ object VersionedTable {
         retiredPhysicals(spark, srcRoot, v))))
   }
 
+  /** Driver budget (number of `listStatus` calls) for [[convertToGraft]]'s
+    * directory walk — a small table must not pay a Spark-job launch to
+    * list a handful of dirs. Past the budget the REMAINING frontier
+    * lists through ONE distributed job (one recursive `listFiles` per
+    * task), so a million-file conversion never loops O(dirs) on the
+    * driver — the [[FileSizes.statRefs]] pattern, applied to the last
+    * O(files) driver loop the convert road had. */
+  private[graft] val ConvertListBudgetKey = "spark.graft.convert.driverListBudget"
+  private val ConvertListBudgetDefault = 256
+
+  /** Recursive (qualified path, byte length) listing of every visible
+    * `*.parquet` under `rootPath`: breadth-first on the driver up to
+    * [[ConvertListBudgetKey]] dir listings, then the remaining frontier
+    * distributes. Hidden dirs/files (`_`/`.` prefixed) are skipped on
+    * both roads — the distributed road re-checks every path segment
+    * below its frontier dir, so the two roads accept identical sets. */
+  private def convertListing(
+      spark: SparkSession, f: org.apache.hadoop.fs.FileSystem,
+      rootPath: Path): Seq[(String, Long)] = {
+    def hidden(n: String) = n.startsWith("_") || n.startsWith(".")
+    val budget = spark.conf.getOption(ConvertListBudgetKey)
+      .map(_.toInt).getOrElse(ConvertListBudgetDefault)
+    val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val frontier = scala.collection.mutable.Queue(rootPath)
+    var listed = 0
+    while (frontier.nonEmpty && listed < budget) {
+      val d = frontier.dequeue(); listed += 1
+      f.listStatus(d).foreach { s =>
+        val n = s.getPath.getName
+        if (s.isDirectory) { if (!hidden(n)) frontier.enqueue(s.getPath) }
+        else if (n.endsWith(".parquet") && !hidden(n))
+          files += ((f.makeQualified(s.getPath).toString, s.getLen))
+      }
+    }
+    if (frontier.isEmpty) files.toSeq
+    else {
+      val pending = frontier.toSeq.map(p => f.makeQualified(p).toString)
+      val hconf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      val slices = math.min(pending.size,
+        math.max(1, spark.sparkContext.defaultParallelism))
+      val extra = spark.sparkContext.parallelize(pending, slices)
+        .flatMap { (dirStr: String) =>
+          val dp = new Path(dirStr)
+          val dfs = dp.getFileSystem(hconf.value)
+          val it = dfs.listFiles(dp, true)
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+          while (it.hasNext) {
+            val s = it.next()
+            val p = s.getPath.toString
+            val below = p.stripPrefix(dirStr).split('/')
+            if (s.getPath.getName.endsWith(".parquet") &&
+                below.forall(seg => seg.isEmpty || !hidden(seg)))
+              buf += ((p, s.getLen))
+          }
+          buf
+        }.collect().toSeq
+      files.toSeq ++ extra
+    }
+  }
+
+  /** The narrowest partition-column type every raw dir value fits —
+    * the [[canonPartValue]] domains (long, date, double, string), so
+    * partition pruning on the synthesized column always compares in a
+    * canonical stats kind. */
+  private def inferPartType(
+      vals: Seq[String]): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    def all(p: String => Unit): Boolean =
+      vals.nonEmpty && vals.forall(s =>
+        try { p(s); true } catch { case _: Exception => false })
+    if (all(_.toLong)) LongType
+    else if (all(java.time.LocalDate.parse(_))) DateType
+    else if (all(_.toDouble)) DoubleType
+    else StringType
+  }
+
   /** CONVERT an existing plain-parquet directory into a versioned table
     * IN PLACE (Delta's `CONVERT TO DELTA`): version 1 is a MANIFEST
     * commit referencing the existing files by absolute path — ZERO data
     * bytes move at any table size — with the inferred schema recorded,
     * per-file stats collected (distributed footer read beyond the
     * driver budget, so a million-file conversion never loops on the
-    * driver), and byte sizes recorded from the same listing. After the
-    * convert the directory is a full citizen: append/delete/update/
+    * driver), byte sizes recorded from the same listing, and the
+    * listing itself distributed past [[ConvertListBudgetKey]]. After
+    * the convert the directory is a full citizen: append/delete/update/
     * optimize/time-travel all work, and new commits land in version
     * dirs beside the original files (which vacuum never touches — they
     * are referenced data, exactly like a shallow clone's source).
     *
-    * Hive-PARTITIONED layouts (`col=val/` subdirectories) are REFUSED:
-    * their partition values live only in dir names, which this format's
-    * manifest read does not synthesize — route those through `COPY
-    * INTO`/`commit(partitionBy = ...)`, which rewrites once into the
-    * format's own layout. No change feed is recorded (the files predate
-    * the log — same as Delta); streaming consumers start with
+    * Hive-PARTITIONED layouts (`col=val/` subdirectories — the most
+    * common real-world lake layout, the reference's own date-batched
+    * load shape: /root/reference/dags/retail_hourly_etl.py) convert in
+    * place too, Delta-CONVERT style: the partition columns are inferred
+    * from the dir segments (names from the layout, each type the
+    * narrowest [[canonPartValue]] domain every value fits), recorded in
+    * the schema and [[PartitionByProp]], and [[HivePartitionedProp]]
+    * marks the table so reads synthesize the values from each file's
+    * path ([[synthHiveParts]]) — the original files stay byte-identical
+    * and pruning/partition-drop work from the same segments
+    * ([[partRawValues]]' bare form). Refused honestly: an inconsistent
+    * partition dir chain across files, a partition column that also
+    * exists inside the files (the dir value could contradict it), and
+    * malformed `%` escapes (the read-side decode is exact and must not
+    * throw later). No change feed is recorded (the files predate the
+    * log — same as Delta); streaming consumers start with
     * [[graft.streaming.ChangeFeedStream]]'s `initialSnapshot`. */
   def convertToGraft(spark: SparkSession, root: String): Long = {
     require(currentVersion(spark, root).isEmpty,
@@ -2958,27 +3171,68 @@ object VersionedTable {
     val rootPath = f.makeQualified(new Path(root))
     require(f.exists(rootPath) && f.getFileStatus(rootPath).isDirectory,
       s"CONVERT TO GRAFT needs an existing directory: $root")
-    def walk(d: Path): Seq[org.apache.hadoop.fs.FileStatus] =
-      f.listStatus(d).toSeq.flatMap { s =>
-        val n = s.getPath.getName
-        if (s.isDirectory) {
-          if (n.startsWith("_") || n.startsWith(".")) Nil
-          else {
-            require(!n.contains("="),
-              s"$root is a Hive-partitioned layout ($n): partition values " +
-                "live only in dir names, which a manifest read cannot " +
-                "synthesize — load it with COPY INTO / commit(partitionBy)")
-            walk(s.getPath)
-          }
-        } else if (n.endsWith(".parquet") && !n.startsWith("_") &&
-            !n.startsWith(".")) Seq(s)
-        else Nil
+    val listed = convertListing(spark, f, rootPath).sortBy(_._1)
+    require(listed.nonEmpty, s"no parquet files under $root to convert")
+    val refs = listed.map(_._1)
+    val rootPrefix = rootPath.toString.stripSuffix("/") + "/"
+    // ---- Hive partition inference from the dir chain below the root
+    val chains: Seq[Seq[(String, String)]] = refs.map { p =>
+      p.stripPrefix(rootPrefix).split('/').toSeq.dropRight(1).collect {
+        case seg if seg.contains('=') && seg.indexOf('=') > 0 =>
+          val i = seg.indexOf('=')
+          (seg.substring(0, i), seg.substring(i + 1))
       }
-    val files = walk(rootPath)
-    require(files.nonEmpty, s"no parquet files under $root to convert")
-    val refs = files.map(s => f.makeQualified(s.getPath).toString)
-    val schema = spark.read.option("recursiveFileLookup", "true")
-      .parquet(root).schema
+    }
+    val specs = chains.map(_.map(_._1)).distinct
+    require(specs.size == 1,
+      s"inconsistent Hive partition layout under $root — every file must " +
+        s"sit under the same partition dir chain; found: " +
+        specs.take(3).map(s => if (s.isEmpty) "(none)" else s.mkString("/"))
+          .mkString(" vs "))
+    val partCols = specs.head
+    require(partCols.distinct == partCols,
+      s"partition dir chain repeats a column under $root: " +
+        partCols.mkString("/"))
+    require(partCols.forall(c => !c.startsWith(PartDirPrefix) && !c.startsWith("__")),
+      s"partition dir names $PartDirPrefix*/__* are reserved; " +
+        s"found: ${partCols.mkString("/")}")
+    // the read-side decode (url_decode) is exact only for well-formed
+    // %XX escapes — refuse a malformed one now, not at first read
+    val badEscape = chains.flatten.map(_._2).distinct
+      .filter(v => "%(?![0-9A-Fa-f]{2})".r.findFirstIn(v).isDefined)
+    require(badEscape.isEmpty,
+      s"malformed % escape in partition dir value(s) under $root: " +
+        badEscape.take(3).mkString(", "))
+    // schema inference never needs every footer: sample across the
+    // listing (files of one layout share a schema; a genuinely drifted
+    // layout should COPY INTO with an explicit schema instead)
+    val sample =
+      if (refs.size <= 32) refs
+      else {
+        val step = refs.size / 32
+        (0 until 32).map(i => refs(i * step))
+      }
+    val dataSchema = spark.read.option("recursiveFileLookup", "true")
+      .parquet(sample: _*).schema
+    val collide = dataSchema.fieldNames
+      .filter(n => partCols.exists(_.equalsIgnoreCase(n)))
+    require(collide.isEmpty,
+      s"partition column(s) ${collide.mkString(", ")} also exist inside " +
+        s"$root's files — the dir value could contradict the stored one; " +
+        "re-load with COPY INTO / commit(partitionBy) instead")
+    val partFields = partCols.map { c =>
+      val vals = chains.flatMap(_.collect {
+        case (n, v) if n == c => unescapePathName(v)
+      }).distinct.filterNot(_ == HiveNullPartition)
+      org.apache.spark.sql.types.StructField(c, inferPartType(vals),
+        nullable = true)
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      dataSchema.fields.toSeq ++ partFields)
+    val props: Option[Map[String, String]] =
+      if (partCols.isEmpty) None
+      else Some(Map(PartitionByProp -> partCols.mkString(","),
+        HivePartitionedProp -> "true"))
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     commitWith(empty, root, collectStats = false, extras = Map.empty,
@@ -2989,13 +3243,12 @@ object VersionedTable {
           s"concurrent CONVERT: $root gained v$cv while this one ran")),
       finalizeVersion = (fh, dir, _) => {
         val rows = TableStats.collectRows(spark, fh,
-          files.map(s => (s.getPath, f.makeQualified(s.getPath).toString)))
+          listed.map { case (p, _) => (new Path(p), p) })
         // all-or-none coverage, as every stats table
         val keyed = rows.map(_._1).toSet
         if (rows.nonEmpty && refs.forall(keyed))
           TableStats.writeRows(fh, dir, rows)
-        try FileSizes.append(fh, dir,
-          files.map(s => f.makeQualified(s.getPath).toString -> s.getLen))
+        try FileSizes.append(fh, dir, listed)
         catch {
           case e: Exception =>
             maintLog.warn(s"size-sidecar write skipped for convert $dir", e)
@@ -3005,7 +3258,8 @@ object VersionedTable {
         try out.write(refs.mkString("", "\n", "\n").getBytes("UTF-8"))
         finally out.close()
       },
-      recordSchema = Some(schema))
+      recordSchema = Some(schema),
+      recordProperties = props)
   }
 
   /** Constraints whose expression mentions `column` as a word — the
@@ -3393,6 +3647,13 @@ object VersionedTable {
         props.get(PartitionByProp) == curSpec,
         s"$PartitionByProp is fixed at table birth (commit(partitionBy=...)); " +
           "it cannot be changed through setProperties")
+      // load-bearing for reads of a converted table's original files
+      // (partition values synthesize from paths only while it's set)
+      val curHive = propertiesOf(spark, root, cur).get(HivePartitionedProp)
+      require(!props.contains(HivePartitionedProp) ||
+        props.get(HivePartitionedProp) == curHive,
+        s"$HivePartitionedProp is set by CONVERT TO GRAFT only; " +
+          "it cannot be changed through setProperties")
       metadataOnlyCommit(spark, root, cur,
         recordProperties = Some(propertiesOf(spark, root, cur) ++ props),
         op = "set-properties")
@@ -3407,6 +3668,9 @@ object VersionedTable {
     require(!keys.contains(PartitionByProp),
       s"$PartitionByProp is fixed at table birth; it cannot be unset " +
         "(the committed layout depends on it)")
+    require(!keys.contains(HivePartitionedProp),
+      s"$HivePartitionedProp cannot be unset — a converted table's " +
+        "original files carry partition values only in their dir names")
     occRetry(spark, root) { cur =>
       metadataOnlyCommit(spark, root, cur,
         recordProperties = Some(propertiesOf(spark, root, cur) -- keys),
@@ -3787,6 +4051,11 @@ object VersionedTable {
     * O(retained versions) driver work, newest first. */
   def history(spark: SparkSession, root: String): DataFrame = {
     val f = fs(spark, root)
+    // ONE checkpoint read covers every checkpointed version's bytes —
+    // the per-version snapshotBytes road (which also consults the
+    // checkpoint) would re-read the file once per history row
+    val ckptBytes = readCheckpoint(spark, root).map(_.bytes)
+      .getOrElse(Map.empty[Long, Long])
     val rows = versions(spark, root).sorted.reverse.map { v =>
       val refs = dataFileRefs(spark, root, v)
       val ownPrefix = dataDirName(spark, root, v) + "/"
@@ -3799,7 +4068,8 @@ object VersionedTable {
         new java.sql.Timestamp(
           f.getFileStatus(new Path(commitDir(root), pad(v))).getModificationTime),
         info.getOrElse("operation", ""),
-        refs.size, snapshotBytes(spark, root, v),
+        refs.size,
+        ckptBytes.getOrElse(v, snapshotBytes(spark, root, v)),
         fresh, refs.size - fresh,
         f.exists(new Path(vdir, "_changes")),
         f.exists(new Path(vdir, "_dv")),
@@ -3982,8 +4252,9 @@ object VersionedTable {
           .collect().map(_.getString(0)).toSeq
         if (files.isEmpty) None
         else {
-          val raw = toLogical(versionReader(spark, root, tgt)
-            .parquet(files.map(r => new Path(root, r).toString): _*)
+          val raw = toLogical(synthHiveParts(spark, root, tgt,
+            versionReader(spark, root, tgt)
+              .parquet(files.map(r => new Path(root, r).toString): _*))
             .withColumn("__dv_file", fileRefCol)
             .withColumn("__dv_pos", col("_metadata.row_index")),
             columnMapping(spark, root, tgt))
@@ -4045,7 +4316,13 @@ object VersionedTable {
     val got = snapshotBytesMemo.get(key)
     if (got != null) got.longValue()
     else {
-      val bytes = fileSizes(spark, root, v).values.sum
+      // CHECKPOINT-FIRST (the txn-mark pattern): a covered version's
+      // bytes come from the one checkpoint file — a cold DESCRIBE
+      // HISTORY over a deep log reads the checkpoint + the short tail,
+      // not O(versions) `_sizes` sidecars (and, for pre-sizes vintages,
+      // not O(versions) distributed stat jobs)
+      val bytes = readCheckpoint(spark, root).flatMap(_.bytes.get(v))
+        .getOrElse(fileSizes(spark, root, v).values.sum)
       snapshotBytesMemo.put(key, bytes)
       bytes
     }

@@ -94,6 +94,35 @@ class CheckpointSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).count() == 1 && v == 10L)
   }
 
+  test("deep history answers snapshot sizing from the checkpoint + tail, " +
+      "not per-version sidecars") {
+    val root = freshRoot()
+    (0L until 25L).foreach(b => commitTxn(root, "s", b))
+    val ckpt = VersionedTable.readCheckpoint(spark, root).get
+    assert(ckpt.bytes.keySet == (1L to 25L).toSet,
+      s"checkpoint must cover every version's bytes: ${ckpt.bytes.keySet}")
+    val truth = VersionedTable.history(spark, root)
+      .select("version", "bytes").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(truth.values.forall(_ > 0L))
+    // POISON every per-version `_sizes` sidecar (real refs, absurd
+    // sizes) and BUST the marker-mtime memo keys — if any sizing road
+    // still consulted a sidecar, history would now report the poison
+    val f = hfs(root)
+    VersionedTable.versions(spark, root).foreach { v =>
+      val dir = new Path(root, f"v$v%08d")
+      FileSizes.write(f, dir,
+        VersionedTable.dataFileRefs(spark, root, v).map(_ -> 7L))
+      val now = System.currentTimeMillis()
+      f.setTimes(new Path(root, f"_commits/${f"$v%08d"}"), now, now)
+    }
+    val again = VersionedTable.history(spark, root)
+      .select("version", "bytes").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == truth,
+      "history read per-version sidecars instead of the checkpoint")
+  }
+
   test("checkpoint is advisory: a stale or unreadable file never changes answers") {
     val root = freshRoot()
     commitTxn(root, "app", 0L)

@@ -80,13 +80,7 @@ class ConvertSpec extends SparkSpec {
     assert(VersionedTable.readVersion(spark, dir, 1L).count() == 500L)
   }
 
-  test("refusals: partitioned layouts, existing tables, empty dirs; SQL verb works") {
-    val part = freshDir() + "/p"
-    Seq((1L, "a"), (2L, "b")).toDF("id", "d")
-      .write.partitionBy("d").parquet(part)
-    val e = intercept[IllegalArgumentException](
-      VersionedTable.convertToGraft(spark, part))
-    assert(e.getMessage.contains("Hive-partitioned"))
+  test("refusals: existing tables, empty dirs; SQL verb works") {
     val dir = freshDir() + "/t"
     Seq((1L, "a")).toDF("id", "x").write.parquet(dir)
     // SQL face
@@ -102,5 +96,113 @@ class ConvertSpec extends SparkSpec {
       .mkdirs(new Path(empty))
     intercept[IllegalArgumentException](
       VersionedTable.convertToGraft(spark, empty))
+  }
+
+  test("hive-partitioned layout converts in place: values synthesize, " +
+      "pruning prunes, partition drop is metadata-only") {
+    val dir = freshDir() + "/p"
+    // Spark's own partitioned writer: `d=.../part-*.parquet` leaves,
+    // the partition column NOT in the files — the classic lake layout
+    val df = (1 to 300).map { i =>
+      (i.toLong, s"2024-01-0${(i - 1) % 3 + 1}", s"r$i")
+    }.toDF("id", "ds", "x").withColumn("d", col("ds").cast("date")).drop("ds")
+    df.repartition(2).write.partitionBy("d").parquet(dir)
+    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = f.listStatus(new Path(dir)).filter(_.isDirectory)
+      .flatMap(d => f.listStatus(d.getPath))
+      .map(s => s.getPath.toString -> s.getModificationTime).toMap
+
+    val v = VersionedTable.convertToGraft(spark, dir)
+    assert(v == 1L)
+    // zero data movement
+    val after = f.listStatus(new Path(dir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("d="))
+      .flatMap(d => f.listStatus(d.getPath))
+      .map(s => s.getPath.toString -> s.getModificationTime).toMap
+    assert(after == before, "convert must not rewrite or move data files")
+    // spec + type inference recorded: d came back as a DATE column
+    assert(VersionedTable.partitionColumnsOf(spark, dir, v) == Seq("d"))
+    assert(VersionedTable.read(spark, dir).schema("d").dataType ==
+      org.apache.spark.sql.types.DateType)
+    // values synthesize from the dir names: full content round-trips
+    assert(VersionedTable.read(spark, dir)
+      .orderBy("id").collect().toSeq ==
+      df.select("id", "x", "d").orderBy("id").collect().toSeq)
+    // partition pruning works from the bare `d=` segments
+    val (kept, total) = VersionedTable.prunedFiles(spark, dir, v,
+      col("d") === lit("2024-01-02").cast("date"))
+    assert(kept.nonEmpty && kept.size < total, s"kept ${kept.size} of $total")
+    assert(kept.forall(_.contains("d=2024-01-02")))
+    // retention delete on the partition column: METADATA-ONLY drop
+    val vd = VersionedTable.deleteWhere(spark, dir,
+      col("d") < lit("2024-01-02").cast("date"))
+    val dropInfo = VersionedTable.commitInfoOf(spark, dir, vd)
+    assert(dropInfo.get("partitionDrop").contains("true"),
+      s"retention delete took the rewrite road: $dropInfo")
+    assert(VersionedTable.read(spark, dir).count() == 200)
+    // full citizen: appends land in the native layout, reads mix both
+    VersionedTable.commitAppend(
+      Seq((400L, "new", java.sql.Date.valueOf("2024-01-05")))
+        .toDF("id", "x", "d"), dir)
+    assert(VersionedTable.read(spark, dir).count() == 201)
+    assert(VersionedTable.read(spark, dir)
+      .where(col("d") === lit("2024-01-05").cast("date"))
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(400L))
+    // row-level COW delete reads synthesized values and rewrites them
+    // MATERIALIZED (the rewritten files are complete)
+    VersionedTable.deleteWhere(spark, dir, col("id") % 2 === 0)
+    val got = VersionedTable.read(spark, dir)
+    assert(got.count() == 100)
+    assert(got.where(col("d").isNull).count() == 0,
+      "rewrite lost synthesized partition values")
+    // time travel: v1 still serves the full original content
+    assert(VersionedTable.readVersion(spark, dir, 1L).count() == 300)
+  }
+
+  test("hive convert refusals: colliding column, inconsistent chain; " +
+      "typed values infer long") {
+    // a partition dir whose column ALSO exists inside the files
+    val dirC = freshDir() + "/c"
+    Seq((1L, "a", "x1")).toDF("id", "d", "x").write
+      .parquet(dirC + "/d=a")
+    val e = intercept[IllegalArgumentException](
+      VersionedTable.convertToGraft(spark, dirC))
+    assert(e.getMessage.contains("also exist inside"), e.getMessage)
+    // files at the root NEXT TO a partition dir: inconsistent chain
+    val dirI = freshDir() + "/i"
+    Seq((1L, "r")).toDF("id", "x").write.parquet(dirI + "/g=1")
+    Seq((2L, "r")).toDF("id", "x").write.mode("append").parquet(dirI)
+    val e2 = intercept[IllegalArgumentException](
+      VersionedTable.convertToGraft(spark, dirI))
+    assert(e2.getMessage.contains("inconsistent Hive partition layout"),
+      e2.getMessage)
+    // integer-looking values infer LongType and prune numerically
+    val dirL = freshDir() + "/l"
+    (1 to 100).map(i => (i.toLong, i % 4)).toDF("id", "g")
+      .write.partitionBy("g").parquet(dirL)
+    val v = VersionedTable.convertToGraft(spark, dirL)
+    assert(VersionedTable.read(spark, dirL).schema("g").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val (kept, total) = VersionedTable.prunedFiles(spark, dirL, v,
+      col("g") >= 2L)
+    assert(kept.nonEmpty && kept.size < total)
+    assert(VersionedTable.read(spark, dirL).where(col("g") === 3L).count() ==
+      25L)
+  }
+
+  test("distributed listing road (budget=1) lists exactly the driver road's files") {
+    val dir = freshDir() + "/big"
+    val df = (1 to 200).map(i => (i.toLong, i % 5, s"r$i")).toDF("id", "g", "x")
+    df.repartition(2).write.partitionBy("g").parquet(dir)
+    try {
+      spark.conf.set(VersionedTable.ConvertListBudgetKey, "1")
+      val v = VersionedTable.convertToGraft(spark, dir)
+      assert(VersionedTable.read(spark, dir).count() == 200)
+      assert(VersionedTable.read(spark, dir).where(col("g") === 2L).count() ==
+        df.where(col("g") === 2).count())
+      // every data file referenced (no file lost between the two roads)
+      val refs = VersionedTable.dataFileRefs(spark, dir, v)
+      assert(refs.size == 2 * 5, s"expected 10 files, got ${refs.size}")
+    } finally spark.conf.unset(VersionedTable.ConvertListBudgetKey)
   }
 }
