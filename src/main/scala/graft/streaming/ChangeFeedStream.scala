@@ -119,7 +119,9 @@ class ChangeFeedSource(
     spark: SparkSession, root: String, metadataPath: String,
     maxVersionsPerBatch: Option[Int],
     initialSnapshot: Boolean = false)
-  extends Source {
+  extends Source
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   override val schema: StructType =
     ChangeFeedStream.feedSchema(spark, root, initialSnapshot)
@@ -182,26 +184,80 @@ class ChangeFeedSource(
     math.max(firstFed.getOrElse(probed.foldLeft(0L)(math.max) + 1L), pastDropped)
   }
 
-  override def getOffset: Option[Offset] = {
+  /** Head version captured by [[prepareForTriggerAvailableNow]] — under
+    * `Trigger.AvailableNow` every poll caps here, so the query drains
+    * exactly the backlog that existed at start (in rate-limited batches)
+    * and terminates even while writers keep committing. */
+  private var availableNowCap: Option[Long] = None
+
+  /** Shared rate-limited poll: the next offset to offer given the
+    * engine's last committed/offered position (None = fresh stream).
+    * The internal `offered` cursor stays the floor — the engine must
+    * never see an offset regress. */
+  private def nextOffset(engineStart: Option[Long]): Option[Long] = {
     val vs = VersionedTable.versions(spark, root)
-    vs.lastOption.flatMap { cur =>
-      if (initialSnapshot && offered.isEmpty) {
+    vs.lastOption.map(h => availableNowCap.fold(h)(math.min(h, _))).flatMap { cur =>
+      val floor = (engineStart.toSeq ++ offered.toSeq).maxOption
+      if (initialSnapshot && floor.isEmpty) {
         // snapshot mode, fresh stream: the first offered offset IS the
         // snapshot boundary — one batch, the whole logical table at the
         // current version (rate limiting applies to the feed tail only;
         // the snapshot is indivisible)
-        offered = Some(cur); persistCursor(cur); Some(LongOffset(cur))
+        offered = Some(cur); persistCursor(cur); Some(cur)
       } else {
         // fresh stream: begin past every vacuumed version, not at the
         // earliest committed one (a vacuum holdback below a dropped version
         // would otherwise raise the data-loss guard on the first batch)
-        val base = offered.getOrElse(feedStart() - 1)
+        val base = floor.getOrElse(feedStart() - 1)
         val end = maxVersionsPerBatch.map(m => math.min(cur, base + m)).getOrElse(cur)
-        if (end <= base) offered.map(LongOffset(_))
-        else { offered = Some(end); persistCursor(end); Some(LongOffset(end)) }
+        if (end <= base) floor
+        else { offered = Some(end); persistCursor(end); Some(end) }
       }
     }
   }
+
+  override def getOffset: Option[Offset] = nextOffset(None).map(LongOffset(_))
+
+  // ---- admission control (the FileStreamSource shape) --------------------
+  //
+  // The V1 `getOffset` face alone breaks `Trigger.AvailableNow` +
+  // `maxVersionsPerBatch`: the engine wraps a plain V1 source in
+  // AvailableNowSourceWrapper, which snapshots the FIRST offered
+  // (rate-limited!) offset as the run's end point — a catch-up from
+  // deep history stopped after one batch. Implementing
+  // SupportsTriggerAvailableNow DIRECTLY (the FileStreamSource shape)
+  // bypasses the wrapper: [[prepareForTriggerAvailableNow]] pins the
+  // true head once, every [[latestOffset]] poll stays rate-limited but
+  // capped there — the backlog drains in
+  // ⌈backlog/maxVersionsPerBatch⌉ batches and the query terminates at
+  // the pinned head even while writers keep committing: exactly
+  // Delta's AvailableNow semantics.
+
+  private type OffsetV2 = org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    // rate limiting is governed by this source's own option (versions,
+    // not rows — a version is the atomic feed unit on this format)
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  /** The TRUE current head — never rate-limited. Null (= unknown) only
+    * before the first commit. */
+  override def reportLatestOffset(): OffsetV2 =
+    VersionedTable.versions(spark, root).lastOption
+      .map(LongOffset(_)).orNull
+
+  /** Pin the drain target for `Trigger.AvailableNow` — called once by
+    * the engine before the run starts. */
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = VersionedTable.versions(spark, root).lastOption
+
+  override def latestOffset(startOffset: OffsetV2, limit:
+      org.apache.spark.sql.connector.read.streaming.ReadLimit): OffsetV2 =
+    nextOffset(Option(startOffset).map {
+      case l: LongOffset => l.offset
+      case other => other.json.trim.toLong
+    }).map(LongOffset(_)).orNull
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
