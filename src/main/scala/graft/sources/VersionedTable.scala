@@ -2944,14 +2944,21 @@ object VersionedTable {
     * stat walk — the copy is the only data I/O). Clones re-emit no
     * history (a zero-row feed, as shallow clones).
     *
-    * A snapshot carrying DELETION VECTORS — or a PARTITIONED layout —
-    * takes the REWRITE road instead ([[readVersion]] folds the masks,
-    * one clean write under the recorded partition spec): a byte copy
-    * would carry masks keyed by source-version tails (wrong in the
-    * clone's namespace) or flatten the `p__col=val` layout the
-    * partition verbs depend on. Delta's deep clone copies its DV files
-    * for the same reason ours re-keys nothing: the rewrite is the
-    * simpler correct form, and the clone is then mask-free. */
+    * A snapshot carrying DELETION VECTORS stays on the byte-copy road
+    * (Delta's deep clone copies DV files too): the mask rides along
+    * RE-KEYED — each (file, pos) entry's file tail maps through the
+    * same ref→copied-name mapping the data files take, so the clone
+    * reads identically to the source at a fraction of the write cost a
+    * mask-folding rewrite would pay on a lightly-masked 100 TB table.
+    * The per-file BITMAP index is re-derived above the usual floor
+    * (positions are unchanged — only names moved — but the index keys
+    * by name, so a re-derive is the correct cheap form; below the
+    * floor reads broadcast the mask as everywhere else).
+    *
+    * A PARTITIONED layout takes the REWRITE road instead: a flat byte
+    * copy would flatten the `p__col=val` layout the partition verbs
+    * depend on ([[readVersion]] folds any masks in the same pass, so a
+    * partitioned+masked source rewrites clean). */
   def deepClone(
       spark: SparkSession, destRoot: String, srcRoot: String,
       version: Option[Long] = None): Long = {
@@ -2971,11 +2978,11 @@ object VersionedTable {
     // the source's ingest against the clone must not double-load
     val ledgerExtra = copyLedger(spark, srcRoot, v)
       .map(l => "copyfull" -> l.localCheckpoint(eager = true)).toMap
-    if (hasDeletionVectors(spark, srcRoot, v) ||
-        partitionColumnsOf(spark, srcRoot, v).nonEmpty) {
-      // masked or partitioned snapshot: rewrite road — one clean write
-      // (the recorded PartitionByProp, carried via recordProperties,
-      // shapes the layout exactly as any commit against the spec)
+    if (partitionColumnsOf(spark, srcRoot, v).nonEmpty) {
+      // partitioned snapshot: rewrite road — one clean write (the
+      // recorded PartitionByProp, carried via recordProperties, shapes
+      // the layout exactly as any commit against the spec; masks fold
+      // in the same readVersion pass)
       return commitWith(readVersion(spark, srcRoot, v), destRoot,
         collectStats = true,
         extras = Map("changes" -> emptyFeed(readVersion(spark, srcRoot, v))) ++
@@ -3004,8 +3011,15 @@ object VersionedTable {
       catch { case _: Exception => Map.empty[String, Long] }
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    // a masked source's dv rides along: the zero-row placeholder records
+    // the deletion-vectors protocol feature at staging (and skips the
+    // bitmap derivation there — the staged keys would be the SOURCE
+    // tails); the real mask lands RE-KEYED in finalizeVersion below,
+    // where the clone's version dir name is known
+    val dvSrc = readExtra(spark, srcRoot, v, "dv")
     commitWith(empty, destRoot, collectStats = false,
-      extras = Map("changes" -> emptyFeed(empty)) ++ ledgerExtra,
+      extras = Map("changes" -> emptyFeed(empty)) ++ ledgerExtra ++
+        dvSrc.map(d => "dv" -> d.limit(0)).toMap,
       preCommit = emptyGuard,
       recordInfo = Map("operation" -> "deep-clone"),
       finalizeVersion = (fh, dir, ver) => {
@@ -3048,6 +3062,28 @@ object VersionedTable {
         catch {
           case e: Exception =>
             maintLog.warn(s"size-sidecar carry skipped for deep clone $dir", e)
+        }
+        // mask carry: each (file, pos) entry re-keys from the source
+        // file's tail to its copied name under THIS version dir —
+        // positions are byte-copy-invariant. The bitmap index keys by
+        // file name, so it re-derives here (above the usual floor)
+        // instead of copying stale keys.
+        dvSrc.foreach { dv =>
+          import org.apache.spark.sql.functions.{broadcast, col}
+          import spark.implicits._
+          val keyDf = srcRefs
+            .map(r => refTail(r) -> (dir.getName + "/" + newRel(r)))
+            .toDF("file", "__clone_file")
+          val reKeyed = dv.join(broadcast(keyDf), Seq("file"))
+            .select(col("__clone_file").as("file"), col("pos"))
+          val dvDir = new Path(dir, "_dv")
+          fh.delete(dvDir, true)
+          reKeyed.write.parquet(dvDir.toString)
+          val bytes = fh.listStatus(dvDir).iterator
+            .filter(_.isFile).map(_.getLen).sum
+          val floor = spark.conf
+            .get(DvBitmapFloorKey, DvBitmapFloorDefault.toString).toLong
+          if (bytes > floor) DvBitmaps.write(spark, dvDir)
         }
       },
       recordSchema = Some(schema),

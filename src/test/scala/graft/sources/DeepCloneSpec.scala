@@ -47,18 +47,34 @@ class DeepCloneSpec extends SparkSpec {
       "a deep clone must survive its source's deletion")
   }
 
-  test("masked and partitioned sources take the rewrite road; SQL verb + AS OF work") {
-    // DV-masked source: the clone folds the mask (mask-free, row-equal)
+  test("masked source clones byte-for-byte with the mask intact and re-keyed") {
     val srcM = freshRoot("graft_dc_mor")
     val dstM = freshRoot("graft_dc_mord")
     VersionedTable.commit(
-      (1L to 300L).map(i => (i, i % 5)).toDF("id", "g"), srcM)
+      (1L to 300L).map(i => (i, i % 5)).toDF("id", "g")
+        .repartitionByRange(3, col("id")), srcM)
     VersionedTable.deleteWhere(spark, srcM, col("id") % 3 === 0, mor = true)
+    val srcV = VersionedTable.currentVersion(spark, srcM).get
     VersionedTable.deepClone(spark, dstM, srcM)
-    assert(!VersionedTable.hasDeletionVectors(spark, dstM, 1L),
-      "the rewrite road must fold the mask away")
+    // BYTE COPY, not a rewrite: the clone carries the mask and its data
+    // files are length-identical to the source's (renamed only)
+    assert(VersionedTable.hasDeletionVectors(spark, dstM, 1L),
+      "the byte-copy road must carry the mask, not fold it")
+    val srcLens = VersionedTable.fileSizes(spark, srcM, srcV).values.toSeq.sorted
+    val dstLens = VersionedTable.fileSizes(spark, dstM, 1L).values.toSeq.sorted
+    assert(dstLens == srcLens,
+      s"clone files are not byte-identical: $dstLens vs $srcLens")
+    // ...and the re-keyed mask serves: read-equal to the source
     assert(VersionedTable.read(spark, dstM).orderBy("id").collect().toSeq ==
       VersionedTable.read(spark, srcM).orderBy("id").collect().toSeq)
+    assert(VersionedTable.read(spark, dstM).count() == 200L)
+    // independence: further masking the clone never touches the source
+    VersionedTable.deleteWhere(spark, dstM, col("id") === 1L, mor = true)
+    assert(VersionedTable.read(spark, dstM).count() == 199L)
+    assert(VersionedTable.read(spark, srcM).count() == 200L)
+  }
+
+  test("partitioned sources take the rewrite road; SQL verb + AS OF work") {
     // partitioned source: the layout is rebuilt, partition verbs work
     val srcP = freshRoot("graft_dc_part")
     val dstP = freshRoot("graft_dc_partd")
