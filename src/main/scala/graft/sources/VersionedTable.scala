@@ -4713,6 +4713,30 @@ object VersionedTable {
     val dropSet = drop.toSet
     val referenced: Set[String] =
       all.filterNot(dropSet).flatMap(v => dataFileRefs(spark, root, v)).toSet
+    // ORIGINAL (CONVERTed-in-place) files live OUTSIDE version dirs,
+    // directly under the table root — once a compaction/rewrite absorbs
+    // them, only dropped versions reference them, and the per-version-dir
+    // sweep below would never reclaim their bytes (a converted-then-
+    // optimized 100 TB table would store 2x forever). Collect them NOW,
+    // from the manifests about to lose their markers. STRICTLY inside
+    // THIS root: a shallow clone's absolute refs point into its SOURCE
+    // root and must never be candidates — vacuuming a clone cannot
+    // reach across table boundaries.
+    val rootQ = f.makeQualified(new Path(root)).toString.stripSuffix("/") + "/"
+    def originalRel(ref: String): Option[String] = {
+      val q = f.makeQualified(new Path(root, ref)).toString
+      if (!q.startsWith(rootQ)) None
+      else {
+        val rel = q.stripPrefix(rootQ)
+        val head = rel.split('/').head
+        if (head.matches("v\\d{8}") || head.startsWith("_") ||
+            head.startsWith(".")) None
+        else Some(rel)
+      }
+    }
+    val origDropped: Set[String] =
+      drop.flatMap(v => dataFileRefs(spark, root, v)).flatMap(originalRel).toSet
+    val origRetained: Set[String] = referenced.flatMap(originalRel)
     // tombstone FIRST (see recordVacuumed for why this order is the
     // crash-safe one): consumers whose range reaches below the drop line
     // must fail loudly, not read an incomplete feed
@@ -4744,6 +4768,24 @@ object VersionedTable {
           !kept
         }
         sweep(dir, "")
+      }
+    }
+    // reclaim unreferenced ORIGINAL files (converted-in-place vintage):
+    // referenced only by dropped versions, physically under this root,
+    // outside every version dir. Emptied hive partition dirs go with
+    // them.
+    (origDropped -- origRetained).foreach { rel =>
+      f.delete(new Path(root, rel), false)
+      // prune now-empty ancestor dirs STRICTLY below the root (compared
+      // fs-qualified — a mixed qualified/plain comparison could walk
+      // past the root)
+      var parent = new Path(root, rel).getParent
+      while (parent != null &&
+          (f.makeQualified(parent).toString + "/").startsWith(rootQ) &&
+          f.makeQualified(parent).toString + "/" != rootQ &&
+          f.exists(parent) && f.listStatus(parent).isEmpty) {
+        f.delete(parent, false)
+        parent = parent.getParent
       }
     }
     // truncate the CLAIM log alongside: claims exist only to order

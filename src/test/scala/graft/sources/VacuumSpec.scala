@@ -142,4 +142,41 @@ class VacuumSpec extends SparkSpec {
     assert(!f.exists(old), "orphaned staging dir survived vacuum")
     assert(f.exists(fresh), "in-flight staging dir must not be touched")
   }
+
+  test("converted-in-place originals reclaim once a rewrite absorbs them; " +
+      "a clone's vacuum never reaches its source") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_vac_cv").toString + "/t"
+    (1 to 200).map(i => (i.toLong, i % 4, s"r$i")).toDF("id", "g", "x")
+      .repartition(2).write.partitionBy("g").parquet(dir)
+    VersionedTable.convertToGraft(spark, dir)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hiveDirs() = f.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("g="))
+    assert(hiveDirs().nonEmpty)
+    // compact absorbs the originals into the native layout...
+    VersionedTable.compact(spark, dir)
+    // ...but they stay until retention lets the referencing version go
+    VersionedTable.vacuum(spark, dir, keepLast = 2)
+    assert(hiveDirs().nonEmpty, "retained v1 still references the originals")
+    VersionedTable.vacuum(spark, dir, keepLast = 1)
+    assert(hiveDirs().isEmpty,
+      "unreferenced originals must reclaim (the 2x-storage-forever leak)")
+    assert(VersionedTable.read(spark, dir).count() == 200)
+    assert(VersionedTable.read(spark, dir).where(col("g") === 2L).count() == 50)
+
+    // shallow clone: the clone's refs point into the SOURCE root; its
+    // vacuum must never delete across the table boundary
+    val src = freshRoot()
+    VersionedTable.commit((1L to 100L).map(i => (i, s"r$i")).toDF("id", "x")
+      .repartition(2), src)
+    val clone = freshRoot()
+    VersionedTable.shallowClone(spark, clone, src)
+    VersionedTable.compact(spark, clone) // clone now owns all its files
+    VersionedTable.vacuum(spark, clone, keepLast = 1)
+    assert(VersionedTable.read(spark, src).count() == 100,
+      "vacuuming a clone deleted its source's files")
+    assert(VersionedTable.read(spark, clone).count() == 100)
+  }
 }
