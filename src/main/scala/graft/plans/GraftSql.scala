@@ -141,7 +141,7 @@ object GraftSql {
   private val DmlNameRe =
     s"""(?i)\\b(DELETE\\s+FROM|MERGE\\s+INTO|INSERT\\s+INTO|INSERT\\s+OVERWRITE(?:\\s+TABLE)?|UPDATE)\\s+$IdPat\\b""".r
   private val DdlNameRe =
-    s"""(?i)\\b(OPTIMIZE|VACUUM|MAINTAIN|RESTORE\\s+TABLE|RESTORE|ALTER\\s+TABLE|COPY\\s+INTO|SHOW\\s+TBLPROPERTIES|DESCRIBE\\s+HISTORY|DESCRIBE\\s+DETAIL|DESCRIBE\\s+CONSTRAINTS|DESCRIBE\\s+TABLE|DESCRIBE|CREATE\\s+TABLE)\\s+$IdPat\\b""".r
+    s"""(?i)\\b(OPTIMIZE|VACUUM|MAINTAIN|RESTORE\\s+TABLE|RESTORE|ALTER\\s+TABLE|COPY\\s+INTO|SHOW\\s+TBLPROPERTIES|SHOW\\s+PARTITIONS|DESCRIBE\\s+HISTORY|DESCRIBE\\s+DETAIL|DESCRIBE\\s+CONSTRAINTS|DESCRIBE\\s+TABLE|DESCRIBE|CREATE\\s+TABLE)\\s+$IdPat\\b""".r
   private val TtNameRe =
     s"""(?i)\\b(FROM|JOIN)\\s+$IdPat(?=\\s+(?:VERSION|TIMESTAMP)\\s+AS\\s+OF\\b)""".r
   private val ReadNameRe =
@@ -320,6 +320,8 @@ object GraftSql {
     """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+UNSET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*""".r
   private val ShowPropsRe =
     """(?is)\s*SHOW\s+TBLPROPERTIES\s+'([^']+)'\s*;?\s*""".r
+  private val ShowPartitionsRe =
+    """(?is)\s*SHOW\s+PARTITIONS\s+'([^']+)'\s*;?\s*""".r
   private val CloneRe =
     """(?is)\s*CREATE\s+TABLE\s+'([^']+)'\s+SHALLOW\s+CLONE\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*;?\s*""".r
   private val ConvertRe =
@@ -555,6 +557,11 @@ object GraftSql {
                 df.withColumn("_change_type", lit("insert")))),
               preCommit = stillEmptyGuard(s, root))))
         }))
+      case ShowPartitionsRe(root) =>
+        Some(org.apache.spark.sql.graft.GraftPartitionsCommand(root, s =>
+          VersionedTable.partitions(s, root).map {
+            case (p, files, bytes) => Row(p, files, bytes)
+          }))
       case ShowPropsRe(root) =>
         Some(org.apache.spark.sql.graft.GraftPropertiesCommand(root, s => {
           val cur = VersionedTable.currentVersion(s, root).getOrElse(

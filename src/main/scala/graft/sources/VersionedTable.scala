@@ -3397,6 +3397,44 @@ object VersionedTable {
         recordInfo = Map("operation" -> "drop-column"))
     }
 
+  /** `SHOW PARTITIONS`: the current snapshot's live partition tuples —
+    * METADATA-ONLY, derived from the manifest's dir segments (native
+    * `p__col=val` and a converted table's bare `col=val` alike), with
+    * per-partition file counts and recorded bytes. One row per tuple,
+    * rendered Spark-style (`c1=v1/c2=v2`, nulls as the Hive marker),
+    * sorted. Refuses on an unpartitioned table, as Spark's own verb
+    * does. O(files) driver string work — the same scale class as every
+    * manifest operation; zero data I/O. */
+  def partitions(
+      spark: SparkSession, root: String): Seq[(String, Int, Long)] = {
+    val v = currentVersion(spark, root).getOrElse(
+      throw new java.io.IOException(s"no committed version under $root"))
+    val spec = partitionColumnsOf(spark, root, v)
+    require(spec.nonEmpty,
+      s"SHOW PARTITIONS is only defined on partitioned tables — " +
+        s"$root records no $PartitionByProp")
+    val reverse = columnMapping(spark, root, v).map(_.swap)
+    val sizes =
+      try fileSizes(spark, root, v)
+      catch { case _: Exception => Map.empty[String, Long] }
+    dataFileRefs(spark, root, v)
+      .map { r =>
+        val raw = partRawValues(r, reverse, spec.toSet)
+        val rendered = spec.map { c =>
+          raw.get(c) match {
+            case Some(Some(s)) => s"$c=$s"
+            case Some(None) => s"$c=$HiveNullPartition"
+            case None => s"$c=<undecidable>" // pre-spec vintage file
+          }
+        }.mkString("/")
+        (rendered, r)
+      }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (part, refs) =>
+        (part, refs.size, refs.map(x => sizes.getOrElse(x._2, 0L)).sum)
+      }
+  }
+
   /** One-row current-snapshot summary — `DESCRIBE DETAIL`'s body (the
     * Delta shape): metadata-only, no data read. Row layout matches
     * [[org.apache.spark.sql.graft.GraftDetailCommand]]. */

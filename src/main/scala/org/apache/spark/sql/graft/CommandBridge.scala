@@ -117,3 +117,18 @@ case class GraftPropertiesCommand(table: String, body: SparkSession => Seq[Row])
   override def run(sparkSession: SparkSession): Seq[Row] = body(sparkSession)
   override def simpleString(maxFields: Int): String = s"GraftPropertiesCommand($table)"
 }
+
+/** `SHOW PARTITIONS '<root>'`: the current snapshot's live partition
+  * tuples with per-partition file counts and recorded bytes —
+  * introspection face of [[graft.sources.VersionedTable.partitions]],
+  * Spark's render shape (`c1=v1/c2=v2`) plus the size columns Delta
+  * users reach for DESCRIBE DETAIL to get. */
+case class GraftPartitionsCommand(table: String, body: SparkSession => Seq[Row])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("partition", StringType, nullable = false)(),
+    AttributeReference("files", IntegerType, nullable = false)(),
+    AttributeReference("bytes", LongType, nullable = false)())
+  override def run(sparkSession: SparkSession): Seq[Row] = body(sparkSession)
+  override def simpleString(maxFields: Int): String = s"GraftPartitionsCommand($table)"
+}

@@ -279,4 +279,34 @@ class VersionedPartitionSpec extends SparkSpec {
       "v00000001/p__d=2024-01-01")),
       "vacuum left the dropped partition's files")
   }
+
+  test("SHOW PARTITIONS: live tuples with file counts and bytes; " +
+      "converted hive layouts serve the same verb; unpartitioned refuses") {
+    val root = freshRoot()
+    seed(root) // 3 dates x 100 rows, partitioned by d
+    val rows = graft.plans.GraftSql.execute(spark,
+      s"SHOW PARTITIONS '$root'").collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("d=2024-01-01", "d=2024-01-02", "d=2024-01-03"))
+    assert(rows.forall(r => r.getInt(1) > 0 && r.getLong(2) > 0L))
+    // a partition drop disappears from the listing
+    VersionedTable.deleteWhere(spark, root,
+      col("d") < lit("2024-01-02").cast("date"))
+    assert(graft.plans.GraftSql.execute(spark, s"SHOW PARTITIONS '$root'")
+      .collect().map(_.getString(0)).toSeq ==
+      Seq("d=2024-01-02", "d=2024-01-03"))
+    // converted-in-place hive layout: same verb, bare segments decode
+    val conv = freshRoot()
+    (1 to 60).map(i => (i.toLong, i % 3)).toDF("id", "g")
+      .write.partitionBy("g").parquet(conv)
+    VersionedTable.convertToGraft(spark, conv)
+    assert(graft.plans.GraftSql.execute(spark, s"SHOW PARTITIONS '$conv'")
+      .collect().map(_.getString(0)).toSeq == Seq("g=0", "g=1", "g=2"))
+    // unpartitioned: honest refusal, as Spark's own verb
+    val plain = freshRoot()
+    VersionedTable.commit(Seq((1L, "x")).toDF("id", "x"), plain)
+    val e = intercept[IllegalArgumentException](
+      graft.plans.GraftSql.execute(spark, s"SHOW PARTITIONS '$plain'"))
+    assert(e.getMessage.contains("partitioned tables"), e.getMessage)
+  }
 }
