@@ -54,7 +54,14 @@ object FileSizes {
   def append(f: FileSystem, dir: Path, rows: Seq[(String, Long)]): Unit =
     if (rows.nonEmpty) write(f, dir, (load(f, dir) ++ rows).toSeq)
 
-  /** The recorded table, empty when absent (pre-upgrade vintages). */
+  /** The recorded table, empty when absent (pre-upgrade vintages).
+    *
+    * DRIVER-MEMORY BUDGET: materializes one (ref, len) entry per data
+    * file — ~100 bytes/entry, so ~80 MB at 800k files (100 TB /
+    * 128 MiB) — the same O(files) driver-state class as Delta's
+    * snapshot AddFile list, and strictly smaller than the stats table
+    * loaded beside it. Grows with FILE COUNT, never bytes; compaction
+    * keeps it bounded. */
   def load(f: FileSystem, dir: Path): Map[String, Long] = {
     val file = sizesFile(dir)
     if (!f.exists(file)) Map.empty
