@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -474,6 +475,127 @@ object QuantileBucket {
     if (p < 0) p = -(p + 1)
     else { while (p < bs.length && bs(p) == v) p += 1 }
     p.toLong
+  }
+}
+
+/** Hive partition VALUE from a scanned file path — the hot projection
+  * of a Hive-CONVERTed table's read
+  * ([[graft.sources.VersionedTable]]'s synthHiveParts): the decoded
+  * value of the LAST `(p__)?<name>=<val>/` DIRECTORY segment in the
+  * path, null when absent or the Hive null marker. Value-identical to
+  * the reference formulation
+  * `url_decode(regexp_replace(regexp_extract(path,
+  * ".*&#47;(?:p__)?<name>=([^/]+)/.*", 1), "\\+", "%2B"))` with the
+  * ""/null-marker guards — without evaluating three regexes plus a
+  * percent-decode PER ROW for a value that is CONSTANT PER FILE: a
+  * one-entry last-path memo (per expression instance / generated
+  * class) reduces the per-row cost to one cached-string equality,
+  * which is what a 100 TB converted-table scan can afford. The memo
+  * is correctness-neutral: same path bytes, same value. */
+case class HivePartValue(child: Expression, name: String)
+  extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_hive_part_value"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs string, got ${t.catalogString}")
+  }
+
+  @transient private var lastPath: UTF8String = _
+  @transient private var lastRes: UTF8String = _
+  @transient private var primed: Boolean = false
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val p = input.asInstanceOf[UTF8String]
+    if (!primed || !p.equals(lastPath)) {
+      lastPath = p.clone()
+      lastRes = HivePartValue.extract(p, name)
+      primed = true
+    }
+    lastRes
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lastPath = ctx.addMutableState("UTF8String", "graftHpvPath")
+    val lastRes = ctx.addMutableState("UTF8String", "graftHpvRes")
+    val primed = ctx.addMutableState("boolean", "graftHpvPrimed")
+    val nameRef = ctx.addReferenceObj("graftHpvName", name, "java.lang.String")
+    val childGen = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = true;
+      UTF8String ${ev.value} = null;
+      if (!${childGen.isNull}) {
+        if (!$primed || !$lastPath.equals(${childGen.value})) {
+          $lastPath = ${childGen.value}.clone();
+          $lastRes = graft.plans.HivePartValue.extract($lastPath, $nameRef);
+          $primed = true;
+        }
+        ${ev.value} = $lastRes;
+        ${ev.isNull} = (${ev.value} == null);
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HivePartValue {
+  private val HiveNull = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Shared by interpreted eval and generated code. Scans for the LAST
+    * acceptable segment (deeper dirs win — a `name=` above the table
+    * root can't shadow the true partition dir), requiring a `/` right
+    * before the name (optionally through a `p__` prefix) and a
+    * non-empty value closed by `/` — exactly the reference regex's
+    * admission. */
+  def extract(path: UTF8String, name: String): UTF8String = {
+    val s = path.toString
+    val needle = name + "="
+    var from = s.length
+    var found: String = null
+    while (found == null && from > 0) {
+      val i = s.lastIndexOf(needle, from - 1)
+      if (i < 0) from = 0
+      else {
+        val plainStart = i >= 1 && s.charAt(i - 1) == '/'
+        val prefStart = i >= 4 && s.startsWith("p__", i - 3) &&
+          s.charAt(i - 4) == '/'
+        val vStart = i + needle.length
+        val slash = s.indexOf('/', vStart)
+        if ((plainStart || prefStart) && slash > vStart)
+          found = s.substring(vStart, slash)
+        else from = i
+      }
+    }
+    if (found == null || found == HiveNull) null
+    else UTF8String.fromString(decode(found))
+  }
+
+  /** Exact twin of `url_decode` over a '+'-shielded input: `%XX` runs
+    * decode as UTF-8 bytes, '+' stays literal (Hive path escaping never
+    * form-encodes spaces). Convert refuses malformed escapes up front;
+    * a malformed one reaching here anyway degrades to the raw text. */
+  private def decode(s: String): String = {
+    if (s.indexOf('%') < 0) return s
+    val in = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[Byte](in.length)
+    def hex(b: Byte): Int = Character.digit(b.toChar, 16)
+    var i = 0
+    var o = 0
+    while (i < in.length) {
+      val b = in(i)
+      if (b == '%'.toByte && i + 2 < in.length &&
+          hex(in(i + 1)) >= 0 && hex(in(i + 2)) >= 0) {
+        out(o) = ((hex(in(i + 1)) << 4) | hex(in(i + 2))).toByte
+        o += 1; i += 3
+      } else { out(o) = b; o += 1; i += 1 }
+    }
+    new String(out, 0, o, java.nio.charset.StandardCharsets.UTF_8)
   }
 }
 

@@ -1000,13 +1000,13 @@ object VersionedTable {
         val phys = physicalName(mapping, c)
         if (!d.columns.contains(phys) || !types.contains(c)) d
         else {
-          val raw = regexp_extract(col("_metadata.file_path"),
-            ".*/(?:" + PartDirPrefix + ")?" +
-              java.util.regex.Pattern.quote(phys) + "=([^/]+)/.*", 1)
-          val decoded = url_decode(regexp_replace(raw, "\\+", "%2B"))
-          val parsed = when(raw === "" || raw === HiveNullPartition,
-              lit(null).cast(types(c)))
-            .otherwise(decoded.cast(types(c)))
+          // native cached extraction ([[graft.plans.HivePartValue]]):
+          // the value is constant per file, so the per-row cost is one
+          // memo-hit string equality, not three regexes plus a decode
+          val parsed = org.apache.spark.sql.graft.ColumnBridge.column(
+            graft.plans.HivePartValue(
+              org.apache.spark.sql.graft.ColumnBridge.expression(
+                col("_metadata.file_path")), phys)).cast(types(c))
           d.withColumn(phys, coalesce(col(phys), parsed))
         }
       }
