@@ -482,12 +482,14 @@ object QuantileBucket {
   * of a Hive-CONVERTed table's read
   * ([[graft.sources.VersionedTable]]'s synthHiveParts): the decoded
   * value of the LAST `(p__)?<name>=<val>/` DIRECTORY segment in the
-  * path, null when absent or the Hive null marker. Value-identical to
-  * the reference formulation
-  * `url_decode(regexp_replace(regexp_extract(path,
-  * ".*&#47;(?:p__)?<name>=([^/]+)/.*", 1), "\\+", "%2B"))` with the
-  * ""/null-marker guards — without evaluating three regexes plus a
-  * percent-decode PER ROW for a value that is CONSTANT PER FILE: a
+  * path, null when absent or the Hive null marker. Equivalent to the
+  * reference formulation
+  * `url_decode(url_decode(regexp_replace(regexp_extract(path,
+  * ".*&#47;(?:p__)?<name>=([^/]+)/.*", 1), "\\+", "%2B")))` — twice,
+  * because the scanned `_metadata.file_path` is URI-encoded ON TOP of
+  * Hive's value escaping — with the ""/null-marker guards, and
+  * without evaluating the regexes plus percent-decodes PER ROW for a
+  * value that is CONSTANT PER FILE: a
   * one-entry last-path memo (per expression instance / generated
   * class) reduces the per-row cost to one cached-string equality,
   * which is what a 100 TB converted-table scan can afford. The memo
@@ -573,14 +575,31 @@ object HivePartValue {
       }
     }
     if (found == null || found == HiveNull) null
-    else UTF8String.fromString(decode(found))
+    else {
+      // TWO decode layers: `_metadata.file_path` is the URI-encoded
+      // path (a literal `%` on disk arrives as `%25`), so the first
+      // pass recovers the ON-DISK dir segment and the second undoes
+      // Hive's %XX value escaping — landing on exactly the value the
+      // prune/drop side computes from the manifest's raw refs
+      // (VersionedTable.partRawValues → this object's decode, ONE
+      // pass, because refs carry the on-disk bytes directly). A
+      // single pass here served `caf%C3%A9` for an escaped dir while
+      // DELETE matched `café` — a silent partition-DML no-op.
+      UTF8String.fromString(decode(decode(found)))
+    }
   }
 
   /** Exact twin of `url_decode` over a '+'-shielded input: `%XX` runs
     * decode as UTF-8 bytes, '+' stays literal (Hive path escaping never
     * form-encodes spaces). Convert refuses malformed escapes up front;
-    * a malformed one reaching here anyway degrades to the raw text. */
-  private def decode(s: String): String = {
+    * a malformed one reaching here anyway degrades to the raw text.
+    * PUBLIC because it is the single source of truth for partition-value
+    * decoding: the planner-side paths (partition pruning, partition
+    * drop, convert-time type inference) must decode a dir segment to
+    * EXACTLY the value this expression serves at read time, or a
+    * multi-byte escape (`d=caf%C3%A9`) makes DELETE's prune decision
+    * disagree with SELECT's synthesized value. */
+  def decode(s: String): String = {
     if (s.indexOf('%') < 0) return s
     val in = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val out = new Array[Byte](in.length)

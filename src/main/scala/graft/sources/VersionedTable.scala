@@ -234,16 +234,24 @@ object VersionedTable {
             }
           }
         // snapshot bytes per covered version: the gap versions resolve
-        // through [[snapshotBytes]] (normally one just-written `_sizes`
-        // read; a legacy vintage pays its distributed stat ONCE here and
-        // never again), earlier entries carry forward — so a deep
-        // history answers sizing from this file + the tail, and the
+        // through [[completeSnapshotBytes]] (normally one just-written
+        // `_sizes` read; a legacy vintage pays its distributed stat ONCE
+        // here and never again), earlier entries carry forward — so a
+        // deep history answers sizing from this file + the tail, and the
         // sizes survive vacuum dropping the version dirs. Per-version
-        // best-effort: one unsizable version skips, never blocks.
+        // best-effort: one unsizable version skips, never blocks. Only a
+        // COMPLETE sizing is persisted — statRefs degrades an
+        // unreachable ref to absent, and freezing that transient
+        // undercount into the checkpoint would mis-report the version's
+        // bytes FOREVER (checkpoint-first readers never recompute a
+        // covered version); an uncovered version instead answers through
+        // the live fileSizes road, which heals when the store does.
         val bytes = gap.sorted
           .foldLeft(prev.map(_.bytes).getOrElse(Map.empty[Long, Long])) { (m, vv) =>
-            try m.updated(vv, snapshotBytes(spark, root, vv))
-            catch { case _: Exception => m }
+            completeSnapshotBytes(spark, root, vv) match {
+              case Some(b) => m.updated(vv, b)
+              case None => m
+            }
           }
         f.mkdirs(checkpointDir(root))
         val tmp = new Path(checkpointDir(root),
@@ -1020,24 +1028,13 @@ object VersionedTable {
     propertiesOf(spark, root, v).get(PartitionByProp)
       .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
 
-  /** Inverse of the writer's Hive path-name escaping (%XX, ASCII). */
+  /** Inverse of the writer's Hive path-name escaping. Delegates to the
+    * read expression's decoder ([[graft.plans.HivePartValue.decode]])
+    * so the prune/drop/inference side and the scan side agree byte for
+    * byte — a char-wise decode here would turn `%C3%A9` into `Ã©` while
+    * the scan serves `é`, and a partition DELETE would silently no-op. */
   private def unescapePathName(s: String): String =
-    if (!s.contains('%')) s
-    else {
-      val sb = new StringBuilder(s.length)
-      var i = 0
-      while (i < s.length) {
-        val c = s.charAt(i)
-        if (c == '%' && i + 2 < s.length &&
-            Character.digit(s.charAt(i + 1), 16) >= 0 &&
-            Character.digit(s.charAt(i + 2), 16) >= 0) {
-          sb.append((Character.digit(s.charAt(i + 1), 16) * 16 +
-            Character.digit(s.charAt(i + 2), 16)).toChar)
-          i += 3
-        } else { sb.append(c); i += 1 }
-      }
-      sb.toString
-    }
+    graft.plans.HivePartValue.decode(s)
 
   /** (logical column -> raw dir value) parsed from a ref/path's
     * `p__<phys>=<val>` segments; a `None` value is the Hive null
@@ -4143,7 +4140,7 @@ object VersionedTable {
           f.getFileStatus(new Path(commitDir(root), pad(v))).getModificationTime),
         info.getOrElse("operation", ""),
         refs.size,
-        ckptBytes.getOrElse(v, snapshotBytes(spark, root, v)),
+        ckptBytes.getOrElse(v, snapshotBytes(spark, root, v, Some(ckptBytes))),
         fresh, refs.size - fresh,
         f.exists(new Path(vdir, "_changes")),
         f.exists(new Path(vdir, "_dv")),
@@ -4385,7 +4382,8 @@ object VersionedTable {
   private val snapshotBytesMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), java.lang.Long]()
 
-  private def snapshotBytes(spark: SparkSession, root: String, v: Long): Long = {
+  private def snapshotBytes(spark: SparkSession, root: String, v: Long,
+      ckptBytes: Option[Map[Long, Long]] = None): Long = {
     val key = (root, v, markerIdentity(spark, root, v))
     val got = snapshotBytesMemo.get(key)
     if (got != null) got.longValue()
@@ -4394,13 +4392,32 @@ object VersionedTable {
       // bytes come from the one checkpoint file — a cold DESCRIBE
       // HISTORY over a deep log reads the checkpoint + the short tail,
       // not O(versions) `_sizes` sidecars (and, for pre-sizes vintages,
-      // not O(versions) distributed stat jobs)
-      val bytes = readCheckpoint(spark, root).flatMap(_.bytes.get(v))
+      // not O(versions) distributed stat jobs). A caller already
+      // holding the parsed checkpoint passes it via `ckptBytes` so a
+      // per-version loop (history's tail) doesn't re-read the file —
+      // megabytes at 100k commits — once per miss.
+      val bytes = ckptBytes
+        .orElse(readCheckpoint(spark, root).map(_.bytes))
+        .flatMap(_.get(v))
         .getOrElse(fileSizes(spark, root, v).values.sum)
       snapshotBytesMemo.put(key, bytes)
       bytes
     }
   }
+
+  /** [[snapshotBytes]]' strict twin for the CHECKPOINT WRITER: the total
+    * only when EVERY ref of `v` resolved to a size (recorded or freshly
+    * stat'ed), None when any degraded to unsized — the checkpoint must
+    * never freeze a transient undercount into permanent coverage. Skips
+    * the checkpoint-first road on purpose: gap versions are by
+    * definition above the previous checkpoint's coverage. */
+  private def completeSnapshotBytes(
+      spark: SparkSession, root: String, v: Long): Option[Long] =
+    try {
+      val refs = dataFileRefs(spark, root, v)
+      val sizes = fileSizes(spark, root, v)
+      if (refs.forall(sizes.contains)) Some(sizes.values.sum) else None
+    } catch { case _: Exception => None }
 
   /** The shared publish of a FULL-LAYOUT maintenance rewrite
     * ([[compact]]/[[optimize]]/[[optimizeZOrder]]). On an unmapped table
@@ -4779,6 +4796,30 @@ object VersionedTable {
     // crash-safe one): consumers whose range reaches below the drop line
     // must fail loudly, not read an incomplete feed
     recordVacuumed(spark, root, drop)
+    // reclaim unreferenced ORIGINAL files (converted-in-place vintage):
+    // referenced only by dropped versions, physically under this root,
+    // outside every version dir. Emptied hive partition dirs go with
+    // them. This runs BEFORE the commit markers are deleted: origDropped
+    // is derived from the dropped versions' manifests, so a crash after
+    // marker deletion but before this loop would make the originals
+    // unreachable by any re-run — the permanent 2x-storage leak this
+    // reclaim exists to fix. In the reverse order a crash merely leaves
+    // tombstoned versions whose markers a vacuum re-run sweeps (deleting
+    // an already-deleted original is a no-op).
+    (origDropped -- origRetained).foreach { rel =>
+      f.delete(new Path(root, rel), false)
+      // prune now-empty ancestor dirs STRICTLY below the root (compared
+      // fs-qualified — a mixed qualified/plain comparison could walk
+      // past the root)
+      var parent = new Path(root, rel).getParent
+      while (parent != null &&
+          (f.makeQualified(parent).toString + "/").startsWith(rootQ) &&
+          f.makeQualified(parent).toString + "/" != rootQ &&
+          f.exists(parent) && f.listStatus(parent).isEmpty) {
+        f.delete(parent, false)
+        parent = parent.getParent
+      }
+    }
     drop.foreach { v =>
       // resolve the data dir BEFORE deleting the marker: the marker's
       // content is what maps a diverged version number to its dir
@@ -4806,24 +4847,6 @@ object VersionedTable {
           !kept
         }
         sweep(dir, "")
-      }
-    }
-    // reclaim unreferenced ORIGINAL files (converted-in-place vintage):
-    // referenced only by dropped versions, physically under this root,
-    // outside every version dir. Emptied hive partition dirs go with
-    // them.
-    (origDropped -- origRetained).foreach { rel =>
-      f.delete(new Path(root, rel), false)
-      // prune now-empty ancestor dirs STRICTLY below the root (compared
-      // fs-qualified — a mixed qualified/plain comparison could walk
-      // past the root)
-      var parent = new Path(root, rel).getParent
-      while (parent != null &&
-          (f.makeQualified(parent).toString + "/").startsWith(rootQ) &&
-          f.makeQualified(parent).toString + "/" != rootQ &&
-          f.exists(parent) && f.listStatus(parent).isEmpty) {
-        f.delete(parent, false)
-        parent = parent.getParent
       }
     }
     // truncate the CLAIM log alongside: claims exist only to order

@@ -190,6 +190,36 @@ class ConvertSpec extends SparkSpec {
       25L)
   }
 
+  test("multi-byte %XX partition values: scan, pruning, and partition " +
+      "drop agree on the decoded value") {
+    // a layout escaped by an external writer (URL-style UTF-8 escapes —
+    // `caf%C3%A9` = "café"): the read expression decodes %XX as UTF-8
+    // BYTES, so the prune/drop side must too, or DELETE silently no-ops
+    // on a partition SELECT still serves
+    val dir = freshDir() + "/mb"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "x").write
+      .parquet(dir + "/d=caf%C3%A9")
+    Seq((3L, "c")).toDF("id", "x").write.parquet(dir + "/d=plain")
+    val v = VersionedTable.convertToGraft(spark, dir)
+    // the scan synthesizes the UTF-8 decode
+    assert(VersionedTable.read(spark, dir)
+      .where(col("d") === "café").select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // pruning keeps exactly the escaped dir for the decoded literal
+    val (kept, total) = VersionedTable.prunedFiles(spark, dir, v,
+      col("d") === "café")
+    assert(total == 3 && kept.size == 2 && kept.forall(_.contains("d=caf")),
+      s"kept $kept of $total")
+    // partition DELETE on the decoded value takes the metadata road and
+    // actually removes the rows (the char-wise-decode bug made this a
+    // silent no-op)
+    val vd = VersionedTable.deleteWhere(spark, dir, col("d") === "café")
+    assert(VersionedTable.commitInfoOf(spark, dir, vd)
+      .get("partitionDrop").contains("true"))
+    assert(VersionedTable.read(spark, dir)
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
   test("distributed listing road (budget=1) lists exactly the driver road's files") {
     val dir = freshDir() + "/big"
     val df = (1 to 200).map(i => (i.toLong, i % 5, s"r$i")).toDF("id", "g", "x")
