@@ -405,27 +405,12 @@ object Dedup {
         explode(positionalWindowHashes(col(textCol), k)).as("__g"))
       .select(col(idCol), col("__g.p").cast("long").as("__p"), col("__g.h").as("__h"))
       .join(dupSet, Seq("__h"))
-    val spanType = "array<struct<s: bigint, e: bigint>>"
-    def acc(sp: Column, cs: Column, ce: Column) =
-      struct(sp.as("sp"), cs.as("cs"), ce.as("ce"))
     val perDoc = dupPos
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_dup_windows"),
         array_sort(collect_list(col("__p"))).as("__ps"))
-      .withColumn("__sp", aggregate(
-        col("__ps"),
-        acc(array().cast(spanType), lit(-1L), lit(-1L)),
-        (a, p) => {
-          val (sp, cs, ce) = (a.getField("sp"), a.getField("cs"), a.getField("ce"))
-          when(cs < 0, acc(sp, p, p + k))                 // open the first span
-            .when(p <= ce, acc(sp, cs, p + k))            // overlap/adjacent: extend
-            .otherwise(acc(                               // gap: close and reopen
-              concat(sp, array(struct(cs.as("s"), ce.as("e")))), p, p + k))
-        },
-        a => when(a.getField("cs") < 0, a.getField("sp"))
-          .otherwise(concat(a.getField("sp"),
-            array(struct(a.getField("cs").as("s"), a.getField("ce").as("e")))))))
+      .withColumn("__sp", mergeWindowSpans(col("__ps"), k))
       .select(
         col(idCol),
         col("n_dup_windows"),
@@ -443,6 +428,141 @@ object Dedup {
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         coalesce(col("spans"), lit("")).as("spans"))
+  }
+
+  /** Gaps-and-islands fold shared by the span reporters and the excision
+    * appliers: SORTED window start positions → merged maximal `[s, e)`
+    * token spans (window `[p, p+k)` joins the open span iff `p ≤ e`).
+    * One `aggregate` HOF over a per-doc array — codegen'd, no extra
+    * shuffle, state bounded by the doc's window count. */
+  private def mergeWindowSpans(sortedPs: Column, k: Int): Column = {
+    val spanType = "array<struct<s: bigint, e: bigint>>"
+    def acc(sp: Column, cs: Column, ce: Column) =
+      struct(sp.as("sp"), cs.as("cs"), ce.as("ce"))
+    val folded = aggregate(
+      sortedPs,
+      acc(array().cast(spanType), lit(-1L), lit(-1L)),
+      (a, p) => {
+        val (sp, cs, ce) = (a.getField("sp"), a.getField("cs"), a.getField("ce"))
+        when(cs < 0, acc(sp, p, p + k))                 // open the first span
+          .when(p <= ce, acc(sp, cs, p + k))            // overlap/adjacent: extend
+          .otherwise(acc(                               // gap: close and reopen
+            concat(sp, array(struct(cs.as("s"), ce.as("e")))), p, p + k))
+      },
+      a => when(a.getField("cs") < 0, a.getField("sp"))
+        .otherwise(concat(a.getField("sp"),
+          array(struct(a.getField("cs").as("s"), a.getField("ce").as("e"))))))
+    folded
+  }
+
+  /** Shared rebuild step of the excision appliers: given per-doc merged
+    * spans (`__sp`, possibly null from a left join), cut the covered
+    * tokens out of the NORMALIZED word sequence and re-join. The output
+    * contract is over the normalized token stream — the span positions'
+    * domain — so excision composes with every window operator above
+    * without an offset mapping back into raw text. Pure HOF projection:
+    * `O(tokens × spans)` per doc, map-side, zero shuffle. */
+  private def exciseProjection(
+      docs: DataFrame, spans: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val joined = docs.join(spans, Seq(idCol), "left")
+      .withColumn("__sp", coalesce(col("__sp"),
+        array().cast("array<struct<s: bigint, e: bigint>>")))
+    val ws = wordsOf(col(textCol))
+    val keepIdx = filter(
+      sequence(lit(0), size(ws) - 1),
+      i => !exists(col("__sp"),
+        s => i.cast("long") >= s.getField("s") && i.cast("long") < s.getField("e")))
+    joined.select(
+      col(idCol),
+      size(ws).cast("long").as("n_tokens"),
+      coalesce(aggregate(col("__sp"), lit(0L),
+        (t, s) => t + s.getField("e") - s.getField("s")), lit(0L)).as("n_removed"),
+      array_join(transform(keepIdx, i => element_at(ws, i + 1)), " ")
+        .as("clean_text"))
+  }
+
+  /** d12: DUPLICATE-SPAN EXCISION — the rewrite step that makes
+    * [[duplicateSpans]]' report actionable (Lee et al. 2021 excise "all
+    * but one occurrence of each duplicated substring"; this is that
+    * policy at window granularity): every positional occurrence of a
+    * cross-doc duplicated k-word window EXCEPT its globally CANONICAL
+    * occurrence — the minimal `(doc, position)`, so exactly one site of
+    * each duplicated window survives, deterministically — is an excision
+    * site; sites merge gaps-and-islands into maximal spans and the
+    * covered tokens are cut, the remainder re-joined. Output per doc:
+    * token count, tokens removed, and the excised text (normalized token
+    * stream — the spans' domain).
+    *
+    * Scale: identical shape to d8b — map-side native window hashing, df
+    * agg and posting join on 8-byte hashes, ONE extra aggregation for
+    * the per-window canonical site (`min(struct(doc, p))`, map-side
+    * partials), one per-doc fold, HOF rebuild projection. Nothing
+    * pairwise, nothing quadratic. */
+  def exciseDuplicateSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    // cross-doc duplicated windows (the d8/d8b df rule: ≥ 2 DOCS)
+    val distinctPosts = docs
+      .select(col(idCol), explode(array_distinct(
+        transform(positionalWindowHashes(col(textCol), k),
+          g => g.getField("h")))).as("__h"))
+    val dupSet = distinctPosts
+      .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2)
+      .select(col("__h"))
+    val occ = docs
+      .select(col(idCol),
+        explode(positionalWindowHashes(col(textCol), k)).as("__g"))
+      .select(col(idCol), col("__g.p").cast("long").as("__p"), col("__g.h").as("__h"))
+      .join(dupSet, Seq("__h"))
+    // the one surviving site per duplicated window: minimal (doc, p)
+    val canon = occ
+      .groupBy(col("__h"))
+      .agg(min(struct(col(idCol).as("d"), col("__p").as("p"))).as("__c"))
+    val excised = occ
+      .join(canon, Seq("__h"))
+      .filter(!(col(idCol) === col("__c.d") && col("__p") === col("__c.p")))
+    val spans = excised
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(col("__p"))).as("__ps"))
+      .select(col(idCol), mergeWindowSpans(col("__ps"), k).as("__sp"))
+    exciseProjection(docs, spans, idCol, textCol)
+  }
+
+  /** d9c: DECONTAMINATION APPLY — the excision form of
+    * [[contaminationSpans]]' report (the "excise the overlapping span"
+    * policy of Brown et al. 2020 §4 run for real): every k-word window
+    * occurring verbatim in the benchmark set is cut from the corpus doc
+    * — no canonical-keep here, leaked eval text has no legitimate
+    * occurrence — sites merged to maximal spans, covered tokens removed,
+    * the remainder re-joined. Output per doc: token count, tokens
+    * removed, and the decontaminated text (normalized token stream).
+    *
+    * Scale shape is d9b's: the benchmark's distinct window hashes
+    * BROADCAST, the corpus explode is map-side, the only shuffle is the
+    * per-doc span aggregation; the rebuild is a map-side HOF projection. */
+  def exciseContamination(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    val benchSet = broadcast(
+      benchmark.select(explode(array_distinct(
+          transform(positionalWindowHashes(col(textCol), k),
+            g => g.getField("h")))).as("__h")).distinct())
+    val spans = docs
+      .select(col(idCol),
+        explode(positionalWindowHashes(col(textCol), k)).as("__g"))
+      .select(col(idCol), col("__g.p").cast("long").as("__p"), col("__g.h").as("__h"))
+      .join(benchSet, Seq("__h"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(col("__p"))).as("__ps"))
+      .select(col(idCol), mergeWindowSpans(col("__ps"), k).as("__sp"))
+    exciseProjection(docs, spans, idCol, textCol)
   }
 
   /** d10: INCREMENTAL cross-corpus dedup — flag each NEW-batch doc against

@@ -42,6 +42,8 @@ object DedupQueries {
     "d8b_dup_spans"      -> ((s, d) => d8b(s, d)),
     "d9_decontaminate"   -> ((s, d) => d9(s, d)),
     "d9b_decontaminate_spans" -> ((s, d) => d9b(s, d)),
+    "d9c_decontaminate_apply" -> ((s, d) => d9c(s, d)),
+    "d12_excise_dups"    -> ((s, d) => d12(s, d)),
     "d10_incremental_dedup" -> ((s, d) => d10(s, d)),
     "d11_fuzzy_join"     -> ((s, d) => d11(s, d)),
     "s1_knn_bruteforce"  -> ((s, d) => s1(s, d)),
@@ -168,6 +170,27 @@ object DedupQueries {
         "doc_id", "text", WindowK)
       .orderBy(col("doc_id"))
   }
+
+  /** d9c: decontamination APPLIED — every benchmark-leaked window excised
+    * from the corpus docs, spans merged, text rebuilt (normalized token
+    * stream). The executable form of d9b's report. */
+  def d9c(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.exciseContamination(
+        docs.filter(col("doc_id") % BenchStride =!= 0),
+        docs.filter(col("doc_id") % BenchStride === 0),
+        "doc_id", "text", WindowK)
+      .orderBy(col("doc_id"))
+  }
+
+  /** d12: duplicate-span excision — Lee et al. 2021's "all but one
+    * occurrence" policy applied: the canonical (minimal (doc, pos))
+    * occurrence of each cross-doc duplicated window survives, every
+    * other occurrence's span is cut and the text rebuilt. */
+  def d12(s: SparkSession, dir: String): DataFrame =
+    Dedup.exciseDuplicateSpans(Tables.documents(s, dir), "doc_id", "text",
+        WindowK)
+      .orderBy(col("doc_id"))
 
   private val FuzzyPrefixLen = 40
   private val FuzzyBlockLen  = 6
@@ -672,6 +695,89 @@ object DedupQueries {
          |  coalesce(pd.spans, '') AS spans
          |FROM (SELECT doc_id FROM documents WHERE doc_id % $BenchStride <> 0) d
          |LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id""".stripMargin
+    },
+
+    // d9b's contaminated sites folded to maximal spans, covered tokens cut,
+    // text rebuilt from the normalized word stream (Spark probes 55-bit
+    // hashes — the d8/d9 equivalence)
+    "d9c_decontaminate_apply" -> {
+      val kgram = (0 until WindowK).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+      s"""WITH w AS (SELECT doc_id, string_split($NormExpr, ' ') AS ws FROM documents),
+         |g AS (SELECT doc_id, CASE WHEN len(ws) >= $WindowK THEN
+         |    list_transform(range(1, len(ws) - ${WindowK - 2}),
+         |      i -> struct_pack(p := i - 1, s := $kgram))
+         |    ELSE []::STRUCT(p BIGINT, s VARCHAR)[] END AS gs FROM w),
+         |x0 AS (SELECT doc_id, unnest(gs) AS gg FROM g),
+         |x AS (SELECT doc_id, gg.p AS p, gg.s AS s FROM x0),
+         |bench AS (SELECT DISTINCT s FROM x WHERE doc_id % $BenchStride = 0),
+         |exc AS (SELECT doc_id, p FROM x JOIN bench USING (s)
+         |  WHERE doc_id % $BenchStride <> 0),
+         |i0 AS (SELECT doc_id, p, CASE WHEN
+         |    p > coalesce(lag(p) OVER (PARTITION BY doc_id ORDER BY p), p) + $WindowK
+         |    THEN 1 ELSE 0 END AS brk FROM exc),
+         |i1 AS (SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id
+         |    ORDER BY p ROWS UNBOUNDED PRECEDING) AS isl FROM i0),
+         |sp AS (SELECT doc_id, isl, min(p) AS s, max(p) + $WindowK AS e
+         |  FROM i1 GROUP BY doc_id, isl),
+         |tok AS (SELECT doc_id, unnest(range(len(ws))) AS i, ws FROM w
+         |  WHERE doc_id % $BenchStride <> 0),
+         |cov AS (SELECT DISTINCT t.doc_id, t.i FROM tok t
+         |  JOIN sp ON t.doc_id = sp.doc_id AND t.i >= sp.s AND t.i < sp.e),
+         |keep AS (SELECT t.doc_id, t.i, t.ws[t.i + 1] AS tk FROM tok t
+         |  LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.i = c.i
+         |  WHERE c.i IS NULL),
+         |rem AS (SELECT doc_id, sum(e - s) AS n_removed FROM sp GROUP BY doc_id),
+         |cl AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY i) AS clean_text
+         |  FROM keep GROUP BY doc_id)
+         |SELECT d.doc_id, len(w.ws)::BIGINT AS n_tokens,
+         |  coalesce(rem.n_removed, 0)::BIGINT AS n_removed,
+         |  coalesce(cl.clean_text, '') AS clean_text
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % $BenchStride <> 0) d
+         |JOIN w USING (doc_id)
+         |LEFT JOIN rem USING (doc_id) LEFT JOIN cl USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // d8b's duplicated sites minus each window's canonical (first
+    // (doc, p)) occurrence, folded to spans, cut, rebuilt — Lee et al.'s
+    // "all but one occurrence" excision policy
+    "d12_excise_dups" -> {
+      val kgram = (0 until WindowK).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+      s"""WITH w AS (SELECT doc_id, string_split($NormExpr, ' ') AS ws FROM documents),
+         |g AS (SELECT doc_id, CASE WHEN len(ws) >= $WindowK THEN
+         |    list_transform(range(1, len(ws) - ${WindowK - 2}),
+         |      i -> struct_pack(p := i - 1, s := $kgram))
+         |    ELSE []::STRUCT(p BIGINT, s VARCHAR)[] END AS gs FROM w),
+         |x0 AS (SELECT doc_id, unnest(gs) AS gg FROM g),
+         |x AS (SELECT doc_id, gg.p AS p, gg.s AS s FROM x0),
+         |dsh AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS c
+         |  FROM x GROUP BY s) WHERE c >= 2),
+         |dp AS (SELECT doc_id, p, s FROM x JOIN dsh USING (s)),
+         |exc AS (SELECT doc_id, p FROM (SELECT doc_id, p,
+         |    row_number() OVER (PARTITION BY s ORDER BY doc_id, p) AS rn
+         |  FROM dp) WHERE rn > 1),
+         |i0 AS (SELECT doc_id, p, CASE WHEN
+         |    p > coalesce(lag(p) OVER (PARTITION BY doc_id ORDER BY p), p) + $WindowK
+         |    THEN 1 ELSE 0 END AS brk FROM exc),
+         |i1 AS (SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id
+         |    ORDER BY p ROWS UNBOUNDED PRECEDING) AS isl FROM i0),
+         |sp AS (SELECT doc_id, isl, min(p) AS s, max(p) + $WindowK AS e
+         |  FROM i1 GROUP BY doc_id, isl),
+         |tok AS (SELECT doc_id, unnest(range(len(ws))) AS i, ws FROM w),
+         |cov AS (SELECT DISTINCT t.doc_id, t.i FROM tok t
+         |  JOIN sp ON t.doc_id = sp.doc_id AND t.i >= sp.s AND t.i < sp.e),
+         |keep AS (SELECT t.doc_id, t.i, t.ws[t.i + 1] AS tk FROM tok t
+         |  LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.i = c.i
+         |  WHERE c.i IS NULL),
+         |rem AS (SELECT doc_id, sum(e - s) AS n_removed FROM sp GROUP BY doc_id),
+         |cl AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY i) AS clean_text
+         |  FROM keep GROUP BY doc_id)
+         |SELECT d.doc_id, len(w.ws)::BIGINT AS n_tokens,
+         |  coalesce(rem.n_removed, 0)::BIGINT AS n_removed,
+         |  coalesce(cl.clean_text, '') AS clean_text
+         |FROM documents d JOIN w USING (doc_id)
+         |LEFT JOIN rem USING (doc_id) LEFT JOIN cl USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
     },
 
     // batch = doc_id % BatchMod = BatchMod-1; exact dup on normalized text,

@@ -255,6 +255,52 @@ class DedupSpec extends SparkSpec {
     assert(out(3) == ((4L, 2L, 2L, 8L, "0-4,6-10")))
   }
 
+  test("exciseDuplicateSpans: canonical occurrence survives, every other cut") {
+    val k = 4
+    val corpus = Seq(
+      // doc 1 holds the canonical (minimal (doc, p)) occurrence of every
+      // shared window → nothing excised from it
+      (1L, "a1 a2 a3 a4 a5 a6 q1 q2"),
+      // doc 2's occurrences of a1..a6's windows (p = 0,1,2) are all
+      // non-canonical → one merged span [0,6)
+      (2L, "a1 a2 a3 a4 a5 a6 r1 r2 r3"),
+      (3L, "p1 p2 unique words only here x"),
+      // doc 4 repeats the shared window "a1..a4" at 0 and 6 — both
+      // non-canonical (canonical is (1, 0)) → two spans, gap kept
+      (4L, "a1 a2 a3 a4 gap1 gap2 a1 a2 a3 a4")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exciseDuplicateSpans(corpus, "doc_id", "text", k)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) == ((1L, 8L, 0L, "a1 a2 a3 a4 a5 a6 q1 q2")))
+    assert(out(1) == ((2L, 9L, 6L, "r1 r2 r3")))
+    assert(out(2) == ((3L, 7L, 0L, "p1 p2 unique words only here x")))
+    assert(out(3) == ((4L, 10L, 8L, "gap1 gap2")))
+  }
+
+  test("exciseContamination: leaked windows cut everywhere, clean docs intact") {
+    val bench = Seq(
+      Tuple1("b1 b2 b3 b4 b5 b6 b7 b8 tail words here")
+    ).toDF("text")
+    val corpus = Seq(
+      // hits at 0 and 1 (the bench's own shifted window) → span [0,9)
+      (1L, "b1 b2 b3 b4 b5 b6 b7 b8 tail x1 x2 x3"),
+      (2L, "clean words that never appear in the benchmark at all ok"),
+      (3L, "too short"),
+      // the contaminated window twice, spans [0,8) and [8,16) ADJACENT →
+      // everything goes
+      (4L, "b1 b2 b3 b4 b5 b6 b7 b8 b1 b2 b3 b4 b5 b6 b7 b8")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exciseContamination(corpus, bench, "doc_id", "text", 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) == ((1L, 12L, 9L, "x1 x2 x3")))
+    assert(out(1) == ((2L, 11L, 0L,
+      "clean words that never appear in the benchmark at all ok")))
+    assert(out(2) == ((3L, 2L, 0L, "too short")))
+    assert(out(3) == ((4L, 16L, 16L, "")))
+  }
+
   test("incrementalDedupFlags: exact, near, and clean batch docs flagged vs corpus") {
     val corpus = Seq(
       (1L, "The quick brown fox jumps over the lazy dog"),
