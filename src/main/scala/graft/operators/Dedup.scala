@@ -465,10 +465,17 @@ object Dedup {
   private def exciseProjection(
       docs: DataFrame, spans: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
+    // MATERIALIZE the normalized words as an attribute before the HOFs:
+    // `element_at(<wordsOf expr>, i)` inside the rebuild lambda would
+    // re-run the normalize-regex + split PER TOKEN (O(tokens²) regex
+    // work per doc — measured 6–8× the whole reporter's wall time);
+    // bound to a column the array is computed once per row and the
+    // lambdas index into it
     val joined = docs.join(spans, Seq(idCol), "left")
       .withColumn("__sp", coalesce(col("__sp"),
         array().cast("array<struct<s: bigint, e: bigint>>")))
-    val ws = wordsOf(col(textCol))
+      .withColumn("__ws", wordsOf(col(textCol)))
+    val ws = col("__ws")
     val keepIdx = filter(
       sequence(lit(0), size(ws) - 1),
       i => !exists(col("__sp"),
