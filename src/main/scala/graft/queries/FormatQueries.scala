@@ -33,7 +33,8 @@ object FormatQueries {
     "q32_catalog_widen"    -> ((s, d) => q32(s, d)),
     "q33_convert"          -> ((s, d) => q33(s, d)),
     "q34_deep_clone"       -> ((s, d) => q34(s, d)),
-    "q35_convert_partitioned" -> ((s, d) => q35(s, d))
+    "q35_convert_partitioned" -> ((s, d) => q35(s, d)),
+    "q36_generated_partition" -> ((s, d) => q36(s, d))
   )
 
   private def freshRoot(): String =
@@ -263,7 +264,55 @@ object FormatQueries {
     VersionedTable.read(s, root).orderBy(col("o_orderkey"))
   }
 
+  /** q36: GENERATED PARTITION COLUMNS end to end (Delta's generation
+    * expressions — [[graft.sources.GeneratedCols]]): the table records
+    * `ds = date(ts)` at birth and every stage runs in EVENT TIME —
+    * (1) the birth commit partitions a raw event frame that carries no
+    * `ds` at all (write-side population), (2) a retention `DELETE WHERE
+    * ts < <midnight boundary>` decides WHOLE date partitions through the
+    * derived-conjunct replacement (metadata-only drop — the predicate
+    * never names the partition column), (3) a late raw batch appends,
+    * again without `ds`, landing in fresh partitions. The oracle
+    * restates the surviving and appended rows relationally with
+    * `CAST(ts AS DATE)` — a hash match proves population, the derived
+    * drop, and the append all computed exactly `date(ts)` semantics. */
+  def q36(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot()
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    VersionedTable.commit(ev, root, partitionBy = Seq("ds"),
+      recordProperties = Some(Map(
+        graft.sources.GeneratedCols.Prefix + "ds" -> "date(ts)")))
+    VersionedTable.deleteWhere(s, root,
+      col("ts") < lit("2024-01-11 00:00:00").cast("timestamp"))
+    VersionedTable.commitAppend(
+      ev.where(col("event_id") % 97 === 0)
+        .withColumn("event_id", col("event_id") + 1000000L)
+        .withColumn("ts", col("ts") + expr("INTERVAL 45 DAYS")), root)
+    // the TABLE stores ds as DATE; the comparison surface strings it
+    // (the driver's hash is dtype-sensitive and the two engines' pandas
+    // exports disagree on date dtypes — same rule as q31's decimals)
+    VersionedTable.read(s, root)
+      .withColumn("ds", col("ds").cast("string"))
+      .orderBy(col("event_id"))
+  }
+
   def oracles: Map[String, String] = Map(
+    "q36_generated_partition" ->
+      """WITH base AS (
+        |  SELECT event_id, ts, user_id, event_type, value FROM events),
+        |kept AS (
+        |  SELECT * FROM base
+        |  WHERE NOT ts < TIMESTAMP '2024-01-11 00:00:00'),
+        |late AS (
+        |  SELECT event_id + 1000000 AS event_id,
+        |    ts + INTERVAL 45 DAY AS ts, user_id, event_type, value
+        |  FROM base WHERE event_id % 97 = 0),
+        |u AS (SELECT * FROM kept UNION ALL SELECT * FROM late)
+        |SELECT event_id, ts, user_id, event_type, value,
+        |  strftime(CAST(ts AS DATE), '%Y-%m-%d') AS ds
+        |FROM u ORDER BY event_id""".stripMargin,
     "q35_convert_partitioned" ->
       """SELECT o_orderkey,
         |  CASE WHEN strftime(o_orderdate, '%Y-%m') = '1999-06' THEN 'R'

@@ -1,0 +1,255 @@
+package graft.sources
+
+import java.time.{LocalDate, LocalDateTime, ZoneId, ZoneOffset}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.functions
+import org.apache.spark.sql.types._
+
+/** GENERATED PARTITION COLUMNS (Delta's generation expressions, the
+  * partitioning face): a table records
+  * `graft.generatedCol.<col> = <generator>(<baseCol>)` and gets
+  *
+  *   - WRITE-SIDE POPULATION: a commit whose frame lacks `<col>`
+  *     computes it from the base column before the partition layout —
+  *     callers ingest raw event frames and the table partitions itself;
+  *   - WRITE-SIDE ENFORCEMENT: a frame that DOES carry `<col>` is
+  *     validated against the generator on the staged batch (the
+  *     constraints pass — one columnar scan), so a caller cannot commit
+  *     rows whose partition value disagrees with their data;
+  *   - PREDICATE-DERIVED PRUNING: a query or DML predicate on the BASE
+  *     column derives partition-column conjuncts — implied bounds for
+  *     file pruning, and EXACT replacements (period-boundary literals,
+  *     monotone generators) that make `DELETE WHERE ts < '2024-03-01'`
+  *     a METADATA-ONLY partition drop even though `ts` is not the
+  *     partition column. That is the retention-delete shape of the
+  *     reference's hourly loads (`dags/retail_hourly_etl.py` batches by
+  *     `loaded_at`): users think in event time, the layout lives in
+  *     derived periods.
+  *
+  * Supported generators (the Delta-documented set restricted to forms
+  * whose result the partition pruner canonicalizes — DATE and INT):
+  * `date(c)`, `year(c)`, `month(c)`, `day(c)`, `hour(c)`,
+  * `trunc(c, 'year')`, `trunc(c, 'month')`. `date`/`year`/`trunc` are
+  * MONOTONE in the base column, so range predicates derive range
+  * bounds; `month`/`day`/`hour` extracts are cyclic — equality/IN only.
+  *
+  * 100 TB note: derivation is O(conjuncts) driver-side plan analysis —
+  * zero data cost — and population/enforcement ride existing passes
+  * (the projection before the staged write; the constraints scan). */
+object GeneratedCols {
+
+  /** Table-property prefix; the suffix is the generated column's
+    * LOGICAL name, the value the generator text. Fixed at table birth
+    * (`commit(recordProperties = ...)`) like the partition spec. */
+  val Prefix = "graft.generatedCol."
+
+  private val FnRe =
+    """(?i)^\s*(date|year|month|day|hour)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*$""".r
+  private val TruncRe =
+    """(?i)^\s*trunc\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*'(year|month)'\s*\)\s*$""".r
+
+  /** One parsed generator: `col = kind(base)`. `text` is the recorded
+    * property value — already valid Spark SQL, reused verbatim for the
+    * enforcement expression. */
+  final case class Generator(kind: String, base: String, text: String) {
+    /** Monotone non-decreasing in the base column — range predicates on
+      * the base derive range bounds on the generated column. */
+    def monotone: Boolean = kind == "date" || kind == "year" ||
+      kind == "trunc_year" || kind == "trunc_month"
+
+    def resultType: DataType = kind match {
+      case "date" | "trunc_year" | "trunc_month" => DateType
+      case _ => IntegerType
+    }
+
+    /** The generation expression over the base column (write-side
+      * population). */
+    def expr(c: Column): Column = kind match {
+      case "date"        => functions.to_date(c)
+      case "year"        => functions.year(c)
+      case "month"       => functions.month(c)
+      case "day"         => functions.dayofmonth(c)
+      case "hour"        => functions.hour(c)
+      case "trunc_year"  => functions.trunc(c, "year")
+      case "trunc_month" => functions.trunc(c, "month")
+    }
+
+    /** `f(literal)` computed at PLAN TIME: the base-column literal of a
+      * conjunct mapped into the generated column's domain. Timestamps
+      * resolve through `zone` (the session time zone — the same clock
+      * `expr` uses executing). None = unsupported literal type. */
+    def applyLiteral(l: Literal, zone: ZoneId): Option[Literal] =
+      toLdt(l, zone).map { ldt =>
+        kind match {
+          case "date" =>
+            Literal(ldt.toLocalDate.toEpochDay.toInt, DateType)
+          case "year"  => Literal(ldt.getYear, IntegerType)
+          case "month" => Literal(ldt.getMonthValue, IntegerType)
+          case "day"   => Literal(ldt.getDayOfMonth, IntegerType)
+          case "hour"  => Literal(ldt.getHour, IntegerType)
+          case "trunc_year" =>
+            Literal(LocalDate.of(ldt.getYear, 1, 1).toEpochDay.toInt, DateType)
+          case "trunc_month" =>
+            Literal(ldt.toLocalDate.withDayOfMonth(1).toEpochDay.toInt, DateType)
+        }
+      }
+
+    /** Is the literal EXACTLY the first instant of its generator period?
+      * Then `base < L ⟺ gen < f(L)` and `base >= L ⟺ gen >= f(L)` (f
+      * monotone, L a period boundary) — the conjunct may be REPLACED,
+      * not just implied, and the metadata-only drop road can decide it. */
+    def isPeriodStart(l: Literal, zone: ZoneId): Boolean =
+      monotone && toLdt(l, zone).exists { ldt =>
+        val midnight = ldt.toLocalTime == java.time.LocalTime.MIDNIGHT
+        kind match {
+          case "date" => midnight
+          case "year" | "trunc_year" => midnight && ldt.getDayOfYear == 1
+          case "trunc_month" => midnight && ldt.getDayOfMonth == 1
+          case _ => false
+        }
+      }
+  }
+
+  /** Literal → wall-clock LocalDateTime in `zone`. Timestamp literals
+    * are Catalyst micros; date literals epoch days (midnight). */
+  private def toLdt(l: Literal, zone: ZoneId): Option[LocalDateTime] =
+    Option(l.value).flatMap { v =>
+      l.dataType match {
+        case TimestampType =>
+          val micros = v.asInstanceOf[Long]
+          val secs = Math.floorDiv(micros, 1000000L)
+          val ns = Math.floorMod(micros, 1000000L) * 1000L
+          Some(java.time.Instant.ofEpochSecond(secs, ns)
+            .atZone(zone).toLocalDateTime)
+        case TimestampNTZType =>
+          val micros = v.asInstanceOf[Long]
+          val secs = Math.floorDiv(micros, 1000000L)
+          val ns = Math.floorMod(micros, 1000000L) * 1000L
+          Some(java.time.Instant.ofEpochSecond(secs, ns)
+            .atZone(ZoneOffset.UTC).toLocalDateTime)
+        case DateType =>
+          Some(LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).atStartOfDay)
+        case _ => None
+      }
+    }
+
+  /** Parse every `graft.generatedCol.*` property: generated column
+    * (logical name) → generator. An unparseable value fails LOUDLY —
+    * silently ignoring it would commit unpartitioned-as-intended data. */
+  def of(props: Map[String, String]): Map[String, Generator] =
+    props.collect { case (k, v) if k.startsWith(Prefix) =>
+      val col = k.stripPrefix(Prefix)
+      require(col.nonEmpty, s"empty generated-column name in property $k")
+      val gen = v match {
+        case FnRe(fn, base) => Generator(fn.toLowerCase, base, v)
+        case TruncRe(base, unit) => Generator("trunc_" + unit.toLowerCase, base, v)
+        case _ => throw new IllegalArgumentException(
+          s"unsupported generator for $k: '$v' (supported: date(c), year(c), " +
+            "month(c), day(c), hour(c), trunc(c, 'year'|'month'))")
+      }
+      col -> gen
+    }
+
+  private def attrOf(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name)
+    case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => Some(a.name)
+    case _ => None
+  }
+
+  private def genAttr(name: String, g: Generator): Expression =
+    AttributeReference(name, g.resultType)()
+
+  /** Generators keyed by their BASE column (lowercased) for conjunct
+    * matching; a base feeding several generated columns derives for
+    * each. */
+  private def byBase(gens: Map[String, Generator])
+      : Map[String, Seq[(String, Generator)]] =
+    gens.toSeq.groupBy(_._2.base.toLowerCase)
+
+  /** EXACT replacement for `conj`, when one exists: a conjunct on a
+    * generator's base column provably EQUIVALENT to a conjunct on the
+    * generated column (period-boundary `<`/`>=` under a monotone
+    * generator; IS [NOT] NULL under any — the generators are
+    * null-preserving both ways). The metadata-only drop road substitutes
+    * these so a retention predicate in EVENT TIME decides whole
+    * partitions. When several generated columns share the base, the
+    * first replaceable one wins (any is sufficient — equivalence). */
+  def replacementFor(
+      conj: Expression, gens: Map[String, Generator], zone: ZoneId)
+      : Option[Expression] = {
+    if (gens.isEmpty) return None
+    val bb = byBase(gens)
+    def cands(a: Expression): Seq[(String, Generator)] =
+      attrOf(a).map(n => bb.getOrElse(n.toLowerCase, Nil)).getOrElse(Nil)
+    def bound(a: Expression, l: Literal, lt: Boolean): Option[Expression] =
+      cands(a).flatMap { case (name, g) =>
+        if (!g.isPeriodStart(l, zone)) None
+        else g.applyLiteral(l, zone).map { fl =>
+          if (lt) LessThan(genAttr(name, g), fl)
+          else GreaterThanOrEqual(genAttr(name, g), fl)
+        }
+      }.headOption
+    conj match {
+      case LessThan(a, l: Literal) => bound(a, l, lt = true)
+      case GreaterThan(l: Literal, a) => bound(a, l, lt = true)
+      case GreaterThanOrEqual(a, l: Literal) => bound(a, l, lt = false)
+      case LessThanOrEqual(l: Literal, a) => bound(a, l, lt = false)
+      case IsNull(a) => cands(a).headOption.map { case (n, g) =>
+        IsNull(genAttr(n, g)) }
+      case IsNotNull(a) => cands(a).headOption.map { case (n, g) =>
+        IsNotNull(genAttr(n, g)) }
+      case _ => None
+    }
+  }
+
+  /** IMPLIED conjuncts for `conj`: sound consequences on the generated
+    * column(s), appended (never substituted) so the file pruner can
+    * skip partitions from a base-column predicate. Monotone generators
+    * derive from ranges (strict bounds relax — `base < L ⟹ gen ≤
+    * f(L)`); every generator derives from equality/IN. */
+  def impliedFor(
+      conj: Expression, gens: Map[String, Generator], zone: ZoneId)
+      : Seq[Expression] = {
+    if (gens.isEmpty) return Nil
+    val bb = byBase(gens)
+    def cands(a: Expression): Seq[(String, Generator)] =
+      attrOf(a).map(n => bb.getOrElse(n.toLowerCase, Nil)).getOrElse(Nil)
+    def mapped(a: Expression, l: Literal, monotoneOnly: Boolean)(
+        mk: (Expression, Literal) => Expression): Seq[Expression] =
+      cands(a).flatMap { case (name, g) =>
+        if (monotoneOnly && !g.monotone) None
+        else g.applyLiteral(l, zone).map(fl => mk(genAttr(name, g), fl))
+      }
+    conj match {
+      case EqualTo(a, l: Literal) => mapped(a, l, monotoneOnly = false)(EqualTo)
+      case EqualTo(l: Literal, a) => mapped(a, l, monotoneOnly = false)(EqualTo)
+      case EqualNullSafe(a, l: Literal) if l.value != null =>
+        mapped(a, l, monotoneOnly = false)(EqualTo)
+      case LessThan(a, l: Literal) =>
+        mapped(a, l, monotoneOnly = true)(LessThanOrEqual)
+      case GreaterThan(l: Literal, a) =>
+        mapped(a, l, monotoneOnly = true)(LessThanOrEqual)
+      case LessThanOrEqual(a, l: Literal) =>
+        mapped(a, l, monotoneOnly = true)(LessThanOrEqual)
+      case GreaterThan(a, l: Literal) =>
+        mapped(a, l, monotoneOnly = true)(GreaterThanOrEqual)
+      case LessThan(l: Literal, a) =>
+        mapped(a, l, monotoneOnly = true)(GreaterThanOrEqual)
+      case GreaterThanOrEqual(a, l: Literal) =>
+        mapped(a, l, monotoneOnly = true)(GreaterThanOrEqual)
+      case LessThanOrEqual(l: Literal, a) =>
+        mapped(a, l, monotoneOnly = true)(GreaterThanOrEqual)
+      case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        cands(a).flatMap { case (name, g) =>
+          val fls = vs.map { case l: Literal => g.applyLiteral(l, zone) }
+          if (fls.contains(None)) None
+          else Some(In(genAttr(name, g), fls.flatten))
+        }
+      case IsNull(a) => cands(a).map { case (n, g) => IsNull(genAttr(n, g)) }
+      case IsNotNull(a) => cands(a).map { case (n, g) => IsNotNull(genAttr(n, g)) }
+      case _ => Nil
+    }
+  }
+}

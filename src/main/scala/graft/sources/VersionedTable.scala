@@ -345,10 +345,29 @@ object VersionedTable {
       s"$root is partitioned by (${recordedSpec.mkString(",")}); a commit " +
         s"cannot repartition it to (${partitionBy.mkString(",")})")
     val partSpec = if (partitionBy.nonEmpty) partitionBy else recordedSpec
-    val missingPart = partSpec.filterNot(df.columns.contains)
+    // GENERATED COLUMNS ([[GeneratedCols]], Delta's generation
+    // expressions): a recorded `graft.generatedCol.<col>` populates the
+    // column from its base when the frame lacks it — every commit road
+    // (birth, append, COW, maintenance) funnels through here, so raw
+    // event frames partition themselves. A frame that CARRIES the
+    // column is enforced against the generator below (the constraints
+    // pass) instead of trusted.
+    val gens = GeneratedCols.of(carriedProps)
+    val callerProvidedGen = gens.keySet.filter(c =>
+      df.columns.exists(_.equalsIgnoreCase(c)))
+    val df0 = gens.foldLeft(df) { case (d, (c, g)) =>
+      if (d.columns.exists(_.equalsIgnoreCase(c))) d
+      else {
+        require(d.columns.exists(_.equalsIgnoreCase(g.base)),
+          s"generated column $c = ${g.text} needs base column ${g.base} " +
+            "in the frame")
+        d.withColumn(c, g.expr(org.apache.spark.sql.functions.col(g.base)))
+      }
+    }
+    val missingPart = partSpec.filterNot(df0.columns.contains)
     require(missingPart.isEmpty,
       s"partition column(s) missing from the frame: ${missingPart.mkString(",")}")
-    require(df.columns.forall(!_.startsWith(PartDirPrefix)),
+    require(df0.columns.forall(!_.startsWith(PartDirPrefix)),
       s"column names must not start with $PartDirPrefix " +
         "(reserved for the partition layout)")
     val propsToRecord =
@@ -375,7 +394,7 @@ object VersionedTable {
       // need) while the data files keep every REAL column, so the read
       // paths stay layout-blind.
       val physSpec = partSpec.map(physicalName(colMap, _))
-      val frame = physSpec.foldLeft(toPhysical(df, colMap))((d, p) =>
+      val frame = physSpec.foldLeft(toPhysical(df0, colMap))((d, p) =>
         d.withColumn(PartDirPrefix + p, org.apache.spark.sql.functions.col(p)))
       val writer0 = frame.write.mode(SaveMode.Overwrite)
       val writer1 =
@@ -432,7 +451,7 @@ object VersionedTable {
     // schema-in-the-log idea): readers apply it explicitly (by-name, so a
     // manifest spanning an evolution still reads as one frame) and the
     // COW/append paths validate against it instead of trusting the caller
-    val schemaJson = recordSchema.getOrElse(df.schema).json
+    val schemaJson = recordSchema.getOrElse(df0.schema).json
     val sOut = f.create(new Path(new Path(staging, "_schema"), "schema.json"), true)
     try sOut.write(schemaJson.getBytes("UTF-8")) finally sOut.close()
     // (1c') the logical→physical column mapping + retired birth names
@@ -458,14 +477,25 @@ object VersionedTable {
     // commit that rolls metadata back would evaluate CHECKs over columns
     // the staged schema no longer has
     val constraintsToRecord = recordConstraints.getOrElse(activeConstraints)
-    if (constraintsToRecord.nonEmpty && dataFiles(f, staging).nonEmpty)
+    // GENERATED-COLUMN ENFORCEMENT rides the same staged scan: a frame
+    // that carried a generated column itself must agree with the
+    // generator row for row (null-safe — a null base generates a null
+    // value, nothing else). Auto-populated columns are correct by
+    // construction and skip the check. Enforced, never recorded: the
+    // generator lives in the table properties, not the constraint set.
+    val genChecks: Map[String, String] = gens.collect {
+      case (c, g) if callerProvidedGen(c) =>
+        (s"__generated_$c", s"`$c` <=> ${g.text}")
+    }
+    val checksToEnforce = constraintsToRecord ++ genChecks
+    if (checksToEnforce.nonEmpty && dataFiles(f, staging).nonEmpty)
       // staged files carry physical names; constraints speak logical —
       // read physical, rename back before evaluating
       try enforceConstraints(spark,
         toLogical(spark.read.option("recursiveFileLookup", "true")
-          .schema(physicalSchema(df.schema, colMap))
+          .schema(physicalSchema(df0.schema, colMap))
           .parquet(staging.toString), colMap),
-        constraintsToRecord, root)
+        checksToEnforce, root)
       catch { case e: Throwable => f.delete(staging, true); throw e }
     if (constraintsToRecord.nonEmpty)
       writeProps(f, new Path(new Path(staging, "_constraints"),
@@ -1190,12 +1220,25 @@ object VersionedTable {
     val types = schemaOf(spark, root, cur).map(f => f.name -> f.dataType).toMap
     val optimized = versionFrame(spark, root, cur, synth = false)
       .where(predicate).queryExecution.optimizedPlan
-    val conjs = optimized.collect {
+    val conjs0 = optimized.collect {
       case fl: org.apache.spark.sql.catalyst.plans.logical.Filter => fl.condition
     }.flatMap(TableStats.conjuncts)
     // no Filter in the optimized plan = the predicate folded away (or the
     // plan shape is unexpected) — never treat that as "drop everything"
-    if (conjs.isEmpty) return None
+    if (conjs0.isEmpty) return None
+    // GENERATED-COLUMN REPLACEMENT ([[GeneratedCols.replacementFor]]):
+    // a base-column conjunct provably EQUIVALENT to a partition-column
+    // conjunct substitutes, so `DELETE WHERE ts < '2024-03-01'` against
+    // a table partitioned by `ds = date(ts)` decides whole partitions —
+    // the retention delete stays metadata-only in EVENT TIME. Inexact
+    // conjuncts stay as written (undecidable → the row road, correct).
+    val gens = GeneratedCols.of(propertiesOf(spark, root, cur))
+    val conjs =
+      if (gens.isEmpty) conjs0
+      else {
+        val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+        conjs0.map(c => GeneratedCols.replacementFor(c, gens, zone).getOrElse(c))
+      }
     val reverse = columnMapping(spark, root, cur).map(_.swap)
     val bareCols = partitionColumnsOf(spark, root, cur).toSet
     val refs = dataFileRefs(spark, root, cur)
@@ -1661,9 +1704,23 @@ object VersionedTable {
     // substitute into pushed-down partition conjuncts)
     val optimized = versionFrame(spark, root, v, synth = false)
       .where(predicate).queryExecution.optimizedPlan
-    val conjs = optimized.collect {
+    val conjs0 = optimized.collect {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
     }.flatMap(TableStats.conjuncts)
+    // GENERATED-COLUMN IMPLICATION ([[GeneratedCols.impliedFor]]): a
+    // conjunct on a generator's BASE column derives sound partition-
+    // column bounds, APPENDED (the base conjunct still prunes through
+    // its own min/max stats) — a query in event time skips derived-
+    // period partitions even where the stats table is absent.
+    val genDefs = GeneratedCols.of(
+      scala.util.Try(propertiesOf(spark, root, v)).getOrElse(Map.empty))
+    val conjs =
+      if (genDefs.isEmpty) conjs0
+      else {
+        val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+        conjs0 ++ conjs0.flatMap(c =>
+          GeneratedCols.impliedFor(c, genDefs, zone))
+      }
     // PARTITIONS PRUNE BEFORE (and without) FILE STATS: each
     // `p__<col>=<val>` path segment is an exact min=max point stat,
     // synthesized into the pruner's domain — so a partitioned snapshot
@@ -1865,17 +1922,27 @@ object VersionedTable {
     val cur = currentVersion(spark, root).getOrElse(
       throw new java.io.IOException(
         s"copy-on-write commit needs an existing snapshot under $root"))
+    // GENERATED COLUMNS populate BEFORE the schema gate: an append of a
+    // raw event frame (no `ds`) against a `ds = date(ts)` table is the
+    // intended shape, not a schema drift. Idempotent — a frame already
+    // carrying the column passes through (and is enforced downstream).
+    val gens = GeneratedCols.of(propertiesOf(spark, root, cur))
+    val newData0 = gens.foldLeft(newData) { case (d, (c, g)) =>
+      if (d.columns.exists(_.equalsIgnoreCase(c)) ||
+          !d.columns.exists(_.equalsIgnoreCase(g.base))) d
+      else d.withColumn(c, g.expr(org.apache.spark.sql.functions.col(g.base)))
+    }
     // schema gate: name→type equality (order-insensitive — read resolves
     // by name; nullability not compared — reading non-null data through a
     // nullable schema is always sound)
     val curSchema = schemaOf(spark, root, cur)
     val curMap = curSchema.map(sf => sf.name -> sf.dataType).toMap
-    val newMap = newData.schema.map(sf => sf.name -> sf.dataType).toMap
+    val newMap = newData0.schema.map(sf => sf.name -> sf.dataType).toMap
     if (curMap != newMap)
-      throw new SchemaMismatchException(root, cur, curSchema, newData.schema)
+      throw new SchemaMismatchException(root, cur, curSchema, newData0.schema)
     // record the CURRENT schema (canonical order + evolve's nullability
     // marks), not newData's incidental one
-    commitCowInternal(newData, root, cur, keptFiles, extras, bloomCols,
+    commitCowInternal(newData0, root, cur, keptFiles, extras, bloomCols,
       preCommit, recordSchema = Some(curSchema), rebase = rebase,
       recordInfo = recordInfo)
   }
@@ -3725,6 +3792,14 @@ object VersionedTable {
         props.get(HivePartitionedProp) == curHive,
         s"$HivePartitionedProp is set by CONVERT TO GRAFT only; " +
           "it cannot be changed through setProperties")
+      // a generator governs committed data (population + layout): a
+      // post-birth change would disagree with every existing file
+      val curProps = propertiesOf(spark, root, cur)
+      props.keys.filter(_.startsWith(GeneratedCols.Prefix)).foreach { k =>
+        require(curProps.get(k).contains(props(k)),
+          s"$k is fixed at table birth (commit(recordProperties=...)); " +
+            "it cannot be changed through setProperties")
+      }
       metadataOnlyCommit(spark, root, cur,
         recordProperties = Some(propertiesOf(spark, root, cur) ++ props),
         op = "set-properties")
@@ -3742,6 +3817,9 @@ object VersionedTable {
     require(!keys.contains(HivePartitionedProp),
       s"$HivePartitionedProp cannot be unset — a converted table's " +
         "original files carry partition values only in their dir names")
+    require(!keys.exists(_.startsWith(GeneratedCols.Prefix)),
+      "generated-column definitions are fixed at table birth; they " +
+        "cannot be unset (population and derived pruning depend on them)")
     occRetry(spark, root) { cur =>
       metadataOnlyCommit(spark, root, cur,
         recordProperties = Some(propertiesOf(spark, root, cur) -- keys),

@@ -1,0 +1,126 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Generated partition columns ([[GeneratedCols]], Delta's generation
+  * expressions): write-side population and enforcement, and the
+  * predicate-derived pruning that lets EVENT-TIME predicates decide
+  * derived-period partitions — including the metadata-only retention
+  * delete (`DELETE WHERE ts < boundary` against `ds = date(ts)`). */
+class GeneratedColsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot() =
+    java.nio.file.Files.createTempDirectory("graft_gen").toString + "/t"
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def seed(root: String): Unit = {
+    // 3 days of events, ts only — ds populates itself
+    val rows = for {
+      d <- 1 to 3; h <- Seq(0, 6, 12, 18)
+    } yield (d * 100L + h, ts(f"2024-03-0$d $h%02d:30:00"))
+    VersionedTable.commit(
+      rows.toDF("id", "ts"), root,
+      partitionBy = Seq("ds"),
+      recordProperties = Some(Map(
+        GeneratedCols.Prefix + "ds" -> "date(ts)")))
+  }
+
+  test("population: a frame without the generated column partitions itself") {
+    val root = freshRoot()
+    seed(root)
+    val got = VersionedTable.read(spark, root)
+    assert(got.columns.toSeq == Seq("id", "ts", "ds"))
+    assert(got.where(col("ds") =!= to_date(col("ts"))).count() == 0)
+    assert(got.count() == 12)
+    // appends populate too (every road funnels through the same commit)
+    VersionedTable.commitAppend(
+      Seq((401L, ts("2024-03-04 01:00:00"))).toDF("id", "ts"), root)
+    assert(VersionedTable.read(spark, root)
+      .where(col("ds") === lit("2024-03-04").cast("date")).count() == 1)
+  }
+
+  test("enforcement: a caller-provided generated column must agree row for row") {
+    val root = freshRoot()
+    seed(root)
+    // agreeing value passes
+    VersionedTable.commitAppend(
+      Seq((500L, ts("2024-03-05 10:00:00"), java.sql.Date.valueOf("2024-03-05")))
+        .toDF("id", "ts", "ds"), root)
+    // disagreeing value is refused before anything publishes
+    val before = VersionedTable.currentVersion(spark, root)
+    intercept[Exception] {
+      VersionedTable.commitAppend(
+        Seq((501L, ts("2024-03-05 10:00:00"), java.sql.Date.valueOf("2024-03-06")))
+          .toDF("id", "ts", "ds"), root)
+    }
+    assert(VersionedTable.currentVersion(spark, root) == before)
+    // null base with null generated passes (null-safe equality)
+    VersionedTable.commitAppend(
+      Seq((502L, null.asInstanceOf[java.sql.Timestamp],
+        null.asInstanceOf[java.sql.Date])).toDF("id", "ts", "ds"), root)
+    assert(VersionedTable.read(spark, root).where(col("id") === 502L)
+      .select("ds").head.isNullAt(0))
+  }
+
+  test("derived pruning: an event-time range prunes date partitions") {
+    val root = freshRoot()
+    seed(root)
+    val v = VersionedTable.currentVersion(spark, root).get
+    // predicate on ts ONLY — the ds bounds derive from the generator
+    val (kept, total) = VersionedTable.prunedFiles(spark, root, v,
+      col("ts") >= lit("2024-03-02 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-03-03 00:00:00").cast("timestamp"))
+    assert(kept.nonEmpty && kept.size < total, s"kept ${kept.size} of $total")
+    assert(kept.forall(_.contains("ds=2024-03-02")),
+      s"derived bounds failed to prune: $kept")
+  }
+
+  test("metadata-only retention delete in event time (boundary literal)") {
+    val root = freshRoot()
+    seed(root)
+    val vd = VersionedTable.deleteWhere(spark, root,
+      col("ts") < lit("2024-03-03 00:00:00").cast("timestamp"))
+    assert(VersionedTable.commitInfoOf(spark, root, vd)
+      .get("partitionDrop").contains("true"),
+      "event-time boundary delete took the rewrite road")
+    val got = VersionedTable.read(spark, root)
+    assert(got.count() == 4)
+    assert(got.where(col("ts") < lit("2024-03-03 00:00:00").cast("timestamp"))
+      .count() == 0)
+    // NON-boundary literal: equivalence doesn't hold, the row road runs,
+    // results stay exact
+    val vd2 = VersionedTable.deleteWhere(spark, root,
+      col("ts") < lit("2024-03-03 07:00:00").cast("timestamp"))
+    assert(!VersionedTable.commitInfoOf(spark, root, vd2)
+      .get("partitionDrop").contains("true"))
+    // day 3 had events at 00:30, 06:30, 12:30, 18:30 — two survive 07:00
+    assert(VersionedTable.read(spark, root).count() == 2)
+  }
+
+  test("month-extract generator: equality derives, definitions are immutable") {
+    val root = freshRoot()
+    VersionedTable.commit(
+      Seq((1L, ts("2024-01-15 10:00:00")), (2L, ts("2024-02-15 10:00:00")),
+        (3L, ts("2024-03-15 10:00:00")))
+        .toDF("id", "ts"), root,
+      partitionBy = Seq("m"),
+      recordProperties = Some(Map(GeneratedCols.Prefix + "m" -> "month(ts)")))
+    val v = VersionedTable.currentVersion(spark, root).get
+    val (kept, total) = VersionedTable.prunedFiles(spark, root, v,
+      col("ts") === lit("2024-02-15 10:00:00").cast("timestamp"))
+    assert(total == 3 && kept.size == 1 && kept.head.contains("m=2"),
+      s"kept $kept of $total")
+    // the generator definition is fixed at birth
+    intercept[IllegalArgumentException] {
+      VersionedTable.setProperties(spark, root,
+        Map(GeneratedCols.Prefix + "m" -> "year(ts)"))
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.unsetProperties(spark, root,
+        Seq(GeneratedCols.Prefix + "m"))
+    }
+  }
+}
