@@ -330,8 +330,13 @@ object GraftSql {
     """(?is)\s*CREATE\s+TABLE\s+'([^']+)'\s+DEEP\s+CLONE\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*;?\s*""".r
   private val CopyIntoRe =
     """(?is)\s*COPY\s+INTO\s+'([^']+)'\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)(?:\s+PATTERN\s*=\s*'([^']+)')?(?:\s+FORMAT_OPTIONS\s*\((.*)\))?\s*;?\s*""".r
+  // optional PARTITIONED BY / TBLPROPERTIES between the target and AS —
+  // the birth-time knobs commit() takes (partition spec, generated-column
+  // definitions, any table property); TBLPROPERTIES pairs reuse the
+  // quote-aware parser, so values containing ')' survive (the clause is
+  // matched lazily up to the ') AS' that opens the query)
   private val CreateAsRe =
-    """(?is)\s*CREATE\s+TABLE\s+'([^']+)'\s+AS\s+(.+?)\s*;?\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+'([^']+)'(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?(?:\s+TBLPROPERTIES\s*\((.+?)\))?\s+AS\s+(.+?)\s*;?\s*""".r
   // named-catalog verbs (GraftCatalog): a NEW name's CTAS lands under the
   // warehouse; LOCATION registers a name for an existing root; DROP
   // removes the pointer only; SHOW GRAFT TABLES lists the catalog
@@ -351,7 +356,7 @@ object GraftSql {
           graft.sources.GraftCatalog.WarehouseKey).isDefined)
     }
   private val CreateNamedAsRe =
-    """(?is)\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(.+?)\s*;?\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?(?:\s+TBLPROPERTIES\s*\((.+?)\))?\s+AS\s+(.+?)\s*;?\s*""".r
   private val CreateNamedLocRe =
     """(?is)\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+LOCATION\s+'([^']+)'\s*;?\s*""".r
   private val DropNamedRe =
@@ -372,6 +377,13 @@ object GraftSql {
   private val ApplyChangesNamedRe =
     """(?is)\s*APPLY\s+CHANGES\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+FROM\s+'([^']+)'\s+KEYS\s*\(([^)]+)\)\s+CHECKPOINT\s+'([^']+)'\s*;?\s*""".r
   private val PropKeyRe = """'([^']*)'""".r
+
+  /** CTAS clause helpers: null regex group = clause absent. */
+  private def ctasPartitionSpec(partSpec: String): Seq[String] =
+    Option(partSpec).map(_.split(',').toSeq.map(_.trim)
+      .filter(_.nonEmpty)).getOrElse(Nil)
+  private def ctasProperties(props: String): Option[Map[String, String]] =
+    Option(props).map(parseOptionPairs)
 
   /** Quote-aware `'k' = 'v', …` pair list parser (SET TBLPROPERTIES,
     * FORMAT_OPTIONS). A regex scan cannot represent quotes inside values
@@ -545,7 +557,7 @@ object GraftSql {
               Option(v).map(_.toLong).orElse(Option(ts).map(t =>
                 VersionedTable.versionAsOf(s, src,
                   java.sql.Timestamp.valueOf(t)))))))))
-      case CreateAsRe(root, query) =>
+      case CreateAsRe(root, partSpec, props, query) =>
         Some(GraftCommand("CREATE TABLE AS", root, s => {
           require(VersionedTable.currentVersion(s, root).isEmpty,
             s"versioned table already exists under $root — INSERT " +
@@ -555,7 +567,9 @@ object GraftSql {
             VersionedTable.commit(df, root, extras = Map("changes" ->
               VersionedTable.feedWritable(
                 df.withColumn("_change_type", lit("insert")))),
-              preCommit = stillEmptyGuard(s, root))))
+              preCommit = stillEmptyGuard(s, root),
+              partitionBy = ctasPartitionSpec(partSpec),
+              recordProperties = ctasProperties(props))))
         }))
       case ShowPartitionsRe(root) =>
         Some(org.apache.spark.sql.graft.GraftPartitionsCommand(root, s =>
@@ -573,7 +587,7 @@ object GraftSql {
       // a REGISTERED name never reaches these: resolveNames already
       // rewrote it to its quoted root (CreateAsRe above then refuses an
       // existing table exactly as for paths). These handle NEW names.
-      case CreateNamedAsRe(name, query) if namedDdlActive =>
+      case CreateNamedAsRe(name, partSpec, props, query) if namedDdlActive =>
         Some(GraftCommand("CREATE TABLE AS", name, s => {
           // a same-named temp view keeps winning FROM-position resolution
           // until registration lands in the catalog — surprising enough
@@ -591,7 +605,9 @@ object GraftSql {
             VersionedTable.commit(df, root, extras = Map("changes" ->
               VersionedTable.feedWritable(
                 df.withColumn("_change_type", lit("insert")))),
-              preCommit = stillEmptyGuard(s, root))))
+              preCommit = stillEmptyGuard(s, root),
+              partitionBy = ctasPartitionSpec(partSpec),
+              recordProperties = ctasProperties(props))))
         }))
       case CreateNamedLocRe(name, root) if namedDdlActive =>
         Some(GraftCommand("CREATE TABLE", name, s => {

@@ -133,6 +133,33 @@ class SqlLoadSpec extends SparkSpec {
     assert(e.getMessage.contains("already exists"))
   }
 
+  test("CREATE TABLE AS takes PARTITIONED BY and TBLPROPERTIES; a " +
+      "generated column births through pure SQL") {
+    val root = freshRoot()
+    GraftSql.execute(spark,
+      s"""CREATE TABLE '$root'
+         |PARTITIONED BY (ds)
+         |TBLPROPERTIES ('graft.generatedCol.ds' = 'date(ts)',
+         |               'custom.note' = 'sql-born')
+         |AS SELECT id, timestamp '2024-03-01 06:00:00' + make_interval(0, 0, 0, CAST(id AS INT), 0, 0, 0) AS ts
+         |   FROM range(4)""".stripMargin)
+    val got = VersionedTable.read(spark, root)
+    // ds populated by the generator, never named in the query
+    assert(got.columns.contains("ds"))
+    assert(got.where(col("ds") =!= to_date(col("ts"))).count() == 0)
+    val cur = VersionedTable.currentVersion(spark, root).get
+    val props = VersionedTable.propertiesOf(spark, root, cur)
+    assert(props.get("custom.note").contains("sql-born"))
+    assert(props.get("graft.partitionBy").contains("ds"))
+    // the partition layout is real: an event-time boundary delete is
+    // metadata-only
+    val vd = VersionedTable.deleteWhere(spark, root,
+      col("ts") < lit("2024-03-03 00:00:00").cast("timestamp"))
+    assert(VersionedTable.commitInfoOf(spark, root, vd)
+      .get("partitionDrop").contains("true"))
+    assert(VersionedTable.read(spark, root).count() == 2)
+  }
+
   test("SHALLOW CLONE: zero data copy, equal content, independent evolution") {
     val src = freshRoot(); seed(src)
     VersionedTable.setProperties(spark, src, Map("graft.team" -> "a"))
