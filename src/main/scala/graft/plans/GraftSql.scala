@@ -332,9 +332,11 @@ object GraftSql {
     """(?is)\s*COPY\s+INTO\s+'([^']+)'\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)(?:\s+PATTERN\s*=\s*'([^']+)')?(?:\s+FORMAT_OPTIONS\s*\((.*)\))?\s*;?\s*""".r
   // optional PARTITIONED BY / TBLPROPERTIES between the target and AS —
   // the birth-time knobs commit() takes (partition spec, generated-column
-  // definitions, any table property); TBLPROPERTIES pairs reuse the
-  // quote-aware parser, so values containing ')' survive (the clause is
-  // matched lazily up to the ') AS' that opens the query)
+  // definitions, any table property). The TBLPROPERTIES clause is matched
+  // lazily up to the first `) AS`; a quoted VALUE containing that exact
+  // sequence mis-splits the clause — but fails LOUDLY (the pair parser
+  // refuses the unterminated quote), never silently: quote such a value
+  // differently or use ALTER TABLE SET TBLPROPERTIES after the CTAS
   private val CreateAsRe =
     """(?is)\s*CREATE\s+TABLE\s+'([^']+)'(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?(?:\s+TBLPROPERTIES\s*\((.+?)\))?\s+AS\s+(.+?)\s*;?\s*""".r
   // named-catalog verbs (GraftCatalog): a NEW name's CTAS lands under the
@@ -562,14 +564,18 @@ object GraftSql {
           require(VersionedTable.currentVersion(s, root).isEmpty,
             s"versioned table already exists under $root — INSERT " +
               "OVERWRITE replaces it, INSERT INTO appends")
-          val df = s.sql(query)
+          // populate generated columns BEFORE the feed so CDC consumers
+          // see what the table stores, not nulls
+          val ctasProps = ctasProperties(props)
+          val df = graft.sources.GeneratedCols.populate(s.sql(query),
+            graft.sources.GeneratedCols.of(ctasProps.getOrElse(Map.empty)))
           Seq(Row("CREATE TABLE AS", root,
             VersionedTable.commit(df, root, extras = Map("changes" ->
               VersionedTable.feedWritable(
                 df.withColumn("_change_type", lit("insert")))),
               preCommit = stillEmptyGuard(s, root),
               partitionBy = ctasPartitionSpec(partSpec),
-              recordProperties = ctasProperties(props))))
+              recordProperties = ctasProps)))
         }))
       case ShowPartitionsRe(root) =>
         Some(org.apache.spark.sql.graft.GraftPartitionsCommand(root, s =>
@@ -600,14 +606,16 @@ object GraftSql {
           graft.sources.GraftCatalog.register(s, name, root)
           require(VersionedTable.currentVersion(s, root).isEmpty,
             s"versioned table already exists under $root")
-          val df = s.sql(query)
+          val ctasProps = ctasProperties(props)
+          val df = graft.sources.GeneratedCols.populate(s.sql(query),
+            graft.sources.GeneratedCols.of(ctasProps.getOrElse(Map.empty)))
           Seq(Row("CREATE TABLE AS", s"$name -> $root",
             VersionedTable.commit(df, root, extras = Map("changes" ->
               VersionedTable.feedWritable(
                 df.withColumn("_change_type", lit("insert")))),
               preCommit = stillEmptyGuard(s, root),
               partitionBy = ctasPartitionSpec(partSpec),
-              recordProperties = ctasProperties(props))))
+              recordProperties = ctasProps)))
         }))
       case CreateNamedLocRe(name, root) if namedDdlActive =>
         Some(GraftCommand("CREATE TABLE", name, s => {

@@ -45,6 +45,26 @@ object GeneratedCols {
     * (`commit(recordProperties = ...)`) like the partition spec. */
   val Prefix = "graft.generatedCol."
 
+  /** The SESSION TIME ZONE the generators were born under, recorded
+    * automatically with the first generator-carrying commit. A
+    * TimestampType base makes `date(ts)` zone-dependent: values
+    * populated under one zone and pruned under another would break the
+    * replacement equivalence (a LA-evening row lands in yesterday's UTC
+    * partition) — so writes against a zone-sensitive generator REQUIRE
+    * the recorded zone, and the derivation sites silently skip
+    * zone-sensitive generators under a mismatched session (falling back
+    * to the row road / stats pruning, which stay correct). Date and
+    * TIMESTAMP_NTZ bases are zone-free and unaffected. */
+  val ZoneProp = "graft.generatedColZone"
+
+  /** StructField-metadata marker [[populate]] stamps on columns IT
+    * computed: the enforcement pass skips marked columns (correct by
+    * construction — re-scanning them verifies a tautology), while a
+    * CALLER-built column (no marker; `withColumn` drops metadata, so an
+    * UPDATE that touches the column also re-arms the check) is verified
+    * against the generator on the staged scan. */
+  val PopulatedKey = "graft.generated.populated"
+
   private val FnRe =
     """(?i)^\s*(date|year|month|day|hour)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*$""".r
   private val TruncRe =
@@ -54,6 +74,13 @@ object GeneratedCols {
     * property value — already valid Spark SQL, reused verbatim for the
     * enforcement expression. */
   final case class Generator(kind: String, base: String, text: String) {
+    /** The generator text against a RENAMED base column (renameColumn
+      * follows references the way the partition property does). */
+    def render(newBase: String): String = kind match {
+      case "trunc_year"  => s"trunc($newBase, 'year')"
+      case "trunc_month" => s"trunc($newBase, 'month')"
+      case k             => s"$k($newBase)"
+    }
     /** Monotone non-decreasing in the base column — range predicates on
       * the base derive range bounds on the generated column. */
     def monotone: Boolean = kind == "date" || kind == "year" ||
@@ -152,11 +179,54 @@ object GeneratedCols {
       col -> gen
     }
 
-  private def attrOf(e: Expression): Option[String] = e match {
-    case a: AttributeReference => Some(a.name)
-    case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => Some(a.name)
-    case _ => None
-  }
+  /** The single population point (every commit road calls it;
+    * idempotent): a frame lacking a generated column computes it from
+    * the base and stamps [[PopulatedKey]] metadata so enforcement can
+    * tell self-computed from caller-provided. `strict = false` skips a
+    * missing base silently (the append road — its schema gate produces
+    * the right error); strict fails loudly naming the generator.
+    *
+    * The ZONE PIN lives HERE, at the moment a value is actually
+    * computed: populating a TimestampType base under a session zone
+    * other than `bornZone` would land the same event in a different
+    * partition than the table's standing rows — refused loudly. Frames
+    * that already carry the column (any zone: they hold STORED values)
+    * and zone-free bases (date / timestamp_ntz) pass. */
+  def populate(
+      df: org.apache.spark.sql.DataFrame,
+      gens: Map[String, Generator],
+      strict: Boolean = true,
+      bornZone: Option[String] = None,
+      sessionZone: String = ""): org.apache.spark.sql.DataFrame =
+    gens.foldLeft(df) { case (d, (c, g)) =>
+      if (d.columns.exists(_.equalsIgnoreCase(c))) d
+      else if (!d.columns.exists(_.equalsIgnoreCase(g.base))) {
+        require(!strict,
+          s"generated column $c = ${g.text} needs base column ${g.base} " +
+            "in the frame")
+        d
+      } else {
+        val zoneSensitive = d.schema
+          .find(_.name.equalsIgnoreCase(g.base))
+          .exists(_.dataType == TimestampType)
+        bornZone.foreach { born =>
+          require(!zoneSensitive || sessionZone.isEmpty || born == sessionZone,
+            s"generated column $c = ${g.text} was born under session " +
+              s"time zone $born; this session runs $sessionZone — a " +
+              "TimestampType base would populate into different " +
+              s"partitions. Set spark.sql.session.timeZone=$born to write")
+        }
+        val meta = new MetadataBuilder()
+          .putBoolean(PopulatedKey, true).build()
+        d.withColumn(c, g.expr(functions.col(g.base)).as(c, meta))
+      }
+    }
+
+  /** Is this field a [[populate]]-stamped column? */
+  def isPopulated(f: StructField): Boolean =
+    f.metadata.contains(PopulatedKey) && f.metadata.getBoolean(PopulatedKey)
+
+  private def attrOf(e: Expression): Option[String] = TableStats.attrName(e)
 
   private def genAttr(name: String, g: Generator): Expression =
     AttributeReference(name, g.resultType)()

@@ -354,7 +354,7 @@ object TableStats {
     case other => Seq(other)
   }
 
-  private def attrName(e: Expression): Option[String] = e match {
+  private[sources] def attrName(e: Expression): Option[String] = e match {
     case a: UnresolvedAttribute => Some(a.name)
     case a: AttributeReference => Some(a.name)
     case _ => None

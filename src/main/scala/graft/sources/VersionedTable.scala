@@ -353,26 +353,51 @@ object VersionedTable {
     // column is enforced against the generator below (the constraints
     // pass) instead of trusted.
     val gens = GeneratedCols.of(carriedProps)
+    val df0 = GeneratedCols.populate(df, gens,
+      bornZone = carriedProps.get(GeneratedCols.ZoneProp),
+      sessionZone = spark.sessionState.conf.sessionLocalTimeZone)
+    // caller-provided = present WITHOUT the populate marker: a column
+    // this library computed (here or on the append road) is correct by
+    // construction and skips the enforcement scan; a column the caller
+    // built — or REBUILT (withColumn drops metadata, so UPDATE ... SET
+    // re-arms the check) — is verified on the staged batch below
     val callerProvidedGen = gens.keySet.filter(c =>
-      df.columns.exists(_.equalsIgnoreCase(c)))
-    val df0 = gens.foldLeft(df) { case (d, (c, g)) =>
-      if (d.columns.exists(_.equalsIgnoreCase(c))) d
-      else {
-        require(d.columns.exists(_.equalsIgnoreCase(g.base)),
-          s"generated column $c = ${g.text} needs base column ${g.base} " +
-            "in the frame")
-        d.withColumn(c, g.expr(org.apache.spark.sql.functions.col(g.base)))
+      df0.schema.find(_.name.equalsIgnoreCase(c))
+        .exists(f => !GeneratedCols.isPopulated(f)))
+    // ZONE PIN, enforcement side ([[GeneratedCols.populate]] carries the
+    // population-side pin): CALLER-PROVIDED values are validated by the
+    // enforcement scan, whose generator expression also evaluates in the
+    // session zone — under a mismatched zone it would falsely refuse
+    // valid rows (or falsely pass invalid ones), so require the birth
+    // zone up front with a clear message. Commits that only CARRY table
+    // values (a delete's rewrite: marker intact) pass in any zone.
+    val sessionZone = spark.sessionState.conf.sessionLocalTimeZone
+    val zoneSensitive = gens.values.exists(g =>
+      df0.schema.find(_.name.equalsIgnoreCase(g.base))
+        .exists(_.dataType == org.apache.spark.sql.types.TimestampType))
+    if (callerProvidedGen.nonEmpty)
+      carriedProps.get(GeneratedCols.ZoneProp).foreach { born =>
+        require(!zoneSensitive || born == sessionZone,
+          s"$root's generated columns were born under session time zone " +
+            s"$born; this session runs $sessionZone — the enforcement of " +
+            "caller-provided generated values would evaluate in the wrong " +
+            s"zone. Set spark.sql.session.timeZone=$born to write")
       }
-    }
     val missingPart = partSpec.filterNot(df0.columns.contains)
     require(missingPart.isEmpty,
       s"partition column(s) missing from the frame: ${missingPart.mkString(",")}")
     require(df0.columns.forall(!_.startsWith(PartDirPrefix)),
       s"column names must not start with $PartDirPrefix " +
         "(reserved for the partition layout)")
-    val propsToRecord =
-      if (partSpec.isEmpty) carriedProps
-      else carriedProps.updated(PartitionByProp, partSpec.mkString(","))
+    val propsToRecord = {
+      val p0 =
+        if (partSpec.isEmpty) carriedProps
+        else carriedProps.updated(PartitionByProp, partSpec.mkString(","))
+      // birth of a generator-carrying table: pin the session zone it was
+      // populated under (see the ZONE PIN require above)
+      if (gens.isEmpty || p0.contains(GeneratedCols.ZoneProp)) p0
+      else p0.updated(GeneratedCols.ZoneProp, sessionZone)
+    }
     f.mkdirs(commitDir(root))
     f.mkdirs(claimDir(root))
     // (1) private data write — no shared state touched. Timestamps go out
@@ -1161,6 +1186,29 @@ object VersionedTable {
       }
     }
 
+  /** The generators SAFE TO DERIVE FROM in this session: all of them
+    * under the recorded birth zone ([[GeneratedCols.ZoneProp]]); under a
+    * mismatched session zone, only those whose base column is zone-FREE
+    * (date / timestamp_ntz) — a TimestampType base evaluated in the
+    * wrong zone would prune or drop the wrong partitions. */
+  private def zoneSafeGens(
+      spark: SparkSession, props: Map[String, String],
+      types: Map[String, org.apache.spark.sql.types.DataType])
+      : Map[String, GeneratedCols.Generator] = {
+    val gens = GeneratedCols.of(props)
+    if (gens.isEmpty) gens
+    else {
+      val sessionZone = spark.sessionState.conf.sessionLocalTimeZone
+      if (props.get(GeneratedCols.ZoneProp).forall(_ == sessionZone)) gens
+      else gens.filter { case (_, g) =>
+        !types.exists { case (n, t) =>
+          n.equalsIgnoreCase(g.base) &&
+            t == org.apache.spark.sql.types.TimestampType
+        }
+      }
+    }
+  }
+
   /** Decide one optimizer conjunct against a file's partition POINT
     * values: Some(true/false) = every row of the file agrees (partition
     * columns are constant per file), None = undecidable (unknown shape,
@@ -1232,7 +1280,10 @@ object VersionedTable {
     // a table partitioned by `ds = date(ts)` decides whole partitions —
     // the retention delete stays metadata-only in EVENT TIME. Inexact
     // conjuncts stay as written (undecidable → the row road, correct).
-    val gens = GeneratedCols.of(propertiesOf(spark, root, cur))
+    // Zone-sensitive generators derive ONLY under the recorded birth
+    // zone ([[zoneSafeGens]]) — a mismatched session falls back to the
+    // row road rather than dropping the wrong partitions.
+    val gens = zoneSafeGens(spark, propertiesOf(spark, root, cur), types)
     val conjs =
       if (gens.isEmpty) conjs0
       else {
@@ -1707,13 +1758,20 @@ object VersionedTable {
     val conjs0 = optimized.collect {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
     }.flatMap(TableStats.conjuncts)
+    val partTypes: Map[String, org.apache.spark.sql.types.DataType] =
+      scala.util.Try(schemaOf(spark, root, v)).toOption
+        .map(_.map(sf => sf.name -> sf.dataType).toMap).getOrElse(Map.empty)
     // GENERATED-COLUMN IMPLICATION ([[GeneratedCols.impliedFor]]): a
     // conjunct on a generator's BASE column derives sound partition-
     // column bounds, APPENDED (the base conjunct still prunes through
     // its own min/max stats) — a query in event time skips derived-
     // period partitions even where the stats table is absent.
-    val genDefs = GeneratedCols.of(
-      scala.util.Try(propertiesOf(spark, root, v)).getOrElse(Map.empty))
+    // Zone-sensitive generators derive only under their birth zone
+    // ([[zoneSafeGens]]): a mismatched session keeps every file the
+    // base conjunct can't refute, which is conservative and correct.
+    val genDefs = zoneSafeGens(spark,
+      scala.util.Try(propertiesOf(spark, root, v)).getOrElse(Map.empty),
+      partTypes)
     val conjs =
       if (genDefs.isEmpty) conjs0
       else {
@@ -1728,9 +1786,6 @@ object VersionedTable {
     // or uncovered, and keeps skipping across renames (segments resolve
     // physical → logical through the mapping).
     val reverseMap = columnMapping(spark, root, v).map(_.swap)
-    val partTypes: Map[String, org.apache.spark.sql.types.DataType] =
-      scala.util.Try(schemaOf(spark, root, v)).toOption
-        .map(_.map(sf => sf.name -> sf.dataType).toMap).getOrElse(Map.empty)
     val bareCols = partitionColumnsOf(spark, root, v).toSet
     def synth(p: Path) = partSynthStats(p.toString, reverseMap, partTypes, bareCols)
     val anyPartitioned = bareCols.nonEmpty ||
@@ -1925,13 +1980,13 @@ object VersionedTable {
     // GENERATED COLUMNS populate BEFORE the schema gate: an append of a
     // raw event frame (no `ds`) against a `ds = date(ts)` table is the
     // intended shape, not a schema drift. Idempotent — a frame already
-    // carrying the column passes through (and is enforced downstream).
-    val gens = GeneratedCols.of(propertiesOf(spark, root, cur))
-    val newData0 = gens.foldLeft(newData) { case (d, (c, g)) =>
-      if (d.columns.exists(_.equalsIgnoreCase(c)) ||
-          !d.columns.exists(_.equalsIgnoreCase(g.base))) d
-      else d.withColumn(c, g.expr(org.apache.spark.sql.functions.col(g.base)))
-    }
+    // carrying the column passes through. strict=false: a missing BASE
+    // falls through to the schema gate, whose error names the drift.
+    val curProps0 = propertiesOf(spark, root, cur)
+    val newData0 = GeneratedCols.populate(newData,
+      GeneratedCols.of(curProps0), strict = false,
+      bornZone = curProps0.get(GeneratedCols.ZoneProp),
+      sessionZone = spark.sessionState.conf.sessionLocalTimeZone)
     // schema gate: name→type equality (order-insensitive — read resolves
     // by name; nullability not compared — reading non-null data through a
     // nullable schema is always sound)
@@ -2284,12 +2339,29 @@ object VersionedTable {
       preCommit: Long => Unit = _ => ()): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, when}
     require(set.nonEmpty, "updateWhere needs at least one SET column")
+    // GENERATED COLUMNS REGENERATE on base update (the Delta rule): an
+    // UPDATE that sets a generator's base but not the generated column
+    // gets the generated assignment added — otherwise the row would keep
+    // its stale partition value and silently disagree with its data
+    // (the caller CAN set both explicitly; then the enforcement scan
+    // validates the pair). Computed from the new base EXPRESSION, so
+    // one projection serves both.
+    val setG = currentVersion(spark, root)
+      .map(cv => GeneratedCols.of(propertiesOf(spark, root, cv)))
+      .getOrElse(Map.empty)
+      .foldLeft(set) { case (s0, (c, g)) =>
+        if (s0.keys.exists(_.equalsIgnoreCase(c))) s0
+        else s0.keys.find(_.equalsIgnoreCase(g.base)) match {
+          case Some(baseKey) => s0.updated(c, g.expr(s0(baseKey)))
+          case None => s0
+        }
+      }
     def applySet(df: DataFrame): DataFrame = {
-      val bad = set.keySet -- df.columns.toSet
+      val bad = setG.keySet -- df.columns.toSet
       require(bad.isEmpty, s"unknown columns in SET: ${bad.mkString(", ")}")
       val cond = coalesce(predicate, lit(false))
       df.select(df.columns.toSeq.map { c =>
-        set.get(c) match {
+        setG.get(c) match {
           case Some(v) =>
             when(cond, v.cast(df.schema(c).dataType)).otherwise(col(c)).as(c)
           case None => col(c)
@@ -2664,12 +2736,23 @@ object VersionedTable {
     if (currentVersion(spark, root).isEmpty)
       throw new java.io.IOException(
         s"append needs an existing snapshot under $root — use commit() first")
+    // GENERATED COLUMNS populate before the FEED is built: the insert
+    // feed must carry what the table stores — a raw-frame feed would
+    // serve null for the generated column to every CDC consumer while
+    // the table holds real values. (commitCow's own populate then
+    // no-ops on the already-carrying frame.)
+    val appendProps = currentVersion(spark, root)
+      .map(cv => propertiesOf(spark, root, cv)).getOrElse(Map.empty)
+    val newData1 = GeneratedCols.populate(newData,
+      GeneratedCols.of(appendProps), strict = false,
+      bornZone = appendProps.get(GeneratedCols.ZoneProp),
+      sessionZone = spark.sessionState.conf.sessionLocalTimeZone)
     // opt-in insert feed (O(batch), but a second write of the batch —
     // index-table appends don't want it; CDC-consumed tables do). A
     // caller-supplied "changes" extra always wins.
     val withFeed =
       if (!changeFeed || extras.contains("changes")) extras
-      else extras.updated("changes", feedWritable(newData.withColumn(
+      else extras.updated("changes", feedWritable(newData1.withColumn(
         "_change_type", org.apache.spark.sql.functions.lit("insert"))))
     // a caller-supplied "dv" extra masks rows of EXISTING files by
     // (file, pos); the masked tails anchor both the conflict interest
@@ -2714,7 +2797,7 @@ object VersionedTable {
         else new AppendRebase(spark, root, cur, allowDml = true,
           interest = () =>
             dataFileRefs(spark, root, cur).filter(r => dvTails(refTail(r))).toSet)
-      commitCow(newData, root, dataFileRefs(spark, root, cur), withFeed, bloomCols,
+      commitCow(newData1, root, dataFileRefs(spark, root, cur), withFeed, bloomCols,
         preCommit = v => { preCommit(v); rb.validate(v) },
         rebase = Some(rb), recordInfo = info)
     }
@@ -3409,13 +3492,35 @@ object VersionedTable {
       // (dir segments keep the frozen physical name and resolve through
       // the mapping, so pruning and drops keep working)
       val curProps = propertiesOf(spark, root, cur)
-      val renamedProps = curProps.get(PartitionByProp) match {
+      val partRenamed = curProps.get(PartitionByProp) match {
         case Some(specStr) if specStr.split(',').contains(from) =>
-          Some(curProps.updated(PartitionByProp,
+          curProps.updated(PartitionByProp,
             specStr.split(',').toSeq.map(c => if (c == from) to else c)
-              .mkString(",")))
-        case _ => None
+              .mkString(","))
+        case _ => curProps
       }
+      // generated-column definitions FOLLOW the rename too (the same
+      // logical-names rule): renaming the generated column moves its
+      // property key; renaming the BASE rewrites each generator's text.
+      // Without this, every later commit would try to enforce/populate
+      // against a column that no longer exists — an unwritable table,
+      // since the definitions are immutable; or worse, a later re-add of
+      // the old name would silently feed the generator the wrong data.
+      val gensRenamed = GeneratedCols.of(curProps).foldLeft(partRenamed) {
+        case (p, (c, g)) =>
+          val p1 =
+            if (!c.equalsIgnoreCase(from)) p
+            else (p - (GeneratedCols.Prefix + c))
+              .updated(GeneratedCols.Prefix + to, g.text)
+          if (!g.base.equalsIgnoreCase(from)) p1
+          else {
+            val key = if (c.equalsIgnoreCase(from)) GeneratedCols.Prefix + to
+                      else GeneratedCols.Prefix + c
+            p1.updated(key, g.render(to))
+          }
+      }
+      val renamedProps =
+        if (gensRenamed == curProps) None else Some(gensRenamed)
       commitCowInternal(empty, root, cur, dataFileRefs(spark, root, cur),
         Map("changes" -> emptyFeed(empty)), // metadata-only: zero-row feed
         Nil, preCommit = occValidate(spark, root, cur),
@@ -3438,6 +3543,18 @@ object VersionedTable {
       require(!partitionColumnsOf(spark, root, cur).contains(name),
         s"$name is a partition column of $root — the layout depends on it; " +
           "repartition via a full rewrite before dropping")
+      // generated-column references: dropping the GENERATED column or a
+      // generator's BASE would leave an unsatisfiable immutable
+      // definition — every later commit would fail resolving it (and the
+      // definitions cannot be unset), so refuse up front
+      GeneratedCols.of(propertiesOf(spark, root, cur)).foreach { case (c, g) =>
+        require(!c.equalsIgnoreCase(name),
+          s"$name is a generated column of $root ($c = ${g.text}); its " +
+            "definition is fixed at birth — repartition via a full rewrite")
+        require(!g.base.equalsIgnoreCase(name),
+          s"$name is the base of generated column $c = ${g.text} — " +
+            "dropping it would leave the generator unsatisfiable")
+      }
       val schema = schemaOf(spark, root, cur)
       require(schema.fieldNames.contains(name),
         s"no column $name in $root (columns: ${schema.fieldNames.mkString(", ")})")

@@ -100,6 +100,74 @@ class GeneratedColsSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).count() == 2)
   }
 
+  test("UPDATE of the base regenerates the generated column (the Delta rule)") {
+    val root = freshRoot()
+    seed(root)
+    // move id=106's event three days forward WITHOUT naming ds
+    VersionedTable.updateWhere(spark, root, col("id") === 106L,
+      Map("ts" -> lit("2024-03-07 09:00:00").cast("timestamp")))
+    val row = VersionedTable.read(spark, root).where(col("id") === 106L)
+      .select("ds").head
+    assert(row.getDate(0).toString == "2024-03-07",
+      s"stale generated value after base update: ${row.getDate(0)}")
+    // explicitly setting a DISAGREEING pair is refused by enforcement
+    intercept[Exception] {
+      VersionedTable.updateWhere(spark, root, col("id") === 112L,
+        Map("ts" -> lit("2024-03-08 09:00:00").cast("timestamp"),
+            "ds" -> lit("2024-03-01").cast("date")))
+    }
+  }
+
+  test("rename follows generated definitions; dropping base or generated refused") {
+    val root = freshRoot()
+    seed(root)
+    // renaming the BASE rewrites the generator text; raw appends keep working
+    VersionedTable.renameColumn(spark, root, "ts", "event_ts")
+    val cur = VersionedTable.currentVersion(spark, root).get
+    assert(VersionedTable.propertiesOf(spark, root, cur)
+      .get(GeneratedCols.Prefix + "ds").contains("date(event_ts)"))
+    VersionedTable.commitAppend(
+      Seq((600L, ts("2024-03-09 01:00:00"))).toDF("id", "event_ts"), root)
+    assert(VersionedTable.read(spark, root)
+      .where(col("ds") === lit("2024-03-09").cast("date")).count() == 1)
+    // dropping the base or the generated column is refused up front
+    val e1 = intercept[IllegalArgumentException](
+      VersionedTable.dropColumn(spark, root, "event_ts"))
+    assert(e1.getMessage.contains("base of generated column"))
+    val e2 = intercept[IllegalArgumentException](
+      VersionedTable.dropColumn(spark, root, "ds"))
+    assert(e2.getMessage.toLowerCase.contains("partition column") ||
+      e2.getMessage.contains("generated column"))
+  }
+
+  test("zone pin: a mismatched session cannot write, and derivation " +
+      "falls back to the correct row road") {
+    val root = freshRoot()
+    seed(root) // born under the suite's UTC session
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      // zone-sensitive write refused loudly
+      val e = intercept[IllegalArgumentException] {
+        VersionedTable.commitAppend(
+          Seq((700L, ts("2024-03-09 01:00:00"))).toDF("id", "ts"), root)
+      }
+      assert(e.getMessage.contains("time zone"), e.getMessage)
+      // read-side derivation skips the zone-sensitive generator: the
+      // boundary delete takes the ROW road and computes the exact result
+      // for THIS session's literal interpretation
+      val expect = VersionedTable.read(spark, root)
+        .where(!(col("ts") < lit("2024-03-02 00:00:00").cast("timestamp")))
+        .count()
+      val vd = VersionedTable.deleteWhere(spark, root,
+        col("ts") < lit("2024-03-02 00:00:00").cast("timestamp"))
+      assert(!VersionedTable.commitInfoOf(spark, root, vd)
+        .get("partitionDrop").contains("true"),
+        "zone-mismatched session must not take the metadata drop road")
+      assert(VersionedTable.read(spark, root).count() == expect)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("month-extract generator: equality derives, definitions are immutable") {
     val root = freshRoot()
     VersionedTable.commit(
