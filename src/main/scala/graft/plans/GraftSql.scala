@@ -1274,7 +1274,26 @@ object GraftSql {
           s"MERGE: unknown target column(s) in assignment: ${bad.mkString(", ")}")
         as
       }
-      def assignsOf(a: MergeAction): Map[String, Column] = a match {
+      // generated columns REGENERATE through merge assignments (the
+      // updateWhere rule): an action assigning a generator's BASE but
+      // not the generated column gets the generated assignment added —
+      // a raw-source INSERT * lands in the right partition, an UPDATE
+      // moving the base keeps the partition value in agreement. An
+      // action assigning BOTH is validated by the enforcement scan.
+      val genDefs = graft.sources.GeneratedCols.of(
+        VersionedTable.propertiesOf(spark, root, base))
+      def withGenerated(as: Map[String, Column]): Map[String, Column] =
+        genDefs.foldLeft(as) { case (m0, (c, g)) =>
+          if (m0.keys.exists(_.equalsIgnoreCase(c))) m0
+          else m0.keys.find(_.equalsIgnoreCase(g.base)) match {
+            case Some(bk) =>
+              val name = tSchema.fieldNames
+                .find(_.equalsIgnoreCase(c)).getOrElse(c)
+              m0.updated(name, g.expr(m0(bk)))
+            case None => m0
+          }
+        }
+      def assignsOf(a: MergeAction): Map[String, Column] = withGenerated(a match {
         case u: UpdateAction =>
           checked(u.assignments.map(as =>
             keyName(as.key) -> ColumnBridge.column(as.value)).toMap)
@@ -1290,7 +1309,7 @@ object GraftSql {
           tSchema.fieldNames.filter(n => sCols(n.toLowerCase))
             .map(n => n -> sDf(n)).toMap
         case _ => Map.empty
-      }
+      })
       // first applicable action decides the fate: -1 delete, -999 none
       // (keep / drop), i the action's index offset by branch
       def fateChain(acts: Seq[MergeAction], code: Int => Int): Column =

@@ -1384,10 +1384,18 @@ object VersionedTable {
     require(partitionColumnsOf(spark, root, v0).nonEmpty,
       s"$root has no partition spec ($PartitionByProp) — " +
         "dynamic partition overwrite is only defined on partitioned tables")
+    // generated partition columns populate BEFORE the touched-tuple
+    // collect below reads them (a raw hourly reload naming only `ts` is
+    // the intended shape); zone pinned as on every population site
+    val props0 = propertiesOf(spark, root, v0)
+    val newData0 = GeneratedCols.populate(newData,
+      GeneratedCols.of(props0),
+      bornZone = props0.get(GeneratedCols.ZoneProp),
+      sessionZone = spark.sessionState.conf.sessionLocalTimeZone)
     occRetry(spark, root) { cur =>
       val spec = partitionColumnsOf(spark, root, cur)
       val touched: Set[Seq[Option[(String, Any)]]] =
-        newData.select(spec.map(col): _*).distinct().collect()
+        newData0.select(spec.map(col): _*).distinct().collect()
           .map(r => spec.indices.map(i => canonRuntimeValue(r.get(i)))).toSet
       val reverse = columnMapping(spark, root, cur).map(_.swap)
       val types = schemaOf(spark, root, cur).map(f => f.name -> f.dataType).toMap
@@ -1416,14 +1424,14 @@ object VersionedTable {
       val extras =
         if (!changeFeed) Map.empty[String, DataFrame]
         else {
-          val inserts = newData.withColumn("_change_type", lit("insert"))
+          val inserts = newData0.withColumn("_change_type", lit("insert"))
           val feed =
             if (dropped.isEmpty) inserts
             else readFilesOf(spark, root, cur, dropped)
               .withColumn("_change_type", lit("delete")).unionByName(inserts)
           Map("changes" -> feedWritable(feed))
         }
-      commitCow(newData, root, kept, extras = extras,
+      commitCow(newData0, root, kept, extras = extras,
         preCommit = occValidate(spark, root, cur))
     }
   }

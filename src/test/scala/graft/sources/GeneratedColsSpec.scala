@@ -168,6 +168,34 @@ class GeneratedColsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 
+  test("MERGE and dynamic partition overwrite regenerate from raw sources") {
+    val root = freshRoot()
+    seed(root)
+    // MERGE with a RAW source (no ds): INSERT * lands in the right
+    // partition; UPDATE SET * moving ts keeps ds in agreement
+    Seq((106L, ts("2024-03-08 10:00:00")), (999L, ts("2024-03-09 11:00:00")))
+      .toDF("id", "ts").createOrReplaceTempView("gen_src")
+    graft.plans.GraftSql.execute(spark,
+      s"""MERGE INTO `$root` t USING gen_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = VersionedTable.read(spark, root)
+    assert(got.where(col("ds") =!= to_date(col("ts"))).count() == 0,
+      "merge left a generated value disagreeing with its base")
+    assert(got.where(col("id") === 999L).select("ds").head.getDate(0)
+      .toString == "2024-03-09")
+    assert(got.where(col("id") === 106L).select("ds").head.getDate(0)
+      .toString == "2024-03-08")
+    // dynamic partition overwrite with a raw reload frame (no ds)
+    VersionedTable.overwritePartitions(spark, root,
+      Seq((777L, ts("2024-03-02 05:00:00"))).toDF("id", "ts"))
+    val day2 = VersionedTable.read(spark, root)
+      .where(col("ds") === lit("2024-03-02").cast("date"))
+    assert(day2.count() == 1 &&
+      day2.select("id").head.getLong(0) == 777L,
+      "overwrite did not replace exactly the touched derived partition")
+  }
+
   test("month-extract generator: equality derives, definitions are immutable") {
     val root = freshRoot()
     VersionedTable.commit(
