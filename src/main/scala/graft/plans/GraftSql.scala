@@ -380,6 +380,65 @@ object GraftSql {
     """(?is)\s*APPLY\s+CHANGES\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+FROM\s+'([^']+)'\s+KEYS\s*\(([^)]+)\)\s+CHECKPOINT\s+'([^']+)'\s*;?\s*""".r
   private val PropKeyRe = """'([^']*)'""".r
 
+  /** `ADD COLUMN(S)` DDL with optional `DEFAULT <expr>` per column
+    * (Delta's defaultColumns feature): `a INT DEFAULT 5, note STRING
+    * DEFAULT 'none'`. The default is recorded as Spark's NATIVE
+    * schema-metadata keys — `EXISTS_DEFAULT` (the constant-folded
+    * literal, filled by the parquet reader for files that predate the
+    * column, i.e. the backfill) and `CURRENT_DEFAULT` (the original
+    * expression text, filled by INSERT for unnamed columns). The
+    * expression must fold to a constant castable to the column type —
+    * validated HERE, once, with a loud error; a non-constant default
+    * would give every read a different answer. Commas inside
+    * DECIMAL(p,s)/ARRAY<...>/quotes are respected by a depth-aware
+    * split, not a regex. */
+  private[plans] def parseAddColumnsDdl(
+      spark: SparkSession, ddl: String): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    def splitTopLevel(s: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var depth = 0; var i = 0; var start = 0; var inQ = false
+      while (i < s.length) {
+        val c = s(i)
+        if (inQ) { if (c == '\'') inQ = false }
+        else c match {
+          case '\'' => inQ = true
+          case '(' | '<' => depth += 1
+          case ')' | '>' => depth -= 1
+          case ',' if depth == 0 =>
+            out += s.substring(start, i); start = i + 1
+          case _ =>
+        }
+        i += 1
+      }
+      out += s.substring(start)
+      out.toSeq.map(_.trim).filter(_.nonEmpty)
+    }
+    val DefaultRe = """(?is)^(.+?)\s+DEFAULT\s+(.+?)\s*$""".r
+    StructType(splitTopLevel(ddl).flatMap {
+      case DefaultRe(colDdl, dflt) =>
+        val fields = StructType.fromDDL(colDdl)
+        require(fields.size == 1,
+          s"DEFAULT applies to exactly one column definition: $colDdl")
+        val f = fields.head
+        // fold the default ONCE; a malformed or non-constant expression
+        // fails here, at DDL time, never at read time
+        val folded =
+          try spark.range(1).select(expr(dflt).cast(f.dataType)).head.get(0)
+          catch { case e: Exception => throw new IllegalArgumentException(
+            s"DEFAULT for column ${f.name} does not fold to a " +
+              s"${f.dataType.simpleString} constant: $dflt", e) }
+        val existsSql = org.apache.spark.sql.catalyst.expressions.Literal
+          .create(folded, f.dataType).sql
+        Seq(f.copy(metadata = new MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putString("CURRENT_DEFAULT", dflt.trim)
+          .putString("EXISTS_DEFAULT", existsSql)
+          .build()))
+      case item => StructType.fromDDL(item).toSeq
+    })
+  }
+
   /** CTAS clause helpers: null regex group = clause absent. */
   private def ctasPartitionSpec(partSpec: String): Seq[String] =
     Option(partSpec).map(_.split(',').toSeq.map(_.trim)
@@ -512,14 +571,14 @@ object GraftSql {
         Some(GraftCommand("ADD COLUMNS", root, s =>
           Seq(Row("ADD COLUMNS", root,
             VersionedTable.addColumns(s, root,
-              // Spark's own DDL struct parser: nested types, DECIMAL(p,s),
-              // ARRAY<...>, comments — no hand-rolled comma split
-              org.apache.spark.sql.types.StructType.fromDDL(colsDdl))))))
+              // Spark's own DDL struct parser underneath (nested types,
+              // DECIMAL(p,s), ARRAY<...>), plus the DEFAULT clause
+              parseAddColumnsDdl(s, colsDdl))))))
       case AddColRe(root, colDdl) =>
         Some(GraftCommand("ADD COLUMNS", root, s =>
           Seq(Row("ADD COLUMNS", root,
             VersionedTable.addColumns(s, root,
-              org.apache.spark.sql.types.StructType.fromDDL(colDdl))))))
+              parseAddColumnsDdl(s, colDdl))))))
       case AlterColTypeRe(root, name, typeDdl) =>
         Some(GraftCommand("ALTER COLUMN TYPE", root, s =>
           Seq(Row("ALTER COLUMN TYPE", root,
@@ -879,9 +938,17 @@ object GraftSql {
       val have = named.toMap
       src.select(target.map { f =>
         have.getOrElse(f.name, {
-          require(f.nullable,
-            s"column ${f.name} is non-nullable and the INSERT gives it no value")
-          lit(null).cast(f.dataType).as(f.name)
+          // unnamed column: its CURRENT_DEFAULT (ADD COLUMNS ... DEFAULT,
+          // recorded as Spark's native schema-metadata key) fills;
+          // otherwise null for nullable targets, refusal for the rest
+          if (f.metadata.contains("CURRENT_DEFAULT"))
+            expr(f.metadata.getString("CURRENT_DEFAULT"))
+              .cast(f.dataType).as(f.name)
+          else {
+            require(f.nullable,
+              s"column ${f.name} is non-nullable and the INSERT gives it no value")
+            lit(null).cast(f.dataType).as(f.name)
+          }
         })
       }: _*)
     } else {

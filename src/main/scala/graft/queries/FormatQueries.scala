@@ -34,7 +34,8 @@ object FormatQueries {
     "q33_convert"          -> ((s, d) => q33(s, d)),
     "q34_deep_clone"       -> ((s, d) => q34(s, d)),
     "q35_convert_partitioned" -> ((s, d) => q35(s, d)),
-    "q36_generated_partition" -> ((s, d) => q36(s, d))
+    "q36_generated_partition" -> ((s, d) => q36(s, d)),
+    "q37_default_columns"     -> ((s, d) => q37(s, d))
   )
 
   private def freshRoot(): String =
@@ -298,7 +299,46 @@ object FormatQueries {
       .orderBy(col("event_id"))
   }
 
+  /** q37: column DEFAULT values end to end (Delta's defaultColumns —
+    * Spark-native EXISTS_DEFAULT/CURRENT_DEFAULT schema metadata):
+    * (1) a table births WITHOUT the columns, (2) `ADD COLUMNS ...
+    * DEFAULT` lands metadata-only — the pre-evolution files then serve
+    * the defaults through the parquet reader's own missing-column fill,
+    * zero bytes rewritten — (3) an INSERT omitting the columns stores
+    * the defaults, (4) an INSERT naming them stores explicit values.
+    * The oracle restates all three eras relationally; the hash match
+    * proves backfill ≡ stored-default ≡ explicit-value semantics. */
+  def q37(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot()
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    VersionedTable.commit(orders.where(col("o_orderkey") % 4 === 1), root)
+    GraftSql.execute(s, s"ALTER TABLE '$root' ADD COLUMNS " +
+      "(priority INT DEFAULT 3, channel STRING DEFAULT 'web')")
+    orders.where(col("o_orderkey") % 4 === 2)
+      .createOrReplaceTempView("q37_src")
+    GraftSql.execute(s,
+      s"INSERT INTO `$root` (o_orderkey, o_orderstatus) SELECT * FROM q37_src")
+    orders.where(col("o_orderkey") % 4 === 3)
+      .withColumn("priority", (col("o_orderkey") % 5).cast("int"))
+      .withColumn("channel", lit("store"))
+      .createOrReplaceTempView("q37_src2")
+    GraftSql.execute(s, s"INSERT INTO `$root` SELECT * FROM q37_src2")
+    VersionedTable.read(s, root).orderBy(col("o_orderkey"))
+  }
+
   def oracles: Map[String, String] = Map(
+    "q37_default_columns" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(3 AS INT) AS priority, 'web' AS channel
+        |  FROM orders WHERE o_orderkey % 4 IN (1, 2)),
+        |s AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_orderkey % 5 AS INT) AS priority, 'store' AS channel
+        |  FROM orders WHERE o_orderkey % 4 = 3)
+        |SELECT * FROM t UNION ALL SELECT * FROM s
+        |ORDER BY o_orderkey""".stripMargin,
     "q36_generated_partition" ->
       """WITH base AS (
         |  SELECT event_id, ts, user_id, event_type, value FROM events),

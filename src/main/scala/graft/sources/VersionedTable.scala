@@ -544,7 +544,12 @@ object VersionedTable {
       if (extras.contains("copyfiles") || extras.contains("copyfull"))
         Some("copy-ledger") else None,
       if (propsToRecord.get(WidenedTypesProp).contains("true"))
-        Some("widened-types") else None
+        Some("widened-types") else None,
+      // a reader IGNORING the default metadata would serve null where
+      // the table's contract says the default — silently wrong values
+      if (recordSchema.getOrElse(df0.schema)
+            .exists(_.metadata.contains("EXISTS_DEFAULT")))
+        Some("default-columns") else None
     ).flatten
     if (readerFeats.nonEmpty)
       writeProps(f, new Path(new Path(staging, "_protocol"),
@@ -804,7 +809,7 @@ object VersionedTable {
     * idea, table-features form. */
   val SupportedReaderFeatures: Set[String] = Set(
     "deletion-vectors", "column-mapping", "partition-spec",
-    "widened-types", "copy-ledger")
+    "widened-types", "copy-ledger", "default-columns")
 
   /** Features THIS build can write against. Writing to a table whose
     * current version requires an unknown feature could break that
