@@ -395,47 +395,79 @@ object GraftSql {
   private[plans] def parseAddColumnsDdl(
       spark: SparkSession, ddl: String): org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
-    def splitTopLevel(s: String): Seq[String] = {
-      val out = scala.collection.mutable.ArrayBuffer[String]()
-      var depth = 0; var i = 0; var start = 0; var inQ = false
-      while (i < s.length) {
-        val c = s(i)
-        if (inQ) { if (c == '\'') inQ = false }
-        else c match {
-          case '\'' => inQ = true
-          case '(' | '<' => depth += 1
-          case ')' | '>' => depth -= 1
-          case ',' if depth == 0 =>
-            out += s.substring(start, i); start = i + 1
-          case _ =>
-        }
-        i += 1
+    // ONE quote-aware scan splits the list and locates each item's
+    // top-level DEFAULT (and a trailing COMMENT after it): angle
+    // brackets count as nesting only in the TYPE part — inside a
+    // DEFAULT expression `<`/`>` are comparison operators, and a
+    // DEFAULT (or COMMENT) inside a string literal is just text. SQL
+    // `''` quote escapes are respected.
+    final case class Item(colDdl: String, dflt: Option[String])
+    val items = scala.collection.mutable.ArrayBuffer[Item]()
+    val s = ddl
+    var i = 0; var start = 0; var parens = 0; var angles = 0; var inQ = false
+    var defaultAt = -1   // index of the DEFAULT keyword in the current item
+    var exprEnd = -1     // end of the default expression (a COMMENT follows)
+    def kw(word: String): Boolean =
+      !inQ && parens == 0 && angles == 0 &&
+        s.regionMatches(true, i, word, 0, word.length) &&
+        (i == 0 || s(i - 1).isWhitespace) &&
+        (i + word.length >= s.length || s(i + word.length).isWhitespace)
+    def flush(end: Int): Unit = {
+      if (defaultAt < 0) items += Item(s.substring(start, end).trim, None)
+      else {
+        val eEnd = if (exprEnd >= 0) exprEnd else end
+        // a COMMENT clause after the default belongs to the column DDL
+        val col = (s.substring(start, defaultAt) +
+          (if (exprEnd >= 0) " " + s.substring(exprEnd, end) else "")).trim
+        items += Item(col,
+          Some(s.substring(defaultAt + "DEFAULT".length, eEnd).trim))
       }
-      out += s.substring(start)
-      out.toSeq.map(_.trim).filter(_.nonEmpty)
+      start = end + 1; defaultAt = -1; exprEnd = -1
     }
-    val DefaultRe = """(?is)^(.+?)\s+DEFAULT\s+(.+?)\s*$""".r
-    StructType(splitTopLevel(ddl).flatMap {
-      case DefaultRe(colDdl, dflt) =>
+    while (i < s.length) {
+      val c = s(i)
+      if (inQ) {
+        if (c == '\'') {
+          if (i + 1 < s.length && s(i + 1) == '\'') i += 1 // '' escape
+          else inQ = false
+        }
+      } else if (c == '\'') inQ = true
+      else if (c == '(') parens += 1
+      else if (c == ')') parens -= 1
+      else if (c == '<' && defaultAt < 0) angles += 1
+      else if (c == '>' && defaultAt < 0) angles -= 1
+      else if (c == ',' && parens == 0 && angles == 0) flush(i)
+      else if (defaultAt < 0 && kw("DEFAULT")) defaultAt = i
+      else if (defaultAt >= 0 && exprEnd < 0 && kw("COMMENT")) exprEnd = i
+      i += 1
+    }
+    flush(s.length)
+    StructType(items.filter(_.colDdl.nonEmpty).toSeq.flatMap {
+      case Item(colDdl, None) => StructType.fromDDL(colDdl).toSeq
+      case Item(colDdl, Some(dflt)) =>
         val fields = StructType.fromDDL(colDdl)
         require(fields.size == 1,
           s"DEFAULT applies to exactly one column definition: $colDdl")
         val f = fields.head
-        // fold the default ONCE; a malformed or non-constant expression
-        // fails here, at DDL time, never at read time
+        // fold the default ONCE, with NO columns in scope (a
+        // column-referencing or otherwise non-constant default would
+        // give the backfill and each INSERT different answers); the
+        // FROZEN literal becomes BOTH metadata values, so a
+        // `DEFAULT rand()`-style expression is pinned at DDL time —
+        // backfill ≡ every later stored default, by construction
         val folded =
-          try spark.range(1).select(expr(dflt).cast(f.dataType)).head.get(0)
+          try spark.sql(s"SELECT CAST(($dflt) AS ${f.dataType.sql})").head.get(0)
           catch { case e: Exception => throw new IllegalArgumentException(
             s"DEFAULT for column ${f.name} does not fold to a " +
-              s"${f.dataType.simpleString} constant: $dflt", e) }
+              s"${f.dataType.simpleString} constant (column references " +
+              s"are not allowed): $dflt", e) }
         val existsSql = org.apache.spark.sql.catalyst.expressions.Literal
           .create(folded, f.dataType).sql
         Seq(f.copy(metadata = new MetadataBuilder()
           .withMetadata(f.metadata)
-          .putString("CURRENT_DEFAULT", dflt.trim)
+          .putString("CURRENT_DEFAULT", existsSql)
           .putString("EXISTS_DEFAULT", existsSql)
           .build()))
-      case item => StructType.fromDDL(item).toSeq
     })
   }
 
@@ -871,13 +903,18 @@ object GraftSql {
               .withColumn("_change_type", lit("delete"))
               .unionByName(aligned.withColumn("_change_type", lit("insert")),
                 allowMissingColumns = true)
+            // re-record the TABLE's schema, not the aligned frame's: the
+            // projection strips field metadata, and a plain commit would
+            // silently erase column defaults (EXISTS_DEFAULT et al.) —
+            // INSERT OVERWRITE replaces DATA, never the schema contract
             try out = Some(VersionedTable.commit(aligned, root,
               extras = Map("changes" -> VersionedTable.feedWritable(feed)),
               preCommit = _ => {
                 val now = VersionedTable.currentVersion(spark, root)
                 if (now != Some(base))
                   throw new Sinks.ConcurrentWriteException(root, Some(base), now)
-              }))
+              },
+              recordSchema = Some(target)))
             catch {
               case _: Sinks.ConcurrentWriteException if attempt < maxAttempts =>
                 Sinks.backoff(attempt)
@@ -1460,7 +1497,11 @@ object GraftSql {
             extras = Map("changes" -> feed) ++ extraTables, preCommit = occCheck)
           case None => VersionedTable.commit(
             survivors.unionByName(inserts), root,
-            extras = Map("changes" -> feed) ++ extraTables, preCommit = occCheck)
+            extras = Map("changes" -> feed) ++ extraTables, preCommit = occCheck,
+            // the fate-fold projection strips field metadata — re-record
+            // the table's schema so column defaults survive a full-rewrite
+            // merge exactly as they do the COW road (recordSchema there)
+            recordSchema = Some(tSchema))
         })
       catch {
         case _: Sinks.ConcurrentWriteException if attempt < maxAttempts =>

@@ -295,11 +295,13 @@ object VersionedTable {
       preCommit: Long => Unit = _ => (),
       partitionBy: Seq[String] = Nil,
       recordProperties: Option[Map[String, String]] = None,
-      recordInfo: Map[String, String] = Map("operation" -> "write")): Long =
+      recordInfo: Map[String, String] = Map("operation" -> "write"),
+      recordSchema: Option[org.apache.spark.sql.types.StructType] = None): Long =
     commitWith(df, root, collectStats, extras, (_, _, _) => (), bloomCols,
       preCommit, partitionBy = partitionBy,
       recordProperties = recordProperties,
-      recordInfo = recordInfo)
+      recordInfo = recordInfo,
+      recordSchema = recordSchema)
 
   /** [[commit]] with a pre-publish hook: `finalize(fs, versionDir, v)`
     * runs after the staging dir is renamed into place but BEFORE the

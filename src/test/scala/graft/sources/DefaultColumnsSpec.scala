@@ -50,6 +50,35 @@ class DefaultColumnsSpec extends SparkSpec {
     assert(cur >= 3L)
   }
 
+  test("parser edges: comparison/commas in defaults, COMMENT interplay, " +
+      "column references refused, overwrite keeps the contract") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq((1L, "a")).toDF("id", "x"), root)
+    // comparison operators and commas inside the DEFAULT expression; a
+    // MAP type with angle brackets beside it; COMMENT after the default
+    GraftSql.execute(spark,
+      s"ALTER TABLE '$root' ADD COLUMNS (" +
+        "f INT DEFAULT IF(1 > 0, 5, 6) COMMENT 'five when positive', " +
+        "tags MAP<STRING, INT>, " +
+        "w STRING DEFAULT 'has DEFAULT 9 inside')")
+    val got = VersionedTable.read(spark, root).head
+    assert(got.getInt(2) == 5)
+    assert(got.getString(4) == "has DEFAULT 9 inside")
+    // a column-referencing default is refused at DDL time, loudly
+    val e = intercept[IllegalArgumentException](GraftSql.execute(spark,
+      s"ALTER TABLE '$root' ADD COLUMN n INT DEFAULT id + 1"))
+    assert(e.getMessage.contains("DEFAULT"), e.getMessage)
+    // INSERT OVERWRITE re-records the TABLE schema: the default
+    // contract survives the projection that strips field metadata
+    GraftSql.execute(spark,
+      s"INSERT OVERWRITE `$root` (id, x) VALUES (9, 'z')")
+    GraftSql.execute(spark, s"INSERT INTO `$root` (id, x) VALUES (10, 'y')")
+    val after = VersionedTable.read(spark, root).orderBy("id").collect()
+    assert(after.map(r => (r.getLong(0), r.getInt(2))).toSeq ==
+      Seq((9L, 5), (10L, 5)),
+      "INSERT OVERWRITE erased the default contract")
+  }
+
   test("defaults survive compaction and constraints; bad DEFAULT refused at DDL") {
     val root = freshRoot()
     VersionedTable.commit(
