@@ -385,11 +385,12 @@ object GraftSql {
     * DEFAULT 'none'`. The default is recorded as Spark's NATIVE
     * schema-metadata keys — `EXISTS_DEFAULT` (the constant-folded
     * literal, filled by the parquet reader for files that predate the
-    * column, i.e. the backfill) and `CURRENT_DEFAULT` (the original
-    * expression text, filled by INSERT for unnamed columns). The
-    * expression must fold to a constant castable to the column type —
-    * validated HERE, once, with a loud error; a non-constant default
-    * would give every read a different answer. Commas inside
+    * column, i.e. the backfill) and `CURRENT_DEFAULT` (filled by INSERT
+    * for unnamed columns) — BOTH recorded as the constant-folded
+    * literal, frozen at DDL time, so the backfill and every later
+    * stored default agree by construction. The expression must fold to
+    * a constant castable to the column type with no columns in scope —
+    * validated HERE, once, with a loud error. Commas inside
     * DECIMAL(p,s)/ARRAY<...>/quotes are respected by a depth-aware
     * split, not a regex. */
   private[plans] def parseAddColumnsDdl(
@@ -405,10 +406,11 @@ object GraftSql {
     val items = scala.collection.mutable.ArrayBuffer[Item]()
     val s = ddl
     var i = 0; var start = 0; var parens = 0; var angles = 0; var inQ = false
+    var inBt = false     // inside a backtick-quoted identifier
     var defaultAt = -1   // index of the DEFAULT keyword in the current item
     var exprEnd = -1     // end of the default expression (a COMMENT follows)
     def kw(word: String): Boolean =
-      !inQ && parens == 0 && angles == 0 &&
+      !inQ && !inBt && parens == 0 && angles == 0 &&
         s.regionMatches(true, i, word, 0, word.length) &&
         (i == 0 || s(i - 1).isWhitespace) &&
         (i + word.length >= s.length || s(i + word.length).isWhitespace)
@@ -431,7 +433,11 @@ object GraftSql {
           if (i + 1 < s.length && s(i + 1) == '\'') i += 1 // '' escape
           else inQ = false
         }
+      } else if (inBt) {
+        if (c == '`') inBt = false // `` escape needs no special case:
+                                   // it closes and reopens, same net state
       } else if (c == '\'') inQ = true
+      else if (c == '`') inBt = true
       else if (c == '(') parens += 1
       else if (c == ')') parens -= 1
       else if (c == '<' && defaultAt < 0) angles += 1
@@ -442,6 +448,10 @@ object GraftSql {
       i += 1
     }
     flush(s.length)
+    items.foreach { it =>
+      require(it.colDdl.nonEmpty || it.dflt.isEmpty,
+        s"DEFAULT without a column definition in ADD COLUMNS: $ddl")
+    }
     StructType(items.filter(_.colDdl.nonEmpty).toSeq.flatMap {
       case Item(colDdl, None) => StructType.fromDDL(colDdl).toSeq
       case Item(colDdl, Some(dflt)) =>
@@ -903,18 +913,18 @@ object GraftSql {
               .withColumn("_change_type", lit("delete"))
               .unionByName(aligned.withColumn("_change_type", lit("insert")),
                 allowMissingColumns = true)
-            // re-record the TABLE's schema, not the aligned frame's: the
-            // projection strips field metadata, and a plain commit would
-            // silently erase column defaults (EXISTS_DEFAULT et al.) —
-            // INSERT OVERWRITE replaces DATA, never the schema contract
+            // the schema CONTRACT (column defaults et al.) survives this
+            // data-only rewrite via commitWith's metadata-merge fallback;
+            // nullability stays the written frame's (re-asserting the
+            // recorded non-null flags over data storeCast lets through
+            // null-as-null would record a lie)
             try out = Some(VersionedTable.commit(aligned, root,
               extras = Map("changes" -> VersionedTable.feedWritable(feed)),
               preCommit = _ => {
                 val now = VersionedTable.currentVersion(spark, root)
                 if (now != Some(base))
                   throw new Sinks.ConcurrentWriteException(root, Some(base), now)
-              },
-              recordSchema = Some(target)))
+              }))
             catch {
               case _: Sinks.ConcurrentWriteException if attempt < maxAttempts =>
                 Sinks.backoff(attempt)
@@ -1497,11 +1507,10 @@ object GraftSql {
             extras = Map("changes" -> feed) ++ extraTables, preCommit = occCheck)
           case None => VersionedTable.commit(
             survivors.unionByName(inserts), root,
-            extras = Map("changes" -> feed) ++ extraTables, preCommit = occCheck,
-            // the fate-fold projection strips field metadata — re-record
-            // the table's schema so column defaults survive a full-rewrite
-            // merge exactly as they do the COW road (recordSchema there)
-            recordSchema = Some(tSchema))
+            // column defaults survive via commitWith's metadata-merge
+            // fallback; nullability stays the frame's (a not-matched
+            // INSERT null-fills unassigned columns by design)
+            extras = Map("changes" -> feed) ++ extraTables, preCommit = occCheck)
         })
       catch {
         case _: Sinks.ConcurrentWriteException if attempt < maxAttempts =>

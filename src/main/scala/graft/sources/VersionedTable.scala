@@ -478,7 +478,31 @@ object VersionedTable {
     // schema-in-the-log idea): readers apply it explicitly (by-name, so a
     // manifest spanning an evolution still reads as one frame) and the
     // COW/append paths validate against it instead of trusting the caller
-    val schemaJson = recordSchema.getOrElse(df0.schema).json
+    // A DATA commit never drops the schema CONTRACT: when no explicit
+    // schema is recorded, each field lacking metadata inherits the
+    // current schema's same-name field metadata (column defaults, the
+    // populate marker) — projections strip StructField metadata, so
+    // without this every full-rewrite writer (INSERT OVERWRITE, the
+    // full-rewrite MERGE, the streaming upsert) would silently erase
+    // EXISTS_DEFAULT et al. The invariant lives HERE, once, not in N
+    // call sites' memories. Names and types stay the frame's (the full
+    // rewrite may re-birth them); only metadata carries. A caller that
+    // truly wants to drop metadata records an explicit schema.
+    val schemaToRecord = recordSchema.getOrElse {
+      currentVersion(spark, root).map(cv => schemaOf(spark, root, cv)) match {
+        case None => df0.schema
+        case Some(prior) => org.apache.spark.sql.types.StructType(
+          df0.schema.map { fld =>
+            if (fld.metadata != org.apache.spark.sql.types.Metadata.empty) fld
+            else prior.find(_.name.equalsIgnoreCase(fld.name))
+              .filter(_.metadata !=
+                org.apache.spark.sql.types.Metadata.empty)
+              .map(pf => fld.copy(metadata = pf.metadata))
+              .getOrElse(fld)
+          })
+      }
+    }
+    val schemaJson = schemaToRecord.json
     val sOut = f.create(new Path(new Path(staging, "_schema"), "schema.json"), true)
     try sOut.write(schemaJson.getBytes("UTF-8")) finally sOut.close()
     // (1c') the logical→physical column mapping + retired birth names
@@ -549,8 +573,7 @@ object VersionedTable {
         Some("widened-types") else None,
       // a reader IGNORING the default metadata would serve null where
       // the table's contract says the default — silently wrong values
-      if (recordSchema.getOrElse(df0.schema)
-            .exists(_.metadata.contains("EXISTS_DEFAULT")))
+      if (schemaToRecord.exists(_.metadata.contains("EXISTS_DEFAULT")))
         Some("default-columns") else None
     ).flatten
     if (readerFeats.nonEmpty)

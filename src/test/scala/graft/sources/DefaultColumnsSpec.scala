@@ -79,6 +79,34 @@ class DefaultColumnsSpec extends SparkSpec {
       "INSERT OVERWRITE erased the default contract")
   }
 
+  test("every full-rewrite road inherits the contract; DDL edges loud") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "x"), root)
+    GraftSql.execute(spark,
+      s"ALTER TABLE '$root' ADD COLUMN p INT DEFAULT 11")
+    // a PLAIN full-rewrite commit (no recordSchema — the streaming
+    // upsert / merge-evolve shape) through a metadata-stripping
+    // projection: the defaults metadata carries via the commit's
+    // metadata-merge fallback
+    val rewritten = VersionedTable.read(spark, root)
+      .select(col("id"), concat(col("x"), lit("!")).as("x"), col("p"))
+    VersionedTable.commit(rewritten, root)
+    GraftSql.execute(spark, s"INSERT INTO `$root` (id, x) VALUES (3, 'c')")
+    val got = VersionedTable.read(spark, root).orderBy("id").collect()
+    assert(got.map(r => (r.getLong(0), r.getInt(2))).toSeq ==
+      Seq((1L, 11), (2L, 11), (3L, 11)),
+      "full rewrite erased the default contract")
+    // backtick-quoted names containing the word DEFAULT parse; a
+    // DEFAULT with no column definition is refused loudly
+    GraftSql.execute(spark,
+      s"ALTER TABLE '$root' ADD COLUMNS (`the default one` STRING)")
+    assert(VersionedTable.read(spark, root).columns
+      .contains("the default one"))
+    val e = intercept[IllegalArgumentException](GraftSql.execute(spark,
+      s"ALTER TABLE '$root' ADD COLUMNS (q INT, DEFAULT 5)"))
+    assert(e.getMessage.contains("DEFAULT without a column"), e.getMessage)
+  }
+
   test("defaults survive compaction and constraints; bad DEFAULT refused at DDL") {
     val root = freshRoot()
     VersionedTable.commit(
