@@ -507,18 +507,25 @@ case class HivePartValue(child: Expression, name: String)
       s"$prettyName needs string, got ${t.catalogString}")
   }
 
-  @transient private var lastPath: UTF8String = _
-  @transient private var lastRes: UTF8String = _
-  @transient private var primed: Boolean = false
+  // Spark deserializes a fresh expression tree per task, so this memo is
+  // normally single-threaded; the (path, result) pair is still published
+  // as ONE volatile tuple write so that even a shared instance can never
+  // serve a torn pair (another file's path with this file's value) — the
+  // worst case under contention is a redundant recompute, never a wrong
+  // value. The codegen road needs no such care: generated classes are
+  // per-task by construction.
+  @transient @volatile
+  private var memo: (UTF8String, UTF8String) = _
 
   override protected def nullSafeEval(input: Any): Any = {
     val p = input.asInstanceOf[UTF8String]
-    if (!primed || !p.equals(lastPath)) {
-      lastPath = p.clone()
-      lastRes = HivePartValue.extract(p, name)
-      primed = true
+    val m = memo
+    if (m != null && p.equals(m._1)) m._2
+    else {
+      val res = HivePartValue.extract(p, name)
+      memo = (p.clone(), res)
+      res
     }
-    lastRes
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {

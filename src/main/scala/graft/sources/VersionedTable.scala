@@ -178,6 +178,13 @@ object VersionedTable {
     * URL-encoded, which renders a literal `!` as `%21`. */
   private val CkptBytesTag = "!b"
 
+  /** Checkpoint format marker, first field of the header line. Bumped to
+    * "2" when the snapshot-bytes lines shipped: a reader from before them
+    * parses the whole file as `app\tbatch` txn lines, so the marker makes
+    * it fail fast (header `2\t<v>` is not a Long) and take the safe
+    * full-log-scan fallback rather than pollute its idempotence map. */
+  private val CkptFormatV = "2"
+
   /** The current checkpoint, or None when none was ever written (pre-
     * checkpoint tables) or the file is unreadable — callers fall back to
     * the full log scan, so a lost checkpoint costs time, never
@@ -202,7 +209,16 @@ object VersionedTable {
           val a = l.split('\t')
           a(1).toLong -> a(2).toLong
         }.toMap
-        Some(Checkpoint(lines.head.toLong, txns, bytes))
+        // header: `2\t<version>` since the bytes lines shipped (the format
+        // marker makes a pre-bytes reader FAIL the header's toLong and fall
+        // back to the full log scan, instead of mis-parsing `!b` lines as a
+        // txn app literally named "!b"); a bare `<version>` header is the
+        // original vintage and still accepted
+        val head = lines.head.split('\t')
+        val version =
+          if (head.length >= 2 && head(0) == CkptFormatV) head(1).toLong
+          else lines.head.toLong
+        Some(Checkpoint(version, txns, bytes))
       } catch { case _: Exception => None }
   }
 
@@ -246,17 +262,24 @@ object VersionedTable {
         // bytes FOREVER (checkpoint-first readers never recompute a
         // covered version); an uncovered version instead answers through
         // the live fileSizes road, which heals when the store does.
-        val bytes = gap.sorted
+        val bytes0 = gap.sorted
           .foldLeft(prev.map(_.bytes).getOrElse(Map.empty[Long, Long])) { (m, vv) =>
             completeSnapshotBytes(spark, root, vv) match {
               case Some(b) => m.updated(vv, b)
               case None => m
             }
           }
+        // prune entries for versions vacuum has dropped: no consumer sizes
+        // a version that's gone from the log (history/maintenance iterate
+        // live versions only), and without the prune the map grows one
+        // line per commit FOREVER instead of per retained version
+        val gone = vacuumedVersions(spark, root)
+        val bytes = if (gone.isEmpty) bytes0
+                    else bytes0.filter { case (vv, _) => !gone.contains(vv) }
         f.mkdirs(checkpointDir(root))
         val tmp = new Path(checkpointDir(root),
           "ckpt." + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
-        val body = (Seq(v.toString) ++
+        val body = (Seq(CkptFormatV + "\t" + v) ++
           txns.toSeq.sortBy(_._1).map { case (a, b) =>
             java.net.URLEncoder.encode(a, "UTF-8") + "\t" + b
           } ++
@@ -1313,12 +1336,24 @@ object VersionedTable {
     // Zone-sensitive generators derive ONLY under the recorded birth
     // zone ([[zoneSafeGens]]) — a mismatched session falls back to the
     // row road rather than dropping the wrong partitions.
+    // each conjunct carries BOTH forms when a replacement exists — the
+    // generated form decides when the generated column is the partition
+    // column (the common layout), the original when the BASE itself is
+    // (or the generated column isn't in the spec at all). They are
+    // provably equivalent, so whichever decides for a file is the truth;
+    // substituting unconditionally used to demote the latter layouts to
+    // a COW rewrite (original conjunct discarded → undecidable).
     val gens = zoneSafeGens(spark, propertiesOf(spark, root, cur), types)
-    val conjs =
-      if (gens.isEmpty) conjs0
+    val conjCands: Seq[Seq[org.apache.spark.sql.catalyst.expressions.Expression]] =
+      if (gens.isEmpty) conjs0.map(Seq(_))
       else {
         val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
-        conjs0.map(c => GeneratedCols.replacementFor(c, gens, zone).getOrElse(c))
+        conjs0.map { c =>
+          GeneratedCols.replacementFor(c, gens, zone) match {
+            case Some(r) => Seq(r, c)
+            case None => Seq(c)
+          }
+        }
       }
     val reverse = columnMapping(spark, root, cur).map(_.swap)
     val bareCols = partitionColumnsOf(spark, root, cur).toSet
@@ -1332,7 +1367,9 @@ object VersionedTable {
               types.get(c).flatMap(dt => canonPartValue(dt, s)).map(kv => c -> Some(kv))
           }
         }
-      val per = conjs.map(c => evalPartitionConjunct(c, tuple))
+      val per = conjCands.map(cands =>
+        cands.iterator.map(c => evalPartitionConjunct(c, tuple))
+          .collectFirst { case Some(d) => d })
       if (per.contains(None)) None else Some(per.forall(_.contains(true)))
     }
     if (decisions.contains(None)) None
@@ -3955,6 +3992,15 @@ object VersionedTable {
           s"$k is fixed at table birth (commit(recordProperties=...)); " +
             "it cannot be changed through setProperties")
       }
+      // the zone pin governs which timestamp-base generators are derivable
+      // and which populated values are trusted; it does NOT share the
+      // generatedCol.* prefix, so guard it explicitly — re-pinning a live
+      // table would let predicates prune partitions populated under a
+      // different zone
+      require(!props.contains(GeneratedCols.ZoneProp) ||
+        props.get(GeneratedCols.ZoneProp) == curProps.get(GeneratedCols.ZoneProp),
+        s"${GeneratedCols.ZoneProp} is pinned at table birth; " +
+          "it cannot be changed through setProperties")
       metadataOnlyCommit(spark, root, cur,
         recordProperties = Some(propertiesOf(spark, root, cur) ++ props),
         op = "set-properties")
@@ -3975,6 +4021,10 @@ object VersionedTable {
     require(!keys.exists(_.startsWith(GeneratedCols.Prefix)),
       "generated-column definitions are fixed at table birth; they " +
         "cannot be unset (population and derived pruning depend on them)")
+    require(!keys.contains(GeneratedCols.ZoneProp),
+      s"${GeneratedCols.ZoneProp} cannot be unset — without the birth-zone " +
+        "pin, timestamp-base generators would derive pruning predicates " +
+        "in whatever zone the reading session happens to run")
     occRetry(spark, root) { cur =>
       metadataOnlyCommit(spark, root, cur,
         recordProperties = Some(propertiesOf(spark, root, cur) -- keys),
