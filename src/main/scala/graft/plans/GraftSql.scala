@@ -1183,8 +1183,11 @@ object GraftSql {
     * feed, cardinality check — equals the full-outer form's. An
     * insert-only merge touches nothing and degrades to an O(batch)
     * append; a write-order table may touch everything and degrades to
-    * the full rewrite, correctly. NOT MATCHED BY SOURCE actions can hit
-    * rows in ANY file, so those merges take the full-rewrite road. */
+    * the full rewrite, correctly. NOT MATCHED BY SOURCE actions ride
+    * the same road when every action carries a stats-prunable
+    * condition (touched ∪= files admitting any NMBS condition); an
+    * unconditioned NMBS action can hit rows in ANY file and takes the
+    * full rewrite. */
   /** `(targetCol, sourceCol)` pairs of a conjunctive attribute-equality
     * ON clause, attributed by the two sides' aliases — empty when the
     * condition isn't equi-shaped or either side is unaliased (attribution
@@ -1313,27 +1316,75 @@ object GraftSql {
       val tSchema = readDf.schema
       // phase 1 — touched-file detection (COW-eligible merges only):
       // stats pre-pruning first (equi ON keys vs per-file min/max — the
-      // candidate set), then the exact detection join over candidates only
-      val keptRefs: Option[Seq[String]] =
-        if (m.notMatchedBySourceActions.nonEmpty) None
-        else {
-          val sDet = CommandBridge.dataFrame(spark, m.sourceTable)
-          val cand = candidateRefs(spark, root, base, m, sDet)
-          val touched: Set[String] = cand match {
-            case Some(c) if c.isEmpty => Set.empty // provably nothing matches
-            case c =>
-              val scan = VersionedTable.readVersionWithFileRef(
-                spark, root, base, "__t_file", c.map(_.toSeq.sorted))
-              val tScanPlan = m.targetTable.transform {
-                case _: UnresolvedRelation => scan.queryExecution.analyzed
-              }
-              CommandBridge.dataFrame(spark, tScanPlan)
-                .join(sDet, ColumnBridge.column(m.mergeCondition))
-                .select("__t_file").distinct()
-                .collect().map(_.getString(0)).toSet // metadata-scale: ≤ #files
+      // candidate set), then the exact detection join over candidates only.
+      //
+      // NOT MATCHED BY SOURCE joins the COW road through FILE STATS (the
+      // Delta merge's NMBS pruning): an NMBS action can hit rows in ANY
+      // file, but only rows its CONDITION admits — so when every NMBS
+      // action carries a condition over stats-covered target columns,
+      // touched = (files with an ON-matching row, from the detection
+      // join) ∪ (files whose stats admit at least one NMBS condition),
+      // and everything else rides by manifest reference: a kept file
+      // provably holds no matched row (its rows' matched fate never
+      // fires, and source rows matching only kept files can't exist, so
+      // the insert branch stays exact) and no NMBS-admissible row (its
+      // rows' NMBS fate is provably keep). The common sweep-delete
+      // (`WHEN NOT MATCHED BY SOURCE AND t.ds < X THEN DELETE`) then
+      // rewrites the stale slice, not 100 TB. An UNCONDITIONED action
+      // (or a condition that doesn't resolve against the target alone)
+      // keeps the full-rewrite road, correctly.
+      val nmbsTouched: Option[Set[String]] =
+        if (m.notMatchedBySourceActions.isEmpty) Some(Set.empty)
+        else if (m.notMatchedBySourceActions.exists(_.condition.isEmpty)) None
+        else scala.util.Try {
+          // strip the target alias so the per-action condition resolves
+          // against the bare snapshot frame inside prunedFiles (NMBS
+          // conditions reference the target only, per the SQL rule the
+          // analyzer enforces later); evaluated PER ACTION because the
+          // stats pruner decides conjuncts — an OR across actions would
+          // be one undecidable conjunct and prune nothing
+          val ta = aliasOf(m.targetTable).map(_.toLowerCase)
+          def deQualified(e: Expression): Expression = e.transform {
+            case a: UnresolvedAttribute if a.nameParts.size == 2 &&
+                ta.contains(a.nameParts.head.toLowerCase) =>
+              UnresolvedAttribute(a.nameParts.tail)
           }
-          Some(VersionedTable.dataFileRefs(spark, root, base)
-            .filterNot(touched))
+          m.notMatchedBySourceActions.flatMap { act =>
+            VersionedTable.prunedFileRefs(spark, root, base,
+              ColumnBridge.column(deQualified(act.condition.get)))
+          }.toSet
+        }.toOption
+      val keptRefs: Option[Seq[String]] =
+        nmbsTouched match {
+          case None => None
+          case Some(nmbs) =>
+            val sDet = CommandBridge.dataFrame(spark, m.sourceTable)
+            // the detection join feeds the MATCHED fates and keeps the
+            // insert branch exact (a source row matching only an excluded
+            // file would mis-insert) — with neither branch present (the
+            // pure NMBS sweep) matched rows keep wherever they sit and
+            // the join needs none of them
+            val touched: Set[String] =
+              if (m.matchedActions.isEmpty && m.notMatchedActions.isEmpty)
+                Set.empty
+              else {
+                val cand = candidateRefs(spark, root, base, m, sDet)
+                cand match {
+                  case Some(c) if c.isEmpty => Set.empty // provably nothing matches
+                  case c =>
+                    val scan = VersionedTable.readVersionWithFileRef(
+                      spark, root, base, "__t_file", c.map(_.toSeq.sorted))
+                    val tScanPlan = m.targetTable.transform {
+                      case _: UnresolvedRelation => scan.queryExecution.analyzed
+                    }
+                    CommandBridge.dataFrame(spark, tScanPlan)
+                      .join(sDet, ColumnBridge.column(m.mergeCondition))
+                      .select("__t_file").distinct()
+                      .collect().map(_.getString(0)).toSet // metadata-scale: ≤ #files
+                }
+              }
+            Some(VersionedTable.dataFileRefs(spark, root, base)
+              .filterNot(r => touched(r) || nmbs(r)))
         }
       // phase 2 — the merge itself, over the touched slice (COW/MOR) or
       // the whole snapshot (full rewrite). Substitute the path relation

@@ -35,7 +35,8 @@ object FormatQueries {
     "q34_deep_clone"       -> ((s, d) => q34(s, d)),
     "q35_convert_partitioned" -> ((s, d) => q35(s, d)),
     "q36_generated_partition" -> ((s, d) => q36(s, d)),
-    "q37_default_columns"     -> ((s, d) => q37(s, d))
+    "q37_default_columns"     -> ((s, d) => q37(s, d)),
+    "q38_format_merge_nmbs"   -> ((s, d) => q38(s, d))
   )
 
   private def freshRoot(): String =
@@ -327,7 +328,50 @@ object FormatQueries {
     VersionedTable.read(s, root).orderBy(col("o_orderkey"))
   }
 
+  /** q38: MERGE `NOT MATCHED BY SOURCE` on the touched-file COW road
+    * (Delta's NMBS stats pruning, `plans/GraftSql.scala`): a
+    * date-clustered table takes the operational sweep merge — matched
+    * rows refresh from the feed, pre-1993 rows absent from the feed
+    * sweep out, 1998+ absentees get flagged — and only files the ON
+    * match or an NMBS condition can reach are rewritten; the 1993–1997
+    * middle rides by manifest reference (CowMergeSpec proves the
+    * manifest shape; this key proves the ANSWER). The oracle restates
+    * the three fates relationally — matched rows are 1995-dated, so
+    * the NMBS fates never overlap them. */
+  def q38(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot()
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"))
+    VersionedTable.commit(
+      orders.repartitionByRange(8, col("o_orderdate")), root)
+    orders.where(col("o_orderkey") % 2 === 0 &&
+        col("o_orderdate") >= lit("1995-01-01").cast("date") &&
+        col("o_orderdate") < lit("1996-01-01").cast("date"))
+      .withColumn("o_orderstatus", lit("M"))
+      .createOrReplaceTempView("q38_src")
+    GraftSql.execute(s,
+      s"""MERGE INTO `$root` AS t USING q38_src AS s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET o_orderstatus = s.o_orderstatus
+         |WHEN NOT MATCHED BY SOURCE AND t.o_orderdate < DATE '1993-01-01'
+         |  THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE AND t.o_orderdate >= DATE '1998-01-01'
+         |  THEN UPDATE SET o_orderstatus = 'S'""".stripMargin)
+    VersionedTable.read(s, root).orderBy(col("o_orderkey"))
+  }
+
   def oracles: Map[String, String] = Map(
+    "q38_format_merge_nmbs" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 2 = 0 AND o_orderdate >= DATE '1995-01-01'
+        |            AND o_orderdate < DATE '1996-01-01' THEN 'M'
+        |       WHEN o_orderdate >= DATE '1998-01-01' THEN 'S'
+        |       ELSE o_orderstatus END AS o_orderstatus,
+        |  o_totalprice, o_orderdate
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1993-01-01'
+        |ORDER BY o_orderkey""".stripMargin,
     "q37_default_columns" ->
       """WITH t AS (
         |  SELECT o_orderkey, o_orderstatus,

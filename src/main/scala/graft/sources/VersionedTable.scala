@@ -1804,6 +1804,21 @@ object VersionedTable {
     }
   }
 
+  /** [[prunedFiles]] in ROOT-RELATIVE ref space: the manifest refs of
+    * version `v` whose stats ADMIT `predicate` (may contain a satisfying
+    * row). The MERGE NOT-MATCHED-BY-SOURCE planner consumes this — its
+    * touched/kept split lives in ref space, while prunedFiles returns
+    * FileStatus path strings. */
+  def prunedFileRefs(
+      spark: SparkSession, root: String, v: Long,
+      predicate: Column): Seq[String] = {
+    val (may, _) = prunedFiles(spark, root, v, predicate)
+    val f = fs(spark, root)
+    val maySet = may.map(s => f.makeQualified(new Path(s)).toString).toSet
+    dataFileRefs(spark, root, v)
+      .filter(r => maySet(f.makeQualified(new Path(root, r)).toString))
+  }
+
   /** The file-pruning decision itself, exposed for specs and runtime
     * metrics: (files kept, total data files) for `predicate` against
     * version `v`'s footer stats. No stats → everything kept. */

@@ -126,6 +126,96 @@ class CowMergeSpec extends SparkSpec {
     assert(out.filter($"id" === 4L).collect()(0).getAs[Any]("deleted_at") == null)
   }
 
+  /** Four exact-range files over ids 1..400 via commit + 3 appends
+    * (repartitionByRange samples boundaries; appends pin them). */
+  private def seedRanged(root: String): Seq[String] = {
+    def slice(lo: Long, hi: Long) =
+      (lo to hi).map(i => (i, s"r$i", i * 10)).toDF("id", "x", "amount")
+        .coalesce(1)
+    VersionedTable.commit(slice(1, 100), root)
+    VersionedTable.commitAppend(slice(101, 200), root)
+    VersionedTable.commitAppend(slice(201, 300), root)
+    VersionedTable.commitAppend(slice(301, 400), root)
+    val v = VersionedTable.currentVersion(spark, root).get
+    val refs = VersionedTable.dataFileRefs(spark, root, v)
+    assert(refs.size == 4, s"seed expected 4 data files, got $refs")
+    refs
+  }
+
+  test("NMBS merge: stats-prunable conditions keep the COW road — " +
+    "files admitting neither an ON match nor an NMBS condition ride by reference") {
+    val root = freshRoot()
+    val baseRefs = seedRanged(root)
+    // source confined to the low-key file; NMBS delete to the top file,
+    // NMBS update to the third — the second file (ids 101..200) is
+    // provably untouched and must carry by manifest reference
+    Seq((3L, "upd", 33L), (7L, "upd", 77L)).toDF("id", "x", "amount")
+      .createOrReplaceTempView("nmbs_cow_src")
+    val v = graft.plans.GraftSql.execute(spark,
+      s"""MERGE INTO `$root` t USING nmbs_cow_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET x = s.x
+         |WHEN NOT MATCHED BY SOURCE AND t.id > 300 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE AND t.id > 200 THEN UPDATE SET x = 'swept'
+         |""".stripMargin).collect().head.getLong(2)
+    val mf = VersionedTable.manifestOf(spark, root, v).get
+    assert(mf.count(baseRefs.contains) == 1,
+      s"expected exactly the ids-101..200 file carried by reference, got: " +
+        mf.filter(baseRefs.contains).mkString(", "))
+    val got = VersionedTable.read(spark, root)
+    assert(got.count() == 300) // 400 - 100 NMBS-deleted
+    assert(got.filter($"id" === 3L).select("x").as[String].head() == "upd")
+    assert(got.filter($"id" === 150L).select("x").as[String].head() == "r150")
+    assert(got.filter($"id" === 250L).select("x").as[String].head() == "swept")
+    assert(got.filter($"id" > 300).isEmpty)
+    // the feed carries the NMBS fates like any merge
+    val feed = VersionedTable.readChanges(spark, root, v, v)
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(feed == Map("update_preimage" -> 102L, "update_postimage" -> 102L,
+      "delete" -> 100L), s"feed: $feed")
+  }
+
+  test("NMBS merge: pure sweep (no matched/insert actions) skips detection " +
+    "and touches only stats-admitting files") {
+    val root = freshRoot()
+    val baseRefs = seedRanged(root)
+    // the source's keys overlap EVERY file — with no matched or insert
+    // action the detection join is unnecessary and must not widen the
+    // rewrite beyond the one file the NMBS condition admits
+    Seq(50L, 150L, 250L, 350L).toDF("id")
+      .createOrReplaceTempView("nmbs_sweep_src")
+    val v = graft.plans.GraftSql.execute(spark,
+      s"""MERGE INTO `$root` t USING nmbs_sweep_src s ON t.id = s.id
+         |WHEN NOT MATCHED BY SOURCE AND t.id <= 100 THEN DELETE
+         |""".stripMargin).collect().head.getLong(2)
+    val mf = VersionedTable.manifestOf(spark, root, v).get
+    assert(mf.count(baseRefs.contains) == 3,
+      s"expected the three non-admitting files carried, got: " +
+        mf.filter(baseRefs.contains).mkString(", "))
+    val got = VersionedTable.read(spark, root)
+    // ids 1..100 deleted EXCEPT the source-matched 50
+    assert(got.count() == 301)
+    assert(got.filter($"id" === 50L).count() == 1)
+    assert(got.filter($"id" === 99L).isEmpty)
+  }
+
+  test("NMBS merge: an unconditioned action takes the full-rewrite road, " +
+    "same answer") {
+    val root = freshRoot()
+    seedRanged(root)
+    Seq((3L, "upd", 33L)).toDF("id", "x", "amount")
+      .createOrReplaceTempView("nmbs_full_src")
+    graft.plans.GraftSql.execute(spark,
+      s"""MERGE INTO `$root` t USING nmbs_full_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET x = s.x
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET x = 'all'
+         |""".stripMargin)
+    val got = VersionedTable.read(spark, root)
+    assert(got.count() == 400)
+    assert(got.filter($"x" === "all").count() == 399)
+    assert(got.filter($"id" === 3L).select("x").as[String].head() == "upd")
+  }
+
   test("schema evolution falls back to the full-rewrite path") {
     val root = freshRoot(); seed(root)
     val evolving = delta(Seq(3L), "OPEN").withColumn("channel", lit("web"))
