@@ -908,7 +908,7 @@ object GraftSql {
             val target = VersionedTable.tableSchema(spark, root, base)
               .getOrElse(VersionedTable.readVersion(spark, root, base).schema)
             val aligned = alignToSchema(src, target, i.userSpecifiedCols,
-              i.byName, root)
+              i.byName, root, autoPopulatedCols(spark, root, base))
             val feed = VersionedTable.readVersion(spark, root, base)
               .withColumn("_change_type", lit("delete"))
               .unionByName(aligned.withColumn("_change_type", lit("insert")),
@@ -935,7 +935,8 @@ object GraftSql {
           val target = VersionedTable.tableSchema(spark, root, v0)
             .getOrElse(VersionedTable.readVersion(spark, root, v0).schema)
           VersionedTable.commitAppend(
-            alignToSchema(src, target, i.userSpecifiedCols, i.byName, root),
+            alignToSchema(src, target, i.userSpecifiedCols, i.byName, root,
+              autoPopulatedCols(spark, root, v0)),
             root, changeFeed = true)
         }
     }
@@ -961,7 +962,8 @@ object GraftSql {
     * passes exactly when SQL says the INSERT is legal. */
   private def alignToSchema(
       src: DataFrame, target: org.apache.spark.sql.types.StructType,
-      userCols: Seq[String], byName: Boolean, root: String): DataFrame = {
+      userCols: Seq[String], byName: Boolean, root: String,
+      autoCols: Set[String] = Set.empty): DataFrame = {
     def targetField(n: String) =
       target.find(_.name.equalsIgnoreCase(n)).getOrElse(
         throw new IllegalArgumentException(
@@ -983,7 +985,13 @@ object GraftSql {
       require(dups.isEmpty,
         s"INSERT names target column(s) more than once: ${dups.mkString(", ")}")
       val have = named.toMap
-      src.select(target.map { f =>
+      // unnamed GENERATED/IDENTITY columns stay ABSENT from the
+      // projection: the commit road's population computes them (filling
+      // null here would fail enforcement / lose the allocation); a NAMED
+      // generated column passes through as an explicit value, enforced
+      val fields = target.filter(f =>
+        have.contains(f.name) || !autoCols.contains(f.name.toLowerCase))
+      src.select(fields.map { f =>
         have.getOrElse(f.name, {
           // unnamed column: its CURRENT_DEFAULT (ADD COLUMNS ... DEFAULT,
           // recorded as Spark's native schema-metadata key) fills;
@@ -998,15 +1006,40 @@ object GraftSql {
           }
         })
       }: _*)
-    } else {
-      require(src.columns.length == target.size,
-        s"INSERT by position: query produces ${src.columns.length} " +
-          s"columns, $root has ${target.size} — use a column list for " +
-          "partial inserts")
+    } else if (src.columns.length == target.size) {
       src.select(src.columns.toSeq.zip(target).map { case (sc, f) =>
         store(sc, f)
       }: _*)
+    } else {
+      // by-position against a generated/identity-carrying table: the
+      // auto-populated columns are excluded from the expected list (the
+      // Delta rule) — a raw frame inserts and the table computes the rest
+      val expected = target.filterNot(f => autoCols.contains(f.name.toLowerCase))
+      require(src.columns.length == expected.size,
+        s"INSERT by position: query produces ${src.columns.length} " +
+          s"columns, $root has ${target.size}" +
+          (if (autoCols.nonEmpty)
+            s" (${expected.size} without the auto-populated " +
+              s"${autoCols.toSeq.sorted.mkString(", ")})"
+          else "") +
+          " — use a column list for partial inserts")
+      src.select(src.columns.toSeq.zip(expected).map { case (sc, f) =>
+        store(sc, f)
+      }: _*)
     }
+  }
+
+  /** Columns the commit roads POPULATE when absent — partition
+    * generators, stored expression generators, identity columns —
+    * lowercased; [[alignToSchema]] leaves them out rather than
+    * null-filling. */
+  private def autoPopulatedCols(
+      spark: SparkSession, root: String, v: Long): Set[String] = {
+    val props = VersionedTable.propertiesOf(spark, root, v)
+    (graft.sources.GeneratedCols.of(props).keySet ++
+      graft.sources.GeneratedCols.exprsOf(props).keySet ++
+      graft.sources.GeneratedCols.identitiesOf(props).keySet)
+      .map(_.toLowerCase)
   }
 
   /** Store assignment with ANSI-like malformed-value semantics: a value

@@ -36,7 +36,8 @@ object FormatQueries {
     "q35_convert_partitioned" -> ((s, d) => q35(s, d)),
     "q36_generated_partition" -> ((s, d) => q36(s, d)),
     "q37_default_columns"     -> ((s, d) => q37(s, d)),
-    "q38_format_merge_nmbs"   -> ((s, d) => q38(s, d))
+    "q38_format_merge_nmbs"   -> ((s, d) => q38(s, d)),
+    "q39_generated_identity"  -> ((s, d) => q39(s, d))
   )
 
   private def freshRoot(): String =
@@ -361,7 +362,50 @@ object FormatQueries {
     VersionedTable.read(s, root).orderBy(col("o_orderkey"))
   }
 
+  /** q39: STORED GENERATED + IDENTITY columns (Delta's generation
+    * expressions and identity columns, `sources/GeneratedCols.scala`) —
+    * the reference's surrogate-key pattern
+    * (`dbt/models/marts/retail_transactions_scd.sql` version rows). The
+    * table births with `row_sk GENERATED BY DEFAULT AS IDENTITY
+    * (START 1000 STEP 1)` and `price_band GENERATED ALWAYS AS
+    * (floor(o_totalprice/50000))`; a birth commit and an SQL INSERT of
+    * RAW 3-column rows both auto-populate — the INSERT's by-position
+    * alignment excludes auto columns, the append road computes them,
+    * the identity high-water advances transactionally. The ids
+    * themselves are allocation-order-dependent, so the surface proves
+    * their CONTRACT instead: `sk_gap = row_sk - 999 - row_number() OVER
+    * (ORDER BY row_sk)` is all-zero IFF the ids are exactly the dense
+    * range 1000..999+n (unique, gapless, starting at START) — which the
+    * oracle restates as literal zero. price_band is deterministic and
+    * compares per row. */
+  def q39(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot()
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    VersionedTable.commit(orders.where(col("o_orderkey") % 3 === 1), root,
+      recordProperties = Some(Map(
+        "graft.identityCol.row_sk" -> "1000,1",
+        "graft.generatedExpr.price_band" ->
+          "CAST(floor(o_totalprice / 50000.0) AS INT)")))
+    orders.where(col("o_orderkey") % 3 === 2)
+      .createOrReplaceTempView("q39_src")
+    GraftSql.execute(s, s"INSERT INTO `$root` SELECT * FROM q39_src")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("row_sk"))
+    VersionedTable.read(s, root)
+      .withColumn("sk_gap",
+        col("row_sk") - lit(999L) - row_number().over(w).cast("bigint"))
+      .drop("row_sk")
+      .orderBy(col("o_orderkey"))
+  }
+
   def oracles: Map[String, String] = Map(
+    "q39_generated_identity" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  CAST(floor(o_totalprice / 50000.0) AS INT) AS price_band,
+        |  CAST(0 AS BIGINT) AS sk_gap
+        |FROM orders
+        |WHERE o_orderkey % 3 IN (1, 2)
+        |ORDER BY o_orderkey""".stripMargin,
     "q38_format_merge_nmbs" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderkey % 2 = 0 AND o_orderdate >= DATE '1995-01-01'

@@ -226,6 +226,140 @@ object GeneratedCols {
   def isPopulated(f: StructField): Boolean =
     f.metadata.contains(PopulatedKey) && f.metadata.getBoolean(PopulatedKey)
 
+  // ---- STORED GENERATED COLUMNS (expression face) --------------------------
+
+  /** Table-property prefix of a STORED generated column (Delta's
+    * `GENERATED ALWAYS AS (expr)` beyond the partition face): the suffix
+    * is the column's logical name, the value an arbitrary DETERMINISTIC
+    * Spark-SQL expression over the frame's other columns. Unlike the
+    * partition generators, these derive no pruning — they are
+    * computed-and-stored values with write-side population (frame lacks
+    * the column → compute it) and write-side enforcement (frame carries
+    * it → verified `col <=> (expr)` on the staged scan, the same
+    * constraints pass the partition generators ride). Fixed at table
+    * birth like every generator. */
+  val ExprPrefix = "graft.generatedExpr."
+
+  /** Parse every `graft.generatedExpr.*` property: column → expression
+    * text (validated to parse at population time, loudly). */
+  def exprsOf(props: Map[String, String]): Map[String, String] =
+    props.collect { case (k, v) if k.startsWith(ExprPrefix) =>
+      val col = k.stripPrefix(ExprPrefix)
+      require(col.nonEmpty, s"empty generated-column name in property $k")
+      col -> v
+    }
+
+  /** [[populate]]'s twin for expression columns: a frame lacking the
+    * column computes it — cast to the table's recorded type when given,
+    * so the stored type never drifts from the schema the table was born
+    * with — and stamps [[PopulatedKey]]; a frame carrying it is enforced
+    * by the commit's constraints pass instead. Parse errors surface with
+    * the generator named; resolution errors (a base column missing from
+    * the frame) surface through the analyzer, which names the column. */
+  def populateExprs(
+      df: org.apache.spark.sql.DataFrame,
+      exprs: Map[String, String],
+      types: Map[String, DataType] = Map.empty)
+      : org.apache.spark.sql.DataFrame =
+    exprs.toSeq.sortBy(_._1).foldLeft(df) { case (d, (c, text)) =>
+      if (d.columns.exists(_.equalsIgnoreCase(c))) d
+      else {
+        val computed0 =
+          try functions.expr(text)
+          catch {
+            case e: Exception => throw new IllegalArgumentException(
+              s"generated column $c = $text does not parse: ${e.getMessage}", e)
+          }
+        val computed = types.find(_._1.equalsIgnoreCase(c))
+          .map { case (_, t) => computed0.cast(t) }.getOrElse(computed0)
+        val meta = new MetadataBuilder()
+          .putBoolean(PopulatedKey, true).build()
+        d.withColumn(c, computed.as(c, meta))
+      }
+    }
+
+  // ---- IDENTITY COLUMNS ----------------------------------------------------
+
+  /** Table-property prefix of an IDENTITY column (Delta's `GENERATED BY
+    * DEFAULT AS IDENTITY`): the suffix is the column's logical name, the
+    * value `<start>,<step>`. A frame lacking the column gets values
+    * allocated above the recorded high-water mark; a frame carrying it
+    * keeps its explicit values (the BY DEFAULT semantics — population is
+    * presence-keyed like every generator here). */
+  val IdentityPrefix = "graft.identityCol."
+
+  /** Per-column allocation high-water mark — the LAST VALUE handed out,
+    * advanced transactionally by the commit that allocated (the Delta
+    * identity highWaterMark). Never set directly; the commit roads
+    * re-validate it inside the publish claim so two concurrent
+    * allocating writers cannot both advance from the same basis. */
+  val IdentityHighPrefix = "graft.identityHigh."
+
+  final case class Identity(col: String, start: Long, step: Long) {
+    require(step != 0L, s"identity column $col needs a non-zero step")
+    def highProp: String = IdentityHighPrefix + col
+  }
+
+  /** Parse every `graft.identityCol.*` property. An unparseable value
+    * fails loudly — silently ignoring it would commit null ids. */
+  def identitiesOf(props: Map[String, String]): Map[String, Identity] =
+    props.collect { case (k, v) if k.startsWith(IdentityPrefix) =>
+      val col = k.stripPrefix(IdentityPrefix)
+      require(col.nonEmpty, s"empty identity-column name in property $k")
+      val parts = v.split(',').map(_.trim)
+      require(parts.length == 2 && parts.forall(_.toLongOption.isDefined),
+        s"identity property $k must be '<start>,<step>', got '$v'")
+      col -> Identity(col, parts(0).toLong, parts(1).toLong)
+    }
+
+  /** DENSE identity allocation over a staged batch: rows take
+    * `last + step, last + 2·step, …` in batch order, where `last` is the
+    * recorded high-water (or `start - step` for the first allocation).
+    * One `zipWithIndex` pass serves every missing identity column — an
+    * extra O(batch) counting job, never O(table), and the ids come out
+    * unique, monotone in commit order, and dense; gaps appear only when
+    * a commit aborts after allocating, which the identity contract
+    * permits. Returns the populated frame and, per populated column,
+    * (recorded basis raw value, new high) — the commit records the
+    * advance in the SAME version and re-validates the basis inside its
+    * publish claim, so concurrent allocators serialize through the
+    * store's linearization point instead of colliding.
+    *
+    * The batch is evaluated twice (count + assignment), the standard
+    * Spark zip contract: the frame must recompute deterministically, as
+    * every staged write here already assumes. */
+  def populateIdentity(
+      df: org.apache.spark.sql.DataFrame,
+      idents: Map[String, Identity],
+      props: Map[String, String])
+      : (org.apache.spark.sql.DataFrame, Map[String, (Option[String], Long)]) = {
+    val missing = idents.values
+      .filter(i => !df.columns.exists(_.equalsIgnoreCase(i.col)))
+      .toSeq.sortBy(_.col)
+    if (missing.isEmpty) return (df, Map.empty)
+    val spark = df.sparkSession
+    val n = df.count()
+    val basisLast: Seq[(Identity, Option[String], Long)] = missing.map { i =>
+      val basis = props.get(i.highProp)
+      val last = basis.flatMap(_.toLongOption).getOrElse(i.start - i.step)
+      (i, basis, last)
+    }
+    val meta = new MetadataBuilder().putBoolean(PopulatedKey, true).build()
+    val outSchema = StructType(df.schema.fields ++ basisLast.map { case (i, _, _) =>
+      StructField(i.col, LongType, nullable = false, metadata = meta)
+    })
+    val lastStep = basisLast.map { case (i, _, last) => (last, i.step) }
+    val rdd = df.rdd.zipWithIndex().map { case (r, idx) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq ++
+        lastStep.map { case (last, step) => last + step * (idx + 1) })
+    }
+    val out = spark.createDataFrame(rdd, outSchema)
+    val advances = basisLast.map { case (i, basis, last) =>
+      i.col -> (basis, last + i.step * n)
+    }.toMap
+    (out, advances)
+  }
+
   private def attrOf(e: Expression): Option[String] = TableStats.attrName(e)
 
   private def genAttr(name: String, g: Generator): Expression =

@@ -378,9 +378,39 @@ object VersionedTable {
     // column is enforced against the generator below (the constraints
     // pass) instead of trusted.
     val gens = GeneratedCols.of(carriedProps)
-    val df0 = GeneratedCols.populate(df, gens,
+    val df0g = GeneratedCols.populate(df, gens,
       bornZone = carriedProps.get(GeneratedCols.ZoneProp),
       sessionZone = spark.sessionState.conf.sessionLocalTimeZone)
+    // STORED generated expression columns + IDENTITY columns ride the
+    // same funnel: population keyed on absence (a carried column is
+    // enforced below / trusted, respectively), expression results cast
+    // to the RECORDED type so the stored type never drifts, identity
+    // values allocated densely above the recorded high-water with the
+    // advance recorded in THIS commit and the basis RE-VALIDATED inside
+    // the publish claim (idCheck chains into every preCommit run, which
+    // the publish loop re-executes after each lost race) — two
+    // concurrent allocators serialize through the store's linearization
+    // point; the loser surfaces ConcurrentWriteException, which the
+    // append/COW retry loops absorb and a bare commit() surfaces.
+    val exprGens = GeneratedCols.exprsOf(carriedProps)
+    val exprTypes: Map[String, org.apache.spark.sql.types.DataType] =
+      recordSchema
+        .orElse(currentVersion(spark, root).flatMap(cv =>
+          scala.util.Try(schemaOf(spark, root, cv)).toOption))
+        .map(_.map(sf => sf.name -> sf.dataType).toMap).getOrElse(Map.empty)
+    val df0e = GeneratedCols.populateExprs(df0g, exprGens, exprTypes)
+    val (df0, idAdvances) = GeneratedCols.populateIdentity(df0e,
+      GeneratedCols.identitiesOf(carriedProps), carriedProps)
+    val idCheck: Long => Unit =
+      if (idAdvances.isEmpty) _ => ()
+      else _ => currentVersion(spark, root).foreach { nowV =>
+        val nowProps = propertiesOf(spark, root, nowV)
+        idAdvances.foreach { case (c, (basis, _)) =>
+          if (nowProps.get(GeneratedCols.IdentityHighPrefix + c) != basis)
+            throw new Sinks.ConcurrentWriteException(root, None, Some(nowV))
+        }
+      }
+    val preCommitId: Long => Unit = w => { idCheck(w); preCommit(w) }
     // caller-provided = present WITHOUT the populate marker: a column
     // this library computed (here or on the append road) is correct by
     // construction and skips the enforcement scan; a column the caller
@@ -420,8 +450,13 @@ object VersionedTable {
         else carriedProps.updated(PartitionByProp, partSpec.mkString(","))
       // birth of a generator-carrying table: pin the session zone it was
       // populated under (see the ZONE PIN require above)
-      if (gens.isEmpty || p0.contains(GeneratedCols.ZoneProp)) p0
-      else p0.updated(GeneratedCols.ZoneProp, sessionZone)
+      val p1 =
+        if (gens.isEmpty || p0.contains(GeneratedCols.ZoneProp)) p0
+        else p0.updated(GeneratedCols.ZoneProp, sessionZone)
+      // identity advance rides the SAME version as the allocated values
+      p1 ++ idAdvances.map { case (c, (_, newHigh)) =>
+        (GeneratedCols.IdentityHighPrefix + c) -> newHigh.toString
+      }
     }
     f.mkdirs(commitDir(root))
     f.mkdirs(claimDir(root))
@@ -561,7 +596,16 @@ object VersionedTable {
       case (c, g) if callerProvidedGen(c) =>
         (s"__generated_$c", s"`$c` <=> ${g.text}")
     }
-    val checksToEnforce = constraintsToRecord ++ genChecks
+    // stored expression columns enforce the same way: a caller-provided
+    // value must agree with the generator row for row (null-safe) —
+    // populated columns are correct by construction and skip
+    val exprChecks: Map[String, String] = exprGens.collect {
+      case (c, text) if df0.schema.find(_.name.equalsIgnoreCase(c))
+          .exists(sf => !GeneratedCols.isPopulated(sf)) =>
+        (s"__generated_$c", s"`$c` <=> (CAST(($text) AS " +
+          df0.schema.find(_.name.equalsIgnoreCase(c)).get.dataType.sql + "))")
+    }
+    val checksToEnforce = constraintsToRecord ++ genChecks ++ exprChecks
     if (checksToEnforce.nonEmpty && dataFiles(f, staging).nonEmpty)
       // staged files carry physical names; constraints speak logical —
       // read physical, rename back before evaluating
@@ -599,11 +643,23 @@ object VersionedTable {
       if (schemaToRecord.exists(_.metadata.contains("EXISTS_DEFAULT")))
         Some("default-columns") else None
     ).flatten
-    if (readerFeats.nonEmpty)
+    // WRITER-ONLY features: stored values read as plain columns, but a
+    // metadata-ignorant writer would append rows violating the
+    // generation/identity contract — gate the write side only, as Delta
+    // does for generatedColumns/identityColumns
+    val writerOnlyFeats = Set(
+      if (propsToRecord.keys.exists(k => k.startsWith(GeneratedCols.Prefix) ||
+          k.startsWith(GeneratedCols.ExprPrefix)))
+        Some("generated-columns") else None,
+      if (propsToRecord.keys.exists(_.startsWith(GeneratedCols.IdentityPrefix)))
+        Some("identity-columns") else None
+    ).flatten
+    if (readerFeats.nonEmpty || writerOnlyFeats.nonEmpty)
       writeProps(f, new Path(new Path(staging, "_protocol"),
         "features.properties"),
         Map("reader" -> readerFeats.toSeq.sorted.mkString(","),
-            "writer" -> readerFeats.toSeq.sorted.mkString(",")))
+            "writer" -> (readerFeats ++ writerOnlyFeats).toSeq.sorted
+              .mkString(",")))
     // (1f) COMMIT INFO: what operation produced this version (Delta's
     // commitInfo action). Informational for history, LOAD-BEARING for
     // concurrency: `blindAppend=true` is the stamp [[AppendRebase]]
@@ -637,7 +693,7 @@ object VersionedTable {
     // (2b) caller's pre-publish validation, run while holding the claim:
     // a throw aborts the commit — remove the staging data, keep the claim
     // (later writers skip claimed-but-unpublished numbers by protocol)
-    try preCommit(v)
+    try preCommitId(v)
     catch { case e: Throwable => f.delete(staging, true); throw e }
     // (3) move staging into place — we own v, so the dir is free modulo
     // garbage from a writer that crashed after claiming this very number.
@@ -695,7 +751,7 @@ object VersionedTable {
       // merge published with no re-check: a cross-process lost update,
       // caught as a rare StoreAdapterSpec flake.)
       var n = currentVersion(spark, root).getOrElse(0L) + 1
-      try preCommit(v)
+      try preCommitId(v)
       catch { case e: Throwable => f.delete(dir, true); throw e }
       var won = -1L
       var spins = 0
@@ -718,7 +774,7 @@ object VersionedTable {
           // (the entry-time assertWritable saw the pre-race state only).
           val cvNow = currentVersion(spark, root)
           val next = math.max(n + 1, cvNow.getOrElse(n) + 1)
-          try preCommit(next)
+          try preCommitId(next)
           catch { case e: Throwable => f.delete(dir, true); throw e }
           try cvNow.foreach(assertWritable(spark, root, _))
           catch { case e: Throwable => f.delete(dir, true); throw e }
@@ -862,8 +918,11 @@ object VersionedTable {
   /** Features THIS build can write against. Writing to a table whose
     * current version requires an unknown feature could break that
     * feature's invariants (e.g. appending without maintaining a future
-    * index structure). */
-  val SupportedWriterFeatures: Set[String] = SupportedReaderFeatures
+    * index structure). Generated/identity columns are WRITER-ONLY: the
+    * stored values read as plain columns, but an ignorant writer would
+    * append rows violating the generation contract. */
+  val SupportedWriterFeatures: Set[String] =
+    SupportedReaderFeatures ++ Set("generated-columns", "identity-columns")
 
   /** A version requires features outside what this build supports. */
   final case class ProtocolException(
@@ -2062,7 +2121,8 @@ object VersionedTable {
       bloomCols: Seq[String] = Nil,
       preCommit: Long => Unit = _ => (),
       rebase: Option[AppendRebase] = None,
-      recordInfo: Map[String, String] = Map.empty): Long = {
+      recordInfo: Map[String, String] = Map.empty,
+      recordProperties: Option[Map[String, String]] = None): Long = {
     val spark = newData.sparkSession
     val cur = currentVersion(spark, root).getOrElse(
       throw new java.io.IOException(
@@ -2073,14 +2133,40 @@ object VersionedTable {
     // carrying the column passes through. strict=false: a missing BASE
     // falls through to the schema gate, whose error names the drift.
     val curProps0 = propertiesOf(spark, root, cur)
-    val newData0 = GeneratedCols.populate(newData,
+    val curSchema = schemaOf(spark, root, cur)
+    val newDataG = GeneratedCols.populate(newData,
       GeneratedCols.of(curProps0), strict = false,
       bornZone = curProps0.get(GeneratedCols.ZoneProp),
       sessionZone = spark.sessionState.conf.sessionLocalTimeZone)
+    // stored expression columns + identity allocation on the COW/append
+    // family too (population keyed on absence — a frame carrying the
+    // columns passes through to commitWith's enforcement); the identity
+    // basis re-validates inside the claim and the advance rides the same
+    // commit, as on the full road. commitCow runs inside its callers'
+    // OCC retry loops, so the conflict re-populates against fresh state.
+    val newDataE = GeneratedCols.populateExprs(newDataG,
+      GeneratedCols.exprsOf(curProps0),
+      curSchema.map(sf => sf.name -> sf.dataType).toMap)
+    val (newData0, idAdvances) = GeneratedCols.populateIdentity(newDataE,
+      GeneratedCols.identitiesOf(curProps0), curProps0)
+    val idCheck: Long => Unit =
+      if (idAdvances.isEmpty) _ => ()
+      else _ => currentVersion(spark, root).foreach { nowV =>
+        val nowProps = propertiesOf(spark, root, nowV)
+        idAdvances.foreach { case (c, (basis, _)) =>
+          if (nowProps.get(GeneratedCols.IdentityHighPrefix + c) != basis)
+            throw new Sinks.ConcurrentWriteException(root, Some(cur), Some(nowV))
+        }
+      }
+    val propsWithAdvance =
+      if (idAdvances.isEmpty) recordProperties
+      else Some(recordProperties.getOrElse(curProps0) ++
+        idAdvances.map { case (c, (_, newHigh)) =>
+          (GeneratedCols.IdentityHighPrefix + c) -> newHigh.toString
+        })
     // schema gate: name→type equality (order-insensitive — read resolves
     // by name; nullability not compared — reading non-null data through a
     // nullable schema is always sound)
-    val curSchema = schemaOf(spark, root, cur)
     val curMap = curSchema.map(sf => sf.name -> sf.dataType).toMap
     val newMap = newData0.schema.map(sf => sf.name -> sf.dataType).toMap
     if (curMap != newMap)
@@ -2088,8 +2174,9 @@ object VersionedTable {
     // record the CURRENT schema (canonical order + evolve's nullability
     // marks), not newData's incidental one
     commitCowInternal(newData0, root, cur, keptFiles, extras, bloomCols,
-      preCommit, recordSchema = Some(curSchema), rebase = rebase,
-      recordInfo = recordInfo)
+      preCommit = w => { idCheck(w); preCommit(w) },
+      recordSchema = Some(curSchema), rebase = rebase,
+      recordInfo = recordInfo, recordProperties = propsWithAdvance)
   }
 
   /** Thrown by [[commitCow]]/[[commitAppend]] when the incoming frame's
@@ -2837,13 +2924,6 @@ object VersionedTable {
       GeneratedCols.of(appendProps), strict = false,
       bornZone = appendProps.get(GeneratedCols.ZoneProp),
       sessionZone = spark.sessionState.conf.sessionLocalTimeZone)
-    // opt-in insert feed (O(batch), but a second write of the batch —
-    // index-table appends don't want it; CDC-consumed tables do). A
-    // caller-supplied "changes" extra always wins.
-    val withFeed =
-      if (!changeFeed || extras.contains("changes")) extras
-      else extras.updated("changes", feedWritable(newData1.withColumn(
-        "_change_type", org.apache.spark.sql.functions.lit("insert"))))
     // a caller-supplied "dv" extra masks rows of EXISTING files by
     // (file, pos); the masked tails anchor both the conflict interest
     // set and the per-attempt dangling-mask gate below. One collect,
@@ -2854,6 +2934,40 @@ object VersionedTable {
       case None => Set.empty
     }
     occRetry(spark, root) { cur =>
+      // stored expression columns + identity allocation PER ATTEMPT (an
+      // identity basis conflict retries with fresh properties) and
+      // BEFORE the feed below, for the same reason the partition
+      // generators populate above it: the insert feed must carry what
+      // the table stores. commitCow's own populate then no-ops on the
+      // already-carrying frame; the advance + basis check thread through
+      // explicitly because this road built them, not commitCow.
+      val curProps = propertiesOf(spark, root, cur)
+      val newDataE = GeneratedCols.populateExprs(newData1,
+        GeneratedCols.exprsOf(curProps),
+        schemaOf(spark, root, cur).map(sf => sf.name -> sf.dataType).toMap)
+      val (newData2, idAdvances) = GeneratedCols.populateIdentity(newDataE,
+        GeneratedCols.identitiesOf(curProps), curProps)
+      val idCheck: Long => Unit =
+        if (idAdvances.isEmpty) _ => ()
+        else _ => currentVersion(spark, root).foreach { nowV =>
+          val nowProps = propertiesOf(spark, root, nowV)
+          idAdvances.foreach { case (c, (basis, _)) =>
+            if (nowProps.get(GeneratedCols.IdentityHighPrefix + c) != basis)
+              throw new Sinks.ConcurrentWriteException(root, Some(cur), Some(nowV))
+          }
+        }
+      val propsWithAdvance =
+        if (idAdvances.isEmpty) None
+        else Some(curProps ++ idAdvances.map { case (c, (_, newHigh)) =>
+          (GeneratedCols.IdentityHighPrefix + c) -> newHigh.toString
+        })
+      // opt-in insert feed (O(batch), but a second write of the batch —
+      // index-table appends don't want it; CDC-consumed tables do). A
+      // caller-supplied "changes" extra always wins.
+      val withFeed =
+        if (!changeFeed || extras.contains("changes")) extras
+        else extras.updated("changes", feedWritable(newData2.withColumn(
+          "_change_type", org.apache.spark.sql.functions.lit("insert"))))
       // BLIND-APPEND stamp: this commit reads nothing it doesn't carry
       // forward verbatim, so concurrent writers may rebase onto it by
       // manifest-union. A caller-supplied "dv" extra would mutate the
@@ -2887,9 +3001,10 @@ object VersionedTable {
         else new AppendRebase(spark, root, cur, allowDml = true,
           interest = () =>
             dataFileRefs(spark, root, cur).filter(r => dvTails(refTail(r))).toSet)
-      commitCow(newData1, root, dataFileRefs(spark, root, cur), withFeed, bloomCols,
-        preCommit = v => { preCommit(v); rb.validate(v) },
-        rebase = Some(rb), recordInfo = info)
+      commitCow(newData2, root, dataFileRefs(spark, root, cur), withFeed, bloomCols,
+        preCommit = v => { idCheck(v); preCommit(v); rb.validate(v) },
+        rebase = Some(rb), recordInfo = info,
+        recordProperties = propsWithAdvance)
     }
   }
 
@@ -4016,6 +4131,21 @@ object VersionedTable {
         props.get(GeneratedCols.ZoneProp) == curProps.get(GeneratedCols.ZoneProp),
         s"${GeneratedCols.ZoneProp} is pinned at table birth; " +
           "it cannot be changed through setProperties")
+      // stored-expression generators and identity definitions are fixed
+      // at birth like the partition generators; the identity HIGH-WATER
+      // advances only through allocating commits — a manual write would
+      // fork or rewind the sequence
+      (GeneratedCols.ExprPrefix :: GeneratedCols.IdentityPrefix :: Nil)
+        .foreach { pfx =>
+          props.keys.filter(_.startsWith(pfx)).foreach { k =>
+            require(curProps.get(k).contains(props(k)),
+              s"$k is fixed at table birth (commit(recordProperties=...)); " +
+                "it cannot be changed through setProperties")
+          }
+        }
+      require(!props.keys.exists(_.startsWith(GeneratedCols.IdentityHighPrefix)),
+        s"${GeneratedCols.IdentityHighPrefix}* advances only through " +
+          "identity-allocating commits; it cannot be set directly")
       metadataOnlyCommit(spark, root, cur,
         recordProperties = Some(propertiesOf(spark, root, cur) ++ props),
         op = "set-properties")
@@ -4040,6 +4170,12 @@ object VersionedTable {
       s"${GeneratedCols.ZoneProp} cannot be unset — without the birth-zone " +
         "pin, timestamp-base generators would derive pruning predicates " +
         "in whatever zone the reading session happens to run")
+    require(!keys.exists(k => k.startsWith(GeneratedCols.ExprPrefix) ||
+        k.startsWith(GeneratedCols.IdentityPrefix) ||
+        k.startsWith(GeneratedCols.IdentityHighPrefix)),
+      "stored-generator, identity and identity-high-water definitions " +
+        "are fixed at table birth / advanced by allocating commits; they " +
+        "cannot be unset")
     occRetry(spark, root) { cur =>
       metadataOnlyCommit(spark, root, cur,
         recordProperties = Some(propertiesOf(spark, root, cur) -- keys),

@@ -219,4 +219,108 @@ class GeneratedColsSpec extends SparkSpec {
         Seq(GeneratedCols.Prefix + "m"))
     }
   }
+
+  // ---- STORED GENERATED COLUMNS (expression face) --------------------------
+
+  test("stored expression column: populated on commit and append, " +
+    "enforced when caller-provided") {
+    val root = freshRoot()
+    VersionedTable.commit(
+      Seq((1L, 120.0), (2L, 40.0)).toDF("id", "amount"), root,
+      recordProperties = Some(Map(
+        GeneratedCols.ExprPrefix + "band" ->
+          "CAST(floor(amount / 50.0) AS INT)")))
+    val got = VersionedTable.read(spark, root)
+    assert(got.columns.toSeq == Seq("id", "amount", "band"))
+    assert(got.orderBy("id").select("band").as[Int].collect().toSeq == Seq(2, 0))
+    // appends populate too
+    VersionedTable.commitAppend(Seq((3L, 260.0)).toDF("id", "amount"), root)
+    assert(VersionedTable.read(spark, root).where(col("id") === 3L)
+      .select("band").as[Int].head() == 5)
+    // caller-provided agreeing value passes; disagreeing refused
+    VersionedTable.commitAppend(
+      Seq((4L, 75.0, 1)).toDF("id", "amount", "band"), root)
+    intercept[Exception] {
+      VersionedTable.commitAppend(
+        Seq((5L, 75.0, 9)).toDF("id", "amount", "band"), root)
+    }
+    assert(VersionedTable.read(spark, root).count() == 4)
+    // definitions are birth-fixed
+    intercept[IllegalArgumentException] {
+      VersionedTable.setProperties(spark, root,
+        Map(GeneratedCols.ExprPrefix + "band" -> "CAST(0 AS INT)"))
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.unsetProperties(spark, root,
+        Seq(GeneratedCols.ExprPrefix + "band"))
+    }
+  }
+
+  // ---- IDENTITY COLUMNS ----------------------------------------------------
+
+  test("identity: dense monotone allocation across commit and appends; " +
+    "explicit values pass through (BY DEFAULT)") {
+    val root = freshRoot()
+    VersionedTable.commit(
+      Seq("a", "b", "c").toDF("name"), root,
+      recordProperties = Some(Map(
+        GeneratedCols.IdentityPrefix + "sk" -> "100,1")))
+    VersionedTable.commitAppend(Seq("d", "e").toDF("name"), root)
+    val got = VersionedTable.read(spark, root)
+    assert(got.select("sk").as[Long].collect().sorted.toSeq ==
+      (100L to 104L).toSeq)
+    // the high-water advanced transactionally with each commit
+    val v = VersionedTable.currentVersion(spark, root).get
+    assert(VersionedTable.propertiesOf(spark, root, v)
+      .get(GeneratedCols.IdentityHighPrefix + "sk").contains("104"))
+    // explicit values pass through (GENERATED BY DEFAULT semantics) and
+    // don't advance the high-water
+    VersionedTable.commitAppend(Seq(("f", 9999L)).toDF("name", "sk"), root)
+    val v2 = VersionedTable.currentVersion(spark, root).get
+    assert(VersionedTable.propertiesOf(spark, root, v2)
+      .get(GeneratedCols.IdentityHighPrefix + "sk").contains("104"))
+    // the next allocation continues from the recorded high
+    VersionedTable.commitAppend(Seq("g").toDF("name"), root)
+    assert(VersionedTable.read(spark, root).where(col("name") === "g")
+      .select("sk").as[Long].head() == 105L)
+    // the high-water cannot be set or unset manually
+    intercept[IllegalArgumentException] {
+      VersionedTable.setProperties(spark, root,
+        Map(GeneratedCols.IdentityHighPrefix + "sk" -> "1"))
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.unsetProperties(spark, root,
+        Seq(GeneratedCols.IdentityPrefix + "sk"))
+    }
+  }
+
+  test("identity: concurrent allocating writers never collide — the basis " +
+    "re-validates inside the claim and the loser retries") {
+    val root = freshRoot()
+    VersionedTable.commit(
+      Seq("seed").toDF("name"), root,
+      recordProperties = Some(Map(
+        GeneratedCols.IdentityPrefix + "sk" -> "1,1")))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val writers = (1 to 4).map { w =>
+      Future {
+        VersionedTable.commitAppend(
+          (1 to 25).map(i => s"w$w-$i").toDF("name"), root)
+      }
+    }
+    Await.result(Future.sequence(writers), 120.seconds)
+    val ids = VersionedTable.read(spark, root).select("sk").as[Long]
+      .collect().sorted.toSeq
+    // 1 seed + 4×25 appended: every id unique, and DENSE — each loser
+    // re-allocated above the winner's recorded high instead of colliding
+    assert(ids == (1L to 101L).toSeq,
+      s"expected dense 1..101, got ${ids.size} ids, " +
+        s"dupes=${ids.groupBy(identity).filter(_._2.size > 1).keys.toSeq.sorted}")
+    val v = VersionedTable.currentVersion(spark, root).get
+    assert(VersionedTable.propertiesOf(spark, root, v)
+      .get(GeneratedCols.IdentityHighPrefix + "sk").contains("101"))
+  }
 }
