@@ -1600,7 +1600,7 @@ object VersionedTable {
   private[graft] val extraBytesListings =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
-  private def extraBytes(
+  private[graft] def extraBytes(
       spark: SparkSession, root: String, v: Long, name: String): Long = {
     val key = (root, v, name, markerIdentity(spark, root, v))
     val got = extraBytesMemo.get(key)

@@ -50,11 +50,13 @@ object ChangeFeedStream {
   def read(
       spark: SparkSession, tableRoot: String,
       maxVersionsPerBatch: Option[Int] = None,
-      initialSnapshot: Boolean = false): DataFrame = {
+      initialSnapshot: Boolean = false,
+      maxBytesPerBatch: Option[Long] = None): DataFrame = {
     val r = spark.readStream
       .format(classOf[ChangeFeedSourceProvider].getName)
       .option("path", tableRoot)
     maxVersionsPerBatch.foreach(m => r.option("maxVersionsPerBatch", m.toString))
+    maxBytesPerBatch.foreach(b => r.option("maxBytesPerBatch", b.toString))
     if (initialSnapshot) r.option("initialSnapshot", "true")
     r.load()
   }
@@ -112,13 +114,15 @@ class ChangeFeedSourceProvider extends StreamSourceProvider {
       parameters: Map[String, String]): Source =
     new ChangeFeedSource(sqlContext.sparkSession, root(parameters), metadataPath,
       parameters.get("maxVersionsPerBatch").map(_.toInt),
-      snapshotMode(parameters))
+      snapshotMode(parameters),
+      parameters.get("maxBytesPerBatch").map(_.toLong))
 }
 
 class ChangeFeedSource(
     spark: SparkSession, root: String, metadataPath: String,
     maxVersionsPerBatch: Option[Int],
-    initialSnapshot: Boolean = false)
+    initialSnapshot: Boolean = false,
+    maxBytesPerBatch: Option[Long] = None)
   extends Source
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -190,6 +194,15 @@ class ChangeFeedSource(
     * and terminates even while writers keep committing. */
   private var availableNowCap: Option[Long] = None
 
+  /** Per-version change-feed bytes for the bytes-based admission —
+    * memoized forever: a published version's sidecar is immutable. A
+    * feed-less version (pass-through commit) measures 0 and admits
+    * free. */
+  private val feedBytesMemo = scala.collection.mutable.Map.empty[Long, Long]
+  private def feedBytes(v: Long): Long =
+    feedBytesMemo.getOrElseUpdate(v,
+      VersionedTable.extraBytes(spark, root, v, "changes"))
+
   /** Shared rate-limited poll: the next offset to offer given the
     * engine's last committed/offered position (None = fresh stream).
     * The internal `offered` cursor stays the floor — the engine must
@@ -209,7 +222,30 @@ class ChangeFeedSource(
         // earliest committed one (a vacuum holdback below a dropped version
         // would otherwise raise the data-loss guard on the first batch)
         val base = floor.getOrElse(feedStart() - 1)
-        val end = maxVersionsPerBatch.map(m => math.min(cur, base + m)).getOrElse(cur)
+        val endByVersions =
+          maxVersionsPerBatch.map(m => math.min(cur, base + m)).getOrElse(cur)
+        // BYTES-BASED ADMISSION (Delta's maxBytesPerTrigger): versions
+        // are wildly non-uniform in size — one OPTIMIZE rewrite's feed vs
+        // one small append — so the knob operators actually set is bytes.
+        // Admit versions while the cumulative FEED bytes fit the budget,
+        // always at least one (a soft cap, the Delta rule — a single
+        // oversized version must make progress, not wedge the stream).
+        // Per-version feed bytes are one dir listing, memoized forever
+        // (published sidecars are immutable), so a long-running stream
+        // pays O(new versions) listings total, not O(backlog) per poll.
+        val end =
+          if (endByVersions <= base) endByVersions
+          else maxBytesPerBatch match {
+            case None => endByVersions
+            case Some(budget) =>
+              var e = base + 1
+              var acc = feedBytes(e)
+              while (e < endByVersions && acc + feedBytes(e + 1) <= budget) {
+                e += 1
+                acc += feedBytes(e)
+              }
+              e
+          }
         if (end <= base) floor
         else { offered = Some(end); persistCursor(end); Some(end) }
       }

@@ -276,6 +276,55 @@ class ChangeFeedStreamSpec extends SparkSpec {
     assert(rows.size == before, "a caught-up AvailableNow run re-delivered data")
   }
 
+  test("maxBytesPerBatch: a mixed-size backlog drains in byte-bounded " +
+    "batches under AvailableNow and self-terminates") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cfs6").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cfs6_ck").toString
+    // 12 versions, wildly non-uniform: 3 "rewrite-sized" feeds among
+    // small appends — the version-count knob can't express a sane batch
+    // here, bytes can
+    def feed(rows: Int, tag: Int) = {
+      val df = (1 to rows).map(i => (tag * 100000L + i, s"v$tag-$i"))
+        .toDF("id", "x")
+      VersionedTable.commit(df, root, collectStats = false,
+        extras = Map("changes" -> VersionedTable.feedWritable(
+          df.withColumn("_change_type", lit("insert")))))
+    }
+    (1 to 12).foreach(i => feed(if (i % 4 == 3) 5000 else 1, i))
+    val perVersion = (1L to 12L)
+      .map(v => v -> VersionedTable.extraBytes(spark, root, v, "changes")).toMap
+    val big = perVersion.values.max
+    // budget: one big feed plus a little headroom — big versions ride
+    // (mostly) alone, small ones pack together
+    val budget = (big * 1.5).toLong
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    val q = ChangeFeedStream.read(spark, root, maxBytesPerBatch = Some(budget))
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val vs = df.select(col("_commit_version")).distinct()
+          .collect().map(_.getLong(0)).toSeq.sorted
+        batches.synchronized { if (vs.nonEmpty) batches += vs }
+        ()
+      }.start()
+    assert(q.awaitTermination(120000),
+      "byte-bounded AvailableNow query did not self-terminate")
+    // every version exactly once, in order, no holes
+    assert(batches.flatten.toSeq == (1L to 12L),
+      s"drain lost/replayed versions: ${batches.toSeq}")
+    // the budget actually split the backlog AND packed small versions
+    assert(batches.size > 1 && batches.size < 12,
+      s"expected a byte-split, packed drain; got ${batches.size} batches")
+    assert(batches.exists(_.size > 1), "no batch packed multiple versions")
+    // the SOFT cap: every batch fits the budget, or is a single version
+    // that alone exceeds it (progress over wedging, the Delta rule)
+    batches.foreach { vs =>
+      val bytes = vs.map(perVersion).sum
+      assert(bytes <= budget || vs.size == 1,
+        s"batch $vs carries $bytes bytes over budget $budget")
+    }
+  }
+
   test("maxVersionsPerBatch rate-limits catch-up to one version per micro-batch") {
     val root = java.nio.file.Files.createTempDirectory("graft_cfs2").toString + "/t"
     val ckpt = java.nio.file.Files.createTempDirectory("graft_cfs2_ck").toString
