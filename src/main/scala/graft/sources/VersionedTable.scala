@@ -763,7 +763,19 @@ object VersionedTable {
             s"could not publish a commit marker under $root after 1000 attempts")
         }
         val target = new Path(commitDir(root), pad(n))
-        if (!store.putIfAbsent(f, target, (dirName + "\n").getBytes("UTF-8"))) {
+        // IN-COMMIT TIMESTAMP (marker line 2, [[commitTimeOf]]): the
+        // wall clock clamped monotone against the PREDECESSOR's recorded
+        // time — computed per attempt (a lost race re-targets n, so the
+        // predecessor changes) for one small memoized marker read, the
+        // AddFile-bookkeeping cost class. TIMESTAMP AS OF and history
+        // then resolve from what the commit SAID, not from file mtimes a
+        // copy/restore (or clock-skewed store) rewrites.
+        val ict = math.max(System.currentTimeMillis(),
+          (if (n > 1L)
+            try commitTimeOf(spark, root, n - 1) catch { case _: Exception => 0L }
+          else 0L) + 1L)
+        if (!store.putIfAbsent(f, target,
+            (dirName + "\n" + ict + "\n").getBytes("UTF-8"))) {
           // lost n to another writer (necessarily another process — this
           // JVM is serialized by the monitor): observe the new current
           // FIRST, then re-validate, then contend for exactly
@@ -821,11 +833,43 @@ object VersionedTable {
       val marker = new Path(commitDir(root), pad(v))
       if (!f.exists(marker)) f"v$v%08d"
       else {
-        val content = readTextFile(f, marker).trim
-        val name = if (content.nonEmpty) content else f"v$v%08d"
+        // FIRST line only: line 2, when present, is the in-commit
+        // timestamp ([[commitTimeOf]])
+        val name = readTextFile(f, marker).linesIterator
+          .map(_.trim).find(_.nonEmpty).getOrElse(f"v$v%08d")
         dirNames.put(key, name)
         name
       }
+    }
+  }
+
+  /** IN-COMMIT TIMESTAMP of version `v` (Delta's inCommitTimestamps):
+    * the epoch-millis the WRITER recorded as the marker's second line at
+    * publish, clamped monotone at write (`max(now, prev + 1)`) so
+    * history and `TIMESTAMP AS OF` stay ordered even across writer clock
+    * skew. Falls back to the marker's MODIFICATION TIME for pre-upgrade
+    * vintages — which is exactly the clock this format resolved from
+    * before, so old tables keep answering as they always did. The
+    * mtime road is what in-commit stamps exist to replace: a
+    * copied/restored table (or an object store that rewrites mtimes)
+    * would otherwise re-date every commit to the copy time. Memoized on
+    * the marker's identity (content is immutable once published). */
+  private val commitTimes =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), java.lang.Long]()
+  def commitTimeOf(spark: SparkSession, root: String, v: Long): Long = {
+    val key = (root, v, markerIdentity(spark, root, v))
+    val got = commitTimes.get(key)
+    if (got != null) got.longValue()
+    else {
+      val f = fs(spark, root)
+      val marker = new Path(commitDir(root), pad(v))
+      val status = f.getFileStatus(marker)
+      val recorded = readTextFile(f, marker).linesIterator
+        .map(_.trim).filter(_.nonEmpty).drop(1).nextOption()
+        .flatMap(_.toLongOption)
+      val t = recorded.getOrElse(status.getModificationTime)
+      commitTimes.put(key, t)
+      t
     }
   }
 
@@ -1735,24 +1779,28 @@ object VersionedTable {
 
   /** TIMESTAMP-based time travel (Delta's `TIMESTAMP AS OF`): the
     * highest version whose commit time is at or before `ts` — resolved
-    * from the commit markers' modification times, the same clock
-    * [[history]] reports. Throws when `ts` predates the earliest
-    * retained commit (vacuum may have dropped the version that was
-    * current then — returning a later snapshot would silently lie). */
+    * from the IN-COMMIT timestamps ([[commitTimeOf]]: marker line 2,
+    * mtime fallback for pre-upgrade vintages), the same clock
+    * [[history]] reports, with a READ-SIDE running-max clamp so a mixed
+    * history (old mtime-dated commits interleaved with in-commit-stamped
+    * ones, or skewed legacy writers) still resolves monotone — version
+    * order is the truth, time must follow it. Throws when `ts` predates
+    * the earliest retained commit (vacuum may have dropped the version
+    * that was current then — returning a later snapshot would silently
+    * lie). */
   def versionAsOf(
       spark: SparkSession, root: String, ts: java.sql.Timestamp): Long = {
-    val f = fs(spark, root)
     val committed = versions(spark, root)
+    var run = Long.MinValue
     val at = committed.filter { v =>
-      f.getFileStatus(new Path(commitDir(root), pad(v)))
-        .getModificationTime <= ts.getTime
+      run = math.max(run, commitTimeOf(spark, root, v))
+      run <= ts.getTime
     }
     at.lastOption.getOrElse(throw new java.io.IOException(
       s"no committed version of $root at or before $ts " +
         s"(earliest retained commit is " +
         s"${committed.headOption.map(v => new java.sql.Timestamp(
-          f.getFileStatus(new Path(commitDir(root), pad(v)))
-            .getModificationTime)).getOrElse("none")})"))
+          commitTimeOf(spark, root, v))).getOrElse("none")})"))
   }
 
   /** Time travel: read an exact committed version (deletion-vector rows
@@ -4570,8 +4618,7 @@ object VersionedTable {
       // "" for pre-stamp vintages and unstamped paths
       val info = commitInfoOf(spark, root, v)
       (v,
-        new java.sql.Timestamp(
-          f.getFileStatus(new Path(commitDir(root), pad(v))).getModificationTime),
+        new java.sql.Timestamp(commitTimeOf(spark, root, v)),
         info.getOrElse("operation", ""),
         refs.size,
         ckptBytes.getOrElse(v, snapshotBytes(spark, root, v, Some(ckptBytes))),
@@ -5154,13 +5201,14 @@ object VersionedTable {
     val f = fs(spark, root)
     val all = versions(spark, root)
     val candidates = all.dropRight(keepLast)
-    // retention window: age = commit-marker mtime (markers are created at
-    // publish and never touched again)
+    // retention window: age = the commit's IN-COMMIT timestamp
+    // ([[commitTimeOf]]; marker mtime for pre-upgrade vintages) — a
+    // copied/restored table's rewritten mtimes then read as "all fresh"
+    // on the OLD clock but keep their true ages here
     val aged = olderThanMs match {
       case Some(ms) =>
         val cutoff = System.currentTimeMillis() - ms
-        candidates.filter(v => f.getFileStatus(
-          new Path(commitDir(root), pad(v))).getModificationTime <= cutoff)
+        candidates.filter(v => commitTimeOf(spark, root, v) <= cutoff)
       case None => candidates
     }
     // txn-stamp coverage: advance the checkpoint over the whole log, then
