@@ -1537,7 +1537,7 @@ object GraftSql {
       val survivors = joined.filter(tPresent && fate =!= -1).select(outValues: _*)
 
       val fateIns = fateChain(m.notMatchedActions, i => i)
-      val inserts = joined.filter(!tPresent && sPresent && fateIns >= 0)
+      val inserts0 = joined.filter(!tPresent && sPresent && fateIns >= 0)
         .select(tSchema.fields.toSeq.map { f =>
           m.notMatchedActions.zipWithIndex.foldRight(lit(null): Column) {
             case ((a, i), rest) =>
@@ -1547,9 +1547,74 @@ object GraftSql {
           }.cast(f.dataType).as(f.name)
         }: _*)
 
+      // STORED GENERATED + IDENTITY columns through MERGE (the Delta
+      // rule): a stored expression column no action explicitly assigns
+      // REGENERATES over every written row — an UPDATE moving a base
+      // keeps the stored value in agreement, an insert computes it, and
+      // carried values recompute to themselves (deterministic exprs);
+      // when some action DOES assign it, the written values pass to the
+      // commit's enforcement scan instead. An identity column no action
+      // assigns is dropped from the insert image and allocated by this
+      // commit above the recorded high-water, the append road's shape —
+      // advance and in-claim basis check threaded explicitly because
+      // this road built the frame, not commitCow.
+      val tableProps = VersionedTable.propertiesOf(spark, root, base)
+      val exprGenDefs = graft.sources.GeneratedCols.exprsOf(tableProps)
+      val identDefs = graft.sources.GeneratedCols.identitiesOf(tableProps)
+      val starAssigns: Set[String] =
+        if ((m.matchedActions ++ m.notMatchedActions).exists {
+            case _: UpdateStarAction | _: InsertStarAction => true
+            case _ => false
+          }) sDf.columns.map(_.toLowerCase).toSet
+        else Set.empty
+      val explicitAssigns: Set[String] = starAssigns ++
+        (m.matchedActions ++ m.notMatchedActions ++ m.notMatchedBySourceActions)
+          .flatMap {
+            case u: UpdateAction => u.assignments.map(a => keyName(a.key).toLowerCase)
+            case i: InsertAction => i.assignments.map(a => keyName(a.key).toLowerCase)
+            case _ => Nil
+          }.toSet
+      def regenExprs(d0: DataFrame): DataFrame =
+        exprGenDefs.toSeq.sortBy(_._1).foldLeft(d0) { case (d, (c, text)) =>
+          if (explicitAssigns(c.toLowerCase)) d
+          else {
+            val f = tSchema.find(_.name.equalsIgnoreCase(c))
+            val name = f.map(_.name).getOrElse(c)
+            val meta = new org.apache.spark.sql.types.MetadataBuilder()
+              .putBoolean(graft.sources.GeneratedCols.PopulatedKey, true).build()
+            val computed = f.map(ff => expr(text).cast(ff.dataType))
+              .getOrElse(expr(text))
+            d.withColumn(name, computed.as(name, meta))
+          }
+        }
+      val freeIdents = identDefs.filterNot { case (c, _) =>
+        explicitAssigns(c.toLowerCase) }
+      val (inserts, idAdvances) =
+        if (freeIdents.isEmpty) (regenExprs(inserts0), Map.empty[String, (Option[String], Long)])
+        else graft.sources.GeneratedCols.populateIdentity(
+          regenExprs(inserts0).drop(freeIdents.keys.toSeq: _*),
+          freeIdents, tableProps)
+      val idCheck: Long => Unit =
+        if (idAdvances.isEmpty) _ => ()
+        else _ => VersionedTable.currentVersion(spark, root).foreach { nowV =>
+          val nowProps = VersionedTable.propertiesOf(spark, root, nowV)
+          idAdvances.foreach { case (c, (basis, _)) =>
+            if (nowProps.get(graft.sources.GeneratedCols.IdentityHighPrefix + c)
+                != basis)
+              throw new Sinks.ConcurrentWriteException(root, Some(base), Some(nowV))
+          }
+        }
+      val advProps: Option[Map[String, String]] =
+        if (idAdvances.isEmpty) None
+        else Some(tableProps ++ idAdvances.map { case (c, (_, newHigh)) =>
+          (graft.sources.GeneratedCols.IdentityHighPrefix + c) -> newHigh.toString
+        })
+
       // CHANGE FEED: merge commits carry their feed like every graft
       // writer — delete pre-images, update pre/post pairs, insert rows —
-      // so incremental consumers keep working across SQL merges
+      // so incremental consumers keep working across SQL merges. Built
+      // from the identity-populated insert image so CDC consumers see
+      // the allocated ids, never nulls (the append road's rule).
       val tCols = tSchema.fields.toSeq.map(f =>
         tDf(f.name).cast(f.dataType).as(f.name))
       val updFilter = updates.map { case (code, _) => fate === code }
@@ -1558,14 +1623,16 @@ object GraftSql {
         .select(tCols: _*).withColumn("_change_type", lit("delete"))
         .unionByName(joined.filter(tPresent && updFilter)
           .select(tCols: _*).withColumn("_change_type", lit("update_preimage")))
-        .unionByName(joined.filter(tPresent && updFilter)
-          .select(outValues: _*).withColumn("_change_type", lit("update_postimage")))
+        .unionByName(regenExprs(joined.filter(tPresent && updFilter)
+          .select(outValues: _*))
+          .withColumn("_change_type", lit("update_postimage")))
         .unionByName(inserts.withColumn("_change_type", lit("insert")))
 
       val occCheck: Long => Unit = w => {
         val now = VersionedTable.currentVersion(spark, root)
         if (now != Some(base))
           throw new Sinks.ConcurrentWriteException(root, Some(base), now)
+        idCheck(w)
         extraPreCommit(w)
       }
       try out = Some(
@@ -1580,21 +1647,24 @@ object GraftSql {
           val newDelWritable = // empty-safe: keep the sidecar readable
             if (newDel.rdd.getNumPartitions == 0) newDel.repartition(1)
             else newDel
-          val updated = joined.filter(tPresent && updFilter).select(outValues: _*)
+          val updated = regenExprs(
+            joined.filter(tPresent && updFilter).select(outValues: _*))
           VersionedTable.commitCow(updated.unionByName(inserts), root,
             VersionedTable.dataFileRefs(spark, root, base),
             extras = Map("dv" -> newDelWritable, "changes" -> feed) ++ extraTables,
-            preCommit = occCheck)
+            preCommit = occCheck, recordProperties = advProps)
         } else keptRefs match {
           case Some(kept) => VersionedTable.commitCow(
-            survivors.unionByName(inserts), root, kept,
-            extras = Map("changes" -> feed) ++ extraTables, preCommit = occCheck)
+            regenExprs(survivors).unionByName(inserts), root, kept,
+            extras = Map("changes" -> feed) ++ extraTables, preCommit = occCheck,
+            recordProperties = advProps)
           case None => VersionedTable.commit(
-            survivors.unionByName(inserts), root,
+            regenExprs(survivors).unionByName(inserts), root,
             // column defaults survive via commitWith's metadata-merge
             // fallback; nullability stays the frame's (a not-matched
             // INSERT null-fills unassigned columns by design)
-            extras = Map("changes" -> feed) ++ extraTables, preCommit = occCheck)
+            extras = Map("changes" -> feed) ++ extraTables, preCommit = occCheck,
+            recordProperties = advProps)
         })
       catch {
         case _: Sinks.ConcurrentWriteException if attempt < maxAttempts =>

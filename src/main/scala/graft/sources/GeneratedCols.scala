@@ -354,9 +354,14 @@ object GeneratedCols {
         lastStep.map { case (last, step) => last + step * (idx + 1) })
     }
     val out = spark.createDataFrame(rdd, outSchema)
-    val advances = basisLast.map { case (i, basis, last) =>
-      i.col -> (basis, last + i.step * n)
-    }.toMap
+    // an EMPTY batch still gets the columns (schema gates downstream)
+    // but records no advance — a zero-row commit must not invent a
+    // high-water below start or force conflicts on concurrent allocators
+    val advances =
+      if (n == 0L) Map.empty[String, (Option[String], Long)]
+      else basisLast.map { case (i, basis, last) =>
+        i.col -> (basis, last + i.step * n)
+      }.toMap
     (out, advances)
   }
 

@@ -21,13 +21,15 @@ class FileSizesSpec extends SparkSpec {
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** The CURRENT version's data dir (claim-named): resolved through the
-    * commit marker's content, exactly as the reader does. */
+    * commit marker's FIRST line, exactly as the reader does (line 2,
+    * when present, is the in-commit timestamp). */
   private def currentDataDir(root: String): Path = {
     val v = VersionedTable.currentVersion(spark, root).get
     val marker = new Path(root, f"_commits/$v%08d")
     val f = hfs(root)
     val in = f.open(marker)
-    val name = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    val name = try scala.io.Source.fromInputStream(in, "UTF-8")
+                 .getLines().map(_.trim).find(_.nonEmpty).get
                finally in.close()
     new Path(root, name)
   }

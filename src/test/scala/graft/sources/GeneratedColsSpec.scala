@@ -294,6 +294,48 @@ class GeneratedColsSpec extends SparkSpec {
     }
   }
 
+  test("MERGE regenerates stored expression columns and allocates " +
+    "identity for its inserts (the surrogate-key flow)") {
+    val root = freshRoot()
+    VersionedTable.commit(
+      Seq((1L, 100.0), (2L, 200.0)).toDF("id", "amount"), root,
+      recordProperties = Some(Map(
+        GeneratedCols.ExprPrefix + "band" -> "CAST(floor(amount / 50.0) AS INT)",
+        GeneratedCols.IdentityPrefix + "sk" -> "10,1")))
+    Seq((2L, 900.0), (3L, 75.0)).toDF("id", "amount")
+      .createOrReplaceTempView("genid_merge_src")
+    graft.plans.GraftSql.execute(spark,
+      s"""MERGE INTO `$root` t USING genid_merge_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET amount = s.amount
+         |WHEN NOT MATCHED THEN INSERT (id, amount) VALUES (s.id, s.amount)
+         |""".stripMargin)
+    val got = VersionedTable.read(spark, root).orderBy("id")
+      .select("id", "amount", "band", "sk").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getLong(3)))
+    // the update moved the base: band regenerated (900/50 = 18); the
+    // insert computed its own (75/50 = 1); the untouched row recomputed
+    // to itself
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq((1L, 100.0, 2), (2L, 900.0, 18), (3L, 75.0, 1)), got.toSeq.toString)
+    // identity: carried rows keep their ids, the insert allocated above
+    // the recorded high (seed batch took 10 and 11)
+    val sks = got.map(_._4)
+    assert(sks.toSet == Set(10L, 11L, 12L) && sks(2) == 12L, s"sks: ${sks.toSeq}")
+    val v = VersionedTable.currentVersion(spark, root).get
+    assert(VersionedTable.propertiesOf(spark, root, v)
+      .get(GeneratedCols.IdentityHighPrefix + "sk").contains("12"))
+    // the feed's insert row carries the allocated id, not null
+    val ins = VersionedTable.readChanges(spark, root, v, v)
+      .where(col("_change_type") === "insert")
+      .select("sk").as[Long].collect()
+    assert(ins.toSeq == Seq(12L))
+    // and the postimage feed carries the regenerated band
+    val post = VersionedTable.readChanges(spark, root, v, v)
+      .where(col("_change_type") === "update_postimage")
+      .select("band").as[Int].collect()
+    assert(post.toSeq == Seq(18))
+  }
+
   test("identity: concurrent allocating writers never collide — the basis " +
     "re-validates inside the claim and the loser retries") {
     val root = freshRoot()
