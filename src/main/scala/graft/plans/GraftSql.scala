@@ -909,21 +909,42 @@ object GraftSql {
               .getOrElse(VersionedTable.readVersion(spark, root, base).schema)
             val aligned = alignToSchema(src, target, i.userSpecifiedCols,
               i.byName, root, autoPopulatedCols(spark, root, base))
+            // POPULATE BEFORE THE FEED (the append road's rule): the
+            // insert feed must carry what the table stores — generated
+            // partition values, stored expression values, allocated
+            // identity ids — never the nulls of the raw aligned frame.
+            // commit()'s own populate then no-ops on the carrying frame;
+            // the identity advance + in-claim basis check thread through
+            // explicitly because this road built the feed.
+            val baseProps = VersionedTable.propertiesOf(spark, root, base)
+            val alignedG = graft.sources.GeneratedCols.populate(aligned,
+              graft.sources.GeneratedCols.of(baseProps), strict = false,
+              bornZone = baseProps.get(graft.sources.GeneratedCols.ZoneProp),
+              sessionZone = spark.sessionState.conf.sessionLocalTimeZone)
+            val alignedE = graft.sources.GeneratedCols.populateExprs(alignedG,
+              graft.sources.GeneratedCols.exprsOf(baseProps),
+              target.map(f => f.name -> f.dataType).toMap)
+            val (populated, idAdvProps, idCheck) =
+              VersionedTable.identityAllocate(spark, root, alignedE,
+                baseProps, Some(base))
             val feed = VersionedTable.readVersion(spark, root, base)
               .withColumn("_change_type", lit("delete"))
-              .unionByName(aligned.withColumn("_change_type", lit("insert")),
+              .unionByName(populated.withColumn("_change_type", lit("insert")),
                 allowMissingColumns = true)
             // the schema CONTRACT (column defaults et al.) survives this
             // data-only rewrite via commitWith's metadata-merge fallback;
             // nullability stays the written frame's (re-asserting the
             // recorded non-null flags over data storeCast lets through
             // null-as-null would record a lie)
-            try out = Some(VersionedTable.commit(aligned, root,
+            try out = Some(VersionedTable.commit(populated, root,
               extras = Map("changes" -> VersionedTable.feedWritable(feed)),
-              preCommit = _ => {
+              recordProperties =
+                if (idAdvProps.isEmpty) None else Some(baseProps ++ idAdvProps),
+              preCommit = w => {
                 val now = VersionedTable.currentVersion(spark, root)
                 if (now != Some(base))
                   throw new Sinks.ConcurrentWriteException(root, Some(base), now)
+                idCheck(w)
               }))
             catch {
               case _: Sinks.ConcurrentWriteException if attempt < maxAttempts =>
@@ -1491,6 +1512,36 @@ object GraftSql {
             case None => m0
           }
         }
+      // STORED GENERATED + IDENTITY column rules for MERGE (the Delta
+      // shape): a stored expression column is GENERATED ALWAYS here —
+      // naming it in SET/INSERT is refused up front and star expansion
+      // excludes it, so regenExprs below can recompute it over every
+      // written row unconditionally. An identity column is GENERATED BY
+      // DEFAULT — explicit values (named or via star from a source that
+      // carries the column) pass through; only unassigned identity
+      // columns allocate.
+      val tableProps = VersionedTable.propertiesOf(spark, root, base)
+      val exprGenDefs = graft.sources.GeneratedCols.exprsOf(tableProps)
+      val identDefs = graft.sources.GeneratedCols.identitiesOf(tableProps)
+      val namedAssigns: Set[String] =
+        (m.matchedActions ++ m.notMatchedActions ++ m.notMatchedBySourceActions)
+          .flatMap {
+            case u: UpdateAction => u.assignments.map(a => keyName(a.key).toLowerCase)
+            case i: InsertAction => i.assignments.map(a => keyName(a.key).toLowerCase)
+            case _ => Nil
+          }.toSet
+      val exprNamed = exprGenDefs.keys.filter(c => namedAssigns(c.toLowerCase))
+      require(exprNamed.isEmpty,
+        s"MERGE cannot assign stored generated column(s) " +
+          s"${exprNamed.toSeq.sorted.mkString(", ")} — they regenerate " +
+          "from their recorded expression (GENERATED ALWAYS)")
+      val starAssigns: Set[String] =
+        if ((m.matchedActions ++ m.notMatchedActions).exists {
+            case _: UpdateStarAction | _: InsertStarAction => true
+            case _ => false
+          }) sDf.columns.map(_.toLowerCase).toSet
+        else Set.empty
+      val explicitAssigns: Set[String] = namedAssigns ++ starAssigns
       def assignsOf(a: MergeAction): Map[String, Column] = withGenerated(a match {
         case u: UpdateAction =>
           checked(u.assignments.map(as =>
@@ -1502,9 +1553,14 @@ object GraftSql {
           // star covers the SOURCE's columns (the Delta rule): target-only
           // columns keep their values on update and insert as null — with
           // evolution the target is the wider side, so this is what makes
-          // SET * / INSERT * legal against a narrower source
+          // SET * / INSERT * legal against a narrower source. Stored
+          // generated columns are EXCLUDED (they regenerate; a source
+          // that happens to carry the name must not override the
+          // contract).
           val sCols = sDf.columns.map(_.toLowerCase).toSet
-          tSchema.fieldNames.filter(n => sCols(n.toLowerCase))
+          val gen = exprGenDefs.keySet.map(_.toLowerCase)
+          tSchema.fieldNames.filter(n =>
+            sCols(n.toLowerCase) && !gen(n.toLowerCase))
             .map(n => n -> sDf(n)).toMap
         case _ => Map.empty
       })
@@ -1547,68 +1603,35 @@ object GraftSql {
           }.cast(f.dataType).as(f.name)
         }: _*)
 
-      // STORED GENERATED + IDENTITY columns through MERGE (the Delta
-      // rule): a stored expression column no action explicitly assigns
-      // REGENERATES over every written row — an UPDATE moving a base
-      // keeps the stored value in agreement, an insert computes it, and
-      // carried values recompute to themselves (deterministic exprs);
-      // when some action DOES assign it, the written values pass to the
-      // commit's enforcement scan instead. An identity column no action
-      // assigns is dropped from the insert image and allocated by this
-      // commit above the recorded high-water, the append road's shape —
-      // advance and in-claim basis check threaded explicitly because
-      // this road built the frame, not commitCow.
-      val tableProps = VersionedTable.propertiesOf(spark, root, base)
-      val exprGenDefs = graft.sources.GeneratedCols.exprsOf(tableProps)
-      val identDefs = graft.sources.GeneratedCols.identitiesOf(tableProps)
-      val starAssigns: Set[String] =
-        if ((m.matchedActions ++ m.notMatchedActions).exists {
-            case _: UpdateStarAction | _: InsertStarAction => true
-            case _ => false
-          }) sDf.columns.map(_.toLowerCase).toSet
-        else Set.empty
-      val explicitAssigns: Set[String] = starAssigns ++
-        (m.matchedActions ++ m.notMatchedActions ++ m.notMatchedBySourceActions)
-          .flatMap {
-            case u: UpdateAction => u.assignments.map(a => keyName(a.key).toLowerCase)
-            case i: InsertAction => i.assignments.map(a => keyName(a.key).toLowerCase)
-            case _ => Nil
-          }.toSet
+      // Regeneration + allocation over the written frames: stored
+      // expression columns recompute on every written row (an UPDATE
+      // moving a base keeps the stored value in agreement, an insert
+      // computes its own, carried rows recompute to themselves —
+      // deterministic exprs make this idempotent); an identity column no
+      // action assigns is dropped from the insert image and allocated
+      // above the recorded high-water, the append road's shape — advance
+      // and in-claim basis check threaded explicitly because this road
+      // built the frame, not commitCow.
       def regenExprs(d0: DataFrame): DataFrame =
         exprGenDefs.toSeq.sortBy(_._1).foldLeft(d0) { case (d, (c, text)) =>
-          if (explicitAssigns(c.toLowerCase)) d
-          else {
-            val f = tSchema.find(_.name.equalsIgnoreCase(c))
-            val name = f.map(_.name).getOrElse(c)
-            val meta = new org.apache.spark.sql.types.MetadataBuilder()
-              .putBoolean(graft.sources.GeneratedCols.PopulatedKey, true).build()
-            val computed = f.map(ff => expr(text).cast(ff.dataType))
-              .getOrElse(expr(text))
-            d.withColumn(name, computed.as(name, meta))
-          }
+          val f = tSchema.find(_.name.equalsIgnoreCase(c))
+          val name = f.map(_.name).getOrElse(c)
+          val meta = new org.apache.spark.sql.types.MetadataBuilder()
+            .putBoolean(graft.sources.GeneratedCols.PopulatedKey, true).build()
+          val computed = f.map(ff => expr(text).cast(ff.dataType))
+            .getOrElse(expr(text))
+          d.withColumn(name, computed.as(name, meta))
         }
       val freeIdents = identDefs.filterNot { case (c, _) =>
         explicitAssigns(c.toLowerCase) }
-      val (inserts, idAdvances) =
-        if (freeIdents.isEmpty) (regenExprs(inserts0), Map.empty[String, (Option[String], Long)])
-        else graft.sources.GeneratedCols.populateIdentity(
+      val (inserts, idAdvProps, idCheck) =
+        if (freeIdents.isEmpty)
+          (regenExprs(inserts0), Map.empty[String, String], (_: Long) => ())
+        else VersionedTable.identityAllocate(spark, root,
           regenExprs(inserts0).drop(freeIdents.keys.toSeq: _*),
-          freeIdents, tableProps)
-      val idCheck: Long => Unit =
-        if (idAdvances.isEmpty) _ => ()
-        else _ => VersionedTable.currentVersion(spark, root).foreach { nowV =>
-          val nowProps = VersionedTable.propertiesOf(spark, root, nowV)
-          idAdvances.foreach { case (c, (basis, _)) =>
-            if (nowProps.get(graft.sources.GeneratedCols.IdentityHighPrefix + c)
-                != basis)
-              throw new Sinks.ConcurrentWriteException(root, Some(base), Some(nowV))
-          }
-        }
+          tableProps, Some(base), Some(freeIdents))
       val advProps: Option[Map[String, String]] =
-        if (idAdvances.isEmpty) None
-        else Some(tableProps ++ idAdvances.map { case (c, (_, newHigh)) =>
-          (graft.sources.GeneratedCols.IdentityHighPrefix + c) -> newHigh.toString
-        })
+        if (idAdvProps.isEmpty) None else Some(tableProps ++ idAdvProps)
 
       // CHANGE FEED: merge commits carry their feed like every graft
       // writer — delete pre-images, update pre/post pairs, insert rows —

@@ -338,7 +338,6 @@ object GeneratedCols {
       .toSeq.sortBy(_.col)
     if (missing.isEmpty) return (df, Map.empty)
     val spark = df.sparkSession
-    val n = df.count()
     val basisLast: Seq[(Identity, Option[String], Long)] = missing.map { i =>
       val basis = props.get(i.highProp)
       val last = basis.flatMap(_.toLongOption).getOrElse(i.start - i.step)
@@ -353,7 +352,16 @@ object GeneratedCols {
       org.apache.spark.sql.Row.fromSeq(r.toSeq ++
         lastStep.map { case (last, step) => last + step * (idx + 1) })
     }
-    val out = spark.createDataFrame(rdd, outSchema)
+    // EAGER local checkpoint pins the row→id mapping to ONE evaluation:
+    // the commit writes this frame at least twice (change feed + data),
+    // and a join-derived batch (a merge's insert image) does NOT
+    // recompute with a stable row order under AQE — without the pin,
+    // the feed could record ids the table never stored. The cost is one
+    // O(batch) materialization (MEMORY_AND_DISK), bounded by the staged
+    // batch the commit writes anyway — and it ABSORBS the count job the
+    // advance needs (counting checkpointed blocks is metadata-fast).
+    val out = spark.createDataFrame(rdd, outSchema).localCheckpoint(eager = true)
+    val n = out.count()
     // an EMPTY batch still gets the columns (schema gates downstream)
     // but records no advance — a zero-row commit must not invent a
     // high-water below start or force conflicts on concurrent allocators

@@ -326,6 +326,39 @@ object VersionedTable {
       recordInfo = recordInfo,
       recordSchema = recordSchema)
 
+  /** Shared identity-allocation step of every commit road (commitWith,
+    * commitCow, commitAppend, the SQL merge): populate the identity
+    * columns the frame lacks from `props`' recorded high-waters and
+    * return (populated frame, the high-water property advances to record
+    * with THIS commit, the in-claim basis check). The check re-reads the
+    * CURRENT version's properties — the publish loop re-runs every
+    * preCommit after each lost race, so two concurrent allocators
+    * serialize through the store's linearization point; the loser
+    * surfaces ConcurrentWriteException into its caller's OCC retry loop
+    * (or to a bare commit()'s caller). `idents0` lets the merge road
+    * restrict allocation to the columns its actions did not assign. */
+  private[graft] def identityAllocate(
+      spark: SparkSession, root: String, df: DataFrame,
+      props: Map[String, String], base: Option[Long],
+      idents0: Option[Map[String, GeneratedCols.Identity]] = None)
+      : (DataFrame, Map[String, String], Long => Unit) = {
+    val idents = idents0.getOrElse(GeneratedCols.identitiesOf(props))
+    if (idents.isEmpty) return (df, Map.empty, _ => ())
+    val (df1, adv) = GeneratedCols.populateIdentity(df, idents, props)
+    if (adv.isEmpty) return (df1, Map.empty, _ => ())
+    val advProps = adv.map { case (c, (_, newHigh)) =>
+      (GeneratedCols.IdentityHighPrefix + c) -> newHigh.toString
+    }
+    val check: Long => Unit = _ => currentVersion(spark, root).foreach { nowV =>
+      val nowProps = propertiesOf(spark, root, nowV)
+      adv.foreach { case (c, (basis, _)) =>
+        if (nowProps.get(GeneratedCols.IdentityHighPrefix + c) != basis)
+          throw new Sinks.ConcurrentWriteException(root, base, Some(nowV))
+      }
+    }
+    (df1, advProps, check)
+  }
+
   /** [[commit]] with a pre-publish hook: `finalize(fs, versionDir, v)`
     * runs after the staging dir is renamed into place but BEFORE the
     * commit marker is created — snapshot metadata written here (e.g. a
@@ -399,17 +432,8 @@ object VersionedTable {
           scala.util.Try(schemaOf(spark, root, cv)).toOption))
         .map(_.map(sf => sf.name -> sf.dataType).toMap).getOrElse(Map.empty)
     val df0e = GeneratedCols.populateExprs(df0g, exprGens, exprTypes)
-    val (df0, idAdvances) = GeneratedCols.populateIdentity(df0e,
-      GeneratedCols.identitiesOf(carriedProps), carriedProps)
-    val idCheck: Long => Unit =
-      if (idAdvances.isEmpty) _ => ()
-      else _ => currentVersion(spark, root).foreach { nowV =>
-        val nowProps = propertiesOf(spark, root, nowV)
-        idAdvances.foreach { case (c, (basis, _)) =>
-          if (nowProps.get(GeneratedCols.IdentityHighPrefix + c) != basis)
-            throw new Sinks.ConcurrentWriteException(root, None, Some(nowV))
-        }
-      }
+    val (df0, idAdvProps, idCheck) =
+      identityAllocate(spark, root, df0e, carriedProps, None)
     val preCommitId: Long => Unit = w => { idCheck(w); preCommit(w) }
     // caller-provided = present WITHOUT the populate marker: a column
     // this library computed (here or on the append road) is correct by
@@ -454,9 +478,7 @@ object VersionedTable {
         if (gens.isEmpty || p0.contains(GeneratedCols.ZoneProp)) p0
         else p0.updated(GeneratedCols.ZoneProp, sessionZone)
       // identity advance rides the SAME version as the allocated values
-      p1 ++ idAdvances.map { case (c, (_, newHigh)) =>
-        (GeneratedCols.IdentityHighPrefix + c) -> newHigh.toString
-      }
+      p1 ++ idAdvProps
     }
     f.mkdirs(commitDir(root))
     f.mkdirs(claimDir(root))
@@ -834,7 +856,11 @@ object VersionedTable {
       if (!f.exists(marker)) f"v$v%08d"
       else {
         // FIRST line only: line 2, when present, is the in-commit
-        // timestamp ([[commitTimeOf]])
+        // timestamp ([[commitTimeOf]]). MIXED-VERSION CAVEAT: a build
+        // from before the second line parses the whole content as the
+        // dir name and cannot read commits this build writes — the same
+        // deployment class as the checkpoint's v2 header; upgrade
+        // readers before writers share a table.
         val name = readTextFile(f, marker).linesIterator
           .map(_.trim).find(_.nonEmpty).getOrElse(f"v$v%08d")
         dirNames.put(key, name)
@@ -2195,23 +2221,11 @@ object VersionedTable {
     val newDataE = GeneratedCols.populateExprs(newDataG,
       GeneratedCols.exprsOf(curProps0),
       curSchema.map(sf => sf.name -> sf.dataType).toMap)
-    val (newData0, idAdvances) = GeneratedCols.populateIdentity(newDataE,
-      GeneratedCols.identitiesOf(curProps0), curProps0)
-    val idCheck: Long => Unit =
-      if (idAdvances.isEmpty) _ => ()
-      else _ => currentVersion(spark, root).foreach { nowV =>
-        val nowProps = propertiesOf(spark, root, nowV)
-        idAdvances.foreach { case (c, (basis, _)) =>
-          if (nowProps.get(GeneratedCols.IdentityHighPrefix + c) != basis)
-            throw new Sinks.ConcurrentWriteException(root, Some(cur), Some(nowV))
-        }
-      }
+    val (newData0, idAdvProps, idCheck) =
+      identityAllocate(spark, root, newDataE, curProps0, Some(cur))
     val propsWithAdvance =
-      if (idAdvances.isEmpty) recordProperties
-      else Some(recordProperties.getOrElse(curProps0) ++
-        idAdvances.map { case (c, (_, newHigh)) =>
-          (GeneratedCols.IdentityHighPrefix + c) -> newHigh.toString
-        })
+      if (idAdvProps.isEmpty) recordProperties
+      else Some(recordProperties.getOrElse(curProps0) ++ idAdvProps)
     // schema gate: name→type equality (order-insensitive — read resolves
     // by name; nullability not compared — reading non-null data through a
     // nullable schema is always sound)
@@ -2571,9 +2585,9 @@ object VersionedTable {
     // (the caller CAN set both explicitly; then the enforcement scan
     // validates the pair). Computed from the new base EXPRESSION, so
     // one projection serves both.
-    val setG = currentVersion(spark, root)
-      .map(cv => GeneratedCols.of(propertiesOf(spark, root, cv)))
-      .getOrElse(Map.empty)
+    val updProps = currentVersion(spark, root)
+      .map(cv => propertiesOf(spark, root, cv)).getOrElse(Map.empty)
+    val setG = GeneratedCols.of(updProps)
       .foldLeft(set) { case (s0, (c, g)) =>
         if (s0.keys.exists(_.equalsIgnoreCase(c))) s0
         else s0.keys.find(_.equalsIgnoreCase(g.base)) match {
@@ -2581,17 +2595,41 @@ object VersionedTable {
           case None => s0
         }
       }
+    // STORED expression columns regenerate too — over the POST-image, in
+    // a second projection, because the expression may reference ANY
+    // column the SET just rewrote (the partition generators above ride
+    // the same projection only because their base's new EXPRESSION is at
+    // hand). Unconditional over the slice: non-matching rows recompute
+    // to themselves (deterministic exprs), matching rows get the fresh
+    // value — without this, `UPDATE SET amount=…` would silently keep a
+    // stale `band = floor(amount/50)` forever, the read-carried populate
+    // marker waving it past enforcement. An explicit SET of the column
+    // wins (projection drops the marker → the enforcement scan verifies
+    // the caller's pair).
+    val updExprGens = GeneratedCols.exprsOf(updProps)
+      .filterNot { case (c, _) => set.keys.exists(_.equalsIgnoreCase(c)) }
+    def regenerated(d: DataFrame): DataFrame =
+      updExprGens.toSeq.sortBy(_._1).foldLeft(d) { case (dd, (c, text)) =>
+        dd.schema.find(_.name.equalsIgnoreCase(c)) match {
+          case None => dd
+          case Some(fld) =>
+            val meta = new org.apache.spark.sql.types.MetadataBuilder()
+              .putBoolean(GeneratedCols.PopulatedKey, true).build()
+            dd.withColumn(fld.name, org.apache.spark.sql.functions
+              .expr(text).cast(fld.dataType).as(fld.name, meta))
+        }
+      }
     def applySet(df: DataFrame): DataFrame = {
       val bad = setG.keySet -- df.columns.toSet
       require(bad.isEmpty, s"unknown columns in SET: ${bad.mkString(", ")}")
       val cond = coalesce(predicate, lit(false))
-      df.select(df.columns.toSeq.map { c =>
+      regenerated(df.select(df.columns.toSeq.map { c =>
         setG.get(c) match {
           case Some(v) =>
             when(cond, v.cast(df.schema(c).dataType)).otherwise(col(c)).as(c)
           case None => col(c)
         }
-      }: _*)
+      }: _*))
     }
     if (!mor)
       cowRewrite(spark, root, predicate, "update", preCommit)(
@@ -2993,22 +3031,11 @@ object VersionedTable {
       val newDataE = GeneratedCols.populateExprs(newData1,
         GeneratedCols.exprsOf(curProps),
         schemaOf(spark, root, cur).map(sf => sf.name -> sf.dataType).toMap)
-      val (newData2, idAdvances) = GeneratedCols.populateIdentity(newDataE,
-        GeneratedCols.identitiesOf(curProps), curProps)
-      val idCheck: Long => Unit =
-        if (idAdvances.isEmpty) _ => ()
-        else _ => currentVersion(spark, root).foreach { nowV =>
-          val nowProps = propertiesOf(spark, root, nowV)
-          idAdvances.foreach { case (c, (basis, _)) =>
-            if (nowProps.get(GeneratedCols.IdentityHighPrefix + c) != basis)
-              throw new Sinks.ConcurrentWriteException(root, Some(cur), Some(nowV))
-          }
-        }
+      val (newData2, idAdvProps, idCheck) =
+        identityAllocate(spark, root, newDataE, curProps, Some(cur))
       val propsWithAdvance =
-        if (idAdvances.isEmpty) None
-        else Some(curProps ++ idAdvances.map { case (c, (_, newHigh)) =>
-          (GeneratedCols.IdentityHighPrefix + c) -> newHigh.toString
-        })
+        if (idAdvProps.isEmpty) None
+        else Some(curProps ++ idAdvProps)
       // opt-in insert feed (O(batch), but a second write of the batch —
       // index-table appends don't want it; CDC-consumed tables do). A
       // caller-supplied "changes" extra always wins.

@@ -175,9 +175,14 @@ class CheckpointSpec extends SparkSpec {
     // the scan cost follows live file count: after one compact the same
     // 200-row read collapses with the file count while the version log
     // is 1 DEEPER than before
-    val tReadDeep = ms(VersionedTable.read(spark, root).count())
+    // best-of-3 both sides: single-shot wall times flake under host CPU
+    // steal (±15% is normal here); the 200-vs-few file gap is ~10×, so
+    // best-of-3 with no margin is a stable assertion of the SHAPE
+    val tReadDeep = (1 to 3).map(_ =>
+      ms(VersionedTable.read(spark, root).count())).min
     VersionedTable.compact(spark, root)
-    val tReadCompact = ms(VersionedTable.read(spark, root).count())
+    val tReadCompact = (1 to 3).map(_ =>
+      ms(VersionedTable.read(spark, root).count())).min
     assert(VersionedTable.read(spark, root).count() == n.toLong)
     assert(tReadCompact < tReadDeep,
       f"post-compact read ($tReadCompact%.0f ms) should beat the " +

@@ -294,6 +294,72 @@ class GeneratedColsSpec extends SparkSpec {
     }
   }
 
+  test("UPDATE of a referenced column regenerates stored expression " +
+    "columns; explicit SET is enforced; MERGE refuses naming them") {
+    val root = freshRoot()
+    VersionedTable.commit(
+      Seq((1L, 100.0), (2L, 200.0)).toDF("id", "amount"), root,
+      recordProperties = Some(Map(
+        GeneratedCols.ExprPrefix + "band" -> "CAST(floor(amount / 50.0) AS INT)")))
+    // COW road: SET amount regenerates band from the post-image
+    VersionedTable.updateWhere(spark, root, col("id") === 1L,
+      Map("amount" -> lit(900.0)))
+    assert(VersionedTable.read(spark, root).where(col("id") === 1L)
+      .select("band").as[Int].head() == 18)
+    // MOR road too
+    VersionedTable.setProperties(spark, root,
+      Map("graft.enableDeletionVectors" -> "true"))
+    VersionedTable.updateWhere(spark, root, col("id") === 2L,
+      Map("amount" -> lit(260.0)), mor = true)
+    assert(VersionedTable.read(spark, root).where(col("id") === 2L)
+      .select("band").as[Int].head() == 5)
+    // explicit SET of the generated column: an agreeing pair passes,
+    // a disagreeing pair is refused by the enforcement scan
+    VersionedTable.updateWhere(spark, root, col("id") === 1L,
+      Map("amount" -> lit(50.0), "band" -> lit(1)))
+    intercept[Exception] {
+      VersionedTable.updateWhere(spark, root, col("id") === 1L,
+        Map("amount" -> lit(75.0), "band" -> lit(9)))
+    }
+    // MERGE: naming a stored generated column is refused up front
+    // (GENERATED ALWAYS — it regenerates; see the merge spec below)
+    Seq((1L, 10.0)).toDF("id", "amount").createOrReplaceTempView("genup_src")
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.GraftSql.execute(spark,
+        s"""MERGE INTO `$root` t USING genup_src s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET band = 0""".stripMargin)
+    }
+    assert(e.getMessage.contains("GENERATED ALWAYS"))
+  }
+
+  test("INSERT OVERWRITE: the change feed carries populated generated and " +
+    "identity values, never the raw frame's nulls") {
+    val root = freshRoot()
+    VersionedTable.commit(
+      Seq((1L, 100.0)).toDF("id", "amount"), root,
+      recordProperties = Some(Map(
+        GeneratedCols.ExprPrefix + "band" -> "CAST(floor(amount / 50.0) AS INT)",
+        GeneratedCols.IdentityPrefix + "sk" -> "1,1")))
+    Seq((10L, 500.0), (11L, 75.0)).toDF("id", "amount")
+      .createOrReplaceTempView("genov_src")
+    graft.plans.GraftSql.execute(spark,
+      s"INSERT OVERWRITE `$root` SELECT * FROM genov_src")
+    val v = VersionedTable.currentVersion(spark, root).get
+    val ins = VersionedTable.readChanges(spark, root, v, v)
+      .where(col("_change_type") === "insert")
+      .select("id", "band", "sk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(ins.sortBy(_._1).map(t => (t._1, t._2)).toSeq ==
+      Seq((10L, 10), (11L, 1)), ins.toSeq.toString)
+    assert(ins.map(_._3).toSet == Set(2L, 3L), // overwrite re-allocated above high 1
+      s"feed must carry the allocated ids: ${ins.toSeq}")
+    // the feed agrees with the table
+    val tbl = VersionedTable.read(spark, root)
+      .select("id", "band", "sk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(tbl == ins.toSet)
+  }
+
   test("MERGE regenerates stored expression columns and allocates " +
     "identity for its inserts (the surrogate-key flow)") {
     val root = freshRoot()
