@@ -426,8 +426,12 @@ object VersionedTable {
     // point; the loser surfaces ConcurrentWriteException, which the
     // append/COW retry loops absorb and a bare commit() surfaces.
     val exprGens = GeneratedCols.exprsOf(carriedProps)
+    // resolved ONLY when expression generators exist: the common
+    // no-generator commit must not pay a version listing + schema read
+    // for a cast map nothing consumes
     val exprTypes: Map[String, org.apache.spark.sql.types.DataType] =
-      recordSchema
+      if (exprGens.isEmpty) Map.empty
+      else recordSchema
         .orElse(currentVersion(spark, root).flatMap(cv =>
           scala.util.Try(schemaOf(spark, root, cv)).toOption))
         .map(_.map(sf => sf.name -> sf.dataType).toMap).getOrElse(Map.empty)
@@ -788,14 +792,24 @@ object VersionedTable {
         // IN-COMMIT TIMESTAMP (marker line 2, [[commitTimeOf]]): the
         // wall clock clamped monotone against the PREDECESSOR's recorded
         // time — computed per attempt (a lost race re-targets n, so the
-        // predecessor changes) for one small memoized marker read, the
-        // AddFile-bookkeeping cost class. TIMESTAMP AS OF and history
-        // then resolve from what the commit SAID, not from file mtimes a
-        // copy/restore (or clock-skewed store) rewrites.
-        val ict = math.max(System.currentTimeMillis(),
-          (if (n > 1L)
-            try commitTimeOf(spark, root, n - 1) catch { case _: Exception => 0L }
-          else 0L) + 1L)
+        // predecessor changes). The predecessor's stamp comes from the
+        // per-root last-published cache when THIS process wrote it (the
+        // multi-commit lifecycle shape — zero extra I/O), else one small
+        // memoized marker read, the AddFile-bookkeeping cost class.
+        // A recreated-table-mid-JVM write could ride a stale cached
+        // stamp and record locally non-monotone; versionAsOf's read-side
+        // running-max clamp keeps resolution monotone regardless.
+        // TIMESTAMP AS OF and history then resolve from what the commit
+        // SAID, not from file mtimes a copy/restore rewrites.
+        val prevIct: Long =
+          if (n <= 1L) 0L
+          else Option(lastPublishedIct.get(root)) match {
+            case Some((pv, pt)) if pv == n - 1 => pt
+            case _ =>
+              try commitTimeOf(spark, root, n - 1)
+              catch { case _: Exception => 0L }
+          }
+        val ict = math.max(System.currentTimeMillis(), prevIct + 1L)
         if (!store.putIfAbsent(f, target,
             (dirName + "\n" + ict + "\n").getBytes("UTF-8"))) {
           // lost n to another writer (necessarily another process — this
@@ -813,7 +827,10 @@ object VersionedTable {
           try cvNow.foreach(assertWritable(spark, root, _))
           catch { case e: Throwable => f.delete(dir, true); throw e }
           n = next
-        } else won = n
+        } else {
+          won = n
+          lastPublishedIct.put(root, (n, ict))
+        }
       }
       won
     }
@@ -882,6 +899,12 @@ object VersionedTable {
     * the marker's identity (content is immutable once published). */
   private val commitTimes =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), java.lang.Long]()
+
+  /** (version, in-commit stamp) of the last marker THIS process
+    * published per root — the publish loop's zero-I/O source for the
+    * predecessor's stamp on consecutive same-process commits. */
+  private val lastPublishedIct =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
   def commitTimeOf(spark: SparkSession, root: String, v: Long): Long = {
     val key = (root, v, markerIdentity(spark, root, v))
     val got = commitTimes.get(key)
@@ -3028,9 +3051,11 @@ object VersionedTable {
       // already-carrying frame; the advance + basis check thread through
       // explicitly because this road built them, not commitCow.
       val curProps = propertiesOf(spark, root, cur)
-      val newDataE = GeneratedCols.populateExprs(newData1,
-        GeneratedCols.exprsOf(curProps),
-        schemaOf(spark, root, cur).map(sf => sf.name -> sf.dataType).toMap)
+      val appendExprs = GeneratedCols.exprsOf(curProps)
+      val newDataE =
+        if (appendExprs.isEmpty) newData1
+        else GeneratedCols.populateExprs(newData1, appendExprs,
+          schemaOf(spark, root, cur).map(sf => sf.name -> sf.dataType).toMap)
       val (newData2, idAdvProps, idCheck) =
         identityAllocate(spark, root, newDataE, curProps, Some(cur))
       val propsWithAdvance =
