@@ -194,4 +194,73 @@ object Sampling {
       .select(col(idCol), col(stratumCol), col("bucket"),
         col("rank"), col("weight").cast("long").as("weight"), col("pos"))
   }
+
+  /** p7: TEMPERATURE-WEIGHTED DOMAIN MIX — the multilingual / data-
+    * mixture resampling rule (mBERT/XLM sampling, the DoReMi baseline):
+    * target share q_d ∝ n_d^α with α = 1/2, so LOW-RESOURCE domains
+    * up-sample (by REPETITION, with an epoch counter) and high-resource
+    * ones down-sample, against a total budget of `totalTarget` rows.
+    *
+    * Integer-exact by construction, so an independent engine re-derives
+    * the same mix bit-for-bit: w_d = floor(sqrt(n_d · 10^6)) (IEEE sqrt
+    * is correctly rounded — every engine computes the same double, so
+    * the same floor), take_d = totalTarget · w_d div Σw — NO float sums
+    * whose addend ORDER could drift across engines. Each domain takes
+    * its first take_d docs in the deterministic (bucket, id) pseudo-
+    * random order, wrapping with `epoch` = 0,1,… for up-sampled domains
+    * (a doc's k-th repetition is epoch k; kept iff epoch·n_d + rank ≤
+    * take_d).
+    *
+    * Scale: domain counts are a map-side agg COLLECTED (config-sized —
+    * #domains rows, the legitimate driver-side scale) so the take
+    * arithmetic runs once in sorted order; the per-doc rank is the same
+    * two-level prefix sum as [[mixInterleave]] (bucket sums → tiny
+    * prefix window → within-bucket row_number, never a whole-stratum
+    * window); the epoch fan-out is a map-side sequence+explode bounded
+    * by ⌈take_d/n_d⌉. */
+  def temperatureMix(
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      totalTarget: Long,
+      salt: String): DataFrame = {
+    require(totalTarget >= 0, s"totalTarget must be >= 0, got $totalTarget")
+    import org.apache.spark.sql.expressions.Window
+    val rows = docs.select(
+      col(idCol), col(stratumCol), bucketOf(idCol, salt).as("bucket"))
+    val cts = rows.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val ws = cts.map { case (s, n) =>
+      (s, n, math.floor(math.sqrt(n.toDouble * 1000000.0)).toLong)
+    }
+    val wSum = math.max(1L, ws.map(_._3).sum)
+    val takes = ws.map { case (s, n, w) => (s, n, totalTarget * w / wSum) }
+    import spark.implicits._
+    val takesDf = takes.toSeq.toDF(stratumCol, "__n", "take")
+    val bucketPrefix = rows
+      .groupBy(col(stratumCol), col("bucket"))
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__bpre",
+        coalesce(
+          sum(col("__bn")).over(Window.partitionBy(stratumCol)
+            .orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col(stratumCol), col("bucket"), col("__bpre"))
+    val withinW = Window.partitionBy(col(stratumCol), col("bucket"))
+      .orderBy(col(idCol))
+    rows
+      .join(broadcast(bucketPrefix), Seq(stratumCol, "bucket"))
+      .join(broadcast(takesDf), stratumCol)
+      .withColumn("rank",
+        col("__bpre") + row_number().over(withinW).cast("long"))
+      // greatest(...) guards sequence's descending-on-negative gotcha for
+      // take = 0 domains; the filter then drops every epoch of them
+      .withColumn("epoch", explode(expr(
+        "sequence(0L, greatest((take + __n - 1) div __n, 1L) - 1)")))
+      .filter(col("epoch") * col("__n") + col("rank") <= col("take"))
+      .select(col(idCol), col(stratumCol), col("rank"), col("epoch"),
+        col("take"))
+  }
 }

@@ -18,7 +18,8 @@ object CurationQueries {
     "p2_sample_stratified" -> ((s, d) => p2(s, d)),
     "p3_pack_sequences"    -> ((s, d) => p3(s, d)),
     "p4_token_budget"      -> ((s, d) => p4(s, d)),
-    "p6_mix_interleave"    -> ((s, d) => p6(s, d))
+    "p6_mix_interleave"    -> ((s, d) => p6(s, d)),
+    "p7_temperature_mix"   -> ((s, d) => p7(s, d))
   )
 
   private val SampleSalt = "p2"
@@ -77,6 +78,25 @@ object CurationQueries {
     Sampling.mixInterleave(s, Tables.documents(s, dir), "doc_id", "source",
         MixWeights, MixSalt)
       .orderBy(col("pos"), col("source"), col("doc_id"))
+
+  private val TempSalt = "p7"
+  /** The p7 skew filter: domains keep every 1st/2nd/3rd/4th doc by index
+    * class, so per-domain counts genuinely differ and the temperature
+    * rule has something to rebalance (the raw test corpus is uniform). */
+  private val SkewSql =
+    "doc_id % (1 + CAST(substring(source, 4) AS INT) % 4) = 0"
+
+  /** p7: temperature-weighted domain mix (q_d ∝ n_d^½) over a skewed
+    * slice of the documents table, total budget = the slice's own size —
+    * small domains up-sample by repetition (epoch > 0 rows appear),
+    * large ones truncate. Integer-exact arithmetic end to end, so the
+    * oracle re-derives the identical mix. */
+  def p7(s: SparkSession, dir: String): DataFrame = {
+    val skewed = Tables.documents(s, dir).where(expr(SkewSql))
+    val total = skewed.count()
+    Sampling.temperatureMix(s, skewed, "doc_id", "source", total, TempSalt)
+      .orderBy(col("doc_id"), col("epoch"))
+  }
 
   // ---- oracle SQL ---------------------------------------------------------
 
@@ -141,6 +161,35 @@ object CurationQueries {
          |  (r.rank * ${Sampling.PosScale}) // m.weight AS pos
          |FROM r JOIN m USING (source)
          |ORDER BY pos, source, doc_id""".stripMargin
+    },
+
+    // the identical integer-exact arithmetic: counts → w = floor(sqrt
+    // (n·10⁶)) (IEEE sqrt, same double in every engine) → take = T·w
+    // div Σw → rank over the same (bucket, id) order → epoch fan-out
+    "p7_temperature_mix" -> {
+      val keyExpr = s"'$TempSalt|' || doc_id::VARCHAR || '|mix'"
+      s"""WITH base AS (
+         |  SELECT doc_id, source FROM documents WHERE $SkewSql),
+         |h AS (SELECT doc_id, source,
+         |    ${polyHashSql(keyExpr)} % ${Sampling.Buckets} AS bucket
+         |  FROM base),
+         |n AS (SELECT source, count(*)::BIGINT AS n FROM h GROUP BY source),
+         |w AS (SELECT source, n,
+         |    CAST(floor(sqrt(n * 1000000.0)) AS BIGINT) AS w FROM n),
+         |t AS (SELECT source, n,
+         |    ((SELECT count(*) FROM base) * w)
+         |      // (SELECT sum(w)::BIGINT FROM w) AS take FROM w),
+         |r AS (SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY bucket, doc_id)::BIGINT AS rank
+         |  FROM h),
+         |e AS (SELECT CAST(unnest(range(0, (SELECT CAST(max(
+         |    greatest((take + n - 1) // n, 1)) AS BIGINT) FROM t))) AS BIGINT)
+         |    AS epoch)
+         |SELECT r.doc_id, r.source, r.rank, e.epoch, t.take
+         |FROM r JOIN t USING (source) CROSS JOIN e
+         |WHERE e.epoch * t.n + r.rank <= t.take
+         |ORDER BY doc_id, epoch""".stripMargin
     },
 
     // the identical greedy fold, unrolled as a recursive CTE over the

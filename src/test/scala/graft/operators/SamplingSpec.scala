@@ -150,4 +150,41 @@ class SamplingSpec extends SparkSpec {
       sorted.foreach { case (_, _, _, n, c) => cum += n; assert(c == cum) }
     }
   }
+
+  test("temperatureMix: q_d ∝ √n_d — small domains up-sample by " +
+    "repetition, large ones truncate, the budget holds exactly") {
+    // skewed corpus: 400 / 100 / 25 docs per domain
+    val skewed = ((0L until 400L).map(i => (i, "big")) ++
+      (1000L until 1100L).map(i => (i, "mid")) ++
+      (2000L until 2025L).map(i => (i, "small"))).toDF("id", "g")
+    val total = 525L
+    val out = Sampling.temperatureMix(spark, skewed, "id", "g", total, "t7")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // exact integer arithmetic: w = floor(sqrt(n·10⁶)), take = T·w div Σw
+    val w = Map("big" -> 20000L, "mid" -> 10000L,
+      "small" -> math.floor(math.sqrt(25000000.0)).toLong)
+    val wSum = w.values.sum
+    val expTake = w.map { case (g, ww) => g -> total * ww / wSum }
+    val byG = out.groupBy(_._2)
+    expTake.foreach { case (g, t) =>
+      assert(byG(g).length == t, s"$g: ${byG(g).length} != $t")
+    }
+    // the small domain up-sampled: epochs beyond 0 present, and each
+    // epoch repeats the SAME deterministic prefix order
+    val small = byG("small")
+    assert(small.exists(_._4 > 0), "small domain should repeat (epoch > 0)")
+    val e0 = small.filter(_._4 == 0).map(t => (t._1, t._3)).sortBy(_._2).toSeq
+    val e1 = small.filter(_._4 == 1).map(t => (t._1, t._3)).sortBy(_._2).toSeq
+    assert(e1.nonEmpty && e1 == e0.take(e1.length),
+      s"epoch 1 must replay epoch 0's prefix")
+    // the big domain truncated: a strict deterministic prefix
+    val big = byG("big")
+    assert(big.forall(_._4 == 0L) && big.length < 400)
+    // deterministic end to end
+    val again = Sampling.temperatureMix(spark, skewed, "id", "g", total, "t7")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSet == again.toSet)
+  }
 }
