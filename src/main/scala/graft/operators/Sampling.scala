@@ -169,8 +169,25 @@ object Sampling {
       s"mixInterleave weights must be > 0, got: " +
         weights.filter(_._2 <= 0).map { case (s, w) => s"$s:$w" }.mkString(","))
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val weightsDf = weights.toDF(stratumCol, "weight")
+    rankByBucket(docs, idCol, stratumCol, salt)
+      .join(broadcast(weightsDf), stratumCol)
+      .withColumn("pos", expr(s"(rank * ${PosScale}L) div weight"))
+      .select(col(idCol), col(stratumCol), col("bucket"),
+        col("rank"), col("weight").cast("long").as("weight"), col("pos"))
+  }
+
+  /** The shared per-stratum PSEUDO-RANDOM RANK (1-based, in (bucket, id)
+    * order) via the two-level distributed prefix sum: per-(stratum,
+    * bucket) counts → exclusive prefix over the ≤[[Buckets]] bucket
+    * sums per stratum (a window over a config-sized aggregate,
+    * broadcast back) → within-bucket row_number. NEVER a whole-stratum
+    * window — each window partition is 1/[[Buckets]] of a stratum.
+    * Used by [[mixInterleave]] and [[temperatureMix]]. */
+  private def rankByBucket(
+      docs: DataFrame, idCol: String, stratumCol: String,
+      salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val rows = docs.select(
       col(idCol), col(stratumCol), bucketOf(idCol, salt).as("bucket"))
     val bucketPrefix = rows
@@ -187,12 +204,9 @@ object Sampling {
       .orderBy(col(idCol))
     rows
       .join(broadcast(bucketPrefix), Seq(stratumCol, "bucket"))
-      .join(broadcast(weightsDf), stratumCol)
       .withColumn("rank",
         col("__bpre") + row_number().over(withinW).cast("long"))
-      .withColumn("pos", expr(s"(rank * ${PosScale}L) div weight"))
-      .select(col(idCol), col(stratumCol), col("bucket"),
-        col("rank"), col("weight").cast("long").as("weight"), col("pos"))
+      .drop("__bpre")
   }
 
   /** p7: TEMPERATURE-WEIGHTED DOMAIN MIX — the multilingual / data-
@@ -223,38 +237,36 @@ object Sampling {
       docs: DataFrame,
       idCol: String,
       stratumCol: String,
-      totalTarget: Long,
+      totalTarget: Option[Long],
       salt: String): DataFrame = {
-    require(totalTarget >= 0, s"totalTarget must be >= 0, got $totalTarget")
-    import org.apache.spark.sql.expressions.Window
-    val rows = docs.select(
-      col(idCol), col(stratumCol), bucketOf(idCol, salt).as("bucket"))
+    require(totalTarget.forall(_ >= 0),
+      s"totalTarget must be >= 0, got $totalTarget")
+    // null strata are DROPPED (there is no whitelist join here to drop
+    // them, and a null domain has no meaningful resample weight); the
+    // stratum compares as STRING internally so any atomic stratum type
+    // works — the output surfaces it as string
+    val rows = docs
+      .filter(col(stratumCol).isNotNull)
+      .withColumn(stratumCol, col(stratumCol).cast("string"))
     val cts = rows.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    // None = the corpus's own size: on-average one epoch, small domains
+    // up, large down — and no extra counting scan for the caller
+    val target = totalTarget.getOrElse(cts.map(_._2).sum)
     val ws = cts.map { case (s, n) =>
       (s, n, math.floor(math.sqrt(n.toDouble * 1000000.0)).toLong)
     }
     val wSum = math.max(1L, ws.map(_._3).sum)
-    val takes = ws.map { case (s, n, w) => (s, n, totalTarget * w / wSum) }
+    // BigInt keeps target·w exact for any Long-sized corpus (a 10¹²-row
+    // target times a 10⁸ weight wraps a Long); take ≤ target, so the
+    // result always fits back
+    val takes = ws.map { case (s, n, w) =>
+      (s, n, (BigInt(target) * w / wSum).toLong)
+    }
     import spark.implicits._
     val takesDf = takes.toSeq.toDF(stratumCol, "__n", "take")
-    val bucketPrefix = rows
-      .groupBy(col(stratumCol), col("bucket"))
-      .agg(count(lit(1)).as("__bn"))
-      .withColumn("__bpre",
-        coalesce(
-          sum(col("__bn")).over(Window.partitionBy(stratumCol)
-            .orderBy(col("bucket"))
-            .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select(col(stratumCol), col("bucket"), col("__bpre"))
-    val withinW = Window.partitionBy(col(stratumCol), col("bucket"))
-      .orderBy(col(idCol))
-    rows
-      .join(broadcast(bucketPrefix), Seq(stratumCol, "bucket"))
+    rankByBucket(rows, idCol, stratumCol, salt)
       .join(broadcast(takesDf), stratumCol)
-      .withColumn("rank",
-        col("__bpre") + row_number().over(withinW).cast("long"))
       // greatest(...) guards sequence's descending-on-negative gotcha for
       // take = 0 domains; the filter then drops every epoch of them
       .withColumn("epoch", explode(expr(

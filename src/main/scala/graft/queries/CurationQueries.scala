@@ -93,8 +93,9 @@ object CurationQueries {
     * oracle re-derives the identical mix. */
   def p7(s: SparkSession, dir: String): DataFrame = {
     val skewed = Tables.documents(s, dir).where(expr(SkewSql))
-    val total = skewed.count()
-    Sampling.temperatureMix(s, skewed, "doc_id", "source", total, TempSalt)
+    // None = budget is the slice's own size, derived from the operator's
+    // per-domain counts — no separate counting scan
+    Sampling.temperatureMix(s, skewed, "doc_id", "source", None, TempSalt)
       .orderBy(col("doc_id"), col("epoch"))
   }
 

@@ -792,23 +792,19 @@ object VersionedTable {
         // IN-COMMIT TIMESTAMP (marker line 2, [[commitTimeOf]]): the
         // wall clock clamped monotone against the PREDECESSOR's recorded
         // time — computed per attempt (a lost race re-targets n, so the
-        // predecessor changes). The predecessor's stamp comes from the
-        // per-root last-published cache when THIS process wrote it (the
-        // multi-commit lifecycle shape — zero extra I/O), else one small
-        // memoized marker read, the AddFile-bookkeeping cost class.
-        // A recreated-table-mid-JVM write could ride a stale cached
-        // stamp and record locally non-monotone; versionAsOf's read-side
-        // running-max clamp keeps resolution monotone regardless.
-        // TIMESTAMP AS OF and history then resolve from what the commit
-        // SAID, not from file mtimes a copy/restore rewrites.
+        // predecessor changes) through commitTimeOf's marker-identity
+        // memo: one stat + (first time per version) one small read, the
+        // AddFile-bookkeeping cost class. Deliberately NOT a bare
+        // per-root cache: a table recreated at the same root mid-JVM
+        // would satisfy a version-number match with the OLD table's
+        // stamp and record non-monotone history; the identity-keyed memo
+        // re-reads when the marker changes. TIMESTAMP AS OF and history
+        // then resolve from what the commit SAID, not from file mtimes a
+        // copy/restore rewrites.
         val prevIct: Long =
           if (n <= 1L) 0L
-          else Option(lastPublishedIct.get(root)) match {
-            case Some((pv, pt)) if pv == n - 1 => pt
-            case _ =>
-              try commitTimeOf(spark, root, n - 1)
-              catch { case _: Exception => 0L }
-          }
+          else try commitTimeOf(spark, root, n - 1)
+               catch { case _: Exception => 0L }
         val ict = math.max(System.currentTimeMillis(), prevIct + 1L)
         if (!store.putIfAbsent(f, target,
             (dirName + "\n" + ict + "\n").getBytes("UTF-8"))) {
@@ -827,10 +823,7 @@ object VersionedTable {
           try cvNow.foreach(assertWritable(spark, root, _))
           catch { case e: Throwable => f.delete(dir, true); throw e }
           n = next
-        } else {
-          won = n
-          lastPublishedIct.put(root, (n, ict))
-        }
+        } else won = n
       }
       won
     }
@@ -899,12 +892,6 @@ object VersionedTable {
     * the marker's identity (content is immutable once published). */
   private val commitTimes =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), java.lang.Long]()
-
-  /** (version, in-commit stamp) of the last marker THIS process
-    * published per root — the publish loop's zero-I/O source for the
-    * predecessor's stamp on consecutive same-process commits. */
-  private val lastPublishedIct =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
   def commitTimeOf(spark: SparkSession, root: String, v: Long): Long = {
     val key = (root, v, markerIdentity(spark, root, v))
     val got = commitTimes.get(key)

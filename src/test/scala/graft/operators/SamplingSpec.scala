@@ -158,7 +158,7 @@ class SamplingSpec extends SparkSpec {
       (1000L until 1100L).map(i => (i, "mid")) ++
       (2000L until 2025L).map(i => (i, "small"))).toDF("id", "g")
     val total = 525L
-    val out = Sampling.temperatureMix(spark, skewed, "id", "g", total, "t7")
+    val out = Sampling.temperatureMix(spark, skewed, "id", "g", Some(total), "t7")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
         r.getLong(3), r.getLong(4)))
     // exact integer arithmetic: w = floor(sqrt(n·10⁶)), take = T·w div Σw
@@ -182,7 +182,7 @@ class SamplingSpec extends SparkSpec {
     val big = byG("big")
     assert(big.forall(_._4 == 0L) && big.length < 400)
     // deterministic end to end
-    val again = Sampling.temperatureMix(spark, skewed, "id", "g", total, "t7")
+    val again = Sampling.temperatureMix(spark, skewed, "id", "g", Some(total), "t7")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
         r.getLong(3), r.getLong(4)))
     assert(out.toSet == again.toSet)
