@@ -924,7 +924,7 @@ object GraftSql {
             val alignedE = graft.sources.GeneratedCols.populateExprs(alignedG,
               graft.sources.GeneratedCols.exprsOf(baseProps),
               target.map(f => f.name -> f.dataType).toMap)
-            val (populated, idAdvProps, idCheck) =
+            val (populated, idAdvProps, idCheck, idRelease) =
               VersionedTable.identityAllocate(spark, root, alignedE,
                 baseProps, Some(base))
             val feed = VersionedTable.readVersion(spark, root, base)
@@ -950,6 +950,9 @@ object GraftSql {
               case _: Sinks.ConcurrentWriteException if attempt < maxAttempts =>
                 Sinks.backoff(attempt)
             }
+            // per attempt: a lost race re-allocates against fresh state,
+            // the superseded pin's blocks must not outlive the attempt
+            finally idRelease()
           }
           out.get
         } else {
@@ -1535,13 +1538,31 @@ object GraftSql {
         s"MERGE cannot assign stored generated column(s) " +
           s"${exprNamed.toSeq.sorted.mkString(", ")} — they regenerate " +
           "from their recorded expression (GENERATED ALWAYS)")
-      val starAssigns: Set[String] =
-        if ((m.matchedActions ++ m.notMatchedActions).exists {
-            case _: UpdateStarAction | _: InsertStarAction => true
-            case _ => false
-          }) sDf.columns.map(_.toLowerCase).toSet
-        else Set.empty
-      val explicitAssigns: Set[String] = namedAssigns ++ starAssigns
+      // IDENTITY allocation is decided PER INSERT ACTION, never pooled
+      // across the merge: a matched UPDATE assigning the column — or a
+      // sibling INSERT carrying it explicitly — must not suppress
+      // allocation for an INSERT action that omits it (the pooled form
+      // silently wrote null ids into a non-nullable column). freeIdents
+      // = identity columns at least one insert action omits; within
+      // those, the MIXED ones (some action assigns, some doesn't) keep
+      // explicit values per row, restored by the fate code below.
+      val insertAssigns: Seq[Set[String]] = m.notMatchedActions.map {
+        case i: InsertAction =>
+          i.assignments.map(as => keyName(as.key).toLowerCase).toSet
+        case _: InsertStarAction => sDf.columns.map(_.toLowerCase).toSet
+        case _ => Set.empty[String]
+      }
+      val assigningIdx: Map[String, Seq[Int]] = identDefs.keys.map { c =>
+        c -> insertAssigns.zipWithIndex.collect {
+          case (s, i) if s(c.toLowerCase) => i }
+      }.toMap
+      // empty notMatchedActions ⇒ no free columns ⇒ the allocation (and
+      // its O(batch) pin + count) is skipped entirely on update-only
+      // merges — inserts0 is provably empty there
+      val freeIdents = identDefs.filter { case (c, _) =>
+        assigningIdx(c).size < m.notMatchedActions.size }
+      val mixedIdents: Seq[String] = freeIdents.keys.toSeq
+        .filter(c => assigningIdx(c).nonEmpty).sorted
       def assignsOf(a: MergeAction): Map[String, Column] = withGenerated(a match {
         case u: UpdateAction =>
           checked(u.assignments.map(as =>
@@ -1593,15 +1614,21 @@ object GraftSql {
       val survivors = joined.filter(tPresent && fate =!= -1).select(outValues: _*)
 
       val fateIns = fateChain(m.notMatchedActions, i => i)
+      val fateInsCol = "__graft_fate_ins"
+      val insertCols = tSchema.fields.toSeq.map { f =>
+        m.notMatchedActions.zipWithIndex.foldRight(lit(null): Column) {
+          case ((a, i), rest) =>
+            assignsOf(a).get(f.name)
+              .map(v => when(fateIns === i, v).otherwise(rest))
+              .getOrElse(rest)
+        }.cast(f.dataType).as(f.name)
+      }
+      // a MIXED identity column needs the deciding action's code per
+      // row to restore explicit values after allocation — carried as a
+      // helper column, dropped before the frame leaves this road
       val inserts0 = joined.filter(!tPresent && sPresent && fateIns >= 0)
-        .select(tSchema.fields.toSeq.map { f =>
-          m.notMatchedActions.zipWithIndex.foldRight(lit(null): Column) {
-            case ((a, i), rest) =>
-              assignsOf(a).get(f.name)
-                .map(v => when(fateIns === i, v).otherwise(rest))
-                .getOrElse(rest)
-          }.cast(f.dataType).as(f.name)
-        }: _*)
+        .select((if (mixedIdents.isEmpty) insertCols
+                 else insertCols :+ fateIns.as(fateInsCol)): _*)
 
       // Regeneration + allocation over the written frames: stored
       // expression columns recompute on every written row (an UPDATE
@@ -1622,14 +1649,37 @@ object GraftSql {
             .getOrElse(expr(text))
           d.withColumn(name, computed.as(name, meta))
         }
-      val freeIdents = identDefs.filterNot { case (c, _) =>
-        explicitAssigns(c.toLowerCase) }
-      val (inserts, idAdvProps, idCheck) =
+      val (inserts, idAdvProps, idCheck, idRelease) =
         if (freeIdents.isEmpty)
-          (regenExprs(inserts0), Map.empty[String, String], (_: Long) => ())
-        else VersionedTable.identityAllocate(spark, root,
-          regenExprs(inserts0).drop(freeIdents.keys.toSeq: _*),
-          tableProps, Some(base), Some(freeIdents))
+          (regenExprs(inserts0), Map.empty[String, String], (_: Long) => (),
+            () => ())
+        else {
+          // park mixed columns' explicit values under helper names,
+          // allocate for EVERY insert row (ids consumed by rows that
+          // then keep their explicit value leave gaps — the BY DEFAULT
+          // contract permits gaps), restore per row by the fate code
+          val parked = mixedIdents.foldLeft(regenExprs(inserts0)) { (d, c) =>
+            d.withColumnRenamed(
+              d.columns.find(_.equalsIgnoreCase(c)).getOrElse(c),
+              "__graft_explicit_" + c.toLowerCase) }
+          val pureFree = freeIdents.keys.toSeq
+            .filterNot(c => assigningIdx(c).nonEmpty)
+          val (alloc, adv, chk, rel) = VersionedTable.identityAllocate(
+            spark, root, parked.drop(pureFree: _*),
+            tableProps, Some(base), Some(freeIdents))
+          val restored = mixedIdents.foldLeft(alloc) { (d, c) =>
+            val name = tSchema.find(_.name.equalsIgnoreCase(c))
+              .map(_.name).getOrElse(c)
+            val explicitC = "__graft_explicit_" + c.toLowerCase
+            d.withColumn(name,
+              when(col(fateInsCol).isin(assigningIdx(c): _*),
+                col(explicitC).cast(org.apache.spark.sql.types.LongType))
+                .otherwise(col(name)))
+              .drop(explicitC)
+          }
+          (if (mixedIdents.isEmpty) restored else restored.drop(fateInsCol),
+            adv, chk, rel)
+        }
       val advProps: Option[Map[String, String]] =
         if (idAdvProps.isEmpty) None else Some(tableProps ++ idAdvProps)
 
@@ -1694,6 +1744,9 @@ object GraftSql {
           // jittered backoff, as every OCC retry loop
           Sinks.backoff(attempt)
       }
+      // per attempt: a lost race re-allocates against fresh properties,
+      // the superseded pin's blocks must not outlive the attempt
+      finally idRelease()
     }
     out.get
   }

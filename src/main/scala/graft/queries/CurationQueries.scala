@@ -170,7 +170,8 @@ object CurationQueries {
     "p7_temperature_mix" -> {
       val keyExpr = s"'$TempSalt|' || doc_id::VARCHAR || '|mix'"
       s"""WITH base AS (
-         |  SELECT doc_id, source FROM documents WHERE $SkewSql),
+         |  SELECT doc_id, source FROM documents
+         |  WHERE ($SkewSql) AND source IS NOT NULL),
          |h AS (SELECT doc_id, source,
          |    ${polyHashSql(keyExpr)} % ${Sampling.Buckets} AS bucket
          |  FROM base),

@@ -319,11 +319,15 @@ object GeneratedCols {
     * extra O(batch) counting job, never O(table), and the ids come out
     * unique, monotone in commit order, and dense; gaps appear only when
     * a commit aborts after allocating, which the identity contract
-    * permits. Returns the populated frame and, per populated column,
+    * permits. Returns the populated frame, per populated column
     * (recorded basis raw value, new high) — the commit records the
     * advance in the SAME version and re-validates the basis inside its
     * publish claim, so concurrent allocators serialize through the
-    * store's linearization point instead of colliding.
+    * store's linearization point instead of colliding — and a RELEASE
+    * thunk freeing the pin's storage blocks: the commit roads call it
+    * once the attempt that allocated is decided (published or
+    * superseded by an OCC retry), so retry loops don't accumulate one
+    * pinned batch per lost race.
     *
     * The batch is evaluated twice (count + assignment), the standard
     * Spark zip contract: the frame must recompute deterministically, as
@@ -332,11 +336,12 @@ object GeneratedCols {
       df: org.apache.spark.sql.DataFrame,
       idents: Map[String, Identity],
       props: Map[String, String])
-      : (org.apache.spark.sql.DataFrame, Map[String, (Option[String], Long)]) = {
+      : (org.apache.spark.sql.DataFrame,
+         Map[String, (Option[String], Long)], () => Unit) = {
     val missing = idents.values
       .filter(i => !df.columns.exists(_.equalsIgnoreCase(i.col)))
       .toSeq.sortBy(_.col)
-    if (missing.isEmpty) return (df, Map.empty)
+    if (missing.isEmpty) return (df, Map.empty, () => ())
     val spark = df.sparkSession
     val basisLast: Seq[(Identity, Option[String], Long)] = missing.map { i =>
       val basis = props.get(i.highProp)
@@ -360,8 +365,15 @@ object GeneratedCols {
     // O(batch) materialization (MEMORY_AND_DISK), bounded by the staged
     // batch the commit writes anyway — and it ABSORBS the count job the
     // advance needs (counting checkpointed blocks is metadata-fast).
-    val out = spark.createDataFrame(rdd, outSchema).localCheckpoint(eager = true)
-    val n = out.count()
+    // Checkpoint (lineage TRUNCATED — a lost block fails loudly instead
+    // of silently re-zipping to different ids) on OUR RDD handle, not
+    // Dataset.localCheckpoint whose internal RDD the caller cannot
+    // reach: the returned release thunk unpersists it, so an OCC retry
+    // loop frees each superseded attempt's blocks instead of leaking
+    // one pinned batch per lost race.
+    rdd.localCheckpoint()
+    val n = rdd.count()
+    val out = spark.createDataFrame(rdd, outSchema)
     // an EMPTY batch still gets the columns (schema gates downstream)
     // but records no advance — a zero-row commit must not invent a
     // high-water below start or force conflicts on concurrent allocators
@@ -370,7 +382,7 @@ object GeneratedCols {
       else basisLast.map { case (i, basis, last) =>
         i.col -> (basis, last + i.step * n)
       }.toMap
-    (out, advances)
+    (out, advances, () => { rdd.unpersist(blocking = false); () })
   }
 
   private def attrOf(e: Expression): Option[String] = TableStats.attrName(e)

@@ -253,8 +253,9 @@ object VersionedTable {
         // through [[completeSnapshotBytes]] (normally one just-written
         // `_sizes` read; a legacy vintage pays its distributed stat ONCE
         // here and never again), earlier entries carry forward — so a
-        // deep history answers sizing from this file + the tail, and the
-        // sizes survive vacuum dropping the version dirs. Per-version
+        // deep history answers sizing from this file + the tail for
+        // RETAINED versions only (vacuumed versions prune below: no
+        // consumer sizes a version gone from the log). Per-version
         // best-effort: one unsizable version skips, never blocks. Only a
         // COMPLETE sizing is persisted — statRefs degrades an
         // unreachable ref to absent, and freezing that transient
@@ -341,11 +342,11 @@ object VersionedTable {
       spark: SparkSession, root: String, df: DataFrame,
       props: Map[String, String], base: Option[Long],
       idents0: Option[Map[String, GeneratedCols.Identity]] = None)
-      : (DataFrame, Map[String, String], Long => Unit) = {
+      : (DataFrame, Map[String, String], Long => Unit, () => Unit) = {
     val idents = idents0.getOrElse(GeneratedCols.identitiesOf(props))
-    if (idents.isEmpty) return (df, Map.empty, _ => ())
-    val (df1, adv) = GeneratedCols.populateIdentity(df, idents, props)
-    if (adv.isEmpty) return (df1, Map.empty, _ => ())
+    if (idents.isEmpty) return (df, Map.empty, _ => (), () => ())
+    val (df1, adv, release) = GeneratedCols.populateIdentity(df, idents, props)
+    if (adv.isEmpty) return (df1, Map.empty, _ => (), release)
     val advProps = adv.map { case (c, (_, newHigh)) =>
       (GeneratedCols.IdentityHighPrefix + c) -> newHigh.toString
     }
@@ -356,7 +357,7 @@ object VersionedTable {
           throw new Sinks.ConcurrentWriteException(root, base, Some(nowV))
       }
     }
-    (df1, advProps, check)
+    (df1, advProps, check, release)
   }
 
   /** [[commit]] with a pre-publish hook: `finalize(fs, versionDir, v)`
@@ -436,7 +437,7 @@ object VersionedTable {
           scala.util.Try(schemaOf(spark, root, cv)).toOption))
         .map(_.map(sf => sf.name -> sf.dataType).toMap).getOrElse(Map.empty)
     val df0e = GeneratedCols.populateExprs(df0g, exprGens, exprTypes)
-    val (df0, idAdvProps, idCheck) =
+    val (df0, idAdvProps, idCheck, idRelease) =
       identityAllocate(spark, root, df0e, carriedProps, None)
     val preCommitId: Long => Unit = w => { idCheck(w); preCommit(w) }
     // caller-provided = present WITHOUT the populate marker: a column
@@ -667,7 +668,17 @@ object VersionedTable {
       // a reader IGNORING the default metadata would serve null where
       // the table's contract says the default — silently wrong values
       if (schemaToRecord.exists(_.metadata.contains("EXISTS_DEFAULT")))
-        Some("default-columns") else None
+        Some("default-columns") else None,
+      // every commit this build publishes carries the TWO-LINE marker
+      // (line 2 = in-commit timestamp): a build that parses the whole
+      // marker content as the data-dir name mis-resolves every new
+      // commit, so the capability is a READER feature, recorded
+      // unconditionally. A features-aware-but-ICT-ignorant build now
+      // fails with ProtocolException instead of a path error; builds
+      // predating the protocol gate itself still fail on dir
+      // resolution (the marker syntax IS the change — no file older
+      // readers consult can veto it first).
+      Some("in-commit-timestamps")
     ).flatten
     // WRITER-ONLY features: stored values read as plain columns, but a
     // metadata-ignorant writer would append rows violating the
@@ -832,6 +843,12 @@ object VersionedTable {
     // O(1) reader resolution instead of log scans, and txn high-water
     // marks that outlive vacuum
     writeCheckpoint(spark, root, published)
+    // free the identity pin's blocks (no-op when nothing allocated):
+    // the staged write above was the pin's last consumer. Failure paths
+    // between allocation and here leave the blocks to the JVM's block
+    // manager (same cost class as an aborted staging dir); the retrying
+    // roads allocate BEFORE this function and release per attempt.
+    idRelease()
     published
   }
 
@@ -993,7 +1010,8 @@ object VersionedTable {
     * idea, table-features form. */
   val SupportedReaderFeatures: Set[String] = Set(
     "deletion-vectors", "column-mapping", "partition-spec",
-    "widened-types", "copy-ledger", "default-columns")
+    "widened-types", "copy-ledger", "default-columns",
+    "in-commit-timestamps")
 
   /** Features THIS build can write against. Writing to a table whose
     * current version requires an unknown feature could break that
@@ -2231,7 +2249,7 @@ object VersionedTable {
     val newDataE = GeneratedCols.populateExprs(newDataG,
       GeneratedCols.exprsOf(curProps0),
       curSchema.map(sf => sf.name -> sf.dataType).toMap)
-    val (newData0, idAdvProps, idCheck) =
+    val (newData0, idAdvProps, idCheck, idRelease) =
       identityAllocate(spark, root, newDataE, curProps0, Some(cur))
     val propsWithAdvance =
       if (idAdvProps.isEmpty) recordProperties
@@ -2245,10 +2263,14 @@ object VersionedTable {
       throw new SchemaMismatchException(root, cur, curSchema, newData0.schema)
     // record the CURRENT schema (canonical order + evolve's nullability
     // marks), not newData's incidental one
-    commitCowInternal(newData0, root, cur, keptFiles, extras, bloomCols,
+    // release per call: commitCow runs once per OCC attempt inside its
+    // callers' retry loops — freeing the pin here (win or lose) keeps a
+    // contended writer from accumulating one pinned batch per lost race
+    try commitCowInternal(newData0, root, cur, keptFiles, extras, bloomCols,
       preCommit = w => { idCheck(w); preCommit(w) },
       recordSchema = Some(curSchema), rebase = rebase,
       recordInfo = recordInfo, recordProperties = propsWithAdvance)
+    finally idRelease()
   }
 
   /** Thrown by [[commitCow]]/[[commitAppend]] when the incoming frame's
@@ -3043,7 +3065,7 @@ object VersionedTable {
         if (appendExprs.isEmpty) newData1
         else GeneratedCols.populateExprs(newData1, appendExprs,
           schemaOf(spark, root, cur).map(sf => sf.name -> sf.dataType).toMap)
-      val (newData2, idAdvProps, idCheck) =
+      val (newData2, idAdvProps, idCheck, idRelease) =
         identityAllocate(spark, root, newDataE, curProps, Some(cur))
       val propsWithAdvance =
         if (idAdvProps.isEmpty) None
@@ -3088,10 +3110,15 @@ object VersionedTable {
         else new AppendRebase(spark, root, cur, allowDml = true,
           interest = () =>
             dataFileRefs(spark, root, cur).filter(r => dvTails(refTail(r))).toSet)
-      commitCow(newData2, root, dataFileRefs(spark, root, cur), withFeed, bloomCols,
+      // release per attempt (finally: a lost race re-enters this
+      // closure and re-allocates against fresh properties — the
+      // superseded attempt's pinned blocks must not outlive it)
+      try commitCow(newData2, root, dataFileRefs(spark, root, cur), withFeed,
+        bloomCols,
         preCommit = v => { idCheck(v); preCommit(v); rb.validate(v) },
         rebase = Some(rb), recordInfo = info,
         recordProperties = propsWithAdvance)
+      finally idRelease()
     }
   }
 

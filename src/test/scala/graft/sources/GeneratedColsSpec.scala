@@ -402,6 +402,66 @@ class GeneratedColsSpec extends SparkSpec {
     assert(post.toSeq == Seq(18))
   }
 
+  test("MERGE identity is decided PER ACTION: an UPDATE assigning the " +
+    "column never suppresses allocation for an INSERT that omits it") {
+    val root = freshRoot()
+    VersionedTable.commit(
+      Seq((1L, 100.0), (2L, 200.0)).toDF("id", "amount"), root,
+      recordProperties = Some(Map(
+        GeneratedCols.IdentityPrefix + "sk" -> "10,1")))
+    // seed allocated sk 10, 11 — high = 11
+    Seq((2L, 900.0, 77L), (3L, 75.0, 0L)).toDF("id", "amount", "sk")
+      .createOrReplaceTempView("genid_peract_src")
+    graft.plans.GraftSql.execute(spark,
+      s"""MERGE INTO `$root` t USING genid_peract_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET amount = s.amount, sk = s.sk
+         |WHEN NOT MATCHED THEN INSERT (id, amount) VALUES (s.id, s.amount)
+         |""".stripMargin)
+    val got = VersionedTable.read(spark, root).orderBy("id")
+      .select("id", "sk").as[(Long, Long)].collect().toSeq
+    // the matched row took its EXPLICIT update (77); the insert row —
+    // whose action omits sk — ALLOCATED above the high, never null
+    // (the pooled pre-fix form let the update's assignment suppress it)
+    assert(got == Seq((1L, 10L), (2L, 77L), (3L, 12L)), got.toString)
+    val v = VersionedTable.currentVersion(spark, root).get
+    assert(VersionedTable.propertiesOf(spark, root, v)
+      .get(GeneratedCols.IdentityHighPrefix + "sk").contains("12"))
+    // the feed's insert row carries the allocated id too
+    val ins = VersionedTable.readChanges(spark, root, v, v)
+      .where(col("_change_type") === "insert")
+      .select("sk").as[Long].collect()
+    assert(ins.toSeq == Seq(12L))
+  }
+
+  test("MERGE identity, MIXED insert actions: the assigning action keeps " +
+    "its explicit value per row, the omitting action allocates") {
+    val root = freshRoot()
+    VersionedTable.commit(
+      Seq((1L, 100.0)).toDF("id", "amount"), root,
+      recordProperties = Some(Map(
+        GeneratedCols.IdentityPrefix + "sk" -> "10,1")))
+    // seed allocated sk 10 — high = 10
+    Seq((3L, 75.0), (4L, 33.0)).toDF("id", "amount")
+      .createOrReplaceTempView("genid_mixed_src")
+    graft.plans.GraftSql.execute(spark,
+      s"""MERGE INTO `$root` t USING genid_mixed_src s ON t.id = s.id
+         |WHEN NOT MATCHED AND s.id = 3
+         |  THEN INSERT (id, amount, sk) VALUES (s.id, s.amount, 500)
+         |WHEN NOT MATCHED THEN INSERT (id, amount) VALUES (s.id, s.amount)
+         |""".stripMargin)
+    val bySk = VersionedTable.read(spark, root).select("id", "sk")
+      .as[(Long, Long)].collect().toMap
+    assert(bySk(1L) == 10L && bySk(3L) == 500L, bySk.toString)
+    // the omitting action's row allocated above the high; candidate ids
+    // are handed to every insert row in batch order, so the explicit
+    // row's discarded candidate may leave a gap — permitted by the
+    // BY DEFAULT contract (aborted commits already gap)
+    assert(bySk(4L) == 11L || bySk(4L) == 12L, bySk.toString)
+    val v = VersionedTable.currentVersion(spark, root).get
+    assert(VersionedTable.propertiesOf(spark, root, v)
+      .get(GeneratedCols.IdentityHighPrefix + "sk").contains("12"))
+  }
+
   test("identity: concurrent allocating writers never collide — the basis " +
     "re-validates inside the claim and the loser retries") {
     val root = freshRoot()

@@ -18,8 +18,11 @@ class ProtocolSpec extends SparkSpec {
   test("features are recorded from what each version carries") {
     val root = freshRoot()
     VersionedTable.commit(Seq((1, "a"), (2, "b")).toDF("id", "x"), root)
-    // a plain table requires nothing
-    assert(VersionedTable.protocolOf(spark, root, 1L) == (Set.empty, Set.empty))
+    // a plain table requires only the marker-syntax feature: every
+    // commit this build publishes carries the two-line in-commit-
+    // timestamp marker, so the capability is recorded unconditionally
+    assert(VersionedTable.protocolOf(spark, root, 1L) ==
+      (Set("in-commit-timestamps"), Set("in-commit-timestamps")))
     // DV delete → deletion-vectors required
     VersionedTable.setProperties(spark, root,
       Map("graft.enableDeletionVectors" -> "true"))
