@@ -377,7 +377,8 @@ object VersionedTable {
       recordProperties: Option[Map[String, String]] = None,
       recordMapping: Option[(Map[String, String], Set[String])] = None,
       partitionBy: Seq[String] = Nil,
-      recordInfo: Map[String, String] = Map.empty): Long = {
+      recordInfo: Map[String, String] = Map.empty,
+      extraReaderFeatures: Set[String] = Set.empty): Long = {
     val spark = df.sparkSession
     val f = fs(spark, root)
     // PROTOCOL GATE: refuse to write against a table whose current
@@ -679,7 +680,10 @@ object VersionedTable {
       // resolution (the marker syntax IS the change — no file older
       // readers consult can veto it first).
       Some("in-commit-timestamps")
-    ).flatten
+    ).flatten ++
+      // caller-declared features (e.g. commitCowInternal's delta-form
+      // manifest — decided before this write, recorded with it)
+      extraReaderFeatures
     // WRITER-ONLY features: stored values read as plain columns, but a
     // metadata-ignorant writer would append rows violating the
     // generation/identity contract — gate the write side only, as Delta
@@ -953,21 +957,176 @@ object VersionedTable {
       currentVersion(spark, root).getOrElse(
         throw new java.io.IOException(s"no committed version under $root")))
 
+  // ---- delta-manifest commit form -----------------------------------------
+
+  /** DELTA-MANIFEST commit form (the Delta-log adds/removes shape for
+    * this format's MANIFEST sidecars): a commit whose carried set is
+    * large writes `_manifest/delta.txt` — its BASE version, its chain
+    * DEPTH, and only the refs it removed/added — instead of rewriting
+    * the full manifest, stats and sizes sidecars. Readers FOLD the
+    * chain (refs = base's refs − removed + added; stats/sizes = base's
+    * ∪ own), and every [[DeltaFoldIntervalKey]]-th commit writes the
+    * full form again, so a cold open reads a BOUNDED number of small
+    * sidecars — the no-replay property the r14 measurement established
+    * stays, while per-commit write cost drops from O(files) to
+    * O(changed). Gated as a READER feature ("delta-manifest"): a build
+    * folding nothing would list only the version dir's own fresh files
+    * and silently serve a sliver of the table. */
+  private[graft] final case class ManifestDelta(
+      base: Long, depth: Int, removed: Set[String], added: Seq[String])
+
+  /** Chain length before a commit writes the full form again — bounds
+    * both the cold-open sidecar reads and vacuum's materialization. */
+  private[graft] val DeltaFoldIntervalKey = "spark.graft.manifest.foldInterval"
+  private[graft] val DeltaFoldIntervalDefault = 20
+
+  /** Carried-ref floor below which the full form is cheaper than the
+    * fold reads it saves — a ten-file table gains nothing from a chain. */
+  private[graft] val DeltaFloorKey = "spark.graft.manifest.deltaFloor"
+  private[graft] val DeltaFloorDefault = 64
+
+  private def deltaManifestFile(spark: SparkSession, root: String, v: Long) =
+    new Path(new Path(dataDir(spark, root, v), "_manifest"), "delta.txt")
+
+  /** The delta record of version `v`, None for full-form versions.
+    * Line 1: `<base>\t<depth>`; then one ref per line, `-` = removed
+    * vs base, `+` = added (this commit's own files + rebased-in refs). */
+  private[graft] def manifestDeltaOf(
+      spark: SparkSession, root: String, v: Long): Option[ManifestDelta] = {
+    val f = fs(spark, root)
+    val df = deltaManifestFile(spark, root, v)
+    if (!f.exists(df)) None
+    else {
+      val in = f.open(df)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                 finally in.close()
+      val lines = text.split('\n').toSeq.filter(_.nonEmpty)
+      val head = lines.head.split('\t')
+      val removed = lines.tail.collect { case l if l.startsWith("-") => l.drop(1) }
+      val added = lines.tail.collect { case l if l.startsWith("+") => l.drop(1) }
+      Some(ManifestDelta(head(0).toLong, head(1).toInt, removed.toSet, added))
+    }
+  }
+
+  private[graft] def writeManifestDelta(
+      f: org.apache.hadoop.fs.FileSystem, dir: Path, d: ManifestDelta): Unit = {
+    val out = f.create(new Path(new Path(dir, "_manifest"), "delta.txt"), true)
+    try out.write(
+      ((s"${d.base}\t${d.depth}" +: d.removed.toSeq.sorted.map("-" + _)) ++
+        d.added.map("+" + _)).mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Folded manifests are immutable once published — memoized per
+    * (root, version, marker identity) so the hot path (current-version
+    * reads under a streaming writer) folds once per version per JVM.
+    * Bounded: cleared wholesale past a cap (folds rebuild in ≤ interval
+    * small reads — a cheap miss, never a correctness event). */
+  private val foldedManifestMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), Seq[String]]()
+
   /** A MANIFEST snapshot's data-file list (root-relative paths, possibly
     * reaching into EARLIER version dirs — the copy-on-write form), or
     * None for a plain directory snapshot. The manifest is a driver-sized
-    * text file: O(files), the same scale as Delta's log entry. */
+    * text file: O(files), the same scale as Delta's log entry. Delta-form
+    * versions ([[ManifestDelta]]) FOLD here: walk base pointers to the
+    * nearest full form (≤ fold-interval small reads), then apply each
+    * level's removes/adds forward — so every consumer of this accessor
+    * (scans, vacuum, clones, history) is delta-blind. */
   def manifestOf(spark: SparkSession, root: String, v: Long): Option[Seq[String]] = {
     val f = fs(spark, root)
     val mf = new Path(new Path(dataDir(spark, root, v), "_manifest"), "manifest.txt")
-    if (!f.exists(mf)) None
-    else {
+    if (f.exists(mf)) {
       val in = f.open(mf)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                  finally in.close()
       Some(text.split('\n').toSeq.filter(_.nonEmpty))
+    } else manifestDeltaOf(spark, root, v).map { d0 =>
+      val key = (root, v, markerIdentity(spark, root, v))
+      val got = foldedManifestMemo.get(key)
+      if (got != null) got
+      else {
+        // walk back to the nearest full form, then fold forward
+        var chain = List((v, d0))
+        var baseRefs: Seq[String] = null
+        while (baseRefs == null) {
+          val b = chain.head._2.base
+          manifestDeltaOf(spark, root, b) match {
+            case Some(d) => chain = (b, d) :: chain
+            case None => baseRefs = dataFileRefs(spark, root, b)
+          }
+        }
+        val folded = chain.foldLeft(baseRefs) { case (refs, (_, d)) =>
+          refs.filterNot(d.removed) ++ d.added
+        }
+        if (foldedManifestMemo.size > 128) foldedManifestMemo.clear()
+        foldedManifestMemo.put(key, folded)
+        folded
+      }
     }
   }
+
+  /** Version `v`'s per-file column stats, delta-aware: full-form
+    * versions read their own `_stats` table; delta-form versions fold
+    * the base's stats under their own adds', restricted to the folded
+    * ref set. A file the fold cannot cover stays ABSENT — every
+    * consumer already treats a missing entry conservatively (pruning
+    * keeps the file, aggregates return None). */
+  private[graft] def statsOf(
+      spark: SparkSession, root: String, v: Long)
+      : Map[String, Map[String, (String, Option[String], Option[String], Long, Long)]] =
+    manifestDeltaOf(spark, root, v) match {
+      case None =>
+        TableStats.load(spark, new Path(dataDir(spark, root, v), "_stats"))
+      case Some(d) =>
+        val own = TableStats.load(spark, new Path(dataDir(spark, root, v), "_stats"))
+        val refs = manifestOf(spark, root, v).getOrElse(Nil).toSet
+        (statsOf(spark, root, d.base) ++ own)
+          .filter { case (k, _) => refs(k) }
+    }
+
+  /** Rewrite a DELTA-form version as its own FULL form — folded
+    * manifest, stats and sizes written into its dir, the delta record
+    * removed. Called by vacuum for retained versions whose base is
+    * about to drop (the fold backbone would go with the base's dir);
+    * idempotent and derived-only (the folded content is exactly what
+    * readers already served), so a crash mid-write merely re-runs. The
+    * version's protocol record keeps the "delta-manifest" feature — a
+    * conservative over-claim that only affects builds predating the
+    * feature, which could not have vacuumed this table anyway. */
+  private def materializeManifest(
+      spark: SparkSession, root: String, v: Long): Unit = {
+    val f = fs(spark, root)
+    val dir = dataDir(spark, root, v)
+    val refs = manifestOf(spark, root, v).getOrElse(return)
+    val stats = statsOf(spark, root, v)
+    val sizes = recordedSizes(spark, root, v)
+    // all-or-nothing, as every FULL stats table
+    if (refs.nonEmpty && refs.forall(stats.contains))
+      TableStats.writeRows(f, dir, refs.flatMap { r =>
+        stats(r).toSeq.map { case (c, (k, mn, mx, nu, nr)) =>
+          (r, c, k, mn, mx, nu, nr) }
+      })
+    else f.delete(new Path(dir, "_stats"), true)
+    FileSizes.write(f, dir, refs.flatMap(r => sizes.get(r).map(r -> _)))
+    val out = f.create(new Path(new Path(dir, "_manifest"), "manifest.txt"), true)
+    try out.write(refs.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    f.delete(deltaManifestFile(spark, root, v), false)
+  }
+
+  /** Version `v`'s commit-recorded file sizes, delta-aware (the chain's
+    * union, later levels winning). Lookup-keyed by ref — entries for
+    * since-removed files along the chain are harmless and bounded by
+    * the fold interval. */
+  private def recordedSizes(
+      spark: SparkSession, root: String, v: Long): Map[String, Long] =
+    manifestDeltaOf(spark, root, v) match {
+      case None => FileSizes.load(fs(spark, root), dataDir(spark, root, v))
+      case Some(d) =>
+        recordedSizes(spark, root, d.base) ++
+          FileSizes.load(fs(spark, root), dataDir(spark, root, v))
+    }
 
   /** Version `v`'s data files as root-relative paths — the manifest when
     * present, else the version dir's own part files. Public for COW
@@ -1011,7 +1170,7 @@ object VersionedTable {
   val SupportedReaderFeatures: Set[String] = Set(
     "deletion-vectors", "column-mapping", "partition-spec",
     "widened-types", "copy-ledger", "default-columns",
-    "in-commit-timestamps")
+    "in-commit-timestamps", "delta-manifest")
 
   /** Features THIS build can write against. Writing to a table whose
     * current version requires an unknown feature could break that
@@ -1997,7 +2156,7 @@ object VersionedTable {
       case None => dataFileRels(fs(spark, root), dir)
         .map { case (st, rel) => (st.getPath, rel) }
     }
-    val stats = TableStats.load(spark, new Path(dir, "_stats"))
+    val stats = statsOf(spark, root, v)
     // resolve the predicate against the snapshot schema through the
     // analyzer + optimizer: Column expressions are lazy ColumnNode
     // wrappers in Spark 4, and optimization also constant-folds literal
@@ -2129,7 +2288,7 @@ object VersionedTable {
       case Some(refs) => refs
       case None => dataFileRels(fs(spark, root), dir).map(_._2)
     }
-    val stats = TableStats.load(spark, new Path(dir, "_stats"))
+    val stats = statsOf(spark, root, v)
     // stats are keyed by PHYSICAL column names; requests speak logical
     val mapping = columnMapping(spark, root, v)
     // every data file must be covered, else row counts are unknowable
@@ -2180,7 +2339,7 @@ object VersionedTable {
       case None => dataFileRels(fs(spark, root), dir)
         .map { case (_, rel) => (dataDirName(spark, root, v) + "/" + rel, rel) }
     }
-    val stats = TableStats.load(spark, new Path(dir, "_stats"))
+    val stats = statsOf(spark, root, v)
     val physCol = physicalName(columnMapping(spark, root, v), column)
     val out = entries.map { case (rel, sk) =>
       stats.get(sk).flatMap(_.get(physCol)) match {
@@ -2332,8 +2491,27 @@ object VersionedTable {
       // retry bound surfaces the error)
       throw new Sinks.ConcurrentWriteException(root,
         None, currentVersion(spark, root))
-    val curStats = TableStats.load(spark,
-      new Path(dataDir(spark, root, cur), "_stats"))
+    // lazy: the delta form never carries kept stats, so it must not pay
+    // the O(files) folded-stats read the full form's carry needs
+    lazy val curStats = statsOf(spark, root, cur)
+    // DELTA-FORM DECISION, made before commitWith so the protocol gate
+    // records the reader feature with the version: write adds/removes
+    // only when (a) no widening re-key is in flight (carried stat VALUES
+    // change — only the full rewrite expresses that), (b) the carried
+    // set clears the floor (small tables gain nothing from a chain),
+    // (c) the base itself is manifest-formed (uniform root-relative
+    // keys), and (d) the chain stays under the fold interval — the
+    // interval-th commit folds everything into a full form again.
+    val deltaInterval = spark.conf
+      .get(DeltaFoldIntervalKey, DeltaFoldIntervalDefault.toString).toInt
+    val deltaFloor = spark.conf
+      .get(DeltaFloorKey, DeltaFloorDefault.toString).toInt
+    val deltaDepth =
+      manifestDeltaOf(spark, root, cur).map(_.depth + 1).getOrElse(1)
+    val deltaForm = carriedStatsMap.isEmpty && deltaInterval > 0 &&
+      keptFiles.size >= deltaFloor &&
+      manifestOf(spark, root, cur).isDefined &&
+      deltaDepth < deltaInterval
     // DELETION-VECTOR CARRY: kept files keep their masks (their rows were
     // not rewritten), rewritten files drop theirs (the rewrite read
     // through the masks, so fresh files contain no masked rows). A
@@ -2380,7 +2558,8 @@ object VersionedTable {
         // merged stats: fresh files' rows (just collected, keyed by bare
         // name) re-keyed to relpath + kept files' rows carried forward
         val ownStats = TableStats.load(spark, new Path(dir, "_stats"))
-        val rows =
+        // lazy: only the full form pays the O(files) kept-stats carry
+        lazy val rows =
           own.flatMap { case (_, rel) =>
             ownStats.getOrElse(rel, Map.empty).toSeq
               .map { case (c, (k, mn, mx, nu, nr)) =>
@@ -2403,8 +2582,7 @@ object VersionedTable {
         val rbStats: Map[String, Map[String,
             (String, Option[String], Option[String], Long, Long)]] =
           if (extraRefs.isEmpty) Map.empty
-          else rebase.map(rb => TableStats.load(spark,
-            new Path(dataDir(spark, root, rb.through), "_stats")))
+          else rebase.map(rb => statsOf(spark, root, rb.through))
             .getOrElse(Map.empty)
         val rbRows = extraRefs.flatMap { r =>
           rbStats.getOrElse(r, Map.empty).toSeq
@@ -2414,6 +2592,37 @@ object VersionedTable {
               (r, c, k2, mn2, mx2, nu, nr)
             }
         }
+        if (deltaForm) {
+          // DELTA FORM: sidecars carry only this commit's ADDS — own
+          // files' stats re-keyed to refs (+ rebased-in rows), own sizes
+          // (already listed by commitWith) + the rebased-in refs' — and
+          // the manifest is the base pointer with removes/adds. The
+          // O(files) kept-carry above never runs; readers fold. A
+          // partially-covered adds set writes what it has: the folded
+          // view leaves the uncovered file ABSENT, which every consumer
+          // treats conservatively (pruning keeps it, aggregates decline).
+          val ownRows = own.flatMap { case (_, rel) =>
+            ownStats.getOrElse(rel, Map.empty).toSeq
+              .map { case (c, (k, mn, mx, nu, nr)) =>
+                (f"v$v%08d/" + rel, c, k, mn, mx, nu, nr)
+              }
+          }
+          if ((ownRows ++ rbRows).nonEmpty)
+            TableStats.writeRows(fh, dir, ownRows ++ rbRows)
+          else fh.delete(new Path(dir, "_stats"), true)
+          if (extraRefs.nonEmpty)
+            try {
+              val rbSizes = fileSizes(spark, root,
+                rebase.map(_.through).getOrElse(cur))
+              FileSizes.append(fh, dir, extraRefs.map(r => r -> rbSizes(r)))
+            } catch {
+              case e: Exception =>
+                maintLog.warn(s"size-sidecar carry skipped for $dir", e)
+            }
+          writeManifestDelta(fh, dir, ManifestDelta(cur, deltaDepth,
+            removed = curKeyed.keySet -- keptEff,
+            added = own.map { case (_, rel) => f"v$v%08d/" + rel } ++ extraRefs))
+        } else {
         // a stats table must cover ALL files or claim none: a fresh file
         // whose footer pass failed, or a kept file with no carried rows,
         // would otherwise silently disable pruning only for itself
@@ -2443,7 +2652,10 @@ object VersionedTable {
           new Path(new Path(dir, "_manifest"), "manifest.txt"), true)
         try out.write(refs.mkString("", "\n", "\n").getBytes("UTF-8"))
         finally out.close()
-      })
+        }
+      },
+      extraReaderFeatures =
+        if (deltaForm) Set("delta-manifest") else Set.empty)
   }
 
   /** Row-level DELETE, copy-on-write (Delta/Iceberg `DELETE WHERE` on
@@ -3358,8 +3570,7 @@ object VersionedTable {
     val srcKeyOf: Map[String, String] = manifestOf(spark, srcRoot, v)
       .map(_.map(r => r -> r).toMap)
       .getOrElse(srcRefs.map(r => r -> r.split('/').last).toMap)
-    val srcStats = TableStats.load(spark,
-      new Path(dataDir(spark, srcRoot, v), "_stats"))
+    val srcStats = statsOf(spark, srcRoot, v)
     commitWith(empty, destRoot, collectStats = false, extras = extras,
       recordInfo = Map("operation" -> "clone"),
       // re-assert emptiness inside the claim: two racing cloners must not
@@ -3470,8 +3681,7 @@ object VersionedTable {
     val srcKeyOf: Map[String, String] = manifestOf(spark, srcRoot, v)
       .map(_.map(r => r -> r).toMap)
       .getOrElse(srcRefs.map(r => r -> r.split('/').last).toMap)
-    val srcStats = TableStats.load(spark,
-      new Path(dataDir(spark, srcRoot, v), "_stats"))
+    val srcStats = statsOf(spark, srcRoot, v)
     val srcSizes =
       try fileSizes(spark, srcRoot, v)
       catch { case _: Exception => Map.empty[String, Long] }
@@ -4051,7 +4261,7 @@ object VersionedTable {
     val overlap = clusteredBy.headOption.map { lead =>
       val phys = physicalName(columnMapping(spark, root, v), lead)
       rangeOverlapMetric(
-        TableStats.load(spark, new Path(dataDir(spark, root, v), "_stats")),
+        statsOf(spark, root, v),
         phys)
     }.getOrElse(0.0)
     val ledgerDepth = copyLedgerDepth(spark, root, v)
@@ -4772,8 +4982,7 @@ object VersionedTable {
           .getOrElse(dataFileRels(f, dataDir(spark, root, toVersion))
             .map { case (_, rel) => (dataDirName(spark, root, toVersion) + "/" + rel) -> rel }
             .toMap)
-        val tgtStats = TableStats.load(spark,
-          new Path(dataDir(spark, root, toVersion), "_stats"))
+        val tgtStats = statsOf(spark, root, toVersion)
         commitWith(empty, root, collectStats = false, extras = extras,
           recordInfo = Map("operation" -> "restore"),
           finalizeVersion = (fh, dir, v) => {
@@ -4907,7 +5116,7 @@ object VersionedTable {
   private[graft] def fileSizes(
       spark: SparkSession, root: String, v: Long): Map[String, Long] = {
     val refs = dataFileRefs(spark, root, v)
-    val recorded = FileSizes.load(fs(spark, root), dataDir(spark, root, v))
+    val recorded = recordedSizes(spark, root, v)
     val missing = refs.filterNot(recorded.contains)
     if (missing.isEmpty) refs.map(r => r -> recorded(r)).toMap
     else {
@@ -5340,6 +5549,18 @@ object VersionedTable {
     val origDropped: Set[String] =
       drop.flatMap(v => dataFileRefs(spark, root, v)).flatMap(originalRel).toSet
     val origRetained: Set[String] = referenced.flatMap(originalRel)
+    // DELTA-CHAIN SEVERANCE: a retained delta-form version whose BASE is
+    // about to drop would lose its fold backbone (the base dir's
+    // manifest sidecars go with the dir) — MATERIALIZE it first: write
+    // the folded manifest/stats/sizes as its own full form while the
+    // chain is still intact. Ascending order: a retained base
+    // materializes before its retained dependents, so each check only
+    // needs its immediate base. O(severed versions), each one fold.
+    all.filterNot(dropSet).sorted.foreach { v =>
+      manifestDeltaOf(spark, root, v).foreach { d =>
+        if (dropSet(d.base)) materializeManifest(spark, root, v)
+      }
+    }
     // tombstone FIRST (see recordVacuumed for why this order is the
     // crash-safe one): consumers whose range reaches below the drop line
     // must fail loudly, not read an incomplete feed

@@ -251,7 +251,10 @@ class SqlLoadSpec extends SparkSpec {
     assert(d.getAs[Int]("properties") == 1)
     assert(d.getAs[Boolean]("deletion_vectors"))
     assert(d.getAs[Int]("retained_versions") == 4)
-    assert(d.getAs[String]("protocol_features") == "column-mapping,deletion-vectors")
+    // every commit this build publishes also records the marker-syntax
+    // feature (two-line in-commit-timestamp marker)
+    assert(d.getAs[String]("protocol_features") ==
+      "column-mapping,deletion-vectors,in-commit-timestamps")
   }
 
   test("vacuum on a clone drops its own history, never the source's files") {
