@@ -90,6 +90,21 @@ object ChangeFeedStream {
       StructType(feed.schema.fields.toSeq :+ StructField("_commit_version", LongType))
     }
   }
+
+  /** The version whose schema [[feedSchema]] pinned — the reference
+    * point for the mid-stream evolution gate (versions AFTER it must
+    * not drift silently; versions BEFORE it are history the pin already
+    * accounts for). */
+  private[streaming] def pinVersion(
+      spark: SparkSession, root: String,
+      initialSnapshot: Boolean = false): Long = {
+    val vs = VersionedTable.versions(spark, root)
+    require(vs.nonEmpty, s"no committed version under $root")
+    if (initialSnapshot) vs.last
+    else vs.reverse.find(v =>
+      VersionedTable.readExtra(spark, root, v, "changes").nonEmpty)
+      .getOrElse(vs.last)
+  }
 }
 
 class ChangeFeedSourceProvider extends StreamSourceProvider {
@@ -129,6 +144,84 @@ class ChangeFeedSource(
 
   override val schema: StructType =
     ChangeFeedStream.feedSchema(spark, root, initialSnapshot)
+
+  // ---- mid-stream schema evolution gate (the Delta CDF contract) ---------
+  //
+  // The stream's schema is PINNED at start; each batch version is
+  // validated against it before serving:
+  //   - a RENAME serves correctly through column mapping (the physical
+  //     name is the column's identity — batch columns re-alias to the
+  //     pinned names), in both directions: a rename committed mid-feed
+  //     and a backlog batch from before a historical rename;
+  //   - a HISTORICAL narrow type upcast to the pinned type serves (the
+  //     pin is the wide side — lossless);
+  //   - everything else committed AFTER the pin — add-column, drop,
+  //     type widen/retype — FAILS the batch loudly with a restart
+  //     instruction, never a silent projection (the old behavior
+  //     dropped added columns and nulled renamed ones). History BEFORE
+  //     the pin keeps the lenient union-by-name semantics: the pin
+  //     already accounts for it (missing columns backfill null, since-
+  //     dropped columns project away).
+
+  private val pinnedAt: Long =
+    ChangeFeedStream.pinVersion(spark, root, initialSnapshot)
+  private val metaCols = Set("_change_type", "_commit_version")
+  private lazy val pinnedMapping = VersionedTable.columnMapping(spark, root, pinnedAt)
+  private lazy val pinnedTableCols: Seq[StructField] =
+    schema.fields.toSeq.filterNot(f => metaCols(f.name))
+
+  /** batch-column → pinned-column renames for version `v` (empty =
+    * serve as-is); throws on incompatible evolution. Memoized —
+    * committed schemas are immutable. */
+  private val alignMemo = scala.collection.mutable.Map.empty[Long, Map[String, String]]
+  private def alignmentFor(v: Long): Map[String, String] =
+    alignMemo.getOrElseUpdate(v, {
+      val vSchema: Seq[StructField] =
+        VersionedTable.tableSchema(spark, root, v).map(_.fields.toSeq)
+          .orElse(VersionedTable.readExtra(spark, root, v, "changes")
+            .map(_.schema.fields.toSeq.filterNot(f => metaCols(f.name))))
+          .getOrElse(Seq.empty)
+      if (vSchema.isEmpty) Map.empty
+      else {
+        val strict = v > pinnedAt
+        val vMapping = VersionedTable.columnMapping(spark, root, v)
+        def phys(m: Map[String, String], c: String) = m.getOrElse(c, c)
+        val vByPhys = vSchema.map(f => phys(vMapping, f.name) -> f).toMap
+        def fail(detail: String): Nothing = throw new java.io.IOException(
+          s"change-feed schema evolved under $root at version $v: $detail — " +
+            s"the stream's schema is pinned at stream start (v$pinnedAt); " +
+            "restart the stream to adopt the evolved schema")
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        def compatible(c: StructField, p: StructField): Boolean =
+          c.dataType == p.dataType || Cast.canUpCast(c.dataType, p.dataType)
+        val renames = pinnedTableCols.flatMap { p =>
+          val byName = vSchema.find(c => c.name.equalsIgnoreCase(p.name) &&
+            phys(vMapping, c.name) == phys(pinnedMapping, p.name))
+          byName match {
+            case Some(c) =>
+              if (compatible(c, p)) None
+              else fail(s"column ${p.name} changed type " +
+                s"${p.dataType.simpleString} -> ${c.dataType.simpleString}")
+            case None => vByPhys.get(phys(pinnedMapping, p.name)) match {
+              case Some(c) if compatible(c, p) => Some(c.name -> p.name)
+              case Some(c) => fail(s"column ${p.name} (as ${c.name}) changed " +
+                s"type ${p.dataType.simpleString} -> ${c.dataType.simpleString}")
+              case None if strict => fail(s"column ${p.name} was dropped")
+              case None => None // pre-pin history: null backfill is the pin's contract
+            }
+          }
+        }.toMap
+        if (strict) {
+          val known = pinnedTableCols.map(_.name.toLowerCase).toSet ++
+            renames.keys.map(_.toLowerCase)
+          val added = vSchema.map(_.name)
+            .filterNot(n => known(n.toLowerCase) || metaCols(n))
+          if (added.nonEmpty)
+            fail(s"column(s) ${added.mkString(", ")} added")
+        }
+        renames
+      }
+    })
 
   /** Highest version this source already OFFERED via [[getOffset]] — the
     * rate-limit cursor, PERSISTED under the source's own metadataPath
@@ -316,11 +409,38 @@ class ChangeFeedSource(
         .select(schema.fieldNames.toSeq.map(col): _*)
       org.apache.spark.sql.graft.StreamBridge.internalAsStreaming(snap)
     } else {
-      val batch = VersionedTable.readChanges(
-        spark, root, start.map(toV(_) + 1).getOrElse(feedStart()), toVersion)
-      // pin to the stream's schema: column order fixed, a dropped column
-      // fails here loudly rather than corrupting downstream state
-      val pinned = batch.select(schema.fieldNames.toSeq.map(col): _*)
+      val fromV = start.map(toV(_) + 1).getOrElse(feedStart())
+      val vs = VersionedTable.versions(spark, root)
+        .filter(x => x >= fromV && x <= toVersion)
+      // SCHEMA GATE per batch version (memoized): incompatible
+      // mid-stream evolution throws here; renames serve via re-alias
+      val aligns = vs.map(v => v -> alignmentFor(v)).filter(_._2.nonEmpty).toMap
+      val batch =
+        if (aligns.isEmpty)
+          VersionedTable.readChanges(spark, root, fromV, toVersion)
+        else {
+          // per-version frames so each version's renames apply BEFORE
+          // the union (the union would otherwise null-backfill both
+          // names); the range-level vacuum data-loss guard re-runs here
+          // because the per-version reads cannot see the gap
+          val lost = VersionedTable.vacuumedVersions(spark, root)
+            .filter(x => x >= fromV && x <= toVersion) -- vs.toSet
+          if (lost.nonEmpty) throw new java.io.IOException(
+            s"change feed [$fromV, $toVersion] under $root lost version(s) " +
+              s"${lost.toSeq.sorted.mkString(", ")} to vacuum — size the " +
+              "vacuum retention to cover the slowest consumer")
+          vs.map { v =>
+            aligns.getOrElse(v, Map.empty).foldLeft(
+              VersionedTable.readChanges(spark, root, v, v)) {
+              case (d, (from, to)) => d.withColumnRenamed(from, to)
+            }
+          }.reduce(_.unionByName(_, allowMissingColumns = true))
+        }
+      // pin to the stream's schema: column order fixed, types normalized
+      // to the pinned ones (upcasts only — anything lossy was refused by
+      // the gate above)
+      val pinned = batch.select(schema.fields.toSeq.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)): _*)
       org.apache.spark.sql.graft.StreamBridge.asStreaming(pinned)
     }
   }

@@ -334,4 +334,117 @@ class ChangeFeedStreamSpec extends SparkSpec {
     // every version arrived exactly once
     assert(got.map(_._2).sorted == Seq(1L, 2L, 3L, 4L))
   }
+
+  // ---- mid-stream schema evolution (the Delta CDF contract) --------------
+
+  /** A long-lived query into a collecting sink; caller drives it with
+    * processAllAvailable between table mutations. */
+  private def startCollecting(root: String, ckpt: String)
+      : (org.apache.spark.sql.streaming.StreamingQuery,
+         scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]) = {
+    val rows = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = ChangeFeedStream.read(spark, root)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val got = df.collect()
+        rows.synchronized { rows ++= got }
+        ()
+      }
+      .start()
+    (q, rows)
+  }
+
+  private def feedAppend(root: String, df: org.apache.spark.sql.DataFrame): Unit =
+    VersionedTable.commitAppend(df, root, changeFeed = true)
+
+  test("mid-stream ADD COLUMN fails the batch loudly with a restart " +
+    "instruction, never a silent projection") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cfse1").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cfse1_ck").toString
+    VersionedTable.commit(Seq((1L, "a")).toDF("id", "x"), root)
+    feedAppend(root, Seq((2L, "b")).toDF("id", "x"))
+    val (q, rows) = startCollecting(root, ckpt)
+    try {
+      q.processAllAvailable()
+      assert(rows.synchronized(rows.size) == 1)
+      // evolve + feed a version carrying the NEW column mid-stream
+      VersionedTable.addColumns(spark, root, org.apache.spark.sql.types.StructType(
+        Seq(org.apache.spark.sql.types.StructField("extra",
+          org.apache.spark.sql.types.StringType))))
+      feedAppend(root, Seq((3L, "c", "E")).toDF("id", "x", "extra"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      val msg = e.getCause.getMessage
+      assert(msg.contains("extra") && msg.contains("added") &&
+        msg.contains("restart the stream"), msg)
+    } finally q.stop()
+  }
+
+  test("mid-stream RENAME serves correctly through column mapping: rows " +
+    "keep arriving under the pinned name, values intact") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cfse2").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cfse2_ck").toString
+    VersionedTable.commit(Seq((1L, "a1")).toDF("id", "x"), root)
+    feedAppend(root, Seq((2L, "a2")).toDF("id", "x"))
+    val (q, rows) = startCollecting(root, ckpt)
+    try {
+      q.processAllAvailable()
+      VersionedTable.renameColumn(spark, root, "x", "y")
+      feedAppend(root, Seq((3L, "a3")).toDF("id", "y"))
+      q.processAllAvailable()
+      val got = rows.synchronized(rows.toSeq)
+        .map(r => (r.getAs[Long]("id"), r.getAs[String]("x"))).sortBy(_._1)
+      // the renamed column's values arrive under the PINNED name,
+      // never null-backfilled (the pre-gate behavior)
+      assert(got == Seq((2L, "a2"), (3L, "a3")), got.toString)
+    } finally q.stop()
+  }
+
+  test("mid-stream type WIDEN fails loudly; a fresh stream then adopts it") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cfse3").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cfse3_ck").toString
+    VersionedTable.commit(Seq((1, "a1")).toDF("n", "x"), root) // n: int
+    feedAppend(root, Seq((2, "a2")).toDF("n", "x"))
+    val (q, rows) = startCollecting(root, ckpt)
+    try {
+      q.processAllAvailable()
+      assert(rows.synchronized(rows.size) == 1)
+      VersionedTable.widenColumn(spark, root, "n",
+        org.apache.spark.sql.types.LongType)
+      feedAppend(root, Seq((3L, "a3")).toDF("n", "x"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      val msg = e.getCause.getMessage
+      assert(msg.contains("changed type") && msg.contains("restart the stream"),
+        msg)
+    } finally q.stop()
+    // restart re-pins: the evolved schema serves, history upcasts to it
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_cfse3_ck2").toString
+    val (q2, rows2) = startCollecting(root, ckpt2)
+    try {
+      q2.processAllAvailable()
+      val got = rows2.synchronized(rows2.toSeq).map(_.getAs[Long]("n")).sorted
+      assert(got == Seq(2L, 3L), got.toString)
+    } finally q2.stop()
+  }
+
+  test("a backlog spanning a HISTORICAL rename folds to the pinned (new) " +
+    "name with values intact") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cfse4").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cfse4_ck").toString
+    VersionedTable.commit(Seq((1L, "a1")).toDF("id", "x"), root)
+    feedAppend(root, Seq((2L, "a2")).toDF("id", "x")) // old name in history
+    VersionedTable.renameColumn(spark, root, "x", "y")
+    feedAppend(root, Seq((3L, "a3")).toDF("id", "y")) // new name at the pin
+    val (q, rows) = startCollecting(root, ckpt)
+    try {
+      q.processAllAvailable()
+      val got = rows.synchronized(rows.toSeq)
+        .map(r => (r.getAs[Long]("id"), r.getAs[String]("y"))).sortBy(_._1)
+      assert(got == Seq((2L, "a2"), (3L, "a3")), got.toString)
+    } finally q.stop()
+  }
 }
