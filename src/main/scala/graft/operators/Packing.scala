@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextHash.wordsOf
@@ -63,14 +63,19 @@ object Packing {
       stratumCol: String,
       textCol: String,
       capacity: Long,
-      shardSize: Long): DataFrame = {
+      shardSize: Long,
+      tokenCount: Option[Column] = None): DataFrame = {
     import spark.implicits._
+    // the token unit is pluggable: default whitespace words; pass e.g.
+    // Bpe.tokenCount(col(textCol), merges) to pack on REAL subword
+    // counts (BpeSpec pins that swap) — the fold is unit-agnostic
     val typed: Dataset[DocTokens] = docs
       .select(
         col(stratumCol).cast("string").as("stratum"),
         expr(s"CAST(`$idCol` AS BIGINT) div ${shardSize}L").as("shard"),
         col(idCol).cast("long").as("id"),
-        size(wordsOf(col(textCol))).cast("long").as("n_tokens"))
+        tokenCount.getOrElse(size(wordsOf(col(textCol))).cast("long"))
+          .cast("long").as("n_tokens"))
       .as[DocTokens]
     typed
       .groupByKey(d => (d.stratum, d.shard))

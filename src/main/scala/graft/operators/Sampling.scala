@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextHash.charPolyHash
@@ -94,16 +94,20 @@ object Sampling {
       stratumCol: String,
       textCol: String,
       budgets: Seq[(String, Long)],
-      salt: String): DataFrame = {
+      salt: String,
+      tokenCount: Option[Column] = None): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val budgetDf = budgets.toDF(stratumCol, "budget")
+    // pluggable token unit (default whitespace words; see
+    // Packing.packSequences — Bpe.tokenCount swaps in real subwords)
     val toks = docs.select(
       col(idCol),
       col(stratumCol),
       bucketOf(idCol, salt).as("bucket"),
-      size(graft.functions.TextHash.wordsOf(col(textCol))).cast("long")
-        .as("n_tokens"))
+      tokenCount.getOrElse(
+        size(graft.functions.TextHash.wordsOf(col(textCol))).cast("long"))
+        .cast("long").as("n_tokens"))
     // (1) bucket totals; (2) exclusive prefix per stratum over ≤Buckets rows
     val bucketPrefix = toks
       .groupBy(col(stratumCol), col("bucket"))

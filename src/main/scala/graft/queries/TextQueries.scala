@@ -26,6 +26,7 @@ object TextQueries {
     "t8_pii_redact"      -> ((s, d) => t8(s, d)),
     "t9_quality_classifier" -> ((s, d) => t9(s, d)),
     "t10_perplexity"     -> ((s, d) => t10(s, d)),
+    "t11_bpe_tokenize"   -> ((s, d) => t11(s, d)),
     "m1_multimodal_meta" -> ((s, d) => m1(s, d)),
     "m3_multimodal_frames" -> ((s, d) => m3(s, d)),
     "m2_multimodal_resize" -> ((s, d) => m2(s, d)),
@@ -55,6 +56,32 @@ object TextQueries {
   def t4(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprints(Tables.documents(s, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
+
+  /** Fixed training rounds for t11 — the unrolled-iteration oracle
+    * trick (each round is one CTE stage in the DuckDB twin). */
+  private val BpeRounds = 12
+
+  /** t11: REAL subword tokenization — greedy BPE trained on this
+    * corpus ([[graft.operators.Bpe]]), applied as a pure fold of
+    * codegen'd string replaces. The token unit p3/p4/p7 can re-key on
+    * (BpeSpec pins that swap); t3's ceil(len/4) estimate stays as the
+    * cheap per-source rollup. */
+  def t11(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val merges = graft.operators.Bpe.trainMerges(docs, "text", BpeRounds)
+    docs
+      .withColumn("toks", graft.operators.Bpe.tokens(col("text"), merges))
+      .withColumn("n_words",
+        size(filter(split(graft.functions.TextHash.normText(col("text")), " "),
+          w => w =!= "")).cast("long"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .select(
+        col("doc_id"), col("n_words"), col("n_tokens"),
+        (col("n_tokens").cast("double") /
+          nullif(col("n_words"), lit(0L)).cast("double")).as("tokens_per_word"),
+        concat_ws("|", slice(col("toks"), 1, 12)).as("preview"))
+      .orderBy(col("doc_id"))
+  }
 
   private val VocabTopK  = 100
   private val TfidfTopK  = 3
@@ -336,6 +363,52 @@ object TextQueries {
          |  sum(bpe)::BIGINT AS bpe_tokens,
          |  sum(bpe)::DOUBLE / sum(wst)::DOUBLE AS bpe_per_word
          |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
+    "t11_bpe_tokenize" -> {
+      // unrolled training rounds: each round extracts adjacent symbol
+      // pairs from the histogram's current symbolization, takes the
+      // (count DESC, a, b) argmax, and merges it. chr(1) no-ops a round
+      // whose merge table came up empty (everything already fused) —
+      // matching the operator's early stop.
+      // chr(1) = the symbol separator (prefix form — see Bpe.scala's
+      // boundary argument); chr(2) no-ops an exhausted round
+      def pat(i: Int) =
+        s"coalesce((SELECT chr(1)||a||chr(1)||b FROM m$i), chr(2))"
+      def rep(i: Int) = s"coalesce((SELECT chr(1)||a||b FROM m$i), chr(2))"
+      val rounds = (1 to BpeRounds).map { i =>
+        // MATERIALIZED: each round references its predecessor three
+        // times (two merge subqueries + FROM) — default CTE inlining
+        // would expand the chain 3^rounds times
+        s"""m$i AS MATERIALIZED (SELECT arr[i] AS a, arr[i+1] AS b FROM
+           |    (SELECT list_filter(string_split(s, chr(1)), x -> x <> '')
+           |       AS arr, n FROM s${i - 1}) t,
+           |    unnest(range(1, len(arr))) AS u(i)
+           |  GROUP BY a, b ORDER BY sum(n) DESC, a, b LIMIT 1),
+           |s$i AS MATERIALIZED (
+           |  SELECT replace(s, ${pat(i)}, ${rep(i)}) AS s, n FROM s${i - 1})"""
+          .stripMargin
+      }.mkString(",\n")
+      val applied = (1 to BpeRounds)
+        .foldLeft("regexp_replace(nt, '(.)', e'\\x01\\\\1', 'g')") { (acc, i) =>
+          s"replace($acc, ${pat(i)}, ${rep(i)})"
+        }
+      s"""WITH w AS MATERIALIZED (SELECT doc_id, $NormExpr AS nt FROM documents),
+         |hist AS (SELECT word, count(*) AS n FROM
+         |    (SELECT unnest(string_split(nt, ' ')) AS word FROM w)
+         |  WHERE word <> '' GROUP BY word),
+         |s0 AS MATERIALIZED (
+         |  SELECT regexp_replace(word, '(.)', e'\\x01\\\\1', 'g') AS s, n FROM hist),
+         |$rounds,
+         |tok AS (SELECT doc_id,
+         |    list_filter(string_split($applied, chr(1)),
+         |      x -> x <> '' AND x <> ' ') AS toks,
+         |    len(list_filter(string_split(nt, ' '), x -> x <> ''))::BIGINT AS n_words
+         |  FROM w)
+         |SELECT doc_id, n_words, len(toks)::BIGINT AS n_tokens,
+         |  len(toks)::DOUBLE / nullif(n_words, 0)::DOUBLE AS tokens_per_word,
+         |  array_to_string(toks[1:12], '|') AS preview
+         |FROM tok ORDER BY doc_id""".stripMargin
+    },
 
     "t4_fingerprint" ->
       s"""WITH n AS (SELECT doc_id, $NormExpr AS nt FROM documents),
