@@ -1,0 +1,209 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** RECORDED HASH-BUCKET LAYOUT for merge targets (SURVEY §5's `bucketBy`
+  * promise; VERDICT r14 ask #4) — the Iceberg bucket-transform idea on
+  * this format: a maintenance rewrite lays the table out so file `b`
+  * holds exactly the rows with `pmod(murmur3(key), n) = b` (what
+  * `Dataset.repartition(n, col(key))` distributes by), and records the
+  * spec as a table property. Repeated incremental merges then:
+  *
+  *   - prune by BUCKET: the staging delta's touched buckets are one
+  *     delta-scale aggregation (≤ n values collected), touched files
+  *     follow from the file↔bucket map — no key-range join needed;
+  *   - read the touched slice BUCKET-ALIGNED (one partition per bucket,
+  *     in bucket order) and CLAIM the layout's HashPartitioning
+  *     ([[org.apache.spark.sql.graft.PartitionBridge]], the
+  *     Dataset.checkpoint construction) — EnsureRequirements then
+  *     shuffles ONLY the staging delta to match; the TARGET-SIDE
+  *     EXCHANGE of the merge's full-outer join disappears
+  *     (PlanAuditSpec pins exactly one exchange in the merged plan);
+  *   - write the rewrite through the same partitioning (the join
+  *     preserves it), so the new files land bucket-named again and the
+  *     NEXT merge gets the same road.
+  *
+  * PURITY is per FILE, proven by origin: a manifest ref's `vNNNNNNNN/`
+  * prefix names the commit that wrote it, and only [[bucketize]] and
+  * the bucket-road merge stamp their commits `bucketed=true`. Any file
+  * from an unstamped writer (a blind append rebased in, a plain COW
+  * delete) makes [[pureBuckets]] return None and the merge falls back
+  * to the key-range road — correct, just shuffly — until the next
+  * [[bucketize]] re-establishes the layout. At 100 TB this is the
+  * standing answer to the hourly-merge shuffle: the target side moves
+  * ZERO bytes through an exchange on every repeated run, the staging
+  * exchange is O(delta). */
+object Bucketing {
+
+  /** Table property: `<keyColumn>,<numBuckets>`. */
+  val BucketByProp = "graft.bucketBy"
+
+  /** Commit-info stamp of bucket-pure commits. */
+  val BucketedInfoKey = "bucketed"
+
+  def specOf(props: Map[String, String]): Option[(String, Int)] =
+    props.get(BucketByProp).flatMap { v =>
+      val a = v.split(',')
+      if (a.length == 2 && a(1).trim.toIntOption.exists(_ > 0))
+        Some((a(0).trim, a(1).trim.toInt))
+      else None
+    }
+
+  /** The layout's bucket id of a key column — EXACTLY the partition id
+    * `repartition(n, col(key))` assigns (murmur3 seed 42; null hashes
+    * to the seed), which is also what the claimed HashPartitioning
+    * re-derives. All three MUST stay in lockstep. */
+  def bucketExpr(key: String, n: Int) = pmod(hash(col(key)), lit(n))
+
+  /** MAINTENANCE: rewrite the whole table into `n` hash buckets of
+    * `key` and record the spec — one full-rewrite commit (the optimize
+    * cost class; run it once, then every merge rides the layout).
+    * Refused on partition-spec'd tables: the Hive-style dir layout owns
+    * the file placement there. */
+  def bucketize(
+      spark: SparkSession, root: String, key: String, n: Int): Long = {
+    require(n > 0, "numBuckets must be positive")
+    val maxAttempts = 20
+    var attempt = 0
+    var out: Option[Long] = None
+    while (out.isEmpty) {
+      attempt += 1
+      val cur = VersionedTable.currentVersion(spark, root).getOrElse(
+        throw new java.io.IOException(s"no committed version under $root"))
+      val props = VersionedTable.propertiesOf(spark, root, cur)
+      require(!props.contains(VersionedTable.PartitionByProp),
+        s"$root is partition-spec'd — bucketize is for unpartitioned merge targets")
+      val df = VersionedTable.readVersion(spark, root, cur)
+      require(df.columns.exists(_.equalsIgnoreCase(key)),
+        s"no column $key in $root")
+      try out = Some(VersionedTable.commit(
+        df.repartition(n, col(key)), root,
+        recordProperties = Some(props.updated(BucketByProp, s"$key,$n")),
+        recordInfo = Map("operation" -> "bucketize", BucketedInfoKey -> "true"),
+        preCommit = _ => {
+          val now = VersionedTable.currentVersion(spark, root)
+          if (now != Some(cur))
+            throw new Sinks.ConcurrentWriteException(root, Some(cur), now)
+        }))
+      catch {
+        case _: Sinks.ConcurrentWriteException if attempt < maxAttempts =>
+          Sinks.backoff(attempt)
+      }
+    }
+    out.get
+  }
+
+  /** Bucket id parsed from a ref's part index — the Spark writer names
+    * each task's file `part-<partitionId>-<uuid>…`, and bucket-pure
+    * commits write partition b = bucket b. */
+  def refBucket(ref: String): Option[Int] =
+    "^part-(\\d+)-".r.findFirstMatchIn(ref.split('/').last)
+      .map(_.group(1).toInt)
+
+  /** ref → bucket for version `v`, or None unless EVERY data file is
+    * provably bucket-pure (origin commit stamped + part index < n).
+    * O(refs) driver work plus one tiny commit-info read per distinct
+    * origin version. */
+  def pureBuckets(
+      spark: SparkSession, root: String, v: Long, n: Int)
+      : Option[Map[String, Int]] = {
+    val refs = VersionedTable.dataFileRefs(spark, root, v)
+    val dirToV = VersionedTable.versions(spark, root)
+      .map(w => VersionedTable.dataDirNameOf(spark, root, w) -> w).toMap
+    val stamped = scala.collection.mutable.Map.empty[Long, Boolean]
+    val out = Map.newBuilder[String, Int]
+    refs.foreach { r =>
+      val seg = r.split('/')
+      if (seg.length != 2) return None // original/absolute ref — unproven
+      val w = dirToV.get(seg.head).getOrElse(return None)
+      val ok = stamped.getOrElseUpdate(w,
+        VersionedTable.commitInfoOf(spark, root, w)
+          .get(BucketedInfoKey).contains("true"))
+      val b = refBucket(r).getOrElse(return None)
+      if (!ok || b >= n) return None
+      out += r -> b
+    }
+    Some(out.result())
+  }
+
+  /** The touched slice read BUCKET-ALIGNED: one partition per bucket in
+    * bucket order (untouched/empty buckets contribute one empty
+    * partition), with the layout's HashPartitioning claimed on top.
+    * Each bucket's files read through [[VersionedTable.readFilesOf]]
+    * (DV masks and column mapping fold map-side, so rows stay
+    * bucket-pure). */
+  private def bucketAlignedSlice(
+      spark: SparkSession, root: String, v: Long, key: String, n: Int,
+      filesByBucket: Map[Int, Seq[String]],
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val bridge = org.apache.spark.sql.graft.PartitionBridge
+    val parts = (0 until n).map { b =>
+      filesByBucket.get(b).filter(_.nonEmpty)
+        .map(fs => bridge.onePartition(
+          VersionedTable.readFilesOf(spark, root, v, fs.sorted)
+            .select(schema.fields.toSeq.map(f =>
+              col(f.name).cast(f.dataType).as(f.name)): _*)))
+        .getOrElse(bridge.emptyPartition(spark))
+    }
+    bridge.claimHashPartitioned(spark, schema, parts, key)
+  }
+
+  /** The bucket-road merge frames against version `cur`, or None when
+    * any guard fails (no spec, spec on a different key, schema
+    * evolution in flight, any impure file). Returns (merged frame —
+    * target side exchange-free, kept refs, optional change feed). */
+  private[graft] def mergeFrames(
+      spark: SparkSession, root: String, cur: Long, staging: DataFrame,
+      key: String, runTs: org.apache.spark.sql.Column,
+      statusCol: String, doneValue: String, changeFeed: Boolean)
+      : Option[(DataFrame, Seq[String], Option[DataFrame])] = {
+    val props = VersionedTable.propertiesOf(spark, root, cur)
+    specOf(props) match {
+      case Some((bkey, n)) if bkey.equalsIgnoreCase(key) =>
+        pureBuckets(spark, root, cur, n).flatMap { fb =>
+          val target = VersionedTable.readVersion(spark, root, cur)
+          val mergedSchema = graft.operators.IncrementalMerge
+            .mergeEvolving(target.limit(0), staging.limit(0), key, runTs,
+              statusCol, doneValue).schema
+          val sameSchema = mergedSchema.map(f => (f.name, f.dataType)) ==
+            target.schema.map(f => (f.name, f.dataType))
+          if (!sameSchema) None
+          else {
+            // touched buckets: one delta-scale aggregation, ≤ n values
+            val touched: Set[Int] = staging
+              .select(bucketExpr(key, n).as("__b")).distinct()
+              .collect().map(_.getInt(0)).toSet
+            val filesByBucket: Map[Int, Seq[String]] = fb.toSeq
+              .filter { case (_, b) => touched(b) }
+              .groupBy(_._2).map { case (b, rs) => b -> rs.map(_._1) }
+            val touchedFiles: Set[String] =
+              filesByBucket.values.flatten.toSet
+            val kept = VersionedTable.dataFileRefs(spark, root, cur)
+              .filterNot(touchedFiles)
+            val slice = bucketAlignedSlice(spark, root, cur, key, n,
+              filesByBucket, target.schema)
+            // co-partition the DELTA explicitly to the layout's
+            // partitioning — the one exchange this merge performs, and
+            // it moves O(delta). Explicit rather than left to
+            // EnsureRequirements: a delta arriving with a trivially
+            // satisfying partitioning (SinglePartition after a
+            // localCheckpoint'd limit) would otherwise pair 1 partition
+            // against the slice's n and fail the join's zip.
+            val alignedStaging = staging.repartition(n, col(key))
+            val merged = graft.operators.IncrementalMerge
+              .mergeEvolving(slice, alignedStaging, key, runTs, statusCol,
+                doneValue)
+              .select(target.columns.toSeq.map(col): _*)
+            val feed =
+              if (!changeFeed) None
+              else Some(graft.operators.IncrementalMerge
+                .changeFeed(slice, alignedStaging, key, runTs, statusCol,
+                  doneValue))
+            Some((merged, kept, feed))
+          }
+        }
+      case _ => None
+    }
+  }
+}

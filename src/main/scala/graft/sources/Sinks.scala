@@ -245,6 +245,25 @@ object Sinks {
       try committed = Some(VersionedTable.currentVersion(spark, tableRoot) match {
       case None => full()
       case Some(cur) =>
+        // RECORDED BUCKET LAYOUT first ([[Bucketing]]): on a bucketized
+        // target the touched slice reads bucket-aligned with its
+        // HashPartitioning claimed, so the merge's full-outer join
+        // shuffles ONLY the staging delta — the target-side exchange is
+        // gone on every repeated run. Falls through (None) to the
+        // key-range road whenever any guard fails.
+        Bucketing.mergeFrames(spark, tableRoot, cur, staging, key, runTs,
+          statusCol, doneValue, changeFeed) match {
+        case Some((bMerged, bKept, bFeed)) =>
+          val extras = bFeed.map(f => Map("changes" -> f))
+            .getOrElse(Map.empty[String, DataFrame])
+          val rb = new VersionedTable.AppendRebase(spark, tableRoot, cur)
+          VersionedTable.commitCow(bMerged, tableRoot, bKept, extras,
+            bloomCols = Seq(key),
+            preCommit = v => { preCommit(v); rb.validate(v) },
+            rebase = Some(rb),
+            recordInfo = Map("operation" -> "merge",
+              Bucketing.BucketedInfoKey -> "true"))
+        case None =>
         val target = VersionedTable.readVersion(spark, tableRoot, cur)
         val mergedSchema = graft.operators.IncrementalMerge
           .mergeEvolving(target.limit(0), staging.limit(0), key, runTs,
@@ -309,6 +328,7 @@ object Sinks {
               rebase = Some(rb),
               recordInfo = Map("operation" -> "merge"))
           case _ => full()
+        }
         }
       })
       catch {

@@ -856,6 +856,12 @@ object VersionedTable {
     published
   }
 
+  /** The resolved data-dir NAME of a version — [[Bucketing]] maps
+    * manifest-ref prefixes back to their origin versions with it. */
+  private[graft] def dataDirNameOf(
+      spark: SparkSession, root: String, v: Long): String =
+    dataDirName(spark, root, v)
+
   /** Small-text read (commit markers, manifests); "" on any failure. */
   private def readTextFile(
       f: org.apache.hadoop.fs.FileSystem, p: Path): String =

@@ -68,13 +68,62 @@ object CowBench {
     val keptRefs = VersionedTable.manifestOf(spark, rootCow, vC)
       .map(_.count(!_.startsWith(f"v$vC%08d/"))).getOrElse(0)
 
-    // row-level equality of the two results (the bench is also a check)
+    // BUCKET ROAD ([[graft.sources.Bucketing]]) on a SCATTERED delta —
+    // the realistic hourly-upsert shape at 100 TB (random keys touch
+    // every region, so the key-range road's pruning stops helping and
+    // the merge's exchanges dominate). The bucketized target merges
+    // with ZERO target-side exchange: only the O(delta) staging
+    // repartition moves through a shuffle. Measured directly as
+    // per-road SHUFFLE WRITE BYTES via a listener; the key-LOCAL delta
+    // above stays the clustered layout's win (bucketing scatters it
+    // over every bucket by design — the layouts trade).
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          shuffleBytes.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      })
+    def measured[A](f: => A): (A, Double, Long) = {
+      Thread.sleep(500); shuffleBytes.set(0L)
+      val (a, t) = timed(f)
+      Thread.sleep(500) // let the listener bus drain
+      (a, t, shuffleBytes.get)
+    }
+    val scattered = base.where(col("id") % lit(17) === 0).limit(deltaKeys)
+      .withColumn("last_status", lit("purchase"))
+      .localCheckpoint(eager = true)
+
+    val rootRng = java.nio.file.Files.createTempDirectory("cow_rng").toString + "/t"
+    seed(rootRng)
+    val (_, tRng, shRng) = measured(Sinks.upsertByKeyVersionedCow(
+      spark, rootRng, scattered, "id", ts1, "last_status", "purchase"))
+
+    val rootBkt = java.nio.file.Files.createTempDirectory("cow_bkt").toString + "/t"
+    Sinks.upsertByKeyVersioned(spark, rootBkt, base, "id", ts0, "last_status", "purchase")
+    graft.sources.Bucketing.bucketize(spark, rootBkt, "id", nFiles)
+    val (vB, tBkt, shBkt) = measured(Sinks.upsertByKeyVersionedCow(
+      spark, rootBkt, scattered, "id", ts1, "last_status", "purchase"))
+    val bktStamped = VersionedTable.commitInfoOf(spark, rootBkt, vB)
+      .get(graft.sources.Bucketing.BucketedInfoKey).contains("true")
+    // the layout survives its own merge: the SECOND run rides it too
+    val (vB2, tBkt2, shBkt2) = measured(Sinks.upsertByKeyVersionedCow(
+      spark, rootBkt, scattered.withColumn("last_status", lit("second")),
+      "id", ts1, "last_status", "purchase"))
+    val bkt2Stamped = VersionedTable.commitInfoOf(spark, rootBkt, vB2)
+      .get(graft.sources.Bucketing.BucketedInfoKey).contains("true")
+
+    // row-level equality of the results (the bench is also a check)
     val same = VersionedTable.read(spark, rootFull)
       .exceptAll(VersionedTable.read(spark, rootCow)).isEmpty &&
       VersionedTable.read(spark, rootCow)
         .exceptAll(VersionedTable.read(spark, rootFull)).isEmpty
+    val sameBkt = VersionedTable.readVersion(spark, rootBkt, vB)
+      .exceptAll(VersionedTable.readVersion(spark, rootRng,
+        VersionedTable.versions(spark, rootRng).max)).isEmpty
 
-    println(s"""{"metric":"cow_merge","sf":"$sfDir","n_files":$nFiles,"delta_keys":$deltaKeys,"full_bytes":$bFull,"cow_bytes":$bCow,"bytes_ratio":${bCow.toDouble / bFull},"full_sec":$tFull,"cow_sec":$tCow,"manifest_files":$refs,"kept_by_ref":$keptRefs,"results_equal":$same}""")
+    println(s"""{"metric":"cow_merge","sf":"$sfDir","n_files":$nFiles,"delta_keys":$deltaKeys,"full_bytes":$bFull,"cow_bytes":$bCow,"bytes_ratio":${bCow.toDouble / bFull},"full_sec":$tFull,"cow_sec":$tCow,"manifest_files":$refs,"kept_by_ref":$keptRefs,"results_equal":$same,"scattered_range_sec":$tRng,"scattered_range_shuffle_bytes":$shRng,"scattered_bucket_sec":$tBkt,"scattered_bucket_shuffle_bytes":$shBkt,"scattered_bucket_second_sec":$tBkt2,"scattered_bucket_second_shuffle_bytes":$shBkt2,"bucket_road_used":${bktStamped && bkt2Stamped},"bucket_equal":$sameBkt}""")
     spark.stop()
   }
 }

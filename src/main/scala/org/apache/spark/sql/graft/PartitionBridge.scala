@@ -1,0 +1,70 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.types.StructType
+
+/** Bridge for CLAIMING a physical distribution on rows that are already
+  * laid out that way (graft's recorded hash-bucket layout: file `b` of
+  * a bucketized snapshot holds exactly the rows with
+  * `pmod(murmur3(key), n) = b`).
+  *
+  * Mechanism: assemble the bucket-ordered partitions with the PLAIN
+  * `SparkContext.union` (partitioner-free children concatenate one
+  * partition per child, in order — the SQL-level Union must NOT be used
+  * here: Spark 4's UnionExec builds a partitioning-aware union that
+  * MERGES equally-partitioned children instead of concatenating them),
+  * then record `HashPartitioning(key, n)` as a [[LogicalRDD]]'s
+  * outputPartitioning — the construction `Dataset.checkpoint` uses to
+  * preserve partitioning across a lineage cut (public Spark source),
+  * reachable only from this `private[sql]` shim package.
+  * EnsureRequirements then sees a satisfied ClusteredDistribution on
+  * that side of a key-equi join and inserts NO exchange there.
+  *
+  * CONTRACT (the caller proves it by construction): `parts(i)` contains
+  * only rows with `pmod(murmur3_hash(key, 42), n) = i`, in the row
+  * layout of `schema` — murmur3 seed 42 is what
+  * `Dataset.repartition(n, col(key))` distributed by when the layout
+  * was written, what `functions.hash` computes, and what
+  * `HashPartitioning.partitionIdExpression` re-derives. A false claim
+  * silently mis-joins; never call this on a layout not written by that
+  * exact partitioning. */
+object PartitionBridge {
+  def claimHashPartitioned(
+      spark: org.apache.spark.sql.SparkSession,
+      schema: StructType,
+      parts: Seq[RDD[InternalRow]],
+      key: String): DataFrame = {
+    val sess = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    require(parts.forall(_.partitioner.isEmpty) &&
+      parts.forall(_.getNumPartitions == 1),
+      "each bucket must arrive as exactly one partitioner-free partition")
+    val union = sess.sparkContext.union(parts)
+    val attrs = DataTypeUtils.toAttributes(schema)
+    val attr = attrs.find(_.name.equalsIgnoreCase(key)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no column $key in ${schema.fieldNames.mkString(", ")}"))
+    val plan = new LogicalRDD(
+      attrs, union, HashPartitioning(Seq(attr), parts.size), Nil,
+      false, None)(sess, None, None)
+    org.apache.spark.sql.classic.Dataset.ofRows(sess, plan)
+  }
+
+  /** A frame's internal rows as ONE partition (the per-bucket reads
+    * feeding [[claimHashPartitioned]]) — RDD-level coalesce, so no SQL
+    * optimizer pass can re-shape it. */
+  def onePartition(df: DataFrame): RDD[InternalRow] = {
+    val r = df.queryExecution.toRdd
+    if (r.getNumPartitions == 1) r else r.coalesce(1, shuffle = false)
+  }
+
+  /** An empty single partition in `schema`'s layout (an untouched or
+    * empty bucket). */
+  def emptyPartition(
+      spark: org.apache.spark.sql.SparkSession): RDD[InternalRow] =
+    spark.sparkContext.parallelize(Seq.empty[InternalRow], 1)
+}

@@ -1,0 +1,128 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Recorded hash-bucket layout: the bucketized target's merge joins
+  * with ZERO exchange on the target side (the claimed HashPartitioning
+  * is EnsureRequirements' proof), results equal the unbucketed road's,
+  * the layout survives its own merges, and any foreign file degrades
+  * purity to a clean fallback. */
+class BucketingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ts0 = lit("2024-06-01 00:00:00").cast("timestamp")
+  private val ts1 = lit("2024-06-02 00:00:00").cast("timestamp")
+  private val ts2 = lit("2024-06-03 00:00:00").cast("timestamp")
+
+  private def freshRoot() =
+    java.nio.file.Files.createTempDirectory("graft_bkt").toString + "/t"
+
+  private def base(nKeys: Long) = spark.range(0, nKeys).toDF("id")
+    .withColumn("last_status", lit("OPEN"))
+    .withColumn("created_at", ts0)
+    .withColumn("payload", concat(lit("p"), $"id"))
+
+  private def delta(ids: Seq[Long], status: String, ts: org.apache.spark.sql.Column) =
+    ids.toDF("id")
+      .withColumn("last_status", lit(status))
+      .withColumn("created_at", ts)
+      .withColumn("payload", concat(lit("q"), $"id"))
+
+  private def seed(root: String, n: Int): Unit = {
+    Sinks.upsertByKeyVersioned(spark, root, base(400), "id", ts0,
+      "last_status", "DONE")
+    Bucketing.bucketize(spark, root, "id", n)
+  }
+
+  test("the bucket road's merge plan has ZERO target-side exchange: " +
+    "exactly one exchange total, and it is the staging side") {
+    val root = freshRoot(); seed(root, 8)
+    val cur = VersionedTable.currentVersion(spark, root).get
+    val d = delta(Seq(3L, 7L, 20L, 391L), "DONE", ts1)
+    val (merged, kept, _) = Bucketing.mergeFrames(spark, root, cur, d,
+      "id", ts1, "last_status", "DONE", changeFeed = false).get
+    // disable AQE broadcast demotion noise: read the compiled plan
+    val p = merged.queryExecution.executedPlan.toString
+    val exchanges = p.split("Exchange hashpartitioning").length - 1
+    assert(exchanges == 1,
+      s"expected exactly the staging-side exchange, got $exchanges:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      "the assertion must hold without broadcast rescuing the plan:\n" + p)
+    // and it joins: full outer on the claimed side
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    // kept = every untouched bucket's file
+    assert(kept.nonEmpty)
+  }
+
+  test("bucket-road results equal the unbucketed road's; the layout " +
+    "survives its own merges so the SECOND merge rides it too") {
+    val rootB = freshRoot(); seed(rootB, 8)
+    val rootP = freshRoot()
+    Sinks.upsertByKeyVersioned(spark, rootP, base(400), "id", ts0,
+      "last_status", "DONE")
+
+    def upsert(root: String, ids: Seq[Long], ts: org.apache.spark.sql.Column): Long =
+      Sinks.upsertByKeyVersionedCow(spark, root, delta(ids, "DONE", ts),
+        "id", ts, "last_status", "DONE")
+
+    val v1 = upsert(rootB, Seq(3L, 7L, 20L, 401L), ts1)
+    upsert(rootP, Seq(3L, 7L, 20L, 401L), ts1)
+    // the merge commit is stamped and its files bucket-named: purity holds
+    assert(VersionedTable.commitInfoOf(spark, rootB, v1)
+      .get(Bucketing.BucketedInfoKey).contains("true"))
+    assert(Bucketing.pureBuckets(spark, rootB, v1, 8).isDefined,
+      "layout must survive the bucket-road merge")
+    // second merge (updates + inserts) — still the bucket road
+    val v2 = upsert(rootB, Seq(7L, 399L, 402L), ts2)
+    upsert(rootP, Seq(7L, 399L, 402L), ts2)
+    assert(Bucketing.pureBuckets(spark, rootB, v2, 8).isDefined)
+
+    def rows(root: String) = VersionedTable.read(spark, root)
+      .select("id", "last_status", "payload", "created_at", "updated_at")
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(rows(rootB) == rows(rootP))
+    // change feed flows on the bucket road too
+    assert(VersionedTable.readChanges(spark, rootB, v2, v2)
+      .where(col("_change_type") === "insert").count() == 1L)
+  }
+
+  test("a foreign (unstamped) file degrades purity: the merge falls " +
+    "back to the key-range road, results still correct") {
+    val root = freshRoot(); seed(root, 8)
+    // a blind append is NOT bucket-aware — purity must break
+    val tgtSchema = VersionedTable.read(spark, root).schema
+    val apRow = delta(Seq(900L), "OPEN", ts1).withColumn("updated_at", ts1)
+    VersionedTable.commitAppend(
+      apRow.select(tgtSchema.map(f =>
+        if (apRow.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)): _*),
+      root)
+    val cur = VersionedTable.currentVersion(spark, root).get
+    assert(Bucketing.pureBuckets(spark, root, cur, 8).isEmpty)
+    assert(Bucketing.mergeFrames(spark, root, cur,
+      delta(Seq(3L), "DONE", ts1), "id", ts1, "last_status", "DONE",
+      changeFeed = false).isEmpty)
+    // the public upsert still lands correctly via the fallback
+    Sinks.upsertByKeyVersionedCow(spark, root, delta(Seq(3L, 901L), "DONE", ts1),
+      "id", ts1, "last_status", "DONE")
+    val got = VersionedTable.read(spark, root)
+      .where(col("id").isin(3L, 900L, 901L))
+      .select("id", "last_status").orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((3L, "DONE"), (900L, "OPEN"), (901L, "DONE")), got)
+  }
+
+  test("bucketize refuses partition-spec'd tables; spec parsing is strict") {
+    assert(Bucketing.specOf(Map("graft.bucketBy" -> "id,8")) == Some(("id", 8)))
+    assert(Bucketing.specOf(Map("graft.bucketBy" -> "id")) == None)
+    assert(Bucketing.specOf(Map("graft.bucketBy" -> "id,0")) == None)
+    val root = freshRoot()
+    VersionedTable.commit(
+      base(50).withColumn("ds", lit("2024-06-01").cast("date")), root,
+      partitionBy = Seq("ds"))
+    intercept[IllegalArgumentException] {
+      Bucketing.bucketize(spark, root, "id", 8)
+    }
+  }
+}
