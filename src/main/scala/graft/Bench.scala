@@ -23,6 +23,21 @@ object Bench {
     // measure the operator, not first-query JVM startup
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // HOST CALIBRATION (r14 ask #5): a fixed CPU-bound workload timed at
+    // bench start and end — 100M xxhash64 folds across the same thread
+    // count every round, independent of tables and planning. Cross-round
+    // readers normalize totals by the calibration ratio instead of
+    // re-running old code in a worktree to separate host drift from code
+    // drift; start vs end also exposes in-run drift (a noisy neighbor
+    // arriving mid-bench). Best-of-3: the calibration must not itself be
+    // a steal victim.
+    def calibrate(): Double = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0L, 1200000000L, 1L, cpus)
+        .selectExpr("bit_xor(xxhash64(id))").collect() // xor: ANSI-overflow-free
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val calibStart = calibrate()
     // optional comma-separated allowlist for focused A/B runs
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').map(_.trim).toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
@@ -262,8 +277,9 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val calibEnd = calibrate()
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","best_of":$repeat$streamJson$amortJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","best_of":$repeat,"calib_start_s":$calibStart,"calib_end_s":$calibEnd$streamJson$amortJson}"""
     println(line)
     // also land the line on disk: harness stdout capture truncates long
     // runs mid-JSON (r7 lost 27 per-key numbers to a cut tail), and the

@@ -87,6 +87,9 @@ object Bpe {
       .where(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("n"))
       .select(symbolize(col("w")).as("s"), col("n"))
+      // pinned for the rounds: each round re-aggregates THIS frame — an
+      // unpinned histogram would re-run the corpus wordcount per round
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
     while (merges.size < rounds && !done) {
@@ -108,6 +111,7 @@ object Bpe {
       if (best.isEmpty) done = true
       else merges += ((best(0).getString(0), best(0).getString(1)))
     }
+    hist.unpersist(blocking = false)
     merges.toSeq
   }
 }
