@@ -24,7 +24,7 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
     // HOST CALIBRATION (r14 ask #5): a fixed CPU-bound workload timed at
-    // bench start and end — 100M xxhash64 folds across the same thread
+    // bench start and end — 1.2G xxhash64 folds across the same thread
     // count every round, independent of tables and planning. Cross-round
     // readers normalize totals by the calibration ratio instead of
     // re-running old code in a worktree to separate host drift from code
@@ -37,9 +37,12 @@ object Bench {
         .selectExpr("bit_xor(xxhash64(id))").collect() // xor: ANSI-overflow-free
       (System.nanoTime() - t0) / 1e9
     }.min
-    val calibStart = calibrate()
     // optional comma-separated allowlist for focused A/B runs
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').map(_.trim).toSet)
+    // calibration serves CROSS-ROUND comparison of full runs; focused
+    // A/B iterations (BENCH_ONLY) skip its ~2 s so the edit loop stays
+    // tight (their comparisons are same-host same-minute by design)
+    val calibStart = if (only.isEmpty) calibrate() else 0.0
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
     // best-of-N per query (reported in the JSON): the VM's host-level CPU
     // steal makes single shots vary ±2x (r2 saw a 3.4x outlier survive
@@ -277,7 +280,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val calibEnd = calibrate()
+    val calibEnd = if (only.isEmpty) calibrate() else 0.0
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","best_of":$repeat,"calib_start_s":$calibStart,"calib_end_s":$calibEnd$streamJson$amortJson}"""
     println(line)

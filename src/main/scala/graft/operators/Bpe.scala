@@ -92,7 +92,7 @@ object Bpe {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
-    while (merges.size < rounds && !done) {
+    try while (merges.size < rounds && !done) {
       // the current symbolization = the merges so far, re-applied
       // map-side over the vocabulary-sized histogram (rounds × vocab
       // string work — no caching needed at this size)
@@ -111,7 +111,8 @@ object Bpe {
       if (best.isEmpty) done = true
       else merges += ((best(0).getString(0), best(0).getString(1)))
     }
-    hist.unpersist(blocking = false)
+    // finally: a failed round must not leak the pinned histogram
+    finally hist.unpersist(blocking = false)
     merges.toSeq
   }
 }

@@ -26,7 +26,8 @@ import org.apache.spark.sql.functions._
   *
   * PURITY is per FILE, proven by origin: a manifest ref's `vNNNNNNNN/`
   * prefix names the commit that wrote it, and only [[bucketize]] and
-  * the bucket-road merge stamp their commits `bucketed=true`. Any file
+  * the bucket-road merge stamp their commits with the spec they wrote
+  * under (`bucketed=<key>,<n>`). Any file
   * from an unstamped writer (a blind append rebased in, a plain COW
   * delete) makes [[pureBuckets]] return None and the merge falls back
   * to the key-range road — correct, just shuffly — until the next
@@ -39,7 +40,13 @@ object Bucketing {
   /** Table property: `<keyColumn>,<numBuckets>`. */
   val BucketByProp = "graft.bucketBy"
 
-  /** Commit-info stamp of bucket-pure commits. */
+  /** Commit-info stamp of bucket-pure commits. The VALUE is the spec
+    * the files were written under (`<key>,<n>`) — purity is only
+    * meaningful against the SAME spec: a later `ALTER ... SET
+    * TBLPROPERTIES('graft.bucketBy'='id,16')` over files laid out at
+    * n=4 must fail the purity check (part-3 of 4 holds buckets
+    * 3/7/11/15 of 16 — trusting it would silently duplicate keys), not
+    * ride the stamp. */
   val BucketedInfoKey = "bucketed"
 
   def specOf(props: Map[String, String]): Option[(String, Int)] =
@@ -80,7 +87,8 @@ object Bucketing {
       try out = Some(VersionedTable.commit(
         df.repartition(n, col(key)), root,
         recordProperties = Some(props.updated(BucketByProp, s"$key,$n")),
-        recordInfo = Map("operation" -> "bucketize", BucketedInfoKey -> "true"),
+        recordInfo = Map("operation" -> "bucketize",
+          BucketedInfoKey -> s"$key,$n"),
         preCommit = _ => {
           val now = VersionedTable.currentVersion(spark, root)
           if (now != Some(cur))
@@ -106,8 +114,9 @@ object Bucketing {
     * O(refs) driver work plus one tiny commit-info read per distinct
     * origin version. */
   def pureBuckets(
-      spark: SparkSession, root: String, v: Long, n: Int)
+      spark: SparkSession, root: String, v: Long, key: String, n: Int)
       : Option[Map[String, Int]] = {
+    val spec = s"$key,$n"
     val refs = VersionedTable.dataFileRefs(spark, root, v)
     val dirToV = VersionedTable.versions(spark, root)
       .map(w => VersionedTable.dataDirNameOf(spark, root, w) -> w).toMap
@@ -117,9 +126,10 @@ object Bucketing {
       val seg = r.split('/')
       if (seg.length != 2) return None // original/absolute ref — unproven
       val w = dirToV.get(seg.head).getOrElse(return None)
+      // the stamp must name the SAME spec the merge is about to trust
       val ok = stamped.getOrElseUpdate(w,
         VersionedTable.commitInfoOf(spark, root, w)
-          .get(BucketedInfoKey).contains("true"))
+          .get(BucketedInfoKey).contains(spec))
       val b = refBucket(r).getOrElse(return None)
       if (!ok || b >= n) return None
       out += r -> b
@@ -150,19 +160,29 @@ object Bucketing {
   }
 
   /** The bucket-road merge frames against version `cur`, or None when
-    * any guard fails (no spec, spec on a different key, schema
-    * evolution in flight, any impure file). Returns (merged frame —
-    * target side exchange-free, kept refs, optional change feed). */
+    * any guard fails (no spec, spec on a different key, a type-drifted
+    * staging key, schema evolution in flight, any impure file). Returns
+    * (merged frame — target side exchange-free, kept refs, optional
+    * change feed, the spec string the commit must stamp). */
   private[graft] def mergeFrames(
       spark: SparkSession, root: String, cur: Long, staging: DataFrame,
       key: String, runTs: org.apache.spark.sql.Column,
       statusCol: String, doneValue: String, changeFeed: Boolean)
-      : Option[(DataFrame, Seq[String], Option[DataFrame])] = {
+      : Option[(DataFrame, Seq[String], Option[DataFrame], String)] = {
     val props = VersionedTable.propertiesOf(spark, root, cur)
     specOf(props) match {
       case Some((bkey, n)) if bkey.equalsIgnoreCase(key) =>
-        pureBuckets(spark, root, cur, n).flatMap { fb =>
+        pureBuckets(spark, root, cur, bkey, n).flatMap { fb =>
           val target = VersionedTable.readVersion(spark, root, cur)
+          // the staging key must hash under the SAME binary layout the
+          // files were written with: murmur3 of INT and BIGINT differ,
+          // so a type-drifted delta would prune the wrong buckets and
+          // silently duplicate keys — fall back instead
+          val tKeyType = target.schema.find(_.name.equalsIgnoreCase(key))
+            .map(_.dataType)
+          val sKeyType = staging.schema.find(_.name.equalsIgnoreCase(key))
+            .map(_.dataType)
+          if (tKeyType.isEmpty || tKeyType != sKeyType) return None
           val mergedSchema = graft.operators.IncrementalMerge
             .mergeEvolving(target.limit(0), staging.limit(0), key, runTs,
               statusCol, doneValue).schema
@@ -200,7 +220,7 @@ object Bucketing {
               else Some(graft.operators.IncrementalMerge
                 .changeFeed(slice, alignedStaging, key, runTs, statusCol,
                   doneValue))
-            Some((merged, kept, feed))
+            Some((merged, kept, feed, s"$bkey,$n"))
           }
         }
       case _ => None

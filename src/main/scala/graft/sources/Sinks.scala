@@ -253,7 +253,7 @@ object Sinks {
         // key-range road whenever any guard fails.
         Bucketing.mergeFrames(spark, tableRoot, cur, staging, key, runTs,
           statusCol, doneValue, changeFeed) match {
-        case Some((bMerged, bKept, bFeed)) =>
+        case Some((bMerged, bKept, bFeed, bSpec)) =>
           val extras = bFeed.map(f => Map("changes" -> f))
             .getOrElse(Map.empty[String, DataFrame])
           val rb = new VersionedTable.AppendRebase(spark, tableRoot, cur)
@@ -262,7 +262,9 @@ object Sinks {
             preCommit = v => { preCommit(v); rb.validate(v) },
             rebase = Some(rb),
             recordInfo = Map("operation" -> "merge",
-              Bucketing.BucketedInfoKey -> "true"))
+              // the stamp names the SPEC this commit's files were laid
+              // out under — purity is spec-relative (see Bucketing)
+              Bucketing.BucketedInfoKey -> bSpec))
         case None =>
         val target = VersionedTable.readVersion(spark, tableRoot, cur)
         val mergedSchema = graft.operators.IncrementalMerge

@@ -1007,10 +1007,18 @@ object VersionedTable {
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                  finally in.close()
       val lines = text.split('\n').toSeq.filter(_.nonEmpty)
-      val head = lines.head.split('\t')
-      val removed = lines.tail.collect { case l if l.startsWith("-") => l.drop(1) }
-      val added = lines.tail.collect { case l if l.startsWith("+") => l.drop(1) }
-      Some(ManifestDelta(head(0).toLong, head(1).toInt, removed.toSet, added))
+      // validate shape up front: a truncated/empty sidecar (crash
+      // between create and write) must name ITSELF, not surface as a
+      // NoSuchElement deep inside a fold
+      val head = lines.headOption.map(_.split('\t')).getOrElse(Array.empty)
+      if (head.length < 2 || head(0).toLongOption.isEmpty ||
+          head(1).toIntOption.isEmpty)
+        throw new java.io.IOException(
+          s"corrupt delta-manifest sidecar $df — expected '<base>\\t<depth>' " +
+            s"header, got ${lines.headOption.getOrElse("<empty>")}")
+      Some(ManifestDelta(head(0).toLong, head(1).toInt,
+        lines.tail.collect { case l if l.startsWith("-") => l.drop(1) }.toSet,
+        lines.tail.collect { case l if l.startsWith("+") => l.drop(1) }))
     }
   }
 
@@ -1072,6 +1080,15 @@ object VersionedTable {
     }
   }
 
+  /** Folded stats are immutable once published — memoized like
+    * [[foldedManifestMemo]] (delta-form versions only; full forms stay
+    * one direct load as before), bounded by a wholesale clear. Without
+    * the memo a table at delta depth d pays O(d²) sidecar loads per
+    * scan (each level re-folds its base). */
+  private val foldedStatsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long),
+    Map[String, Map[String, (String, Option[String], Option[String], Long, Long)]]]()
+
   /** Version `v`'s per-file column stats, delta-aware: full-form
     * versions read their own `_stats` table; delta-form versions fold
     * the base's stats under their own adds', restricted to the folded
@@ -1085,10 +1102,18 @@ object VersionedTable {
       case None =>
         TableStats.load(spark, new Path(dataDir(spark, root, v), "_stats"))
       case Some(d) =>
-        val own = TableStats.load(spark, new Path(dataDir(spark, root, v), "_stats"))
-        val refs = manifestOf(spark, root, v).getOrElse(Nil).toSet
-        (statsOf(spark, root, d.base) ++ own)
-          .filter { case (k, _) => refs(k) }
+        val key = (root, v, markerIdentity(spark, root, v))
+        val got = foldedStatsMemo.get(key)
+        if (got != null) got
+        else {
+          val own = TableStats.load(spark, new Path(dataDir(spark, root, v), "_stats"))
+          val refs = manifestOf(spark, root, v).getOrElse(Nil).toSet
+          val folded = (statsOf(spark, root, d.base) ++ own)
+            .filter { case (k, _) => refs(k) }
+          if (foldedStatsMemo.size > 64) foldedStatsMemo.clear()
+          foldedStatsMemo.put(key, folded)
+          folded
+        }
     }
 
   /** Rewrite a DELTA-form version as its own FULL form — folded

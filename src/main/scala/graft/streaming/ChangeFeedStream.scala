@@ -71,15 +71,26 @@ object ChangeFeedStream {
     * required only from the next commit on. */
   private[streaming] def feedSchema(
       spark: SparkSession, root: String,
-      initialSnapshot: Boolean = false): StructType = {
+      initialSnapshot: Boolean = false): StructType =
+    pinSchema(spark, root, initialSnapshot)._1
+
+  /** ([[feedSchema]], the version it pinned) from ONE scan — the pin
+    * version is the evolution gate's reference point (versions AFTER it
+    * must not drift silently; versions BEFORE it are history the pin
+    * already accounts for), and deriving both from the same scan closes
+    * the race where a feed commit lands between two independent scans
+    * and gets mis-classified as pre-pin history. */
+  private[streaming] def pinSchema(
+      spark: SparkSession, root: String,
+      initialSnapshot: Boolean = false): (StructType, Long) = {
     val vs = VersionedTable.versions(spark, root)
     require(vs.nonEmpty, s"no committed version under $root")
     if (initialSnapshot) {
       val cur = vs.last
       val cols = VersionedTable.readVersion(spark, root, cur).schema.fields.toSeq
-      StructType(cols :+
+      (StructType(cols :+
         StructField("_change_type", org.apache.spark.sql.types.StringType) :+
-        StructField("_commit_version", LongType))
+        StructField("_commit_version", LongType)), cur)
     } else {
       val withFeed = vs.reverse.find(v =>
         VersionedTable.readExtra(spark, root, v, "changes").nonEmpty)
@@ -87,23 +98,9 @@ object ChangeFeedStream {
           s"no version under $root carries a change feed — " +
             "write the table with the versioned upsert paths"))
       val feed = VersionedTable.readExtra(spark, root, withFeed, "changes").get
-      StructType(feed.schema.fields.toSeq :+ StructField("_commit_version", LongType))
+      (StructType(feed.schema.fields.toSeq :+
+        StructField("_commit_version", LongType)), withFeed)
     }
-  }
-
-  /** The version whose schema [[feedSchema]] pinned — the reference
-    * point for the mid-stream evolution gate (versions AFTER it must
-    * not drift silently; versions BEFORE it are history the pin already
-    * accounts for). */
-  private[streaming] def pinVersion(
-      spark: SparkSession, root: String,
-      initialSnapshot: Boolean = false): Long = {
-    val vs = VersionedTable.versions(spark, root)
-    require(vs.nonEmpty, s"no committed version under $root")
-    if (initialSnapshot) vs.last
-    else vs.reverse.find(v =>
-      VersionedTable.readExtra(spark, root, v, "changes").nonEmpty)
-      .getOrElse(vs.last)
   }
 }
 
@@ -142,8 +139,9 @@ class ChangeFeedSource(
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
-  override val schema: StructType =
-    ChangeFeedStream.feedSchema(spark, root, initialSnapshot)
+  private val pinned: (StructType, Long) =
+    ChangeFeedStream.pinSchema(spark, root, initialSnapshot)
+  override val schema: StructType = pinned._1
 
   // ---- mid-stream schema evolution gate (the Delta CDF contract) ---------
   //
@@ -163,8 +161,7 @@ class ChangeFeedSource(
   //     already accounts for it (missing columns backfill null, since-
   //     dropped columns project away).
 
-  private val pinnedAt: Long =
-    ChangeFeedStream.pinVersion(spark, root, initialSnapshot)
+  private val pinnedAt: Long = pinned._2
   private val metaCols = Set("_change_type", "_commit_version")
   private lazy val pinnedMapping = VersionedTable.columnMapping(spark, root, pinnedAt)
   private lazy val pinnedTableCols: Seq[StructField] =
@@ -430,18 +427,29 @@ class ChangeFeedSource(
               s"${lost.toSeq.sorted.mkString(", ")} to vacuum — size the " +
               "vacuum retention to cover the slowest consumer")
           vs.map { v =>
-            aligns.getOrElse(v, Map.empty).foldLeft(
-              VersionedTable.readChanges(spark, root, v, v)) {
-              case (d, (from, to)) => d.withColumnRenamed(from, to)
-            }
+            val renames = aligns.getOrElse(v, Map.empty)
+            val d = VersionedTable.readChanges(spark, root, v, v)
+            if (renames.isEmpty) d
+            // SIMULTANEOUS renames (one select), never a sequential
+            // withColumnRenamed fold: a swap (a->b, b->a — legal under
+            // column mapping) would alias through itself sequentially
+            else d.select(d.columns.toSeq.map(c =>
+              col(c).as(renames.getOrElse(c, c))): _*)
           }.reduce(_.unionByName(_, allowMissingColumns = true))
         }
       // pin to the stream's schema: column order fixed, types normalized
       // to the pinned ones (upcasts only — anything lossy was refused by
-      // the gate above)
-      val pinned = batch.select(schema.fields.toSeq.map(f =>
-        col(f.name).cast(f.dataType).as(f.name)): _*)
-      org.apache.spark.sql.graft.StreamBridge.asStreaming(pinned)
+      // the gate above), and a pinned column ABSENT from the whole batch
+      // range backfills null — a rate-limited catch-up batch made
+      // entirely of versions from before a column-add must serve, not
+      // crash unresolved (the gate already proved the absence is
+      // pre-pin history)
+      val have = batch.columns.map(_.toLowerCase).toSet
+      val pinnedSel = batch.select(schema.fields.toSeq.map { f =>
+        if (have(f.name.toLowerCase)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+      org.apache.spark.sql.graft.StreamBridge.asStreaming(pinnedSel)
     }
   }
 

@@ -106,13 +106,13 @@ object CowBench {
     val (vB, tBkt, shBkt) = measured(Sinks.upsertByKeyVersionedCow(
       spark, rootBkt, scattered, "id", ts1, "last_status", "purchase"))
     val bktStamped = VersionedTable.commitInfoOf(spark, rootBkt, vB)
-      .get(graft.sources.Bucketing.BucketedInfoKey).contains("true")
+      .get(graft.sources.Bucketing.BucketedInfoKey).contains(s"id,$nFiles")
     // the layout survives its own merge: the SECOND run rides it too
     val (vB2, tBkt2, shBkt2) = measured(Sinks.upsertByKeyVersionedCow(
       spark, rootBkt, scattered.withColumn("last_status", lit("second")),
       "id", ts1, "last_status", "purchase"))
     val bkt2Stamped = VersionedTable.commitInfoOf(spark, rootBkt, vB2)
-      .get(graft.sources.Bucketing.BucketedInfoKey).contains("true")
+      .get(graft.sources.Bucketing.BucketedInfoKey).contains(s"id,$nFiles")
 
     // row-level equality of the results (the bench is also a check)
     val same = VersionedTable.read(spark, rootFull)

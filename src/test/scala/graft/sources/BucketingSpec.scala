@@ -40,7 +40,7 @@ class BucketingSpec extends SparkSpec {
     val root = freshRoot(); seed(root, 8)
     val cur = VersionedTable.currentVersion(spark, root).get
     val d = delta(Seq(3L, 7L, 20L, 391L), "DONE", ts1)
-    val (merged, kept, _) = Bucketing.mergeFrames(spark, root, cur, d,
+    val (merged, kept, _, _) = Bucketing.mergeFrames(spark, root, cur, d,
       "id", ts1, "last_status", "DONE", changeFeed = false).get
     // disable AQE broadcast demotion noise: read the compiled plan
     val p = merged.queryExecution.executedPlan.toString
@@ -70,13 +70,13 @@ class BucketingSpec extends SparkSpec {
     upsert(rootP, Seq(3L, 7L, 20L, 401L), ts1)
     // the merge commit is stamped and its files bucket-named: purity holds
     assert(VersionedTable.commitInfoOf(spark, rootB, v1)
-      .get(Bucketing.BucketedInfoKey).contains("true"))
-    assert(Bucketing.pureBuckets(spark, rootB, v1, 8).isDefined,
+      .get(Bucketing.BucketedInfoKey).contains("id,8"))
+    assert(Bucketing.pureBuckets(spark, rootB, v1, "id", 8).isDefined,
       "layout must survive the bucket-road merge")
     // second merge (updates + inserts) — still the bucket road
     val v2 = upsert(rootB, Seq(7L, 399L, 402L), ts2)
     upsert(rootP, Seq(7L, 399L, 402L), ts2)
-    assert(Bucketing.pureBuckets(spark, rootB, v2, 8).isDefined)
+    assert(Bucketing.pureBuckets(spark, rootB, v2, "id", 8).isDefined)
 
     def rows(root: String) = VersionedTable.read(spark, root)
       .select("id", "last_status", "payload", "created_at", "updated_at")
@@ -99,7 +99,7 @@ class BucketingSpec extends SparkSpec {
         else lit(null).cast(f.dataType).as(f.name)): _*),
       root)
     val cur = VersionedTable.currentVersion(spark, root).get
-    assert(Bucketing.pureBuckets(spark, root, cur, 8).isEmpty)
+    assert(Bucketing.pureBuckets(spark, root, cur, "id", 8).isEmpty)
     assert(Bucketing.mergeFrames(spark, root, cur,
       delta(Seq(3L), "DONE", ts1), "id", ts1, "last_status", "DONE",
       changeFeed = false).isEmpty)
@@ -111,6 +111,37 @@ class BucketingSpec extends SparkSpec {
       .select("id", "last_status").orderBy("id")
       .as[(Long, String)].collect().toSeq
     assert(got == Seq((3L, "DONE"), (900L, "OPEN"), (901L, "DONE")), got)
+  }
+
+  test("a type-drifted staging key falls back (murmur3 of INT and BIGINT " +
+    "differ — trusting the layout would duplicate keys)") {
+    val root = freshRoot(); seed(root, 8)
+    val cur = VersionedTable.currentVersion(spark, root).get
+    val intDelta = delta(Seq(3L), "DONE", ts1)
+      .withColumn("id", col("id").cast("int"))
+    assert(Bucketing.mergeFrames(spark, root, cur, intDelta, "id", ts1,
+      "last_status", "DONE", changeFeed = false).isEmpty,
+      "INT staging key against a BIGINT-bucketized target must fall back")
+  }
+
+  test("a re-spec'd bucketBy property over old files fails purity: the " +
+    "stamp names the spec the files were written under") {
+    val root = freshRoot(); seed(root, 8)
+    val cur0 = VersionedTable.currentVersion(spark, root).get
+    assert(Bucketing.pureBuckets(spark, root, cur0, "id", 8).isDefined)
+    // widen the property to 16 buckets WITHOUT re-laying the files:
+    // part-3 of 8 holds buckets 3 and 11 of 16 — purity must refuse
+    VersionedTable.setProperties(spark, root,
+      Map(Bucketing.BucketByProp -> "id,16"))
+    val cur = VersionedTable.currentVersion(spark, root).get
+    assert(Bucketing.pureBuckets(spark, root, cur, "id", 16).isEmpty)
+    assert(Bucketing.mergeFrames(spark, root, cur, delta(Seq(3L), "DONE", ts1),
+      "id", ts1, "last_status", "DONE", changeFeed = false).isEmpty)
+    // the public upsert still lands correctly via the fallback
+    Sinks.upsertByKeyVersionedCow(spark, root, delta(Seq(3L), "DONE", ts1),
+      "id", ts1, "last_status", "DONE")
+    assert(VersionedTable.read(spark, root).where(col("id") === 3L)
+      .select("last_status").as[String].head == "DONE")
   }
 
   test("bucketize refuses partition-spec'd tables; spec parsing is strict") {

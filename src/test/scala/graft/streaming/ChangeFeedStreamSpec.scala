@@ -431,6 +431,34 @@ class ChangeFeedStreamSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("a rate-limited catch-up batch made entirely of pre-column-add " +
+    "versions serves with null backfill, never an unresolved column") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cfse5").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cfse5_ck").toString
+    VersionedTable.commit(Seq((1L, "a1")).toDF("id", "x"), root)
+    feedAppend(root, Seq((2L, "a2")).toDF("id", "x"))   // v2: no column y
+    feedAppend(root, Seq((3L, "a3")).toDF("id", "x"))   // v3: no column y
+    VersionedTable.addColumns(spark, root, org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("y",
+        org.apache.spark.sql.types.StringType))))       // v4
+    feedAppend(root, Seq((4L, "a4", "Y4")).toDF("id", "x", "y")) // v5: the pin
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[String])]
+    // maxVersionsPerBatch=1 → the first batches hold ONLY pre-add feeds
+    val q = ChangeFeedStream.read(spark, root, maxVersionsPerBatch = Some(1))
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val got = df.collect().map(r =>
+          (r.getAs[Long]("id"), Option(r.getAs[String]("y"))))
+        rows.synchronized { rows ++= got }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      val got = rows.synchronized(rows.toSeq).sortBy(_._1)
+      assert(got == Seq((2L, None), (3L, None), (4L, Some("Y4"))), got.toString)
+    } finally q.stop()
+  }
+
   test("a backlog spanning a HISTORICAL rename folds to the pinned (new) " +
     "name with values intact") {
     val root = java.nio.file.Files.createTempDirectory("graft_cfse4").toString + "/t"
