@@ -275,7 +275,16 @@ object Bench {
       isolate()
       val s5p = (1 to repeat)
         .map(_ => timed(noop(DedupQueries.s5Probe(spark, sfDir, "bench_amort_ivfpq")))).min
-      s""","amortized":{"s3_build":$s3b,"s3_probe":$s3p,"d6_train":$d6t,"d6_probe":$d6p,"d10_index_build":$d10b,"d10_probe":$d10p,"s4_build":$s4b,"s4_probe":$s4p,"s5_build":$s5b,"s5_probe":$s5p}"""
+      isolate()
+      // t11 split: training is the once-per-corpus cost (rounds of
+      // vocabulary-sized aggregations), application the per-run one
+      var bpeMerges: Seq[(String, String)] = null
+      val t11t = timed { bpeMerges = graft.queries.TextQueries.t11Train(spark, sfDir) }
+      isolate()
+      val t11a = (1 to repeat)
+        .map(_ => timed(noop(graft.queries.TextQueries.t11Apply(spark, sfDir, bpeMerges)))).min
+      bpeMerges = null
+      s""","amortized":{"s3_build":$s3b,"s3_probe":$s3p,"d6_train":$d6t,"d6_probe":$d6p,"d10_index_build":$d10b,"d10_probe":$d10p,"s4_build":$s4b,"s4_probe":$s4p,"s5_build":$s5b,"s5_probe":$s5p,"t11_train":$t11t,"t11_apply":$t11a}"""
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

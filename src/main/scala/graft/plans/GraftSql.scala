@@ -43,7 +43,7 @@ import graft.sources.{Sinks, VersionedTable}
   *       zero-copy clone: absolute-ref manifest, stats/schema/constraints/
   *       properties/deletion-vectors carried, O(files) metadata
   *       ([[VersionedTable.shallowClone]])
-  *   - `OPTIMIZE '<root>' [SORT BY (c,..)] [ZORDER BY (c,..)] [WHERE p]`
+  *   - `OPTIMIZE '<root>' [SORT BY (c,..)] [ZORDER BY (c,..)] [BUCKET BY (c, n)] [WHERE p]`
   *       → compact / [[VersionedTable.optimize]] / z-order; WHERE scopes
   *         the rewrite to the files whose stats admit the predicate
   *         ([[VersionedTable.optimizeWhere]] — incremental maintenance)
@@ -285,7 +285,7 @@ object GraftSql {
   // ---- statement routing ---------------------------------------------------
 
   private val OptimizeRe =
-    """(?is)\s*OPTIMIZE\s+'([^']+)'\s*(?:SORT\s+BY\s*\(([^)]*)\)|ZORDER\s+BY\s*\(([^)]*)\))?(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+'([^']+)'\s*(?:SORT\s+BY\s*\(([^)]*)\)|ZORDER\s+BY\s*\(([^)]*)\)|BUCKET\s+BY\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*(\d+)\s*\))?(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+'([^']+)'\s+KEEP\s+(\d+)(?:\s+OLDER\s+THAN\s+(\d+)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val HistoryRe =
@@ -535,11 +535,12 @@ object GraftSql {
 
   private[plans] def maintenancePlan(sqlText: String): Option[LogicalPlan] =
     sqlText match {
-      case OptimizeRe(root, sortCols, zCols, where) =>
+      case OptimizeRe(root, sortCols, zCols, bCol, bN, where) =>
         Some(GraftCommand("OPTIMIZE", root, s => {
-          require(where == null || zCols == null,
-            "OPTIMIZE ... ZORDER BY does not take WHERE — z-order bucket " +
-              "boundaries are table-wide; use SORT BY for scoped maintenance")
+          require(where == null || (zCols == null && bCol == null),
+            "OPTIMIZE ... ZORDER BY / BUCKET BY does not take WHERE — " +
+              "bucket/z-order boundaries are table-wide; use SORT BY for " +
+              "scoped maintenance")
           def cols(cs: String) =
             cs.split(',').map(_.trim).filter(_.nonEmpty).toSeq
           val v =
@@ -548,6 +549,10 @@ object GraftSql {
               VersionedTable.optimizeWhere(s, root,
                 org.apache.spark.sql.functions.expr(where),
                 Option(sortCols).map(cols).getOrElse(Nil))
+            else if (bCol != null)
+              // the recorded hash-bucket layout ([[graft.sources.Bucketing]]):
+              // subsequent merges join with zero target-side exchange
+              graft.sources.Bucketing.bucketize(s, root, bCol, bN.toInt)
             else if (zCols != null)
               VersionedTable.optimizeZOrder(s, root, cols(zCols))
             else if (sortCols != null)

@@ -66,9 +66,20 @@ object TextQueries {
     * codegen'd string replaces. The token unit p3/p4/p7 can re-key on
     * (BpeSpec pins that swap); t3's ceil(len/4) estimate stays as the
     * cheap per-source rollup. */
-  def t11(s: SparkSession, dir: String): DataFrame = {
+  def t11(s: SparkSession, dir: String): DataFrame =
+    t11Apply(s, dir, t11Train(s, dir))
+
+  /** TRAIN once (the amortized half the bench times separately — the
+    * faiss-style build/probe split the ANN keys already use): one
+    * corpus wordcount + [[BpeRounds]] vocabulary-sized rounds. */
+  def t11Train(s: SparkSession, dir: String): Seq[(String, String)] =
+    graft.operators.Bpe.trainMerges(Tables.documents(s, dir), "text", BpeRounds)
+
+  /** APPLY a trained merges table: one map-side pass over the corpus. */
+  def t11Apply(
+      s: SparkSession, dir: String,
+      merges: Seq[(String, String)]): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val merges = graft.operators.Bpe.trainMerges(docs, "text", BpeRounds)
     docs
       .withColumn("toks", graft.operators.Bpe.tokens(col("text"), merges))
       .withColumn("n_words",

@@ -144,6 +144,19 @@ class BucketingSpec extends SparkSpec {
       .select("last_status").as[String].head == "DONE")
   }
 
+  test("OPTIMIZE ... BUCKET BY is the SQL face of bucketize") {
+    val root = freshRoot()
+    Sinks.upsertByKeyVersioned(spark, root, base(100), "id", ts0,
+      "last_status", "DONE")
+    graft.plans.GraftSql.execute(spark,
+      s"OPTIMIZE '$root' BUCKET BY (id, 8)")
+    val cur = VersionedTable.currentVersion(spark, root).get
+    assert(Bucketing.specOf(VersionedTable.propertiesOf(spark, root, cur))
+      == Some(("id", 8)))
+    assert(Bucketing.pureBuckets(spark, root, cur, "id", 8).isDefined)
+    assert(VersionedTable.read(spark, root).count() == 100L)
+  }
+
   test("bucketize refuses partition-spec'd tables; spec parsing is strict") {
     assert(Bucketing.specOf(Map("graft.bucketBy" -> "id,8")) == Some(("id", 8)))
     assert(Bucketing.specOf(Map("graft.bucketBy" -> "id")) == None)
