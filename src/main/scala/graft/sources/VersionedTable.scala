@@ -1060,22 +1060,30 @@ object VersionedTable {
       val got = foldedManifestMemo.get(key)
       if (got != null) got
       else {
-        // walk back to the nearest full form, then fold forward
+        // walk back to the nearest full form OR memoized fold, then
+        // fold forward — memoizing EVERY level on the way, so a
+        // newest-first sweep (history, vacuum) pays the chain walk once
+        // rather than once per version
         var chain = List((v, d0))
         var baseRefs: Seq[String] = null
         while (baseRefs == null) {
           val b = chain.head._2.base
-          manifestDeltaOf(spark, root, b) match {
+          val memod = foldedManifestMemo.get(
+            (root, b, markerIdentity(spark, root, b)))
+          if (memod != null) baseRefs = memod
+          else manifestDeltaOf(spark, root, b) match {
             case Some(d) => chain = (b, d) :: chain
             case None => baseRefs = dataFileRefs(spark, root, b)
           }
         }
-        val folded = chain.foldLeft(baseRefs) { case (refs, (_, d)) =>
-          refs.filterNot(d.removed) ++ d.added
+        if (foldedManifestMemo.size + chain.size > 128)
+          foldedManifestMemo.clear()
+        chain.foldLeft(baseRefs) { case (refs, (lv, d)) =>
+          val folded = refs.filterNot(d.removed) ++ d.added
+          foldedManifestMemo.put(
+            (root, lv, markerIdentity(spark, root, lv)), folded)
+          folded
         }
-        if (foldedManifestMemo.size > 128) foldedManifestMemo.clear()
-        foldedManifestMemo.put(key, folded)
-        folded
       }
     }
   }

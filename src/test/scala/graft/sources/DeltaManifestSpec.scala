@@ -207,6 +207,32 @@ class DeltaManifestSpec extends SparkSpec {
     }
   }
 
+  test("metadata-only DDL (ALTER ADD COLUMNS, rename) rides the delta " +
+    "form: O(1) sidecar bytes however many files the table carries") {
+    val root = freshRoot()
+    withDelta(interval = 10) {
+      VersionedTable.commit(batch(0, 10), root)
+      VersionedTable.commitAppend(batch(10, 20), root) // v2: first manifest
+      VersionedTable.addColumns(spark, root, org.apache.spark.sql.types
+        .StructType(Seq(org.apache.spark.sql.types.StructField("note",
+          org.apache.spark.sql.types.StringType))))     // v3
+      VersionedTable.renameColumn(spark, root, "payload", "body") // v4
+      (3L to 4L).foreach { v =>
+        val d = VersionedTable.manifestDeltaOf(spark, root, v)
+        assert(d.isDefined, s"v$v must be delta-formed")
+        assert(d.get.removed.isEmpty && d.get.added.size <= 1,
+          s"v$v metadata-only delta must be O(1): $d")
+      }
+      val got = VersionedTable.read(spark, root)
+      assert(got.columns.toSet == Set("id", "grp", "body", "note"))
+      assert(got.count() == 20L && got.where(col("note").isNull).count() == 20L)
+      // stats survive the chain through both DDLs: pruning still answers
+      val refs = VersionedTable.dataFileRefs(spark, root, 4L)
+      val st = VersionedTable.statsOf(spark, root, 4L)
+      assert(refs.filter(_.contains("part-")).forall(st.contains))
+    }
+  }
+
   test("small tables under the default floor keep the full form") {
     val root = freshRoot()
     VersionedTable.commit(batch(0, 10), root)
