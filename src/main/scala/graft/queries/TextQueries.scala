@@ -27,6 +27,7 @@ object TextQueries {
     "t9_quality_classifier" -> ((s, d) => t9(s, d)),
     "t10_perplexity"     -> ((s, d) => t10(s, d)),
     "t11_bpe_tokenize"   -> ((s, d) => t11(s, d)),
+    "t12_bpe_vocab"      -> ((s, d) => t12(s, d)),
     "m1_multimodal_meta" -> ((s, d) => m1(s, d)),
     "m3_multimodal_frames" -> ((s, d) => m3(s, d)),
     "m2_multimodal_resize" -> ((s, d) => m2(s, d)),
@@ -92,6 +93,34 @@ object TextQueries {
           nullif(col("n_words"), lit(0L)).cast("double")).as("tokens_per_word"),
         concat_ws("|", slice(col("toks"), 1, 12)).as("preview"))
       .orderBy(col("doc_id"))
+  }
+
+  /** t12: the SUBWORD VOCABULARY the trained tokenizer induces — per
+    * token its total count, document frequency, and frequency rank:
+    * the artifact a training run pairs with the merges table (vocab
+    * size, coverage, and the id space). Wordcount-shaped: one map-side
+    * explode of [[t11Apply]]'s token arrays, one shuffle on the token
+    * with map-side partials; doc frequency via a per-doc
+    * array_distinct BEFORE the explode (never a count-distinct over
+    * the corpus). Deterministic rank: (count DESC, token ASC) — a
+    * GLOBAL window, deliberately: it orders the VOCABULARY (type
+    * count, ~10^6-10^7 at web scale — a once-per-corpus artifact
+    * build), never corpus rows; the corpus-scale stages before it are
+    * all map-side-combined shuffles. */
+  def t12(s: SparkSession, dir: String): DataFrame = {
+    val merges = t11Train(s, dir)
+    val docs = Tables.documents(s, dir)
+      .withColumn("toks", graft.operators.Bpe.tokens(col("text"), merges))
+    val counts = docs.select(explode(col("toks")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_total"))
+    val dfreq = docs.select(explode(array_distinct(col("toks"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_docs"))
+    counts.join(dfreq, "token")
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("n_total"), asc("token"))).cast("long"))
+      .select(col("rank"), col("token"), col("n_total"), col("n_docs"))
+      .orderBy(col("rank"))
   }
 
   private val VocabTopK  = 100
@@ -340,6 +369,45 @@ object TextQueries {
     s"""list_reduce(list_transform(range(1, length($e) + 1), i -> ascii($e[i])::BIGINT),
        |      (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
 
+  /** The t11/t12 shared oracle machinery: unrolled BPE training rounds
+    * + whole-corpus application, ending in a `tok` CTE of per-doc token
+    * arrays. chr(1) = the symbol separator (prefix form — see
+    * Bpe.scala's boundary argument); chr(2) no-ops an exhausted round,
+    * matching the operator's early stop. MATERIALIZED round CTEs: each
+    * references its predecessor three times (two merge subqueries +
+    * FROM) — default inlining would expand the chain 3^rounds times. */
+  private lazy val BpeTokCte: String = {
+    def pat(i: Int) =
+      s"coalesce((SELECT chr(1)||a||chr(1)||b FROM m$i), chr(2))"
+    def rep(i: Int) = s"coalesce((SELECT chr(1)||a||b FROM m$i), chr(2))"
+    val rounds = (1 to BpeRounds).map { i =>
+      s"""m$i AS MATERIALIZED (SELECT arr[i] AS a, arr[i+1] AS b FROM
+         |    (SELECT list_filter(string_split(s, chr(1)), x -> x <> '')
+         |       AS arr, n FROM s${i - 1}) t,
+         |    unnest(range(1, len(arr))) AS u(i)
+         |  GROUP BY a, b ORDER BY sum(n) DESC, a, b LIMIT 1),
+         |s$i AS MATERIALIZED (
+         |  SELECT replace(s, ${pat(i)}, ${rep(i)}) AS s, n FROM s${i - 1})"""
+        .stripMargin
+    }.mkString(",\n")
+    val applied = (1 to BpeRounds)
+      .foldLeft("regexp_replace(nt, '(.)', e'\\x01\\\\1', 'g')") { (acc, i) =>
+        s"replace($acc, ${pat(i)}, ${rep(i)})"
+      }
+    s"""WITH w AS MATERIALIZED (SELECT doc_id, $NormExpr AS nt FROM documents),
+       |hist AS (SELECT word, count(*) AS n FROM
+       |    (SELECT unnest(string_split(nt, ' ')) AS word FROM w)
+       |  WHERE word <> '' GROUP BY word),
+       |s0 AS MATERIALIZED (
+       |  SELECT regexp_replace(word, '(.)', e'\\x01\\\\1', 'g') AS s, n FROM hist),
+       |$rounds,
+       |tok AS MATERIALIZED (SELECT doc_id,
+       |    list_filter(string_split($applied, chr(1)),
+       |      x -> x <> '' AND x <> ' ') AS toks,
+       |    len(list_filter(string_split(nt, ' '), x -> x <> ''))::BIGINT AS n_words
+       |  FROM w)""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "t1_langid" -> {
       val scores = TextAnalysis.StopwordProfiles.map { case (l, p) => scoreSql(l, p) }
@@ -375,51 +443,23 @@ object TextQueries {
          |  sum(bpe)::DOUBLE / sum(wst)::DOUBLE AS bpe_per_word
          |FROM d GROUP BY source ORDER BY source""".stripMargin,
 
-    "t11_bpe_tokenize" -> {
-      // unrolled training rounds: each round extracts adjacent symbol
-      // pairs from the histogram's current symbolization, takes the
-      // (count DESC, a, b) argmax, and merges it. chr(1) no-ops a round
-      // whose merge table came up empty (everything already fused) —
-      // matching the operator's early stop.
-      // chr(1) = the symbol separator (prefix form — see Bpe.scala's
-      // boundary argument); chr(2) no-ops an exhausted round
-      def pat(i: Int) =
-        s"coalesce((SELECT chr(1)||a||chr(1)||b FROM m$i), chr(2))"
-      def rep(i: Int) = s"coalesce((SELECT chr(1)||a||b FROM m$i), chr(2))"
-      val rounds = (1 to BpeRounds).map { i =>
-        // MATERIALIZED: each round references its predecessor three
-        // times (two merge subqueries + FROM) — default CTE inlining
-        // would expand the chain 3^rounds times
-        s"""m$i AS MATERIALIZED (SELECT arr[i] AS a, arr[i+1] AS b FROM
-           |    (SELECT list_filter(string_split(s, chr(1)), x -> x <> '')
-           |       AS arr, n FROM s${i - 1}) t,
-           |    unnest(range(1, len(arr))) AS u(i)
-           |  GROUP BY a, b ORDER BY sum(n) DESC, a, b LIMIT 1),
-           |s$i AS MATERIALIZED (
-           |  SELECT replace(s, ${pat(i)}, ${rep(i)}) AS s, n FROM s${i - 1})"""
-          .stripMargin
-      }.mkString(",\n")
-      val applied = (1 to BpeRounds)
-        .foldLeft("regexp_replace(nt, '(.)', e'\\x01\\\\1', 'g')") { (acc, i) =>
-          s"replace($acc, ${pat(i)}, ${rep(i)})"
-        }
-      s"""WITH w AS MATERIALIZED (SELECT doc_id, $NormExpr AS nt FROM documents),
-         |hist AS (SELECT word, count(*) AS n FROM
-         |    (SELECT unnest(string_split(nt, ' ')) AS word FROM w)
-         |  WHERE word <> '' GROUP BY word),
-         |s0 AS MATERIALIZED (
-         |  SELECT regexp_replace(word, '(.)', e'\\x01\\\\1', 'g') AS s, n FROM hist),
-         |$rounds,
-         |tok AS (SELECT doc_id,
-         |    list_filter(string_split($applied, chr(1)),
-         |      x -> x <> '' AND x <> ' ') AS toks,
-         |    len(list_filter(string_split(nt, ' '), x -> x <> ''))::BIGINT AS n_words
-         |  FROM w)
+    "t11_bpe_tokenize" ->
+      s"""$BpeTokCte
          |SELECT doc_id, n_words, len(toks)::BIGINT AS n_tokens,
          |  len(toks)::DOUBLE / nullif(n_words, 0)::DOUBLE AS tokens_per_word,
          |  array_to_string(toks[1:12], '|') AS preview
-         |FROM tok ORDER BY doc_id""".stripMargin
-    },
+         |FROM tok ORDER BY doc_id""".stripMargin,
+
+    "t12_bpe_vocab" ->
+      s"""$BpeTokCte,
+         |cnt AS (SELECT t AS token, count(*)::BIGINT AS n_total FROM
+         |    (SELECT unnest(toks) AS t FROM tok) GROUP BY t),
+         |dfq AS (SELECT t AS token, count(*)::BIGINT AS n_docs FROM
+         |    (SELECT unnest(list_distinct(toks)) AS t FROM tok) GROUP BY t)
+         |SELECT row_number() OVER (ORDER BY n_total DESC, token)::BIGINT AS rank,
+         |  token, n_total, n_docs
+         |FROM cnt JOIN dfq USING (token)
+         |ORDER BY rank""".stripMargin,
 
     "t4_fingerprint" ->
       s"""WITH n AS (SELECT doc_id, $NormExpr AS nt FROM documents),
