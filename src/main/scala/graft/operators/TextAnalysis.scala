@@ -84,7 +84,9 @@ object TextAnalysis {
   }
 
   /** t3: token counting, rolled up per source. `ws_tokens` is the
-    * whitespace tokenization; `bpe_tokens` is the BPE-ish estimate — each
+    * whitespace tokenization; `bpe_tokens` is the BPE-ish estimate (the
+    * REAL trained tokenizer is [[graft.operators.Bpe]] / the t11 key —
+    * this rollup keeps the cheap per-source heuristic) — each
     * word contributes ceil(len/4) pieces (subword chunking; the classic
     * ~4-chars-per-token heuristic, computed exactly per word). One shuffle
     * on the group key with map-side partials. */
