@@ -68,6 +68,50 @@ object ManifestBench {
       run("delta")
       spark.conf.unset(VersionedTable.DeltaFloorKey)
     }
+
+    // DEEP-CHAIN COLD OPEN: the r14 no-replay property under the delta
+    // form — a fresh reader's FIRST metadata touch folds the chain
+    // (≤ fold-interval small reads); the memo then serves repeats. A
+    // 60-commit chain at the default interval (20) holds two folds and
+    // a 19-deep tail; `history` sweeps every version once (the
+    // intermediate-level memoization keeps that one chain walk total).
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_mb_deep").toString + "/t"
+    spark.conf.set(VersionedTable.DeltaFloorKey, "0")
+    try {
+      VersionedTable.commit(
+        spark.range(0, 64).toDF("id")
+          .withColumn("payload", concat(lit("p"), $"id")), root)
+      (1 to 60).foreach(i => VersionedTable.commitAppend(
+        Seq((1000L + i, s"x$i")).toDF("id", "payload").coalesce(1), root))
+      val head = VersionedTable.currentVersion(spark, root).get
+      // TRUE cold open: the fold memo keys on (root, version, marker
+      // identity) — a byte-identical COPY at a fresh root pays the whole
+      // chain walk from disk, exactly what a new reader process (or a
+      // restored table) pays
+      val cold = java.nio.file.Files
+        .createTempDirectory("graft_mb_deepc").toString + "/t"
+      def copyTree(a: java.nio.file.Path, b: java.nio.file.Path): Unit = {
+        java.nio.file.Files.walk(a).forEach { p =>
+          val q = b.resolve(a.relativize(p))
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.createDirectories(q)
+          else java.nio.file.Files.copy(p, q)
+        }
+      }
+      copyTree(java.nio.file.Paths.get(root), java.nio.file.Paths.get(cold))
+      val (refs, coldMs) =
+        timeMs(VersionedTable.dataFileRefs(spark, cold, head))
+      val (_, warmMs) =
+        timeMs(VersionedTable.dataFileRefs(spark, cold, head))
+      val (_, histMs) =
+        timeMs(VersionedTable.history(spark, cold).collect())
+      val (_, ttMs) = timeMs(
+        VersionedTable.readVersion(spark, cold, head - 30).count())
+      println(f"""{"bench":"manifest_deep","commits":61,"refs":${refs.size},""" +
+        f""""cold_fold_ms":$coldMs%.0f,"warm_fold_ms":$warmMs%.1f,""" +
+        f""""history_ms":$histMs%.0f,"timetravel_mid_ms":$ttMs%.0f}""")
+    } finally spark.conf.unset(VersionedTable.DeltaFloorKey)
     spark.stop()
   }
 }
