@@ -669,17 +669,7 @@ object VersionedTable {
       // a reader IGNORING the default metadata would serve null where
       // the table's contract says the default — silently wrong values
       if (schemaToRecord.exists(_.metadata.contains("EXISTS_DEFAULT")))
-        Some("default-columns") else None,
-      // every commit this build publishes carries the TWO-LINE marker
-      // (line 2 = in-commit timestamp): a build that parses the whole
-      // marker content as the data-dir name mis-resolves every new
-      // commit, so the capability is a READER feature, recorded
-      // unconditionally. A features-aware-but-ICT-ignorant build now
-      // fails with ProtocolException instead of a path error; builds
-      // predating the protocol gate itself still fail on dir
-      // resolution (the marker syntax IS the change — no file older
-      // readers consult can veto it first).
-      Some("in-commit-timestamps")
+        Some("default-columns") else None
     ).flatten ++
       // caller-declared features (e.g. commitCowInternal's delta-form
       // manifest — decided before this write, recorded with it)
@@ -693,7 +683,18 @@ object VersionedTable {
           k.startsWith(GeneratedCols.ExprPrefix)))
         Some("generated-columns") else None,
       if (propsToRecord.keys.exists(_.startsWith(GeneratedCols.IdentityPrefix)))
-        Some("identity-columns") else None
+        Some("identity-columns") else None,
+      // every commit this build publishes carries the TWO-LINE marker
+      // (line 2 = in-commit timestamp). A WRITER feature, as the Delta
+      // protocol gates inCommitTimestamp: any reader that takes the
+      // marker's FIRST line resolves the data dir correctly without
+      // understanding the stamp (history/time-travel merely fall back
+      // to mtimes), so ICT-capable-but-flagless readers must keep
+      // reading. An ignorant WRITER would publish one-line markers,
+      // breaking the monotone-clamp contract the stamps provide —
+      // that side is gated. Builds predating the marker syntax itself
+      // fail on dir resolution regardless of any gate.
+      Some("in-commit-timestamps")
     ).flatten
     if (readerFeats.nonEmpty || writerOnlyFeats.nonEmpty)
       writeProps(f, new Path(new Path(staging, "_protocol"),
@@ -1016,6 +1017,15 @@ object VersionedTable {
         throw new java.io.IOException(
           s"corrupt delta-manifest sidecar $df — expected '<base>\\t<depth>' " +
             s"header, got ${lines.headOption.getOrElse("<empty>")}")
+      // a body line without its +/- prefix (external corruption, partial
+      // copy) must fail the SAME way — silently dropping it would fold
+      // to a smaller ref set and serve a subset of the version
+      lines.tail.find(l => !l.startsWith("+") && !l.startsWith("-"))
+        .foreach { bad =>
+          throw new java.io.IOException(
+            s"corrupt delta-manifest sidecar $df — body line without " +
+              s"'+'/'-' prefix: $bad")
+        }
       Some(ManifestDelta(head(0).toLong, head(1).toInt,
         lines.tail.collect { case l if l.startsWith("-") => l.drop(1) }.toSet,
         lines.tail.collect { case l if l.startsWith("+") => l.drop(1) }))
@@ -1050,7 +1060,15 @@ object VersionedTable {
   def manifestOf(spark: SparkSession, root: String, v: Long): Option[Seq[String]] = {
     val f = fs(spark, root)
     val mf = new Path(new Path(dataDir(spark, root, v), "_manifest"), "manifest.txt")
-    if (f.exists(mf)) {
+    // ORDER MATTERS for crash safety: delta.txt is authoritative while
+    // both exist. Normal commits publish exactly one form; the only
+    // both-present state is a [[materializeManifest]] interrupted between
+    // writing manifest.txt and deleting delta.txt — there the chain is
+    // still intact (vacuum materializes BEFORE dropping bases), so the
+    // fold serves the exact content, while a half-written manifest.txt
+    // could silently serve a sliver. The write itself is also
+    // temp-then-rename, so this is defense in depth.
+    if (!f.exists(deltaManifestFile(spark, root, v)) && f.exists(mf)) {
       val in = f.open(mf)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                  finally in.close()
@@ -1148,9 +1166,19 @@ object VersionedTable {
       })
     else f.delete(new Path(dir, "_stats"), true)
     FileSizes.write(f, dir, refs.flatMap(r => sizes.get(r).map(r -> _)))
-    val out = f.create(new Path(new Path(dir, "_manifest"), "manifest.txt"), true)
+    // temp-then-rename: a crash mid-write must never leave a truncated
+    // manifest.txt in a published dir (and [[manifestOf]] additionally
+    // prefers delta.txt while both exist, so even a non-atomic rename
+    // window serves the folded chain, never a sliver)
+    val mdir = new Path(dir, "_manifest")
+    val tmp = new Path(mdir, "manifest.txt.tmp")
+    val out = f.create(tmp, true)
     try out.write(refs.mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
+    val fin = new Path(mdir, "manifest.txt")
+    if (f.exists(fin)) f.delete(fin, false)
+    if (!f.rename(tmp, fin))
+      throw new java.io.IOException(s"rename $tmp -> $fin failed")
     f.delete(deltaManifestFile(spark, root, v), false)
   }
 

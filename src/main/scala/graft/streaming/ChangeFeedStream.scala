@@ -170,7 +170,12 @@ class ChangeFeedSource(
   /** batch-column → pinned-column renames for version `v` (empty =
     * serve as-is); throws on incompatible evolution. Memoized —
     * committed schemas are immutable. */
-  private val alignMemo = scala.collection.mutable.Map.empty[Long, Map[String, String]]
+  // TrieMap, not mutable.Map: the source can be driven from more than
+  // one thread (schema probe concurrent with batch planning, AvailableNow
+  // admission control) — getOrElseUpdate may compute twice under a race,
+  // which is fine (committed schemas are immutable), but must never
+  // corrupt the map
+  private val alignMemo = scala.collection.concurrent.TrieMap.empty[Long, Map[String, String]]
   private def alignmentFor(v: Long): Map[String, String] =
     alignMemo.getOrElseUpdate(v, {
       val vSchema: Seq[StructField] =

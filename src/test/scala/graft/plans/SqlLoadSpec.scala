@@ -251,10 +251,10 @@ class SqlLoadSpec extends SparkSpec {
     assert(d.getAs[Int]("properties") == 1)
     assert(d.getAs[Boolean]("deletion_vectors"))
     assert(d.getAs[Int]("retained_versions") == 4)
-    // every commit this build publishes also records the marker-syntax
-    // feature (two-line in-commit-timestamp marker)
+    // READER features only — the two-line in-commit-timestamp marker is
+    // a writer feature (flagless-but-capable readers keep reading)
     assert(d.getAs[String]("protocol_features") ==
-      "column-mapping,deletion-vectors,in-commit-timestamps")
+      "column-mapping,deletion-vectors")
   }
 
   test("vacuum on a clone drops its own history, never the source's files") {

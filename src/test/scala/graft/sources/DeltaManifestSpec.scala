@@ -233,6 +233,64 @@ class DeltaManifestSpec extends SparkSpec {
     }
   }
 
+  test("a truncated manifest.txt beside a live delta record never serves: " +
+    "delta is authoritative, and re-materialization heals in place") {
+    val root = freshRoot()
+    withDelta(interval = 10) {
+      VersionedTable.commit(batch(0, 10), root)       // v1
+      (1 to 3).foreach { i =>                         // v2 full, v3/v4 delta
+        VersionedTable.commitAppend(batch(i * 10L, i * 10L + 10), root)
+      }
+      assert(VersionedTable.manifestDeltaOf(spark, root, 4).isDefined)
+      // simulate a crash mid-materialize under the OLD in-place write:
+      // a truncated (here: empty) manifest.txt beside the delta record
+      val f = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val mf = new org.apache.hadoop.fs.Path(
+        s"$root/v00000004/_manifest/manifest.txt")
+      f.create(mf, true).close()
+      // the fold serves, not the sliver — for refs, reads, stats, sizes
+      assert(VersionedTable.read(spark, root).count() == 40L)
+      val refs = VersionedTable.dataFileRefs(spark, root, 4)
+      (1L to 4L).foreach(v => assert(refs.exists(_.startsWith(f"v$v%08d/")),
+        s"v4 must still reference v$v files"))
+      // vacuum severing the base re-runs materialization: the truncated
+      // file is replaced (temp+rename), the delta retired, reads survive
+      VersionedTable.vacuum(spark, root, keepLast = 1)
+      assert(VersionedTable.manifestDeltaOf(spark, root, 4).isEmpty)
+      assert(VersionedTable.manifestOf(spark, root, 4).get.size == refs.size)
+      assert(VersionedTable.read(spark, root).count() == 40L)
+    }
+  }
+
+  test("a delta sidecar body line without its +/- prefix fails loudly") {
+    val root = freshRoot()
+    withDelta(interval = 10) {
+      VersionedTable.commit(batch(0, 10), root)
+      VersionedTable.commitAppend(batch(10, 20), root) // v2: first manifest
+      VersionedTable.commitAppend(batch(20, 30), root) // v3: delta form
+      val f = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val df = new org.apache.hadoop.fs.Path(
+        s"$root/v00000003/_manifest/delta.txt")
+      val text = {
+        val in = f.open(df)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      }
+      // strip the first body line's prefix — external corruption shape
+      val lines = text.split('\n').toVector
+      val i = lines.indexWhere(l => l.startsWith("+") || l.startsWith("-"))
+      val corrupt = lines.updated(i, lines(i).drop(1)).mkString("\n")
+      val out = f.create(df, true)
+      try out.write(corrupt.getBytes("UTF-8")) finally out.close()
+      val e = intercept[java.io.IOException] {
+        VersionedTable.manifestDeltaOf(spark, root, 3)
+      }
+      assert(e.getMessage.contains("corrupt delta-manifest"))
+    }
+  }
+
   test("small tables under the default floor keep the full form") {
     val root = freshRoot()
     VersionedTable.commit(batch(0, 10), root)

@@ -18,11 +18,13 @@ class ProtocolSpec extends SparkSpec {
   test("features are recorded from what each version carries") {
     val root = freshRoot()
     VersionedTable.commit(Seq((1, "a"), (2, "b")).toDF("id", "x"), root)
-    // a plain table requires only the marker-syntax feature: every
-    // commit this build publishes carries the two-line in-commit-
-    // timestamp marker, so the capability is recorded unconditionally
+    // a plain table requires nothing of READERS (any build taking the
+    // marker's first line resolves the data dir); the two-line
+    // in-commit-timestamp marker is gated as a WRITER feature, the
+    // Delta inCommitTimestamp shape — an ignorant writer would publish
+    // one-line markers and break the monotone-clamp contract
     assert(VersionedTable.protocolOf(spark, root, 1L) ==
-      (Set("in-commit-timestamps"), Set("in-commit-timestamps")))
+      (Set.empty[String], Set("in-commit-timestamps")))
     // DV delete → deletion-vectors required
     VersionedTable.setProperties(spark, root,
       Map("graft.enableDeletionVectors" -> "true"))
