@@ -647,7 +647,7 @@ object HivePartValue {
   * sidecar's filesystem with it, because their classpath defaults lack
   * per-store settings (object-store credentials, endpoints). */
 case class DvMasked private[plans] (
-    dir: String, identity: Long, file: Expression, pos: Expression)(
+    dirs: Seq[String], identity: Long, file: Expression, pos: Expression)(
     val hconf: org.apache.spark.util.SerializableConfiguration)
   extends BinaryExpression {
 
@@ -669,14 +669,15 @@ case class DvMasked private[plans] (
 
   override protected def nullSafeEval(f: Any, p: Any): Any =
     graft.sources.DvBitmaps.lookup(
-      dir, identity, f.asInstanceOf[UTF8String], p.asInstanceOf[Long], hconf)
+      dirs, identity, f.asInstanceOf[UTF8String], p.asInstanceOf[Long], hconf)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val dirRef = ctx.addReferenceObj("dvBitmapDir", dir, "java.lang.String")
+    val dirsRef = ctx.addReferenceObj("dvBitmapDirs", dirs,
+      "scala.collection.immutable.Seq")
     val confRef = ctx.addReferenceObj("dvHconf", hconf,
       "org.apache.spark.util.SerializableConfiguration")
     nullSafeCodeGen(ctx, ev, (f, p) =>
-      s"${ev.value} = graft.sources.DvBitmaps.lookup($dirRef, ${identity}L, $f, $p, $confRef);")
+      s"${ev.value} = graft.sources.DvBitmaps.lookup($dirsRef, ${identity}L, $f, $p, $confRef);")
   }
 
   override protected def withNewChildrenInternal(
@@ -688,12 +689,17 @@ object DvMasked {
   /** The ONE way to build the probe (the constructor is package-private):
     * the cache-key `identity` and the executor-bound Hadoop conf are
     * DERIVED here from the version being masked, so no call site can
-    * forget either — exactly the omission that once broke the build. */
+    * forget either — exactly the omission that once broke the build.
+    * `dirs` is the masked version's CHAIN of bitmap dirs, base-first
+    * (one element for a full-form mask; ≤ fold-interval under the DV
+    * delta chain) — a position is masked when ANY level's bitmap holds
+    * it, and levels are disjoint, so order only affects probe cost. */
   def forVersion(
       spark: org.apache.spark.sql.SparkSession,
-      root: String, v: Long, dir: String,
+      root: String, v: Long, dirs: Seq[String],
       file: Expression, pos: Expression): DvMasked =
-    DvMasked(dir, graft.sources.VersionedTable.markerIdentity(spark, root, v),
+    DvMasked(dirs.toList,
+      graft.sources.VersionedTable.markerIdentity(spark, root, v),
       file, pos)(
       new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration))

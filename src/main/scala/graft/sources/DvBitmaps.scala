@@ -233,20 +233,23 @@ object DvBitmaps {
 
   /** Single-entry per-thread bitmap cache: a scan task reads one file
     * (or a handful of splits of one file), so consecutive probes hit the
-    * same (dir, identity, file) key — the load cost is paid once per
+    * same (dirs, identity, file) key — the load cost is paid once per
     * task, not per row. `identity` is the version's COMMIT-MARKER mtime,
     * baked into the plan by the driver ([[graft.plans.DvMasked]]): a
     * table deleted and recreated at the same root/version changes
     * identity, so a long-lived executor thread can never serve the dead
     * incarnation's bitmaps (the executor-side twin of the driver-side
-    * marker-mtime memo keys). `bytes == null` = known-absent bitmap (no
-    * deletions in that file). The cached UTF8String is a CLONE:
-    * unsafe-row strings can point into reused scan buffers. */
+    * marker-mtime memo keys). `bytes(i) == null` = known-absent bitmap
+    * at chain level i (no deletions of that file at that level). The
+    * cached UTF8String is a CLONE: unsafe-row strings can point into
+    * reused scan buffers. `dirs` compares by REFERENCE first (the plan
+    * bakes one Seq instance per task) with an equals fallback, so the
+    * per-row hot path costs one pointer compare. */
   private final class Entry(
-      val dir: String,
+      val dirs: Seq[String],
       val identity: Long,
       val file: org.apache.spark.unsafe.types.UTF8String,
-      val bytes: Array[Byte])
+      val bytes: Array[Array[Byte]])
   private val cache = new ThreadLocal[Entry]()
 
   private def load(
@@ -264,32 +267,44 @@ object DvBitmaps {
     }
   }
 
-  /** Executor-side probe: is (file, pos) masked? `dir` is the absolute
-    * `_bitmaps` URI baked into the plan by the driver; `file` compares
+  /** Executor-side probe: is (file, pos) masked at ANY level of the
+    * version's bitmap-dir chain? `dirs` are the absolute `_bitmaps`
+    * URIs baked into the plan by the driver (one for a full-form mask,
+    * ≤ fold-interval under the DV delta chain — each level holds only
+    * its own commit's deletions, so the probe ORs them); `file` compares
     * byte-wise against the cached key, so the per-row hot path allocates
     * nothing. `hconf` is the DRIVER'S Hadoop conf serialized into the
     * plan ([[graft.plans.DvMasked]] carries it) — executor-classpath
     * defaults would lack per-store settings such as object-store
     * credentials. */
   def lookup(
-      dir: String, identity: Long,
+      dirs: Seq[String], identity: Long,
       file: org.apache.spark.unsafe.types.UTF8String,
       pos: Long,
       hconf: org.apache.spark.util.SerializableConfiguration): Boolean = {
     var e = cache.get()
-    if (e == null || e.identity != identity || !e.dir.equals(dir) ||
-        !e.file.equals(file)) {
-      e = new Entry(dir, identity, file.clone(),
-        load(dir, file.toString, hconf.value))
+    if (e == null || e.identity != identity ||
+        ((e.dirs ne dirs) && e.dirs != dirs) || !e.file.equals(file)) {
+      val fileStr = file.toString
+      val loaded = new Array[Array[Byte]](dirs.size)
+      var i = 0
+      dirs.foreach { d => loaded(i) = load(d, fileStr, hconf.value); i += 1 }
+      e = new Entry(dirs, identity, file.clone(), loaded)
       cache.set(e)
     }
-    e.bytes != null && contains(e.bytes, pos)
+    var i = 0
+    while (i < e.bytes.length) {
+      val b = e.bytes(i)
+      if (b != null && contains(b, pos)) return true
+      i += 1
+    }
+    false
   }
 
   /** String-keyed convenience (tests, driver-side probes). */
   def lookup(
-      dir: String, identity: Long, file: String, pos: Long,
+      dirs: Seq[String], identity: Long, file: String, pos: Long,
       hconf: org.apache.spark.util.SerializableConfiguration): Boolean =
-    lookup(dir, identity,
+    lookup(dirs, identity,
       org.apache.spark.unsafe.types.UTF8String.fromString(file), pos, hconf)
 }

@@ -552,6 +552,14 @@ object VersionedTable {
           .get(DvBitmapFloorKey, DvBitmapFloorDefault.toString).toLong
         if (stagedBytes > floor) DvBitmaps.write(spark, dvStaged)
       }
+      // a DV DELTA level ([[DvChained]]) always derives its own bitmaps,
+      // floor-free: the chain road needs EVERY contributing level's
+      // `_DONE` (one absent level downgrades the whole read to the join
+      // road until the next fold), and the job is O(own deletions) —
+      // usually one task, far below the cumulative-mask rewrite this
+      // form exists to avoid.
+      if (extras.contains("dvdelta"))
+        DvBitmaps.write(spark, new Path(staging, "_dvdelta"))
     }
     finally prevTsType match {
       case Some(t) => spark.conf.set("spark.sql.parquet.outputTimestampType", t)
@@ -1158,6 +1166,39 @@ object VersionedTable {
     val refs = manifestOf(spark, root, v).getOrElse(return)
     val stats = statsOf(spark, root, v)
     val sizes = recordedSizes(spark, root, v)
+    // DV chain first, while the manifest chain is still intact (the DV
+    // fold walks the same base pointers): write the folded mask as this
+    // version's own full `_dv`, temp-then-rename so a crash can never
+    // publish a partial mask ([[dvFormOf]] additionally prefers `_dv`
+    // once it exists). An EMPTY fold (every masked file since rewritten)
+    // writes nothing — the version correctly reads mask-free after the
+    // chain is severed.
+    dvFormOf(spark, root, v) match {
+      case DvChained(_, _) =>
+        val folded = dvOf(spark, root, v).get
+        if (folded.limit(1).count() > 0L) {
+          val tmp = new Path(dir, "_dvtmp")
+          if (f.exists(tmp)) f.delete(tmp, true)
+          feedWritable(folded).write.mode(SaveMode.Overwrite)
+            .parquet(tmp.toString)
+          val dvDir = new Path(dir, "_dv")
+          if (f.exists(dvDir)) f.delete(dvDir, true)
+          if (!f.rename(tmp, dvDir))
+            throw new java.io.IOException(s"rename $tmp -> $dvDir failed")
+          // re-derive the scan-integrated index above the floor, as the
+          // full-form commit path does (never blocks — reads fall back)
+          val bytes = f.listStatus(dvDir).iterator
+            .filter(_.isFile).map(_.getLen).sum
+          val floor = spark.conf
+            .get(DvBitmapFloorKey, DvBitmapFloorDefault.toString).toLong
+          if (bytes > floor) DvBitmaps.write(spark, dvDir)
+        }
+        f.delete(new Path(dir, "_dvdelta"), true)
+      case _ =>
+        // healed already (crash re-run), or never chained: drop any
+        // leftover delta level — `_dv` is authoritative once present
+        f.delete(new Path(dir, "_dvdelta"), true)
+    }
     // all-or-nothing, as every FULL stats table
     if (refs.nonEmpty && refs.forall(stats.contains))
       TableStats.writeRows(f, dir, refs.flatMap { r =>
@@ -1237,7 +1278,7 @@ object VersionedTable {
   val SupportedReaderFeatures: Set[String] = Set(
     "deletion-vectors", "column-mapping", "partition-spec",
     "widened-types", "copy-ledger", "default-columns",
-    "in-commit-timestamps", "delta-manifest")
+    "in-commit-timestamps", "delta-manifest", "dv-delta")
 
   /** Features THIS build can write against. Writing to a table whose
     * current version requires an unknown feature could break that
@@ -1393,12 +1434,152 @@ object VersionedTable {
 
   // ---- merge-on-read deletion vectors ------------------------------------
 
-  /** Whether version `v` carries a deletion-vector sidecar (`_dv` extra):
-    * a (file ref, row position) table of rows deleted MERGE-ON-READ —
-    * masked out at read time instead of rewritten out at delete time.
-    * O(1) existence probe, no data read. */
+  /** HOW version `v`'s deletion-vector mask is stored — the DV twin of
+    * the [[ManifestDelta]] commit form:
+    *
+    *  - [[DvFull]]: `_dv` holds the COMPLETE mask as of `v` (the
+    *    pre-chain form, and every fold-interval barrier);
+    *  - [[DvChained]]: the mask folds along the MANIFEST delta chain —
+    *    base's mask, minus rows keyed to files the chain removed, plus
+    *    each level's own `_dvdelta` (this commit's NEW deletions only).
+    *    Written when a masked table commits in the delta-manifest form:
+    *    per-commit DV bytes drop from O(cumulative mask) to O(own
+    *    deletions) — the write cost a steady delete stream between
+    *    compactions can afford;
+    *  - [[DvNone]]: no mask.
+    *
+    * The chain rides the SAME base pointers as the manifest deltas (one
+    * chain, one fold interval, one vacuum materialization), so the
+    * no-replay bound and the crash-recovery story are shared. Derived by
+    * existence probes, never memoized: vacuum's materialization changes
+    * a version's form in place, and a stale cached form would fold into
+    * a dropped base. Precedence: an own `_dv` ALWAYS wins — the only
+    * both-present state is a materialization interrupted after the full
+    * `_dv` landed (it is written complete, temp-then-rename), and the
+    * chain may already be severed then. */
+  private[graft] sealed trait DvForm
+  private[graft] case object DvNone extends DvForm
+  private[graft] case object DvFull extends DvForm
+  private[graft] final case class DvChained(base: Long, own: Boolean)
+    extends DvForm
+
+  private[graft] def dvFormOf(
+      spark: SparkSession, root: String, v: Long): DvForm = {
+    val f = fs(spark, root)
+    val dir = dataDir(spark, root, v)
+    if (f.exists(new Path(dir, "_dv"))) DvFull
+    else {
+      val own = f.exists(new Path(dir, "_dvdelta"))
+      manifestDeltaOf(spark, root, v) match {
+        case Some(d) if own => DvChained(d.base, own = true)
+        case Some(d) if dvFormOf(spark, root, d.base) != DvNone =>
+          DvChained(d.base, own = false)
+        case _ => DvNone
+      }
+    }
+  }
+
+  /** Whether version `v` carries a deletion-vector mask — directly
+    * (`_dv` extra: a (file ref, row position) table of rows deleted
+    * MERGE-ON-READ) or folded along the delta chain. Metadata-scale:
+    * existence probes only, bounded by the fold interval. */
   def hasDeletionVectors(spark: SparkSession, root: String, v: Long): Boolean =
-    fs(spark, root).exists(new Path(dataDir(spark, root, v), "_dv"))
+    dvFormOf(spark, root, v) != DvNone
+
+  /** The sidecar dirs and removed-file tails that fold into version
+    * `v`'s complete mask: the barrier's `_dv` plus every own-deletions
+    * level's `_dvdelta`, and the UNION of the chain's removed tails.
+    * Global subtraction is exact — tails are UUID part names, never
+    * reused, so a tail removed ANYWHERE in the chain can key no live
+    * mask row at `v` (rows added for it at earlier levels must drop,
+    * later levels cannot reference a file outside their manifest). */
+  private def dvChainParts(
+      spark: SparkSession, root: String, v: Long)
+      : Option[(Seq[String], Set[String])] =
+    dvFormOf(spark, root, v) match {
+      case DvNone => None
+      case DvFull =>
+        Some((Seq(new Path(dataDir(spark, root, v), "_dv").toString),
+          Set.empty))
+      case DvChained(base, own) =>
+        // invariant: a chained level's base always carries a mask (the
+        // FIRST mask on a table is written full-form even under the
+        // delta manifest — commitCowInternal's baseHasDv gate)
+        val (dirs, removed) = dvChainParts(spark, root, base).getOrElse(
+          throw new java.io.IOException(
+            s"dv chain of $root v$v folds into v$base which carries no " +
+              "mask — the sidecar chain is corrupt"))
+        val levelRemoved = manifestDeltaOf(spark, root, v)
+          .map(_.removed.map(refTail)).getOrElse(Set.empty)
+        Some((
+          if (own)
+            dirs :+ new Path(dataDir(spark, root, v), "_dvdelta").toString
+          else dirs,
+          removed ++ levelRemoved))
+    }
+
+  /** Version `v`'s COMPLETE deletion-vector mask as a (file, pos) frame,
+    * delta-aware: [[DvFull]] versions read their own `_dv`; chained
+    * versions fold as ONE multi-path scan over the chain's sidecar dirs
+    * plus one filter on the union of removed tails — the plan stays
+    * O(1) in chain depth (a per-level union would grow it by a scan
+    * node per commit, and the growth is a per-COMMIT cost on masked
+    * tables: every MOR write plans this read). The removed-tail filter
+    * is O(changed-along-chain), never an O(refs) membership test.
+    * Levels are DISJOINT by construction — every MOR writer computes
+    * its new deletions from a masks-folded read
+    * ([[morVisibleTagged]]/[[readFilesTagged]]), so an already-masked
+    * row can never re-enter a later level — which is why the fold needs
+    * no distinct: consumers get set semantics for free. None when the
+    * version carries no mask at all. */
+  def dvOf(spark: SparkSession, root: String, v: Long): Option[DataFrame] =
+    dvFormOf(spark, root, v) match {
+      case DvNone => None
+      case DvFull => readExtra(spark, root, v, "dv")
+      case DvChained(_, _) =>
+        import org.apache.spark.sql.functions.{col, not}
+        dvChainParts(spark, root, v).map { case (dirs, removed) =>
+          val df = spark.read.parquet(dirs: _*)
+            .select(col("file"), col("pos"))
+          if (removed.isEmpty) df
+          else df.where(not(col("file").isInCollection(removed)))
+        }
+    }
+
+  /** On-disk byte size of version `v`'s mask, delta-aware — the
+    * broadcast-gate input ([[DvBroadcastThresholdKey]]). Chained
+    * versions sum the chain; rows keyed to since-removed files are
+    * counted anyway — a conservative OVER-estimate that can only push a
+    * borderline mask off the broadcast road, never a too-large one onto
+    * it. */
+  private[graft] def dvBytesOf(
+      spark: SparkSession, root: String, v: Long): Long =
+    dvFormOf(spark, root, v) match {
+      case DvNone => 0L
+      case DvFull => extraBytes(spark, root, v, "dv")
+      case DvChained(base, own) =>
+        dvBytesOf(spark, root, base) +
+          (if (own) extraBytes(spark, root, v, "dvdelta") else 0L)
+    }
+
+  /** The bitmap dirs a chain-aware scan-integrated probe must consult
+    * for version `v` — the barrier's `_dv/_bitmaps` plus every
+    * own-deletions level's `_dvdelta/_bitmaps`, base-first. None when
+    * ANY contributing level lacks a complete derived index (`_DONE`):
+    * a partial probe would resurrect that level's deletions, so the
+    * read falls back to the distributed-join road — correct at any
+    * size, and bounded in time by the fold interval. */
+  private def dvChainBitmapDirs(
+      spark: SparkSession, root: String, v: Long): Option[Seq[String]] =
+    dvFormOf(spark, root, v) match {
+      case DvNone => Some(Nil)
+      case DvFull => dvBitmapsDir(spark, root, v, "_dv").map(Seq(_))
+      case DvChained(base, own) =>
+        dvChainBitmapDirs(spark, root, base).flatMap { rest =>
+          if (!own) Some(rest)
+          else dvBitmapsDir(spark, root, v, "_dvdelta").map(rest :+ _)
+        }
+    }
 
   /** Whether version `v` carries a change feed ("changes" extra) — O(1)
     * existence probe, the per-version building block of
@@ -1979,20 +2160,24 @@ object VersionedTable {
     if (dvBytes <= threshold) broadcast(mask) else mask.hint("merge")
   }
 
-  /** Version `v`'s per-file bitmap dir URI, when the sidecar carries a
-    * COMPLETE derived index ([[DvBitmaps]] `_DONE` marker present).
-    * Memoized beside [[extraBytes]] — same immutability argument, same
-    * marker-mtime identity. None for pre-bitmap versions, which keep the
-    * join road. */
+  /** Version `v`'s per-file bitmap dir URI under sidecar `name`
+    * (`_dv` for full-form masks, `_dvdelta` for chain levels), when it
+    * carries a COMPLETE derived index ([[DvBitmaps]] `_DONE` marker
+    * present). Memoized beside [[extraBytes]] — same immutability
+    * argument, same marker-mtime identity (a vacuum materialization can
+    * leave a stale None for its version, which only costs the join-road
+    * fallback until the JVM re-probes). None for pre-bitmap versions,
+    * which keep the join road. */
   private val dvBitmapsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Option[String]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, String), Option[String]]()
   private def dvBitmapsDir(
-      spark: SparkSession, root: String, v: Long): Option[String] = {
-    val key = (root, v, markerIdentity(spark, root, v))
+      spark: SparkSession, root: String, v: Long,
+      sidecar: String): Option[String] = {
+    val key = (root, v, markerIdentity(spark, root, v), sidecar)
     val got = dvBitmapsMemo.get(key)
     if (got != null) got
     else {
-      val dir = new Path(new Path(dataDir(spark, root, v), "_dv"),
+      val dir = new Path(new Path(dataDir(spark, root, v), sidecar),
         DvBitmaps.DirName)
       val f = fs(spark, root)
       val res =
@@ -2025,19 +2210,19 @@ object VersionedTable {
       spark: SparkSession, root: String, v: Long,
       tagged: DataFrame, dv: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, not}
-    val dvBytes = extraBytes(spark, root, v, "dv")
+    val dvBytes = dvBytesOf(spark, root, v)
     val threshold = spark.conf
       .get(DvBroadcastThresholdKey, DvBroadcastThresholdDefault.toString).toLong
     lazy val joined = tagged.join(dvMaskSide(spark, dv, dvBytes),
       Seq("__dv_file", "__dv_pos"), "left_anti")
     if (dvBytes <= threshold) joined
-    else dvBitmapsDir(spark, root, v) match {
-      case Some(dir) =>
+    else dvChainBitmapDirs(spark, root, v) match {
+      case Some(dirs) if dirs.nonEmpty =>
         tagged.where(not(org.apache.spark.sql.graft.ColumnBridge.column(
-          graft.plans.DvMasked.forVersion(spark, root, v, dir,
+          graft.plans.DvMasked.forVersion(spark, root, v, dirs,
             org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq("__dv_file")),
             org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq("__dv_pos"))))))
-      case None => joined
+      case _ => joined
     }
   }
 
@@ -2107,7 +2292,7 @@ object VersionedTable {
     }
     val base = if (synth) synthHiveParts(spark, root, v, scan) else scan
     toLogical(
-      readExtra(spark, root, v, "dv").map(applyDv(spark, root, v, base, _)).getOrElse(base),
+      dvOf(spark, root, v).map(applyDv(spark, root, v, base, _)).getOrElse(base),
       columnMapping(spark, root, v))
   }
 
@@ -2140,7 +2325,7 @@ object VersionedTable {
     })
     val withRef = base.withColumn(refCol, fileRefCol)
     toLogical(
-      readExtra(spark, root, v, "dv").map(applyDv(spark, root, v, withRef, _)).getOrElse(withRef),
+      dvOf(spark, root, v).map(applyDv(spark, root, v, withRef, _)).getOrElse(withRef),
       columnMapping(spark, root, v))
   }
 
@@ -2155,7 +2340,7 @@ object VersionedTable {
     val sub = synthHiveParts(spark, root, v, versionReader(spark, root, v)
       .parquet(refs.map(r => new Path(root, r).toString): _*))
     toLogical(
-      readExtra(spark, root, v, "dv").map(applyDv(spark, root, v, sub, _)).getOrElse(sub),
+      dvOf(spark, root, v).map(applyDv(spark, root, v, sub, _)).getOrElse(sub),
       columnMapping(spark, root, v))
   }
 
@@ -2185,7 +2370,7 @@ object VersionedTable {
       val sub = synthHiveParts(spark, root, v,
         versionReader(spark, root, v).parquet(kept: _*))
       toLogical(
-        readExtra(spark, root, v, "dv").map(applyDv(spark, root, v, sub, _)).getOrElse(sub),
+        dvOf(spark, root, v).map(applyDv(spark, root, v, sub, _)).getOrElse(sub),
         columnMapping(spark, root, v))
         .where(predicate)
     }
@@ -2581,11 +2766,29 @@ object VersionedTable {
       deltaDepth < deltaInterval
     // DELETION-VECTOR CARRY: kept files keep their masks (their rows were
     // not rewritten), rewritten files drop theirs (the rewrite read
-    // through the masks, so fresh files contain no masked rows). A
-    // caller-supplied "dv" extra (the MOR delete's new deletions) unions
-    // with the carried entries; distinct dedupes a re-deleted row.
+    // through the masks, so fresh files contain no masked rows).
+    //
+    // DELTA FORM: the commit writes ONLY its own new deletions (the
+    // caller's "dv" extra) as a `_dvdelta` level — O(own deletions)
+    // bytes, never the cumulative mask. Readers fold the chain
+    // ([[dvOf]]): the kept-file filter is implicit (the manifest delta's
+    // removed set subtracts rewritten files' rows), so the carried-mask
+    // READ this road used to pay per commit is gone too. The FIRST mask
+    // on a table, and every fold-interval barrier, still write the full
+    // `_dv` — the chain always folds into a full form.
+    //
+    // FULL FORM: carried ∪ own, as before — with the carry served by
+    // the chain-aware [[dvOf]], so the interval-th commit CONSOLIDATES
+    // the chain into its own complete `_dv` (the DV fold, riding the
+    // manifest fold's cadence).
+    val baseHasDv = hasDeletionVectors(spark, root, cur)
     val extrasWithDv: Map[String, DataFrame] =
-      if (!hasDeletionVectors(spark, root, cur)) extras
+      if (!baseHasDv) extras
+      else if (deltaForm)
+        extras.get("dv") match {
+          case Some(newDel) => extras - "dv" + ("dvdelta" -> newDel)
+          case None => extras // carried-only level: masks ride the chain
+        }
       else {
         import org.apache.spark.sql.functions.col
         // isInCollection folds to an InSet literal — metadata-scale,
@@ -2593,7 +2796,7 @@ object VersionedTable {
         // always tail-keyed ([[fileRefCol]]), while a shallow clone's
         // manifest refs are absolute — tails are unique per snapshot
         // (UUID part names), so the normalization is lossless.
-        val carried = readExtra(spark, root, cur, "dv").get
+        val carried = dvOf(spark, root, cur).get
           .where(col("file").isInCollection(keptFiles.map(refTail)))
         val merged = extras.get("dv").map(_.unionByName(carried).distinct())
           .getOrElse(carried)
@@ -2722,7 +2925,11 @@ object VersionedTable {
         }
       },
       extraReaderFeatures =
-        if (deltaForm) Set("delta-manifest") else Set.empty)
+        (if (deltaForm) Set("delta-manifest") else Set.empty) ++
+          // a chain-carried mask is invisible to a build that only reads
+          // `_dv` — it would RESURRECT the deleted rows; gate loudly
+          (if (deltaForm && baseHasDv) Set("deletion-vectors", "dv-delta")
+           else Set.empty))
   }
 
   /** Row-level DELETE, copy-on-write (Delta/Iceberg `DELETE WHERE` on
@@ -2837,7 +3044,7 @@ object VersionedTable {
           versionReader(spark, root, cur).parquet(mayMatch: _*))
         .withColumn("__dv_file", fileRefCol)
         .withColumn("__dv_pos", col("_metadata.row_index"))
-      val folded = readExtra(spark, root, cur, "dv") match {
+      val folded = dvOf(spark, root, cur) match {
         case Some(dv) => foldMask(spark, root, cur, raw, dv)
         case None => raw
       }
@@ -2857,7 +3064,7 @@ object VersionedTable {
         .parquet(refs.map(r => new Path(root, r).toString): _*))
       .withColumn("__dv_file", fileRefCol)
       .withColumn("__dv_pos", col("_metadata.row_index"))
-    val folded = readExtra(spark, root, v, "dv") match {
+    val folded = dvOf(spark, root, v) match {
       case Some(dv) => foldMask(spark, root, v, raw, dv)
       case None => raw
     }
@@ -3249,7 +3456,7 @@ object VersionedTable {
         val sliceRaw = synthHiveParts(spark, root, cur,
           versionReader(spark, root, cur).parquet(mayMatch: _*))
         val slice = toLogical(
-          readExtra(spark, root, cur, "dv")
+          dvOf(spark, root, cur)
             .map(applyDv(spark, root, cur, sliceRaw, _)).getOrElse(sliceRaw),
           columnMapping(spark, root, cur))
         val rewritten = rewrite(slice)
@@ -3623,7 +3830,10 @@ object VersionedTable {
     // the clone's own version dir holds only metadata; data rides by ref
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    val extras = readExtra(spark, srcRoot, v, "dv")
+    // chain-aware: a source mid-chain clones its FOLDED mask — the
+    // clone's sidecar must be self-contained (its reader never walks
+    // the source's delta chain)
+    val extras = dvOf(spark, srcRoot, v)
       .map(d => Map("dv" -> d)).getOrElse(Map.empty) ++
       // the COPY INTO ledger rides along: re-running the source's ingest
       // against the clone must not double-load the same landing files.
@@ -3759,7 +3969,7 @@ object VersionedTable {
     // bitmap derivation there — the staged keys would be the SOURCE
     // tails); the real mask lands RE-KEYED in finalizeVersion below,
     // where the clone's version dir name is known
-    val dvSrc = readExtra(spark, srcRoot, v, "dv")
+    val dvSrc = dvOf(spark, srcRoot, v) // folded: self-contained copy
     commitWith(empty, destRoot, collectStats = false,
       extras = Map("changes" -> emptyFeed(empty)) ++ ledgerExtra ++
         dvSrc.map(d => "dv" -> d.limit(0)).toMap,
@@ -4317,7 +4527,7 @@ object VersionedTable {
     // source) counts as unsized rather than failing the report
     val sizes = refs.flatMap(sizeOf.get)
     val tableBytes = sizes.sum
-    val dvBytes = extraBytes(spark, root, v, "dv")
+    val dvBytes = dvBytesOf(spark, root, v)
     val dvFraction =
       if (tableBytes == 0L) (if (dvBytes > 0) 1.0 else 0.0)
       else dvBytes.toDouble / tableBytes
@@ -5038,7 +5248,10 @@ object VersionedTable {
         val empty = spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         val extras =
-          readExtra(spark, root, toVersion, "dv").map("dv" -> _).toMap ++
+          // folded: the restore commit re-records the target's complete
+          // mask as its own full-form sidecar, whatever form the target
+          // stored it in (its chain may be vacuumed away later)
+          dvOf(spark, root, toVersion).map("dv" -> _).toMap ++
             (if (!changeFeed) Map.empty[String, DataFrame]
              else Map("changes" -> feedWritable(
                restoreFeed(spark, root, cur, toVersion, schema))))
@@ -5107,7 +5320,7 @@ object VersionedTable {
       df.select(schema.map(sf =>
         if (df.columns.contains(sf.name)) col(sf.name).cast(sf.dataType).as(sf.name)
         else lit(null).cast(sf.dataType).as(sf.name)): _*)
-    def dvOf(v: Long): DataFrame = readExtra(spark, root, v, "dv")
+    def dvFrameOf(v: Long): DataFrame = VersionedTable.dvOf(spark, root, v)
       .map(_.select(col("file"), col("pos")))
       .getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -5116,7 +5329,7 @@ object VersionedTable {
             org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.types.StructField("pos",
             org.apache.spark.sql.types.LongType)))))
-    val curDv = dvOf(cur); val tgtDv = dvOf(tgt)
+    val curDv = dvFrameOf(cur); val tgtDv = dvFrameOf(tgt)
     var parts = List.empty[DataFrame]
     val tgtOnly = tgtRefs.filterNot(curSet)
     if (tgtOnly.nonEmpty)
@@ -5139,8 +5352,8 @@ object VersionedTable {
       // join itself is size-gated like every DV fold ([[dvMaskSide]]) —
       // the diffs are subsets of the cumulative vectors, so their upper
       // bound is the larger sidecar's bytes
-      val dvSize = math.max(extraBytes(spark, root, cur, "dv"),
-        extraBytes(spark, root, tgt, "dv"))
+      val dvSize = math.max(dvBytesOf(spark, root, cur),
+        dvBytesOf(spark, root, tgt))
       def rowsAt(positions: DataFrame, ct: String): Option[DataFrame] = {
         val files = positions.select("file").distinct()
           .collect().map(_.getString(0)).toSeq

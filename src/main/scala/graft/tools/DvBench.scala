@@ -80,6 +80,60 @@ object DvBench {
       val cWall = (1 to 3).map(_ => time(masked())._2).min
       println(f"""{"deleted_pct":$pct,"mask_rows":$maskRows,"visible_rows":$rowsB,"mor_delete_s":$delWall%.2f,"masked_read_broadcast_s":$bWall%.2f,"masked_read_bitmap_s":$sWall%.2f,"masked_read_distributed_join_s":$dWall%.2f,"compacted_read_s":$cWall%.2f}""")
     }
+
+    // ---- steady delete stream: per-commit cost, chain vs full form ----
+    //
+    // The r15 standing write-path cost: every MOR commit on a masked
+    // table used to rewrite the full carried `_dv`. Under the DV delta
+    // chain each commit writes only its own deletions, so the per-commit
+    // wall must stay FLAT as the cumulative mask grows — the full form's
+    // grows with it. Same delete sequence, both forms, one JSON line per
+    // commit.
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_DV_ROUNDS", "12").toInt
+    // 10× the sf table (≈1M rows) so the cumulative mask is MB-scale —
+    // at toy masks the per-commit wall is all job-launch latency and the
+    // two forms are indistinguishable; bytes are scale-honest either way
+    val big = (0 until 10).map(i =>
+      events.withColumn("id", col("id") + lit(i * 100000000L)))
+      .reduce(_.unionByName(_))
+    def stream(form: String): (Seq[Double], Seq[Long]) = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_dvs_$form").toString
+      val root = s"$tmp/t"
+      VersionedTable.commit(big.repartition(8), root)
+      if (form == "chain") {
+        spark.conf.set(VersionedTable.DeltaFloorKey, "0")
+        spark.conf.set(VersionedTable.DeltaFoldIntervalKey, "1000")
+      } else {
+        spark.conf.set(VersionedTable.DeltaFoldIntervalKey, "0") // full form
+      }
+      try {
+        // a big first mask (the MOR-delete workload), then a steady
+        // stream of small deletes — the shape compaction sits between
+        VersionedTable.deleteWhere(spark, root,
+          pmod(col("id"), lit(100)) < 20, mor = true)
+        (1 to rounds).map { i =>
+          // residues 50+i mod 100 — disjoint from the initial mask's
+          // 0-19, so every round masks fresh rows (a no-op would skip
+          // the commit and measure nothing)
+          val (v, w) = time(VersionedTable.deleteWhere(spark, root,
+            pmod(col("id"), lit(10000)) === (2050 + i), mor = true))
+          // bytes THIS commit wrote for its mask: the own-deletions level
+          // under the chain, the full cumulative rewrite under full form
+          val sidecarBytes = math.max(
+            VersionedTable.extraBytes(spark, root, v, "dvdelta"),
+            VersionedTable.extraBytes(spark, root, v, "dv"))
+          (w, sidecarBytes)
+        }.unzip
+      } finally {
+        spark.conf.unset(VersionedTable.DeltaFloorKey)
+        spark.conf.unset(VersionedTable.DeltaFoldIntervalKey)
+      }
+    }
+    val (chainWalls, chainBytes) = stream("chain")
+    val (fullWalls, fullBytes) = stream("full")
+    def fmt(xs: Seq[Double]) = xs.map(w => f"$w%.2f").mkString("[", ",", "]")
+    def fmtL(xs: Seq[Long]) = xs.mkString("[", ",", "]")
+    println(s"""{"steady_delete_rounds":$rounds,"per_commit_chain_s":${fmt(chainWalls)},"per_commit_full_s":${fmt(fullWalls)},"per_commit_chain_sidecar_bytes":${fmtL(chainBytes)},"per_commit_full_sidecar_bytes":${fmtL(fullBytes)},"chain_last3_avg_s":${f"${chainWalls.takeRight(3).sum / 3}%.2f"},"full_last3_avg_s":${f"${fullWalls.takeRight(3).sum / 3}%.2f"}}""")
     spark.stop()
   }
 }
