@@ -1345,6 +1345,43 @@ object GraftSql {
     }
   }
 
+  /** Target-side column names the MERGE's ON condition EQUI-JOINS
+    * against a target-free expression — the bucket-road eligibility
+    * probe. Conservative on purpose: only alias-qualified target
+    * attributes count (an unqualified name could resolve to either
+    * side), extra conjuncts are fine, and a detection miss only costs
+    * the claimed road (the join shuffles both sides as before), never
+    * correctness — the claim itself is proven by the slice's
+    * construction, not by this probe. */
+  private def onTargetEquiKeys(m: MergeIntoTable): Set[String] = {
+    val ta = aliasOf(m.targetTable).map(_.toLowerCase)
+    if (ta.isEmpty) Set.empty
+    else {
+      import org.apache.spark.sql.catalyst.expressions.{And, EqualTo}
+      def targetCol(e: Expression): Option[String] = e match {
+        case a: UnresolvedAttribute if a.nameParts.size == 2 &&
+            ta.contains(a.nameParts.head.toLowerCase) =>
+          Some(a.nameParts(1).toLowerCase)
+        case _ => None
+      }
+      def mentionsTarget(e: Expression): Boolean = e.exists {
+        case a: UnresolvedAttribute =>
+          a.nameParts.size >= 2 && ta.contains(a.nameParts.head.toLowerCase)
+        case _ => false
+      }
+      def conjuncts(e: Expression): Seq[Expression] = e match {
+        case And(l, r) => conjuncts(l) ++ conjuncts(r)
+        case other => Seq(other)
+      }
+      conjuncts(m.mergeCondition).flatMap {
+        case EqualTo(l, r) =>
+          targetCol(l).filterNot(_ => mentionsTarget(r))
+            .orElse(targetCol(r).filterNot(_ => mentionsTarget(l)))
+        case _ => None
+      }.toSet
+    }
+  }
+
   private def runMerge(
       spark: SparkSession, root: String, m: MergeIntoTable,
       extraTables: Map[String, DataFrame] = Map.empty,
@@ -1376,6 +1413,19 @@ object GraftSql {
         throw new java.io.IOException(s"no committed version under $root"))
       val readDf = VersionedTable.readVersion(spark, root, base)
       val tSchema = readDf.schema
+      // bucket-road eligibility (graft.sources.Bucketing), decided once
+      // per attempt and reused by the touched-file DETECTION scan below
+      // (phase 1 — the claimed slice makes the detection join shuffle
+      // only the source) and the merge slice/commit (phase 2)
+      val bucketEligible: Option[(Map[String, Int], String, Int)] =
+        graft.sources.Bucketing
+          .specOf(VersionedTable.propertiesOf(spark, root, base))
+          .flatMap { case (bkey, n) =>
+            if (!onTargetEquiKeys(m).contains(bkey.toLowerCase)) None
+            else graft.sources.Bucketing
+              .pureBuckets(spark, root, base, bkey, n)
+              .map(fb => (fb, bkey, n))
+          }
       // phase 1 — touched-file detection (COW-eligible merges only):
       // stats pre-pruning first (equi ON keys vs per-file min/max — the
       // candidate set), then the exact detection join over candidates only.
@@ -1434,8 +1484,19 @@ object GraftSql {
                 cand match {
                   case Some(c) if c.isEmpty => Set.empty // provably nothing matches
                   case c =>
-                    val scan = VersionedTable.readVersionWithFileRef(
-                      spark, root, base, "__t_file", c.map(_.toSeq.sorted))
+                    val scan = bucketEligible match {
+                      case Some((fb, bkey, n)) =>
+                        val refsToScan = c.map(_.toSeq).getOrElse(
+                          VersionedTable.dataFileRefs(spark, root, base))
+                        val byBucket = refsToScan.map(r => r -> fb(r))
+                          .groupBy(_._2)
+                          .map { case (b, rs) => b -> rs.map(_._1) }
+                        graft.sources.Bucketing.bucketAlignedSliceWithRef(
+                          spark, root, base, bkey, n, byBucket,
+                          readDf.schema, "__t_file")
+                      case None => VersionedTable.readVersionWithFileRef(
+                        spark, root, base, "__t_file", c.map(_.toSeq.sorted))
+                    }
                     val tScanPlan = m.targetTable.transform {
                       case _: UnresolvedRelation => scan.queryExecution.analyzed
                     }
@@ -1460,12 +1521,32 @@ object GraftSql {
         VersionedTable.dataFileRefs(spark, root, base).filterNot(kept.toSet))
       val morMode = touchedRefs.exists(_.nonEmpty) &&
         VersionedTable.boolProperty(spark, root, DvProperty)
+      // RECORDED BUCKET LAYOUT road for the statement users actually
+      // write (graft.sources.Bucketing — the Sinks.upsertByKeyVersionedCow
+      // road's SQL MERGE face): on a bucketized COW-eligible target whose
+      // ON condition equi-joins the bucket key, the touched slice reads
+      // BUCKET-ALIGNED with the layout's HashPartitioning claimed, so the
+      // merge's full-outer join inserts NO target-side exchange — only
+      // the source shuffles, O(delta). The claim is correct by
+      // construction of the slice (purity proven per file by origin
+      // stamp), independent of how the planner uses it: a detection miss
+      // only costs the shuffle back. MOR merges keep the tagged road
+      // (the mask columns ride outside the claimed schema).
+      val bucketRoad: Option[(Map[String, Int], String, Int)] =
+        if (morMode || keptRefs.isEmpty) None else bucketEligible
       val targetFrame = touchedRefs match {
         case Some(touched) =>
           if (touched.isEmpty) readDf.limit(0)
           else if (morMode)
             VersionedTable.readFilesTagged(spark, root, base, touched)
-          else VersionedTable.readFilesOf(spark, root, base, touched)
+          else bucketRoad match {
+            case Some((fb, bkey, n)) =>
+              val filesByBucket = touched.map(r => r -> fb(r))
+                .groupBy(_._2).map { case (b, rs) => b -> rs.map(_._1) }
+              graft.sources.Bucketing.bucketAlignedSlice(
+                spark, root, base, bkey, n, filesByBucket, readDf.schema)
+            case None => VersionedTable.readFilesOf(spark, root, base, touched)
+          }
         case None => readDf
       }
       val tPlan = m.targetTable.transform {
@@ -1732,10 +1813,37 @@ object GraftSql {
             extras = Map("dv" -> newDelWritable, "changes" -> feed) ++ extraTables,
             preCommit = occCheck, recordProperties = advProps)
         } else keptRefs match {
-          case Some(kept) => VersionedTable.commitCow(
-            regenExprs(survivors).unionByName(inserts), root, kept,
-            extras = Map("changes" -> feed) ++ extraTables, preCommit = occCheck,
-            recordProperties = advProps)
+          case Some(kept) =>
+            // on the bucket road, keep the written rows in the layout and
+            // STAMP the commit, so the NEXT merge rides the claimed road
+            // again instead of degrading to the key-range fallback. Both
+            // branches come off the claimed join bucket-aligned, so the
+            // zero-exchange path is a per-partition concat
+            // (PartitionBridge.alignedConcat); identity allocation
+            // reshapes the insert branch, and any optimizer surprise
+            // changes a branch's partition count — both fall back to ONE
+            // explicit O(written-bytes) repartition, always correct.
+            val (outF, bucketInfo) = bucketRoad match {
+              case Some((_, bkey, n)) =>
+                val keyName = tSchema.fieldNames
+                  .find(_.equalsIgnoreCase(bkey)).getOrElse(bkey)
+                val aligned =
+                  if (freeIdents.nonEmpty) None
+                  else org.apache.spark.sql.graft.PartitionBridge
+                    .alignedConcat(spark, regenExprs(survivors), inserts,
+                      keyName, n)
+                (aligned.getOrElse(regenExprs(survivors).unionByName(inserts)
+                    .repartition(n, col(keyName))),
+                  Map(graft.sources.Bucketing.BucketedInfoKey -> s"$bkey,$n"))
+              case None =>
+                (regenExprs(survivors).unionByName(inserts),
+                  Map.empty[String, String])
+            }
+            VersionedTable.commitCow(outF, root, kept,
+              extras = Map("changes" -> feed) ++ extraTables,
+              preCommit = occCheck,
+              recordInfo = bucketInfo,
+              recordProperties = advProps)
           case None => VersionedTable.commit(
             regenExprs(survivors).unionByName(inserts), root,
             // column defaults survive via commitWith's metadata-merge

@@ -143,7 +143,7 @@ object Bucketing {
     * Each bucket's files read through [[VersionedTable.readFilesOf]]
     * (DV masks and column mapping fold map-side, so rows stay
     * bucket-pure). */
-  private def bucketAlignedSlice(
+  private[graft] def bucketAlignedSlice(
       spark: SparkSession, root: String, v: Long, key: String, n: Int,
       filesByBucket: Map[Int, Seq[String]],
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
@@ -157,6 +157,31 @@ object Bucketing {
         .getOrElse(bridge.emptyPartition(spark))
     }
     bridge.claimHashPartitioned(spark, schema, parts, key)
+  }
+
+  /** [[bucketAlignedSlice]] with each row's file ref exposed as `refCol`
+    * — the CLAIMED form of [[VersionedTable.readVersionWithFileRef]] for
+    * the SQL MERGE's touched-file detection join: the candidate slice
+    * arrives bucket-aligned with the layout's HashPartitioning, so the
+    * detection join shuffles only the SOURCE (O(delta)) instead of the
+    * candidate slice (O(table) on a hash-scattered delta). */
+  private[graft] def bucketAlignedSliceWithRef(
+      spark: SparkSession, root: String, v: Long, key: String, n: Int,
+      filesByBucket: Map[Int, Seq[String]],
+      schema: org.apache.spark.sql.types.StructType,
+      refCol: String): DataFrame = {
+    val bridge = org.apache.spark.sql.graft.PartitionBridge
+    val outSchema = schema.add(refCol, org.apache.spark.sql.types.StringType)
+    val parts = (0 until n).map { b =>
+      filesByBucket.get(b).filter(_.nonEmpty)
+        .map(fs => bridge.onePartition(
+          VersionedTable.readVersionWithFileRef(spark, root, v, refCol,
+            Some(fs.sorted))
+            .select((schema.fields.toSeq.map(f =>
+              col(f.name).cast(f.dataType).as(f.name)) :+ col(refCol)): _*)))
+        .getOrElse(bridge.emptyPartition(spark))
+    }
+    bridge.claimHashPartitioned(spark, outSchema, parts, key)
   }
 
   /** The bucket-road merge frames against version `cur`, or None when

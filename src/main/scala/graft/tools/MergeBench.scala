@@ -100,13 +100,59 @@ object MergeBench {
       else f.listStatus(p).toSeq.map(_.getLen).sum
     }
 
-    // row-level equality of the three results (the bench is also a check)
+    // fourth road: the RECORDED BUCKET LAYOUT (graft.sources.Bucketing)
+    // under the SQL MERGE — the claimed target side moves ZERO bytes
+    // through any exchange; only the delta and the written rows shuffle.
+    // Measured as shuffle WRITE bytes per merge, against the key-range
+    // COW road above on the same delta. The second merge shows the
+    // stamped commit keeps the road (no re-bucketize between runs).
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          shuffleBytes.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      })
+    def measured[A](f: => A): (A, Double, Long) = {
+      Thread.sleep(500); shuffleBytes.set(0L)
+      val (a, t) = timed(f)
+      Thread.sleep(500)
+      (a, t, shuffleBytes.get)
+    }
+    // measured with broadcast OFF: the comparison targets the shuffle
+    // behavior at the scale the roads exist for — a 100 TB table's
+    // hourly delta does not broadcast, so letting the toy delta ride a
+    // BroadcastHashJoin would vacuously flatten both columns
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // key-range road's shuffle bytes on a fresh seed (same delta)
+    val rootRng = java.nio.file.Files.createTempDirectory("merge_rng").toString + "/t"
+    seed(rootRng)
+    val (_, tRng, shRng) = measured(
+      graft.plans.GraftSql.execute(spark, mergeSql(rootRng, forceFull = false)).collect())
+    val rootBkt = java.nio.file.Files.createTempDirectory("merge_bkt").toString + "/t"
+    seed(rootBkt)
+    graft.sources.Bucketing.bucketize(spark, rootBkt, "id", nFiles)
+    val (_, tBkt, shBkt) = measured(
+      graft.plans.GraftSql.execute(spark, mergeSql(rootBkt, forceFull = false)).collect())
+    val vB1 = VersionedTable.currentVersion(spark, rootBkt).get
+    val bkt1Stamped = VersionedTable.commitInfoOf(spark, rootBkt, vB1)
+      .get(graft.sources.Bucketing.BucketedInfoKey).contains(s"id,$nFiles")
+    val (_, tBkt2, shBkt2) = measured(
+      graft.plans.GraftSql.execute(spark, mergeSql(rootBkt, forceFull = false)).collect())
+    val vB2 = VersionedTable.currentVersion(spark, rootBkt).get
+    val bkt2Stamped = VersionedTable.commitInfoOf(spark, rootBkt, vB2)
+      .get(graft.sources.Bucketing.BucketedInfoKey).contains(s"id,$nFiles")
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    // row-level equality of the results (the bench is also a check)
     def sameAs(a: String, b: String): Boolean =
       VersionedTable.read(spark, a).exceptAll(VersionedTable.read(spark, b)).isEmpty &&
         VersionedTable.read(spark, b).exceptAll(VersionedTable.read(spark, a)).isEmpty
     val same = sameAs(rootFull, rootCow) && sameAs(rootCow, rootMor)
+    val sameBkt = sameAs(rootRng, rootBkt)
 
-    println(s"""{"metric":"merge_cow","sf":"$sfDir","n_files":$nFiles,"delta_keys":$deltaKeys,"full_bytes":$bFull,"cow_bytes":$bCow,"mor_bytes":$bMor,"mor_dv_bytes":$dvBytes,"bytes_ratio":${bCow.toDouble / bFull},"mor_ratio":${(bMor + dvBytes).toDouble / bFull},"full_sec":$tFull,"cow_sec":$tCow,"mor_sec":$tMor,"manifest_files":$refs,"kept_by_ref":$keptRefs,"results_equal":$same}""")
+    println(s"""{"metric":"merge_cow","sf":"$sfDir","n_files":$nFiles,"delta_keys":$deltaKeys,"full_bytes":$bFull,"cow_bytes":$bCow,"mor_bytes":$bMor,"mor_dv_bytes":$dvBytes,"bytes_ratio":${bCow.toDouble / bFull},"mor_ratio":${(bMor + dvBytes).toDouble / bFull},"full_sec":$tFull,"cow_sec":$tCow,"mor_sec":$tMor,"manifest_files":$refs,"kept_by_ref":$keptRefs,"results_equal":$same,"sql_range_sec":$tRng,"sql_range_shuffle_bytes":$shRng,"sql_bucket_sec":$tBkt,"sql_bucket_shuffle_bytes":$shBkt,"sql_bucket_second_sec":$tBkt2,"sql_bucket_second_shuffle_bytes":$shBkt2,"sql_bucket_road_used":${bkt1Stamped && bkt2Stamped},"sql_bucket_equal":$sameBkt}""")
     spark.stop()
   }
 }

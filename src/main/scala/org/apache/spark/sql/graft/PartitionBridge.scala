@@ -54,6 +54,43 @@ object PartitionBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(sess, plan)
   }
 
+  /** Per-partition CONCATENATION of two frames already laid out in the
+    * same n-bucket hash layout of `key` (e.g. the survivors and inserts
+    * branches of a merge whose join ran on a claimed bucket-aligned
+    * target: SMJ partition i holds only keys hashing to bucket i on
+    * BOTH branches). The SQL-level union cannot express this — it either
+    * concatenates 2n partitions (losing the bucket↔part-index map the
+    * layout's purity stamp depends on) or forces a repartition that
+    * moves every written byte through an exchange. zipPartitions keeps
+    * n partitions with partition i = a_i ++ b_i — bucket-pure by the
+    * inputs' construction — and the claim rides on top as in
+    * [[claimHashPartitioned]]. None when either side does not arrive as
+    * exactly n partitions (an optimizer reshape; callers fall back to
+    * the explicit repartition, which is always correct). */
+  def alignedConcat(
+      spark: org.apache.spark.sql.SparkSession,
+      a: DataFrame, b: DataFrame,
+      key: String, n: Int): Option[DataFrame] = {
+    val sameShape = a.schema.map(f => (f.name, f.dataType)) ==
+      b.schema.map(f => (f.name, f.dataType))
+    if (!sameShape) return None
+    val ra = a.queryExecution.toRdd
+    val rb = b.queryExecution.toRdd
+    if (ra.getNumPartitions != n || rb.getNumPartitions != n) None
+    else {
+      val sess = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      val zipped = ra.zipPartitions(rb)((x, y) => x ++ y)
+      val attrs = DataTypeUtils.toAttributes(a.schema)
+      val attr = attrs.find(_.name.equalsIgnoreCase(key)).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column $key in ${a.schema.fieldNames.mkString(", ")}"))
+      val plan = new LogicalRDD(
+        attrs, zipped, HashPartitioning(Seq(attr), n), Nil,
+        false, None)(sess, None, None)
+      Some(org.apache.spark.sql.classic.Dataset.ofRows(sess, plan))
+    }
+  }
+
   /** A frame's internal rows as ONE partition (the per-bucket reads
     * feeding [[claimHashPartitioned]]) — RDD-level coalesce, so no SQL
     * optimizer pass can re-shape it. */

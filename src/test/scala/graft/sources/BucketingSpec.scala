@@ -157,6 +157,91 @@ class BucketingSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).count() == 100L)
   }
 
+  test("SQL MERGE INTO rides the bucket road: claimed target (zero " +
+    "target-side exchange), stamped commit, the SECOND merge rides it too") {
+    val rootB = freshRoot(); seed(rootB, 8)
+    val rootP = freshRoot()
+    Sinks.upsertByKeyVersioned(spark, rootP, base(400), "id", ts0,
+      "last_status", "DONE")
+    // capture every executed plan the merge runs (cardinality check,
+    // feed, the commit writes): the claimed target appears as a `Scan
+    // ExistingRDD[id#N ...]`, and the zero-target-exchange property is
+    // exactly "no Exchange hashpartitioning on id#N anywhere" — the
+    // source side exchanges on ITS OWN id expr-id, so the check is
+    // precise whatever join shape Catalyst specializes the full outer
+    // into (it splits Inner/LeftOuter/RightOuter per consumer branch)
+    val plans = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    def mergeSql(root: String, srcView: String): Long =
+      graft.plans.GraftSql.execute(spark,
+        s"""MERGE INTO `$root` AS t USING $srcView AS s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET last_status = s.st
+           |WHEN NOT MATCHED THEN INSERT (id, last_status) VALUES (s.id, s.st)
+           |""".stripMargin).collect().head.getLong(2)
+    def claimedPlans(): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      plans.iterator().asScala.toSeq.filter(_.contains("Scan ExistingRDD[id#"))
+    }
+    def awaitClaimed(atLeast: Int): Seq[String] = {
+      var tries = 0
+      while (claimedPlans().size < atLeast && tries < 100) {
+        Thread.sleep(100); tries += 1
+      }
+      claimedPlans()
+    }
+    val ClaimedId = """Scan ExistingRDD\[id#(\d+)L""".r
+    def assertNoTargetExchange(p: String): Unit =
+      ClaimedId.findAllMatchIn(p).map(_.group(1)).foreach { eid =>
+        assert(!p.contains(s"Exchange hashpartitioning(id#${eid}L"),
+          s"claimed target id#$eid was exchanged:\n$p")
+      }
+    Seq((3L, "M1"), (7L, "M1"), (401L, "M1")).toDF("id", "st")
+      .createOrReplaceTempView("bkt_merge_src1")
+    Seq((7L, "M2"), (399L, "M2"), (402L, "M2")).toDF("id", "st")
+      .createOrReplaceTempView("bkt_merge_src2")
+    spark.listenerManager.register(listener)
+    // broadcast off: the claim's point is shuffle elimination — a tiny
+    // test source broadcasting would vacuously hide a broken claim
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val v1 = mergeSql(rootB, "bkt_merge_src1")
+      val cp1 = awaitClaimed(1)
+      assert(cp1.nonEmpty,
+        "the target must read as the claimed bucket-aligned scan")
+      assert(cp1.exists(p => p.contains("SortMergeJoin") ||
+        p.contains("ShuffledHashJoin")), "expected the merge join planned")
+      cp1.foreach(assertNoTargetExchange)
+      // the commit is stamped and its files bucket-pure: the road survives
+      assert(VersionedTable.commitInfoOf(spark, rootB, v1)
+        .get(Bucketing.BucketedInfoKey).contains("id,8"))
+      assert(Bucketing.pureBuckets(spark, rootB, v1, "id", 8).isDefined,
+        "layout must survive the SQL merge")
+      // SECOND merge rides the claimed road again
+      plans.clear()
+      val v2 = mergeSql(rootB, "bkt_merge_src2")
+      val cp2 = awaitClaimed(1)
+      assert(cp2.nonEmpty, "the second merge must ride the claimed road too")
+      cp2.foreach(assertNoTargetExchange)
+      assert(Bucketing.pureBuckets(spark, rootB, v2, "id", 8).isDefined)
+      // results equal the same merges against an unbucketized target
+      mergeSql(rootP, "bkt_merge_src1"); mergeSql(rootP, "bkt_merge_src2")
+      def rows(root: String) = VersionedTable.read(spark, root)
+        .select("id", "last_status", "payload")
+        .orderBy("id").collect().map(_.toSeq).toSeq
+      assert(rows(rootB) == rows(rootP))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.listenerManager.unregister(listener)
+    }
+  }
+
   test("bucketize refuses partition-spec'd tables; spec parsing is strict") {
     assert(Bucketing.specOf(Map("graft.bucketBy" -> "id,8")) == Some(("id", 8)))
     assert(Bucketing.specOf(Map("graft.bucketBy" -> "id")) == None)
