@@ -1423,7 +1423,7 @@ object GraftSql {
           .flatMap { case (bkey, n) =>
             if (!onTargetEquiKeys(m).contains(bkey.toLowerCase)) None
             else graft.sources.Bucketing
-              .pureBuckets(spark, root, base, bkey, n)
+              .pureBucketsBounded(spark, root, base, bkey, n)
               .map(fb => (fb, bkey, n))
           }
       // phase 1 — touched-file detection (COW-eligible merges only):

@@ -109,6 +109,35 @@ object Bucketing {
     "^part-(\\d+)-".r.findFirstMatchIn(ref.split('/').last)
       .map(_.group(1).toInt)
 
+  /** SKEW GUARD ceiling: the largest per-bucket byte total the claimed
+    * road will accept. A claimed bucket is ONE un-splittable task — the
+    * claim removes exactly the exchange AQE's skew-join split would
+    * operate on — so a whale key concentrating a bucket past this bound
+    * must push the merge back to the key-range road, where the join
+    * shuffles and AQE splits the skewed partition. Sized to a few
+    * comfortable scan tasks (default 2 GiB ≈ 16 × the 128 MiB split);
+    * the recorded AddFile sizes make the probe metadata-only. */
+  val MaxBucketBytesKey = "spark.graft.bucket.maxBucketBytes"
+  val MaxBucketBytesDefault: Long = 2L << 30
+
+  /** [[pureBuckets]] with the skew guard applied: None when any single
+    * bucket's recorded bytes exceed [[MaxBucketBytesKey]] — or when any
+    * ref lacks a recorded size (unknown bytes must not ride an
+    * un-splittable task). This is the form the merge roads consume;
+    * bare [[pureBuckets]] stays the layout-integrity probe. */
+  private[graft] def pureBucketsBounded(
+      spark: SparkSession, root: String, v: Long, key: String, n: Int)
+      : Option[Map[String, Int]] =
+    pureBuckets(spark, root, v, key, n).filter { fb =>
+      val cap = spark.conf
+        .get(MaxBucketBytesKey, MaxBucketBytesDefault.toString).toLong
+      val sizes = VersionedTable.fileSizes(spark, root, v)
+      fb.groupBy(_._2).values.forall { refs =>
+        refs.keys.forall(sizes.contains) &&
+          refs.keys.iterator.map(sizes).sum <= cap
+      }
+    }
+
   /** ref → bucket for version `v`, or None unless EVERY data file is
     * provably bucket-pure (origin commit stamped + part index < n).
     * O(refs) driver work plus one tiny commit-info read per distinct
@@ -197,7 +226,7 @@ object Bucketing {
     val props = VersionedTable.propertiesOf(spark, root, cur)
     specOf(props) match {
       case Some((bkey, n)) if bkey.equalsIgnoreCase(key) =>
-        pureBuckets(spark, root, cur, bkey, n).flatMap { fb =>
+        pureBucketsBounded(spark, root, cur, bkey, n).flatMap { fb =>
           val target = VersionedTable.readVersion(spark, root, cur)
           // the staging key must hash under the SAME binary layout the
           // files were written with: murmur3 of INT and BIGINT differ,

@@ -265,7 +265,7 @@ object VersionedTable {
         // the live fileSizes road, which heals when the store does.
         val bytes0 = gap.sorted
           .foldLeft(prev.map(_.bytes).getOrElse(Map.empty[Long, Long])) { (m, vv) =>
-            completeSnapshotBytes(spark, root, vv) match {
+            completeSnapshotBytes(spark, root, vv, knownBase = m.get) match {
               case Some(b) => m.updated(vv, b)
               case None => m
             }
@@ -1077,10 +1077,22 @@ object VersionedTable {
     // could silently serve a sliver. The write itself is also
     // temp-then-rename, so this is defense in depth.
     if (!f.exists(deltaManifestFile(spark, root, v)) && f.exists(mf)) {
-      val in = f.open(mf)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-                 finally in.close()
-      Some(text.split('\n').toSeq.filter(_.nonEmpty))
+      // full form memoizes too (content is immutable per marker
+      // identity): warm reads skip the O(refs) file read, and the whole-
+      // kept commit fast path can recognize the CURRENT snapshot's ref
+      // list BY INSTANCE ([[commitCowInternal]]'s keptIsWhole)
+      val key = (root, v, markerIdentity(spark, root, v))
+      val got = foldedManifestMemo.get(key)
+      if (got != null) Some(got)
+      else {
+        val in = f.open(mf)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                   finally in.close()
+        val refs = text.split('\n').toSeq.filter(_.nonEmpty)
+        if (foldedManifestMemo.size >= 128) foldedManifestMemo.clear()
+        foldedManifestMemo.put(key, refs)
+        Some(refs)
+      }
     } else manifestDeltaOf(spark, root, v).map { d0 =>
       val key = (root, v, markerIdentity(spark, root, v))
       val got = foldedManifestMemo.get(key)
@@ -2728,21 +2740,34 @@ object VersionedTable {
     // (rename/drop/evolve) hands in an updated one
     val mappingToRecord = recordMapping.getOrElse(
       (columnMapping(spark, root, cur), retiredPhysicals(spark, root, cur)))
-    // stats of the CURRENT snapshot, keyed as stored (name or relpath)
-    val curKeyed: Map[String, String] = manifestOf(spark, root, cur)
+    // WHOLE-KEPT FAST PATH: callers that carry the entire current
+    // snapshot (appends, MOR deletes — the per-commit hot paths) pass
+    // the exact Seq instance [[manifestOf]]'s memo serves, so "kept ⊆
+    // current refs" holds BY IDENTITY and every O(refs) driver pass
+    // below (the keyed map, the membership validation, the removed-set
+    // arithmetic) is skipped — the delta-form commit then does O(own)
+    // driver work however many refs the table carries. Still validated
+    // inside the publish claim: preCommit re-checks the pinned version,
+    // exactly as the identity basis is.
+    val keptIsWhole = manifestOf(spark, root, cur).exists(_ eq keptFiles)
+    // stats of the CURRENT snapshot, keyed as stored (name or relpath);
+    // lazy — the fast path and the delta form never build it
+    lazy val curKeyed: Map[String, String] = manifestOf(spark, root, cur)
       .map(_.map(r => r -> r).toMap)
       .getOrElse(dataFileRels(f, dataDir(spark, root, cur))
         .map { case (_, rel) => (dataDirName(spark, root, cur) + "/" + rel) -> rel }.toMap)
-    val badKept = keptFiles.filterNot(curKeyed.contains)
-    if (badKept.nonEmpty)
-      // refs the current snapshot no longer holds: either the caller's
-      // pinned version was REWRITTEN by a concurrent compact/COW (the
-      // common case — thrown as the conflict type so every OCC retry
-      // loop REBASES instead of failing the batch outright), or the refs
-      // are genuinely bogus (then the rebase recomputes them and the
-      // retry bound surfaces the error)
-      throw new Sinks.ConcurrentWriteException(root,
-        None, currentVersion(spark, root))
+    if (!keptIsWhole) {
+      val badKept = keptFiles.filterNot(curKeyed.contains)
+      if (badKept.nonEmpty)
+        // refs the current snapshot no longer holds: either the caller's
+        // pinned version was REWRITTEN by a concurrent compact/COW (the
+        // common case — thrown as the conflict type so every OCC retry
+        // loop REBASES instead of failing the batch outright), or the refs
+        // are genuinely bogus (then the rebase recomputes them and the
+        // retry bound surfaces the error)
+        throw new Sinks.ConcurrentWriteException(root,
+          None, currentVersion(spark, root))
+    }
     // lazy: the delta form never carries kept stats, so it must not pay
     // the O(files) folded-stats read the full form's carry needs
     lazy val curStats = statsOf(spark, root, cur)
@@ -2818,12 +2843,20 @@ object VersionedTable {
         // that published between this commit's pinned version and its
         // claim. Frozen before this finalizer runs — the validator is
         // strict once the manifest is on disk.
-        val extraRefs = rebase.map(_.extraRefs).getOrElse(Nil)
-          .filterNot(keptFiles.toSet)
+        // empty-rebase short-circuits: the common per-commit path
+        // (nothing tolerated in) must not pay an O(refs) set build or
+        // filter walk — the whole-kept fast path's point
+        val extraRefs0 = rebase.map(_.extraRefs).getOrElse(Nil)
+        val extraRefs =
+          if (extraRefs0.isEmpty) Nil
+          else extraRefs0.filterNot(keptFiles.toSet)
         val removedRefs = rebase.map(_.removedRefs).getOrElse(Set.empty)
-        val keptEff = keptFiles.filterNot(removedRefs)
+        val keptEff =
+          if (removedRefs.isEmpty) keptFiles
+          else keptFiles.filterNot(removedRefs)
         val own = dataFileRels(fh, dir)
-        val refs = own.map { case (_, rel) => f"v$v%08d/" + rel } ++
+        // lazy: only the full form writes the whole ref list
+        lazy val refs = own.map { case (_, rel) => f"v$v%08d/" + rel } ++
           keptEff ++ extraRefs
         // merged stats: fresh files' rows (just collected, keyed by bare
         // name) re-keyed to relpath + kept files' rows carried forward
@@ -2889,8 +2922,14 @@ object VersionedTable {
               case e: Exception =>
                 maintLog.warn(s"size-sidecar carry skipped for $dir", e)
             }
+          // whole-kept + nothing-removed ⇒ removed = ∅ by identity; the
+          // general form pays the O(refs) set arithmetic only when a
+          // rewrite actually dropped refs
+          val removed =
+            if (keptIsWhole && removedRefs.isEmpty) Set.empty[String]
+            else curKeyed.keySet -- keptEff
           writeManifestDelta(fh, dir, ManifestDelta(cur, deltaDepth,
-            removed = curKeyed.keySet -- keptEff,
+            removed = removed,
             added = own.map { case (_, rel) => f"v$v%08d/" + rel } ++ extraRefs))
         } else {
         // a stats table must cover ALL files or claim none: a fresh file
@@ -5446,13 +5485,41 @@ object VersionedTable {
     * stat'ed), None when any degraded to unsized — the checkpoint must
     * never freeze a transient undercount into permanent coverage. Skips
     * the checkpoint-first road on purpose: gap versions are by
-    * definition above the previous checkpoint's coverage. */
+    * definition above the previous checkpoint's coverage.
+    *
+    * INCREMENTAL on delta-form versions whose base the caller already
+    * sized (`knownBase` — the checkpoint's own previous entry): bytes =
+    * base − removed + added, O(changed) instead of the O(refs) sizes
+    * fold+sum — this ran once per COMMIT (the checkpoint advance), so
+    * the full form here was the last per-commit O(refs) pass on the
+    * append hot path. refs(v) = refs(base) − removed + added exactly,
+    * and a ref's size is immutable, so the arithmetic is exact; any
+    * unsizable piece falls back to the full road. */
   private def completeSnapshotBytes(
-      spark: SparkSession, root: String, v: Long): Option[Long] =
+      spark: SparkSession, root: String, v: Long,
+      knownBase: Long => Option[Long] = _ => None): Option[Long] =
     try {
-      val refs = dataFileRefs(spark, root, v)
-      val sizes = fileSizes(spark, root, v)
-      if (refs.forall(sizes.contains)) Some(sizes.values.sum) else None
+      val incremental: Option[Long] =
+        manifestDeltaOf(spark, root, v).flatMap { d =>
+          knownBase(d.base).flatMap { baseBytes =>
+            val own = FileSizes.load(fs(spark, root), dataDir(spark, root, v))
+            // appends never touch baseSizes (their adds are their own
+            // files); only a ref-removing rewrite pays the base fold
+            lazy val baseSizes = recordedSizes(spark, root, d.base)
+            def sizeOf(r: String): Option[Long] =
+              own.get(r).orElse(baseSizes.get(r))
+            val addedSz = d.added.map(sizeOf)
+            val removedSz = d.removed.toSeq.map(baseSizes.get)
+            if (addedSz.forall(_.isDefined) && removedSz.forall(_.isDefined))
+              Some(baseBytes + addedSz.flatten.sum - removedSz.flatten.sum)
+            else None
+          }
+        }
+      incremental.orElse {
+        val refs = dataFileRefs(spark, root, v)
+        val sizes = fileSizes(spark, root, v)
+        if (refs.forall(sizes.contains)) Some(sizes.values.sum) else None
+      }
     } catch { case _: Exception => None }
 
   /** The shared publish of a FULL-LAYOUT maintenance rewrite

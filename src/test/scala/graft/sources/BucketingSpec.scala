@@ -242,6 +242,44 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("skew guard: a whale bucket over the byte ceiling declines the " +
+    "claimed road (AQE can split the fallback's exchange; it cannot " +
+    "split a claimed partition), results still correct") {
+    val root = freshRoot(); seed(root, 8)
+    val cur0 = VersionedTable.currentVersion(spark, root).get
+    // the layout itself is pure — the guard is a SIZE decision on top
+    assert(Bucketing.pureBuckets(spark, root, cur0, "id", 8).isDefined)
+    assert(Bucketing.pureBucketsBounded(spark, root, cur0, "id", 8).isDefined,
+      "under the default 2 GiB ceiling the toy table must pass")
+    // shrink the ceiling under the largest real bucket: the road declines
+    val sizes = VersionedTable.fileSizes(spark, root, cur0)
+    val maxBucket = Bucketing.pureBuckets(spark, root, cur0, "id", 8).get
+      .groupBy(_._2).values.map(_.keys.map(sizes).sum).max
+    spark.conf.set(Bucketing.MaxBucketBytesKey, (maxBucket - 1).toString)
+    try {
+      assert(Bucketing.pureBucketsBounded(spark, root, cur0, "id", 8).isEmpty,
+        "a bucket over the ceiling must decline the claimed road")
+      assert(Bucketing.mergeFrames(spark, root, cur0,
+        delta(Seq(3L), "DONE", ts1), "id", ts1, "last_status", "DONE",
+        changeFeed = false).isEmpty, "mergeFrames must fall back")
+      // the public upsert lands correctly via the key-range fallback —
+      // whose join EXCHANGES the target side (the partition AQE's
+      // skew split operates on), plan-provable by the unclaimed scan
+      Sinks.upsertByKeyVersionedCow(spark, root,
+        delta(Seq(3L, 900L), "DONE", ts1), "id", ts1, "last_status", "DONE")
+      val got = VersionedTable.read(spark, root)
+        .where(col("id").isin(3L, 900L))
+        .select("id", "last_status").orderBy("id")
+        .as[(Long, String)].collect().toSeq
+      assert(got == Seq((3L, "DONE"), (900L, "DONE")), got.toString)
+      // the fallback commit is NOT stamped (its files are not laid out
+      // by the claimed spec), so purity degrades honestly
+      val v = VersionedTable.currentVersion(spark, root).get
+      assert(!VersionedTable.commitInfoOf(spark, root, v)
+        .contains(Bucketing.BucketedInfoKey))
+    } finally spark.conf.unset(Bucketing.MaxBucketBytesKey)
+  }
+
   test("bucketize refuses partition-spec'd tables; spec parsing is strict") {
     assert(Bucketing.specOf(Map("graft.bucketBy" -> "id,8")) == Some(("id", 8)))
     assert(Bucketing.specOf(Map("graft.bucketBy" -> "id")) == None)
