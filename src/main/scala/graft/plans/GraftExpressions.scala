@@ -704,3 +704,53 @@ object DvMasked {
       new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration))
 }
+
+/** Native BPE tokenizer — the production-scale application road for the
+  * trained merges table ([[graft.operators.Bpe]]): input is the
+  * NORMALIZED text, output the token array. The replace-fold
+  * formulation is the semantic reference (and the oracle's form); this
+  * expression computes identical values with a per-word pending-rank
+  * loop over a merges table carried as a plan REFERENCE OBJECT — plan
+  * size and per-row cost stay constant in the merge count, where the
+  * fold grows one nested replace per merge and stops compiling in the
+  * hundreds.
+  *
+  * `fingerprint` sits inside case equality on purpose: the table rides
+  * the second parameter list (outside equality, like DvMasked's conf),
+  * so without it two tokenizers with different merges would compare
+  * equal and subexpression elimination could serve one for the other. */
+case class BpeTokens private[plans] (
+    child: Expression, fingerprint: Int)(
+    val table: graft.operators.BpeTable)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_tokens"
+  override def otherCopyArgs: Seq[AnyRef] = table :: Nil
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string input, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(t: Any): Any =
+    graft.operators.Bpe.encode(t.asInstanceOf[UTF8String], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tableRef = ctx.addReferenceObj("bpeTable", table,
+      "graft.operators.BpeTable")
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.operators.Bpe.encode($t, $tableRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)(table)
+}
+
+object BpeTokens {
+  /** The ONE way to build the tokenizer: the equality fingerprint is
+    * derived from the table here, so no call site can mismatch them. */
+  def forMerges(child: Expression, table: graft.operators.BpeTable): BpeTokens =
+    BpeTokens(child, table.fingerprint)(table)
+}

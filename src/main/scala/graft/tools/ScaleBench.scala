@@ -151,7 +151,31 @@ object ScaleBench {
       // operator growth from the output's own quadratic term at 0.4
       "p5_semdedup" -> (() =>
         Similarity.semDedup(Tables.embeddings(spark, sfDir),
-          "vec_id", "embedding", thr, nCells, kmeansIters = 2))) ++
+          "vec_id", "embedding", thr, nCells, kmeansIters = 2)),
+      // BPE at production vocabulary scale (VERDICT r15 ask #4): train
+      // 2048 merges and APPLY them over the corpus in one timed run.
+      // The testdata documents' closed ~90-merge vocabulary exhausts
+      // immediately, so the training corpus is a synthetic Zipf
+      // vocabulary scaled by the factor; application runs over the real
+      // documents table. The nested-replace fold would not even compile
+      // at this merge count — the native BpeTokens expression is the
+      // claim under test, with training sub-linear in merges (the
+      // driver road trains from the collected type histogram: total
+      // Spark work = the wordcount, whatever the merge count).
+      "t11_bpe2048" -> (() => {
+        import spark.implicits._
+        val zipf = (0 until 3000 * factor).map { r =>
+          val w = scala.util.hashing.MurmurHash3.stringHash("w" + r)
+            .abs.toString.map(c => ('a' + (c - '0')).toChar).mkString
+          ((w + " ") * math.max(1, 300 / (r % 3000 + 1))).trim
+        }.toDF("text")
+        val (m, rounds) = graft.operators.Bpe
+          .trainMergesDetailed(zipf, "text", 2048)
+        System.err.println(
+          s"[scalebench] t11_bpe2048 merges=${m.size} spark_rounds=$rounds")
+        Tables.documents(spark, sfDir)
+          .select(graft.operators.Bpe.tokenCount(col("text"), m).as("n"))
+      })) ++
       (if (sys.env.get("SPARK_GRAFT_SCALE_D5").contains("1"))
          Seq("d5_dedup_embedding" -> (() =>
            Similarity.cosinePairs(Tables.embeddings(spark, sfDir),

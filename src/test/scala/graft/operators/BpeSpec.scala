@@ -47,6 +47,76 @@ class BpeSpec extends SparkSpec {
     assert(c1 == c2 && c1.forall(_ > 0))
   }
 
+  test("native encoder equals the replace-fold specification form, " +
+    "duplicate-rank pairs included") {
+    val docs = (0 until 40).map(i =>
+      s"tok ${"ab" * (1 + i % 3)} cd${i % 7} scan row agg key$i value")
+      .toDF("text")
+    val merges = Bpe.trainMerges(docs, "text", 24)
+    assert(merges.size == 24)
+    // the spec form: symbolize → nested replaces → split → drop gaps
+    val specToks = filter(
+      Bpe.symbols(Bpe.applyMerges(
+        Bpe.symbolize(graft.functions.TextHash.normText(col("text"))), merges)),
+      t => t =!= " ")
+    val got = docs.select(
+      Bpe.tokens(col("text"), merges).as("native"), specToks.as("spec"))
+      .where(not(col("native") <=> col("spec"))).count()
+    assert(got == 0L, "native and spec tokenization must agree row-for-row")
+    // a hand-built table with a DUPLICATE pair at two ranks: both passes
+    // must run (after (b,c) makes 'bc', (a,bc) re-merges what the rank-0
+    // (a,b) pass could not) — the fold form is the semantics
+    val dup = Seq(("a", "b"), ("b", "c"), ("a", "bc"), ("a", "b"))
+    val one = Seq("abc ab").toDF("text")
+    val n = one.select(Bpe.tokens(col("text"), dup).as("t"),
+      filter(Bpe.symbols(Bpe.applyMerges(Bpe.symbolize(
+        graft.functions.TextHash.normText(col("text"))), dup)),
+        t => t =!= " ").as("s")).head
+    assert(n.getSeq[String](0) == n.getSeq[String](1), n.toString)
+  }
+
+  test("batched training (batchK > 1) equals single-merge greedy " +
+    "(batchK = 1), and 512-merge training compiles and runs") {
+    val docs = (0 until 30).map(i =>
+      s"alpha beta gamma delta eps$i zeta eta theta " * (1 + i % 3))
+      .toDF("text")
+    // all three roads must train the identical table: the in-memory
+    // driver road (default — the corpus vocabulary is tiny), the
+    // cluster road merge-by-merge, and the cluster road batched
+    val driver = Bpe.trainMerges(docs, "text", 40)
+    spark.conf.set(Bpe.DriverVocabLimitKey, "0") // force the cluster road
+    val (single, batched) =
+      try (Bpe.trainMerges(docs, "text", 40, batchK = 1),
+        Bpe.trainMerges(docs, "text", 40, batchK = 64))
+      finally spark.conf.unset(Bpe.DriverVocabLimitKey)
+    assert(single == batched,
+      s"batched greedy must equal single-merge greedy:\n$single\n$batched")
+    assert(driver == single,
+      s"driver-road greedy must equal the cluster road:\n$driver\n$single")
+    // production scale, NATURAL text (Zipf-shaped counts — the flat
+    // synthetic corpus above is the adversarial case where ties force
+    // 1-merge batches, correctly): 512 merges must train in well under
+    // 512 Spark rounds, and the trained table must APPLY (the
+    // nested-replace fold would fail to compile here)
+    // the testdata documents' closed ~90-merge vocabulary exhausts long
+    // before 512 — synthesize a rich Zipf corpus instead: 3000 distinct
+    // pseudo-words (10-letter alphabet), frequency ∝ 1/rank
+    val zipf = (0 until 3000).map { r =>
+      val w = scala.util.hashing.MurmurHash3.stringHash("w" + r)
+        .abs.toString.map(c => ('a' + (c - '0')).toChar).mkString
+      ((w + " ") * math.max(1, 300 / (r + 1))).trim
+    }
+    val big = zipf.toDF("text")
+    val (merges512, rounds) = Bpe.trainMergesDetailed(big, "text", 512)
+    assert(merges512.size == 512, s"vocabulary exhausted at ${merges512.size}")
+    assert(rounds < 300,
+      s"batching must land multiple merges per Spark round on natural " +
+        s"text: $rounds rounds for ${merges512.size} merges")
+    val total = big.select(sum(Bpe.tokenCount(col("text"), merges512)))
+      .as[Long].head
+    assert(total > 0L)
+  }
+
   test("p3 packing and p4 token budgets run unchanged re-keyed on real " +
     "BPE token counts") {
     val docs = (0L until 60L).map(i =>
