@@ -54,7 +54,23 @@ object Bpe {
     * string ("abc" becomes `^a^b^c`). */
   def symbolize(w: Column): Column = regexp_replace(w, "(.)", Sep + "$1")
 
-  /** Apply `merges` in rank order to a symbol string. */
+  /** Apply `merges` in rank order to a symbol string — the nested-
+    * replace SPECIFICATION form (and the oracle's). Fine at spec scale;
+    * at production vocabulary scale the nested expression tree stops
+    * compiling, which is what [[encode]] exists for.
+    *
+    * KNOWN DIVERGENCE from atomic-symbol BPE: the leading separator
+    * proves the LEFT element's boundary (`^a` cannot match inside a
+    * longer symbol — its own text follows its separator), but the
+    * pattern claims nothing AFTER `b`, so `^a^b` also matches where the
+    * adjacent symbol merely STARTS with `b` (`^a^bx` under merge (a,b)
+    * becomes `^abx`). [[encode]] compares whole symbols — correct BPE —
+    * so the forms differ exactly when a trained pair's right element is
+    * a proper prefix of a longer current symbol adjacent to the left
+    * element. The pinned corpora never train such a table (BpeSpec's
+    * row-for-row equality and the t11/t12 oracle hashes are the
+    * evidence); a corpus that did would need the oracle reformulated
+    * rather than the encoder weakened. */
   def applyMerges(sym: Column, merges: Seq[(String, String)]): Column =
     merges.foldLeft(sym) { case (c, (a, b)) =>
       replace(c, lit(Sep + a + Sep + b), lit(Sep + a + b))
@@ -393,10 +409,12 @@ final class BpeTable(
     out
   }
   /** Plan-equality fingerprint ([[graft.plans.BpeTokens]] carries it
-    * inside case equality so two tokenizers never compare equal). */
+    * inside case equality so two tokenizers never compare equal).
+    * Order-SENSITIVE combine: an XOR would collide the left/right-swapped
+    * table — a semantically different tokenizer — with this one. */
   lazy val fingerprint: Int =
-    scala.util.hashing.MurmurHash3.arrayHash(pairsA) ^
-      scala.util.hashing.MurmurHash3.arrayHash(pairsB)
+    scala.util.hashing.MurmurHash3.orderedHash(
+      pairsA.iterator.zip(pairsB.iterator))
 }
 
 object BpeTable {

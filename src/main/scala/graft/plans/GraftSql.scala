@@ -1382,6 +1382,74 @@ object GraftSql {
     }
   }
 
+  /** The source-side ATTRIBUTES the ON condition equi-joins to target
+    * column `key` (lowercased nameParts) — the only expressions a merge
+    * action may safely assign to the bucket key under the aligned
+    * write: a matched row's assigned value then equals t.key (the join
+    * proved it), and an insert row's value IS the value its partition
+    * was hashed by. */
+  private def onSourceKeyAttrs(
+      m: MergeIntoTable, key: String): Set[Seq[String]] = {
+    val ta = aliasOf(m.targetTable).map(_.toLowerCase)
+    if (ta.isEmpty) Set.empty
+    else {
+      import org.apache.spark.sql.catalyst.expressions.{And, EqualTo}
+      def targetCol(e: Expression): Option[String] = e match {
+        case a: UnresolvedAttribute if a.nameParts.size == 2 &&
+            ta.contains(a.nameParts.head.toLowerCase) =>
+          Some(a.nameParts(1).toLowerCase)
+        case _ => None
+      }
+      def conjuncts(e: Expression): Seq[Expression] = e match {
+        case And(l, r) => conjuncts(l) ++ conjuncts(r)
+        case other => Seq(other)
+      }
+      def sourceAttr(e: Expression): Option[Seq[String]] = e match {
+        case a: UnresolvedAttribute
+            if !ta.contains(a.nameParts.head.toLowerCase) =>
+          Some(a.nameParts.map(_.toLowerCase))
+        case _ => None
+      }
+      conjuncts(m.mergeCondition).flatMap {
+        case EqualTo(l, r) if targetCol(l).contains(key.toLowerCase) =>
+          sourceAttr(r)
+        case EqualTo(l, r) if targetCol(r).contains(key.toLowerCase) =>
+          sourceAttr(l)
+        case _ => None
+      }.toSet
+    }
+  }
+
+  /** True when NO merge action can write a bucket-key value that
+    * differs from the hash the aligned write placed the row under —
+    * the [[org.apache.spark.sql.graft.PartitionBridge.alignedConcat]]
+    * eligibility. Explicit assignments to the key must be exactly an
+    * ON-equi source attribute; star actions assign the source column
+    * NAMED like the key, safe only when that same column is the equi
+    * attribute (or the source doesn't carry it at all). Anything else
+    * (SET key = expr) keeps the repartition road, which re-hashes the
+    * ACTUAL written values — a stamped commit is pure either way. */
+  private def bucketKeyAssignmentsSafe(
+      m: MergeIntoTable, key: String, sourceCols: Seq[String]): Boolean = {
+    val safe = onSourceKeyAttrs(m, key)
+    val starSafe = !sourceCols.exists(_.equalsIgnoreCase(key)) ||
+      safe.exists(_.last == key.toLowerCase)
+    def okAssign(as: Seq[Assignment]): Boolean = as.forall { a =>
+      !keyName(a.key).equalsIgnoreCase(key) || (a.value match {
+        case u: UnresolvedAttribute =>
+          safe(u.nameParts.map(_.toLowerCase))
+        case _ => false
+      })
+    }
+    (m.matchedActions ++ m.notMatchedActions ++ m.notMatchedBySourceActions)
+      .forall {
+        case u: UpdateAction => okAssign(u.assignments)
+        case i: InsertAction => okAssign(i.assignments)
+        case _: UpdateStarAction | _: InsertStarAction => starSafe
+        case _ => true // DELETE assigns nothing
+      }
+  }
+
   private def runMerge(
       spark: SparkSession, root: String, m: MergeIntoTable,
       extraTables: Map[String, DataFrame] = Map.empty,
@@ -1828,7 +1896,9 @@ object GraftSql {
                 val keyName = tSchema.fieldNames
                   .find(_.equalsIgnoreCase(bkey)).getOrElse(bkey)
                 val aligned =
-                  if (freeIdents.nonEmpty) None
+                  if (freeIdents.nonEmpty ||
+                      !bucketKeyAssignmentsSafe(m, bkey, sDf.columns.toSeq))
+                    None
                   else org.apache.spark.sql.graft.PartitionBridge
                     .alignedConcat(spark, regenExprs(survivors), inserts,
                       keyName, n)

@@ -552,7 +552,7 @@ object VersionedTable {
           .get(DvBitmapFloorKey, DvBitmapFloorDefault.toString).toLong
         if (stagedBytes > floor) DvBitmaps.write(spark, dvStaged)
       }
-      // a DV DELTA level ([[DvChained]]) always derives its own bitmaps,
+      // a DV DELTA level (the [[DvChain]] form) always derives its own bitmaps,
       // floor-free: the chain road needs EVERY contributing level's
       // `_DONE` (one absent level downgrades the whole read to the join
       // road until the next fold), and the job is O(own deletions) —
@@ -701,7 +701,10 @@ object VersionedTable {
       // reading. An ignorant WRITER would publish one-line markers,
       // breaking the monotone-clamp contract the stamps provide —
       // that side is gated. Builds predating the marker syntax itself
-      // fail on dir resolution regardless of any gate.
+      // fail on dir resolution regardless of any gate; the narrow build
+      // window that checked features but parsed whole marker content now
+      // gets that path error instead of a clean ProtocolException — the
+      // accepted cost of letting every capable-but-flagless reader in.
       Some("in-commit-timestamps")
     ).flatten
     if (readerFeats.nonEmpty || writerOnlyFeats.nonEmpty)
@@ -1181,34 +1184,34 @@ object VersionedTable {
     // DV chain first, while the manifest chain is still intact (the DV
     // fold walks the same base pointers): write the folded mask as this
     // version's own full `_dv`, temp-then-rename so a crash can never
-    // publish a partial mask ([[dvFormOf]] additionally prefers `_dv`
-    // once it exists). An EMPTY fold (every masked file since rewritten)
-    // writes nothing — the version correctly reads mask-free after the
-    // chain is severed.
-    dvFormOf(spark, root, v) match {
-      case DvChained(_, _) =>
+    // publish a partial mask (a full `_dv` is authoritative once it
+    // exists). An EMPTY fold still writes the (zero-row, schema-carrying)
+    // sidecar: LATER retained levels chain onto this version, and their
+    // fold requires a mask-carrying base — dropping the sidecar here
+    // would sever them (the chain invariant the commit path maintains
+    // via its baseHasDv gate).
+    dvChainInfo(spark, root, v) match {
+      case Some(chain) if chain.barrier != v || chain.levels.nonEmpty =>
         val folded = dvOf(spark, root, v).get
-        if (folded.limit(1).count() > 0L) {
-          val tmp = new Path(dir, "_dvtmp")
-          if (f.exists(tmp)) f.delete(tmp, true)
-          feedWritable(folded).write.mode(SaveMode.Overwrite)
-            .parquet(tmp.toString)
-          val dvDir = new Path(dir, "_dv")
-          if (f.exists(dvDir)) f.delete(dvDir, true)
-          if (!f.rename(tmp, dvDir))
-            throw new java.io.IOException(s"rename $tmp -> $dvDir failed")
-          // re-derive the scan-integrated index above the floor, as the
-          // full-form commit path does (never blocks — reads fall back)
-          val bytes = f.listStatus(dvDir).iterator
-            .filter(_.isFile).map(_.getLen).sum
-          val floor = spark.conf
-            .get(DvBitmapFloorKey, DvBitmapFloorDefault.toString).toLong
-          if (bytes > floor) DvBitmaps.write(spark, dvDir)
-        }
+        val tmp = new Path(dir, "_dvtmp")
+        if (f.exists(tmp)) f.delete(tmp, true)
+        feedWritable(folded).write.mode(SaveMode.Overwrite)
+          .parquet(tmp.toString)
+        val dvDir = new Path(dir, "_dv")
+        if (f.exists(dvDir)) f.delete(dvDir, true)
+        if (!f.rename(tmp, dvDir))
+          throw new java.io.IOException(s"rename $tmp -> $dvDir failed")
+        // re-derive the scan-integrated index above the floor, as the
+        // full-form commit path does (never blocks — reads fall back)
+        val bytes = f.listStatus(dvDir).iterator
+          .filter(_.isFile).map(_.getLen).sum
+        val floor = spark.conf
+          .get(DvBitmapFloorKey, DvBitmapFloorDefault.toString).toLong
+        if (bytes > floor) DvBitmaps.write(spark, dvDir)
         f.delete(new Path(dir, "_dvdelta"), true)
       case _ =>
-        // healed already (crash re-run), or never chained: drop any
-        // leftover delta level — `_dv` is authoritative once present
+        // healed already (crash re-run), never chained, or mask-free:
+        // drop any leftover delta level — `_dv` is authoritative
         f.delete(new Path(dir, "_dvdelta"), true)
     }
     // all-or-nothing, as every FULL stats table
@@ -1446,116 +1449,112 @@ object VersionedTable {
 
   // ---- merge-on-read deletion vectors ------------------------------------
 
-  /** HOW version `v`'s deletion-vector mask is stored — the DV twin of
-    * the [[ManifestDelta]] commit form:
+  /** Version `v`'s deletion-vector CHAIN — the DV twin of the
+    * [[ManifestDelta]] commit form, resolved in ONE walk:
     *
-    *  - [[DvFull]]: `_dv` holds the COMPLETE mask as of `v` (the
-    *    pre-chain form, and every fold-interval barrier);
-    *  - [[DvChained]]: the mask folds along the MANIFEST delta chain —
-    *    base's mask, minus rows keyed to files the chain removed, plus
-    *    each level's own `_dvdelta` (this commit's NEW deletions only).
-    *    Written when a masked table commits in the delta-manifest form:
-    *    per-commit DV bytes drop from O(cumulative mask) to O(own
-    *    deletions) — the write cost a steady delete stream between
-    *    compactions can afford;
-    *  - [[DvNone]]: no mask.
+    *  - `barrier`: the nearest version at or below `v` holding a full
+    *    `_dv` (the complete mask as of that version — the pre-chain
+    *    form, every fold-interval barrier, and vacuum's
+    *    materialization);
+    *  - `levels`: the versions strictly above the barrier carrying an
+    *    own-deletions `_dvdelta`, OLDEST FIRST;
+    *  - `removedTails`: the union of the chain's manifest-delta removed
+    *    sets (as ref tails) — files rewritten along the chain, whose
+    *    mask rows must drop from the fold.
     *
+    * None = no mask. A version whose own `_dv` exists is its own
+    * barrier with no levels (a full `_dv` is ALWAYS authoritative — the
+    * only chain-and-`_dv` state is a materialization interrupted after
+    * the full form landed, and the chain may already be severed then).
     * The chain rides the SAME base pointers as the manifest deltas (one
     * chain, one fold interval, one vacuum materialization), so the
-    * no-replay bound and the crash-recovery story are shared. Derived by
-    * existence probes, never memoized: vacuum's materialization changes
-    * a version's form in place, and a stale cached form would fold into
-    * a dropped base. Precedence: an own `_dv` ALWAYS wins — the only
-    * both-present state is a materialization interrupted after the full
-    * `_dv` landed (it is written complete, temp-then-rename), and the
-    * chain may already be severed then. */
-  private[graft] sealed trait DvForm
-  private[graft] case object DvNone extends DvForm
-  private[graft] case object DvFull extends DvForm
-  private[graft] final case class DvChained(base: Long, own: Boolean)
-    extends DvForm
+    * no-replay bound and the crash-recovery story are shared. Derived
+    * by existence probes + one delta-record read per level — O(depth),
+    * never memoized: vacuum's materialization changes a version's form
+    * in place, and a stale cached chain would fold into a dropped base. */
+  private[graft] final case class DvChain(
+      barrier: Long, levels: Seq[Long], removedTails: Set[String])
 
-  private[graft] def dvFormOf(
-      spark: SparkSession, root: String, v: Long): DvForm = {
+  private[graft] def dvChainInfo(
+      spark: SparkSession, root: String, v: Long): Option[DvChain] = {
     val f = fs(spark, root)
-    val dir = dataDir(spark, root, v)
-    if (f.exists(new Path(dir, "_dv"))) DvFull
-    else {
+    var levels = List.empty[Long] // prepending while walking newest→oldest
+    var removed = Set.empty[String]
+    var cur = v
+    while (true) {
+      val dir = dataDir(spark, root, cur)
+      if (f.exists(new Path(dir, "_dv")))
+        return Some(DvChain(cur, levels, removed))
       val own = f.exists(new Path(dir, "_dvdelta"))
-      manifestDeltaOf(spark, root, v) match {
-        case Some(d) if own => DvChained(d.base, own = true)
-        case Some(d) if dvFormOf(spark, root, d.base) != DvNone =>
-          DvChained(d.base, own = false)
-        case _ => DvNone
+      manifestDeltaOf(spark, root, cur) match {
+        case Some(d) =>
+          if (own) levels = cur :: levels
+          removed = removed ++ d.removed.map(refTail)
+          cur = d.base
+        case None =>
+          // invariant: every chain bottoms out in a full `_dv` (the
+          // FIRST mask on a table is written full-form even under the
+          // delta manifest — commitCowInternal's baseHasDv gate; vacuum
+          // materializes before severing)
+          if (levels.nonEmpty || own) throw new java.io.IOException(
+            s"dv chain of $root v$v reaches v$cur which carries no " +
+              "mask — the sidecar chain is corrupt")
+          return None
       }
     }
+    None // unreachable
   }
 
   /** Whether version `v` carries a deletion-vector mask — directly
     * (`_dv` extra: a (file ref, row position) table of rows deleted
     * MERGE-ON-READ) or folded along the delta chain. Metadata-scale:
     * existence probes only, bounded by the fold interval. */
-  def hasDeletionVectors(spark: SparkSession, root: String, v: Long): Boolean =
-    dvFormOf(spark, root, v) != DvNone
-
-  /** The sidecar dirs and removed-file tails that fold into version
-    * `v`'s complete mask: the barrier's `_dv` plus every own-deletions
-    * level's `_dvdelta`, and the UNION of the chain's removed tails.
-    * Global subtraction is exact — tails are UUID part names, never
-    * reused, so a tail removed ANYWHERE in the chain can key no live
-    * mask row at `v` (rows added for it at earlier levels must drop,
-    * later levels cannot reference a file outside their manifest). */
-  private def dvChainParts(
-      spark: SparkSession, root: String, v: Long)
-      : Option[(Seq[String], Set[String])] =
-    dvFormOf(spark, root, v) match {
-      case DvNone => None
-      case DvFull =>
-        Some((Seq(new Path(dataDir(spark, root, v), "_dv").toString),
-          Set.empty))
-      case DvChained(base, own) =>
-        // invariant: a chained level's base always carries a mask (the
-        // FIRST mask on a table is written full-form even under the
-        // delta manifest — commitCowInternal's baseHasDv gate)
-        val (dirs, removed) = dvChainParts(spark, root, base).getOrElse(
-          throw new java.io.IOException(
-            s"dv chain of $root v$v folds into v$base which carries no " +
-              "mask — the sidecar chain is corrupt"))
-        val levelRemoved = manifestDeltaOf(spark, root, v)
-          .map(_.removed.map(refTail)).getOrElse(Set.empty)
-        Some((
-          if (own)
-            dirs :+ new Path(dataDir(spark, root, v), "_dvdelta").toString
-          else dirs,
-          removed ++ levelRemoved))
+  def hasDeletionVectors(spark: SparkSession, root: String, v: Long): Boolean = {
+    val f = fs(spark, root)
+    var cur = v
+    while (true) {
+      val dir = dataDir(spark, root, cur)
+      if (f.exists(new Path(dir, "_dv"))) return true
+      if (f.exists(new Path(dir, "_dvdelta"))) return true
+      manifestDeltaOf(spark, root, cur) match {
+        case Some(d) => cur = d.base
+        case None => return false
+      }
     }
+    false // unreachable
+  }
 
   /** Version `v`'s COMPLETE deletion-vector mask as a (file, pos) frame,
-    * delta-aware: [[DvFull]] versions read their own `_dv`; chained
+    * delta-aware: barrier-only versions read their own `_dv`; chained
     * versions fold as ONE multi-path scan over the chain's sidecar dirs
     * plus one filter on the union of removed tails — the plan stays
     * O(1) in chain depth (a per-level union would grow it by a scan
     * node per commit, and the growth is a per-COMMIT cost on masked
-    * tables: every MOR write plans this read). The removed-tail filter
-    * is O(changed-along-chain), never an O(refs) membership test.
-    * Levels are DISJOINT by construction — every MOR writer computes
-    * its new deletions from a masks-folded read
+    * tables: every MOR write plans this read). Global removed-tail
+    * subtraction is exact — tails are UUID part names, never reused, so
+    * a tail removed ANYWHERE in the chain can key no live mask row at
+    * `v` — and O(changed-along-chain), never an O(refs) membership
+    * test. Levels are DISJOINT by construction — every MOR writer
+    * computes its new deletions from a masks-folded read
     * ([[morVisibleTagged]]/[[readFilesTagged]]), so an already-masked
     * row can never re-enter a later level — which is why the fold needs
     * no distinct: consumers get set semantics for free. None when the
     * version carries no mask at all. */
   def dvOf(spark: SparkSession, root: String, v: Long): Option[DataFrame] =
-    dvFormOf(spark, root, v) match {
-      case DvNone => None
-      case DvFull => readExtra(spark, root, v, "dv")
-      case DvChained(_, _) =>
+    dvChainInfo(spark, root, v).map { chain =>
+      if (chain.barrier == v && chain.levels.isEmpty)
+        readExtra(spark, root, v, "dv").get
+      else {
         import org.apache.spark.sql.functions.{col, not}
-        dvChainParts(spark, root, v).map { case (dirs, removed) =>
-          val df = spark.read.parquet(dirs: _*)
-            .select(col("file"), col("pos"))
-          if (removed.isEmpty) df
-          else df.where(not(col("file").isInCollection(removed)))
-        }
+        val dirs =
+          new Path(dataDir(spark, root, chain.barrier), "_dv").toString +:
+            chain.levels.map(l =>
+              new Path(dataDir(spark, root, l), "_dvdelta").toString)
+        val df = spark.read.parquet(dirs: _*)
+          .select(col("file"), col("pos"))
+        if (chain.removedTails.isEmpty) df
+        else df.where(not(col("file").isInCollection(chain.removedTails)))
+      }
     }
 
   /** On-disk byte size of version `v`'s mask, delta-aware — the
@@ -1566,12 +1565,11 @@ object VersionedTable {
     * it. */
   private[graft] def dvBytesOf(
       spark: SparkSession, root: String, v: Long): Long =
-    dvFormOf(spark, root, v) match {
-      case DvNone => 0L
-      case DvFull => extraBytes(spark, root, v, "dv")
-      case DvChained(base, own) =>
-        dvBytesOf(spark, root, base) +
-          (if (own) extraBytes(spark, root, v, "dvdelta") else 0L)
+    dvChainInfo(spark, root, v) match {
+      case None => 0L
+      case Some(chain) =>
+        extraBytes(spark, root, chain.barrier, "dv") +
+          chain.levels.map(l => extraBytes(spark, root, l, "dvdelta")).sum
     }
 
   /** The bitmap dirs a chain-aware scan-integrated probe must consult
@@ -1583,14 +1581,10 @@ object VersionedTable {
     * size, and bounded in time by the fold interval. */
   private def dvChainBitmapDirs(
       spark: SparkSession, root: String, v: Long): Option[Seq[String]] =
-    dvFormOf(spark, root, v) match {
-      case DvNone => Some(Nil)
-      case DvFull => dvBitmapsDir(spark, root, v, "_dv").map(Seq(_))
-      case DvChained(base, own) =>
-        dvChainBitmapDirs(spark, root, base).flatMap { rest =>
-          if (!own) Some(rest)
-          else dvBitmapsDir(spark, root, v, "_dvdelta").map(rest :+ _)
-        }
+    dvChainInfo(spark, root, v).flatMap { chain =>
+      val all = dvBitmapsDir(spark, root, chain.barrier, "_dv") +:
+        chain.levels.map(l => dvBitmapsDir(spark, root, l, "_dvdelta"))
+      if (all.forall(_.isDefined)) Some(all.flatten) else None
     }
 
   /** Whether version `v` carries a change feed ("changes" extra) — O(1)

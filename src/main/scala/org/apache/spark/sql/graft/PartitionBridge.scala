@@ -66,7 +66,18 @@ object PartitionBridge {
     * inputs' construction — and the claim rides on top as in
     * [[claimHashPartitioned]]. None when either side does not arrive as
     * exactly n partitions (an optimizer reshape; callers fall back to
-    * the explicit repartition, which is always correct). */
+    * the explicit repartition, which is always correct).
+    *
+    * Why the count guard suffices: the alignment could only break if
+    * the CLAIMED side stopped driving the join's partitioning. It can't
+    * be broadcast away — statically the claimed [[LogicalRDD]] reports
+    * the default (huge) size estimate, and adaptively only materialized
+    * SHUFFLE stages gain runtime stats, which a claimed scan never is.
+    * A broadcast of the SOURCE side keeps the claimed side streamed
+    * (partitioning preserved), and AQE cannot coalesce the source's
+    * exchange when its join sibling is a non-shuffle leaf. Any exotic
+    * reshape that slips past all of that still changes the partition
+    * count away from n and lands in the fallback. */
   def alignedConcat(
       spark: org.apache.spark.sql.SparkSession,
       a: DataFrame, b: DataFrame,

@@ -242,6 +242,43 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("a merge REASSIGNING the bucket key takes the repartition road: " +
+    "written files stay pure, the next merge finds the moved keys") {
+    val root = freshRoot(); seed(root, 8)
+    Seq((3L, "MOVE"), (7L, "MOVE")).toDF("id", "st")
+      .createOrReplaceTempView("bkt_move_src")
+    // SET id = t.id + 1000 writes key values the aligned-concat layout
+    // would misplace — the guard must route the write through the
+    // explicit repartition, which re-hashes the ACTUAL values, so the
+    // stamped purity stays true
+    val v1 = graft.plans.GraftSql.execute(spark,
+      s"""MERGE INTO `$root` AS t USING bkt_move_src AS s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET id = t.id + 1000, last_status = s.st
+         |""".stripMargin).collect().head.getLong(2)
+    assert(VersionedTable.commitInfoOf(spark, root, v1)
+      .get(Bucketing.BucketedInfoKey).contains("id,8"))
+    assert(Bucketing.pureBuckets(spark, root, v1, "id", 8).isDefined)
+    val moved = VersionedTable.read(spark, root)
+      .where(col("id").isin(1003L, 1007L)).count()
+    assert(moved == 2L, s"expected the moved keys, got $moved")
+    // the NEXT merge rides the (still trusted) layout and must FIND the
+    // moved keys — a false purity stamp would silently miss them and
+    // insert duplicates
+    Seq((1003L, "HIT"), (1007L, "HIT")).toDF("id", "st")
+      .createOrReplaceTempView("bkt_move_src2")
+    graft.plans.GraftSql.execute(spark,
+      s"""MERGE INTO `$root` AS t USING bkt_move_src2 AS s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET last_status = s.st
+         |WHEN NOT MATCHED THEN INSERT (id, last_status) VALUES (s.id, s.st)
+         |""".stripMargin)
+    val got = VersionedTable.read(spark, root)
+      .where(col("id").isin(1003L, 1007L))
+      .select("id", "last_status").orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1003L, "HIT"), (1007L, "HIT")),
+      s"moved keys must be FOUND by the claimed merge, got $got")
+  }
+
   test("skew guard: a whale bucket over the byte ceiling declines the " +
     "claimed road (AQE can split the fallback's exchange; it cannot " +
     "split a claimed partition), results still correct") {

@@ -174,6 +174,33 @@ class DvDeltaSpec extends SparkSpec {
     }
   }
 
+  test("vacuum materializing an EMPTY fold still writes the sidecar: " +
+    "later chain levels keep folding (the chain never loses its bottom)") {
+    val root = freshRoot()
+    seed(root)
+    withChain(interval = 10) {
+      // v2: mask confined to file 1 (ids 1-100)
+      VersionedTable.deleteWhere(spark, root, col("id") === 50L, mor = true)
+      // v3: COW delete in the SAME file — rewrites it, dropping its mask:
+      // v3's fold is EMPTY (carried-only level, all masked files gone)
+      VersionedTable.deleteWhere(spark, root, col("id") === 60L)
+      assert(VersionedTable.dvOf(spark, root, 3L).get.count() == 0L)
+      // v4: a new mask chains ON TOP of the empty-fold level
+      VersionedTable.deleteWhere(spark, root, col("id") === 150L, mor = true)
+      assert(hasSidecar(root, 4, "_dvdelta"))
+      // vacuum drops v1/v2 and materializes v3: the EMPTY fold must still
+      // land as a (zero-row) _dv — v4's chain bottoms out in it
+      VersionedTable.vacuum(spark, root, keepLast = 2)
+      assert(hasSidecar(root, 3, "_dv"),
+        "an empty fold must materialize a zero-row sidecar, not nothing")
+      assert(VersionedTable.dvOf(spark, root, 3L).get.count() == 0L)
+      assert(VersionedTable.dvOf(spark, root, 4L).get.count() == 1L)
+      assert(VersionedTable.read(spark, root)
+        .where(col("id").isin(50L, 60L, 150L)).count() == 0L)
+      assert(VersionedTable.read(spark, root).count() == 297L)
+    }
+  }
+
   test("clone and restore from mid-chain are self-contained (folded full mask)") {
     val root = freshRoot()
     seed(root)
