@@ -28,6 +28,7 @@ object TextQueries {
     "t10_perplexity"     -> ((s, d) => t10(s, d)),
     "t11_bpe_tokenize"   -> ((s, d) => t11(s, d)),
     "t12_bpe_vocab"      -> ((s, d) => t12(s, d)),
+    "t13_bpe_ids"        -> ((s, d) => t13(s, d)),
     "m1_multimodal_meta" -> ((s, d) => m1(s, d)),
     "m3_multimodal_frames" -> ((s, d) => m3(s, d)),
     "m2_multimodal_resize" -> ((s, d) => m2(s, d)),
@@ -341,6 +342,44 @@ object TextQueries {
     VersionedTable.read(s, dst).orderBy(col("o_orderkey"))
   }
 
+  /** t13: ENCODE to vocabulary IDS — the step that turns tokenized text
+    * into model input: each document's token array mapped through the
+    * t12 frequency-rank vocabulary (rank = token id). The id arrays are
+    * compared as a '|'-joined preview plus a full checksum (the oracle
+    * hashes cell values, so array columns stay out of the surface — the
+    * t11 preview rule). Pipeline shape: the vocabulary is metadata-scale
+    * (types, not tokens) and BROADCASTS into the position-exploded
+    * corpus; the per-doc re-assembly groups on doc_id with the ordered
+    * collect running inside the group — one corpus-scale shuffle, the
+    * wordcount class. Token-less documents keep a row (empty ids). */
+  def t13(s: SparkSession, dir: String): DataFrame = {
+    val merges = t11Train(s, dir)
+    val docs = Tables.documents(s, dir)
+      .withColumn("toks", graft.operators.Bpe.tokens(col("text"), merges))
+    val vocab = docs.select(explode(col("toks")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_total"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("n_total"), asc("token"))).cast("long"))
+      .select("token", "rank")
+    val ids = docs
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "token")))
+      .join(broadcast(vocab), "token")
+      .groupBy("doc_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("rank")))),
+        x => x.getField("rank")).as("ids"))
+    docs.select("doc_id").join(ids, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(size(col("ids")), lit(0)).cast("long").as("n_tokens"),
+        coalesce(concat_ws("|", slice(col("ids"), 1, 12)), lit(""))
+          .as("ids_preview"),
+        coalesce(aggregate(col("ids"), lit(0L), (a, x) => a + x), lit(0L))
+          .as("ids_sum"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- oracle SQL ---------------------------------------------------------
 
   private val NormExpr =
@@ -460,6 +499,24 @@ object TextQueries {
          |  token, n_total, n_docs
          |FROM cnt JOIN dfq USING (token)
          |ORDER BY rank""".stripMargin,
+
+    "t13_bpe_ids" ->
+      s"""$BpeTokCte,
+         |cnt AS (SELECT t AS token, count(*)::BIGINT AS n_total FROM
+         |    (SELECT unnest(toks) AS t FROM tok) GROUP BY t),
+         |rnk AS MATERIALIZED (SELECT token,
+         |    row_number() OVER (ORDER BY n_total DESC, token)::BIGINT AS rank
+         |  FROM cnt),
+         |e AS (SELECT doc_id, toks[i] AS token, i AS pos FROM tok,
+         |    unnest(range(1, len(toks) + 1)) AS u(i)),
+         |ids AS (SELECT doc_id, list(rank ORDER BY pos) AS ids
+         |  FROM e JOIN rnk USING (token) GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  coalesce(len(ids), 0)::BIGINT AS n_tokens,
+         |  coalesce(array_to_string(ids[1:12], '|'), '') AS ids_preview,
+         |  coalesce(list_sum(ids), 0)::BIGINT AS ids_sum
+         |FROM tok t LEFT JOIN ids USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "t4_fingerprint" ->
       s"""WITH n AS (SELECT doc_id, $NormExpr AS nt FROM documents),
