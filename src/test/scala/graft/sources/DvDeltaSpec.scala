@@ -174,6 +174,44 @@ class DvDeltaSpec extends SparkSpec {
     }
   }
 
+  test("concurrent MOR deleters under the chain: each loser retries onto " +
+    "the winner's level, every deletion lands, the fold stays whole") {
+    val root = freshRoot()
+    seed(root)
+    withChain(interval = 12) {
+      // v2: first mask (full form) — the chain's barrier
+      VersionedTable.deleteWhere(spark, root, col("id") === 1L, mor = true)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      // 4 concurrent MOR deletes of disjoint rows: OCC retries serialize
+      // them into a chain of _dvdelta levels; no deletion may be lost
+      // and no row may double-enter a level
+      val writers = (0 until 4).map { w =>
+        Future {
+          VersionedTable.deleteWhere(spark, root,
+            col("id") === (10L + w), mor = true)
+        }
+      }
+      Await.result(Future.sequence(writers), 180.seconds)
+      val cur = VersionedTable.currentVersion(spark, root).get
+      assert(VersionedTable.read(spark, root)
+        .where(col("id").isin(1L, 10L, 11L, 12L, 13L)).count() == 0L,
+        "every concurrent deletion must land")
+      assert(VersionedTable.read(spark, root).count() == 295L)
+      // the folded mask is an exact set: 5 rows, no duplicates
+      val fold = VersionedTable.dvOf(spark, root, cur).get
+      assert(fold.count() == 5L, "fold must be exact — no lost or " +
+        "duplicated mask rows across the contended levels")
+      assert(fold.distinct().count() == 5L)
+      // every level along the contended chain still folds
+      (2L to cur).foreach(v =>
+        assert(VersionedTable.readVersion(spark, root, v).count() >= 295L,
+          s"v$v"))
+    }
+  }
+
   test("vacuum materializing an EMPTY fold still writes the sidecar: " +
     "later chain levels keep folding (the chain never loses its bottom)") {
     val root = freshRoot()
