@@ -96,7 +96,7 @@ object DvBench {
     val big = (0 until 10).map(i =>
       events.withColumn("id", col("id") + lit(i * 100000000L)))
       .reduce(_.unionByName(_))
-    def stream(form: String): (Seq[Double], Seq[Long]) = {
+    def stream(form: String): (Seq[Double], Seq[Long], String) = {
       val tmp = java.nio.file.Files.createTempDirectory(s"graft_dvs_$form").toString
       val root = s"$tmp/t"
       VersionedTable.commit(big.repartition(8), root)
@@ -123,17 +123,31 @@ object DvBench {
             VersionedTable.extraBytes(spark, root, v, "dvdelta"),
             VersionedTable.extraBytes(spark, root, v, "dv"))
           (w, sidecarBytes)
-        }.unzip
+        }.unzip match { case (w, b) => (w, b, root) }
       } finally {
         spark.conf.unset(VersionedTable.DeltaFloorKey)
         spark.conf.unset(VersionedTable.DeltaFoldIntervalKey)
       }
     }
-    val (chainWalls, chainBytes) = stream("chain")
-    val (fullWalls, fullBytes) = stream("full")
+    val (chainWalls, chainBytes, chainRoot) = stream("chain")
+    val (fullWalls, fullBytes, _) = stream("full")
+    // masked-read roads at the END of the chain (cumulative mask = the
+    // big initial delete + 12 levels): the chain BITMAP road (above the
+    // broadcast gate, probing every level's index task-locally) vs the
+    // broadcast fold — the two roads a 100 TB masked read picks between
+    // mid-chain
+    def maskedRead(): Long = VersionedTable.read(spark, chainRoot).count()
+    maskedRead() // warm
+    val bcChain = (1 to 3).map(_ => time(maskedRead())._2).min
+    spark.conf.set(VersionedTable.DvBroadcastThresholdKey, "0")
+    val (rows1, _) = time(maskedRead())
+    val bmChain = (1 to 3).map(_ => time(maskedRead())._2).min
+    spark.conf.unset(VersionedTable.DvBroadcastThresholdKey)
+    val rows2 = maskedRead()
+    require(rows1 == rows2, s"chain road changed the result: $rows1 vs $rows2")
     def fmt(xs: Seq[Double]) = xs.map(w => f"$w%.2f").mkString("[", ",", "]")
     def fmtL(xs: Seq[Long]) = xs.mkString("[", ",", "]")
-    println(s"""{"steady_delete_rounds":$rounds,"per_commit_chain_s":${fmt(chainWalls)},"per_commit_full_s":${fmt(fullWalls)},"per_commit_chain_sidecar_bytes":${fmtL(chainBytes)},"per_commit_full_sidecar_bytes":${fmtL(fullBytes)},"chain_last3_avg_s":${f"${chainWalls.takeRight(3).sum / 3}%.2f"},"full_last3_avg_s":${f"${fullWalls.takeRight(3).sum / 3}%.2f"}}""")
+    println(s"""{"steady_delete_rounds":$rounds,"per_commit_chain_s":${fmt(chainWalls)},"per_commit_full_s":${fmt(fullWalls)},"per_commit_chain_sidecar_bytes":${fmtL(chainBytes)},"per_commit_full_sidecar_bytes":${fmtL(fullBytes)},"chain_last3_avg_s":${f"${chainWalls.takeRight(3).sum / 3}%.2f"},"full_last3_avg_s":${f"${fullWalls.takeRight(3).sum / 3}%.2f"},"chain_read_broadcast_s":${f"$bcChain%.2f"},"chain_read_bitmap_s":${f"$bmChain%.2f"}}""")
     spark.stop()
   }
 }
