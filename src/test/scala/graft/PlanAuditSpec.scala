@@ -142,6 +142,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("o_orderkey#0L ASC NULLS FIRST, o_totalprice"))
   }
 
+  test("t11/t13: the native tokenizer runs inside the plan (no UDF), and " +
+    "t13's vocabulary join broadcasts") {
+    val p11 = plan("t11_bpe_tokenize")
+    assert(p11.contains("graft_bpe_tokens"),
+      s"expected the native BPE expression:\n$p11")
+    assert(!p11.contains("BatchEvalPython") && !p11.contains("ScalaUDF"))
+    val p13 = plan("t13_bpe_ids")
+    assert(p13.contains("graft_bpe_tokens"))
+    // the rank vocabulary is metadata-scale: it must broadcast into the
+    // position-exploded corpus, never shuffle the corpus side for it
+    assert(p13.contains("BroadcastHashJoin"),
+      s"vocabulary join must broadcast:\n$p13")
+    assert(!p13.contains("SortMergeJoin"), p13)
+  }
+
   test("t5 vocabulary: map-side partial aggregation and TakeOrdered top-K") {
     val p = plan("t5_vocabulary")
     assert(p.contains("partial_count") || p.contains("Partial"))
