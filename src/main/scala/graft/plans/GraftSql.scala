@@ -1345,17 +1345,19 @@ object GraftSql {
     }
   }
 
-  /** Target-side column names the MERGE's ON condition EQUI-JOINS
-    * against a target-free expression — the bucket-road eligibility
-    * probe. Conservative on purpose: only alias-qualified target
-    * attributes count (an unqualified name could resolve to either
-    * side), extra conjuncts are fine, and a detection miss only costs
-    * the claimed road (the join shuffles both sides as before), never
-    * correctness — the claim itself is proven by the slice's
-    * construction, not by this probe. */
-  private def onTargetEquiKeys(m: MergeIntoTable): Set[String] = {
+  /** The MERGE ON condition's equi conjuncts between an alias-qualified
+    * TARGET column and a target-free expression — shared machinery for
+    * the bucket-road eligibility probe and the aligned-write safety
+    * check (one walk, one set of rules; a divergence between the two
+    * would be a silent-corruption class). Each entry is (target column
+    * lowercased, the source side when it is a BARE attribute —
+    * None for any other target-free expression). Conservative on
+    * purpose: only alias-qualified target attributes count (an
+    * unqualified name could resolve to either side). */
+  private def onEquiConjuncts(
+      m: MergeIntoTable): Seq[(String, Option[Seq[String]])] = {
     val ta = aliasOf(m.targetTable).map(_.toLowerCase)
-    if (ta.isEmpty) Set.empty
+    if (ta.isEmpty) Nil
     else {
       import org.apache.spark.sql.catalyst.expressions.{And, EqualTo}
       def targetCol(e: Expression): Option[String] = e match {
@@ -1373,81 +1375,90 @@ object GraftSql {
         case And(l, r) => conjuncts(l) ++ conjuncts(r)
         case other => Seq(other)
       }
+      def sourceSide(e: Expression): Option[Option[Seq[String]]] =
+        if (mentionsTarget(e)) None
+        else Some(e match {
+          case a: UnresolvedAttribute => Some(a.nameParts.map(_.toLowerCase))
+          case _ => None
+        })
       conjuncts(m.mergeCondition).flatMap {
         case EqualTo(l, r) =>
-          targetCol(l).filterNot(_ => mentionsTarget(r))
-            .orElse(targetCol(r).filterNot(_ => mentionsTarget(l)))
+          targetCol(l).flatMap(t => sourceSide(r).map(sc => (t, sc)))
+            .orElse(targetCol(r).flatMap(t => sourceSide(l).map(sc => (t, sc))))
         case _ => None
-      }.toSet
+      }
     }
   }
+
+  /** Target-side column names the ON condition EQUI-JOINS against a
+    * target-free expression — bucket-road eligibility. A detection miss
+    * only costs the claimed road (the join shuffles both sides as
+    * before), never correctness — the claim is proven by the slice's
+    * construction, not by this probe. */
+  private def onTargetEquiKeys(m: MergeIntoTable): Set[String] =
+    onEquiConjuncts(m).map(_._1).toSet
 
   /** The source-side ATTRIBUTES the ON condition equi-joins to target
     * column `key` (lowercased nameParts) — the only expressions a merge
     * action may safely assign to the bucket key under the aligned
-    * write: a matched row's assigned value then equals t.key (the join
-    * proved it), and an insert row's value IS the value its partition
+    * write: a MATCHED row's assigned value then equals t.key (the join
+    * proved it), and an INSERT row's value IS the value its partition
     * was hashed by. */
   private def onSourceKeyAttrs(
-      m: MergeIntoTable, key: String): Set[Seq[String]] = {
-    val ta = aliasOf(m.targetTable).map(_.toLowerCase)
-    if (ta.isEmpty) Set.empty
-    else {
-      import org.apache.spark.sql.catalyst.expressions.{And, EqualTo}
-      def targetCol(e: Expression): Option[String] = e match {
-        case a: UnresolvedAttribute if a.nameParts.size == 2 &&
-            ta.contains(a.nameParts.head.toLowerCase) =>
-          Some(a.nameParts(1).toLowerCase)
-        case _ => None
-      }
-      def conjuncts(e: Expression): Seq[Expression] = e match {
-        case And(l, r) => conjuncts(l) ++ conjuncts(r)
-        case other => Seq(other)
-      }
-      def sourceAttr(e: Expression): Option[Seq[String]] = e match {
-        case a: UnresolvedAttribute
-            if !ta.contains(a.nameParts.head.toLowerCase) =>
-          Some(a.nameParts.map(_.toLowerCase))
-        case _ => None
-      }
-      conjuncts(m.mergeCondition).flatMap {
-        case EqualTo(l, r) if targetCol(l).contains(key.toLowerCase) =>
-          sourceAttr(r)
-        case EqualTo(l, r) if targetCol(r).contains(key.toLowerCase) =>
-          sourceAttr(l)
-        case _ => None
-      }.toSet
-    }
-  }
+      m: MergeIntoTable, key: String): Set[Seq[String]] =
+    onEquiConjuncts(m).collect {
+      case (t, Some(src)) if t == key.toLowerCase => src
+    }.toSet
 
   /** True when NO merge action can write a bucket-key value that
     * differs from the hash the aligned write placed the row under —
     * the [[org.apache.spark.sql.graft.PartitionBridge.alignedConcat]]
-    * eligibility. Explicit assignments to the key must be exactly an
-    * ON-equi source attribute; star actions assign the source column
-    * NAMED like the key, safe only when that same column is the equi
-    * attribute (or the source doesn't carry it at all). Anything else
-    * (SET key = expr) keeps the repartition road, which re-hashes the
-    * ACTUAL written values — a stamped commit is pure either way. */
+    * eligibility. Per action kind:
+    *
+    *  - MATCHED UPDATE: an unassigned key keeps t.key (in place —
+    *    safe); an assigned key must be exactly an ON-equi source
+    *    attribute (equal to t.key by the join). SET * assigns the
+    *    source column NAMED like the key when the source carries it —
+    *    safe only when that same column is the equi attribute.
+    *  - NOT MATCHED INSERT: the key MUST be assigned, and only from an
+    *    ON-equi source attribute — an unassigned key writes NULL,
+    *    whose hash is some other bucket than the one the join placed
+    *    the row in. INSERT * needs the source to carry the key AND it
+    *    to be the equi attribute.
+    *  - NOT MATCHED BY SOURCE UPDATE: source columns are NULL on these
+    *    rows, so NO assignment to the key is safe (not even the equi
+    *    attribute).
+    *
+    * Anything else keeps the repartition road, which re-hashes the
+    * ACTUAL written values — a stamped commit is pure either way.
+    * (A bucket key that is itself generated/identity never reaches
+    * this check: the caller declines the aligned road outright —
+    * regeneration can move the key without any assignment naming it.) */
   private def bucketKeyAssignmentsSafe(
       m: MergeIntoTable, key: String, sourceCols: Seq[String]): Boolean = {
     val safe = onSourceKeyAttrs(m, key)
-    val starSafe = !sourceCols.exists(_.equalsIgnoreCase(key)) ||
-      safe.exists(_.last == key.toLowerCase)
-    def okAssign(as: Seq[Assignment]): Boolean = as.forall { a =>
-      !keyName(a.key).equalsIgnoreCase(key) || (a.value match {
-        case u: UnresolvedAttribute =>
-          safe(u.nameParts.map(_.toLowerCase))
-        case _ => false
-      })
+    val sourceHasKey = sourceCols.exists(_.equalsIgnoreCase(key))
+    val starEquiKey = sourceHasKey && safe.exists(_.last == key.toLowerCase)
+    def assignTo(as: Seq[Assignment]): Option[Assignment] =
+      as.find(a => keyName(a.key).equalsIgnoreCase(key))
+    def safeValue(a: Assignment): Boolean = a.value match {
+      case u: UnresolvedAttribute => safe(u.nameParts.map(_.toLowerCase))
+      case _ => false
     }
-    (m.matchedActions ++ m.notMatchedActions ++ m.notMatchedBySourceActions)
-      .forall {
-        case u: UpdateAction => okAssign(u.assignments)
-        case i: InsertAction => okAssign(i.assignments)
-        case _: UpdateStarAction | _: InsertStarAction => starSafe
-        case _ => true // DELETE assigns nothing
-      }
+    m.matchedActions.forall {
+      case u: UpdateAction => assignTo(u.assignments).forall(safeValue)
+      case _: UpdateStarAction => !sourceHasKey || starEquiKey
+      case _ => true // DELETE
+    } &&
+    m.notMatchedActions.forall {
+      case i: InsertAction => assignTo(i.assignments).exists(safeValue)
+      case _: InsertStarAction => starEquiKey
+      case _ => true
+    } &&
+    m.notMatchedBySourceActions.forall {
+      case u: UpdateAction => assignTo(u.assignments).isEmpty
+      case _ => true // DELETE
+    }
   }
 
   private def runMerge(
@@ -1895,8 +1906,15 @@ object GraftSql {
               case Some((_, bkey, n)) =>
                 val keyName = tSchema.fieldNames
                   .find(_.equalsIgnoreCase(bkey)).getOrElse(bkey)
+                // a generated/identity bucket key can MOVE under
+                // regeneration without any assignment naming it — the
+                // aligned road is never provable there
+                val keyGenerated =
+                  exprGenDefs.keys.exists(_.equalsIgnoreCase(bkey)) ||
+                    genDefs.keys.exists(_.equalsIgnoreCase(bkey)) ||
+                    identDefs.keys.exists(_.equalsIgnoreCase(bkey))
                 val aligned =
-                  if (freeIdents.nonEmpty ||
+                  if (freeIdents.nonEmpty || keyGenerated ||
                       !bucketKeyAssignmentsSafe(m, bkey, sDf.columns.toSeq))
                     None
                   else org.apache.spark.sql.graft.PartitionBridge

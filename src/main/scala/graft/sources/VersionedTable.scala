@@ -1191,7 +1191,9 @@ object VersionedTable {
     // would sever them (the chain invariant the commit path maintains
     // via its baseHasDv gate).
     dvChainInfo(spark, root, v) match {
-      case Some(chain) if chain.barrier != v || chain.levels.nonEmpty =>
+      // barrier == v implies levels.isEmpty (the walk exits on its
+      // first iteration) — only genuinely chained versions materialize
+      case Some(chain) if chain.barrier != v =>
         val folded = dvOf(spark, root, v).get
         val tmp = new Path(dir, "_dvtmp")
         if (f.exists(tmp)) f.delete(tmp, true)
@@ -1495,8 +1497,13 @@ object VersionedTable {
           // invariant: every chain bottoms out in a full `_dv` (the
           // FIRST mask on a table is written full-form even under the
           // delta manifest — commitCowInternal's baseHasDv gate; vacuum
-          // materializes before severing)
-          if (levels.nonEmpty || own) throw new java.io.IOException(
+          // materializes before severing). An orphan `_dvdelta` beside
+          // a FULL-form manifest is protocol-impossible garbage (only
+          // delta-form commits write it) — IGNORED, not fatal, so
+          // materializeManifest's cleanup branch can heal it; a chain
+          // HANGING on a maskless bottom is real corruption and fails
+          // loudly.
+          if (levels.nonEmpty) throw new java.io.IOException(
             s"dv chain of $root v$v reaches v$cur which carries no " +
               "mask — the sidecar chain is corrupt")
           return None
@@ -1507,22 +1514,14 @@ object VersionedTable {
 
   /** Whether version `v` carries a deletion-vector mask — directly
     * (`_dv` extra: a (file ref, row position) table of rows deleted
-    * MERGE-ON-READ) or folded along the delta chain. Metadata-scale:
-    * existence probes only, bounded by the fold interval. */
-  def hasDeletionVectors(spark: SparkSession, root: String, v: Long): Boolean = {
-    val f = fs(spark, root)
-    var cur = v
-    while (true) {
-      val dir = dataDir(spark, root, cur)
-      if (f.exists(new Path(dir, "_dv"))) return true
-      if (f.exists(new Path(dir, "_dvdelta"))) return true
-      manifestDeltaOf(spark, root, cur) match {
-        case Some(d) => cur = d.base
-        case None => return false
-      }
-    }
-    false // unreachable
-  }
+    * MERGE-ON-READ) or folded along the delta chain. Defined AS the
+    * chain resolution ([[dvChainInfo]]) so the answer can never
+    * disagree with what [[dvOf]] serves — e.g. an orphan `_dvdelta`
+    * leftover counts as mask-free on both. Metadata-scale: existence
+    * probes + one delta-record read per level, bounded by the fold
+    * interval. */
+  def hasDeletionVectors(spark: SparkSession, root: String, v: Long): Boolean =
+    dvChainInfo(spark, root, v).isDefined
 
   /** Version `v`'s COMPLETE deletion-vector mask as a (file, pos) frame,
     * delta-aware: barrier-only versions read their own `_dv`; chained

@@ -279,6 +279,36 @@ class BucketingSpec extends SparkSpec {
       s"moved keys must be FOUND by the claimed merge, got $got")
   }
 
+  test("a merge whose INSERT omits the bucket key (NULL key) still lands " +
+    "pure: the aligned road declines, the next merge finds the NULL-key row") {
+    val root = freshRoot(); seed(root, 8)
+    Seq((900L, "NEWNULL")).toDF("sid", "st")
+      .createOrReplaceTempView("bkt_null_src")
+    // ON joins t.id = s.sid; the INSERT does NOT assign id — the written
+    // row's key is NULL, which hashes to a bucket other than the join's
+    // hash(s.sid) partition. alignedConcat must decline (an unassigned
+    // insert key is never safe); the repartition road re-hashes NULL and
+    // the stamp stays true.
+    val v1 = graft.plans.GraftSql.execute(spark,
+      s"""MERGE INTO `$root` AS t USING bkt_null_src AS s ON t.id = s.sid
+         |WHEN NOT MATCHED THEN INSERT (last_status) VALUES (s.st)
+         |""".stripMargin).collect().head.getLong(2)
+    assert(Bucketing.pureBuckets(spark, root, v1, "id", 8).isDefined)
+    assert(VersionedTable.read(spark, root)
+      .where(col("id").isNull).count() == 1L)
+    // the next claimed merge must FIND the null-key row (null hashes to
+    // a deterministic bucket): matched-by-null never fires in SQL (null
+    // = null is not TRUE), but a NOT MATCHED BY SOURCE sweep over the
+    // stamped layout must still see every row exactly once
+    val before = VersionedTable.read(spark, root).count()
+    graft.plans.GraftSql.execute(spark,
+      s"""MERGE INTO `$root` AS t USING bkt_null_src AS s ON t.id = s.sid
+         |WHEN NOT MATCHED BY SOURCE AND t.last_status = 'NEWNULL' THEN DELETE
+         |""".stripMargin)
+    assert(VersionedTable.read(spark, root).count() == before - 1L,
+      "the NULL-key row must be visible to the next merge exactly once")
+  }
+
   test("skew guard: a whale bucket over the byte ceiling declines the " +
     "claimed road (AQE can split the fallback's exchange; it cannot " +
     "split a claimed partition), results still correct") {
