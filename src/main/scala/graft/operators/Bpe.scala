@@ -204,7 +204,17 @@ object Bpe {
     * merged symbol (created pairs, each bounded by a destroyed
     * neighbor's count) — so disjoint batch members keep their exact
     * counts, and the strict margin over the first excluded pair means
-    * no created pair can tie into the order. Worst case the batch is
+    * no created pair can tie into the order. Created occurrences can
+    * never STACK onto a pre-existing pair either (which would evade the
+    * per-pair bound): a standing pair (w, ab) coexisting with batch
+    * member (a, b) would need two exact covers of the same char content
+    * — symbol "ab" somewhere, symbols a·b elsewhere — but a span's
+    * within-pass evolution depends only on its content (the rank-r scan
+    * enters every exact cover at its left edge, and any match crossing
+    * a cover's boundary DESTROYS that cover rather than re-segmenting
+    * it), so all surviving exact covers of equal content carry
+    * identical symbols, and a pair whose concatenation names an
+    * existing symbol has count zero by construction. Worst case the batch is
     * one merge (the old behavior); on Zipf-shaped histograms it lands
     * tens per round, so a 32k-merge training runs hundreds of Spark
     * rounds, not 32k. The per-round re-symbolization is the NATIVE

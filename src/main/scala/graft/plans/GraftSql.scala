@@ -1433,12 +1433,38 @@ object GraftSql {
     * ACTUAL written values — a stamped commit is pure either way.
     * (A bucket key that is itself generated/identity never reaches
     * this check: the caller declines the aligned road outright —
-    * regeneration can move the key without any assignment naming it.) */
+    * regeneration can move the key without any assignment naming it.)
+    *
+    * Two alignment subtleties this probe must get right (both decline
+    * to the repartition road, never mis-stamp):
+    *
+    *  - the ON condition must join the key through exactly ONE distinct
+    *    source attribute. With two (`ON t.k = s.a AND t.k = s.b`) the
+    *    attribute the planner co-partitions the source by is ITS
+    *    choice, and a NOT-MATCHED row proves nothing about the other
+    *    one (the match failed — nothing forces s.a = s.b there), so an
+    *    INSERT assigning the non-partitioning attribute would land rows
+    *    in the wrong bucket of a commit still stamped pure.
+    *  - star expansion (SET * / INSERT *) assigns the source's
+    *    TOP-LEVEL column named like the key; that is only aligned when
+    *    the equi attribute IS that top-level column. An equi through a
+    *    NESTED field (`ON t.k = s.nested.k`) co-partitions by the
+    *    nested value while star assigns the unrelated top-level `k`. */
   private def bucketKeyAssignmentsSafe(
       m: MergeIntoTable, key: String, sourceCols: Seq[String]): Boolean = {
     val safe = onSourceKeyAttrs(m, key)
+    if (safe.size != 1) return false
+    val equi = safe.head
     val sourceHasKey = sourceCols.exists(_.equalsIgnoreCase(key))
-    val starEquiKey = sourceHasKey && safe.exists(_.last == key.toLowerCase)
+    // top-level: a bare name, or alias-qualified where the qualifier is
+    // NOT itself a source column (a 2-part path whose head names a
+    // source column is a struct-field access, not an alias)
+    val equiIsTopLevelKey = equi.last == key.toLowerCase && (equi.size match {
+      case 1 => true
+      case 2 => !sourceCols.exists(_.equalsIgnoreCase(equi.head))
+      case _ => false
+    })
+    val starEquiKey = sourceHasKey && equiIsTopLevelKey
     def assignTo(as: Seq[Assignment]): Option[Assignment] =
       as.find(a => keyName(a.key).equalsIgnoreCase(key))
     def safeValue(a: Assignment): Boolean = a.value match {

@@ -175,18 +175,8 @@ object Bucketing {
   private[graft] def bucketAlignedSlice(
       spark: SparkSession, root: String, v: Long, key: String, n: Int,
       filesByBucket: Map[Int, Seq[String]],
-      schema: org.apache.spark.sql.types.StructType): DataFrame = {
-    val bridge = org.apache.spark.sql.graft.PartitionBridge
-    val parts = (0 until n).map { b =>
-      filesByBucket.get(b).filter(_.nonEmpty)
-        .map(fs => bridge.onePartition(
-          VersionedTable.readFilesOf(spark, root, v, fs.sorted)
-            .select(schema.fields.toSeq.map(f =>
-              col(f.name).cast(f.dataType).as(f.name)): _*)))
-        .getOrElse(bridge.emptyPartition(spark))
-    }
-    bridge.claimHashPartitioned(spark, schema, parts, key)
-  }
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    alignedSlice(spark, root, v, key, n, filesByBucket, schema, None)
 
   /** [[bucketAlignedSlice]] with each row's file ref exposed as `refCol`
     * — the CLAIMED form of [[VersionedTable.readVersionWithFileRef]] for
@@ -198,16 +188,36 @@ object Bucketing {
       spark: SparkSession, root: String, v: Long, key: String, n: Int,
       filesByBucket: Map[Int, Seq[String]],
       schema: org.apache.spark.sql.types.StructType,
-      refCol: String): DataFrame = {
+      refCol: String): DataFrame =
+    alignedSlice(spark, root, v, key, n, filesByBucket, schema, Some(refCol))
+
+  /** The shared scaffold of the two slice forms: one partition per
+    * bucket in bucket order (empty buckets contribute one empty
+    * partition), per-bucket files read mask-folded, the layout's
+    * HashPartitioning claimed on top. `refCol` appends the file-ref
+    * column (the detection form); None reads plain rows. */
+  private def alignedSlice(
+      spark: SparkSession, root: String, v: Long, key: String, n: Int,
+      filesByBucket: Map[Int, Seq[String]],
+      schema: org.apache.spark.sql.types.StructType,
+      refCol: Option[String]): DataFrame = {
     val bridge = org.apache.spark.sql.graft.PartitionBridge
-    val outSchema = schema.add(refCol, org.apache.spark.sql.types.StringType)
+    val outSchema = refCol.fold(schema)(
+      schema.add(_, org.apache.spark.sql.types.StringType))
+    val casts = schema.fields.toSeq.map(f =>
+      col(f.name).cast(f.dataType).as(f.name))
     val parts = (0 until n).map { b =>
       filesByBucket.get(b).filter(_.nonEmpty)
-        .map(fs => bridge.onePartition(
-          VersionedTable.readVersionWithFileRef(spark, root, v, refCol,
-            Some(fs.sorted))
-            .select((schema.fields.toSeq.map(f =>
-              col(f.name).cast(f.dataType).as(f.name)) :+ col(refCol)): _*)))
+        .map { fs =>
+          val bucket = refCol match {
+            case Some(rc) => VersionedTable
+              .readVersionWithFileRef(spark, root, v, rc, Some(fs.sorted))
+              .select((casts :+ col(rc)): _*)
+            case None => VersionedTable.readFilesOf(spark, root, v, fs.sorted)
+              .select(casts: _*)
+          }
+          bridge.onePartition(bucket)
+        }
         .getOrElse(bridge.emptyPartition(spark))
     }
     bridge.claimHashPartitioned(spark, outSchema, parts, key)

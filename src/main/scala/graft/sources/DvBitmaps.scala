@@ -257,8 +257,20 @@ object DvBitmaps {
       conf: org.apache.hadoop.conf.Configuration): Array[Byte] = {
     val p = new Path(dir, binName(file))
     val f = p.getFileSystem(conf)
-    if (!f.exists(p)) null
-    else {
+    if (!f.exists(p)) {
+      // absent bitmap is only "no deletions of this file at this level"
+      // while the level's index still EXISTS: the plan verified `_DONE`
+      // at bake time, but vacuum's materialization can delete a chain
+      // level's whole `_dvdelta` under an in-flight reader. Without this
+      // re-probe that race would silently RESURRECT the level's deleted
+      // rows (the distributed-join road fails loudly on the same race —
+      // the bitmap road must too).
+      if (!f.exists(new Path(dir, DoneMarker)))
+        throw new java.io.IOException(
+          s"dv bitmap index at $dir vanished mid-read (concurrent vacuum " +
+            "materialization?) — rerun the query against the current version")
+      null
+    } else {
       val st = f.getFileStatus(p)
       val arr = new Array[Byte](st.getLen.toInt)
       val in = f.open(p)

@@ -1540,20 +1540,28 @@ object VersionedTable {
     * no distinct: consumers get set semantics for free. None when the
     * version carries no mask at all. */
   def dvOf(spark: SparkSession, root: String, v: Long): Option[DataFrame] =
-    dvChainInfo(spark, root, v).map { chain =>
-      if (chain.barrier == v && chain.levels.isEmpty)
-        readExtra(spark, root, v, "dv").get
-      else {
-        import org.apache.spark.sql.functions.{col, not}
-        val dirs =
-          new Path(dataDir(spark, root, chain.barrier), "_dv").toString +:
-            chain.levels.map(l =>
-              new Path(dataDir(spark, root, l), "_dvdelta").toString)
-        val df = spark.read.parquet(dirs: _*)
-          .select(col("file"), col("pos"))
-        if (chain.removedTails.isEmpty) df
-        else df.where(not(col("file").isInCollection(chain.removedTails)))
-      }
+    dvChainInfo(spark, root, v).map(dvOfChain(spark, root, v, _))
+
+  /** [[dvOf]] against an ALREADY-RESOLVED chain — the masked-read path
+    * resolves [[dvChainInfo]] once and threads it here, to [[dvBytesOf]]
+    * and to the bitmap-dir lookup, instead of paying the O(depth)
+    * existence-probe + delta-record walk three or four times per read
+    * (on an object store each walk is driver-latency RPCs, and a masked
+    * read sits on the per-commit hot path of every MOR writer). */
+  private def dvOfChain(
+      spark: SparkSession, root: String, v: Long, chain: DvChain): DataFrame =
+    if (chain.barrier == v && chain.levels.isEmpty)
+      readExtra(spark, root, v, "dv").get
+    else {
+      import org.apache.spark.sql.functions.{col, not}
+      val dirs =
+        new Path(dataDir(spark, root, chain.barrier), "_dv").toString +:
+          chain.levels.map(l =>
+            new Path(dataDir(spark, root, l), "_dvdelta").toString)
+      val df = spark.read.parquet(dirs: _*)
+        .select(col("file"), col("pos"))
+      if (chain.removedTails.isEmpty) df
+      else df.where(not(col("file").isInCollection(chain.removedTails)))
     }
 
   /** On-disk byte size of version `v`'s mask, delta-aware — the
@@ -1566,10 +1574,13 @@ object VersionedTable {
       spark: SparkSession, root: String, v: Long): Long =
     dvChainInfo(spark, root, v) match {
       case None => 0L
-      case Some(chain) =>
-        extraBytes(spark, root, chain.barrier, "dv") +
-          chain.levels.map(l => extraBytes(spark, root, l, "dvdelta")).sum
+      case Some(chain) => dvBytesOfChain(spark, root, chain)
     }
+
+  private def dvBytesOfChain(
+      spark: SparkSession, root: String, chain: DvChain): Long =
+    extraBytes(spark, root, chain.barrier, "dv") +
+      chain.levels.map(l => extraBytes(spark, root, l, "dvdelta")).sum
 
   /** The bitmap dirs a chain-aware scan-integrated probe must consult
     * for version `v` — the barrier's `_dv/_bitmaps` plus every
@@ -1579,12 +1590,11 @@ object VersionedTable {
     * read falls back to the distributed-join road — correct at any
     * size, and bounded in time by the fold interval. */
   private def dvChainBitmapDirs(
-      spark: SparkSession, root: String, v: Long): Option[Seq[String]] =
-    dvChainInfo(spark, root, v).flatMap { chain =>
-      val all = dvBitmapsDir(spark, root, chain.barrier, "_dv") +:
-        chain.levels.map(l => dvBitmapsDir(spark, root, l, "_dvdelta"))
-      if (all.forall(_.isDefined)) Some(all.flatten) else None
-    }
+      spark: SparkSession, root: String, chain: DvChain): Option[Seq[String]] = {
+    val all = dvBitmapsDir(spark, root, chain.barrier, "_dv") +:
+      chain.levels.map(l => dvBitmapsDir(spark, root, l, "_dvdelta"))
+    if (all.forall(_.isDefined)) Some(all.flatten) else None
+  }
 
   /** Whether version `v` carries a change feed ("changes" extra) — O(1)
     * existence probe, the per-version building block of
@@ -2213,15 +2223,15 @@ object VersionedTable {
     * probes instead of a full data-side exchange. */
   private def foldMask(
       spark: SparkSession, root: String, v: Long,
-      tagged: DataFrame, dv: DataFrame): DataFrame = {
+      tagged: DataFrame, dv: DataFrame, chain: DvChain): DataFrame = {
     import org.apache.spark.sql.functions.{col, not}
-    val dvBytes = dvBytesOf(spark, root, v)
+    val dvBytes = dvBytesOfChain(spark, root, chain)
     val threshold = spark.conf
       .get(DvBroadcastThresholdKey, DvBroadcastThresholdDefault.toString).toLong
     lazy val joined = tagged.join(dvMaskSide(spark, dv, dvBytes),
       Seq("__dv_file", "__dv_pos"), "left_anti")
     if (dvBytes <= threshold) joined
-    else dvChainBitmapDirs(spark, root, v) match {
+    else dvChainBitmapDirs(spark, root, chain) match {
       case Some(dirs) if dirs.nonEmpty =>
         tagged.where(not(org.apache.spark.sql.graft.ColumnBridge.column(
           graft.plans.DvMasked.forVersion(spark, root, v, dirs,
@@ -2239,12 +2249,13 @@ object VersionedTable {
     * entirely either way. */
   private def applyDv(
       spark: SparkSession, root: String, v: Long,
-      df: DataFrame, dv: DataFrame): DataFrame = {
+      df: DataFrame, chain: DvChain): DataFrame = {
     import org.apache.spark.sql.functions.col
     val cols = df.columns.toSeq
     val tagged = df.withColumn("__dv_file", fileRefCol)
       .withColumn("__dv_pos", col("_metadata.row_index"))
-    foldMask(spark, root, v, tagged, dv).select(cols.map(col): _*)
+    foldMask(spark, root, v, tagged, dvOfChain(spark, root, v, chain), chain)
+      .select(cols.map(col): _*)
   }
 
   /** TIMESTAMP-based time travel (Delta's `TIMESTAMP AS OF`): the
@@ -2297,7 +2308,8 @@ object VersionedTable {
     }
     val base = if (synth) synthHiveParts(spark, root, v, scan) else scan
     toLogical(
-      dvOf(spark, root, v).map(applyDv(spark, root, v, base, _)).getOrElse(base),
+      dvChainInfo(spark, root, v)
+        .map(applyDv(spark, root, v, base, _)).getOrElse(base),
       columnMapping(spark, root, v))
   }
 
@@ -2330,7 +2342,8 @@ object VersionedTable {
     })
     val withRef = base.withColumn(refCol, fileRefCol)
     toLogical(
-      dvOf(spark, root, v).map(applyDv(spark, root, v, withRef, _)).getOrElse(withRef),
+      dvChainInfo(spark, root, v)
+        .map(applyDv(spark, root, v, withRef, _)).getOrElse(withRef),
       columnMapping(spark, root, v))
   }
 
@@ -2345,7 +2358,8 @@ object VersionedTable {
     val sub = synthHiveParts(spark, root, v, versionReader(spark, root, v)
       .parquet(refs.map(r => new Path(root, r).toString): _*))
     toLogical(
-      dvOf(spark, root, v).map(applyDv(spark, root, v, sub, _)).getOrElse(sub),
+      dvChainInfo(spark, root, v)
+        .map(applyDv(spark, root, v, sub, _)).getOrElse(sub),
       columnMapping(spark, root, v))
   }
 
@@ -2375,7 +2389,8 @@ object VersionedTable {
       val sub = synthHiveParts(spark, root, v,
         versionReader(spark, root, v).parquet(kept: _*))
       toLogical(
-        dvOf(spark, root, v).map(applyDv(spark, root, v, sub, _)).getOrElse(sub),
+        dvChainInfo(spark, root, v)
+        .map(applyDv(spark, root, v, sub, _)).getOrElse(sub),
         columnMapping(spark, root, v))
         .where(predicate)
     }
@@ -2799,7 +2814,8 @@ object VersionedTable {
     // the chain-aware [[dvOf]], so the interval-th commit CONSOLIDATES
     // the chain into its own complete `_dv` (the DV fold, riding the
     // manifest fold's cadence).
-    val baseHasDv = hasDeletionVectors(spark, root, cur)
+    val baseChain = dvChainInfo(spark, root, cur)
+    val baseHasDv = baseChain.isDefined
     val extrasWithDv: Map[String, DataFrame] =
       if (!baseHasDv) extras
       else if (deltaForm)
@@ -2814,7 +2830,7 @@ object VersionedTable {
         // always tail-keyed ([[fileRefCol]]), while a shallow clone's
         // manifest refs are absolute — tails are unique per snapshot
         // (UUID part names), so the normalization is lossless.
-        val carried = dvOf(spark, root, cur).get
+        val carried = dvOfChain(spark, root, cur, baseChain.get)
           .where(col("file").isInCollection(keptFiles.map(refTail)))
         val merged = extras.get("dv").map(_.unionByName(carried).distinct())
           .getOrElse(carried)
@@ -3076,8 +3092,9 @@ object VersionedTable {
           versionReader(spark, root, cur).parquet(mayMatch: _*))
         .withColumn("__dv_file", fileRefCol)
         .withColumn("__dv_pos", col("_metadata.row_index"))
-      val folded = dvOf(spark, root, cur) match {
-        case Some(dv) => foldMask(spark, root, cur, raw, dv)
+      val folded = dvChainInfo(spark, root, cur) match {
+        case Some(chain) =>
+          foldMask(spark, root, cur, raw, dvOfChain(spark, root, cur, chain), chain)
         case None => raw
       }
       Some(toLogical(folded, columnMapping(spark, root, cur)))
@@ -3096,8 +3113,9 @@ object VersionedTable {
         .parquet(refs.map(r => new Path(root, r).toString): _*))
       .withColumn("__dv_file", fileRefCol)
       .withColumn("__dv_pos", col("_metadata.row_index"))
-    val folded = dvOf(spark, root, v) match {
-      case Some(dv) => foldMask(spark, root, v, raw, dv)
+    val folded = dvChainInfo(spark, root, v) match {
+      case Some(chain) =>
+        foldMask(spark, root, v, raw, dvOfChain(spark, root, v, chain), chain)
       case None => raw
     }
     toLogical(folded, columnMapping(spark, root, v))
@@ -3488,7 +3506,7 @@ object VersionedTable {
         val sliceRaw = synthHiveParts(spark, root, cur,
           versionReader(spark, root, cur).parquet(mayMatch: _*))
         val slice = toLogical(
-          dvOf(spark, root, cur)
+          dvChainInfo(spark, root, cur)
             .map(applyDv(spark, root, cur, sliceRaw, _)).getOrElse(sliceRaw),
           columnMapping(spark, root, cur))
         val rewritten = rewrite(slice)
@@ -5209,7 +5227,10 @@ object VersionedTable {
         ckptBytes.getOrElse(v, snapshotBytes(spark, root, v, Some(ckptBytes))),
         fresh, refs.size - fresh,
         f.exists(new Path(vdir, "_changes")),
-        f.exists(new Path(vdir, "_dv")),
+        // chain-aware: a delta-form version's mask may live in its own
+        // `_dvdelta` or ride the chain with no sidecar at all — the
+        // introspection face must agree with what dvOf/readVersion serve
+        hasDeletionVectors(spark, root, v),
         f.exists(new Path(vdir, "_txn")),
         tableSchema(spark, root, v).map(_.size).getOrElse(-1))
     }

@@ -309,6 +309,71 @@ class BucketingSpec extends SparkSpec {
       "the NULL-key row must be visible to the next merge exactly once")
   }
 
+  test("an ON joining the key through TWO source attributes declines the " +
+    "aligned road: a not-matched row proves nothing about the other attr") {
+    val root = freshRoot(); seed(root, 8)
+    // a=600 ≠ b=601 on the (never-matching) insert row: the planner
+    // co-partitions the source by ONE of {a, b} — its choice — and the
+    // INSERT writes the OTHER; only the repartition road, which
+    // re-hashes actual written values, keeps the purity stamp true
+    Seq((600L, 601L, "TWOKEY")).toDF("a", "b", "st")
+      .createOrReplaceTempView("bkt_twokey_src")
+    val v1 = graft.plans.GraftSql.execute(spark,
+      s"""MERGE INTO `$root` AS t USING bkt_twokey_src AS s
+         |ON t.id = s.a AND t.id = s.b
+         |WHEN NOT MATCHED THEN INSERT (id, last_status) VALUES (s.b, s.st)
+         |""".stripMargin).collect().head.getLong(2)
+    assert(VersionedTable.commitInfoOf(spark, root, v1)
+      .get(Bucketing.BucketedInfoKey).contains("id,8"))
+    assert(Bucketing.pureBuckets(spark, root, v1, "id", 8).isDefined)
+    // the NEXT merge rides the claimed layout and must FIND id=601 — a
+    // misplaced insert would be invisible to the claimed join and this
+    // update would duplicate the key instead
+    Seq((601L, "FOUND")).toDF("id", "st")
+      .createOrReplaceTempView("bkt_twokey_src2")
+    graft.plans.GraftSql.execute(spark,
+      s"""MERGE INTO `$root` AS t USING bkt_twokey_src2 AS s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET last_status = s.st
+         |WHEN NOT MATCHED THEN INSERT (id, last_status) VALUES (s.id, s.st)
+         |""".stripMargin)
+    val got = VersionedTable.read(spark, root).where(col("id") === 601L)
+      .select("last_status").as[String].collect().toSeq
+    assert(got == Seq("FOUND"),
+      s"the claimed merge must find the two-attr insert exactly once: $got")
+  }
+
+  test("an ON through a NESTED source field declines the aligned road for " +
+    "STAR actions: SET * assigns the unrelated top-level column") {
+    val root = freshRoot(); seed(root, 8)
+    // s.nested.id is the equi attribute; s.id (top-level) holds a
+    // DIFFERENT value that SET * writes into the bucket key
+    Seq((3L, 2003L, "STARMOVE"), (7L, 2007L, "STARMOVE"))
+      .toDF("nid", "id", "last_status")
+      .select(struct(col("nid").as("id")).as("nested"),
+        col("id"), col("last_status"))
+      .createOrReplaceTempView("bkt_nested_src")
+    val v1 = graft.plans.GraftSql.execute(spark,
+      s"""MERGE INTO `$root` AS t USING bkt_nested_src AS s
+         |ON t.id = s.nested.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |""".stripMargin).collect().head.getLong(2)
+    assert(Bucketing.pureBuckets(spark, root, v1, "id", 8).isDefined)
+    // the moved keys must be found by the next CLAIMED merge
+    Seq((2003L, "HIT"), (2007L, "HIT")).toDF("id", "st")
+      .createOrReplaceTempView("bkt_nested_src2")
+    graft.plans.GraftSql.execute(spark,
+      s"""MERGE INTO `$root` AS t USING bkt_nested_src2 AS s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET last_status = s.st
+         |WHEN NOT MATCHED THEN INSERT (id, last_status) VALUES (s.id, s.st)
+         |""".stripMargin)
+    val got = VersionedTable.read(spark, root)
+      .where(col("id").isin(2003L, 2007L))
+      .select("id", "last_status").orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((2003L, "HIT"), (2007L, "HIT")),
+      s"star-moved keys must be FOUND by the claimed merge, got $got")
+  }
+
   test("skew guard: a whale bucket over the byte ceiling declines the " +
     "claimed road (AQE can split the fallback's exchange; it cannot " +
     "split a claimed partition), results still correct") {

@@ -91,6 +91,13 @@ class DvDeltaSpec extends SparkSpec {
     // hasDeletionVectors answers through the chain (carried-only too)
     (2L to 7L).foreach(v =>
       assert(VersionedTable.hasDeletionVectors(spark, rootD, v), s"v$v"))
+    // DESCRIBE HISTORY's deletion_vectors column agrees with the
+    // chain-aware accessors — delta levels and carried-only versions too
+    val hist = VersionedTable.history(spark, rootD)
+      .select("version", "deletion_vectors")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    (2L to 7L).foreach(v => assert(hist(v), s"history must report v$v masked"))
+    assert(!hist(1L), "the pre-mask version must stay unmasked in history")
   }
 
   test("above the broadcast gate the read rides the CHAIN bitmap road: " +
@@ -237,6 +244,30 @@ class DvDeltaSpec extends SparkSpec {
         .where(col("id").isin(50L, 60L, 150L)).count() == 0L)
       assert(VersionedTable.read(spark, root).count() == 297L)
     }
+  }
+
+  test("a bitmap index VANISHING under an in-flight reader fails loudly — " +
+    "an absent bin is 'no deletions' only while the level's _DONE survives") {
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft_dvbm").toString + "/dv"
+    Seq(("fileA", 3L), ("fileA", 9L)).toDF("file", "pos")
+      .coalesce(1).write.parquet(dir)
+    assert(DvBitmaps.write(spark, new org.apache.hadoop.fs.Path(dir)))
+    val bm = s"$dir/${DvBitmaps.DirName}"
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    // masked position hits; absent bin under a live _DONE = clean miss
+    assert(DvBitmaps.lookup(Seq(bm), 1L, "fileA", 3L, hconf))
+    assert(!DvBitmaps.lookup(Seq(bm), 1L, "fileA", 4L, hconf))
+    assert(!DvBitmaps.lookup(Seq(bm), 1L, "fileB", 3L, hconf))
+    // the index vanishes (vacuum materialization racing the reader):
+    // the next cache fill must throw, never serve "no deletions"
+    fsOf(dir).delete(new org.apache.hadoop.fs.Path(bm), true)
+    val e = intercept[java.io.IOException] {
+      // a NEW file key forces a reload past the thread-local cache
+      DvBitmaps.lookup(Seq(bm), 1L, "fileC", 3L, hconf)
+    }
+    assert(e.getMessage.contains("vanished"), e.getMessage)
   }
 
   test("clone and restore from mid-chain are self-contained (folded full mask)") {
