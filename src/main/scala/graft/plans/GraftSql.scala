@@ -1635,21 +1635,35 @@ object GraftSql {
       // the source shuffles, O(delta). The claim is correct by
       // construction of the slice (purity proven per file by origin
       // stamp), independent of how the planner uses it: a detection miss
-      // only costs the shuffle back. MOR merges keep the tagged road
-      // (the mask columns ride outside the claimed schema).
+      // only costs the shuffle back. MOR merges ride the TAGGED form of
+      // the claimed slice (the mask columns join the claimed schema —
+      // mask folding only removes rows, so a bucket's survivors still
+      // hash to their bucket), and their commit re-stamps the layout
+      // with the written delta explicitly repartitioned by the key —
+      // O(affected rows), the MOR write's own size.
       val bucketRoad: Option[(Map[String, Int], String, Int)] =
         if (morMode || keptRefs.isEmpty) None else bucketEligible
+      val morBucket: Option[(Map[String, Int], String, Int)] =
+        if (morMode) bucketEligible else None
+      def byBucketOf(fb: Map[String, Int], touched: Seq[String]) =
+        touched.map(r => r -> fb(r))
+          .groupBy(_._2).map { case (b, rs) => b -> rs.map(_._1) }
       val targetFrame = touchedRefs match {
         case Some(touched) =>
           if (touched.isEmpty) readDf.limit(0)
-          else if (morMode)
-            VersionedTable.readFilesTagged(spark, root, base, touched)
+          else if (morMode) morBucket match {
+            case Some((fb, bkey, n)) =>
+              graft.sources.Bucketing.bucketAlignedSliceTagged(
+                spark, root, base, bkey, n, byBucketOf(fb, touched),
+                readDf.schema)
+            case None =>
+              VersionedTable.readFilesTagged(spark, root, base, touched)
+          }
           else bucketRoad match {
             case Some((fb, bkey, n)) =>
-              val filesByBucket = touched.map(r => r -> fb(r))
-                .groupBy(_._2).map { case (b, rs) => b -> rs.map(_._1) }
               graft.sources.Bucketing.bucketAlignedSlice(
-                spark, root, base, bkey, n, filesByBucket, readDf.schema)
+                spark, root, base, bkey, n, byBucketOf(fb, touched),
+                readDf.schema)
             case None => VersionedTable.readFilesOf(spark, root, base, touched)
           }
         case None => readDf
@@ -1913,10 +1927,28 @@ object GraftSql {
             else newDel
           val updated = regenExprs(
             joined.filter(tPresent && updFilter).select(outValues: _*))
-          VersionedTable.commitCow(updated.unionByName(inserts), root,
+          // on a bucketized target, land the written delta (updated
+          // images + inserts — O(affected rows)) back IN the layout via
+          // one explicit repartition that re-hashes actual values, and
+          // stamp the commit: the NEXT merge then rides the claimed
+          // road again. Without the stamp a single MOR merge would
+          // orphan the layout (its fresh files' origin commit carries
+          // no spec, so pureBuckets degrades every later merge to the
+          // key-range road).
+          val (morOut, morInfo) = morBucket match {
+            case Some((_, bkey, n)) =>
+              val keyName = tSchema.fieldNames
+                .find(_.equalsIgnoreCase(bkey)).getOrElse(bkey)
+              (updated.unionByName(inserts).repartition(n, col(keyName)),
+                Map(graft.sources.Bucketing.BucketedInfoKey -> s"$bkey,$n"))
+            case None =>
+              (updated.unionByName(inserts), Map.empty[String, String])
+          }
+          VersionedTable.commitCow(morOut, root,
             VersionedTable.dataFileRefs(spark, root, base),
             extras = Map("dv" -> newDelWritable, "changes" -> feed) ++ extraTables,
-            preCommit = occCheck, recordProperties = advProps)
+            preCommit = occCheck, recordInfo = morInfo,
+            recordProperties = advProps)
         } else keptRefs match {
           case Some(kept) =>
             // on the bucket road, keep the written rows in the layout and

@@ -57,6 +57,22 @@ object Bucketing {
       else None
     }
 
+  /** The `bucketed` stamp a commit with a ZERO-ROW fresh frame must
+    * CARRY FORWARD on a bucketized table (metadata-only property /
+    * constraint / schema commits, MOR deletes, restores, partition
+    * drops — all keep-every-ref commits whose only fresh file is the
+    * writer's empty schema-preserving part file). The stamp claims the
+    * commit's fresh files are bucket-pure, which is vacuously true of a
+    * file with no rows — while WITHOUT it that one unstamped file makes
+    * [[pureBuckets]] decline forever after: a single `ALTER TABLE SET
+    * TBLPROPERTIES` (or the evolve commit `MERGE WITH SCHEMA EVOLUTION`
+    * runs first) would silently orphan the layout. Empty when the table
+    * has no recorded spec. */
+  def carryStamp(
+      spark: SparkSession, root: String, cur: Long): Map[String, String] =
+    specOf(VersionedTable.propertiesOf(spark, root, cur))
+      .map { case (k, n) => BucketedInfoKey -> s"$k,$n" }.toMap
+
   /** The layout's bucket id of a key column — EXACTLY the partition id
     * `repartition(n, col(key))` assigns (murmur3 seed 42; null hashes
     * to the seed), which is also what the claimed HashPartitioning
@@ -176,7 +192,9 @@ object Bucketing {
       spark: SparkSession, root: String, v: Long, key: String, n: Int,
       filesByBucket: Map[Int, Seq[String]],
       schema: org.apache.spark.sql.types.StructType): DataFrame =
-    alignedSlice(spark, root, v, key, n, filesByBucket, schema, None)
+    alignedSlice(spark, key, n, filesByBucket, schema,
+      fs => VersionedTable.readFilesOf(spark, root, v, fs)
+        .select(casts(schema): _*))
 
   /** [[bucketAlignedSlice]] with each row's file ref exposed as `refCol`
     * — the CLAIMED form of [[VersionedTable.readVersionWithFileRef]] for
@@ -189,35 +207,48 @@ object Bucketing {
       filesByBucket: Map[Int, Seq[String]],
       schema: org.apache.spark.sql.types.StructType,
       refCol: String): DataFrame =
-    alignedSlice(spark, root, v, key, n, filesByBucket, schema, Some(refCol))
+    alignedSlice(spark, key, n, filesByBucket,
+      schema.add(refCol, org.apache.spark.sql.types.StringType),
+      fs => VersionedTable.readVersionWithFileRef(spark, root, v, refCol,
+        Some(fs)).select((casts(schema) :+ col(refCol)): _*))
 
-  /** The shared scaffold of the two slice forms: one partition per
-    * bucket in bucket order (empty buckets contribute one empty
-    * partition), per-bucket files read mask-folded, the layout's
-    * HashPartitioning claimed on top. `refCol` appends the file-ref
-    * column (the detection form); None reads plain rows. */
-  private def alignedSlice(
+  /** [[bucketAlignedSlice]] in the MERGE-ON-READ tagged form: each
+    * bucket's files read through [[VersionedTable.readFilesTagged]]
+    * (existing masks already folded, each visible row tagged
+    * `__dv_file`/`__dv_pos`), the layout's HashPartitioning claimed on
+    * the key. A masked target's MERGE then joins its touched slice with
+    * ZERO target-side exchange like the COW form — the tag columns just
+    * ride along in the claimed schema (mask folding only REMOVES rows,
+    * so a bucket's survivors still all hash to their bucket). */
+  private[graft] def bucketAlignedSliceTagged(
       spark: SparkSession, root: String, v: Long, key: String, n: Int,
       filesByBucket: Map[Int, Seq[String]],
-      schema: org.apache.spark.sql.types.StructType,
-      refCol: Option[String]): DataFrame = {
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    alignedSlice(spark, key, n, filesByBucket,
+      schema.add("__dv_file", org.apache.spark.sql.types.StringType)
+        .add("__dv_pos", org.apache.spark.sql.types.LongType),
+      fs => VersionedTable.readFilesTagged(spark, root, v, fs)
+        .select((casts(schema) :+ col("__dv_file") :+ col("__dv_pos")): _*))
+
+  private def casts(
+      schema: org.apache.spark.sql.types.StructType)
+      : Seq[org.apache.spark.sql.Column] =
+    schema.fields.toSeq.map(f => col(f.name).cast(f.dataType).as(f.name))
+
+  /** The shared scaffold of the three slice forms: one partition per
+    * bucket in bucket order (untouched/empty buckets contribute one
+    * empty partition), each bucket's files read mask-folded through
+    * `readBucket` (sorted for deterministic order), the layout's
+    * HashPartitioning claimed on top. */
+  private def alignedSlice(
+      spark: SparkSession, key: String, n: Int,
+      filesByBucket: Map[Int, Seq[String]],
+      outSchema: org.apache.spark.sql.types.StructType,
+      readBucket: Seq[String] => DataFrame): DataFrame = {
     val bridge = org.apache.spark.sql.graft.PartitionBridge
-    val outSchema = refCol.fold(schema)(
-      schema.add(_, org.apache.spark.sql.types.StringType))
-    val casts = schema.fields.toSeq.map(f =>
-      col(f.name).cast(f.dataType).as(f.name))
     val parts = (0 until n).map { b =>
       filesByBucket.get(b).filter(_.nonEmpty)
-        .map { fs =>
-          val bucket = refCol match {
-            case Some(rc) => VersionedTable
-              .readVersionWithFileRef(spark, root, v, rc, Some(fs.sorted))
-              .select((casts :+ col(rc)): _*)
-            case None => VersionedTable.readFilesOf(spark, root, v, fs.sorted)
-              .select(casts: _*)
-          }
-          bridge.onePartition(bucket)
-        }
+        .map(fs => bridge.onePartition(readBucket(fs.sorted)))
         .getOrElse(bridge.emptyPartition(spark))
     }
     bridge.claimHashPartitioned(spark, outSchema, parts, key)

@@ -1978,7 +1978,8 @@ object VersionedTable {
     commitCowInternal(empty, root, cur, kept, extras, Nil,
       preCommit = v => { preCommit(v); occValidate(spark, root, cur)(v) },
       recordSchema = Some(schema),
-      recordInfo = Map("operation" -> "delete", "partitionDrop" -> "true"))
+      recordInfo = Map("operation" -> "delete", "partitionDrop" -> "true") ++
+        Bucketing.carryStamp(spark, root, cur))
   }
 
   /** PARTITION-SPEC EVOLUTION: re-lay the table out under a NEW
@@ -3068,7 +3069,8 @@ object VersionedTable {
               preCommit = v => { preCommit(v); rb.validate(v) },
               recordSchema = Some(schemaOf(spark, root, cur)),
               rebase = Some(rb),
-              recordInfo = Map("operation" -> "delete", "mor" -> "true"))
+              recordInfo = Map("operation" -> "delete", "mor" -> "true") ++
+                Bucketing.carryStamp(spark, root, cur))
           }
       }
     }
@@ -3799,7 +3801,8 @@ object VersionedTable {
         recordProperties = Some(propertiesOf(spark, root, cur)
           .updated(WidenedTypesProp, "true")),
         carriedStatsMap = statsMap,
-        recordInfo = Map("operation" -> "widen-column"))
+        recordInfo = Map("operation" -> "widen-column") ++
+          Bucketing.carryStamp(spark, root, cur))
     }
 
   private def evolveSchemaAt(
@@ -3839,7 +3842,8 @@ object VersionedTable {
         Nil, preCommit = occValidate(spark, root, cur),
         recordSchema = Some(newSchema),
         recordMapping = Some((mapping ++ minted, retired)),
-        recordInfo = Map("operation" -> "evolve-schema"))
+        recordInfo = Map("operation" -> "evolve-schema") ++
+          Bucketing.carryStamp(spark, root, cur))
     }
 
   /** SHALLOW CLONE (Delta's `CREATE TABLE ... SHALLOW CLONE`): publish
@@ -4383,7 +4387,8 @@ object VersionedTable {
         recordSchema = Some(newSchema),
         recordProperties = renamedProps,
         recordMapping = Some((newMapping, retiredPhysicals(spark, root, cur))),
-        recordInfo = Map("operation" -> "rename-column"))
+        recordInfo = Map("operation" -> "rename-column") ++
+          Bucketing.carryStamp(spark, root, cur))
     }
 
   /** METADATA-ONLY column DROP (Delta column mapping): the logical schema
@@ -4431,7 +4436,8 @@ object VersionedTable {
         recordSchema = Some(newSchema),
         recordMapping = Some((mapping - name,
           retiredPhysicals(spark, root, cur) + phys)),
-        recordInfo = Map("operation" -> "drop-column"))
+        recordInfo = Map("operation" -> "drop-column") ++
+          Bucketing.carryStamp(spark, root, cur))
     }
 
   /** `SHOW PARTITIONS`: the current snapshot's live partition tuples —
@@ -4851,7 +4857,8 @@ object VersionedTable {
       recordSchema = Some(schema),
       recordConstraints = recordConstraints,
       recordProperties = recordProperties,
-      recordInfo = Map("operation" -> op))
+      recordInfo = Map("operation" -> op) ++
+        Bucketing.carryStamp(spark, root, cur))
   }
 
   /** java-Properties file read shared by constraints and table
@@ -5317,7 +5324,8 @@ object VersionedTable {
             .toMap)
         val tgtStats = statsOf(spark, root, toVersion)
         commitWith(empty, root, collectStats = false, extras = extras,
-          recordInfo = Map("operation" -> "restore"),
+          recordInfo = Map("operation" -> "restore") ++
+            Bucketing.carryStamp(spark, root, cur),
           finalizeVersion = (fh, dir, v) => {
             val rows = tgtRefs.flatMap { r =>
               tgtStats.getOrElse(tgtKeyed(r), Map.empty).toSeq

@@ -309,6 +309,91 @@ class BucketingSpec extends SparkSpec {
       "the NULL-key row must be visible to the next merge exactly once")
   }
 
+  test("a MERGE-ON-READ merge rides the bucket road too: claimed tagged " +
+    "slice (zero target-side exchange), mask committed, layout re-stamped " +
+    "so the SECOND MOR merge rides it again, rows equal the unbucketed road") {
+    val rootB = freshRoot(); seed(rootB, 8)
+    val rootP = freshRoot()
+    Sinks.upsertByKeyVersioned(spark, rootP, base(400), "id", ts0,
+      "last_status", "DONE")
+    Seq(rootB, rootP).foreach(r => graft.plans.GraftSql.execute(spark,
+      s"ALTER TABLE '$r' SET TBLPROPERTIES ('graft.enableDeletionVectors'='true')"))
+    val plans = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    def mergeSql(root: String, srcView: String): Long =
+      graft.plans.GraftSql.execute(spark,
+        s"""MERGE INTO `$root` AS t USING $srcView AS s ON t.id = s.id
+           |WHEN MATCHED AND s.st = 'GONE' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET last_status = s.st
+           |WHEN NOT MATCHED THEN INSERT (id, last_status) VALUES (s.id, s.st)
+           |""".stripMargin).collect().head.getLong(2)
+    def claimedPlans(): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      plans.iterator().asScala.toSeq.filter(_.contains("Scan ExistingRDD[id#"))
+    }
+    def awaitClaimed(atLeast: Int): Seq[String] = {
+      var tries = 0
+      while (claimedPlans().size < atLeast && tries < 100) {
+        Thread.sleep(100); tries += 1
+      }
+      claimedPlans()
+    }
+    val ClaimedId = """Scan ExistingRDD\[id#(\d+)L""".r
+    def assertNoTargetExchange(p: String): Unit =
+      ClaimedId.findAllMatchIn(p).map(_.group(1)).foreach { eid =>
+        assert(!p.contains(s"Exchange hashpartitioning(id#${eid}L"),
+          s"claimed MOR target id#$eid was exchanged:\n$p")
+      }
+    Seq((3L, "M1"), (7L, "GONE"), (401L, "M1")).toDF("id", "st")
+      .createOrReplaceTempView("bkt_mor_src1")
+    Seq((3L, "M2"), (399L, "GONE"), (401L, "M2"), (402L, "M2"))
+      .toDF("id", "st").createOrReplaceTempView("bkt_mor_src2")
+    spark.listenerManager.register(listener)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val v1 = mergeSql(rootB, "bkt_mor_src1")
+      val cp1 = awaitClaimed(1)
+      assert(cp1.nonEmpty,
+        "the MOR target must read as the claimed tagged bucket-aligned scan")
+      cp1.foreach(assertNoTargetExchange)
+      // MOR semantics held: mask landed, every old file carried
+      assert(VersionedTable.hasDeletionVectors(spark, rootB, v1),
+        "the MOR merge must commit its mask, not rewrite files")
+      // the layout survives: stamped commit, still provably pure
+      assert(VersionedTable.commitInfoOf(spark, rootB, v1)
+        .get(Bucketing.BucketedInfoKey).contains("id,8"))
+      assert(Bucketing.pureBuckets(spark, rootB, v1, "id", 8).isDefined,
+        "a MOR merge must re-stamp the layout — unstamped fresh files " +
+          "would orphan it for every later merge")
+      // SECOND MOR merge rides the claimed road again
+      plans.clear()
+      val v2 = mergeSql(rootB, "bkt_mor_src2")
+      val cp2 = awaitClaimed(1)
+      assert(cp2.nonEmpty, "the second MOR merge must ride the claimed road")
+      cp2.foreach(assertNoTargetExchange)
+      assert(Bucketing.pureBuckets(spark, rootB, v2, "id", 8).isDefined)
+      // results equal the same MOR merges against an unbucketized target
+      mergeSql(rootP, "bkt_mor_src1"); mergeSql(rootP, "bkt_mor_src2")
+      def rows(root: String) = VersionedTable.read(spark, root)
+        .select("id", "last_status", "payload")
+        .orderBy("id").collect().map(_.toSeq).toSeq
+      assert(rows(rootB) == rows(rootP))
+      assert(VersionedTable.read(spark, rootB)
+        .where(col("id").isin(7L, 399L)).count() == 0L,
+        "MOR deletes must mask through the claimed road")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.listenerManager.unregister(listener)
+    }
+  }
+
   test("an ON joining the key through TWO source attributes declines the " +
     "aligned road: a not-matched row proves nothing about the other attr") {
     val root = freshRoot(); seed(root, 8)
