@@ -192,9 +192,8 @@ object Bucketing {
       spark: SparkSession, root: String, v: Long, key: String, n: Int,
       filesByBucket: Map[Int, Seq[String]],
       schema: org.apache.spark.sql.types.StructType): DataFrame =
-    alignedSlice(spark, key, n, filesByBucket, schema,
-      fs => VersionedTable.readFilesOf(spark, root, v, fs)
-        .select(casts(schema): _*))
+    alignedSlice(spark, root, v, key, n, filesByBucket, schema)
+      .select(casts(schema): _*)
 
   /** [[bucketAlignedSlice]] with each row's file ref exposed as `refCol`
     * — the CLAIMED form of [[VersionedTable.readVersionWithFileRef]] for
@@ -207,10 +206,8 @@ object Bucketing {
       filesByBucket: Map[Int, Seq[String]],
       schema: org.apache.spark.sql.types.StructType,
       refCol: String): DataFrame =
-    alignedSlice(spark, key, n, filesByBucket,
-      schema.add(refCol, org.apache.spark.sql.types.StringType),
-      fs => VersionedTable.readVersionWithFileRef(spark, root, v, refCol,
-        Some(fs)).select((casts(schema) :+ col(refCol)): _*))
+    alignedSlice(spark, root, v, key, n, filesByBucket, schema)
+      .select((casts(schema) :+ col("__dv_file").as(refCol)): _*)
 
   /** [[bucketAlignedSlice]] in the MERGE-ON-READ tagged form: each
     * bucket's files read through [[VersionedTable.readFilesTagged]]
@@ -224,11 +221,8 @@ object Bucketing {
       spark: SparkSession, root: String, v: Long, key: String, n: Int,
       filesByBucket: Map[Int, Seq[String]],
       schema: org.apache.spark.sql.types.StructType): DataFrame =
-    alignedSlice(spark, key, n, filesByBucket,
-      schema.add("__dv_file", org.apache.spark.sql.types.StringType)
-        .add("__dv_pos", org.apache.spark.sql.types.LongType),
-      fs => VersionedTable.readFilesTagged(spark, root, v, fs)
-        .select((casts(schema) :+ col("__dv_file") :+ col("__dv_pos")): _*))
+    alignedSlice(spark, root, v, key, n, filesByBucket, schema)
+      .select((casts(schema) :+ col("__dv_file") :+ col("__dv_pos")): _*)
 
   private def casts(
       schema: org.apache.spark.sql.types.StructType)
@@ -237,21 +231,35 @@ object Bucketing {
 
   /** The shared scaffold of the three slice forms: one partition per
     * bucket in bucket order (untouched/empty buckets contribute one
-    * empty partition), each bucket's files read mask-folded through
-    * `readBucket` (sorted for deterministic order), the layout's
-    * HashPartitioning claimed on top. */
+    * empty partition), each bucket's files read RAW-TAGGED (sorted for
+    * deterministic order), the layout's HashPartitioning claimed on
+    * top, and the version's mask folded ONCE above the claim. Folding
+    * above — not inside each bucket frame — matters twice over: one
+    * chain resolution and one mask build per SLICE instead of per
+    * BUCKET (per-bucket folding measured ~2x wall on a masked 16-bucket
+    * merge, and the per-bucket count is the scaling variable), and both
+    * mask roads preserve the claim (a broadcast anti-join keeps the
+    * streamed side's partitioning; the bitmap road is a filter), so the
+    * zero-exchange property is untouched. The three public faces select
+    * their own shape off the tagged fold. */
   private def alignedSlice(
-      spark: SparkSession, key: String, n: Int,
+      spark: SparkSession, root: String, v: Long, key: String, n: Int,
       filesByBucket: Map[Int, Seq[String]],
-      outSchema: org.apache.spark.sql.types.StructType,
-      readBucket: Seq[String] => DataFrame): DataFrame = {
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
     val bridge = org.apache.spark.sql.graft.PartitionBridge
+    val outSchema = schema
+      .add("__dv_file", org.apache.spark.sql.types.StringType)
+      .add("__dv_pos", org.apache.spark.sql.types.LongType)
+    val cs = casts(schema) :+ col("__dv_file") :+ col("__dv_pos")
     val parts = (0 until n).map { b =>
       filesByBucket.get(b).filter(_.nonEmpty)
-        .map(fs => bridge.onePartition(readBucket(fs.sorted)))
+        .map(fs => bridge.onePartition(
+          VersionedTable.readFilesRawTagged(spark, root, v, fs.sorted)
+            .select(cs: _*)))
         .getOrElse(bridge.emptyPartition(spark))
     }
-    bridge.claimHashPartitioned(spark, outSchema, parts, key)
+    VersionedTable.foldMaskOnce(spark, root, v,
+      bridge.claimHashPartitioned(spark, outSchema, parts, key))
   }
 
   /** The bucket-road merge frames against version `cur`, or None when

@@ -3108,20 +3108,41 @@ object VersionedTable {
     * slice a MERGE-ON-READ writer (the SQL MERGE's DV form) needs to mask
     * matched rows where they sit instead of rewriting their files. */
   private[graft] def readFilesTagged(
+      spark: SparkSession, root: String, v: Long, refs: Seq[String]): DataFrame =
+    foldMaskOnce(spark, root, v, readFilesRawTagged(spark, root, v, refs))
+
+  /** The UNMASKED half of [[readFilesTagged]]: the slice read with its
+    * physical tags but existing masks NOT yet folded. Exists for the
+    * bucket-aligned roads ([[Bucketing]]), which read one frame PER
+    * BUCKET — folding inside each bucket frame costs one chain
+    * resolution and one mask broadcast build per bucket (n per slice,
+    * measured ~2x wall on a masked 16-bucket merge); the aligned slice
+    * instead folds ONCE above the claimed concatenation, which both
+    * mask roads preserve (a broadcast anti-join keeps the streamed
+    * side's partitioning; the bitmap road is a filter). */
+  private[sources] def readFilesRawTagged(
       spark: SparkSession, root: String, v: Long, refs: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.col
-    require(refs.nonEmpty, "readFilesTagged needs at least one file ref")
-    val raw = synthHiveParts(spark, root, v, versionReader(spark, root, v)
-        .parquet(refs.map(r => new Path(root, r).toString): _*))
-      .withColumn("__dv_file", fileRefCol)
-      .withColumn("__dv_pos", col("_metadata.row_index"))
-    val folded = dvChainInfo(spark, root, v) match {
-      case Some(chain) =>
-        foldMask(spark, root, v, raw, dvOfChain(spark, root, v, chain), chain)
-      case None => raw
-    }
-    toLogical(folded, columnMapping(spark, root, v))
+    require(refs.nonEmpty, "readFilesRawTagged needs at least one file ref")
+    toLogical(
+      synthHiveParts(spark, root, v, versionReader(spark, root, v)
+          .parquet(refs.map(r => new Path(root, r).toString): _*))
+        .withColumn("__dv_file", fileRefCol)
+        .withColumn("__dv_pos", col("_metadata.row_index")),
+      columnMapping(spark, root, v))
   }
+
+  /** Fold version `v`'s mask out of a `__dv_file`/`__dv_pos`-tagged
+    * frame, resolving the chain ONCE; identity when the version carries
+    * no mask. The tag columns stay on the output. */
+  private[sources] def foldMaskOnce(
+      spark: SparkSession, root: String, v: Long,
+      tagged: DataFrame): DataFrame =
+    dvChainInfo(spark, root, v) match {
+      case Some(chain) =>
+        foldMask(spark, root, v, tagged, dvOfChain(spark, root, v, chain), chain)
+      case None => tagged
+    }
 
   /** Row-level UPDATE, copy-on-write (Delta/Iceberg `UPDATE ... SET` on
     * this format): rows where `predicate` is TRUE get each `set` column

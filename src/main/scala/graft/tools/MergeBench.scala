@@ -143,6 +143,30 @@ object MergeBench {
     val vB2 = VersionedTable.currentVersion(spark, rootBkt).get
     val bkt2Stamped = VersionedTable.commitInfoOf(spark, rootBkt, vB2)
       .get(graft.sources.Bucketing.BucketedInfoKey).contains(s"id,$nFiles")
+    // fifth road: MOR x BUCKET — the masked target's merge rides the
+    // claimed TAGGED slice (zero target-side exchange) and its written
+    // delta re-enters the layout through one explicit O(delta)
+    // repartition. Compared against MOR on the key-range road (same
+    // delta, DVs enabled, no layout).
+    val rootMorRng = java.nio.file.Files.createTempDirectory("merge_mr").toString + "/t"
+    seed(rootMorRng)
+    VersionedTable.setProperties(spark, rootMorRng,
+      Map("graft.enableDeletionVectors" -> "true"))
+    val (_, tMorRng, shMorRng) = measured(
+      graft.plans.GraftSql.execute(spark, mergeSql(rootMorRng, forceFull = false)).collect())
+    val rootMorBkt = java.nio.file.Files.createTempDirectory("merge_mb").toString + "/t"
+    seed(rootMorBkt)
+    graft.sources.Bucketing.bucketize(spark, rootMorBkt, "id", nFiles)
+    VersionedTable.setProperties(spark, rootMorBkt,
+      Map("graft.enableDeletionVectors" -> "true"))
+    val (_, tMorBkt, shMorBkt) = measured(
+      graft.plans.GraftSql.execute(spark, mergeSql(rootMorBkt, forceFull = false)).collect())
+    val (_, tMorBkt2, shMorBkt2) = measured(
+      graft.plans.GraftSql.execute(spark, mergeSql(rootMorBkt, forceFull = false)).collect())
+    val vMB = VersionedTable.currentVersion(spark, rootMorBkt).get
+    val morBktStamped = VersionedTable.commitInfoOf(spark, rootMorBkt, vMB)
+      .get(graft.sources.Bucketing.BucketedInfoKey).contains(s"id,$nFiles") &&
+      VersionedTable.hasDeletionVectors(spark, rootMorBkt, vMB)
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
     // row-level equality of the results (the bench is also a check)
@@ -151,8 +175,9 @@ object MergeBench {
         VersionedTable.read(spark, b).exceptAll(VersionedTable.read(spark, a)).isEmpty
     val same = sameAs(rootFull, rootCow) && sameAs(rootCow, rootMor)
     val sameBkt = sameAs(rootRng, rootBkt)
+    val sameMorBkt = sameAs(rootMorRng, rootMorBkt)
 
-    println(s"""{"metric":"merge_cow","sf":"$sfDir","n_files":$nFiles,"delta_keys":$deltaKeys,"full_bytes":$bFull,"cow_bytes":$bCow,"mor_bytes":$bMor,"mor_dv_bytes":$dvBytes,"bytes_ratio":${bCow.toDouble / bFull},"mor_ratio":${(bMor + dvBytes).toDouble / bFull},"full_sec":$tFull,"cow_sec":$tCow,"mor_sec":$tMor,"manifest_files":$refs,"kept_by_ref":$keptRefs,"results_equal":$same,"sql_range_sec":$tRng,"sql_range_shuffle_bytes":$shRng,"sql_bucket_sec":$tBkt,"sql_bucket_shuffle_bytes":$shBkt,"sql_bucket_second_sec":$tBkt2,"sql_bucket_second_shuffle_bytes":$shBkt2,"sql_bucket_road_used":${bkt1Stamped && bkt2Stamped},"sql_bucket_equal":$sameBkt}""")
+    println(s"""{"metric":"merge_cow","sf":"$sfDir","n_files":$nFiles,"delta_keys":$deltaKeys,"full_bytes":$bFull,"cow_bytes":$bCow,"mor_bytes":$bMor,"mor_dv_bytes":$dvBytes,"bytes_ratio":${bCow.toDouble / bFull},"mor_ratio":${(bMor + dvBytes).toDouble / bFull},"full_sec":$tFull,"cow_sec":$tCow,"mor_sec":$tMor,"manifest_files":$refs,"kept_by_ref":$keptRefs,"results_equal":$same,"sql_range_sec":$tRng,"sql_range_shuffle_bytes":$shRng,"sql_bucket_sec":$tBkt,"sql_bucket_shuffle_bytes":$shBkt,"sql_bucket_second_sec":$tBkt2,"sql_bucket_second_shuffle_bytes":$shBkt2,"sql_bucket_road_used":${bkt1Stamped && bkt2Stamped},"sql_bucket_equal":$sameBkt,"mor_range_sec":$tMorRng,"mor_range_shuffle_bytes":$shMorRng,"mor_bucket_sec":$tMorBkt,"mor_bucket_shuffle_bytes":$shMorBkt,"mor_bucket_second_sec":$tMorBkt2,"mor_bucket_second_shuffle_bytes":$shMorBkt2,"mor_bucket_road_used":$morBktStamped,"mor_bucket_equal":$sameMorBkt}""")
     spark.stop()
   }
 }
