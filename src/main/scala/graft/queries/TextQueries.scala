@@ -38,7 +38,8 @@ object TextQueries {
     "st4_stream_state"   -> ((s, d) => st4(s, d)),
     "st5_stream_dedup"   -> ((s, d) => st5(s, d)),
     "st6_stream_join"    -> ((s, d) => st6(s, d)),
-    "st7_stream_apply"   -> ((s, d) => st7(s, d))
+    "st7_stream_apply"   -> ((s, d) => st7(s, d)),
+    "st8_stream_ivm"     -> ((s, d) => st8(s, d))
   )
 
   private val SessionGapSeconds = 7200L // same boundary as q13
@@ -340,6 +341,43 @@ object TextQueries {
     graft.streaming.ReplicaStream.start(s, src, dst, Seq("o_orderkey"), ck,
       appId = "st7", availableNow = true).awaitTermination()
     VersionedTable.read(s, dst).orderBy(col("o_orderkey"))
+  }
+
+  /** st8: INCREMENTAL VIEW MAINTENANCE with retractions — the same
+    * change history as st7 (seed, append, update moving keys across
+    * groups, delete), but the consumer maintains a GROUP BY aggregate
+    * (count + sum per order status) from the feed alone: deletes and
+    * update pre-images RETRACT, inserts and post-images add, zeroed
+    * groups disappear. The view converges to exactly the batch
+    * aggregate over the source's final state — which is what the
+    * oracle computes ([[graft.sources.AggReplica]] for the algebra,
+    * [[graft.streaming.ViewStream]] for the exactly-once transport). */
+  def st8(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.VersionedTable
+    val tmp = java.nio.file.Files.createTempDirectory("graft_st8").toString
+    val src = s"$tmp/src"; val dst = s"$tmp/view"; val ck = s"$tmp/ck"
+    // accumulate in DECIMAL: an incrementally-maintained double sum
+    // drifts with addition order (the q1 exactness rule); the final
+    // projection casts once
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
+    val seed = orders.where(col("o_orderkey") % 4 === 1)
+    VersionedTable.commit(seed, src, extras = Map("changes" ->
+      VersionedTable.feedWritable(
+        seed.withColumn("_change_type", lit("insert")))))
+    VersionedTable.commitAppend(
+      orders.where(col("o_orderkey") % 4 === 2), src, changeFeed = true)
+    VersionedTable.updateWhere(s, src, col("o_orderkey") % 10 === 0,
+      Map("o_orderstatus" -> lit("X")))
+    VersionedTable.deleteWhere(s, src, col("o_totalprice") < lit(50000.0))
+    graft.streaming.ViewStream.start(s, src, dst, Seq("o_orderstatus"),
+      "o_totalprice", ck, appId = "st8", availableNow = true)
+      .awaitTermination()
+    VersionedTable.read(s, dst)
+      .select(col("o_orderstatus"), col("n_rows"),
+        col("value_sum").cast("double").as("value_sum"))
+      .orderBy(col("o_orderstatus"))
   }
 
   /** t13: ENCODE to vocabulary IDS — the step that turns tokenized text
@@ -739,6 +777,23 @@ object TextQueries {
         |WHERE o_orderkey % 4 IN (1, 2)
         |  AND NOT (o_totalprice < 50000.0)
         |ORDER BY o_orderkey""".stripMargin,
+
+    // st8: the batch formulation of the retraction-maintained view —
+    // the GROUP BY aggregate over the source's FINAL state (st7's final
+    // state expression), which the incremental fold must equal exactly
+    "st8_stream_ivm" ->
+      """WITH fin AS (
+        |  SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END
+        |      AS o_orderstatus,
+        |    o_totalprice
+        |  FROM orders
+        |  WHERE o_orderkey % 4 IN (1, 2)
+        |    AND NOT (o_totalprice < 50000.0))
+        |SELECT o_orderstatus, count(*)::BIGINT AS n_rows,
+        |  sum(coalesce(CAST(o_totalprice AS DECIMAL(18,2)), 0))::DOUBLE
+        |    AS value_sum
+        |FROM fin GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     "st5_stream_dedup" ->
       s"""WITH feed AS (

@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sources.{AggReplica, VersionedTable}
+
+/** Incremental view maintenance with retractions ([[AggReplica]] +
+  * [[ViewStream]]): a count/sum GROUP BY view maintained from the
+  * change feed alone — deletes and update pre-images retract, inserts
+  * and post-images add, zeroed groups disappear, a too-late consumer
+  * fails loudly instead of serving a wrong aggregate, and replayed
+  * batches are exactly-once no-ops on the txn stamp. */
+class ViewStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(tag: String) =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  /** (group, value) history: seed, append, move a key across groups,
+    * delete a whole group. */
+  private def seedSource(root: String): Unit = {
+    val df = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L))
+      .toDF("id", "grp", "v")
+    VersionedTable.commit(df, root, extras = Map("changes" ->
+      VersionedTable.feedWritable(df.withColumn("_change_type", lit("insert")))))
+    VersionedTable.commitAppend(
+      Seq((4L, "b", 7L), (5L, "c", 100L)).toDF("id", "grp", "v"), root,
+      changeFeed = true)
+    // move id=2 from group a to group b: a retracts (1, 20), b adds
+    VersionedTable.updateWhere(spark, root, col("id") === 2L,
+      Map("grp" -> lit("b")))
+    // delete group c entirely: its view row must DISAPPEAR
+    VersionedTable.deleteWhere(spark, root, col("grp") === "c")
+  }
+
+  private def viewState(root: String): Seq[(String, Long, Long)] =
+    VersionedTable.read(spark, root)
+      .select(col("grp"), col("n_rows"), col("value_sum").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+
+  test("the streamed view converges to the batch aggregate over the final " +
+    "state: moves retract across groups, zeroed groups disappear") {
+    val src = freshDir("graft_vs_src") + "/t"
+    val dst = freshDir("graft_vs_dst") + "/t"
+    val ck = freshDir("graft_vs_ck")
+    seedSource(src)
+    ViewStream.start(spark, src, dst, Seq("grp"), "v", ck,
+      appId = "vs-test", availableNow = true).awaitTermination()
+    assert(viewState(dst) == Seq(("a", 1L, 10L), ("b", 3L, 32L)),
+      "view must equal the batch GROUP BY over the final source state")
+    // restart with nothing new: a no-op, state unchanged
+    ViewStream.start(spark, src, dst, Seq("grp"), "v", ck,
+      appId = "vs-test", availableNow = true).awaitTermination()
+    assert(viewState(dst) == Seq(("a", 1L, 10L), ("b", 3L, 32L)))
+    // more source changes fold incrementally on the same checkpoint
+    VersionedTable.commitAppend(
+      Seq((6L, "a", 3L)).toDF("id", "grp", "v"), src, changeFeed = true)
+    ViewStream.start(spark, src, dst, Seq("grp"), "v", ck,
+      appId = "vs-test", availableNow = true).awaitTermination()
+    assert(viewState(dst) == Seq(("a", 2L, 13L), ("b", 3L, 32L)))
+  }
+
+  test("a replayed batch is an exactly-once no-op on the txn stamp; a " +
+    "stale writer aborts inside the claim") {
+    val dst = freshDir("graft_vs_txn") + "/t"
+    val batch = Seq(("a", 10L, "insert"), ("a", 20L, "insert"))
+      .toDF("grp", "v", "_change_type")
+    assert(ViewStream.applyBatchTxn(spark, dst, Seq("grp"), "v", batch,
+      "vs-txn", 0L))
+    assert(viewState(dst) == Seq(("a", 2L, 30L)))
+    // replay of batch 0: skipped BEFORE any work
+    assert(!ViewStream.applyBatchTxn(spark, dst, Seq("grp"), "v", batch,
+      "vs-txn", 0L))
+    assert(viewState(dst) == Seq(("a", 2L, 30L)))
+    // batch 1 applies; a zombie retry of batch 1 skips again
+    val b1 = Seq(("a", 10L, "delete")).toDF("grp", "v", "_change_type")
+    assert(ViewStream.applyBatchTxn(spark, dst, Seq("grp"), "v", b1,
+      "vs-txn", 1L))
+    assert(viewState(dst) == Seq(("a", 1L, 20L)))
+    assert(!ViewStream.applyBatchTxn(spark, dst, Seq("grp"), "v", b1,
+      "vs-txn", 1L))
+    assert(viewState(dst) == Seq(("a", 1L, 20L)))
+  }
+
+  test("a consumer starting past rows the view never counted fails " +
+    "loudly — bootstrap and merged-batch forms both") {
+    val dst = freshDir("graft_vs_neg") + "/t"
+    // bootstrap with a leading retraction: refused
+    val late = Seq(("a", 10L, "delete")).toDF("grp", "v", "_change_type")
+    intercept[AggReplica.NegativeGroupException] {
+      AggReplica.applyAggBatch(spark, dst, Seq("grp"), "v", late)
+    }
+    // live view, then a batch retracting more than the group holds
+    val ok = Seq(("a", 10L, "insert")).toDF("grp", "v", "_change_type")
+    assert(AggReplica.applyAggBatch(spark, dst, Seq("grp"), "v", ok))
+    val over = Seq(("a", 10L, "delete"), ("a", 20L, "delete"))
+      .toDF("grp", "v", "_change_type")
+    val e = intercept[Exception] {
+      AggReplica.applyAggBatch(spark, dst, Seq("grp"), "v", over)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("would go negative")),
+      s"expected the loud negative-view error, got: ${messages(e)}")
+    assert(viewState(dst) == Seq(("a", 1L, 10L)),
+      "a refused batch must leave the view untouched")
+  }
+
+  test("cross-version cancellation inside one batch needs no ordering: " +
+    "insert+delete of the same rows is a no-op, replace accumulates") {
+    val dst = freshDir("graft_vs_can") + "/t"
+    val seed = Seq(("a", 5L, "insert")).toDF("grp", "v", "_change_type")
+    assert(AggReplica.applyAggBatch(spark, dst, Seq("grp"), "v", seed))
+    // one batch spanning versions: b inserted then fully deleted (nets
+    // out), a updated 5 -> 9 (pre-image retracts, post-image adds)
+    val span = Seq(
+      ("b", 50L, "insert"), ("b", 50L, "delete"),
+      ("a", 5L, "update_preimage"), ("a", 9L, "update_postimage"))
+      .toDF("grp", "v", "_change_type")
+    assert(AggReplica.applyAggBatch(spark, dst, Seq("grp"), "v", span))
+    assert(viewState(dst) == Seq(("a", 1L, 9L)),
+      "cancelled group must never touch the view; the replace must land")
+  }
+}
