@@ -5583,7 +5583,8 @@ object VersionedTable {
       bloomCols: Seq[String],
       preCommit: Long => Unit,
       op: String,
-      recordProperties: Option[Map[String, String]] = None): Long = {
+      recordProperties: Option[Map[String, String]] = None,
+      extraInfo: Map[String, String] = Map.empty): Long = {
     val mapped = columnMapping(spark, root, v).nonEmpty ||
       retiredPhysicals(spark, root, v).nonEmpty
     if (mapped)
@@ -5591,7 +5592,8 @@ object VersionedTable {
         extras = Map("changes" -> emptyFeed(feedSrc)), // layout-only feed
         bloomCols = bloomCols,
         preCommit = w => { preCommit(w); occValidate(spark, root, v)(w) },
-        recordProperties = recordProperties)
+        recordProperties = recordProperties,
+        recordInfo = Map("operation" -> op) ++ extraInfo)
     else {
       val rb = new AppendRebase(spark, root, v)
       commitCowInternal(reshaped, root, v, Nil,
@@ -5601,7 +5603,7 @@ object VersionedTable {
         recordSchema = Some(schemaOf(spark, root, v)),
         recordProperties = recordProperties,
         rebase = Some(rb),
-        recordInfo = Map("operation" -> op))
+        recordInfo = Map("operation" -> op) ++ extraInfo)
     }
   }
 
@@ -5626,11 +5628,28 @@ object VersionedTable {
       // write emits few files per task instead of (tasks x tuples)
       val pspec = partitionColumnsOf(spark, root, v)
         .map(org.apache.spark.sql.functions.col)
-      val reshaped =
-        if (pspec.isEmpty) df.repartition(nFiles)
-        else df.repartitionByRange(nFiles, pspec: _*)
+      // a BUCKETIZED table compacts WITHIN its layout: the steady MOR
+      // merge stream accumulates one small file per touched bucket per
+      // commit (plus masks this rewrite absorbs), and an
+      // arbitrary-placement repartition here would orphan the layout
+      // the merges ride — re-hash into the spec's buckets and re-stamp,
+      // so compaction keeps the road. The file count is the layout's
+      // bucket count by construction (resizing is a re-bucketize — a
+      // workload decision, not maintenance).
+      val spec = Bucketing.specOf(propertiesOf(spark, root, v))
+      val (reshaped, stamp) = spec match {
+        case Some((key, n)) if pspec.isEmpty =>
+          val keyName = df.schema.fieldNames
+            .find(_.equalsIgnoreCase(key)).getOrElse(key)
+          (df.repartition(n, org.apache.spark.sql.functions.col(keyName)),
+            Map(Bucketing.BucketedInfoKey -> s"$key,$n"))
+        case _ =>
+          (if (pspec.isEmpty) df.repartition(nFiles)
+           else df.repartitionByRange(nFiles, pspec: _*),
+            Map.empty[String, String])
+      }
       commitLayoutRewrite(spark, root, v, reshaped, df, bloomCols,
-        preCommit, "compact")
+        preCommit, "compact", extraInfo = stamp)
     }
   }
 
@@ -5666,9 +5685,13 @@ object VersionedTable {
         df.repartitionByRange(nFiles, cols: _*)
           .sortWithinPartitions(cols: _*),
         df, bloomCols, preCommit, "optimize",
-        // record the clustering so maintenanceReport can measure its decay
+        // record the clustering so maintenanceReport can measure its
+        // decay — and DROP any bucket spec: the user chose the range
+        // layout, and a stale spec would put a purity probe (always
+        // declining after this rewrite) on every later merge
         recordProperties = Some(propertiesOf(spark, root, v)
-          .updated(ClusteredByProp, sortCols.mkString(","))))
+          .updated(ClusteredByProp, sortCols.mkString(","))
+          - Bucketing.BucketByProp))
     }
   }
 
@@ -5708,10 +5731,28 @@ object VersionedTable {
         val pspec = partitionColumnsOf(spark, root, v)
         val cols = (pspec ++ sortCols.filterNot(pspec.contains))
           .map(org.apache.spark.sql.functions.col)
-        val clustered =
-          if (cols.isEmpty) slice.repartition(nFiles)
-          else slice.repartitionByRange(nFiles, cols: _*)
-            .sortWithinPartitions(cols: _*)
+        // the plain-compaction form on a BUCKETIZED table re-packs the
+        // slice WITHIN the layout (compact()'s rule, slice-scoped): rows
+        // re-hash into the spec's buckets — empty buckets write nothing,
+        // so a small slice costs one file per bucket it touches — and
+        // the stamp keeps the merge road. A sortCols form is the user
+        // choosing a range layout for the slice; it stays unstamped and
+        // the road declines, correctly.
+        val spec =
+          if (sortCols.isEmpty) Bucketing.specOf(propertiesOf(spark, root, v))
+          else None
+        val (clustered, stamp) = spec match {
+          case Some((key, n)) if pspec.isEmpty =>
+            val keyName = slice.schema.fieldNames
+              .find(_.equalsIgnoreCase(key)).getOrElse(key)
+            (slice.repartition(n, org.apache.spark.sql.functions.col(keyName)),
+              Map(Bucketing.BucketedInfoKey -> s"$key,$n"))
+          case _ =>
+            (if (cols.isEmpty) slice.repartition(nFiles)
+             else slice.repartitionByRange(nFiles, cols: _*)
+               .sortWithinPartitions(cols: _*),
+              Map.empty[String, String])
+        }
         // blind appends landing during the slice rewrite merge in by
         // manifest-union, exactly as the DML COW paths
         val rb = new AppendRebase(spark, root, v)
@@ -5720,7 +5761,7 @@ object VersionedTable {
           bloomCols = bloomCols,
           preCommit = rb.validate,
           rebase = Some(rb),
-          recordInfo = Map("operation" -> "optimize-where"))
+          recordInfo = Map("operation" -> "optimize-where") ++ stamp)
       }
     }
   }
@@ -5820,8 +5861,10 @@ object VersionedTable {
       // z-ordered files interleave per-column ranges by design, so the
       // drift measure uses the LEAD column only — still a usable decay
       // signal (fresh z-layout: bounded overlap; append churn: it grows)
+      // — and drop any bucket spec, as optimize() does
       recordProperties = Some(propertiesOf(spark, root, v)
-        .updated(ClusteredByProp, cols.mkString(","))))
+        .updated(ClusteredByProp, cols.mkString(","))
+        - Bucketing.BucketByProp))
     }
   }
 

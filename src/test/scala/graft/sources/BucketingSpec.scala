@@ -394,6 +394,53 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("maintenance keeps the layout's lifecycle whole: compaction " +
+    "re-packs WITHIN the buckets (absorbing masks) and the merge road " +
+    "survives; a range OPTIMIZE drops the stale spec") {
+    val root = freshRoot(); seed(root, 8)
+    graft.plans.GraftSql.execute(spark,
+      s"ALTER TABLE '$root' SET TBLPROPERTIES ('graft.enableDeletionVectors'='true')")
+    // a steady MOR stream: masks + one small file per touched bucket
+    Seq((3L, "M1"), (500L, "M1")).toDF("id", "st")
+      .createOrReplaceTempView("bkt_life_src1")
+    graft.plans.GraftSql.execute(spark,
+      s"""MERGE INTO `$root` AS t USING bkt_life_src1 AS s ON t.id = s.id
+         |WHEN MATCHED AND s.st = 'M1' THEN UPDATE SET last_status = s.st
+         |WHEN NOT MATCHED THEN INSERT (id, last_status) VALUES (s.id, s.st)
+         |""".stripMargin)
+    graft.plans.GraftSql.execute(spark,
+      s"DELETE FROM `$root` WHERE id = 7")
+    val masked = VersionedTable.currentVersion(spark, root).get
+    assert(VersionedTable.hasDeletionVectors(spark, root, masked))
+    // COMPACT: must absorb the masks AND keep the layout
+    val vc = VersionedTable.compact(spark, root)
+    assert(!VersionedTable.hasDeletionVectors(spark, root, vc),
+      "compaction must fold the masks away")
+    assert(VersionedTable.commitInfoOf(spark, root, vc)
+      .get(Bucketing.BucketedInfoKey).contains("id,8"))
+    assert(Bucketing.pureBuckets(spark, root, vc, "id", 8).isDefined,
+      "compaction must re-pack within the buckets, not orphan the layout")
+    // rows intact
+    assert(VersionedTable.read(spark, root).count() == 400L) // -1 del +1 ins
+    assert(VersionedTable.read(spark, root).where(col("id") === 7L).count() == 0L)
+    // and the NEXT merge still rides (finds the compacted rows)
+    Seq((500L, "HIT")).toDF("id", "st")
+      .createOrReplaceTempView("bkt_life_src2")
+    graft.plans.GraftSql.execute(spark,
+      s"""MERGE INTO `$root` AS t USING bkt_life_src2 AS s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET last_status = s.st
+         |WHEN NOT MATCHED THEN INSERT (id, last_status) VALUES (s.id, s.st)
+         |""".stripMargin)
+    assert(VersionedTable.read(spark, root).where(col("id") === 500L)
+      .select("last_status").as[String].collect().toSeq == Seq("HIT"))
+    // a RANGE optimize is a layout change: the stale bucket spec goes
+    VersionedTable.optimize(spark, root, Seq("id"))
+    val vo = VersionedTable.currentVersion(spark, root).get
+    assert(!VersionedTable.propertiesOf(spark, root, vo)
+      .contains(Bucketing.BucketByProp),
+      "optimize must drop the bucket spec it just unmade")
+  }
+
   test("an ON joining the key through TWO source attributes declines the " +
     "aligned road: a not-matched row proves nothing about the other attr") {
     val root = freshRoot(); seed(root, 8)
