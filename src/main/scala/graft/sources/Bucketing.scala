@@ -231,9 +231,8 @@ object Bucketing {
 
   /** The shared scaffold of the three slice forms: one partition per
     * bucket in bucket order (untouched/empty buckets contribute one
-    * empty partition), each bucket's files read RAW-TAGGED (sorted for
-    * deterministic order), the layout's HashPartitioning claimed on
-    * top, and the version's mask folded ONCE above the claim. Folding
+    * empty partition), the layout's HashPartitioning claimed on top,
+    * and the version's mask folded ONCE above the claim. Folding
     * above — not inside each bucket frame — matters twice over: one
     * chain resolution and one mask build per SLICE instead of per
     * BUCKET (per-bucket folding measured ~2x wall on a masked 16-bucket
@@ -241,7 +240,23 @@ object Bucketing {
     * mask roads preserve the claim (a broadcast anti-join keeps the
     * streamed side's partitioning; the bitmap road is a filter), so the
     * zero-exchange property is untouched. The three public faces select
-    * their own shape off the tagged fold. */
+    * their own shape off the tagged fold.
+    *
+    * TWO roads build the claimed slice, fastest provable one wins:
+    *
+    *  - ONE-PLAN REGROUP (the default): compile a single scan of ALL
+    *    the slice's files — planned with file packing disabled
+    *    (openCostInBytes pinned to maxPartitionBytes), so every scan
+    *    partition holds one file (or one split of one file) — then
+    *    regroup scan partitions by bucket through a narrow dependency
+    *    ([[org.apache.spark.sql.graft.PartitionBridge.regroupClaim]]).
+    *    Driver cost O(1) plans in the bucket count, vs the per-bucket
+    *    road's ~20 ms x n of analysis+codegen (BucketScaleBench: 22
+    *    ms/bucket — minutes per merge at 4096 buckets).
+    *  - PER-BUCKET PLANS (the fallback): one frame per bucket, RDD
+    *    union, claim — kept for any shape the regroup can't PROVE
+    *    single-bucket per partition (it declines rather than
+    *    mis-claims). */
   private def alignedSlice(
       spark: SparkSession, root: String, v: Long, key: String, n: Int,
       filesByBucket: Map[Int, Seq[String]],
@@ -251,16 +266,49 @@ object Bucketing {
       .add("__dv_file", org.apache.spark.sql.types.StringType)
       .add("__dv_pos", org.apache.spark.sql.types.LongType)
     val cs = casts(schema) :+ col("__dv_file") :+ col("__dv_pos")
-    val parts = (0 until n).map { b =>
-      filesByBucket.get(b).filter(_.nonEmpty)
-        .map(fs => bridge.onePartition(
-          VersionedTable.readFilesRawTagged(spark, root, v, fs.sorted)
-            .select(cs: _*)))
-        .getOrElse(bridge.emptyPartition(spark))
+    val onePlan: Option[org.apache.spark.sql.DataFrame] =
+      if (filesByBucket.isEmpty) None
+      else {
+        val fsys = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val byPath: Map[String, Int] = filesByBucket.toSeq.flatMap {
+          case (b, fs) => fs.map(r => fsys.makeQualified(
+            new org.apache.hadoop.fs.Path(root, r)).toString -> b)
+        }.toMap
+        val refs = filesByBucket.valuesIterator.flatten.toSeq.sorted
+        val whole = VersionedTable.readFilesRawTagged(spark, root, v, refs)
+          .select(cs: _*)
+        // pin packing OFF for this plan's compilation: openCost at the
+        // partition byte ceiling means no two files share a partition
+        val openKey = "spark.sql.files.openCostInBytes"
+        val prev = spark.conf.getOption(openKey)
+        spark.conf.set(openKey,
+          spark.conf.get("spark.sql.files.maxPartitionBytes"))
+        try bridge.regroupClaim(spark, whole,
+          p => byPath.get(new org.apache.hadoop.fs.Path(p).toString), n, key)
+        finally prev match {
+          case Some(x) => spark.conf.set(openKey, x)
+          case None => spark.conf.unset(openKey)
+        }
+      }
+    lastSliceOnePlan = onePlan.isDefined
+    val claimed = onePlan.getOrElse {
+      val parts = (0 until n).map { b =>
+        filesByBucket.get(b).filter(_.nonEmpty)
+          .map(fs => bridge.onePartition(
+            VersionedTable.readFilesRawTagged(spark, root, v, fs.sorted)
+              .select(cs: _*)))
+          .getOrElse(bridge.emptyPartition(spark))
+      }
+      bridge.claimHashPartitioned(spark, outSchema, parts, key)
     }
-    VersionedTable.foldMaskOnce(spark, root, v,
-      bridge.claimHashPartitioned(spark, outSchema, parts, key))
+    VersionedTable.foldMaskOnce(spark, root, v, claimed)
   }
+
+  /** Which road the LAST [[alignedSlice]] took (true = one-plan
+    * regroup) — observability for specs; the roads are
+    * row-indistinguishable by construction. */
+  @volatile private[graft] var lastSliceOnePlan: Boolean = false
 
   /** The bucket-road merge frames against version `cur`, or None when
     * any guard fails (no spec, spec on a different key, a type-drifted

@@ -110,9 +110,120 @@ object PartitionBridge {
     if (r.getNumPartitions == 1) r else r.coalesce(1, shuffle = false)
   }
 
+  /** ONE-PLAN form of the bucket-aligned slice: compile `df` (a
+    * map-only plan over ONE file scan of the slice's files) once, map
+    * each scan partition to its bucket through `groupOfPath`, regroup
+    * partitions by bucket with a narrow dependency (partition `b` of
+    * the result concatenates exactly the scan partitions of bucket
+    * `b`'s files — NO shuffle, NO per-bucket plan), and claim
+    * `HashPartitioning(key, n)` on top.
+    *
+    * Why it exists: building one DataFrame per bucket costs one
+    * analysis + physical planning + codegen PER BUCKET (~20 ms each,
+    * measured — BucketScaleBench), which is the bucket road's driver
+    * term: 22 ms x 4096 buckets would be minutes per merge. One plan
+    * makes the driver cost O(1) in the bucket count.
+    *
+    * Returns None — callers keep the per-bucket road — when the plan's
+    * partition↔file mapping can't be PROVEN single-bucket: a scan
+    * partition packing files of two buckets, a path `groupOfPath` can't
+    * resolve, an out-of-range bucket, or a plan whose RDD chain doesn't
+    * bottom out in one file scan. The caller must plan the scan with
+    * `spark.sql.files.openCostInBytes` at or above
+    * `maxPartitionBytes` so packing never mixes files (splits of one
+    * oversized file stay same-bucket by construction); this probe is
+    * the proof, not the mechanism. */
+  def regroupClaim(
+      spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame,
+      groupOfPath: String => Option[Int],
+      n: Int,
+      key: String): Option[DataFrame] = {
+    val sess = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val rdd = df.queryExecution.toRdd
+    // walk the one-parent chain to the file scan (scan + project/filter
+    // compiles to a linear RDD lineage; anything else declines)
+    @scala.annotation.tailrec
+    def fileScan(r: RDD[_]): Option[org.apache.spark.sql.execution.datasources.FileScanRDD] =
+      r match {
+        case f: org.apache.spark.sql.execution.datasources.FileScanRDD => Some(f)
+        case _ if r.dependencies.size == 1 => fileScan(r.dependencies.head.rdd)
+        case _ => None
+      }
+    fileScan(rdd).flatMap { scan =>
+      if (scan.getNumPartitions != rdd.getNumPartitions) None
+      else {
+        val groups = Array.fill(n)(List.newBuilder[Int])
+        var ok = true
+        scan.filePartitions.foreach { fp =>
+          val gs = fp.files.map(pf => groupOfPath(pf.filePath.toString))
+            .distinct.toSeq
+          gs match {
+            case Seq(Some(g)) if g >= 0 && g < n => groups(g) += fp.index
+            case _ => ok = false
+          }
+        }
+        if (!ok) None
+        else {
+          val grouped = groups.map(_.result().sorted.toArray)
+          val regrouped = new RegroupRDD(rdd, grouped)
+          val attrs = DataTypeUtils.toAttributes(df.schema)
+          val attr = attrs.find(_.name.equalsIgnoreCase(key)).getOrElse(
+            throw new IllegalArgumentException(
+              s"no column $key in ${df.schema.fieldNames.mkString(", ")}"))
+          val plan = new LogicalRDD(
+            attrs, regrouped, HashPartitioning(Seq(attr), n), Nil,
+            false, None)(sess, None, None)
+          Some(org.apache.spark.sql.classic.Dataset.ofRows(sess, plan))
+        }
+      }
+    }
+  }
+
   /** An empty single partition in `schema`'s layout (an untouched or
     * empty bucket). */
   def emptyPartition(
       spark: org.apache.spark.sql.SparkSession): RDD[InternalRow] =
     spark.sparkContext.parallelize(Seq.empty[InternalRow], 1)
+}
+
+private final class RegroupPartition(
+    override val index: Int,
+    val parents: Array[org.apache.spark.Partition])
+  extends org.apache.spark.Partition
+
+/** n-partition regroup of a parent RDD through a narrow dependency:
+  * partition `i` concatenates the parent partitions listed in
+  * `groups(i)`, in order (an empty group is an empty partition). The
+  * coalesce shape with caller-chosen grouping — no shuffle, rows
+  * stream straight through. The parent PARTITION OBJECTS are captured
+  * into [[RegroupPartition]] at plan time and ship with the task:
+  * re-deriving them executor-side would call the parent's
+  * getPartitions against `@transient` driver state (FileScanRDD's
+  * filePartitions is null there). */
+private final class RegroupRDD(
+    parent: RDD[InternalRow], groups: Array[Array[Int]])
+  extends RDD[InternalRow](parent.sparkContext,
+    Seq(new org.apache.spark.NarrowDependency[InternalRow](parent) {
+      override def getParents(partitionId: Int): Seq[Int] =
+        groups(partitionId).toSeq
+    })) {
+
+  override def getPartitions: Array[org.apache.spark.Partition] = {
+    val parentParts = firstParent[InternalRow].partitions
+    groups.indices.map(i =>
+      new RegroupPartition(i, groups(i).map(parentParts))).toArray
+  }
+
+  override def compute(
+      split: org.apache.spark.Partition,
+      context: org.apache.spark.TaskContext): Iterator[InternalRow] =
+    split.asInstanceOf[RegroupPartition].parents.iterator.flatMap(p =>
+      firstParent[InternalRow].iterator(p, context))
+
+  override protected def getPreferredLocations(
+      split: org.apache.spark.Partition): Seq[String] =
+    split.asInstanceOf[RegroupPartition].parents.toSeq
+      .flatMap(p => firstParent[InternalRow].preferredLocations(p))
+      .distinct
 }

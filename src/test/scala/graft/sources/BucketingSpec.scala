@@ -218,6 +218,11 @@ class BucketingSpec extends SparkSpec {
       assert(cp1.exists(p => p.contains("SortMergeJoin") ||
         p.contains("ShuffledHashJoin")), "expected the merge join planned")
       cp1.foreach(assertNoTargetExchange)
+      // the slice compiled as ONE plan regrouped by bucket, not n plans
+      // (the roads are row-indistinguishable; this is the driver-cost
+      // observability hook)
+      assert(Bucketing.lastSliceOnePlan,
+        "the one-plan regroup road must engage on a plain aligned slice")
       // the commit is stamped and its files bucket-pure: the road survives
       assert(VersionedTable.commitInfoOf(spark, rootB, v1)
         .get(Bucketing.BucketedInfoKey).contains("id,8"))
