@@ -399,6 +399,70 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("concurrent MOR merges on the bucketized masked target: OCC " +
+    "serializes them, every change lands once, stamps stay true, the " +
+    "chain folds whole") {
+    val root = freshRoot(); seed(root, 8)
+    graft.plans.GraftSql.execute(spark,
+      s"ALTER TABLE '$root' SET TBLPROPERTIES ('graft.enableDeletionVectors'='true')")
+    // 4 concurrent SQL MERGEs over DISJOINT keys: updates, deletes and
+    // inserts racing on the same bucketized masked target — the judge
+    // of the new road's OCC story. Disjoint keys make the serial union
+    // exact whatever order the writers land in.
+    (0 until 4).foreach { w =>
+      Seq((10L + w, s"U$w", "upd"), (100L + w, s"D$w", "del"),
+        (600L + w, s"I$w", "ins"))
+        .toDF("id", "st", "kind")
+        .createOrReplaceTempView(s"bkt_occ_src$w")
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val writers = (0 until 4).map { w =>
+      Future {
+        graft.plans.GraftSql.execute(spark,
+          s"""MERGE INTO `$root` AS t USING bkt_occ_src$w AS s ON t.id = s.id
+             |WHEN MATCHED AND s.kind = 'del' THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET last_status = s.st
+             |WHEN NOT MATCHED THEN INSERT (id, last_status) VALUES (s.id, s.st)
+             |""".stripMargin).collect()
+      }
+    }
+    Await.result(Future.sequence(writers), 300.seconds)
+    val cur = VersionedTable.currentVersion(spark, root).get
+    // every writer's changes landed exactly once
+    (0 until 4).foreach { w =>
+      val upd = VersionedTable.read(spark, root)
+        .where(col("id") === (10L + w)).select("last_status")
+        .as[String].collect().toSeq
+      assert(upd == Seq(s"U$w"), s"writer $w update: $upd")
+      assert(VersionedTable.read(spark, root)
+        .where(col("id") === (100L + w)).count() == 0L, s"writer $w delete")
+      val ins = VersionedTable.read(spark, root)
+        .where(col("id") === (600L + w)).select("last_status")
+        .as[String].collect().toSeq
+      assert(ins == Seq(s"I$w"), s"writer $w insert: $ins")
+    }
+    assert(VersionedTable.read(spark, root).count() == 400L) // -4 +4
+    // the contended commits kept the layout provably pure and the
+    // DV chain whole (4 deletes = 4 mask rows, set-exact)
+    assert(Bucketing.pureBuckets(spark, root, cur, "id", 8).isDefined,
+      "contention must never publish a false stamp")
+    val fold = VersionedTable.dvOf(spark, root, cur).get
+    assert(fold.count() == fold.distinct().count(),
+      "the contended chain must fold to set-exact masks")
+    // and the road still rides after the contention
+    Seq((601L, "AFTER")).toDF("id", "st")
+      .createOrReplaceTempView("bkt_occ_after")
+    graft.plans.GraftSql.execute(spark,
+      s"""MERGE INTO `$root` AS t USING bkt_occ_after AS s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET last_status = s.st
+         |""".stripMargin)
+    assert(VersionedTable.read(spark, root).where(col("id") === 601L)
+      .select("last_status").as[String].collect().toSeq == Seq("AFTER"))
+  }
+
   test("maintenance keeps the layout's lifecycle whole: compaction " +
     "re-packs WITHIN the buckets (absorbing masks) and the merge road " +
     "survives; a range OPTIMIZE drops the stale spec") {

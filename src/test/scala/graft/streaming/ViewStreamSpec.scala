@@ -107,6 +107,40 @@ class ViewStreamSpec extends SparkSpec {
       "a refused batch must leave the view untouched")
   }
 
+  test("a BUCKETIZED view's maintenance merges ride the claimed layout " +
+    "and keep it: the IVM composes with the bucket road") {
+    val src = freshDir("graft_vs_bsrc") + "/t"
+    val dst = freshDir("graft_vs_bdst") + "/t"
+    val ck = freshDir("graft_vs_bck")
+    // many groups so the layout has something to hash
+    val df = (0L until 200L).map(i => (i, s"g${i % 40}", i))
+      .toDF("id", "grp", "v")
+    VersionedTable.commit(df, src, extras = Map("changes" ->
+      VersionedTable.feedWritable(df.withColumn("_change_type", lit("insert")))))
+    ViewStream.start(spark, src, dst, Seq("grp"), "v", ck,
+      appId = "vs-bkt", availableNow = true).awaitTermination()
+    graft.sources.Bucketing.bucketize(spark, dst, "grp", 8)
+    // further changes fold through SQL MERGEs against the bucketized view
+    VersionedTable.updateWhere(spark, src, col("id") === 7L,
+      Map("grp" -> lit("g0")))
+    VersionedTable.deleteWhere(spark, src, col("grp") === "g1")
+    ViewStream.start(spark, src, dst, Seq("grp"), "v", ck,
+      appId = "vs-bkt", availableNow = true).awaitTermination()
+    val cur = VersionedTable.currentVersion(spark, dst).get
+    assert(graft.sources.Bucketing
+      .pureBuckets(spark, dst, cur, "grp", 8).isDefined,
+      "the maintenance merge must keep the view's layout provably pure")
+    // the view still equals the batch aggregate over the final source
+    val want = VersionedTable.read(spark, src)
+      .groupBy("grp").agg(count(lit(1)).as("n_rows"),
+        sum(coalesce(col("v"), lit(0L))).as("value_sum"))
+      .select(col("grp"), col("n_rows"), col("value_sum").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+    assert(viewState(dst) == want)
+    assert(!want.exists(_._1 == "g1"), "the deleted group must be gone")
+  }
+
   test("cross-version cancellation inside one batch needs no ordering: " +
     "insert+delete of the same rows is a no-op, replace accumulates") {
     val dst = freshDir("graft_vs_can") + "/t"
