@@ -326,6 +326,15 @@ object GraftSql {
     """(?is)\s*CREATE\s+TABLE\s+'([^']+)'\s+SHALLOW\s+CLONE\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*;?\s*""".r
   private val ConvertRe =
     """(?is)\s*CONVERT\s+TO\s+GRAFT\s+'([^']+)'\s*;?\s*""".r
+  // the SQL face of the retraction-maintained aggregate view
+  // ([[graft.sources.AggReplica]]): the definition is the one shape the
+  // maintainer supports — group columns + count(*) AS n_rows +
+  // sum(col) AS value_sum — parsed strictly so anything else fails at
+  // CREATE, never as a silently-wrong refresh
+  private val CreateMvRe =
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s+AS\s+SELECT\s+(.+?)\s+FROM\s+'([^']+)'\s+GROUP\s+BY\s+(.+?)\s*;?\s*""".r
+  private val RefreshMvRe =
+    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s*;?\s*""".r
   private val DeepCloneRe =
     """(?is)\s*CREATE\s+TABLE\s+'([^']+)'\s+DEEP\s+CLONE\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*;?\s*""".r
   private val CopyIntoRe =
@@ -658,6 +667,14 @@ object GraftSql {
         Some(GraftCommand("CONVERT TO GRAFT", root, s =>
           Seq(Row("CONVERT TO GRAFT", root,
             VersionedTable.convertToGraft(s, root)))))
+      case CreateMvRe(dst, selectList, src, groupBy) =>
+        Some(GraftCommand("CREATE MATERIALIZED VIEW", dst, s =>
+          Seq(Row("CREATE MATERIALIZED VIEW", dst,
+            runCreateMv(s, dst, selectList, src, groupBy)))))
+      case RefreshMvRe(dst) =>
+        Some(GraftCommand("REFRESH MATERIALIZED VIEW", dst, s =>
+          Seq(Row("REFRESH MATERIALIZED VIEW", dst,
+            runRefreshMv(s, dst)))))
       case DeepCloneRe(dest, src, v, ts) =>
         Some(GraftCommand("DEEP CLONE", dest, s =>
           Seq(Row("DEEP CLONE", dest,
@@ -1130,6 +1147,38 @@ object GraftSql {
     * PATTERN with the directory levels spelled out (e.g.
     * `PATTERN = '*/*.parquet'` for `date=.../part-*.parquet`) —
     * globs may span levels, they are just never implicit. */
+  /** CREATE MATERIALIZED VIEW 'dst' AS SELECT g1[, g2…], count(*) AS
+    * n_rows, sum(col) AS value_sum FROM 'src' GROUP BY g1[, g2…] — the
+    * strict shape [[graft.sources.AggReplica]] can maintain
+    * incrementally. Anything else fails HERE, at create, with the shape
+    * spelled out — never as a refresh that silently maintains the wrong
+    * aggregate. */
+  private def runCreateMv(
+      spark: SparkSession, dst: String, selectList: String,
+      src: String, groupBy: String): Long = {
+    val Ident = "[A-Za-z_][A-Za-z0-9_]*"
+    val keys = groupBy.split(",").map(_.trim).toSeq
+    require(keys.nonEmpty && keys.forall(_.matches(Ident)),
+      s"GROUP BY must be a list of plain columns, got: $groupBy")
+    val items = selectList.split(",").map(_.trim).toSeq
+    val shape = "materialized view SELECT must be exactly: the GROUP BY " +
+      "columns (in order), count(*) AS n_rows, sum(<col>) AS value_sum"
+    require(items.size == keys.size + 2, s"$shape — got: $selectList")
+    require(items.take(keys.size).map(_.toLowerCase) ==
+      keys.map(_.toLowerCase), s"$shape — got: $selectList")
+    val CountRe = """(?is)count\s*\(\s*\*\s*\)\s+AS\s+n_rows""".r
+    require(CountRe.matches(items(keys.size)), s"$shape — got: $selectList")
+    val SumRe = s"""(?is)sum\\s*\\(\\s*($Ident)\\s*\\)\\s+AS\\s+value_sum""".r
+    val valueCol = items(keys.size + 1) match {
+      case SumRe(c) => c
+      case other => throw new IllegalArgumentException(s"$shape — got: $other")
+    }
+    graft.sources.AggReplica.createView(spark, dst, src, keys, valueCol)
+  }
+
+  private def runRefreshMv(spark: SparkSession, dst: String): Long =
+    graft.sources.AggReplica.refreshView(spark, dst)
+
   private def runCopyInto(
       spark: SparkSession, root: String, srcDir: String, fmt: String,
       pattern: Option[String], fmtOpts: Map[String, String]): Long = {
@@ -1332,7 +1381,15 @@ object GraftSql {
       spark: SparkSession, sqlText: String,
       extraTables: Map[String, DataFrame],
       extraPreCommit: Long => Unit): Long = {
-    val parsed = spark.sessionState.sqlParser
+    // parse with a PLAIN parser, never the session's: under
+    // GraftExtensions the injected parser wraps every path-target MERGE
+    // into a GraftCommand (that is how spark.sql executes them), which
+    // would hide the MergeIntoTable this internal caller needs — and the
+    // wrapped command couldn't carry the txn extras. Latent until the
+    // first multi-batch replica/view refresh ran under an
+    // extensions-enabled session (single-batch streams bootstrap
+    // without a merge, which is why the spec suites never hit it).
+    val parsed = new org.apache.spark.sql.execution.SparkSqlParser()
       .parsePlan(resolveNames(spark, sqlText))
     parsed match {
       case m: MergeIntoTable =>

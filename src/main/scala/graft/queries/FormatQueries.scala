@@ -37,7 +37,8 @@ object FormatQueries {
     "q36_generated_partition" -> ((s, d) => q36(s, d)),
     "q37_default_columns"     -> ((s, d) => q37(s, d)),
     "q38_format_merge_nmbs"   -> ((s, d) => q38(s, d)),
-    "q39_generated_identity"  -> ((s, d) => q39(s, d))
+    "q39_generated_identity"  -> ((s, d) => q39(s, d)),
+    "q40_matview"             -> ((s, d) => q40(s, d))
   )
 
   private def freshRoot(): String =
@@ -398,7 +399,60 @@ object FormatQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** q40: SQL-face MATERIALIZED VIEW — create from a snapshot, mutate
+    * the source through feed-carrying DML (insert, group-moving update,
+    * delete), REFRESH folds the feed in O(changes), the view equals the
+    * batch aggregate over the final source state (the oracle). A second
+    * REFRESH with nothing new must be a no-op without a commit. */
+  def q40(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q40").toString
+    val src = s"$tmp/src"; val mv = s"$tmp/mv"
+    val customers = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        col("c_acctbal").cast("decimal(18,2)").as("c_acctbal"))
+    val seed = customers.where(col("c_custkey") % 3 === 1)
+    VersionedTable.commit(seed, src, extras = Map("changes" ->
+      VersionedTable.feedWritable(
+        seed.withColumn("_change_type", lit("insert")))))
+    GraftSql.execute(s,
+      s"""CREATE MATERIALIZED VIEW '$mv' AS
+         |SELECT c_mktsegment, count(*) AS n_rows, sum(c_acctbal) AS value_sum
+         |FROM '$src' GROUP BY c_mktsegment""".stripMargin)
+    // source moves on: an append, a group-moving update, a delete
+    VersionedTable.commitAppend(
+      customers.where(col("c_custkey") % 3 === 2), src, changeFeed = true)
+    VersionedTable.updateWhere(s, src, col("c_custkey") % 10 === 0,
+      Map("c_mktsegment" -> lit("MOVED")))
+    VersionedTable.deleteWhere(s, src, col("c_acctbal") < lit(0))
+    GraftSql.execute(s, s"REFRESH MATERIALIZED VIEW '$mv'")
+    val after = VersionedTable.currentVersion(s, mv).get
+    GraftSql.execute(s, s"REFRESH MATERIALIZED VIEW '$mv'") // nothing new
+    require(VersionedTable.currentVersion(s, mv).contains(after),
+      "an up-to-date REFRESH must not commit")
+    VersionedTable.read(s, mv)
+      .select(col("c_mktsegment"), col("n_rows"),
+        col("value_sum").cast("double").as("value_sum"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   def oracles: Map[String, String] = Map(
+    // q40: the batch aggregate over the source's FINAL state — which
+    // the incremental refresh must equal exactly
+    "q40_matview" ->
+      """WITH fin AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 10 = 0 THEN 'MOVED' ELSE c_mktsegment END
+        |      AS c_mktsegment,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal
+        |  FROM customer
+        |  WHERE c_custkey % 3 IN (1, 2))
+        |SELECT c_mktsegment, count(*)::BIGINT AS n_rows,
+        |  sum(coalesce(c_acctbal, 0))::DOUBLE AS value_sum
+        |FROM fin
+        |WHERE NOT (c_acctbal < 0)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
     "q39_generated_identity" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
         |  CAST(floor(o_totalprice / 50000.0) AS INT) AS price_band,

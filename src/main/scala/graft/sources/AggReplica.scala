@@ -153,4 +153,76 @@ object AggReplica {
     VersionedTable.consumeChanges(spark, srcRoot, checkpointDir) { batch =>
       applyAggBatch(spark, dstRoot, keyCols, valueCol, batch)
     }
+
+  // ---- the MATERIALIZED VIEW face -----------------------------------------
+
+  /** Table properties recording an MV's definition (written at CREATE,
+    * read by REFRESH), and the txn app id whose high-water IS the
+    * refresh checkpoint: `lastTxn(view, MvAppId)` = the last source
+    * version folded in, stamped atomically with each refresh's merge —
+    * no side-channel checkpoint file to lose or double-apply from. */
+  val MvSourceProp = "graft.mv.source"
+  val MvKeysProp = "graft.mv.keys"
+  val MvValueProp = "graft.mv.value"
+  val MvAppId = "graft-mv"
+
+  /** CREATE MATERIALIZED VIEW: one aggregate scan of the source's
+    * CURRENT version seeds the view, the definition lands as table
+    * properties, and the consumed source version is txn-stamped inside
+    * the same commit — a source commit racing the create is simply the
+    * first refresh's work. */
+  def createView(
+      spark: SparkSession, dstRoot: String, srcRoot: String,
+      keyCols: Seq[String], valueCol: String): Long = {
+    require(keyCols.nonEmpty, "createView needs at least one group column")
+    require(VersionedTable.currentVersion(spark, dstRoot).isEmpty,
+      s"$dstRoot already exists — DROP it or pick another root")
+    val srcCur = VersionedTable.currentVersion(spark, srcRoot).getOrElse(
+      throw new java.io.IOException(s"no committed version under $srcRoot"))
+    val snap = VersionedTable.readVersion(spark, srcRoot, srcCur)
+    val missing = (keyCols :+ valueCol)
+      .filterNot(c => snap.columns.exists(_.equalsIgnoreCase(c)))
+    require(missing.isEmpty,
+      s"column(s) missing from $srcRoot: ${missing.mkString(", ")}")
+    val agg = snap.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(coalesce(col(valueCol), lit(0))).as("value_sum"))
+    import spark.implicits._
+    VersionedTable.commit(agg, dstRoot,
+      extras = Map(
+        "changes" -> VersionedTable.feedWritable(
+          agg.withColumn("_change_type", lit("insert"))),
+        "txn" -> Seq((MvAppId, srcCur)).toDF("app_id", "batch_id")),
+      recordProperties = Some(Map(
+        MvSourceProp -> srcRoot,
+        MvKeysProp -> keyCols.mkString(","),
+        MvValueProp -> valueCol)))
+  }
+
+  /** REFRESH MATERIALIZED VIEW: fold the source's feed from the stamped
+    * high-water to its current version into the view — O(changes) per
+    * refresh, exactly-once (a concurrent refresh loses the claim and
+    * no-ops), a no-op without a commit when the source hasn't moved.
+    * Returns the view's (possibly unchanged) current version. */
+  def refreshView(spark: SparkSession, dstRoot: String): Long = {
+    val cur = VersionedTable.currentVersion(spark, dstRoot).getOrElse(
+      throw new java.io.IOException(s"no committed version under $dstRoot"))
+    val props = VersionedTable.propertiesOf(spark, dstRoot, cur)
+    val src = props.getOrElse(MvSourceProp, throw new IllegalArgumentException(
+      s"$dstRoot is not a materialized view (no $MvSourceProp property)"))
+    val keys = props(MvKeysProp).split(',').toSeq
+    val valueCol = props(MvValueProp)
+    val applied = VersionedTable.lastTxn(spark, dstRoot, MvAppId).getOrElse(
+      throw new java.io.IOException(
+        s"materialized view $dstRoot lost its refresh high-water stamp"))
+    val srcCur = VersionedTable.currentVersion(spark, src).getOrElse(
+      throw new java.io.IOException(s"materialized view source $src is gone"))
+    if (srcCur <= applied) cur
+    else {
+      val batch = VersionedTable.readChanges(spark, src, applied + 1, srcCur)
+      applyAggBatch(spark, dstRoot, keys, valueCol, batch,
+        txn = Some((MvAppId, srcCur)))
+      VersionedTable.currentVersion(spark, dstRoot).getOrElse(cur)
+    }
+  }
 }

@@ -141,6 +141,44 @@ class ViewStreamSpec extends SparkSpec {
     assert(!want.exists(_._1 == "g1"), "the deleted group must be gone")
   }
 
+  test("the SQL MATERIALIZED VIEW face: strict-shape create, O(changes) " +
+    "refresh, no-op refresh without a commit, loud misuse") {
+    val tmp = freshDir("graft_vs_mv")
+    val src = s"$tmp/src"; val mv = s"$tmp/mv"
+    val df = Seq((1L, "a", 10L), (2L, "b", 5L)).toDF("id", "grp", "v")
+    VersionedTable.commit(df, src, extras = Map("changes" ->
+      VersionedTable.feedWritable(df.withColumn("_change_type", lit("insert")))))
+    graft.plans.GraftSql.execute(spark,
+      s"""CREATE MATERIALIZED VIEW '$mv' AS
+         |SELECT grp, count(*) AS n_rows, sum(v) AS value_sum
+         |FROM '$src' GROUP BY grp""".stripMargin)
+    assert(viewState(mv) == Seq(("a", 1L, 10L), ("b", 1L, 5L)))
+    // source moves; refresh folds the feed
+    VersionedTable.commitAppend(Seq((3L, "a", 7L)).toDF("id", "grp", "v"),
+      src, changeFeed = true)
+    VersionedTable.deleteWhere(spark, src, col("id") === 2L)
+    graft.plans.GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW '$mv'")
+    assert(viewState(mv) == Seq(("a", 2L, 17L)),
+      "refresh must fold adds and retractions; the zeroed group goes")
+    // nothing new: no commit
+    val v0 = VersionedTable.currentVersion(spark, mv).get
+    graft.plans.GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW '$mv'")
+    assert(VersionedTable.currentVersion(spark, mv).contains(v0),
+      "an up-to-date refresh must not commit a version")
+    // misuse fails loudly: wrong SELECT shape, refresh of a non-view
+    val e1 = intercept[IllegalArgumentException] {
+      graft.plans.GraftSql.execute(spark,
+        s"""CREATE MATERIALIZED VIEW '$tmp/bad' AS
+           |SELECT grp, max(v) AS value_sum, count(*) AS n_rows
+           |FROM '$src' GROUP BY grp""".stripMargin)
+    }
+    assert(e1.getMessage.contains("count(*) AS n_rows"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.plans.GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW '$src'")
+    }
+    assert(e2.getMessage.contains("not a materialized view"), e2.getMessage)
+  }
+
   test("cross-version cancellation inside one batch needs no ordering: " +
     "insert+delete of the same rows is a no-op, replace accumulates") {
     val dst = freshDir("graft_vs_can") + "/t"
