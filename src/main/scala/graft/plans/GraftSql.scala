@@ -1994,10 +1994,8 @@ object GraftSql {
           // key-range road).
           val (morOut, morInfo) = morBucket match {
             case Some((_, bkey, n)) =>
-              val keyName = tSchema.fieldNames
-                .find(_.equalsIgnoreCase(bkey)).getOrElse(bkey)
-              (updated.unionByName(inserts).repartition(n, col(keyName)),
-                Map(graft.sources.Bucketing.BucketedInfoKey -> s"$bkey,$n"))
+              graft.sources.Bucketing.relayout(
+                updated.unionByName(inserts), bkey, n)
             case None =>
               (updated.unionByName(inserts), Map.empty[String, String])
           }

@@ -115,16 +115,30 @@ object AggReplica {
       deltas.createOrReplaceTempView(view)
       try {
         def bq(c: String) = "`" + c + "`"
-        val on = keyCols.map(k => s"t.${bq(k)} = s.${bq(k)}").mkString(" AND ")
+        // NULL-SAFE key equality when the batch carries a NULL group:
+        // SQL GROUP BY treats NULL as ONE group, so the maintenance join
+        // must too — under plain `=` a NULL group's delta never matches
+        // its own view row (a duplicate NULL row per refresh, its
+        // retractions silently dropped). But `<=>` is not a
+        // bucket-road-eligible equi (a raw-key HashPartitioning cannot
+        // co-locate null-safe join keys), so the common no-null-groups
+        // batch keeps `=` and a bucketized view keeps its claimed road —
+        // the probe is ONE count over the already-group-sized delta.
+        val hasNullKey = deltas
+          .where(keyCols.map(k => col(k).isNull).reduce(_ || _))
+          .limit(1).count() > 0
+        val eq = if (hasNullKey) "<=>" else "="
+        val on = keyCols.map(k => s"t.${bq(k)} $eq s.${bq(k)}").mkString(" AND ")
         val insCols = (keyCols :+ "n_rows" :+ "value_sum").map(bq).mkString(", ")
         val insVals = (keyCols.map(c => s"s.${bq(c)}") :+ "s.__dc" :+ "s.__dv")
           .mkString(", ")
         // fate order: negative-count groups fail loudly (raise_error
-        // rides the matched fate's assignment, so it fires only for
-        // violating rows — no extra view pass), zeroed groups delete,
-        // live groups accumulate, fresh groups insert — an unmatched
-        // pure retraction (dc <= 0) is the same too-late-start
-        // corruption the bootstrap refuses
+        // rides the violating fate's assignment, so it fires only for
+        // those rows — no extra view pass), zeroed groups delete, live
+        // groups accumulate, fresh groups insert — and an UNMATCHED
+        // retraction (a delta with dc <= 0 for a group the view never
+        // counted) is the same too-late-start corruption the bootstrap
+        // refuses, caught by the trailing catch-all insert
         val sql =
           s"""MERGE INTO `$dstRoot` AS t USING $view AS s
              |ON $on
@@ -136,7 +150,11 @@ object AggReplica {
              |  n_rows = t.n_rows + s.__dc,
              |  value_sum = t.value_sum + s.__dv
              |WHEN NOT MATCHED AND s.__dc > 0
-             |  THEN INSERT ($insCols) VALUES ($insVals)""".stripMargin
+             |  THEN INSERT ($insCols) VALUES ($insVals)
+             |WHEN NOT MATCHED
+             |  THEN INSERT ($insCols) VALUES (${keyCols.map(c => s"s.${bq(c)}")
+            .mkString(", ")}, cast(raise_error(
+             |    'aggregate view would go negative: the feed consumer started past rows the view never counted') AS BIGINT), s.__dv)""".stripMargin
         if (txn.isEmpty) graft.plans.GraftSql.execute(spark, sql)
         else graft.plans.GraftSql.mergeWithExtras(spark, sql, txnExtra, zombieCheck)
       } finally spark.catalog.dropTempView(view)

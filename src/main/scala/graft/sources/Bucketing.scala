@@ -70,14 +70,46 @@ object Bucketing {
     * has no recorded spec. */
   def carryStamp(
       spark: SparkSession, root: String, cur: Long): Map[String, String] =
-    specOf(VersionedTable.propertiesOf(spark, root, cur))
-      .map { case (k, n) => BucketedInfoKey -> s"$k,$n" }.toMap
+    stampOf(VersionedTable.propertiesOf(spark, root, cur))
+
+  /** [[carryStamp]] from an EXPLICIT (possibly just-adjusted) props
+    * map — the schema-change sites compute their post-change properties
+    * first, and the stamp must agree with THOSE. */
+  def stampOf(props: Map[String, String]): Map[String, String] =
+    specOf(props).map { case (k, n) => BucketedInfoKey -> s"$k,$n" }.toMap
+
+  /** Props with the bucket spec DROPPED when `colName` IS the spec key.
+    * A schema change to the key column ends the recorded layout: a type
+    * WIDEN re-keys murmur3 (a 4-byte int and an 8-byte long hash
+    * differently, so the claimed HashPartitioning over the widened type
+    * would silently mis-join), a RENAME orphans every recorded stamp's
+    * spec string, and a DROP removes the column outright. Changes to
+    * any other column keep the spec (and the carried stamp stays
+    * vacuously true on the zero-row commit). */
+  def dropSpecIfKey(
+      props: Map[String, String], colName: String): Map[String, String] =
+    specOf(props) match {
+      case Some((k, _)) if k.equalsIgnoreCase(colName) => props - BucketByProp
+      case _ => props
+    }
 
   /** The layout's bucket id of a key column — EXACTLY the partition id
     * `repartition(n, col(key))` assigns (murmur3 seed 42; null hashes
     * to the seed), which is also what the claimed HashPartitioning
     * re-derives. All three MUST stay in lockstep. */
   def bucketExpr(key: String, n: Int) = pmod(hash(col(key)), lit(n))
+
+  /** Re-hash `df` into the spec's buckets plus the stamp its commit
+    * must record — the shared re-layout of the MOR merge's written
+    * delta, [[VersionedTable.compact]], and the sortCols-free
+    * `OPTIMIZE ... WHERE`. ONE definition, so the three sites that must
+    * stay hash-identical for the stamp to be truthful cannot drift. */
+  def relayout(
+      df: DataFrame, key: String, n: Int): (DataFrame, Map[String, String]) = {
+    val keyName = df.schema.fieldNames
+      .find(_.equalsIgnoreCase(key)).getOrElse(key)
+    (df.repartition(n, col(keyName)), Map(BucketedInfoKey -> s"$key,$n"))
+  }
 
   /** MAINTENANCE: rewrite the whole table into `n` hash buckets of
     * `key` and record the spec — one full-rewrite commit (the optimize
@@ -192,7 +224,8 @@ object Bucketing {
       spark: SparkSession, root: String, v: Long, key: String, n: Int,
       filesByBucket: Map[Int, Seq[String]],
       schema: org.apache.spark.sql.types.StructType): DataFrame =
-    alignedSlice(spark, root, v, key, n, filesByBucket, schema)
+    alignedSlice(spark, root, v, key, n, filesByBucket, schema,
+      needFile = false, needPos = false)
       .select(casts(schema): _*)
 
   /** [[bucketAlignedSlice]] with each row's file ref exposed as `refCol`
@@ -206,7 +239,8 @@ object Bucketing {
       filesByBucket: Map[Int, Seq[String]],
       schema: org.apache.spark.sql.types.StructType,
       refCol: String): DataFrame =
-    alignedSlice(spark, root, v, key, n, filesByBucket, schema)
+    alignedSlice(spark, root, v, key, n, filesByBucket, schema,
+      needFile = true, needPos = false)
       .select((casts(schema) :+ col("__dv_file").as(refCol)): _*)
 
   /** [[bucketAlignedSlice]] in the MERGE-ON-READ tagged form: each
@@ -221,7 +255,8 @@ object Bucketing {
       spark: SparkSession, root: String, v: Long, key: String, n: Int,
       filesByBucket: Map[Int, Seq[String]],
       schema: org.apache.spark.sql.types.StructType): DataFrame =
-    alignedSlice(spark, root, v, key, n, filesByBucket, schema)
+    alignedSlice(spark, root, v, key, n, filesByBucket, schema,
+      needFile = true, needPos = true)
       .select((casts(schema) :+ col("__dv_file") :+ col("__dv_pos")): _*)
 
   private def casts(
@@ -260,12 +295,27 @@ object Bucketing {
   private def alignedSlice(
       spark: SparkSession, root: String, v: Long, key: String, n: Int,
       filesByBucket: Map[Int, Seq[String]],
-      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+      schema: org.apache.spark.sql.types.StructType,
+      needFile: Boolean, needPos: Boolean): DataFrame = {
     val bridge = org.apache.spark.sql.graft.PartitionBridge
-    val outSchema = schema
-      .add("__dv_file", org.apache.spark.sql.types.StringType)
-      .add("__dv_pos", org.apache.spark.sql.types.LongType)
-    val cs = casts(schema) :+ col("__dv_file") :+ col("__dv_pos")
+    // the physical tags are CODEGEN'D PER ROW (a regexp over the file
+    // path, the metadata row index) and the claim is an optimizer
+    // barrier no later projection reaches through — so build only the
+    // tags this slice actually consumes: the face's own needs, or both
+    // when a mask must fold above the claim
+    val masked = VersionedTable.hasDeletionVectors(spark, root, v)
+    val tagFile = needFile || masked
+    val tagPos = needPos || masked
+    var outSchema = schema
+    if (tagFile) outSchema =
+      outSchema.add("__dv_file", org.apache.spark.sql.types.StringType)
+    if (tagPos) outSchema =
+      outSchema.add("__dv_pos", org.apache.spark.sql.types.LongType)
+    val cs = casts(schema) ++
+      (if (tagFile) Seq(col("__dv_file")) else Nil) ++
+      (if (tagPos) Seq(col("__dv_pos")) else Nil)
+    def readBucketFiles(refs: Seq[String]) = VersionedTable
+      .readFilesRaw(spark, root, v, refs, tagFile, tagPos).select(cs: _*)
     val onePlan: Option[org.apache.spark.sql.DataFrame] =
       if (filesByBucket.isEmpty) None
       else {
@@ -276,34 +326,40 @@ object Bucketing {
             new org.apache.hadoop.fs.Path(root, r)).toString -> b)
         }.toMap
         val refs = filesByBucket.valuesIterator.flatten.toSeq.sorted
-        val whole = VersionedTable.readFilesRawTagged(spark, root, v, refs)
-          .select(cs: _*)
+        val whole = readBucketFiles(refs)
         // pin packing OFF for this plan's compilation: openCost at the
-        // partition byte ceiling means no two files share a partition
-        val openKey = "spark.sql.files.openCostInBytes"
-        val prev = spark.conf.getOption(openKey)
-        spark.conf.set(openKey,
-          spark.conf.get("spark.sql.files.maxPartitionBytes"))
-        try bridge.regroupClaim(spark, whole,
-          p => byPath.get(new org.apache.hadoop.fs.Path(p).toString), n, key)
-        finally prev match {
-          case Some(x) => spark.conf.set(openKey, x)
-          case None => spark.conf.unset(openKey)
+        // partition byte ceiling means no two files share a partition.
+        // The pin is a SESSION conf, so the set→plan→restore window is
+        // serialized — an unlocked interleaving of two merges could
+        // restore the pinned value as the "previous" one and leak
+        // packing-off to every later scan in the session
+        confPinLock.synchronized {
+          val openKey = "spark.sql.files.openCostInBytes"
+          val prev = spark.conf.getOption(openKey)
+          spark.conf.set(openKey,
+            spark.conf.get("spark.sql.files.maxPartitionBytes"))
+          try bridge.regroupClaim(spark, whole,
+            p => byPath.get(new org.apache.hadoop.fs.Path(p).toString), n, key)
+          finally prev match {
+            case Some(x) => spark.conf.set(openKey, x)
+            case None => spark.conf.unset(openKey)
+          }
         }
       }
     lastSliceOnePlan = onePlan.isDefined
     val claimed = onePlan.getOrElse {
       val parts = (0 until n).map { b =>
         filesByBucket.get(b).filter(_.nonEmpty)
-          .map(fs => bridge.onePartition(
-            VersionedTable.readFilesRawTagged(spark, root, v, fs.sorted)
-              .select(cs: _*)))
+          .map(fs => bridge.onePartition(readBucketFiles(fs.sorted)))
           .getOrElse(bridge.emptyPartition(spark))
       }
       bridge.claimHashPartitioned(spark, outSchema, parts, key)
     }
-    VersionedTable.foldMaskOnce(spark, root, v, claimed)
+    if (masked) VersionedTable.foldMaskOnce(spark, root, v, claimed)
+    else claimed
   }
+
+  private val confPinLock = new Object
 
   /** Which road the LAST [[alignedSlice]] took (true = one-plan
     * regroup) — observability for specs; the roads are

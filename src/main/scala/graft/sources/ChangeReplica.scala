@@ -125,7 +125,18 @@ object ChangeReplica {
       net.createOrReplaceTempView(view)
       try {
         def bq(c: String) = "`" + c + "`"
-        val on = keyCols.map(k => s"t.${bq(k)} = s.${bq(k)}").mkString(" AND ")
+        // NULL-SAFE key equality when the batch carries a NULL key: the
+        // netting window groups NULL keys as one key, so the apply join
+        // must too — under plain `=` a NULL-key image re-inserts every
+        // batch and its delete never lands. The common all-keyed batch
+        // keeps `=` so a bucketized replica keeps the claimed merge road
+        // (`<=>` is not a bucket-eligible equi); the probe is one
+        // limit(1) count over the O(batch) net frame.
+        val hasNullKey = net
+          .where(keyCols.map(col(_).isNull).reduce(_ || _))
+          .limit(1).count() > 0
+        val eq = if (hasNullKey) "<=>" else "="
+        val on = keyCols.map(k => s"t.${bq(k)} $eq s.${bq(k)}").mkString(" AND ")
         val sets = dataCols.map(c => s"${bq(c)} = s.${bq(c)}").mkString(", ")
         val insCols = dataCols.map(bq).mkString(", ")
         val insVals = dataCols.map(c => s"s.${bq(c)}").mkString(", ")

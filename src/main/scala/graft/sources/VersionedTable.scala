@@ -3121,15 +3121,25 @@ object VersionedTable {
     * mask roads preserve (a broadcast anti-join keeps the streamed
     * side's partitioning; the bitmap road is a filter). */
   private[sources] def readFilesRawTagged(
-      spark: SparkSession, root: String, v: Long, refs: Seq[String]): DataFrame = {
+      spark: SparkSession, root: String, v: Long, refs: Seq[String]): DataFrame =
+    readFilesRaw(spark, root, v, refs, tagFile = true, tagPos = true)
+
+  /** [[readFilesRawTagged]] with the tags OPTIONAL: the per-row file-ref
+    * string and row index are codegen'd per row, so an UNMASKED slice
+    * that doesn't need them (the common steady-state COW merge) should
+    * not pay them — and the claimed-slice construction is an optimizer
+    * barrier, so a downstream projection can't prune them after the
+    * fact. */
+  private[sources] def readFilesRaw(
+      spark: SparkSession, root: String, v: Long, refs: Seq[String],
+      tagFile: Boolean, tagPos: Boolean): DataFrame = {
     import org.apache.spark.sql.functions.col
-    require(refs.nonEmpty, "readFilesRawTagged needs at least one file ref")
-    toLogical(
-      synthHiveParts(spark, root, v, versionReader(spark, root, v)
-          .parquet(refs.map(r => new Path(root, r).toString): _*))
-        .withColumn("__dv_file", fileRefCol)
-        .withColumn("__dv_pos", col("_metadata.row_index")),
-      columnMapping(spark, root, v))
+    require(refs.nonEmpty, "readFilesRaw needs at least one file ref")
+    val base = synthHiveParts(spark, root, v, versionReader(spark, root, v)
+      .parquet(refs.map(r => new Path(root, r).toString): _*))
+    val f = if (tagFile) base.withColumn("__dv_file", fileRefCol) else base
+    val p = if (tagPos) f.withColumn("__dv_pos", col("_metadata.row_index")) else f
+    toLogical(p, columnMapping(spark, root, v))
   }
 
   /** Fold version `v`'s mask out of a `__dv_file`/`__dv_pos`-tagged
@@ -3819,11 +3829,13 @@ object VersionedTable {
         recordSchema = Some(newSchema),
         // sticky feature flag: narrow-typed files now live under a wider
         // schema — the protocol gate requires widening-capable readers
-        recordProperties = Some(propertiesOf(spark, root, cur)
+        recordProperties = Some(Bucketing.dropSpecIfKey(
+          propertiesOf(spark, root, cur), name)
           .updated(WidenedTypesProp, "true")),
         carriedStatsMap = statsMap,
         recordInfo = Map("operation" -> "widen-column") ++
-          Bucketing.carryStamp(spark, root, cur))
+          Bucketing.stampOf(Bucketing.dropSpecIfKey(
+            propertiesOf(spark, root, cur), name)))
     }
 
   private def evolveSchemaAt(
@@ -4400,8 +4412,9 @@ object VersionedTable {
             p1.updated(key, g.render(to))
           }
       }
+      val specAdjusted = Bucketing.dropSpecIfKey(gensRenamed, from)
       val renamedProps =
-        if (gensRenamed == curProps) None else Some(gensRenamed)
+        if (specAdjusted == curProps) None else Some(specAdjusted)
       commitCowInternal(empty, root, cur, dataFileRefs(spark, root, cur),
         Map("changes" -> emptyFeed(empty)), // metadata-only: zero-row feed
         Nil, preCommit = occValidate(spark, root, cur),
@@ -4409,7 +4422,7 @@ object VersionedTable {
         recordProperties = renamedProps,
         recordMapping = Some((newMapping, retiredPhysicals(spark, root, cur))),
         recordInfo = Map("operation" -> "rename-column") ++
-          Bucketing.carryStamp(spark, root, cur))
+          Bucketing.stampOf(specAdjusted))
     }
 
   /** METADATA-ONLY column DROP (Delta column mapping): the logical schema
@@ -4455,10 +4468,13 @@ object VersionedTable {
         Map("changes" -> emptyFeed(empty)), // metadata-only: zero-row feed
         Nil, preCommit = occValidate(spark, root, cur),
         recordSchema = Some(newSchema),
+        recordProperties = Some(Bucketing.dropSpecIfKey(
+          propertiesOf(spark, root, cur), name)),
         recordMapping = Some((mapping - name,
           retiredPhysicals(spark, root, cur) + phys)),
         recordInfo = Map("operation" -> "drop-column") ++
-          Bucketing.carryStamp(spark, root, cur))
+          Bucketing.stampOf(Bucketing.dropSpecIfKey(
+            propertiesOf(spark, root, cur), name)))
     }
 
   /** `SHOW PARTITIONS`: the current snapshot's live partition tuples —
@@ -5639,10 +5655,7 @@ object VersionedTable {
       val spec = Bucketing.specOf(propertiesOf(spark, root, v))
       val (reshaped, stamp) = spec match {
         case Some((key, n)) if pspec.isEmpty =>
-          val keyName = df.schema.fieldNames
-            .find(_.equalsIgnoreCase(key)).getOrElse(key)
-          (df.repartition(n, org.apache.spark.sql.functions.col(keyName)),
-            Map(Bucketing.BucketedInfoKey -> s"$key,$n"))
+          Bucketing.relayout(df, key, n)
         case _ =>
           (if (pspec.isEmpty) df.repartition(nFiles)
            else df.repartitionByRange(nFiles, pspec: _*),
@@ -5743,10 +5756,7 @@ object VersionedTable {
           else None
         val (clustered, stamp) = spec match {
           case Some((key, n)) if pspec.isEmpty =>
-            val keyName = slice.schema.fieldNames
-              .find(_.equalsIgnoreCase(key)).getOrElse(key)
-            (slice.repartition(n, org.apache.spark.sql.functions.col(keyName)),
-              Map(Bucketing.BucketedInfoKey -> s"$key,$n"))
+            Bucketing.relayout(slice, key, n)
           case _ =>
             (if (cols.isEmpty) slice.repartition(nFiles)
              else slice.repartitionByRange(nFiles, cols: _*)

@@ -399,6 +399,35 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("a schema change to the bucket KEY ends the layout: widening the " +
+    "key drops the spec (murmur3 of int and bigint differ — a carried " +
+    "stamp would mis-join); other columns keep it") {
+    val root = freshRoot(); seed(root, 8)
+    // a NON-key schema change carries the layout forward
+    VersionedTable.renameColumn(spark, root, "payload", "payload2")
+    val v1 = VersionedTable.currentVersion(spark, root).get
+    assert(Bucketing.specOf(VersionedTable.propertiesOf(spark, root, v1))
+      .contains(("id", 8)))
+    assert(Bucketing.pureBuckets(spark, root, v1, "id", 8).isDefined,
+      "a non-key rename must not orphan the layout")
+    // renaming the KEY drops the spec: recorded stamps name the old
+    // spec string and could never be re-derived under the new name
+    VersionedTable.renameColumn(spark, root, "id", "order_id")
+    val v2 = VersionedTable.currentVersion(spark, root).get
+    assert(Bucketing.specOf(VersionedTable.propertiesOf(spark, root, v2))
+      .isEmpty, "renaming the bucket key must drop the spec")
+    // and the next merge takes the (correct) unclaimed road
+    Seq((3L, "OK")).toDF("order_id", "st")
+      .createOrReplaceTempView("bkt_key_src")
+    graft.plans.GraftSql.execute(spark,
+      s"""MERGE INTO `$root` AS t USING bkt_key_src AS s
+         |ON t.order_id = s.order_id
+         |WHEN MATCHED THEN UPDATE SET last_status = s.st
+         |""".stripMargin)
+    assert(VersionedTable.read(spark, root).where(col("order_id") === 3L)
+      .select("last_status").as[String].collect().toSeq == Seq("OK"))
+  }
+
   test("concurrent MOR merges on the bucketized masked target: OCC " +
     "serializes them, every change lands once, stamps stay true, the " +
     "chain folds whole") {

@@ -96,15 +96,54 @@ class ViewStreamSpec extends SparkSpec {
     assert(AggReplica.applyAggBatch(spark, dst, Seq("grp"), "v", ok))
     val over = Seq(("a", 10L, "delete"), ("a", 20L, "delete"))
       .toDF("grp", "v", "_change_type")
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
     val e = intercept[Exception] {
       AggReplica.applyAggBatch(spark, dst, Seq("grp"), "v", over)
     }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("would go negative")),
       s"expected the loud negative-view error, got: ${messages(e)}")
     assert(viewState(dst) == Seq(("a", 1L, 10L)),
       "a refused batch must leave the view untouched")
+    // an UNMATCHED retraction — a group the view never counted — is the
+    // same corruption and must fail just as loudly, never drop silently
+    val ghost = Seq(("zz", 9L, "delete")).toDF("grp", "v", "_change_type")
+    val e2 = intercept[Exception] {
+      AggReplica.applyAggBatch(spark, dst, Seq("grp"), "v", ghost)
+    }
+    assert(messages(e2).exists(_.contains("would go negative")),
+      s"expected the loud unmatched-retraction error, got: ${messages(e2)}")
+    assert(viewState(dst) == Seq(("a", 1L, 10L)))
+  }
+
+  test("a NULL group key is ONE group, exactly as SQL GROUP BY treats " +
+    "it: updates retract across, the null group can zero out") {
+    val dst = freshDir("graft_vs_null") + "/t"
+    val b0 = Seq[(Option[String], Long, String)](
+      (Some("a"), 10L, "insert"), (None, 5L, "insert"),
+      (None, 7L, "insert")).toDF("grp", "v", "_change_type")
+    assert(AggReplica.applyAggBatch(spark, dst, Seq("grp"), "v", b0))
+    def state(): Seq[(Option[String], Long, Long)] =
+      VersionedTable.read(spark, dst)
+        .select(col("grp"), col("n_rows"), col("value_sum").cast("long"))
+        .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+        .toSeq.sortBy(_._1)
+    assert(state() == Seq((None, 2L, 12L), (Some("a"), 1L, 10L)))
+    // a second batch must MERGE into the null group, not duplicate it —
+    // and its retraction must land, not silently drop
+    val b1 = Seq[(Option[String], Long, String)](
+      (None, 5L, "delete"), (None, 3L, "insert"))
+      .toDF("grp", "v", "_change_type")
+    assert(AggReplica.applyAggBatch(spark, dst, Seq("grp"), "v", b1))
+    assert(state() == Seq((None, 2L, 10L), (Some("a"), 1L, 10L)),
+      "the null group must accumulate as one group across batches")
+    // and zero out like any other group
+    val b2 = Seq[(Option[String], Long, String)](
+      (None, 7L, "delete"), (None, 3L, "delete"))
+      .toDF("grp", "v", "_change_type")
+    assert(AggReplica.applyAggBatch(spark, dst, Seq("grp"), "v", b2))
+    assert(state() == Seq((Some("a"), 1L, 10L)),
+      "a zeroed null group must disappear")
   }
 
   test("a BUCKETIZED view's maintenance merges ride the claimed layout " +
