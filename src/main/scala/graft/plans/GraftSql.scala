@@ -285,7 +285,7 @@ object GraftSql {
   // ---- statement routing ---------------------------------------------------
 
   private val OptimizeRe =
-    """(?is)\s*OPTIMIZE\s+'([^']+)'\s*(?:SORT\s+BY\s*\(([^)]*)\)|ZORDER\s+BY\s*\(([^)]*)\)|BUCKET\s+BY\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*(\d+)\s*\))?(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+'([^']+)'\s*(?:SORT\s+BY\s*\(([^)]*)\)|ZORDER\s+BY\s*\(([^)]*)\)|BUCKET\s+BY\s*\(\s*([A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*,\s*(\d+)\s*\))?(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+'([^']+)'\s+KEEP\s+(\d+)(?:\s+OLDER\s+THAN\s+(\d+)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val HistoryRe =
@@ -560,8 +560,10 @@ object GraftSql {
                 Option(sortCols).map(cols).getOrElse(Nil))
             else if (bCol != null)
               // the recorded hash-bucket layout ([[graft.sources.Bucketing]]):
-              // subsequent merges join with zero target-side exchange
-              graft.sources.Bucketing.bucketize(s, root, bCol, bN.toInt)
+              // subsequent merges join with zero target-side exchange —
+              // one or more key columns (composite business keys hash
+              // all of them, in order)
+              graft.sources.Bucketing.bucketize(s, root, cols(bCol), bN.toInt)
             else if (zCols != null)
               VersionedTable.optimizeZOrder(s, root, cols(zCols))
             else if (sortCols != null)
@@ -1148,11 +1150,14 @@ object GraftSql {
     * `PATTERN = '*/*.parquet'` for `date=.../part-*.parquet`) —
     * globs may span levels, they are just never implicit. */
   /** CREATE MATERIALIZED VIEW 'dst' AS SELECT g1[, g2…], count(*) AS
-    * n_rows, sum(col) AS value_sum FROM 'src' GROUP BY g1[, g2…] — the
-    * strict shape [[graft.sources.AggReplica]] can maintain
-    * incrementally. Anything else fails HERE, at create, with the shape
-    * spelled out — never as a refresh that silently maintains the wrong
-    * aggregate. */
+    * n_rows, sum(col) AS value_sum [, count(col) AS n_vals, min(col) AS
+    * value_min, max(col) AS value_max] FROM 'src' GROUP BY g1[, g2…] —
+    * the two shapes [[graft.sources.AggReplica]] can maintain
+    * incrementally (the three trailing aggregates — all over the SAME
+    * column as the sum — opt in to extrema maintenance; `avg` derives
+    * exactly at read as `value_sum / n_vals`). Anything else fails
+    * HERE, at create, with the shape spelled out — never as a refresh
+    * that silently maintains the wrong aggregate. */
   private def runCreateMv(
       spark: SparkSession, dst: String, selectList: String,
       src: String, groupBy: String): Long = {
@@ -1162,18 +1167,35 @@ object GraftSql {
       s"GROUP BY must be a list of plain columns, got: $groupBy")
     val items = selectList.split(",").map(_.trim).toSeq
     val shape = "materialized view SELECT must be exactly: the GROUP BY " +
-      "columns (in order), count(*) AS n_rows, sum(<col>) AS value_sum"
-    require(items.size == keys.size + 2, s"$shape — got: $selectList")
+      "columns (in order), count(*) AS n_rows, sum(<col>) AS value_sum " +
+      "[, count(<col>) AS n_vals, min(<col>) AS value_min, " +
+      "max(<col>) AS value_max]"
+    require(items.size == keys.size + 2 || items.size == keys.size + 5,
+      s"$shape — got: $selectList")
+    val extrema = items.size == keys.size + 5
     require(items.take(keys.size).map(_.toLowerCase) ==
       keys.map(_.toLowerCase), s"$shape — got: $selectList")
     val CountRe = """(?is)count\s*\(\s*\*\s*\)\s+AS\s+n_rows""".r
     require(CountRe.matches(items(keys.size)), s"$shape — got: $selectList")
-    val SumRe = s"""(?is)sum\\s*\\(\\s*($Ident)\\s*\\)\\s+AS\\s+value_sum""".r
-    val valueCol = items(keys.size + 1) match {
-      case SumRe(c) => c
-      case other => throw new IllegalArgumentException(s"$shape — got: $other")
+    def aggCol(item: String, fn: String, alias: String): String = {
+      val Re = s"""(?is)$fn\\s*\\(\\s*($Ident)\\s*\\)\\s+AS\\s+$alias""".r
+      item match {
+        case Re(c) => c
+        case other => throw new IllegalArgumentException(s"$shape — got: $other")
+      }
     }
-    graft.sources.AggReplica.createView(spark, dst, src, keys, valueCol)
+    val valueCol = aggCol(items(keys.size + 1), "sum", "value_sum")
+    if (extrema) {
+      val others = Seq(
+        aggCol(items(keys.size + 2), "count", "n_vals"),
+        aggCol(items(keys.size + 3), "min", "value_min"),
+        aggCol(items(keys.size + 4), "max", "value_max"))
+      require(others.forall(_.equalsIgnoreCase(valueCol)),
+        "extrema aggregates must all be over the sum's column " +
+          s"($valueCol) — got: ${others.mkString(", ")}")
+    }
+    graft.sources.AggReplica.createView(spark, dst, src, keys, valueCol,
+      extrema = extrema)
   }
 
   private def runRefreshMv(spark: SparkSession, dst: String): Long =
@@ -1579,14 +1601,18 @@ object GraftSql {
       // per attempt and reused by the touched-file DETECTION scan below
       // (phase 1 — the claimed slice makes the detection join shuffle
       // only the source) and the merge slice/commit (phase 2)
-      val bucketEligible: Option[(Map[String, Int], String, Int)] =
+      val bucketEligible: Option[(Map[String, Int], Seq[String], Int)] =
         graft.sources.Bucketing
           .specOf(VersionedTable.propertiesOf(spark, root, base))
-          .flatMap { case (bkey, n) =>
-            if (!onTargetEquiKeys(m).contains(bkey.toLowerCase)) None
+          .flatMap { case (bkeys, n) =>
+            // EVERY layout key must be equi-joined by the ON condition
+            // (a composite layout hashed (a, b) co-locates nothing for
+            // a join on `a` alone)
+            if (!bkeys.forall(k =>
+                onTargetEquiKeys(m).contains(k.toLowerCase))) None
             else graft.sources.Bucketing
-              .pureBucketsBounded(spark, root, base, bkey, n)
-              .map(fb => (fb, bkey, n))
+              .pureBucketsBounded(spark, root, base, bkeys, n)
+              .map(fb => (fb, bkeys, n))
           }
       // phase 1 — touched-file detection (COW-eligible merges only):
       // stats pre-pruning first (equi ON keys vs per-file min/max — the
@@ -1647,14 +1673,14 @@ object GraftSql {
                   case Some(c) if c.isEmpty => Set.empty // provably nothing matches
                   case c =>
                     val scan = bucketEligible match {
-                      case Some((fb, bkey, n)) =>
+                      case Some((fb, bkeys, n)) =>
                         val refsToScan = c.map(_.toSeq).getOrElse(
                           VersionedTable.dataFileRefs(spark, root, base))
                         val byBucket = refsToScan.map(r => r -> fb(r))
                           .groupBy(_._2)
                           .map { case (b, rs) => b -> rs.map(_._1) }
                         graft.sources.Bucketing.bucketAlignedSliceWithRef(
-                          spark, root, base, bkey, n, byBucket,
+                          spark, root, base, bkeys, n, byBucket,
                           readDf.schema, "__t_file")
                       case None => VersionedTable.readVersionWithFileRef(
                         spark, root, base, "__t_file", c.map(_.toSeq.sorted))
@@ -1698,9 +1724,9 @@ object GraftSql {
       // hash to their bucket), and their commit re-stamps the layout
       // with the written delta explicitly repartitioned by the key —
       // O(affected rows), the MOR write's own size.
-      val bucketRoad: Option[(Map[String, Int], String, Int)] =
+      val bucketRoad: Option[(Map[String, Int], Seq[String], Int)] =
         if (morMode || keptRefs.isEmpty) None else bucketEligible
-      val morBucket: Option[(Map[String, Int], String, Int)] =
+      val morBucket: Option[(Map[String, Int], Seq[String], Int)] =
         if (morMode) bucketEligible else None
       def byBucketOf(fb: Map[String, Int], touched: Seq[String]) =
         touched.map(r => r -> fb(r))
@@ -1709,17 +1735,17 @@ object GraftSql {
         case Some(touched) =>
           if (touched.isEmpty) readDf.limit(0)
           else if (morMode) morBucket match {
-            case Some((fb, bkey, n)) =>
+            case Some((fb, bkeys, n)) =>
               graft.sources.Bucketing.bucketAlignedSliceTagged(
-                spark, root, base, bkey, n, byBucketOf(fb, touched),
+                spark, root, base, bkeys, n, byBucketOf(fb, touched),
                 readDf.schema)
             case None =>
               VersionedTable.readFilesTagged(spark, root, base, touched)
           }
           else bucketRoad match {
-            case Some((fb, bkey, n)) =>
+            case Some((fb, bkeys, n)) =>
               graft.sources.Bucketing.bucketAlignedSlice(
-                spark, root, base, bkey, n, byBucketOf(fb, touched),
+                spark, root, base, bkeys, n, byBucketOf(fb, touched),
                 readDf.schema)
             case None => VersionedTable.readFilesOf(spark, root, base, touched)
           }
@@ -1993,9 +2019,9 @@ object GraftSql {
           // no spec, so pureBuckets degrades every later merge to the
           // key-range road).
           val (morOut, morInfo) = morBucket match {
-            case Some((_, bkey, n)) =>
+            case Some((_, bkeys, n)) =>
               graft.sources.Bucketing.relayout(
-                updated.unionByName(inserts), bkey, n)
+                updated.unionByName(inserts), bkeys, n)
             case None =>
               (updated.unionByName(inserts), Map.empty[String, String])
           }
@@ -2016,26 +2042,28 @@ object GraftSql {
             // changes a branch's partition count — both fall back to ONE
             // explicit O(written-bytes) repartition, always correct.
             val (outF, bucketInfo) = bucketRoad match {
-              case Some((_, bkey, n)) =>
-                val keyName = tSchema.fieldNames
-                  .find(_.equalsIgnoreCase(bkey)).getOrElse(bkey)
+              case Some((_, bkeys, n)) =>
+                val keyNames = bkeys.map(k => tSchema.fieldNames
+                  .find(_.equalsIgnoreCase(k)).getOrElse(k))
                 // a generated/identity bucket key can MOVE under
                 // regeneration without any assignment naming it — the
                 // aligned road is never provable there
-                val keyGenerated =
-                  exprGenDefs.keys.exists(_.equalsIgnoreCase(bkey)) ||
-                    genDefs.keys.exists(_.equalsIgnoreCase(bkey)) ||
-                    identDefs.keys.exists(_.equalsIgnoreCase(bkey))
+                val keyGenerated = bkeys.exists(k =>
+                  exprGenDefs.keys.exists(_.equalsIgnoreCase(k)) ||
+                    genDefs.keys.exists(_.equalsIgnoreCase(k)) ||
+                    identDefs.keys.exists(_.equalsIgnoreCase(k)))
                 val aligned =
                   if (freeIdents.nonEmpty || keyGenerated ||
-                      !bucketKeyAssignmentsSafe(m, bkey, sDf.columns.toSeq))
+                      !bkeys.forall(k =>
+                        bucketKeyAssignmentsSafe(m, k, sDf.columns.toSeq)))
                     None
                   else org.apache.spark.sql.graft.PartitionBridge
                     .alignedConcat(spark, regenExprs(survivors), inserts,
-                      keyName, n)
+                      keyNames, n)
                 (aligned.getOrElse(regenExprs(survivors).unionByName(inserts)
-                    .repartition(n, col(keyName))),
-                  Map(graft.sources.Bucketing.BucketedInfoKey -> s"$bkey,$n"))
+                    .repartition(n, keyNames.map(col): _*)),
+                  Map(graft.sources.Bucketing.BucketedInfoKey ->
+                    graft.sources.Bucketing.specString(bkeys, n)))
               case None =>
                 (regenExprs(survivors).unionByName(inserts),
                   Map.empty[String, String])

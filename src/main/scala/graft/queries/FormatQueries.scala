@@ -38,7 +38,8 @@ object FormatQueries {
     "q37_default_columns"     -> ((s, d) => q37(s, d)),
     "q38_format_merge_nmbs"   -> ((s, d) => q38(s, d)),
     "q39_generated_identity"  -> ((s, d) => q39(s, d)),
-    "q40_matview"             -> ((s, d) => q40(s, d))
+    "q40_matview"             -> ((s, d) => q40(s, d)),
+    "q41_matview_minmax"      -> ((s, d) => q41(s, d))
   )
 
   private def freshRoot(): String =
@@ -435,7 +436,78 @@ object FormatQueries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** q41: extrema-maintained MATERIALIZED VIEW — the extended shape
+    * (count/sum/n_vals/min/max over one column, avg derived at read as
+    * `value_sum / n_vals`). The refresh sequence drives BOTH maintenance
+    * roads: an insert-only append folds (`least`/`greatest`, no source
+    * read), then a delete that removes every segment's top AND bottom
+    * balances plus a group-moving update RETRACT the stored extrema —
+    * the maintainer re-reads only the affected groups' rows from the
+    * source at the refresh's pinned version. The oracle recomputes the
+    * whole aggregate from the source's final state: maintenance must
+    * equal recompute exactly. */
+  def q41(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q41").toString
+    val src = s"$tmp/src"; val mv = s"$tmp/mv"
+    val customers = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        col("c_acctbal").cast("decimal(18,2)").as("c_acctbal"))
+    val seed = customers.where(col("c_custkey") % 3 === 1)
+    VersionedTable.commit(seed, src, extras = Map("changes" ->
+      VersionedTable.feedWritable(
+        seed.withColumn("_change_type", lit("insert")))))
+    GraftSql.execute(s,
+      s"""CREATE MATERIALIZED VIEW '$mv' AS
+         |SELECT c_mktsegment, count(*) AS n_rows,
+         |  sum(c_acctbal) AS value_sum, count(c_acctbal) AS n_vals,
+         |  min(c_acctbal) AS value_min, max(c_acctbal) AS value_max
+         |FROM '$src' GROUP BY c_mktsegment""".stripMargin)
+    // insert-only refresh: the fold fast path (no source re-read)
+    VersionedTable.commitAppend(
+      customers.where(col("c_custkey") % 3 === 2), src, changeFeed = true)
+    GraftSql.execute(s, s"REFRESH MATERIALIZED VIEW '$mv'")
+    // retract the extrema in both directions (every segment's max sits
+    // above 9000 and its min below -900 at any sf), and move groups so
+    // preimage retractions hit segments whose extremum may leave
+    VersionedTable.deleteWhere(s, src,
+      col("c_acctbal") > lit(9000) || col("c_acctbal") < lit(-900))
+    VersionedTable.updateWhere(s, src, col("c_custkey") % 10 === 0,
+      Map("c_mktsegment" -> lit("MOVED")))
+    GraftSql.execute(s, s"REFRESH MATERIALIZED VIEW '$mv'")
+    VersionedTable.read(s, mv)
+      .select(col("c_mktsegment"), col("n_rows"),
+        col("value_sum").cast("double").as("value_sum"),
+        col("n_vals"),
+        col("value_min").cast("double").as("value_min"),
+        col("value_max").cast("double").as("value_max"),
+        (col("value_sum").cast("double") / col("n_vals")).as("value_avg"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   def oracles: Map[String, String] = Map(
+    // q41: the batch aggregate over the source's FINAL state — the
+    // extrema-maintained view must equal it exactly (incl. the derived
+    // avg); the delete filter reads the ORIGINAL acctbal because the
+    // group-moving update runs after the delete and never touches it
+    "q41_matview_minmax" ->
+      """WITH fin AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 10 = 0 THEN 'MOVED' ELSE c_mktsegment END
+        |      AS c_mktsegment,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal
+        |  FROM customer
+        |  WHERE c_custkey % 3 IN (1, 2)
+        |    AND NOT (c_acctbal > 9000 OR c_acctbal < -900))
+        |SELECT c_mktsegment, count(*)::BIGINT AS n_rows,
+        |  sum(coalesce(c_acctbal, 0))::DOUBLE AS value_sum,
+        |  count(c_acctbal)::BIGINT AS n_vals,
+        |  min(c_acctbal)::DOUBLE AS value_min,
+        |  max(c_acctbal)::DOUBLE AS value_max,
+        |  (sum(coalesce(c_acctbal, 0))::DOUBLE) / count(c_acctbal)
+        |    AS value_avg
+        |FROM fin
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     // q40: the batch aggregate over the source's FINAL state — which
     // the incremental refresh must equal exactly
     "q40_matview" ->

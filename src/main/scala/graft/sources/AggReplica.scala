@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** INCREMENTAL VIEW MAINTENANCE with retractions — maintain
@@ -25,10 +25,34 @@ import org.apache.spark.sql.functions._
   * files), never O(view): a group whose count reaches zero is DELETED,
   * existing groups accumulate, new groups insert.
   *
+  * EXTREMA (`extrema = true`): the view additionally maintains
+  * `count(valueCol) AS n_vals, min(valueCol) AS value_min,
+  * max(valueCol) AS value_max` (the reference's own mart computes a
+  * `max(timestamp)` and a weighted mean — `value_sum / n_vals` derives
+  * the exact SQL `avg` at read, since NULLs contribute 0 to the sum and
+  * 0 to `n_vals`). min/max are NOT retraction-algebraic: retracting the
+  * current extremum needs the surviving rows. The maintainer folds what
+  * it can and RECOMPUTES only what it must:
+  *   - insert-only groups fold (`least`/`greatest` with the stored
+  *     extrema) — the common append-mostly feed stays O(batch), no
+  *     source read at all (the fast path is one `limit(1)` probe on the
+  *     group-sized deltas);
+  *   - a group with a retraction re-reads ONLY its own rows from the
+  *     source AT THE BATCH'S PINNED VERSION (stats-pruned `IN`-list
+  *     scan when the group set is small, broadcast semi-join otherwise)
+  *     — O(changed groups' rows), never a shuffle of the source —
+  *     unless the fold is provably sound: every deleted value strictly
+  *     inside (fold_min, fold_max) cannot be an extremum of the
+  *     survivors, because the element achieving fold_min/fold_max
+  *     survives. The recompute anchors maintenance ≡ recompute exactly
+  *     (same rows, same version).
+  *
   * SUM semantics: `value_sum` accumulates `coalesce(value, 0)` — SQL
   * SUM ignores NULLs, but a retractable sum must subtract exactly what
   * it added, so the NULL-as-zero convention is part of the view's
   * definition (state the view that way; `n_rows` is count(*)).
+  * min/max/n_vals keep exact SQL semantics (NULLs ignored; a group with
+  * no non-NULL values serves NULL extrema).
   *
   * CONTRACT: the consumer must start at a feed offset at or before the
   * first row it should count (a table born with a feed-carrying commit
@@ -39,7 +63,12 @@ import org.apache.spark.sql.functions._
   * EXACTLY-ONCE: same txn story as [[ChangeReplica.applyBatch]] — the
   * `(appId, batchId)` stamp rides the same atomic commit as the merged
   * groups, a replayed batch no-ops before any work, and a zombie
-  * writer aborts inside the claim. */
+  * writer aborts inside the claim. `expectedPrior` additionally guards
+  * OVERLAPPING ranges: two refreshers that both read high-water 5 and
+  * race to fold [6..10] and [6..12] would each pass a `lastTxn >=
+  * batchId` test (10 < 12), double-applying versions 6–10 — the loser
+  * must instead observe that the stamp MOVED from what it captured
+  * before reading the feed, and no-op. */
 object AggReplica {
 
   /** Thrown when a batch retracts below zero for some group — the feed
@@ -50,28 +79,58 @@ object AggReplica {
         "the change-feed consumer started past rows the view never " +
         "counted; rebuild the view from a feed-covering offset")
 
+  /** Above this many extremum-retracted groups the recompute scan keeps
+    * the broadcast-semi-join road instead of collecting an `IN` list
+    * (the list rides the plan AND the stats pruner; unbounded literals
+    * would bloat both). */
+  private val IsinLimit = 1000
+
   /** Apply one feed batch (must carry `_change_type`) to the aggregate
     * view at `dstRoot`. Returns false when the batch was skipped as a
-    * transactional replay. */
+    * transactional replay or a lost concurrent-refresh claim.
+    *
+    * @param expectedPrior the `lastTxn` high-water the caller captured
+    *        BEFORE reading the feed; when set, the batch applies only
+    *        while the stamp still reads exactly that value (overlap
+    *        guard — see the class doc). Only meaningful with `txn`.
+    * @param extrema maintain `n_vals`/`value_min`/`value_max` too;
+    *        requires `source` for the extremum-retraction recompute.
+    * @param source (root, version) of the source state the batch folds
+    *        up to — the recompute reads the source AT THIS VERSION so
+    *        maintenance equals recompute exactly. */
   private[graft] def applyAggBatch(
       spark: SparkSession, dstRoot: String, keyCols: Seq[String],
       valueCol: String, batch: DataFrame,
-      txn: Option[(String, Long)] = None): Boolean = {
+      txn: Option[(String, Long)] = None,
+      expectedPrior: Option[Long] = None,
+      extrema: Boolean = false,
+      source: Option[(String, Long)] = None): Boolean = {
     require(keyCols.nonEmpty, "applyAggBatch needs at least one group column")
-    txn match {
-      case Some((appId, batchId))
-          if VersionedTable.lastTxn(spark, dstRoot, appId).exists(_ >= batchId) =>
-        false
-      case _ =>
-        try { applyAggInternal(spark, dstRoot, keyCols, valueCol, batch, txn); true }
-        catch { case _: ChangeReplica.StaleBatchException => false }
+    require(!extrema || source.isDefined,
+      "extrema maintenance needs the (sourceRoot, version) for the " +
+        "extremum-retraction recompute")
+    def claimLost(): Boolean = txn.exists { case (appId, batchId) =>
+      val last = VersionedTable.lastTxn(spark, dstRoot, appId)
+      last.exists(_ >= batchId) ||
+        expectedPrior.exists(ep => !last.contains(ep))
+    }
+    if (claimLost()) false
+    else {
+      try {
+        applyAggInternal(spark, dstRoot, keyCols, valueCol, batch, txn,
+          () => if (claimLost()) throw new ChangeReplica.StaleBatchException(
+            txn.get._1, txn.get._2),
+          extrema, source)
+        true
+      } catch { case _: ChangeReplica.StaleBatchException => false }
     }
   }
 
   private def applyAggInternal(
       spark: SparkSession, dstRoot: String, keyCols: Seq[String],
-      valueCol: String, batch: DataFrame,
-      txn: Option[(String, Long)]): Unit = {
+      valueCol: String, batch: DataFrame, txn: Option[(String, Long)],
+      zombieProbe: () => Unit, extrema: Boolean,
+      source: Option[(String, Long)]): Unit = {
     val missing = (keyCols :+ valueCol).filterNot(batch.columns.contains)
     require(missing.isEmpty,
       s"column(s) missing from the feed: ${missing.mkString(", ")}")
@@ -80,84 +139,267 @@ object AggReplica {
     val sign = when(
       col("_change_type").isin("insert", "update_postimage"), lit(1L))
       .when(col("_change_type").isin("delete", "update_preimage"), lit(-1L))
+    val v = col(valueCol)
+    val baseAggs = Seq(
+      sum(sign).as("__dc"),
+      sum(sign * coalesce(v, lit(0))).as("__dv"))
+    val extAggs = if (!extrema) Nil else Seq(
+      sum(when(v.isNotNull, sign).otherwise(lit(0L))).as("__dn"),
+      min(when(sign === 1, v)).as("__ins_min"),
+      max(when(sign === 1, v)).as("__ins_max"),
+      min(when(sign === -1, v)).as("__del_min"),
+      max(when(sign === -1, v)).as("__del_max"))
+    // a group whose batch fully cancels (insert+delete of the same rows
+    // in one range) is a provable no-op — drop it before the join. For
+    // extrema any surviving non-NULL activity must flow through (a
+    // delete {3,7} + insert {4,6} nets dc=dv=dn=0 yet MOVES both
+    // extrema); only all-NULL-value churn with zero net count may drop.
+    val keep =
+      if (!extrema) col("__dc") =!= 0 || col("__dv") =!= 0
+      else col("__dc") =!= 0 || col("__dv") =!= 0 || col("__dn") =!= 0 ||
+        col("__ins_min").isNotNull || col("__del_min").isNotNull
     val deltas = batch
       .where(sign.isNotNull)
       .groupBy(keyCols.map(col): _*)
-      .agg(sum(sign).as("__dc"),
-        sum(sign * coalesce(col(valueCol), lit(0))).as("__dv"))
-      // a group whose batch fully cancels (insert+delete of the same
-      // rows in one range) is a provable no-op — drop it before the join
-      .where(col("__dc") =!= 0 || col("__dv") =!= 0)
-    import spark.implicits._
-    val txnExtra: Map[String, DataFrame] = txn.map { case (appId, batchId) =>
-      "txn" -> Seq((appId, batchId)).toDF("app_id", "batch_id")
-    }.toMap
-    val zombieCheck: Long => Unit = _ => txn.foreach { case (appId, batchId) =>
-      if (VersionedTable.lastTxn(spark, dstRoot, appId).exists(_ >= batchId))
-        throw new ChangeReplica.StaleBatchException(appId, batchId)
-    }
-    if (VersionedTable.currentVersion(spark, dstRoot).isEmpty) {
-      // bootstrap: the view is born from the first batch's positive
-      // groups; a leading retraction means the consumer started too late
-      val neg = deltas.where(col("__dc") < 0 ||
-        (col("__dc") === 0 && col("__dv") =!= 0)).limit(1).count()
-      if (neg > 0) throw new NegativeGroupException(dstRoot)
-      val images = deltas.select(
-        (keyCols.map(col) :+ col("__dc").as("n_rows")
-          :+ col("__dv").as("value_sum")): _*)
-      VersionedTable.commit(images, dstRoot,
-        extras = Map("changes" -> VersionedTable.feedWritable(
-          images.withColumn("_change_type", lit("insert")))) ++ txnExtra,
-        preCommit = zombieCheck)
-    } else {
-      val view = "__graft_ivm_" +
-        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-      deltas.createOrReplaceTempView(view)
-      try {
-        def bq(c: String) = "`" + c + "`"
-        // NULL-SAFE key equality when the batch carries a NULL group:
-        // SQL GROUP BY treats NULL as ONE group, so the maintenance join
-        // must too — under plain `=` a NULL group's delta never matches
-        // its own view row (a duplicate NULL row per refresh, its
-        // retractions silently dropped). But `<=>` is not a
-        // bucket-road-eligible equi (a raw-key HashPartitioning cannot
-        // co-locate null-safe join keys), so the common no-null-groups
-        // batch keeps `=` and a bucketized view keeps its claimed road —
-        // the probe is ONE count over the already-group-sized delta.
-        val hasNullKey = deltas
-          .where(keyCols.map(k => col(k).isNull).reduce(_ || _))
-          .limit(1).count() > 0
-        val eq = if (hasNullKey) "<=>" else "="
-        val on = keyCols.map(k => s"t.${bq(k)} $eq s.${bq(k)}").mkString(" AND ")
-        val insCols = (keyCols :+ "n_rows" :+ "value_sum").map(bq).mkString(", ")
-        val insVals = (keyCols.map(c => s"s.${bq(c)}") :+ "s.__dc" :+ "s.__dv")
-          .mkString(", ")
-        // fate order: negative-count groups fail loudly (raise_error
-        // rides the violating fate's assignment, so it fires only for
-        // those rows — no extra view pass), zeroed groups delete, live
-        // groups accumulate, fresh groups insert — and an UNMATCHED
-        // retraction (a delta with dc <= 0 for a group the view never
-        // counted) is the same too-late-start corruption the bootstrap
-        // refuses, caught by the trailing catch-all insert
-        val sql =
-          s"""MERGE INTO `$dstRoot` AS t USING $view AS s
-             |ON $on
-             |WHEN MATCHED AND t.n_rows + s.__dc < 0
-             |  THEN UPDATE SET n_rows = cast(raise_error(
-             |    'aggregate view would go negative: the feed consumer started past rows the view never counted') AS BIGINT)
-             |WHEN MATCHED AND t.n_rows + s.__dc = 0 THEN DELETE
-             |WHEN MATCHED THEN UPDATE SET
-             |  n_rows = t.n_rows + s.__dc,
-             |  value_sum = t.value_sum + s.__dv
-             |WHEN NOT MATCHED AND s.__dc > 0
-             |  THEN INSERT ($insCols) VALUES ($insVals)
-             |WHEN NOT MATCHED
-             |  THEN INSERT ($insCols) VALUES (${keyCols.map(c => s"s.${bq(c)}")
-            .mkString(", ")}, cast(raise_error(
-             |    'aggregate view would go negative: the feed consumer started past rows the view never counted') AS BIGINT), s.__dv)""".stripMargin
-        if (txn.isEmpty) graft.plans.GraftSql.execute(spark, sql)
-        else graft.plans.GraftSql.mergeWithExtras(spark, sql, txnExtra, zombieCheck)
-      } finally spark.catalog.dropTempView(view)
+      .agg(baseAggs.head, (baseAggs.tail ++ extAggs): _*)
+      .where(keep)
+      // the deltas feed up to four group-sized probes (NULL-key, the
+      // bootstrap negative check, the extremum-retraction probe, the
+      // merge itself) — without pinning, each would re-run the whole
+      // O(batch) feed aggregation through the frame's lineage
+      .persist()
+    val cached = scala.collection.mutable.ListBuffer[DataFrame](deltas)
+    try {
+      import spark.implicits._
+      val txnExtra: Map[String, DataFrame] = txn.map { case (appId, batchId) =>
+        "txn" -> Seq((appId, batchId)).toDF("app_id", "batch_id")
+      }.toMap
+      val zombieCheck: Long => Unit = _ => zombieProbe()
+      val viewCols: Seq[String] =
+        if (extrema)
+          keyCols ++ Seq("n_rows", "value_sum", "n_vals", "value_min", "value_max")
+        else keyCols ++ Seq("n_rows", "value_sum")
+      if (VersionedTable.currentVersion(spark, dstRoot).isEmpty) {
+        // bootstrap: the view is born from the first batch's positive
+        // groups; a leading retraction means the consumer started too late
+        val imbalance =
+          if (extrema) col("__dc") === 0 &&
+            (col("__dv") =!= 0 || col("__dn") =!= 0)
+          else col("__dc") === 0 && col("__dv") =!= 0
+        val neg = deltas.where(col("__dc") < 0 || imbalance)
+          .limit(1).count()
+        if (neg > 0) throw new NegativeGroupException(dstRoot)
+        val resolved =
+          if (extrema) resolveExtrema(spark, deltas, keyCols, valueCol,
+            viewExtrema = None, source.get, cached)
+          else deltas
+        val valueExprs: Seq[Column] =
+          if (extrema) Seq(
+            col("__dc").as("n_rows"), col("__dv").as("value_sum"),
+            col("__dn").as("n_vals"),
+            when(col("__rc"), col("__rc_min")).otherwise(col("__ins_min"))
+              .as("value_min"),
+            when(col("__rc"), col("__rc_max")).otherwise(col("__ins_max"))
+              .as("value_max"))
+          else Seq(col("__dc").as("n_rows"), col("__dv").as("value_sum"))
+        // a group whose batch fully cancels leaves no row (the extrema
+        // form carries such groups this far because a MATCHED net-zero
+        // batch can still move min/max — at bootstrap there is no
+        // matched state, so net-zero means gone)
+        val images = resolved.where(col("__dc") > 0)
+          .select(keyCols.map(col) ++ valueExprs: _*)
+        VersionedTable.commit(images, dstRoot,
+          extras = Map("changes" -> VersionedTable.feedWritable(
+            images.withColumn("_change_type", lit("insert")))) ++ txnExtra,
+          preCommit = zombieCheck)
+      } else {
+        val resolved =
+          if (extrema) resolveExtrema(spark, deltas, keyCols, valueCol,
+            viewExtrema = Some(VersionedTable.read(spark, dstRoot)),
+            source.get, cached)
+          else deltas
+        val view = "__graft_ivm_" +
+          java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+        resolved.createOrReplaceTempView(view)
+        try {
+          def bq(c: String) = "`" + c + "`"
+          // NULL-SAFE key equality when the batch carries a NULL group:
+          // SQL GROUP BY treats NULL as ONE group, so the maintenance join
+          // must too — under plain `=` a NULL group's delta never matches
+          // its own view row (a duplicate NULL row per refresh, its
+          // retractions silently dropped). But `<=>` is not a
+          // bucket-road-eligible equi (a raw-key HashPartitioning cannot
+          // co-locate null-safe join keys), so the common no-null-groups
+          // batch keeps `=` and a bucketized view keeps its claimed road —
+          // the probe is ONE count over the already-group-sized delta.
+          val hasNullKey = deltas
+            .where(keyCols.map(k => col(k).isNull).reduce(_ || _))
+            .limit(1).count() > 0
+          val eq = if (hasNullKey) "<=>" else "="
+          val on = keyCols.map(k => s"t.${bq(k)} $eq s.${bq(k)}").mkString(" AND ")
+          val insCols = viewCols.map(bq).mkString(", ")
+          val negErr = "cast(raise_error('aggregate view would go " +
+            "negative: the feed consumer started past rows the view " +
+            "never counted') AS BIGINT)"
+          val negGuard =
+            if (extrema) "(t.n_rows + s.__dc < 0 OR t.n_vals + s.__dn < 0)"
+            else "t.n_rows + s.__dc < 0"
+          val updSet =
+            if (extrema)
+              s"""n_rows = t.n_rows + s.__dc,
+                 |  value_sum = t.value_sum + s.__dv,
+                 |  n_vals = t.n_vals + s.__dn,
+                 |  value_min = CASE WHEN s.__rc THEN s.__rc_min
+                 |    ELSE least(t.value_min, s.__ins_min) END,
+                 |  value_max = CASE WHEN s.__rc THEN s.__rc_max
+                 |    ELSE greatest(t.value_max, s.__ins_max) END""".stripMargin
+            else
+              s"""n_rows = t.n_rows + s.__dc,
+                 |  value_sum = t.value_sum + s.__dv""".stripMargin
+          val insVals =
+            if (extrema)
+              (keyCols.map(c => s"s.${bq(c)}") ++ Seq("s.__dc", "s.__dv",
+                "s.__dn",
+                "CASE WHEN s.__rc THEN s.__rc_min ELSE s.__ins_min END",
+                "CASE WHEN s.__rc THEN s.__rc_max ELSE s.__ins_max END"))
+                .mkString(", ")
+            else (keyCols.map(c => s"s.${bq(c)}") :+ "s.__dc" :+ "s.__dv")
+              .mkString(", ")
+          val negVals =
+            if (extrema)
+              (keyCols.map(c => s"s.${bq(c)}") ++ Seq(negErr, "s.__dv",
+                "s.__dn", "s.__ins_min", "s.__ins_max")).mkString(", ")
+            else (keyCols.map(c => s"s.${bq(c)}") ++ Seq(negErr, "s.__dv"))
+              .mkString(", ")
+          // fate order: negative-count groups fail loudly (raise_error
+          // rides the violating fate's assignment, so it fires only for
+          // those rows — no extra view pass), zeroed groups delete, live
+          // groups accumulate, fresh groups insert — and an UNMATCHED
+          // retraction (a delta with net-negative count, or zero count
+          // with a value/non-null imbalance, for a group the view never
+          // counted) is the same too-late-start corruption the bootstrap
+          // refuses, caught by the guarded trailing insert. An unmatched
+          // group whose batch fully cancels (insert+delete of the same
+          // rows) matches NO fate and is ignored — the extrema form
+          // carries such groups to the merge because a MATCHED net-zero
+          // batch can still move min/max.
+          val unmatchedBad =
+            if (extrema) "(s.__dc < 0 OR s.__dv != 0 OR s.__dn != 0)"
+            else "(s.__dc < 0 OR s.__dv != 0)"
+          val sql =
+            s"""MERGE INTO `$dstRoot` AS t USING $view AS s
+               |ON $on
+               |WHEN MATCHED AND $negGuard
+               |  THEN UPDATE SET n_rows = $negErr
+               |WHEN MATCHED AND t.n_rows + s.__dc = 0 THEN DELETE
+               |WHEN MATCHED THEN UPDATE SET
+               |  $updSet
+               |WHEN NOT MATCHED AND s.__dc > 0
+               |  THEN INSERT ($insCols) VALUES ($insVals)
+               |WHEN NOT MATCHED AND $unmatchedBad
+               |  THEN INSERT ($insCols) VALUES ($negVals)""".stripMargin
+          if (txn.isEmpty) graft.plans.GraftSql.execute(spark, sql)
+          else graft.plans.GraftSql.mergeWithExtras(spark, sql, txnExtra, zombieCheck)
+        } finally spark.catalog.dropTempView(view)
+      }
+    } finally cached.foreach(_.unpersist())
+  }
+
+  /** Resolve the non-retractable extrema for one delta batch: flag each
+    * group whose fold is unsound (`__rc`) and attach the recomputed
+    * `__rc_min`/`__rc_max` for flagged groups, read from the source at
+    * the batch's pinned version.
+    *
+    * SOUNDNESS of the fold-skip: with fold_min = least(stored_min,
+    * __ins_min) (NULL stored extrema at bootstrap / for fresh groups —
+    * `least`/`greatest` skip NULLs), if every deleted value d satisfies
+    * fold_min < d < fold_max then the elements achieving fold_min and
+    * fold_max survive the batch, so the folded extrema are exact. The
+    * flag therefore fires on `__del_min <= fold_min OR __del_max >=
+    * fold_max` — conservative (a duplicate of the extremum recomputes
+    * to the same answer), never unsound.
+    *
+    * SCALE SHAPE: everything here is group-sized except the recompute
+    * scan, which reads only the flagged groups' source rows — through a
+    * stats-prunable per-column `IN` superset predicate when the flagged
+    * set is small and NULL-free (pushed to the parquet scan, file-level
+    * footer pruning via [[VersionedTable.readVersionWhere]]), else a
+    * broadcast semi-join (map-side filter, no source shuffle); the
+    * per-group min/max aggregation is map-side-combined either way.
+    * The no-deletions fast path is one `limit(1)` probe — no view read,
+    * no source read. */
+  private def resolveExtrema(
+      spark: SparkSession, deltas: DataFrame, keyCols: Seq[String],
+      valueCol: String, viewExtrema: Option[DataFrame],
+      source: (String, Long),
+      cached: scala.collection.mutable.ListBuffer[DataFrame]): DataFrame = {
+    val vType = deltas.schema("__ins_min").dataType
+    val nullV = lit(null).cast(vType)
+    val noDeletes = deltas.where(col("__del_min").isNotNull)
+      .limit(1).count() == 0
+    if (noDeletes)
+      deltas.withColumn("__rc", lit(false))
+        .withColumn("__rc_min", nullV).withColumn("__rc_max", nullV)
+    else {
+      // stored extrema for exactly the delta's groups: one pass over the
+      // view restricted by a broadcast semi-join — the same
+      // touched-groups cost class as the MERGE's own target scan
+      val withView = viewExtrema match {
+        case Some(viewDf) =>
+          val dk = deltas.select(keyCols.map(col): _*)
+          val ve = viewDf.join(broadcast(dk),
+              keyCols.map(k => viewDf(k) <=> dk(k)).reduce(_ && _),
+              "left_semi")
+            .select(keyCols.map(col) :+ col("value_min") :+ col("value_max"): _*)
+          deltas.join(broadcast(ve),
+              keyCols.map(k => deltas(k) <=> ve(k)).reduce(_ && _), "left")
+            .select(deltas.columns.map(deltas(_)).toSeq :+
+              ve("value_min").as("__view_min") :+
+              ve("value_max").as("__view_max"): _*)
+        case None =>
+          deltas.withColumn("__view_min", nullV)
+            .withColumn("__view_max", nullV)
+      }
+      val unsound = coalesce(
+        col("__del_min") <= least(col("__view_min"), col("__ins_min")) ||
+          col("__del_max") >= greatest(col("__view_max"), col("__ins_max")),
+        lit(false))
+      val flagged = withView.withColumn("__rc", unsound)
+        .drop("__view_min", "__view_max")
+        .persist()
+      cached += flagged
+      val rcKeys = flagged.where(col("__rc")).select(keyCols.map(col): _*)
+      val nRc = rcKeys.count()
+      if (nRc == 0)
+        flagged.withColumn("__rc_min", nullV).withColumn("__rc_max", nullV)
+      else {
+        val (srcRoot, srcV) = source
+        val keyRows =
+          if (nRc <= IsinLimit) rcKeys.collect() else Array.empty[org.apache.spark.sql.Row]
+        val snap =
+          if (keyRows.nonEmpty &&
+              !keyRows.exists(r => keyCols.indices.exists(r.isNullAt))) {
+            // superset predicate (per-column IN conjunction) for the
+            // pruner/pushdown; the semi-join below makes it exact
+            val pred = keyCols.zipWithIndex.map { case (k, i) =>
+              col(k).isin(keyRows.map(_.get(i)).distinct.toSeq: _*)
+            }.reduce(_ && _)
+            VersionedTable.readVersionWhere(spark, srcRoot, srcV, pred)
+          } else VersionedTable.readVersion(spark, srcRoot, srcV)
+        val recomputed = snap.join(broadcast(rcKeys),
+            keyCols.map(k => snap(k) <=> rcKeys(k)).reduce(_ && _),
+            "left_semi")
+          .groupBy(keyCols.map(col): _*)
+          .agg(min(col(valueCol)).as("__rc_min"),
+            max(col(valueCol)).as("__rc_max"))
+        // a flagged group absent from the source is fully deleted — its
+        // DELETE fate fires before the extrema are read (NULLs are fine)
+        flagged.join(broadcast(recomputed),
+            keyCols.map(k => flagged(k) <=> recomputed(k)).reduce(_ && _),
+            "left")
+          .select(flagged.columns.map(flagged(_)).toSeq :+
+            recomputed("__rc_min") :+ recomputed("__rc_max"): _*)
+      }
     }
   }
 
@@ -167,10 +409,21 @@ object AggReplica {
   def applyAggChanges(
       spark: SparkSession, srcRoot: String, dstRoot: String,
       keyCols: Seq[String], valueCol: String,
-      checkpointDir: String): Option[(Long, Long)] =
+      checkpointDir: String, extrema: Boolean = false): Option[(Long, Long)] =
     VersionedTable.consumeChanges(spark, srcRoot, checkpointDir) { batch =>
-      applyAggBatch(spark, dstRoot, keyCols, valueCol, batch)
+      applyAggBatch(spark, dstRoot, keyCols, valueCol, batch,
+        extrema = extrema,
+        source = if (extrema) Some((srcRoot, batchVersion(batch))) else None)
     }
+
+  /** The source version a feed batch folds up to — the max stamped
+    * `_commit_version` (feed rows always carry it). Pins the extremum
+    * recompute to exactly the state the batch's counts reach: versions
+    * after the last row-carrying one cannot have changed data (a
+    * data-changing commit always emits feed rows — the r16 feed-gap
+    * guarantee). One tiny agg over the O(batch) feed. */
+  private def batchVersion(batch: DataFrame): Long =
+    batch.agg(max(col("_commit_version"))).head.getLong(0)
 
   // ---- the MATERIALIZED VIEW face -----------------------------------------
 
@@ -182,29 +435,50 @@ object AggReplica {
   val MvSourceProp = "graft.mv.source"
   val MvKeysProp = "graft.mv.keys"
   val MvValueProp = "graft.mv.value"
+  val MvExtremaProp = "graft.mv.extrema"
   val MvAppId = "graft-mv"
 
   /** CREATE MATERIALIZED VIEW: one aggregate scan of the source's
     * CURRENT version seeds the view, the definition lands as table
     * properties, and the consumed source version is txn-stamped inside
     * the same commit — a source commit racing the create is simply the
-    * first refresh's work. */
+    * first refresh's work. Key/value names are normalized to the source
+    * schema's exact casing BEFORE being persisted (refresh applies them
+    * against feed batches case-sensitively — a create that succeeded
+    * with mismatched casing would make every refresh throw). */
   def createView(
       spark: SparkSession, dstRoot: String, srcRoot: String,
-      keyCols: Seq[String], valueCol: String): Long = {
+      keyCols: Seq[String], valueCol: String,
+      extrema: Boolean = false): Long = {
     require(keyCols.nonEmpty, "createView needs at least one group column")
     require(VersionedTable.currentVersion(spark, dstRoot).isEmpty,
       s"$dstRoot already exists — DROP it or pick another root")
     val srcCur = VersionedTable.currentVersion(spark, srcRoot).getOrElse(
       throw new java.io.IOException(s"no committed version under $srcRoot"))
     val snap = VersionedTable.readVersion(spark, srcRoot, srcCur)
-    val missing = (keyCols :+ valueCol)
-      .filterNot(c => snap.columns.exists(_.equalsIgnoreCase(c)))
-    require(missing.isEmpty,
-      s"column(s) missing from $srcRoot: ${missing.mkString(", ")}")
-    val agg = snap.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("n_rows"),
-        sum(coalesce(col(valueCol), lit(0))).as("value_sum"))
+    def canon(c: String): String =
+      snap.columns.find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $c missing from $srcRoot: has " +
+            snap.columns.mkString(", ")))
+    val keys = keyCols.map(canon)
+    val value = canon(valueCol)
+    // the key list persists comma-joined in one table property — a
+    // legal-but-exotic column name containing ',' would round-trip as
+    // two keys and every refresh would maintain the wrong grouping;
+    // refuse it HERE, loudly, instead
+    require(keys.forall(k => !k.contains(",")),
+      "group column names containing ',' cannot be recorded in the " +
+        s"materialized-view definition: ${keys.filter(_.contains(","))
+          .mkString("; ")} — rename the column")
+    val v = col(value)
+    val aggs =
+      if (extrema) Seq(count(lit(1)).as("n_rows"),
+        sum(coalesce(v, lit(0))).as("value_sum"),
+        count(v).as("n_vals"), min(v).as("value_min"), max(v).as("value_max"))
+      else Seq(count(lit(1)).as("n_rows"),
+        sum(coalesce(v, lit(0))).as("value_sum"))
+    val agg = snap.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
     import spark.implicits._
     VersionedTable.commit(agg, dstRoot,
       extras = Map(
@@ -213,15 +487,19 @@ object AggReplica {
         "txn" -> Seq((MvAppId, srcCur)).toDF("app_id", "batch_id")),
       recordProperties = Some(Map(
         MvSourceProp -> srcRoot,
-        MvKeysProp -> keyCols.mkString(","),
-        MvValueProp -> valueCol)))
+        MvKeysProp -> keys.mkString(","),
+        MvValueProp -> value) ++
+        (if (extrema) Map(MvExtremaProp -> "true") else Map.empty)))
   }
 
   /** REFRESH MATERIALIZED VIEW: fold the source's feed from the stamped
     * high-water to its current version into the view — O(changes) per
-    * refresh, exactly-once (a concurrent refresh loses the claim and
-    * no-ops), a no-op without a commit when the source hasn't moved.
-    * Returns the view's (possibly unchanged) current version. */
+    * refresh, exactly-once (a concurrent refresh that loses the race
+    * no-ops: the txn stamp must still read the high-water THIS refresh
+    * captured before reading the feed, so overlapping ranges can never
+    * both land — see [[applyAggBatch]]'s `expectedPrior`), a no-op
+    * without a commit when the source hasn't moved. Returns the view's
+    * (possibly unchanged) current version. */
   def refreshView(spark: SparkSession, dstRoot: String): Long = {
     val cur = VersionedTable.currentVersion(spark, dstRoot).getOrElse(
       throw new java.io.IOException(s"no committed version under $dstRoot"))
@@ -230,6 +508,7 @@ object AggReplica {
       s"$dstRoot is not a materialized view (no $MvSourceProp property)"))
     val keys = props(MvKeysProp).split(',').toSeq
     val valueCol = props(MvValueProp)
+    val extrema = props.get(MvExtremaProp).contains("true")
     val applied = VersionedTable.lastTxn(spark, dstRoot, MvAppId).getOrElse(
       throw new java.io.IOException(
         s"materialized view $dstRoot lost its refresh high-water stamp"))
@@ -239,7 +518,9 @@ object AggReplica {
     else {
       val batch = VersionedTable.readChanges(spark, src, applied + 1, srcCur)
       applyAggBatch(spark, dstRoot, keys, valueCol, batch,
-        txn = Some((MvAppId, srcCur)))
+        txn = Some((MvAppId, srcCur)), expectedPrior = Some(applied),
+        extrema = extrema,
+        source = if (extrema) Some((src, srcCur)) else None)
       VersionedTable.currentVersion(spark, dstRoot).getOrElse(cur)
     }
   }

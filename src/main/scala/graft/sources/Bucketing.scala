@@ -37,7 +37,9 @@ import org.apache.spark.sql.functions._
   * exchange is O(delta). */
 object Bucketing {
 
-  /** Table property: `<keyColumn>,<numBuckets>`. */
+  /** Table property: `<keyCol>[,<keyCol>…],<numBuckets>` — one or more
+    * key columns (a composite business key hashes all of them, in
+    * order) followed by the bucket count. */
   val BucketByProp = "graft.bucketBy"
 
   /** Commit-info stamp of bucket-pure commits. The VALUE is the spec
@@ -49,13 +51,19 @@ object Bucketing {
     * ride the stamp. */
   val BucketedInfoKey = "bucketed"
 
-  def specOf(props: Map[String, String]): Option[(String, Int)] =
+  def specOf(props: Map[String, String]): Option[(Seq[String], Int)] =
     props.get(BucketByProp).flatMap { v =>
-      val a = v.split(',')
-      if (a.length == 2 && a(1).trim.toIntOption.exists(_ > 0))
-        Some((a(0).trim, a(1).trim.toInt))
+      val a = v.split(',').map(_.trim)
+      if (a.length >= 2 && a.last.toIntOption.exists(_ > 0) &&
+          a.init.forall(_.nonEmpty))
+        Some((a.init.toSeq, a.last.toInt))
       else None
     }
+
+  /** The canonical spec string `k1[,k2…],n` — the one encoding the
+    * property, the purity stamp, and the purity probe all compare. */
+  def specString(keys: Seq[String], n: Int): String =
+    (keys :+ n.toString).mkString(",")
 
   /** The `bucketed` stamp a commit with a ZERO-ROW fresh frame must
     * CARRY FORWARD on a bucketized table (metadata-only property /
@@ -76,7 +84,8 @@ object Bucketing {
     * map — the schema-change sites compute their post-change properties
     * first, and the stamp must agree with THOSE. */
   def stampOf(props: Map[String, String]): Map[String, String] =
-    specOf(props).map { case (k, n) => BucketedInfoKey -> s"$k,$n" }.toMap
+    specOf(props).map { case (ks, n) =>
+      BucketedInfoKey -> specString(ks, n) }.toMap
 
   /** Props with the bucket spec DROPPED when `colName` IS the spec key.
     * A schema change to the key column ends the recorded layout: a type
@@ -89,15 +98,18 @@ object Bucketing {
   def dropSpecIfKey(
       props: Map[String, String], colName: String): Map[String, String] =
     specOf(props) match {
-      case Some((k, _)) if k.equalsIgnoreCase(colName) => props - BucketByProp
+      case Some((ks, _)) if ks.exists(_.equalsIgnoreCase(colName)) =>
+        props - BucketByProp
       case _ => props
     }
 
-  /** The layout's bucket id of a key column — EXACTLY the partition id
-    * `repartition(n, col(key))` assigns (murmur3 seed 42; null hashes
-    * to the seed), which is also what the claimed HashPartitioning
-    * re-derives. All three MUST stay in lockstep. */
-  def bucketExpr(key: String, n: Int) = pmod(hash(col(key)), lit(n))
+  /** The layout's bucket id of a (possibly composite) key — EXACTLY the
+    * partition id `repartition(n, cols…)` assigns (murmur3 seed 42,
+    * chained across the columns IN ORDER; null hashes to the incoming
+    * seed), which is also what the claimed HashPartitioning re-derives.
+    * All three MUST stay in lockstep. */
+  def bucketExpr(keys: Seq[String], n: Int) =
+    pmod(hash(keys.map(col): _*), lit(n))
 
   /** Re-hash `df` into the spec's buckets plus the stamp its commit
     * must record — the shared re-layout of the MOR merge's written
@@ -105,10 +117,12 @@ object Bucketing {
     * `OPTIMIZE ... WHERE`. ONE definition, so the three sites that must
     * stay hash-identical for the stamp to be truthful cannot drift. */
   def relayout(
-      df: DataFrame, key: String, n: Int): (DataFrame, Map[String, String]) = {
-    val keyName = df.schema.fieldNames
-      .find(_.equalsIgnoreCase(key)).getOrElse(key)
-    (df.repartition(n, col(keyName)), Map(BucketedInfoKey -> s"$key,$n"))
+      df: DataFrame, keys: Seq[String], n: Int)
+      : (DataFrame, Map[String, String]) = {
+    val keyNames = keys.map(k => df.schema.fieldNames
+      .find(_.equalsIgnoreCase(k)).getOrElse(k))
+    (df.repartition(n, keyNames.map(col): _*),
+      Map(BucketedInfoKey -> specString(keys, n)))
   }
 
   /** MAINTENANCE: rewrite the whole table into `n` hash buckets of
@@ -117,7 +131,13 @@ object Bucketing {
     * Refused on partition-spec'd tables: the Hive-style dir layout owns
     * the file placement there. */
   def bucketize(
-      spark: SparkSession, root: String, key: String, n: Int): Long = {
+      spark: SparkSession, root: String, key: String, n: Int): Long =
+    bucketize(spark, root, Seq(key), n)
+
+  /** [[bucketize]] on a COMPOSITE key: the classic CDC business key
+    * (id + source system) hashes all columns in order. */
+  def bucketize(
+      spark: SparkSession, root: String, keys: Seq[String], n: Int): Long = {
     require(n > 0, "numBuckets must be positive")
     val maxAttempts = 20
     var attempt = 0
@@ -130,13 +150,17 @@ object Bucketing {
       require(!props.contains(VersionedTable.PartitionByProp),
         s"$root is partition-spec'd — bucketize is for unpartitioned merge targets")
       val df = VersionedTable.readVersion(spark, root, cur)
-      require(df.columns.exists(_.equalsIgnoreCase(key)),
-        s"no column $key in $root")
+      keys.foreach(k => require(df.columns.exists(_.equalsIgnoreCase(k)),
+        s"no column $k in $root"))
+      require(keys.forall(k => !k.contains(",")),
+        "bucket key column names containing ',' cannot be recorded in " +
+          "the comma-joined spec — rename the column")
       try out = Some(VersionedTable.commit(
-        df.repartition(n, col(key)), root,
-        recordProperties = Some(props.updated(BucketByProp, s"$key,$n")),
+        df.repartition(n, keys.map(col): _*), root,
+        recordProperties = Some(
+          props.updated(BucketByProp, specString(keys, n))),
         recordInfo = Map("operation" -> "bucketize",
-          BucketedInfoKey -> s"$key,$n"),
+          BucketedInfoKey -> specString(keys, n)),
         preCommit = _ => {
           val now = VersionedTable.currentVersion(spark, root)
           if (now != Some(cur))
@@ -174,9 +198,9 @@ object Bucketing {
     * un-splittable task). This is the form the merge roads consume;
     * bare [[pureBuckets]] stays the layout-integrity probe. */
   private[graft] def pureBucketsBounded(
-      spark: SparkSession, root: String, v: Long, key: String, n: Int)
+      spark: SparkSession, root: String, v: Long, keys: Seq[String], n: Int)
       : Option[Map[String, Int]] =
-    pureBuckets(spark, root, v, key, n).filter { fb =>
+    pureBuckets(spark, root, v, keys, n).filter { fb =>
       val cap = spark.conf
         .get(MaxBucketBytesKey, MaxBucketBytesDefault.toString).toLong
       val sizes = VersionedTable.fileSizes(spark, root, v)
@@ -191,9 +215,9 @@ object Bucketing {
     * O(refs) driver work plus one tiny commit-info read per distinct
     * origin version. */
   def pureBuckets(
-      spark: SparkSession, root: String, v: Long, key: String, n: Int)
+      spark: SparkSession, root: String, v: Long, keys: Seq[String], n: Int)
       : Option[Map[String, Int]] = {
-    val spec = s"$key,$n"
+    val spec = specString(keys, n)
     val refs = VersionedTable.dataFileRefs(spark, root, v)
     val dirToV = VersionedTable.versions(spark, root)
       .map(w => VersionedTable.dataDirNameOf(spark, root, w) -> w).toMap
@@ -221,10 +245,10 @@ object Bucketing {
     * (DV masks and column mapping fold map-side, so rows stay
     * bucket-pure). */
   private[graft] def bucketAlignedSlice(
-      spark: SparkSession, root: String, v: Long, key: String, n: Int,
+      spark: SparkSession, root: String, v: Long, keys: Seq[String], n: Int,
       filesByBucket: Map[Int, Seq[String]],
       schema: org.apache.spark.sql.types.StructType): DataFrame =
-    alignedSlice(spark, root, v, key, n, filesByBucket, schema,
+    alignedSlice(spark, root, v, keys, n, filesByBucket, schema,
       needFile = false, needPos = false)
       .select(casts(schema): _*)
 
@@ -235,11 +259,11 @@ object Bucketing {
     * detection join shuffles only the SOURCE (O(delta)) instead of the
     * candidate slice (O(table) on a hash-scattered delta). */
   private[graft] def bucketAlignedSliceWithRef(
-      spark: SparkSession, root: String, v: Long, key: String, n: Int,
+      spark: SparkSession, root: String, v: Long, keys: Seq[String], n: Int,
       filesByBucket: Map[Int, Seq[String]],
       schema: org.apache.spark.sql.types.StructType,
       refCol: String): DataFrame =
-    alignedSlice(spark, root, v, key, n, filesByBucket, schema,
+    alignedSlice(spark, root, v, keys, n, filesByBucket, schema,
       needFile = true, needPos = false)
       .select((casts(schema) :+ col("__dv_file").as(refCol)): _*)
 
@@ -252,10 +276,10 @@ object Bucketing {
     * ride along in the claimed schema (mask folding only REMOVES rows,
     * so a bucket's survivors still all hash to their bucket). */
   private[graft] def bucketAlignedSliceTagged(
-      spark: SparkSession, root: String, v: Long, key: String, n: Int,
+      spark: SparkSession, root: String, v: Long, keys: Seq[String], n: Int,
       filesByBucket: Map[Int, Seq[String]],
       schema: org.apache.spark.sql.types.StructType): DataFrame =
-    alignedSlice(spark, root, v, key, n, filesByBucket, schema,
+    alignedSlice(spark, root, v, keys, n, filesByBucket, schema,
       needFile = true, needPos = true)
       .select((casts(schema) :+ col("__dv_file") :+ col("__dv_pos")): _*)
 
@@ -293,7 +317,7 @@ object Bucketing {
     *    single-bucket per partition (it declines rather than
     *    mis-claims). */
   private def alignedSlice(
-      spark: SparkSession, root: String, v: Long, key: String, n: Int,
+      spark: SparkSession, root: String, v: Long, keys: Seq[String], n: Int,
       filesByBucket: Map[Int, Seq[String]],
       schema: org.apache.spark.sql.types.StructType,
       needFile: Boolean, needPos: Boolean): DataFrame = {
@@ -339,7 +363,7 @@ object Bucketing {
           spark.conf.set(openKey,
             spark.conf.get("spark.sql.files.maxPartitionBytes"))
           try bridge.regroupClaim(spark, whole,
-            p => byPath.get(new org.apache.hadoop.fs.Path(p).toString), n, key)
+            p => byPath.get(new org.apache.hadoop.fs.Path(p).toString), n, keys)
           finally prev match {
             case Some(x) => spark.conf.set(openKey, x)
             case None => spark.conf.unset(openKey)
@@ -353,7 +377,7 @@ object Bucketing {
           .map(fs => bridge.onePartition(readBucketFiles(fs.sorted)))
           .getOrElse(bridge.emptyPartition(spark))
       }
-      bridge.claimHashPartitioned(spark, outSchema, parts, key)
+      bridge.claimHashPartitioned(spark, outSchema, parts, keys)
     }
     if (masked) VersionedTable.foldMaskOnce(spark, root, v, claimed)
     else claimed
@@ -378,8 +402,11 @@ object Bucketing {
       : Option[(DataFrame, Seq[String], Option[DataFrame], String)] = {
     val props = VersionedTable.propertiesOf(spark, root, cur)
     specOf(props) match {
-      case Some((bkey, n)) if bkey.equalsIgnoreCase(key) =>
-        pureBucketsBounded(spark, root, cur, bkey, n).flatMap { fb =>
+      // this road's merge machinery (IncrementalMerge) is single-key;
+      // a composite-key layout declines here and rides the SQL MERGE
+      // face, whose ON condition carries every key conjunct
+      case Some((Seq(bkey), n)) if bkey.equalsIgnoreCase(key) =>
+        pureBucketsBounded(spark, root, cur, Seq(bkey), n).flatMap { fb =>
           val target = VersionedTable.readVersion(spark, root, cur)
           // the staging key must hash under the SAME binary layout the
           // files were written with: murmur3 of INT and BIGINT differ,
@@ -399,7 +426,7 @@ object Bucketing {
           else {
             // touched buckets: one delta-scale aggregation, ≤ n values
             val touched: Set[Int] = staging
-              .select(bucketExpr(key, n).as("__b")).distinct()
+              .select(bucketExpr(Seq(key), n).as("__b")).distinct()
               .collect().map(_.getInt(0)).toSet
             val filesByBucket: Map[Int, Seq[String]] = fb.toSeq
               .filter { case (_, b) => touched(b) }
@@ -408,7 +435,7 @@ object Bucketing {
               filesByBucket.values.flatten.toSet
             val kept = VersionedTable.dataFileRefs(spark, root, cur)
               .filterNot(touchedFiles)
-            val slice = bucketAlignedSlice(spark, root, cur, key, n,
+            val slice = bucketAlignedSlice(spark, root, cur, Seq(bkey), n,
               filesByBucket, target.schema)
             // co-partition the DELTA explicitly to the layout's
             // partitioning — the one exchange this merge performs, and
@@ -427,7 +454,7 @@ object Bucketing {
               else Some(graft.operators.IncrementalMerge
                 .changeFeed(slice, alignedStaging, key, runTs, statusCol,
                   doneValue))
-            Some((merged, kept, feed, s"$bkey,$n"))
+            Some((merged, kept, feed, specString(Seq(bkey), n)))
           }
         }
       case _ => None

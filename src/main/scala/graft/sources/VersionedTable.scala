@@ -1174,6 +1174,24 @@ object VersionedTable {
     * version's protocol record keeps the "delta-manifest" feature — a
     * conservative over-claim that only affects builds predating the
     * feature, which could not have vacuumed this table anyway. */
+  /** Remove a version's `_dvdelta` level with the `_bitmaps/_DONE`
+    * marker deleted FIRST: an in-flight reader's executor probe treats
+    * an absent bitmap bin as "no deletions" only while `_DONE` exists
+    * ([[DvBitmaps.load]]'s re-probe), and a recursive delete's
+    * file-visit order is unspecified (local-fs listing order, object-
+    * store batch order) — without the explicit marker-first delete
+    * there is a window where a bin is gone but `_DONE` survives and a
+    * reader silently RESURRECTS the level's deleted rows. Marker gone
+    * first makes the re-probe's invariant (bins gone ⇒ `_DONE` gone)
+    * hold under ANY deletion order. */
+  private def dropDvDelta(
+      f: org.apache.hadoop.fs.FileSystem, dir: Path): Unit = {
+    val marker = new Path(new Path(new Path(dir, "_dvdelta"),
+      DvBitmaps.DirName), DvBitmaps.DoneMarker)
+    if (f.exists(marker)) f.delete(marker, false)
+    f.delete(new Path(dir, "_dvdelta"), true)
+  }
+
   private def materializeManifest(
       spark: SparkSession, root: String, v: Long): Unit = {
     val f = fs(spark, root)
@@ -1210,11 +1228,11 @@ object VersionedTable {
         val floor = spark.conf
           .get(DvBitmapFloorKey, DvBitmapFloorDefault.toString).toLong
         if (bytes > floor) DvBitmaps.write(spark, dvDir)
-        f.delete(new Path(dir, "_dvdelta"), true)
+        dropDvDelta(f, dir)
       case _ =>
         // healed already (crash re-run), never chained, or mask-free:
         // drop any leftover delta level — `_dv` is authoritative
-        f.delete(new Path(dir, "_dvdelta"), true)
+        dropDvDelta(f, dir)
     }
     // all-or-nothing, as every FULL stats table
     if (refs.nonEmpty && refs.forall(stats.contains))
@@ -4565,7 +4583,8 @@ object VersionedTable {
       copyLedgerDepth: Int,
       retainedVersions: Int,
       recommendations: Seq[String],
-      annRecall: Seq[(String, Double)] = Nil)
+      annRecall: Seq[(String, Double)] = Nil,
+      mvVersionsBehind: Long = 0L)
 
   /** MEASURE-THEN-RECOMMEND maintenance policy (the shape of
     * [[graft.operators.Similarity.driftReport]] applied to table
@@ -4644,6 +4663,22 @@ object VersionedTable {
     if (clusteredBy.nonEmpty && overlap >= overlapFloor) recs += "optimize"
     if (ledgerDepth > foldEvery) recs += "foldCopyLedger"
     if (retained > keepVersions) recs += "vacuum"
+    // a MATERIALIZED VIEW trails its source by however many versions its
+    // refresh high-water hasn't folded — staleness IS a maintenance
+    // condition (the operator should be TOLD the view is behind, not
+    // diff txn stamps by hand). Parameterized verb like rebuild_ann:
+    // the lag rides the recommendation (and DESCRIBE DETAIL's
+    // maintenance column); REFRESH is the dispatched action. Three
+    // metadata reads, no data scan — a vanished source reports as
+    // unmeasurable rather than failing the whole tick.
+    val mvBehind = propertiesOf(spark, root, v)
+      .get(AggReplica.MvSourceProp).flatMap { src =>
+        for {
+          applied <- lastTxn(spark, root, AggReplica.MvAppId)
+          srcCur <- currentVersion(spark, src)
+        } yield math.max(0L, srcCur - applied)
+      }.getOrElse(0L)
+    if (mvBehind > 0) recs += s"refresh_view:$mvBehind"
     // registered ANN indexes: measure recall against the current corpus
     // and recommend a geometry rebuild under the recorded floor. A
     // broken registration (dropped index table) degrades to a logged
@@ -4665,7 +4700,7 @@ object VersionedTable {
       }
     MaintenanceReport(v, refs.size, tableBytes, dvBytes, dvFraction,
       small, smallFraction, clusteredBy, overlap, ledgerDepth, retained,
-      recs.toSeq, ann)
+      recs.toSeq, ann, mvBehind)
   }
 
   private val maintLog = org.slf4j.LoggerFactory.getLogger(getClass)
@@ -4707,6 +4742,12 @@ object VersionedTable {
     if (verbs.contains("vacuum")) {
       vacuum(spark, root, keepVersions)
       done += "vacuum"
+    }
+    // a stale materialized view: dispatch its REFRESH (exactly-once —
+    // a concurrent refresher's claim makes the loser a no-op)
+    rep.recommendations.find(_.startsWith("refresh_view")).foreach { _ =>
+      AggReplica.refreshView(spark, root)
+      done += "refresh_view"
     }
     // drifted ANN indexes: re-train each named index's geometry on the
     // current corpus (SaveMode.Overwrite build — probes atomically see

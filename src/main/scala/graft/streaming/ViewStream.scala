@@ -25,13 +25,33 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object ViewStream {
 
   /** One micro-batch → one transactional retraction fold (or a no-op
-    * replay skip). Returns false on skip. Exposed for tests. */
+    * replay skip). Returns false on skip. Exposed for tests.
+    *
+    * `extrema` additionally maintains `n_vals`/`value_min`/`value_max`
+    * ([[graft.sources.AggReplica]]'s extended shape); it needs
+    * `srcRoot` for the extremum-retraction recompute, pinned to the
+    * batch's own max `_commit_version` (the feed stamps every row), so
+    * a recompute can never see source rows from versions the batch's
+    * counts haven't folded yet. */
   def applyBatchTxn(
       spark: SparkSession, dstRoot: String, keyCols: Seq[String],
       valueCol: String, batch: DataFrame, appId: String,
-      batchId: Long): Boolean =
+      batchId: Long, extrema: Boolean = false,
+      srcRoot: Option[String] = None): Boolean = {
+    require(!extrema || srcRoot.isDefined,
+      "extrema maintenance needs srcRoot for the retraction recompute")
+    val source = if (extrema) {
+      val hi = batch.agg(
+        org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.col("_commit_version"))).head
+      // an all-empty-feed batch folds nothing — no recompute can fire,
+      // so the pin is never read; -1 keeps the call total
+      Some((srcRoot.get, if (hi.isNullAt(0)) -1L else hi.getLong(0)))
+    } else None
     graft.sources.AggReplica.applyAggBatch(spark, dstRoot, keyCols,
-      valueCol, batch, txn = Some((appId, batchId)))
+      valueCol, batch, txn = Some((appId, batchId)), extrema = extrema,
+      source = source)
+  }
 
   /** Start the continuous maintenance: `srcRoot`'s feed → the
     * `GROUP BY keyCols` count/sum view at `dstRoot`. The consumer must
@@ -47,13 +67,15 @@ object ViewStream {
       checkpointDir: String,
       appId: String = "graft-ivm",
       maxVersionsPerBatch: Option[Int] = None,
-      availableNow: Boolean = false): StreamingQuery = {
+      availableNow: Boolean = false,
+      extrema: Boolean = false): StreamingQuery = {
     require(keyCols.nonEmpty, "ViewStream needs at least one group column")
     val w = ChangeFeedStream.read(spark, srcRoot, maxVersionsPerBatch)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatchTxn(batch.sparkSession, dstRoot, keyCols, valueCol,
-          batch, appId, batchId)
+          batch, appId, batchId, extrema = extrema,
+          srcRoot = if (extrema) Some(srcRoot) else None)
         ()
       }
       .option("checkpointLocation", checkpointDir)

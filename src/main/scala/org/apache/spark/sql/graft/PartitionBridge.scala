@@ -38,20 +38,30 @@ object PartitionBridge {
       spark: org.apache.spark.sql.SparkSession,
       schema: StructType,
       parts: Seq[RDD[InternalRow]],
-      key: String): DataFrame = {
+      keys: Seq[String]): DataFrame = {
     val sess = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     require(parts.forall(_.partitioner.isEmpty) &&
       parts.forall(_.getNumPartitions == 1),
       "each bucket must arrive as exactly one partitioner-free partition")
     val union = sess.sparkContext.union(parts)
     val attrs = DataTypeUtils.toAttributes(schema)
-    val attr = attrs.find(_.name.equalsIgnoreCase(key)).getOrElse(
-      throw new IllegalArgumentException(
-        s"no column $key in ${schema.fieldNames.mkString(", ")}"))
     val plan = new LogicalRDD(
-      attrs, union, HashPartitioning(Seq(attr), parts.size), Nil,
-      false, None)(sess, None, None)
+      attrs, union, HashPartitioning(keyAttrs(attrs, keys, schema), parts.size),
+      Nil, false, None)(sess, None, None)
     org.apache.spark.sql.classic.Dataset.ofRows(sess, plan)
+  }
+
+  /** The schema attributes of a composite bucket key, in key order —
+    * the exact expression sequence `repartition(n, cols…)` hashed
+    * (murmur3 chains across the columns in order, so key ORDER is part
+    * of the layout's identity). */
+  private def keyAttrs(
+      attrs: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      keys: Seq[String], schema: StructType) = {
+    require(keys.nonEmpty, "a bucket layout needs at least one key column")
+    keys.map(k => attrs.find(_.name.equalsIgnoreCase(k)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no column $k in ${schema.fieldNames.mkString(", ")}")))
   }
 
   /** Per-partition CONCATENATION of two frames already laid out in the
@@ -81,7 +91,7 @@ object PartitionBridge {
   def alignedConcat(
       spark: org.apache.spark.sql.SparkSession,
       a: DataFrame, b: DataFrame,
-      key: String, n: Int): Option[DataFrame] = {
+      keys: Seq[String], n: Int): Option[DataFrame] = {
     val sameShape = a.schema.map(f => (f.name, f.dataType)) ==
       b.schema.map(f => (f.name, f.dataType))
     if (!sameShape) return None
@@ -92,12 +102,9 @@ object PartitionBridge {
       val sess = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       val zipped = ra.zipPartitions(rb)((x, y) => x ++ y)
       val attrs = DataTypeUtils.toAttributes(a.schema)
-      val attr = attrs.find(_.name.equalsIgnoreCase(key)).getOrElse(
-        throw new IllegalArgumentException(
-          s"no column $key in ${a.schema.fieldNames.mkString(", ")}"))
       val plan = new LogicalRDD(
-        attrs, zipped, HashPartitioning(Seq(attr), n), Nil,
-        false, None)(sess, None, None)
+        attrs, zipped, HashPartitioning(keyAttrs(attrs, keys, a.schema), n),
+        Nil, false, None)(sess, None, None)
       Some(org.apache.spark.sql.classic.Dataset.ofRows(sess, plan))
     }
   }
@@ -138,16 +145,25 @@ object PartitionBridge {
       df: DataFrame,
       groupOfPath: String => Option[Int],
       n: Int,
-      key: String): Option[DataFrame] = {
+      keys: Seq[String]): Option[DataFrame] = {
     val sess = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val rdd = df.queryExecution.toRdd
     // walk the one-parent chain to the file scan (scan + project/filter
-    // compiles to a linear RDD lineage; anything else declines)
+    // compiles to a linear NARROW lineage; anything else declines).
+    // NARROW only: a ShuffleDependency breaks the partition-index
+    // identity between the FileScanRDD and the top RDD even when the
+    // partition COUNTS coincide — recursing through one would apply the
+    // index→bucket map across shuffled partitions and the
+    // HashPartitioning claim would be silently false. The probe is the
+    // proof; it must be sound on its own, not rely on today's plans
+    // never compiling an exchange here.
     @scala.annotation.tailrec
     def fileScan(r: RDD[_]): Option[org.apache.spark.sql.execution.datasources.FileScanRDD] =
       r match {
         case f: org.apache.spark.sql.execution.datasources.FileScanRDD => Some(f)
-        case _ if r.dependencies.size == 1 => fileScan(r.dependencies.head.rdd)
+        case _ if r.dependencies.size == 1 &&
+            r.dependencies.head.isInstanceOf[org.apache.spark.NarrowDependency[_]] =>
+          fileScan(r.dependencies.head.rdd)
         case _ => None
       }
     fileScan(rdd).flatMap { scan =>
@@ -168,12 +184,9 @@ object PartitionBridge {
           val grouped = groups.map(_.result().sorted.toArray)
           val regrouped = new RegroupRDD(rdd, grouped)
           val attrs = DataTypeUtils.toAttributes(df.schema)
-          val attr = attrs.find(_.name.equalsIgnoreCase(key)).getOrElse(
-            throw new IllegalArgumentException(
-              s"no column $key in ${df.schema.fieldNames.mkString(", ")}"))
           val plan = new LogicalRDD(
-            attrs, regrouped, HashPartitioning(Seq(attr), n), Nil,
-            false, None)(sess, None, None)
+            attrs, regrouped, HashPartitioning(keyAttrs(attrs, keys, df.schema), n),
+            Nil, false, None)(sess, None, None)
           Some(org.apache.spark.sql.classic.Dataset.ofRows(sess, plan))
         }
       }

@@ -71,12 +71,12 @@ class BucketingSpec extends SparkSpec {
     // the merge commit is stamped and its files bucket-named: purity holds
     assert(VersionedTable.commitInfoOf(spark, rootB, v1)
       .get(Bucketing.BucketedInfoKey).contains("id,8"))
-    assert(Bucketing.pureBuckets(spark, rootB, v1, "id", 8).isDefined,
+    assert(Bucketing.pureBuckets(spark, rootB, v1, Seq("id"), 8).isDefined,
       "layout must survive the bucket-road merge")
     // second merge (updates + inserts) — still the bucket road
     val v2 = upsert(rootB, Seq(7L, 399L, 402L), ts2)
     upsert(rootP, Seq(7L, 399L, 402L), ts2)
-    assert(Bucketing.pureBuckets(spark, rootB, v2, "id", 8).isDefined)
+    assert(Bucketing.pureBuckets(spark, rootB, v2, Seq("id"), 8).isDefined)
 
     def rows(root: String) = VersionedTable.read(spark, root)
       .select("id", "last_status", "payload", "created_at", "updated_at")
@@ -99,7 +99,7 @@ class BucketingSpec extends SparkSpec {
         else lit(null).cast(f.dataType).as(f.name)): _*),
       root)
     val cur = VersionedTable.currentVersion(spark, root).get
-    assert(Bucketing.pureBuckets(spark, root, cur, "id", 8).isEmpty)
+    assert(Bucketing.pureBuckets(spark, root, cur, Seq("id"), 8).isEmpty)
     assert(Bucketing.mergeFrames(spark, root, cur,
       delta(Seq(3L), "DONE", ts1), "id", ts1, "last_status", "DONE",
       changeFeed = false).isEmpty)
@@ -128,13 +128,13 @@ class BucketingSpec extends SparkSpec {
     "stamp names the spec the files were written under") {
     val root = freshRoot(); seed(root, 8)
     val cur0 = VersionedTable.currentVersion(spark, root).get
-    assert(Bucketing.pureBuckets(spark, root, cur0, "id", 8).isDefined)
+    assert(Bucketing.pureBuckets(spark, root, cur0, Seq("id"), 8).isDefined)
     // widen the property to 16 buckets WITHOUT re-laying the files:
     // part-3 of 8 holds buckets 3 and 11 of 16 — purity must refuse
     VersionedTable.setProperties(spark, root,
       Map(Bucketing.BucketByProp -> "id,16"))
     val cur = VersionedTable.currentVersion(spark, root).get
-    assert(Bucketing.pureBuckets(spark, root, cur, "id", 16).isEmpty)
+    assert(Bucketing.pureBuckets(spark, root, cur, Seq("id"), 16).isEmpty)
     assert(Bucketing.mergeFrames(spark, root, cur, delta(Seq(3L), "DONE", ts1),
       "id", ts1, "last_status", "DONE", changeFeed = false).isEmpty)
     // the public upsert still lands correctly via the fallback
@@ -152,8 +152,8 @@ class BucketingSpec extends SparkSpec {
       s"OPTIMIZE '$root' BUCKET BY (id, 8)")
     val cur = VersionedTable.currentVersion(spark, root).get
     assert(Bucketing.specOf(VersionedTable.propertiesOf(spark, root, cur))
-      == Some(("id", 8)))
-    assert(Bucketing.pureBuckets(spark, root, cur, "id", 8).isDefined)
+      == Some((Seq("id"), 8)))
+    assert(Bucketing.pureBuckets(spark, root, cur, Seq("id"), 8).isDefined)
     assert(VersionedTable.read(spark, root).count() == 100L)
   }
 
@@ -226,7 +226,7 @@ class BucketingSpec extends SparkSpec {
       // the commit is stamped and its files bucket-pure: the road survives
       assert(VersionedTable.commitInfoOf(spark, rootB, v1)
         .get(Bucketing.BucketedInfoKey).contains("id,8"))
-      assert(Bucketing.pureBuckets(spark, rootB, v1, "id", 8).isDefined,
+      assert(Bucketing.pureBuckets(spark, rootB, v1, Seq("id"), 8).isDefined,
         "layout must survive the SQL merge")
       // SECOND merge rides the claimed road again
       plans.clear()
@@ -234,7 +234,7 @@ class BucketingSpec extends SparkSpec {
       val cp2 = awaitClaimed(1)
       assert(cp2.nonEmpty, "the second merge must ride the claimed road too")
       cp2.foreach(assertNoTargetExchange)
-      assert(Bucketing.pureBuckets(spark, rootB, v2, "id", 8).isDefined)
+      assert(Bucketing.pureBuckets(spark, rootB, v2, Seq("id"), 8).isDefined)
       // results equal the same merges against an unbucketized target
       mergeSql(rootP, "bkt_merge_src1"); mergeSql(rootP, "bkt_merge_src2")
       def rows(root: String) = VersionedTable.read(spark, root)
@@ -262,7 +262,7 @@ class BucketingSpec extends SparkSpec {
          |""".stripMargin).collect().head.getLong(2)
     assert(VersionedTable.commitInfoOf(spark, root, v1)
       .get(Bucketing.BucketedInfoKey).contains("id,8"))
-    assert(Bucketing.pureBuckets(spark, root, v1, "id", 8).isDefined)
+    assert(Bucketing.pureBuckets(spark, root, v1, Seq("id"), 8).isDefined)
     val moved = VersionedTable.read(spark, root)
       .where(col("id").isin(1003L, 1007L)).count()
     assert(moved == 2L, s"expected the moved keys, got $moved")
@@ -298,7 +298,7 @@ class BucketingSpec extends SparkSpec {
       s"""MERGE INTO `$root` AS t USING bkt_null_src AS s ON t.id = s.sid
          |WHEN NOT MATCHED THEN INSERT (last_status) VALUES (s.st)
          |""".stripMargin).collect().head.getLong(2)
-    assert(Bucketing.pureBuckets(spark, root, v1, "id", 8).isDefined)
+    assert(Bucketing.pureBuckets(spark, root, v1, Seq("id"), 8).isDefined)
     assert(VersionedTable.read(spark, root)
       .where(col("id").isNull).count() == 1L)
     // the next claimed merge must FIND the null-key row (null hashes to
@@ -374,7 +374,7 @@ class BucketingSpec extends SparkSpec {
       // the layout survives: stamped commit, still provably pure
       assert(VersionedTable.commitInfoOf(spark, rootB, v1)
         .get(Bucketing.BucketedInfoKey).contains("id,8"))
-      assert(Bucketing.pureBuckets(spark, rootB, v1, "id", 8).isDefined,
+      assert(Bucketing.pureBuckets(spark, rootB, v1, Seq("id"), 8).isDefined,
         "a MOR merge must re-stamp the layout — unstamped fresh files " +
           "would orphan it for every later merge")
       // SECOND MOR merge rides the claimed road again
@@ -383,7 +383,7 @@ class BucketingSpec extends SparkSpec {
       val cp2 = awaitClaimed(1)
       assert(cp2.nonEmpty, "the second MOR merge must ride the claimed road")
       cp2.foreach(assertNoTargetExchange)
-      assert(Bucketing.pureBuckets(spark, rootB, v2, "id", 8).isDefined)
+      assert(Bucketing.pureBuckets(spark, rootB, v2, Seq("id"), 8).isDefined)
       // results equal the same MOR merges against an unbucketized target
       mergeSql(rootP, "bkt_mor_src1"); mergeSql(rootP, "bkt_mor_src2")
       def rows(root: String) = VersionedTable.read(spark, root)
@@ -407,8 +407,8 @@ class BucketingSpec extends SparkSpec {
     VersionedTable.renameColumn(spark, root, "payload", "payload2")
     val v1 = VersionedTable.currentVersion(spark, root).get
     assert(Bucketing.specOf(VersionedTable.propertiesOf(spark, root, v1))
-      .contains(("id", 8)))
-    assert(Bucketing.pureBuckets(spark, root, v1, "id", 8).isDefined,
+      .contains((Seq("id"), 8)))
+    assert(Bucketing.pureBuckets(spark, root, v1, Seq("id"), 8).isDefined,
       "a non-key rename must not orphan the layout")
     // renaming the KEY drops the spec: recorded stamps name the old
     // spec string and could never be re-derived under the new name
@@ -476,7 +476,7 @@ class BucketingSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).count() == 400L) // -4 +4
     // the contended commits kept the layout provably pure and the
     // DV chain whole (4 deletes = 4 mask rows, set-exact)
-    assert(Bucketing.pureBuckets(spark, root, cur, "id", 8).isDefined,
+    assert(Bucketing.pureBuckets(spark, root, cur, Seq("id"), 8).isDefined,
       "contention must never publish a false stamp")
     val fold = VersionedTable.dvOf(spark, root, cur).get
     assert(fold.count() == fold.distinct().count(),
@@ -516,7 +516,7 @@ class BucketingSpec extends SparkSpec {
       "compaction must fold the masks away")
     assert(VersionedTable.commitInfoOf(spark, root, vc)
       .get(Bucketing.BucketedInfoKey).contains("id,8"))
-    assert(Bucketing.pureBuckets(spark, root, vc, "id", 8).isDefined,
+    assert(Bucketing.pureBuckets(spark, root, vc, Seq("id"), 8).isDefined,
       "compaction must re-pack within the buckets, not orphan the layout")
     // rows intact
     assert(VersionedTable.read(spark, root).count() == 400L) // -1 del +1 ins
@@ -555,7 +555,7 @@ class BucketingSpec extends SparkSpec {
          |""".stripMargin).collect().head.getLong(2)
     assert(VersionedTable.commitInfoOf(spark, root, v1)
       .get(Bucketing.BucketedInfoKey).contains("id,8"))
-    assert(Bucketing.pureBuckets(spark, root, v1, "id", 8).isDefined)
+    assert(Bucketing.pureBuckets(spark, root, v1, Seq("id"), 8).isDefined)
     // the NEXT merge rides the claimed layout and must FIND id=601 — a
     // misplaced insert would be invisible to the claimed join and this
     // update would duplicate the key instead
@@ -587,7 +587,7 @@ class BucketingSpec extends SparkSpec {
          |ON t.id = s.nested.id
          |WHEN MATCHED THEN UPDATE SET *
          |""".stripMargin).collect().head.getLong(2)
-    assert(Bucketing.pureBuckets(spark, root, v1, "id", 8).isDefined)
+    assert(Bucketing.pureBuckets(spark, root, v1, Seq("id"), 8).isDefined)
     // the moved keys must be found by the next CLAIMED merge
     Seq((2003L, "HIT"), (2007L, "HIT")).toDF("id", "st")
       .createOrReplaceTempView("bkt_nested_src2")
@@ -610,16 +610,16 @@ class BucketingSpec extends SparkSpec {
     val root = freshRoot(); seed(root, 8)
     val cur0 = VersionedTable.currentVersion(spark, root).get
     // the layout itself is pure — the guard is a SIZE decision on top
-    assert(Bucketing.pureBuckets(spark, root, cur0, "id", 8).isDefined)
-    assert(Bucketing.pureBucketsBounded(spark, root, cur0, "id", 8).isDefined,
+    assert(Bucketing.pureBuckets(spark, root, cur0, Seq("id"), 8).isDefined)
+    assert(Bucketing.pureBucketsBounded(spark, root, cur0, Seq("id"), 8).isDefined,
       "under the default 2 GiB ceiling the toy table must pass")
     // shrink the ceiling under the largest real bucket: the road declines
     val sizes = VersionedTable.fileSizes(spark, root, cur0)
-    val maxBucket = Bucketing.pureBuckets(spark, root, cur0, "id", 8).get
+    val maxBucket = Bucketing.pureBuckets(spark, root, cur0, Seq("id"), 8).get
       .groupBy(_._2).values.map(_.keys.map(sizes).sum).max
     spark.conf.set(Bucketing.MaxBucketBytesKey, (maxBucket - 1).toString)
     try {
-      assert(Bucketing.pureBucketsBounded(spark, root, cur0, "id", 8).isEmpty,
+      assert(Bucketing.pureBucketsBounded(spark, root, cur0, Seq("id"), 8).isEmpty,
         "a bucket over the ceiling must decline the claimed road")
       assert(Bucketing.mergeFrames(spark, root, cur0,
         delta(Seq(3L), "DONE", ts1), "id", ts1, "last_status", "DONE",
@@ -642,10 +642,130 @@ class BucketingSpec extends SparkSpec {
     } finally spark.conf.unset(Bucketing.MaxBucketBytesKey)
   }
 
+  test("a COMPOSITE bucket key rides the claimed road: multi-key purity " +
+    "is spec-exact, the two-key equi MERGE joins with zero target-side " +
+    "exchange, and a merge joining only PART of the key declines") {
+    val root = freshRoot()
+    // the classic CDC business key: (id, src_system)
+    val df = spark.range(0, 400).toDF("id")
+      .withColumn("src", concat(lit("s"), $"id" % 3))
+      .withColumn("last_status", lit("OPEN"))
+      .withColumn("payload", concat(lit("p"), $"id"))
+    VersionedTable.commit(df, root)
+    Bucketing.bucketize(spark, root, Seq("id", "src"), 8)
+    val cur0 = VersionedTable.currentVersion(spark, root).get
+    val fb = Bucketing.pureBuckets(spark, root, cur0, Seq("id", "src"), 8)
+    assert(fb.isDefined, "the composite layout must prove pure")
+    // purity is SPEC-exact: a single-key or reordered probe must decline
+    // (murmur3 chains across the columns in order — a different key list
+    // is a different layout)
+    assert(Bucketing.pureBuckets(spark, root, cur0, Seq("id"), 8).isEmpty)
+    assert(Bucketing.pureBuckets(spark, root, cur0, Seq("src", "id"), 8).isEmpty)
+    // ROW-LEVEL lockstep proof: every row's file sits in exactly the
+    // bucket `pmod(hash(id, src), 8)` re-derives — the claimed
+    // HashPartitioning, bucketExpr, and the repartition that wrote the
+    // layout all hash identically or the road silently mis-joins
+    val withRef = VersionedTable
+      .readVersionWithFileRef(spark, root, cur0, "__f")
+    val misplaced = withRef
+      .withColumn("__b", Bucketing.bucketExpr(Seq("id", "src"), 8))
+      .collect().count { r =>
+        fb.get(r.getString(r.fieldIndex("__f"))) !=
+          r.getInt(r.fieldIndex("__b"))
+      }
+    assert(misplaced == 0, s"$misplaced rows outside their claimed bucket")
+    // the two-key equi SQL MERGE rides the claimed road: the target
+    // reads as the claimed scan and is never exchanged
+    val plans = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    def claimedPlans(): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      plans.iterator().asScala.toSeq.filter(_.contains("Scan ExistingRDD[id#"))
+    }
+    def awaitClaimed(atLeast: Int): Seq[String] = {
+      var tries = 0
+      while (claimedPlans().size < atLeast && tries < 100) {
+        Thread.sleep(100); tries += 1
+      }
+      claimedPlans()
+    }
+    val ClaimedId = """Scan ExistingRDD\[id#(\d+)L""".r
+    Seq((3L, "s0", "M1"), (7L, "s1", "M1"), (401L, "s2", "M1"))
+      .toDF("id", "src", "st").createOrReplaceTempView("bkt_ck_src")
+    spark.listenerManager.register(listener)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val v1 = graft.plans.GraftSql.execute(spark,
+        s"""MERGE INTO `$root` AS t USING bkt_ck_src AS s
+           |ON t.id = s.id AND t.src = s.src
+           |WHEN MATCHED THEN UPDATE SET last_status = s.st
+           |WHEN NOT MATCHED THEN INSERT (id, src, last_status)
+           |  VALUES (s.id, s.src, s.st)""".stripMargin)
+        .collect().head.getLong(2)
+      val cp = awaitClaimed(1)
+      assert(cp.nonEmpty, "the two-key merge must read the claimed scan")
+      cp.foreach { p =>
+        ClaimedId.findAllMatchIn(p).map(_.group(1)).foreach { eid =>
+          assert(!p.contains(s"Exchange hashpartitioning(id#${eid}L"),
+            s"claimed composite target id#$eid was exchanged:\n$p")
+        }
+      }
+      // stamped with the composite spec; the layout survives
+      assert(VersionedTable.commitInfoOf(spark, root, v1)
+        .get(Bucketing.BucketedInfoKey).contains("id,src,8"))
+      assert(Bucketing
+        .pureBuckets(spark, root, v1, Seq("id", "src"), 8).isDefined,
+        "the composite layout must survive its own merge")
+      // correctness: the merged state equals the relational restatement
+      val got = VersionedTable.read(spark, root)
+        .select("id", "src", "last_status").orderBy("id", "src")
+        .collect().map(_.toSeq).toSeq
+      val want = df.select("id", "src")
+        .withColumn("last_status",
+          when($"id" === 3L && $"src" === "s0", "M1")
+            .when($"id" === 7L && $"src" === "s1", "M1")
+            .otherwise("OPEN"))
+        .unionByName(Seq((401L, "s2", "M1")).toDF("id", "src", "last_status"))
+        .orderBy("id", "src").collect().map(_.toSeq).toSeq
+      assert(got == want)
+      // a merge equi-joining only PART of the key must DECLINE the road
+      // (hashing (id, src) co-locates nothing for a join on id alone):
+      // no claimed scan appears, and the merge is still correct
+      plans.clear()
+      Seq((5L, "M3")).toDF("id", "st")
+        .createOrReplaceTempView("bkt_ck_partial")
+      graft.plans.GraftSql.execute(spark,
+        s"""MERGE INTO `$root` AS t USING bkt_ck_partial AS s
+           |ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET last_status = s.st""".stripMargin)
+      Thread.sleep(500)
+      assert(claimedPlans().isEmpty,
+        "a partial-key join must not claim the composite layout")
+      val st5 = VersionedTable.read(spark, root)
+        .where($"id" === 5L).select("last_status")
+        .collect().map(_.getString(0)).toSeq
+      assert(st5 == Seq("M3"), s"partial-key merge must still land: $st5")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.listenerManager.unregister(listener)
+    }
+  }
+
   test("bucketize refuses partition-spec'd tables; spec parsing is strict") {
-    assert(Bucketing.specOf(Map("graft.bucketBy" -> "id,8")) == Some(("id", 8)))
+    assert(Bucketing.specOf(Map("graft.bucketBy" -> "id,8"))
+      == Some((Seq("id"), 8)))
+    assert(Bucketing.specOf(Map("graft.bucketBy" -> "id,src,8"))
+      == Some((Seq("id", "src"), 8)))
     assert(Bucketing.specOf(Map("graft.bucketBy" -> "id")) == None)
     assert(Bucketing.specOf(Map("graft.bucketBy" -> "id,0")) == None)
+    assert(Bucketing.specOf(Map("graft.bucketBy" -> ",id,8")) == None)
     val root = freshRoot()
     VersionedTable.commit(
       base(50).withColumn("ds", lit("2024-06-01").cast("date")), root,

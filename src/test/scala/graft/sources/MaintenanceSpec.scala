@@ -128,4 +128,44 @@ class MaintenanceSpec extends SparkSpec {
       s"MAINTAIN '$root' DRY RUN").collect().map(_.getString(0)).toSet
     assert(after == Set("healthy"), s"after one pass: $after")
   }
+
+  test("a stale materialized view surfaces its lag and MAINTAIN " +
+    "refreshes it; a fresh one stays quiet") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_maint_mv")
+    val src = s"$tmp/src"; val mv = s"$tmp/mv"
+    val df = Seq((1L, "a", 10L), (2L, "b", 5L)).toDF("id", "grp", "v")
+    VersionedTable.commit(df, src, extras = Map("changes" ->
+      VersionedTable.feedWritable(df.withColumn("_change_type", lit("insert")))))
+    AggReplica.createView(spark, mv, src, Seq("grp"), "v")
+    val fresh = VersionedTable.maintenanceReport(spark, mv)
+    assert(fresh.mvVersionsBehind == 0L &&
+      !fresh.recommendations.exists(_.startsWith("refresh_view")),
+      s"an up-to-date view is healthy: $fresh")
+    // two source commits the view hasn't folded → lag = 2, verb carries it
+    VersionedTable.commitAppend(Seq((3L, "a", 7L)).toDF("id", "grp", "v"),
+      src, changeFeed = true)
+    VersionedTable.deleteWhere(spark, src, col("id") === 2L)
+    val stale = VersionedTable.maintenanceReport(spark, mv)
+    assert(stale.mvVersionsBehind == 2L, s"lag must be measured: $stale")
+    assert(stale.recommendations.contains("refresh_view:2"), s"$stale")
+    // DESCRIBE DETAIL surfaces the lag in the maintenance column
+    val row = graft.plans.GraftSql.execute(spark, s"DESCRIBE DETAIL '$mv'")
+      .collect().head
+    assert(row.getString(row.fieldIndex("maintenance"))
+      .contains("refresh_view:2"), row.toString)
+    // MAINTAIN dispatches the refresh; the view converges and the
+    // recommendation clears
+    val ran = graft.plans.GraftSql.execute(spark, s"MAINTAIN '$mv'")
+      .collect().map(_.getString(0)).toSet
+    assert(ran.contains("refresh_view"), s"ran: $ran")
+    val state = VersionedTable.read(spark, mv)
+      .select(col("grp"), col("n_rows"), col("value_sum").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+    assert(state == Seq(("a", 2L, 17L)), s"refreshed state: $state")
+    val healed = VersionedTable.maintenanceReport(spark, mv)
+    assert(healed.mvVersionsBehind == 0L &&
+      !healed.recommendations.exists(_.startsWith("refresh_view")),
+      s"after MAINTAIN: $healed")
+  }
 }

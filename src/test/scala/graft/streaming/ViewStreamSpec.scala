@@ -167,7 +167,7 @@ class ViewStreamSpec extends SparkSpec {
       appId = "vs-bkt", availableNow = true).awaitTermination()
     val cur = VersionedTable.currentVersion(spark, dst).get
     assert(graft.sources.Bucketing
-      .pureBuckets(spark, dst, cur, "grp", 8).isDefined,
+      .pureBuckets(spark, dst, cur, Seq("grp"), 8).isDefined,
       "the maintenance merge must keep the view's layout provably pure")
     // the view still equals the batch aggregate over the final source
     val want = VersionedTable.read(spark, src)
@@ -216,6 +216,192 @@ class ViewStreamSpec extends SparkSpec {
       graft.plans.GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW '$src'")
     }
     assert(e2.getMessage.contains("not a materialized view"), e2.getMessage)
+  }
+
+  // ---- the extrema-maintained (min/max) form -------------------------------
+
+  /** Extended view state: (grp, n_rows, value_sum, n_vals, min, max). */
+  private def extState(root: String)
+    : Seq[(String, Long, Long, Long, Option[Long], Option[Long])] =
+    VersionedTable.read(spark, root)
+      .select(col("grp"), col("n_rows"), col("value_sum").cast("long"),
+        col("n_vals"), col("value_min").cast("long"),
+        col("value_max").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))
+      .toSeq.sorted
+
+  test("extrema view: appends fold, retracting the max/min recomputes " +
+    "from the affected groups only, NULLs keep SQL min/max semantics") {
+    val tmp = freshDir("graft_vs_ext")
+    val src = s"$tmp/src"; val mv = s"$tmp/mv"
+    val df = Seq[(Long, String, Option[Long])](
+      (1L, "a", Some(10L)), (2L, "a", Some(20L)), (3L, "a", None),
+      (4L, "b", Some(5L))).toDF("id", "grp", "v")
+    VersionedTable.commit(df, src, extras = Map("changes" ->
+      VersionedTable.feedWritable(df.withColumn("_change_type", lit("insert")))))
+    AggReplica.createView(spark, mv, src, Seq("grp"), "v", extrema = true)
+    assert(extState(mv) == Seq(
+      ("a", 3L, 30L, 2L, Some(10L), Some(20L)),
+      ("b", 1L, 5L, 1L, Some(5L), Some(5L))))
+    // insert-only refresh: the fold path (least/greatest, no recompute)
+    VersionedTable.commitAppend(
+      Seq[(Long, String, Option[Long])]((5L, "a", Some(40L)))
+        .toDF("id", "grp", "v"), src, changeFeed = true)
+    AggReplica.refreshView(spark, mv)
+    assert(extState(mv) == Seq(
+      ("a", 4L, 70L, 3L, Some(10L), Some(40L)),
+      ("b", 1L, 5L, 1L, Some(5L), Some(5L))))
+    // retract BOTH stored extrema of group a in one refresh — the
+    // survivors' extrema are not derivable from the stored state, so
+    // the maintainer must re-read group a (and only group a) from the
+    // source at the refresh's pinned version
+    VersionedTable.deleteWhere(spark, src, col("id").isin(1L, 5L))
+    AggReplica.refreshView(spark, mv)
+    assert(extState(mv) == Seq(
+      ("a", 2L, 20L, 1L, Some(20L), Some(20L)),
+      ("b", 1L, 5L, 1L, Some(5L), Some(5L))))
+    // delete group a's last non-NULL value: rows remain, extrema go
+    // NULL exactly as SQL min/max over an all-NULL group
+    VersionedTable.deleteWhere(spark, src, col("id") === 2L)
+    AggReplica.refreshView(spark, mv)
+    assert(extState(mv) == Seq(
+      ("a", 1L, 0L, 0L, None, None),
+      ("b", 1L, 5L, 1L, Some(5L), Some(5L))))
+    // duplicate extremum: a second 5 lands in b, then one copy is
+    // deleted — the conservative recompute serves the surviving 5
+    VersionedTable.commitAppend(
+      Seq[(Long, String, Option[Long])]((6L, "b", Some(5L)))
+        .toDF("id", "grp", "v"), src, changeFeed = true)
+    VersionedTable.deleteWhere(spark, src, col("id") === 6L)
+    AggReplica.refreshView(spark, mv)
+    assert(extState(mv) == Seq(
+      ("a", 1L, 0L, 0L, None, None),
+      ("b", 1L, 5L, 1L, Some(5L), Some(5L))))
+  }
+
+  test("in-batch churn cannot poison the fold: a value inserted and " +
+    "deleted inside one batch never becomes the stored extremum, and a " +
+    "zero-net-count batch still moves the extrema") {
+    val tmp = freshDir("graft_vs_extchurn")
+    val dst = s"$tmp/view"; val src = s"$tmp/src"
+    // bootstrap the view at a = {3, 7} (insert-only: pure fold)
+    val seed = Seq(("a", 3L, "insert"), ("a", 7L, "insert"))
+      .toDF("grp", "v", "_change_type")
+    assert(AggReplica.applyAggBatch(spark, dst, Seq("grp"), "v", seed,
+      extrema = true, source = Some(("/nonexistent/never-read", 0L))))
+    assert(extState(dst) == Seq(("a", 2L, 10L, 2L, Some(3L), Some(7L))))
+    // the source's state AFTER the batch below: a = {4, 6}
+    val srcV = VersionedTable.commit(
+      Seq(("a", 4L), ("a", 6L)).toDF("grp", "v"), src)
+    // delete {3,7} + insert {4,6}: nets dc=0, dv=0, dn=0 — yet BOTH
+    // extrema move; the batch must flow through and recompute
+    val churn = Seq(
+      ("a", 3L, "delete"), ("a", 7L, "delete"),
+      ("a", 4L, "insert"), ("a", 6L, "insert"))
+      .toDF("grp", "v", "_change_type")
+    assert(AggReplica.applyAggBatch(spark, dst, Seq("grp"), "v", churn,
+      extrema = true, source = Some((src, srcV))))
+    assert(extState(dst) == Seq(("a", 2L, 10L, 2L, Some(4L), Some(6L))),
+      "a zero-net batch that replaces the extrema must move min and max")
+  }
+
+  test("the no-retraction fast path never touches the source: an " +
+    "insert-only batch folds with an unreadable source root") {
+    val dst = freshDir("graft_vs_extfast") + "/t"
+    val b0 = Seq(("a", 10L, "insert")).toDF("grp", "v", "_change_type")
+    val bogus = Some(("/nonexistent/never-read", 42L))
+    assert(AggReplica.applyAggBatch(spark, dst, Seq("grp"), "v", b0,
+      extrema = true, source = bogus))
+    // and against a LIVE view too (the merge road, not just bootstrap)
+    val b1 = Seq(("a", 99L, "insert"), ("b", 1L, "insert"))
+      .toDF("grp", "v", "_change_type")
+    assert(AggReplica.applyAggBatch(spark, dst, Seq("grp"), "v", b1,
+      extrema = true, source = bogus))
+    assert(extState(dst) == Seq(
+      ("a", 2L, 109L, 2L, Some(10L), Some(99L)),
+      ("b", 1L, 1L, 1L, Some(1L), Some(1L))))
+  }
+
+  test("overlapping refresh ranges cannot double-apply: the loser of a " +
+    "concurrent refresh observes the moved stamp and no-ops") {
+    val dst = freshDir("graft_vs_ovl") + "/t"
+    val b0 = Seq(("a", 10L, "insert")).toDF("grp", "v", "_change_type")
+    assert(AggReplica.applyAggBatch(spark, dst, Seq("grp"), "v", b0,
+      txn = Some(("ovl", 5L))))
+    assert(viewState(dst) == Seq(("a", 1L, 10L)))
+    // refresher B captured high-water 4 BEFORE A's commit moved it to 5,
+    // then read feed range [5..12] — its range overlaps what A already
+    // applied, so even though 12 > 5 passes the replay test, the moved
+    // stamp must make it no-op
+    val b1 = Seq(("a", 7L, "insert")).toDF("grp", "v", "_change_type")
+    assert(!AggReplica.applyAggBatch(spark, dst, Seq("grp"), "v", b1,
+      txn = Some(("ovl", 12L)), expectedPrior = Some(4L)),
+      "a moved high-water must lose the claim")
+    assert(viewState(dst) == Seq(("a", 1L, 10L)),
+      "the lost claim must leave the view untouched")
+    // the refresher that captured the CURRENT stamp applies normally
+    assert(AggReplica.applyAggBatch(spark, dst, Seq("grp"), "v", b1,
+      txn = Some(("ovl", 12L)), expectedPrior = Some(5L)))
+    assert(viewState(dst) == Seq(("a", 2L, 17L)))
+  }
+
+  test("createView normalizes key/value casing to the source schema, " +
+    "and refuses a comma-bearing group column at CREATE") {
+    val tmp = freshDir("graft_vs_case")
+    val src = s"$tmp/src"; val mv = s"$tmp/mv"
+    val df = Seq((1L, "a", 10L)).toDF("id", "grp", "v")
+    VersionedTable.commit(df, src, extras = Map("changes" ->
+      VersionedTable.feedWritable(df.withColumn("_change_type", lit("insert")))))
+    // mismatched casing at CREATE must not produce a view whose every
+    // REFRESH throws: the definition persists in the schema's casing
+    AggReplica.createView(spark, mv, src, Seq("GRP"), "V")
+    VersionedTable.commitAppend(Seq((2L, "b", 5L)).toDF("id", "grp", "v"),
+      src, changeFeed = true)
+    AggReplica.refreshView(spark, mv)
+    assert(viewState(mv) == Seq(("a", 1L, 10L), ("b", 1L, 5L)))
+    // a group column whose NAME contains a comma cannot round-trip the
+    // comma-joined key-list property — refused loudly at create
+    val src2 = s"$tmp/src2"
+    val odd = Seq(("x", 1L)).toDF("a,b", "v")
+    VersionedTable.commit(odd, src2, extras = Map("changes" ->
+      VersionedTable.feedWritable(odd.withColumn("_change_type", lit("insert")))))
+    val e = intercept[IllegalArgumentException] {
+      AggReplica.createView(spark, s"$tmp/mv2", src2, Seq("a,b"), "v")
+    }
+    assert(e.getMessage.contains("cannot be recorded"), e.getMessage)
+  }
+
+  test("the streamed extrema view converges: ViewStream folds appends " +
+    "and recomputes retracted extrema batch by batch") {
+    val tmp = freshDir("graft_vs_extstream")
+    val src = s"$tmp/src"; val dst = s"$tmp/view"
+    val ck = s"$tmp/ck"
+    seedSource(src) // moves retract across groups, group c zeroes out
+    ViewStream.start(spark, src, dst, Seq("grp"), "v", ck,
+      appId = "vs-ext", availableNow = true, extrema = true)
+      .awaitTermination()
+    def want() = VersionedTable.read(spark, src)
+      .groupBy("grp").agg(count(lit(1)).as("n_rows"),
+        sum(coalesce(col("v"), lit(0L))).cast("long").as("value_sum"),
+        count(col("v")).as("n_vals"), min(col("v")).as("value_min"),
+        max(col("v")).as("value_max"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long]),
+        Option(r.get(5)).map(_.asInstanceOf[Long]))).toSeq.sorted
+    assert(extState(dst) == want(),
+      "the streamed extrema view must equal the batch aggregate")
+    // retract group b's max through the stream, fold more appends
+    VersionedTable.deleteWhere(spark, src, col("v") === 20L)
+    VersionedTable.commitAppend(
+      Seq((9L, "a", 1L)).toDF("id", "grp", "v"), src, changeFeed = true)
+    ViewStream.start(spark, src, dst, Seq("grp"), "v", ck,
+      appId = "vs-ext", availableNow = true, extrema = true)
+      .awaitTermination()
+    assert(extState(dst) == want(),
+      "retracting the max through the stream must recompute it")
   }
 
   test("cross-version cancellation inside one batch needs no ordering: " +
