@@ -957,6 +957,138 @@ object Similarity {
     pqShortlistRerank(scored, rerank, idCol, vecCol, k, shortlist)
   }
 
+  /** s6: IVF∘PQ with RESIDUAL ENCODING (faiss `IndexIVFPQ` with
+    * `by_residual=true` — its production default, Jégou et al. TPAMI
+    * 2011 §V-A): vectors are PQ-encoded as `x − c(cell(x))` instead of
+    * raw, so the codebooks spend their 2^codebits resolution on the
+    * WITHIN-CELL spread (post-IVF residuals are near-zero-mean and much
+    * tighter than the raw distribution — materially better
+    * reconstruction, hence recall, at the same code size).
+    *
+    * The usual objection to residual encoding — every ADC table becomes
+    * per-(query, cell) — is dissolved with faiss's precomputed-terms
+    * algebra, adapted here to cosine. With x̂ = c + r̂:
+    *
+    *   dot(q, x̂)  = dot(q, c) + Σ_m dot(q_m, r̂_m)
+    *             = qc(query, cell) + ADC_raw(ftab_q, codes) − cdot(x)
+    *   ‖x̂‖²      = ‖c‖² + 2·dot(c, r̂) + ‖r̂‖²  (a per-ROW constant)
+    *
+    * where `cdot(x) = Σ_m dot(c_m, r̂_m)` is computed once at ENCODE
+    * time (the winning codeword's dot with its cell centroid's slice)
+    * and stored beside the codes, and `qc` is the query↔centroid dot the
+    * probe selection already computes. So the scan keeps the STANDARD
+    * per-query ADC table over raw query slices — two scalar adds per
+    * candidate buy residual quality with zero per-cell table blowup.
+    *
+    * Everything stays deterministic fixed-order arithmetic (residual
+    * subtraction is elementwise float→double-exact; both trainings are
+    * the unrolled Lloyd schemes), so the FULL composition is SQL-
+    * re-derived and hash-checked as `s6_knn_ivfpq_residual`. Recall vs
+    * the exact baseline is floor-asserted in SimilaritySpec — at the
+    * same geometry it must not fall below the raw-encoding variant's
+    * pinned floor. */
+  def ivfPqResidualTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int,
+      nProbes: Int,
+      coarseIters: Int,
+      nSub: Int,
+      subDim: Int,
+      kPerSub: Int,
+      pqIters: Int,
+      shortlist: Int): DataFrame = {
+    val n = corpus.select(col(idCol), col(vecCol), norm2(col(vecCol)).as("__n2"))
+    val cent = centroidsOf(corpus, idCol, vecCol, nCells, coarseIters)
+    val cellCos = cosineFromNorms(dotD(col(vecCol), col("__cv")), col("__n2"), col("__cn2"))
+    // winning cell carries its centroid VECTOR and norm through max_by —
+    // the residual needs them per row, without a centroid re-join
+    val assigned = n.join(broadcast(cent))
+      .select(col(idCol), col("__cid"), col("__cv"), col("__cn2"), cellCos.as("__ccos"))
+      .groupBy(col(idCol))
+      .agg(max_by(struct(col("__cid"), col("__cv"), col("__cn2")),
+        struct(col("__ccos"), -col("__cid"))).as("__w"))
+      .select(col(idCol), col("__w.__cid").as("__cell"),
+        col("__w.__cv").as("__ccv"), col("__w.__cn2").as("__celln2"))
+    val res = n.join(assigned, Seq(idCol))
+      .select(col(idCol), col("__cell"), col("__celln2"), col("__ccv"),
+        zip_with(col(vecCol), col("__ccv"),
+          (a, b) => a.cast("double") - b).as("__rv"))
+    val cb = trainPqCodebooks(res, idCol, "__rv", nSub, subDim, kPerSub, pqIters)
+    val codes = pqEncodeResidual(res, idCol, cb, nSub, subDim)
+      .select(col(idCol).as("neighbor_id"), col("__cell"), col("__codes"),
+        col("__cdot"), col("__xn2"))
+    // probe selection also yields dot(q, c) per probed cell — the qc term
+    val qn = queries.select(col(idCol).as("query_id"), col(vecCol),
+      norm2(col(vecCol)).as("__n2"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("__ccos").desc, col("__cell"))
+    val probes = qn.join(broadcast(cent))
+      .select(col("query_id"), col("__cid").as("__cell"), col("__n2"), col("__cn2"),
+        dotD(col(vecCol), col("__cv")).as("__qcdot"))
+      .select(col("query_id"), col("__cell"), col("__qcdot"),
+        cosineFromNorms(col("__qcdot"), col("__n2"), col("__cn2")).as("__ccos"))
+      .withColumn("__pr", row_number().over(pw))
+      .filter(col("__pr") <= nProbes)
+      .select(col("query_id"), col("__cell"), col("__qcdot"))
+    val qtab = pqQueryTab(queries, idCol, vecCol, pqCodeMap(cb), nSub, subDim)
+    val qprobes = qtab.join(probes, Seq("query_id"))
+    val scored = codes.join(broadcast(qprobes), Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("__qv"), col("__qn2"), col("neighbor_id"),
+        ((col("__qcdot") + adcCol(nSub, kPerSub) - col("__cdot"))
+          / sqrt(col("__qn2") * col("__xn2"))).as("adc_cos"))
+    pqShortlistRerank(scored, corpus, idCol, vecCol, k, shortlist)
+  }
+
+  /** Residual PQ encode: codes over `__rv` (= x − cell centroid) plus
+    * the two per-row constants the cosine ADC algebra needs — `__cdot`
+    * (the reconstruction's dot with its cell centroid, ascending-m fold)
+    * and `__xn2` (the reconstruction's exact squared norm
+    * ‖c‖² + 2·cdot + ‖r̂‖²). Input must carry `__rv`, `__ccv`,
+    * `__celln2`, `__cell` per row. */
+  private def pqEncodeResidual(
+      res: DataFrame, idCol: String, codebooks: DataFrame,
+      nSub: Int, subDim: Int): DataFrame = {
+    val cmap = pqCodeMap(codebooks)
+    val subs = res
+      .select(col(idCol), col("__cell"), col("__celln2"),
+        requireDim(col("__rv"), nSub, subDim).as("__rv"), col("__ccv"))
+      .select(col(idCol), col("__cell"), col("__celln2"),
+        explode(sequence(lit(0), lit(nSub - 1))).as("__m"),
+        col("__rv"), col("__ccv"))
+      .select(col(idCol), col("__cell"), col("__celln2"), col("__m"),
+        slice(col("__rv"), col("__m") * subDim + 1, lit(subDim)).as("__sv"),
+        slice(col("__ccv"), col("__m") * subDim + 1, lit(subDim)).as("__csl"))
+      .withColumn("__sn2", norm2(col("__sv")))
+    val d2 = col("__sn2") + col("__cn2") - lit(2.0) * dotD(col("__sv"), col("__cv"))
+    subs.join(broadcast(cmap), Seq("__m"))
+      .select(col(idCol), col("__cell"), col("__celln2"), col("__m"),
+        col("__code"), col("__cn2"),
+        dotD(col("__csl"), col("__cv")).as("__cd"), d2.as("__d2"))
+      .groupBy(col(idCol), col("__m"))
+      .agg(first(col("__cell")).as("__cell"),
+        first(col("__celln2")).as("__celln2"),
+        max_by(struct(col("__code"), col("__cn2"), col("__cd")),
+          struct(-col("__d2"), -col("__code"))).as("__win"))
+      .groupBy(col(idCol))
+      .agg(first(col("__cell")).as("__cell"),
+        first(col("__celln2")).as("__celln2"),
+        transform(array_sort(collect_list(struct(col("__m"),
+          col("__win.__code").as("__c")))), x => x.getField("__c")).as("__codes"),
+        aggregate(transform(array_sort(collect_list(struct(col("__m"),
+          col("__win.__cn2").as("__n")))), x => x.getField("__n")),
+          lit(0.0), (acc, x) => acc + x).as("__rrn2"),
+        aggregate(transform(array_sort(collect_list(struct(col("__m"),
+          col("__win.__cd").as("__d")))), x => x.getField("__d")),
+          lit(0.0), (acc, x) => acc + x).as("__cdot"))
+      .select(col(idCol), col("__cell"), col("__codes"), col("__cdot"),
+        (col("__celln2") + lit(2.0) * col("__cdot") + col("__rrn2")).as("__xn2"))
+  }
+
   /** Persist the IVF∘PQ index: coarse centroids (`<t>_centroids`), PQ
     * codebooks (`<t>_codebooks`), and the codes table `tableName` — one
     * row per vector (id, `__cell`, `__codes`, `__rn2`), CELL-BUCKETED so

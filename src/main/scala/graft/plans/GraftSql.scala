@@ -333,6 +333,11 @@ object GraftSql {
   // CREATE, never as a silently-wrong refresh
   private val CreateMvRe =
     """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s+AS\s+SELECT\s+(.+?)\s+FROM\s+'([^']+)'\s+GROUP\s+BY\s+(.+?)\s*;?\s*""".r
+  // the join-backed form: FROM 'fact' f JOIN 'dim' d ON f.fk = d.pk
+  // [AND …] — group columns must be alias-qualified (two tables are in
+  // scope; a bare name would need schema resolution at parse time)
+  private val CreateJoinMvRe =
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s+AS\s+SELECT\s+(.+?)\s+FROM\s+'([^']+)'\s+([A-Za-z_][A-Za-z0-9_]*)\s+JOIN\s+'([^']+)'\s+([A-Za-z_][A-Za-z0-9_]*)\s+ON\s+(.+?)\s+GROUP\s+BY\s+(.+?)\s*;?\s*""".r
   private val RefreshMvRe =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s*;?\s*""".r
   private val DeepCloneRe =
@@ -669,6 +674,11 @@ object GraftSql {
         Some(GraftCommand("CONVERT TO GRAFT", root, s =>
           Seq(Row("CONVERT TO GRAFT", root,
             VersionedTable.convertToGraft(s, root)))))
+      case CreateJoinMvRe(dst, selectList, fact, fa, dim, da, onCond, groupBy) =>
+        Some(GraftCommand("CREATE MATERIALIZED VIEW", dst, s =>
+          Seq(Row("CREATE MATERIALIZED VIEW", dst,
+            runCreateJoinMv(s, dst, selectList, fact, fa, dim, da,
+              onCond, groupBy)))))
       case CreateMvRe(dst, selectList, src, groupBy) =>
         Some(GraftCommand("CREATE MATERIALIZED VIEW", dst, s =>
           Seq(Row("CREATE MATERIALIZED VIEW", dst,
@@ -1196,6 +1206,69 @@ object GraftSql {
     }
     graft.sources.AggReplica.createView(spark, dst, src, keys, valueCol,
       extrema = extrema)
+  }
+
+  /** CREATE MATERIALIZED VIEW 'dst' AS SELECT a.g1[, b.g2…], count(*)
+    * AS n_rows, sum(f.col) AS value_sum FROM 'fact' f JOIN 'dim' d ON
+    * f.fk = d.pk [AND …] GROUP BY a.g1[, b.g2…] — the join shape
+    * [[graft.sources.AggReplica.createJoinView]] maintains with the
+    * bilinear delta rule. Strict like the single-source form: group
+    * columns alias-qualified and echoed in SELECT order, the sum over a
+    * FACT column (dim measures would need the dim feed to re-derive
+    * fact multiplicities — declare the view the other way around), ON
+    * a conjunction of alias-qualified equalities, one from each side.
+    * Extrema aggregates are not join-maintainable and fail here. */
+  private def runCreateJoinMv(
+      spark: SparkSession, dst: String, selectList: String, fact: String,
+      fa: String, dim: String, da: String, onCond: String,
+      groupBy: String): Long = {
+    require(!fa.equalsIgnoreCase(da),
+      s"the two table aliases must differ, got '$fa' twice")
+    val Ident = "[A-Za-z_][A-Za-z0-9_]*"
+    val EqRe = s"""(?is)\\s*($Ident)\\.($Ident)\\s*=\\s*($Ident)\\.($Ident)\\s*""".r
+    val pairs = onCond.split("(?i)\\s+AND\\s+").toSeq.map {
+      case EqRe(a1, c1, a2, c2) =>
+        if (a1.equalsIgnoreCase(fa) && a2.equalsIgnoreCase(da)) (c1, c2)
+        else if (a1.equalsIgnoreCase(da) && a2.equalsIgnoreCase(fa)) (c2, c1)
+        else throw new IllegalArgumentException(
+          s"ON condition must equate a $fa.column with a $da.column, " +
+            s"got: $a1.$c1 = $a2.$c2")
+      case other => throw new IllegalArgumentException(
+        "ON must be a conjunction of alias-qualified equalities " +
+          s"($fa.col = $da.col), got: $other")
+    }
+    val QualRe = s"""(?is)\\s*($Ident)\\.($Ident)\\s*""".r
+    val groups = groupBy.split(",").toSeq.map {
+      case QualRe(a, c) =>
+        if (a.equalsIgnoreCase(fa)) (true, c)
+        else if (a.equalsIgnoreCase(da)) (false, c)
+        else throw new IllegalArgumentException(
+          s"GROUP BY columns must be qualified with $fa or $da, got: $a.$c")
+      case other => throw new IllegalArgumentException(
+        s"GROUP BY columns must be alias-qualified in the join form, " +
+          s"got: $other")
+    }
+    val items = selectList.split(",").map(_.trim).toSeq
+    val shape = "join materialized view SELECT must be exactly: the " +
+      "GROUP BY columns (in order), count(*) AS n_rows, " +
+      s"sum($fa.<col>) AS value_sum"
+    require(items.size == groups.size + 2, s"$shape — got: $selectList")
+    items.take(groups.size).zip(groups).foreach { case (item, (ff, c)) =>
+      val want = (if (ff) fa else da) + "." + c
+      require(item.equalsIgnoreCase(want),
+        s"$shape — expected $want, got: $item")
+    }
+    val CountRe = """(?is)count\s*\(\s*\*\s*\)\s+AS\s+n_rows""".r
+    require(CountRe.matches(items(groups.size)), s"$shape — got: $selectList")
+    val SumRe = s"""(?is)sum\\s*\\(\\s*($Ident)\\.($Ident)\\s*\\)\\s+AS\\s+value_sum""".r
+    val valueCol = items(groups.size + 1) match {
+      case SumRe(a, c) if a.equalsIgnoreCase(fa) => c
+      case SumRe(a, c) => throw new IllegalArgumentException(
+        s"value_sum must aggregate a $fa (fact) column, got: $a.$c")
+      case other => throw new IllegalArgumentException(s"$shape — got: $other")
+    }
+    graft.sources.AggReplica.createJoinView(spark, dst, fact, dim, pairs,
+      groups, valueCol)
   }
 
   private def runRefreshMv(spark: SparkSession, dst: String): Long =

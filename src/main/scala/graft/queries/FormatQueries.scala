@@ -39,9 +39,14 @@ object FormatQueries {
     "q38_format_merge_nmbs"   -> ((s, d) => q38(s, d)),
     "q39_generated_identity"  -> ((s, d) => q39(s, d)),
     "q40_matview"             -> ((s, d) => q40(s, d)),
-    "q41_matview_minmax"      -> ((s, d) => q41(s, d))
+    "q41_matview_minmax"      -> ((s, d) => q41(s, d)),
+    "q42_matview_join"        -> ((s, d) => q42(s, d))
   )
 
+  // scratch roots live on local tmpfs, so the bench numbers for q27–q42
+  // measure local-fs commit latency — an object store would add its
+  // round-trips through the same adapter seam; the SEMANTICS under the
+  // oracle are storage-independent
   private def freshRoot(): String =
     java.nio.file.Files.createTempDirectory("graft_fmtq").toString + "/t"
 
@@ -484,7 +489,78 @@ object FormatQueries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** q42: JOIN-BACKED MATERIALIZED VIEW — `γ(orders ⋈ customer)` by
+    * market segment, maintained with the bilinear delta rule
+    * (Δ(F⋈D) = ΔF⋈D_new + F_old⋈ΔD) over BOTH tables' change feeds.
+    * One refresh folds fact churn (append + delete), a late-arriving
+    * dim population (previously-unjoined orders become visible), a
+    * group-moving dim update, and a dim delete — every shape the rule
+    * has to get right, hash-checked against the full join-aggregate
+    * recompute. */
+  def q42(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q42").toString
+    val fact = s"$tmp/fact"; val dim = s"$tmp/dim"; val mv = s"$tmp/mv"
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
+    val customers = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val factSeed = orders.where(col("o_orderkey") % 3 === 1)
+    VersionedTable.commit(factSeed, fact, extras = Map("changes" ->
+      VersionedTable.feedWritable(
+        factSeed.withColumn("_change_type", lit("insert")))))
+    // HALF the dim at create: odd-custkey orders join, evens wait
+    val dimSeed = customers.where(col("c_custkey") % 2 === 1)
+    VersionedTable.commit(dimSeed, dim, extras = Map("changes" ->
+      VersionedTable.feedWritable(
+        dimSeed.withColumn("_change_type", lit("insert")))))
+    GraftSql.execute(s,
+      s"""CREATE MATERIALIZED VIEW '$mv' AS
+         |SELECT d.c_mktsegment, count(*) AS n_rows,
+         |  sum(f.o_totalprice) AS value_sum
+         |FROM '$fact' f JOIN '$dim' d ON f.o_custkey = d.c_custkey
+         |GROUP BY d.c_mktsegment""".stripMargin)
+    // fact churn: an append wave, then a price-band delete
+    VersionedTable.commitAppend(
+      orders.where(col("o_orderkey") % 3 === 2), fact, changeFeed = true)
+    VersionedTable.deleteWhere(s, fact, col("o_totalprice") > lit(300000))
+    // dim churn: the missing half arrives, a segment move, a drop
+    VersionedTable.commitAppend(
+      customers.where(col("c_custkey") % 2 === 0), dim, changeFeed = true)
+    VersionedTable.updateWhere(s, dim, col("c_custkey") % 10 === 0,
+      Map("c_mktsegment" -> lit("MOVED")))
+    VersionedTable.deleteWhere(s, dim, col("c_custkey") % 7 === 3)
+    GraftSql.execute(s, s"REFRESH MATERIALIZED VIEW '$mv'")
+    val after = VersionedTable.currentVersion(s, mv).get
+    GraftSql.execute(s, s"REFRESH MATERIALIZED VIEW '$mv'") // nothing new
+    require(VersionedTable.currentVersion(s, mv).contains(after),
+      "an up-to-date REFRESH must not commit")
+    VersionedTable.read(s, mv)
+      .select(col("c_mktsegment"), col("n_rows"),
+        col("value_sum").cast("double").as("value_sum"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   def oracles: Map[String, String] = Map(
+    // q42: the join-aggregate over both tables' FINAL states — the
+    // bilinear-rule maintenance must equal it exactly
+    "q42_matview_join" ->
+      """WITH f AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+        |  FROM orders
+        |  WHERE o_orderkey % 3 IN (1, 2) AND NOT (o_totalprice > 300000)),
+        |d AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 10 = 0 THEN 'MOVED' ELSE c_mktsegment END
+        |      AS c_mktsegment
+        |  FROM customer
+        |  WHERE NOT (c_custkey % 7 = 3))
+        |SELECT c_mktsegment, count(*)::BIGINT AS n_rows,
+        |  sum(o_totalprice)::DOUBLE AS value_sum
+        |FROM f JOIN d ON f.o_custkey = d.c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     // q41: the batch aggregate over the source's FINAL state — the
     // extrema-maintained view must equal it exactly (incl. the derived
     // avg); the delete filter reads the ORIGINAL acctbal because the

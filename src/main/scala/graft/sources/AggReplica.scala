@@ -104,22 +104,49 @@ object AggReplica {
       txn: Option[(String, Long)] = None,
       expectedPrior: Option[Long] = None,
       extrema: Boolean = false,
+      source: Option[(String, Long)] = None): Boolean =
+    applyAggMulti(spark, dstRoot, keyCols, valueCol, batch,
+      txns = txn.toSeq, expectedPriors = txn.toSeq.map(_ => expectedPrior),
+      extrema = extrema, source = source)
+
+  /** Multi-stamp form of [[applyAggBatch]] — a join-backed view folds
+    * TWO feeds (fact + dim) in one merge, so its exactly-once claim is
+    * two `(appId, batchId)` stamps riding the same atomic commit, each
+    * with its own captured-high-water overlap guard. `txns` and
+    * `expectedPriors` are positionally aligned. */
+  private[graft] def applyAggMulti(
+      spark: SparkSession, dstRoot: String, keyCols: Seq[String],
+      valueCol: String, batch: DataFrame,
+      txns: Seq[(String, Long)],
+      expectedPriors: Seq[Option[Long]],
+      extrema: Boolean = false,
       source: Option[(String, Long)] = None): Boolean = {
     require(keyCols.nonEmpty, "applyAggBatch needs at least one group column")
+    require(txns.size == expectedPriors.size,
+      "txns and expectedPriors must align positionally")
     require(!extrema || source.isDefined,
       "extrema maintenance needs the (sourceRoot, version) for the " +
         "extremum-retraction recompute")
-    def claimLost(): Boolean = txn.exists { case (appId, batchId) =>
-      val last = VersionedTable.lastTxn(spark, dstRoot, appId)
-      last.exists(_ >= batchId) ||
-        expectedPrior.exists(ep => !last.contains(ep))
+    def claimLost(): Boolean = {
+      val lasts = txns.map { case (appId, _) =>
+        VersionedTable.lastTxn(spark, dstRoot, appId) }
+      // a REPLAY is "every stamp already covers its batch" — one source
+      // merely not having moved this refresh (its stamp already AT its
+      // current version) must not no-op the other source's fold. The
+      // moved-stamp overlap guard stays per-stamp: ANY stamp that moved
+      // from what this refresh captured means a concurrent refresh won.
+      val replayed = txns.nonEmpty && txns.zip(lasts).forall {
+        case ((_, batchId), last) => last.exists(_ >= batchId) }
+      val moved = expectedPriors.zip(lasts).exists {
+        case (ep, last) => ep.exists(e => !last.contains(e)) }
+      replayed || moved
     }
     if (claimLost()) false
     else {
       try {
-        applyAggInternal(spark, dstRoot, keyCols, valueCol, batch, txn,
+        applyAggInternal(spark, dstRoot, keyCols, valueCol, batch, txns,
           () => if (claimLost()) throw new ChangeReplica.StaleBatchException(
-            txn.get._1, txn.get._2),
+            txns.head._1, txns.head._2),
           extrema, source)
         true
       } catch { case _: ChangeReplica.StaleBatchException => false }
@@ -128,7 +155,7 @@ object AggReplica {
 
   private def applyAggInternal(
       spark: SparkSession, dstRoot: String, keyCols: Seq[String],
-      valueCol: String, batch: DataFrame, txn: Option[(String, Long)],
+      valueCol: String, batch: DataFrame, txns: Seq[(String, Long)],
       zombieProbe: () => Unit, extrema: Boolean,
       source: Option[(String, Long)]): Unit = {
     val missing = (keyCols :+ valueCol).filterNot(batch.columns.contains)
@@ -171,9 +198,9 @@ object AggReplica {
     val cached = scala.collection.mutable.ListBuffer[DataFrame](deltas)
     try {
       import spark.implicits._
-      val txnExtra: Map[String, DataFrame] = txn.map { case (appId, batchId) =>
-        "txn" -> Seq((appId, batchId)).toDF("app_id", "batch_id")
-      }.toMap
+      val txnExtra: Map[String, DataFrame] =
+        if (txns.isEmpty) Map.empty
+        else Map("txn" -> txns.toDF("app_id", "batch_id"))
       val zombieCheck: Long => Unit = _ => zombieProbe()
       val viewCols: Seq[String] =
         if (extrema)
@@ -298,7 +325,7 @@ object AggReplica {
                |  THEN INSERT ($insCols) VALUES ($insVals)
                |WHEN NOT MATCHED AND $unmatchedBad
                |  THEN INSERT ($insCols) VALUES ($negVals)""".stripMargin
-          if (txn.isEmpty) graft.plans.GraftSql.execute(spark, sql)
+          if (txns.isEmpty) graft.plans.GraftSql.execute(spark, sql)
           else graft.plans.GraftSql.mergeWithExtras(spark, sql, txnExtra, zombieCheck)
         } finally spark.catalog.dropTempView(view)
       }
@@ -437,6 +464,15 @@ object AggReplica {
   val MvValueProp = "graft.mv.value"
   val MvExtremaProp = "graft.mv.extrema"
   val MvAppId = "graft-mv"
+  /** Join-backed views additionally record the dim side: its root, the
+    * `fk=pk` equi-pairs, and the group columns tagged with the side
+    * each comes from (`f:`/`d:` prefixes, view order preserved). The
+    * dim feed's high-water stamps under its own app id, atomically
+    * beside the fact stamp. */
+  val MvDimProp = "graft.mv.dim"
+  val MvJoinProp = "graft.mv.join"
+  val MvJoinKeysProp = "graft.mv.joinkeys"
+  val MvDimAppId = "graft-mv-dim"
 
   /** CREATE MATERIALIZED VIEW: one aggregate scan of the source's
     * CURRENT version seeds the view, the definition lands as table
@@ -506,6 +542,8 @@ object AggReplica {
     val props = VersionedTable.propertiesOf(spark, dstRoot, cur)
     val src = props.getOrElse(MvSourceProp, throw new IllegalArgumentException(
       s"$dstRoot is not a materialized view (no $MvSourceProp property)"))
+    if (props.contains(MvDimProp))
+      return refreshJoinView(spark, dstRoot, cur, src, props)
     val keys = props(MvKeysProp).split(',').toSeq
     val valueCol = props(MvValueProp)
     val extrema = props.get(MvExtremaProp).contains("true")
@@ -523,5 +561,213 @@ object AggReplica {
         source = if (extrema) Some((src, srcCur)) else None)
       VersionedTable.currentVersion(spark, dstRoot).getOrElse(cur)
     }
+  }
+
+  // ---- JOIN-BACKED MATERIALIZED VIEWS --------------------------------------
+  //
+  // `SELECT g…, count(*) AS n_rows, sum(f.v) AS value_sum
+  //  FROM fact f JOIN dim d ON f.fk = d.pk GROUP BY g…` maintained
+  // incrementally over BOTH tables' change feeds with the bilinear
+  // delta rule (the classical IVM identity for joins, bag semantics —
+  // Materialize/DBSP and Delta Live Tables maintain the same shape;
+  // the reference's enriched mart recomputes its star join hourly):
+  //
+  //   Δ(F ⋈ D) = ΔF ⋈ D_new + F_old ⋈ ΔD
+  //
+  // (exact for bags: F_new⋈D_new − F_old⋈D_old expands to
+  // F_old⋈ΔD + ΔF⋈D_old + ΔF⋈ΔD, and the last two regroup as
+  // ΔF⋈D_new). Each term is a signed feed: term A carries the fact
+  // feed's `_change_type` through the join, term B carries the dim
+  // feed's — a dim pre-image retracts every fact row it enriched, a
+  // dim post-image re-asserts them, so a group-moving dim UPDATE moves
+  // whole fact populations between groups without touching the fact.
+  // The summed terms then ride the SAME retraction merge as the
+  // single-source view (count/sum abelian algebra; extrema are not
+  // join-maintainable without a per-group recompute and are refused at
+  // CREATE by the SQL face's shape check).
+  //
+  // SCALE SHAPE: term A is |ΔF| rows joined against the dim (AQE
+  // broadcasts whichever side is small — for a trickle refresh that is
+  // ΔF itself, making the term a map-side probe of the dim scan);
+  // term B reads the fact AT ITS APPLIED VERSION restricted to ΔD's
+  // join keys — a stats-prunable per-column IN pushdown when the
+  // changed-key set is small (the common case: dims trickle), else a
+  // plain equi-join AQE plans. Nothing ever rescans fact ⋈ dim.
+
+  /** Thrown instead of `key not found` when a recorded join-view
+    * definition is missing a property — a view written by a newer
+    * writer, or hand-edited. */
+  private def joinProp(props: Map[String, String], k: String): String =
+    props.getOrElse(k, throw new IllegalArgumentException(
+      s"join-backed materialized view is missing its $k property"))
+
+  /** CREATE MATERIALIZED VIEW over an equi-join: seed from the two
+    * tables' CURRENT versions, record the definition (sides, pairs,
+    * ordered group columns, value), stamp BOTH consumed versions. Group
+    * columns keep their view order across sides; output names must be
+    * unique and distinct from the value column (the view's schema is
+    * `g…, n_rows, value_sum`). */
+  def createJoinView(
+      spark: SparkSession, dstRoot: String, factRoot: String,
+      dimRoot: String, joinOn: Seq[(String, String)],
+      groupCols: Seq[(Boolean, String)], valueCol: String): Long = {
+    require(joinOn.nonEmpty, "createJoinView needs at least one fk=pk pair")
+    require(groupCols.nonEmpty, "createJoinView needs at least one group column")
+    require(VersionedTable.currentVersion(spark, dstRoot).isEmpty,
+      s"$dstRoot already exists — DROP it or pick another root")
+    val factCur = VersionedTable.currentVersion(spark, factRoot).getOrElse(
+      throw new java.io.IOException(s"no committed version under $factRoot"))
+    val dimCur = VersionedTable.currentVersion(spark, dimRoot).getOrElse(
+      throw new java.io.IOException(s"no committed version under $dimRoot"))
+    val fSnap = VersionedTable.readVersion(spark, factRoot, factCur)
+    val dSnap = VersionedTable.readVersion(spark, dimRoot, dimCur)
+    def canon(cols: Array[String], root: String)(c: String): String =
+      cols.find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $c missing from $root: has ${cols.mkString(", ")}"))
+    val canonF = canon(fSnap.columns, factRoot) _
+    val canonD = canon(dSnap.columns, dimRoot) _
+    val pairs = joinOn.map { case (fk, pk) => (canonF(fk), canonD(pk)) }
+    val keys = groupCols.map { case (fromFact, c) =>
+      (fromFact, if (fromFact) canonF(c) else canonD(c)) }
+    val value = canonF(valueCol)
+    val outNames = keys.map(_._2)
+    require(outNames.map(_.toLowerCase).distinct.size == outNames.size,
+      "group columns must have unique output names across both sides: " +
+        outNames.mkString(", "))
+    require(!outNames.exists(_.equalsIgnoreCase(value)),
+      s"the value column $value cannot also be a group column")
+    // recorded comma/equals/colon-delimited — refuse names that would
+    // not round-trip (same policy as the single-source view)
+    val recorded = outNames ++ pairs.map(_._1) ++ pairs.map(_._2) :+ value
+    require(recorded.forall(c => !c.exists(",=:".contains(_))),
+      "column names containing ',', '=' or ':' cannot be recorded in " +
+        "the join-view definition: " +
+        recorded.filter(_.exists(",=:".contains(_))).mkString("; "))
+    val joined = joinProject(fSnap, dSnap, pairs, keys, value, typeFrom = 0)
+    val agg = joined.groupBy(outNames.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(coalesce(col(value), lit(0))).as("value_sum"))
+    import spark.implicits._
+    VersionedTable.commit(agg, dstRoot,
+      extras = Map(
+        "changes" -> VersionedTable.feedWritable(
+          agg.withColumn("_change_type", lit("insert"))),
+        "txn" -> Seq((MvAppId, factCur), (MvDimAppId, dimCur))
+          .toDF("app_id", "batch_id")),
+      recordProperties = Some(Map(
+        MvSourceProp -> factRoot,
+        MvDimProp -> dimRoot,
+        MvJoinProp -> pairs.map { case (fk, pk) => s"$fk=$pk" }.mkString(","),
+        MvJoinKeysProp -> keys.map { case (ff, c) =>
+          (if (ff) "f:" else "d:") + c }.mkString(","),
+        MvValueProp -> value)))
+  }
+
+  /** One bilinear-rule refresh of a join-backed view: fold both feeds
+    * from their stamped high-waters, exactly-once under the two-stamp
+    * overlap guard, no-op without a commit when neither source moved. */
+  private def refreshJoinView(
+      spark: SparkSession, dstRoot: String, cur: Long, factRoot: String,
+      props: Map[String, String]): Long = {
+    val dimRoot = joinProp(props, MvDimProp)
+    val pairs = joinProp(props, MvJoinProp).split(',').toSeq.map { p =>
+      val i = p.indexOf('=')
+      (p.substring(0, i), p.substring(i + 1))
+    }
+    val keys = joinProp(props, MvJoinKeysProp).split(',').toSeq.map { k =>
+      (k.startsWith("f:"), k.substring(2)) }
+    val value = joinProp(props, MvValueProp)
+    val outNames = keys.map(_._2)
+    def stamp(appId: String): Long =
+      VersionedTable.lastTxn(spark, dstRoot, appId).getOrElse(
+        throw new java.io.IOException(
+          s"materialized view $dstRoot lost its $appId high-water stamp"))
+    val appliedF = stamp(MvAppId)
+    val appliedD = stamp(MvDimAppId)
+    def curOf(root: String): Long =
+      VersionedTable.currentVersion(spark, root).getOrElse(
+        throw new java.io.IOException(s"materialized view source $root is gone"))
+    val factCur = curOf(factRoot)
+    val dimCur = curOf(dimRoot)
+    if (factCur <= appliedF && dimCur <= appliedD) cur
+    else {
+      val terms = Seq.newBuilder[DataFrame]
+      if (factCur > appliedF) {
+        val dF = VersionedTable.readChanges(spark, factRoot, appliedF + 1, factCur)
+        val dNew = VersionedTable.readVersion(spark, dimRoot, dimCur)
+        terms += joinProject(dF, dNew, pairs, keys, value, typeFrom = 1)
+      }
+      if (dimCur > appliedD) {
+        val dD = VersionedTable.readChanges(spark, dimRoot, appliedD + 1, dimCur)
+        val fOld = factAtRestricted(spark, factRoot, appliedF, dD,
+          pairs.map(_._1), pairs.map(_._2))
+        terms += joinProject(fOld, dD, pairs, keys, value, typeFrom = 2)
+      }
+      val batch = terms.result().reduce(_ unionByName _)
+      applyAggMulti(spark, dstRoot, outNames, value, batch,
+        txns = Seq((MvAppId, factCur), (MvDimAppId, dimCur)),
+        expectedPriors = Seq(Some(appliedF), Some(appliedD)))
+      VersionedTable.currentVersion(spark, dstRoot).getOrElse(cur)
+    }
+  }
+
+  /** fact-side frame ⋈ dim-side frame on the recorded pairs, projected
+    * to the view's group columns (+ value, + `_change_type` from the
+    * side `typeFrom` names: 0 = none, 1 = fact, 2 = dim). Every needed
+    * dim column rides RENAMED through the join so a column name shared
+    * between the two tables can never collide or resolve ambiguously;
+    * group columns come back under their recorded output names. */
+  private def joinProject(
+      factDf: DataFrame, dimDf: DataFrame, pairs: Seq[(String, String)],
+      keys: Seq[(Boolean, String)], value: String,
+      typeFrom: Int): DataFrame = {
+    val dimNeeded = (pairs.map(_._2) ++ keys.collect { case (false, c) => c })
+      .distinct
+    val ren = dimNeeded.zipWithIndex.map { case (c, i) =>
+      c -> s"__graft_d$i" }.toMap
+    val dCols = dimNeeded.map(c => col(c).as(ren(c))) ++
+      (if (typeFrom == 2) Seq(col("_change_type").as("__graft_ct")) else Nil)
+    val dSel = dimDf.select(dCols: _*)
+    val fNeeded = (pairs.map(_._1) ++ keys.collect { case (true, c) => c } :+
+      value).distinct
+    val fCols = fNeeded.map(col) ++
+      (if (typeFrom == 1) Seq(col("_change_type").as("__graft_ct")) else Nil)
+    val fSel = factDf.select(fCols: _*)
+    val cond = pairs.map { case (fk, pk) => fSel(fk) === dSel(ren(pk)) }
+      .reduce(_ && _)
+    val joined = fSel.join(dSel, cond, "inner")
+    val out = keys.map { case (fromFact, c) =>
+      if (fromFact) col(c) else col(ren(c)).as(c) } ++
+      Seq(col(value)) ++
+      (if (typeFrom == 0) Nil
+       else Seq(col("__graft_ct").as("_change_type")))
+    joined.select(out: _*)
+  }
+
+  /** The fact at its applied version, restricted for term B: when ΔD's
+    * distinct join-key set is small, a per-column IN conjunction rides
+    * the scan (stats pruning + parquet pushdown — the inner join makes
+    * it exact); past [[IsinLimit]] keys the plain versioned read joins
+    * under AQE. NULL dim keys never equi-join, so they are dropped
+    * before collecting — the predicate still covers every joinable
+    * fact row. */
+  private def factAtRestricted(
+      spark: SparkSession, factRoot: String, v: Long, dD: DataFrame,
+      fks: Seq[String], pks: Seq[String]): DataFrame = {
+    val keyRows = dD
+      .where(pks.map(col(_).isNotNull).reduce(_ && _))
+      .select(pks.map(col): _*).distinct()
+      .limit(IsinLimit + 1).collect()
+    if (keyRows.isEmpty)
+      // ΔD carried no joinable keys (all-NULL or empty feed): term B is
+      // provably empty — prune the whole scan, not just its files
+      VersionedTable.readVersionWhere(spark, factRoot, v, lit(false))
+    else if (keyRows.length <= IsinLimit) {
+      val pred = fks.zipWithIndex.map { case (fk, i) =>
+        col(fk).isin(keyRows.map(_.get(i)).distinct.toSeq: _*)
+      }.reduce(_ && _)
+      VersionedTable.readVersionWhere(spark, factRoot, v, pred)
+    } else VersionedTable.readVersion(spark, factRoot, v)
   }
 }

@@ -4671,13 +4671,20 @@ object VersionedTable {
     // maintenance column); REFRESH is the dispatched action. Three
     // metadata reads, no data scan — a vanished source reports as
     // unmeasurable rather than failing the whole tick.
-    val mvBehind = propertiesOf(spark, root, v)
-      .get(AggReplica.MvSourceProp).flatMap { src =>
+    val mvProps = propertiesOf(spark, root, v)
+    def mvLag(srcProp: String, appId: String): Long =
+      mvProps.get(srcProp).flatMap { src =>
         for {
-          applied <- lastTxn(spark, root, AggReplica.MvAppId)
+          applied <- lastTxn(spark, root, appId)
           srcCur <- currentVersion(spark, src)
         } yield math.max(0L, srcCur - applied)
       }.getOrElse(0L)
+    // a join-backed view trails whichever of its TWO sources is further
+    // ahead of its stamp — one refresh folds both feeds, so the max IS
+    // the refresh's catch-up distance
+    val mvBehind = math.max(
+      mvLag(AggReplica.MvSourceProp, AggReplica.MvAppId),
+      mvLag(AggReplica.MvDimProp, AggReplica.MvDimAppId))
     if (mvBehind > 0) recs += s"refresh_view:$mvBehind"
     // registered ANN indexes: measure recall against the current corpus
     // and recommend a geometry rebuild under the recorded floor. A

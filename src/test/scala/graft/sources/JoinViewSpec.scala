@@ -1,0 +1,275 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.plans.GraftSql
+
+/** Join-backed materialized views ([[AggReplica.createJoinView]] /
+  * `refreshView` dispatch): `γ(F ⋈ D)` maintained from BOTH change
+  * feeds with the bilinear delta rule Δ(F⋈D) = ΔF⋈D_new + F_old⋈ΔD —
+  * fact churn folds against the dim's new state, dim churn retracts /
+  * re-asserts whole enriched fact populations, and every refresh must
+  * equal the batch join-aggregate recompute over the two tables'
+  * final states. */
+class JoinViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(tag: String) =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  private def seedFact(root: String): Unit = {
+    val df = Seq(
+      (1L, 10L, 100L), (2L, 10L, 50L), (3L, 20L, 7L), (4L, 30L, 1000L),
+      (5L, 99L, 5L) // cust 99 has no dim row: never joins
+    ).toDF("id", "cust", "amount")
+    VersionedTable.commit(df, root, extras = Map("changes" ->
+      VersionedTable.feedWritable(df.withColumn("_change_type", lit("insert")))))
+  }
+
+  private def seedDim(root: String): Unit = {
+    val df = Seq((10L, "gold"), (20L, "gold"), (30L, "iron"))
+      .toDF("cust", "seg")
+    VersionedTable.commit(df, root, extras = Map("changes" ->
+      VersionedTable.feedWritable(df.withColumn("_change_type", lit("insert")))))
+  }
+
+  private def viewState(root: String): Seq[(String, Long, Long)] =
+    VersionedTable.read(spark, root)
+      .select(col("seg"), col("n_rows"), col("value_sum").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+
+  /** The batch recompute the maintained view must equal exactly. */
+  private def recompute(fact: String, dim: String): Seq[(String, Long, Long)] = {
+    val f = VersionedTable.read(spark, fact)
+    val d = VersionedTable.read(spark, dim).withColumnRenamed("cust", "dcust")
+    f.join(d, f("cust") === d("dcust"), "inner")
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("amount")).as("value_sum"))
+      .select(col("seg"), col("n_rows"), col("value_sum").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+  }
+
+  test("seed equals the batch join-aggregate; unjoined fact rows are " +
+    "invisible") {
+    val fact = freshDir("graft_jv_f") + "/t"
+    val dim = freshDir("graft_jv_d") + "/t"
+    val mv = freshDir("graft_jv_mv") + "/t"
+    seedFact(fact); seedDim(dim)
+    AggReplica.createJoinView(spark, mv, fact, dim,
+      joinOn = Seq(("cust", "cust")),
+      groupCols = Seq((false, "seg")), valueCol = "amount")
+    assert(viewState(mv) == Seq(("gold", 3L, 157L), ("iron", 1L, 1000L)))
+    assert(viewState(mv) == recompute(fact, dim))
+  }
+
+  test("fact-only churn folds against the dim: append, value update, " +
+    "delete — and an up-to-date refresh is a no-op without a commit") {
+    val fact = freshDir("graft_jv_f") + "/t"
+    val dim = freshDir("graft_jv_d") + "/t"
+    val mv = freshDir("graft_jv_mv") + "/t"
+    seedFact(fact); seedDim(dim)
+    AggReplica.createJoinView(spark, mv, fact, dim,
+      Seq(("cust", "cust")), Seq((false, "seg")), "amount")
+    VersionedTable.commitAppend(
+      Seq((6L, 20L, 40L), (7L, 99L, 9L)).toDF("id", "cust", "amount"),
+      fact, changeFeed = true)
+    VersionedTable.updateWhere(spark, fact, col("id") === 1L,
+      Map("amount" -> lit(200L)))
+    VersionedTable.deleteWhere(spark, fact, col("id") === 4L)
+    AggReplica.refreshView(spark, mv)
+    assert(viewState(mv) == Seq(("gold", 4L, 297L)),
+      "iron lost its only fact; gold gained one and re-priced another")
+    assert(viewState(mv) == recompute(fact, dim))
+    val v = VersionedTable.currentVersion(spark, mv).get
+    AggReplica.refreshView(spark, mv)
+    assert(VersionedTable.currentVersion(spark, mv).contains(v),
+      "an up-to-date refresh must not commit")
+  }
+
+  test("dim churn moves whole enriched populations: a group-moving dim " +
+    "update, a dim delete, a late-arriving dim row") {
+    val fact = freshDir("graft_jv_f") + "/t"
+    val dim = freshDir("graft_jv_d") + "/t"
+    val mv = freshDir("graft_jv_mv") + "/t"
+    seedFact(fact); seedDim(dim)
+    AggReplica.createJoinView(spark, mv, fact, dim,
+      Seq(("cust", "cust")), Seq((false, "seg")), "amount")
+    // cust 10 (2 facts, 150) moves gold → silver; cust 20 vanishes;
+    // cust 99's dim row finally arrives: its fact becomes visible
+    VersionedTable.updateWhere(spark, dim, col("cust") === 10L,
+      Map("seg" -> lit("silver")))
+    VersionedTable.deleteWhere(spark, dim, col("cust") === 20L)
+    VersionedTable.commitAppend(Seq((99L, "iron")).toDF("cust", "seg"),
+      dim, changeFeed = true)
+    AggReplica.refreshView(spark, mv)
+    assert(viewState(mv) ==
+      Seq(("iron", 2L, 1005L), ("silver", 2L, 150L)),
+      "gold emptied (moved + deleted), silver born, iron gained cust 99")
+    assert(viewState(mv) == recompute(fact, dim))
+  }
+
+  test("both sides move in one refresh — the ΔF⋈ΔD corner counts " +
+    "exactly once, in both directions") {
+    val fact = freshDir("graft_jv_f") + "/t"
+    val dim = freshDir("graft_jv_d") + "/t"
+    val mv = freshDir("graft_jv_mv") + "/t"
+    seedFact(fact); seedDim(dim)
+    AggReplica.createJoinView(spark, mv, fact, dim,
+      Seq(("cust", "cust")), Seq((false, "seg")), "amount")
+    // new fact rows referencing a dim key INSERTED in the same range
+    // (must count once: term A joins D_new; term B's F_old excludes ΔF)
+    VersionedTable.commitAppend(
+      Seq((8L, 40L, 11L), (9L, 40L, 13L)).toDF("id", "cust", "amount"),
+      fact, changeFeed = true)
+    VersionedTable.commitAppend(Seq((40L, "gold")).toDF("cust", "seg"),
+      dim, changeFeed = true)
+    // new fact row referencing a dim key DELETED in the same range
+    // (must count zero: D_new lacks it, F_old lacks the row)
+    VersionedTable.commitAppend(
+      Seq((10L, 30L, 777L)).toDF("id", "cust", "amount"),
+      fact, changeFeed = true)
+    VersionedTable.deleteWhere(spark, dim, col("cust") === 30L)
+    AggReplica.refreshView(spark, mv)
+    assert(viewState(mv) == Seq(("gold", 5L, 181L)),
+      "cust 40's two facts joined its new dim row exactly once; iron " +
+        "(cust 30) vanished with its dim row, late fact 777 included-excluded")
+    assert(viewState(mv) == recompute(fact, dim))
+  }
+
+  test("composite join keys and fact-side group columns ride the same " +
+    "road") {
+    val fact = freshDir("graft_jv_f") + "/t"
+    val dim = freshDir("graft_jv_d") + "/t"
+    val mv = freshDir("graft_jv_mv") + "/t"
+    val f = Seq(
+      (1L, 10L, "eu", "web", 5L), (2L, 10L, "us", "web", 7L),
+      (3L, 20L, "eu", "app", 11L)).toDF("id", "cust", "region", "chan", "amount")
+    VersionedTable.commit(f, fact, extras = Map("changes" ->
+      VersionedTable.feedWritable(f.withColumn("_change_type", lit("insert")))))
+    val d = Seq((10L, "eu", "gold"), (10L, "us", "silver"), (20L, "eu", "gold"))
+      .toDF("cust", "region", "seg")
+    VersionedTable.commit(d, dim, extras = Map("changes" ->
+      VersionedTable.feedWritable(d.withColumn("_change_type", lit("insert")))))
+    AggReplica.createJoinView(spark, mv, fact, dim,
+      joinOn = Seq(("cust", "cust"), ("region", "region")),
+      groupCols = Seq((false, "seg"), (true, "chan")), valueCol = "amount")
+    val state0 = VersionedTable.read(spark, mv)
+      .select(col("seg"), col("chan"), col("n_rows"),
+        col("value_sum").cast("long"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq.sorted
+    assert(state0 == Seq(("gold", "app", 1L, 11L), ("gold", "web", 1L, 5L),
+      ("silver", "web", 1L, 7L)))
+    // move the (10, us) slice and add a fact hitting it post-move
+    VersionedTable.updateWhere(spark, dim,
+      col("cust") === 10L && col("region") === "us",
+      Map("seg" -> lit("gold")))
+    VersionedTable.commitAppend(
+      Seq((4L, 10L, "us", "app", 3L)).toDF("id", "cust", "region", "chan",
+        "amount"), fact, changeFeed = true)
+    AggReplica.refreshView(spark, mv)
+    val state1 = VersionedTable.read(spark, mv)
+      .select(col("seg"), col("chan"), col("n_rows"),
+        col("value_sum").cast("long"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq.sorted
+    assert(state1 == Seq(("gold", "app", 2L, 14L), ("gold", "web", 2L, 12L)))
+  }
+
+  test("the SQL face: CREATE … JOIN … ON creates, REFRESH folds both " +
+    "feeds, DESCRIBE-DETAIL-grade staleness sees the dim lag") {
+    val fact = freshDir("graft_jv_f") + "/t"
+    val dim = freshDir("graft_jv_d") + "/t"
+    val mv = freshDir("graft_jv_mv") + "/t"
+    seedFact(fact); seedDim(dim)
+    GraftSql.execute(spark,
+      s"""CREATE MATERIALIZED VIEW '$mv' AS
+         |SELECT d.seg, count(*) AS n_rows, sum(f.amount) AS value_sum
+         |FROM '$fact' f JOIN '$dim' d ON f.cust = d.cust
+         |GROUP BY d.seg""".stripMargin)
+    assert(viewState(mv) == Seq(("gold", 3L, 157L), ("iron", 1L, 1000L)))
+    // only the DIM moves: staleness must still be visible
+    VersionedTable.updateWhere(spark, dim, col("cust") === 30L,
+      Map("seg" -> lit("gold")))
+    val rep = VersionedTable.maintenanceReport(spark, mv)
+    assert(rep.recommendations.exists(_.startsWith("refresh_view:")),
+      s"dim-side lag must surface as refresh_view, got: ${rep.recommendations}")
+    GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW '$mv'")
+    assert(viewState(mv) == Seq(("gold", 4L, 1157L)))
+    assert(viewState(mv) == recompute(fact, dim))
+    assert(VersionedTable.maintenanceReport(spark, mv)
+      .recommendations.forall(!_.startsWith("refresh_view:")))
+  }
+
+  test("the SQL face fails loudly at CREATE on unmaintainable shapes") {
+    val fact = freshDir("graft_jv_f") + "/t"
+    val dim = freshDir("graft_jv_d") + "/t"
+    seedFact(fact); seedDim(dim)
+    def mv() = freshDir("graft_jv_mv") + "/t"
+    // dim-side measure
+    val e1 = intercept[IllegalArgumentException] {
+      GraftSql.execute(spark,
+        s"""CREATE MATERIALIZED VIEW '${mv()}' AS
+           |SELECT d.seg, count(*) AS n_rows, sum(d.cust) AS value_sum
+           |FROM '$fact' f JOIN '$dim' d ON f.cust = d.cust
+           |GROUP BY d.seg""".stripMargin)
+    }
+    assert(e1.getMessage.contains("fact"))
+    // unqualified group column
+    intercept[IllegalArgumentException] {
+      GraftSql.execute(spark,
+        s"""CREATE MATERIALIZED VIEW '${mv()}' AS
+           |SELECT seg, count(*) AS n_rows, sum(f.amount) AS value_sum
+           |FROM '$fact' f JOIN '$dim' d ON f.cust = d.cust
+           |GROUP BY seg""".stripMargin)
+    }
+    // extrema aggregates are not join-maintainable
+    intercept[IllegalArgumentException] {
+      GraftSql.execute(spark,
+        s"""CREATE MATERIALIZED VIEW '${mv()}' AS
+           |SELECT d.seg, count(*) AS n_rows, sum(f.amount) AS value_sum,
+           |  count(f.amount) AS n_vals, min(f.amount) AS value_min,
+           |  max(f.amount) AS value_max
+           |FROM '$fact' f JOIN '$dim' d ON f.cust = d.cust
+           |GROUP BY d.seg""".stripMargin)
+    }
+    // non-equi ON
+    intercept[IllegalArgumentException] {
+      GraftSql.execute(spark,
+        s"""CREATE MATERIALIZED VIEW '${mv()}' AS
+           |SELECT d.seg, count(*) AS n_rows, sum(f.amount) AS value_sum
+           |FROM '$fact' f JOIN '$dim' d ON f.cust < d.cust
+           |GROUP BY d.seg""".stripMargin)
+    }
+  }
+
+  test("NULL dim attributes group as one NULL group; NULL join keys " +
+    "never join — exactly SQL semantics") {
+    val fact = freshDir("graft_jv_f") + "/t"
+    val dim = freshDir("graft_jv_d") + "/t"
+    val mv = freshDir("graft_jv_mv") + "/t"
+    val f = Seq((1L, Some(10L), 5L), (2L, None, 7L), (3L, Some(20L), 11L))
+      .toDF("id", "cust", "amount")
+    VersionedTable.commit(f, fact, extras = Map("changes" ->
+      VersionedTable.feedWritable(f.withColumn("_change_type", lit("insert")))))
+    val d = Seq((10L, Some("gold")), (20L, None)).toDF("cust", "seg")
+    VersionedTable.commit(d, dim, extras = Map("changes" ->
+      VersionedTable.feedWritable(d.withColumn("_change_type", lit("insert")))))
+    AggReplica.createJoinView(spark, mv, fact, dim,
+      Seq(("cust", "cust")), Seq((false, "seg")), "amount")
+    def st() = VersionedTable.read(spark, mv)
+      .select(col("seg"), col("n_rows"), col("value_sum").cast("long"))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(t => (t._1.getOrElse(""), t._2))
+    assert(st() == Seq((None, 1L, 11L), (Some("gold"), 1L, 5L)),
+      "NULL-cust fact invisible; NULL seg is its own group")
+    // churn into the NULL group from the dim side
+    VersionedTable.updateWhere(spark, dim, col("cust") === 10L,
+      Map("seg" -> lit(null).cast("string")))
+    AggReplica.refreshView(spark, mv)
+    assert(st() == Seq((None, 2L, 16L)))
+  }
+}
