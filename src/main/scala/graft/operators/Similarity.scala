@@ -965,20 +965,22 @@ object Similarity {
     * tighter than the raw distribution — materially better
     * reconstruction, hence recall, at the same code size).
     *
-    * The usual objection to residual encoding — every ADC table becomes
-    * per-(query, cell) — is dissolved with faiss's precomputed-terms
-    * algebra, adapted here to cosine. With x̂ = c + r̂:
+    * The usual objection to residual encoding — under L2 every ADC
+    * table becomes per-(query, cell) — DISSOLVES entirely under the
+    * dot/cosine scoring this engine uses. With x̂ = c + r̂ the dot is
+    * linear:
     *
     *   dot(q, x̂)  = dot(q, c) + Σ_m dot(q_m, r̂_m)
-    *             = qc(query, cell) + ADC_raw(ftab_q, codes) − cdot(x)
-    *   ‖x̂‖²      = ‖c‖² + 2·dot(c, r̂) + ‖r̂‖²  (a per-ROW constant)
+    *             = qc(query, cell) + ADC_raw(ftab_q, codes)
+    *   ‖x̂‖²      = ‖c‖² + 2·dot(c, r̂) + ‖r̂‖²  (a per-ROW constant,
+    *                computed at encode time and stored beside the codes)
     *
-    * where `cdot(x) = Σ_m dot(c_m, r̂_m)` is computed once at ENCODE
-    * time (the winning codeword's dot with its cell centroid's slice)
-    * and stored beside the codes, and `qc` is the query↔centroid dot the
-    * probe selection already computes. So the scan keeps the STANDARD
-    * per-query ADC table over raw query slices — two scalar adds per
-    * candidate buy residual quality with zero per-cell table blowup.
+    * where `qc` is the query↔centroid dot the probe selection already
+    * computes. So the scan keeps the STANDARD per-query ADC table over
+    * raw query slices — one scalar add per candidate buys residual
+    * quality with zero per-cell table blowup (the dot-metric analogue
+    * of faiss's precomputed-terms trick, which under L2 still needs the
+    * per-row ‖x̂‖² and dot(c, r̂) terms this encode materializes).
     *
     * Everything stays deterministic fixed-order arithmetic (residual
     * subtraction is elementwise float→double-exact; both trainings are
@@ -1020,7 +1022,7 @@ object Similarity {
     val cb = trainPqCodebooks(res, idCol, "__rv", nSub, subDim, kPerSub, pqIters)
     val codes = pqEncodeResidual(res, idCol, cb, nSub, subDim)
       .select(col(idCol).as("neighbor_id"), col("__cell"), col("__codes"),
-        col("__cdot"), col("__xn2"))
+        col("__xn2"))
     // probe selection also yields dot(q, c) per probed cell — the qc term
     val qn = queries.select(col(idCol).as("query_id"), col(vecCol),
       norm2(col(vecCol)).as("__n2"))
@@ -1039,16 +1041,16 @@ object Similarity {
     val scored = codes.join(broadcast(qprobes), Seq("__cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("__qv"), col("__qn2"), col("neighbor_id"),
-        ((col("__qcdot") + adcCol(nSub, kPerSub) - col("__cdot"))
+        ((col("__qcdot") + adcCol(nSub, kPerSub))
           / sqrt(col("__qn2") * col("__xn2"))).as("adc_cos"))
     pqShortlistRerank(scored, corpus, idCol, vecCol, k, shortlist)
   }
 
   /** Residual PQ encode: codes over `__rv` (= x − cell centroid) plus
-    * the two per-row constants the cosine ADC algebra needs — `__cdot`
-    * (the reconstruction's dot with its cell centroid, ascending-m fold)
-    * and `__xn2` (the reconstruction's exact squared norm
-    * ‖c‖² + 2·cdot + ‖r̂‖²). Input must carry `__rv`, `__ccv`,
+    * the one per-row constant the cosine ADC algebra needs — `__xn2`,
+    * the reconstruction's exact squared norm ‖c‖² + 2·dot(c, r̂) + ‖r̂‖²
+    * (the cross term folds the winning codeword's dot with its cell
+    * centroid's slice, ascending-m). Input must carry `__rv`, `__ccv`,
     * `__celln2`, `__cell` per row. */
   private def pqEncodeResidual(
       res: DataFrame, idCol: String, codebooks: DataFrame,
@@ -1085,7 +1087,7 @@ object Similarity {
         aggregate(transform(array_sort(collect_list(struct(col("__m"),
           col("__win.__cd").as("__d")))), x => x.getField("__d")),
           lit(0.0), (acc, x) => acc + x).as("__cdot"))
-      .select(col(idCol), col("__cell"), col("__codes"), col("__cdot"),
+      .select(col(idCol), col("__cell"), col("__codes"),
         (col("__celln2") + lit(2.0) * col("__cdot") + col("__rrn2")).as("__xn2"))
   }
 

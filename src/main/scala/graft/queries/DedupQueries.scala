@@ -51,6 +51,7 @@ object DedupQueries {
     "s3_knn_ivf"         -> ((s, d) => s3(s, d)),
     "s4_knn_pq"          -> ((s, d) => s4(s, d)),
     "s5_knn_ivfpq"       -> ((s, d) => s5(s, d)),
+    "s6_knn_ivfpq_residual" -> ((s, d) => s6(s, d)),
     "p1_curate_corpus"   -> ((s, d) => p1(s, d)),
     "p5_semdedup"        -> ((s, d) => p5(s, d))
   )
@@ -308,6 +309,20 @@ object DedupQueries {
         PqSub, PqSubDim, PqK, KmeansIters, PqShortlist)
       .orderBy(col("query_id"), col("rank"))
 
+  /** s6: IVF∘PQ with RESIDUAL encoding — faiss's `by_residual=true`
+    * production default: codes quantize `x − c(cell(x))`, spending the
+    * codebook's resolution on the tight within-cell spread. Under dot
+    * scoring the correction is linear — `dot(q, c + r̂) = qc + ADC` with
+    * the exact reconstruction norm `xn2` stored per row at encode time —
+    * so the scan keeps the standard per-query table. Same geometry as
+    * s5; the full composition, residual subtraction and both trainings
+    * included, is SQL-re-derived. */
+  def s6(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqResidualTopK(queryVecs(s, dir), Tables.embeddings(s, dir),
+        "vec_id", "embedding", KnnK, IvfCentroids, IvfProbes, KmeansIters,
+        PqSub, PqSubDim, PqK, KmeansIters, PqShortlist)
+      .orderBy(col("query_id"), col("rank"))
+
   // ---- amortized-index bench hooks ----------------------------------------
   // The s3/d6/d10 PRODUCTION path splits the one-time index/codebook build
   // from the per-run probe (the query keys above keep the self-contained
@@ -519,6 +534,80 @@ object DedupQueries {
          |  FROM vs3 v JOIN pcf c ON v.m = c.m WHERE v.vec_id % $QueryStride = 0),
          |qf AS (SELECT query_id, list(pdot ORDER BY m, code) AS ftab
          |  FROM qt GROUP BY query_id)""".stripMargin
+    (base +: rounds :+ finish).mkString(",\n")
+  }
+
+  /** s6's residual-PQ pipeline: identical unrolled per-subspace Lloyd
+    * scheme as [[PqCtes]], but trained/encoded over `resv` (residuals
+    * `x − c(cell(x))`, with each row's cell-centroid slice `csl` and
+    * cell norm `celln2` riding along). Encoding additionally emits the
+    * one per-row constant of the cosine ADC algebra: `xn2`, the exact
+    * reconstruction norm `celln2 + 2·cdot + ‖r̂‖²` (cdot = winning
+    * reconstruction · cell centroid, ascending-m fold). The query table
+    * stays over RAW query slices — the residual correction lives
+    * entirely in `qc` (probe-side query↔centroid dot). Requires `resv`
+    * and `asn` in scope. */
+  private val PqResidualCtes: String = {
+    val (nSub, sd, k) = (4, 16, 16) // PqSub / PqSubDim / PqK
+    def subFold(e: String) =
+      s"list_reduce(list_transform($e, x -> x * x), (a, b) -> a + b)"
+    def subDot(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, ${sd + 1}), i -> $a[i] * $b[i]), (a, b) -> a + b)"
+    val base =
+      s"""rs2 AS (SELECT vec_id, celln2, m.range AS m,
+         |    list_transform(range(1, ${sd + 1}), i -> rv[m.range * $sd + i]) AS sv,
+         |    list_transform(range(1, ${sd + 1}), i -> ccv[m.range * $sd + i]) AS csl
+         |  FROM resv CROSS JOIN range(0, $nSub) m),
+         |rs3 AS (SELECT *, ${subFold("sv")} AS sn2 FROM rs2),
+         |rpc0 AS (SELECT m.range AS m, vec_id AS cid,
+         |    list_transform(range(1, ${sd + 1}), i -> rv[m.range * $sd + i]) AS cv
+         |  FROM resv CROSS JOIN range(0, $nSub) m WHERE vec_id < $k)""".stripMargin
+    val rounds = (1 to KmeansIters).map { t =>
+      val p = t - 1
+      s"""rpn$p AS (SELECT m, cid, cv, ${subFold("cv")} AS cn2 FROM rpc$p),
+         |rpa$t AS (SELECT v.vec_id, v.m, v.sv, c.cid,
+         |    v.sn2 + c.cn2 - 2 * ${subDot("v.sv", "c.cv")} AS d2
+         |  FROM rs3 v JOIN rpn$p c ON v.m = c.m),
+         |rpas$t AS (SELECT vec_id, m, sv, cid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+         |      ORDER BY d2, cid) AS rn FROM rpa$t) WHERE rn = 1),
+         |rpct$t AS (SELECT m, cell, count(*) AS c FROM rpas$t GROUP BY m, cell),
+         |rpsm$t AS (SELECT m, cell, r.range AS i,
+         |    sum(floor(sv[r.range] * $KmeansQ)::BIGINT) AS s
+         |  FROM rpas$t CROSS JOIN range(1, ${sd + 1}) r GROUP BY m, cell, r.range),
+         |rpmn$t AS (SELECT m, cell, list(s::DOUBLE / ($KmeansQ * c) ORDER BY i) AS mv
+         |  FROM rpsm$t JOIN rpct$t USING (m, cell) GROUP BY m, cell),
+         |rpc$t AS (SELECT p.m, p.cid, coalesce(n.mv, p.cv) AS cv
+         |  FROM rpc$p p LEFT JOIN rpmn$t n ON n.m = p.m AND n.cell = p.cid)""".stripMargin
+    }
+    val finish =
+      s"""rpcf AS (SELECT m, cid, cv, ${subFold("cv")} AS cn2,
+         |    (row_number() OVER (PARTITION BY m ORDER BY cid) - 1) AS code
+         |  FROM rpc$KmeansIters),
+         |rea AS (SELECT v.vec_id, v.m, v.celln2, c.code, c.cn2,
+         |    ${subDot("v.csl", "c.cv")} AS cd,
+         |    v.sn2 + c.cn2 - 2 * ${subDot("v.sv", "c.cv")} AS d2
+         |  FROM rs3 v JOIN rpcf c ON v.m = c.m),
+         |rew AS (SELECT vec_id, m, celln2, code, cn2, cd FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+         |      ORDER BY d2, code) AS rn FROM rea) WHERE rn = 1),
+         |rcw0 AS (SELECT vec_id, min(celln2) AS celln2,
+         |    list(code ORDER BY m) AS codes,
+         |    list_reduce(list(cn2 ORDER BY m), (a, b) -> a + b) AS rrn2,
+         |    list_reduce(list(cd ORDER BY m), (a, b) -> a + b) AS cdot
+         |  FROM rew GROUP BY vec_id),
+         |rcw AS (SELECT w.vec_id, a.cell, w.codes,
+         |    w.celln2 + 2 * w.cdot + w.rrn2 AS xn2
+         |  FROM rcw0 w JOIN asn a ON a.vec_id = w.vec_id),
+         |rqs AS (SELECT vec_id, m.range AS m,
+         |    list_transform(range(1, ${sd + 1}), i -> embedding[m.range * $sd + i]::DOUBLE) AS sv
+         |  FROM embeddings CROSS JOIN range(0, $nSub) m
+         |  WHERE vec_id % $QueryStride = 0),
+         |rqt AS (SELECT v.vec_id AS query_id, c.m, c.code,
+         |    ${subDot("v.sv", "c.cv")} AS pdot
+         |  FROM rqs v JOIN rpcf c ON v.m = c.m),
+         |rqf AS (SELECT query_id, list(pdot ORDER BY m, code) AS ftab
+         |  FROM rqt GROUP BY query_id)""".stripMargin
     (base +: rounds :+ finish).mkString(",\n")
   }
 
@@ -974,6 +1063,55 @@ object DedupQueries {
     // (coarse Lloyd rounds from s3's CTEs, per-subspace Lloyd rounds from
     // s4's), cell assignment, per-query probes, the ADC scan restricted
     // to probed cells via the cell join, shortlist, exact rerank
+    // s6: the s5 pipeline with residual PQ — the coarse stage is
+    // identical; probes carry the raw query↔centroid dot (qc), codes
+    // train/encode over residuals with the exact reconstruction norm
+    // xn2, and the scan scores (qc + ADC)/√(qn²·xn²) — the dot of a
+    // sum is the sum of dots, so no per-cell table correction exists
+    "s6_knn_ivfpq_residual" ->
+      s"""WITH $NormCte,
+         |$KmeansCtes,
+         |cent AS (SELECT cid, cv, list_reduce(list_transform(range(1, ${CosDim + 1}),
+         |    i -> cv[i] * cv[i]), (a, b) -> a + b) AS n2 FROM cent$KmeansIters),
+         |ac AS (SELECT v.vec_id, v.n2, c.cid, c.n2 AS cn2,
+         |    list_reduce(list_transform(range(1, ${CosDim + 1}),
+         |      i -> v.embedding[i]::DOUBLE * c.cv[i]), (a, b) -> a + b) AS qc
+         |  FROM n v CROSS JOIN cent c),
+         |ac2 AS (SELECT vec_id, cid, qc, qc / sqrt(n2 * cn2) AS ccos FROM ac),
+         |asn AS (SELECT vec_id, cid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cid) AS rn FROM ac2) WHERE rn = 1),
+         |pr AS (SELECT vec_id AS query_id, cid AS cell, qc FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cid) AS rn FROM ac2
+         |    WHERE vec_id % $QueryStride = 0) WHERE rn <= $IvfProbes),
+         |resv AS (SELECT v.vec_id, a.cell, c.n2 AS celln2, c.cv AS ccv,
+         |    list_transform(range(1, ${CosDim + 1}),
+         |      i -> v.embedding[i]::DOUBLE - c.cv[i]) AS rv
+         |  FROM n v JOIN asn a ON a.vec_id = v.vec_id
+         |    JOIN cent c ON c.cid = a.cell),
+         |$PqResidualCtes,
+         |ps AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+         |    (p.qc + list_reduce(list_transform(range(0, 4),
+         |      m -> q.ftab[m * 16 + c.codes[m + 1] + 1]), (a, b) -> a + b))
+         |      / sqrt(n.n2 * c.xn2) AS adc_cos
+         |  FROM pr p JOIN rqf q ON q.query_id = p.query_id
+         |    JOIN n ON n.vec_id = p.query_id
+         |    JOIN rcw c ON c.cell = p.cell AND c.vec_id <> p.query_id),
+         |sl AS (SELECT query_id, neighbor_id, adc_cos FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc_cos DESC, neighbor_id) AS sr FROM ps)
+         |  WHERE sr <= 20),
+         |rr AS (SELECT sl.query_id, sl.neighbor_id, sl.adc_cos,
+         |    ${dotSql("a", "b")} / sqrt(a.n2 * b.n2) AS cos
+         |  FROM sl JOIN n a ON a.vec_id = sl.query_id
+         |           JOIN n b ON b.vec_id = sl.neighbor_id)
+         |SELECT query_id, rank, neighbor_id, cos, adc_cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS rank FROM rr)
+         |WHERE rank <= $KnnK
+         |ORDER BY query_id, rank""".stripMargin,
+
     "s5_knn_ivfpq" ->
       s"""WITH $NormCte,
          |$KmeansCtes,

@@ -251,6 +251,63 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqResidualTopK: exact rerank cosines and recall floor on real " +
+    "embeddings") {
+    val dir = "/root/testdata/sf0.01"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.filter("vec_id % 100 = 0")
+    def byQuery(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val truth = byQuery(Similarity.knnBruteForce(q, emb, "vec_id", "embedding", 5))
+    val out = Similarity.ivfPqResidualTopK(q, emb, "vec_id", "embedding",
+      k = 5, nCells = 16, nProbes = 3, coarseIters = 2,
+      nSub = 4, subDim = 16, kPerSub = 16, pqIters = 2, shortlist = 20)
+    val rows = out.collect()
+    val got = rows.map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    // the rerank is exact: any returned pair's cosine equals brute force
+    got.foreach { case (pair, cos) =>
+      truth.get(pair).foreach(t => assert(t == cos, s"$pair cos mismatch")) }
+    val recall = (truth.keySet & got.keySet).size.toDouble / truth.size
+    assert(recall >= 0.3, s"residual IVF-PQ recall $recall below floor")
+  }
+
+  test("by_residual earns its keep on CLUSTERED data: residual ADC " +
+    "tracks true cosine strictly better than raw at identical geometry") {
+    // The sf embeddings are uniform-random — the one distribution where
+    // residuals are no tighter than raw vectors (measured: raw slightly
+    // ahead there), so the faiss-default claim is asserted where it
+    // actually applies: clustered data, the case IVF exists for.
+    // Deterministic integer-hash noise around 8 well-separated centers.
+    import spark.implicits._
+    val dim = 64
+    val clustered = (0 until 400).map { id =>
+      val c = id % 8
+      val v = (0 until dim).map { d =>
+        val center = if (d % 8 == c) 10.0f else 0.0f
+        val h = ((id.toLong * 1315423911L + d.toLong * 2654435761L) % 1000L + 1000L) % 1000L
+        center + (h.toFloat / 1000.0f - 0.5f)
+      }.toArray
+      (id.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val q = clustered.filter("vec_id % 40 = 0")
+    def adcErr(df: org.apache.spark.sql.DataFrame): Double = {
+      val rs = df.select("cos", "adc_cos").collect()
+      rs.map(r => math.abs(r.getDouble(0) - r.getDouble(1))).sum / rs.length
+    }
+    // every cell probed, so both scans see every candidate — the only
+    // difference is what the codes reconstruct
+    val resAll = Similarity.ivfPqResidualTopK(q, clustered, "vec_id", "embedding",
+      k = 5, nCells = 8, nProbes = 8, coarseIters = 2,
+      nSub = 4, subDim = 16, kPerSub = 16, pqIters = 2, shortlist = 20)
+    val rawAll = Similarity.ivfPqTopK(q, clustered, "vec_id", "embedding",
+      k = 5, nCells = 8, nProbes = 8, coarseIters = 2,
+      nSub = 4, subDim = 16, kPerSub = 16, pqIters = 2, shortlist = 20)
+    val (eRes, eRaw) = (adcErr(resAll), adcErr(rawAll))
+    assert(eRes < eRaw,
+      s"residual ADC error $eRes not better than raw $eRaw on clustered data")
+  }
+
   test("PQ rejects vectors whose dim doesn't match nSub x subDim") {
     // 3-dim vectors into a 2x2 config: slicing would silently produce
     // short subvectors and plausible-but-wrong neighbors — must raise
