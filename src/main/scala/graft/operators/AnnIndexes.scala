@@ -38,8 +38,10 @@ object AnnIndexes {
 
   /** Everything a rebuild/drift needs to re-derive an index from its
     * source table. `kind`: `ivf` (bucketed postings), `pq` (codes +
-    * codebooks), `ivfpq` (coarse cells over PQ codes). `pqGeom` =
-    * (nSub, subDim, kPerSub, shortlist) for the PQ kinds. */
+    * codebooks), `ivfpq` (coarse cells over PQ codes), `ivfpq_res`
+    * (coarse cells over residual-encoded PQ codes — faiss
+    * `by_residual=true`). `pqGeom` = (nSub, subDim, kPerSub, shortlist)
+    * for the PQ kinds. */
   final case class AnnIndexSpec(
       name: String,
       kind: String,
@@ -56,8 +58,8 @@ object AnnIndexes {
       pqIters: Int = 0,
       recallFloor: Double = 0.9,
       sampleEvery: Int = 100) {
-    require(Set("ivf", "pq", "ivfpq").contains(kind),
-      s"unknown ANN index kind '$kind' (ivf | pq | ivfpq)")
+    require(Set("ivf", "pq", "ivfpq", "ivfpq_res").contains(kind),
+      s"unknown ANN index kind '$kind' (ivf | pq | ivfpq | ivfpq_res)")
     require(kind == "ivf" || pqGeom.isDefined,
       s"kind '$kind' needs pqGeom = (nSub, subDim, kPerSub, shortlist)")
     require(kind == "pq" || nCells > 0, s"kind '$kind' needs nCells")
@@ -173,6 +175,14 @@ object AnnIndexes {
         Similarity.driftReport(spark, spec.table, corpus, spec.idCol,
           spec.vecCol, spec.k, spec.nCells, spec.nProbes,
           spec.recallFloor, spec.sampleEvery, pq = spec.pqGeom)
+      case "ivfpq_res" =>
+        val Some((nSub, subDim, kPerSub, shortlist)) = spec.pqGeom
+        Similarity.measureDrift(spark, spec.table, corpus, spec.idCol,
+          spec.vecCol, spec.k, spec.recallFloor, spec.sampleEvery) { queries =>
+          Similarity.probeIvfPqResidualIndex(spark, spec.table, queries,
+            corpus, spec.idCol, spec.vecCol, spec.k, spec.nProbes,
+            nSub, subDim, kPerSub, shortlist)
+        }
       case "pq" =>
         val Some((nSub, subDim, kPerSub, shortlist)) = spec.pqGeom
         Similarity.measureDrift(spark, spec.table, corpus, spec.idCol,
@@ -202,6 +212,11 @@ object AnnIndexes {
       case "ivfpq" =>
         val Some((nSub, subDim, kPerSub, _)) = spec.pqGeom
         Similarity.buildIvfPqIndex(corpus, spec.idCol, spec.vecCol,
+          spec.nCells, spec.coarseIters, nSub, subDim, kPerSub,
+          spec.pqIters, spec.table, spec.path, spec.nBuckets)
+      case "ivfpq_res" =>
+        val Some((nSub, subDim, kPerSub, _)) = spec.pqGeom
+        Similarity.buildIvfPqResidualIndex(corpus, spec.idCol, spec.vecCol,
           spec.nCells, spec.coarseIters, nSub, subDim, kPerSub,
           spec.pqIters, spec.table, spec.path, spec.nBuckets)
     }

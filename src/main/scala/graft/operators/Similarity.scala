@@ -1003,27 +1003,60 @@ object Similarity {
       kPerSub: Int,
       pqIters: Int,
       shortlist: Int): DataFrame = {
-    val n = corpus.select(col(idCol), col(vecCol), norm2(col(vecCol)).as("__n2"))
     val cent = centroidsOf(corpus, idCol, vecCol, nCells, coarseIters)
-    val cellCos = cosineFromNorms(dotD(col(vecCol), col("__cv")), col("__n2"), col("__cn2"))
-    // winning cell carries its centroid VECTOR and norm through max_by —
-    // the residual needs them per row, without a centroid re-join
-    val assigned = n.join(broadcast(cent))
-      .select(col(idCol), col("__cid"), col("__cv"), col("__cn2"), cellCos.as("__ccos"))
-      .groupBy(col(idCol))
-      .agg(max_by(struct(col("__cid"), col("__cv"), col("__cn2")),
-        struct(col("__ccos"), -col("__cid"))).as("__w"))
-      .select(col(idCol), col("__w.__cid").as("__cell"),
-        col("__w.__cv").as("__ccv"), col("__w.__cn2").as("__celln2"))
-    val res = n.join(assigned, Seq(idCol))
-      .select(col(idCol), col("__cell"), col("__celln2"), col("__ccv"),
-        zip_with(col(vecCol), col("__ccv"),
-          (a, b) => a.cast("double") - b).as("__rv"))
+    val res = residualFrame(corpus, idCol, vecCol, cent)
     val cb = trainPqCodebooks(res, idCol, "__rv", nSub, subDim, kPerSub, pqIters)
     val codes = pqEncodeResidual(res, idCol, cb, nSub, subDim)
       .select(col(idCol).as("neighbor_id"), col("__cell"), col("__codes"),
         col("__xn2"))
-    // probe selection also yields dot(q, c) per probed cell — the qc term
+    ivfPqResidualScan(queries, codes, cent, pqCodeMap(cb), corpus, idCol,
+      vecCol, k, nProbes, nSub, subDim, kPerSub, shortlist)
+  }
+
+  /** Per-row residual prep shared by the s6 train/encode/append paths:
+    * slim (id, cell) assignment exactly as s5's, then the centroid
+    * vector re-attaches by a BROADCAST join on the cell id — carrying
+    * the 64-double centroid through the corpus-sized max_by exchange
+    * would multiply its shuffle bytes ~30× for nothing. Returns
+    * (id, __cell, __celln2, __ccv, __rv = x − c, element-exact
+    * float→double). */
+  private def residualFrame(
+      emb: DataFrame, idCol: String, vecCol: String,
+      cent: DataFrame): DataFrame = {
+    val n = emb.select(col(idCol), col(vecCol), norm2(col(vecCol)).as("__n2"))
+    val cellCos = cosineFromNorms(dotD(col(vecCol), col("__cv")), col("__n2"), col("__cn2"))
+    val assigned = n.join(broadcast(cent))
+      .select(col(idCol), col("__cid"), cellCos.as("__ccos"))
+      .groupBy(col(idCol))
+      .agg(max_by(col("__cid"), struct(col("__ccos"), -col("__cid"))).as("__cell"))
+    val cellGeom = cent.select(col("__cid").as("__cell"),
+      col("__cv").as("__ccv"), col("__cn2").as("__celln2"))
+    n.join(assigned, Seq(idCol))
+      .join(broadcast(cellGeom), Seq("__cell"))
+      .select(col(idCol), col("__cell"), col("__celln2"), col("__ccv"),
+        zip_with(col(vecCol), col("__ccv"),
+          (a, b) => a.cast("double") - b).as("__rv"))
+  }
+
+  /** Shared probe side of [[ivfPqResidualTopK]] /
+    * [[probeIvfPqResidualIndex]] — [[ivfPqScan]] with the residual
+    * scoring: probe selection also carries dot(q, c) per probed cell
+    * (the qc term; the SAME dot the probe ranking computes), and each
+    * candidate scores `(qc + ADC) / √(qn²·xn²)`. */
+  private def ivfPqResidualScan(
+      queries: DataFrame,
+      codes: DataFrame,
+      cent: DataFrame,
+      cmap: DataFrame,
+      rerank: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbes: Int,
+      nSub: Int,
+      subDim: Int,
+      kPerSub: Int,
+      shortlist: Int): DataFrame = {
     val qn = queries.select(col(idCol).as("query_id"), col(vecCol),
       norm2(col(vecCol)).as("__n2"))
     val pw = Window.partitionBy(col("query_id"))
@@ -1036,14 +1069,109 @@ object Similarity {
       .withColumn("__pr", row_number().over(pw))
       .filter(col("__pr") <= nProbes)
       .select(col("query_id"), col("__cell"), col("__qcdot"))
-    val qtab = pqQueryTab(queries, idCol, vecCol, pqCodeMap(cb), nSub, subDim)
+    val qtab = pqQueryTab(queries, idCol, vecCol, cmap, nSub, subDim)
     val qprobes = qtab.join(probes, Seq("query_id"))
     val scored = codes.join(broadcast(qprobes), Seq("__cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("__qv"), col("__qn2"), col("neighbor_id"),
         ((col("__qcdot") + adcCol(nSub, kPerSub))
           / sqrt(col("__qn2") * col("__xn2"))).as("adc_cos"))
-    pqShortlistRerank(scored, corpus, idCol, vecCol, k, shortlist)
+    pqShortlistRerank(scored, rerank, idCol, vecCol, k, shortlist)
+  }
+
+  /** Persist the residual IVF∘PQ index — same layout as
+    * [[buildIvfPqIndex]] (coarse centroids, codebooks, CELL-BUCKETED
+    * codes) with the residual geometry: codebooks trained on
+    * `x − c(cell(x))`, codes rows carrying the exact reconstruction
+    * norm `__xn2` instead of `__rn2`. The schema difference makes the
+    * two kinds mutually unprobeable by construction (a raw probe of a
+    * residual table fails on the missing column, never returns wrong
+    * neighbors). */
+  def buildIvfPqResidualIndex(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      coarseIters: Int,
+      nSub: Int,
+      subDim: Int,
+      kPerSub: Int,
+      pqIters: Int,
+      tableName: String,
+      path: String,
+      nBuckets: Int = 8): Unit = {
+    val spark = emb.sparkSession
+    centroidsOf(emb, idCol, vecCol, nCells, coarseIters)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("path", s"${path}_centroids")
+      .saveAsTable(s"${tableName}_centroids")
+    // residuals AGAINST THE PERSISTED geometry, then codebooks on them
+    val cent = spark.table(s"${tableName}_centroids")
+    val res = residualFrame(emb, idCol, vecCol, cent)
+      .localCheckpoint(eager = true)
+    trainPqCodebooks(res, idCol, "__rv", nSub, subDim, kPerSub, pqIters)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("path", s"${path}_codebooks")
+      .saveAsTable(s"${tableName}_codebooks")
+    val cb = spark.table(s"${tableName}_codebooks")
+    val encoded = pqEncodeResidual(res, idCol, cb, nSub, subDim)
+      .select(col(idCol), col("__cell"), col("__codes"), col("__xn2"))
+      .localCheckpoint(eager = true)
+    encoded.write
+      .bucketBy(nBuckets, "__cell").sortBy("__cell")
+      .option("path", path)
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(tableName)
+    recordIndexBase(spark, tableName, path)
+  }
+
+  /** [[appendToIvfPqIndex]] for the residual kind: assign + residualize
+    * + encode a new batch against the FROZEN persisted geometry, insert
+    * into the bucketed codes table — O(batch), zero training. Same
+    * contracts: ids must be new; rebuild when drift erodes recall. */
+  def appendToIvfPqResidualIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nSub: Int,
+      subDim: Int,
+      kPerSub: Int): Unit = {
+    val cent = spark.table(s"${tableName}_centroids")
+    val cb = spark.table(s"${tableName}_codebooks")
+    validatePqGeometry(cb, nSub, subDim, kPerSub)
+    val res = residualFrame(batch, idCol, vecCol, cent)
+    pqEncodeResidual(res, idCol, cb, nSub, subDim)
+      .select(col(idCol), col("__cell"), col("__codes"), col("__xn2"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .insertInto(tableName)
+  }
+
+  /** Probe a materialized residual IVF∘PQ index: bit-identical to
+    * [[ivfPqResidualTopK]] with the same parameters, zero
+    * training/assignment/encoding per call. */
+  def probeIvfPqResidualIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      queries: DataFrame,
+      rerank: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbes: Int,
+      nSub: Int,
+      subDim: Int,
+      kPerSub: Int,
+      shortlist: Int): DataFrame = {
+    val cent = spark.table(s"${tableName}_centroids")
+    val cb = spark.table(s"${tableName}_codebooks")
+    validatePqGeometry(cb, nSub, subDim, kPerSub)
+    val codes = spark.table(tableName)
+      .select(col(idCol).as("neighbor_id"), col("__cell"), col("__codes"),
+        col("__xn2"))
+    ivfPqResidualScan(queries, codes, cent, pqCodeMap(cb), rerank, idCol,
+      vecCol, k, nProbes, nSub, subDim, kPerSub, shortlist)
   }
 
   /** Residual PQ encode: codes over `__rv` (= x − cell centroid) plus

@@ -145,6 +145,56 @@ class PqIndexSpec extends SparkSpec {
       spark.sql(s"DROP TABLE graft_ivfpq_app$s"))
   }
 
+  test("residual IVF-PQ index: probe equals ivfPqResidualTopK bit-for-bit, " +
+    "codes stay bucketed/exchange-free, appends stay exact") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpqr").toString
+    Seq("", "_centroids", "_codebooks").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_ivfpqr_idx$s"))
+    val base = emb.filter("vec_id < 400")
+    val batch = emb.filter("vec_id >= 400")
+    Similarity.buildIvfPqResidualIndex(base, "vec_id", "embedding",
+      nCells = 16, coarseIters = 2, nSub = 4, subDim = 16, kPerSub = 16,
+      pqIters = 2, "graft_ivfpqr_idx", s"$path/ivfpqr")
+    // probe ≡ the in-query operator at the same geometry (over the base)
+    val direct = rows(Similarity.ivfPqResidualTopK(q, base, "vec_id", "embedding",
+      k = 5, nCells = 16, nProbes = 3, coarseIters = 2,
+      nSub = 4, subDim = 16, kPerSub = 16, pqIters = 2, shortlist = 20))
+    val probed = Similarity.probeIvfPqResidualIndex(spark, "graft_ivfpqr_idx",
+      q, base, "vec_id", "embedding", k = 5, nProbes = 3, nSub = 4,
+      subDim = 16, kPerSub = 16, shortlist = 20)
+    assert(rows(probed) == direct)
+    assert(direct.nonEmpty)
+    // same plan contract as the raw kind: bucketed codes, zero cell-key
+    // exchanges even with auto-broadcast off
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = Similarity.probeIvfPqResidualIndex(spark, "graft_ivfpqr_idx",
+          q, base, "vec_id", "embedding", k = 5, nProbes = 3, nSub = 4,
+          subDim = 16, kPerSub = 16, shortlist = 20)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"codes scan not bucketed:\n$plan")
+      val cellExchanges = "hashpartitioning\\(__cell".r.findAllIn(plan).size
+      assert(cellExchanges == 0, s"cell-key exchange in the probe plan:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // append against the frozen geometry; every-cell probe with a
+    // corpus-sized shortlist must equal brute force over the union —
+    // the exact rerank sees every candidate whatever the codes look like
+    Similarity.appendToIvfPqResidualIndex(spark, "graft_ivfpqr_idx", batch,
+      "vec_id", "embedding", nSub = 4, subDim = 16, kPerSub = 16)
+    assert(spark.table("graft_ivfpqr_idx").count() == emb.count())
+    def rows4(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id", "cos").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val all = rows4(Similarity.probeIvfPqResidualIndex(spark, "graft_ivfpqr_idx",
+      q, emb, "vec_id", "embedding", k = 5, nProbes = 16, nSub = 4,
+      subDim = 16, kPerSub = 16, shortlist = 600))
+    val truth = rows4(Similarity.knnBruteForce(q, emb, "vec_id", "embedding", 5))
+    assert(all == truth)
+    Seq("", "_centroids", "_codebooks").foreach(s =>
+      spark.sql(s"DROP TABLE graft_ivfpqr_idx$s"))
+  }
+
   test("appendToIvfIndex: appended postings land bucketed; all-cells probe stays exact") {
     val path = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
     Seq("", "_centroids").foreach(s =>
