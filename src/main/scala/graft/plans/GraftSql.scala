@@ -333,11 +333,15 @@ object GraftSql {
   // CREATE, never as a silently-wrong refresh
   private val CreateMvRe =
     """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s+AS\s+SELECT\s+(.+?)\s+FROM\s+'([^']+)'\s+GROUP\s+BY\s+(.+?)\s*;?\s*""".r
-  // the join-backed form: FROM 'fact' f JOIN 'dim' d ON f.fk = d.pk
-  // [AND …] — group columns must be alias-qualified (two tables are in
-  // scope; a bare name would need schema resolution at parse time)
+  // the join-backed (star) form: FROM 'fact' f JOIN 'dim1' a ON
+  // f.fk = a.pk [AND …] [JOIN 'dim2' b ON …]… — group columns must be
+  // alias-qualified (several tables are in scope; a bare name would
+  // need schema resolution at parse time). The JOIN clauses are
+  // captured as one blob and split by [[JoinClauseRe]].
   private val CreateJoinMvRe =
-    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s+AS\s+SELECT\s+(.+?)\s+FROM\s+'([^']+)'\s+([A-Za-z_][A-Za-z0-9_]*)\s+JOIN\s+'([^']+)'\s+([A-Za-z_][A-Za-z0-9_]*)\s+ON\s+(.+?)\s+GROUP\s+BY\s+(.+?)\s*;?\s*""".r
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s+AS\s+SELECT\s+(.+?)\s+FROM\s+'([^']+)'\s+([A-Za-z_][A-Za-z0-9_]*)\s+((?:JOIN\s+'[^']+'\s+[A-Za-z_][A-Za-z0-9_]*\s+ON\s+.+?)+)\s+GROUP\s+BY\s+(.+?)\s*;?\s*""".r
+  private val JoinClauseRe =
+    """(?is)JOIN\s+'([^']+)'\s+([A-Za-z_][A-Za-z0-9_]*)\s+ON\s+(.+?)(?=\s+JOIN\s+'|\s*$)""".r
   private val RefreshMvRe =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s*;?\s*""".r
   private val DeepCloneRe =
@@ -674,11 +678,10 @@ object GraftSql {
         Some(GraftCommand("CONVERT TO GRAFT", root, s =>
           Seq(Row("CONVERT TO GRAFT", root,
             VersionedTable.convertToGraft(s, root)))))
-      case CreateJoinMvRe(dst, selectList, fact, fa, dim, da, onCond, groupBy) =>
+      case CreateJoinMvRe(dst, selectList, fact, fa, joins, groupBy) =>
         Some(GraftCommand("CREATE MATERIALIZED VIEW", dst, s =>
           Seq(Row("CREATE MATERIALIZED VIEW", dst,
-            runCreateJoinMv(s, dst, selectList, fact, fa, dim, da,
-              onCond, groupBy)))))
+            runCreateJoinMv(s, dst, selectList, fact, fa, joins, groupBy)))))
       case CreateMvRe(dst, selectList, src, groupBy) =>
         Some(GraftCommand("CREATE MATERIALIZED VIEW", dst, s =>
           Seq(Row("CREATE MATERIALIZED VIEW", dst,
@@ -1209,41 +1212,54 @@ object GraftSql {
   }
 
   /** CREATE MATERIALIZED VIEW 'dst' AS SELECT a.g1[, b.g2…], count(*)
-    * AS n_rows, sum(f.col) AS value_sum FROM 'fact' f JOIN 'dim' d ON
-    * f.fk = d.pk [AND …] GROUP BY a.g1[, b.g2…] — the join shape
-    * [[graft.sources.AggReplica.createJoinView]] maintains with the
-    * bilinear delta rule. Strict like the single-source form: group
-    * columns alias-qualified and echoed in SELECT order, the sum over a
-    * FACT column (dim measures would need the dim feed to re-derive
-    * fact multiplicities — declare the view the other way around), ON
-    * a conjunction of alias-qualified equalities, one from each side.
-    * Extrema aggregates are not join-maintainable and fail here. */
+    * AS n_rows, sum(f.col) AS value_sum FROM 'fact' f JOIN 'dim1' a ON
+    * f.fk = a.pk [AND …] [JOIN 'dim2' b ON …]… GROUP BY a.g1[, b.g2…]
+    * — the star shape [[graft.sources.AggReplica.createStarView]]
+    * maintains with the telescoping delta rule. Strict like the
+    * single-source form: group columns alias-qualified and echoed in
+    * SELECT order, the sum over a FACT column (dim measures would need
+    * the dim feed to re-derive fact multiplicities — declare the view
+    * the other way around), each ON a conjunction of alias-qualified
+    * equalities between the FACT and THAT dim (star, not snowflake — a
+    * dim-dim equality fails here with the pre-join advice). Extrema
+    * aggregates are not join-maintainable and fail here. */
   private def runCreateJoinMv(
       spark: SparkSession, dst: String, selectList: String, fact: String,
-      fa: String, dim: String, da: String, onCond: String,
-      groupBy: String): Long = {
-    require(!fa.equalsIgnoreCase(da),
-      s"the two table aliases must differ, got '$fa' twice")
+      fa: String, joins: String, groupBy: String): Long = {
     val Ident = "[A-Za-z_][A-Za-z0-9_]*"
+    val clauses = JoinClauseRe.findAllMatchIn(joins).toSeq.map { m =>
+      (m.group(1), m.group(2), m.group(3)) }
+    require(clauses.nonEmpty, s"could not parse JOIN clauses from: $joins")
+    val aliases = fa +: clauses.map(_._2)
+    require(aliases.map(_.toLowerCase).distinct.size == aliases.size,
+      s"table aliases must be distinct, got: ${aliases.mkString(", ")}")
     val EqRe = s"""(?is)\\s*($Ident)\\.($Ident)\\s*=\\s*($Ident)\\.($Ident)\\s*""".r
-    val pairs = onCond.split("(?i)\\s+AND\\s+").toSeq.map {
-      case EqRe(a1, c1, a2, c2) =>
-        if (a1.equalsIgnoreCase(fa) && a2.equalsIgnoreCase(da)) (c1, c2)
-        else if (a1.equalsIgnoreCase(da) && a2.equalsIgnoreCase(fa)) (c2, c1)
-        else throw new IllegalArgumentException(
-          s"ON condition must equate a $fa.column with a $da.column, " +
-            s"got: $a1.$c1 = $a2.$c2")
-      case other => throw new IllegalArgumentException(
-        "ON must be a conjunction of alias-qualified equalities " +
-          s"($fa.col = $da.col), got: $other")
+    val dims = clauses.map { case (dimRoot, da, onCond) =>
+      val pairs = onCond.split("(?i)\\s+AND\\s+").toSeq.map {
+        case EqRe(a1, c1, a2, c2) =>
+          if (a1.equalsIgnoreCase(fa) && a2.equalsIgnoreCase(da)) (c1, c2)
+          else if (a1.equalsIgnoreCase(da) && a2.equalsIgnoreCase(fa)) (c2, c1)
+          else throw new IllegalArgumentException(
+            s"ON condition for $da must equate a $fa.column with a " +
+              s"$da.column (star, not snowflake — pre-join chained dims " +
+              s"into one table), got: $a1.$c1 = $a2.$c2")
+        case other => throw new IllegalArgumentException(
+          "ON must be a conjunction of alias-qualified equalities " +
+            s"($fa.col = $da.col), got: $other")
+      }
+      (dimRoot, pairs)
     }
+    val dimIdx = clauses.map(_._2.toLowerCase).zipWithIndex.toMap
     val QualRe = s"""(?is)\\s*($Ident)\\.($Ident)\\s*""".r
     val groups = groupBy.split(",").toSeq.map {
       case QualRe(a, c) =>
-        if (a.equalsIgnoreCase(fa)) (true, c)
-        else if (a.equalsIgnoreCase(da)) (false, c)
-        else throw new IllegalArgumentException(
-          s"GROUP BY columns must be qualified with $fa or $da, got: $a.$c")
+        if (a.equalsIgnoreCase(fa)) (0, c)
+        else dimIdx.get(a.toLowerCase) match {
+          case Some(i) => (i + 1, c)
+          case None => throw new IllegalArgumentException(
+            s"GROUP BY columns must be qualified with one of " +
+              s"${aliases.mkString(", ")}, got: $a.$c")
+        }
       case other => throw new IllegalArgumentException(
         s"GROUP BY columns must be alias-qualified in the join form, " +
           s"got: $other")
@@ -1253,8 +1269,8 @@ object GraftSql {
       "GROUP BY columns (in order), count(*) AS n_rows, " +
       s"sum($fa.<col>) AS value_sum"
     require(items.size == groups.size + 2, s"$shape — got: $selectList")
-    items.take(groups.size).zip(groups).foreach { case (item, (ff, c)) =>
-      val want = (if (ff) fa else da) + "." + c
+    items.take(groups.size).zip(groups).foreach { case (item, (s, c)) =>
+      val want = aliases(s) + "." + c
       require(item.equalsIgnoreCase(want),
         s"$shape — expected $want, got: $item")
     }
@@ -1267,7 +1283,7 @@ object GraftSql {
         s"value_sum must aggregate a $fa (fact) column, got: $a.$c")
       case other => throw new IllegalArgumentException(s"$shape — got: $other")
     }
-    graft.sources.AggReplica.createJoinView(spark, dst, fact, dim, pairs,
+    graft.sources.AggReplica.createStarView(spark, dst, fact, dims,
       groups, valueCol)
   }
 

@@ -40,7 +40,8 @@ object FormatQueries {
     "q39_generated_identity"  -> ((s, d) => q39(s, d)),
     "q40_matview"             -> ((s, d) => q40(s, d)),
     "q41_matview_minmax"      -> ((s, d) => q41(s, d)),
-    "q42_matview_join"        -> ((s, d) => q42(s, d))
+    "q42_matview_join"        -> ((s, d) => q42(s, d)),
+    "q43_matview_star"        -> ((s, d) => q43(s, d))
   )
 
   // scratch roots live on local tmpfs, so the bench numbers for q27–q42
@@ -541,7 +542,84 @@ object FormatQueries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** q43: STAR MATERIALIZED VIEW — `γ(lineitem ⋈ part ⋈ supplier)` by
+    * (brand, nation), maintained over THREE change feeds with the
+    * telescoping rule. One refresh folds fact churn (append + delete),
+    * a late-arriving dim population, a group-moving dim update on one
+    * dim, and a delete on the other — the multi-dim cross terms the
+    * rule has to sequence correctly (each term pins earlier dims OLD
+    * and later dims NEW), hash-checked against the full recompute. */
+  def q43(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q43").toString
+    val fact = s"$tmp/fact"; val dp = s"$tmp/part"; val ds = s"$tmp/supp"
+    val mv = s"$tmp/mv"
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity").cast("decimal(18,2)").as("l_quantity"))
+    val part = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
+    val supp = Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val factSeed = li.where(col("l_orderkey") % 2 === 1)
+    VersionedTable.commit(factSeed, fact, extras = Map("changes" ->
+      VersionedTable.feedWritable(
+        factSeed.withColumn("_change_type", lit("insert")))))
+    // two-thirds of parts at create: the rest arrive mid-stream
+    val partSeed = part.where(col("p_partkey") % 3 =!= 0)
+    VersionedTable.commit(partSeed, dp, extras = Map("changes" ->
+      VersionedTable.feedWritable(
+        partSeed.withColumn("_change_type", lit("insert")))))
+    VersionedTable.commit(supp, ds, extras = Map("changes" ->
+      VersionedTable.feedWritable(
+        supp.withColumn("_change_type", lit("insert")))))
+    GraftSql.execute(s,
+      s"""CREATE MATERIALIZED VIEW '$mv' AS
+         |SELECT p.p_brand, n.s_nationkey, count(*) AS n_rows,
+         |  sum(f.l_quantity) AS value_sum
+         |FROM '$fact' f JOIN '$dp' p ON f.l_partkey = p.p_partkey
+         |JOIN '$ds' n ON f.l_suppkey = n.s_suppkey
+         |GROUP BY p.p_brand, n.s_nationkey""".stripMargin)
+    // all three sources churn before ONE refresh
+    VersionedTable.commitAppend(
+      li.where(col("l_orderkey") % 2 === 0), fact, changeFeed = true)
+    VersionedTable.deleteWhere(s, fact, col("l_quantity") > lit(45))
+    VersionedTable.commitAppend(
+      part.where(col("p_partkey") % 3 === 0), dp, changeFeed = true)
+    VersionedTable.updateWhere(s, dp, col("p_partkey") % 10 === 0,
+      Map("p_brand" -> lit("MOVED")))
+    VersionedTable.deleteWhere(s, ds, col("s_suppkey") % 7 === 3)
+    GraftSql.execute(s, s"REFRESH MATERIALIZED VIEW '$mv'")
+    val after = VersionedTable.currentVersion(s, mv).get
+    GraftSql.execute(s, s"REFRESH MATERIALIZED VIEW '$mv'") // nothing new
+    require(VersionedTable.currentVersion(s, mv).contains(after),
+      "an up-to-date REFRESH must not commit")
+    VersionedTable.read(s, mv)
+      .select(col("p_brand"), col("s_nationkey"), col("n_rows"),
+        col("value_sum").cast("double").as("value_sum"))
+      .orderBy(col("p_brand"), col("s_nationkey"))
+  }
+
   def oracles: Map[String, String] = Map(
+    // q43: the star-aggregate over all three tables' FINAL states —
+    // the telescoping-rule maintenance must equal it exactly
+    "q43_matview_star" ->
+      """WITH f AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS l_quantity
+        |  FROM lineitem WHERE NOT (l_quantity > 45)),
+        |p AS (
+        |  SELECT p_partkey,
+        |    CASE WHEN p_partkey % 10 = 0 THEN 'MOVED' ELSE p_brand END
+        |      AS p_brand
+        |  FROM part),
+        |n AS (
+        |  SELECT s_suppkey, s_nationkey FROM supplier
+        |  WHERE NOT (s_suppkey % 7 = 3))
+        |SELECT p_brand, s_nationkey, count(*)::BIGINT AS n_rows,
+        |  sum(l_quantity)::DOUBLE AS value_sum
+        |FROM f JOIN p ON f.l_partkey = p.p_partkey
+        |JOIN n ON f.l_suppkey = n.s_suppkey
+        |GROUP BY p_brand, s_nationkey
+        |ORDER BY p_brand, s_nationkey""".stripMargin,
     // q42: the join-aggregate over both tables' FINAL states — the
     // bilinear-rule maintenance must equal it exactly
     "q42_matview_join" ->

@@ -110,10 +110,10 @@ object AggReplica {
       extrema = extrema, source = source)
 
   /** Multi-stamp form of [[applyAggBatch]] — a join-backed view folds
-    * TWO feeds (fact + dim) in one merge, so its exactly-once claim is
-    * two `(appId, batchId)` stamps riding the same atomic commit, each
-    * with its own captured-high-water overlap guard. `txns` and
-    * `expectedPriors` are positionally aligned. */
+    * SEVERAL feeds (fact + every star dim) in one merge, so its
+    * exactly-once claim is n+1 `(appId, batchId)` stamps riding the
+    * same atomic commit, each with its own captured-high-water overlap
+    * guard. `txns` and `expectedPriors` are positionally aligned. */
   private[graft] def applyAggMulti(
       spark: SparkSession, dstRoot: String, keyCols: Seq[String],
       valueCol: String, batch: DataFrame,
@@ -464,14 +464,16 @@ object AggReplica {
   val MvValueProp = "graft.mv.value"
   val MvExtremaProp = "graft.mv.extrema"
   val MvAppId = "graft-mv"
-  /** Join-backed views additionally record the dim side: its root, the
-    * `fk=pk` equi-pairs, and the group columns tagged with the side
-    * each comes from (`f:`/`d:` prefixes, view order preserved). The
-    * dim feed's high-water stamps under its own app id, atomically
-    * beside the fact stamp. */
+  /** Join-backed (star) views additionally record the dim sides: the
+    * dim count, each dim's root and `fk=pk` equi-pairs (indexed
+    * properties — dim 0 keeps the unsuffixed names), and the group
+    * columns tagged with the side each comes from (`f:`/`d<i>:`
+    * prefixes, view order preserved). Every dim feed's high-water
+    * stamps under its own app id, atomically beside the fact stamp. */
   val MvDimProp = "graft.mv.dim"
   val MvJoinProp = "graft.mv.join"
   val MvJoinKeysProp = "graft.mv.joinkeys"
+  val MvNDimsProp = "graft.mv.ndims"
   val MvDimAppId = "graft-mv-dim"
 
   /** CREATE MATERIALIZED VIEW: one aggregate scan of the source's
@@ -563,36 +565,47 @@ object AggReplica {
     }
   }
 
-  // ---- JOIN-BACKED MATERIALIZED VIEWS --------------------------------------
+  // ---- JOIN-BACKED (STAR) MATERIALIZED VIEWS --------------------------------
   //
   // `SELECT g…, count(*) AS n_rows, sum(f.v) AS value_sum
-  //  FROM fact f JOIN dim d ON f.fk = d.pk GROUP BY g…` maintained
-  // incrementally over BOTH tables' change feeds with the bilinear
-  // delta rule (the classical IVM identity for joins, bag semantics —
-  // Materialize/DBSP and Delta Live Tables maintain the same shape;
-  // the reference's enriched mart recomputes its star join hourly):
+  //  FROM fact f JOIN d1 ON f.fk1 = d1.pk [JOIN d2 ON f.fk2 = d2.pk …]
+  //  GROUP BY g…` maintained incrementally over EVERY table's change
+  // feed with the telescoping product rule (the classical IVM identity
+  // for joins, bag semantics — Materialize/DBSP and Delta Live Tables
+  // maintain the same shape; the reference's enriched mart recomputes
+  // its star join hourly). For V = F ⋈ D1 ⋈ … ⋈ Dn:
   //
-  //   Δ(F ⋈ D) = ΔF ⋈ D_new + F_old ⋈ ΔD
+  //   ΔV = ΔF ⋈ D1_new ⋈ … ⋈ Dn_new
+  //      + Σ_i  F_old ⋈ D1_old ⋈ … ⋈ D(i−1)_old ⋈ ΔDi ⋈ D(i+1)_new ⋈ … ⋈ Dn_new
   //
-  // (exact for bags: F_new⋈D_new − F_old⋈D_old expands to
-  // F_old⋈ΔD + ΔF⋈D_old + ΔF⋈ΔD, and the last two regroup as
-  // ΔF⋈D_new). Each term is a signed feed: term A carries the fact
-  // feed's `_change_type` through the join, term B carries the dim
-  // feed's — a dim pre-image retracts every fact row it enriched, a
-  // dim post-image re-asserts them, so a group-moving dim UPDATE moves
-  // whole fact populations between groups without touching the fact.
-  // The summed terms then ride the SAME retraction merge as the
-  // single-source view (count/sum abelian algebra; extrema are not
-  // join-maintainable without a per-group recompute and are refused at
-  // CREATE by the SQL face's shape check).
+  // (exact for bags — the standard product-rule telescope: each term
+  // flips exactly one factor from old to new with everything to its
+  // left already old and everything to its right already new, so the
+  // sum collapses to V_new − V_old). Each term is a signed feed: the
+  // fact term carries the fact feed's `_change_type` through the
+  // joins, dim term i carries dim i's — a dim pre-image retracts every
+  // fact row it enriched, a dim post-image re-asserts them, so a
+  // group-moving dim UPDATE moves whole fact populations between
+  // groups without touching the fact. The summed terms then ride the
+  // SAME retraction merge as the single-source view (count/sum abelian
+  // algebra; extrema are not join-maintainable without a per-group
+  // recompute and are refused at CREATE by the SQL face's shape check).
   //
-  // SCALE SHAPE: term A is |ΔF| rows joined against the dim (AQE
-  // broadcasts whichever side is small — for a trickle refresh that is
-  // ΔF itself, making the term a map-side probe of the dim scan);
-  // term B reads the fact AT ITS APPLIED VERSION restricted to ΔD's
-  // join keys — a stats-prunable per-column IN pushdown when the
-  // changed-key set is small (the common case: dims trickle), else a
-  // plain equi-join AQE plans. Nothing ever rescans fact ⋈ dim.
+  // STAR, not snowflake: every dim equi-joins the FACT. A dim→dim
+  // chain would need the chained dims' delta terms to re-derive fact
+  // multiplicities through the intermediate dim — declare such views
+  // against a pre-joined dim table instead.
+  //
+  // SCALE SHAPE: the fact term is |ΔF| rows joined against the dims
+  // (AQE broadcasts whichever side is small — for a trickle refresh
+  // that is ΔF itself, making the term a map-side probe of the dim
+  // scans); dim term i reads the fact AT ITS APPLIED VERSION restricted
+  // to ΔDi's join keys — a stats-prunable per-column IN pushdown when
+  // the changed-key set is small (the common case: dims trickle), else
+  // a plain equi-join AQE plans — and the OTHER dims at their pinned
+  // versions (star dims are broadcast-sized by assumption). Nothing
+  // ever rescans F ⋈ D1 ⋈ … ⋈ Dn: the seed join at CREATE is the only
+  // full join this view ever runs.
 
   /** Thrown instead of `key not found` when a recorded join-view
     * definition is missing a property — a view written by a newer
@@ -601,82 +614,123 @@ object AggReplica {
     props.getOrElse(k, throw new IllegalArgumentException(
       s"join-backed materialized view is missing its $k property"))
 
-  /** CREATE MATERIALIZED VIEW over an equi-join: seed from the two
-    * tables' CURRENT versions, record the definition (sides, pairs,
-    * ordered group columns, value), stamp BOTH consumed versions. Group
-    * columns keep their view order across sides; output names must be
-    * unique and distinct from the value column (the view's schema is
-    * `g…, n_rows, value_sum`). */
+  /** Indexed property/stamp names for dim `i` (0-based). Dim 0 keeps the
+    * unsuffixed names, so the two-table form's records read naturally. */
+  private[graft] def dimRootProp(i: Int): String =
+    if (i == 0) MvDimProp else s"$MvDimProp.$i"
+  private[graft] def dimJoinProp(i: Int): String =
+    if (i == 0) MvJoinProp else s"$MvJoinProp.$i"
+  private[graft] def dimAppId(i: Int): String =
+    if (i == 0) MvDimAppId else s"$MvDimAppId$i"
+
+  /** CREATE MATERIALIZED VIEW over a two-table equi-join — the star
+    * form with one dim; see [[createStarView]]. */
   def createJoinView(
       spark: SparkSession, dstRoot: String, factRoot: String,
       dimRoot: String, joinOn: Seq[(String, String)],
-      groupCols: Seq[(Boolean, String)], valueCol: String): Long = {
-    require(joinOn.nonEmpty, "createJoinView needs at least one fk=pk pair")
-    require(groupCols.nonEmpty, "createJoinView needs at least one group column")
+      groupCols: Seq[(Boolean, String)], valueCol: String): Long =
+    createStarView(spark, dstRoot, factRoot, Seq((dimRoot, joinOn)),
+      groupCols.map { case (ff, c) => (if (ff) 0 else 1, c) }, valueCol)
+
+  /** CREATE MATERIALIZED VIEW over a STAR equi-join: seed from every
+    * table's CURRENT version, record the definition (dims, per-dim
+    * pairs, ordered group columns with their side, value), stamp ALL
+    * n+1 consumed versions in the one commit. `dims` = (root, fk=pk
+    * pairs) per dim; `groupCols` = (side, column) in view order with
+    * side 0 = fact, i = the i-th dim (1-based). Output names must be
+    * unique and distinct from the value column (the view's schema is
+    * `g…, n_rows, value_sum`). */
+  def createStarView(
+      spark: SparkSession, dstRoot: String, factRoot: String,
+      dims: Seq[(String, Seq[(String, String)])],
+      groupCols: Seq[(Int, String)], valueCol: String): Long = {
+    require(dims.nonEmpty, "createStarView needs at least one dim")
+    require(dims.forall(_._2.nonEmpty),
+      "every dim needs at least one fk=pk pair")
+    require(groupCols.nonEmpty, "createStarView needs at least one group column")
     require(VersionedTable.currentVersion(spark, dstRoot).isEmpty,
       s"$dstRoot already exists — DROP it or pick another root")
-    val factCur = VersionedTable.currentVersion(spark, factRoot).getOrElse(
-      throw new java.io.IOException(s"no committed version under $factRoot"))
-    val dimCur = VersionedTable.currentVersion(spark, dimRoot).getOrElse(
-      throw new java.io.IOException(s"no committed version under $dimRoot"))
+    def curOf(root: String): Long =
+      VersionedTable.currentVersion(spark, root).getOrElse(
+        throw new java.io.IOException(s"no committed version under $root"))
+    val factCur = curOf(factRoot)
+    val dimCurs = dims.map(d => curOf(d._1))
     val fSnap = VersionedTable.readVersion(spark, factRoot, factCur)
-    val dSnap = VersionedTable.readVersion(spark, dimRoot, dimCur)
+    val dSnaps = dims.zip(dimCurs).map { case ((root, _), v) =>
+      VersionedTable.readVersion(spark, root, v) }
     def canon(cols: Array[String], root: String)(c: String): String =
       cols.find(_.equalsIgnoreCase(c)).getOrElse(
         throw new IllegalArgumentException(
           s"column $c missing from $root: has ${cols.mkString(", ")}"))
     val canonF = canon(fSnap.columns, factRoot) _
-    val canonD = canon(dSnap.columns, dimRoot) _
-    val pairs = joinOn.map { case (fk, pk) => (canonF(fk), canonD(pk)) }
-    val keys = groupCols.map { case (fromFact, c) =>
-      (fromFact, if (fromFact) canonF(c) else canonD(c)) }
+    val canonDs = dims.zip(dSnaps).map { case ((root, _), snap) =>
+      canon(snap.columns, root) _ }
+    val pairs = dims.zipWithIndex.map { case ((_, ps), i) =>
+      ps.map { case (fk, pk) => (canonF(fk), canonDs(i)(pk)) } }
+    val keys = groupCols.map { case (s, c) =>
+      require(s >= 0 && s <= dims.size,
+        s"group column $c names side $s; valid sides are 0 (fact) .. ${dims.size}")
+      (s, if (s == 0) canonF(c) else canonDs(s - 1)(c))
+    }
     val value = canonF(valueCol)
     val outNames = keys.map(_._2)
     require(outNames.map(_.toLowerCase).distinct.size == outNames.size,
-      "group columns must have unique output names across both sides: " +
+      "group columns must have unique output names across all sides: " +
         outNames.mkString(", "))
     require(!outNames.exists(_.equalsIgnoreCase(value)),
       s"the value column $value cannot also be a group column")
     // recorded comma/equals/colon-delimited — refuse names that would
     // not round-trip (same policy as the single-source view)
-    val recorded = outNames ++ pairs.map(_._1) ++ pairs.map(_._2) :+ value
+    val recorded = outNames ++ pairs.flatten.flatMap(p => Seq(p._1, p._2)) :+ value
     require(recorded.forall(c => !c.exists(",=:".contains(_))),
       "column names containing ',', '=' or ':' cannot be recorded in " +
         "the join-view definition: " +
         recorded.filter(_.exists(",=:".contains(_))).mkString("; "))
-    val joined = joinProject(fSnap, dSnap, pairs, keys, value, typeFrom = 0)
+    val joined = starProject(fSnap, dSnaps.zip(pairs), keys, value, typeFrom = -1)
     val agg = joined.groupBy(outNames.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
         sum(coalesce(col(value), lit(0))).as("value_sum"))
     import spark.implicits._
+    val stamps = (MvAppId, factCur) +:
+      dims.indices.map(i => (dimAppId(i), dimCurs(i)))
     VersionedTable.commit(agg, dstRoot,
       extras = Map(
         "changes" -> VersionedTable.feedWritable(
           agg.withColumn("_change_type", lit("insert"))),
-        "txn" -> Seq((MvAppId, factCur), (MvDimAppId, dimCur))
-          .toDF("app_id", "batch_id")),
+        "txn" -> stamps.toDF("app_id", "batch_id")),
       recordProperties = Some(Map(
         MvSourceProp -> factRoot,
-        MvDimProp -> dimRoot,
-        MvJoinProp -> pairs.map { case (fk, pk) => s"$fk=$pk" }.mkString(","),
-        MvJoinKeysProp -> keys.map { case (ff, c) =>
-          (if (ff) "f:" else "d:") + c }.mkString(","),
-        MvValueProp -> value)))
+        MvNDimsProp -> dims.size.toString,
+        MvJoinKeysProp -> keys.map { case (s, c) =>
+          (if (s == 0) "f:" else s"d$s:") + c }.mkString(","),
+        MvValueProp -> value) ++
+        dims.indices.map(i => dimRootProp(i) -> dims(i)._1) ++
+        dims.indices.map(i =>
+          dimJoinProp(i) -> pairs(i).map { case (fk, pk) => s"$fk=$pk" }
+            .mkString(","))))
   }
 
-  /** One bilinear-rule refresh of a join-backed view: fold both feeds
-    * from their stamped high-waters, exactly-once under the two-stamp
-    * overlap guard, no-op without a commit when neither source moved. */
+  /** One telescoping-rule refresh of a star view: fold every moved
+    * feed, exactly-once under the (n+1)-stamp overlap guard, no-op
+    * without a commit when no source moved. */
   private def refreshJoinView(
       spark: SparkSession, dstRoot: String, cur: Long, factRoot: String,
       props: Map[String, String]): Long = {
-    val dimRoot = joinProp(props, MvDimProp)
-    val pairs = joinProp(props, MvJoinProp).split(',').toSeq.map { p =>
-      val i = p.indexOf('=')
-      (p.substring(0, i), p.substring(i + 1))
-    }
+    val n = props.get(MvNDimsProp).map(_.toInt).getOrElse(1)
+    def parsePairs(s: String): Seq[(String, String)] =
+      s.split(',').toSeq.map { p =>
+        val i = p.indexOf('=')
+        (p.substring(0, i), p.substring(i + 1))
+      }
+    val dimRoots = (0 until n).map(i => joinProp(props, dimRootProp(i)))
+    val pairs = (0 until n).map(i => parsePairs(joinProp(props, dimJoinProp(i))))
     val keys = joinProp(props, MvJoinKeysProp).split(',').toSeq.map { k =>
-      (k.startsWith("f:"), k.substring(2)) }
+      if (k.startsWith("f:")) (0, k.substring(2))
+      else {
+        val c = k.indexOf(':')
+        (k.substring(1, c).toInt, k.substring(c + 1))
+      }
+    }
     val value = joinProp(props, MvValueProp)
     val outNames = keys.map(_._2)
     def stamp(appId: String): Long =
@@ -684,74 +738,94 @@ object AggReplica {
         throw new java.io.IOException(
           s"materialized view $dstRoot lost its $appId high-water stamp"))
     val appliedF = stamp(MvAppId)
-    val appliedD = stamp(MvDimAppId)
+    val appliedDs = (0 until n).map(i => stamp(dimAppId(i)))
     def curOf(root: String): Long =
       VersionedTable.currentVersion(spark, root).getOrElse(
         throw new java.io.IOException(s"materialized view source $root is gone"))
     val factCur = curOf(factRoot)
-    val dimCur = curOf(dimRoot)
-    if (factCur <= appliedF && dimCur <= appliedD) cur
+    val dimCurs = dimRoots.map(curOf)
+    val moved = factCur > appliedF ||
+      (0 until n).exists(i => dimCurs(i) > appliedDs(i))
+    if (!moved) cur
     else {
+      def dimAt(j: Int, v: Long): DataFrame =
+        VersionedTable.readVersion(spark, dimRoots(j), v)
       val terms = Seq.newBuilder[DataFrame]
       if (factCur > appliedF) {
         val dF = VersionedTable.readChanges(spark, factRoot, appliedF + 1, factCur)
-        val dNew = VersionedTable.readVersion(spark, dimRoot, dimCur)
-        terms += joinProject(dF, dNew, pairs, keys, value, typeFrom = 1)
+        terms += starProject(dF,
+          (0 until n).map(j => (dimAt(j, dimCurs(j)), pairs(j))),
+          keys, value, typeFrom = 0)
       }
-      if (dimCur > appliedD) {
-        val dD = VersionedTable.readChanges(spark, dimRoot, appliedD + 1, dimCur)
+      for (i <- 0 until n if dimCurs(i) > appliedDs(i)) {
+        val dD = VersionedTable.readChanges(
+          spark, dimRoots(i), appliedDs(i) + 1, dimCurs(i))
         val fOld = factAtRestricted(spark, factRoot, appliedF, dD,
-          pairs.map(_._1), pairs.map(_._2))
-        terms += joinProject(fOld, dD, pairs, keys, value, typeFrom = 2)
+          pairs(i).map(_._1), pairs(i).map(_._2))
+        val dimFrames = (0 until n).map { j =>
+          if (j < i) (dimAt(j, appliedDs(j)), pairs(j))
+          else if (j == i) (dD, pairs(j))
+          else (dimAt(j, dimCurs(j)), pairs(j))
+        }
+        terms += starProject(fOld, dimFrames, keys, value, typeFrom = i + 1)
       }
       val batch = terms.result().reduce(_ unionByName _)
       applyAggMulti(spark, dstRoot, outNames, value, batch,
-        txns = Seq((MvAppId, factCur), (MvDimAppId, dimCur)),
-        expectedPriors = Seq(Some(appliedF), Some(appliedD)))
+        txns = (MvAppId, factCur) +:
+          (0 until n).map(i => (dimAppId(i), dimCurs(i))),
+        expectedPriors = Some(appliedF) +: appliedDs.map(Some(_)))
       VersionedTable.currentVersion(spark, dstRoot).getOrElse(cur)
     }
   }
 
-  /** fact-side frame ⋈ dim-side frame on the recorded pairs, projected
-    * to the view's group columns (+ value, + `_change_type` from the
-    * side `typeFrom` names: 0 = none, 1 = fact, 2 = dim). Every needed
-    * dim column rides RENAMED through the join so a column name shared
-    * between the two tables can never collide or resolve ambiguously;
-    * group columns come back under their recorded output names. */
-  private def joinProject(
-      factDf: DataFrame, dimDf: DataFrame, pairs: Seq[(String, String)],
-      keys: Seq[(Boolean, String)], value: String,
+  /** fact-side frame ⋈ every dim-side frame on the recorded pairs,
+    * projected to the view's group columns (+ value, + `_change_type`
+    * from the side `typeFrom` names: −1 = none, 0 = fact, i = the i-th
+    * dim, 1-based). Every needed dim column rides RENAMED through the
+    * joins so a column name shared between any two tables can never
+    * collide or resolve ambiguously; group columns come back under
+    * their recorded output names. */
+  private def starProject(
+      factDf: DataFrame,
+      dims: Seq[(DataFrame, Seq[(String, String)])],
+      keys: Seq[(Int, String)], value: String,
       typeFrom: Int): DataFrame = {
-    val dimNeeded = (pairs.map(_._2) ++ keys.collect { case (false, c) => c })
-      .distinct
-    val ren = dimNeeded.zipWithIndex.map { case (c, i) =>
-      c -> s"__graft_d$i" }.toMap
-    val dCols = dimNeeded.map(c => col(c).as(ren(c))) ++
-      (if (typeFrom == 2) Seq(col("_change_type").as("__graft_ct")) else Nil)
-    val dSel = dimDf.select(dCols: _*)
-    val fNeeded = (pairs.map(_._1) ++ keys.collect { case (true, c) => c } :+
-      value).distinct
+    val fNeeded = (dims.flatMap(_._2.map(_._1)) ++
+      keys.collect { case (0, c) => c } :+ value).distinct
     val fCols = fNeeded.map(col) ++
-      (if (typeFrom == 1) Seq(col("_change_type").as("__graft_ct")) else Nil)
+      (if (typeFrom == 0) Seq(col("_change_type").as("__graft_ct")) else Nil)
     val fSel = factDf.select(fCols: _*)
-    val cond = pairs.map { case (fk, pk) => fSel(fk) === dSel(ren(pk)) }
-      .reduce(_ && _)
-    val joined = fSel.join(dSel, cond, "inner")
-    val out = keys.map { case (fromFact, c) =>
-      if (fromFact) col(c) else col(ren(c)).as(c) } ++
+    val (joined, rens) = dims.zipWithIndex
+      .foldLeft((fSel, Vector.empty[Map[String, String]])) {
+        case ((acc, rs), ((dimDf, ps), idx)) =>
+          val i = idx + 1
+          val dimNeeded = (ps.map(_._2) ++
+            keys.collect { case (`i`, c) => c }).distinct
+          val ren = dimNeeded.zipWithIndex.map { case (c, j) =>
+            c -> s"__graft_d${i}_$j" }.toMap
+          val dCols = dimNeeded.map(c => col(c).as(ren(c))) ++
+            (if (typeFrom == i) Seq(col("_change_type").as("__graft_ct"))
+             else Nil)
+          val dSel = dimDf.select(dCols: _*)
+          val cond = ps.map { case (fk, pk) => acc(fk) === dSel(ren(pk)) }
+            .reduce(_ && _)
+          (acc.join(dSel, cond, "inner"), rs :+ ren)
+      }
+    val out = keys.map { case (s, c) =>
+      if (s == 0) col(c) else col(rens(s - 1)(c)).as(c) } ++
       Seq(col(value)) ++
-      (if (typeFrom == 0) Nil
+      (if (typeFrom < 0) Nil
        else Seq(col("__graft_ct").as("_change_type")))
     joined.select(out: _*)
   }
 
-  /** The fact at its applied version, restricted for term B: when ΔD's
-    * distinct join-key set is small, a per-column IN conjunction rides
-    * the scan (stats pruning + parquet pushdown — the inner join makes
-    * it exact); past [[IsinLimit]] keys the plain versioned read joins
-    * under AQE. NULL dim keys never equi-join, so they are dropped
-    * before collecting — the predicate still covers every joinable
-    * fact row. */
+  /** The fact at its applied version, restricted for a dim term: when
+    * ΔD's distinct join-key set is small, a per-column IN conjunction
+    * rides the scan (stats pruning + parquet pushdown — the inner join
+    * makes it exact); past [[IsinLimit]] keys the plain versioned read
+    * joins under AQE. NULL dim keys never equi-join, so they are
+    * dropped before collecting — the predicate still covers every
+    * joinable fact row. */
   private def factAtRestricted(
       spark: SparkSession, factRoot: String, v: Long, dD: DataFrame,
       fks: Seq[String], pks: Seq[String]): DataFrame = {
@@ -760,8 +834,8 @@ object AggReplica {
       .select(pks.map(col): _*).distinct()
       .limit(IsinLimit + 1).collect()
     if (keyRows.isEmpty)
-      // ΔD carried no joinable keys (all-NULL or empty feed): term B is
-      // provably empty — prune the whole scan, not just its files
+      // ΔD carried no joinable keys (all-NULL or empty feed): the term
+      // is provably empty — prune the whole scan, not just its files
       VersionedTable.readVersionWhere(spark, factRoot, v, lit(false))
     else if (keyRows.length <= IsinLimit) {
       val pred = fks.zipWithIndex.map { case (fk, i) =>

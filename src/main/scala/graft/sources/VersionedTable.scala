@@ -4679,12 +4679,14 @@ object VersionedTable {
           srcCur <- currentVersion(spark, src)
         } yield math.max(0L, srcCur - applied)
       }.getOrElse(0L)
-    // a join-backed view trails whichever of its TWO sources is further
-    // ahead of its stamp — one refresh folds both feeds, so the max IS
-    // the refresh's catch-up distance
-    val mvBehind = math.max(
-      mvLag(AggReplica.MvSourceProp, AggReplica.MvAppId),
-      mvLag(AggReplica.MvDimProp, AggReplica.MvDimAppId))
+    // a join-backed view trails whichever of its sources (fact + every
+    // star dim) is furthest ahead of its stamp — one refresh folds all
+    // feeds, so the max IS the refresh's catch-up distance
+    val mvNDims = mvProps.get(AggReplica.MvNDimsProp).map(_.toInt)
+      .getOrElse(if (mvProps.contains(AggReplica.MvDimProp)) 1 else 0)
+    val mvBehind = (mvLag(AggReplica.MvSourceProp, AggReplica.MvAppId) +:
+      (0 until mvNDims).map(i =>
+        mvLag(AggReplica.dimRootProp(i), AggReplica.dimAppId(i)))).max
     if (mvBehind > 0) recs += s"refresh_view:$mvBehind"
     // registered ANN indexes: measure recall against the current corpus
     // and recommend a geometry rebuild under the recorded floor. A

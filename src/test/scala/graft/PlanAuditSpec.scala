@@ -186,7 +186,12 @@ class PlanAuditSpec extends SparkSpec {
       // query-probe joins against the broadcast nCells-row centroid table
       // (Similarity.ivfPqTopK — same bounded-tiny class as s3/d6); the ADC
       // rerank itself is a cell-key equi-join over the pruned cells
-      "s5_knn_ivfpq" -> "centroid-table broadcast joins")
+      "s5_knn_ivfpq" -> "centroid-table broadcast joins",
+      // residual IVF∘PQ: the same bounded-tiny class — coarse assignment,
+      // the residual frame's cell-geometry attach, and the query probes
+      // all join the broadcast nCells-row centroid table; the ADC scan
+      // itself stays a cell-key equi-join
+      "s6_knn_ivfpq_residual" -> "centroid-table broadcast joins")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed.contains)
       .flatMap { name =>

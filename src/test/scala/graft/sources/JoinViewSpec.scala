@@ -246,6 +246,88 @@ class JoinViewSpec extends SparkSpec {
     }
   }
 
+  test("STAR views: two dims churned with the fact in ONE refresh — the " +
+    "telescoping rule counts every cross term exactly once") {
+    val fact = freshDir("graft_jv_f") + "/t"
+    val d1 = freshDir("graft_jv_d1") + "/t"
+    val d2 = freshDir("graft_jv_d2") + "/t"
+    val mv = freshDir("graft_jv_mv") + "/t"
+    val f = Seq(
+      (1L, 10L, 100L, 5L), (2L, 10L, 200L, 7L), (3L, 20L, 100L, 11L),
+      (4L, 20L, 200L, 13L), (5L, 30L, 100L, 17L))
+      .toDF("id", "cust", "prod", "amount")
+    VersionedTable.commit(f, fact, extras = Map("changes" ->
+      VersionedTable.feedWritable(f.withColumn("_change_type", lit("insert")))))
+    val c = Seq((10L, "gold"), (20L, "iron")).toDF("cust", "seg") // 30 missing
+    VersionedTable.commit(c, d1, extras = Map("changes" ->
+      VersionedTable.feedWritable(c.withColumn("_change_type", lit("insert")))))
+    val p = Seq((100L, "food"), (200L, "toys")).toDF("prod", "cat")
+    VersionedTable.commit(p, d2, extras = Map("changes" ->
+      VersionedTable.feedWritable(p.withColumn("_change_type", lit("insert")))))
+    GraftSql.execute(spark,
+      s"""CREATE MATERIALIZED VIEW '$mv' AS
+         |SELECT c.seg, p.cat, count(*) AS n_rows, sum(f.amount) AS value_sum
+         |FROM '$fact' f JOIN '$d1' c ON f.cust = c.cust
+         |JOIN '$d2' p ON f.prod = p.prod
+         |GROUP BY c.seg, p.cat""".stripMargin)
+    def st() = VersionedTable.read(spark, mv)
+      .select(col("seg"), col("cat"), col("n_rows"),
+        col("value_sum").cast("long"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq.sorted
+    assert(st() == Seq(("gold", "food", 1L, 5L), ("gold", "toys", 1L, 7L),
+      ("iron", "food", 1L, 11L), ("iron", "toys", 1L, 13L)))
+    // churn ALL THREE in one range: fact gains a row on the late dim
+    // key, dim1 gains cust 30 (its fact rows surface), dim1 moves cust
+    // 10, dim2 deletes toys (its facts vanish), dim2 renames food
+    VersionedTable.commitAppend(
+      Seq((6L, 30L, 200L, 19L)).toDF("id", "cust", "prod", "amount"),
+      fact, changeFeed = true)
+    VersionedTable.commitAppend(Seq((30L, "gold")).toDF("cust", "seg"),
+      d1, changeFeed = true)
+    VersionedTable.updateWhere(spark, d1, col("cust") === 10L,
+      Map("seg" -> lit("silver")))
+    VersionedTable.deleteWhere(spark, d2, col("prod") === 200L)
+    VersionedTable.updateWhere(spark, d2, col("prod") === 100L,
+      Map("cat" -> lit("meals")))
+    AggReplica.refreshView(spark, mv)
+    // recompute: fact rows 1..6; dim1 = {10→silver, 20→iron, 30→gold};
+    // dim2 = {100→meals}; toys gone ⇒ rows 2,4,6 drop; survivors
+    // (1: silver/meals 5), (3: iron/meals 11), (5: gold/meals 17)
+    assert(st() == Seq(("gold", "meals", 1L, 17L),
+      ("iron", "meals", 1L, 11L), ("silver", "meals", 1L, 5L)))
+    // full recompute cross-check
+    val fr = VersionedTable.read(spark, fact)
+    val d1r = VersionedTable.read(spark, d1).withColumnRenamed("cust", "dc")
+    val d2r = VersionedTable.read(spark, d2).withColumnRenamed("prod", "dp")
+    val rec = fr.join(d1r, fr("cust") === d1r("dc"))
+      .join(d2r, fr("prod") === d2r("dp"))
+      .groupBy(col("seg"), col("cat"))
+      .agg(count(lit(1)).as("n"), sum(col("amount")).cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq.sorted
+    assert(st() == rec)
+    // staleness sees the furthest-behind source; a second refresh no-ops
+    val v = VersionedTable.currentVersion(spark, mv).get
+    AggReplica.refreshView(spark, mv)
+    assert(VersionedTable.currentVersion(spark, mv).contains(v))
+    VersionedTable.commitAppend(Seq((300L, "gear")).toDF("prod", "cat"),
+      d2, changeFeed = true)
+    assert(VersionedTable.maintenanceReport(spark, mv)
+      .recommendations.exists(_.startsWith("refresh_view:")),
+      "a moved star dim must surface as refresh_view staleness")
+    // a dim-dim (snowflake) ON fails at create with the pre-join advice
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.execute(spark,
+        s"""CREATE MATERIALIZED VIEW '${freshDir("graft_jv_bad")}/t' AS
+           |SELECT c.seg, count(*) AS n_rows, sum(f.amount) AS value_sum
+           |FROM '$fact' f JOIN '$d1' c ON f.cust = c.cust
+           |JOIN '$d2' p ON c.cust = p.prod
+           |GROUP BY c.seg""".stripMargin)
+    }
+    assert(e.getMessage.contains("snowflake"))
+  }
+
   test("NULL dim attributes group as one NULL group; NULL join keys " +
     "never join — exactly SQL semantics") {
     val fact = freshDir("graft_jv_f") + "/t"
