@@ -328,6 +328,60 @@ class JoinViewSpec extends SparkSpec {
     assert(e.getMessage.contains("snowflake"))
   }
 
+  test("ROLE-PLAYING dims: the same dim table joined twice under " +
+    "different foreign keys — per-position stamps, repeated-factor " +
+    "telescope stays exact") {
+    val fact = freshDir("graft_jv_f") + "/t"
+    val dim = freshDir("graft_jv_d") + "/t"
+    val mv = freshDir("graft_jv_mv") + "/t"
+    // ship-to / bill-to customer: one dim, two roles
+    val f = Seq(
+      (1L, 10L, 20L, 5L), (2L, 10L, 10L, 7L), (3L, 20L, 10L, 11L))
+      .toDF("id", "ship_cust", "bill_cust", "amount")
+    VersionedTable.commit(f, fact, extras = Map("changes" ->
+      VersionedTable.feedWritable(f.withColumn("_change_type", lit("insert")))))
+    val d = Seq((10L, "gold"), (20L, "iron")).toDF("cust", "seg")
+    VersionedTable.commit(d, dim, extras = Map("changes" ->
+      VersionedTable.feedWritable(d.withColumn("_change_type", lit("insert")))))
+    // group by the SHIP role's segment; the BILL role join restricts
+    // (group-col output names must be unique, so one role groups)
+    AggReplica.createStarView(spark, mv, fact,
+      dims = Seq((dim, Seq(("ship_cust", "cust"))),
+        (dim, Seq(("bill_cust", "cust")))),
+      groupCols = Seq((1, "seg")), valueCol = "amount")
+    def st() = VersionedTable.read(spark, mv)
+      .select(col("seg"), col("n_rows"), col("value_sum").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+    assert(st() == Seq(("gold", 2L, 12L), ("iron", 1L, 11L)))
+    // ONE dim commit moves through BOTH roles: deleting cust 20 kills
+    // fact 1 (its bill role) AND fact 3's ship group; a new cust joins
+    // a fresh fact through both roles at once
+    VersionedTable.deleteWhere(spark, dim, col("cust") === 20L)
+    VersionedTable.commitAppend(Seq((30L, "silver")).toDF("cust", "seg"),
+      dim, changeFeed = true)
+    VersionedTable.commitAppend(
+      Seq((4L, 30L, 30L, 13L)).toDF("id", "ship_cust", "bill_cust", "amount"),
+      fact, changeFeed = true)
+    AggReplica.refreshView(spark, mv)
+    // survivors: fact 2 (ship 10 gold, bill 10 ok), fact 4 (ship 30
+    // silver, bill 30 ok); facts 1 and 3 lost a role's dim row
+    assert(st() == Seq(("gold", 1L, 7L), ("silver", 1L, 13L)))
+    // recompute cross-check through both roles
+    val fr = VersionedTable.read(spark, fact)
+    val d1r = VersionedTable.read(spark, dim)
+      .withColumnRenamed("cust", "sc").withColumnRenamed("seg", "sseg")
+    val d2r = VersionedTable.read(spark, dim)
+      .withColumnRenamed("cust", "bc").withColumnRenamed("seg", "bseg")
+    val rec = fr.join(d1r, fr("ship_cust") === d1r("sc"))
+      .join(d2r, fr("bill_cust") === d2r("bc"))
+      .groupBy(col("sseg"))
+      .agg(count(lit(1)).as("n"), sum(col("amount")).cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+    assert(st() == rec)
+  }
+
   test("NULL dim attributes group as one NULL group; NULL join keys " +
     "never join — exactly SQL semantics") {
     val fact = freshDir("graft_jv_f") + "/t"
