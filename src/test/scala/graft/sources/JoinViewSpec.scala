@@ -202,6 +202,22 @@ class JoinViewSpec extends SparkSpec {
     assert(viewState(mv) == recompute(fact, dim))
     assert(VersionedTable.maintenanceReport(spark, mv)
       .recommendations.forall(!_.startsWith("refresh_view:")))
+    // fact-qualified group columns parse and maintain through the same
+    // SQL face (mixed-side GROUP BY)
+    val mvB = freshDir("graft_jv_mvb") + "/t"
+    GraftSql.execute(spark,
+      s"""CREATE MATERIALIZED VIEW '$mvB' AS
+         |SELECT f.cust, d.seg, count(*) AS n_rows,
+         |  sum(f.amount) AS value_sum
+         |FROM '$fact' f JOIN '$dim' d ON f.cust = d.cust
+         |GROUP BY f.cust, d.seg""".stripMargin)
+    val rows = VersionedTable.read(spark, mvB)
+      .select(col("cust"), col("seg"), col("n_rows"),
+        col("value_sum").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq.sorted
+    assert(rows == Seq((10L, "gold", 2L, 150L), (20L, "gold", 1L, 7L),
+      (30L, "gold", 1L, 1000L)))
   }
 
   test("the SQL face fails loudly at CREATE on unmaintainable shapes") {

@@ -419,4 +419,49 @@ class ViewStreamSpec extends SparkSpec {
     assert(viewState(dst) == Seq(("a", 1L, 9L)),
       "cancelled group must never touch the view; the replace must land")
   }
+
+  test("CASCADING MVs: an MV's own change feed maintains a second MV — " +
+    "inserts, pre/post update images, and zeroed-group deletes all " +
+    "flow through the chain") {
+    val src = freshDir("graft_vs_csrc") + "/t"
+    val mv1 = freshDir("graft_vs_cmv1") + "/t"
+    val mv2 = freshDir("graft_vs_cmv2") + "/t"
+    val seed = Seq((1L, "a", "x", 10L), (2L, "a", "y", 20L), (3L, "b", "x", 5L))
+      .toDF("id", "seg", "band", "v")
+    VersionedTable.commit(seed, src, extras = Map("changes" ->
+      VersionedTable.feedWritable(seed.withColumn("_change_type", lit("insert")))))
+    // MV1 = γ_(seg,band)(src); MV2 = γ_seg(MV1) summing MV1's value_sum
+    // — MV2's n_rows counts LIVE (seg, band) groups per seg, so every
+    // feed fate of MV1's merge (insert / pre+post image / delete) must
+    // arrive correctly for MV2 to stay exact
+    AggReplica.createView(spark, mv1, src, Seq("seg", "band"), "v")
+    AggReplica.createView(spark, mv2, mv1, Seq("seg"), "value_sum")
+    def st2() = VersionedTable.read(spark, mv2)
+      .select(col("seg"), col("n_rows"), col("value_sum").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+    assert(st2() == Seq(("a", 2L, 30L), ("b", 1L, 5L)))
+    // churn the BASE: a new group, a whole new seg, a group-moving
+    // update (zeroes (a,y), grows (b,y)), then kill seg c entirely
+    VersionedTable.commitAppend(
+      Seq((4L, "b", "y", 7L), (5L, "c", "x", 100L)).toDF("id", "seg", "band", "v"),
+      src, changeFeed = true)
+    VersionedTable.updateWhere(spark, src, col("id") === 2L,
+      Map("seg" -> lit("b")))
+    VersionedTable.deleteWhere(spark, src, col("seg") === "c")
+    AggReplica.refreshView(spark, mv1)
+    AggReplica.refreshView(spark, mv2)
+    // final src: (a,x,10), (b,y,20), (b,x,5), (b,y,7)
+    // MV1: (a,x)=(1,10), (b,x)=(1,5), (b,y)=(2,27); c's group is GONE
+    // MV2: a = 1 live group / 10; b = 2 live groups / 32
+    assert(st2() == Seq(("a", 1L, 10L), ("b", 2L, 32L)),
+      "the chain must see (a,y)'s delete, (b,y)'s images, and c's birth+death")
+    // a second refresh pair is a no-op end to end
+    val v1 = VersionedTable.currentVersion(spark, mv1).get
+    val v2 = VersionedTable.currentVersion(spark, mv2).get
+    AggReplica.refreshView(spark, mv1)
+    AggReplica.refreshView(spark, mv2)
+    assert(VersionedTable.currentVersion(spark, mv1).contains(v1))
+    assert(VersionedTable.currentVersion(spark, mv2).contains(v2))
+  }
 }
