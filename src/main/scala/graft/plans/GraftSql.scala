@@ -1180,12 +1180,11 @@ object GraftSql {
       s"GROUP BY must be a list of plain columns, got: $groupBy")
     val items = selectList.split(",").map(_.trim).toSeq
     val shape = "materialized view SELECT must be exactly: the GROUP BY " +
-      "columns (in order), count(*) AS n_rows, sum(<col>) AS value_sum " +
-      "[, count(<col>) AS n_vals, min(<col>) AS value_min, " +
-      "max(<col>) AS value_max]"
-    require(items.size == keys.size + 2 || items.size == keys.size + 5,
-      s"$shape — got: $selectList")
-    val extrema = items.size == keys.size + 5
+      "columns (in order), count(*) AS n_rows, then EITHER one or more " +
+      "sum(<col>) AS <alias> items OR sum(<col>) AS value_sum, " +
+      "count(<col>) AS n_vals, min(<col>) AS value_min, " +
+      "max(<col>) AS value_max (the extrema form)"
+    require(items.size >= keys.size + 2, s"$shape — got: $selectList")
     require(items.take(keys.size).map(_.toLowerCase) ==
       keys.map(_.toLowerCase), s"$shape — got: $selectList")
     val CountRe = """(?is)count\s*\(\s*\*\s*\)\s+AS\s+n_rows""".r
@@ -1197,18 +1196,35 @@ object GraftSql {
         case other => throw new IllegalArgumentException(s"$shape — got: $other")
       }
     }
-    val valueCol = aggCol(items(keys.size + 1), "sum", "value_sum")
+    val trailing = items.drop(keys.size + 1)
+    val NValsRe = s"""(?is)count\\s*\\(\\s*$Ident\\s*\\)\\s+AS\\s+n_vals""".r
+    // the extrema form is recognized by its fixed 4-item tail; anything
+    // else is a list of sums (each with its own alias)
+    val extrema = trailing.size == 4 && NValsRe.matches(trailing(1))
     if (extrema) {
+      val valueCol = aggCol(trailing(0), "sum", "value_sum")
       val others = Seq(
-        aggCol(items(keys.size + 2), "count", "n_vals"),
-        aggCol(items(keys.size + 3), "min", "value_min"),
-        aggCol(items(keys.size + 4), "max", "value_max"))
+        aggCol(trailing(1), "count", "n_vals"),
+        aggCol(trailing(2), "min", "value_min"),
+        aggCol(trailing(3), "max", "value_max"))
       require(others.forall(_.equalsIgnoreCase(valueCol)),
         "extrema aggregates must all be over the sum's column " +
           s"($valueCol) — got: ${others.mkString(", ")}")
+      graft.sources.AggReplica.createView(spark, dst, src, keys, valueCol,
+        extrema = true)
+    } else {
+      val SumRe = s"""(?is)sum\\s*\\(\\s*($Ident)\\s*\\)\\s+AS\\s+($Ident)""".r
+      val measures = trailing.map {
+        case SumRe(c, a) => (c, a)
+        case other => throw new IllegalArgumentException(s"$shape — got: $other")
+      }
+      if (measures == Seq((measures.head._1, "value_sum")))
+        graft.sources.AggReplica.createView(spark, dst, src, keys,
+          measures.head._1)
+      else
+        graft.sources.AggReplica.createMultiView(spark, dst, src, keys,
+          measures)
     }
-    graft.sources.AggReplica.createView(spark, dst, src, keys, valueCol,
-      extrema = extrema)
   }
 
   /** CREATE MATERIALIZED VIEW 'dst' AS SELECT a.g1[, b.g2…], count(*)
@@ -1266,9 +1282,9 @@ object GraftSql {
     }
     val items = selectList.split(",").map(_.trim).toSeq
     val shape = "join materialized view SELECT must be exactly: the " +
-      "GROUP BY columns (in order), count(*) AS n_rows, " +
-      s"sum($fa.<col>) AS value_sum"
-    require(items.size == groups.size + 2, s"$shape — got: $selectList")
+      "GROUP BY columns (in order), count(*) AS n_rows, then one or " +
+      s"more sum($fa.<col>) AS <alias> items"
+    require(items.size >= groups.size + 2, s"$shape — got: $selectList")
     items.take(groups.size).zip(groups).foreach { case (item, (s, c)) =>
       val want = aliases(s) + "." + c
       require(item.equalsIgnoreCase(want),
@@ -1276,15 +1292,15 @@ object GraftSql {
     }
     val CountRe = """(?is)count\s*\(\s*\*\s*\)\s+AS\s+n_rows""".r
     require(CountRe.matches(items(groups.size)), s"$shape — got: $selectList")
-    val SumRe = s"""(?is)sum\\s*\\(\\s*($Ident)\\.($Ident)\\s*\\)\\s+AS\\s+value_sum""".r
-    val valueCol = items(groups.size + 1) match {
-      case SumRe(a, c) if a.equalsIgnoreCase(fa) => c
-      case SumRe(a, c) => throw new IllegalArgumentException(
-        s"value_sum must aggregate a $fa (fact) column, got: $a.$c")
+    val SumRe = s"""(?is)sum\\s*\\(\\s*($Ident)\\.($Ident)\\s*\\)\\s+AS\\s+($Ident)""".r
+    val measures = items.drop(groups.size + 1).map {
+      case SumRe(a, c, al) if a.equalsIgnoreCase(fa) => (c, al)
+      case SumRe(a, c, _) => throw new IllegalArgumentException(
+        s"every sum must aggregate a $fa (fact) column, got: $a.$c")
       case other => throw new IllegalArgumentException(s"$shape — got: $other")
     }
     graft.sources.AggReplica.createStarView(spark, dst, fact, dims,
-      groups, valueCol)
+      groups, measures)
   }
 
   private def runRefreshMv(spark: SparkSession, dst: String): Long =

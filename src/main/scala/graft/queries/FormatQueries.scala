@@ -41,7 +41,8 @@ object FormatQueries {
     "q40_matview"             -> ((s, d) => q40(s, d)),
     "q41_matview_minmax"      -> ((s, d) => q41(s, d)),
     "q42_matview_join"        -> ((s, d) => q42(s, d)),
-    "q43_matview_star"        -> ((s, d) => q43(s, d))
+    "q43_matview_star"        -> ((s, d) => q43(s, d)),
+    "q44_matview_multi"       -> ((s, d) => q44(s, d))
   )
 
   // scratch roots live on local tmpfs, so the bench numbers for q27–q42
@@ -598,7 +599,64 @@ object FormatQueries {
       .orderBy(col("p_brand"), col("s_nationkey"))
   }
 
+  /** q44: MULTI-MEASURE JOIN VIEW — several maintained sums (the real
+    * mart-rollup shape: a count and TWO measures per group), declared
+    * through the SQL join face with per-sum aliases and maintained in
+    * the same one delta pass per refresh. Fact and dim churn both
+    * retract/advance every measure; hash-checked against the
+    * two-measure recompute. */
+  def q44(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q44").toString
+    val fact = s"$tmp/fact"; val dim = s"$tmp/dim"; val mv = s"$tmp/mv"
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
+    val customers = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val factSeed = orders.where(col("o_orderkey") % 3 === 1)
+    VersionedTable.commit(factSeed, fact, extras = Map("changes" ->
+      VersionedTable.feedWritable(
+        factSeed.withColumn("_change_type", lit("insert")))))
+    VersionedTable.commit(customers, dim, extras = Map("changes" ->
+      VersionedTable.feedWritable(
+        customers.withColumn("_change_type", lit("insert")))))
+    GraftSql.execute(s,
+      s"""CREATE MATERIALIZED VIEW '$mv' AS
+         |SELECT d.c_mktsegment, count(*) AS n_rows,
+         |  sum(f.o_totalprice) AS price_sum, sum(f.o_orderkey) AS key_sum
+         |FROM '$fact' f JOIN '$dim' d ON f.o_custkey = d.c_custkey
+         |GROUP BY d.c_mktsegment""".stripMargin)
+    VersionedTable.commitAppend(
+      orders.where(col("o_orderkey") % 3 === 2), fact, changeFeed = true)
+    VersionedTable.deleteWhere(s, fact, col("o_totalprice") > lit(300000))
+    VersionedTable.updateWhere(s, dim, col("c_custkey") % 10 === 0,
+      Map("c_mktsegment" -> lit("MOVED")))
+    GraftSql.execute(s, s"REFRESH MATERIALIZED VIEW '$mv'")
+    VersionedTable.read(s, mv)
+      .select(col("c_mktsegment"), col("n_rows"),
+        col("price_sum").cast("double").as("price_sum"), col("key_sum"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   def oracles: Map[String, String] = Map(
+    // q44: both sums recomputed over the final join state
+    "q44_matview_multi" ->
+      """WITH f AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+        |  FROM orders
+        |  WHERE o_orderkey % 3 IN (1, 2) AND NOT (o_totalprice > 300000)),
+        |d AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 10 = 0 THEN 'MOVED' ELSE c_mktsegment END
+        |      AS c_mktsegment
+        |  FROM customer)
+        |SELECT c_mktsegment, count(*)::BIGINT AS n_rows,
+        |  sum(o_totalprice)::DOUBLE AS price_sum,
+        |  sum(o_orderkey)::BIGINT AS key_sum
+        |FROM f JOIN d ON f.o_custkey = d.c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     // q43: the star-aggregate over all three tables' FINAL states —
     // the telescoping-rule maintenance must equal it exactly
     "q43_matview_star" ->

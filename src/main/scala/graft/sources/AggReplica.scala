@@ -105,23 +105,29 @@ object AggReplica {
       expectedPrior: Option[Long] = None,
       extrema: Boolean = false,
       source: Option[(String, Long)] = None): Boolean =
-    applyAggMulti(spark, dstRoot, keyCols, valueCol, batch,
+    applyAggMulti(spark, dstRoot, keyCols, Seq((valueCol, "value_sum")),
+      batch,
       txns = txn.toSeq, expectedPriors = txn.toSeq.map(_ => expectedPrior),
       extrema = extrema, source = source)
 
-  /** Multi-stamp form of [[applyAggBatch]] — a join-backed view folds
-    * SEVERAL feeds (fact + every star dim) in one merge, so its
-    * exactly-once claim is n+1 `(appId, batchId)` stamps riding the
-    * same atomic commit, each with its own captured-high-water overlap
-    * guard. `txns` and `expectedPriors` are positionally aligned. */
+  /** Multi-stamp, multi-measure form of [[applyAggBatch]] — a
+    * join-backed view folds SEVERAL feeds (fact + every star dim) in
+    * one merge, so its exactly-once claim is n+1 `(appId, batchId)`
+    * stamps riding the same atomic commit, each with its own
+    * captured-high-water overlap guard (`txns` and `expectedPriors`
+    * positionally aligned); and a real mart rollup carries SEVERAL
+    * sums, so `measures` = (column, view-column alias) per maintained
+    * sum, every delta computed in the same one pass over the batch.
+    * Extrema stay single-measure. */
   private[graft] def applyAggMulti(
       spark: SparkSession, dstRoot: String, keyCols: Seq[String],
-      valueCol: String, batch: DataFrame,
+      measures: Seq[(String, String)], batch: DataFrame,
       txns: Seq[(String, Long)],
       expectedPriors: Seq[Option[Long]],
       extrema: Boolean = false,
       source: Option[(String, Long)] = None): Boolean = {
     require(keyCols.nonEmpty, "applyAggBatch needs at least one group column")
+    require(measures.nonEmpty, "applyAggMulti needs at least one measure")
     require(txns.size == expectedPriors.size,
       "txns and expectedPriors must align positionally")
     require(!extrema || source.isDefined,
@@ -144,7 +150,7 @@ object AggReplica {
     if (claimLost()) false
     else {
       try {
-        applyAggInternal(spark, dstRoot, keyCols, valueCol, batch, txns,
+        applyAggInternal(spark, dstRoot, keyCols, measures, batch, txns,
           () => if (claimLost()) throw new ChangeReplica.StaleBatchException(
             txns.head._1, txns.head._2),
           extrema, source)
@@ -155,21 +161,29 @@ object AggReplica {
 
   private def applyAggInternal(
       spark: SparkSession, dstRoot: String, keyCols: Seq[String],
-      valueCol: String, batch: DataFrame, txns: Seq[(String, Long)],
+      measures: Seq[(String, String)], batch: DataFrame,
+      txns: Seq[(String, Long)],
       zombieProbe: () => Unit, extrema: Boolean,
       source: Option[(String, Long)]): Unit = {
-    val missing = (keyCols :+ valueCol).filterNot(batch.columns.contains)
+    require(!extrema || measures.size == 1,
+      "extrema maintenance supports exactly one measure")
+    val missing = (keyCols ++ measures.map(_._1)).distinct
+      .filterNot(batch.columns.contains)
     require(missing.isEmpty,
       s"column(s) missing from the feed: ${missing.mkString(", ")}")
     // one map-side-combined aggregation over O(batch) rows — the whole
     // cross-version batch collapses to one delta row per touched group
+    // (every measure's delta computed in the same pass)
     val sign = when(
       col("_change_type").isin("insert", "update_postimage"), lit(1L))
       .when(col("_change_type").isin("delete", "update_preimage"), lit(-1L))
+    val mIdx = measures.indices
+    def dv(i: Int) = s"__dv$i"
+    val valueCol = measures.head._1
     val v = col(valueCol)
-    val baseAggs = Seq(
-      sum(sign).as("__dc"),
-      sum(sign * coalesce(v, lit(0))).as("__dv"))
+    val baseAggs =
+      sum(sign).as("__dc") +: mIdx.map { i =>
+        sum(sign * coalesce(col(measures(i)._1), lit(0))).as(dv(i)) }
     val extAggs = if (!extrema) Nil else Seq(
       sum(when(v.isNotNull, sign).otherwise(lit(0L))).as("__dn"),
       min(when(sign === 1, v)).as("__ins_min"),
@@ -181,9 +195,10 @@ object AggReplica {
     // extrema any surviving non-NULL activity must flow through (a
     // delete {3,7} + insert {4,6} nets dc=dv=dn=0 yet MOVES both
     // extrema); only all-NULL-value churn with zero net count may drop.
+    val anyDv = mIdx.map(i => col(dv(i)) =!= 0).reduce(_ || _)
     val keep =
-      if (!extrema) col("__dc") =!= 0 || col("__dv") =!= 0
-      else col("__dc") =!= 0 || col("__dv") =!= 0 || col("__dn") =!= 0 ||
+      if (!extrema) col("__dc") =!= 0 || anyDv
+      else col("__dc") =!= 0 || anyDv || col("__dn") =!= 0 ||
         col("__ins_min").isNotNull || col("__del_min").isNotNull
     val deltas = batch
       .where(sign.isNotNull)
@@ -202,17 +217,19 @@ object AggReplica {
         if (txns.isEmpty) Map.empty
         else Map("txn" -> txns.toDF("app_id", "batch_id"))
       val zombieCheck: Long => Unit = _ => zombieProbe()
+      val sumAlias = measures.head._2
+      val aliases = measures.map(_._2)
       val viewCols: Seq[String] =
         if (extrema)
-          keyCols ++ Seq("n_rows", "value_sum", "n_vals", "value_min", "value_max")
-        else keyCols ++ Seq("n_rows", "value_sum")
+          keyCols ++ Seq("n_rows", sumAlias, "n_vals", "value_min", "value_max")
+        else keyCols ++ ("n_rows" +: aliases)
       if (VersionedTable.currentVersion(spark, dstRoot).isEmpty) {
         // bootstrap: the view is born from the first batch's positive
         // groups; a leading retraction means the consumer started too late
         val imbalance =
           if (extrema) col("__dc") === 0 &&
-            (col("__dv") =!= 0 || col("__dn") =!= 0)
-          else col("__dc") === 0 && col("__dv") =!= 0
+            (anyDv || col("__dn") =!= 0)
+          else col("__dc") === 0 && anyDv
         val neg = deltas.where(col("__dc") < 0 || imbalance)
           .limit(1).count()
         if (neg > 0) throw new NegativeGroupException(dstRoot)
@@ -222,13 +239,14 @@ object AggReplica {
           else deltas
         val valueExprs: Seq[Column] =
           if (extrema) Seq(
-            col("__dc").as("n_rows"), col("__dv").as("value_sum"),
+            col("__dc").as("n_rows"), col(dv(0)).as(sumAlias),
             col("__dn").as("n_vals"),
             when(col("__rc"), col("__rc_min")).otherwise(col("__ins_min"))
               .as("value_min"),
             when(col("__rc"), col("__rc_max")).otherwise(col("__ins_max"))
               .as("value_max"))
-          else Seq(col("__dc").as("n_rows"), col("__dv").as("value_sum"))
+          else col("__dc").as("n_rows") +:
+            mIdx.map(i => col(dv(i)).as(aliases(i)))
         // a group whose batch fully cancels leaves no row (the extrema
         // form carries such groups this far because a MATCHED net-zero
         // batch can still move min/max — at bootstrap there is no
@@ -271,32 +289,34 @@ object AggReplica {
           val negGuard =
             if (extrema) "(t.n_rows + s.__dc < 0 OR t.n_vals + s.__dn < 0)"
             else "t.n_rows + s.__dc < 0"
+          val sumUpds = mIdx.map(i =>
+            s"${bq(aliases(i))} = t.${bq(aliases(i))} + s.${dv(i)}")
           val updSet =
             if (extrema)
               s"""n_rows = t.n_rows + s.__dc,
-                 |  value_sum = t.value_sum + s.__dv,
+                 |  ${sumUpds.head},
                  |  n_vals = t.n_vals + s.__dn,
                  |  value_min = CASE WHEN s.__rc THEN s.__rc_min
                  |    ELSE least(t.value_min, s.__ins_min) END,
                  |  value_max = CASE WHEN s.__rc THEN s.__rc_max
                  |    ELSE greatest(t.value_max, s.__ins_max) END""".stripMargin
             else
-              s"""n_rows = t.n_rows + s.__dc,
-                 |  value_sum = t.value_sum + s.__dv""".stripMargin
+              (s"n_rows = t.n_rows + s.__dc" +: sumUpds).mkString(",\n  ")
+          val sDvs = mIdx.map(i => s"s.${dv(i)}")
           val insVals =
             if (extrema)
-              (keyCols.map(c => s"s.${bq(c)}") ++ Seq("s.__dc", "s.__dv",
+              (keyCols.map(c => s"s.${bq(c)}") ++ Seq("s.__dc", sDvs.head,
                 "s.__dn",
                 "CASE WHEN s.__rc THEN s.__rc_min ELSE s.__ins_min END",
                 "CASE WHEN s.__rc THEN s.__rc_max ELSE s.__ins_max END"))
                 .mkString(", ")
-            else (keyCols.map(c => s"s.${bq(c)}") :+ "s.__dc" :+ "s.__dv")
+            else (keyCols.map(c => s"s.${bq(c)}") ++ ("s.__dc" +: sDvs))
               .mkString(", ")
           val negVals =
             if (extrema)
-              (keyCols.map(c => s"s.${bq(c)}") ++ Seq(negErr, "s.__dv",
+              (keyCols.map(c => s"s.${bq(c)}") ++ Seq(negErr, sDvs.head,
                 "s.__dn", "s.__ins_min", "s.__ins_max")).mkString(", ")
-            else (keyCols.map(c => s"s.${bq(c)}") ++ Seq(negErr, "s.__dv"))
+            else (keyCols.map(c => s"s.${bq(c)}") ++ (negErr +: sDvs))
               .mkString(", ")
           // fate order: negative-count groups fail loudly (raise_error
           // rides the violating fate's assignment, so it fires only for
@@ -310,9 +330,10 @@ object AggReplica {
           // rows) matches NO fate and is ignored — the extrema form
           // carries such groups to the merge because a MATCHED net-zero
           // batch can still move min/max.
+          val anyDvSql = sDvs.map(d => s"$d != 0").mkString(" OR ")
           val unmatchedBad =
-            if (extrema) "(s.__dc < 0 OR s.__dv != 0 OR s.__dn != 0)"
-            else "(s.__dc < 0 OR s.__dv != 0)"
+            if (extrema) s"(s.__dc < 0 OR $anyDvSql OR s.__dn != 0)"
+            else s"(s.__dc < 0 OR $anyDvSql)"
           val sql =
             s"""MERGE INTO `$dstRoot` AS t USING $view AS s
                |ON $on
@@ -547,7 +568,7 @@ object AggReplica {
     if (props.contains(MvDimProp))
       return refreshJoinView(spark, dstRoot, cur, src, props)
     val keys = props(MvKeysProp).split(',').toSeq
-    val valueCol = props(MvValueProp)
+    val measures = decodeMeasures(props(MvValueProp))
     val extrema = props.get(MvExtremaProp).contains("true")
     val applied = VersionedTable.lastTxn(spark, dstRoot, MvAppId).getOrElse(
       throw new java.io.IOException(
@@ -557,12 +578,88 @@ object AggReplica {
     if (srcCur <= applied) cur
     else {
       val batch = VersionedTable.readChanges(spark, src, applied + 1, srcCur)
-      applyAggBatch(spark, dstRoot, keys, valueCol, batch,
-        txn = Some((MvAppId, srcCur)), expectedPrior = Some(applied),
+      applyAggMulti(spark, dstRoot, keys, measures, batch,
+        txns = Seq((MvAppId, srcCur)), expectedPriors = Seq(Some(applied)),
         extrema = extrema,
         source = if (extrema) Some((src, srcCur)) else None)
       VersionedTable.currentVersion(spark, dstRoot).getOrElse(cur)
     }
+  }
+
+  /** Encode/decode the maintained-sums definition in [[MvValueProp]]:
+    * entries `col=alias` comma-joined; a bare `col` (the single-sum
+    * form every pre-multi view recorded) reads as alias `value_sum`. */
+  private def encodeMeasures(ms: Seq[(String, String)]): String =
+    ms.map { case (c, a) => if (a == "value_sum") c else s"$c=$a" }
+      .mkString(",")
+  private def decodeMeasures(s: String): Seq[(String, String)] =
+    s.split(',').toSeq.map { e =>
+      val i = e.indexOf('=')
+      if (i < 0) (e, "value_sum") else (e.substring(0, i), e.substring(i + 1))
+    }
+
+  /** Shared definition checks for a measure list: canonicalized
+    * columns, alias uniqueness, no collision with the group columns or
+    * the fixed `n_rows`, and the recorded-charset refusal. */
+  private def validateMeasures(
+      measures: Seq[(String, String)], outNames: Seq[String]): Unit = {
+    require(measures.nonEmpty, "at least one sum measure is required")
+    val aliases = measures.map(_._2)
+    require(aliases.map(_.toLowerCase).distinct.size == aliases.size,
+      s"measure aliases must be unique: ${aliases.mkString(", ")}")
+    require(!aliases.exists(_.equalsIgnoreCase("n_rows")),
+      "a measure alias cannot be n_rows (the maintained count)")
+    val clash = aliases.filter(a => outNames.exists(_.equalsIgnoreCase(a)))
+    require(clash.isEmpty,
+      s"measure aliases collide with group columns: ${clash.mkString(", ")}")
+    val mClash = measures.map(_._1)
+      .filter(c => outNames.exists(_.equalsIgnoreCase(c)))
+    require(mClash.isEmpty,
+      s"a measure column cannot also be a group column: ${mClash.mkString(", ")}")
+    val recorded = measures.flatMap(m => Seq(m._1, m._2))
+    require(recorded.forall(c => !c.exists(",=:".contains(_))),
+      "measure columns/aliases containing ',', '=' or ':' cannot be " +
+        s"recorded: ${recorded.filter(_.exists(",=:".contains(_))).mkString("; ")}")
+  }
+
+  /** CREATE MATERIALIZED VIEW with SEVERAL maintained sums over one
+    * source (`measures` = (column, view-column alias) per sum) — the
+    * multi-measure mart-rollup shape; schema `keys…, n_rows, aliases…`.
+    * Extrema stay on the single-measure [[createView]] road. */
+  def createMultiView(
+      spark: SparkSession, dstRoot: String, srcRoot: String,
+      keyCols: Seq[String], measures: Seq[(String, String)]): Long = {
+    require(keyCols.nonEmpty, "createMultiView needs at least one group column")
+    require(VersionedTable.currentVersion(spark, dstRoot).isEmpty,
+      s"$dstRoot already exists — DROP it or pick another root")
+    val srcCur = VersionedTable.currentVersion(spark, srcRoot).getOrElse(
+      throw new java.io.IOException(s"no committed version under $srcRoot"))
+    val snap = VersionedTable.readVersion(spark, srcRoot, srcCur)
+    def canon(c: String): String =
+      snap.columns.find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $c missing from $srcRoot: has " +
+            snap.columns.mkString(", ")))
+    val keys = keyCols.map(canon)
+    val ms = measures.map { case (c, a) => (canon(c), a) }
+    require(keys.forall(k => !k.contains(",")),
+      "group column names containing ',' cannot be recorded in the " +
+        s"materialized-view definition: ${keys.filter(_.contains(","))
+          .mkString("; ")} — rename the column")
+    validateMeasures(ms, keys)
+    val aggs = count(lit(1)).as("n_rows") +: ms.map { case (c, a) =>
+      sum(coalesce(col(c), lit(0))).as(a) }
+    val agg = snap.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    import spark.implicits._
+    VersionedTable.commit(agg, dstRoot,
+      extras = Map(
+        "changes" -> VersionedTable.feedWritable(
+          agg.withColumn("_change_type", lit("insert"))),
+        "txn" -> Seq((MvAppId, srcCur)).toDF("app_id", "batch_id")),
+      recordProperties = Some(Map(
+        MvSourceProp -> srcRoot,
+        MvKeysProp -> keys.mkString(","),
+        MvValueProp -> encodeMeasures(ms))))
   }
 
   // ---- JOIN-BACKED (STAR) MATERIALIZED VIEWS --------------------------------
@@ -643,7 +740,18 @@ object AggReplica {
   def createStarView(
       spark: SparkSession, dstRoot: String, factRoot: String,
       dims: Seq[(String, Seq[(String, String)])],
-      groupCols: Seq[(Int, String)], valueCol: String): Long = {
+      groupCols: Seq[(Int, String)], valueCol: String): Long =
+    createStarView(spark, dstRoot, factRoot, dims, groupCols,
+      Seq((valueCol, "value_sum")))
+
+  /** Multi-measure star view: several maintained fact-side sums
+    * (`measures` = (fact column, view alias) per sum), all deltas
+    * computed in the same per-term pass. */
+  def createStarView(
+      spark: SparkSession, dstRoot: String, factRoot: String,
+      dims: Seq[(String, Seq[(String, String)])],
+      groupCols: Seq[(Int, String)],
+      measures: Seq[(String, String)]): Long = {
     require(dims.nonEmpty, "createStarView needs at least one dim")
     require(dims.forall(_._2.nonEmpty),
       "every dim needs at least one fk=pk pair")
@@ -672,24 +780,25 @@ object AggReplica {
         s"group column $c names side $s; valid sides are 0 (fact) .. ${dims.size}")
       (s, if (s == 0) canonF(c) else canonDs(s - 1)(c))
     }
-    val value = canonF(valueCol)
+    val ms = measures.map { case (c, a) => (canonF(c), a) }
     val outNames = keys.map(_._2)
     require(outNames.map(_.toLowerCase).distinct.size == outNames.size,
       "group columns must have unique output names across all sides: " +
         outNames.mkString(", "))
-    require(!outNames.exists(_.equalsIgnoreCase(value)),
-      s"the value column $value cannot also be a group column")
+    validateMeasures(ms, outNames)
     // recorded comma/equals/colon-delimited — refuse names that would
     // not round-trip (same policy as the single-source view)
-    val recorded = outNames ++ pairs.flatten.flatMap(p => Seq(p._1, p._2)) :+ value
+    val recorded = outNames ++ pairs.flatten.flatMap(p => Seq(p._1, p._2))
     require(recorded.forall(c => !c.exists(",=:".contains(_))),
       "column names containing ',', '=' or ':' cannot be recorded in " +
         "the join-view definition: " +
         recorded.filter(_.exists(",=:".contains(_))).mkString("; "))
-    val joined = starProject(fSnap, dSnaps.zip(pairs), keys, value, typeFrom = -1)
+    val joined = starProject(fSnap, dSnaps.zip(pairs), keys,
+      ms.map(_._1), typeFrom = -1)
+    val aggs = count(lit(1)).as("n_rows") +: ms.map { case (c, a) =>
+      sum(coalesce(col(c), lit(0))).as(a) }
     val agg = joined.groupBy(outNames.map(col): _*)
-      .agg(count(lit(1)).as("n_rows"),
-        sum(coalesce(col(value), lit(0))).as("value_sum"))
+      .agg(aggs.head, aggs.tail: _*)
     import spark.implicits._
     val stamps = (MvAppId, factCur) +:
       dims.indices.map(i => (dimAppId(i), dimCurs(i)))
@@ -703,7 +812,7 @@ object AggReplica {
         MvNDimsProp -> dims.size.toString,
         MvJoinKeysProp -> keys.map { case (s, c) =>
           (if (s == 0) "f:" else s"d$s:") + c }.mkString(","),
-        MvValueProp -> value) ++
+        MvValueProp -> encodeMeasures(ms)) ++
         dims.indices.map(i => dimRootProp(i) -> dims(i)._1) ++
         dims.indices.map(i =>
           dimJoinProp(i) -> pairs(i).map { case (fk, pk) => s"$fk=$pk" }
@@ -731,7 +840,8 @@ object AggReplica {
         (k.substring(1, c).toInt, k.substring(c + 1))
       }
     }
-    val value = joinProp(props, MvValueProp)
+    val measures = decodeMeasures(joinProp(props, MvValueProp))
+    val values = measures.map(_._1).distinct
     val outNames = keys.map(_._2)
     def stamp(appId: String): Long =
       VersionedTable.lastTxn(spark, dstRoot, appId).getOrElse(
@@ -755,7 +865,7 @@ object AggReplica {
         val dF = VersionedTable.readChanges(spark, factRoot, appliedF + 1, factCur)
         terms += starProject(dF,
           (0 until n).map(j => (dimAt(j, dimCurs(j)), pairs(j))),
-          keys, value, typeFrom = 0)
+          keys, values, typeFrom = 0)
       }
       for (i <- 0 until n if dimCurs(i) > appliedDs(i)) {
         val dD = VersionedTable.readChanges(
@@ -767,10 +877,10 @@ object AggReplica {
           else if (j == i) (dD, pairs(j))
           else (dimAt(j, dimCurs(j)), pairs(j))
         }
-        terms += starProject(fOld, dimFrames, keys, value, typeFrom = i + 1)
+        terms += starProject(fOld, dimFrames, keys, values, typeFrom = i + 1)
       }
       val batch = terms.result().reduce(_ unionByName _)
-      applyAggMulti(spark, dstRoot, outNames, value, batch,
+      applyAggMulti(spark, dstRoot, outNames, measures, batch,
         txns = (MvAppId, factCur) +:
           (0 until n).map(i => (dimAppId(i), dimCurs(i))),
         expectedPriors = Some(appliedF) +: appliedDs.map(Some(_)))
@@ -779,19 +889,19 @@ object AggReplica {
   }
 
   /** fact-side frame ⋈ every dim-side frame on the recorded pairs,
-    * projected to the view's group columns (+ value, + `_change_type`
-    * from the side `typeFrom` names: −1 = none, 0 = fact, i = the i-th
-    * dim, 1-based). Every needed dim column rides RENAMED through the
-    * joins so a column name shared between any two tables can never
-    * collide or resolve ambiguously; group columns come back under
-    * their recorded output names. */
+    * projected to the view's group columns (+ every measure column, +
+    * `_change_type` from the side `typeFrom` names: −1 = none, 0 =
+    * fact, i = the i-th dim, 1-based). Every needed dim column rides
+    * RENAMED through the joins so a column name shared between any two
+    * tables can never collide or resolve ambiguously; group columns
+    * come back under their recorded output names. */
   private def starProject(
       factDf: DataFrame,
       dims: Seq[(DataFrame, Seq[(String, String)])],
-      keys: Seq[(Int, String)], value: String,
+      keys: Seq[(Int, String)], values: Seq[String],
       typeFrom: Int): DataFrame = {
     val fNeeded = (dims.flatMap(_._2.map(_._1)) ++
-      keys.collect { case (0, c) => c } :+ value).distinct
+      keys.collect { case (0, c) => c } ++ values).distinct
     val fCols = fNeeded.map(col) ++
       (if (typeFrom == 0) Seq(col("_change_type").as("__graft_ct")) else Nil)
     val fSel = factDf.select(fCols: _*)
@@ -813,7 +923,7 @@ object AggReplica {
       }
     val out = keys.map { case (s, c) =>
       if (s == 0) col(c) else col(rens(s - 1)(c)).as(c) } ++
-      Seq(col(value)) ++
+      values.map(col) ++
       (if (typeFrom < 0) Nil
        else Seq(col("__graft_ct").as("_change_type")))
     joined.select(out: _*)

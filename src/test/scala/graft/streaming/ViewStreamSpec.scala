@@ -420,6 +420,57 @@ class ViewStreamSpec extends SparkSpec {
       "cancelled group must never touch the view; the replace must land")
   }
 
+  test("MULTI-MEASURE MVs: several sums maintained in one delta pass — " +
+    "Scala and SQL faces, retractions hit every measure") {
+    val src = freshDir("graft_vs_mmsrc") + "/t"
+    val mv = freshDir("graft_vs_mmmv") + "/t"
+    val seed = Seq((1L, "a", 10L, 2L), (2L, "a", 20L, 3L), (3L, "b", 5L, 7L))
+      .toDF("id", "grp", "amount", "qty")
+    VersionedTable.commit(seed, src, extras = Map("changes" ->
+      VersionedTable.feedWritable(seed.withColumn("_change_type", lit("insert")))))
+    graft.plans.GraftSql.execute(spark,
+      s"""CREATE MATERIALIZED VIEW '$mv' AS
+         |SELECT grp, count(*) AS n_rows, sum(amount) AS amount_sum,
+         |  sum(qty) AS qty_sum
+         |FROM '$src' GROUP BY grp""".stripMargin)
+    def st() = VersionedTable.read(spark, mv)
+      .select(col("grp"), col("n_rows"), col("amount_sum").cast("long"),
+        col("qty_sum").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq.sorted
+    assert(st() == Seq(("a", 2L, 30L, 5L), ("b", 1L, 5L, 7L)))
+    // churn: append, a both-measures update, a group-moving update,
+    // then a whole-group delete — every measure must retract exactly
+    VersionedTable.commitAppend(
+      Seq((4L, "c", 100L, 1L)).toDF("id", "grp", "amount", "qty"),
+      src, changeFeed = true)
+    VersionedTable.updateWhere(spark, src, col("id") === 1L,
+      Map("amount" -> lit(11L), "qty" -> lit(9L)))
+    VersionedTable.updateWhere(spark, src, col("id") === 3L,
+      Map("grp" -> lit("a")))
+    VersionedTable.deleteWhere(spark, src, col("grp") === "c")
+    AggReplica.refreshView(spark, mv)
+    assert(st() == Seq(("a", 3L, 36L, 19L)),
+      "both measures must move under updates, group moves, and deletes")
+    // a single measure with a CUSTOM alias rides the multi road too
+    val mv2 = freshDir("graft_vs_mmmv2") + "/t"
+    AggReplica.createMultiView(spark, mv2, src, Seq("grp"),
+      Seq(("qty", "total_qty")))
+    VersionedTable.commitAppend(
+      Seq((5L, "a", 1L, 100L)).toDF("id", "grp", "amount", "qty"),
+      src, changeFeed = true)
+    AggReplica.refreshView(spark, mv2)
+    val got = VersionedTable.read(spark, mv2)
+      .select(col("grp"), col("n_rows"), col("total_qty").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a", 4L, 119L)))
+    // alias colliding with a group column fails at create, loudly
+    intercept[IllegalArgumentException] {
+      AggReplica.createMultiView(spark, freshDir("graft_vs_bad") + "/t",
+        src, Seq("grp"), Seq(("amount", "grp")))
+    }
+  }
+
   test("CASCADING MVs: an MV's own change feed maintains a second MV — " +
     "inserts, pre/post update images, and zeroed-group deletes all " +
     "flow through the chain") {
