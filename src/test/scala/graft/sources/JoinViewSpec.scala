@@ -344,6 +344,46 @@ class JoinViewSpec extends SparkSpec {
     assert(e.getMessage.contains("snowflake"))
   }
 
+  test("the multi-stamp claim, pinned at the merge level: a moved stamp " +
+    "loses; a replay needs EVERY stamp covered — one caught-up source " +
+    "must not no-op the other's fold") {
+    import spark.implicits._
+    val fact = freshDir("graft_jv_f") + "/t"
+    val dim = freshDir("graft_jv_d") + "/t"
+    val mv = freshDir("graft_jv_mv") + "/t"
+    seedFact(fact); seedDim(dim)
+    AggReplica.createJoinView(spark, mv, fact, dim,
+      Seq(("cust", "cust")), Seq((false, "seg")), "amount")
+    val before = viewState(mv)
+    val vM = VersionedTable.currentVersion(spark, mv).get
+    val batch = Seq(("gold", 999L, "insert")).toDF("seg", "amount", "_change_type")
+    val fV = VersionedTable.lastTxn(spark, mv, AggReplica.MvAppId).get
+    val dV = VersionedTable.lastTxn(spark, mv, AggReplica.dimAppId(0)).get
+    // moved guard: the caller captured a fact high-water the stamp no
+    // longer reads — a concurrent refresh won; must no-op pre-work
+    assert(!AggReplica.applyAggMulti(spark, mv, Seq("seg"),
+      Seq(("amount", "value_sum")), batch,
+      txns = Seq((AggReplica.MvAppId, fV + 1), (AggReplica.dimAppId(0), dV)),
+      expectedPriors = Seq(Some(fV - 1), Some(dV))))
+    assert(viewState(mv) == before)
+    assert(VersionedTable.currentVersion(spark, mv).contains(vM))
+    // replay semantics: the fact stamp already covers its batch but the
+    // dim batch is NEW — NOT a replay, must apply (the any-stamp rule
+    // would wrongly no-op every dim-only refresh)
+    assert(AggReplica.applyAggMulti(spark, mv, Seq("seg"),
+      Seq(("amount", "value_sum")), batch,
+      txns = Seq((AggReplica.MvAppId, fV), (AggReplica.dimAppId(0), dV + 1)),
+      expectedPriors = Seq(Some(fV), Some(dV))))
+    assert(viewState(mv) != before, "the dim-only fold must have landed")
+    // and now a true replay: BOTH stamps covered — no-op
+    val after = viewState(mv)
+    assert(!AggReplica.applyAggMulti(spark, mv, Seq("seg"),
+      Seq(("amount", "value_sum")), batch,
+      txns = Seq((AggReplica.MvAppId, fV), (AggReplica.dimAppId(0), dV + 1)),
+      expectedPriors = Seq(Some(fV), Some(dV + 1))))
+    assert(viewState(mv) == after)
+  }
+
   test("ROLE-PLAYING dims: the same dim table joined twice under " +
     "different foreign keys — per-position stamps, repeated-factor " +
     "telescope stays exact") {
