@@ -284,7 +284,14 @@ object Bench {
       val t11a = (1 to repeat)
         .map(_ => timed(noop(graft.queries.TextQueries.t11Apply(spark, sfDir, bpeMerges)))).min
       bpeMerges = null
-      s""","amortized":{"s3_build":$s3b,"s3_probe":$s3p,"d6_train":$d6t,"d6_probe":$d6p,"d10_index_build":$d10b,"d10_probe":$d10p,"s4_build":$s4b,"s4_probe":$s4p,"s5_build":$s5b,"s5_probe":$s5p,"t11_train":$t11t,"t11_apply":$t11a}"""
+      isolate()
+      // MV lifecycle split (r17 ask): qNN_create (scratch build) vs
+      // qNN_refresh (one O(changes) fold over a standing view) — the
+      // main q40–q44 keys price the WHOLE lifecycle; these rows price
+      // the maintenance a deployed view actually pays per epoch
+      val mvRows = graft.queries.FormatQueries.mvAmortized(spark, sfDir)
+        .map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      s""","amortized":{"s3_build":$s3b,"s3_probe":$s3p,"d6_train":$d6t,"d6_probe":$d6p,"d10_index_build":$d10b,"d10_probe":$d10p,"s4_build":$s4b,"s4_probe":$s4p,"s5_build":$s5b,"s5_probe":$s5p,"t11_train":$t11t,"t11_apply":$t11a,$mvRows}"""
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -71,6 +71,29 @@ object FormatBench {
       s""""rename_s":${f"$tRename%.3f"},"rename_bytes":$renameBytes,""" +
       s""""rewrite_s":${f"$tRewrite%.3f"},"rewrite_bytes":$rewriteBytes,""" +
       s""""clone_s":${f"$tClone%.3f"},"clone_bytes":$cloneBytes}""")
+
+    // COMMIT-COST DECOMPOSITION (the round-17 ask): where does one
+    // commit's second go? Run the two commit-heaviest bench keys' own
+    // motions (q28: DV DML; q44: a full MV lifecycle — seed commits with
+    // feeds, CREATE, churn, REFRESH) under [[CommitProfiler]] and print
+    // per-phase wall totals. The phases are the sidecar writes and Spark
+    // jobs a commit pays; at 100 TB each is an object-store round trip
+    // class, so the widest phase is the group-commit target.
+    for ((label, body) <- Seq[(String, () => Unit)](
+        ("q28_dv_dml", () => { graft.queries.FormatQueries.q28(spark, sfDir).count(); () }),
+        ("q44_mv_lifecycle", () => { graft.queries.FormatQueries.q44(spark, sfDir).count(); () }))) {
+      graft.sources.CommitProfiler.reset()
+      graft.sources.CommitProfiler.enable()
+      val (_, tAll) = time { body() }
+      graft.sources.CommitProfiler.disable()
+      val snap = graft.sources.CommitProfiler.snapshot()
+      val phases = snap.map { case (k, s, n) =>
+        s""""$k":{"s":${f"$s%.3f"},"n":$n}"""
+      }.mkString(",")
+      println(
+        s"""{"metric":"commit_profile","key":"$label",""" +
+        s""""wall_s":${f"$tAll%.3f"},$phases}""")
+    }
     spark.stop()
   }
 }

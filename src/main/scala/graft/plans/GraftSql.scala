@@ -344,6 +344,12 @@ object GraftSql {
     """(?is)JOIN\s+'([^']+)'\s+([A-Za-z_][A-Za-z0-9_]*)\s+ON\s+(.+?)(?=\s+JOIN\s+'|\s*$)""".r
   private val RefreshMvRe =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s*;?\s*""".r
+  // management verbs: DROP deletes the view (derived state — refuses a
+  // base table), SHOW lists a dir's views with their refresh lag
+  private val DropMvRe =
+    """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s*;?\s*""".r
+  private val ShowMvRe =
+    """(?is)\s*SHOW\s+MATERIALIZED\s+VIEWS\s+IN\s+'([^']+)'\s*;?\s*""".r
   private val DeepCloneRe =
     """(?is)\s*CREATE\s+TABLE\s+'([^']+)'\s+DEEP\s+CLONE\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*;?\s*""".r
   private val CopyIntoRe =
@@ -690,6 +696,14 @@ object GraftSql {
         Some(GraftCommand("REFRESH MATERIALIZED VIEW", dst, s =>
           Seq(Row("REFRESH MATERIALIZED VIEW", dst,
             runRefreshMv(s, dst)))))
+      case DropMvRe(dst) =>
+        Some(GraftCommand("DROP MATERIALIZED VIEW", dst, s =>
+          Seq(Row("DROP MATERIALIZED VIEW", dst,
+            graft.sources.AggReplica.dropView(s, dst)))))
+      case ShowMvRe(dir) =>
+        Some(org.apache.spark.sql.graft.GraftViewsCommand(dir, s =>
+          graft.sources.AggReplica.listViews(s, dir).map {
+            case (root, src, behind) => Row(root, src, behind) }))
       case DeepCloneRe(dest, src, v, ts) =>
         Some(GraftCommand("DEEP CLONE", dest, s =>
           Seq(Row("DEEP CLONE", dest,
@@ -1175,6 +1189,37 @@ object GraftSql {
       spark: SparkSession, dst: String, selectList: String,
       src: String, groupBy: String): Long = {
     val Ident = "[A-Za-z_][A-Za-z0-9_]*"
+    // GROUP BY ROLLUP (k1, …, kn): ONE statement declares the cascade —
+    // the finest view plus stacked coarser sum views, refresh folding
+    // the chain in dependency order ([[AggReplica.createRollupView]]).
+    // Single-sum shape only: a rollup of sums IS a sum of sums; extrema
+    // do not telescope through levels (a coarser min is not a sum of
+    // finer mins' deltas) and refuse here.
+    val RollupRe = """(?is)\s*ROLLUP\s*\(\s*(.+?)\s*\)\s*""".r
+    groupBy match {
+      case RollupRe(inner) =>
+        val rKeys = inner.split(",").map(_.trim).toSeq
+        require(rKeys.nonEmpty && rKeys.forall(_.matches(Ident)),
+          s"ROLLUP must list plain columns, got: $inner")
+        val items = selectList.split(",").map(_.trim).toSeq
+        val rShape = "a ROLLUP materialized view SELECT must be exactly: " +
+          "the ROLLUP columns (in order), count(*) AS n_rows, " +
+          "sum(<col>) AS value_sum"
+        require(items.size == rKeys.size + 2, s"$rShape — got: $selectList")
+        require(items.take(rKeys.size).map(_.toLowerCase) ==
+          rKeys.map(_.toLowerCase), s"$rShape — got: $selectList")
+        val CountRe = """(?is)count\s*\(\s*\*\s*\)\s+AS\s+n_rows""".r
+        require(CountRe.matches(items(rKeys.size)), s"$rShape — got: $selectList")
+        val SumRe = s"""(?is)sum\\s*\\(\\s*($Ident)\\s*\\)\\s+AS\\s+value_sum""".r
+        val valueCol = items(rKeys.size + 1) match {
+          case SumRe(c) => c
+          case other => throw new IllegalArgumentException(
+            s"$rShape — got: $other")
+        }
+        return graft.sources.AggReplica.createRollupView(
+          spark, dst, src, rKeys, valueCol)
+      case _ => ()
+    }
     val keys = groupBy.split(",").map(_.trim).toSeq
     require(keys.nonEmpty && keys.forall(_.matches(Ident)),
       s"GROUP BY must be a list of plain columns, got: $groupBy")
@@ -1237,8 +1282,11 @@ object GraftSql {
     * the dim feed to re-derive fact multiplicities — declare the view
     * the other way around), each ON a conjunction of alias-qualified
     * equalities between the FACT and THAT dim (star, not snowflake — a
-    * dim-dim equality fails here with the pre-join advice). Extrema
-    * aggregates are not join-maintainable and fail here. */
+    * dim-dim equality fails here with the pre-join advice). The EXTREMA
+    * tail (sum/count/min/max over one fact column, the single-source
+    * face's shape) opts in to extrema maintenance: count/sum fold by
+    * the telescoping rule, retracted extrema recompute from the star at
+    * the refresh's pinned versions, restricted to the flagged groups. */
   private def runCreateJoinMv(
       spark: SparkSession, dst: String, selectList: String, fact: String,
       fa: String, joins: String, groupBy: String): Long = {
@@ -1293,14 +1341,47 @@ object GraftSql {
     val CountRe = """(?is)count\s*\(\s*\*\s*\)\s+AS\s+n_rows""".r
     require(CountRe.matches(items(groups.size)), s"$shape — got: $selectList")
     val SumRe = s"""(?is)sum\\s*\\(\\s*($Ident)\\.($Ident)\\s*\\)\\s+AS\\s+($Ident)""".r
-    val measures = items.drop(groups.size + 1).map {
-      case SumRe(a, c, al) if a.equalsIgnoreCase(fa) => (c, al)
-      case SumRe(a, c, _) => throw new IllegalArgumentException(
-        s"every sum must aggregate a $fa (fact) column, got: $a.$c")
-      case other => throw new IllegalArgumentException(s"$shape — got: $other")
+    val trailing = items.drop(groups.size + 1)
+    // the EXTREMA form (same fixed 4-item tail as the single-source
+    // face, every aggregate over the same fact column): maintained with
+    // the telescoping rule for count/sum/n_vals and the star-recompute
+    // road for retracted extrema — the reference's own enriched mart
+    // computes a max over what is conceptually this shape
+    val NValsRe =
+      s"""(?is)count\\s*\\(\\s*$Ident\\.$Ident\\s*\\)\\s+AS\\s+n_vals""".r
+    if (trailing.size == 4 && NValsRe.matches(trailing(1))) {
+      def aggCol(item: String, fn: String, alias: String): String = {
+        val Re =
+          s"""(?is)$fn\\s*\\(\\s*($Ident)\\.($Ident)\\s*\\)\\s+AS\\s+$alias""".r
+        item match {
+          case Re(a, c) if a.equalsIgnoreCase(fa) => c
+          case Re(a, c) => throw new IllegalArgumentException(
+            s"every extrema aggregate must be over a $fa (fact) column, " +
+              s"got: $a.$c")
+          case other =>
+            throw new IllegalArgumentException(s"$shape — got: $other")
+        }
+      }
+      val valueCol = aggCol(trailing(0), "sum", "value_sum")
+      val others = Seq(
+        aggCol(trailing(1), "count", "n_vals"),
+        aggCol(trailing(2), "min", "value_min"),
+        aggCol(trailing(3), "max", "value_max"))
+      require(others.forall(_.equalsIgnoreCase(valueCol)),
+        "extrema aggregates must all be over the sum's column " +
+          s"($valueCol) — got: ${others.mkString(", ")}")
+      graft.sources.AggReplica.createStarView(spark, dst, fact, dims,
+        groups, Seq((valueCol, "value_sum")), extrema = true)
+    } else {
+      val measures = trailing.map {
+        case SumRe(a, c, al) if a.equalsIgnoreCase(fa) => (c, al)
+        case SumRe(a, c, _) => throw new IllegalArgumentException(
+          s"every sum must aggregate a $fa (fact) column, got: $a.$c")
+        case other => throw new IllegalArgumentException(s"$shape — got: $other")
+      }
+      graft.sources.AggReplica.createStarView(spark, dst, fact, dims,
+        groups, measures)
     }
-    graft.sources.AggReplica.createStarView(spark, dst, fact, dims,
-      groups, measures)
   }
 
   private def runRefreshMv(spark: SparkSession, dst: String): Long =

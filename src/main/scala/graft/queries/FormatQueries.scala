@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.plans.GraftSql
-import graft.sources.{Tables, VersionedTable}
+import graft.sources.{AggReplica, Tables, VersionedTable}
 
 /** SURVEY.md §2g — the TABLE FORMAT's DML semantics, oracle-checked:
   * each key materializes a versioned table in a scratch root, drives it
@@ -42,7 +42,9 @@ object FormatQueries {
     "q41_matview_minmax"      -> ((s, d) => q41(s, d)),
     "q42_matview_join"        -> ((s, d) => q42(s, d)),
     "q43_matview_star"        -> ((s, d) => q43(s, d)),
-    "q44_matview_multi"       -> ((s, d) => q44(s, d))
+    "q44_matview_multi"       -> ((s, d) => q44(s, d)),
+    "q45_matview_join_minmax" -> ((s, d) => q45(s, d)),
+    "q46_matview_rollup"      -> ((s, d) => q46(s, d))
   )
 
   // scratch roots live on local tmpfs, so the bench numbers for q27–q42
@@ -638,7 +640,248 @@ object FormatQueries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** q45: EXTREMA over a JOIN-backed MATERIALIZED VIEW — the enriched
+    * mart's commonest shape after plain sums ("latest/largest X per
+    * segment"): `γ(orders ⋈ customer)` maintaining count/sum/n_vals/
+    * min/max of the fact measure, with avg derived at read. One refresh
+    * folds fact churn (append + a delete that RETRACTS every segment's
+    * stored max), a group-moving dim update and a dim delete (both
+    * retract whole enriched populations, extrema included) — the
+    * retracted groups recompute from the STAR at the refresh's pinned
+    * versions, restricted to the flagged groups. The oracle recomputes
+    * the whole join-aggregate from the final states: maintenance must
+    * equal recompute exactly. */
+  def q45(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q45").toString
+    val fact = s"$tmp/fact"; val dim = s"$tmp/dim"; val mv = s"$tmp/mv"
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
+    val customers = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val factSeed = orders.where(col("o_orderkey") % 3 === 1)
+    VersionedTable.commit(factSeed, fact, extras = Map("changes" ->
+      VersionedTable.feedWritable(
+        factSeed.withColumn("_change_type", lit("insert")))))
+    VersionedTable.commit(customers, dim, extras = Map("changes" ->
+      VersionedTable.feedWritable(
+        customers.withColumn("_change_type", lit("insert")))))
+    GraftSql.execute(s,
+      s"""CREATE MATERIALIZED VIEW '$mv' AS
+         |SELECT d.c_mktsegment, count(*) AS n_rows,
+         |  sum(f.o_totalprice) AS value_sum,
+         |  count(f.o_totalprice) AS n_vals,
+         |  min(f.o_totalprice) AS value_min,
+         |  max(f.o_totalprice) AS value_max
+         |FROM '$fact' f JOIN '$dim' d ON f.o_custkey = d.c_custkey
+         |GROUP BY d.c_mktsegment""".stripMargin)
+    // fact churn: an append wave, then a delete that removes every
+    // segment's top prices (the stored maxima retract → recompute road)
+    VersionedTable.commitAppend(
+      orders.where(col("o_orderkey") % 3 === 2), fact, changeFeed = true)
+    VersionedTable.deleteWhere(s, fact, col("o_totalprice") > lit(300000))
+    // dim churn: a segment move and a drop — whole enriched populations
+    // (extrema included) leave their groups
+    VersionedTable.updateWhere(s, dim, col("c_custkey") % 10 === 0,
+      Map("c_mktsegment" -> lit("MOVED")))
+    VersionedTable.deleteWhere(s, dim, col("c_custkey") % 7 === 3)
+    GraftSql.execute(s, s"REFRESH MATERIALIZED VIEW '$mv'")
+    VersionedTable.read(s, mv)
+      .select(col("c_mktsegment"), col("n_rows"),
+        col("value_sum").cast("double").as("value_sum"),
+        col("n_vals"),
+        col("value_min").cast("double").as("value_min"),
+        col("value_max").cast("double").as("value_max"),
+        (col("value_sum").cast("double") / col("n_vals")).as("value_avg"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** q46: DECLARED ROLLUP MATERIALIZED VIEW — one `CREATE … GROUP BY
+    * ROLLUP (seg, nation)` builds the finest view PLUS the cascade of
+    * coarser sum views, each maintained from its parent's own change
+    * feed; one `REFRESH` folds the chain parent-first, O(changes) per
+    * link. The surface is the SQL ROLLUP result set (all grouping sets
+    * + grand total, NULL keys coalesced to sentinels for a stable total
+    * order) and the oracle recomputes `GROUP BY ROLLUP` from the
+    * source's final state. */
+  def q46(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q46").toString
+    val src = s"$tmp/src"; val mv = s"$tmp/mv"
+    val customers = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"),
+        col("c_acctbal").cast("decimal(18,2)").as("c_acctbal"))
+    val seed = customers.where(col("c_custkey") % 3 === 1)
+    VersionedTable.commit(seed, src, extras = Map("changes" ->
+      VersionedTable.feedWritable(
+        seed.withColumn("_change_type", lit("insert")))))
+    GraftSql.execute(s,
+      s"""CREATE MATERIALIZED VIEW '$mv' AS
+         |SELECT c_mktsegment, c_nationkey, count(*) AS n_rows,
+         |  sum(c_acctbal) AS value_sum
+         |FROM '$src' GROUP BY ROLLUP (c_mktsegment, c_nationkey)""".stripMargin)
+    // source churn: append, group-moving update, delete — ONE refresh
+    // folds the whole chain in dependency order
+    VersionedTable.commitAppend(
+      customers.where(col("c_custkey") % 3 === 2), src, changeFeed = true)
+    VersionedTable.updateWhere(s, src, col("c_custkey") % 10 === 0,
+      Map("c_mktsegment" -> lit("MOVED")))
+    VersionedTable.deleteWhere(s, src, col("c_acctbal") < lit(0))
+    GraftSql.execute(s, s"REFRESH MATERIALIZED VIEW '$mv'")
+    graft.sources.AggReplica.readRollup(s, mv)
+      .select(
+        coalesce(col("c_mktsegment"), lit("ALL")).as("c_mktsegment"),
+        coalesce(col("c_nationkey"), lit(-1)).as("c_nationkey"),
+        col("n_rows"),
+        col("value_sum").cast("double").as("value_sum"))
+      .orderBy(col("c_mktsegment"), col("c_nationkey"))
+  }
+
+  /** Amortized MV lifecycle splits for the bench (the s4_build/s4_probe
+    * pattern): per view shape, `qNN_create` = scratch construction
+    * (sources already standing) and `qNN_refresh` = ONE O(changes)
+    * REFRESH folding a fresh churn batch — the maintenance cost the
+    * operator exists for, separated from the one-time build the main
+    * keys q40–q44 fold into their totals. Churn is untimed setup; every
+    * slice is disjoint from the seed so the refresh folds real deltas.
+    * Returns (name, seconds) rows for bench_out.json's amortized map. */
+  def mvAmortized(s: SparkSession, dir: String): Seq[(String, Double)] = {
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    val out = Seq.newBuilder[(String, Double)]
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mv_amort").toString
+    val customers = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        col("c_acctbal").cast("decimal(18,2)").as("c_acctbal"))
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
+    def seedWithFeed(df: DataFrame, root: String): Unit =
+      VersionedTable.commit(df, root, extras = Map("changes" ->
+        VersionedTable.feedWritable(
+          df.withColumn("_change_type", lit("insert")))))
+
+    // q40: single-source sum view
+    locally {
+      val src = s"$tmp/q40src"; val mv = s"$tmp/q40mv"
+      seedWithFeed(customers.where(col("c_custkey") % 3 === 1), src)
+      out += "q40_create" -> timed(
+        AggReplica.createView(s, mv, src, Seq("c_mktsegment"), "c_acctbal"))
+      VersionedTable.commitAppend(
+        customers.where(col("c_custkey") % 3 === 2), src, changeFeed = true)
+      VersionedTable.updateWhere(s, src, col("c_custkey") % 10 === 0,
+        Map("c_mktsegment" -> lit("MOVED")))
+      out += "q40_refresh" -> timed(AggReplica.refreshView(s, mv))
+    }
+    // q41: extrema view, churn retracts stored extrema (the recompute road)
+    locally {
+      val src = s"$tmp/q41src"; val mv = s"$tmp/q41mv"
+      seedWithFeed(customers.where(col("c_custkey") % 3 === 1), src)
+      out += "q41_create" -> timed(AggReplica.createView(
+        s, mv, src, Seq("c_mktsegment"), "c_acctbal", extrema = true))
+      VersionedTable.commitAppend(
+        customers.where(col("c_custkey") % 3 === 2), src, changeFeed = true)
+      VersionedTable.deleteWhere(s, src,
+        col("c_acctbal") > lit(9000) || col("c_acctbal") < lit(-900))
+      out += "q41_refresh" -> timed(AggReplica.refreshView(s, mv))
+    }
+    // q42: join-backed view, churn on both feeds
+    locally {
+      val fact = s"$tmp/q42f"; val dim = s"$tmp/q42d"; val mv = s"$tmp/q42mv"
+      seedWithFeed(orders.where(col("o_orderkey") % 3 === 1), fact)
+      seedWithFeed(customers.select(col("c_custkey"), col("c_mktsegment")), dim)
+      out += "q42_create" -> timed(AggReplica.createJoinView(
+        s, mv, fact, dim, Seq(("o_custkey", "c_custkey")),
+        Seq((false, "c_mktsegment")), "o_totalprice"))
+      VersionedTable.commitAppend(
+        orders.where(col("o_orderkey") % 3 === 2), fact, changeFeed = true)
+      VersionedTable.updateWhere(s, dim, col("c_custkey") % 10 === 0,
+        Map("c_mktsegment" -> lit("MOVED")))
+      out += "q42_refresh" -> timed(AggReplica.refreshView(s, mv))
+    }
+    // q43: star view (fact + two dims), all three feeds churn
+    locally {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity").cast("decimal(18,2)").as("l_quantity"))
+      val part = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
+      val supp = Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val fact = s"$tmp/q43f"; val dp = s"$tmp/q43p"; val ds = s"$tmp/q43s"
+      val mv = s"$tmp/q43mv"
+      seedWithFeed(li.where(col("l_orderkey") % 2 === 1), fact)
+      seedWithFeed(part.where(col("p_partkey") % 3 =!= 0), dp)
+      seedWithFeed(supp, ds)
+      out += "q43_create" -> timed(AggReplica.createStarView(
+        s, mv, fact,
+        dims = Seq((dp, Seq(("l_partkey", "p_partkey"))),
+          (ds, Seq(("l_suppkey", "s_suppkey")))),
+        groupCols = Seq((1, "p_brand"), (2, "s_nationkey")),
+        valueCol = "l_quantity"))
+      VersionedTable.commitAppend(
+        li.where(col("l_orderkey") % 2 === 0), fact, changeFeed = true)
+      VersionedTable.commitAppend(
+        part.where(col("p_partkey") % 3 === 0), dp, changeFeed = true)
+      VersionedTable.deleteWhere(s, ds, col("s_suppkey") % 7 === 3)
+      out += "q43_refresh" -> timed(AggReplica.refreshView(s, mv))
+    }
+    // q44: multi-measure join view (two maintained sums, one delta pass)
+    locally {
+      val fact = s"$tmp/q44f"; val dim = s"$tmp/q44d"; val mv = s"$tmp/q44mv"
+      seedWithFeed(orders.where(col("o_orderkey") % 3 === 1), fact)
+      seedWithFeed(customers.select(col("c_custkey"), col("c_mktsegment")), dim)
+      out += "q44_create" -> timed(AggReplica.createStarView(
+        s, mv, fact, dims = Seq((dim, Seq(("o_custkey", "c_custkey")))),
+        groupCols = Seq((1, "c_mktsegment")),
+        measures = Seq(("o_totalprice", "price_sum"), ("o_orderkey", "key_sum"))))
+      VersionedTable.commitAppend(
+        orders.where(col("o_orderkey") % 3 === 2), fact, changeFeed = true)
+      VersionedTable.updateWhere(s, dim, col("c_custkey") % 10 === 0,
+        Map("c_mktsegment" -> lit("MOVED")))
+      out += "q44_refresh" -> timed(AggReplica.refreshView(s, mv))
+    }
+    out.result()
+  }
+
   def oracles: Map[String, String] = Map(
+    // q45: the extrema join-aggregate recomputed over the final states —
+    // star-recompute maintenance must equal it exactly
+    "q45_matview_join_minmax" ->
+      """WITH f AS (
+        |  SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+        |  FROM orders
+        |  WHERE o_orderkey % 3 IN (1, 2) AND NOT (o_totalprice > 300000)),
+        |d AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 10 = 0 THEN 'MOVED' ELSE c_mktsegment END
+        |      AS c_mktsegment
+        |  FROM customer WHERE NOT (c_custkey % 7 = 3))
+        |SELECT c_mktsegment, count(*)::BIGINT AS n_rows,
+        |  sum(o_totalprice)::DOUBLE AS value_sum,
+        |  count(o_totalprice)::BIGINT AS n_vals,
+        |  min(o_totalprice)::DOUBLE AS value_min,
+        |  max(o_totalprice)::DOUBLE AS value_max,
+        |  sum(o_totalprice)::DOUBLE / count(o_totalprice) AS value_avg
+        |FROM f JOIN d ON f.o_custkey = d.c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    // q46: GROUP BY ROLLUP recomputed from the source's final state —
+    // the maintained cascade (finest + stacked sums + derived grand
+    // total) must serve exactly the SQL grouping sets
+    "q46_matview_rollup" ->
+      """WITH s AS (
+        |  SELECT
+        |    CASE WHEN c_custkey % 10 = 0 THEN 'MOVED' ELSE c_mktsegment END
+        |      AS c_mktsegment,
+        |    c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal
+        |  FROM customer
+        |  WHERE c_custkey % 3 IN (1, 2) AND NOT (c_acctbal < 0))
+        |SELECT coalesce(c_mktsegment, 'ALL') AS c_mktsegment,
+        |  coalesce(c_nationkey, -1) AS c_nationkey,
+        |  count(*)::BIGINT AS n_rows,
+        |  sum(c_acctbal)::DOUBLE AS value_sum
+        |FROM s GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
     // q44: both sums recomputed over the final join state
     "q44_matview_multi" ->
       """WITH f AS (

@@ -85,6 +85,39 @@ object AggReplica {
     * would bloat both). */
   private val IsinLimit = 1000
 
+  /** Row bound for the FORCED `broadcast()` hints on the extremum
+    * recompute road's group-sized frames (delta keys, view extrema,
+    * flagged keys, recomputed extrema). These frames are "group-sized",
+    * but group count is bounded only by the batch's churn: a
+    * backfill-scale retraction over a high-cardinality key can flag 10⁷+
+    * groups, and an unconditional hint would force Spark to materialize
+    * and ship them as broadcast relations regardless of size — driver
+    * memory pressure, then the hard 8 GB broadcast wall. Below the bound
+    * (key rows ≈ tens of bytes each, so ~10 MB — Spark's own
+    * auto-broadcast class) the hint is the right plan and skips a
+    * shuffle; above it the hint is DROPPED and AQE plans the join from
+    * observed sizes. Tunable for tests via [[BroadcastKeyLimitKey]]. */
+  private[graft] val BroadcastKeyLimitKey = "graft.ivm.broadcastKeyLimit"
+  private[graft] val BroadcastKeyLimitDefault = 100000L
+
+  /** `broadcast(df)` only when the probed row count clears the limit —
+    * the hint-vs-AQE gate above, factored for the plan-audit spec. */
+  private[graft] def maybeBroadcast(
+      df: DataFrame, nRows: Long, limit: Long): DataFrame =
+    if (nRows <= limit) broadcast(df) else df
+
+  /** Where the extremum-retraction recompute reads flagged groups from:
+    * a plain table at a pinned version (single-source views), or the
+    * star join at EVERY source's pinned version (join-backed extrema
+    * views — the joined bag at the state the batch's counts reach). */
+  private[graft] sealed trait RecomputeSource
+  private[graft] final case class TableAt(root: String, v: Long)
+    extends RecomputeSource
+  private[graft] final case class StarAt(
+      factRoot: String, factV: Long,
+      dims: Seq[(String, Long, Seq[(String, String)])],
+      keys: Seq[(Int, String)]) extends RecomputeSource
+
   /** Apply one feed batch (must carry `_change_type`) to the aggregate
     * view at `dstRoot`. Returns false when the batch was skipped as a
     * transactional replay or a lost concurrent-refresh claim.
@@ -108,7 +141,8 @@ object AggReplica {
     applyAggMulti(spark, dstRoot, keyCols, Seq((valueCol, "value_sum")),
       batch,
       txns = txn.toSeq, expectedPriors = txn.toSeq.map(_ => expectedPrior),
-      extrema = extrema, source = source)
+      extrema = extrema,
+      source = source.map { case (r, v) => TableAt(r, v) })
 
   /** Multi-stamp, multi-measure form of [[applyAggBatch]] — a
     * join-backed view folds SEVERAL feeds (fact + every star dim) in
@@ -125,7 +159,8 @@ object AggReplica {
       txns: Seq[(String, Long)],
       expectedPriors: Seq[Option[Long]],
       extrema: Boolean = false,
-      source: Option[(String, Long)] = None): Boolean = {
+      source: Option[RecomputeSource] = None,
+      guards: Seq[(String, Long)] = Nil): Boolean = {
     require(keyCols.nonEmpty, "applyAggBatch needs at least one group column")
     require(measures.nonEmpty, "applyAggMulti needs at least one measure")
     require(txns.size == expectedPriors.size,
@@ -145,7 +180,14 @@ object AggReplica {
         case ((_, batchId), last) => last.exists(_ >= batchId) }
       val moved = expectedPriors.zip(lasts).exists {
         case (ep, last) => ep.exists(e => !last.contains(e)) }
-      replayed || moved
+      // UNMOVED-source guards ([[refreshJoinView]] skips writing stamps
+      // for feeds that didn't move): no new stamp rides the commit, but
+      // the terms were computed against the captured high-water — a
+      // concurrent refresh advancing it mid-flight means a superseded
+      // dim/fact state; claim lost, exactly as a moved written stamp.
+      val guardMoved = guards.exists { case (appId, e) =>
+        !VersionedTable.lastTxn(spark, dstRoot, appId).contains(e) }
+      replayed || moved || guardMoved
     }
     if (claimLost()) false
     else {
@@ -164,7 +206,7 @@ object AggReplica {
       measures: Seq[(String, String)], batch: DataFrame,
       txns: Seq[(String, Long)],
       zombieProbe: () => Unit, extrema: Boolean,
-      source: Option[(String, Long)]): Unit = {
+      source: Option[RecomputeSource]): Unit = {
     require(!extrema || measures.size == 1,
       "extrema maintenance supports exactly one measure")
     val missing = (keyCols ++ measures.map(_._1)).distinct
@@ -379,7 +421,7 @@ object AggReplica {
   private def resolveExtrema(
       spark: SparkSession, deltas: DataFrame, keyCols: Seq[String],
       valueCol: String, viewExtrema: Option[DataFrame],
-      source: (String, Long),
+      source: RecomputeSource,
       cached: scala.collection.mutable.ListBuffer[DataFrame]): DataFrame = {
     val vType = deltas.schema("__ins_min").dataType
     val nullV = lit(null).cast(vType)
@@ -389,17 +431,25 @@ object AggReplica {
       deltas.withColumn("__rc", lit(false))
         .withColumn("__rc_min", nullV).withColumn("__rc_max", nullV)
     else {
+      // the broadcast-hint gate ([[BroadcastKeyLimitKey]]): group counts
+      // bound every frame on this road, and the DELTA group count bounds
+      // them all (flagged ⊆ delta groups, view-extrema rows semi-joined
+      // to delta keys) — one count off the persisted deltas prices the
+      // hints; past the limit the hints drop and AQE plans from sizes
+      val bcLimit = spark.conf
+        .get(BroadcastKeyLimitKey, BroadcastKeyLimitDefault.toString).toLong
+      val nGroups = deltas.count()
       // stored extrema for exactly the delta's groups: one pass over the
       // view restricted by a broadcast semi-join — the same
       // touched-groups cost class as the MERGE's own target scan
       val withView = viewExtrema match {
         case Some(viewDf) =>
           val dk = deltas.select(keyCols.map(col): _*)
-          val ve = viewDf.join(broadcast(dk),
+          val ve = viewDf.join(maybeBroadcast(dk, nGroups, bcLimit),
               keyCols.map(k => viewDf(k) <=> dk(k)).reduce(_ && _),
               "left_semi")
             .select(keyCols.map(col) :+ col("value_min") :+ col("value_max"): _*)
-          deltas.join(broadcast(ve),
+          deltas.join(maybeBroadcast(ve, nGroups, bcLimit),
               keyCols.map(k => deltas(k) <=> ve(k)).reduce(_ && _), "left")
             .select(deltas.columns.map(deltas(_)).toSeq :+
               ve("value_min").as("__view_min") :+
@@ -421,34 +471,86 @@ object AggReplica {
       if (nRc == 0)
         flagged.withColumn("__rc_min", nullV).withColumn("__rc_max", nullV)
       else {
-        val (srcRoot, srcV) = source
         val keyRows =
           if (nRc <= IsinLimit) rcKeys.collect() else Array.empty[org.apache.spark.sql.Row]
-        val snap =
-          if (keyRows.nonEmpty &&
-              !keyRows.exists(r => keyCols.indices.exists(r.isNullAt))) {
-            // superset predicate (per-column IN conjunction) for the
-            // pruner/pushdown; the semi-join below makes it exact
-            val pred = keyCols.zipWithIndex.map { case (k, i) =>
-              col(k).isin(keyRows.map(_.get(i)).distinct.toSeq: _*)
-            }.reduce(_ && _)
-            VersionedTable.readVersionWhere(spark, srcRoot, srcV, pred)
-          } else VersionedTable.readVersion(spark, srcRoot, srcV)
-        val recomputed = snap.join(broadcast(rcKeys),
+        // a usable key set (small, NULL-free) rides the scans as a
+        // per-column IN superset predicate (stats pruning + parquet
+        // pushdown); the semi-join below makes it exact either way
+        val usable = keyRows.nonEmpty &&
+          !keyRows.exists(r => keyCols.indices.exists(r.isNullAt))
+        def inPred(cols: Seq[(String, Int)]): Option[Column] =
+          cols.map { case (k, i) =>
+            col(k).isin(keyRows.map(_.get(i)).distinct.toSeq: _*)
+          }.reduceOption(_ && _)
+        val snap = source match {
+          case TableAt(srcRoot, srcV) =>
+            if (usable)
+              VersionedTable.readVersionWhere(spark, srcRoot, srcV,
+                inPred(keyCols.zipWithIndex).get)
+            else VersionedTable.readVersion(spark, srcRoot, srcV)
+          case s: StarAt =>
+            starRecompute(spark, s, valueCol,
+              if (usable) Some(inPred _) else None)
+        }
+        val recomputed = snap.join(maybeBroadcast(rcKeys, nRc, bcLimit),
             keyCols.map(k => snap(k) <=> rcKeys(k)).reduce(_ && _),
             "left_semi")
           .groupBy(keyCols.map(col): _*)
           .agg(min(col(valueCol)).as("__rc_min"),
             max(col(valueCol)).as("__rc_max"))
         // a flagged group absent from the source is fully deleted — its
-        // DELETE fate fires before the extrema are read (NULLs are fine)
-        flagged.join(broadcast(recomputed),
+        // DELETE fate fires before the extrema are read (NULLs are fine).
+        // `recomputed` is one row per flagged group: the same nRc bound
+        // prices its hint.
+        flagged.join(maybeBroadcast(recomputed, nRc, bcLimit),
             keyCols.map(k => flagged(k) <=> recomputed(k)).reduce(_ && _),
             "left")
           .select(flagged.columns.map(flagged(_)).toSeq :+
             recomputed("__rc_min") :+ recomputed("__rc_max"): _*)
       }
     }
+  }
+
+  /** The star join at every source's pinned version, projected to
+    * (group keys…, value col) — the flagged-group extremum recompute's
+    * source frame for JOIN-BACKED extrema views. Scans are IN-restricted
+    * per SIDE when the flagged key set is usable (`inPred` present):
+    * each side's group columns prune ITS OWN scan, and when no fact-side
+    * group column exists the fact is additionally restricted THROUGH the
+    * first group-restricted dim's join keys ([[factAtRestricted]]) — the
+    * recompute then reads O(flagged groups' rows), never the whole fact.
+    * Star dims are broadcast-sized by the star assumption, so AQE
+    * broadcasts them; the seed join at CREATE stays the only full join
+    * in the view's life. */
+  private def starRecompute(
+      spark: SparkSession, s: StarAt, valueCol: String,
+      inPred: Option[Seq[(String, Int)] => Option[Column]]): DataFrame = {
+    val factCols = s.keys.zipWithIndex.collect {
+      case ((0, c), pos) => (c, pos) }
+    val factPred = inPred.flatMap(f => f(factCols))
+    val dimFrames = s.dims.zipWithIndex.map { case ((root, v, pairs), i) =>
+      val dimCols = s.keys.zipWithIndex.collect {
+        case ((side, c), pos) if side == i + 1 => (c, pos) }
+      val dPred = inPred.flatMap(f => f(dimCols))
+      val d = dPred match {
+        case Some(p) => VersionedTable.readVersionWhere(spark, root, v, p)
+        case None => VersionedTable.readVersion(spark, root, v)
+      }
+      (d, pairs, dPred.isDefined)
+    }
+    val fact = factPred match {
+      case Some(p) =>
+        VersionedTable.readVersionWhere(spark, s.factRoot, s.factV, p)
+      case None =>
+        dimFrames.collectFirst { case (d, pairs, true) => (d, pairs) } match {
+          case Some((d, pairs)) =>
+            factAtRestricted(spark, s.factRoot, s.factV, d,
+              pairs.map(_._1), pairs.map(_._2))
+          case None => VersionedTable.readVersion(spark, s.factRoot, s.factV)
+        }
+    }
+    starProject(fact, dimFrames.map { case (d, pairs, _) => (d, pairs) },
+      s.keys, Seq(valueCol), typeFrom = -1)
   }
 
   /** Batch-poll face: consume everything new in `srcRoot`'s feed since
@@ -497,6 +599,15 @@ object AggReplica {
   val MvNDimsProp = "graft.mv.ndims"
   val MvDimAppId = "graft-mv-dim"
 
+  /** Cascade pointer: the NEXT-coarser view maintained from THIS view's
+    * own change feed (a declared ROLLUP chain). REFRESH descends
+    * parent-first; DROP descends child-first. */
+  val MvChildProp = "graft.mv.child"
+  /** The declared rollup key list, recorded on the FINEST level (the
+    * chain's entry root) — [[readRollup]] reconstructs the grouping
+    * sets from it. */
+  val MvRollupProp = "graft.mv.rollup"
+
   /** CREATE MATERIALIZED VIEW: one aggregate scan of the source's
     * CURRENT version seeds the view, the definition lands as table
     * properties, and the consumed source version is txn-stamped inside
@@ -508,7 +619,8 @@ object AggReplica {
   def createView(
       spark: SparkSession, dstRoot: String, srcRoot: String,
       keyCols: Seq[String], valueCol: String,
-      extrema: Boolean = false): Long = {
+      extrema: Boolean = false,
+      extraProps: Map[String, String] = Map.empty): Long = {
     require(keyCols.nonEmpty, "createView needs at least one group column")
     require(VersionedTable.currentVersion(spark, dstRoot).isEmpty,
       s"$dstRoot already exists — DROP it or pick another root")
@@ -522,14 +634,16 @@ object AggReplica {
             snap.columns.mkString(", ")))
     val keys = keyCols.map(canon)
     val value = canon(valueCol)
-    // the key list persists comma-joined in one table property — a
-    // legal-but-exotic column name containing ',' would round-trip as
-    // two keys and every refresh would maintain the wrong grouping;
-    // refuse it HERE, loudly, instead
-    require(keys.forall(k => !k.contains(",")),
-      "group column names containing ',' cannot be recorded in the " +
-        s"materialized-view definition: ${keys.filter(_.contains(","))
-          .mkString("; ")} — rename the column")
+    requireRecordableKeys(keys)
+    // the value column records bare into [[MvValueProp]], which
+    // refreshView parses with decodeMeasures (split on ',' and '=') — a
+    // legal-but-exotic name containing those would create fine and then
+    // silently mis-decode at refresh into wrong (column, alias) pairs;
+    // same recorded-charset refusal as validateMeasures
+    require(!value.exists(",=:".contains(_)),
+      s"a value column name containing ',', '=' or ':' cannot be " +
+        s"recorded in the materialized-view definition: $value — " +
+        "rename the column")
     val v = col(value)
     val aggs =
       if (extrema) Seq(count(lit(1)).as("n_rows"),
@@ -548,7 +662,8 @@ object AggReplica {
         MvSourceProp -> srcRoot,
         MvKeysProp -> keys.mkString(","),
         MvValueProp -> value) ++
-        (if (extrema) Map(MvExtremaProp -> "true") else Map.empty)))
+        (if (extrema) Map(MvExtremaProp -> "true") else Map.empty) ++
+        extraProps))
   }
 
   /** REFRESH MATERIALIZED VIEW: fold the source's feed from the stamped
@@ -565,25 +680,35 @@ object AggReplica {
     val props = VersionedTable.propertiesOf(spark, dstRoot, cur)
     val src = props.getOrElse(MvSourceProp, throw new IllegalArgumentException(
       s"$dstRoot is not a materialized view (no $MvSourceProp property)"))
-    if (props.contains(MvDimProp))
-      return refreshJoinView(spark, dstRoot, cur, src, props)
-    val keys = props(MvKeysProp).split(',').toSeq
-    val measures = decodeMeasures(props(MvValueProp))
-    val extrema = props.get(MvExtremaProp).contains("true")
-    val applied = VersionedTable.lastTxn(spark, dstRoot, MvAppId).getOrElse(
-      throw new java.io.IOException(
-        s"materialized view $dstRoot lost its refresh high-water stamp"))
-    val srcCur = VersionedTable.currentVersion(spark, src).getOrElse(
-      throw new java.io.IOException(s"materialized view source $src is gone"))
-    if (srcCur <= applied) cur
-    else {
-      val batch = VersionedTable.readChanges(spark, src, applied + 1, srcCur)
-      applyAggMulti(spark, dstRoot, keys, measures, batch,
-        txns = Seq((MvAppId, srcCur)), expectedPriors = Seq(Some(applied)),
-        extrema = extrema,
-        source = if (extrema) Some((src, srcCur)) else None)
-      VersionedTable.currentVersion(spark, dstRoot).getOrElse(cur)
-    }
+    val result =
+      if (props.contains(MvDimProp))
+        refreshJoinView(spark, dstRoot, cur, src, props)
+      else {
+        val keys = props(MvKeysProp).split(',').toSeq
+        val measures = decodeMeasures(props(MvValueProp))
+        val extrema = props.get(MvExtremaProp).contains("true")
+        val applied = VersionedTable.lastTxn(spark, dstRoot, MvAppId).getOrElse(
+          throw new java.io.IOException(
+            s"materialized view $dstRoot lost its refresh high-water stamp"))
+        val srcCur = VersionedTable.currentVersion(spark, src).getOrElse(
+          throw new java.io.IOException(s"materialized view source $src is gone"))
+        if (srcCur <= applied) cur
+        else {
+          val batch = VersionedTable.readChanges(spark, src, applied + 1, srcCur)
+          applyAggMulti(spark, dstRoot, keys, measures, batch,
+            txns = Seq((MvAppId, srcCur)), expectedPriors = Seq(Some(applied)),
+            extrema = extrema,
+            source = if (extrema) Some(TableAt(src, srcCur)) else None)
+          VersionedTable.currentVersion(spark, dstRoot).getOrElse(cur)
+        }
+      }
+    // CASCADE, parent-first: a declared rollup chain's child folds the
+    // feed the refresh above just emitted. An unmoved parent still
+    // descends — that heals a crash that landed between a parent's
+    // refresh and its child's, and no-ops otherwise (each link is its
+    // own O(changes) refresh with its own exactly-once stamp).
+    props.get(MvChildProp).foreach(child => refreshView(spark, child))
+    result
   }
 
   /** Encode/decode the maintained-sums definition in [[MvValueProp]]:
@@ -597,6 +722,16 @@ object AggReplica {
       val i = e.indexOf('=')
       if (i < 0) (e, "value_sum") else (e.substring(0, i), e.substring(i + 1))
     }
+
+  /** The key list persists comma-joined in one table property — a
+    * legal-but-exotic column name containing ',' would round-trip as
+    * two keys and every refresh would maintain the wrong grouping;
+    * refuse it at CREATE, loudly (shared by every create face). */
+  private def requireRecordableKeys(keys: Seq[String]): Unit =
+    require(keys.forall(k => !k.contains(",")),
+      "group column names containing ',' cannot be recorded in the " +
+        s"materialized-view definition: ${keys.filter(_.contains(","))
+          .mkString("; ")} — rename the column")
 
   /** Shared definition checks for a measure list: canonicalized
     * columns, alias uniqueness, no collision with the group columns or
@@ -628,7 +763,8 @@ object AggReplica {
     * Extrema stay on the single-measure [[createView]] road. */
   def createMultiView(
       spark: SparkSession, dstRoot: String, srcRoot: String,
-      keyCols: Seq[String], measures: Seq[(String, String)]): Long = {
+      keyCols: Seq[String], measures: Seq[(String, String)],
+      extraProps: Map[String, String] = Map.empty): Long = {
     require(keyCols.nonEmpty, "createMultiView needs at least one group column")
     require(VersionedTable.currentVersion(spark, dstRoot).isEmpty,
       s"$dstRoot already exists — DROP it or pick another root")
@@ -642,10 +778,7 @@ object AggReplica {
             snap.columns.mkString(", ")))
     val keys = keyCols.map(canon)
     val ms = measures.map { case (c, a) => (canon(c), a) }
-    require(keys.forall(k => !k.contains(",")),
-      "group column names containing ',' cannot be recorded in the " +
-        s"materialized-view definition: ${keys.filter(_.contains(","))
-          .mkString("; ")} — rename the column")
+    requireRecordableKeys(keys)
     validateMeasures(ms, keys)
     val aggs = count(lit(1)).as("n_rows") +: ms.map { case (c, a) =>
       sum(coalesce(col(c), lit(0))).as(a) }
@@ -659,7 +792,154 @@ object AggReplica {
       recordProperties = Some(Map(
         MvSourceProp -> srcRoot,
         MvKeysProp -> keys.mkString(","),
-        MvValueProp -> encodeMeasures(ms))))
+        MvValueProp -> encodeMeasures(ms)) ++ extraProps))
+  }
+
+  // ---- DECLARED ROLLUP CASCADES ---------------------------------------------
+
+  /** CREATE MATERIALIZED VIEW … GROUP BY ROLLUP (k1, …, kn): ONE
+    * statement builds the finest-level view at `dstRoot` (keys k1…kn)
+    * PLUS a cascade of coarser views at `<dstRoot>__rollup<i>` (keys
+    * k1…k(n-i)), each maintained from its PARENT view's own change feed
+    * — the spec-pinned cascade mechanism, declared instead of
+    * hand-built. Rollup algebra: a coarser group's count and sum are
+    * the SUMS of its subgroups' maintained `n_rows`/`value_sum`, so
+    * each link is a plain multi-measure sum view and every refresh is
+    * O(that link's changed groups). [[refreshView]] on `dstRoot`
+    * descends the chain parent-first; [[readRollup]] serves the SQL
+    * ROLLUP result set (all levels + the grand total, NULL-padded).
+    * The grand-total row derives at read from the COARSEST maintained
+    * level (group-count-sized — the one aggregation small enough to
+    * never need maintenance). */
+  def createRollupView(
+      spark: SparkSession, dstRoot: String, srcRoot: String,
+      keyCols: Seq[String], valueCol: String): Long = {
+    require(keyCols.nonEmpty, "ROLLUP needs at least one group column")
+    def childRoot(i: Int) = s"${dstRoot}__rollup$i"
+    val v0 = createView(spark, dstRoot, srcRoot, keyCols, valueCol,
+      extraProps = Map(MvRollupProp -> keyCols.mkString(",")) ++
+        (if (keyCols.size > 1) Map(MvChildProp -> childRoot(1))
+         else Map.empty))
+    for (i <- 1 until keyCols.size) {
+      val parent = if (i == 1) dstRoot else childRoot(i - 1)
+      // level 1 sums the finest view's n_rows; deeper levels sum the
+      // already-renamed rows_sum — value_sum telescopes unchanged
+      val measures =
+        if (i == 1) Seq(("n_rows", "rows_sum"), ("value_sum", "value_sum"))
+        else Seq(("rows_sum", "rows_sum"), ("value_sum", "value_sum"))
+      createMultiView(spark, childRoot(i), parent, keyCols.dropRight(i),
+        measures,
+        extraProps =
+          if (i + 1 < keyCols.size) Map(MvChildProp -> childRoot(i + 1))
+          else Map.empty)
+    }
+    v0
+  }
+
+  /** The SQL `GROUP BY ROLLUP` result set served from a maintained
+    * chain: every level's groups with the absent key columns
+    * NULL-padded (typed from the finest level's schema), the coarser
+    * levels' summed counts renamed back to `n_rows`, and the
+    * grand-total row aggregated at read from the COARSEST level.
+    * Schema: k1…kn, n_rows, value_sum — exactly what
+    * `GROUP BY ROLLUP (k1, …, kn)` computes from the source. */
+  def readRollup(spark: SparkSession, root: String): DataFrame = {
+    val cur = VersionedTable.currentVersion(spark, root).getOrElse(
+      throw new java.io.IOException(s"no committed version under $root"))
+    val props = VersionedTable.propertiesOf(spark, root, cur)
+    val keys = props.getOrElse(MvRollupProp,
+      throw new IllegalArgumentException(
+        s"$root is not a rollup view (no $MvRollupProp property)"))
+      .split(',').toSeq
+    val finest = VersionedTable.read(spark, root)
+    val keyType = keys.map(k => k -> finest.schema(k).dataType).toMap
+    def pad(df: DataFrame, have: Seq[String], nCol: String): DataFrame =
+      df.select(keys.map(k =>
+        if (have.contains(k)) col(k) else lit(null).cast(keyType(k)).as(k)) ++
+        Seq(col(nCol).as("n_rows"), col("value_sum")): _*)
+    val levels = scala.collection.mutable.ListBuffer(
+      (root, finest, keys, "n_rows"))
+    var cursor = props.get(MvChildProp)
+    var depth = 1
+    while (cursor.isDefined) {
+      val r = cursor.get
+      levels += ((r, VersionedTable.read(spark, r), keys.dropRight(depth),
+        "rows_sum"))
+      val cv = VersionedTable.currentVersion(spark, r).getOrElse(
+        throw new java.io.IOException(s"rollup level $r is gone"))
+      cursor = VersionedTable.propertiesOf(spark, r, cv).get(MvChildProp)
+      depth += 1
+    }
+    val (_, coarsest, _, coarseN) = levels.last
+    val total = coarsest
+      .agg(sum(col(coarseN)).as("n_rows"), sum(col("value_sum")).as("value_sum"))
+      .select(keys.map(k => lit(null).cast(keyType(k)).as(k)) ++
+        Seq(col("n_rows"), col("value_sum")): _*)
+    levels.map { case (_, df, have, nCol) => pad(df, have, nCol) }
+      .reduce(_ unionByName _)
+      .unionByName(total)
+  }
+
+  // ---- MANAGEMENT VERBS -----------------------------------------------------
+
+  /** How many source versions the view trails — the max over its fact/
+    * source stamp and every star-dim stamp (ONE refresh folds all
+    * feeds, so the max IS the catch-up distance). Metadata reads only;
+    * a vanished source or corrupted property measures 0 (the
+    * maintenance tick's degrade-don't-fail rule). */
+  def versionsBehind(spark: SparkSession, root: String): Long = {
+    val cur = VersionedTable.currentVersion(spark, root).getOrElse(
+      throw new java.io.IOException(s"no committed version under $root"))
+    val props = VersionedTable.propertiesOf(spark, root, cur)
+    def lag(srcProp: String, appId: String): Long =
+      props.get(srcProp).flatMap { src =>
+        for {
+          applied <- VersionedTable.lastTxn(spark, root, appId)
+          srcCur <- VersionedTable.currentVersion(spark, src)
+        } yield math.max(0L, srcCur - applied)
+      }.getOrElse(0L)
+    val n = props.get(MvNDimsProp).flatMap(_.toIntOption)
+      .getOrElse(if (props.contains(MvDimProp)) 1 else 0)
+    (lag(MvSourceProp, MvAppId) +:
+      (0 until n).map(i => lag(dimRootProp(i), dimAppId(i)))).max
+  }
+
+  /** DROP MATERIALIZED VIEW: remove the view's root (data + log — a
+    * view is DERIVED state, rebuildable from its sources, so the drop
+    * deletes rather than unpoints). Refuses a root that is not a view:
+    * this verb must never delete a base table. A rollup chain drops
+    * child-first (no dangling cascade pointers at any instant a crash
+    * could observe). Returns the number of roots removed. */
+  def dropView(spark: SparkSession, root: String): Long = {
+    val cur = VersionedTable.currentVersion(spark, root).getOrElse(
+      throw new java.io.IOException(s"no committed version under $root"))
+    val props = VersionedTable.propertiesOf(spark, root, cur)
+    require(props.contains(MvSourceProp),
+      s"$root is not a materialized view (no $MvSourceProp property) — " +
+        "DROP MATERIALIZED VIEW refuses to delete a base table")
+    val dropped = props.get(MvChildProp).map(dropView(spark, _)).getOrElse(0L)
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    dropped + 1L
+  }
+
+  /** SHOW MATERIALIZED VIEWS IN '<dir>': every DIRECT child dir of
+    * `dir` that is a committed view, as (root, source, versions_behind)
+    * — the operator's staleness dashboard, one metadata probe per
+    * child. Non-views and uncommitted dirs are skipped silently (a
+    * warehouse dir mixes tables and views). */
+  def listViews(
+      spark: SparkSession, dir: String): Seq[(String, String, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).toSeq.filter(_.isDirectory)
+      .map(_.getPath.toString).sorted.flatMap { root =>
+        try VersionedTable.currentVersion(spark, root).flatMap { cv =>
+          VersionedTable.propertiesOf(spark, root, cv).get(MvSourceProp)
+            .map(src => (root, src, versionsBehind(spark, root)))
+        } catch { case _: Exception => None }
+      }
   }
 
   // ---- JOIN-BACKED (STAR) MATERIALIZED VIEWS --------------------------------
@@ -685,8 +965,9 @@ object AggReplica {
   // group-moving dim UPDATE moves whole fact populations between
   // groups without touching the fact. The summed terms then ride the
   // SAME retraction merge as the single-source view (count/sum abelian
-  // algebra; extrema are not join-maintainable without a per-group
-  // recompute and are refused at CREATE by the SQL face's shape check).
+  // algebra; EXTREMA ride the same signed batch — it is rows of the
+  // join bag — with retracted groups recomputed from the star at the
+  // refresh's pinned versions, [[starRecompute]]).
   //
   // STAR, not snowflake: every dim equi-joins the FACT. A dim→dim
   // chain would need the chained dims' delta terms to re-derive fact
@@ -725,9 +1006,11 @@ object AggReplica {
   def createJoinView(
       spark: SparkSession, dstRoot: String, factRoot: String,
       dimRoot: String, joinOn: Seq[(String, String)],
-      groupCols: Seq[(Boolean, String)], valueCol: String): Long =
+      groupCols: Seq[(Boolean, String)], valueCol: String,
+      extrema: Boolean = false): Long =
     createStarView(spark, dstRoot, factRoot, Seq((dimRoot, joinOn)),
-      groupCols.map { case (ff, c) => (if (ff) 0 else 1, c) }, valueCol)
+      groupCols.map { case (ff, c) => (if (ff) 0 else 1, c) },
+      Seq((valueCol, "value_sum")), extrema = extrema)
 
   /** CREATE MATERIALIZED VIEW over a STAR equi-join: seed from every
     * table's CURRENT version, record the definition (dims, per-dim
@@ -751,8 +1034,17 @@ object AggReplica {
       spark: SparkSession, dstRoot: String, factRoot: String,
       dims: Seq[(String, Seq[(String, String)])],
       groupCols: Seq[(Int, String)],
-      measures: Seq[(String, String)]): Long = {
+      measures: Seq[(String, String)],
+      extrema: Boolean = false): Long = {
     require(dims.nonEmpty, "createStarView needs at least one dim")
+    // join-backed EXTREMA: the retraction algebra is the single-source
+    // view's verbatim (the batch is signed rows of the JOIN BAG), and
+    // the flagged-group recompute reads the star at every source's
+    // pinned version ([[starRecompute]]); single measure, fixed schema,
+    // exactly like the single-source extrema face
+    require(!extrema || (measures.size == 1 && measures.head._2 == "value_sum"),
+      "an extrema star view maintains exactly one measure aliased " +
+        s"value_sum — got: ${measures.mkString(", ")}")
     require(dims.forall(_._2.nonEmpty),
       "every dim needs at least one fk=pk pair")
     require(groupCols.nonEmpty, "createStarView needs at least one group column")
@@ -795,8 +1087,13 @@ object AggReplica {
         recorded.filter(_.exists(",=:".contains(_))).mkString("; "))
     val joined = starProject(fSnap, dSnaps.zip(pairs), keys,
       ms.map(_._1), typeFrom = -1)
-    val aggs = count(lit(1)).as("n_rows") +: ms.map { case (c, a) =>
-      sum(coalesce(col(c), lit(0))).as(a) }
+    val v = col(ms.head._1)
+    val aggs =
+      if (extrema) Seq(count(lit(1)).as("n_rows"),
+        sum(coalesce(v, lit(0))).as("value_sum"),
+        count(v).as("n_vals"), min(v).as("value_min"), max(v).as("value_max"))
+      else count(lit(1)).as("n_rows") +: ms.map { case (c, a) =>
+        sum(coalesce(col(c), lit(0))).as(a) }
     val agg = joined.groupBy(outNames.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
     import spark.implicits._
@@ -813,6 +1110,7 @@ object AggReplica {
         MvJoinKeysProp -> keys.map { case (s, c) =>
           (if (s == 0) "f:" else s"d$s:") + c }.mkString(","),
         MvValueProp -> encodeMeasures(ms)) ++
+        (if (extrema) Map(MvExtremaProp -> "true") else Map.empty) ++
         dims.indices.map(i => dimRootProp(i) -> dims(i)._1) ++
         dims.indices.map(i =>
           dimJoinProp(i) -> pairs(i).map { case (fk, pk) => s"$fk=$pk" }
@@ -826,13 +1124,20 @@ object AggReplica {
       spark: SparkSession, dstRoot: String, cur: Long, factRoot: String,
       props: Map[String, String]): Long = {
     val n = props.get(MvNDimsProp).map(_.toInt).getOrElse(1)
-    def parsePairs(s: String): Seq[(String, String)] =
+    // a hand-edited/corrupted pair entry without '=' gets the same
+    // descriptive refusal [[joinProp]] gives a missing property — not a
+    // bare StringIndexOutOfBounds
+    def parsePairs(name: String, s: String): Seq[(String, String)] =
       s.split(',').toSeq.map { p =>
         val i = p.indexOf('=')
+        if (i < 0) throw new IllegalArgumentException(
+          s"join-backed materialized view property $name is malformed: " +
+            s"entry '$p' has no '=' (expected fk=pk)")
         (p.substring(0, i), p.substring(i + 1))
       }
     val dimRoots = (0 until n).map(i => joinProp(props, dimRootProp(i)))
-    val pairs = (0 until n).map(i => parsePairs(joinProp(props, dimJoinProp(i))))
+    val pairs = (0 until n).map(i =>
+      parsePairs(dimJoinProp(i), joinProp(props, dimJoinProp(i))))
     val keys = joinProp(props, MvJoinKeysProp).split(',').toSeq.map { k =>
       if (k.startsWith("f:")) (0, k.substring(2))
       else {
@@ -841,6 +1146,7 @@ object AggReplica {
       }
     }
     val measures = decodeMeasures(joinProp(props, MvValueProp))
+    val extrema = props.get(MvExtremaProp).contains("true")
     val values = measures.map(_._1).distinct
     val outNames = keys.map(_._2)
     def stamp(appId: String): Long =
@@ -880,10 +1186,29 @@ object AggReplica {
         terms += starProject(fOld, dimFrames, keys, values, typeFrom = i + 1)
       }
       val batch = terms.result().reduce(_ unionByName _)
+      // stamp only the MOVED feeds (an unmoved source's re-stamp at its
+      // unchanged high-water is a no-op row that still widens the
+      // claim's race surface); unmoved feeds become GUARDS — checked
+      // against the captured high-water inside the claim, never written
+      val fMoved = factCur > appliedF
+      val movedDims = (0 until n).filter(i => dimCurs(i) > appliedDs(i))
+      val txns =
+        (if (fMoved) Seq((MvAppId, factCur)) else Nil) ++
+          movedDims.map(i => (dimAppId(i), dimCurs(i)))
+      val priors: Seq[Option[Long]] =
+        (if (fMoved) Seq(Some(appliedF)) else Nil) ++
+          movedDims.map(i => Some(appliedDs(i)))
+      val guards =
+        (if (fMoved) Nil else Seq((MvAppId, appliedF))) ++
+          (0 until n).filterNot(movedDims.contains)
+            .map(i => (dimAppId(i), appliedDs(i)))
       applyAggMulti(spark, dstRoot, outNames, measures, batch,
-        txns = (MvAppId, factCur) +:
-          (0 until n).map(i => (dimAppId(i), dimCurs(i))),
-        expectedPriors = Some(appliedF) +: appliedDs.map(Some(_)))
+        txns = txns, expectedPriors = priors, guards = guards,
+        extrema = extrema,
+        source = if (!extrema) None
+          else Some(StarAt(factRoot, factCur,
+            (0 until n).map(i => (dimRoots(i), dimCurs(i), pairs(i))),
+            keys)))
       VersionedTable.currentVersion(spark, dstRoot).getOrElse(cur)
     }
   }

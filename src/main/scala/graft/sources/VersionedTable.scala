@@ -230,7 +230,9 @@ object VersionedTable {
     * a higher one (concurrent writers race by version), the swap is a
     * write-tmp-then-rename, and any failure leaves the previous file —
     * readers then scan the short suffix the checkpoint misses. */
-  private def writeCheckpoint(spark: SparkSession, root: String, v: Long): Unit =
+  private def writeCheckpoint(
+      spark: SparkSession, root: String, v: Long,
+      ownTxn: Option[DataFrame] = None): Unit =
     try {
       val f = fs(spark, root)
       val prev = readCheckpoint(spark, root)
@@ -239,7 +241,14 @@ object VersionedTable {
         val gap = versions(spark, root).filter(x => x > from && x <= v)
         val txns = gap.sorted
           .foldLeft(prev.map(_.txns).getOrElse(Map.empty[String, Long])) { (m, vv) =>
-            readExtra(spark, root, vv, "txn") match {
+            // version v's txn extra IS the frame this commit just staged
+            // (`ownTxn` — a driver-built local relation): folding it
+            // directly skips the per-commit parquet re-read Spark job
+            // the stamped micro-batch roads otherwise pay. Gap versions
+            // (an earlier writer crashed between publish and checkpoint)
+            // still read from the log.
+            (if (vv == v && ownTxn.isDefined) ownTxn
+             else readExtra(spark, root, vv, "txn")) match {
               case Some(df) =>
                 df.collect().foldLeft(m) { (mm, r) =>
                   val app = r.getAs[String]("app_id")
@@ -379,6 +388,7 @@ object VersionedTable {
       partitionBy: Seq[String] = Nil,
       recordInfo: Map[String, String] = Map.empty,
       extraReaderFeatures: Set[String] = Set.empty): Long = {
+    val profT0 = System.nanoTime()
     val spark = df.sparkSession
     val f = fs(spark, root)
     // PROTOCOL GATE: refuse to write against a table whose current
@@ -509,7 +519,12 @@ object VersionedTable {
       val physSpec = partSpec.map(physicalName(colMap, _))
       val frame = physSpec.foldLeft(toPhysical(df0, colMap))((d, p) =>
         d.withColumn(PartDirPrefix + p, org.apache.spark.sql.functions.col(p)))
-      val writer0 = frame.write.mode(SaveMode.Overwrite)
+      // APPEND, not Overwrite: the staging dir is a fresh UUID (nothing
+      // to overwrite by construction), and Overwrite DELETES the target
+      // dir first — which, now that the extras' jobs run concurrently
+      // into `_`-prefixed SUBDIRS of this same dir, would race their
+      // committers' `_temporary` trees out from under them
+      val writer0 = frame.write.mode(SaveMode.Append)
       val writer1 =
         if (physSpec.isEmpty) writer0
         else writer0.partitionBy(physSpec.map(PartDirPrefix + _): _*)
@@ -517,7 +532,6 @@ object VersionedTable {
         (w, c) => w.option(
           s"parquet.bloom.filter.enabled#${physicalName(colMap, c)}", "true")
       }
-      writer.parquet(staging.toString)
       // side tables that belong to THIS snapshot (e.g. a change feed):
       // written under "_"-prefixed subdirs inside the staging dir, so they
       // rename, publish and vacuum atomically with their version and stay
@@ -528,11 +542,35 @@ object VersionedTable {
       // writes zero ledger bytes AND cannot race a COPY into publishing
       // with a stale ledger (the carry-forward read this replaced ran
       // outside the publish lock).
-      extras.foreach { case (name, extra) =>
+      extras.keys.foreach { name =>
         require(name.nonEmpty && name.forall(ch => ch.isLetterOrDigit || ch == '_'),
           s"extra table name must be alphanumeric/underscore: $name")
-        extra.write.mode(SaveMode.Overwrite)
-          .parquet(new Path(staging, s"_$name").toString)
+      }
+      // the data write and each extra's write are INDEPENDENT Spark jobs
+      // into disjoint staging subdirs — run them CONCURRENTLY. Commit
+      // latency is the format family's dominant cost (the r17 profile:
+      // a feed-carrying micro-batch commit pays 2–3 sequential ~0.3 s
+      // write jobs whose compute is milliseconds), and at 100 TB the
+      // same phases are object-store round trips a streaming micro-batch
+      // pays per commit — overlap turns the sum into the max. Group
+      // commit of the JOBS, not the files: the atomic-publish protocol
+      // (claim → rename → marker) is untouched downstream.
+      val stagingWrites: Seq[() => Unit] =
+        (() => CommitProfiler.phase("data_write") {
+          writer.parquet(staging.toString)
+        }) +: extras.toSeq.map { case (name, extra) => () =>
+          CommitProfiler.phase(s"extra_write:$name") {
+            extra.write.mode(SaveMode.Overwrite)
+              .parquet(new Path(staging, s"_$name").toString)
+          }
+        }
+      if (stagingWrites.size == 1) stagingWrites.head()
+      else {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        Await.result(
+          Future.sequence(stagingWrites.map(t => Future(t()))), Duration.Inf)
       }
       // DERIVED per-file bitmaps beside the row-level DV parquet: the
       // scan-integrated mask road ([[DvBitmaps]]) for reads above the
@@ -550,7 +588,8 @@ object VersionedTable {
           else f.listStatus(dvStaged).iterator.filter(_.isFile).map(_.getLen).sum
         val floor = spark.conf
           .get(DvBitmapFloorKey, DvBitmapFloorDefault.toString).toLong
-        if (stagedBytes > floor) DvBitmaps.write(spark, dvStaged)
+        if (stagedBytes > floor)
+          CommitProfiler.phase("dv_bitmaps") { DvBitmaps.write(spark, dvStaged) }
       }
       // a DV DELTA level (the [[DvChain]] form) always derives its own bitmaps,
       // floor-free: the chain road needs EVERY contributing level's
@@ -559,7 +598,9 @@ object VersionedTable {
       // usually one task, far below the cumulative-mask rewrite this
       // form exists to avoid.
       if (extras.contains("dvdelta"))
-        DvBitmaps.write(spark, new Path(staging, "_dvdelta"))
+        CommitProfiler.phase("dv_bitmaps") {
+          DvBitmaps.write(spark, new Path(staging, "_dvdelta"))
+        }
     }
     finally prevTsType match {
       case Some(t) => spark.conf.set("spark.sql.parquet.outputTimestampType", t)
@@ -567,7 +608,8 @@ object VersionedTable {
     }
     // (1b) footer-only stats pass → <staging>/_stats ("_" prefix: invisible
     // to snapshot readers, renamed + vacuumed atomically with the version)
-    if (collectStats) TableStats.write(spark, f, staging)
+    if (collectStats)
+      CommitProfiler.phase("stats_footers") { TableStats.write(spark, f, staging) }
     // (1c) record the snapshot SCHEMA as commit metadata (the Delta
     // schema-in-the-log idea): readers apply it explicitly (by-name, so a
     // manifest spanning an evolution still reads as one frame) and the
@@ -597,8 +639,10 @@ object VersionedTable {
       }
     }
     val schemaJson = schemaToRecord.json
-    val sOut = f.create(new Path(new Path(staging, "_schema"), "schema.json"), true)
-    try sOut.write(schemaJson.getBytes("UTF-8")) finally sOut.close()
+    CommitProfiler.phase("meta_sidecars") {
+      val sOut = f.create(new Path(new Path(staging, "_schema"), "schema.json"), true)
+      try sOut.write(schemaJson.getBytes("UTF-8")) finally sOut.close()
+    }
     // (1c') the logical→physical column mapping + retired birth names
     // ride beside the schema; absent file = identity mapping
     if (colMap.nonEmpty || retired.nonEmpty)
@@ -645,11 +689,11 @@ object VersionedTable {
     if (checksToEnforce.nonEmpty && dataFiles(f, staging).nonEmpty)
       // staged files carry physical names; constraints speak logical —
       // read physical, rename back before evaluating
-      try enforceConstraints(spark,
+      try CommitProfiler.phase("constraint_enforce") { enforceConstraints(spark,
         toLogical(spark.read.option("recursiveFileLookup", "true")
           .schema(physicalSchema(df0.schema, colMap))
           .parquet(staging.toString), colMap),
-        checksToEnforce, root)
+        checksToEnforce, root) }
       catch { case e: Throwable => f.delete(staging, true); throw e }
     if (constraintsToRecord.nonEmpty)
       writeProps(f, new Path(new Path(staging, "_constraints"),
@@ -735,13 +779,15 @@ object VersionedTable {
       listVersions(f, commitDir(root)).lastOption.getOrElse(0L)) + 1
     var claimed = false
     var attempts = 0
-    while (!claimed) {
-      attempts += 1
-      if (attempts > 1000)
-        throw new java.io.IOException(
-          s"could not claim a version under $root after 1000 attempts")
-      claimed = store.claim(f, new Path(claimDir(root), pad(v)))
-      if (!claimed) v += 1
+    CommitProfiler.phase("version_claim") {
+      while (!claimed) {
+        attempts += 1
+        if (attempts > 1000)
+          throw new java.io.IOException(
+            s"could not claim a version under $root after 1000 attempts")
+        claimed = store.claim(f, new Path(claimDir(root), pad(v)))
+        if (!claimed) v += 1
+      }
     }
     // (2b) caller's pre-publish validation, run while holding the claim:
     // a throw aborts the commit — remove the staging data, keep the claim
@@ -763,17 +809,17 @@ object VersionedTable {
     // root-relative, the strings [[dataFileRefs]] returns. NEVER blocks
     // the commit (the TableStats rule): the sidecar is a derived
     // optimization with a complete stat-fallback road in the reader.
-    try FileSizes.write(f, dir,
+    try CommitProfiler.phase("file_sizes") { FileSizes.write(f, dir,
       dataFileRels(f, dir).map { case (st, rel) =>
         (f"v$v%08d/" + rel) -> st.getLen
-      })
+      }) }
     catch {
       case e: Exception =>
         maintLog.warn(s"size-sidecar write skipped for $dir " +
           "(reads fall back to a distributed stat)", e)
     }
     // (3b) caller's pre-publish metadata (manifest, carried-forward stats)
-    finalizeVersion(f, dir, v)
+    CommitProfiler.phase("finalize_manifest") { finalizeVersion(f, dir, v) }
     // (3c)+(4) publish — WINNER-TAKES-VERSION-N (the Delta commit-log
     // shape): the marker for number n = currentVersion+1 is created
     // ATOMICALLY-IF-ABSENT with content naming this commit's data dir
@@ -791,7 +837,8 @@ object VersionedTable {
     // the store has it). Validations must be idempotent (they are
     // re-checks by construction).
     val dirName = f"v$v%08d"
-    val published = publishLock(f, root).synchronized {
+    val published = CommitProfiler.phase("publish_marker") {
+      publishLock(f, root).synchronized {
       // CLAIM-NUMBER DISCIPLINE: the number contended for is always
       // (observed current)+1 with the observation taken BEFORE the
       // validation runs. Currents are monotone, so a validation that
@@ -853,18 +900,21 @@ object VersionedTable {
         } else won = n
       }
       won
-    }
+    } }
     // (5) advance the version-log checkpoint — best-effort, OUTSIDE the
     // atomicity story (the publish above already decided the commit):
     // O(1) reader resolution instead of log scans, and txn high-water
     // marks that outlive vacuum
-    writeCheckpoint(spark, root, published)
+    CommitProfiler.phase("checkpoint") {
+      writeCheckpoint(spark, root, published, ownTxn = extras.get("txn"))
+    }
     // free the identity pin's blocks (no-op when nothing allocated):
     // the staged write above was the pin's last consumer. Failure paths
     // between allocation and here leave the blocks to the JVM's block
     // manager (same cost class as an aborted staging dir); the retrying
     // roads allocate BEFORE this function and release per attempt.
     idRelease()
+    CommitProfiler.add("commit_total", System.nanoTime() - profT0)
     published
   }
 
@@ -2842,7 +2892,7 @@ object VersionedTable {
           case Some(newDel) => extras - "dv" + ("dvdelta" -> newDel)
           case None => extras // carried-only level: masks ride the chain
         }
-      else {
+      else CommitProfiler.phase("dv_carry_probe") {
         import org.apache.spark.sql.functions.col
         // isInCollection folds to an InSet literal — metadata-scale,
         // codegen'd. Keys compare as vNNNNNNNN/name TAILS: dv entries are
@@ -2855,8 +2905,14 @@ object VersionedTable {
           .getOrElse(carried)
         // skip the sidecar entirely when nothing survives (all masked
         // files were rewritten): the new version then reads mask-free and
-        // stats-only aggregation re-enables
-        if (merged.limit(1).count() == 0L) extras - "dv"
+        // stats-only aggregation re-enables. WHOLE-KEPT commits (the MOR
+        // per-commit hot path) skip the emptiness PROBE: their carried
+        // set is the base's complete mask, nonempty by induction (an
+        // empty merged mask is never written — this very gate), so the
+        // probe's Spark job would only ever confirm what the manifest
+        // already proves.
+        if (keptIsWhole) extras.updated("dv", merged)
+        else if (merged.limit(1).count() == 0L) extras - "dv"
         else extras.updated("dv", merged)
       }
     commitWith(newData, root, collectStats = true, extras = extrasWithDv,
@@ -4671,22 +4727,16 @@ object VersionedTable {
     // maintenance column); REFRESH is the dispatched action. Three
     // metadata reads, no data scan — a vanished source reports as
     // unmeasurable rather than failing the whole tick.
-    val mvProps = propertiesOf(spark, root, v)
-    def mvLag(srcProp: String, appId: String): Long =
-      mvProps.get(srcProp).flatMap { src =>
-        for {
-          applied <- lastTxn(spark, root, appId)
-          srcCur <- currentVersion(spark, src)
-        } yield math.max(0L, srcCur - applied)
-      }.getOrElse(0L)
     // a join-backed view trails whichever of its sources (fact + every
     // star dim) is furthest ahead of its stamp — one refresh folds all
-    // feeds, so the max IS the refresh's catch-up distance
-    val mvNDims = mvProps.get(AggReplica.MvNDimsProp).map(_.toInt)
-      .getOrElse(if (mvProps.contains(AggReplica.MvDimProp)) 1 else 0)
-    val mvBehind = (mvLag(AggReplica.MvSourceProp, AggReplica.MvAppId) +:
-      (0 until mvNDims).map(i =>
-        mvLag(AggReplica.dimRootProp(i), AggReplica.dimAppId(i)))).max
+    // feeds, so the max IS the refresh's catch-up distance. Delegated
+    // to the management face ([[AggReplica.versionsBehind]]) so SHOW
+    // MATERIALIZED VIEWS and this report can never drift; it degrades a
+    // vanished source or corrupted property to 0, the tick's rule.
+    val mvBehind =
+      if (!propertiesOf(spark, root, v).contains(AggReplica.MvSourceProp)) 0L
+      else try AggReplica.versionsBehind(spark, root)
+      catch { case _: Exception => 0L }
     if (mvBehind > 0) recs += s"refresh_view:$mvBehind"
     // registered ANN indexes: measure recall against the current corpus
     // and recommend a geometry rebuild under the recorded floor. A
@@ -4965,7 +5015,7 @@ object VersionedTable {
 
   private def writeProps(
       f: org.apache.hadoop.fs.FileSystem, p: Path,
-      m: Map[String, String]): Unit = {
+      m: Map[String, String]): Unit = CommitProfiler.phase("meta_sidecars") {
     val props = new java.util.Properties()
     m.foreach { case (k, v) => props.setProperty(k, v) }
     val out = f.create(p, true)

@@ -106,6 +106,20 @@ case class GraftDetailCommand(table: String, body: SparkSession => Seq[Row])
   override def simpleString(maxFields: Int): String = s"GraftDetailCommand($table)"
 }
 
+/** `SHOW MATERIALIZED VIEWS IN '<dir>'`: every committed view directly
+  * under the dir as (location, source, versions_behind) — the
+  * operator's staleness dashboard (lag measured from the views' own
+  * refresh stamps, [[graft.sources.AggReplica.versionsBehind]]). */
+case class GraftViewsCommand(dir: String, body: SparkSession => Seq[Row])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("source", StringType, nullable = false)(),
+    AttributeReference("versions_behind", LongType, nullable = false)())
+  override def run(sparkSession: SparkSession): Seq[Row] = body(sparkSession)
+  override def simpleString(maxFields: Int): String = s"GraftViewsCommand($dir)"
+}
+
 /** `SHOW TBLPROPERTIES '<root>'`: the current version's table properties
   * as a result set (key, value) — introspection face of
   * [[graft.sources.VersionedTable.propertiesOf]]. */

@@ -242,16 +242,18 @@ class JoinViewSpec extends SparkSpec {
            |FROM '$fact' f JOIN '$dim' d ON f.cust = d.cust
            |GROUP BY seg""".stripMargin)
     }
-    // extrema aggregates are not join-maintainable
-    intercept[IllegalArgumentException] {
+    // extrema aggregates must all be over ONE fact column — a dim-side
+    // extremum (or mixed columns) still refuses loudly
+    val e2 = intercept[IllegalArgumentException] {
       GraftSql.execute(spark,
         s"""CREATE MATERIALIZED VIEW '${mv()}' AS
            |SELECT d.seg, count(*) AS n_rows, sum(f.amount) AS value_sum,
-           |  count(f.amount) AS n_vals, min(f.amount) AS value_min,
+           |  count(f.amount) AS n_vals, min(d.cust) AS value_min,
            |  max(f.amount) AS value_max
            |FROM '$fact' f JOIN '$dim' d ON f.cust = d.cust
            |GROUP BY d.seg""".stripMargin)
     }
+    assert(e2.getMessage.contains("fact"))
     // non-equi ON
     intercept[IllegalArgumentException] {
       GraftSql.execute(spark,
@@ -260,6 +262,68 @@ class JoinViewSpec extends SparkSpec {
            |FROM '$fact' f JOIN '$dim' d ON f.cust < d.cust
            |GROUP BY d.seg""".stripMargin)
     }
+  }
+
+  test("EXTREMA over a join view: a group-moving dim update retracts " +
+    "the group's min AND max (the star-recompute road), a fact delete " +
+    "empties a group, and the SQL extrema tail creates the view") {
+    val fact = freshDir("graft_jv_f") + "/t"
+    val dim = freshDir("graft_jv_d") + "/t"
+    val mv = freshDir("graft_jv_mv") + "/t"
+    seedFact(fact); seedDim(dim)
+    GraftSql.execute(spark,
+      s"""CREATE MATERIALIZED VIEW '$mv' AS
+         |SELECT d.seg, count(*) AS n_rows, sum(f.amount) AS value_sum,
+         |  count(f.amount) AS n_vals, min(f.amount) AS value_min,
+         |  max(f.amount) AS value_max
+         |FROM '$fact' f JOIN '$dim' d ON f.cust = d.cust
+         |GROUP BY d.seg""".stripMargin)
+    def extJv(root: String): Seq[(String, Long, Long, Long, Long, Long)] =
+      VersionedTable.read(spark, root)
+        .select(col("seg"), col("n_rows"), col("value_sum").cast("long"),
+          col("n_vals"), col("value_min").cast("long"),
+          col("value_max").cast("long"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSeq.sorted
+    assert(extJv(mv) == Seq(
+      ("gold", 3L, 157L, 3L, 7L, 100L), ("iron", 1L, 1000L, 1L, 1000L, 1000L)))
+    // insert-only fact append: the fold road (no source re-read)
+    VersionedTable.commitAppend(
+      Seq((6L, 20L, 300L)).toDF("id", "cust", "amount"),
+      fact, changeFeed = true)
+    GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW '$mv'")
+    assert(extJv(mv) == Seq(
+      ("gold", 4L, 457L, 4L, 7L, 300L), ("iron", 1L, 1000L, 1L, 1000L, 1000L)))
+    // one refresh folds: a dim MOVE that carries gold's min (7) and max
+    // (300) out with cust 20 — the survivors' extrema are not derivable
+    // from the stored state, so the maintainer re-reads the STAR at the
+    // refresh's pinned versions restricted to the flagged groups — and
+    // a fact delete that empties iron entirely (group DELETE fate)
+    VersionedTable.updateWhere(spark, dim, col("cust") === 20L,
+      Map("seg" -> lit("silver")))
+    VersionedTable.deleteWhere(spark, fact, col("id") === 4L)
+    GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW '$mv'")
+    assert(extJv(mv) == Seq(
+      ("gold", 2L, 150L, 2L, 50L, 100L),
+      ("silver", 2L, 307L, 2L, 7L, 300L)),
+      "gold's extrema must recompute from its surviving rows; silver " +
+        "carries the moved population's extrema; iron is gone")
+    // and the whole state equals the batch join-aggregate recompute
+    val f = VersionedTable.read(spark, fact)
+    val d = VersionedTable.read(spark, dim).withColumnRenamed("cust", "dcust")
+    val rc = f.join(d, f("cust") === d("dcust"), "inner")
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("amount")).as("value_sum"),
+        count(col("amount")).as("n_vals"), min(col("amount")).as("value_min"),
+        max(col("amount")).as("value_max"))
+      .select(col("seg"), col("n_rows"), col("value_sum").cast("long"),
+        col("n_vals"), col("value_min").cast("long"),
+        col("value_max").cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq.sorted
+    assert(extJv(mv) == rc)
   }
 
   test("STAR views: two dims churned with the fact in ONE refresh — the " +
@@ -436,6 +500,44 @@ class JoinViewSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .toSeq.sorted
     assert(st() == rec)
+  }
+
+  test("a dim-only refresh writes ONLY the moved stamp — the unmoved " +
+    "fact feed is guarded against a concurrent advance, never re-written") {
+    val fact = freshDir("graft_jv_f") + "/t"
+    val dim = freshDir("graft_jv_d") + "/t"
+    val mv = freshDir("graft_jv_mv") + "/t"
+    seedFact(fact); seedDim(dim)
+    AggReplica.createJoinView(spark, mv, fact, dim,
+      Seq(("cust", "cust")), Seq((false, "seg")), "amount")
+    val factHw = VersionedTable.lastTxn(spark, mv, AggReplica.MvAppId).get
+    // dim-only churn: the refresh folds one feed, stamps one feed
+    VersionedTable.updateWhere(spark, dim, col("cust") === 10L,
+      Map("seg" -> lit("silver")))
+    AggReplica.refreshView(spark, mv)
+    val v = VersionedTable.currentVersion(spark, mv).get
+    val stamped = VersionedTable.readExtra(spark, mv, v, "txn").get
+      .select("app_id").collect().map(_.getString(0)).toSet
+    assert(stamped == Set(AggReplica.dimAppId(0)),
+      s"a dim-only refresh must stamp only the dim feed, wrote: $stamped")
+    // the unmoved fact's high-water still reads through (older stamp)
+    assert(VersionedTable.lastTxn(spark, mv, AggReplica.MvAppId)
+      .contains(factHw), "the fact high-water must survive unstamped")
+    assert(viewState(mv) == recompute(fact, dim))
+    // and the GUARD half: a batch claiming the fact at a stale
+    // high-water (a concurrent refresh advanced it mid-flight) loses
+    // its claim instead of merging terms computed against a superseded
+    // fact state
+    val emptyBatch = Seq.empty[(String, Long, String)]
+      .toDF("seg", "amount", "_change_type")
+    val applied = AggReplica.applyAggMulti(spark, mv,
+      Seq("seg"), Seq(("amount", "value_sum")), emptyBatch,
+      txns = Seq((AggReplica.dimAppId(0),
+        VersionedTable.lastTxn(spark, mv, AggReplica.dimAppId(0)).get + 1)),
+      expectedPriors = Seq(
+        VersionedTable.lastTxn(spark, mv, AggReplica.dimAppId(0))),
+      guards = Seq((AggReplica.MvAppId, factHw - 1)))
+    assert(!applied, "a moved guard must lose the claim")
   }
 
   test("NULL dim attributes group as one NULL group; NULL join keys " +

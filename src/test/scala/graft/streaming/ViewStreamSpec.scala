@@ -282,6 +282,48 @@ class ViewStreamSpec extends SparkSpec {
       ("b", 1L, 5L, 1L, Some(5L), Some(5L))))
   }
 
+  test("the extremum-recompute broadcasts are GATED on group count: " +
+    "past the limit the hints drop (AQE plans the joins) and the " +
+    "retraction refresh stays exact") {
+    // unit half: the hint is present under the limit, absent past it
+    val probe = Seq(("a", 1L)).toDF("grp", "v")
+    assert(AggReplica.maybeBroadcast(probe, 10L, 100L)
+      .queryExecution.logical.toString.toLowerCase.contains("hint"),
+      "under the limit the broadcast hint must be applied")
+    assert(!AggReplica.maybeBroadcast(probe, 1000L, 100L)
+      .queryExecution.logical.toString.toLowerCase.contains("hint"),
+      "past the limit the hint must drop — AQE plans from sizes")
+    // end-to-end half: with the limit forced to 0 every recompute-road
+    // frame takes the plain-join road; a both-extrema retraction (the
+    // path that used to force four broadcasts) must still equal the
+    // recompute exactly
+    val prev = spark.conf.getOption(AggReplica.BroadcastKeyLimitKey)
+    spark.conf.set(AggReplica.BroadcastKeyLimitKey, "0")
+    try {
+      val tmp = freshDir("graft_vs_bcgate")
+      val src = s"$tmp/src"; val mv = s"$tmp/mv"
+      val df = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L),
+        (4L, "b", 50L)).toDF("id", "grp", "v")
+      VersionedTable.commit(df, src, extras = Map("changes" ->
+        VersionedTable.feedWritable(
+          df.withColumn("_change_type", lit("insert")))))
+      AggReplica.createView(spark, mv, src, Seq("grp"), "v", extrema = true)
+      // retract every group's max AND min in one refresh
+      VersionedTable.deleteWhere(spark, src, col("id").isin(1L, 4L))
+      VersionedTable.commitAppend(
+        Seq((5L, "a", 15L), (6L, "b", 7L)).toDF("id", "grp", "v"),
+        src, changeFeed = true)
+      AggReplica.refreshView(spark, mv)
+      assert(extState(mv) == Seq(
+        ("a", 2L, 35L, 2L, Some(15L), Some(20L)),
+        ("b", 2L, 12L, 2L, Some(5L), Some(7L))),
+        "the plain-join road must equal the recompute")
+    } finally prev match {
+      case Some(p) => spark.conf.set(AggReplica.BroadcastKeyLimitKey, p)
+      case None => spark.conf.unset(AggReplica.BroadcastKeyLimitKey)
+    }
+  }
+
   test("in-batch churn cannot poison the fold: a value inserted and " +
     "deleted inside one batch never becomes the stored extremum, and a " +
     "zero-net-count batch still moves the extrema") {
