@@ -308,6 +308,53 @@ class SimilaritySpec extends SparkSpec {
       s"residual ADC error $eRes not better than raw $eRaw on clustered data")
   }
 
+  test("ground-truth RECALL on clustered data at 10x: residual IVF-PQ " +
+    "matches-or-beats raw at EQUAL nProbes and geometry (SCALING.md row)") {
+    // The round-17 ask: a recall@k number beside the ADC-fidelity number,
+    // measured on the distribution the operator exists for (clustered),
+    // at 10x the fidelity test's frame. Both variants rerank exactly, so
+    // recall differs only through WHICH candidates the ADC shortlist
+    // keeps — tighter residual codes keep more true neighbors. Partial
+    // probing (4 of 16 cells) and a tight shortlist make the selection
+    // pressure real. Deterministic data, deterministic result.
+    import spark.implicits._
+    val dim = 64
+    val n = 4000 // 10x the fidelity test's 400
+    val clustered = (0 until n).map { id =>
+      val c = id % 16
+      val v = (0 until dim).map { d =>
+        val center = if (d % 16 == c) 10.0f else 0.0f
+        val h = ((id.toLong * 1315423911L + d.toLong * 2654435761L) % 1000L + 1000L) % 1000L
+        center + (h.toFloat / 1000.0f - 0.5f)
+      }.toArray
+      (id.toLong, v)
+    }.toDF("vec_id", "embedding").cache()
+    val q = clustered.filter("vec_id % 200 = 0") // 20 queries
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(
+      Similarity.knnBruteForce(q, clustered, "vec_id", "embedding", 5))
+    val res = pairs(Similarity.ivfPqResidualTopK(q, clustered,
+      "vec_id", "embedding", k = 5, nCells = 16, nProbes = 4,
+      coarseIters = 2, nSub = 4, subDim = 16, kPerSub = 16, pqIters = 2,
+      shortlist = 10))
+    val raw = pairs(Similarity.ivfPqTopK(q, clustered,
+      "vec_id", "embedding", k = 5, nCells = 16, nProbes = 4,
+      coarseIters = 2, nSub = 4, subDim = 16, kPerSub = 16, pqIters = 2,
+      shortlist = 10))
+    val resRecall = (truth & res).size.toDouble / truth.size
+    val rawRecall = (truth & raw).size.toDouble / truth.size
+    info(f"RecallProbe clustered 10x: s6(residual) recall@5 = " +
+      f"$resRecall%.3f, s5(raw) recall@5 = $rawRecall%.3f " +
+      f"(n=$n, nCells=16, nProbes=4, shortlist=10)")
+    clustered.unpersist()
+    assert(resRecall >= rawRecall,
+      s"residual recall $resRecall below raw $rawRecall on clustered data " +
+        "at equal probes/geometry")
+    assert(resRecall >= 0.5, s"residual recall $resRecall below floor")
+  }
+
   test("PQ rejects vectors whose dim doesn't match nSub x subDim") {
     // 3-dim vectors into a 2x2 config: slicing would silently produce
     // short subvectors and plausible-but-wrong neighbors — must raise
