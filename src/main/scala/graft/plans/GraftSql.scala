@@ -1189,21 +1189,24 @@ object GraftSql {
       spark: SparkSession, dst: String, selectList: String,
       src: String, groupBy: String): Long = {
     val Ident = "[A-Za-z_][A-Za-z0-9_]*"
-    // GROUP BY ROLLUP (k1, …, kn): ONE statement declares the cascade —
-    // the finest view plus stacked coarser sum views, refresh folding
-    // the chain in dependency order ([[AggReplica.createRollupView]]).
-    // Single-sum shape only: a rollup of sums IS a sum of sums; extrema
-    // do not telescope through levels (a coarser min is not a sum of
-    // finer mins' deltas) and refuse here.
-    val RollupRe = """(?is)\s*ROLLUP\s*\(\s*(.+?)\s*\)\s*""".r
+    // GROUP BY ROLLUP/CUBE (k1, …, kn): ONE statement declares the
+    // grouping-set cascade — the finest view plus coarser sum views
+    // (ROLLUP: a prefix chain, each level folding its parent's feed;
+    // CUBE: every proper subset hanging off the finest), refresh folding
+    // everything in dependency order ([[AggReplica.createRollupView]] /
+    // [[AggReplica.createCubeView]]). Single-sum shape only: grouping
+    // sets of sums ARE sums of sums; extrema do not telescope through
+    // levels (a coarser min is not a sum of finer mins' deltas) and
+    // refuse here.
+    val GroupingSetRe = """(?is)\s*(ROLLUP|CUBE)\s*\(\s*(.+?)\s*\)\s*""".r
     groupBy match {
-      case RollupRe(inner) =>
+      case GroupingSetRe(kind, inner) =>
         val rKeys = inner.split(",").map(_.trim).toSeq
         require(rKeys.nonEmpty && rKeys.forall(_.matches(Ident)),
-          s"ROLLUP must list plain columns, got: $inner")
+          s"$kind must list plain columns, got: $inner")
         val items = selectList.split(",").map(_.trim).toSeq
-        val rShape = "a ROLLUP materialized view SELECT must be exactly: " +
-          "the ROLLUP columns (in order), count(*) AS n_rows, " +
+        val rShape = s"a $kind materialized view SELECT must be exactly: " +
+          s"the $kind columns (in order), count(*) AS n_rows, " +
           "sum(<col>) AS value_sum"
         require(items.size == rKeys.size + 2, s"$rShape — got: $selectList")
         require(items.take(rKeys.size).map(_.toLowerCase) ==
@@ -1216,7 +1219,10 @@ object GraftSql {
           case other => throw new IllegalArgumentException(
             s"$rShape — got: $other")
         }
-        return graft.sources.AggReplica.createRollupView(
+        return if (kind.equalsIgnoreCase("CUBE"))
+          graft.sources.AggReplica.createCubeView(
+            spark, dst, src, rKeys, valueCol)
+        else graft.sources.AggReplica.createRollupView(
           spark, dst, src, rKeys, valueCol)
       case _ => ()
     }

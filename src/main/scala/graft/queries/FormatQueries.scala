@@ -44,7 +44,8 @@ object FormatQueries {
     "q43_matview_star"        -> ((s, d) => q43(s, d)),
     "q44_matview_multi"       -> ((s, d) => q44(s, d)),
     "q45_matview_join_minmax" -> ((s, d) => q45(s, d)),
-    "q46_matview_rollup"      -> ((s, d) => q46(s, d))
+    "q46_matview_rollup"      -> ((s, d) => q46(s, d)),
+    "q47_matview_cube"        -> ((s, d) => q47(s, d))
   )
 
   // scratch roots live on local tmpfs, so the bench numbers for q27–q42
@@ -736,6 +737,43 @@ object FormatQueries {
       .orderBy(col("c_mktsegment"), col("c_nationkey"))
   }
 
+  /** q47: DECLARED CUBE MATERIALIZED VIEW — `CREATE … GROUP BY CUBE
+    * (seg, nation)` builds the finest view plus ONE maintained sum view
+    * per proper key subset, all folding the finest's own change feed
+    * (any subset aggregate is a sum over finest groups — the lattice
+    * flattens to one fan-out); one `REFRESH` folds everything. Surface
+    * = the SQL CUBE result set; oracle recomputes `GROUP BY CUBE` from
+    * the source's final state. */
+  def q47(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q47").toString
+    val src = s"$tmp/src"; val mv = s"$tmp/mv"
+    val customers = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"),
+        col("c_acctbal").cast("decimal(18,2)").as("c_acctbal"))
+    val seed = customers.where(col("c_custkey") % 3 === 1)
+    VersionedTable.commit(seed, src, extras = Map("changes" ->
+      VersionedTable.feedWritable(
+        seed.withColumn("_change_type", lit("insert")))))
+    GraftSql.execute(s,
+      s"""CREATE MATERIALIZED VIEW '$mv' AS
+         |SELECT c_mktsegment, c_nationkey, count(*) AS n_rows,
+         |  sum(c_acctbal) AS value_sum
+         |FROM '$src' GROUP BY CUBE (c_mktsegment, c_nationkey)""".stripMargin)
+    VersionedTable.commitAppend(
+      customers.where(col("c_custkey") % 3 === 2), src, changeFeed = true)
+    VersionedTable.updateWhere(s, src, col("c_custkey") % 10 === 0,
+      Map("c_mktsegment" -> lit("MOVED")))
+    VersionedTable.deleteWhere(s, src, col("c_acctbal") < lit(0))
+    GraftSql.execute(s, s"REFRESH MATERIALIZED VIEW '$mv'")
+    graft.sources.AggReplica.readCube(s, mv)
+      .select(
+        coalesce(col("c_mktsegment"), lit("ALL")).as("c_mktsegment"),
+        coalesce(col("c_nationkey"), lit(-1)).as("c_nationkey"),
+        col("n_rows"),
+        col("value_sum").cast("double").as("value_sum"))
+      .orderBy(col("c_mktsegment"), col("c_nationkey"))
+  }
+
   /** Amortized MV lifecycle splits for the bench (the s4_build/s4_probe
     * pattern): per view shape, `qNN_create` = scratch construction
     * (sources already standing) and `qNN_refresh` = ONE O(changes)
@@ -881,6 +919,21 @@ object FormatQueries {
         |  count(*)::BIGINT AS n_rows,
         |  sum(c_acctbal)::DOUBLE AS value_sum
         |FROM s GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+    // q47: GROUP BY CUBE recomputed from the source's final state
+    "q47_matview_cube" ->
+      """WITH s AS (
+        |  SELECT
+        |    CASE WHEN c_custkey % 10 = 0 THEN 'MOVED' ELSE c_mktsegment END
+        |      AS c_mktsegment,
+        |    c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal
+        |  FROM customer
+        |  WHERE c_custkey % 3 IN (1, 2) AND NOT (c_acctbal < 0))
+        |SELECT coalesce(c_mktsegment, 'ALL') AS c_mktsegment,
+        |  coalesce(c_nationkey, -1) AS c_nationkey,
+        |  count(*)::BIGINT AS n_rows,
+        |  sum(c_acctbal)::DOUBLE AS value_sum
+        |FROM s GROUP BY CUBE (c_mktsegment, c_nationkey)
         |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
     // q44: both sums recomputed over the final join state
     "q44_matview_multi" ->

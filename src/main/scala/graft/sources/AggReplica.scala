@@ -599,14 +599,20 @@ object AggReplica {
   val MvNDimsProp = "graft.mv.ndims"
   val MvDimAppId = "graft-mv-dim"
 
-  /** Cascade pointer: the NEXT-coarser view maintained from THIS view's
-    * own change feed (a declared ROLLUP chain). REFRESH descends
-    * parent-first; DROP descends child-first. */
+  /** Cascade pointer(s): the coarser view(s) maintained from THIS
+    * view's own change feed, comma-joined (a ROLLUP chain records one
+    * child per level; a CUBE records every subset view directly on the
+    * finest — any subset aggregate is a sum over finest groups).
+    * REFRESH descends parent-first; DROP descends child-first. */
   val MvChildProp = "graft.mv.child"
   /** The declared rollup key list, recorded on the FINEST level (the
     * chain's entry root) — [[readRollup]] reconstructs the grouping
     * sets from it. */
   val MvRollupProp = "graft.mv.rollup"
+  /** The declared cube key list, recorded on the finest level —
+    * [[readCube]] reconstructs the grouping sets from it plus each
+    * child's own recorded keys. */
+  val MvCubeProp = "graft.mv.cube"
 
   /** CREATE MATERIALIZED VIEW: one aggregate scan of the source's
     * CURRENT version seeds the view, the definition lands as table
@@ -702,12 +708,13 @@ object AggReplica {
           VersionedTable.currentVersion(spark, dstRoot).getOrElse(cur)
         }
       }
-    // CASCADE, parent-first: a declared rollup chain's child folds the
+    // CASCADE, parent-first: a declared rollup/cube's children fold the
     // feed the refresh above just emitted. An unmoved parent still
     // descends — that heals a crash that landed between a parent's
-    // refresh and its child's, and no-ops otherwise (each link is its
-    // own O(changes) refresh with its own exactly-once stamp).
-    props.get(MvChildProp).foreach(child => refreshView(spark, child))
+    // refresh and its children's, and no-ops otherwise (each link is
+    // its own O(changes) refresh with its own exactly-once stamp).
+    props.get(MvChildProp).toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
+      .foreach(child => refreshView(spark, child))
     result
   }
 
@@ -880,6 +887,76 @@ object AggReplica {
       .unionByName(total)
   }
 
+  /** CREATE MATERIALIZED VIEW … GROUP BY CUBE (k1, …, kn): the finest
+    * view at `dstRoot` plus ONE maintained sum view per proper
+    * non-empty key subset, ALL hanging directly off the finest (any
+    * subset aggregate is a sum over finest groups, so every child folds
+    * the finest's own change feed — a lattice flattened to one fan-out,
+    * not a chain). 2ⁿ−2 children bounds n at 4 — past that, declare the
+    * rollup you actually query. The grand-total set derives at read
+    * ([[readCube]]). */
+  def createCubeView(
+      spark: SparkSession, dstRoot: String, srcRoot: String,
+      keyCols: Seq[String], valueCol: String): Long = {
+    require(keyCols.nonEmpty, "CUBE needs at least one group column")
+    require(keyCols.size <= 4,
+      s"CUBE over ${keyCols.size} columns declares ${(1 << keyCols.size) - 2} " +
+        "maintained subset views — declare a ROLLUP (or the subsets you " +
+        "actually query) past 4 columns")
+    val n = keyCols.size
+    // proper non-empty subsets in (size desc, index order) — stable,
+    // derivable child names: __cube_<kept indices>
+    val subsets = (1 until (1 << n))
+      .map(m => (0 until n).filter(i => (m & (1 << i)) != 0))
+      .filter(_.size < n)
+      .sortBy(s => (-s.size, s.mkString))
+    val children = subsets.map(s => s"${dstRoot}__cube_${s.mkString("")}")
+    val v0 = createView(spark, dstRoot, srcRoot, keyCols, valueCol,
+      extraProps = Map(MvCubeProp -> keyCols.mkString(",")) ++
+        (if (children.nonEmpty) Map(MvChildProp -> children.mkString(","))
+         else Map.empty))
+    subsets.zip(children).foreach { case (s, child) =>
+      createMultiView(spark, child, dstRoot, s.map(keyCols),
+        Seq(("n_rows", "rows_sum"), ("value_sum", "value_sum")))
+    }
+    v0
+  }
+
+  /** The SQL `GROUP BY CUBE` result set served from the maintained
+    * fan-out: the finest level, every subset child (absent keys
+    * NULL-padded, summed counts renamed back to `n_rows`), and the
+    * grand-total row aggregated at read from the finest. Schema:
+    * k1…kn, n_rows, value_sum. */
+  def readCube(spark: SparkSession, root: String): DataFrame = {
+    val cur = VersionedTable.currentVersion(spark, root).getOrElse(
+      throw new java.io.IOException(s"no committed version under $root"))
+    val props = VersionedTable.propertiesOf(spark, root, cur)
+    val keys = props.getOrElse(MvCubeProp,
+      throw new IllegalArgumentException(
+        s"$root is not a cube view (no $MvCubeProp property)"))
+      .split(',').toSeq
+    val finest = VersionedTable.read(spark, root)
+    val keyType = keys.map(k => k -> finest.schema(k).dataType).toMap
+    def pad(df: DataFrame, have: Seq[String], nCol: String): DataFrame =
+      df.select(keys.map(k =>
+        if (have.contains(k)) col(k) else lit(null).cast(keyType(k)).as(k)) ++
+        Seq(col(nCol).as("n_rows"), col("value_sum")): _*)
+    val childFrames = props.get(MvChildProp).toSeq.flatMap(_.split(','))
+      .filter(_.nonEmpty).map { child =>
+        val cv = VersionedTable.currentVersion(spark, child).getOrElse(
+          throw new java.io.IOException(s"cube level $child is gone"))
+        val have = VersionedTable.propertiesOf(spark, child, cv)(MvKeysProp)
+          .split(',').toSeq
+        pad(VersionedTable.read(spark, child), have, "rows_sum")
+      }
+    val total = finest
+      .agg(sum(col("n_rows")).as("n_rows"), sum(col("value_sum")).as("value_sum"))
+      .select(keys.map(k => lit(null).cast(keyType(k)).as(k)) ++
+        Seq(col("n_rows"), col("value_sum")): _*)
+    (pad(finest, keys, "n_rows") +: childFrames :+ total)
+      .reduce(_ unionByName _)
+  }
+
   // ---- MANAGEMENT VERBS -----------------------------------------------------
 
   /** How many source versions the view trails — the max over its fact/
@@ -917,7 +994,8 @@ object AggReplica {
     require(props.contains(MvSourceProp),
       s"$root is not a materialized view (no $MvSourceProp property) — " +
         "DROP MATERIALIZED VIEW refuses to delete a base table")
-    val dropped = props.get(MvChildProp).map(dropView(spark, _)).getOrElse(0L)
+    val dropped = props.get(MvChildProp).toSeq.flatMap(_.split(','))
+      .filter(_.nonEmpty).map(dropView(spark, _)).sum
     val p = new org.apache.hadoop.fs.Path(root)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     dropped + 1L

@@ -94,6 +94,52 @@ class MvManageSpec extends SparkSpec {
     assert(AggReplica.versionsBehind(spark, child) == 0L)
   }
 
+  private def cubeState(mv: String): Seq[(String, Long, Long, Long)] =
+    AggReplica.readCube(spark, mv)
+      .select(coalesce(col("seg"), lit("ALL")).as("seg"),
+        coalesce(col("nat"), lit(-1L)).as("nat"),
+        col("n_rows"), col("value_sum").cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+
+  private def cubeRecompute(src: String): Seq[(String, Long, Long, Long)] =
+    VersionedTable.read(spark, src)
+      .cube(col("seg"), col("nat"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("value_sum"))
+      .select(coalesce(col("seg"), lit("ALL")).as("seg"),
+        coalesce(col("nat"), lit(-1L)).as("nat"),
+        col("n_rows"), col("value_sum").cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+
+  test("a declared CUBE fan-out equals the SQL CUBE recompute at seed " +
+    "and after churn; DROP removes the finest plus every subset child") {
+    val tmp = freshDir("graft_mvm_cube")
+    val src = s"$tmp/src"; val mv = s"$tmp/mv"
+    seed(src)
+    GraftSql.execute(spark,
+      s"""CREATE MATERIALIZED VIEW '$mv' AS
+         |SELECT seg, nat, count(*) AS n_rows, sum(v) AS value_sum
+         |FROM '$src' GROUP BY CUBE (seg, nat)""".stripMargin)
+    assert(cubeState(mv) == cubeRecompute(src))
+    VersionedTable.commitAppend(
+      Seq(("c", 9L, 1000L), ("b", 1L, 3L)).toDF("seg", "nat", "v"),
+      src, changeFeed = true)
+    VersionedTable.updateWhere(spark, src, col("v") === 100L,
+      Map("nat" -> lit(7L)))
+    VersionedTable.deleteWhere(spark, src, col("v") === 20L)
+    GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW '$mv'")
+    assert(cubeState(mv) == cubeRecompute(src),
+      "one cascading refresh must fold the finest and every subset child")
+    // DROP removes the whole fan-out: finest + (seg) + (nat)
+    val dropped = GraftSql.execute(spark, s"DROP MATERIALIZED VIEW '$mv'")
+      .collect().head.getLong(2)
+    assert(dropped == 3L, s"the cube drops finest + 2 subset children, got $dropped")
+    assert(VersionedTable.currentVersion(spark, mv).isEmpty)
+  }
+
   test("SHOW MATERIALIZED VIEWS lists a dir's views with their lag; " +
     "versionsBehind reads the view's own stamps") {
     val tmp = freshDir("graft_mvm_show")
