@@ -1340,18 +1340,33 @@ object VersionedTable {
   def tableSchema(
       spark: SparkSession, root: String, v: Long)
       : Option[org.apache.spark.sql.types.StructType] = {
-    val f = fs(spark, root)
-    val p = new Path(new Path(dataDir(spark, root, v), "_schema"), "schema.json")
-    if (!f.exists(p)) None
-    else
-      try {
-        val in = f.open(p)
-        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-                   finally in.close()
-        Some(org.apache.spark.sql.types.DataType.fromJson(text)
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
-      } catch { case _: Exception => None }
+    // memoized on the marker identity like the sidecar properties —
+    // schema.json is immutable once the version publishes, every read
+    // road resolves it, and StructType is immutable so sharing is safe
+    val key = (root, v, markerIdentity(spark, root, v))
+    val got = schemaMemo.get(key)
+    if (got != null) got
+    else {
+      val read: Option[org.apache.spark.sql.types.StructType] = {
+        val f = fs(spark, root)
+        val p = new Path(new Path(dataDir(spark, root, v), "_schema"),
+          "schema.json")
+        // direct open (absent → the existing catch-all None): the
+        // exists() probe was a second round trip per schema read
+        try {
+          val in = f.open(p)
+          val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                     finally in.close()
+          Some(org.apache.spark.sql.types.DataType.fromJson(text)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+        } catch { case _: Exception => None }
+      }
+      schemaMemo.put(key, read)
+      read
+    }
   }
+  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), Option[org.apache.spark.sql.types.StructType]]()
 
   // ---- protocol: table features (reader/writer gate) ----------------------
 
@@ -1391,7 +1406,7 @@ object VersionedTable {
     * reading exactly as before. */
   def protocolOf(
       spark: SparkSession, root: String, v: Long): (Set[String], Set[String]) = {
-    val props = readProps(spark, protocolPath(spark, root, v))
+    val props = readVersionProps(spark, root, v, protocolPath(spark, root, v))
     def split(k: String) = props.get(k)
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
@@ -1457,7 +1472,7 @@ object VersionedTable {
     * identity mapping (every table before its first rename). */
   def columnMapping(
       spark: SparkSession, root: String, v: Long): Map[String, String] =
-    readProps(spark, mappingPath(spark, root, v)) - RetiredKey
+    readVersionProps(spark, root, v, mappingPath(spark, root, v)) - RetiredKey
 
   /** Physical names RETIRED by a DROP COLUMN (or freed by a rename and
     * then shadowed): a later evolveSchema add with the same logical name
@@ -1465,7 +1480,7 @@ object VersionedTable {
     * resurrect through by-name parquet resolution. */
   private def retiredPhysicals(
       spark: SparkSession, root: String, v: Long): Set[String] =
-    readProps(spark, mappingPath(spark, root, v)).get(RetiredKey)
+    readVersionProps(spark, root, v, mappingPath(spark, root, v)).get(RetiredKey)
       .map(_.split(',').filter(_.nonEmpty).toSet).getOrElse(Set.empty)
 
   private def physicalName(mapping: Map[String, String], c: String): String =
@@ -3403,7 +3418,7 @@ object VersionedTable {
     * those as opaque and falls back to a full recompute. */
   def commitInfoOf(
       spark: SparkSession, root: String, v: Long): Map[String, String] =
-    readProps(spark, new Path(new Path(dataDir(spark, root, v),
+    readVersionProps(spark, root, v, new Path(new Path(dataDir(spark, root, v),
       "_commitinfo"), "info.properties"))
 
   /** Winner operations a losing DML may compose with by manifest
@@ -4876,8 +4891,9 @@ object VersionedTable {
     * and constraints. Empty for versions before any [[setProperties]]. */
   def propertiesOf(
       spark: SparkSession, root: String, v: Long): Map[String, String] =
-    readProps(spark, new Path(new Path(dataDir(spark, root, v), "_properties"),
-      "table.properties"))
+    readVersionProps(spark, root, v,
+      new Path(new Path(dataDir(spark, root, v), "_properties"),
+        "table.properties"))
 
   /** Convenience: a boolean property of the CURRENT version (false when
     * unset, the table is empty, or the value isn't `true`). */
@@ -5001,16 +5017,42 @@ object VersionedTable {
   /** java-Properties file read shared by constraints and table
     * properties — Properties handles escaping, so arbitrary expression
     * strings round-trip. */
+  /** Version-pinned sidecar properties, MEMOIZED on the marker identity
+    * (the [[commitTimeOf]] key discipline: sidecars are immutable once
+    * the version publishes — they rode the staging rename BEFORE the
+    * marker landed — and a table recreated at the same root mid-JVM
+    * changes the identity, so the memo re-reads). The commit path reads
+    * the same properties/constraints/mapping several times per commit;
+    * un-memoized, each read is an exists + open + parse — 2–3 round
+    * trips per call on an object store, one stat per hit here. */
+  private val versionPropsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long, String), Map[String, String]]()
+  private def readVersionProps(
+      spark: SparkSession, root: String, v: Long, p: Path)
+      : Map[String, String] = {
+    val key = (root, v, markerIdentity(spark, root, v), p.toString)
+    val got = versionPropsMemo.get(key)
+    if (got != null) got
+    else {
+      val m = readProps(spark, p)
+      versionPropsMemo.put(key, m)
+      m
+    }
+  }
+
   private def readProps(spark: SparkSession, p: Path): Map[String, String] = {
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!f.exists(p)) Map.empty
-    else {
+    // open directly and treat absent as empty: the exists() probe this
+    // replaced was a SECOND round trip per metadata read (the counted
+    // object-store axis); only FileNotFound maps to empty — any other
+    // IO failure propagates exactly as it did past the old exists()
+    try {
       val props = new java.util.Properties()
       val in = f.open(p)
       try props.load(in) finally in.close()
       import scala.jdk.CollectionConverters._
       props.asScala.toMap
-    }
+    } catch { case _: java.io.FileNotFoundException => Map.empty }
   }
 
   private def writeProps(
@@ -5032,8 +5074,9 @@ object VersionedTable {
     * [[addConstraint]]. */
   def constraintsOf(
       spark: SparkSession, root: String, v: Long): Map[String, String] =
-    readProps(spark, new Path(new Path(dataDir(spark, root, v), "_constraints"),
-      "constraints.properties"))
+    readVersionProps(spark, root, v,
+      new Path(new Path(dataDir(spark, root, v), "_constraints"),
+        "constraints.properties"))
 
   /** Thrown when a staged write violates an active CHECK constraint, or
     * [[addConstraint]] finds existing rows the new constraint rejects.

@@ -18,6 +18,14 @@ import org.apache.hadoop.util.Progressable
   * local fast path), exactly what a portable object store would run. */
 object CountingFileSystem {
   private val ops = new ConcurrentHashMap[String, LongAdder]()
+  // RawLocal's API calls nest (open() stats internally, delete lists) —
+  // an object store bills the TOP-LEVEL call as one round trip, so only
+  // depth-0 entries count
+  private val depth = new ThreadLocal[Integer] {
+    override def initialValue(): Integer = 0
+  }
+  def enter(): Boolean = { val d = depth.get; depth.set(d + 1); d == 0 }
+  def exit(): Unit = depth.set(depth.get - 1)
   def reset(): Unit = ops.clear()
   def add(op: String): Unit =
     ops.computeIfAbsent(op, _ => new LongAdder).increment()
@@ -29,43 +37,42 @@ object CountingFileSystem {
 }
 
 class CountingFileSystem extends RawLocalFileSystem {
-  import CountingFileSystem.add
+  import CountingFileSystem.{add, enter, exit}
   override def getScheme: String = "cnt"
   override def getUri: java.net.URI = java.net.URI.create("cnt:///")
+
+  private def counted[A](op: String)(body: => A): A = {
+    val top = enter()
+    try { if (top) add(op); body } finally exit()
+  }
 
   override def create(
       p: Path, permission: FsPermission, overwrite: Boolean,
       bufferSize: Int, replication: Short, blockSize: Long,
-      progress: Progressable): FSDataOutputStream = {
-    add("create")
-    super.create(p, permission, overwrite, bufferSize, replication,
-      blockSize, progress)
-  }
+      progress: Progressable): FSDataOutputStream =
+    counted("create") {
+      super.create(p, permission, overwrite, bufferSize, replication,
+        blockSize, progress)
+    }
   // RawLocal's permission-less create chain does NOT funnel through the
   // permission overload (FileSystem.create(Path, boolean) resolves
   // here) — divert both, or writes go uncounted
   override def create(
       p: Path, overwrite: Boolean, bufferSize: Int, replication: Short,
-      blockSize: Long, progress: Progressable): FSDataOutputStream = {
-    add("create")
-    super.create(p, overwrite, bufferSize, replication, blockSize, progress)
-  }
-  override def open(p: Path, bufferSize: Int): FSDataInputStream = {
-    add("open"); super.open(p, bufferSize)
-  }
-  override def rename(src: Path, dst: Path): Boolean = {
-    add("rename"); super.rename(src, dst)
-  }
-  override def delete(p: Path, recursive: Boolean): Boolean = {
-    add("delete"); super.delete(p, recursive)
-  }
-  override def listStatus(p: Path): Array[FileStatus] = {
-    add("list"); super.listStatus(p)
-  }
-  override def getFileStatus(p: Path): FileStatus = {
-    add("stat"); super.getFileStatus(p)
-  }
-  override def mkdirs(p: Path, permission: FsPermission): Boolean = {
-    add("mkdirs"); super.mkdirs(p, permission)
-  }
+      blockSize: Long, progress: Progressable): FSDataOutputStream =
+    counted("create") {
+      super.create(p, overwrite, bufferSize, replication, blockSize, progress)
+    }
+  override def open(p: Path, bufferSize: Int): FSDataInputStream =
+    counted("open") { super.open(p, bufferSize) }
+  override def rename(src: Path, dst: Path): Boolean =
+    counted("rename") { super.rename(src, dst) }
+  override def delete(p: Path, recursive: Boolean): Boolean =
+    counted("delete") { super.delete(p, recursive) }
+  override def listStatus(p: Path): Array[FileStatus] =
+    counted("list") { super.listStatus(p) }
+  override def getFileStatus(p: Path): FileStatus =
+    counted("stat") { super.getFileStatus(p) }
+  override def mkdirs(p: Path, permission: FsPermission): Boolean =
+    counted("mkdirs") { super.mkdirs(p, permission) }
 }
