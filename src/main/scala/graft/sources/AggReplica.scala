@@ -713,8 +713,11 @@ object AggReplica {
     // descends — that heals a crash that landed between a parent's
     // refresh and its children's, and no-ops otherwise (each link is
     // its own O(changes) refresh with its own exactly-once stamp).
-    props.get(MvChildProp).toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
-      .foreach(child => refreshView(spark, child))
+    // SIBLINGS refresh concurrently (a cube's subset views are
+    // independent tables over the same parent feed); a rollup chain's
+    // single child recurses depth-first as before.
+    parallelOver(props.get(MvChildProp).toSeq.flatMap(_.split(','))
+      .filter(_.nonEmpty))(child => refreshView(spark, child))
     result
   }
 
@@ -915,12 +918,30 @@ object AggReplica {
       extraProps = Map(MvCubeProp -> keyCols.mkString(",")) ++
         (if (children.nonEmpty) Map(MvChildProp -> children.mkString(","))
          else Map.empty))
-    subsets.zip(children).foreach { case (s, child) =>
+    // subset children are INDEPENDENT tables over the same finest view —
+    // their seed scans and commits run concurrently (each is its own
+    // atomic commit; the lifecycle cost of a cube create is otherwise
+    // 2ⁿ−2 sequential commit latencies)
+    parallelOver(subsets.zip(children)) { case (s, child) =>
       createMultiView(spark, child, dstRoot, s.map(keyCols),
         Seq(("n_rows", "rows_sum"), ("value_sum", "value_sum")))
     }
     v0
   }
+
+  /** Run independent per-view work concurrently (cube subset creates /
+    * refreshes — disjoint roots, each its own atomic commit). Failures
+    * propagate; a single element skips the pool. */
+  private def parallelOver[A](items: Seq[A])(body: A => Unit): Unit =
+    if (items.size <= 1) items.foreach(body)
+    else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(
+        Future.sequence(items.map(a => Future(body(a)))), Duration.Inf)
+      ()
+    }
 
   /** The SQL `GROUP BY CUBE` result set served from the maintained
     * fan-out: the finest level, every subset child (absent keys
