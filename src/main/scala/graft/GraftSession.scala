@@ -14,6 +14,15 @@ object GraftSession {
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // Timestamps go to parquet as INT64 micros, session-wide: Spark's
+      // INT96 default carries no usable min/max in the footer, which
+      // would blind the format's stats collection ([[sources.TableStats]]).
+      // Pinned HERE, immutably, rather than set/restored around each
+      // commit: a save/set/restore of session conf is not thread-safe,
+      // and concurrent commits (cube fan-out creates, sibling MV
+      // refreshes) interleaving the restore can permanently poison the
+      // session's writer conf (round-18 regression).
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")

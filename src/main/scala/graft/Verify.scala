@@ -13,8 +13,33 @@ object Verify {
     // driver runs the full map
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY").map(_.split(',').map(_.trim).toSet)
     SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // GATE HYGIENE: dump session-TZ timestamps as timestamp_ntz. The
+        // session is UTC, so the cast is value-identical, but the parquet
+        // logical type becomes isAdjustedToUTC=false micros regardless of
+        // any writer conf — DuckDB reads naive TIMESTAMP, matching the
+        // oracle, and the gate is immune to session writer-conf state
+        // (the round-18 poisoned-conf regression flipped 17 keys' dumped
+        // SCHEMA, not their values).
+        import org.apache.spark.sql.types._
+        def ntz(dt: DataType): DataType = dt match {
+          case TimestampType => TimestampNTZType
+          case s: StructType =>
+            StructType(s.fields.map(f => f.copy(dataType = ntz(f.dataType))))
+          case a: ArrayType => a.copy(elementType = ntz(a.elementType))
+          case m: MapType =>
+            m.copy(keyType = ntz(m.keyType), valueType = ntz(m.valueType))
+          case other => other
+        }
+        val cols = df.schema.fields.map { f =>
+          val t = ntz(f.dataType)
+          val c = org.apache.spark.sql.functions.col(f.name)
+          (if (t == f.dataType) c else c.cast(t)).as(f.name)
+        }
+        df.select(cols.toIndexedSeq: _*).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

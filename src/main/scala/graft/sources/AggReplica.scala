@@ -71,6 +71,8 @@ import org.apache.spark.sql.functions._
   * before reading the feed, and no-op. */
 object AggReplica {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Thrown when a batch retracts below zero for some group — the feed
     * was consumed from an offset past rows the view needed. */
   final class NegativeGroupException(root: String)
@@ -715,9 +717,19 @@ object AggReplica {
     // its own O(changes) refresh with its own exactly-once stamp).
     // SIBLINGS refresh concurrently (a cube's subset views are
     // independent tables over the same parent feed); a rollup chain's
-    // single child recurses depth-first as before.
+    // single child recurses depth-first as before. A recorded child
+    // with NO committed table under it (the parent's pointer lands in
+    // the create commit BEFORE the children exist — a crash in that
+    // window is observable) is SKIPPED with a warning instead of
+    // bricking the parent's refresh: the chain stays recoverable
+    // through the verbs themselves (re-create the child, or DROP).
     parallelOver(props.get(MvChildProp).toSeq.flatMap(_.split(','))
-      .filter(_.nonEmpty))(child => refreshView(spark, child))
+      .filter(_.nonEmpty)) { child =>
+      if (VersionedTable.currentVersion(spark, child).isEmpty)
+        log.warn(s"cascade child $child of $dstRoot has no committed " +
+          "version (interrupted create/drop?) — skipping its refresh")
+      else refreshView(spark, child)
+    }
     result
   }
 
@@ -881,8 +893,12 @@ object AggReplica {
       depth += 1
     }
     val (_, coarsest, _, coarseN) = levels.last
+    // coalesce: an EMPTY view (source fully deleted) still serves the ()
+    // grouping set as one row, and SQL's count over zero rows is 0, not
+    // NULL (sum stays NULL — SQL's sum over zero rows)
     val total = coarsest
-      .agg(sum(col(coarseN)).as("n_rows"), sum(col("value_sum")).as("value_sum"))
+      .agg(coalesce(sum(col(coarseN)), lit(0L)).as("n_rows"),
+        sum(col("value_sum")).as("value_sum"))
       .select(keys.map(k => lit(null).cast(keyType(k)).as(k)) ++
         Seq(col("n_rows"), col("value_sum")): _*)
     levels.map { case (_, df, have, nCol) => pad(df, have, nCol) }
@@ -930,16 +946,24 @@ object AggReplica {
   }
 
   /** Run independent per-view work concurrently (cube subset creates /
-    * refreshes — disjoint roots, each its own atomic commit). Failures
-    * propagate; a single element skips the pool. */
+    * refreshes — disjoint roots, each its own atomic commit). ALL
+    * items run to completion before the call returns — a fail-fast
+    * await would hand control back with sibling commits still running
+    * detached, and a user retry could race those orphans into spurious
+    * already-exists / claim-lost outcomes. The first failure (in item
+    * order) rethrows after everything settles. Bodies must not mutate
+    * session state (conf, default TZ) — [[graft.ConfInvariantSpec]]
+    * pins that. A single element skips the pool. */
   private def parallelOver[A](items: Seq[A])(body: A => Unit): Unit =
     if (items.size <= 1) items.foreach(body)
     else {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
-      Await.result(
-        Future.sequence(items.map(a => Future(body(a)))), Duration.Inf)
+      val settled = Await.result(
+        Future.sequence(items.map(a => Future(scala.util.Try(body(a))))),
+        Duration.Inf)
+      settled.collectFirst { case scala.util.Failure(e) => throw e }
       ()
     }
 
@@ -970,8 +994,10 @@ object AggReplica {
           .split(',').toSeq
         pad(VersionedTable.read(spark, child), have, "rows_sum")
       }
+    // coalesce: same empty-view () grouping-set edge as [[readRollup]]
     val total = finest
-      .agg(sum(col("n_rows")).as("n_rows"), sum(col("value_sum")).as("value_sum"))
+      .agg(coalesce(sum(col("n_rows")), lit(0L)).as("n_rows"),
+        sum(col("value_sum")).as("value_sum"))
       .select(keys.map(k => lit(null).cast(keyType(k)).as(k)) ++
         Seq(col("n_rows"), col("value_sum")): _*)
     (pad(finest, keys, "n_rows") +: childFrames :+ total)
@@ -1006,8 +1032,11 @@ object AggReplica {
     * view is DERIVED state, rebuildable from its sources, so the drop
     * deletes rather than unpoints). Refuses a root that is not a view:
     * this verb must never delete a base table. A rollup chain drops
-    * child-first (no dangling cascade pointers at any instant a crash
-    * could observe). Returns the number of roots removed. */
+    * child-first; a recorded child with no committed table under it (a
+    * crash inside a cascade create/drop window — the parent's pointer
+    * exists before its children do) is skipped with a warning, so a
+    * half-created or half-dropped chain is always droppable through
+    * this verb. Returns the number of roots removed. */
   def dropView(spark: SparkSession, root: String): Long = {
     val cur = VersionedTable.currentVersion(spark, root).getOrElse(
       throw new java.io.IOException(s"no committed version under $root"))
@@ -1016,7 +1045,16 @@ object AggReplica {
       s"$root is not a materialized view (no $MvSourceProp property) — " +
         "DROP MATERIALIZED VIEW refuses to delete a base table")
     val dropped = props.get(MvChildProp).toSeq.flatMap(_.split(','))
-      .filter(_.nonEmpty).map(dropView(spark, _)).sum
+      .filter(_.nonEmpty).map { child =>
+        if (VersionedTable.currentVersion(spark, child).isEmpty) {
+          log.warn(s"cascade child $child of $root has no committed " +
+            "version (interrupted create/drop?) — removing its dir, if any")
+          val cp = new org.apache.hadoop.fs.Path(child)
+          cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(cp, true)
+          0L
+        } else dropView(spark, child)
+      }.sum
     val p = new org.apache.hadoop.fs.Path(root)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     dropped + 1L
@@ -1222,7 +1260,10 @@ object AggReplica {
   private def refreshJoinView(
       spark: SparkSession, dstRoot: String, cur: Long, factRoot: String,
       props: Map[String, String]): Long = {
-    val n = props.get(MvNDimsProp).map(_.toInt).getOrElse(1)
+    val n = props.get(MvNDimsProp).map(s => s.toIntOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"join-backed materialized view property $MvNDimsProp is " +
+          s"malformed: '$s' is not an integer"))).getOrElse(1)
     // a hand-edited/corrupted pair entry without '=' gets the same
     // descriptive refusal [[joinProp]] gives a missing property — not a
     // bare StringIndexOutOfBounds

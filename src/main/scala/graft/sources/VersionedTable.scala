@@ -498,14 +498,19 @@ object VersionedTable {
     }
     f.mkdirs(commitDir(root))
     f.mkdirs(claimDir(root))
-    // (1) private data write — no shared state touched. Timestamps go out
-    // as INT64 micros: Spark's INT96 default carries no usable min/max in
-    // the footer, which would blind the stats collection below.
+    // (1) private data write — NO shared state touched, including session
+    // conf. Timestamps should go out as INT64 micros (INT96 carries no
+    // usable footer min/max, blinding the stats collection below); that
+    // conf is pinned once at session build ([[graft.GraftSession]]), NOT
+    // set/restored here: commits run concurrently (cube fan-out creates,
+    // sibling MV refreshes via AggReplica.parallelOver), and two
+    // overlapping save/restore pairs can capture each other's in-flight
+    // value and leave the session permanently mutated (round-18
+    // regression: every later LTZ write flipped to isAdjustedToUTC
+    // micros and broke the external gate's schema compare).
     val staging = new Path(root,
       "_staging/" + java.util.UUID.randomUUID().toString.take(12))
-    val prevTsType = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    try {
+    locally {
       // per-column parquet BLOOM FILTERS (probed by readWhere's equality
       // pruning): footer-adjacent, kilobytes per column per row group.
       // The frame and the bloom options write under PHYSICAL names.
@@ -601,10 +606,6 @@ object VersionedTable {
         CommitProfiler.phase("dv_bitmaps") {
           DvBitmaps.write(spark, new Path(staging, "_dvdelta"))
         }
-    }
-    finally prevTsType match {
-      case Some(t) => spark.conf.set("spark.sql.parquet.outputTimestampType", t)
-      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
     }
     // (1b) footer-only stats pass → <staging>/_stats ("_" prefix: invisible
     // to snapshot readers, renamed + vacuumed atomically with the version)
@@ -942,6 +943,23 @@ object VersionedTable {
     * as before. Markers are immutable once published, so resolutions
     * memoize (uncached while the marker is absent: an unpublished
     * number must not pin a wrong name). */
+  /** Put with a wholesale-clear bound (the folded-memo discipline,
+    * applied to every per-version metadata memo): entries key on
+    * (root, version[, marker identity]) and a long-lived streaming/MV
+    * driver mints a NEW version per micro-batch commit, so an unbounded
+    * memo grows per version forever — slow driver-heap leak over weeks
+    * of uptime. Entries are tiny (Longs, Maps, a StructType), so the
+    * cap is generous; a clear is one cheap metadata re-read per warm
+    * key, never a correctness event (all memoized content is immutable
+    * per marker identity). */
+  private val MemoCap = 8192
+  private def memoPut[K, V](
+      m: java.util.concurrent.ConcurrentHashMap[K, V], k: K, v: V): Unit = {
+    if (m.size >= MemoCap) m.clear()
+    m.put(k, v)
+    ()
+  }
+
   private val dirNames =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), String]()
   private def dataDirName(
@@ -962,7 +980,7 @@ object VersionedTable {
         // readers before writers share a table.
         val name = readTextFile(f, marker).linesIterator
           .map(_.trim).find(_.nonEmpty).getOrElse(f"v$v%08d")
-        dirNames.put(key, name)
+        memoPut(dirNames, key, name)
         name
       }
     }
@@ -993,7 +1011,7 @@ object VersionedTable {
         .map(_.trim).filter(_.nonEmpty).drop(1).nextOption()
         .flatMap(_.toLongOption)
       val t = recorded.getOrElse(status.getModificationTime)
-      commitTimes.put(key, t)
+      memoPut(commitTimes, key, java.lang.Long.valueOf(t))
       t
     }
   }
@@ -1361,7 +1379,7 @@ object VersionedTable {
             .asInstanceOf[org.apache.spark.sql.types.StructType])
         } catch { case _: Exception => None }
       }
-      schemaMemo.put(key, read)
+      memoPut(schemaMemo, key, read)
       read
     }
   }
@@ -1441,6 +1459,7 @@ object VersionedTable {
     if (!protocolOk.contains(key)) {
       val missing = protocolOf(spark, root, v)._1 -- SupportedReaderFeatures
       if (missing.nonEmpty) throw ProtocolException(root, v, missing, "reader")
+      if (protocolOk.size >= MemoCap) protocolOk.clear()
       protocolOk.add(key)
     }
   }
@@ -1453,6 +1472,7 @@ object VersionedTable {
       // a writer must also READ the current state to commit against it
       val missing = (r -- SupportedReaderFeatures) ++ (w -- SupportedWriterFeatures)
       if (missing.nonEmpty) throw ProtocolException(root, v, missing, "writer")
+      if (protocolOk.size >= MemoCap) protocolOk.clear()
       protocolOk.add(key)
     }
   }
@@ -2234,7 +2254,7 @@ object VersionedTable {
               s"${unexpected.mkString(",")}); extraBytes would undercount it")
           children.iterator.filter(_.isFile).map(_.getLen).sum
         }
-      extraBytesMemo.put(key, bytes)
+      memoPut(extraBytesMemo, key, java.lang.Long.valueOf(bytes))
       bytes
     }
   }
@@ -2283,7 +2303,7 @@ object VersionedTable {
         if (f.exists(new Path(dir, DvBitmaps.DoneMarker)))
           Some(f.makeQualified(dir).toString)
         else None
-      dvBitmapsMemo.put(key, res)
+      memoPut(dvBitmapsMemo, key, res)
       res
     }
   }
@@ -5035,7 +5055,7 @@ object VersionedTable {
     if (got != null) got
     else {
       val m = readProps(spark, p)
-      versionPropsMemo.put(key, m)
+      memoPut(versionPropsMemo, key, m)
       m
     }
   }
@@ -5677,7 +5697,7 @@ object VersionedTable {
         .orElse(readCheckpoint(spark, root).map(_.bytes))
         .flatMap(_.get(v))
         .getOrElse(fileSizes(spark, root, v).values.sum)
-      snapshotBytesMemo.put(key, bytes)
+      memoPut(snapshotBytesMemo, key, java.lang.Long.valueOf(bytes))
       bytes
     }
   }
