@@ -23,6 +23,11 @@ object GraftSession {
       // refreshes) interleaving the restore can permanently poison the
       // session's writer conf (round-18 regression).
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // no _SUCCESS markers: nothing reads them (the table format's
+      // atomicity is claim -> rename -> marker), and each one is a
+      // PUT-class round trip per write job on an object store
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs",
+        "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")

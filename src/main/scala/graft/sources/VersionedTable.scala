@@ -640,18 +640,29 @@ object VersionedTable {
       }
     }
     val schemaJson = schemaToRecord.json
-    CommitProfiler.phase("meta_sidecars") {
-      val sOut = f.create(new Path(new Path(staging, "_schema"), "schema.json"), true)
-      try sOut.write(schemaJson.getBytes("UTF-8")) finally sOut.close()
-    }
-    // (1c') the logical→physical column mapping + retired birth names
-    // ride beside the schema; absent file = identity mapping
+    // (1c..1f) the five per-version metadata records — schema, column
+    // mapping (+retired names), CHECK constraints, table properties,
+    // commit info — GROUP-COMMIT into ONE object
+    // ([[groupedMetaFile]]): on an object store each separate sidecar
+    // is its own PUT-class round trip paid per commit (per micro-batch
+    // on a streaming/MV table), and all five are driver-sized. Section
+    // absence inside the object preserves each record's absent-file
+    // semantics exactly; OLD builds can't see the grouped object, so
+    // every grouped commit records the `grouped-meta` READER feature in
+    // the still-separate protocol record — the one sidecar that must
+    // stay where a pre-grouping reader looks, so it refuses loudly
+    // instead of serving a table without its schema/mapping. The
+    // grouped map is accumulated here and written beside the protocol
+    // record below.
+    val groupedMeta = scala.collection.mutable.Map[String, String](
+      GroupedSchemaKey -> schemaJson)
+    // the logical→physical column mapping + retired birth names;
+    // absent section = identity mapping
     if (colMap.nonEmpty || retired.nonEmpty)
-      writeProps(f, new Path(new Path(staging, "_schema"),
-        "mapping.properties"),
-        colMap ++ (if (retired.nonEmpty)
-          Map(RetiredKey -> retired.toSeq.sorted.mkString(","))
-        else Map.empty))
+      (colMap ++ (if (retired.nonEmpty)
+        Map(RetiredKey -> retired.toSeq.sorted.mkString(","))
+      else Map.empty)).foreach { case (k, v2) =>
+        groupedMeta(GroupedMapPrefix + k) = v2 }
     // (1d) CHECK constraints (Delta invariants). Active = the current
     // version's set (None before v1). Enforcement scans only the STAGED
     // batch — columnar, one pass for all constraints: kept files were
@@ -696,15 +707,13 @@ object VersionedTable {
           .parquet(staging.toString), colMap),
         checksToEnforce, root) }
       catch { case e: Throwable => f.delete(staging, true); throw e }
-    if (constraintsToRecord.nonEmpty)
-      writeProps(f, new Path(new Path(staging, "_constraints"),
-        "constraints.properties"), constraintsToRecord)
+    constraintsToRecord.foreach { case (k, v2) =>
+      groupedMeta(GroupedCheckPrefix + k) = v2 }
     // table PROPERTIES carry the same way (schema/constraints/properties
     // are the three per-version metadata records); propsToRecord was
     // resolved before the write (the partition spec shapes the layout)
-    if (propsToRecord.nonEmpty)
-      writeProps(f, new Path(new Path(staging, "_properties"),
-        "table.properties"), propsToRecord)
+    propsToRecord.foreach { case (k, v2) =>
+      groupedMeta(GroupedPropPrefix + k) = v2 }
     // (1e) PROTOCOL record: the features this version actually uses,
     // derived from what the commit carries — a future reader outside
     // these features' support refuses loudly instead of serving wrong
@@ -722,7 +731,12 @@ object VersionedTable {
       // a reader IGNORING the default metadata would serve null where
       // the table's contract says the default — silently wrong values
       if (schemaToRecord.exists(_.metadata.contains("EXISTS_DEFAULT")))
-        Some("default-columns") else None
+        Some("default-columns") else None,
+      // the five metadata records live in ONE grouped object this
+      // build writes; a pre-grouping reader looking for the per-file
+      // sidecars would serve the table WITHOUT its schema/mapping/
+      // constraints — refuse it here instead
+      Some("grouped-meta")
     ).flatten ++
       // caller-declared features (e.g. commitCowInternal's delta-form
       // manifest — decided before this write, recorded with it)
@@ -762,11 +776,12 @@ object VersionedTable {
     // commitInfo action). Informational for history, LOAD-BEARING for
     // concurrency: `blindAppend=true` is the stamp [[AppendRebase]]
     // trusts to merge a concurrent append into a losing writer's
-    // manifest instead of recomputing the whole DML. Absent file = an
-    // unknown operation, which conflict resolution treats as opaque.
-    if (recordInfo.nonEmpty)
-      writeProps(f, new Path(new Path(staging, "_commitinfo"),
-        "info.properties"), recordInfo)
+    // manifest instead of recomputing the whole DML. Absent section =
+    // an unknown operation, which conflict resolution treats as opaque.
+    recordInfo.foreach { case (k, v2) =>
+      groupedMeta(GroupedInfoPrefix + k) = v2 }
+    // ONE PUT lands schema + mapping + constraints + properties + info
+    writeProps(f, groupedMetaFile(staging), groupedMeta.toMap)
     // (2) claim the next version number with the store's atomic
     // create-if-absent ([[StoreAdapter.claim]] — O_EXCL on local fs,
     // NameNode create on HDFS, conditional PUT on object stores). Only
@@ -1366,18 +1381,25 @@ object VersionedTable {
     if (got != null) got
     else {
       val read: Option[org.apache.spark.sql.types.StructType] = {
-        val f = fs(spark, root)
-        val p = new Path(new Path(dataDir(spark, root, v), "_schema"),
-          "schema.json")
-        // direct open (absent → the existing catch-all None): the
-        // exists() probe was a second round trip per schema read
-        try {
-          val in = f.open(p)
-          val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-                     finally in.close()
-          Some(org.apache.spark.sql.types.DataType.fromJson(text)
-            .asInstanceOf[org.apache.spark.sql.types.StructType])
-        } catch { case _: Exception => None }
+        // grouped vintages carry the schema JSON in the one metadata
+        // object (already memoized); only pre-grouping versions pay the
+        // separate schema.json read
+        val text: Option[String] =
+          groupedMetaOf(spark, root, v).get(GroupedSchemaKey).orElse {
+            val f = fs(spark, root)
+            val p = new Path(new Path(dataDir(spark, root, v), "_schema"),
+              "schema.json")
+            // direct open (absent → the existing catch-all None): the
+            // exists() probe was a second round trip per schema read
+            try {
+              val in = f.open(p)
+              try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+              finally in.close()
+            } catch { case _: Exception => None }
+          }
+        try text.map(org.apache.spark.sql.types.DataType.fromJson(_)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        catch { case _: Exception => None }
       }
       memoPut(schemaMemo, key, read)
       read
@@ -1396,7 +1418,7 @@ object VersionedTable {
   val SupportedReaderFeatures: Set[String] = Set(
     "deletion-vectors", "column-mapping", "partition-spec",
     "widened-types", "copy-ledger", "default-columns",
-    "in-commit-timestamps", "delta-manifest", "dv-delta")
+    "in-commit-timestamps", "delta-manifest", "dv-delta", "grouped-meta")
 
   /** Features THIS build can write against. Writing to a table whose
     * current version requires an unknown feature could break that
@@ -1481,6 +1503,35 @@ object VersionedTable {
 
   private val RetiredKey = "__retired"
 
+  // ---- grouped per-version metadata ---------------------------------------
+  //
+  // The five driver-sized per-version records — schema, column mapping,
+  // CHECK constraints, table properties, commit info — land in ONE
+  // `_meta/commit.properties` object per commit (one PUT instead of up
+  // to five; one GET warms every record's memo on read). Sections are
+  // key-prefixed; a record's old "absent file" semantics become "no
+  // keys with my prefix". The grouped form always carries the schema,
+  // so an EMPTY grouped map ⇔ the file is absent ⇔ a pre-grouping
+  // vintage — readers fall back to the per-file sidecars, and the
+  // `grouped-meta` reader feature (recorded in the still-separate
+  // protocol sidecar) keeps pre-grouping BUILDS from misreading a
+  // grouped version as "no metadata".
+  private val GroupedSchemaKey = "schema"
+  private val GroupedMapPrefix = "m."
+  private val GroupedCheckPrefix = "c."
+  private val GroupedPropPrefix = "p."
+  private val GroupedInfoPrefix = "i."
+  private def groupedMetaFile(versionDir: Path): Path =
+    new Path(new Path(versionDir, "_meta"), "commit.properties")
+  private def groupedMetaOf(
+      spark: SparkSession, root: String, v: Long): Map[String, String] =
+    readVersionProps(spark, root, v,
+      groupedMetaFile(dataDir(spark, root, v)))
+  private def groupedSection(
+      g: Map[String, String], prefix: String): Map[String, String] =
+    g.collect { case (k, v) if k.startsWith(prefix) =>
+      (k.substring(prefix.length), v) }
+
   private def mappingPath(spark: SparkSession, root: String, v: Long): Path =
     new Path(new Path(dataDir(spark, root, v), "_schema"), "mapping.properties")
 
@@ -1491,17 +1542,25 @@ object VersionedTable {
     * size. Identity entries are omitted; an absent file means the
     * identity mapping (every table before its first rename). */
   def columnMapping(
-      spark: SparkSession, root: String, v: Long): Map[String, String] =
-    readVersionProps(spark, root, v, mappingPath(spark, root, v)) - RetiredKey
+      spark: SparkSession, root: String, v: Long): Map[String, String] = {
+    val g = groupedMetaOf(spark, root, v)
+    (if (g.nonEmpty) groupedSection(g, GroupedMapPrefix)
+     else readVersionProps(spark, root, v, mappingPath(spark, root, v))) -
+      RetiredKey
+  }
 
   /** Physical names RETIRED by a DROP COLUMN (or freed by a rename and
     * then shadowed): a later evolveSchema add with the same logical name
     * must mint a FRESH physical name, or old files' stale values would
     * resurrect through by-name parquet resolution. */
   private def retiredPhysicals(
-      spark: SparkSession, root: String, v: Long): Set[String] =
-    readVersionProps(spark, root, v, mappingPath(spark, root, v)).get(RetiredKey)
+      spark: SparkSession, root: String, v: Long): Set[String] = {
+    val g = groupedMetaOf(spark, root, v)
+    (if (g.nonEmpty) g.get(GroupedMapPrefix + RetiredKey)
+     else readVersionProps(spark, root, v, mappingPath(spark, root, v))
+       .get(RetiredKey))
       .map(_.split(',').filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+  }
 
   private def physicalName(mapping: Map[String, String], c: String): String =
     mapping.getOrElse(c, c)
@@ -3437,9 +3496,12 @@ object VersionedTable {
     * don't stamp (or pre-upgrade vintages): conflict resolution treats
     * those as opaque and falls back to a full recompute. */
   def commitInfoOf(
-      spark: SparkSession, root: String, v: Long): Map[String, String] =
-    readVersionProps(spark, root, v, new Path(new Path(dataDir(spark, root, v),
-      "_commitinfo"), "info.properties"))
+      spark: SparkSession, root: String, v: Long): Map[String, String] = {
+    val g = groupedMetaOf(spark, root, v)
+    if (g.nonEmpty) groupedSection(g, GroupedInfoPrefix)
+    else readVersionProps(spark, root, v, new Path(new Path(
+      dataDir(spark, root, v), "_commitinfo"), "info.properties"))
+  }
 
   /** Winner operations a losing DML may compose with by manifest
     * arithmetic: file-local COW rewrites (their whole effect is "these
@@ -4910,10 +4972,13 @@ object VersionedTable {
     * and user annotations, carried by every commit path like the schema
     * and constraints. Empty for versions before any [[setProperties]]. */
   def propertiesOf(
-      spark: SparkSession, root: String, v: Long): Map[String, String] =
-    readVersionProps(spark, root, v,
+      spark: SparkSession, root: String, v: Long): Map[String, String] = {
+    val g = groupedMetaOf(spark, root, v)
+    if (g.nonEmpty) groupedSection(g, GroupedPropPrefix)
+    else readVersionProps(spark, root, v,
       new Path(new Path(dataDir(spark, root, v), "_properties"),
         "table.properties"))
+  }
 
   /** Convenience: a boolean property of the CURRENT version (false when
     * unset, the table is empty, or the value isn't `true`). */
@@ -5093,10 +5158,13 @@ object VersionedTable {
     * `c IS NOT NULL`). Empty for versions committed before any
     * [[addConstraint]]. */
   def constraintsOf(
-      spark: SparkSession, root: String, v: Long): Map[String, String] =
-    readVersionProps(spark, root, v,
+      spark: SparkSession, root: String, v: Long): Map[String, String] = {
+    val g = groupedMetaOf(spark, root, v)
+    if (g.nonEmpty) groupedSection(g, GroupedCheckPrefix)
+    else readVersionProps(spark, root, v,
       new Path(new Path(dataDir(spark, root, v), "_constraints"),
         "constraints.properties"))
+  }
 
   /** Thrown when a staged write violates an active CHECK constraint, or
     * [[addConstraint]] finds existing rows the new constraint rejects.

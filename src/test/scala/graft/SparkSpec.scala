@@ -18,6 +18,7 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       // mirror GraftSession: micros timestamps for usable footer stats
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -77,6 +77,8 @@ class CommitInfoSpec extends SparkSpec {
     val f = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     f.delete(new org.apache.hadoop.fs.Path(root, "v00000001/_commitinfo"), true)
+    // current builds group-commit the stamp into _meta — remove both forms
+    f.delete(new org.apache.hadoop.fs.Path(root, "v00000001/_meta"), true)
     assert(VersionedTable.commitInfoOf(spark, root, 1L).isEmpty)
     assert(VersionedTable.history(spark, root)
       .select("operation").head.getString(0) == "")

@@ -45,8 +45,15 @@ class CommitRoundTripsSpec extends SparkSpec {
     // loose enough for Spark-internal drift, tight enough that an
     // accidental O(files)/O(versions) loop (the regression class this
     // guards) blows straight through.
-    // measured at pin time: total=88 (stat 23, list 23, create 15,
-    // open 15, rename 7, delete 5) — PUT-class 27. Counting is
+    // measured at pin time (r18): total=88 (stat 23, list 23,
+    // create 15, open 15, rename 7, delete 5) — PUT-class 27. After
+    // the r19 group-commit of the five metadata records into
+    // _meta/commit.properties AND dropping _SUCCESS markers: total=83
+    // (stat 24, list 23, create 12, open 12, rename 7, delete 5) —
+    // PUT-class 24 on THIS path (a plain append records no
+    // constraints/mapping/properties; paths that stamp table
+    // properties every commit — MV refreshes — save two more creates
+    // and their matching reads). Counting is
     // TOP-LEVEL calls only (RawLocal's nested internal stats don't
     // exist on an object store — the store bills one round trip per
     // API call).

@@ -239,6 +239,8 @@ class SchemaTrackingSpec extends SparkSpec {
     val f = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     f.delete(new org.apache.hadoop.fs.Path(s"$root/v00000001/_schema"), true)
+    // current builds group-commit the schema into _meta — remove both forms
+    f.delete(new org.apache.hadoop.fs.Path(s"$root/v00000001/_meta"), true)
     assert(VersionedTable.tableSchema(spark, root, 1L).isEmpty)
     assert(VersionedTable.read(spark, root).count() == 1) // inference fallback
     intercept[VersionedTable.SchemaMismatchException] {
