@@ -1190,14 +1190,17 @@ object GraftSql {
       src: String, groupBy: String): Long = {
     val Ident = "[A-Za-z_][A-Za-z0-9_]*"
     // GROUP BY ROLLUP/CUBE (k1, …, kn): ONE statement declares the
-    // grouping-set cascade — the finest view plus coarser sum views
+    // grouping-set cascade — the finest view plus coarser views
     // (ROLLUP: a prefix chain, each level folding its parent's feed;
     // CUBE: every proper subset hanging off the finest), refresh folding
     // everything in dependency order ([[AggReplica.createRollupView]] /
-    // [[AggReplica.createCubeView]]). Single-sum shape only: grouping
-    // sets of sums ARE sums of sums; extrema do not telescope through
-    // levels (a coarser min is not a sum of finer mins' deltas) and
-    // refuse here.
+    // [[AggReplica.createCubeView]]). Two shapes: the single sum
+    // (grouping sets of sums ARE sums of sums), and the extrema tail
+    // (count n_vals, min value_min, max value_max over the sum's
+    // column) — a coarser min/max is NOT retraction-algebraic over
+    // subgroup extrema, so extrema chains maintain each level with the
+    // flagged-group recompute against its PARENT level
+    // ([[AggReplica.createExtremaChildView]]'s fold form).
     val GroupingSetRe = """(?is)\s*(ROLLUP|CUBE)\s*\(\s*(.+?)\s*\)\s*""".r
     groupBy match {
       case GroupingSetRe(kind, inner) =>
@@ -1207,8 +1210,10 @@ object GraftSql {
         val items = selectList.split(",").map(_.trim).toSeq
         val rShape = s"a $kind materialized view SELECT must be exactly: " +
           s"the $kind columns (in order), count(*) AS n_rows, " +
-          "sum(<col>) AS value_sum"
-        require(items.size == rKeys.size + 2, s"$rShape — got: $selectList")
+          "sum(<col>) AS value_sum [, count(<col>) AS n_vals, " +
+          "min(<col>) AS value_min, max(<col>) AS value_max]"
+        require(items.size == rKeys.size + 2 || items.size == rKeys.size + 5,
+          s"$rShape — got: $selectList")
         require(items.take(rKeys.size).map(_.toLowerCase) ==
           rKeys.map(_.toLowerCase), s"$rShape — got: $selectList")
         val CountRe = """(?is)count\s*\(\s*\*\s*\)\s+AS\s+n_rows""".r
@@ -1219,11 +1224,29 @@ object GraftSql {
           case other => throw new IllegalArgumentException(
             s"$rShape — got: $other")
         }
+        val rExtrema = items.size == rKeys.size + 5
+        if (rExtrema) {
+          def tailCol(item: String, fn: String, alias: String): String = {
+            val Re = s"""(?is)$fn\\s*\\(\\s*($Ident)\\s*\\)\\s+AS\\s+$alias""".r
+            item match {
+              case Re(c) => c
+              case other => throw new IllegalArgumentException(
+                s"$rShape — got: $other")
+            }
+          }
+          val others = Seq(
+            tailCol(items(rKeys.size + 2), "count", "n_vals"),
+            tailCol(items(rKeys.size + 3), "min", "value_min"),
+            tailCol(items(rKeys.size + 4), "max", "value_max"))
+          require(others.forall(_.equalsIgnoreCase(valueCol)),
+            "extrema aggregates must all be over the sum's column " +
+              s"($valueCol) — got: ${others.mkString(", ")}")
+        }
         return if (kind.equalsIgnoreCase("CUBE"))
           graft.sources.AggReplica.createCubeView(
-            spark, dst, src, rKeys, valueCol)
+            spark, dst, src, rKeys, valueCol, extrema = rExtrema)
         else graft.sources.AggReplica.createRollupView(
-          spark, dst, src, rKeys, valueCol)
+          spark, dst, src, rKeys, valueCol, extrema = rExtrema)
       case _ => ()
     }
     val keys = groupBy.split(",").map(_.trim).toSeq

@@ -45,7 +45,8 @@ object FormatQueries {
     "q44_matview_multi"       -> ((s, d) => q44(s, d)),
     "q45_matview_join_minmax" -> ((s, d) => q45(s, d)),
     "q46_matview_rollup"      -> ((s, d) => q46(s, d)),
-    "q47_matview_cube"        -> ((s, d) => q47(s, d))
+    "q47_matview_cube"        -> ((s, d) => q47(s, d)),
+    "q48_matview_rollup_minmax" -> ((s, d) => q48(s, d))
   )
 
   // scratch roots live on local tmpfs, so the bench numbers for q27–q42
@@ -737,6 +738,52 @@ object FormatQueries {
       .orderBy(col("c_mktsegment"), col("c_nationkey"))
   }
 
+  /** q48: DECLARED ROLLUP MATERIALIZED VIEW WITH EXTREMA — the q46
+    * lifecycle with the full extrema tail (`count(v) AS n_vals,
+    * min(v) AS value_min, max(v) AS value_max`): a coarser min/max is
+    * not retraction-algebraic over subgroup extrema, so each cascade
+    * child maintains min(value_min)/max(value_max) over its parent's
+    * feed and recomputes flagged coarse groups FROM THE PARENT VIEW at
+    * its pinned version (group-count-sized — never a fact scan). The
+    * churn deletes the negative tail (retracting minima) and moves
+    * groups; the oracle recomputes `GROUP BY ROLLUP` with min/max from
+    * the source's final state. */
+  def q48(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q48").toString
+    val src = s"$tmp/src"; val mv = s"$tmp/mv"
+    val customers = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"),
+        col("c_acctbal").cast("decimal(18,2)").as("c_acctbal"))
+    val seed = customers.where(col("c_custkey") % 3 === 1)
+    VersionedTable.commit(seed, src, extras = Map("changes" ->
+      VersionedTable.feedWritable(
+        seed.withColumn("_change_type", lit("insert")))))
+    GraftSql.execute(s,
+      s"""CREATE MATERIALIZED VIEW '$mv' AS
+         |SELECT c_mktsegment, c_nationkey, count(*) AS n_rows,
+         |  sum(c_acctbal) AS value_sum, count(c_acctbal) AS n_vals,
+         |  min(c_acctbal) AS value_min, max(c_acctbal) AS value_max
+         |FROM '$src' GROUP BY ROLLUP (c_mktsegment, c_nationkey)""".stripMargin)
+    VersionedTable.commitAppend(
+      customers.where(col("c_custkey") % 3 === 2), src, changeFeed = true)
+    VersionedTable.updateWhere(s, src, col("c_custkey") % 10 === 0,
+      Map("c_mktsegment" -> lit("MOVED")))
+    // deleting the negative tail RETRACTS the minimum of most groups —
+    // the hostile shape for folded extrema, forcing the recompute road
+    // through the chain
+    VersionedTable.deleteWhere(s, src, col("c_acctbal") < lit(0))
+    GraftSql.execute(s, s"REFRESH MATERIALIZED VIEW '$mv'")
+    graft.sources.AggReplica.readRollup(s, mv)
+      .select(
+        coalesce(col("c_mktsegment"), lit("ALL")).as("c_mktsegment"),
+        coalesce(col("c_nationkey"), lit(-1)).as("c_nationkey"),
+        col("n_rows"),
+        col("value_sum").cast("double").as("value_sum"),
+        col("value_min").cast("double").as("value_min"),
+        col("value_max").cast("double").as("value_max"))
+      .orderBy(col("c_mktsegment"), col("c_nationkey"))
+  }
+
   /** q47: DECLARED CUBE MATERIALIZED VIEW — `CREATE … GROUP BY CUBE
     * (seg, nation)` builds the finest view plus ONE maintained sum view
     * per proper key subset, all folding the finest's own change feed
@@ -798,44 +845,57 @@ object FormatQueries {
       VersionedTable.commit(df, root, extras = Map("changes" ->
         VersionedTable.feedWritable(
           df.withColumn("_change_type", lit("insert")))))
+    // BEST-OF-3 like the main keys (r18's driver artifact wrote a
+    // single-shot q44_refresh of 14.2 s against a 2.3 s steady state —
+    // one bad host window must not define an official number): each
+    // shape builds three INDEPENDENT (sources, view) replicas, times
+    // create and refresh on each, and reports the per-metric min. The
+    // churn between create and refresh is identical untimed setup per
+    // replica, so every timed refresh folds the same real delta.
+    val Reps = 3
+    def bestOf(name: String)(scenario: String => (Double, Double)): Unit = {
+      val runs = (1 to Reps).map(i => scenario(s"$tmp/${name}_r$i"))
+      out += s"${name}_create" -> runs.map(_._1).min
+      out += s"${name}_refresh" -> runs.map(_._2).min
+    }
 
     // q40: single-source sum view
-    locally {
-      val src = s"$tmp/q40src"; val mv = s"$tmp/q40mv"
+    bestOf("q40") { base =>
+      val src = s"${base}src"; val mv = s"${base}mv"
       seedWithFeed(customers.where(col("c_custkey") % 3 === 1), src)
-      out += "q40_create" -> timed(
+      val tCreate = timed(
         AggReplica.createView(s, mv, src, Seq("c_mktsegment"), "c_acctbal"))
       VersionedTable.commitAppend(
         customers.where(col("c_custkey") % 3 === 2), src, changeFeed = true)
       VersionedTable.updateWhere(s, src, col("c_custkey") % 10 === 0,
         Map("c_mktsegment" -> lit("MOVED")))
-      out += "q40_refresh" -> timed(AggReplica.refreshView(s, mv))
+      (tCreate, timed(AggReplica.refreshView(s, mv)))
     }
     // q41: extrema view, churn retracts stored extrema (the recompute road)
-    locally {
-      val src = s"$tmp/q41src"; val mv = s"$tmp/q41mv"
+    bestOf("q41") { base =>
+      val src = s"${base}src"; val mv = s"${base}mv"
       seedWithFeed(customers.where(col("c_custkey") % 3 === 1), src)
-      out += "q41_create" -> timed(AggReplica.createView(
+      val tCreate = timed(AggReplica.createView(
         s, mv, src, Seq("c_mktsegment"), "c_acctbal", extrema = true))
       VersionedTable.commitAppend(
         customers.where(col("c_custkey") % 3 === 2), src, changeFeed = true)
       VersionedTable.deleteWhere(s, src,
         col("c_acctbal") > lit(9000) || col("c_acctbal") < lit(-900))
-      out += "q41_refresh" -> timed(AggReplica.refreshView(s, mv))
+      (tCreate, timed(AggReplica.refreshView(s, mv)))
     }
     // q42: join-backed view, churn on both feeds
-    locally {
-      val fact = s"$tmp/q42f"; val dim = s"$tmp/q42d"; val mv = s"$tmp/q42mv"
+    bestOf("q42") { base =>
+      val fact = s"${base}f"; val dim = s"${base}d"; val mv = s"${base}mv"
       seedWithFeed(orders.where(col("o_orderkey") % 3 === 1), fact)
       seedWithFeed(customers.select(col("c_custkey"), col("c_mktsegment")), dim)
-      out += "q42_create" -> timed(AggReplica.createJoinView(
+      val tCreate = timed(AggReplica.createJoinView(
         s, mv, fact, dim, Seq(("o_custkey", "c_custkey")),
         Seq((false, "c_mktsegment")), "o_totalprice"))
       VersionedTable.commitAppend(
         orders.where(col("o_orderkey") % 3 === 2), fact, changeFeed = true)
       VersionedTable.updateWhere(s, dim, col("c_custkey") % 10 === 0,
         Map("c_mktsegment" -> lit("MOVED")))
-      out += "q42_refresh" -> timed(AggReplica.refreshView(s, mv))
+      (tCreate, timed(AggReplica.refreshView(s, mv)))
     }
     // q43: star view (fact + two dims), all three feeds churn
     locally {
@@ -845,30 +905,32 @@ object FormatQueries {
       val part = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
       val supp = Tables.supplier(s, dir)
         .select(col("s_suppkey"), col("s_nationkey"))
-      val fact = s"$tmp/q43f"; val dp = s"$tmp/q43p"; val ds = s"$tmp/q43s"
-      val mv = s"$tmp/q43mv"
-      seedWithFeed(li.where(col("l_orderkey") % 2 === 1), fact)
-      seedWithFeed(part.where(col("p_partkey") % 3 =!= 0), dp)
-      seedWithFeed(supp, ds)
-      out += "q43_create" -> timed(AggReplica.createStarView(
-        s, mv, fact,
-        dims = Seq((dp, Seq(("l_partkey", "p_partkey"))),
-          (ds, Seq(("l_suppkey", "s_suppkey")))),
-        groupCols = Seq((1, "p_brand"), (2, "s_nationkey")),
-        valueCol = "l_quantity"))
-      VersionedTable.commitAppend(
-        li.where(col("l_orderkey") % 2 === 0), fact, changeFeed = true)
-      VersionedTable.commitAppend(
-        part.where(col("p_partkey") % 3 === 0), dp, changeFeed = true)
-      VersionedTable.deleteWhere(s, ds, col("s_suppkey") % 7 === 3)
-      out += "q43_refresh" -> timed(AggReplica.refreshView(s, mv))
+      bestOf("q43") { base =>
+        val fact = s"${base}f"; val dp = s"${base}p"; val ds = s"${base}s"
+        val mv = s"${base}mv"
+        seedWithFeed(li.where(col("l_orderkey") % 2 === 1), fact)
+        seedWithFeed(part.where(col("p_partkey") % 3 =!= 0), dp)
+        seedWithFeed(supp, ds)
+        val tCreate = timed(AggReplica.createStarView(
+          s, mv, fact,
+          dims = Seq((dp, Seq(("l_partkey", "p_partkey"))),
+            (ds, Seq(("l_suppkey", "s_suppkey")))),
+          groupCols = Seq((1, "p_brand"), (2, "s_nationkey")),
+          valueCol = "l_quantity"))
+        VersionedTable.commitAppend(
+          li.where(col("l_orderkey") % 2 === 0), fact, changeFeed = true)
+        VersionedTable.commitAppend(
+          part.where(col("p_partkey") % 3 === 0), dp, changeFeed = true)
+        VersionedTable.deleteWhere(s, ds, col("s_suppkey") % 7 === 3)
+        (tCreate, timed(AggReplica.refreshView(s, mv)))
+      }
     }
     // q44: multi-measure join view (two maintained sums, one delta pass)
-    locally {
-      val fact = s"$tmp/q44f"; val dim = s"$tmp/q44d"; val mv = s"$tmp/q44mv"
+    bestOf("q44") { base =>
+      val fact = s"${base}f"; val dim = s"${base}d"; val mv = s"${base}mv"
       seedWithFeed(orders.where(col("o_orderkey") % 3 === 1), fact)
       seedWithFeed(customers.select(col("c_custkey"), col("c_mktsegment")), dim)
-      out += "q44_create" -> timed(AggReplica.createStarView(
+      val tCreate = timed(AggReplica.createStarView(
         s, mv, fact, dims = Seq((dim, Seq(("o_custkey", "c_custkey")))),
         groupCols = Seq((1, "c_mktsegment")),
         measures = Seq(("o_totalprice", "price_sum"), ("o_orderkey", "key_sum"))))
@@ -876,7 +938,7 @@ object FormatQueries {
         orders.where(col("o_orderkey") % 3 === 2), fact, changeFeed = true)
       VersionedTable.updateWhere(s, dim, col("c_custkey") % 10 === 0,
         Map("c_mktsegment" -> lit("MOVED")))
-      out += "q44_refresh" -> timed(AggReplica.refreshView(s, mv))
+      (tCreate, timed(AggReplica.refreshView(s, mv)))
     }
     out.result()
   }
@@ -918,6 +980,26 @@ object FormatQueries {
         |  coalesce(c_nationkey, -1) AS c_nationkey,
         |  count(*)::BIGINT AS n_rows,
         |  sum(c_acctbal)::DOUBLE AS value_sum
+        |FROM s GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+    // q48: GROUP BY ROLLUP with min/max recomputed from the source's
+    // final state — the maintained extrema chain (each level's
+    // min(value_min)/max(value_max) fold + parent-view recompute for
+    // retracted extrema) must serve exactly the SQL grouping sets
+    "q48_matview_rollup_minmax" ->
+      """WITH s AS (
+        |  SELECT
+        |    CASE WHEN c_custkey % 10 = 0 THEN 'MOVED' ELSE c_mktsegment END
+        |      AS c_mktsegment,
+        |    c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal
+        |  FROM customer
+        |  WHERE c_custkey % 3 IN (1, 2) AND NOT (c_acctbal < 0))
+        |SELECT coalesce(c_mktsegment, 'ALL') AS c_mktsegment,
+        |  coalesce(c_nationkey, -1) AS c_nationkey,
+        |  count(*)::BIGINT AS n_rows,
+        |  sum(c_acctbal)::DOUBLE AS value_sum,
+        |  min(c_acctbal)::DOUBLE AS value_min,
+        |  max(c_acctbal)::DOUBLE AS value_max
         |FROM s GROUP BY ROLLUP (c_mktsegment, c_nationkey)
         |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
     // q47: GROUP BY CUBE recomputed from the source's final state

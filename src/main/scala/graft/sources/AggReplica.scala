@@ -155,6 +155,21 @@ object AggReplica {
     * sums, so `measures` = (column, view-column alias) per maintained
     * sum, every delta computed in the same one pass over the batch.
     * Extrema stay single-measure. */
+  /** Extrema maintained over DISTINCT feed columns — the cascade-child
+    * form: a coarser level over an extrema view folds the parent's
+    * feed, where the child's min comes from the parent's `value_min`,
+    * its max from `value_max`, and each parent-group row contributes
+    * `weightCol` (the parent's `n_vals`) underlying values, not 1.
+    * `None` for weightCol = the row-level form (one non-NULL value per
+    * row). The fold-skip soundness argument is unchanged: if no
+    * retracted minCol value reaches the folded min (resp. maxCol /
+    * folded max), the subgroup achieving the stored extremum was not
+    * touched — a touched one would have fired the flag with its own
+    * preimage — so the fold is exact; flagged groups recompute
+    * min(minCol)/max(maxCol) from the source at its pinned version. */
+  private[graft] final case class ExtremaCols(
+      minCol: String, maxCol: String, weightCol: Option[String])
+
   private[graft] def applyAggMulti(
       spark: SparkSession, dstRoot: String, keyCols: Seq[String],
       measures: Seq[(String, String)], batch: DataFrame,
@@ -162,7 +177,8 @@ object AggReplica {
       expectedPriors: Seq[Option[Long]],
       extrema: Boolean = false,
       source: Option[RecomputeSource] = None,
-      guards: Seq[(String, Long)] = Nil): Boolean = {
+      guards: Seq[(String, Long)] = Nil,
+      extremaCols: Option[ExtremaCols] = None): Boolean = {
     require(keyCols.nonEmpty, "applyAggBatch needs at least one group column")
     require(measures.nonEmpty, "applyAggMulti needs at least one measure")
     require(txns.size == expectedPriors.size,
@@ -197,7 +213,7 @@ object AggReplica {
         applyAggInternal(spark, dstRoot, keyCols, measures, batch, txns,
           () => if (claimLost()) throw new ChangeReplica.StaleBatchException(
             txns.head._1, txns.head._2),
-          extrema, source)
+          extrema, source, extremaCols)
         true
       } catch { case _: ChangeReplica.StaleBatchException => false }
     }
@@ -208,10 +224,17 @@ object AggReplica {
       measures: Seq[(String, String)], batch: DataFrame,
       txns: Seq[(String, Long)],
       zombieProbe: () => Unit, extrema: Boolean,
-      source: Option[RecomputeSource]): Unit = {
-    require(!extrema || measures.size == 1,
+      source: Option[RecomputeSource],
+      extremaCols: Option[ExtremaCols] = None): Unit = {
+    require(!extrema || extremaCols.isDefined || measures.size == 1,
       "extrema maintenance supports exactly one measure")
-    val missing = (keyCols ++ measures.map(_._1)).distinct
+    // row-level extrema read the single measure column; the cascade-
+    // child form reads its own (min, max, weight) columns off the feed
+    val ex = extremaCols.getOrElse(
+      ExtremaCols(measures.head._1, measures.head._1, None))
+    val exFeedCols =
+      if (extrema) Seq(ex.minCol, ex.maxCol) ++ ex.weightCol else Nil
+    val missing = (keyCols ++ measures.map(_._1) ++ exFeedCols).distinct
       .filterNot(batch.columns.contains)
     require(missing.isEmpty,
       s"column(s) missing from the feed: ${missing.mkString(", ")}")
@@ -223,17 +246,23 @@ object AggReplica {
       .when(col("_change_type").isin("delete", "update_preimage"), lit(-1L))
     val mIdx = measures.indices
     def dv(i: Int) = s"__dv$i"
-    val valueCol = measures.head._1
-    val v = col(valueCol)
+    val vMin = col(ex.minCol)
+    val vMax = col(ex.maxCol)
     val baseAggs =
       sum(sign).as("__dc") +: mIdx.map { i =>
         sum(sign * coalesce(col(measures(i)._1), lit(0))).as(dv(i)) }
+    // __dn counts underlying non-NULL VALUES: one per row with a
+    // non-NULL value at row level, `weightCol` (the parent's n_vals)
+    // per folded parent-group row in the cascade-child form
     val extAggs = if (!extrema) Nil else Seq(
-      sum(when(v.isNotNull, sign).otherwise(lit(0L))).as("__dn"),
-      min(when(sign === 1, v)).as("__ins_min"),
-      max(when(sign === 1, v)).as("__ins_max"),
-      min(when(sign === -1, v)).as("__del_min"),
-      max(when(sign === -1, v)).as("__del_max"))
+      (ex.weightCol match {
+        case Some(w) => sum(sign * coalesce(col(w), lit(0L)))
+        case None => sum(when(vMin.isNotNull, sign).otherwise(lit(0L)))
+      }).as("__dn"),
+      min(when(sign === 1, vMin)).as("__ins_min"),
+      max(when(sign === 1, vMax)).as("__ins_max"),
+      min(when(sign === -1, vMin)).as("__del_min"),
+      max(when(sign === -1, vMax)).as("__del_max"))
     // a group whose batch fully cancels (insert+delete of the same rows
     // in one range) is a provable no-op — drop it before the join. For
     // extrema any surviving non-NULL activity must flow through (a
@@ -261,11 +290,11 @@ object AggReplica {
         if (txns.isEmpty) Map.empty
         else Map("txn" -> txns.toDF("app_id", "batch_id"))
       val zombieCheck: Long => Unit = _ => zombieProbe()
-      val sumAlias = measures.head._2
       val aliases = measures.map(_._2)
       val viewCols: Seq[String] =
         if (extrema)
-          keyCols ++ Seq("n_rows", sumAlias, "n_vals", "value_min", "value_max")
+          keyCols ++ ("n_rows" +: aliases) ++
+            Seq("n_vals", "value_min", "value_max")
         else keyCols ++ ("n_rows" +: aliases)
       if (VersionedTable.currentVersion(spark, dstRoot).isEmpty) {
         // bootstrap: the view is born from the first batch's positive
@@ -278,17 +307,18 @@ object AggReplica {
           .limit(1).count()
         if (neg > 0) throw new NegativeGroupException(dstRoot)
         val resolved =
-          if (extrema) resolveExtrema(spark, deltas, keyCols, valueCol,
+          if (extrema) resolveExtrema(spark, deltas, keyCols, ex,
             viewExtrema = None, source.get, cached)
           else deltas
         val valueExprs: Seq[Column] =
-          if (extrema) Seq(
-            col("__dc").as("n_rows"), col(dv(0)).as(sumAlias),
-            col("__dn").as("n_vals"),
-            when(col("__rc"), col("__rc_min")).otherwise(col("__ins_min"))
-              .as("value_min"),
-            when(col("__rc"), col("__rc_max")).otherwise(col("__ins_max"))
-              .as("value_max"))
+          if (extrema)
+            (col("__dc").as("n_rows") +:
+              mIdx.map(i => col(dv(i)).as(aliases(i)))) ++ Seq(
+              col("__dn").as("n_vals"),
+              when(col("__rc"), col("__rc_min")).otherwise(col("__ins_min"))
+                .as("value_min"),
+              when(col("__rc"), col("__rc_max")).otherwise(col("__ins_max"))
+                .as("value_max"))
           else col("__dc").as("n_rows") +:
             mIdx.map(i => col(dv(i)).as(aliases(i)))
         // a group whose batch fully cancels leaves no row (the extrema
@@ -303,7 +333,7 @@ object AggReplica {
           preCommit = zombieCheck)
       } else {
         val resolved =
-          if (extrema) resolveExtrema(spark, deltas, keyCols, valueCol,
+          if (extrema) resolveExtrema(spark, deltas, keyCols, ex,
             viewExtrema = Some(VersionedTable.read(spark, dstRoot)),
             source.get, cached)
           else deltas
@@ -338,7 +368,7 @@ object AggReplica {
           val updSet =
             if (extrema)
               s"""n_rows = t.n_rows + s.__dc,
-                 |  ${sumUpds.head},
+                 |  ${sumUpds.mkString(",\n  ")},
                  |  n_vals = t.n_vals + s.__dn,
                  |  value_min = CASE WHEN s.__rc THEN s.__rc_min
                  |    ELSE least(t.value_min, s.__ins_min) END,
@@ -349,7 +379,7 @@ object AggReplica {
           val sDvs = mIdx.map(i => s"s.${dv(i)}")
           val insVals =
             if (extrema)
-              (keyCols.map(c => s"s.${bq(c)}") ++ Seq("s.__dc", sDvs.head,
+              (keyCols.map(c => s"s.${bq(c)}") ++ ("s.__dc" +: sDvs) ++ Seq(
                 "s.__dn",
                 "CASE WHEN s.__rc THEN s.__rc_min ELSE s.__ins_min END",
                 "CASE WHEN s.__rc THEN s.__rc_max ELSE s.__ins_max END"))
@@ -358,7 +388,7 @@ object AggReplica {
               .mkString(", ")
           val negVals =
             if (extrema)
-              (keyCols.map(c => s"s.${bq(c)}") ++ Seq(negErr, sDvs.head,
+              (keyCols.map(c => s"s.${bq(c)}") ++ (negErr +: sDvs) ++ Seq(
                 "s.__dn", "s.__ins_min", "s.__ins_max")).mkString(", ")
             else (keyCols.map(c => s"s.${bq(c)}") ++ (negErr +: sDvs))
               .mkString(", ")
@@ -422,7 +452,7 @@ object AggReplica {
     * no source read. */
   private def resolveExtrema(
       spark: SparkSession, deltas: DataFrame, keyCols: Seq[String],
-      valueCol: String, viewExtrema: Option[DataFrame],
+      ex: ExtremaCols, viewExtrema: Option[DataFrame],
       source: RecomputeSource,
       cached: scala.collection.mutable.ListBuffer[DataFrame]): DataFrame = {
     val vType = deltas.schema("__ins_min").dataType
@@ -491,15 +521,16 @@ object AggReplica {
                 inPred(keyCols.zipWithIndex).get)
             else VersionedTable.readVersion(spark, srcRoot, srcV)
           case s: StarAt =>
-            starRecompute(spark, s, valueCol,
+            // star extrema views are row-level (minCol == maxCol)
+            starRecompute(spark, s, ex.minCol,
               if (usable) Some(inPred _) else None)
         }
         val recomputed = snap.join(maybeBroadcast(rcKeys, nRc, bcLimit),
             keyCols.map(k => snap(k) <=> rcKeys(k)).reduce(_ && _),
             "left_semi")
           .groupBy(keyCols.map(col): _*)
-          .agg(min(col(valueCol)).as("__rc_min"),
-            max(col(valueCol)).as("__rc_max"))
+          .agg(min(col(ex.minCol)).as("__rc_min"),
+            max(col(ex.maxCol)).as("__rc_max"))
         // a flagged group absent from the source is fully deleted — its
         // DELETE fate fires before the extrema are read (NULLs are fine).
         // `recomputed` is one row per flagged group: the same nRc bound
@@ -607,6 +638,15 @@ object AggReplica {
     * finest — any subset aggregate is a sum over finest groups).
     * REFRESH descends parent-first; DROP descends child-first. */
   val MvChildProp = "graft.mv.child"
+  /** Marks a grouping-set cascade CHILD that maintains extrema: its
+    * feed is its parent EXTREMA view's change feed, so its min folds
+    * the parent's `value_min`, its max the parent's `value_max`, and
+    * each parent-group row weighs `n_vals` underlying values — the
+    * [[ExtremaCols]] form, with the recompute road reading the PARENT
+    * view (group-count-sized) at its pinned version instead of the
+    * fact. */
+  val MvExtremaChildProp = "graft.mv.extrema.child"
+
   /** The declared rollup key list, recorded on the FINEST level (the
     * chain's entry root) — [[readRollup]] reconstructs the grouping
     * sets from it. */
@@ -695,6 +735,12 @@ object AggReplica {
         val keys = props(MvKeysProp).split(',').toSeq
         val measures = decodeMeasures(props(MvValueProp))
         val extrema = props.get(MvExtremaProp).contains("true")
+        // a cascade child's extrema fold reads the parent view's
+        // value_min/value_max, weighted by its n_vals
+        val exCols =
+          if (props.get(MvExtremaChildProp).contains("true"))
+            Some(ExtremaCols("value_min", "value_max", Some("n_vals")))
+          else None
         val applied = VersionedTable.lastTxn(spark, dstRoot, MvAppId).getOrElse(
           throw new java.io.IOException(
             s"materialized view $dstRoot lost its refresh high-water stamp"))
@@ -706,7 +752,8 @@ object AggReplica {
           applyAggMulti(spark, dstRoot, keys, measures, batch,
             txns = Seq((MvAppId, srcCur)), expectedPriors = Seq(Some(applied)),
             extrema = extrema,
-            source = if (extrema) Some(TableAt(src, srcCur)) else None)
+            source = if (extrema) Some(TableAt(src, srcCur)) else None,
+            extremaCols = exCols)
           VersionedTable.currentVersion(spark, dstRoot).getOrElse(cur)
         }
       }
@@ -817,6 +864,55 @@ object AggReplica {
         MvValueProp -> encodeMeasures(ms)) ++ extraProps))
   }
 
+  /** CREATE a grouping-set cascade CHILD over an extrema parent view:
+    * seeds `keys…, n_rows, measures…, n_vals, value_min, value_max`
+    * from the parent's CURRENT snapshot (min over subgroup minima IS
+    * the coarser min — exact, no retraction in a seed scan), records
+    * the [[MvExtremaChildProp]] fold form, and stamps the consumed
+    * parent version like every create. The refresh road then maintains
+    * the sums by the telescoping rule and the extrema by the
+    * flagged-group recompute AGAINST THE PARENT VIEW — group-count-
+    * sized, so a retracted subgroup extremum costs O(parent rows of
+    * the flagged coarse groups), never a fact scan. */
+  private def createExtremaChildView(
+      spark: SparkSession, dstRoot: String, parentRoot: String,
+      keyCols: Seq[String], measures: Seq[(String, String)],
+      extraProps: Map[String, String] = Map.empty): Long = {
+    require(keyCols.nonEmpty, "createExtremaChildView needs a group column")
+    require(VersionedTable.currentVersion(spark, dstRoot).isEmpty,
+      s"$dstRoot already exists — DROP it or pick another root")
+    val parentCur = VersionedTable.currentVersion(spark, parentRoot).getOrElse(
+      throw new java.io.IOException(s"no committed version under $parentRoot"))
+    val snap = VersionedTable.readVersion(spark, parentRoot, parentCur)
+    val needed = keyCols ++ measures.map(_._1) ++
+      Seq("n_vals", "value_min", "value_max")
+    val absent = needed.filterNot(snap.columns.contains)
+    require(absent.isEmpty,
+      s"column(s) missing from extrema parent $parentRoot: " +
+        absent.mkString(", "))
+    requireRecordableKeys(keyCols)
+    validateMeasures(measures,
+      keyCols ++ Seq("n_vals", "value_min", "value_max"))
+    val aggs = (count(lit(1)).as("n_rows") +:
+      measures.map { case (c, a) => sum(coalesce(col(c), lit(0))).as(a) }) ++
+      Seq(sum(coalesce(col("n_vals"), lit(0L))).as("n_vals"),
+        min(col("value_min")).as("value_min"),
+        max(col("value_max")).as("value_max"))
+    val agg = snap.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    import spark.implicits._
+    VersionedTable.commit(agg, dstRoot,
+      extras = Map(
+        "changes" -> VersionedTable.feedWritable(
+          agg.withColumn("_change_type", lit("insert"))),
+        "txn" -> Seq((MvAppId, parentCur)).toDF("app_id", "batch_id")),
+      recordProperties = Some(Map(
+        MvSourceProp -> parentRoot,
+        MvKeysProp -> keyCols.mkString(","),
+        MvValueProp -> encodeMeasures(measures),
+        MvExtremaProp -> "true",
+        MvExtremaChildProp -> "true") ++ extraProps))
+  }
+
   // ---- DECLARED ROLLUP CASCADES ---------------------------------------------
 
   /** CREATE MATERIALIZED VIEW … GROUP BY ROLLUP (k1, …, kn): ONE
@@ -835,25 +931,34 @@ object AggReplica {
     * never need maintenance). */
   def createRollupView(
       spark: SparkSession, dstRoot: String, srcRoot: String,
-      keyCols: Seq[String], valueCol: String): Long = {
+      keyCols: Seq[String], valueCol: String,
+      extrema: Boolean = false): Long = {
     require(keyCols.nonEmpty, "ROLLUP needs at least one group column")
     def childRoot(i: Int) = s"${dstRoot}__rollup$i"
     val v0 = createView(spark, dstRoot, srcRoot, keyCols, valueCol,
+      extrema = extrema,
       extraProps = Map(MvRollupProp -> keyCols.mkString(",")) ++
         (if (keyCols.size > 1) Map(MvChildProp -> childRoot(1))
          else Map.empty))
     for (i <- 1 until keyCols.size) {
       val parent = if (i == 1) dstRoot else childRoot(i - 1)
       // level 1 sums the finest view's n_rows; deeper levels sum the
-      // already-renamed rows_sum — value_sum telescopes unchanged
+      // already-renamed rows_sum — value_sum telescopes unchanged.
+      // Extrema chains fold min(value_min)/max(value_max) at every
+      // level ([[createExtremaChildView]]); a retracted subgroup
+      // extremum recomputes against the PARENT level, so the cost
+      // stays group-sized all the way up.
       val measures =
         if (i == 1) Seq(("n_rows", "rows_sum"), ("value_sum", "value_sum"))
         else Seq(("rows_sum", "rows_sum"), ("value_sum", "value_sum"))
-      createMultiView(spark, childRoot(i), parent, keyCols.dropRight(i),
-        measures,
-        extraProps =
-          if (i + 1 < keyCols.size) Map(MvChildProp -> childRoot(i + 1))
-          else Map.empty)
+      val childProps =
+        if (i + 1 < keyCols.size) Map(MvChildProp -> childRoot(i + 1))
+        else Map.empty[String, String]
+      if (extrema)
+        createExtremaChildView(spark, childRoot(i), parent,
+          keyCols.dropRight(i), measures, extraProps = childProps)
+      else createMultiView(spark, childRoot(i), parent,
+        keyCols.dropRight(i), measures, extraProps = childProps)
     }
     v0
   }
@@ -875,10 +980,16 @@ object AggReplica {
       .split(',').toSeq
     val finest = VersionedTable.read(spark, root)
     val keyType = keys.map(k => k -> finest.schema(k).dataType).toMap
+    // extrema chains additionally serve min/max per grouping set —
+    // each level MAINTAINS its own value_min/value_max, so the read is
+    // still a union of levels, no recomputation
+    val hasExtrema = finest.columns.contains("value_min")
+    def exCols(df: DataFrame): Seq[Column] =
+      if (hasExtrema) Seq(df("value_min"), df("value_max")) else Nil
     def pad(df: DataFrame, have: Seq[String], nCol: String): DataFrame =
       df.select(keys.map(k =>
         if (have.contains(k)) col(k) else lit(null).cast(keyType(k)).as(k)) ++
-        Seq(col(nCol).as("n_rows"), col("value_sum")): _*)
+        (Seq(col(nCol).as("n_rows"), col("value_sum")) ++ exCols(df)): _*)
     val levels = scala.collection.mutable.ListBuffer(
       (root, finest, keys, "n_rows"))
     var cursor = props.get(MvChildProp)
@@ -896,11 +1007,17 @@ object AggReplica {
     // coalesce: an EMPTY view (source fully deleted) still serves the ()
     // grouping set as one row, and SQL's count over zero rows is 0, not
     // NULL (sum stays NULL — SQL's sum over zero rows)
+    val totalAggs = Seq(
+      coalesce(sum(col(coarseN)), lit(0L)).as("n_rows"),
+      sum(col("value_sum")).as("value_sum")) ++
+      (if (hasExtrema) Seq(min(col("value_min")).as("value_min"),
+        max(col("value_max")).as("value_max")) else Nil)
+    val totalCols = Seq(col("n_rows"), col("value_sum")) ++
+      (if (hasExtrema) Seq(col("value_min"), col("value_max")) else Nil)
     val total = coarsest
-      .agg(coalesce(sum(col(coarseN)), lit(0L)).as("n_rows"),
-        sum(col("value_sum")).as("value_sum"))
+      .agg(totalAggs.head, totalAggs.tail: _*)
       .select(keys.map(k => lit(null).cast(keyType(k)).as(k)) ++
-        Seq(col("n_rows"), col("value_sum")): _*)
+        totalCols: _*)
     levels.map { case (_, df, have, nCol) => pad(df, have, nCol) }
       .reduce(_ unionByName _)
       .unionByName(total)
@@ -916,7 +1033,8 @@ object AggReplica {
     * ([[readCube]]). */
   def createCubeView(
       spark: SparkSession, dstRoot: String, srcRoot: String,
-      keyCols: Seq[String], valueCol: String): Long = {
+      keyCols: Seq[String], valueCol: String,
+      extrema: Boolean = false): Long = {
     require(keyCols.nonEmpty, "CUBE needs at least one group column")
     require(keyCols.size <= 4,
       s"CUBE over ${keyCols.size} columns declares ${(1 << keyCols.size) - 2} " +
@@ -931,6 +1049,7 @@ object AggReplica {
       .sortBy(s => (-s.size, s.mkString))
     val children = subsets.map(s => s"${dstRoot}__cube_${s.mkString("")}")
     val v0 = createView(spark, dstRoot, srcRoot, keyCols, valueCol,
+      extrema = extrema,
       extraProps = Map(MvCubeProp -> keyCols.mkString(",")) ++
         (if (children.nonEmpty) Map(MvChildProp -> children.mkString(","))
          else Map.empty))
@@ -939,8 +1058,10 @@ object AggReplica {
     // atomic commit; the lifecycle cost of a cube create is otherwise
     // 2ⁿ−2 sequential commit latencies)
     parallelOver(subsets.zip(children)) { case (s, child) =>
-      createMultiView(spark, child, dstRoot, s.map(keyCols),
-        Seq(("n_rows", "rows_sum"), ("value_sum", "value_sum")))
+      val measures = Seq(("n_rows", "rows_sum"), ("value_sum", "value_sum"))
+      if (extrema)
+        createExtremaChildView(spark, child, dstRoot, s.map(keyCols), measures)
+      else createMultiView(spark, child, dstRoot, s.map(keyCols), measures)
     }
     v0
   }
@@ -982,10 +1103,13 @@ object AggReplica {
       .split(',').toSeq
     val finest = VersionedTable.read(spark, root)
     val keyType = keys.map(k => k -> finest.schema(k).dataType).toMap
+    val hasExtrema = finest.columns.contains("value_min")
+    def exCols(df: DataFrame): Seq[Column] =
+      if (hasExtrema) Seq(df("value_min"), df("value_max")) else Nil
     def pad(df: DataFrame, have: Seq[String], nCol: String): DataFrame =
       df.select(keys.map(k =>
         if (have.contains(k)) col(k) else lit(null).cast(keyType(k)).as(k)) ++
-        Seq(col(nCol).as("n_rows"), col("value_sum")): _*)
+        (Seq(col(nCol).as("n_rows"), col("value_sum")) ++ exCols(df)): _*)
     val childFrames = props.get(MvChildProp).toSeq.flatMap(_.split(','))
       .filter(_.nonEmpty).map { child =>
         val cv = VersionedTable.currentVersion(spark, child).getOrElse(
@@ -995,11 +1119,17 @@ object AggReplica {
         pad(VersionedTable.read(spark, child), have, "rows_sum")
       }
     // coalesce: same empty-view () grouping-set edge as [[readRollup]]
+    val totalAggs = Seq(
+      coalesce(sum(col("n_rows")), lit(0L)).as("n_rows"),
+      sum(col("value_sum")).as("value_sum")) ++
+      (if (hasExtrema) Seq(min(col("value_min")).as("value_min"),
+        max(col("value_max")).as("value_max")) else Nil)
+    val totalCols = Seq(col("n_rows"), col("value_sum")) ++
+      (if (hasExtrema) Seq(col("value_min"), col("value_max")) else Nil)
     val total = finest
-      .agg(coalesce(sum(col("n_rows")), lit(0L)).as("n_rows"),
-        sum(col("value_sum")).as("value_sum"))
+      .agg(totalAggs.head, totalAggs.tail: _*)
       .select(keys.map(k => lit(null).cast(keyType(k)).as(k)) ++
-        Seq(col("n_rows"), col("value_sum")): _*)
+        totalCols: _*)
     (pad(finest, keys, "n_rows") +: childFrames :+ total)
       .reduce(_ unionByName _)
   }
