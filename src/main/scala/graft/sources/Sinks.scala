@@ -52,17 +52,25 @@ object Sinks {
     * date-partitioned mart. */
   def overwritePartitions(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
     val spark = df.sparkSession
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try df.write
-      .mode(SaveMode.Overwrite)
-      .partitionBy(partitionCols: _*)
-      .parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    // LOCKED set→write→restore (the round-18 outputTimestampType
+    // lesson): two unserialized save/restore pairs interleaving can
+    // capture each other's in-flight value and leave the session's
+    // overwrite mode "dynamic" forever — turning every later plain
+    // Overwrite into a silent partial overwrite
+    confPinLock.synchronized {
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try df.write
+        .mode(SaveMode.Overwrite)
+        .partitionBy(partitionCols: _*)
+        .parquet(path)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
     }
   }
+  private val confPinLock = new Object
 
   /** The mart upsert (`dbt materialized=incremental, unique_key=id`) on a
     * plain-parquet target: read current snapshot, merge the staging delta

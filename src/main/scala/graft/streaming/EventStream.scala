@@ -94,11 +94,19 @@ object EventStream {
     case None => startQuery
     case Some(p) =>
       require(p > 0, "statePartitions must be positive")
-      val key = "spark.sql.shuffle.partitions"
-      val prev = spark.conf.get(key)
-      spark.conf.set(key, p.toString)
-      try startQuery finally spark.conf.set(key, prev)
+      // LOCKED set→start→restore: two unserialized pairs interleaving
+      // can capture each other's in-flight value and leave the session
+      // mutated forever (the round-18 outputTimestampType class). The
+      // stream PLANS under the pin (state partitioning is fixed at
+      // start); the lock only covers query start, never execution.
+      confPinLock.synchronized {
+        val key = "spark.sql.shuffle.partitions"
+        val prev = spark.conf.get(key)
+        spark.conf.set(key, p.toString)
+        try startQuery finally spark.conf.set(key, prev)
+      }
   }
+  private val confPinLock = new Object
 
   /** Start the pipeline into an in-memory sink (tests / smoke checks; a
     * production deployment swaps the sink for parquet/Kafka + checkpoint).

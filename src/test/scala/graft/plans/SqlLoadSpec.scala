@@ -252,9 +252,11 @@ class SqlLoadSpec extends SparkSpec {
     assert(d.getAs[Boolean]("deletion_vectors"))
     assert(d.getAs[Int]("retained_versions") == 4)
     // READER features only — the two-line in-commit-timestamp marker is
-    // a writer feature (flagless-but-capable readers keep reading)
+    // a writer feature (flagless-but-capable readers keep reading);
+    // grouped-meta rides every r19+ commit (the five metadata records
+    // live in one _meta object)
     assert(d.getAs[String]("protocol_features") ==
-      "column-mapping,deletion-vectors")
+      "column-mapping,deletion-vectors,grouped-meta")
   }
 
   test("vacuum on a clone drops its own history, never the source's files") {

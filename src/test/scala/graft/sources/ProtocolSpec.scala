@@ -18,13 +18,14 @@ class ProtocolSpec extends SparkSpec {
   test("features are recorded from what each version carries") {
     val root = freshRoot()
     VersionedTable.commit(Seq((1, "a"), (2, "b")).toDF("id", "x"), root)
-    // a plain table requires nothing of READERS (any build taking the
-    // marker's first line resolves the data dir); the two-line
-    // in-commit-timestamp marker is gated as a WRITER feature, the
-    // Delta inCommitTimestamp shape — an ignorant writer would publish
-    // one-line markers and break the monotone-clamp contract
+    // even a plain table requires grouped-meta of READERS since r19:
+    // its five metadata records live in the one _meta object, and a
+    // pre-grouping reader would serve the table without its schema.
+    // The two-line in-commit-timestamp marker stays a WRITER feature,
+    // the Delta inCommitTimestamp shape — an ignorant writer would
+    // publish one-line markers and break the monotone-clamp contract
     assert(VersionedTable.protocolOf(spark, root, 1L) ==
-      (Set.empty[String], Set("in-commit-timestamps")))
+      (Set("grouped-meta"), Set("grouped-meta", "in-commit-timestamps")))
     // DV delete → deletion-vectors required
     VersionedTable.setProperties(spark, root,
       Map("graft.enableDeletionVectors" -> "true"))
