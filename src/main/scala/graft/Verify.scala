@@ -12,6 +12,27 @@ object Verify {
     // optional comma-separated subset for focused dev iteration; the
     // driver runs the full map
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY").map(_.split(',').map(_.trim).toSet)
+    // GATE-INTEGRITY TRIPWIRE (round-18 postmortem): all keys share
+    // this one session, so a key that mutates session conf poisons
+    // every key after it in map order — and the failure surfaces at
+    // the WRONG keys. Snapshot the conf before the loop and name the
+    // culprit the moment it drifts; the NTZ dump below keeps the gate
+    // correct regardless, this is the diagnosis.
+    val conf0 = spark.conf.getAll
+    // two KNOWN one-way sets are benign and stay whitelisted: the
+    // legacy nanosAsLong read pin (idempotent, read-side only) and the
+    // q32 catalog warehouse path (read at analysis time by name-based
+    // DDL; no writer semantics). Everything else stays loud.
+    val benignDrift = Set(
+      "spark.sql.legacy.parquet.nanosAsLong", "spark.graft.warehouse")
+    def confDrift(name: String): Unit = {
+      val now = spark.conf.getAll
+      val drift = ((now.toSet diff conf0.toSet) ++
+        (conf0.toSet diff now.toSet)).filterNot(kv => benignDrift(kv._1))
+      if (drift.nonEmpty)
+        System.err.println(
+          s"[verify] WARNING: session conf drifted after $name: $drift")
+    }
     SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
@@ -43,6 +64,7 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      finally confDrift(name)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -232,7 +232,7 @@ object VersionedTable {
     * readers then scan the short suffix the checkpoint misses. */
   private def writeCheckpoint(
       spark: SparkSession, root: String, v: Long,
-      ownTxn: Option[DataFrame] = None): Unit =
+      ownTxn: Option[Seq[(String, Long)]] = None): Unit =
     try {
       val f = fs(spark, root)
       val prev = readCheckpoint(spark, root)
@@ -241,21 +241,23 @@ object VersionedTable {
         val gap = versions(spark, root).filter(x => x > from && x <= v)
         val txns = gap.sorted
           .foldLeft(prev.map(_.txns).getOrElse(Map.empty[String, Long])) { (m, vv) =>
-            // version v's txn extra IS the frame this commit just staged
-            // (`ownTxn` — a driver-built local relation): folding it
-            // directly skips the per-commit parquet re-read Spark job
-            // the stamped micro-batch roads otherwise pay. Gap versions
-            // (an earlier writer crashed between publish and checkpoint)
-            // still read from the log.
-            (if (vv == v && ownTxn.isDefined) ownTxn
-             else readExtra(spark, root, vv, "txn")) match {
-              case Some(df) =>
-                df.collect().foldLeft(m) { (mm, r) =>
-                  val app = r.getAs[String]("app_id")
-                  val b = r.getAs[Long]("batch_id")
-                  mm.updated(app, math.max(mm.getOrElse(app, Long.MinValue), b))
-                }
-              case None => m
+            // version v's stamps ARE the pairs this commit just staged
+            // (`ownTxn`, already collected driver-side): folding them
+            // directly skips even the metadata re-read. Gap versions
+            // (an earlier writer crashed between publish and
+            // checkpoint) read from the log — the grouped _meta object
+            // for current vintages, the txn parquet extra for old ones
+            // ([[txnStampsOf]]).
+            val stamps: Map[String, Long] =
+              if (vv == v)
+                // THIS commit's own stamps are authoritative — also
+                // when empty (an unstamped commit stamps nothing; no
+                // metadata read needed to know that)
+                ownTxn.getOrElse(Nil).groupBy(_._1)
+                  .map { case (k, rs) => (k, rs.map(_._2).max) }
+              else txnStampsOf(spark, root, vv)
+            stamps.foldLeft(m) { case (mm, (app, b)) =>
+              mm.updated(app, math.max(mm.getOrElse(app, Long.MinValue), b))
             }
           }
         // snapshot bytes per covered version: the gap versions resolve
@@ -510,6 +512,17 @@ object VersionedTable {
     // micros and broke the external gate's schema compare).
     val staging = new Path(root,
       "_staging/" + java.util.UUID.randomUUID().toString.take(12))
+    // TXN STAMPS ARE METADATA, not data: every producer builds a
+    // driver-local frame with one (app_id, batch_id) row per feed, so
+    // collect() executes on the driver (LocalTableScan — no job) and
+    // the stamps ride the grouped _meta object below instead of their
+    // own parquet extra — deleting one whole Spark WRITE JOB (~0.3 s
+    // of launch latency, plus a PUT-class create) from every stamped
+    // commit: every MV create/refresh, every streaming micro-batch.
+    val txnStamps: Seq[(String, Long)] = extras.get("txn").toSeq.flatMap(df =>
+      df.collect().map(r =>
+        (r.getAs[String]("app_id"), r.getAs[Long]("batch_id"))))
+    val extrasData = extras - "txn"
     locally {
       // per-column parquet BLOOM FILTERS (probed by readWhere's equality
       // pruning): footer-adjacent, kilobytes per column per row group.
@@ -563,7 +576,7 @@ object VersionedTable {
       val stagingWrites: Seq[() => Unit] =
         (() => CommitProfiler.phase("data_write") {
           writer.parquet(staging.toString)
-        }) +: extras.toSeq.map { case (name, extra) => () =>
+        }) +: extrasData.toSeq.map { case (name, extra) => () =>
           CommitProfiler.phase(s"extra_write:$name") {
             extra.write.mode(SaveMode.Overwrite)
               .parquet(new Path(staging, s"_$name").toString)
@@ -780,7 +793,13 @@ object VersionedTable {
     // an unknown operation, which conflict resolution treats as opaque.
     recordInfo.foreach { case (k, v2) =>
       groupedMeta(GroupedInfoPrefix + k) = v2 }
-    // ONE PUT lands schema + mapping + constraints + properties + info
+    // txn stamps (collected driver-side above) ride the same object —
+    // same atomicity as the parquet extra they replace (the grouped
+    // file is staged BEFORE the rename/marker publish)
+    txnStamps.foreach { case (a, b) =>
+      groupedMeta(GroupedTxnPrefix + a) = b.toString }
+    // ONE PUT lands schema + mapping + constraints + properties +
+    // info + txn stamps
     writeProps(f, groupedMetaFile(staging), groupedMeta.toMap)
     // (2) claim the next version number with the store's atomic
     // create-if-absent ([[StoreAdapter.claim]] — O_EXCL on local fs,
@@ -922,7 +941,8 @@ object VersionedTable {
     // O(1) reader resolution instead of log scans, and txn high-water
     // marks that outlive vacuum
     CommitProfiler.phase("checkpoint") {
-      writeCheckpoint(spark, root, published, ownTxn = extras.get("txn"))
+      writeCheckpoint(spark, root, published,
+        ownTxn = if (extras.contains("txn")) Some(txnStamps) else None)
     }
     // free the identity pin's blocks (no-op when nothing allocated):
     // the staged write above was the pin's last consumer. Failure paths
@@ -1521,6 +1541,24 @@ object VersionedTable {
   private val GroupedCheckPrefix = "c."
   private val GroupedPropPrefix = "p."
   private val GroupedInfoPrefix = "i."
+  private val GroupedTxnPrefix = "t."
+
+  /** Transaction stamps recorded with version `v` — app_id → high-water
+    * batch_id. Grouped vintages read them from the one _meta object
+    * (driver-side, memoized, NO Spark job); pre-grouping vintages fall
+    * back to the `txn` parquet extra. */
+  def txnStampsOf(
+      spark: SparkSession, root: String, v: Long): Map[String, Long] = {
+    val g = groupedMetaOf(spark, root, v)
+    if (g.nonEmpty)
+      groupedSection(g, GroupedTxnPrefix).map { case (k, s) => (k, s.toLong) }
+    else readExtra(spark, root, v, "txn") match {
+      case Some(df) => df.collect()
+        .map(r => (r.getAs[String]("app_id"), r.getAs[Long]("batch_id")))
+        .groupBy(_._1).map { case (k, rs) => (k, rs.map(_._2).max) }
+      case None => Map.empty
+    }
+  }
   private def groupedMetaFile(versionDir: Path): Path =
     new Path(new Path(versionDir, "_meta"), "commit.properties")
   private def groupedMetaOf(
@@ -5370,11 +5408,7 @@ object VersionedTable {
     val ckpt = readCheckpoint(spark, root)
     val from = ckpt.map(_.version).getOrElse(0L)
     versions(spark, root).filter(_ > from).sorted.reverse.iterator
-      .flatMap { v =>
-        readExtra(spark, root, v, "txn").toSeq
-          .flatMap(_.filter(col("app_id") === appId)
-            .collect().map(_.getAs[Long]("batch_id")))
-      }
+      .flatMap(v => txnStampsOf(spark, root, v).get(appId))
       .nextOption()
       .orElse(ckpt.flatMap(_.txns.get(appId)))
   }
@@ -5506,7 +5540,7 @@ object VersionedTable {
         // `_dvdelta` or ride the chain with no sidecar at all — the
         // introspection face must agree with what dvOf/readVersion serve
         hasDeletionVectors(spark, root, v),
-        f.exists(new Path(vdir, "_txn")),
+        txnStampsOf(spark, root, v).nonEmpty,
         tableSchema(spark, root, v).map(_.size).getOrElse(-1))
     }
     import spark.implicits._
@@ -6162,7 +6196,7 @@ object VersionedTable {
     }
     // txn-stamp coverage: advance the checkpoint over the whole log, then
     // keep any stamped version the (re-read) checkpoint still doesn't cover
-    def stamped(v: Long) = f.exists(new Path(dataDir(spark, root, v), "_txn"))
+    def stamped(v: Long) = txnStampsOf(spark, root, v).nonEmpty
     val drop =
       if (!aged.exists(stamped)) aged
       else {

@@ -108,6 +108,31 @@ class ExtremaCascadeSpec extends SparkSpec {
     assert(removed == 3L) // finest + 2 subset children
   }
 
+  test("the SQL CUBE face accepts the extrema tail and refuses a " +
+    "mismatched tail column") {
+    val tmp = freshDir("graft_excube_sql")
+    val src = s"$tmp/src"; val mv = s"$tmp/mv"
+    seed(src)
+    GraftSql.execute(spark,
+      s"""CREATE MATERIALIZED VIEW '$mv' AS
+         |SELECT seg, nat, count(*) AS n_rows, sum(v) AS value_sum,
+         |  count(v) AS n_vals, min(v) AS value_min, max(v) AS value_max
+         |FROM '$src' GROUP BY CUBE (seg, nat)""".stripMargin)
+    assert(canon(AggReplica.readCube(spark, mv)) == cubeRecompute(src))
+    churn(src)
+    GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW '$mv'")
+    assert(canon(AggReplica.readCube(spark, mv)) == cubeRecompute(src))
+    // a tail over a different column than the sum's refuses at CREATE
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.execute(spark,
+        s"""CREATE MATERIALIZED VIEW '$tmp/mv2' AS
+           |SELECT seg, nat, count(*) AS n_rows, sum(v) AS value_sum,
+           |  count(v) AS n_vals, min(nat) AS value_min, max(v) AS value_max
+           |FROM '$src' GROUP BY CUBE (seg, nat)""".stripMargin)
+    }
+    assert(e.getMessage.contains("over the sum's column"))
+  }
+
   test("a three-level extrema chain telescopes: the grandchild folds " +
     "the child's weighted feed and still equals the recompute") {
     val tmp = freshDir("graft_exru3")

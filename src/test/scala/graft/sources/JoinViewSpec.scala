@@ -516,8 +516,7 @@ class JoinViewSpec extends SparkSpec {
       Map("seg" -> lit("silver")))
     AggReplica.refreshView(spark, mv)
     val v = VersionedTable.currentVersion(spark, mv).get
-    val stamped = VersionedTable.readExtra(spark, mv, v, "txn").get
-      .select("app_id").collect().map(_.getString(0)).toSet
+    val stamped = VersionedTable.txnStampsOf(spark, mv, v).keySet
     assert(stamped == Set(AggReplica.dimAppId(0)),
       s"a dim-only refresh must stamp only the dim feed, wrote: $stamped")
     // the unmoved fact's high-water still reads through (older stamp)
