@@ -457,8 +457,18 @@ object AggReplica {
       cached: scala.collection.mutable.ListBuffer[DataFrame]): DataFrame = {
     val vType = deltas.schema("__ins_min").dataType
     val nullV = lit(null).cast(vType)
-    val noDeletes = deltas.where(col("__del_min").isNotNull)
-      .limit(1).count() == 0
+    // ONE probe job answers both "any deletes?" (the fast path) and the
+    // delta group count (the broadcast-hint price below): the deltas
+    // are persisted and group-sized, so the full-pass count costs the
+    // same job launch the old limit(1) probe paid — and the retraction
+    // path previously paid a SECOND count job for nGroups. Refresh
+    // latency on this road is job-launch-bound, not compute-bound.
+    val firstProbe = deltas.agg(
+      count(lit(1)).as("n"),
+      count(when(col("__del_min").isNotNull ||
+        col("__del_max").isNotNull, 1)).as("ndel")).head()
+    val nGroups = firstProbe.getLong(0)
+    val noDeletes = firstProbe.getLong(1) == 0L
     if (noDeletes)
       deltas.withColumn("__rc", lit(false))
         .withColumn("__rc_min", nullV).withColumn("__rc_max", nullV)
@@ -466,11 +476,10 @@ object AggReplica {
       // the broadcast-hint gate ([[BroadcastKeyLimitKey]]): group counts
       // bound every frame on this road, and the DELTA group count bounds
       // them all (flagged ⊆ delta groups, view-extrema rows semi-joined
-      // to delta keys) — one count off the persisted deltas prices the
-      // hints; past the limit the hints drop and AQE plans from sizes
+      // to delta keys) — the probe above priced the hints; past the
+      // limit the hints drop and AQE plans from sizes
       val bcLimit = spark.conf
         .get(BroadcastKeyLimitKey, BroadcastKeyLimitDefault.toString).toLong
-      val nGroups = deltas.count()
       // stored extrema for exactly the delta's groups: one pass over the
       // view restricted by a broadcast semi-join — the same
       // touched-groups cost class as the MERGE's own target scan
@@ -499,12 +508,20 @@ object AggReplica {
         .persist()
       cached += flagged
       val rcKeys = flagged.where(col("__rc")).select(keyCols.map(col): _*)
-      val nRc = rcKeys.count()
+      // ONE collect answers "how many flagged?" AND materializes the
+      // IN-list keys when the set is usable: limit(IsinLimit+1) bounds
+      // the driver rows, and only the rare over-limit set pays a
+      // second (count) job to price the broadcast hints exactly —
+      // previously every retraction batch paid count + collect.
+      val probeRows = rcKeys.limit(IsinLimit + 1).collect()
+      val nRc =
+        if (probeRows.length <= IsinLimit) probeRows.length.toLong
+        else rcKeys.count()
       if (nRc == 0)
         flagged.withColumn("__rc_min", nullV).withColumn("__rc_max", nullV)
       else {
         val keyRows =
-          if (nRc <= IsinLimit) rcKeys.collect() else Array.empty[org.apache.spark.sql.Row]
+          if (nRc <= IsinLimit) probeRows else Array.empty[org.apache.spark.sql.Row]
         // a usable key set (small, NULL-free) rides the scans as a
         // per-column IN superset predicate (stats pruning + parquet
         // pushdown); the semi-join below makes it exact either way
