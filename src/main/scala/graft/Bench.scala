@@ -49,15 +49,23 @@ object Bench {
     // best-of-2 on a 1.1s-steady-state query); 3 samples is the floor that
     // keeps one steal burst from defining a number
     val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "3").toInt.max(1)
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to repeat).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+    // INTERLEAVED best-of-N (r19 ask #1): run the FULL key list `repeat`
+    // times and take per-key minima ACROSS passes, instead of N
+    // consecutive trials per key. Consecutive trials all fit inside one
+    // host steal burst (~1 min), so one bad minute used to write a 2.4x
+    // outlier into the official artifact (r19's q41: 16.9 s vs 7.2 s
+    // same-HEAD steady state); with passes ~5 min apart a burst degrades
+    // at most one of a key's three trials. Timing methodology per trial
+    // is unchanged: noop sink, per-key cache/GC isolation after each key.
+    val keys = selected.toSeq.sortBy(_._1)
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    for (_ <- 1 to repeat; (name, fn) <- keys) {
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
+      val sec = (System.nanoTime() - t0) / 1e9
       // release per-key executor state before the next key is timed:
       // cached tables unpersist via the catalog; localCheckpoint RDD
       // blocks are freed by the ContextCleaner only after their frames
@@ -67,8 +75,9 @@ object Bench {
       // 2–4× inflation on late keys vs the same key run in isolation)
       spark.catalog.clearCache()
       System.gc()
-      name -> times.min
+      best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
     }
+    val results = keys.map { case (name, _) => name -> best(name) }
     // REAL micro-batch runs (file source over the same parquet,
     // AvailableNow trigger): the st1–st4 transforms executed as actual
     // Structured Streaming queries, timed next to their batch-equivalent

@@ -249,13 +249,21 @@ object VersionedTable {
             // for current vintages, the txn parquet extra for old ones
             // ([[txnStampsOf]]).
             val stamps: Map[String, Long] =
-              if (vv == v)
-                // THIS commit's own stamps are authoritative — also
-                // when empty (an unstamped commit stamps nothing; no
-                // metadata read needed to know that)
-                ownTxn.getOrElse(Nil).groupBy(_._1)
-                  .map { case (k, rs) => (k, rs.map(_._2).max) }
-              else txnStampsOf(spark, root, vv)
+              ownTxn match {
+                case Some(own) if vv == v =>
+                  // THIS commit's own stamps are authoritative — also
+                  // when empty (Some(Nil): an unstamped commit stamps
+                  // nothing; no metadata read needed to know that)
+                  own.groupBy(_._1)
+                    .map { case (k, rs) => (k, rs.map(_._2).max) }
+                case _ =>
+                  // ownTxn=None means UNKNOWN, not unstamped — vacuum's
+                  // checkpoint advance passes no ownTxn, and treating
+                  // that as "no stamps" would drop the newest version's
+                  // stamps from the checkpoint forever (lastTxn only
+                  // scans above the checkpoint version)
+                  txnStampsOf(spark, root, vv)
+              }
             stamps.foldLeft(m) { case (mm, (app, b)) =>
               mm.updated(app, math.max(mm.getOrElse(app, Long.MinValue), b))
             }
@@ -510,6 +518,14 @@ object VersionedTable {
     // value and leave the session permanently mutated (round-18
     // regression: every later LTZ write flipped to isAdjustedToUTC
     // micros and broke the external gate's schema compare).
+    // self-built sessions (embedders bypassing GraftSession) silently
+    // regress to INT96 otherwise — warn ONCE per JVM, don't degrade mutely
+    if (spark.conf.get("spark.sql.parquet.outputTimestampType", "") !=
+        "TIMESTAMP_MICROS" && tsWarnOnce.compareAndSet(false, true))
+      maintLog.warn("spark.sql.parquet.outputTimestampType is not " +
+        "TIMESTAMP_MICROS: INT96 timestamps carry no usable footer " +
+        "min/max (stats pruning, z-order, statsAggregate degrade). " +
+        "Build sessions via graft.GraftSession, which pins the conf.")
     val staging = new Path(root,
       "_staging/" + java.util.UUID.randomUUID().toString.take(12))
     // TXN STAMPS ARE METADATA, not data: every producer builds a
@@ -941,8 +957,9 @@ object VersionedTable {
     // O(1) reader resolution instead of log scans, and txn high-water
     // marks that outlive vacuum
     CommitProfiler.phase("checkpoint") {
-      writeCheckpoint(spark, root, published,
-        ownTxn = if (extras.contains("txn")) Some(txnStamps) else None)
+      // ALWAYS Some: Some(Nil) = known-unstamped (skip the metadata
+      // re-read); None = unknown (writeCheckpoint reads the log)
+      writeCheckpoint(spark, root, published, ownTxn = Some(txnStamps))
     }
     // free the identity pin's blocks (no-op when nothing allocated):
     // the staged write above was the pin's last consumer. Failure paths
@@ -1558,6 +1575,19 @@ object VersionedTable {
         .groupBy(_._1).map { case (k, rs) => (k, rs.map(_._2).max) }
       case None => Map.empty
     }
+  }
+  /** Cheap boolean face of [[txnStampsOf]]: "is version `v` stamped?"
+    * without materializing the stamps. Grouped vintages answer from the
+    * memoized _meta object; pre-grouping vintages answer with ONE
+    * `exists` stat on the `_txn` extra dir instead of a Spark parquet
+    * read — DESCRIBE HISTORY / vacuum over a long legacy log would
+    * otherwise pay O(versions) job launches for a yes/no. (Grouped
+    * commits never write a `_txn` parquet — extras drops "txn" before
+    * staging — so the two probes cannot disagree.) */
+  def hasTxnStamps(spark: SparkSession, root: String, v: Long): Boolean = {
+    val g = groupedMetaOf(spark, root, v)
+    if (g.nonEmpty) g.keys.exists(_.startsWith(GroupedTxnPrefix))
+    else fs(spark, root).exists(new Path(dataDir(spark, root, v), "_txn"))
   }
   private def groupedMetaFile(versionDir: Path): Path =
     new Path(new Path(versionDir, "_meta"), "commit.properties")
@@ -4898,6 +4928,7 @@ object VersionedTable {
   }
 
   private val maintLog = org.slf4j.LoggerFactory.getLogger(getClass)
+  private val tsWarnOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** EXECUTE the verbs [[maintenanceReport]] recommends — the dispatcher
     * an operator (or a scheduler tick per ingest epoch) calls so the
@@ -5540,7 +5571,7 @@ object VersionedTable {
         // `_dvdelta` or ride the chain with no sidecar at all — the
         // introspection face must agree with what dvOf/readVersion serve
         hasDeletionVectors(spark, root, v),
-        txnStampsOf(spark, root, v).nonEmpty,
+        hasTxnStamps(spark, root, v),
         tableSchema(spark, root, v).map(_.size).getOrElse(-1))
     }
     import spark.implicits._
@@ -6196,7 +6227,7 @@ object VersionedTable {
     }
     // txn-stamp coverage: advance the checkpoint over the whole log, then
     // keep any stamped version the (re-read) checkpoint still doesn't cover
-    def stamped(v: Long) = txnStampsOf(spark, root, v).nonEmpty
+    def stamped(v: Long) = hasTxnStamps(spark, root, v)
     val drop =
       if (!aged.exists(stamped)) aged
       else {
