@@ -82,12 +82,37 @@ object FormatBench {
     // per-phase wall totals. The phases are the sidecar writes and Spark
     // jobs a commit pays; at 100 TB each is an object-store round trip
     // class, so the widest phase is the group-commit target.
+    // job-level accounting beside the phase decomposition: the MV keys
+    // are JOB-LAUNCH-bound (dozens of group-sized probe/commit jobs whose
+    // compute is milliseconds), so #jobs and their summed wall are the
+    // numbers that say whether a change removed driver round trips
+    val jobCount = new java.util.concurrent.atomic.AtomicLong
+    val jobNanos = new java.util.concurrent.atomic.AtomicLong
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts.put(j.jobId, System.nanoTime())
+        override def onJobEnd(
+            j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val t0 = starts.remove(j.jobId)
+          if (t0 != 0L) {
+            jobCount.incrementAndGet()
+            jobNanos.addAndGet(System.nanoTime() - t0)
+          }
+        }
+      })
     for ((label, body) <- Seq[(String, () => Unit)](
         ("q28_dv_dml", () => { graft.queries.FormatQueries.q28(spark, sfDir).count(); () }),
-        ("q44_mv_lifecycle", () => { graft.queries.FormatQueries.q44(spark, sfDir).count(); () }))) {
+        ("q44_mv_lifecycle", () => { graft.queries.FormatQueries.q44(spark, sfDir).count(); () }),
+        ("q41_mv_extrema", () => { graft.queries.FormatQueries.q41(spark, sfDir).count(); () }),
+        ("q48_mv_rollup_minmax", () => { graft.queries.FormatQueries.q48(spark, sfDir).count(); () }))) {
       graft.sources.CommitProfiler.reset()
       graft.sources.CommitProfiler.enable()
+      jobCount.set(0); jobNanos.set(0)
       val (_, tAll) = time { body() }
+      Thread.sleep(500) // listener bus drains async
       graft.sources.CommitProfiler.disable()
       val snap = graft.sources.CommitProfiler.snapshot()
       val phases = snap.map { case (k, s, n) =>
@@ -95,7 +120,8 @@ object FormatBench {
       }.mkString(",")
       println(
         s"""{"metric":"commit_profile","key":"$label",""" +
-        s""""wall_s":${f"$tAll%.3f"},$phases}""")
+        s""""wall_s":${f"$tAll%.3f"},"n_jobs":${jobCount.get},""" +
+        s""""jobs_wall_s":${f"${jobNanos.get / 1e9}%.3f"},$phases}""")
     }
     spark.stop()
   }

@@ -1869,6 +1869,14 @@ object GraftSql {
               ColumnBridge.column(deQualified(act.condition.get)))
           }.toSet
         }.toOption
+      // the detection join ALSO answers the SQL cardinality rule (does
+      // any target row match >1 source row?) in the same job — phase 2
+      // previously re-executed the whole full-outer join for that one
+      // boolean, a full extra Spark execution per MERGE (~0.3 s on the
+      // group-sized MV refresh merges, row-scale on big ones).
+      // Some(true/false) when detection ran; None = not answered here
+      // (full-rewrite road), phase 2 then checks the old way.
+      var detectionDup: Option[Boolean] = None
       val keptRefs: Option[Seq[String]] =
         nmbsTouched match {
           case None => None
@@ -1885,7 +1893,9 @@ object GraftSql {
               else {
                 val cand = candidateRefs(spark, root, base, m, sDet)
                 cand match {
-                  case Some(c) if c.isEmpty => Set.empty // provably nothing matches
+                  case Some(c) if c.isEmpty =>
+                    detectionDup = Some(false) // provably nothing matches
+                    Set.empty
                   case c =>
                     val scan = bucketEligible match {
                       case Some((fb, bkeys, n)) =>
@@ -1900,13 +1910,23 @@ object GraftSql {
                       case None => VersionedTable.readVersionWithFileRef(
                         spark, root, base, "__t_file", c.map(_.toSeq.sorted))
                     }
+                    // a per-row id on the DETECTION scan: multiplicity per
+                    // matched target row rides the same job as the file
+                    // set (two-level agg keeps the collect ≤ #files rows;
+                    // candidate-pruned rows have multiplicity 0 by proof)
                     val tScanPlan = m.targetTable.transform {
-                      case _: UnresolvedRelation => scan.queryExecution.analyzed
+                      case _: UnresolvedRelation =>
+                        scan.withColumn("__t_drid", monotonically_increasing_id())
+                          .queryExecution.analyzed
                     }
-                    CommandBridge.dataFrame(spark, tScanPlan)
+                    val det = CommandBridge.dataFrame(spark, tScanPlan)
                       .join(sDet, ColumnBridge.column(m.mergeCondition))
-                      .select("__t_file").distinct()
-                      .collect().map(_.getString(0)).toSet // metadata-scale: ≤ #files
+                      .groupBy(col("__t_file"), col("__t_drid"))
+                      .agg(count(lit(1)).as("__n"))
+                      .groupBy(col("__t_file")).agg(max(col("__n")).as("__mx"))
+                      .collect() // metadata-scale: ≤ #files rows
+                    detectionDup = Some(det.exists(_.getLong(1) > 1L))
+                    det.map(_.getString(0)).toSet
                 }
               }
             Some(VersionedTable.dataFileRefs(spark, root, base)
@@ -1979,10 +1999,14 @@ object GraftSql {
       val sPresent = col("__s_present").isNotNull
 
       if (m.matchedActions.nonEmpty) {
-        val dup = joined.filter(tPresent && sPresent)
-          .groupBy(col("__t_rid")).count()
-          .filter(col("count") > 1).limit(1).count()
-        require(dup == 0L,
+        // answered by the detection job when it ran; the full-rewrite
+        // road (no detection) still pays its own check
+        val dup = detectionDup.getOrElse {
+          joined.filter(tPresent && sPresent)
+            .groupBy(col("__t_rid")).count()
+            .filter(col("count") > 1).limit(1).count() > 0L
+        }
+        require(!dup,
           "MERGE: a target row matches multiple source rows — refusing the " +
             "nondeterministic update/delete (the SQL-standard cardinality rule)")
       }

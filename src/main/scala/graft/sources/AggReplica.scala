@@ -286,6 +286,27 @@ object AggReplica {
     val cached = scala.collection.mutable.ListBuffer[DataFrame](deltas)
     try {
       import spark.implicits._
+      // ONE probe job over the persisted group-sized deltas answers every
+      // driver question this road used to pay separate jobs for: the
+      // group count (broadcast-hint pricing), any-deletes (the extrema
+      // fast path), any-NULL-key (the `<=>` switch), and the bootstrap
+      // negative check. Refresh latency here is job-launch-bound, not
+      // compute-bound — each fused probe is a deleted driver round trip.
+      val imbalance =
+        if (extrema) col("__dc") === 0 && (anyDv || col("__dn") =!= 0)
+        else col("__dc") === 0 && anyDv
+      val probeAggs = Seq(
+        count(lit(1)).as("__p_n"),
+        count(when(col("__dc") < 0 || imbalance, 1)).as("__p_neg"),
+        count(when(keyCols.map(k => col(k).isNull).reduce(_ || _), 1))
+          .as("__p_null")) ++
+        (if (extrema) Seq(count(when(col("__del_min").isNotNull ||
+          col("__del_max").isNotNull, 1)).as("__p_del")) else Nil)
+      val probe = deltas.agg(probeAggs.head, probeAggs.tail: _*).head()
+      val nGroups = probe.getLong(0)
+      val anyNeg = probe.getLong(1) > 0
+      val hasNullKey = probe.getLong(2) > 0
+      val noDeletes = !extrema || probe.getLong(3) == 0L
       val txnExtra: Map[String, DataFrame] =
         if (txns.isEmpty) Map.empty
         else Map("txn" -> txns.toDF("app_id", "batch_id"))
@@ -299,16 +320,10 @@ object AggReplica {
       if (VersionedTable.currentVersion(spark, dstRoot).isEmpty) {
         // bootstrap: the view is born from the first batch's positive
         // groups; a leading retraction means the consumer started too late
-        val imbalance =
-          if (extrema) col("__dc") === 0 &&
-            (anyDv || col("__dn") =!= 0)
-          else col("__dc") === 0 && anyDv
-        val neg = deltas.where(col("__dc") < 0 || imbalance)
-          .limit(1).count()
-        if (neg > 0) throw new NegativeGroupException(dstRoot)
+        if (anyNeg) throw new NegativeGroupException(dstRoot)
         val resolved =
           if (extrema) resolveExtrema(spark, deltas, keyCols, ex,
-            viewExtrema = None, source.get, cached)
+            viewExtrema = None, source.get, cached, nGroups, noDeletes)
           else deltas
         val valueExprs: Seq[Column] =
           if (extrema)
@@ -335,7 +350,7 @@ object AggReplica {
         val resolved =
           if (extrema) resolveExtrema(spark, deltas, keyCols, ex,
             viewExtrema = Some(VersionedTable.read(spark, dstRoot)),
-            source.get, cached)
+            source.get, cached, nGroups, noDeletes)
           else deltas
         val view = "__graft_ivm_" +
           java.util.UUID.randomUUID().toString.replace("-", "").take(12)
@@ -350,10 +365,7 @@ object AggReplica {
           // bucket-road-eligible equi (a raw-key HashPartitioning cannot
           // co-locate null-safe join keys), so the common no-null-groups
           // batch keeps `=` and a bucketized view keeps its claimed road —
-          // the probe is ONE count over the already-group-sized delta.
-          val hasNullKey = deltas
-            .where(keyCols.map(k => col(k).isNull).reduce(_ || _))
-            .limit(1).count() > 0
+          // answered by the fused probe above, zero extra jobs.
           val eq = if (hasNullKey) "<=>" else "="
           val on = keyCols.map(k => s"t.${bq(k)} $eq s.${bq(k)}").mkString(" AND ")
           val insCols = viewCols.map(bq).mkString(", ")
@@ -454,21 +466,15 @@ object AggReplica {
       spark: SparkSession, deltas: DataFrame, keyCols: Seq[String],
       ex: ExtremaCols, viewExtrema: Option[DataFrame],
       source: RecomputeSource,
-      cached: scala.collection.mutable.ListBuffer[DataFrame]): DataFrame = {
+      cached: scala.collection.mutable.ListBuffer[DataFrame],
+      nGroups: Long, noDeletes: Boolean): DataFrame = {
     val vType = deltas.schema("__ins_min").dataType
     val nullV = lit(null).cast(vType)
-    // ONE probe job answers both "any deletes?" (the fast path) and the
-    // delta group count (the broadcast-hint price below): the deltas
-    // are persisted and group-sized, so the full-pass count costs the
-    // same job launch the old limit(1) probe paid — and the retraction
-    // path previously paid a SECOND count job for nGroups. Refresh
-    // latency on this road is job-launch-bound, not compute-bound.
-    val firstProbe = deltas.agg(
-      count(lit(1)).as("n"),
-      count(when(col("__del_min").isNotNull ||
-        col("__del_max").isNotNull, 1)).as("ndel")).head()
-    val nGroups = firstProbe.getLong(0)
-    val noDeletes = firstProbe.getLong(1) == 0L
+    // "any deletes?" (the fast path) and the delta group count (the
+    // broadcast-hint price below) arrive from the caller's FUSED probe —
+    // this road pays zero probe jobs of its own before the flagged-set
+    // collect. Refresh latency here is job-launch-bound, not
+    // compute-bound.
     if (noDeletes)
       deltas.withColumn("__rc", lit(false))
         .withColumn("__rc_min", nullV).withColumn("__rc_max", nullV)
