@@ -29,6 +29,16 @@ object GraftSession {
       .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs",
         "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE plan CACHED frames too (upstream default is false for
+      // output-partitioning stability, which nothing here relies on):
+      // without it every `.persist()` of a group-sized frame — the MV
+      // maintenance deltas, the flagged extrema sets — materializes at
+      // the static shuffle parallelism, and every downstream stage over
+      // the cache launches that many tasks; a refreshed 155-row view was
+      // measured writing 137 parquet files through that fan-out. Scale-
+      // independent: AQE right-sizes caches from bytes at any sf.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
 
