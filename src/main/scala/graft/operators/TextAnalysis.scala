@@ -270,8 +270,12 @@ object TextAnalysis {
     * distinct-bigram model — every shuffle key is a short string, no
     * all-pairs term anywhere, nothing on the driver. */
   def bigramSurprise(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // tokenization feeds two consumers with different downstream shapes
+    // (the bigram explode and the vocab-size scalar) — materialize the
+    // token arrays once instead of re-running wordsOf over the corpus
     val toks = docs
       .withColumn("__ts", filter(wordsOf(col(textCol)), w => w =!= ""))
+      .localCheckpoint(eager = false)
     val bg = toks
       .withColumn("__bg",
         when(size(col("__ts")) >= 2,

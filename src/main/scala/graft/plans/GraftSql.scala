@@ -2242,11 +2242,12 @@ object GraftSql {
           // carry EVERY file by reference — pass-through rows of touched
           // files stay where they are, unmasked
           val affected = joined.filter(tPresent && (fate === -1 || updFilter))
-          val newDel = affected.select(col("__dv_file").as("file"),
+          // empty-safety (a 0-partition plan leaving a schemaless
+          // sidecar) is enforced at staging time by commitWith's
+          // ensure-readable pass — probing .rdd here re-executed the
+          // whole mask computation under AQE just to count partitions
+          val newDelWritable = affected.select(col("__dv_file").as("file"),
             col("__dv_pos").as("pos"))
-          val newDelWritable = // empty-safe: keep the sidecar readable
-            if (newDel.rdd.getNumPartitions == 0) newDel.repartition(1)
-            else newDel
           val updated = regenExprs(
             joined.filter(tPresent && updFilter).select(outValues: _*))
           // on a bucketized target, land the written delta (updated

@@ -111,8 +111,13 @@ object TextQueries {
     * all map-side-combined shuffles. */
   def t12(s: SparkSession, dir: String): DataFrame = {
     val merges = t11Train(s, dir)
+    // tokenization (greedy BPE per doc — the expensive part) feeds TWO
+    // aggregations with different shapes (explode vs explode∘distinct),
+    // so exchange reuse can't dedupe it: materialize the token arrays
+    // once instead of tokenizing the corpus per consumer
     val docs = Tables.documents(s, dir)
       .withColumn("toks", graft.operators.Bpe.tokens(col("text"), merges))
+      .localCheckpoint(eager = false)
     val counts = docs.select(explode(col("toks")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n_total"))
     val dfreq = docs.select(explode(array_distinct(col("toks"))).as("token"))
@@ -148,7 +153,10 @@ object TextQueries {
     * already yields thousands of splits and the extra exchange of raw text
     * is noise next to the per-row work it parallelizes. */
   def t7(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.repetition(Tables.documents(s, dir).repartition(32), "doc_id", "text")
+    // fan-out sized from the session, not a local[32] constant
+    TextAnalysis.repetition(
+        Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism),
+        "doc_id", "text")
       .orderBy(col("doc_id"))
 
   def m1(s: SparkSession, dir: String): DataFrame =
@@ -298,7 +306,8 @@ object TextQueries {
     // same rationale as t7: per-word HOF hashing is interpreted
     // (compute-bound), so fan the small parquet split across cores first
     TextAnalysis.qualityClassifier(
-        Tables.documents(s, dir).repartition(32), "doc_id", "text")
+        Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism),
+        "doc_id", "text")
       .orderBy(col("doc_id"))
 
   /** st6: batch face of the STREAM-STREAM interval join
@@ -392,8 +401,12 @@ object TextQueries {
     * wordcount class. Token-less documents keep a row (empty ids). */
   def t13(s: SparkSession, dir: String): DataFrame = {
     val merges = t11Train(s, dir)
+    // THREE consumers (vocab counts, the id join, the keep-every-doc
+    // left side) — materialize the token arrays once (same rationale as
+    // t12; tokenizing 3x dominated this key's wall time)
     val docs = Tables.documents(s, dir)
       .withColumn("toks", graft.operators.Bpe.tokens(col("text"), merges))
+      .localCheckpoint(eager = false)
     val vocab = docs.select(explode(col("toks")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n_total"))
       .withColumn("rank", row_number().over(

@@ -606,6 +606,24 @@ object VersionedTable {
         Await.result(
           Future.sequence(stagingWrites.map(t => Future(t()))), Duration.Inf)
       }
+      // an extra whose frame planned to ZERO partitions (an empty
+      // LocalRelation feed) leaves a schemaless dir that
+      // readExtra/readChanges cannot recover a schema from — land one
+      // empty part file with the schema. One driver listStatus per
+      // extra; the [[feedWritable]] probe this replaces re-executed the
+      // whole feed computation under AQE just to count partitions.
+      extrasData.foreach { case (name, extra) =>
+        val d = new Path(staging, s"_$name")
+        val hasPart = f.exists(d) && f.listStatus(d).exists { s =>
+          val n = s.getPath.getName
+          n.startsWith("part-") && n.endsWith(".parquet")
+        }
+        if (!hasPart)
+          spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], extra.schema)
+            .repartition(1)
+            .write.mode(SaveMode.Overwrite).parquet(d.toString)
+      }
       // DERIVED per-file bitmaps beside the row-level DV parquet: the
       // scan-integrated mask road ([[DvBitmaps]]) for reads above the
       // broadcast threshold. One O(mask) job per DV-carrying commit —
@@ -3799,11 +3817,17 @@ object VersionedTable {
       }
     }
 
-  /** A feed frame safe to land as an extra even when EMPTY: at least one
-    * part file must exist so [[readExtra]]/[[readChanges]] can recover
-    * the schema (a 0-partition empty write leaves a schemaless dir). */
-  private[graft] def feedWritable(fd: DataFrame): DataFrame =
-    if (fd.rdd.getNumPartitions == 0) fd.repartition(1) else fd
+  /** A feed frame safe to land as an extra even when EMPTY. Historically
+    * this probed `fd.rdd.getNumPartitions` and repartition(1)-ed the
+    * 0-partition case — but under AQE `.rdd` materializes EVERY query
+    * stage just to count partitions, so each feed frame computed twice
+    * (once for the probe, once for the staged write). The schema-
+    * recovery invariant ([[readExtra]]/[[readChanges]] need at least one
+    * part file) is now enforced post-hoc at staging time
+    * ([[ensureExtraReadable]]) with one driver listStatus per extra, so
+    * this is identity. Kept as the documented seam every feed passes
+    * through. */
+  private[graft] def feedWritable(fd: DataFrame): DataFrame = fd
 
   /** The zero-row change feed of a LAYOUT-ONLY commit (compaction,
     * clustering, schema evolution): "this version changed no rows",
