@@ -40,6 +40,12 @@ object GraftSession {
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // the upstream 100-entry codegen cache thrashes under a workload
+      // of 100+ distinct query shapes per session (this engine's bench
+      // and any multi-query deployment): every re-run then pays Janino
+      // recompilation (~0.1-0.3 s/query). Entries are compiled classes —
+      // thousands are megabytes, not gigabytes.
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       .config("spark.ui.enabled", "false")
 
   /** local[cpus] session with shuffle parallelism = cpus. */

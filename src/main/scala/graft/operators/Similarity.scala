@@ -59,7 +59,10 @@ object Similarity {
       vecCol: String,
       nCells: Int,
       iters: Int): DataFrame = {
+    // consumed once per Lloyd round (plus the seed scan) — materialize
+    // the norm'd corpus once instead of re-scanning per iteration
     val n = emb.select(col(idCol), col(vecCol), norm2(col(vecCol)).as("__n2"))
+      .localCheckpoint(eager = false)
     // seed = the nCells LOWEST-id vectors (TakeOrderedAndProject — a top-k,
     // not a sort): correct for sparse or non-zero-based id spaces, where a
     // plain `id < nCells` filter would silently under-seed the codebook
@@ -578,12 +581,17 @@ object Similarity {
       iters: Int): DataFrame = {
     val embChecked =
       emb.select(col(idCol), requireDim(col(vecCol), nSub, subDim).as(vecCol))
+    // one consumer PER ITERATION (each round's assignment re-executes
+    // this lineage through the lazy-checkpoint chain): materialize the
+    // subvector explode once — `iters` corpus scans become one. At
+    // 100 TB the same move is training over a materialized sample.
     val subs = embChecked
       .select(col(idCol), explode(sequence(lit(0), lit(nSub - 1))).as("__m"),
         col(vecCol))
       .select(col(idCol), col("__m"),
         slice(col(vecCol), col("__m") * subDim + 1, lit(subDim)).as("__sv"))
       .withColumn("__sn2", norm2(col("__sv")))
+      .localCheckpoint(eager = false)
     var cent = embChecked.orderBy(col(idCol)).limit(k)
       .select(col(idCol).as("__cid"),
         explode(sequence(lit(0), lit(nSub - 1))).as("__m"), col(vecCol))
@@ -1004,7 +1012,10 @@ object Similarity {
       pqIters: Int,
       shortlist: Int): DataFrame = {
     val cent = centroidsOf(corpus, idCol, vecCol, nCells, coarseIters)
+    // two consumers (codebook training and the encode) would each re-run
+    // the assignment join + residual subtraction: materialize once
     val res = residualFrame(corpus, idCol, vecCol, cent)
+      .localCheckpoint(eager = false)
     val cb = trainPqCodebooks(res, idCol, "__rv", nSub, subDim, kPerSub, pqIters)
     val codes = pqEncodeResidual(res, idCol, cb, nSub, subDim)
       .select(col(idCol).as("neighbor_id"), col("__cell"), col("__codes"),
