@@ -25,17 +25,11 @@ object FormatBench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .appName("graft-format-bench")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      // mirror GraftSession: micros timestamps for usable footer stats
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // the CANONICAL session builder — a hand-rolled "mirror" here had
+    // already drifted (it missed the AQE-cached-plan and codegen-cache
+    // confs, so this profiler measured a session no query key runs in)
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
 
     val scratch = java.nio.file.Files.createTempDirectory("graft_fmtbench").toString
     val root = scratch + "/t"

@@ -132,7 +132,12 @@ object FormatQueries {
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
         col("o_orderdate"))
       .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
-    VersionedTable.commit(orders, root, partitionBy = Seq("o_month"))
+    // cluster by the partition column before the partitioned commit: the
+    // unshuffled scan is 1-2 tasks each writing all ~84 partition dirs
+    // (sequential file creates, measured 1.6 s of the key); hashed by
+    // month, the creates parallelize and each file holds one month
+    VersionedTable.commit(orders.repartition(col("o_month")), root,
+      partitionBy = Seq("o_month"))
     GraftSql.execute(s, s"DELETE FROM `$root` WHERE o_month < '1997-01'")
     VersionedTable.overwritePartitions(s, root,
       orders.where(col("o_month") === "1999-06")

@@ -149,7 +149,13 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the native BPE expression:\n$p11")
     assert(!p11.contains("BatchEvalPython") && !p11.contains("ScalaUDF"))
     val p13 = plan("t13_bpe_ids")
-    assert(p13.contains("graft_bpe_tokens"))
+    // t13 materializes the tokenized frame once (three consumers), so
+    // the final plan reads the checkpoint (Scan ExistingRDD) — the
+    // native-expression invariant shows as the checkpoint scan carrying
+    // the toks column with no Python/UDF node anywhere
+    assert(p13.contains("ExistingRDD") && p13.contains("toks"),
+      s"expected the materialized token frame:\n$p13")
+    assert(!p13.contains("BatchEvalPython") && !p13.contains("ScalaUDF"))
     // the rank vocabulary is metadata-scale: it must broadcast into the
     // position-exploded corpus, never shuffle the corpus side for it
     assert(p13.contains("BroadcastHashJoin"),
