@@ -3293,39 +3293,45 @@ object VersionedTable {
       morVisibleTagged(spark, root, cur, predicate) match {
         case None => cur // provably no row matches: no-op, no commit
         case Some(visible) =>
-          val hit = visible.where(coalesce(predicate, lit(false)))
-          val newDel = hit.select(col("__dv_file").as("file"),
-            col("__dv_pos").as("pos"))
-          if (newDel.limit(1).count() == 0L) cur // admitted but nothing matched
-          else {
-            val empty = spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              schemaOf(spark, root, cur))
-            val tableCols = schemaOf(spark, root, cur).fieldNames.toSeq
-            val extras = Map("dv" -> newDel) ++
-              (if (!changeFeed) Map.empty[String, DataFrame]
-               else Map("changes" -> feedWritable(
-                 hit.select(tableCols.map(col): _*)
-                   .withColumn("_change_type", lit("delete")))))
-            // interest = the files this commit masks: a tolerated winner
-            // must not have rewritten them (its rewrite read the masks of
-            // ITS pinned version — these fresh deletions would be lost)
-            val maskedRefs = () => {
-              val tails = newDel.select("file").distinct()
-                .collect().map(_.getString(0)).toSet
-              dataFileRefs(spark, root, cur).filter(r => tails(refTail(r))).toSet
+          // the matched slice feeds the dv sidecar, the change feed AND
+          // the masked-file interest set — pin it once; the distinct-file
+          // collect below IS the emptiness probe (one job where this
+          // road paid a limit(1) probe + a separate interest collect,
+          // then re-ran the masked join per staged write)
+          val hit = visible.where(coalesce(predicate, lit(false))).persist()
+          try {
+            val newDel = hit.select(col("__dv_file").as("file"),
+              col("__dv_pos").as("pos"))
+            val tails = newDel.select("file").distinct()
+              .collect().map(_.getString(0)).toSet // metadata-scale: ≤ #files
+            if (tails.isEmpty) cur // admitted but nothing matched
+            else {
+              val empty = spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                schemaOf(spark, root, cur))
+              val tableCols = schemaOf(spark, root, cur).fieldNames.toSeq
+              val extras = Map("dv" -> newDel) ++
+                (if (!changeFeed) Map.empty[String, DataFrame]
+                 else Map("changes" -> feedWritable(
+                   hit.select(tableCols.map(col): _*)
+                     .withColumn("_change_type", lit("delete")))))
+              // interest = the files this commit masks: a tolerated winner
+              // must not have rewritten them (its rewrite read the masks of
+              // ITS pinned version — these fresh deletions would be lost)
+              val maskedRefs = () =>
+                dataFileRefs(spark, root, cur).filter(r => tails(refTail(r))).toSet
+              val rb = new AppendRebase(spark, root, cur,
+                allowDml = true, interest = maskedRefs,
+                readPredicate = Some(predicate))
+              commitCowInternal(empty, root, cur, dataFileRefs(spark, root, cur),
+                extras = extras, bloomCols = Nil,
+                preCommit = v => { preCommit(v); rb.validate(v) },
+                recordSchema = Some(schemaOf(spark, root, cur)),
+                rebase = Some(rb),
+                recordInfo = Map("operation" -> "delete", "mor" -> "true") ++
+                  Bucketing.carryStamp(spark, root, cur))
             }
-            val rb = new AppendRebase(spark, root, cur,
-              allowDml = true, interest = maskedRefs,
-              readPredicate = Some(predicate))
-            commitCowInternal(empty, root, cur, dataFileRefs(spark, root, cur),
-              extras = extras, bloomCols = Nil,
-              preCommit = v => { preCommit(v); rb.validate(v) },
-              recordSchema = Some(schemaOf(spark, root, cur)),
-              rebase = Some(rb),
-              recordInfo = Map("operation" -> "delete", "mor" -> "true") ++
-                Bucketing.carryStamp(spark, root, cur))
-          }
+          } finally hit.unpersist()
       }
     }
   }
@@ -3508,39 +3514,45 @@ object VersionedTable {
       morVisibleTagged(spark, root, cur, predicate) match {
         case None => cur // provably no row matches: no-op, no commit
         case Some(visible) =>
-          val hit = visible.where(coalesce(predicate, lit(false)))
-          if (hit.limit(1).count() == 0L) cur // admitted but nothing matched
-          else {
-            val tableCols = schema.fieldNames.toSeq
-            // mask the old copies where they sit ...
+          // pin the matched slice once (dv sidecar, feed pre/post images,
+          // the appended post rows and the interest set all read it); the
+          // distinct-file collect doubles as the emptiness probe — one
+          // job where this road paid a limit(1) probe plus a separate
+          // interest collect and re-ran the masked join per staged write
+          val hit = visible.where(coalesce(predicate, lit(false))).persist()
+          try {
             val newDel = hit.select(col("__dv_file").as("file"),
               col("__dv_pos").as("pos"))
-            // ... and append the updated copies as fresh rows (fresh
-            // footer stats, so the new values re-enter data skipping)
-            val pre = hit.select(tableCols.map(col): _*)
-            val post = applySet(pre)
-            val extras = Map("dv" -> newDel) ++
-              (if (!changeFeed) Map.empty[String, DataFrame]
-               else Map("changes" -> feedWritable(
-                 pre.withColumn("_change_type", lit("update_preimage"))
-                   .unionByName(post
-                     .withColumn("_change_type", lit("update_postimage"))))))
-            // as the MOR delete: the masked files are the interest set
-            val maskedRefs = () => {
-              val tails = newDel.select("file").distinct()
-                .collect().map(_.getString(0)).toSet
-              dataFileRefs(spark, root, cur).filter(r => tails(refTail(r))).toSet
+            val tails = newDel.select("file").distinct()
+              .collect().map(_.getString(0)).toSet // metadata-scale: ≤ #files
+            if (tails.isEmpty) cur // admitted but nothing matched
+            else {
+              val tableCols = schema.fieldNames.toSeq
+              // mask the old copies where they sit, append the updated
+              // copies as fresh rows (fresh footer stats, so the new
+              // values re-enter data skipping)
+              val pre = hit.select(tableCols.map(col): _*)
+              val post = applySet(pre)
+              val extras = Map("dv" -> newDel) ++
+                (if (!changeFeed) Map.empty[String, DataFrame]
+                 else Map("changes" -> feedWritable(
+                   pre.withColumn("_change_type", lit("update_preimage"))
+                     .unionByName(post
+                       .withColumn("_change_type", lit("update_postimage"))))))
+              // as the MOR delete: the masked files are the interest set
+              val maskedRefs = () =>
+                dataFileRefs(spark, root, cur).filter(r => tails(refTail(r))).toSet
+              val rb = new AppendRebase(spark, root, cur,
+                allowDml = true, interest = maskedRefs,
+                readPredicate = Some(predicate))
+              commitCowInternal(post, root, cur, dataFileRefs(spark, root, cur),
+                extras = extras, bloomCols = Nil,
+                preCommit = v => { preCommit(v); rb.validate(v) },
+                recordSchema = Some(schema),
+                rebase = Some(rb),
+                recordInfo = Map("operation" -> "update", "mor" -> "true"))
             }
-            val rb = new AppendRebase(spark, root, cur,
-              allowDml = true, interest = maskedRefs,
-              readPredicate = Some(predicate))
-            commitCowInternal(post, root, cur, dataFileRefs(spark, root, cur),
-              extras = extras, bloomCols = Nil,
-              preCommit = v => { preCommit(v); rb.validate(v) },
-              recordSchema = Some(schema),
-              rebase = Some(rb),
-              recordInfo = Map("operation" -> "update", "mor" -> "true"))
-          }
+          } finally hit.unpersist()
       }
     }
   }
